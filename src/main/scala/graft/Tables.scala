@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver's parquet star schema (TESTDATA.md) plus shared
+  * numeric-parity helpers.
+  *
+  * Scale notes (100 TB design): every loader returns a plain parquet scan, so
+  * Catalyst's column pruning + predicate pushdown reach the file source
+  * unimpeded. Nothing here caches or collects; fact tables stay distributed
+  * and dimension tables are broadcast explicitly at the join sites.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+
+  /** Exact money arithmetic: the source columns are doubles; both Spark and
+    * DuckDB round-trip them through DECIMAL(18,2) to the same exact value, so
+    * aggregates hash-match bit-for-bit once cast back to double.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Finalize an exact decimal aggregate as a portable double. */
+  def asDouble(c: Column): Column = c.cast("double")
+}
