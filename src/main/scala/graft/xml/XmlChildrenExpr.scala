@@ -1,0 +1,79 @@
+package graft.xml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expression: extract matching depth-1 children of an XML string
+  * as `array<struct<tag,xml,value>>`, in document order.
+  *
+  * This is the one custom operator the native XML source cannot express
+  * (SURVEY.md §7.3): the reference's wildcard dispatch + `Tag()` capture +
+  * per-child array emit (reference Parser.cs:166-187, 257-316). Evaluation is
+  * a single StAX pass per value (CodegenFallback — the XML tokenization
+  * dominates, codegen of the wrapper would not help).
+  *
+  * Scale: embarrassingly parallel per row; no state, no shuffle. The returned
+  * children carry re-parsable outer XML so downstream exact-member binding
+  * stays on the codegen'd `from_xml` path.
+  */
+case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
+    fromRoot: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = XmlChildrenExpr.outType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xml_children"
+
+  override def nullSafeEval(input: Any): Any = {
+    val res = XmlStax.children(input.asInstanceOf[UTF8String].toString,
+      patterns, fromRoot)
+    if (res == null) null
+    else new GenericArrayData(res.map { c =>
+      InternalRow(UTF8String.fromString(c.tag), UTF8String.fromString(c.outer),
+        UTF8String.fromString(c.value))
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XmlChildrenExpr {
+  val elemType: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("xml", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+  val outType: DataType = ArrayType(elemType, containsNull = false)
+}
+
+/** Reference `StringParser` semantics over a whole element string. */
+case class XmlElementValueExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xml_element_value"
+  override def nullSafeEval(input: Any): Any = {
+    val v = XmlStax.elementValue(input.asInstanceOf[UTF8String].toString)
+    if (v == null) null else UTF8String.fromString(v)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XmlFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** Column API over [[XmlChildrenExpr]]. */
+  def xml_children(c: Column, patterns: Seq[String],
+      fromRoot: Boolean): Column =
+    ColumnBridge.column(
+      XmlChildrenExpr(ColumnBridge.expression(c), patterns, fromRoot))
+
+  def xml_element_value(c: Column): Column =
+    ColumnBridge.column(XmlElementValueExpr(ColumnBridge.expression(c)))
+}

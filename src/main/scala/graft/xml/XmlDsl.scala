@@ -1,0 +1,525 @@
+package graft.xml
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import XmlFunctions._
+
+/** The reference engine's declarative parser DSL (reference
+  * XmlStreamProcessor/Parser.cs:501-514, `INode`), re-expressed Spark-first.
+  *
+  * A user function `XmlNode => Column` plays the role of the reference's
+  * typed lambda (Parser.cs:335-345). Like the reference, it is compiled in
+  * two phases:
+  *
+  *   1. '''record''' (≙ MarkupLambdaTraverser, Parser.cs:359-499): the
+  *      function runs once against a recording node; every accessor call
+  *      registers an element/attribute name, producing an extraction spec.
+  *   2. '''bind''' (≙ Expression.Compile, Parser.cs:110-115): the function
+  *      runs again against a binding node whose accessors return real
+  *      Catalyst Columns over the parsed representation. Catalyst + Tungsten
+  *      then do what the reference's compiled delegate did, distributed.
+  *
+  * The function must therefore be pure and deterministic — exactly the
+  * constraint the reference documents for its lambdas (README.md:62-66).
+  *
+  * Compilation strategy (SURVEY.md §7.3): specs using only exact names,
+  * scalars, structs, attributes and single-name arrays compile to the
+  * '''native path''' — `from_xml` / the native XML file source, fully
+  * codegen'd, first-wins duplicate handling via ArrayType + element_at.
+  * Wildcard names, heterogeneous arrays and `custom` members route through
+  * the '''StAX path''' (`xml_children`), with exact sub-members still bound
+  * natively from each extracted child's outer XML.
+  */
+trait XmlNode {
+
+  /** Reference `Int` — missing element -> 0, unparseable -> error. */
+  def int(name: String): Column
+
+  /** Reference `NullInt` — missing/empty -> null. */
+  def nullInt(name: String): Column
+
+  /** Reference `NullBool`. */
+  def nullBool(name: String): Column
+
+  /** Reference `NullDecimal` -> DecimalType(38,18). */
+  def nullDecimal(name: String): Column
+
+  /** Reference `NullDate` -> TimestampType. */
+  def nullDate(name: String): Column
+
+  /** Reference `String` — mixed content keeps inline child markup. */
+  def str(name: String): Column
+
+  /** Reference `Attribute` — always a string. */
+  def attribute(name: String): Column
+
+  /** Reference `Tag()` — local name of the element being constructed. */
+  def tag: Column
+
+  /** Reference `Type(name, λ)` — nested object; absent element -> null. */
+  def obj(name: String)(f: XmlNode => Column): Column
+
+  /** Reference `Array(name, λ)` — one output per matching child of the
+    * container, in document order; λ's accessors dispatch on each child's
+    * own tag (alternatives), as in Test1.cs:187-209. */
+  def array(name: String)(f: XmlNode => Column): Column
+
+  /** Reference `Custom(name, f)` — f receives the child's outer XML. */
+  def custom(name: String)(f: Column => Column): Column
+}
+
+// ---------------------------------------------------------------------------
+// Spec model (the "extraction schema" of Parser.cs:348-366)
+// ---------------------------------------------------------------------------
+
+private[xml] sealed trait Member { def name: String }
+private[xml] final case class ScalarM(name: String) extends Member
+private[xml] final case class ObjM(name: String, f: XmlNode => Column,
+    spec: ObjSpec) extends Member
+private[xml] final case class ArrM(name: String, f: XmlNode => Column,
+    spec: ObjSpec) extends Member
+private[xml] final case class CustomM(name: String, f: Column => Column)
+  extends Member
+
+private[xml] final class ObjSpec {
+  val members = mutable.LinkedHashMap.empty[String, Member]
+  val attrs = mutable.LinkedHashSet.empty[String]
+  var usesTag = false
+
+  def exactNames: Seq[String] =
+    members.keys.filterNot(_.contains("*")).toSeq
+  def globNames: Seq[String] = members.keys.filter(_.contains("*")).toSeq
+
+  /** Native single-name array: one exact alternative, itself native, no
+    * container-attribute broadcast. */
+  def arrayIsNative(m: ArrM): Boolean =
+    m.spec.members.size == 1 && m.spec.attrs.isEmpty &&
+      (m.spec.members.head match {
+        case (n, ScalarM(_))     => !n.contains("*")
+        case (n, o: ObjM)        => !n.contains("*") && o.spec.isNative
+        case _                   => false
+      })
+
+  /** Whole spec expressible on the native XML source / from_xml. */
+  def isNative: Boolean = members.forall {
+    case (n, ScalarM(_)) => !n.contains("*")
+    case (n, o: ObjM)    => !n.contains("*") && o.spec.isNative
+    case (n, a: ArrM)    => !n.contains("*") && arrayIsNative(a)
+    case (_, _: CustomM) => false
+  }
+
+  /** Read-schema fields consumed natively (everything when isNative; the
+    * exact scalar/struct/native-array subset plus attrs otherwise). */
+  def nativeReadSchema: StructType = {
+    val fields = mutable.ArrayBuffer.empty[StructField]
+    attrs.foreach(a => fields += StructField("_" + a, StringType))
+    members.foreach {
+      case (n, ScalarM(_)) if !n.contains("*") =>
+        fields += StructField(n, ArrayType(StringType))
+      case (n, o: ObjM) if !n.contains("*") && o.spec.isNative =>
+        fields += StructField(n, ArrayType(o.spec.nativeReadSchema))
+      case (n, a: ArrM) if !n.contains("*") && arrayIsNative(a) =>
+        val (en, et) = a.spec.members.head match {
+          case (n2, ScalarM(_)) => (n2, StringType: DataType)
+          case (n2, o: ObjM)    => (n2, o.spec.nativeReadSchema: DataType)
+          case _ => throw new IllegalStateException("unreachable")
+        }
+        fields += StructField(n,
+          ArrayType(StructType(Seq(StructField(en, ArrayType(et))))))
+      case _ => // StAX-path member
+    }
+    StructType(fields.toSeq)
+  }
+
+  /** Child-name patterns the StAX extractor must capture. */
+  def staxPatterns: Seq[String] = members.collect {
+    case (n, ScalarM(_)) if n.contains("*") => n
+    case (n, o: ObjM) if n.contains("*") || !o.spec.isNative => n
+    case (n, a: ArrM) if n.contains("*") || !arrayIsNative(a) => n
+    case (n, _: CustomM) => n
+  }.toSeq
+
+  /** Reference dispatch (Parser.cs:166-187): exact name wins over globs;
+    * among globs, the LAST registered match wins. */
+  def activeCond(memberName: String, tagC: Column): Column =
+    if (!memberName.contains("*")) tagC === memberName
+    else {
+      val i = memberName.indexOf('*')
+      val (p, sfx) = (memberName.substring(0, i), memberName.substring(i + 1))
+      var cond = tagC.startsWith(p) && tagC.endsWith(sfx)
+      val ex = exactNames
+      if (ex.nonEmpty) cond = cond && !tagC.isin(ex: _*)
+      val globs = globNames
+      globs.drop(globs.indexOf(memberName) + 1).foreach { g =>
+        val j = g.indexOf('*')
+        cond = cond && !(tagC.startsWith(g.substring(0, j)) &&
+          tagC.endsWith(g.substring(j + 1)))
+      }
+      cond
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Phase 1: recording node
+// ---------------------------------------------------------------------------
+
+private[xml] final class RecNode(spec: ObjSpec) extends XmlNode {
+  private def scalar(name: String): Column = {
+    spec.members.getOrElseUpdate(name, ScalarM(name))
+    lit(null).cast(StringType)
+  }
+  override def int(name: String): Column = scalar(name).cast("int")
+  override def nullInt(name: String): Column = scalar(name).cast("int")
+  override def nullBool(name: String): Column = scalar(name).cast("boolean")
+  override def nullDecimal(name: String): Column =
+    scalar(name).cast(DecimalType(38, 18))
+  override def nullDate(name: String): Column = scalar(name).cast("timestamp")
+  override def str(name: String): Column = scalar(name)
+  override def attribute(name: String): Column = {
+    spec.attrs += name
+    lit(null).cast(StringType)
+  }
+  override def tag: Column = { spec.usesTag = true; lit(null).cast(StringType) }
+  override def obj(name: String)(f: XmlNode => Column): Column = {
+    val sub = new ObjSpec
+    f(new RecNode(sub)) // recurse the recording
+    spec.members.update(name, ObjM(name, f, sub))
+    lit(null)
+  }
+  override def array(name: String)(f: XmlNode => Column): Column = {
+    val sub = new ObjSpec
+    f(new RecNode(sub))
+    spec.members.update(name, ArrM(name, f, sub))
+    lit(null)
+  }
+  override def custom(name: String)(f: Column => Column): Column = {
+    spec.members.update(name, CustomM(name, f))
+    lit(null)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Phase 2: binding nodes
+// ---------------------------------------------------------------------------
+
+private[xml] object Bind {
+  val xmlOptions: java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("attributePrefix", "_")
+    m.put("mode", "PERMISSIVE")
+    m
+  }
+
+  def fx(c: Column, st: StructType): Column = from_xml(c, st, xmlOptions)
+
+  /** First element's local name of a document/fragment string — for rootless
+    * (`fragment`) parsers, ≙ the reference's root-depth bootstrap tag
+    * (Parser.cs:123-127). */
+  def rootTagOf(xmlC: Column): Column =
+    regexp_extract(xmlC, "<([A-Za-z_][A-Za-z0-9_.-]*)", 1)
+
+  /** Bind an obj spec against its raw outer XML (document or extracted
+    * child). Chooses native vs StAX path per spec. */
+  def bindObj(outer: Column, tagC: Column, m: ObjM): Column =
+    if (m.spec.isNative)
+      m.f(new NativeBindNode(fx(outer, m.spec.nativeReadSchema), tagC, m.spec))
+    else
+      m.f(new StaxBindNode(outer, tagC, m.spec))
+
+  /** Array semantics over a container's outer XML: one combined value per
+    * matching child, document order (Parser.cs:257-316). */
+  def bindArray(containerOuter: Column, m: ArrM): Column = {
+    val kids = xml_children(containerOuter, m.spec.members.keys.toSeq,
+      fromRoot = true)
+    val containerAttrs: Option[Column] =
+      if (m.spec.attrs.isEmpty) None
+      else Some(fx(containerOuter, StructType(
+        m.spec.attrs.toSeq.map(a => StructField("_" + a, StringType)))))
+    transform(kids,
+      ch => m.f(new AltBindNode(ch, m.spec, containerAttrs)))
+  }
+
+  /** Native array member binding (single exact alternative). */
+  def bindNativeArray(containerFirst: Column, m: ArrM): Column = {
+    val (elemName, elemMember) = m.spec.members.head
+    val elemType: DataType = elemMember match {
+      case ScalarM(_) => StringType
+      case o: ObjM    => o.spec.nativeReadSchema
+      case _          => throw new IllegalStateException("unreachable")
+    }
+    val inner = containerFirst.getField(elemName)
+    // absent container -> null; present-but-empty -> empty array
+    // (Parser.cs:289-295, SURVEY.md §1.2)
+    val elems = coalesce(inner, array().cast(ArrayType(elemType)))
+    when(containerFirst.isNotNull,
+      transform(elems, x => elemMember match {
+        case ScalarM(_) =>
+          // single scalar alternative: λ sees the element's own value
+          m.f(new NativeAltScalarNode(elemName, x, m.spec))
+        case o: ObjM =>
+          m.f(new NativeAltObjNode(elemName, x, o, m.spec))
+        case _ => throw new IllegalStateException("unreachable")
+      }))
+  }
+}
+
+private[xml] abstract class BaseBindNode(spec: ObjSpec) extends XmlNode {
+  protected def scalarRaw(name: String): Column
+  protected def attrRaw(name: String): Column
+  protected def objBound(m: ObjM): Column
+  protected def arrBound(m: ArrM): Column
+  protected def customBound(m: CustomM): Column
+
+  private def member[T <: Member](name: String): Member =
+    spec.members.getOrElse(name, throw new IllegalStateException(
+      s"graft.xml: '$name' not registered during recording — the parser " +
+        "lambda must be deterministic (same accessor calls in both phases)"))
+
+  override def int(name: String): Column = XmlValues.intStrict(scalarRaw(name))
+  override def nullInt(name: String): Column = XmlValues.nullInt(scalarRaw(name))
+  override def nullBool(name: String): Column =
+    XmlValues.nullBool(scalarRaw(name))
+  override def nullDecimal(name: String): Column =
+    XmlValues.nullDecimal(scalarRaw(name))
+  override def nullDate(name: String): Column =
+    XmlValues.nullDate(scalarRaw(name))
+  override def str(name: String): Column = XmlValues.str(scalarRaw(name))
+  override def attribute(name: String): Column = attrRaw(name)
+  override def obj(name: String)(f: XmlNode => Column): Column =
+    objBound(member(name).asInstanceOf[ObjM])
+  override def array(name: String)(f: XmlNode => Column): Column =
+    arrBound(member(name).asInstanceOf[ArrM])
+  override def custom(name: String)(f: Column => Column): Column =
+    customBound(member(name).asInstanceOf[CustomM])
+}
+
+/** Fully-native binding: `parsed` is the struct produced by from_xml/the XML
+  * file source with this spec's nativeReadSchema. */
+private[xml] final class NativeBindNode(parsed: Column, tagC: Column,
+    spec: ObjSpec) extends BaseBindNode(spec) {
+  override def tag: Column = tagC
+  override protected def scalarRaw(name: String): Column =
+    get(parsed.getField(name), lit(0)) // first-wins (Parser.cs:226-227)
+  override protected def attrRaw(name: String): Column =
+    parsed.getField("_" + name)
+  override protected def objBound(m: ObjM): Column = {
+    val sub = get(parsed.getField(m.name), lit(0))
+    when(sub.isNotNull,
+      m.f(new NativeBindNode(sub, lit(m.name), m.spec)))
+  }
+  override protected def arrBound(m: ArrM): Column =
+    Bind.bindNativeArray(get(parsed.getField(m.name), lit(0)), m)
+  override protected def customBound(m: CustomM): Column =
+    throw new IllegalStateException(
+      "graft.xml: custom() requires the StAX path (unreachable natively)")
+}
+
+/** StAX-path binding over the element's raw outer XML: exact members still
+  * bind natively via from_xml(outer); wildcard/custom/heterogeneous members
+  * come from xml_children. */
+private[xml] final class StaxBindNode(outer: Column, tagC: Column,
+    spec: ObjSpec) extends BaseBindNode(spec) {
+  private lazy val parsed: Column = Bind.fx(outer, spec.nativeReadSchema)
+  private lazy val kids: Column =
+    xml_children(outer, spec.staxPatterns, fromRoot = true)
+
+  private def firstKid(name: String): Column =
+    get(filter(kids,
+      ch => spec.activeCond(name, ch.getField("tag"))), lit(0))
+
+  override def tag: Column = tagC
+  override protected def scalarRaw(name: String): Column =
+    if (name.contains("*")) firstKid(name).getField("value")
+    else get(parsed.getField(name), lit(0))
+  override protected def attrRaw(name: String): Column =
+    parsed.getField("_" + name)
+  override protected def objBound(m: ObjM): Column =
+    if (!m.name.contains("*") && m.spec.isNative) {
+      val sub = get(parsed.getField(m.name), lit(0))
+      when(sub.isNotNull, m.f(new NativeBindNode(sub, lit(m.name), m.spec)))
+    } else {
+      val ch = firstKid(m.name)
+      when(ch.isNotNull,
+        Bind.bindObj(ch.getField("xml"), ch.getField("tag"), m))
+    }
+  override protected def arrBound(m: ArrM): Column =
+    if (!m.name.contains("*") && spec.arrayIsNative(m) && m.spec.attrs.isEmpty) {
+      Bind.bindNativeArray(get(parsed.getField(m.name), lit(0)), m)
+    } else {
+      val ch = firstKid(m.name)
+      when(ch.isNotNull, Bind.bindArray(ch.getField("xml"), m))
+    }
+  override protected def customBound(m: CustomM): Column = {
+    val ch = firstKid(m.name)
+    when(ch.isNotNull, m.f(ch.getField("xml")))
+  }
+}
+
+/** Array-element ("alternatives") binding: accessors dispatch on the child's
+  * OWN tag (Parser.cs:257-316, Test1.cs:187-209). `ch` is one
+  * struct<tag,xml,value> from xml_children. */
+private[xml] final class AltBindNode(ch: Column, spec: ObjSpec,
+    containerAttrs: Option[Column]) extends BaseBindNode(spec) {
+  private def active(name: String): Column =
+    spec.activeCond(name, ch.getField("tag"))
+  override def tag: Column = ch.getField("tag")
+  override protected def scalarRaw(name: String): Column =
+    when(active(name), ch.getField("value"))
+  override protected def attrRaw(name: String): Column =
+    containerAttrs match {
+      // container attributes broadcast to every element (Parser.cs:284-287)
+      case Some(a) => a.getField("_" + name)
+      case None    => lit(null).cast(StringType)
+    }
+  override protected def objBound(m: ObjM): Column =
+    when(active(m.name),
+      Bind.bindObj(ch.getField("xml"), ch.getField("tag"), m))
+  override protected def arrBound(m: ArrM): Column =
+    when(active(m.name), Bind.bindArray(ch.getField("xml"), m))
+  override protected def customBound(m: CustomM): Column =
+    when(active(m.name), m.f(ch.getField("xml")))
+}
+
+/** Native array with a single scalar alternative: `x` is the element's raw
+  * string content. */
+private[xml] final class NativeAltScalarNode(elemName: String, x: Column,
+    spec: ObjSpec) extends BaseBindNode(spec) {
+  override def tag: Column = lit(elemName)
+  override protected def scalarRaw(name: String): Column =
+    if (name == elemName) x else lit(null).cast(StringType)
+  override protected def attrRaw(name: String): Column =
+    lit(null).cast(StringType)
+  override protected def objBound(m: ObjM): Column =
+    throw new IllegalStateException("unreachable: scalar-only native array")
+  override protected def arrBound(m: ArrM): Column =
+    throw new IllegalStateException("unreachable: scalar-only native array")
+  override protected def customBound(m: CustomM): Column =
+    throw new IllegalStateException("unreachable: scalar-only native array")
+}
+
+/** Native array with a single native-obj alternative: `x` is the element's
+  * parsed struct. */
+private[xml] final class NativeAltObjNode(elemName: String, x: Column,
+    objM: ObjM, spec: ObjSpec) extends BaseBindNode(spec) {
+  override def tag: Column = lit(elemName)
+  override protected def scalarRaw(name: String): Column =
+    lit(null).cast(StringType)
+  override protected def attrRaw(name: String): Column =
+    lit(null).cast(StringType)
+  override protected def objBound(m: ObjM): Column =
+    if (m.name == elemName)
+      m.f(new NativeBindNode(x, lit(elemName), m.spec))
+    else lit(null)
+  override protected def arrBound(m: ArrM): Column =
+    throw new IllegalStateException("unreachable: single-obj native array")
+  override protected def customBound(m: CustomM): Column =
+    throw new IllegalStateException("unreachable: single-obj native array")
+}
+
+// ---------------------------------------------------------------------------
+// Public API
+// ---------------------------------------------------------------------------
+
+/** Compiled parser — ≙ the reference's `Func<XmlReader,T>` (Parser.cs:335-345)
+  * but producing Catalyst Columns / DataFrames. */
+final class CompiledXmlParser private[xml] (
+    rootTag: Option[String],
+    spec: ObjSpec,
+    combine: XmlNode => Column,
+    asArray: Option[ArrM]) {
+
+  /** The native read schema (for inspection / the XML file source). */
+  def readSchema: StructType = spec.nativeReadSchema
+
+  /** True when the whole spec runs on the native XML source (no custom
+    * expression in the plan). */
+  def isFullyNative: Boolean = asArray.isEmpty && spec.isNative
+
+  /** Parse a raw XML string column (whole document or element fragment). */
+  def parse(xmlCol: Column): Column = {
+    val x = trim(xmlCol)
+    val tagC = rootTag.map(lit(_)).getOrElse(Bind.rootTagOf(x))
+    asArray match {
+      case Some(m) => when(x.isNotNull, Bind.bindArray(x, m))
+      case None =>
+        val bound =
+          if (spec.isNative)
+            combine(new NativeBindNode(Bind.fx(x, spec.nativeReadSchema),
+              tagC, spec))
+          else combine(new StaxBindNode(x, tagC, spec))
+        when(x.isNotNull, bound)
+    }
+  }
+
+  /** Batch table scan over XML files — one row per `rowTag` element
+    * (≙ CreateArrayParser over a file, Parser.cs:341-345, on the native
+    * XML source's distributed splitter). Requires a fully-native spec:
+    * wildcard/custom specs need the raw element, use
+    * `wholetextParse` / `parse` over a string column instead. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    require(asArray.isEmpty, "read() needs a struct parser; array parsers " +
+      "consume a container element — use parse() on a string column")
+    require(rootTag.nonEmpty, "read() needs a rootTag (XmlParser.struct)")
+    require(spec.isNative,
+      "graft.xml: this spec uses wildcard/custom members, which need raw " +
+        "element access; read the file as text and use parse()")
+    val df = spark.read.format("xml")
+      .option("rowTag", rootTag.get)
+      .option("attributePrefix", "_")
+      .option("mode", "PERMISSIVE")
+      .schema(spec.nativeReadSchema)
+      .load(path)
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
+      .as("parsed"))
+  }
+
+  /** Structured-streaming variant of [[read]] — the incremental realization
+    * of the reference's forward-only contract (SURVEY.md §7.1). */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    require(asArray.isEmpty && rootTag.nonEmpty && spec.isNative,
+      "readStream() has the same constraints as read()")
+    val df = spark.readStream.format("xml")
+      .option("rowTag", rootTag.get)
+      .option("attributePrefix", "_")
+      .option("mode", "PERMISSIVE")
+      .schema(spec.nativeReadSchema)
+      .load(path)
+    val all = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
+      .as("parsed"))
+  }
+}
+
+object XmlParser {
+
+  /** ≙ `CreateParser(q => q.Type(rootTag, f))` (Test1.cs:43). */
+  def struct(rootTag: String)(f: XmlNode => Column): CompiledXmlParser = {
+    val spec = new ObjSpec
+    f(new RecNode(spec))
+    new CompiledXmlParser(Some(rootTag), spec, f, None)
+  }
+
+  /** Rootless parser (≙ `CreateParser` without a `Type` wrapper,
+    * Test1.cs:128-133): applies to whatever element the input string roots.
+    * `tag` binds to the actual root tag. */
+  def fragment(f: XmlNode => Column): CompiledXmlParser = {
+    val spec = new ObjSpec
+    f(new RecNode(spec))
+    new CompiledXmlParser(None, spec, f, None)
+  }
+
+  /** ≙ `CreateArrayParser` (Parser.cs:341-345): parse() returns an array
+    * Column with one combined value per matching child of the input's root
+    * element, in document order. */
+  def array(f: XmlNode => Column): CompiledXmlParser = {
+    val spec = new ObjSpec
+    f(new RecNode(spec))
+    val m = ArrM("<root>", f, spec)
+    new CompiledXmlParser(None, spec, f, Some(m))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.xml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's six scalar parsers as Column transforms (SURVEY.md §1.2,
+  * reference Parser.cs:15-95). Input: the raw string content of an element
+  * (null = element missing, "" = present but empty). ANSI-mode safe:
+  * null-propagating parsers use try_cast, the strict parser keeps the
+  * ANSI cast so bad input errors like Convert.ToInt32 does.
+  */
+object XmlValues {
+
+  /** `Int` (Parser.cs:26-32): missing -> 0; present-but-unparseable (incl.
+    * empty) -> error, matching Convert.ToInt32 throwing. */
+  def intStrict(c: Column): Column =
+    when(c.isNull, lit(0)).otherwise(trim(c).cast("int"))
+
+  /** `NullInt` (Parser.cs:58-67): empty/missing -> null; unparseable -> null
+    * (deviation: reference throws on garbage, we null — documented). */
+  def nullInt(c: Column): Column = trim(c).try_cast("int")
+
+  /** `NullBool` (Parser.cs:15-24): empty/missing -> null; "true"/"false". */
+  def nullBool(c: Column): Column = trim(c).try_cast("boolean")
+
+  /** `NullDecimal` (Parser.cs:69-84): empty/missing/unparseable -> null.
+    * The reference's culture-separator quirk (Parser.cs:79) is deliberately
+    * not replicated (SURVEY.md §7.3). */
+  def nullDecimal(c: Column): Column = trim(c).try_cast(DecimalType(38, 18))
+
+  /** `NullDate` (Parser.cs:86-95): empty/missing -> null. */
+  def nullDate(c: Column): Column = try_to_timestamp(trim(c))
+
+  /** `String` (Parser.cs:34-56): identity — mixed-content concatenation is
+    * handled upstream (native source serialization or XmlStax value). */
+  def str(c: Column): Column = c
+}

@@ -1,0 +1,82 @@
+package graft.xml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM tests of the StAX extraction core (no Spark session). */
+class XmlStaxSpec extends AnyFunSuite {
+
+  test("children: exact + glob filter, document order") {
+    val xml = "<c><item1>1</item1><junk>x</junk><item2>2</item2>" +
+      "<item1>3</item1></c>"
+    val got = XmlStax.children(xml, Seq("item1", "item2"), fromRoot = true)
+    assert(got.map(_.tag) == Seq("item1", "item2", "item1"))
+    assert(got.map(_.value) == Seq("1", "2", "3"))
+  }
+
+  test("children: bare glob matches everything; skip unmatched subtrees") {
+    val xml = "<c><a><deep><deeper/></deep></a><b>2</b></c>"
+    assert(XmlStax.children(xml, Seq("*"), fromRoot = true)
+      .map(_.tag) == Seq("a", "b"))
+    assert(XmlStax.children(xml, Seq("b"), fromRoot = true)
+      .map(_.outer) == Seq("<b>2</b>"))
+  }
+
+  test("children: prefix*suffix glob like the reference") {
+    val xml = "<c><sub1/><sub2/><other/><subx_tail/></c>"
+    assert(XmlStax.children(xml, Seq("sub*"), fromRoot = true)
+      .map(_.tag) == Seq("sub1", "sub2", "subx_tail"))
+    assert(XmlStax.children(xml, Seq("sub*tail"), fromRoot = true)
+      .map(_.tag) == Seq("subx_tail"))
+  }
+
+  test("outer is re-parsable and escaped; value keeps raw text") {
+    val xml = "<c><k a='q&amp;w'>x &lt; y<inner>3 &amp; 4</inner>t</k></c>"
+    val Seq(k) = XmlStax.children(xml, Nil, fromRoot = true)
+    assert(k.outer ==
+      "<k a=\"q&amp;w\">x &lt; y<inner>3 &amp; 4</inner>t</k>")
+    assert(k.value == "x < y<inner>3 &amp; 4</inner>t")
+  }
+
+  test("value: .NET-style self-closing serialization of inline children") {
+    val xml = "<c><k><more/>text tail</k><k>lead <more/></k></c>"
+    val got = XmlStax.children(xml, Seq("k"), fromRoot = true).map(_.value)
+    assert(got == Seq("<more />text tail", "lead <more />"))
+  }
+
+  test("entities, CDATA, char refs, comments (Test1.cs:233-271 semantics)") {
+    val xml =
+      """<?xml version='1.0'?>
+        |<!DOCTYPE Items [<!ENTITY number '123'>]>
+        |<Items>
+        |  <Item>Test with an entity: &number;</Item>
+        |  <Item>Test with a CDATA section <![CDATA[<456>]]> def</Item>
+        |  <Item>Test with a char entity: &#65;</Item>
+        |  <!-- a comment -->
+        |  <Item>1234567890ABCD</Item>
+        |</Items>""".stripMargin
+    val got = XmlStax.children(xml, Seq("Item"), fromRoot = true).map(_.value)
+    assert(got == Seq(
+      "Test with an entity: 123",
+      "Test with a CDATA section <456> def",
+      "Test with a char entity: A",
+      "1234567890ABCD"))
+  }
+
+  test("fragment mode (no root) wraps content") {
+    val frag = "<a>1</a>text<b>2</b>"
+    assert(XmlStax.children(frag, Nil, fromRoot = false)
+      .map(_.tag) == Seq("a", "b"))
+  }
+
+  test("malformed input -> null (PERMISSIVE)") {
+    assert(XmlStax.children("<a><b></a>", Nil, fromRoot = true) == null)
+    assert(XmlStax.children("not xml at all <", Nil, fromRoot = true) == null)
+  }
+
+  test("empty element forms") {
+    val xml = "<c><e/><e></e><e>x</e></c>"
+    val got = XmlStax.children(xml, Seq("e"), fromRoot = true)
+    assert(got.map(_.outer) == Seq("<e />", "<e />", "<e>x</e>"))
+    assert(got.map(_.value) == Seq("", "", "x"))
+  }
+}
