@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.xml.XmlParser
+
+/** Correctness-gate queries for the XML engine (SURVEY.md §2.1 ops 1-13).
+  *
+  * Pattern: each query builds XML strings FROM the parquet tables inside the
+  * plan (deterministic, escapable-free columns), parses them back through the
+  * graft.xml DSL, and projects typed results; the DuckDB oracle computes the
+  * same output directly from the tables. A hash match therefore certifies the
+  * full parse pipeline (build -> parse -> extract) end to end.
+  *
+  * Scale: XML construction + parsing is per-row and embarrassingly parallel —
+  * no shuffle is introduced beyond what the underlying query needs; the
+  * parse stays inside the scan stage's pipeline.
+  */
+object XmlQueries {
+
+  private def s(c: Column): Column = c.cast("string")
+  private def d2s(c: Column): Column = dec(c).cast("string")
+
+  /** Ops #1/#2/#6 (scan, single-record parse, scalar casts incl bool) and
+    * #7 (attribute): per-order document, every scalar parser exercised. */
+  def x1ScanCast(sp: SparkSession, dir: String): DataFrame = {
+    val o = orders(sp, dir)
+    val xml = concat(
+      lit("<order status='"), col("o_orderstatus"), lit("'><id>"),
+      s(col("o_orderkey")), lit("</id><total>"), d2s(col("o_totalprice")),
+      lit("</total><odate>"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      lit("</odate><open>"), s(col("o_orderstatus") === "O"),
+      lit("</open><prio>"), col("o_orderpriority"), lit("</prio></order>"))
+    val parser = XmlParser.struct("order") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.attribute("status").as("status"),
+        a.nullDecimal("total").cast("double").as("total"),
+        a.nullDate("odate").cast("date").as("odate"),
+        a.nullBool("open").as("open"),
+        a.str("prio").as("prio"),
+        a.nullInt("nope").as("missing_int"))
+    }
+    o.select(parser.parse(xml).as("r")).select("r.*").orderBy("id")
+  }
+
+  val x1Sql: String =
+    """SELECT CAST(o_orderkey AS INT) AS id, o_orderstatus AS status,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+      |  CAST(o_orderdate AS DATE) AS odate,
+      |  (o_orderstatus = 'O') AS open,
+      |  o_orderpriority AS prio,
+      |  CAST(NULL AS INT) AS missing_int
+      |FROM orders ORDER BY id""".stripMargin
+
+  /** Ops #3/#5 (array parse, per-child emit, document order) + nested obj +
+    * child attributes: one doc per order with its lineitems as repeated
+    * children, exploded back to rows with ordinals. */
+  def x2ArrayOrder(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val docs = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), dec(col("l_quantity")).as("qty")))).as("items"))
+      .select(col("l_orderkey"),
+        concat(lit("<o>"),
+          concat_ws("", transform(col("items"), x =>
+            concat(lit("<item ln='"), s(x.getField("l_linenumber")),
+              lit("'>"), s(x.getField("qty")), lit("</item>")))),
+          lit("</o>")).as("xml"))
+    val parser = XmlParser.array { c =>
+      c.obj("item") { z =>
+        struct(
+          z.attribute("ln").cast("int").as("ln"),
+          z.tag.as("tag"))
+      }
+    }
+    docs.select(col("l_orderkey").as("okey"),
+        posexplode(parser.parse(col("xml"))))
+      .select(col("okey"), col("pos").cast("int").as("pos"),
+        col("col.ln").as("ln"), col("col.tag").as("tag"))
+      .orderBy("okey", "pos")
+  }
+
+  val x2Sql: String =
+    """SELECT l_orderkey AS okey,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS INT) AS pos,
+      |  CAST(l_linenumber AS INT) AS ln,
+      |  'item' AS tag
+      |FROM lineitem
+      |ORDER BY okey, pos""".stripMargin
+
+  /** Ops #8/#9 (tag capture + wildcard glob dispatch): child names derived
+    * from data (`q_<returnflag>`), recovered via `q_*` + Tag(). */
+  def x3WildcardTag(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val xml = concat(
+      lit("<r><id>"),
+      s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("</id><vals><q_"), col("l_returnflag"), lit(">"),
+      d2s(col("l_quantity")), lit("</q_"), col("l_returnflag"),
+      lit("></vals></r>"))
+    val parser = XmlParser.struct("r") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.array("vals") { c =>
+          struct(c.tag.as("tag"),
+            c.nullDecimal("q_*").cast("double").as("qty"))
+        }.as("vals"))
+    }
+    li.select(parser.parse(xml).as("r"))
+      .select(col("r.id").as("id"), explode(col("r.vals")).as("v"))
+      .select(col("id"), col("v.tag").as("tag"), col("v.qty").as("qty"))
+      .orderBy("id")
+  }
+
+  val x3Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  'q_' || l_returnflag AS tag,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+      |FROM lineitem ORDER BY id""".stripMargin
+
+  /** Ops #4/#12 (first-wins duplicate slots; computed-column alternatives
+    * with coalesce + null arithmetic, Test1.cs:187-209). */
+  def x4FirstWinsAlt(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val even = (col("l_linenumber") % 2) === 0
+    val xml = concat(
+      lit("<m><id>"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("</id><v>"), d2s(col("l_quantity")), lit("</v><v>"),
+      d2s(col("l_extendedprice")), lit("</v>"),
+      when(even, concat(lit("<item1>"), s(col("l_linenumber")),
+        lit("</item1>")))
+        .otherwise(concat(lit("<item2>"), s(col("l_linenumber")),
+          lit("</item2>"))),
+      lit("</m>"))
+    val parser = XmlParser.struct("m") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.nullDecimal("v").cast("double").as("first_v"),
+        a.array("missing_arr")(c => c.nullInt("zz")).as("marr"))
+    }
+    // alternatives over the whole element's children, reference-style
+    val altParser = XmlParser.array { c =>
+      coalesce(c.nullInt("item1"), c.nullInt("item2") * 10)
+    }
+    li.select(parser.parse(xml).as("r"), altParser.parse(xml).as("alts"))
+      .select(col("r.id").as("id"), col("r.first_v").as("first_v"),
+        col("r.marr").as("marr"), get(col("alts"), lit(0)).as("alt"))
+      .orderBy("id")
+  }
+
+  val x4Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS first_v,
+      |  CAST(NULL AS INT[]) AS marr,
+      |  CAST(CASE WHEN l_linenumber % 2 = 0 THEN l_linenumber
+      |            ELSE l_linenumber * 10 END AS INT) AS alt
+      |FROM lineitem ORDER BY id""".stripMargin
+
+  /** Op #11 (Custom UDF escape hatch / composite parser reuse,
+    * Test1.cs:100-185): a standalone fragment parser embedded via custom. */
+  def x5CustomComposite(sp: SparkSession, dir: String): DataFrame = {
+    val o = orders(sp, dir)
+    val custFragment = XmlParser.fragment { a =>
+      struct(
+        a.str("name").as("name"),
+        a.nullInt("nk").as("nk"),
+        a.tag.as("tag"))
+    }
+    val xml = concat(
+      lit("<order><id>"), s(col("o_orderkey")), lit("</id><cust><name>C"),
+      s(col("o_custkey")), lit("</name><nk>"), s(col("o_custkey") % 25),
+      lit("</nk></cust></order>"))
+    val parser = XmlParser.struct("order") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.custom("cust")(custFragment.parse).as("c"))
+    }
+    o.select(parser.parse(xml).as("r"))
+      .select(col("r.id").as("id"), col("r.c.name").as("name"),
+        col("r.c.nk").as("nk"), col("r.c.tag").as("tag"))
+      .orderBy("id")
+  }
+
+  val x5Sql: String =
+    """SELECT CAST(o_orderkey AS INT) AS id,
+      |  'C' || CAST(o_custkey AS VARCHAR) AS name,
+      |  CAST(o_custkey % 25 AS INT) AS nk,
+      |  'cust' AS tag
+      |FROM orders ORDER BY id""".stripMargin
+
+  /** Op #13 + §1.2 String semantics: mixed content round-trips inline child
+    * markup (native serialization `<b></b>`). */
+  def x6MixedContent(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val w1 = get(split(col("text"), " "), lit(0))
+    val w2 = get(split(col("text"), " "), lit(1))
+    val xml = concat(lit("<d><t>"), w1, lit("<b/>"), w2, lit("</t></d>"))
+    val parser = XmlParser.struct("d")(a => a.str("t"))
+    docs.select(col("doc_id"), parser.parse(xml).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  val x6Sql: String =
+    """SELECT doc_id,
+      |  split_part(text, ' ', 1) || '<b></b>' || split_part(text, ' ', 2) AS mixed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_xml_scan_cast" -> (x1ScanCast _),
+    "x2_xml_array_order" -> (x2ArrayOrder _),
+    "x3_xml_wildcard_tag" -> (x3WildcardTag _),
+    "x4_xml_firstwins_alt" -> (x4FirstWinsAlt _),
+    "x5_xml_custom_composite" -> (x5CustomComposite _),
+    "x6_xml_mixed_content" -> (x6MixedContent _))
+
+  val oracles: Map[String, String] = Map(
+    "x1_xml_scan_cast" -> x1Sql,
+    "x2_xml_array_order" -> x2Sql,
+    "x3_xml_wildcard_tag" -> x3Sql,
+    "x4_xml_firstwins_alt" -> x4Sql,
+    "x5_xml_custom_composite" -> x5Sql,
+    "x6_xml_mixed_content" -> x6Sql)
+}
