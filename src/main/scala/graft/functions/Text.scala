@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting. All pure Column
+  * expressions (whole-stage codegen, no UDFs), each with an exact DuckDB
+  * replica used by the correctness gate.
+  */
+object Text {
+
+  /** Whitespace tokens (single-space splitter — matches the corpus shape;
+    * use `bpeTokenCount` for subword-ish counting). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token counting: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space chars — the classic pre-tokenizer shape. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") /
+      length(c)
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in",
+    "is", "it", "that")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(Stopwords: _*))).cast("double") /
+      tokenCount(c)
+
+  /** Composite quality score in [0,1]: length sweet-spot + stopword signal
+    * - punctuation noise. Deterministic, engine-portable arithmetic. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val stop = stopwordRatio(c)
+    val punct = punctRatio(c)
+    round(least(greatest(
+      lenScore * 0.5 + least(stop * 4.0, lit(1.0)) * 0.4 - punct * 0.5,
+      lit(0.0)), lit(1.0)), 4)
+  }
+
+  /** Language-ID by stopword-list hits — the classic n-gram/function-word
+    * heuristic, restricted to portable string ops. Scores each language by
+    * the fraction of tokens in its function-word list; argmax wins, 'und'
+    * if nothing hits. */
+  val LangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"))
+
+  def langScores(c: Column): Column = {
+    val t = tokens(c)
+    val n = size(t)
+    struct(LangWords.map { case (lang, words) =>
+      (size(filter(t, x => x.isin(words: _*))).cast("double") / n).as(lang)
+    }: _*)
+  }
+
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = greatest(LangWords.map { case (l, _) => scores.getField(l) }: _*)
+    when(best <= 0, lit("und")).otherwise(
+      LangWords.foldRight(lit("und")) { case ((l, _), acc) =>
+        when(scores.getField(l) === best, lit(l)).otherwise(acc)
+      })
+  }
+
+  /** Document fingerprint (rolling hash over tokens) — see Hashing. */
+  def docFingerprint(c: Column): Column = Hashing.fingerprint(tokens(c))
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions. Sums fold left-to-right in array order, in double — the
+  * DuckDB oracle replays the same fold, so results are bit-identical.
+  *
+  * Scale: codegen'd expressions over primitive arrays; no UDF boxing, no
+  * shuffle. For 100 TB ANN, pair with the LSH bucketing in operators.Ann so
+  * the full corpus is never cross-joined.
+  */
+object Vectors {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), _ + _)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => d(x) * d(x)), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine rounded for cross-engine hash compares. */
+  def cosineR(a: Column, b: Column, scale: Int = 4): Column =
+    round(cosine(a, b), scale)
+
+  /** Sign-bit LSH bucket from a fixed set of hyperplane vectors: bit i set
+    * iff dot(v, plane_i) >= 0. With planes drawn deterministically from the
+    * dataset itself (e.g. the first k embeddings), the bucketing is fully
+    * reproducible in SQL. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(aggregate(zip_with(v, planeCol, (x, y) => d(x) * y),
+        lit(0.0), _ + _) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

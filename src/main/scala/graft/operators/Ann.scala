@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Two strategies:
+  *   - `bruteForceTopK`: broadcast the (small) query set against the corpus
+  *     — one corpus scan, cosine per (query, row), per-query top-k. Exact;
+  *     the baseline and the verifier for the approximate path.
+  *   - `lshTopK`: sign-bit hyperplane buckets computed per row (map-side);
+  *     queries only meet corpus rows in their own bucket, so the join
+  *     shuffles on the bucket key instead of cross-joining. With b planes the
+  *     candidate set shrinks ~2^b-fold; recall is traded via multi-probe
+  *     (not needed at gate scale).
+  *
+  * Scale: at 100 TB the brute-force path is only for small query batches
+  * (broadcast); the LSH path shuffles corpus once on int bucket keys and
+  * scales linearly. Top-k uses a rank window per query — with k small this
+  * is a partial TakeOrdered per partition after AQE.
+  */
+object Ann {
+
+  /** Exact top-k neighbors (cosine) of each query vector.
+    * `queries`: (qid, qvec); `corpus`: (id, vec). Excludes self-matches. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", Vectors.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** LSH-bucketed top-k: candidates restricted to the query's sign-bit
+    * bucket. `planes` are fixed hyperplanes (deterministic — e.g. the first
+    * b corpus vectors), making the bucketing reproducible anywhere. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Seq[Seq[Double]]): DataFrame = {
+    val cb = corpus.withColumn("bucket", Vectors.lshBucket(col("vec"), planes))
+    val qb = queries.withColumn("qbucket",
+      Vectors.lshBucket(col("qvec"), planes))
+    val joined = cb.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim", Vectors.cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+}

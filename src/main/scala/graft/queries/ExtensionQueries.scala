@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.{Hashing, Text, Vectors}
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** Training-data pipeline operators on the correctness gate: text analysis,
+  * dedup (exact / MinHash LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search, multimodal plumbing, sessionization.
+  *
+  * Every oracle replays the exact arithmetic in DuckDB (portable md5-based
+  * hashing, left-fold double sums), so sketches are verified hash-for-hash
+  * and similarities bit-for-bit.
+  */
+object ExtensionQueries {
+
+  // ---- shared DuckDB SQL fragments (mirror graft.functions exactly) ----
+  private val H = "('0x' || substr(md5(%s), 1, 8))::BIGINT"
+  private def h(x: String) = H.format(x)
+  private val Toks = "string_split(text, ' ')"
+  private def shingleSql(t: String) =
+    s"CASE WHEN len($t) < 3 THEN [] ELSE " +
+      s"list_distinct(list_transform(range(1, len($t)-2+1), i -> " +
+      s"array_to_string($t[i:i+2], ' '))) END"
+  private def foldSum(listExpr: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (x,y) -> x+y)"
+  private def dotSql(a: String, b: String) =
+    foldSum(s"list_transform(range(1, len($a)+1), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+  private def normSql(a: String) =
+    s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  // ======================= text analysis =======================
+
+  def t1Tokens(sp: SparkSession, dir: String): DataFrame =
+    documents(sp, dir).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.bpeTokenCount(col("text")).as("n_bpe"),
+      length(col("text")).as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  val t1Sql: String =
+    s"""SELECT doc_id, CAST(len($Toks) AS INT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpe,
+       |  CAST(length(text) AS INT) AS n_chars_calc
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def t2Quality(sp: SparkSession, dir: String): DataFrame =
+    documents(sp, dir).select(
+      col("doc_id"),
+      round(Text.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      round(Text.punctRatio(col("text")), 4).as("punct_ratio"),
+      Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val t2Sql: String = {
+    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
+      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
+    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
+      "'', 'g')))::DOUBLE / length(text))"
+    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
+    s"""SELECT doc_id, round($stop, 4) AS stop_ratio,
+       |  round($punct, 4) AS punct_ratio,
+       |  round(least(greatest($len500 * 0.5 + least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def t3LangId(sp: SparkSession, dir: String): DataFrame =
+    documents(sp, dir).select(
+      col("doc_id"),
+      Text.langId(col("text")).as("lang_pred"),
+      round(Text.langScores(col("text")).getField("en"), 4).as("en_score"))
+      .orderBy("doc_id")
+
+  val t3Sql: String = {
+    def score(words: Seq[String]) =
+      s"(len(list_filter($Toks, x -> x IN (" +
+        words.map(w => s"'$w'").mkString(",") + s")))::DOUBLE / len($Toks))"
+    val scores = Text.LangWords.map { case (l, ws) => l -> score(ws) }.toMap
+    val best = s"greatest(${Text.LangWords.map(lw => scores(lw._1)).mkString(", ")})"
+    val caseChain = Text.LangWords.map { case (l, _) =>
+      s"WHEN ${scores(l)} = $best THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+       |  round(${scores("en")}, 4) AS en_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def t4Fingerprint(sp: SparkSession, dir: String): DataFrame =
+    documents(sp, dir).select(
+      col("doc_id"),
+      Text.docFingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val t4Sql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($Toks, t -> ${h("t")})), (acc, hh) -> (acc * 31 + hh) % 2147483648) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================= dedup =======================
+
+  /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
+    * sizes. */
+  def d1Exact(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"), col("text"))
+    val recrawl = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text"))
+    Dedup.exact(docs.union(recrawl), Seq(col("text")), col("doc_id"))
+      .select(col("keeper_id"), col("group_size"))
+      .orderBy("keeper_id")
+  }
+
+  val d1Sql: String =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS group_size
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |GROUP BY text ORDER BY keeper_id""".stripMargin
+
+  private val K = 8 // minhash permutations
+  private val BandRows = 2
+
+  private def sigSqlCols: String = (0 until K).map { i =>
+    val a = Hashing.minhashA(i)
+    val b = Hashing.minhashB(i)
+    s"coalesce(list_min(list_transform(hs, x -> (x * $a + $b) % " +
+      s"${Hashing.MinhashP})), ${Hashing.MinhashP}) AS s$i"
+  }.mkString(",\n  ")
+
+  private val sigCte: String =
+    s"""toks AS (SELECT doc_id, $Toks AS t FROM documents),
+       |sh AS (SELECT doc_id, ${shingleSql("t")} AS s FROM toks),
+       |hh AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, $sigSqlCols FROM hh)""".stripMargin
+
+  def d2MinhashSig(sp: SparkSession, dir: String): DataFrame =
+    Dedup.withMinhashSig(
+        documents(sp, dir).select(col("doc_id"), col("text")),
+        col("text"), 3, K)
+      .drop("text").orderBy("doc_id")
+
+  val d2Sql: String =
+    s"""WITH $sigCte
+       |SELECT doc_id, ${(0 until K).map(i => s"s$i").mkString(", ")}
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  def d3MinhashPairs(sp: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(documents(sp, dir), col("doc_id"), col("text"),
+        3, K, BandRows)
+      .orderBy("id_a", "id_b")
+
+  val d3Sql: String = {
+    val bands = K / BandRows
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(s${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key, " +
+        (0 until K).map(i => s"s$i").mkString(", ") + " FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val eqSum = (0 until K)
+      .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $sigCte,
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |  ($eqSum)::DOUBLE / $K AS est_sim
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def d4Simhash(sp: SparkSession, dir: String): DataFrame =
+    documents(sp, dir).select(
+      col("doc_id"),
+      Hashing.simhash16(Text.tokens(col("text"))).as("sh"))
+      .orderBy("doc_id")
+
+  val d4Sql: String = {
+    val bits = (0 until 16).map { j =>
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)), " +
+        s"(x,y) -> x+y) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH hh AS (SELECT doc_id, list_transform($Toks, t -> ${h("t")}) AS hs FROM documents)
+       |SELECT doc_id, $bits AS sh FROM hh ORDER BY doc_id""".stripMargin
+  }
+
+  /** n-gram Jaccard between consecutive docs — exact-similarity ground truth
+    * at O(n) pairs (pairwise-at-scale goes through d3's LSH candidates). */
+  def d5NgramJaccard(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val a = docs.select(col("doc_id").as("id_a"),
+      Dedup.shingleSet(col("text"), 3).as("sa"))
+    val b = docs.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), Dedup.shingleSet(col("text"), 3).as("sb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jac"))
+      .orderBy("id_a")
+  }
+
+  val d5Sql: String =
+    s"""WITH sh AS (SELECT doc_id, ${shingleSql(Toks)} AS s FROM documents),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |    len(a.s) + len(b.s) AS tot
+       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+       |SELECT id_a, id_b,
+       |  round(CASE WHEN tot = 0 THEN 0.0
+       |             ELSE inter::DOUBLE / (tot - inter)::DOUBLE END, 4) AS jac
+       |FROM pr ORDER BY id_a""".stripMargin
+
+  /** Embedding near-dup scan over consecutive vectors: bit-exact cosine. */
+  def d6EmbedNearDup(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("id_a"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosineR(col("va"), col("vb")).as("cos"),
+        (Vectors.cosine(col("va"), col("vb")) > 0.95).as("near"))
+      .orderBy("id_a")
+  }
+
+  val d6Sql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos,
+       |  (${cosSql("a.embedding", "b.embedding")} > 0.95) AS near
+       |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |ORDER BY id_a""".stripMargin
+
+  // ======================= similarity search =======================
+
+  def a1AnnBrute(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Ann.bruteForceTopK(qs, corpus, 5).orderBy("qid", "rank")
+  }
+
+  val a1Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT q.qid, e.vec_id AS id, ${cosSql("q.qvec", "e.embedding")} AS sim
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |r AS (SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM s)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor, round(sim, 4) AS sim
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** LSH-bucketed ANN with hyperplanes drawn deterministically from the
+    * corpus (first 4 vectors) — reproducible bucketing in any engine. The
+    * 4-row collect below fetches only the planes, never data. */
+  def a2AnnLsh(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Ann.lshTopK(qs, corpus, 3, planes).orderBy("qid", "rank")
+  }
+
+  val a2Sql: String =
+    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+       |bk AS (SELECT e.vec_id AS id, e.embedding AS vec,
+       |         CAST(SUM(CASE WHEN ${dotSql("e.embedding", "p.pe")} >= 0 THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+       |q AS (SELECT b.id AS qid, b.vec AS qvec, b.bucket AS qbucket FROM bk b WHERE b.id < 5),
+       |s AS (SELECT q.qid, c.id, ${cosSql("q.qvec", "c.vec")} AS sim
+       |      FROM bk c JOIN q ON c.bucket = q.qbucket WHERE c.id <> q.qid),
+       |r AS (SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM s)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor, round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  // ======================= multimodal =======================
+
+  def m1Multimodal(sp: SparkSession, dir: String): DataFrame =
+    Multimodal.decode(sp,
+        Multimodal.attachBlobs(documents(sp, dir), frameSize = 100))
+      .toDF().orderBy("doc_id")
+
+  val m1Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, least(16, length(text)) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (x,y) -> x+y) AS BIGINT) AS header_sum,
+      |  CAST((octet_length(encode(text)) + 99) // 100 AS INT) AS n_frames,
+      |  'fake/raw' AS fmt
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ======================= sessionization =======================
+
+  /** Session windows (10-min gap) over the events table — the batch face of
+    * the streaming sessionizer (same session_window function runs under
+    * Structured Streaming). */
+  def s2Sessionize(sp: SparkSession, dir: String): DataFrame =
+    events(sp, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val s2Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ======================= registry =======================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_tokens" -> (t1Tokens _),
+    "t2_text_quality" -> (t2Quality _),
+    "t3_text_langid" -> (t3LangId _),
+    "t4_text_fingerprint" -> (t4Fingerprint _),
+    "d1_dedup_exact" -> (d1Exact _),
+    "d2_minhash_sig" -> (d2MinhashSig _),
+    "d3_minhash_pairs" -> (d3MinhashPairs _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_ngram_jaccard" -> (d5NgramJaccard _),
+    "d6_embed_neardup" -> (d6EmbedNearDup _),
+    "a1_ann_brute" -> (a1AnnBrute _),
+    "a2_ann_lsh" -> (a2AnnLsh _),
+    "m1_multimodal_stub" -> (m1Multimodal _),
+    "s2_sessionize" -> (s2Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_text_tokens" -> t1Sql,
+    "t2_text_quality" -> t2Sql,
+    "t3_text_langid" -> t3Sql,
+    "t4_text_fingerprint" -> t4Sql,
+    "d1_dedup_exact" -> d1Sql,
+    "d2_minhash_sig" -> d2Sql,
+    "d3_minhash_pairs" -> d3Sql,
+    "d4_simhash" -> d4Sql,
+    "d5_ngram_jaccard" -> d5Sql,
+    "d6_embed_neardup" -> d6Sql,
+    "a1_ann_brute" -> a1Sql,
+    "a2_ann_lsh" -> a2Sql,
+    "m1_multimodal_stub" -> m1Sql,
+    "s2_sessionize" -> s2Sql)
+}
