@@ -297,6 +297,29 @@ object ExtensionQueries {
       |  'fake/raw' AS fmt
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ======================= streaming =======================
+
+  /** True Structured-Streaming run: file source -> watermarked tumbling
+    * window -> memory sink, drained to completion. The oracle aggregates the
+    * same windows with time_bucket. */
+  def s1StreamWindow(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s1_win_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = graft.streaming.StreamOps.windowedAgg(
+      graft.streaming.StreamOps.eventsStream(sp, dir), "1 hour", "1 hour")
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "complete")
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val s1Sql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_ns(ts) // 1000)) AS wstart,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY wstart, event_type
+      |ORDER BY wstart, event_type""".stripMargin
+
   // ======================= sessionization =======================
 
   /** Session windows (10-min gap) over the events table — the batch face of
@@ -346,6 +369,7 @@ object ExtensionQueries {
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "m1_multimodal_stub" -> (m1Multimodal _),
+    "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -362,5 +386,6 @@ object ExtensionQueries {
     "a1_ann_brute" -> a1Sql,
     "a2_ann_lsh" -> a2Sql,
     "m1_multimodal_stub" -> m1Sql,
+    "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql)
 }

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming realization of the engine's incremental side
+  * (SURVEY.md §7.1 item 4): the reference is a forward-only single-pass
+  * processor (reference Parser.cs:119-208); its distributed analog is a
+  * streaming source + incremental operators + watermark-bounded state.
+  *
+  * Scale: the file source lists and splits files across executors; windowed
+  * aggregations keep state only within the watermark horizon; sessionization
+  * state is per-key and evicted on event-time timeout.
+  */
+object StreamOps {
+
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming view of the events table (micros-truncated timestamps, same
+    * as Tables.events). */
+  def eventsStream(sp: SparkSession, dir: String): DataFrame =
+    sp.readStream.schema(EventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state. */
+  def windowedAgg(events: DataFrame, window_ : String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+
+  /** Drive a streaming DataFrame to completion against currently-available
+    * input and return the materialized result (memory sink). This is the
+    * batch-shaped harness for incremental queries — production would
+    * `.start()` and leave the query running. */
+  def runToMemory(sp: SparkSession, df: DataFrame, name: String,
+      outputMode: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sp.table(name)
+  }
+}

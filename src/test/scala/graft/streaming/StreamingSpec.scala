@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals its batch equivalent") {
+    val streamed = graft.queries.ExtensionQueries
+      .s1StreamWindow(spark, sf).collect().toSeq
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionizer matches session_window") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("ts").cast("double") * 1000000).cast("long").as("ts"),
+        col("value"))
+      .as[Sessionize.Ev]
+    val custom = Sessionize.sessionize(spark, ev, 10)
+      .collect().toSeq
+      .map(s => (s.user_id, s.session_start_us, s.n_events))
+      .sorted
+    val builtin = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        (col("session_window.start").cast("double") * 1000000)
+          .cast("long").as("start_us"),
+        col("n"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(custom == builtin)
+  }
+
+  test("XML readStream parses rows incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlstream")
+    val w = new java.io.PrintWriter(dir.resolve("batch1.xml").toFile)
+    w.write("<rows><rec><k>1</k><v>a</v></rec>" +
+      "<rec><k>2</k><v>b</v></rec></rows>")
+    w.close()
+    val parser = graft.xml.XmlParser.struct("rec") { a =>
+      struct(a.nullInt("k").as("k"), a.str("v").as("v"))
+    }
+    val stream = parser.readStream(spark, dir.toString + "/*.xml")
+      .select("parsed.*")
+    val got = StreamOps.runToMemory(spark, stream, "xmlstream_t", "append")
+      .orderBy("k").as[(Option[Int], String)].collect().toSeq
+    assert(got == Seq((Some(1), "a"), (Some(2), "b")))
+  }
+}
