@@ -224,11 +224,16 @@ private[xml] object Bind {
 
   /** Bind an obj spec against its raw outer XML (document or extracted
     * child). Chooses native vs StAX path per spec. */
-  def bindObj(outer: Column, tagC: Column, m: ObjM): Column =
+  def bindObj(outer: Column, tagC: Column, m: ObjM): Column = {
+    val schema = m.spec.nativeReadSchema
     if (m.spec.isNative)
-      m.f(new NativeBindNode(fx(outer, m.spec.nativeReadSchema), tagC, m.spec))
-    else
-      m.f(new StaxBindNode(outer, tagC, m.spec))
+      m.f(new NativeBindNode(fx(outer, schema), tagC, m.spec))
+    else {
+      val parsed = if (schema.nonEmpty) fx(outer, schema) else lit(null)
+      val kids = xml_children(outer, m.spec.staxPatterns, fromRoot = true)
+      m.f(new StaxBindNode(parsed, kids, tagC, m.spec))
+    }
+    }
 
   /** Array semantics over a container's outer XML: one combined value per
     * matching child, document order (Parser.cs:257-316). */
@@ -318,14 +323,11 @@ private[xml] final class NativeBindNode(parsed: Column, tagC: Column,
       "graft.xml: custom() requires the StAX path (unreachable natively)")
 }
 
-/** StAX-path binding over the element's raw outer XML: exact members still
-  * bind natively via from_xml(outer); wildcard/custom/heterogeneous members
-  * come from xml_children. */
-private[xml] final class StaxBindNode(outer: Column, tagC: Column,
-    spec: ObjSpec) extends BaseBindNode(spec) {
-  private lazy val parsed: Column = Bind.fx(outer, spec.nativeReadSchema)
-  private lazy val kids: Column =
-    xml_children(outer, spec.staxPatterns, fromRoot = true)
+/** StAX-path binding: exact members bind natively via the pre-built
+  * `parsed` struct (from_xml over the outer XML); wildcard/custom/
+  * heterogeneous members come from the pre-built `kids` children array. */
+private[xml] final class StaxBindNode(parsed: Column, kids: Column,
+    tagC: Column, spec: ObjSpec) extends BaseBindNode(spec) {
 
   private def firstKid(name: String): Column =
     get(filter(kids,
@@ -439,19 +441,22 @@ final class CompiledXmlParser private[xml] (
     * expression in the plan). */
   def isFullyNative: Boolean = asArray.isEmpty && spec.isNative
 
-  /** Parse a raw XML string column (whole document or element fragment). */
+  /** Parse a raw XML string column (whole document or element fragment).
+    *
+    * Duplicate evaluation note: the bound projection references the per-row
+    * parses from several member expressions, often under `when` branches
+    * where Spark's codegen subexpression elimination does not apply; the
+    * StAX expressions therefore carry a per-thread memo cache
+    * (XmlStax.children) that makes same-row re-evaluation O(1). */
   def parse(xmlCol: Column): Column = {
     val x = trim(xmlCol)
     val tagC = rootTag.map(lit(_)).getOrElse(Bind.rootTagOf(x))
     asArray match {
       case Some(m) => when(x.isNotNull, Bind.bindArray(x, m))
       case None =>
-        val bound =
-          if (spec.isNative)
-            combine(new NativeBindNode(Bind.fx(x, spec.nativeReadSchema),
-              tagC, spec))
-          else combine(new StaxBindNode(x, tagC, spec))
-        when(x.isNotNull, bound)
+        when(x.isNotNull,
+          Bind.bindObj(x, tagC,
+            ObjM(rootTag.getOrElse("<fragment>"), combine, spec)))
     }
   }
 

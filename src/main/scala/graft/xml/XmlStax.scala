@@ -54,12 +54,44 @@ object XmlStax {
     f
   }
 
+  /** Per-thread memo of recent extractions. A bound projection references
+    * the same extraction from several member expressions (often under
+    * conditional branches where Spark's codegen subexpression elimination
+    * does not reach), so the same (row, patterns) pair is evaluated several
+    * times back-to-back on one thread — this makes the repeats O(1) without
+    * any cross-row or cross-thread state. */
+  private final val MemoSlots = 8
+  private val memo =
+    new ThreadLocal[java.util.LinkedHashMap[(String, Seq[String], Boolean),
+        Seq[Child]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[(String, Seq[String], Boolean),
+            Seq[Child]](MemoSlots * 2, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, Seq[String], Boolean),
+                Seq[Child]]): Boolean = size() > MemoSlots
+        }
+    }
+
   /** Extract matching depth-1 children of `xml`'s root element (fromRoot) or
     * of a rootless fragment. Empty `patterns` matches every child. Returns
     * null on malformed input (PERMISSIVE posture — the Spark layer turns that
-    * into a null row value).
+    * into a null row value). Memoized per thread (see above).
     */
   def children(xml: String, patterns: Seq[String],
+      fromRoot: Boolean): Seq[Child] = {
+    val key = (xml, patterns, fromRoot)
+    val cache = memo.get()
+    val hit = cache.get(key)
+    if (hit != null || cache.containsKey(key)) hit
+    else {
+      val res = childrenUncached(xml, patterns, fromRoot)
+      cache.put(key, res)
+      res
+    }
+  }
+
+  private def childrenUncached(xml: String, patterns: Seq[String],
       fromRoot: Boolean): Seq[Child] = {
     val (exacts, globs) = compilePatterns(patterns)
     val all = patterns.isEmpty
