@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.xml.{XmlChildrenExpr, XmlElementValueExpr}
+
+/** SQL-surface registration: exposes the engine's custom expressions to
+  * `spark.sql(...)` users. Column-API equivalents live in graft.xml /
+  * graft.functions.
+  *
+  * SQL forms:
+  *   xml_children(xml, 'pat1,pat2', fromRoot) -> array<struct<tag,xml,value>>
+  *   xml_element_value(xml)                   -> string
+  */
+object Register {
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(b: java.lang.Boolean, _) => b.booleanValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got: $other")
+  }
+
+  def all(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("xml_children", exprs => {
+      require(exprs.length == 3,
+        "xml_children(xml, 'patterns,comma,separated', fromRoot)")
+      val pats = litString(exprs(1), "patterns").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      XmlChildrenExpr(exprs.head, pats, litBool(exprs(2), "fromRoot"))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("xml_element_value", exprs => {
+      require(exprs.length == 1, "xml_element_value(xml)")
+      XmlElementValueExpr(exprs.head)
+    }, "scala_udf")
+  }
+}

@@ -268,6 +268,48 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Salted skew join (operators.Skew): lineitem x part with the key space
+    * split 8 ways; result must equal the plain join (the oracle IS the
+    * plain join).
+    * Scale: the pattern for hot-key fact-dim joins beyond AQE's reach. */
+  def q10SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val p  = part(s, d)
+    graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey",
+        col("l_orderkey") * 10 + col("l_linenumber"), salt = 8)
+      .groupBy(col("p_brand"))
+      .agg(asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q10Sql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Exact interpolated percentiles per group (both engines use the
+    * standard linear-interpolation definition). */
+  def q11Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q11Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -277,7 +319,9 @@ object Relational {
     "q6_setops" -> (q6SetOps _),
     "q7_semi_anti" -> (q7SemiAnti _),
     "q8_rollup" -> (q8Rollup _),
-    "q9_distinct_agg" -> (q9DistinctAgg _))
+    "q9_distinct_agg" -> (q9DistinctAgg _),
+    "q10_salted_join" -> (q10SaltedJoin _),
+    "q11_percentiles" -> (q11Percentiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -288,5 +332,7 @@ object Relational {
     "q6_setops" -> q6Sql,
     "q7_semi_anti" -> q7Sql,
     "q8_rollup" -> q8Sql,
-    "q9_distinct_agg" -> q9Sql)
+    "q9_distinct_agg" -> q9Sql,
+    "q10_salted_join" -> q10Sql,
+    "q11_percentiles" -> q11Sql)
 }
