@@ -54,6 +54,48 @@ object Dedup {
     sigd.drop("__hs")
   }
 
+  /** SimHash near-dup pairs: candidates share the high `bucketBits` bits of
+    * the 16-bit SimHash (one shuffle on the bucket key — never a full
+    * self-join), then exact Hamming distance <= maxHamming confirms.
+    * Scale: bucket width trades recall for candidate volume exactly like
+    * MinHash bands; multi-probe = re-run with rotated bit windows. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      bucketBits: Int, maxHamming: Int): DataFrame = {
+    val sh = df.select(id.as("__id"),
+      graft.functions.Hashing.simhash16(
+        graft.functions.Text.tokens(text)).as("sh"))
+    val bucketed = sh.withColumn("bucket",
+      shiftright(col("sh"), 16 - bucketBits))
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.__id") < col("r.__id"))
+      .withColumn("hamming",
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("hamming"))
+  }
+
+  /** Embedding near-dup pairs over the whole corpus: sign-bit LSH bucket
+    * (deterministic hyperplanes) restricts candidates; exact cosine >=
+    * threshold confirms. One shuffle on the int bucket key. */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+      planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val bucketed = df.select(id.as("__id"), vec.as("__v"))
+      .withColumn("bucket",
+        graft.functions.Vectors.lshBucket(col("__v"), planes))
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.__id") < col("r.__id"))
+      .withColumn("cos",
+        graft.functions.Vectors.cosine(col("l.__v"), col("r.__v")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** LSH candidate pairs: ids that collide in at least one band of the
     * MinHash signature, with the signature-estimated similarity.
     * `rows` = signature positions per band; bands = k / rows.

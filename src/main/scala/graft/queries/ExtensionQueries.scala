@@ -238,6 +238,51 @@ object ExtensionQueries {
        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
        |ORDER BY id_a""".stripMargin
 
+  /** SimHash-bucketed near-dup pairs over the whole corpus. */
+  def d7SimhashPairs(sp: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(documents(sp, dir), col("doc_id"), col("text"),
+        bucketBits = 8, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  val d7Sql: String = {
+    val bits = (0 until 16).map { j =>
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)), " +
+        s"(x,y) -> x+y) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH hh AS (SELECT doc_id, list_transform($Toks, t -> ${h("t")}) AS hs FROM documents),
+       |sh AS (SELECT doc_id, $bits AS sh FROM hh),
+       |bk AS (SELECT doc_id, sh, sh >> 8 AS bucket FROM sh)
+       |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       |  CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+       |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+       |WHERE bit_count(xor(l.sh, r.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Corpus-wide embedding near-dup via sign-bit LSH buckets + exact
+    * cosine confirm. */
+  def d8EmbedPairs(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    Dedup.embeddingNearDupPairs(e, col("vec_id"), col("embedding"),
+        planes, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d8Sql: String =
+    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+       |bk AS (SELECT e.vec_id AS id, e.embedding AS vec,
+       |         CAST(SUM(CASE WHEN ${dotSql("e.embedding", "p.pe")} >= 0 THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding)
+       |SELECT l.id AS id_a, r.id AS id_b,
+       |  round(${cosSql("l.vec", "r.vec")}, 4) AS cos
+       |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id
+       |WHERE ${cosSql("l.vec", "r.vec")} >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ======================= similarity search =======================
 
   def a1AnnBrute(sp: SparkSession, dir: String): DataFrame = {
@@ -366,6 +411,8 @@ object ExtensionQueries {
     "d4_simhash" -> (d4Simhash _),
     "d5_ngram_jaccard" -> (d5NgramJaccard _),
     "d6_embed_neardup" -> (d6EmbedNearDup _),
+    "d7_simhash_pairs" -> (d7SimhashPairs _),
+    "d8_embed_pairs" -> (d8EmbedPairs _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "m1_multimodal_stub" -> (m1Multimodal _),
@@ -383,6 +430,8 @@ object ExtensionQueries {
     "d4_simhash" -> d4Sql,
     "d5_ngram_jaccard" -> d5Sql,
     "d6_embed_neardup" -> d6Sql,
+    "d7_simhash_pairs" -> d7Sql,
+    "d8_embed_pairs" -> d8Sql,
     "a1_ann_brute" -> a1Sql,
     "a2_ann_lsh" -> a2Sql,
     "m1_multimodal_stub" -> m1Sql,
