@@ -50,15 +50,20 @@ object Hashing {
   }
 
   /** 16-bit SimHash over a token array: bit j set iff the sum over tokens of
-    * (2*bit_j(h)-1) is positive. */
-  def simhash16(tokens: Column): Column = {
-    val hashes = transform(tokens, t => portableHash32(t))
+    * (2*bit_j(h)-1) is positive.
+    * NOTE: evaluates the md5 hash array once per BIT reference — callers on
+    * hot paths should materialize the hash array in a column and use
+    * [[simhash16FromHashes]] (16x md5 reduction). */
+  def simhash16(tokens: Column): Column =
+    simhash16FromHashes(transform(tokens, t => portableHash32(t)))
+
+  /** SimHash over a pre-computed (ideally column-materialized) hash array. */
+  def simhash16FromHashes(hashes: Column): Column =
     (0 until 16).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** Rolling polynomial fingerprint over tokens:
     * acc = (acc*31 + portableHash32(token)) mod 2^31 — a document

@@ -15,11 +15,9 @@ object Vectors {
 
   private def d(c: Column): Column = c.cast("double")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), _ + _)
+  def dot(a: Column, b: Column): Column = VectorExprs.vec_dot(a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(transform(a, x => d(x) * d(x)), lit(0.0), _ + _))
+  def norm2(a: Column): Column = VectorExprs.vec_norm2(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
@@ -35,7 +33,7 @@ object Vectors {
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(aggregate(zip_with(v, planeCol, (x, y) => d(x) * y),
-        lit(0.0), _ + _) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorExprs.vec_dot(v, planeCol) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 }

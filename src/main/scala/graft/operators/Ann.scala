@@ -28,9 +28,14 @@ object Ann {
   /** Exact top-k neighbors (cosine) of each query vector.
     * `queries`: (qid, qvec); `corpus`: (id, vec). Excludes self-matches. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    // norms materialize once per row (not per pair): per-pair work is a
+    // single dot-product fold
+    val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+    val qn = queries.withColumn("__nq", Vectors.norm2(col("qvec")))
+    val joined = cn.crossJoin(broadcast(qn))
       .filter(col("qid") =!= col("id"))
-      .withColumn("sim", Vectors.cosine(col("qvec"), col("vec")))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))
@@ -45,11 +50,14 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Seq[Seq[Double]]): DataFrame = {
     val cb = corpus.withColumn("bucket", Vectors.lshBucket(col("vec"), planes))
+      .withColumn("__nv", Vectors.norm2(col("vec")))
     val qb = queries.withColumn("qbucket",
-      Vectors.lshBucket(col("qvec"), planes))
+        Vectors.lshBucket(col("qvec"), planes))
+      .withColumn("__nq", Vectors.norm2(col("qvec")))
     val joined = cb.join(broadcast(qb), col("bucket") === col("qbucket"))
       .filter(col("qid") =!= col("id"))
-      .withColumn("sim", Vectors.cosine(col("qvec"), col("vec")))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("id"))
     joined.withColumn("rank", row_number().over(w))

@@ -61,9 +61,13 @@ object Dedup {
     * MinHash bands; multi-probe = re-run with rotated bit windows. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       bucketBits: Int, maxHamming: Int): DataFrame = {
-    val sh = df.select(id.as("__id"),
-      graft.functions.Hashing.simhash16(
-        graft.functions.Text.tokens(text)).as("sh"))
+    // materialize token hashes once; the 16 bit-votes then reuse the column
+    val sh = df
+      .select(id.as("__id"),
+        transform(graft.functions.Text.tokens(text),
+          t => graft.functions.Hashing.portableHash32(t)).as("__hs"))
+      .select(col("__id"),
+        graft.functions.Hashing.simhash16FromHashes(col("__hs")).as("sh"))
     val bucketed = sh.withColumn("bucket",
       shiftright(col("sh"), 16 - bucketBits))
     val l = bucketed.as("l")
@@ -85,12 +89,14 @@ object Dedup {
     val bucketed = df.select(id.as("__id"), vec.as("__v"))
       .withColumn("bucket",
         graft.functions.Vectors.lshBucket(col("__v"), planes))
+      .withColumn("__n", graft.functions.Vectors.norm2(col("__v")))
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") &&
         col("l.__id") < col("r.__id"))
       .withColumn("cos",
-        graft.functions.Vectors.cosine(col("l.__v"), col("r.__v")))
+        graft.functions.Vectors.dot(col("l.__v"), col("r.__v")) /
+          (col("l.__n") * col("r.__n")))
       .filter(col("cos") >= threshold)
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         round(col("cos"), 4).as("cos"))

@@ -264,7 +264,9 @@ object ExtensionQueries {
     * cosine confirm. */
   def d8EmbedPairs(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
-    val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+    // 6 planes -> 64 buckets: keeps per-bucket pair counts tractable as the
+    // corpus grows (bucket count should scale with corpus size)
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 6)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     Dedup.embeddingNearDupPairs(e, col("vec_id"), col("embedding"),
@@ -273,7 +275,7 @@ object ExtensionQueries {
   }
 
   val d8Sql: String =
-    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 6),
        |bk AS (SELECT e.vec_id AS id, e.embedding AS vec,
        |         CAST(SUM(CASE WHEN ${dotSql("e.embedding", "p.pe")} >= 0 THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
        |       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding)
