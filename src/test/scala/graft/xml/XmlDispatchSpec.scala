@@ -1,0 +1,85 @@
+package graft.xml
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dispatch-rule semantics pinned by the reference (Parser.cs:166-187):
+  * exact names take priority over globs; among several globs the LAST
+  * registered match wins. Plus the container-attribute broadcast wrinkle
+  * (Parser.cs:284-287, SURVEY §2.1 #7) and distributed multi-file reads.
+  */
+class XmlDispatchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def one(xml: String) = {
+    import spark.implicits._
+    Seq(xml).toDF("x")
+  }
+
+  test("exact name beats glob for the same child") {
+    import spark.implicits._
+    val parser = XmlParser.array { c =>
+      struct(
+        c.nullInt("sub1").as("exact"),
+        c.obj("*")(z => z.tag).as("glob"))
+    }
+    val doc = "<r><sub1>5</sub1><other>x</other></r>"
+    val got = one(doc).select(parser.parse(col("x")).as("r"))
+      .as[Seq[(Option[Int], Option[String])]].head()
+    // sub1 fills the exact slot only; other matches only the glob
+    assert(got == Seq((Some(5), None), (None, Some("other"))))
+  }
+
+  test("among several globs the LAST registered match wins") {
+    import spark.implicits._
+    val parser = XmlParser.array { c =>
+      struct(
+        c.str("a*").as("g1"),
+        c.str("*b").as("g2"))
+    }
+    // "ab" matches both -> g2 (registered later) wins; "ax" only g1;
+    // "xb" only g2
+    val doc = "<r><ab>1</ab><ax>2</ax><xb>3</xb></r>"
+    val got = one(doc).select(parser.parse(col("x")).as("r"))
+      .as[Seq[(Option[String], Option[String])]].head()
+    assert(got == Seq((None, Some("1")), (Some("2"), None),
+      (None, Some("3"))))
+  }
+
+  test("container attributes broadcast to every array element") {
+    import spark.implicits._
+    val parser = XmlParser.struct("r") { a =>
+      a.array("items") { c =>
+        struct(c.attribute("batch").as("batch"),
+          c.nullInt("item").as("v"))
+      }
+    }
+    val doc = "<r><items batch='b7'><item>1</item><item>2</item></items></r>"
+    val got = one(doc).select(parser.parse(col("x")).as("r"))
+      .as[Seq[(String, Option[Int])]].head()
+    assert(got == Seq(("b7", Some(1)), ("b7", Some(2))))
+  }
+
+  test("multi-file XML read distributes across partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlmulti")
+    (0 until 8).foreach { f =>
+      val w = new java.io.PrintWriter(dir.resolve(s"part$f.xml").toFile)
+      w.write((0 until 50).map(i => s"<rec><k>${f * 50 + i}</k></rec>")
+        .mkString("<rows>\n", "\n", "\n</rows>"))
+      w.close()
+    }
+    val parser = XmlParser.struct("rec")(a => a.nullInt("k"))
+    val df = parser.read(spark, dir.toString + "/*.xml")
+    assert(df.rdd.getNumPartitions > 1) // files split across tasks
+    val got = df.select(col("parsed")).as[Option[Int]].collect().flatten
+    assert(got.sorted.toSeq == (0 until 400))
+  }
+}
