@@ -26,6 +26,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
+    Bucketing.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Bucketing.writeBucketed(o, "o_b", "l_orderkey", 4)
+    // force a sort-merge join so the test demonstrates bucket co-location
+    // (a broadcast join would hide the shuffle question entirely)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "li_b", "o_b", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == li.join(o, "l_orderkey").count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
