@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
   UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -25,10 +26,18 @@ private[functions] object VecEval {
     case other => throw new IllegalArgumentException(
       s"vector element type must be float/double, got $other")
   }
+
+  /** Java accessor snippet for codegen. */
+  def elemJava(arr: String, i: String, t: DataType): String = t match {
+    case FloatType  => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(
+      s"vector element type must be float/double, got $other")
+  }
 }
 
 case class DotProductExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
   private lazy val lt =
@@ -47,12 +56,27 @@ case class DotProductExpr(left: Expression, right: Expression)
     }
     s
   }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${VecEval.elemJava(a, i, lt)} * ${VecEval.elemJava(b, i, rt)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
 }
 
 case class Norm2Expr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm2"
   private lazy val et =
@@ -68,6 +92,21 @@ case class Norm2Expr(child: Expression)
     }
     math.sqrt(s)
   }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = ${VecEval.elemJava(a, i, et)};
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
