@@ -54,4 +54,43 @@ object Multimodal {
       it.map(decodeBlob)
     }
   }
+
+  case class ResizedRow(doc_id: Long, media: Array[Byte], fmt: String,
+      width: Int, height: Int)
+
+  /** STUB resize: a real implementation calls an image library; the stub
+    * deterministically truncates/pads the payload to width*height bytes so
+    * schema, batching, and payload transport are exercised. */
+  def resize(spark: SparkSession, media: DataFrame, width: Int,
+      height: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val target = width * height
+      it.map { b =>
+        val out = java.util.Arrays.copyOf(b.media, target)
+        ResizedRow(b.doc_id, out, b.fmt, width, height)
+      }
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling (video-style): emit every `stride`-th frame_size
+    * slice of the payload — one output row per sampled frame. A real
+    * implementation would seek keyframes via the container format. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { b =>
+        val n = (b.media.length + b.frame_size - 1) / b.frame_size
+        (0 until n by stride).iterator.map { f =>
+          val from = f * b.frame_size
+          val until = math.min(from + b.frame_size, b.media.length)
+          FrameRow(b.doc_id, f,
+            java.util.Arrays.copyOfRange(b.media, from, until))
+        }
+      }
+    }
+  }
 }

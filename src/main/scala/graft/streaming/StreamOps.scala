@@ -42,6 +42,15 @@ object StreamOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("sum_value"))
 
+  /** Streaming exact dedup with watermark-bounded state: duplicates of a
+    * key are dropped as long as they arrive within the watermark horizon,
+    * and the key state is evicted afterwards — the only dedup that is safe
+    * on an unbounded stream. */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Drive a streaming DataFrame to completion against currently-available
     * input and return the materialized result (memory sink). This is the
     * batch-shaped harness for incremental queries — production would

@@ -55,6 +55,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(custom == builtin)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    import spark.implicits._
+    val ev = StreamOps.eventsStream(spark, sf)
+      .withColumn("etype", col("event_type"))
+    val dedup = StreamOps.streamingDedup(ev, Seq("user_id", "etype"),
+      "10 minutes")
+    val got = StreamOps.runToMemory(spark, dedup, "dedup_t", "append")
+    // at most one row per (user, type) within any watermark horizon, and
+    // strictly fewer rows than the input
+    val n = got.count()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(n > 0 && n < total)
+  }
+
+  test("multimodal resize + frame sampling stubs keep shape") {
+    import spark.implicits._
+    val media = graft.operators.Multimodal.attachBlobs(
+      graft.Tables.documents(spark, sf), frameSize = 100)
+    val resized = graft.operators.Multimodal.resize(spark, media, 8, 8)
+      .collect()
+    assert(resized.forall(_.media.length == 64))
+    val frames = graft.operators.Multimodal.sampleFrames(spark, media, 2)
+      .groupByKey(_.doc_id).count().collect().toMap
+    // every doc yields ceil(nframes/2) sampled frames
+    val expect = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), ceil(ceil(length(col("text")) / 100.0) / 2.0)
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(frames == expect)
+  }
+
   test("XML readStream parses rows incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftxmlstream")
