@@ -44,6 +44,55 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF (inverted-file) index: every corpus vector is assigned to its
+    * nearest centroid cell (cosine, ties to the lower centroid id).
+    * `centroids`: (cid, cvec) — small, broadcast. One pass over the corpus.
+    *
+    * Scale: with cells ~ sqrt(corpus), assignment is a broadcast
+    * map-side pass and search touches nprobe/cells of the data. K-means
+    * refinement of the centroids is an optional offline step — any fixed
+    * centroid set (here: a deterministic stride sample) yields a correct
+    * index. */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+    val cc = centroids.withColumn("__nc", Vectors.norm2(col("cvec")))
+    val scored = cn.crossJoin(broadcast(cc))
+      .withColumn("__cs",
+        Vectors.dot(col("vec"), col("cvec")) / (col("__nv") * col("__nc")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__cs").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("vec"), col("__nv"), col("cid"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells of each query, rank
+    * candidates within them by exact cosine. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val index = ivfIndex(corpus, centroids)
+    val qn = queries.withColumn("__nq", Vectors.norm2(col("qvec")))
+    val cc = centroids.withColumn("__nc", Vectors.norm2(col("cvec")))
+    val qScored = qn.crossJoin(broadcast(cc))
+      .withColumn("__cs",
+        Vectors.dot(col("qvec"), col("cvec")) / (col("__nq") * col("__nc")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__cs").desc, col("cid"))
+    val probes = qScored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("__nq"), col("cid"))
+    val cand = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** LSH-bucketed top-k: candidates restricted to the query's sign-bit
     * bucket. `planes` are fixed hyperplanes (deterministic — e.g. the first
     * b corpus vectors), making the bucketing reproducible anywhere. */

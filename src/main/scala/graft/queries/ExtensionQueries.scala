@@ -329,6 +329,38 @@ object ExtensionQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor, round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** IVF ANN: deterministic stride-sampled centroids (vec_id % 100 == 0),
+    * nearest-cell assignment, nprobe=2 search. */
+  def a3AnnIvf(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Ann.ivfTopK(qs, corpus, centroids, k = 3, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  val a3Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |        FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS qid, vec AS qvec, cid FROM asg
+       |           WHERE id < 5 AND rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   // ======================= multimodal =======================
 
   def m1Multimodal(sp: SparkSession, dir: String): DataFrame =
@@ -417,6 +449,7 @@ object ExtensionQueries {
     "d8_embed_pairs" -> (d8EmbedPairs _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
+    "a3_ann_ivf" -> (a3AnnIvf _),
     "m1_multimodal_stub" -> (m1Multimodal _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _))
@@ -436,6 +469,7 @@ object ExtensionQueries {
     "d8_embed_pairs" -> d8Sql,
     "a1_ann_brute" -> a1Sql,
     "a2_ann_lsh" -> a2Sql,
+    "a3_ann_ivf" -> a3Sql,
     "m1_multimodal_stub" -> m1Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql)
