@@ -432,6 +432,33 @@ object ExtensionQueries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** As-of join: attribute each purchase to the user's latest signup at or
+    * before it (point-in-time correctness — the training-data labeling
+    * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def s3AsOf(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event"))
+    graft.operators.AsOf
+      .asOfJoin(purchases, signups, "user_id", "ts", Seq("signup_event"))
+      .select(col("user_id"), col("event_id"),
+        col("__match.signup_event").as("signup_event"))
+      .orderBy("event_id")
+  }
+
+  val s3Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts, event_id AS signup_event FROM ev WHERE event_type = 'signup')
+      |SELECT p.user_id, p.event_id, s.signup_event
+      |FROM p ASOF LEFT JOIN s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,7 +479,8 @@ object ExtensionQueries {
     "a3_ann_ivf" -> (a3AnnIvf _),
     "m1_multimodal_stub" -> (m1Multimodal _),
     "s1_stream_window" -> (s1StreamWindow _),
-    "s2_sessionize" -> (s2Sessionize _))
+    "s2_sessionize" -> (s2Sessionize _),
+    "s3_asof_join" -> (s3AsOf _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -472,5 +500,6 @@ object ExtensionQueries {
     "a3_ann_ivf" -> a3Sql,
     "m1_multimodal_stub" -> m1Sql,
     "s1_stream_window" -> s1Sql,
-    "s2_sessionize" -> s2Sql)
+    "s2_sessionize" -> s2Sql,
+    "s3_asof_join" -> s3Sql)
 }

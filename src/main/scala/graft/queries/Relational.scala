@@ -310,6 +310,27 @@ object Relational {
       |  max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Full cube over two dimensions (all four grouping sets). */
+  def q12Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q12Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -321,7 +342,8 @@ object Relational {
     "q8_rollup" -> (q8Rollup _),
     "q9_distinct_agg" -> (q9DistinctAgg _),
     "q10_salted_join" -> (q10SaltedJoin _),
-    "q11_percentiles" -> (q11Percentiles _))
+    "q11_percentiles" -> (q11Percentiles _),
+    "q12_cube" -> (q12Cube _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -334,5 +356,6 @@ object Relational {
     "q8_rollup" -> q8Sql,
     "q9_distinct_agg" -> q9Sql,
     "q10_salted_join" -> q10Sql,
-    "q11_percentiles" -> q11Sql)
+    "q11_percentiles" -> q11Sql,
+    "q12_cube" -> q12Sql)
 }

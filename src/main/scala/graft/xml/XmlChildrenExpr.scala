@@ -3,8 +3,9 @@ package graft.xml
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,20 +24,30 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
     fromRoot: Boolean)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = XmlChildrenExpr.outType
   override def nullable: Boolean = true
   override def prettyName: String = "xml_children"
 
-  override def nullSafeEval(input: Any): Any = {
-    val res = XmlStax.children(input.asInstanceOf[UTF8String].toString,
-      patterns, fromRoot)
-    if (res == null) null
-    else new GenericArrayData(res.map { c =>
-      InternalRow(UTF8String.fromString(c.tag), UTF8String.fromString(c.outer),
-        UTF8String.fromString(c.value))
-    }.toArray[Any])
+  override def nullSafeEval(input: Any): Any =
+    XmlChildrenExpr.evalJava(input.asInstanceOf[UTF8String], patterns,
+      fromRoot)
+
+  // a real doGenCode (vs CodegenFallback) keeps the surrounding projection
+  // inside whole-stage codegen; the generated code just calls the static
+  // evaluator
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pats = ctx.addReferenceObj("patterns", patterns,
+      "scala.collection.immutable.Seq")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.xml.XmlChildrenExpr.evalJava($c, $pats,
+         |  $fromRoot);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -49,20 +60,44 @@ object XmlChildrenExpr {
     StructField("xml", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
   val outType: DataType = ArrayType(elemType, containsNull = false)
+
+  /** Static evaluator shared by interpreted eval and generated code. */
+  def evalJava(input: UTF8String, patterns: Seq[String],
+      fromRoot: Boolean): ArrayData = {
+    val res = XmlStax.children(input.toString, patterns, fromRoot)
+    if (res == null) null
+    else new GenericArrayData(res.map { c =>
+      InternalRow(UTF8String.fromString(c.tag), UTF8String.fromString(c.outer),
+        UTF8String.fromString(c.value))
+    }.toArray[Any])
+  }
 }
 
 /** Reference `StringParser` semantics over a whole element string. */
 case class XmlElementValueExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "xml_element_value"
-  override def nullSafeEval(input: Any): Any = {
-    val v = XmlStax.elementValue(input.asInstanceOf[UTF8String].toString)
-    if (v == null) null else UTF8String.fromString(v)
-  }
+  override def nullSafeEval(input: Any): Any =
+    XmlElementValueExpr.evalJava(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.xml.XmlElementValueExpr.evalJava($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object XmlElementValueExpr {
+  def evalJava(input: UTF8String): UTF8String = {
+    val v = XmlStax.elementValue(input.toString)
+    if (v == null) null else UTF8String.fromString(v)
+  }
 }
 
 object XmlFunctions {
