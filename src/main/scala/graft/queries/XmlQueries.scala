@@ -77,12 +77,8 @@ object XmlQueries {
           z.tag.as("tag"))
       }
     }
-    // persist the parsed arrays before Generate: posexplode over a
-    // parse-produced column otherwise leaves whole-stage codegen and slows
-    // ~20x; the persisted intermediate is tiny (okey + parsed items)
     docs.select(col("l_orderkey").as("okey"),
         parser.parse(col("xml")).as("items"))
-      .persist()
       .select(col("okey"), posexplode(col("items")))
       .select(col("okey"), col("pos").cast("int").as("pos"),
         col("col.ln").as("ln"), col("col.tag").as("tag"))
@@ -115,9 +111,8 @@ object XmlQueries {
             c.nullDecimal("q_*").cast("double").as("qty"))
         }.as("vals"))
     }
-    // single-element arrays: project element 0 instead of explode —
-    // Generate over a parse-produced struct falls out of whole-stage
-    // codegen and costs ~15us/row (see x2 for the persist workaround)
+    // single-element arrays: element 0 is the natural projection (x2
+    // covers the explode path over parsed arrays)
     li.select(parser.parse(xml).as("r"))
       .select(col("r.id").as("id"), get(col("r.vals"), lit(0)).as("v"))
       .select(col("id"), col("v.tag").as("tag"), col("v.qty").as("qty"))

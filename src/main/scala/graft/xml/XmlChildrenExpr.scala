@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData,
+  GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -58,7 +59,11 @@ object XmlChildrenExpr {
   val elemType: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
     StructField("xml", StringType, nullable = false),
-    StructField("value", StringType, nullable = false)))
+    StructField("value", StringType, nullable = false),
+    // the child's own attributes, extracted in the same StAX pass —
+    // attribute binds on array elements need no from_xml re-parse
+    StructField("attrs", MapType(StringType, StringType,
+      valueContainsNull = false), nullable = false)))
   val outType: DataType = ArrayType(elemType, containsNull = false)
 
   /** Static evaluator shared by interpreted eval and generated code. */
@@ -67,8 +72,12 @@ object XmlChildrenExpr {
     val res = XmlStax.children(input.toString, patterns, fromRoot)
     if (res == null) null
     else new GenericArrayData(res.map { c =>
+      val ks = new GenericArrayData(
+        c.attrs.map(a => UTF8String.fromString(a._1)).toArray[Any])
+      val vs = new GenericArrayData(
+        c.attrs.map(a => UTF8String.fromString(a._2)).toArray[Any])
       InternalRow(UTF8String.fromString(c.tag), UTF8String.fromString(c.outer),
-        UTF8String.fromString(c.value))
+        UTF8String.fromString(c.value), new ArrayBasedMapData(ks, vs))
     }.toArray[Any])
   }
 }

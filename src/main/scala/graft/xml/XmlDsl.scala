@@ -235,6 +235,15 @@ private[xml] object Bind {
     }
     }
 
+  /** Bind an obj member from an extracted child struct<tag,xml,value,attrs>.
+    * Attr/tag-only specs bind straight off the child's `attrs` map captured
+    * during the StAX pass — no from_xml re-parse of the child fragment.
+    * Anything needing sub-elements re-parses the child's outer XML. */
+  def bindKidObj(ch: Column, m: ObjM): Column =
+    if (m.spec.members.isEmpty)
+      m.f(new KidAttrBindNode(ch, m.spec))
+    else bindObj(ch.getField("xml"), ch.getField("tag"), m)
+
   /** Array semantics over a container's outer XML: one combined value per
     * matching child, document order (Parser.cs:257-316). */
   def bindArray(containerOuter: Column, m: ArrM): Column = {
@@ -345,8 +354,7 @@ private[xml] final class StaxBindNode(parsed: Column, kids: Column,
       when(sub.isNotNull, m.f(new NativeBindNode(sub, lit(m.name), m.spec)))
     } else {
       val ch = firstKid(m.name)
-      when(ch.isNotNull,
-        Bind.bindObj(ch.getField("xml"), ch.getField("tag"), m))
+      when(ch.isNotNull, Bind.bindKidObj(ch, m))
     }
   override protected def arrBound(m: ArrM): Column =
     if (!m.name.contains("*") && spec.arrayIsNative(m) && m.spec.attrs.isEmpty) {
@@ -378,12 +386,29 @@ private[xml] final class AltBindNode(ch: Column, spec: ObjSpec,
       case None    => lit(null).cast(StringType)
     }
   override protected def objBound(m: ObjM): Column =
-    when(active(m.name),
-      Bind.bindObj(ch.getField("xml"), ch.getField("tag"), m))
+    when(active(m.name), Bind.bindKidObj(ch, m))
   override protected def arrBound(m: ArrM): Column =
     when(active(m.name), Bind.bindArray(ch.getField("xml"), m))
   override protected def customBound(m: CustomM): Column =
     when(active(m.name), m.f(ch.getField("xml")))
+}
+
+/** Attr/tag-only obj bind over an extracted child struct — reads the `attrs`
+  * map the StAX pass already captured; no element members exist in the spec,
+  * so no re-parse of the child fragment is needed. */
+private[xml] final class KidAttrBindNode(ch: Column, spec: ObjSpec)
+  extends BaseBindNode(spec) {
+  override def tag: Column = ch.getField("tag")
+  override protected def attrRaw(name: String): Column =
+    try_element_at(ch.getField("attrs"), lit(name))
+  override protected def scalarRaw(name: String): Column =
+    throw new IllegalStateException("unreachable: attr-only spec")
+  override protected def objBound(m: ObjM): Column =
+    throw new IllegalStateException("unreachable: attr-only spec")
+  override protected def arrBound(m: ArrM): Column =
+    throw new IllegalStateException("unreachable: attr-only spec")
+  override protected def customBound(m: CustomM): Column =
+    throw new IllegalStateException("unreachable: attr-only spec")
 }
 
 /** Native array with a single scalar alternative: `x` is the element's raw

@@ -26,7 +26,8 @@ import scala.collection.mutable
   */
 object XmlStax {
 
-  final case class Child(tag: String, outer: String, value: String)
+  final case class Child(tag: String, outer: String, value: String,
+      attrs: Seq[(String, String)])
 
   /** `prefix*suffix` glob per Parser.cs:175-187 (split on first '*',
     * startsWith && endsWith; bare "*" matches everything). */
@@ -167,6 +168,19 @@ object XmlStax {
     */
   private def captureChild(reader: XMLStreamReader): Child = {
     val tag = reader.getLocalName
+    // the child element's own attributes, captured in the same pass so
+    // downstream attribute binds need no re-parse (local names, as the
+    // reference's reader.GetAttribute does — Parser.cs:241-249)
+    val ownAttrs = {
+      val n = reader.getAttributeCount
+      val b = mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < n) {
+        b += ((reader.getAttributeLocalName(i), reader.getAttributeValue(i)))
+        i += 1
+      }
+      b.toSeq
+    }
     val outer = new StringBuilder
     val value = new StringBuilder
     var depth = 0 // nesting below the child element; 0 = directly inside it
@@ -232,7 +246,7 @@ object XmlStax {
         case _ => // comments, PIs: ignored (reference Test1.cs:233-271)
       }
     }
-    Child(tag, outer.toString, value.toString)
+    Child(tag, outer.toString, value.toString, ownAttrs)
   }
 
   private def escapeText(s: String): String = {
