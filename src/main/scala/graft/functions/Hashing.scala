@@ -49,19 +49,34 @@ object Hashing {
     array(mins: _*)
   }
 
-  /** 16-bit SimHash over a token array: bit j set iff the sum over tokens of
-    * (2*bit_j(h)-1) is positive.
-    * NOTE: evaluates the md5 hash array once per BIT reference — callers on
-    * hot paths should materialize the hash array in a column and use
-    * [[simhash16FromHashes]] (16x md5 reduction). */
-  def simhash16(tokens: Column): Column =
-    simhash16FromHashes(transform(tokens, t => portableHash32(t)))
+  /** Word `w` (0 or 1) of the md5 digest as a 32-bit unsigned value in a
+    * long: hex chars [1+8w, 8+8w]. DuckDB replica:
+    * `('0x' || substr(md5(s), 1+8w, 8))::BIGINT`. */
+  def md5Word32(digestHex: Column, w: Int): Column =
+    conv(substring(digestHex, 1 + 8 * w, 8), 16, 10).cast("long")
 
-  /** SimHash over a pre-computed (ideally column-materialized) hash array. */
-  def simhash16FromHashes(hashes: Column): Column =
-    (0 until 16).map { j =>
+  /** 64-bit SimHash over a token array: bit j set iff the sum over tokens of
+    * (2*bit_j(h)-1) is positive, where bits 0-31 come from md5 word 0 and
+    * bits 32-63 from md5 word 1 (so each token hashes ONCE).
+    * NOTE: evaluates the md5 array once per bit-word reference — callers on
+    * hot paths should materialize the two hash-word arrays in columns and
+    * use [[simhash64FromHashes]] (the md5 then runs once per token). */
+  def simhash64(tokens: Column): Column = {
+    val m = transform(tokens, t => md5(t))
+    simhash64FromHashes(
+      transform(m, d => md5Word32(d, 0)),
+      transform(m, d => md5Word32(d, 1)))
+  }
+
+  /** SimHash over pre-computed (ideally column-materialized) 32-bit hash-word
+    * arrays: `lo` votes bits 0-31, `hi` votes bits 32-63. Bit 63's weight is
+    * Long.MinValue — the sum stays in signed-64 range because bits 0-62 sum
+    * to at most 2^63-1 (two's complement, identical in DuckDB BIGINT). */
+  def simhash64FromHashes(lo: Column, hi: Column): Column =
+    (0 until 64).map { j =>
+      val (hashes, bit) = if (j < 32) (lo, j) else (hi, j - 32)
       val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j) % 2) * 2 - 1)
+        (acc, h) => acc + (shiftright(h, bit) % 2) * 2 - 1)
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

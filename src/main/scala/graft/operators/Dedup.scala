@@ -54,31 +54,62 @@ object Dedup {
     sigd.drop("__hs")
   }
 
-  /** SimHash near-dup pairs: candidates share the high `bucketBits` bits of
-    * the 16-bit SimHash (one shuffle on the bucket key — never a full
-    * self-join), then exact Hamming distance <= maxHamming confirms.
-    * Scale: bucket width trades recall for candidate volume exactly like
-    * MinHash bands; multi-probe = re-run with rotated bit windows. */
+  /** SimHash near-dup pairs: candidates collide when any of `bands`
+    * consecutive `bandBits`-bit windows of the 64-bit SimHash match (one
+    * shuffle on the (band, key) bucket — never a full self-join), then exact
+    * Hamming distance <= maxHamming confirms.
+    *
+    * Scale knobs:
+    *   - `bands` x `bandBits`: more/narrower bands = higher recall, more
+    *     candidates; must satisfy bands * bandBits <= 64. Grow bandBits as
+    *     the corpus grows to keep per-bucket volume flat (expected bucket
+    *     size ~ N / 2^bandBits).
+    *   - `maxBucket` hard-caps pathological buckets (boilerplate text that
+    *     hashes thousands of docs into one bucket): any (band, key) bucket
+    *     holding more than `maxBucket` docs is dropped from candidate
+    *     generation — an explicit recall/cost trade instead of an O(B^2)
+    *     blowup. The count runs on the same (band, key) partitioning the
+    *     self-join needs, so the cap adds no extra shuffle of the sketches.
+    */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      bucketBits: Int, maxHamming: Int): DataFrame = {
-    // materialize token hashes once; the 16 bit-votes then reuse the column
+      bandBits: Int, bands: Int, maxHamming: Int,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(bands * bandBits <= 64, s"bands*bandBits must be <= 64")
+    import graft.functions.{Hashing, Text}
+    // one md5 per token, materialized; the 64 bit-votes reuse the word arrays
     val sh = df
       .select(id.as("__id"),
-        transform(graft.functions.Text.tokens(text),
-          t => graft.functions.Hashing.portableHash32(t)).as("__hs"))
+        transform(Text.tokens(text), t => md5(t)).as("__m"))
       .select(col("__id"),
-        graft.functions.Hashing.simhash16FromHashes(col("__hs")).as("sh"))
-    val bucketed = sh.withColumn("bucket",
-      shiftright(col("sh"), 16 - bucketBits))
-    val l = bucketed.as("l")
-    val r = bucketed.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") &&
-        col("l.__id") < col("r.__id"))
-      .withColumn("hamming",
-        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).cast("int"))
-      .filter(col("hamming") <= maxHamming)
+        transform(col("__m"), d => Hashing.md5Word32(d, 0)).as("__lo"),
+        transform(col("__m"), d => Hashing.md5Word32(d, 1)).as("__hi"))
+      .select(col("__id"),
+        Hashing.simhash64FromHashes(col("__lo"), col("__hi")).as("sh"))
+    val mask = (1L << bandBits) - 1
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+    val exploded = sh.select(col("__id"), col("sh"),
+      explode(bandArr).as("bk"))
+      .select(col("__id"), col("sh"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val capped =
+      if (maxBucket == Long.MaxValue) exploded
+      else exploded.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= maxBucket).drop("__bc")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.key") === col("r.key") && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        col("hamming"))
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Embedding near-dup pairs over the whole corpus: sign-bit LSH bucket

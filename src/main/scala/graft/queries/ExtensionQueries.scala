@@ -176,21 +176,29 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- shared 64-bit SimHash SQL (mirrors Hashing.simhash64 exactly) ----
+  private def h2(x: String, w: Int) =
+    s"('0x' || substr(md5($x), ${1 + 8 * w}, 8))::BIGINT"
+  private val simhash64Bits: String = (0 until 64).map { j =>
+    val (arr, bit) = if (j < 32) ("lo", j) else ("hi", j - 32)
+    s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($arr, x -> ((x >> $bit) % 2) * 2 - 1)), " +
+      s"(x,y) -> x+y) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
+  }.mkString(" + ")
+  private val simhash64Cte: String =
+    s"""hh AS (SELECT doc_id, list_transform($Toks, t -> ${h2("t", 0)}) AS lo,
+       |             list_transform($Toks, t -> ${h2("t", 1)}) AS hi FROM documents),
+       |sh AS (SELECT doc_id, $simhash64Bits AS sh FROM hh)""".stripMargin
+
   def d4Simhash(sp: SparkSession, dir: String): DataFrame =
     documents(sp, dir).select(
       col("doc_id"),
-      Hashing.simhash16(Text.tokens(col("text"))).as("sh"))
+      Hashing.simhash64(Text.tokens(col("text"))).as("sh"))
       .orderBy("doc_id")
 
-  val d4Sql: String = {
-    val bits = (0 until 16).map { j =>
-      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)), " +
-        s"(x,y) -> x+y) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
-    }.mkString(" + ")
-    s"""WITH hh AS (SELECT doc_id, list_transform($Toks, t -> ${h("t")}) AS hs FROM documents)
-       |SELECT doc_id, $bits AS sh FROM hh ORDER BY doc_id""".stripMargin
-  }
+  val d4Sql: String =
+    s"""WITH $simhash64Cte
+       |SELECT doc_id, sh FROM sh ORDER BY doc_id""".stripMargin
 
   /** n-gram Jaccard between consecutive docs — exact-similarity ground truth
     * at O(n) pairs (pairwise-at-scale goes through d3's LSH candidates). */
@@ -238,25 +246,37 @@ object ExtensionQueries {
        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
        |ORDER BY id_a""".stripMargin
 
-  /** SimHash-bucketed near-dup pairs over the whole corpus. */
+  /** SimHash-bucketed near-dup pairs over the whole corpus: 8 bands of 8
+    * bits over the 64-bit sketch; the hottest bucket in this corpus (128
+    * docs) exceeds maxBucket=100, so the cap is exercised live — and the
+    * oracle replays the same drop. */
+  private val D7Bands = 8
+  private val D7BandBits = 8
+  private val D7MaxHamming = 8
+  private val D7MaxBucket = 100L
+
   def d7SimhashPairs(sp: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(sp, dir), col("doc_id"), col("text"),
-        bucketBits = 8, maxHamming = 3)
+        bandBits = D7BandBits, bands = D7Bands,
+        maxHamming = D7MaxHamming, maxBucket = D7MaxBucket)
       .orderBy("id_a", "id_b")
 
   val d7Sql: String = {
-    val bits = (0 until 16).map { j =>
-      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)), " +
-        s"(x,y) -> x+y) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END"
-    }.mkString(" + ")
-    s"""WITH hh AS (SELECT doc_id, list_transform($Toks, t -> ${h("t")}) AS hs FROM documents),
-       |sh AS (SELECT doc_id, $bits AS sh FROM hh),
-       |bk AS (SELECT doc_id, sh, sh >> 8 AS bucket FROM sh)
-       |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-       |  CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
-       |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
-       |WHERE bit_count(xor(l.sh, r.sh)) <= 3
+    val mask = (1L << D7BandBits) - 1
+    val banded = (0 until D7Bands).map { b =>
+      s"SELECT doc_id, sh, $b AS band, (sh >> ${b * D7BandBits}) & $mask AS key FROM sh"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $simhash64Cte,
+       |banded AS ($banded),
+       |kept AS (SELECT doc_id, sh, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc FROM banded)
+       |  WHERE bc <= $D7MaxBucket),
+       |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |    l.sh AS sa, r.sh AS sb
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $D7MaxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 

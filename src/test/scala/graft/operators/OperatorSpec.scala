@@ -1,10 +1,31 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class OperatorSpec extends AnyFunSuite {
+
+  /** All shuffle exchanges in a physical plan, descending through AQE
+    * wrappers (AdaptiveSparkPlanExec / QueryStageExec are leaf-like, so a
+    * plain collect — or a string match on "ShuffleExchange", which is not
+    * even a node name — misses them). */
+  private def collectShuffles(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case s: ShuffleExchangeLike => Seq(s)
+      case _                      => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    self ++ kids.flatMap(collectShuffles)
+  }
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -49,11 +70,44 @@ class OperatorSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = Bucketing.colocatedJoin(spark, "li_b", "o_b", "l_orderkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
-      assert(plan.contains("SortMergeJoin"))
       assert(joined.count() == li.join(o, "l_orderkey").count())
+      // inspect AFTER the action so AQE's final plan is in place
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = collectShuffles(plan)
+      assert(shuffles.isEmpty, s"unexpected shuffle:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"))
+      // sanity: the same join over non-bucketed parquet DOES shuffle —
+      // proves the collector actually sees exchanges through AQE wrappers
+      val unbucketed = li.join(o, "l_orderkey")
+      unbucketed.count()
+      assert(collectShuffles(unbucketed.queryExecution.executedPlan).nonEmpty)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("simhash64: identical docs collide at hamming 0; cap drops hot buckets") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, "the quick brown fox jumps"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(docs, col("id"), col("text"),
+      bandBits = 8, bands = 8, maxHamming = 0)
+    assert(pairs.count() == 190) // C(20,2), all hamming 0
+    // every band bucket holds all 20 docs; a cap of 10 drops them all
+    val capped = Dedup.simhashPairs(docs, col("id"), col("text"),
+      bandBits = 8, bands = 8, maxHamming = 0, maxBucket = 10)
+    assert(capped.count() == 0)
+    // cap above the bucket size changes nothing
+    val uncapped = Dedup.simhashPairs(docs, col("id"), col("text"),
+      bandBits = 8, bands = 8, maxHamming = 0, maxBucket = 20)
+    assert(uncapped.count() == 190)
+  }
+
+  test("simhash64: band knobs must fit the 64-bit sketch") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("id"), col("text"),
+        bandBits = 16, bands = 5, maxHamming = 3)
+    }
   }
 
   test("SQL registration: xml_children usable from spark.sql") {
