@@ -212,13 +212,50 @@ object XmlQueries {
       |  split_part(text, ' ', 1) || '<b></b>' || split_part(text, ' ', 2) AS mixed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Ops #1/#9 at the FILE level: a wildcard spec read from a multi-file
+    * directory on disk through [[graft.xml.XmlElementInputFormat]] (the
+    * splittable rowTag scanner — the distributed form of the reference's
+    * glob dispatch, Parser.cs:175-187). The XML is first materialized to
+    * text files from `orders`, so the oracle can compute the same result
+    * straight from the table. */
+  def x7FileWildcard(sp: SparkSession, dir: String): DataFrame = {
+    val o = orders(sp, dir)
+    val xml = concat(
+      lit("<rec><id>"), s(col("o_orderkey")), lit("</id><vals><st_"),
+      col("o_orderstatus"), lit(">"), d2s(col("o_totalprice")),
+      lit("</st_"), col("o_orderstatus"), lit("></vals></rec>"))
+    val outDir = "/tmp/graft-x7-" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    o.select(xml.as("value")).write.mode("overwrite").text(outDir)
+    val parser = XmlParser.struct("rec") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.array("vals") { c =>
+          struct(c.tag.as("tag"),
+            c.nullDecimal("st_*").cast("double").as("tot"))
+        }.as("vals"))
+    }
+    parser.read(sp, outDir)
+      .select(col("parsed.id").as("id"),
+        get(col("parsed.vals"), lit(0)).as("v"))
+      .select(col("id"), col("v.tag").as("tag"), col("v.tot").as("tot"))
+      .orderBy("id")
+  }
+
+  val x7Sql: String =
+    """SELECT CAST(o_orderkey AS INT) AS id,
+      |  'st_' || o_orderstatus AS tag,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tot
+      |FROM orders ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_xml_scan_cast" -> (x1ScanCast _),
     "x2_xml_array_order" -> (x2ArrayOrder _),
     "x3_xml_wildcard_tag" -> (x3WildcardTag _),
     "x4_xml_firstwins_alt" -> (x4FirstWinsAlt _),
     "x5_xml_custom_composite" -> (x5CustomComposite _),
-    "x6_xml_mixed_content" -> (x6MixedContent _))
+    "x6_xml_mixed_content" -> (x6MixedContent _),
+    "x7_xml_file_wildcard" -> (x7FileWildcard _))
 
   val oracles: Map[String, String] = Map(
     "x1_xml_scan_cast" -> x1Sql,
@@ -226,5 +263,6 @@ object XmlQueries {
     "x3_xml_wildcard_tag" -> x3Sql,
     "x4_xml_firstwins_alt" -> x4Sql,
     "x5_xml_custom_composite" -> x5Sql,
-    "x6_xml_mixed_content" -> x6Sql)
+    "x6_xml_mixed_content" -> x6Sql,
+    "x7_xml_file_wildcard" -> x7Sql)
 }

@@ -486,26 +486,41 @@ final class CompiledXmlParser private[xml] (
   }
 
   /** Batch table scan over XML files — one row per `rowTag` element
-    * (≙ CreateArrayParser over a file, Parser.cs:341-345, on the native
-    * XML source's distributed splitter). Requires a fully-native spec:
-    * wildcard/custom specs need the raw element, use
-    * `wholetextParse` / `parse` over a string column instead. */
+    * (≙ CreateArrayParser over a file, Parser.cs:341-345).
+    *
+    * Fully-native specs go through the XML file source (schema pushdown,
+    * subtree skipping in the scan). Wildcard/custom specs need each
+    * element's raw text, so they read through [[XmlElementInputFormat]] —
+    * a splittable rowTag scanner (the distributed form of the reference's
+    * glob dispatch, Parser.cs:175-187) — and bind via the StAX expressions,
+    * exactly as `parse()` does. Both paths return one `parsed` column. */
   def read(spark: SparkSession, path: String): DataFrame = {
     require(asArray.isEmpty, "read() needs a struct parser; array parsers " +
       "consume a container element — use parse() on a string column")
     require(rootTag.nonEmpty, "read() needs a rootTag (XmlParser.struct)")
-    require(spec.isNative,
-      "graft.xml: this spec uses wildcard/custom members, which need raw " +
-        "element access; read the file as text and use parse()")
-    val df = spark.read.format("xml")
-      .option("rowTag", rootTag.get)
-      .option("attributePrefix", "_")
-      .option("mode", "PERMISSIVE")
-      .schema(spec.nativeReadSchema)
-      .load(path)
-    val all = struct(df.columns.map(col).toIndexedSeq: _*)
-    df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
-      .as("parsed"))
+    if (spec.isNative) {
+      val df = spark.read.format("xml")
+        .option("rowTag", rootTag.get)
+        .option("attributePrefix", "_")
+        .option("mode", "PERMISSIVE")
+        .schema(spec.nativeReadSchema)
+        .load(path)
+      val all = struct(df.columns.map(col).toIndexedSeq: _*)
+      df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
+        .as("parsed"))
+    } else {
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      conf.set(XmlElementInputFormat.RowTagKey, rootTag.get)
+      val rdd = spark.sparkContext.newAPIHadoopFile(path,
+          classOf[XmlElementInputFormat],
+          classOf[org.apache.hadoop.io.LongWritable],
+          classOf[org.apache.hadoop.io.Text], conf)
+        .map(_._2.toString)
+      spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("xml")
+        .select(parse(col("xml")).as("parsed"))
+    }
   }
 
   /** Structured-streaming variant of [[read]] — the incremental realization
