@@ -40,5 +40,12 @@ object Register {
       require(exprs.length == 1, "xml_element_value(xml)")
       XmlElementValueExpr(exprs.head)
     }, "scala_udf")
+    // mergeable MinHash union over array<bigint> signatures of length 8
+    // (the engine's default k; other widths via the Column API)
+    spark.udf.register("minhash_union8",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.MinhashUnionAgg(8),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Seq[Long]]()))
   }
 }

@@ -305,6 +305,31 @@ object ExtensionQueries {
        |WHERE ${cosSql("l.vec", "r.vec")} >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-domain MinHash-sketch union via the real Aggregator UDAF
+    * (SURVEY §2.2 UDAF row): group docs into 10 synthetic domains, union
+    * their signatures map-side. The oracle is the algebraic identity —
+    * union sketch = element-wise min per group. */
+  def d9MinhashUnion(sp: SparkSession, dir: String): DataFrame = {
+    val sigd = Dedup.withMinhashSig(
+      documents(sp, dir).select(col("doc_id"), col("text")),
+      col("text"), 3, K)
+    val union = graft.functions.MinhashUnionAgg.minhashUnion(K)
+    sigd
+      .select((col("doc_id") % 10).as("grp"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+      .groupBy("grp")
+      .agg(union(col("sig")).as("u"))
+      .select(col("grp") +:
+        (0 until K).map(i => get(col("u"), lit(i)).as(s"u$i")): _*)
+      .orderBy("grp")
+  }
+
+  val d9Sql: String =
+    s"""WITH $sigCte
+       |SELECT doc_id % 10 AS grp,
+       |  ${(0 until K).map(i => s"min(s$i) AS u$i").mkString(", ")}
+       |FROM sig GROUP BY 1 ORDER BY grp""".stripMargin
+
   // ======================= similarity search =======================
 
   def a1AnnBrute(sp: SparkSession, dir: String): DataFrame = {
@@ -494,6 +519,7 @@ object ExtensionQueries {
     "d6_embed_neardup" -> (d6EmbedNearDup _),
     "d7_simhash_pairs" -> (d7SimhashPairs _),
     "d8_embed_pairs" -> (d8EmbedPairs _),
+    "d9_minhash_union" -> (d9MinhashUnion _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
@@ -515,6 +541,7 @@ object ExtensionQueries {
     "d6_embed_neardup" -> d6Sql,
     "d7_simhash_pairs" -> d7Sql,
     "d8_embed_pairs" -> d8Sql,
+    "d9_minhash_union" -> d9Sql,
     "a1_ann_brute" -> a1Sql,
     "a2_ann_lsh" -> a2Sql,
     "a3_ann_ivf" -> a3Sql,

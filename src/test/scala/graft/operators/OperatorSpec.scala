@@ -110,6 +110,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("MinhashUnionAgg: element-wise min across partitions, SQL form") {
+    import spark.implicits._
+    val data = (0 until 100).map(i =>
+      (i % 5, Seq((i * 37 % 101).toLong, (i * 53 % 97).toLong)))
+    val df = data.toDF("grp", "sig").repartition(7) // force partial merges
+    val union = graft.functions.MinhashUnionAgg.minhashUnion(2)
+    val got = df.groupBy("grp").agg(union(col("sig")).as("u"))
+      .orderBy("grp").as[(Int, Seq[Long])].collect().toSeq
+    val expect = data.groupBy(_._1).map { case (g, vs) =>
+      (g, Seq(vs.map(_._2(0)).min, vs.map(_._2(1)).min))
+    }.toSeq.sortBy(_._1)
+    assert(got == expect)
+    // SQL surface (k=8 registration)
+    graft.Register.all(spark)
+    (0 until 20).map(i => (i % 2, Seq.tabulate(8)(j => (i * 7 + j).toLong)))
+      .toDF("grp", "sig").createOrReplaceTempView("sigs")
+    val sqlGot = spark.sql(
+      "SELECT grp, minhash_union8(sig) AS u FROM sigs GROUP BY grp " +
+        "ORDER BY grp").as[(Int, Seq[Long])].collect()
+    assert(sqlGot(0)._2 == Seq.tabulate(8)(j => j.toLong))
+    assert(sqlGot(1)._2 == Seq.tabulate(8)(j => (7 + j).toLong))
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
