@@ -93,6 +93,56 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Seeded Lloyd (k-means) refinement of an IVF centroid set: `iters`
+    * deterministic iterations over the corpus starting from `init`
+    * (cid, cvec). Assignment = nearest centroid by cosine with ties to the
+    * lower cid (the same rule as [[ivfIndex]]); update = per-component mean
+    * ROUNDED to `scale` decimals — rounding absorbs the ulp-level noise of
+    * float-summation order, which is what makes the refinement replayable
+    * bit-for-bit in any engine (the correctness oracle unrolls the same
+    * iterations in SQL). Cells that lose all members keep their previous
+    * centroid.
+    *
+    * Scale: like Spark MLlib's KMeans, each iteration materializes only the
+    * centroid set on the driver (O(cells x dim) — config-sized, never
+    * corpus-sized), so the corpus-side work per iteration is one
+    * broadcast-join assignment pass plus one (cid, pos) partial-agg shuffle
+    * of component sums. */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int,
+      scale: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = init.select(col("cid").cast("long").as("cid"),
+      transform(col("cvec"), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+      val cc = cents.withColumn("__nc", Vectors.norm2(col("cvec")))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("__cs").desc, col("cid"))
+      val assigned = cn.crossJoin(broadcast(cc))
+        .withColumn("__cs",
+          Vectors.dot(col("vec"), col("cvec")) / (col("__nv") * col("__nc")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("vec"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")), scale).as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      val stepped = cents.as("c").join(means.as("m"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+      // driver-side materialization of the (small) centroid table keeps the
+      // next iteration's plan shallow — MLlib does the same
+      val rows = stepped.collect().toIndexedSeq
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), stepped.schema)
+    }
+    cents
+  }
+
   /** LSH-bucketed top-k: candidates restricted to the query's sign-bit
     * bucket. `planes` are fixed hyperplanes (deterministic — e.g. the first
     * b corpus vectors), making the bucketing reproducible anywhere. */

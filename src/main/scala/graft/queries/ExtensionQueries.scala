@@ -406,6 +406,62 @@ object ExtensionQueries {
        |  round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** IVF with seeded k-means refinement (2 Lloyd iterations over the stride
+    * sample), then the same nprobe search as a3. The oracle unrolls both
+    * iterations in SQL — possible because the refinement rounds each
+    * component mean (see Ann.kmeansRefine). */
+  def a4AnnIvfKmeans(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val init = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val refined = Ann.kmeansRefine(corpus, init, iters = 2)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopK(qs, corpus, refined, k = 3, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  val a4Sql: String = {
+    val dim = 64
+    def assignCte(cent: String, out: String) =
+      s"""$out AS (SELECT id, vec, cid FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def meanCte(asg: String, prev: String, out: String) =
+      s"""${out}m AS (SELECT cid, list(m ORDER BY pos) AS mvec FROM (
+         |  SELECT cid, pos, round(avg(vec[pos]), 4) AS m
+         |  FROM $asg, range(1, ${dim + 1}) t(pos) GROUP BY cid, pos)
+         |  GROUP BY cid),
+         |$out AS (SELECT p.cid, coalesce(m.mvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN ${out}m m ON p.cid = m.cid)""".stripMargin
+    s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |${assignCte("c0", "a1")},
+       |${meanCte("a1", "c0", "c1")},
+       |${assignCte("c1", "a2")},
+       |${meanCte("a2", "c1", "c2")},
+       |${assignCte("c2", "cells")},
+       |probes AS (SELECT qid, qvec, cid FROM (
+       |  SELECT e.vec_id AS qid, e.embedding AS qvec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 5)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   // ======================= multimodal =======================
 
   def m1Multimodal(sp: SparkSession, dir: String): DataFrame =
@@ -523,6 +579,7 @@ object ExtensionQueries {
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
+    "a4_ann_ivf_kmeans" -> (a4AnnIvfKmeans _),
     "m1_multimodal_stub" -> (m1Multimodal _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -545,6 +602,7 @@ object ExtensionQueries {
     "a1_ann_brute" -> a1Sql,
     "a2_ann_lsh" -> a2Sql,
     "a3_ann_ivf" -> a3Sql,
+    "a4_ann_ivf_kmeans" -> a4Sql,
     "m1_multimodal_stub" -> m1Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

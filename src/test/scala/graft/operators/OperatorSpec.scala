@@ -110,6 +110,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means refined IVF: recall@3 vs exact brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // 5 cells for 500 vectors (cells ~ sqrt(n) is the usual IVF sizing;
+    // more cells on near-random synthetic embeddings fragments true
+    // neighborhoods and recall collapses)
+    val init = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val refined = Ann.kmeansRefine(corpus, init, iters = 2)
+    assert(refined.count() == init.count()) // no cells lost
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(qs, corpus, 3))
+    val approx = pairs(Ann.ivfTopK(qs, corpus, refined, k = 3, nprobe = 3))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+
   test("MinhashUnionAgg: element-wise min across partitions, SQL form") {
     import spark.implicits._
     val data = (0 until 100).map(i =>
