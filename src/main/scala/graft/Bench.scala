@@ -20,8 +20,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // noop write materializes EVERY result row through the full plan
+        // (a count() would let Catalyst delete sorts and projections)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop cached intermediates (e.g. the LSH sketch table) so queries
+        // don't leak memory pressure into each other
+        spark.catalog.clearCache()
+        name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -487,7 +487,10 @@ object ExtensionQueries {
       java.util.UUID.randomUUID.toString.replace("-", "")
     val agg = graft.streaming.StreamOps.windowedAgg(
       graft.streaming.StreamOps.eventsStream(sp, dir), "1 hour", "1 hour")
-    graft.streaming.StreamOps.runToMemory(sp, agg, name, "complete")
+    // update mode: the single-batch drain emits each window once, and the
+    // memory sink holds only emitted rows — no driver-side rematerialization
+    // of the whole aggregate per batch (complete mode's scale trap)
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "update")
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("wstart", "event_type")
