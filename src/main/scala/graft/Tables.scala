@@ -35,6 +35,19 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
 
+  /** Redistribute rows across the session's shuffle parallelism before
+    * CPU-heavy per-row work (XML parse, sketching). The test parquet files
+    * are single-row-group, so the scan — and everything pipelined into its
+    * stage — runs as ONE task no matter how many cores exist; a round-robin
+    * shuffle of the (narrow) input rows is orders of magnitude cheaper than
+    * serializing the downstream compute. At production scale files split
+    * naturally and this barrier degenerates to a cheap rebalance; it never
+    * blocks scan-level column pruning or predicate pushdown, which happen
+    * below it. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Exact money arithmetic: the source columns are doubles; both Spark and
     * DuckDB round-trip them through DECIMAL(18,2) to the same exact value, so
     * aggregates hash-match bit-for-bit once cast back to double.

@@ -91,6 +91,25 @@ object XmlMicroBench {
           "/root/testdata/sf0.01")
         graft.queries.XmlQueries.x2ArrayOrder(spark, sfDir).count()
       }),
+      // gate queries under the bench's real materializing action
+      "x1_noop" -> (() => {
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.01")
+        graft.queries.XmlQueries.x1ScanCast(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }),
+      "x3_noop" -> (() => {
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.01")
+        graft.queries.XmlQueries.x3WildcardTag(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }),
+      "x4_noop" -> (() => {
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.01")
+        graft.queries.XmlQueries.x4FirstWinsAlt(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }),
       // x2 rebuilt inline with NO persist
       "x2_nopersist" -> (() => {
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

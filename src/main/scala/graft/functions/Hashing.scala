@@ -57,21 +57,18 @@ object Hashing {
 
   /** 64-bit SimHash over a token array: bit j set iff the sum over tokens of
     * (2*bit_j(h)-1) is positive, where bits 0-31 come from md5 word 0 and
-    * bits 32-63 from md5 word 1 (so each token hashes ONCE).
-    * NOTE: evaluates the md5 array once per bit-word reference — callers on
-    * hot paths should materialize the two hash-word arrays in columns and
-    * use [[simhash64FromHashes]] (the md5 then runs once per token). */
-  def simhash64(tokens: Column): Column = {
-    val m = transform(tokens, t => md5(t))
-    simhash64FromHashes(
-      transform(m, d => md5Word32(d, 0)),
-      transform(m, d => md5Word32(d, 1)))
-  }
+    * bits 32-63 from md5 word 1. Evaluated by the one-pass codegen'd
+    * [[Simhash64Expr]] (one md5 per token, primitive vote array); the
+    * Column-formula [[simhash64FromHashes]] below defines the same value
+    * declaratively and is what the DuckDB oracles replay. */
+  def simhash64(tokens: Column): Column = Simhash64Expr.simhash64(tokens)
 
-  /** SimHash over pre-computed (ideally column-materialized) 32-bit hash-word
+  /** Reference Column formula for the 64-bit SimHash, over 32-bit hash-word
     * arrays: `lo` votes bits 0-31, `hi` votes bits 32-63. Bit 63's weight is
     * Long.MinValue — the sum stays in signed-64 range because bits 0-62 sum
-    * to at most 2^63-1 (two's complement, identical in DuckDB BIGINT). */
+    * to at most 2^63-1 (two's complement, identical in DuckDB BIGINT).
+    * 64 interpreted folds — use [[simhash64]] on hot paths; a unit test pins
+    * the two forms equal. */
   def simhash64FromHashes(lo: Column, hi: Column): Column =
     (0 until 64).map { j =>
       val (hashes, bit) = if (j < 32) (lo, j) else (hi, j - 32)

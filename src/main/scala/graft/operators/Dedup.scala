@@ -76,15 +76,9 @@ object Dedup {
       maxBucket: Long = Long.MaxValue): DataFrame = {
     require(bands * bandBits <= 64, s"bands*bandBits must be <= 64")
     import graft.functions.{Hashing, Text}
-    // one md5 per token, materialized; the 64 bit-votes reuse the word arrays
-    val sh = df
-      .select(id.as("__id"),
-        transform(Text.tokens(text), t => md5(t)).as("__m"))
-      .select(col("__id"),
-        transform(col("__m"), d => Hashing.md5Word32(d, 0)).as("__lo"),
-        transform(col("__m"), d => Hashing.md5Word32(d, 1)).as("__hi"))
-      .select(col("__id"),
-        Hashing.simhash64FromHashes(col("__lo"), col("__hi")).as("sh"))
+    // one-pass codegen'd sketch: one md5 per token, no per-bit re-scan
+    val sh = df.select(id.as("__id"),
+      Hashing.simhash64(Text.tokens(text)).as("sh"))
     val mask = (1L << bandBits) - 1
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),

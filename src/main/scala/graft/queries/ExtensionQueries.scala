@@ -141,7 +141,7 @@ object ExtensionQueries {
 
   def d2MinhashSig(sp: SparkSession, dir: String): DataFrame =
     Dedup.withMinhashSig(
-        documents(sp, dir).select(col("doc_id"), col("text")),
+        spread(documents(sp, dir).select(col("doc_id"), col("text"))),
         col("text"), 3, K)
       .drop("text").orderBy("doc_id")
 
@@ -151,8 +151,8 @@ object ExtensionQueries {
        |FROM sig ORDER BY doc_id""".stripMargin
 
   def d3MinhashPairs(sp: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(documents(sp, dir), col("doc_id"), col("text"),
-        3, K, BandRows)
+    Dedup.minhashCandidates(spread(documents(sp, dir)), col("doc_id"),
+        col("text"), 3, K, BandRows)
       .orderBy("id_a", "id_b")
 
   val d3Sql: String = {
@@ -203,7 +203,7 @@ object ExtensionQueries {
   /** n-gram Jaccard between consecutive docs — exact-similarity ground truth
     * at O(n) pairs (pairwise-at-scale goes through d3's LSH candidates). */
   def d5NgramJaccard(sp: SparkSession, dir: String): DataFrame = {
-    val docs = documents(sp, dir)
+    val docs = spread(documents(sp, dir))
     val a = docs.select(col("doc_id").as("id_a"),
       Dedup.shingleSet(col("text"), 3).as("sa"))
     val b = docs.select((col("doc_id") - 1).as("id_a"),

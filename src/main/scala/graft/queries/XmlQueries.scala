@@ -43,7 +43,14 @@ object XmlQueries {
         a.str("prio").as("prio"),
         a.nullInt("nope").as("missing_int"))
     }
-    o.select(parser.parse(xml).as("r")).select("r.*").orderBy("id")
+    // materialize the built string ONCE: passing the concat Column straight
+    // into parse() would duplicate it (and its date_format) into every
+    // bound member's null guard in the single optimized Project
+    // spread: the single-row-group source would otherwise pin the whole
+    // parse stage to one task (see Tables.spread)
+    spread(o.select(xml.as("__xml")))
+      .select(parser.parse(col("__xml")).as("r"))
+      .select("r.*").orderBy("id")
   }
 
   val x1Sql: String =
@@ -113,7 +120,8 @@ object XmlQueries {
     }
     // single-element arrays: element 0 is the natural projection (x2
     // covers the explode path over parsed arrays)
-    li.select(parser.parse(xml).as("r"))
+    spread(li.select(xml.as("__xml"))) // build once + spread (see x1)
+      .select(parser.parse(col("__xml")).as("r"))
       .select(col("r.id").as("id"), get(col("r.vals"), lit(0)).as("v"))
       .select(col("id"), col("v.tag").as("tag"), col("v.qty").as("qty"))
       .orderBy("id")
@@ -149,7 +157,9 @@ object XmlQueries {
     val altParser = XmlParser.array { c =>
       coalesce(c.nullInt("item1"), c.nullInt("item2") * 10)
     }
-    li.select(parser.parse(xml).as("r"), altParser.parse(xml).as("alts"))
+    spread(li.select(xml.as("__xml"))) // build once + spread (see x1)
+      .select(parser.parse(col("__xml")).as("r"),
+        altParser.parse(col("__xml")).as("alts"))
       .select(col("r.id").as("id"), col("r.first_v").as("first_v"),
         col("r.marr").as("marr"), get(col("alts"), lit(0)).as("alt"))
       .orderBy("id")
@@ -182,7 +192,8 @@ object XmlQueries {
         a.int("id").as("id"),
         a.custom("cust")(custFragment.parse).as("c"))
     }
-    o.select(parser.parse(xml).as("r"))
+    spread(o.select(xml.as("__xml"))) // build once + spread (see x1)
+      .select(parser.parse(col("__xml")).as("r"))
       .select(col("r.id").as("id"), col("r.c.name").as("name"),
         col("r.c.nk").as("nk"), col("r.c.tag").as("tag"))
       .orderBy("id")
@@ -203,7 +214,8 @@ object XmlQueries {
     val w2 = get(split(col("text"), " "), lit(1))
     val xml = concat(lit("<d><t>"), w1, lit("<b/>"), w2, lit("</t></d>"))
     val parser = XmlParser.struct("d")(a => a.str("t"))
-    docs.select(col("doc_id"), parser.parse(xml).as("mixed"))
+    docs.select(col("doc_id"), xml.as("__xml")) // build the string once
+      .select(col("doc_id"), parser.parse(col("__xml")).as("mixed"))
       .orderBy("doc_id")
   }
 

@@ -31,9 +31,14 @@ case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
   override def nullable: Boolean = true
   override def prettyName: String = "xml_children"
 
+  // computed once per instance; the hot memo path then hashes only the
+  // xml string (see XmlStax.specKey)
+  @transient private lazy val specKey: String =
+    XmlStax.specKey(patterns, fromRoot)
+
   override def nullSafeEval(input: Any): Any =
     XmlChildrenExpr.evalJava(input.asInstanceOf[UTF8String], patterns,
-      fromRoot)
+      fromRoot, specKey)
 
   // a real doGenCode (vs CodegenFallback) keeps the surrounding projection
   // inside whole-stage codegen; the generated code just calls the static
@@ -42,10 +47,11 @@ case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
       ev: ExprCode): ExprCode = {
     val pats = ctx.addReferenceObj("patterns", patterns,
       "scala.collection.immutable.Seq")
+    val key = ctx.addReferenceObj("specKey", specKey, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = graft.xml.XmlChildrenExpr.evalJava($c, $pats,
-         |  $fromRoot);
+         |  $fromRoot, $key);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -66,12 +72,51 @@ object XmlChildrenExpr {
       valueContainsNull = false), nullable = false)))
   val outType: DataType = ArrayType(elemType, containsNull = false)
 
+  // Memoize the CONSTRUCTED ArrayData (not just the Seq[Child]): a bound
+  // projection evaluates the same extraction from many member expressions,
+  // and rebuilding UTF8Strings per reference was a measured hotspot. The
+  // cached GenericArrayData is immutable and safe to share within a thread.
+  private final val MemoSlots = 4
+  private val memo = new ThreadLocal[
+      java.util.HashMap[String, java.util.LinkedHashMap[String, ArrayData]]] {
+    override def initialValue() =
+      new java.util.HashMap[String,
+        java.util.LinkedHashMap[String, ArrayData]]()
+  }
+  private def newLru(): java.util.LinkedHashMap[String, ArrayData] =
+    new java.util.LinkedHashMap[String, ArrayData](MemoSlots * 2, 0.75f,
+        true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ArrayData]): Boolean =
+        size() > MemoSlots
+    }
+
+  def evalJava(input: UTF8String, patterns: Seq[String],
+      fromRoot: Boolean): ArrayData =
+    evalJava(input, patterns, fromRoot, XmlStax.specKey(patterns, fromRoot))
+
   /** Static evaluator shared by interpreted eval and generated code. */
   def evalJava(input: UTF8String, patterns: Seq[String],
-      fromRoot: Boolean): ArrayData = {
-    val res = XmlStax.children(input.toString, patterns, fromRoot)
-    if (res == null) null
-    else new GenericArrayData(res.map { c =>
+      fromRoot: Boolean, specKey: String): ArrayData = {
+    val xml = input.toString
+    val perSpec = memo.get()
+    var cache = perSpec.get(specKey)
+    if (cache == null) {
+      cache = newLru()
+      perSpec.put(specKey, cache)
+    }
+    val hit = cache.get(xml)
+    if (hit != null || cache.containsKey(xml)) hit
+    else {
+      val res = build(XmlStax.children(xml, patterns, fromRoot, specKey))
+      cache.put(xml, res)
+      res
+    }
+  }
+
+  private def build(res: Seq[XmlStax.Child]): ArrayData = {
+    if (res == null) return null
+    new GenericArrayData(res.map { c =>
       val ks = new GenericArrayData(
         c.attrs.map(a => UTF8String.fromString(a._1)).toArray[Any])
       val vs = new GenericArrayData(

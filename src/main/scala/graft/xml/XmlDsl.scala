@@ -214,7 +214,13 @@ private[xml] object Bind {
     m
   }
 
-  def fx(c: Column, st: StructType): Column = from_xml(c, st, xmlOptions)
+  /** from_xml wrapped in the per-thread parse memo — the DSL references the
+    * parsed struct once per bound member, and those references survive as
+    * duplicate parses in the optimized Project (see XmlMemoParseExpr). */
+  def fx(c: Column, st: StructType): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      XmlMemoParseExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
+        from_xml(c, st, xmlOptions))))
 
   /** First element's local name of a document/fragment string — for rootless
     * (`fragment`) parsers, ≙ the reference's root-depth bootstrap tag

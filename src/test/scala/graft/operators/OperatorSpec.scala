@@ -101,6 +101,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(uncapped.count() == 190)
   }
 
+  test("simhash64: one-pass expression equals the reference Column formula") {
+    import graft.functions.Hashing
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(col("text"), " ").as("toks"))
+    val m = transform(col("toks"), t => md5(t))
+    val reference = Hashing.simhash64FromHashes(
+      transform(m, d => Hashing.md5Word32(d, 0)),
+      transform(m, d => Hashing.md5Word32(d, 1)))
+    val mismatches = docs
+      .select(Hashing.simhash64(col("toks")).as("fast"),
+        reference.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // empty token array -> all-zero sketch in both forms
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(Hashing.simhash64(col("toks"))).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("simhash64: band knobs must fit the 64-bit sketch") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("id", "text")
