@@ -26,29 +26,52 @@ object Sessionize {
     import sp.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def flush(uid: Long, st: SessionState): SessionOut =
-      SessionOut(uid, st.start, st.n, st.sum)
+    // Secondary sort: hash-partition by user, sort each partition by
+    // (user, ts, value). FlatMapGroupsWithStateExec requires clustering by
+    // key and ordering by key — both satisfied as a PREFIX of this layout,
+    // so the planner inserts no re-sort and each group's iterator arrives
+    // time-ordered. The old `events.toSeq.sortBy` materialized the whole
+    // group: a hot key with 10^8 events OOMs an executor; this streams it.
+    val sorted = ds.repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"ts", $"value")
 
-    ds.groupByKey(_.user_id)
+    sorted.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid, events, state: GroupState[SessionState]) =>
-          val sorted = events.toSeq.sortBy(e => (e.ts, e.value))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption.orNull
-          sorted.foreach { e =>
-            if (cur == null) cur = SessionState(e.ts, e.ts, 1, e.value)
-            else if (e.ts >= cur.last + gapUs) {
-              out += flush(uid, cur)
-              cur = SessionState(e.ts, e.ts, 1, e.value)
-            } else cur = SessionState(cur.start, e.ts, cur.n + 1,
-              cur.sum + e.value)
+          // lazy pass over the time-ordered iterator: O(1) memory per group
+          new Iterator[SessionOut] {
+            private var cur: SessionState = state.getOption.orNull
+            private var pending: SessionOut = _
+            private var flushed = false
+            private def advance(): Unit = {
+              while (pending == null && events.hasNext) {
+                val e = events.next()
+                if (cur == null) cur = SessionState(e.ts, e.ts, 1, e.value)
+                else if (e.ts >= cur.last + gapUs) {
+                  pending = SessionOut(uid, cur.start, cur.n, cur.sum)
+                  cur = SessionState(e.ts, e.ts, 1, e.value)
+                } else cur = SessionState(cur.start, e.ts, cur.n + 1,
+                  cur.sum + e.value)
+              }
+              // batch semantics: the group is complete, flush the open
+              // session. (a streaming deployment would state.update(cur) +
+              //  setTimeoutTimestamp(cur.last + gapUs) instead)
+              if (pending == null && !events.hasNext && !flushed &&
+                  cur != null) {
+                pending = SessionOut(uid, cur.start, cur.n, cur.sum)
+                flushed = true
+                if (state.exists) state.remove()
+              }
+            }
+            override def hasNext: Boolean = { advance(); pending != null }
+            override def next(): SessionOut = {
+              advance()
+              val p = pending
+              pending = null
+              p
+            }
           }
-          // batch semantics: the group is complete, flush the open session.
-          // (a streaming deployment would state.update(cur) +
-          //  setTimeoutTimestamp(cur.last + gapUs) instead)
-          if (cur != null) { out += flush(uid, cur); state.remove() }
-          out.iterator
       }
   }
 }

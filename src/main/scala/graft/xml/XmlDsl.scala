@@ -39,8 +39,14 @@ trait XmlNode {
   /** Reference `Int` — missing element -> 0, unparseable -> error. */
   def int(name: String): Column
 
-  /** Reference `NullInt` — missing/empty -> null. */
+  /** Reference `NullInt` — missing/empty -> null; unparseable garbage also
+    * -> null (distributed-friendly default; see [[nullIntStrict]]). */
   def nullInt(name: String): Column
+
+  /** Reference `NullInt` with full parity: non-empty unparseable text
+    * throws (ANSI cast), exactly as the reference's Convert.ToInt32 does
+    * (Parser.cs:58-67). */
+  def nullIntStrict(name: String): Column
 
   /** Reference `NullBool`. */
   def nullBool(name: String): Column
@@ -174,6 +180,7 @@ private[xml] final class RecNode(spec: ObjSpec) extends XmlNode {
   }
   override def int(name: String): Column = scalar(name).cast("int")
   override def nullInt(name: String): Column = scalar(name).cast("int")
+  override def nullIntStrict(name: String): Column = scalar(name).cast("int")
   override def nullBool(name: String): Column = scalar(name).cast("boolean")
   override def nullDecimal(name: String): Column =
     scalar(name).cast(DecimalType(38, 18))
@@ -301,6 +308,8 @@ private[xml] abstract class BaseBindNode(spec: ObjSpec) extends XmlNode {
 
   override def int(name: String): Column = XmlValues.intStrict(scalarRaw(name))
   override def nullInt(name: String): Column = XmlValues.nullInt(scalarRaw(name))
+  override def nullIntStrict(name: String): Column =
+    XmlValues.nullIntStrict(scalarRaw(name))
   override def nullBool(name: String): Column =
     XmlValues.nullBool(scalarRaw(name))
   override def nullDecimal(name: String): Column =

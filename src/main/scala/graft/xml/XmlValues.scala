@@ -18,8 +18,17 @@ object XmlValues {
     when(c.isNull, lit(0)).otherwise(trim(c).cast("int"))
 
   /** `NullInt` (Parser.cs:58-67): empty/missing -> null; unparseable -> null
-    * (deviation: reference throws on garbage, we null — documented). */
+    * (deviation: reference throws on garbage — [[nullIntStrict]] restores
+    * that; this default is the distributed-friendly posture where one bad
+    * record must not kill a 100 TB job). */
   def nullInt(c: Column): Column = trim(c).try_cast("int")
+
+  /** `NullInt` with full reference parity (Parser.cs:58-67): empty/missing
+    * -> null, but non-empty unparseable text THROWS like Convert.ToInt32 —
+    * the ANSI cast raises CAST_INVALID_INPUT. */
+  def nullIntStrict(c: Column): Column =
+    when(c.isNull || trim(c) === "", lit(null).cast("int"))
+      .otherwise(trim(c).cast("int"))
 
   /** `NullBool` (Parser.cs:15-24): empty/missing -> null; "true"/"false". */
   def nullBool(c: Column): Column = trim(c).try_cast("boolean")

@@ -55,6 +55,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(custom == builtin)
   }
 
+  test("sessionizer streams one large skewed group without materializing") {
+    import spark.implicits._
+    // one hot user with 300k events: sessions of 3 events (1s apart) every
+    // 20 minutes — the old toSeq.sortBy path would buffer all 300k
+    val n = 300000
+    val ev = spark.range(n).select(
+      lit(7L).as("user_id"),
+      (expr("id div 3") * 1200000000L + (col("id") % 3) * 1000000L).as("ts"),
+      lit(1.0).as("value")).as[Sessionize.Ev]
+    val sessions = Sessionize.sessionize(spark, ev, gapMinutes = 10)
+      .collect()
+    assert(sessions.length == n / 3)
+    assert(sessions.forall(s => s.n_events == 3 && s.sum_value == 3.0))
+    // disordered input arrives time-ordered via the secondary sort
+    val shuffled = ev.orderBy(rand(42))
+    val sessions2 = Sessionize.sessionize(spark, shuffled.as[Sessionize.Ev],
+      gapMinutes = 10).collect()
+    assert(sessions2.sortBy(_.session_start_us).toSeq ==
+      sessions.sortBy(_.session_start_us).toSeq)
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     import spark.implicits._
     val ev = StreamOps.eventsStream(spark, sf)

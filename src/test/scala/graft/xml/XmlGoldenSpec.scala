@@ -205,6 +205,31 @@ class XmlGoldenSpec extends AnyFunSuite {
     assert(row.isNullAt(7))                 // missing NullInt -> null
   }
 
+  test("nullInt vs nullIntStrict on garbage input (Parser.cs:58-67)") {
+    import spark.implicits._
+    // lenient default: unparseable non-empty text -> null
+    val lenient = XmlParser.struct("r")(a => a.nullInt("v"))
+    assert(one("<r><v>abc</v></r>").select(lenient.parse(col("x")).as("r"))
+      .as[Option[Int]].head().isEmpty)
+    // strict parity: same input THROWS like the reference's Convert.ToInt32
+    val strict = XmlParser.struct("r")(a => a.nullIntStrict("v"))
+    val err = intercept[Exception] {
+      one("<r><v>abc</v></r>").select(strict.parse(col("x")).as("r"))
+        .as[Option[Int]].head()
+    }
+    assert(err.getMessage.contains("CAST_INVALID_INPUT") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("CAST_INVALID_INPUT")))
+    // strict still nulls the reference's null cases: empty and missing
+    val ok = XmlParser.struct("r") { a =>
+      struct(a.nullIntStrict("e").as("e"), a.nullIntStrict("m").as("m"),
+        a.nullIntStrict("v").as("v"))
+    }
+    val row = one("<r><e></e><v> 7 </v></r>")
+      .select(ok.parse(col("x")).as("r")).select("r.*").head()
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.getInt(2) == 7)
+  }
+
   test("first-wins duplicate elements (Parser.cs:226-227)") {
     import spark.implicits._
     val parser = XmlParser.struct("r")(a => a.nullInt("v"))
