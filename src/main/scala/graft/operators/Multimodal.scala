@@ -1,15 +1,19 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by per-partition batch functions.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment — a real deployment swaps `decodeBlob` for a codec call); the
-  * Spark-side contract — schema, binary payload transport, partition-batch
-  * iteration, deterministic output — is real and exercised by the gate.
+  * The decode step is REAL for two container formats that need no codec
+  * libraries — BMP (BITMAPINFOHEADER) and WAV (RIFF/PCM) — and parses
+  * dimensions / sample layout from the little-endian headers, dispatching
+  * on magic bytes, never on the metadata column. Pixel/sample DATA is not
+  * interpreted (that is where a real deployment plugs a codec); `resize`
+  * and `sampleFrames` remain clearly-marked stubs over the raw payload.
   *
   * Scale: blobs ride in parquet binary columns (no base64 inflation);
   * decode is mapPartitions so codec contexts initialize once per partition,
@@ -20,30 +24,103 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], fmt: String,
       frame_size: Int)
-  case class DecodedRow(doc_id: Long, n_bytes: Long, header_sum: Long,
-      n_frames: Int, fmt: String)
 
-  /** Attach a binary media column + metadata to the documents table (the
-    * corpus-building step; here the bytes are the utf-8 text itself). */
-  def attachBlobs(documents: DataFrame, frameSize: Int): DataFrame =
-    documents.select(
-      col("doc_id"),
-      encode(col("text"), "utf-8").as("media"),
-      lit("fake/raw").as("fmt"),
-      lit(frameSize).as("frame_size"))
+  /** Parsed header facts: image fields zero for audio and vice versa. */
+  case class DecodedRow(doc_id: Long, fmt: String, n_bytes: Long,
+      width: Int, height: Int, sample_rate: Int, n_channels: Int,
+      n_samples: Long)
 
-  /** STUB decode: a real implementation would hand `media` to an image /
-    * audio codec here. The stub derives deterministic features (byte count,
-    * 16-byte header checksum, frame count) so the pipeline shape — including
-    * per-partition batching — is verifiable end to end. */
+  // ------------------------- blob construction -------------------------
+
+  /** Minimal valid 24-bit BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + 4-byte-aligned pixel rows filled from `fill`
+    * (cycled). */
+  def buildBmp(width: Int, height: Int, fill: Array[Byte]): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val size = 54 + dataSize
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var i = 0
+    while (i < dataSize) {
+      b.put(if (fill.nonEmpty) fill(i % fill.length) else 0.toByte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Minimal valid PCM WAV: 44-byte RIFF/fmt/data header + sample data
+    * (truncated to whole frames of `channels` x 16-bit). */
+  def buildWav(sampleRate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val frame = channels * 2 // 16-bit PCM
+    val dataLen = data.length - (data.length % frame)
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * frame).putShort(frame.toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.put(data, 0, dataLen)
+    b.array()
+  }
+
+  /** Attach real media blobs to the documents table (the corpus-building
+    * step): even doc_ids get a BMP whose dimensions derive from the text,
+    * odd doc_ids a PCM WAV carrying the text bytes — so the decode gate can
+    * verify actual header parsing against an oracle computed straight from
+    * the table. */
+  def attachBlobs(documents: DataFrame, frameSize: Int): DataFrame = {
+    val sp = documents.sparkSession
+    import sp.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (id % 2 == 0) {
+            val w = bytes.length % 31 + 1
+            val h = (id % 7 + 1).toInt
+            MediaRow(id, buildBmp(w, h, bytes), "image/bmp", frameSize)
+          } else {
+            val rate = (8000 + (id % 8) * 1000).toInt
+            val ch = bytes.length % 2 + 1
+            MediaRow(id, buildWav(rate, ch, bytes), "audio/wav", frameSize)
+          }
+        }
+      }.toDF()
+  }
+
+  // ------------------------- header decoding -------------------------
+
+  /** Decode a blob by its MAGIC BYTES (the fmt column is deliberately
+    * ignored — decode trusts only the payload): BMP and WAV headers are
+    * parsed for real; anything else falls back to raw byte accounting. */
   def decodeBlob(b: MediaRow): DecodedRow = {
-    val header = b.media.take(16)
-    DecodedRow(
-      doc_id = b.doc_id,
-      n_bytes = b.media.length.toLong,
-      header_sum = header.foldLeft(0L)((acc, x) => acc + (x & 0xff)),
-      n_frames = (b.media.length + b.frame_size - 1) / b.frame_size,
-      fmt = b.fmt)
+    val m = b.media
+    if (m.length >= 54 && m(0) == 'B' && m(1) == 'M') {
+      val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+      val width = buf.getInt(18)
+      val height = buf.getInt(22)
+      DecodedRow(b.doc_id, "image/bmp", m.length.toLong, width, height,
+        0, 0, 0L)
+    } else if (m.length >= 44 &&
+        m(0) == 'R' && m(1) == 'I' && m(2) == 'F' && m(3) == 'F' &&
+        m(8) == 'W' && m(9) == 'A' && m(10) == 'V' && m(11) == 'E') {
+      val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+      val channels = buf.getShort(22).toInt
+      val rate = buf.getInt(24)
+      val bits = buf.getShort(34).toInt
+      val dataLen = buf.getInt(40)
+      val frame = channels * (bits / 8)
+      DecodedRow(b.doc_id, "audio/wav", m.length.toLong, 0, 0, rate,
+        channels, if (frame > 0) dataLen.toLong / frame else 0L)
+    } else {
+      DecodedRow(b.doc_id, b.fmt, m.length.toLong, 0, 0, 0, 0, 0L)
+    }
   }
 
   /** Batch decode over partitions (codec init once per partition). */

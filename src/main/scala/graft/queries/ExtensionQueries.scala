@@ -464,18 +464,38 @@ object ExtensionQueries {
 
   // ======================= multimodal =======================
 
+  /** Real container decode round-trip: even docs become actual BMPs, odd
+    * docs actual PCM WAVs (Multimodal.attachBlobs), then decodeBlob parses
+    * dimensions / sample layout back out of the little-endian headers —
+    * while the oracle computes the same facts straight from the documents
+    * table. A hash match proves the byte-level build AND parse. */
   def m1Multimodal(sp: SparkSession, dir: String): DataFrame =
     Multimodal.decode(sp,
         Multimodal.attachBlobs(documents(sp, dir), frameSize = 100))
       .toDF().orderBy("doc_id")
 
-  val m1Sql: String =
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, least(16, length(text)) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (x,y) -> x+y) AS BIGINT) AS header_sum,
-      |  CAST((octet_length(encode(text)) + 99) // 100 AS INT) AS n_frames,
-      |  'fake/raw' AS fmt
-      |FROM documents ORDER BY doc_id""".stripMargin
+  val m1Sql: String = {
+    val ob = "octet_length(encode(text))"
+    // BMP: width = bytes%31+1, height = doc_id%7+1, 24bpp rows 4-aligned
+    val w = s"($ob % 31 + 1)"
+    val h = "(doc_id % 7 + 1)"
+    val bmpBytes = s"(54 + ((3 * $w + 3) // 4) * 4 * $h)"
+    // WAV: 16-bit PCM, channels = bytes%2+1, data truncated to whole frames
+    val ch = s"($ob % 2 + 1)"
+    val dataLen = s"($ob - $ob % ($ch * 2))"
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS fmt,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN $bmpBytes
+       |            ELSE 44 + $dataLen END AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN $w ELSE 0 END AS INT) AS width,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN $h ELSE 0 END AS INT) AS height,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+       |            ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE $ch END AS INT) AS n_channels,
+       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+       |            ELSE $dataLen // ($ch * 2) END AS BIGINT) AS n_samples
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   // ======================= streaming =======================
 
@@ -583,7 +603,7 @@ object ExtensionQueries {
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
     "a4_ann_ivf_kmeans" -> (a4AnnIvfKmeans _),
-    "m1_multimodal_stub" -> (m1Multimodal _),
+    "m1_multimodal_decode" -> (m1Multimodal _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_asof_join" -> (s3AsOf _))
@@ -606,7 +626,7 @@ object ExtensionQueries {
     "a2_ann_lsh" -> a2Sql,
     "a3_ann_ivf" -> a3Sql,
     "a4_ann_ivf_kmeans" -> a4Sql,
-    "m1_multimodal_stub" -> m1Sql,
+    "m1_multimodal_decode" -> m1Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
     "s3_asof_join" -> s3Sql)

@@ -99,12 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(resized.forall(_.media.length == 64))
     val frames = graft.operators.Multimodal.sampleFrames(spark, media, 2)
       .groupByKey(_.doc_id).count().collect().toMap
-    // every doc yields ceil(nframes/2) sampled frames
-    val expect = graft.Tables.documents(spark, sf)
-      .select(col("doc_id"), ceil(ceil(length(col("text")) / 100.0) / 2.0)
-        .cast("long").as("n"))
-      .as[(Long, Long)].collect().toMap
+    // every blob yields ceil(ceil(len/frame)/2) sampled frames
+    val expect = media.as[graft.operators.Multimodal.MediaRow].collect()
+      .map(m => m.doc_id ->
+        ((m.media.length + 99) / 100 + 1L) / 2L).toMap
     assert(frames == expect)
+  }
+
+  test("BMP/WAV builders round-trip through the header decoder") {
+    val M = graft.operators.Multimodal
+    val bmp = M.MediaRow(2L, M.buildBmp(13, 5, "hello".getBytes), "x", 10)
+    val db = M.decodeBlob(bmp)
+    assert(db.fmt == "image/bmp" && db.width == 13 && db.height == 5)
+    assert(db.n_bytes == 54 + ((3 * 13 + 3) / 4) * 4 * 5)
+    val wav = M.MediaRow(3L,
+      M.buildWav(11000, 2, Array.fill(101)(7.toByte)), "x", 10)
+    val dw = M.decodeBlob(wav)
+    assert(dw.fmt == "audio/wav" && dw.sample_rate == 11000 &&
+      dw.n_channels == 2 && dw.n_samples == 25) // 100 usable bytes / 4
+    assert(dw.n_bytes == 44 + 100)
+    // unknown payloads fall back to raw accounting, fmt from metadata
+    val raw = M.decodeBlob(M.MediaRow(4L, Array[Byte](1, 2, 3), "app/x", 10))
+    assert(raw.fmt == "app/x" && raw.n_bytes == 3 && raw.width == 0)
   }
 
   test("XML readStream parses rows incrementally") {
