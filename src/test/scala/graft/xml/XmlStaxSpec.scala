@@ -79,4 +79,20 @@ class XmlStaxSpec extends AnyFunSuite {
     assert(got.map(_.outer) == Seq("<e />", "<e />", "<e>x</e>"))
     assert(got.map(_.value) == Seq("", "", "x"))
   }
+
+  test("namespaced children serialize prefixed names + declarations") {
+    // dispatch/tag use LOCAL names (reference semantics); serialization
+    // keeps prefixes and re-emits xmlns declared ON the element
+    val xml = """<r><n:k xmlns:n="urn:u" a="1"><n:s>v</n:s></n:k></r>"""
+    val Seq(c) = XmlStax.children(xml, Seq("k"), fromRoot = true).toList
+    assert(c.tag == "k")
+    assert(c.outer ==
+      """<n:k xmlns:n="urn:u" a="1"><n:s>v</n:s></n:k>""")
+    assert(c.value == "<n:s>v</n:s>")
+    assert(c.attrs == Seq(("a", "1")))
+    // default-namespace declaration round-trips too
+    val xml2 = """<r><k xmlns="urn:d">t</k></r>"""
+    val Seq(c2) = XmlStax.children(xml2, Seq("k"), fromRoot = true).toList
+    assert(c2.outer == """<k xmlns="urn:d">t</k>""")
+  }
 }
