@@ -160,8 +160,13 @@ object XmlMicroBench {
         var r = 0L
         (1 to reps).foreach(_ => r = fn())
         val sec = (System.nanoTime() - t0) / 1e9 / reps
+        // MB/s only applies to the synthetic-doc cases; the x*_noop/x*_real
+        // cases read testdata whose byte volume n*bytesPerRow doesn't model
         val mbs = n * bytesPerRow / sec / 1e6
-        println(f"$name%-20s ${sec}%8.3f s/rep  ${mbs}%8.1f MB/s  (r=$r)")
+        if (name.startsWith("fx_") || name.startsWith("stax_") ||
+            name.startsWith("dsl_"))
+          println(f"$name%-20s ${sec}%8.3f s/rep  ${mbs}%8.1f MB/s  (r=$r)")
+        else println(f"$name%-20s ${sec}%8.3f s/rep  (r=$r)")
       }
     }
     spark.stop()
