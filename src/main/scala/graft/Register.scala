@@ -40,6 +40,14 @@ object Register {
       require(exprs.length == 1, "xml_element_value(xml)")
       XmlElementValueExpr(exprs.head)
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("xml_explode_children", exprs => {
+      require(exprs.length == 3,
+        "xml_explode_children(xml, 'patterns,comma,separated', fromRoot)")
+      val pats = litString(exprs(1), "patterns").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      graft.xml.XmlExplodeChildren(exprs.head, pats,
+        litBool(exprs(2), "fromRoot"))
+    }, "scala_udf")
     // mergeable MinHash union over array<bigint> signatures of length 8
     // (the engine's default k; other widths via the Column API)
     spark.udf.register("minhash_union8",

@@ -260,6 +260,41 @@ object XmlQueries {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tot
       |FROM orders ORDER BY id""".stripMargin
 
+  /** Op #5 through the UDTF surface (SURVEY §2.2 UDAF/UDTF row): the same
+    * per-order documents as x2, exploded by the custom Catalyst `Generator`
+    * XmlExplodeChildren — rows stream out of the Generate node without an
+    * intermediate array value. */
+  def x8Generator(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val docs = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), dec(col("l_quantity")).as("qty")))).as("items"))
+      .select(col("l_orderkey").as("okey"),
+        concat(lit("<o>"),
+          concat_ws("", transform(col("items"), x =>
+            concat(lit("<item ln='"), s(x.getField("l_linenumber")),
+              lit("'>"), s(x.getField("qty")), lit("</item>")))),
+          lit("</o>")).as("xml"))
+    docs.select(col("okey"),
+        graft.xml.XmlExplodeChildren.xml_explode_children(
+          col("xml"), Seq("item"), fromRoot = true))
+      .select(col("okey"), col("pos").cast("int").as("pos"), col("tag"),
+        col("value").cast("double").as("qty"))
+      .orderBy("okey", "pos")
+  }
+
+  // pos order = sort_array over (l_linenumber, qty) structs, so the oracle
+  // must tie-break duplicate line numbers by quantity too
+  val x8Sql: String =
+    """SELECT l_orderkey AS okey,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, CAST(l_quantity AS DECIMAL(18,2))) - 1 AS INT) AS pos,
+      |  'item' AS tag,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+      |FROM lineitem
+      |ORDER BY okey, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_xml_scan_cast" -> (x1ScanCast _),
     "x2_xml_array_order" -> (x2ArrayOrder _),
@@ -267,7 +302,8 @@ object XmlQueries {
     "x4_xml_firstwins_alt" -> (x4FirstWinsAlt _),
     "x5_xml_custom_composite" -> (x5CustomComposite _),
     "x6_xml_mixed_content" -> (x6MixedContent _),
-    "x7_xml_file_wildcard" -> (x7FileWildcard _))
+    "x7_xml_file_wildcard" -> (x7FileWildcard _),
+    "x8_xml_generator" -> (x8Generator _))
 
   val oracles: Map[String, String] = Map(
     "x1_xml_scan_cast" -> x1Sql,
@@ -276,5 +312,6 @@ object XmlQueries {
     "x4_xml_firstwins_alt" -> x4Sql,
     "x5_xml_custom_composite" -> x5Sql,
     "x6_xml_mixed_content" -> x6Sql,
-    "x7_xml_file_wildcard" -> x7Sql)
+    "x7_xml_file_wildcard" -> x7Sql,
+    "x8_xml_generator" -> x8Sql)
 }

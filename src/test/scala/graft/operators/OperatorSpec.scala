@@ -174,6 +174,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(sqlGot(1)._2 == Seq.tabulate(8)(j => (7 + j).toLong))
   }
 
+  test("xml_explode_children generator: document order, SQL lateral view") {
+    import spark.implicits._
+    graft.Register.all(spark)
+    Seq((1L, "<r><a>x</a><junk/><a>y</a></r>"), (2L, "<r></r>"),
+      (3L, "not xml <"))
+      .toDF("id", "x").createOrReplaceTempView("gdocs")
+    val got = spark.sql(
+      "SELECT id, pos, tag, value FROM gdocs " +
+        "LATERAL VIEW xml_explode_children(x, 'a', true) AS pos, tag, xml, value " +
+        "ORDER BY id, pos").as[(Long, Int, String, String)].collect().toSeq
+    // empty and malformed docs contribute zero rows (PERMISSIVE)
+    assert(got == Seq((1L, 0, "a", "x"), (1L, 1, "a", "y")))
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
