@@ -26,6 +26,21 @@ object Vectors {
   def cosineR(a: Column, b: Column, scale: Int = 4): Column =
     round(cosine(a, b), scale)
 
+  /** Largest absolute component — the symmetric-quantization scale basis. */
+  def maxAbs(v: Column): Column =
+    array_max(transform(v, x => abs(d(x))))
+
+  /** Symmetric int8 quantization: q_i = round(x_i * 127 / maxAbs). At 100 TB
+    * this is the 4x storage/bandwidth lever for embedding columns (float32
+    * -> int8 + one scale per vector); arithmetic is plain doubles + a
+    * half-away-from-zero round, so any engine replays it bit-for-bit. */
+  def quantize(v: Column, maxAbsC: Column): Column =
+    transform(v, x => round(d(x) * lit(127.0) / maxAbsC).cast("int"))
+
+  /** Inverse of [[quantize]] (up to rounding error). */
+  def dequantize(q: Column, maxAbsC: Column): Column =
+    transform(q, x => d(x) * maxAbsC / lit(127.0))
+
   /** Sign-bit LSH bucket from a fixed set of hyperplane vectors: bit i set
     * iff dot(v, plane_i) >= 0. With planes drawn deterministically from the
     * dataset itself (e.g. the first k embeddings), the bucketing is fully

@@ -330,6 +330,38 @@ object ExtensionQueries {
        |  ${(0 until K).map(i => s"min(s$i) AS u$i").mkString(", ")}
        |FROM sig GROUP BY 1 ORDER BY grp""".stripMargin
 
+  /** Symmetric int8 embedding quantization + reconstruction quality: the 4x
+    * storage lever for embedding columns, verified bit-for-bit (quantized
+    * values) and to 4 decimals (cosine between original and dequantized). */
+  def d10EmbedQuant(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    e.select(col("vec_id"), col("embedding"),
+        Vectors.maxAbs(col("embedding")).as("m"))
+      .select(col("vec_id"), col("embedding"), col("m"),
+        Vectors.quantize(col("embedding"), col("m")).as("q"))
+      .select(col("vec_id"),
+        round(col("m"), 6).as("scale_max"),
+        get(col("q"), lit(0)).as("q0"),
+        get(col("q"), lit(1)).as("q1"),
+        Vectors.cosineR(col("embedding"),
+          Vectors.dequantize(col("q"), col("m"))).as("cos_recon"))
+      .orderBy("vec_id")
+  }
+
+  val d10Sql: String = {
+    val dq = "list_transform(q, x -> CAST(x AS DOUBLE) * m / 127.0)"
+    s"""WITH mm AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |  FROM embeddings),
+       |qq AS (SELECT vec_id, embedding, m,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INT)) AS q
+       |  FROM mm)
+       |SELECT vec_id, round(m, 6) AS scale_max, q[1] AS q0, q[2] AS q1,
+       |  round(${cosSql("embedding", dq)}, 4) AS cos_recon
+       |FROM qq ORDER BY vec_id""".stripMargin
+  }
+
   // ======================= similarity search =======================
 
   def a1AnnBrute(sp: SparkSession, dir: String): DataFrame = {
@@ -583,6 +615,39 @@ object ExtensionQueries {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Stream-stream inner join, run live: views joined to same-user clicks
+    * arriving within 6 hours, both sides watermarked so join state stays
+    * bounded. Single-batch drain in append mode emits every match; the
+    * oracle is the identical time-bounded batch join. */
+  def s4StreamJoin(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s4_join_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val views = side("view")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("view_event"))
+    val clicks = side("click")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"),
+        col("event_id").as("click_event"))
+    val joined = graft.streaming.StreamOps.streamStreamJoin(
+      views, clicks, watermark = "48 hours", maxDelay = "6 hours")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(col("key").as("user_id"), col("view_event"),
+        col("click_event"))
+      .orderBy("user_id", "view_event", "click_event")
+  }
+
+  val s4Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts, event_id AS click_event FROM ev WHERE event_type = 'click')
+      |SELECT v.user_id AS user_id, v.view_event, c.click_event
+      |FROM v JOIN c ON c.user_id = v.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+      |ORDER BY v.user_id, view_event, click_event""".stripMargin
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -599,6 +664,7 @@ object ExtensionQueries {
     "d7_simhash_pairs" -> (d7SimhashPairs _),
     "d8_embed_pairs" -> (d8EmbedPairs _),
     "d9_minhash_union" -> (d9MinhashUnion _),
+    "d10_embed_quant" -> (d10EmbedQuant _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
@@ -606,7 +672,8 @@ object ExtensionQueries {
     "m1_multimodal_decode" -> (m1Multimodal _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
-    "s3_asof_join" -> (s3AsOf _))
+    "s3_asof_join" -> (s3AsOf _),
+    "s4_stream_join" -> (s4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -629,5 +696,7 @@ object ExtensionQueries {
     "m1_multimodal_decode" -> m1Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
-    "s3_asof_join" -> s3Sql)
+    "s3_asof_join" -> s3Sql,
+    "s4_stream_join" -> s4Sql,
+    "d10_embed_quant" -> d10Sql)
 }

@@ -51,6 +51,24 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream INNER join with event-time bounds: each left row joins
+    * right rows of the same key whose timestamp falls in
+    * [left.ts, left.ts + maxDelay]. Both sides carry watermarks so the join
+    * state is evictable — the only way a stream-stream join stays bounded on
+    * an unbounded stream (left rows older than watermark + maxDelay can
+    * never match future right rows and are dropped).
+    *
+    * `left` needs columns (key, ts); `right` (rkey, rts); all four are
+    * preserved in the output alongside the payload columns. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, watermark: String,
+      maxDelay: String): DataFrame =
+    left.withWatermark("ts", watermark)
+      .join(right.withWatermark("rts", watermark),
+        col("key") === col("rkey") &&
+          col("rts") >= col("ts") &&
+          col("rts") <= col("ts") + expr(s"interval $maxDelay"),
+        "inner")
+
   /** Drive a streaming DataFrame to completion against currently-available
     * input and return the materialized result (memory sink). This is the
     * batch-shaped harness for incremental queries — production would
