@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.xml.{XmlMemoParseExpr, XmlParser}
+
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def parseCount(plan: org.apache.spark.sql.catalyst.plans.logical
+      .LogicalPlan): Int =
+    plan.collect { case p =>
+      p.expressions.map(_.collect { case _: XmlMemoParseExpr => 1 }.sum).sum
+    }.sum
+
+  // parquet-backed (a local Seq would constant-fold into a LocalRelation
+  // and optimize the parses away entirely)
+  private def multiMemberQuery(sp: SparkSession) = {
+    val parser = XmlParser.struct("r") { a =>
+      org.apache.spark.sql.functions.struct(
+        a.int("i").as("i"), a.nullInt("ni").as("ni"),
+        a.str("s").as("s"), a.nullBool("nb").as("nb"))
+    }
+    sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat(lit("<r><i>"), (col("doc_id") % 10).cast("string"),
+        lit("</i><ni>"), (col("doc_id") % 7).cast("string"),
+        lit("</ni><s>"), substring(col("text"), 1, 3),
+        lit("</s><nb>true</nb></r>")).as("x"))
+      .select(parser.parse(col("x")).as("r")).select("r.*")
+      .orderBy("i", "ni", "s")
+  }
+
+  test("DedupXmlParses rewrites duplicate parses to a single evaluation") {
+    val df = multiMemberQuery(spark)
+    val before = df.queryExecution.optimizedPlan
+    assert(parseCount(before) > 1) // the duplication the rule exists for
+    val after = DedupXmlParses(before)
+    assert(parseCount(after) == 1)
+    // the rule is idempotent (stable under the fixpoint batch)
+    assert(DedupXmlParses(after).fastEquals(after))
+  }
+
+  test("extension-registered session: one parse in the plan, same results") {
+    val baseline = multiMemberQuery(spark).collect().toSeq
+
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sp2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // reuses the JVM's SparkContext, new session state
+      val df = multiMemberQuery(sp2)
+      assert(parseCount(df.queryExecution.optimizedPlan) == 1)
+      assert(df.collect().toSeq == baseline)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
