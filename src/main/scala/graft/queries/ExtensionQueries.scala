@@ -104,6 +104,24 @@ object ExtensionQueries {
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($Toks, t -> ${h("t")})), (acc, hh) -> (acc * 31 + hh) % 2147483648) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Portable linear-counting distinct-token estimate vs the exact count —
+    * the verifiable (and cross-system mergeable) alternative to HLL++ for
+    * corpus vocabulary statistics. */
+  def t5ApproxDistinct(sp: SparkSession, dir: String): DataFrame = {
+    val toks = documents(sp, dir)
+      .select(explode(Text.tokens(col("text"))).as("t"))
+    val est = graft.operators.Sketches.approxDistinct(toks, col("t"), 4096)
+    val exact = toks.agg(countDistinct(col("t")).as("exact_distinct"))
+    est.crossJoin(exact)
+  }
+
+  val t5Sql: String =
+    s"""WITH toks AS (SELECT unnest($Toks) AS t FROM documents),
+       |b AS (SELECT count(DISTINCT ${h("t")} % 4096) AS occupied FROM toks)
+       |SELECT round(-4096.0 * ln(1.0 - occupied::DOUBLE / 4096), 2) AS est_distinct,
+       |  occupied, (SELECT count(DISTINCT t) FROM toks) AS exact_distinct
+       |FROM b""".stripMargin
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -311,7 +329,7 @@ object ExtensionQueries {
     * union sketch = element-wise min per group. */
   def d9MinhashUnion(sp: SparkSession, dir: String): DataFrame = {
     val sigd = Dedup.withMinhashSig(
-      documents(sp, dir).select(col("doc_id"), col("text")),
+      spread(documents(sp, dir).select(col("doc_id"), col("text"))),
       col("text"), 3, K)
     val union = graft.functions.MinhashUnionAgg.minhashUnion(K)
     sigd
@@ -655,6 +673,7 @@ object ExtensionQueries {
     "t2_text_quality" -> (t2Quality _),
     "t3_text_langid" -> (t3LangId _),
     "t4_text_fingerprint" -> (t4Fingerprint _),
+    "t5_approx_distinct" -> (t5ApproxDistinct _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d3_minhash_pairs" -> (d3MinhashPairs _),
@@ -680,6 +699,7 @@ object ExtensionQueries {
     "t2_text_quality" -> t2Sql,
     "t3_text_langid" -> t3Sql,
     "t4_text_fingerprint" -> t4Sql,
+    "t5_approx_distinct" -> t5Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_pairs" -> d3Sql,
