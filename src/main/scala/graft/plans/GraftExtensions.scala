@@ -55,7 +55,9 @@ object DedupXmlParses extends Rule[LogicalPlan] {
       }.toSeq
       if (pullable.isEmpty) p
       else {
-        val aliases = pullable.map(e => Alias(e, "_graft_parse")())
+        // alias the UNWRAPPED parse: evaluated once in its own slot, the
+        // memo wrapper would only add a per-row cache lookup
+        val aliases = pullable.map(e => Alias(e.child, "_graft_parse")())
         val byKey = pullable.map(_.canonicalized)
           .zip(aliases.map(_.toAttribute)).toMap
         val newList = list.map(_.transformUp {

@@ -38,12 +38,23 @@ class PlanSpec extends AnyFunSuite {
       .orderBy("i", "ni", "s")
   }
 
+  private def rawParseCount(plan: org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan): Int =
+    plan.collect { case p =>
+      p.expressions.map(_.collect {
+        case e if e.prettyName == "from_xml" => 1
+      }.sum).sum
+    }.sum
+
   test("DedupXmlParses rewrites duplicate parses to a single evaluation") {
     val df = multiMemberQuery(spark)
     val before = df.queryExecution.optimizedPlan
     assert(parseCount(before) > 1) // the duplication the rule exists for
     val after = DedupXmlParses(before)
-    assert(parseCount(after) == 1)
+    // pulled parse is unwrapped (no memo needed for a single evaluation):
+    // zero wrappers remain, exactly one raw from_xml runs per row
+    assert(parseCount(after) == 0)
+    assert(rawParseCount(after) == 1)
     // the rule is idempotent (stable under the fixpoint batch)
     assert(DedupXmlParses(after).fastEquals(after))
   }
@@ -64,7 +75,8 @@ class PlanSpec extends AnyFunSuite {
         .withExtensions(new GraftExtensions)
         .getOrCreate() // reuses the JVM's SparkContext, new session state
       val df = multiMemberQuery(sp2)
-      assert(parseCount(df.queryExecution.optimizedPlan) == 1)
+      assert(parseCount(df.queryExecution.optimizedPlan) == 0)
+      assert(rawParseCount(df.queryExecution.optimizedPlan) == 1)
       assert(df.collect().toSeq == baseline)
     } finally {
       SparkSession.clearActiveSession()
