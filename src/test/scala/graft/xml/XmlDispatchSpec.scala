@@ -137,6 +137,34 @@ class XmlDispatchSpec extends AnyFunSuite {
     assert(got.sorted == recs.sorted)
   }
 
+  test("rowTag splitter property: random records round-trip at every " +
+      "split size") {
+    // deterministic pseudo-random corpus: varied record sizes, attributes,
+    // self-closing forms, whitespace, container noise
+    val rnd = new scala.util.Random(4242)
+    val recs = (0 until 300).map { i =>
+      rnd.nextInt(4) match {
+        case 0 => s"""<rec id="$i"/>"""
+        case 1 => s"""<rec id="$i" k="${rnd.nextInt(100)}">${
+          "v" * (1 + rnd.nextInt(40))}</rec>"""
+        case 2 => s"""<rec id="$i"><a>${rnd.nextInt(1000)}</a><b/></rec>"""
+        case _ => s"""<rec id="$i"><c x="y">${
+          "w " * rnd.nextInt(20)}</c></rec>"""
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlprop")
+    val w = new java.io.PrintWriter(dir.resolve("one.xml").toFile)
+    w.write(recs.mkString("<all>", "\n  ", "</all>"))
+    w.close()
+    // sweep split sizes from pathological (splits inside tags) to one-split
+    Seq(64L, 128L, 333L, 1024L, 1000000L).foreach { maxSplit =>
+      val got = splitterRead(dir.toString + "/one.xml", Some(maxSplit))
+        .map(_._2.toString).collect().toSeq
+      assert(got.sorted == recs.sorted,
+        s"mismatch at split.maxsize=$maxSplit: got ${got.length}")
+    }
+  }
+
   test("rowTag splitter: same-name nested tags are depth-counted " +
       "within a split") {
     val dir = java.nio.file.Files.createTempDirectory("graftxmlnest")
