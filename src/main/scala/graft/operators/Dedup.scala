@@ -127,6 +127,39 @@ object Dedup {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** End-to-end near-dup dedup: MinHash-LSH candidates -> exact n-gram
+    * Jaccard verification -> greedy survivor selection. The full pipeline a
+    * training corpus actually runs, composed so the corpus text is scanned
+    * twice (once for sketches, once to verify candidates) and never
+    * self-joined.
+    *
+    * Survivor rule is GREEDY, not transitive closure: a doc is dropped iff
+    * a confirmed near-duplicate with a smaller id exists (id_a < id_b pairs
+    * drop id_b). Chains a-b, b-c with no a-c pair keep a and c — the
+    * standard single-pass trade; full clustering is an iterative
+    * min-label-propagation on the confirmed-pair graph.
+    *
+    * Returns (id, is_survivor, n_dups) — n_dups = confirmed duplicates
+    * with a smaller id. */
+  def nearDupSurvivors(df: DataFrame, id: Column, text: Column, n: Int,
+      k: Int, rows: Int, threshold: Double): DataFrame = {
+    val docs = df.select(id.as("__id"), text.as("__text"))
+    val cand = minhashCandidates(docs, col("__id"), col("__text"), n, k, rows)
+    val sh = docs.select(col("__id"),
+      shingleSet(col("__text"), n).as("__sh"))
+    val confirmed = cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sa")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sb")), "id_b")
+      .filter(jaccard(col("sa"), col("sb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    docs.select(col("__id").as("id"))
+      .join(confirmed.groupBy(col("id_b").as("id"))
+        .agg(count(lit(1)).as("n_dups")), Seq("id"), "left")
+      .select(col("id"),
+        col("n_dups").isNull.as("is_survivor"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+
   /** LSH candidate pairs: ids that collide in at least one band of the
     * MinHash signature, with the signature-estimated similarity.
     * `rows` = signature positions per band; bands = k / rows.

@@ -194,6 +194,53 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The END-TO-END dedup pipeline over a re-crawled corpus: MinHash
+    * sketches -> LSH band candidates -> exact Jaccard verify -> greedy
+    * survivors. Every stage of the composition is replayed by the oracle,
+    * so the gate certifies the pipeline, not just its pieces. */
+  def d11DedupE2e(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"), col("text"))
+    val recrawl = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text"))
+    Dedup.nearDupSurvivors(spread(docs.union(recrawl)), col("doc_id"),
+        col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8)
+      .orderBy("id")
+  }
+
+  val d11Sql: String = {
+    val bands = K / BandRows
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(s${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig2"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sh2 AS (SELECT doc_id, ${shingleSql("t")} AS s FROM toks2),
+       |hh2 AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM sh2),
+       |sig2 AS (SELECT doc_id, $sigSqlCols FROM hh2),
+       |bands2 AS ($bandSelects),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands2 l JOIN bands2 r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |conf AS (SELECT c.id_a, c.id_b,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |    len(a.s) + len(b.s) AS tot
+       |  FROM cand c JOIN sh2 a ON a.doc_id = c.id_a
+       |              JOIN sh2 b ON b.doc_id = c.id_b),
+       |confirmed AS (SELECT id_a, id_b FROM conf
+       |  WHERE CASE WHEN tot = 0 THEN 0.0
+       |             ELSE inter::DOUBLE / (tot - inter) END >= 0.8),
+       |drops AS (SELECT id_b AS id, count(*) AS n_dups
+       |  FROM confirmed GROUP BY 1)
+       |SELECT corpus.doc_id AS id, (drops.n_dups IS NULL) AS is_survivor,
+       |  coalesce(drops.n_dups, 0) AS n_dups
+       |FROM corpus LEFT JOIN drops ON drops.id = corpus.doc_id
+       |ORDER BY id""".stripMargin
+  }
+
   // ---- shared 64-bit SimHash SQL (mirrors Hashing.simhash64 exactly) ----
   private def h2(x: String, w: Int) =
     s"('0x' || substr(md5($x), ${1 + 8 * w}, 8))::BIGINT"
@@ -684,6 +731,7 @@ object ExtensionQueries {
     "d8_embed_pairs" -> (d8EmbedPairs _),
     "d9_minhash_union" -> (d9MinhashUnion _),
     "d10_embed_quant" -> (d10EmbedQuant _),
+    "d11_dedup_e2e" -> (d11DedupE2e _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
@@ -718,5 +766,6 @@ object ExtensionQueries {
     "s2_sessionize" -> s2Sql,
     "s3_asof_join" -> s3Sql,
     "s4_stream_join" -> s4Sql,
-    "d10_embed_quant" -> d10Sql)
+    "d10_embed_quant" -> d10Sql,
+    "d11_dedup_e2e" -> d11Sql)
 }
