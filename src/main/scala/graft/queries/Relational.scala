@@ -331,6 +331,29 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Pivot (crosstab aggregation): quantity by linestatus pivoted across
+    * explicit returnflag values. Spark plans the pivot as a single
+    * partial+final aggregate over CASE-WHEN projections (no extra shuffle
+    * vs a plain groupBy); an explicit value list keeps it one pass — the
+    * two-pass values-discovery form is the thing to avoid at scale. The
+    * oracle is the equivalent conditional aggregation. */
+  def q13Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(asDouble(sum(dec(col("l_quantity")))))
+      .select(col("l_linestatus").as("linestatus"),
+        col("A").as("qty_a"), col("N").as("qty_n"), col("R").as("qty_r"))
+      .orderBy("linestatus")
+
+  val q13Sql: String =
+    """SELECT l_linestatus AS linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus
+      |ORDER BY linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -343,7 +366,8 @@ object Relational {
     "q9_distinct_agg" -> (q9DistinctAgg _),
     "q10_salted_join" -> (q10SaltedJoin _),
     "q11_percentiles" -> (q11Percentiles _),
-    "q12_cube" -> (q12Cube _))
+    "q12_cube" -> (q12Cube _),
+    "q13_pivot" -> (q13Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -357,5 +381,6 @@ object Relational {
     "q9_distinct_agg" -> q9Sql,
     "q10_salted_join" -> q10Sql,
     "q11_percentiles" -> q11Sql,
-    "q12_cube" -> q12Sql)
+    "q12_cube" -> q12Sql,
+    "q13_pivot" -> q13Sql)
 }
