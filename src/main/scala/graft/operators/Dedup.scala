@@ -144,20 +144,61 @@ object Dedup {
   def nearDupSurvivors(df: DataFrame, id: Column, text: Column, n: Int,
       k: Int, rows: Int, threshold: Double): DataFrame = {
     val docs = df.select(id.as("__id"), text.as("__text"))
-    val cand = minhashCandidates(docs, col("__id"), col("__text"), n, k, rows)
-    val sh = docs.select(col("__id"),
-      shingleSet(col("__text"), n).as("__sh"))
-    val confirmed = cand
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sa")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sb")), "id_b")
-      .filter(jaccard(col("sa"), col("sb")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+    val confirmed = confirmedNearDupPairs(df, id, text, n, k, rows, threshold)
     docs.select(col("__id").as("id"))
       .join(confirmed.groupBy(col("id_b").as("id"))
         .agg(count(lit(1)).as("n_dups")), Seq("id"), "left")
       .select(col("id"),
         col("n_dups").isNull.as("is_survivor"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+
+  /** Confirmed near-dup pairs (id_a < id_b): MinHash-LSH candidates whose
+    * EXACT n-gram Jaccard reaches `threshold` — the verified edge set the
+    * survivor/clustering stages consume. The corpus text is scanned twice
+    * (sketches, verification) and never self-joined. */
+  def confirmedNearDupPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      k: Int, rows: Int, threshold: Double): DataFrame = {
+    val docs = df.select(id.as("__id"), text.as("__text"))
+    val cand = minhashCandidates(docs, col("__id"), col("__text"), n, k, rows)
+    val sh = docs.select(col("__id"),
+      shingleSet(col("__text"), n).as("__sh"))
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sa")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sb")), "id_b")
+      .filter(jaccard(col("sa"), col("sb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Full dedup CLUSTERING over a confirmed near-dup pair graph: `iters`
+    * rounds of min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors — so after i rounds every
+    * node within graph distance i of its component's minimum carries that
+    * minimum. Fixes [[nearDupSurvivors]]' greedy non-transitivity: chains
+    * a-b-c land in ONE cluster.
+    *
+    * Deterministic given (ids, pairs, iters), so an oracle can unroll the
+    * rounds in SQL exactly (same pattern as Ann.kmeansRefine). Components
+    * wider than `iters` hops keep distinct labels (document/choose iters ~
+    * expected diameter; near-dup components are shallow in practice).
+    *
+    * Scale: per round one shuffle of edges joined to labels + one
+    * min-aggregate — the standard DataFrame connected-components loop. For
+    * many rounds, checkpoint labels every few iterations to cut lineage. */
+  def dedupClusters(ids: DataFrame, pairs: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col("id"), col("id").as("label"))
+    for (_ <- 0 until iters) {
+      val nbr = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("__nid")).agg(min("label").as("__nl"))
+      labels = labels.join(nbr, labels("id") === nbr("__nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label")))
+            .as("label"))
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** LSH candidate pairs: ids that collide in at least one band of the

@@ -241,6 +241,63 @@ object ExtensionQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** Full dedup clustering: the d11 pipeline's confirmed pairs, then 3
+    * rounds of min-label propagation — every doc labeled with its
+    * connected component's minimum id, so a-b-c chains collapse into one
+    * cluster (d11's greedy rule cannot). Oracle unrolls the rounds. */
+  def d12DedupClusters(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"), col("text"))
+    val recrawl = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text"))
+    val corpus = spread(docs.union(recrawl))
+    val confirmed = Dedup.confirmedNearDupPairs(corpus, col("doc_id"),
+      col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8)
+    Dedup.dedupClusters(corpus.select(col("doc_id").as("id")), confirmed,
+        iters = 3)
+      .orderBy("id")
+  }
+
+  val d12Sql: String = {
+    val bands = K / BandRows
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(s${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig2"
+    }.mkString("\nUNION ALL\n")
+    def round(prev: String, cur: String) =
+      s"""n$cur AS (SELECT e.dst AS id, min(l$prev.label) AS nl
+         |  FROM edges e JOIN l$prev ON l$prev.id = e.src GROUP BY e.dst),
+         |l$cur AS (SELECT l$prev.id,
+         |    least(l$prev.label, coalesce(n$cur.nl, l$prev.label)) AS label
+         |  FROM l$prev LEFT JOIN n$cur ON n$cur.id = l$prev.id)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sh2 AS (SELECT doc_id, ${shingleSql("t")} AS s FROM toks2),
+       |hh2 AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM sh2),
+       |sig2 AS (SELECT doc_id, $sigSqlCols FROM hh2),
+       |bands2 AS ($bandSelects),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands2 l JOIN bands2 r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |conf AS (SELECT c.id_a, c.id_b,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |    len(a.s) + len(b.s) AS tot
+       |  FROM cand c JOIN sh2 a ON a.doc_id = c.id_a
+       |              JOIN sh2 b ON b.doc_id = c.id_b),
+       |confirmed AS (SELECT id_a, id_b FROM conf
+       |  WHERE CASE WHEN tot = 0 THEN 0.0
+       |             ELSE inter::DOUBLE / (tot - inter) END >= 0.8),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM confirmed
+       |  UNION ALL SELECT id_b, id_a FROM confirmed),
+       |l0 AS (SELECT doc_id AS id, doc_id AS label FROM corpus),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT id, label AS cluster_id FROM l3 ORDER BY id""".stripMargin
+  }
+
   // ---- shared 64-bit SimHash SQL (mirrors Hashing.simhash64 exactly) ----
   private def h2(x: String, w: Int) =
     s"('0x' || substr(md5($x), ${1 + 8 * w}, 8))::BIGINT"
@@ -732,6 +789,7 @@ object ExtensionQueries {
     "d9_minhash_union" -> (d9MinhashUnion _),
     "d10_embed_quant" -> (d10EmbedQuant _),
     "d11_dedup_e2e" -> (d11DedupE2e _),
+    "d12_dedup_clusters" -> (d12DedupClusters _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
@@ -767,5 +825,6 @@ object ExtensionQueries {
     "s3_asof_join" -> s3Sql,
     "s4_stream_join" -> s4Sql,
     "d10_embed_quant" -> d10Sql,
-    "d11_dedup_e2e" -> d11Sql)
+    "d11_dedup_e2e" -> d11Sql,
+    "d12_dedup_clusters" -> d12Sql)
 }
