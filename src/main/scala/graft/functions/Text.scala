@@ -21,6 +21,16 @@ object Text {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** PII scrubbing: redact emails and phone numbers — the standard
+    * training-corpus hygiene pass. Patterns stay in the regex subset that
+    * Java and RE2-style engines interpret identically, so the oracle
+    * replays them verbatim. */
+  def scrubPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+    regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
+  }
+
   /** Punctuation chars / total chars. */
   def punctRatio(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") /

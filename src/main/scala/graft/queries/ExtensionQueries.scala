@@ -122,6 +122,35 @@ object ExtensionQueries {
        |  occupied, (SELECT count(DISTINCT t) FROM toks) AS exact_distinct
        |FROM b""".stripMargin
 
+  /** Text hygiene: PII scrubbing (emails, phone numbers) + Unicode NFC
+    * normalization over text with injected PII and a decomposed accent —
+    * both verified against DuckDB's identical regexes / nfc_normalize. */
+  def t6TextScrub(sp: SparkSession, dir: String): DataFrame = {
+    val raw = concat(substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 555-123-4567 at cafe\u0301"))
+    documents(sp, dir).select(
+      col("doc_id"),
+      Text.scrubPii(raw).as("scrubbed"),
+      graft.functions.NfcNormalizeExpr.nfc_normalize(raw).as("nfc"),
+      (length(raw) - length(graft.functions.NfcNormalizeExpr
+        .nfc_normalize(raw))).as("nfc_delta"))
+      .orderBy("doc_id")
+  }
+
+  val t6Sql: String = {
+    val raw = "substring(text, 1, 40) || ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-123-4567 " +
+      "at cafe' || chr(769)" // U+0301, same decomposed form as the query
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace($raw,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+       |  nfc_normalize($raw) AS nfc,
+       |  CAST(length($raw) - length(nfc_normalize($raw)) AS INT) AS nfc_delta
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -778,6 +807,7 @@ object ExtensionQueries {
     "t3_text_langid" -> (t3LangId _),
     "t4_text_fingerprint" -> (t4Fingerprint _),
     "t5_approx_distinct" -> (t5ApproxDistinct _),
+    "t6_text_scrub" -> (t6TextScrub _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d3_minhash_pairs" -> (d3MinhashPairs _),
@@ -806,6 +836,7 @@ object ExtensionQueries {
     "t3_text_langid" -> t3Sql,
     "t4_text_fingerprint" -> t4Sql,
     "t5_approx_distinct" -> t5Sql,
+    "t6_text_scrub" -> t6Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_pairs" -> d3Sql,
