@@ -151,6 +151,26 @@ object ExtensionQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic 80/10/10 train/val/test split by portable key hash:
+    * per-split doc counts and token totals — assignment is a pure function
+    * of the key, so the oracle reproduces every row's split exactly. */
+  def t7HashSplit(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(documents(sp, dir),
+        col("doc_id").cast("string"), trainPct = 80, valPct = 10)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("split")
+
+  val t7Sql: String =
+    s"""SELECT CASE
+       |    WHEN ${h("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |    WHEN ${h("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  SUM(CAST(len($Toks) AS BIGINT)) AS n_tokens
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -808,6 +828,7 @@ object ExtensionQueries {
     "t4_text_fingerprint" -> (t4Fingerprint _),
     "t5_approx_distinct" -> (t5ApproxDistinct _),
     "t6_text_scrub" -> (t6TextScrub _),
+    "t7_hash_split" -> (t7HashSplit _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d3_minhash_pairs" -> (d3MinhashPairs _),
@@ -837,6 +858,7 @@ object ExtensionQueries {
     "t4_text_fingerprint" -> t4Sql,
     "t5_approx_distinct" -> t5Sql,
     "t6_text_scrub" -> t6Sql,
+    "t7_hash_split" -> t7Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_pairs" -> d3Sql,
