@@ -187,8 +187,14 @@ object Dedup {
     * many rounds, checkpoint labels every few iterations to cut lineage. */
   def dedupClusters(ids: DataFrame, pairs: DataFrame,
       iters: Int): DataFrame = {
+    // persist the edge list: every round references it, and without the
+    // cache the whole upstream pipeline (sketch -> LSH -> verify) would
+    // re-execute once per round. Edges are pair-count sized (sketch-scale,
+    // never corpus-scale); lifecycle is the session's (harnesses
+    // clearCache between queries).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     var labels = ids.select(col("id"), col("id").as("label"))
     for (_ <- 0 until iters) {
       val nbr = edges.join(labels, edges("src") === labels("id"))
