@@ -48,6 +48,10 @@ object Register {
       graft.xml.XmlExplodeChildren(exprs.head, pats,
         litBool(exprs(2), "fromRoot"))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", exprs => {
+      require(exprs.length == 1, "nfc_normalize(str)")
+      graft.functions.NfcNormalizeExpr(exprs.head)
+    }, "scala_udf")
     // mergeable MinHash union over array<bigint> signatures of length 8
     // (the engine's default k; other widths via the Column API)
     spark.udf.register("minhash_union8",

@@ -14,9 +14,11 @@ import graft.xml.XmlParser
   * same output directly from the tables. A hash match therefore certifies the
   * full parse pipeline (build -> parse -> extract) end to end.
   *
-  * Scale: XML construction + parsing is per-row and embarrassingly parallel —
-  * no shuffle is introduced beyond what the underlying query needs; the
-  * parse stays inside the scan stage's pipeline.
+  * Scale: XML construction + parsing is per-row and embarrassingly
+  * parallel. The CPU-heavy queries insert one round-robin repartition
+  * (Tables.spread) between the scan and the parse: the test parquet is
+  * single-row-group, so without it the whole parse stage would pin to one
+  * task — at production scale the barrier degenerates to a cheap rebalance.
   */
 object XmlQueries {
 

@@ -200,5 +200,9 @@ class OperatorSpec extends AnyFunSuite {
     val ev = spark.sql(
       "SELECT xml_element_value('<k>hi <b/> there</k>')").as[String].head()
     assert(ev == "hi <b /> there")
+    // NFC normalization from SQL: decomposed e + combining acute -> é
+    val nfc = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301')").as[String].head()
+    assert(nfc == "caf\u00e9")
   }
 }
