@@ -240,7 +240,9 @@ object XmlQueries {
       lit("</st_"), col("o_orderstatus"), lit("></vals></rec>"))
     val outDir = "/tmp/graft-x7-" +
       java.lang.Integer.toHexString(dir.hashCode)
-    o.select(xml.as("value")).write.mode("overwrite").text(outDir)
+    // spread the write: the 1-partition scan would otherwise serialize
+    // both the file write and (single big file) the read-back
+    spread(o.select(xml.as("value"))).write.mode("overwrite").text(outDir)
     val parser = XmlParser.struct("rec") { a =>
       struct(
         a.int("id").as("id"),

@@ -527,6 +527,12 @@ final class CompiledXmlParser private[xml] (
       val conf = new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration)
       conf.set(XmlElementInputFormat.RowTagKey, rootTag.get)
+      // XML parsing is CPU-heavy relative to IO: default to fine-grained
+      // splits so a single large file still fans out across cores
+      // (overridable via the standard Hadoop key)
+      if (conf.get("mapreduce.input.fileinputformat.split.maxsize") == null)
+        conf.setLong("mapreduce.input.fileinputformat.split.maxsize",
+          4L * 1024 * 1024)
       val rdd = spark.sparkContext.newAPIHadoopFile(path,
           classOf[XmlElementInputFormat],
           classOf[org.apache.hadoop.io.LongWritable],
