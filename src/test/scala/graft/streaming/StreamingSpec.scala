@@ -106,6 +106,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(frames == expect)
   }
 
+  test("foreachBatch sink: streaming micro-batches land as parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graftfb").toString
+    val ev = StreamOps.eventsStream(spark, sf)
+    val q = ev.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the custom-sink escape hatch: arbitrary batch writes with the
+        // micro-batch id available for idempotent upserts
+        df.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val written = spark.read.parquet(out)
+    assert(written.count() == graft.Tables.events(spark, sf).count())
+    assert(written.columns.contains("batch_id"))
+  }
+
   test("BMP/WAV builders round-trip through the header decoder") {
     val M = graft.operators.Multimodal
     val bmp = M.MediaRow(2L, M.buildBmp(13, 5, "hello".getBytes), "x", 10)
