@@ -38,20 +38,16 @@ object Dedup {
       size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** MinHash signature columns s0..s{k-1} for a text column.
-    * The shingle hashes are materialized as one intermediate column so the
-    * md5 work runs ONCE per row, not once per permutation — an 8x constant
-    * factor at any scale. */
+  /** MinHash signature columns s0..s{k-1} for a text column, computed by
+    * the one-pass codegen'd [[graft.functions.MinhashSigExpr]] (shingle,
+    * dedup, md5, and all k permutation minima in a single loop — one md5
+    * per distinct shingle, no intermediate arrays). */
   def withMinhashSig(df: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
-    val hashed = df.withColumn("__hs",
-      transform(shingleSet(text, n), s => Hashing.portableHash32(s)))
-    val sigd = (0 until k).foldLeft(hashed) { (d, i) =>
-      d.withColumn(s"s$i",
-        coalesce(array_min(transform(col("__hs"),
-          h => (h * Hashing.minhashA(i) + Hashing.minhashB(i)) %
-            Hashing.MinhashP)), lit(Hashing.MinhashP)))
-    }
-    sigd.drop("__hs")
+    val sigd = df.withColumn("__sig",
+      graft.functions.MinhashSigExpr.minhash_sig(Text.tokens(text), n, k))
+    (0 until k).foldLeft(sigd) { (d, i) =>
+      d.withColumn(s"s$i", get(col("__sig"), lit(i)))
+    }.drop("__sig")
   }
 
   /** SimHash near-dup pairs: candidates collide when any of `bands`

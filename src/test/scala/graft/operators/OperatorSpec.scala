@@ -121,6 +121,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("minhash_sig: one-pass expression equals the reference Column formula") {
+    import graft.functions.{Hashing, MinhashSigExpr, Text}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"))
+    val reference = Hashing.minhashSig(
+      array_distinct(Hashing.shingles(Text.tokens(col("text")), 3)), 8)
+    val mismatches = docs
+      .select(MinhashSigExpr.minhash_sig(Text.tokens(col("text")), 3, 8)
+          .as("fast"),
+        reference.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // short doc -> all-sentinel signature in both forms
+    import spark.implicits._
+    val sent = Seq("one two").toDF("text")
+      .select(MinhashSigExpr.minhash_sig(Text.tokens(col("text")), 3, 8))
+      .as[Seq[Long]].head()
+    assert(sent == Seq.fill(8)(Hashing.MinhashP))
+  }
+
   test("simhash64: band knobs must fit the 64-bit sketch") {
     import spark.implicits._
     val docs = Seq((1L, "a b c")).toDF("id", "text")
