@@ -208,6 +208,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0, "a", "x"), (1L, 1, "a", "y")))
   }
 
+  test("hashSplit: deterministic, partition-independent, bounds checked") {
+    import spark.implicits._
+    val df = spark.range(1000).select(col("id").cast("string").as("k"))
+    val a = Sampling.hashSplit(df, col("k"), 80, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same assignment regardless of physical layout
+    val b = Sampling.hashSplit(df.repartition(13), col("k"), 80, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.sum == 1000 && a.keySet == Set("train", "val", "test"))
+    // roughly proportional (hash uniformity; generous band)
+    assert(a("train") > 700 && a("test") < 200)
+    assertThrows[IllegalArgumentException] {
+      Sampling.hashSplit(df, col("k"), 90, 20)
+    }
+  }
+
+  test("approxDistinct: estimate tracks exact count; saturation -> null") {
+    import spark.implicits._
+    val df = spark.range(2000).select((col("id") % 500).cast("string").as("v"))
+    val row = Sketches.approxDistinct(df, col("v"), 4096).head()
+    val est = row.getDouble(0)
+    assert(math.abs(est - 500) / 500 < 0.15, s"est=$est")
+    // m distinct values into m buckets: fully saturated -> ln(0) -> null
+    val sat = spark.range(64).select(col("id").cast("string").as("v"))
+    val satRow = Sketches.approxDistinct(sat, col("v"), 1).head()
+    assert(satRow.isNullAt(0))
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
