@@ -32,11 +32,11 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(Hashing.shingles(Text.tokens(text), n))
 
-  /** Exact Jaccard similarity between two shingle-set columns. */
+  /** Exact Jaccard similarity between two shingle-set columns — the
+    * one-pass codegen'd kernel (see graft.functions.JaccardExpr); values
+    * bit-match size(array_intersect)/size(array_union). */
   def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
-      size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"))
+    graft.functions.JaccardExpr.jaccard(a, b)
 
   /** MinHash signature columns s0..s{k-1} for a text column, computed by
     * the one-pass codegen'd [[graft.functions.MinhashSigExpr]] (shingle,

@@ -121,6 +121,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty == 0L)
   }
 
+  test("jaccard kernel equals size(array_intersect)/size(array_union)") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("b", "b", "a")), // internal duplicates
+      (Seq.empty[String], Seq.empty[String]),   // empty union -> 0.0
+      (Seq("x"), Seq.empty[String]),
+      (Seq("a", null), Seq(null, "b")),         // null as a set element
+      (Seq("a", null), Seq("b")))
+    val df = cases.toDF("a", "b")
+    val reference = when(size(array_union(col("a"), col("b"))) === 0,
+      lit(0.0)).otherwise(
+      size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double"))
+    val rows = df.select(
+      graft.functions.JaccardExpr.jaccard(col("a"), col("b")).as("fast"),
+      reference.as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("minhash_sig: one-pass expression equals the reference Column formula") {
     import graft.functions.{Hashing, MinhashSigExpr, Text}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
