@@ -149,6 +149,36 @@ object Dedup {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
   }
 
+  /** [[dedupClusters]] run to CONVERGENCE: iterate min-label propagation
+    * until no label changes (or maxIters), localCheckpoint-ing each round
+    * so lineage stays flat — the production form for graphs whose diameter
+    * is unknown. Components of any width collapse fully. */
+  def dedupClustersConverged(ids: DataFrame, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbr = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("__nid")).agg(min("label").as("__nl"))
+      val next = labels.join(nbr, labels("id") === nbr("__nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nl"), col("label")))
+            .as("label"))
+        .localCheckpoint() // flat lineage per round
+      changed = next.select(col("id"), col("label").as("__new"))
+        .join(labels, "id")
+        .filter(col("__new") =!= col("label")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Confirmed near-dup pairs (id_a < id_b): MinHash-LSH candidates whose
     * EXACT n-gram Jaccard reaches `threshold` — the verified edge set the
     * survivor/clustering stages consume. The corpus text is scanned twice

@@ -228,6 +228,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0, "a", "x"), (1L, 1, "a", "y")))
   }
 
+  test("dedupClustersConverged collapses long chains the fixed rounds miss") {
+    import spark.implicits._
+    // a 30-node path graph: diameter 29, so 3 fixed rounds CANNOT finish
+    val ids = (0L until 30L).toDF("id")
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fixed = Dedup.dedupClusters(ids, pairs, iters = 3)
+      .agg(countDistinct("cluster_id")).head().getLong(0)
+    assert(fixed > 1) // honest: unrolled rounds bound the reach
+    val conv = Dedup.dedupClustersConverged(ids, pairs)
+    val labels = conv.select("cluster_id").distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(0L)) // one component, min label wins
+    // disjoint components keep distinct minima
+    val pairs2 = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val conv2 = Dedup.dedupClustersConverged(
+        (0L until 12L).toDF("id"), pairs2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv2(2L) == 0L && conv2(11L) == 10L && conv2(5L) == 5L)
+  }
+
   test("hashSplit: deterministic, partition-independent, bounds checked") {
     import spark.implicits._
     val df = spark.range(1000).select(col("id").cast("string").as("k"))
