@@ -18,6 +18,29 @@ import graft.functions.Hashing
   */
 object Sampling {
 
+  /** GPT-style sequence-packing layout: documents concatenated in a stable
+    * order and chunked into `capacity`-token windows. Emits each doc's
+    * global token offset, its pack (context window) id, and whether it
+    * straddles a window boundary — the bookkeeping a pretraining data
+    * loader needs. One window-function pass (running sum over the order
+    * key); fully deterministic and engine-portable.
+    *
+    * Scale: a single global ordering is a one-partition window at the
+    * extreme; shard first (e.g. by [[hashSplit]] or date) and pack within
+    * shards, exactly as distributed tokenizer pipelines do. */
+  def packingLayout(df: DataFrame, orderKey: Column, nTokens: Column,
+      capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderKey)
+    df.withColumn("__n", nTokens)
+      .withColumn("start_offset",
+        coalesce(sum(col("__n")).over(
+          w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"start_offset div $capacity"))
+      .withColumn("spans_boundary",
+        expr(s"(start_offset + __n - 1) div $capacity") > col("pack_id"))
+      .drop("__n")
+  }
+
   /** Add a `split` column ("train" / "val" / "test") by hash percent:
     * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val, rest test.
     */

@@ -171,6 +171,28 @@ object ExtensionQueries {
        |  SUM(CAST(len($Toks) AS BIGINT)) AS n_tokens
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Sequence-packing layout for pretraining: per-doc global token offset,
+    * context-window (pack) id at capacity 512, boundary-straddle flag. */
+  def t8SeqPack(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.packingLayout(
+        documents(sp, dir).select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), capacity = 512)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("pack_id"), col("spans_boundary"))
+      .orderBy("doc_id")
+
+  val t8Sql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS INT) AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       |  ((start_offset + n_tokens - 1) // 512) > (start_offset // 512) AS spans_boundary
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -829,6 +851,7 @@ object ExtensionQueries {
     "t5_approx_distinct" -> (t5ApproxDistinct _),
     "t6_text_scrub" -> (t6TextScrub _),
     "t7_hash_split" -> (t7HashSplit _),
+    "t8_seq_pack" -> (t8SeqPack _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d3_minhash_pairs" -> (d3MinhashPairs _),
@@ -859,6 +882,7 @@ object ExtensionQueries {
     "t5_approx_distinct" -> t5Sql,
     "t6_text_scrub" -> t6Sql,
     "t7_hash_split" -> t7Sql,
+    "t8_seq_pack" -> t8Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_pairs" -> d3Sql,
