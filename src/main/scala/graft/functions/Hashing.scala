@@ -67,12 +67,15 @@ object Hashing {
     * arrays: `lo` votes bits 0-31, `hi` votes bits 32-63. Bit 63's weight is
     * Long.MinValue — the sum stays in signed-64 range because bits 0-62 sum
     * to at most 2^63-1 (two's complement, identical in DuckDB BIGINT).
+    * Null hash entries (from null tokens) are skipped, matching the one-pass
+    * [[Simhash64Expr]], which skips null tokens — without the filter a
+    * single null would null the whole vote fold and zero the sketch.
     * 64 interpreted folds — use [[simhash64]] on hot paths; a unit test pins
     * the two forms equal. */
   def simhash64FromHashes(lo: Column, hi: Column): Column =
     (0 until 64).map { j =>
       val (hashes, bit) = if (j < 32) (lo, j) else (hi, j - 32)
-      val vote = aggregate(hashes, lit(0L),
+      val vote = aggregate(filter(hashes, h => h.isNotNull), lit(0L),
         (acc, h) => acc + (shiftright(h, bit) % 2) * 2 - 1)
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

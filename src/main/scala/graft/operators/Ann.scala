@@ -44,43 +44,72 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** The (config-sized) centroid table collected to the driver as
+    * (cid, cvec-as-double), cid-ascending — like Spark MLlib's KMeans,
+    * centroids live driver-side and ship to executors inside the plan;
+    * the corpus is never joined against them. Double(float) is exact, so
+    * collecting float embeddings as doubles changes no value. */
+  private def centroidSeq(centroids: DataFrame): IndexedSeq[(Long, IndexedSeq[Double])] =
+    centroids.select(col("cid").cast("long"),
+        transform(col("cvec"), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
+  /** Per-row array of (cosine-to-centroid, -cid) structs — the MAP-SIDE
+    * replacement for crossJoin(broadcast(centroids)) + row_number window:
+    * nearest cell = array_max (max cs; ties -> max -cid = min cid), probe
+    * set = head of the descending sort. Zero shuffle, zero duplication of
+    * corpus rows. Arithmetic is the exact join-form formula — dot/(|v||c|)
+    * with left-to-right double folds (|c| pre-folded on the driver in the
+    * same order) — so every cs is bit-identical to the old plan's. */
+  private def centScores(vec: Column, vnorm: Column,
+      cents: Seq[(Long, IndexedSeq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      val cnorm = math.sqrt(cv.foldLeft(0.0)((s, x) => s + x * x))
+      struct(
+        (Vectors.dot(vec, typedLit(cv.toArray)) / (vnorm * lit(cnorm))).as("cs"),
+        lit(-cid).as("ncid"))
+    }: _*)
+
+  private def nearestCid(vec: Column, vnorm: Column,
+      cents: Seq[(Long, IndexedSeq[Double])]): Column =
+    -array_max(centScores(vec, vnorm, cents)).getField("ncid")
+
   /** IVF (inverted-file) index: every corpus vector is assigned to its
     * nearest centroid cell (cosine, ties to the lower centroid id).
-    * `centroids`: (cid, cvec) — small, broadcast. One pass over the corpus.
+    * `centroids`: (cid, cvec) — small, collected driver-side.
     *
-    * Scale: with cells ~ sqrt(corpus), assignment is a broadcast
-    * map-side pass and search touches nprobe/cells of the data. K-means
-    * refinement of the centroids is an optional offline step — any fixed
-    * centroid set (here: a deterministic stride sample) yields a correct
-    * index. */
-  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
-    val cc = centroids.withColumn("__nc", Vectors.norm2(col("cvec")))
-    val scored = cn.crossJoin(broadcast(cc))
-      .withColumn("__cs",
-        Vectors.dot(col("vec"), col("cvec")) / (col("__nv") * col("__nc")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__cs").desc, col("cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    * Scale: with cells ~ sqrt(corpus), assignment is ONE map-side pass —
+    * scan, project, done; no Exchange anywhere between the corpus scan and
+    * the cell assignment (asserted by OperatorSpec). K-means refinement of
+    * the centroids is an optional offline step — any fixed centroid set
+    * (here: a deterministic stride sample) yields a correct index. */
+  def ivfIndex(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfIndexWith(corpus, centroidSeq(centroids))
+
+  private def ivfIndexWith(corpus: DataFrame,
+      cents: Seq[(Long, IndexedSeq[Double])]): DataFrame =
+    corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+      .withColumn("cid", nearestCid(col("vec"), col("__nv"), cents))
       .select(col("id"), col("vec"), col("__nv"), col("cid"))
-  }
 
   /** IVF search: probe the `nprobe` nearest cells of each query, rank
-    * candidates within them by exact cosine. */
+    * candidates within them by exact cosine. Probe selection is the same
+    * map-side scoring (sort the per-row score array descending, take
+    * nprobe) — no query-side shuffle either. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val index = ivfIndex(corpus, centroids)
+    val cents = centroidSeq(centroids)
+    val index = ivfIndexWith(corpus, cents)
     val qn = queries.withColumn("__nq", Vectors.norm2(col("qvec")))
-    val cc = centroids.withColumn("__nc", Vectors.norm2(col("cvec")))
-    val qScored = qn.crossJoin(broadcast(cc))
-      .withColumn("__cs",
-        Vectors.dot(col("qvec"), col("cvec")) / (col("__nq") * col("__nc")))
-    val wq = Window.partitionBy(col("qid"))
-      .orderBy(col("__cs").desc, col("cid"))
-    val probes = qScored.withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("__nq"), col("cid"))
+    // ascending struct sort orders by (cs, -cid); reversed = cs DESC with
+    // ties cid ASC — exactly the old ORDER BY __cs DESC, cid
+    val probes = qn
+      .withColumn("__cell", explode(slice(reverse(array_sort(
+        centScores(col("qvec"), col("__nq"), cents))), 1, nprobe)))
+      .select(col("qid"), col("qvec"), col("__nq"),
+        (-col("__cell.ncid")).as("cid"))
     val cand = index.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .withColumn("sim",
@@ -111,18 +140,15 @@ object Ann {
   def kmeansRefine(corpus: DataFrame, init: DataFrame, iters: Int,
       scale: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    var cents = init.select(col("cid").cast("long").as("cid"),
-      transform(col("cvec"), x => x.cast("double")).as("cvec"))
+    import spark.implicits._
+    var cents = centroidSeq(init)
     for (_ <- 0 until iters) {
-      val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
-      val cc = cents.withColumn("__nc", Vectors.norm2(col("cvec")))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("__cs").desc, col("cid"))
-      val assigned = cn.crossJoin(broadcast(cc))
-        .withColumn("__cs",
-          Vectors.dot(col("vec"), col("cvec")) / (col("__nv") * col("__nc")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // assignment: the same zero-shuffle map-side argmin as ivfIndex —
+      // per iteration the corpus-side work is one scan-project pass plus
+      // one (cid, pos) partial-agg shuffle of component sums
+      val assigned = corpus
+        .withColumn("__nv", Vectors.norm2(col("vec")))
+        .withColumn("cid", nearestCid(col("vec"), col("__nv"), cents))
         .select(col("cid"), col("vec"))
       val means = assigned
         .select(col("cid"), posexplode(col("vec")))
@@ -132,15 +158,16 @@ object Ann {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mvec"))
-      val stepped = cents.as("c").join(means.as("m"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("mvec"), col("cvec")).as("cvec"))
-      // driver-side materialization of the (small) centroid table keeps the
-      // next iteration's plan shallow — MLlib does the same
-      val rows = stepped.collect().toIndexedSeq
-      cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), stepped.schema)
+      // driver-side merge of the (centroid-sized) means: cells that lose
+      // all members keep their previous centroid — MLlib does the same
+      val stepped = means.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      cents = cents.map { case (cid, cv) =>
+        (cid, stepped.getOrElse(cid, cv))
+      }
     }
-    cents
+    cents.map { case (cid, cv) => (cid, cv: Seq[Double]) }
+      .toDF("cid", "cvec")
   }
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign-bit

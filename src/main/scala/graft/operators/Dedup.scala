@@ -138,9 +138,11 @@ object Dedup {
     * Returns (id, is_survivor, n_dups) — n_dups = confirmed duplicates
     * with a smaller id. */
   def nearDupSurvivors(df: DataFrame, id: Column, text: Column, n: Int,
-      k: Int, rows: Int, threshold: Double): DataFrame = {
+      k: Int, rows: Int, threshold: Double,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val docs = df.select(id.as("__id"), text.as("__text"))
-    val confirmed = confirmedNearDupPairs(df, id, text, n, k, rows, threshold)
+    val confirmed = confirmedNearDupPairs(df, id, text, n, k, rows,
+      threshold, maxBucket)
     docs.select(col("__id").as("id"))
       .join(confirmed.groupBy(col("id_b").as("id"))
         .agg(count(lit(1)).as("n_dups")), Seq("id"), "left")
@@ -184,9 +186,11 @@ object Dedup {
     * survivor/clustering stages consume. The corpus text is scanned twice
     * (sketches, verification) and never self-joined. */
   def confirmedNearDupPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      k: Int, rows: Int, threshold: Double): DataFrame = {
+      k: Int, rows: Int, threshold: Double,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     val docs = df.select(id.as("__id"), text.as("__text"))
-    val cand = minhashCandidates(docs, col("__id"), col("__text"), n, k, rows)
+    val cand = minhashCandidates(docs, col("__id"), col("__text"), n, k,
+      rows, maxBucket)
     val sh = docs.select(col("__id"),
       shingleSet(col("__text"), n).as("__sh"))
     cand
@@ -236,9 +240,17 @@ object Dedup {
   /** LSH candidate pairs: ids that collide in at least one band of the
     * MinHash signature, with the signature-estimated similarity.
     * `rows` = signature positions per band; bands = k / rows.
+    *
+    * `maxBucket` hard-caps pathological buckets, mirroring
+    * [[simhashPairs]]: boilerplate text collapses thousands of docs into
+    * one (band, key) bucket, whose self-join is O(B²) — any bucket holding
+    * more than `maxBucket` docs is dropped from candidate generation, an
+    * explicit recall/cost trade. The count runs on the same (band, key)
+    * partitioning the self-join needs, so the cap adds no extra shuffle of
+    * the sketches.
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
-      n: Int, k: Int, rows: Int): DataFrame = {
+      n: Int, k: Int, rows: Int, maxBucket: Long = Long.MaxValue): DataFrame = {
     val bands = k / rows
     val sigd = withMinhashSig(df.select(id.as("__id"), text.as("__text")),
       col("__text"), n, k)
@@ -252,13 +264,18 @@ object Dedup {
         array((0 until k).map(i => col(s"s$i")): _*).as("sig"))
       .select(col("__id"), col("bk.band").as("band"),
         col("bk.key").as("key"), col("sig"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val capped = (
+      if (maxBucket == Long.MaxValue) exploded
+      else exploded.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= maxBucket).drop("__bc"))
       // the sketch table is tiny (k longs + band keys per doc); persisting
       // it stops the self-join from re-running the md5 pipeline on both
       // sides — at 100 TB this is the difference between 2 corpus scans
       // and 1 scan + a small-shuffle join
       .persist()
-    val l = exploded.as("l")
-    val r = exploded.as("r")
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.__id") < col("r.__id"))

@@ -18,16 +18,37 @@ import graft.functions.Hashing
   */
 object Sampling {
 
-  /** GPT-style sequence-packing layout: documents concatenated in a stable
-    * order and chunked into `capacity`-token windows. Emits each doc's
-    * global token offset, its pack (context window) id, and whether it
-    * straddles a window boundary — the bookkeeping a pretraining data
-    * loader needs. One window-function pass (running sum over the order
-    * key); fully deterministic and engine-portable.
+  /** GPT-style sequence-packing layout, SHARDED — the scale form: documents
+    * are partitioned by `shard`, concatenated in `orderKey` order WITHIN
+    * each shard, and chunked into `capacity`-token windows per shard. Emits
+    * each doc's shard, its token offset within the shard, its shard-local
+    * pack (context window) id, and whether it straddles a window boundary —
+    * the bookkeeping a pretraining data loader needs. (shard, pack_id) is
+    * the globally unique window key, exactly how distributed tokenizer
+    * pipelines name their output chunks.
     *
-    * Scale: a single global ordering is a one-partition window at the
-    * extreme; shard first (e.g. by [[hashSplit]] or date) and pack within
-    * shards, exactly as distributed tokenizer pipelines do. */
+    * Scale: one window pass partitioned by shard — every shard's running
+    * sum computes in its own task, so the operator parallelizes with the
+    * shard count (vs. the unsharded overload's single-partition window). */
+  def packingLayout(df: DataFrame, shard: Column, orderKey: Column,
+      nTokens: Column, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(orderKey)
+    df.withColumn("shard", shard)
+      .withColumn("__n", nTokens)
+      .withColumn("start_offset",
+        coalesce(sum(col("__n")).over(
+          w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"start_offset div $capacity"))
+      .withColumn("spans_boundary",
+        expr(s"(start_offset + __n - 1) div $capacity") > col("pack_id"))
+      .drop("__n")
+  }
+
+  /** Unsharded [[packingLayout]]: ONE global concatenation order. Correct,
+    * but the global running sum is a single-partition window — use only for
+    * corpus slices that fit one task; at scale shard first (e.g. by
+    * [[hashSplit]] bucket or date) via the sharded overload. */
   def packingLayout(df: DataFrame, orderKey: Column, nTokens: Column,
       capacity: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(orderKey)

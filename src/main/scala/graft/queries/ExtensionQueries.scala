@@ -168,27 +168,31 @@ object ExtensionQueries {
        |    WHEN ${h("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
        |    ELSE 'test' END AS split,
        |  count(*) AS n_docs,
-       |  SUM(CAST(len($Toks) AS BIGINT)) AS n_tokens
+       |  CAST(SUM(CAST(len($Toks) AS BIGINT)) AS BIGINT) AS n_tokens
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
-  /** Sequence-packing layout for pretraining: per-doc global token offset,
-    * context-window (pack) id at capacity 512, boundary-straddle flag. */
+  /** SHARDED sequence-packing layout for pretraining: docs sharded by
+    * doc_id % 8, per-shard token offsets and context-window (pack) ids at
+    * capacity 512, boundary-straddle flag. Gates the scale form — the
+    * per-shard windows run in parallel tasks (no single-partition window in
+    * the plan); (shard, pack_id) is the globally unique window key. */
   def t8SeqPack(sp: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.packingLayout(
         documents(sp, dir).select(col("doc_id"),
           Text.tokenCount(col("text")).as("n_tokens")),
-        col("doc_id"), col("n_tokens"), capacity = 512)
-      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
-        col("pack_id"), col("spans_boundary"))
+        col("doc_id") % 8, col("doc_id"), col("n_tokens"), capacity = 512)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("pack_id"), col("spans_boundary"))
       .orderBy("doc_id")
 
   val t8Sql: String =
-    s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS INT) AS n_tokens FROM documents),
-       |o AS (SELECT doc_id, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+    s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+       |    CAST(len($Toks) AS INT) AS n_tokens FROM documents),
+       |o AS (SELECT doc_id, shard, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
        |  FROM t)
-       |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       |SELECT doc_id, shard, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
        |  CAST(start_offset // 512 AS BIGINT) AS pack_id,
        |  ((start_offset + n_tokens - 1) // 512) > (start_offset // 512) AS spans_boundary
        |FROM o ORDER BY doc_id""".stripMargin
@@ -239,9 +243,14 @@ object ExtensionQueries {
        |SELECT doc_id, ${(0 until K).map(i => s"s$i").mkString(", ")}
        |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** The sf0.01 corpus has four (band, key) buckets of size 3 (measured);
+    * maxBucket=2 drops them, so the skew cap is exercised LIVE by the gate
+    * and the oracle replays the same drop. */
+  private val D3MaxBucket = 2L
+
   def d3MinhashPairs(sp: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(spread(documents(sp, dir)), col("doc_id"),
-        col("text"), 3, K, BandRows)
+        col("text"), 3, K, BandRows, maxBucket = D3MaxBucket)
       .orderBy("id_a", "id_b")
 
   val d3Sql: String = {
@@ -257,10 +266,13 @@ object ExtensionQueries {
       .map(i => s"CASE WHEN l.s$i = r.s$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH $sigCte,
-       |bands AS ($bandSelects)
+       |bands AS ($bandSelects),
+       |kept AS (SELECT * FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc FROM bands)
+       |  WHERE bc <= $D3MaxBucket)
        |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
        |  ($eqSum)::DOUBLE / $K AS est_sim
-       |FROM bands l JOIN bands r
+       |FROM kept l JOIN kept r
        |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
        |ORDER BY id_a, id_b""".stripMargin
   }
@@ -269,12 +281,18 @@ object ExtensionQueries {
     * sketches -> LSH band candidates -> exact Jaccard verify -> greedy
     * survivors. Every stage of the composition is replayed by the oracle,
     * so the gate certifies the pipeline, not just its pieces. */
+  /** The duplicated (doc + recrawl twin) sf0.01 corpus has four buckets of
+    * size 6 (measured); maxBucket=4 drops them live, keeping the 86
+    * size-4 buckets — d11 and d12 both run the capped pipeline. */
+  private val PipeMaxBucket = 4L
+
   def d11DedupE2e(sp: SparkSession, dir: String): DataFrame = {
     val docs = documents(sp, dir).select(col("doc_id"), col("text"))
     val recrawl = docs.select((col("doc_id") + 1000000).as("doc_id"),
       col("text"))
     Dedup.nearDupSurvivors(spread(docs.union(recrawl)), col("doc_id"),
-        col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8)
+        col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8,
+        maxBucket = PipeMaxBucket)
       .orderBy("id")
   }
 
@@ -293,8 +311,11 @@ object ExtensionQueries {
        |hh2 AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM sh2),
        |sig2 AS (SELECT doc_id, $sigSqlCols FROM hh2),
        |bands2 AS ($bandSelects),
+       |kept2 AS (SELECT doc_id, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc FROM bands2)
+       |  WHERE bc <= $PipeMaxBucket),
        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |  FROM bands2 l JOIN bands2 r
+       |  FROM kept2 l JOIN kept2 r
        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
        |conf AS (SELECT c.id_a, c.id_b,
        |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
@@ -322,7 +343,8 @@ object ExtensionQueries {
       col("text"))
     val corpus = spread(docs.union(recrawl))
     val confirmed = Dedup.confirmedNearDupPairs(corpus, col("doc_id"),
-      col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8)
+      col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8,
+      maxBucket = PipeMaxBucket)
     Dedup.dedupClusters(corpus.select(col("doc_id").as("id")), confirmed,
         iters = 3)
       .orderBy("id")
@@ -349,8 +371,11 @@ object ExtensionQueries {
        |hh2 AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM sh2),
        |sig2 AS (SELECT doc_id, $sigSqlCols FROM hh2),
        |bands2 AS ($bandSelects),
+       |kept2 AS (SELECT doc_id, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc FROM bands2)
+       |  WHERE bc <= $PipeMaxBucket),
        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-       |  FROM bands2 l JOIN bands2 r
+       |  FROM kept2 l JOIN kept2 r
        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
        |conf AS (SELECT c.id_a, c.id_b,
        |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,

@@ -238,8 +238,10 @@ object XmlQueries {
       lit("<rec><id>"), s(col("o_orderkey")), lit("</id><vals><st_"),
       col("o_orderstatus"), lit(">"), d2s(col("o_totalprice")),
       lit("</st_"), col("o_orderstatus"), lit("></vals></rec>"))
+    // unique per run: concurrent harness invocations over the same sfDir
+    // must not overwrite each other's files mid-read
     val outDir = "/tmp/graft-x7-" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.util.UUID.randomUUID.toString.replace("-", "")
     // spread the write: the 1-partition scan would otherwise serialize
     // both the file write and (single big file) the read-back
     spread(o.select(xml.as("value"))).write.mode("overwrite").text(outDir)

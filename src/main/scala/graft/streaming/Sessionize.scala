@@ -1,18 +1,26 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Custom stateful sessionization via flatMapGroupsWithState — the
-  * arbitrary-state escape hatch (≙ the reference's Custom operator, but for
-  * streaming state). The built-in `session_window` covers plain gap
-  * sessions (queries.ExtensionQueries.s2Sessionize); this operator is the
-  * template for session logic the built-in cannot express (per-session
-  * custom merging, early emission, enrichment).
+/** Custom sessionization via the classic SECONDARY SORT: hash-partition by
+  * user, sort each partition by (user, ts), walk the partition once with a
+  * streaming iterator that closes a session on a user change or a gap. The
+  * built-in `session_window` covers plain gap sessions
+  * (queries.ExtensionQueries.s2Sessionize); this operator is the template
+  * for session logic the built-in cannot express (per-session custom
+  * merging, early emission, enrichment).
   *
-  * Works identically over a batch Dataset (state is per-invocation) and a
-  * stream (state persists across micro-batches, evicted by event-time
-  * timeout so it cannot grow unboundedly).
+  * Why mapPartitions and not groupByKey.flatMapGroupsWithState: for a typed
+  * Dataset the groupByKey key is an APPENDED serialized column, so the
+  * planner inserts a SECOND exchange + key-only sort after the manual
+  * layout (verified by plan inspection) — and because that re-shuffle does
+  * not preserve arrival order, the key-only re-sort loses the time order
+  * the session walk needs. The mapPartitions form keeps exactly one
+  * Exchange and one Sort (asserted in StreamingSpec), the sort genuinely
+  * orders by (user, ts), and memory per group stays O(1) — a hot key with
+  * 10^8 events streams through instead of materializing. The STREAMING
+  * counterpart with persistent state is StreamOps' watermarked
+  * session_window / dedup operators.
   */
 object Sessionize {
 
@@ -26,52 +34,41 @@ object Sessionize {
     import sp.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    // Secondary sort: hash-partition by user, sort each partition by
-    // (user, ts, value). FlatMapGroupsWithStateExec requires clustering by
-    // key and ordering by key — both satisfied as a PREFIX of this layout,
-    // so the planner inserts no re-sort and each group's iterator arrives
-    // time-ordered. The old `events.toSeq.sortBy` materialized the whole
-    // group: a hot key with 10^8 events OOMs an executor; this streams it.
-    val sorted = ds.repartition($"user_id")
+    ds.repartition($"user_id")
       .sortWithinPartitions($"user_id", $"ts", $"value")
-
-    sorted.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid, events, state: GroupState[SessionState]) =>
-          // lazy pass over the time-ordered iterator: O(1) memory per group
-          new Iterator[SessionOut] {
-            private var cur: SessionState = state.getOption.orNull
-            private var pending: SessionOut = _
-            private var flushed = false
-            private def advance(): Unit = {
-              while (pending == null && events.hasNext) {
-                val e = events.next()
-                if (cur == null) cur = SessionState(e.ts, e.ts, 1, e.value)
-                else if (e.ts >= cur.last + gapUs) {
-                  pending = SessionOut(uid, cur.start, cur.n, cur.sum)
-                  cur = SessionState(e.ts, e.ts, 1, e.value)
-                } else cur = SessionState(cur.start, e.ts, cur.n + 1,
-                  cur.sum + e.value)
-              }
-              // batch semantics: the group is complete, flush the open
-              // session. (a streaming deployment would state.update(cur) +
-              //  setTimeoutTimestamp(cur.last + gapUs) instead)
-              if (pending == null && !events.hasNext && !flushed &&
-                  cur != null) {
-                pending = SessionOut(uid, cur.start, cur.n, cur.sum)
-                flushed = true
-                if (state.exists) state.remove()
-              }
+      .mapPartitions { it =>
+        // lazy single pass over the (user, ts)-ordered partition:
+        // O(1) memory regardless of group size
+        new Iterator[SessionOut] {
+          private var cur: SessionState = null
+          private var curUid = 0L
+          private var pending: SessionOut = _
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val e = it.next()
+              if (cur == null) {
+                curUid = e.user_id
+                cur = SessionState(e.ts, e.ts, 1, e.value)
+              } else if (e.user_id != curUid || e.ts >= cur.last + gapUs) {
+                pending = SessionOut(curUid, cur.start, cur.n, cur.sum)
+                curUid = e.user_id
+                cur = SessionState(e.ts, e.ts, 1, e.value)
+              } else cur = SessionState(cur.start, e.ts, cur.n + 1,
+                cur.sum + e.value)
             }
-            override def hasNext: Boolean = { advance(); pending != null }
-            override def next(): SessionOut = {
-              advance()
-              val p = pending
-              pending = null
-              p
+            if (pending == null && !it.hasNext && cur != null) {
+              pending = SessionOut(curUid, cur.start, cur.n, cur.sum)
+              cur = null
             }
           }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): SessionOut = {
+            advance()
+            val p = pending
+            pending = null
+            p
+          }
+        }
       }
   }
 }

@@ -101,6 +101,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(uncapped.count() == 190)
   }
 
+  test("ivfIndex: zero-shuffle assignment, equal to the join+window form") {
+    import graft.functions.Vectors
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val index = Ann.ivfIndex(corpus, centroids)
+    index.count()
+    // the scale claim: NO exchange between the corpus scan and the cell
+    // assignment — the argmin is a map-side expression
+    val shuffles = collectShuffles(index.queryExecution.executedPlan)
+    assert(shuffles.isEmpty,
+      s"unexpected shuffle:\n${index.queryExecution.executedPlan}")
+    // parity with the declarative crossJoin + row_number reference
+    val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+    val cc = centroids.withColumn("__nc", Vectors.norm2(col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("__cs").desc, col("cid"))
+    val reference = cn.crossJoin(broadcast(cc))
+      .withColumn("__cs",
+        Vectors.dot(col("vec"), col("cvec")) / (col("__nv") * col("__nc")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cid"))
+    val got = index.select(col("id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("minhashCandidates: maxBucket drops hot LSH buckets, plumbed E2E") {
+    import spark.implicits._
+    // 20 identical docs -> every band bucket holds all 20
+    val docs = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta eps"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(docs, col("id"), col("text"),
+      n = 3, k = 8, rows = 2)
+    assert(pairs.count() == 190) // C(20,2)
+    val capped = Dedup.minhashCandidates(docs, col("id"), col("text"),
+      n = 3, k = 8, rows = 2, maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashCandidates(docs, col("id"), col("text"),
+      n = 3, k = 8, rows = 2, maxBucket = 20)
+    assert(uncapped.count() == 190)
+    // the cap reaches the E2E pipeline: with all buckets dropped, every doc
+    // survives (no candidates -> no confirmed pairs)
+    val surv = Dedup.nearDupSurvivors(docs, col("id"), col("text"),
+      n = 3, k = 8, rows = 2, threshold = 0.8, maxBucket = 10)
+    assert(surv.filter(col("is_survivor")).count() == 20)
+  }
+
   test("simhash64: one-pass expression equals the reference Column formula") {
     import graft.functions.Hashing
     import spark.implicits._
@@ -119,6 +171,23 @@ class OperatorSpec extends AnyFunSuite {
     val empty = Seq(Seq.empty[String]).toDF("toks")
       .select(Hashing.simhash64(col("toks"))).as[Long].head()
     assert(empty == 0L)
+    // null tokens are SKIPPED (not zero-voted) by both forms: a null inside
+    // the array must not change the sketch of the surviving tokens
+    val withNulls = Seq(
+      (Seq("alpha", null, "beta"), Seq("alpha", "beta")),
+      (Seq[String](null), Seq.empty[String])).toDF("a", "b")
+    def both(c: String) = {
+      val m = transform(col(c), t => md5(t))
+      struct(Hashing.simhash64(col(c)).as("fast"),
+        Hashing.simhash64FromHashes(
+          transform(m, d => Hashing.md5Word32(d, 0)),
+          transform(m, d => Hashing.md5Word32(d, 1))).as("ref"))
+    }
+    val parity = withNulls.select(both("a").as("x"), both("b").as("y"))
+      .filter(col("x.fast") =!= col("x.ref") ||
+        col("y.fast") =!= col("y.ref") ||
+        col("x.fast") =!= col("y.fast")).count()
+    assert(parity == 0)
   }
 
   test("jaccard kernel equals size(array_intersect)/size(array_union)") {
@@ -264,6 +333,27 @@ class OperatorSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Sampling.hashSplit(df, col("k"), 90, 20)
     }
+  }
+
+  test("packingLayout sharded: per-shard offsets match, window parallelizes") {
+    val df = spark.range(200).select(col("id").as("doc_id"),
+      (col("id") % 17 + 1).as("n"))
+    val sharded = Sampling.packingLayout(df, col("doc_id") % 4,
+      col("doc_id"), col("n"), capacity = 64)
+    // each shard's layout equals the global form run on that shard alone
+    for (s <- 0 until 4) {
+      val expect = Sampling.packingLayout(
+          df.filter(col("doc_id") % 4 === s), col("doc_id"), col("n"), 64)
+        .select("doc_id", "start_offset", "pack_id", "spans_boundary")
+        .collect().toSeq.sortBy(_.getLong(0))
+      val got = sharded.filter(col("shard") === s)
+        .select("doc_id", "start_offset", "pack_id", "spans_boundary")
+        .collect().toSeq.sortBy(_.getLong(0))
+      assert(got == expect, s"shard $s")
+    }
+    // scale shape: the window exchanges on shard, never SinglePartition
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"plan:\n$plan")
   }
 
   test("approxDistinct: estimate tracks exact count; saturation -> null") {

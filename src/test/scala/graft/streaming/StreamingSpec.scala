@@ -31,7 +31,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("flatMapGroupsWithState sessionizer matches session_window") {
+  test("secondary-sort sessionizer matches session_window") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, sf)
       .select(col("user_id"),
@@ -53,6 +53,25 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sorted
     assert(custom == builtin)
+  }
+
+  test("sessionizer plan: exactly one exchange and one sort") {
+    import spark.implicits._
+    // the mapPartitions form must consume the repartition +
+    // sortWithinPartitions layout as-is — a second Exchange or Sort in the
+    // plan means the planner re-shuffled (the groupByKey appended-key trap)
+    // and the secondary-sort claim is false
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("ts").cast("double") * 1000000).cast("long").as("ts"),
+        col("value"))
+      .as[Sessionize.Ev]
+    val plan = Sessionize.sessionize(spark, ev, 10)
+      .queryExecution.executedPlan.toString
+    def occurrences(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(occurrences(plan, "Exchange") == 1, s"plan:\n$plan")
+    assert(occurrences(plan, "Sort [") == 1, s"plan:\n$plan")
   }
 
   test("sessionizer streams one large skewed group without materializing") {
