@@ -545,19 +545,41 @@ final class CompiledXmlParser private[xml] (
   }
 
   /** Structured-streaming variant of [[read]] — the incremental realization
-    * of the reference's forward-only contract (SURVEY.md §7.1). */
+    * of the reference's forward-only contract (SURVEY.md §7.1).
+    *
+    * Fully-native specs stream through the native XML file source.
+    * Wildcard/custom specs — which batch [[read]] routes through the
+    * splittable rowTag scanner — stream through the `text` file source in
+    * wholetext mode, split into rowTag records by the SAME scan
+    * ([[XmlRecordSplit]] wraps the byte scanner the input format runs), and
+    * bind via `parse()`; the reference applies its glob dispatch to any
+    * input (Parser.cs:175-187), so the streaming surface must too.
+    * Wholetext means one in-memory string per file: keep streaming drop
+    * files at single-file-in-memory size (micro-batch granularity is
+    * per-file either way). */
   def readStream(spark: SparkSession, path: String): DataFrame = {
-    require(asArray.isEmpty && rootTag.nonEmpty && spec.isNative,
+    require(asArray.isEmpty && rootTag.nonEmpty,
       "readStream() has the same constraints as read()")
-    val df = spark.readStream.format("xml")
-      .option("rowTag", rootTag.get)
-      .option("attributePrefix", "_")
-      .option("mode", "PERMISSIVE")
-      .schema(spec.nativeReadSchema)
-      .load(path)
-    val all = struct(df.columns.map(col).toIndexedSeq: _*)
-    df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
-      .as("parsed"))
+    if (spec.isNative) {
+      val df = spark.readStream.format("xml")
+        .option("rowTag", rootTag.get)
+        .option("attributePrefix", "_")
+        .option("mode", "PERMISSIVE")
+        .schema(spec.nativeReadSchema)
+        .load(path)
+      val all = struct(df.columns.map(col).toIndexedSeq: _*)
+      df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
+        .as("parsed"))
+    } else {
+      import spark.implicits._
+      val tag = rootTag.get
+      spark.readStream.format("text").option("wholetext", "true")
+        .load(path)
+        .as[String]
+        .flatMap(doc => XmlRecordSplit.split(doc, tag))
+        .toDF("xml")
+        .select(parse(col("xml")).as("parsed"))
+    }
   }
 }
 

@@ -175,4 +175,23 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("k").as[(Option[Int], String)].collect().toSeq
     assert(got == Seq((Some(1), "a"), (Some(2), "b")))
   }
+
+  test("XML readStream: wildcard spec streams through the rowTag splitter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlstreamw")
+    val w = new java.io.PrintWriter(dir.resolve("batch1.xml").toFile)
+    w.write("<rows><rec><id>1</id><q_a>x</q_a></rec>" +
+      "<rec><id>2</id><q_b>y</q_b></rec></rows>")
+    w.close()
+    val parser = graft.xml.XmlParser.struct("rec") { a =>
+      struct(a.nullInt("id").as("id"), a.str("q_*").as("v"),
+        a.tag.as("tag"))
+    }
+    assert(!parser.isFullyNative) // glob member -> wholetext + splitter path
+    val stream = parser.readStream(spark, dir.toString + "/*.xml")
+      .select("parsed.*")
+    val got = StreamOps.runToMemory(spark, stream, "xmlstreamw_t", "append")
+      .orderBy("id").as[(Option[Int], String, String)].collect().toSeq
+    assert(got == Seq((Some(1), "x", "rec"), (Some(2), "y", "rec")))
+  }
 }

@@ -165,6 +165,29 @@ class XmlDispatchSpec extends AnyFunSuite {
     }
   }
 
+  test("rowTag splitter: commented-out and CDATA'd rowTags are not records") {
+    val real = Seq(
+      """<rec id="0"><v>a</v></rec>""",
+      """<rec id="1"><!-- dead close </rec> and open <rec id="x"> -->""" +
+        """<v>b</v></rec>""",
+      """<rec id="2"><v><![CDATA[not a tag: <rec id="y"> nor </rec> ]]]]>""" +
+        """</v></rec>""")
+    val noise = Seq(
+      """<!-- <rec id="99"><v>dead</v></rec> -->""",
+      """<![CDATA[<rec id="98"/>]]>""",
+      """<?pi <rec id="97"/> ?>""")
+    val doc = (real ++ noise).mkString("<all>\n", "\n", "\n</all>")
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlcomment")
+    val w = new java.io.PrintWriter(dir.resolve("one.xml").toFile)
+    w.write(doc)
+    w.close()
+    val got = splitterRead(dir.toString + "/one.xml", None)
+      .map(_._2.toString).collect().toSeq
+    assert(got.sorted == real.sorted)
+    // the string splitter (streaming read path) applies the same scan
+    assert(XmlRecordSplit.split(doc, "rec").sorted == real.sorted)
+  }
+
   test("rowTag splitter: same-name nested tags are depth-counted " +
       "within a split") {
     val dir = java.nio.file.Files.createTempDirectory("graftxmlnest")
