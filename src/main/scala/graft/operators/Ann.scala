@@ -15,8 +15,9 @@ import graft.functions.Vectors
   *   - `lshTopK`: sign-bit hyperplane buckets computed per row (map-side);
   *     queries only meet corpus rows in their own bucket, so the join
   *     shuffles on the bucket key instead of cross-joining. With b planes the
-  *     candidate set shrinks ~2^b-fold; recall is traded via multi-probe
-  *     (not needed at gate scale).
+  *     candidate set shrinks ~2^b-fold; recall lost to unlucky hyperplane
+  *     splits is recovered with multi-probe (Hamming-1 bucket expansion on
+  *     the query side), tracked by the a5 recall gate.
   *
   * Scale: at 100 TB the brute-force path is only for small query batches
   * (broadcast); the LSH path shuffles corpus once on int bucket keys and
@@ -172,14 +173,27 @@ object Ann {
 
   /** LSH-bucketed top-k: candidates restricted to the query's sign-bit
     * bucket. `planes` are fixed hyperplanes (deterministic — e.g. the first
-    * b corpus vectors), making the bucketing reproducible anywhere. */
+    * b corpus vectors), making the bucketing reproducible anywhere.
+    *
+    * `multiProbe` additionally probes every bucket at Hamming distance 1
+    * from the query's (single-plane sign flips) — classic multi-probe LSH:
+    * near neighbors that land just across one hyperplane are recovered, at
+    * (1 + planes) x the candidate volume. Implemented by expanding the
+    * QUERY side into its probe buckets, so the join stays a broadcast hash
+    * equi-join on the bucket key — the corpus side is never replicated and
+    * never shuffled differently than the exact-bucket form. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Seq[Seq[Double]]): DataFrame = {
+      planes: Seq[Seq[Double]], multiProbe: Boolean = false): DataFrame = {
     val cb = corpus.withColumn("bucket", Vectors.lshBucket(col("vec"), planes))
       .withColumn("__nv", Vectors.norm2(col("vec")))
-    val qb = queries.withColumn("qbucket",
+    val qb0 = queries.withColumn("qbucket",
         Vectors.lshBucket(col("qvec"), planes))
       .withColumn("__nq", Vectors.norm2(col("qvec")))
+    val qb =
+      if (!multiProbe) qb0
+      else qb0.withColumn("qbucket", explode(array(
+        (col("qbucket") +: planes.indices.map(i =>
+          col("qbucket").bitwiseXOR(lit(1L << i)))): _*)))
     val joined = cb.join(broadcast(qb), col("bucket") === col("qbucket"))
       .filter(col("qid") =!= col("id"))
       .withColumn("sim",

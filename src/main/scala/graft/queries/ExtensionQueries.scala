@@ -599,8 +599,10 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** LSH-bucketed ANN with hyperplanes drawn deterministically from the
-    * corpus (first 4 vectors) — reproducible bucketing in any engine. The
-    * 4-row collect below fetches only the planes, never data. */
+    * corpus (first 4 vectors) — reproducible bucketing in any engine — and
+    * MULTI-PROBE (the query's bucket + its 4 Hamming-1 neighbors): the
+    * standard recall recovery for sign-bit LSH, verified by a5. The 4-row
+    * collect below fetches only the planes, never data. */
   def a2AnnLsh(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
     val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
@@ -609,7 +611,8 @@ object ExtensionQueries {
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Ann.lshTopK(qs, corpus, 3, planes).orderBy("qid", "rank")
+    Ann.lshTopK(qs, corpus, 3, planes, multiProbe = true)
+      .orderBy("qid", "rank")
   }
 
   val a2Sql: String =
@@ -617,7 +620,10 @@ object ExtensionQueries {
        |bk AS (SELECT e.vec_id AS id, e.embedding AS vec,
        |         CAST(SUM(CASE WHEN ${dotSql("e.embedding", "p.pe")} >= 0 THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
        |       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
-       |q AS (SELECT b.id AS qid, b.vec AS qvec, b.bucket AS qbucket FROM bk b WHERE b.id < 5),
+       |q AS (SELECT b.id AS qid, b.vec AS qvec,
+       |        CASE WHEN t.f < 0 THEN b.bucket
+       |             ELSE xor(b.bucket, CAST(1 AS BIGINT) << t.f) END AS qbucket
+       |      FROM bk b, range(-1, 4) t(f) WHERE b.id < 5),
        |s AS (SELECT q.qid, c.id, ${cosSql("q.qvec", "c.vec")} AS sim
        |      FROM bk c JOIN q ON c.bucket = q.qbucket WHERE c.id <> q.qid),
        |r AS (SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM s)
@@ -712,6 +718,53 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Recall gate for the approximate ANN paths: recall@3 of a2 (LSH), a3
+    * (IVF) and a4 (k-means IVF) against the exact brute-force top-3 on the
+    * same queries — the metric that decides whether an index is usable,
+    * now tracked per round. `recall_ok` asserts a fixed floor. The oracle
+    * recomputes all four pipelines in SQL (CTE-composed from the a1-a4
+    * oracles), so the recall numbers themselves are hash-verified. */
+  private val RecallFloor = 0.5
+
+  def a5AnnRecall(sp: SparkSession, dir: String): DataFrame = {
+    val truth = a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor"))
+    val methods = Seq(
+      ("ivf", a3AnnIvf(sp, dir)),
+      ("ivf_kmeans", a4AnnIvfKmeans(sp, dir)),
+      ("lsh", a2AnnLsh(sp, dir)))
+    methods.map { case (name, res) =>
+      truth.join(res.select(col("qid"), col("neighbor")),
+          Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(name).as("method"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"),
+          (col("n_hits").cast("double") / col("n_truth") >= RecallFloor)
+            .as("recall_ok"))
+    }.reduce(_ union _).orderBy("method")
+  }
+
+  val a5Sql: String =
+    s"""WITH truth AS (SELECT qid, neighbor FROM ($a1Sql) WHERE rank <= 3),
+       |m AS (
+       |  SELECT 'lsh' AS method, qid, neighbor FROM ($a2Sql)
+       |  UNION ALL SELECT 'ivf', qid, neighbor FROM ($a3Sql)
+       |  UNION ALL SELECT 'ivf_kmeans', qid, neighbor FROM ($a4Sql)),
+       |names AS (SELECT unnest(['ivf', 'ivf_kmeans', 'lsh']) AS method),
+       |h AS (SELECT method, count(*) AS hits FROM m
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = m.qid AND t.neighbor = m.neighbor)
+       |  GROUP BY method),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT names.method, coalesce(h.hits, 0) AS n_hits, tt.n_truth,
+       |  round(coalesce(h.hits, 0)::DOUBLE / tt.n_truth, 4) AS recall,
+       |  (coalesce(h.hits, 0)::DOUBLE / tt.n_truth >= $RecallFloor)
+       |    AS recall_ok
+       |FROM names LEFT JOIN h ON h.method = names.method CROSS JOIN tt
+       |ORDER BY 1""".stripMargin
+
   // ======================= multimodal =======================
 
   /** Real container decode round-trip: even docs become actual BMPs, odd
@@ -745,6 +798,44 @@ object ExtensionQueries {
        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
        |            ELSE $dataLen // ($ch * 2) END AS BIGINT) AS n_samples
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** REAL pixel processing gate: every even doc's BMP (built from its text
+    * bytes) is resized 8x8 by nearest-neighbor, and the gate hashes the
+    * decoded dimensions plus the resized image's pixel checksum. The oracle
+    * recomputes the full chain — fill byte at data index i is text byte
+    * i % len, source pixel (x*srcW/8, y*srcH/8), sum over the 192 resized
+    * pixel bytes — straight from the documents table, so a hash match
+    * proves actual pixel resampling, not payload truncation. */
+  def m2MultimodalResize(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 2 === 0), frameSize = 100)
+    Multimodal.resize(sp, media, 8, 8)
+      .map(r => (r.doc_id, r.width, r.height,
+        Multimodal.bmpPixelChecksum(r.media)))
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m2Sql: String = {
+    // byte k (0-based) of the UTF-8 text as an int, via the hex dump
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |s AS (SELECT p.doc_id,
+       |    CAST(SUM(('0x' || substr(p.hx,
+       |      2 * ((((ty.y * p.src_h) // 8) * p.src_row
+       |            + ((tx.x * p.src_w) // 8) * 3 + tc.c) % p.len) + 1,
+       |      2))::BIGINT) AS BIGINT) AS checksum
+       |  FROM p, range(0, 8) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       |  checksum
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   // ======================= streaming =======================
@@ -893,7 +984,9 @@ object ExtensionQueries {
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
     "a4_ann_ivf_kmeans" -> (a4AnnIvfKmeans _),
+    "a5_ann_recall" -> (a5AnnRecall _),
     "m1_multimodal_decode" -> (m1Multimodal _),
+    "m2_multimodal_resize" -> (m2MultimodalResize _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_asof_join" -> (s3AsOf _),
@@ -921,7 +1014,9 @@ object ExtensionQueries {
     "a2_ann_lsh" -> a2Sql,
     "a3_ann_ivf" -> a3Sql,
     "a4_ann_ivf_kmeans" -> a4Sql,
+    "a5_ann_recall" -> a5Sql,
     "m1_multimodal_decode" -> m1Sql,
+    "m2_multimodal_resize" -> m2Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
     "s3_asof_join" -> s3Sql,

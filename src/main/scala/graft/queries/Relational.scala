@@ -310,6 +310,34 @@ object Relational {
       |  max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The SCALE path for percentiles: `approx_percentile` (bounded-memory
+    * quantile sketch, mergeable map-side partials) next to the exact
+    * percentile, gated as a bounds check — each group's approximation must
+    * land within 2% (or 1.0 absolute) of the exact value, which the oracle
+    * replays as constant TRUE per group. q11's exact form buffers every
+    * value per group (correct, oracle-exact, but memory ~ group size);
+    * this is the form to run at 100 TB: fixed accuracy -> fixed memory,
+    * partial aggregation on both sides of the shuffle. */
+  def q11bApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+          .as("p90_approx"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_exact"))
+      .select(col("l_returnflag"),
+        (abs(col("p50_approx").cast("double") - col("p50_exact")) <=
+          greatest(abs(col("p50_exact")) * 0.02, lit(1.0))).as("p50_ok"),
+        (abs(col("p90_approx").cast("double") - col("p90_exact")) <=
+          greatest(abs(col("p90_exact")) * 0.02, lit(1.0))).as("p90_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val q11bSql: String =
+    """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Full cube over two dimensions (all four grouping sets). */
   def q12Cube(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -400,6 +428,7 @@ object Relational {
     "q9_distinct_agg" -> (q9DistinctAgg _),
     "q10_salted_join" -> (q10SaltedJoin _),
     "q11_percentiles" -> (q11Percentiles _),
+    "q11b_percentile_approx" -> (q11bApproxPercentiles _),
     "q12_cube" -> (q12Cube _),
     "q13_pivot" -> (q13Pivot _),
     "q14_formats" -> (q14Formats _))
@@ -416,6 +445,7 @@ object Relational {
     "q9_distinct_agg" -> q9Sql,
     "q10_salted_join" -> q10Sql,
     "q11_percentiles" -> q11Sql,
+    "q11b_percentile_approx" -> q11bSql,
     "q12_cube" -> q12Sql,
     "q13_pivot" -> q13Sql,
     "q14_formats" -> q14Sql)

@@ -115,7 +115,15 @@ class StreamingSpec extends AnyFunSuite {
       graft.Tables.documents(spark, sf), frameSize = 100)
     val resized = graft.operators.Multimodal.resize(spark, media, 8, 8)
       .collect()
-    assert(resized.forall(_.media.length == 64))
+    // even ids (BMPs): REAL 8x8 24bpp resize -> valid BMP, re-decodable;
+    // odd ids (WAVs): stub truncate/pad to width*height bytes
+    assert(resized.forall { r =>
+      if (r.doc_id % 2 == 0) {
+        val d = graft.operators.Multimodal.decodeBlob(
+          graft.operators.Multimodal.MediaRow(r.doc_id, r.media, r.fmt, 1))
+        r.media.length == 54 + 24 * 8 && d.width == 8 && d.height == 8
+      } else r.media.length == 64
+    })
     val frames = graft.operators.Multimodal.sampleFrames(spark, media, 2)
       .groupByKey(_.doc_id).count().collect().toMap
     // every blob yields ceil(ceil(len/frame)/2) sampled frames
@@ -140,6 +148,25 @@ class StreamingSpec extends AnyFunSuite {
     val written = spark.read.parquet(out)
     assert(written.count() == graft.Tables.events(spark, sf).count())
     assert(written.columns.contains("batch_id"))
+  }
+
+  test("resizeBmp: identity keeps pixels; downsample picks nearest source") {
+    val M = graft.operators.Multimodal
+    val fill = "abcdefghij".getBytes
+    val src = M.buildBmp(4, 2, fill) // rowSize 12, data 24 bytes, cycled fill
+    // identity resize reproduces the exact pixel data
+    val same = M.resizeBmp(src, 4, 2).get
+    assert(M.bmpPixelChecksum(same) == M.bmpPixelChecksum(src))
+    assert(same.drop(54).zipWithIndex.filter(_._2 % 12 < 12).map(_._1)
+      .sameElements(src.drop(54)))
+    // 2x1 downsample: dst(x,y) = src(2x, 2y) -> pixels 0 and 2 of row 0
+    val down = M.resizeBmp(src, 2, 1).get
+    val d = M.decodeBlob(M.MediaRow(0L, down, "x", 1))
+    assert(d.width == 2 && d.height == 1)
+    val expect = Seq(0, 1, 2, 6, 7, 8).map(i => fill(i % 10) & 0xff).sum
+    assert(M.bmpPixelChecksum(down) == expect)
+    // non-BMP payload -> None
+    assert(M.resizeBmp(Array[Byte](1, 2, 3), 2, 2).isEmpty)
   }
 
   test("BMP/WAV builders round-trip through the header decoder") {
