@@ -41,4 +41,36 @@ object AsOf {
       .filter(col("__side") === 1)
       .drop("__side", "__p")
   }
+
+  /** The FIRST-CLASS form: same semantics and output shape as [[asOfJoin]],
+    * executed by the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]] — streamed merge over co-partitioned
+    * sorted children, O(1) state, no window frames). Requires a session
+    * with [[graft.plans.GraftExtensions]] registered (the planner strategy
+    * lives there). */
+  def asOfJoinExec(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val sp = left.sparkSession
+    // alias the right side's columns: fresh exprIds keep a self-join's
+    // children attribute-disjoint (the analyzer's DeduplicateRelations
+    // does not descend into a custom node)
+    val rPrep = right.select(
+      (col(key).as("__rkey") +: col(ts).as("__rts") +:
+        rightPayload.map(n => col(n).as(n))): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrep.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val payload = rightPayload.map(n => attr(rPlan, n))
+    val matchAttr = AttributeReference("__match",
+      StructType(payload.map(a => StructField(a.name, a.dataType,
+        a.nullable))), nullable = true)()
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, "__rkey"), attr(rPlan, "__rts"), payload, matchAttr)
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(sp, node)
+  }
 }

@@ -20,10 +20,15 @@ import graft.xml.XmlMemoParseExpr
   * subexpression elimination does not collapse them; Catalyst `With` cannot
   * be built pre-analysis). The per-thread memo in XmlMemoParseExpr already
   * makes duplicates O(1); this rule removes them from the plan entirely.
+  *
+  * Also registers [[AsOfJoinStrategy]], the planner strategy for the
+  * first-class as-of join operator ([[AsOfJoinNode]] -> [[AsOfJoinExec]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DedupXmlParses)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 /** Pull repeated (semantically-equal) XmlMemoParseExpr subtrees of a

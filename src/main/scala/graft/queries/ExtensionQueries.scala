@@ -924,6 +924,24 @@ object ExtensionQueries {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** s3's semantics through the FIRST-CLASS operator: custom logical node +
+    * planner strategy + physical streamed-merge exec
+    * ([[graft.plans.AsOfJoinExec]], registered by GraftExtensions), gated
+    * against the same DuckDB native ASOF LEFT JOIN oracle as s3. */
+  def s3bAsOfExec(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event"))
+    graft.operators.AsOf
+      .asOfJoinExec(purchases, signups, "user_id", "ts", Seq("signup_event"))
+      .select(col("user_id"), col("event_id"),
+        col("__match.signup_event").as("signup_event"))
+      .orderBy("event_id")
+  }
+
   /** Stream-stream inner join, run live: views joined to same-user clicks
     * arriving within 6 hours, both sides watermarked so join state stays
     * bounded. Single-batch drain in append mode emits every match; the
@@ -990,6 +1008,7 @@ object ExtensionQueries {
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_asof_join" -> (s3AsOf _),
+    "s3b_asof_exec" -> (s3bAsOfExec _),
     "s4_stream_join" -> (s4StreamJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -1020,6 +1039,7 @@ object ExtensionQueries {
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
     "s3_asof_join" -> s3Sql,
+    "s3b_asof_exec" -> s3Sql,
     "s4_stream_join" -> s4Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,

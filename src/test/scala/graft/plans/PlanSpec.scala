@@ -12,6 +12,7 @@ class PlanSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -84,5 +85,50 @@ class PlanSpec extends AnyFunSuite {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
+  }
+
+  test("AsOfJoinExec: first-class operator matches union-and-carry; " +
+      "merge semantics on edges") {
+    // the shared test session may predate GraftExtensions — register the
+    // planner strategy explicitly (the gate sessions register it at build)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+    val exec = graft.operators.AsOf.asOfJoinExec(
+        purchases, signups, "user_id", "ts", Seq("signup_event"))
+      .select(col("event_id"), col("__match.signup_event").as("se"))
+    val carry = graft.operators.AsOf.asOfJoin(
+        purchases, signups, "user_id", "ts", Seq("signup_event"))
+      .select(col("event_id"), col("__match.signup_event").as("se"))
+    // the custom physical operator is actually in the plan (physical nodes
+    // print without the Exec suffix; '!' would mean missing attributes)
+    val planStr = exec.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), s"plan:\n$planStr")
+    assert(!planStr.contains("!AsOfJoin"), s"plan:\n$planStr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(identity).toSeq
+    assert(canon(exec) == canon(carry))
+    assert(canon(exec).nonEmpty)
+    // edge semantics on a constructed table: tie at equal ts matches
+    // (at-or-before), later right rows win, keys without a right row -> null
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L),
+      (3L, 9L, 103L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 6L, 902L))
+      .toDF("k", "t", "rid")
+    val got = graft.operators.AsOf
+      .asOfJoinExec(l, r, "k", "t", Seq("rid"))
+      .select(col("lid"), col("__match.rid").as("rid"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(got == Map(100L -> Some(900L), 101L -> Some(901L),
+      102L -> None, 103L -> None))
   }
 }
