@@ -5,14 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join — the classic operator Spark lacks natively:
-  * for every left row, the single right row with the greatest timestamp
-  * <= the left timestamp, per key.
+  * for every left row, the single closest right row per key — the greatest
+  * right timestamp <= the left timestamp (`backward`, the default) or the
+  * smallest right timestamp >= it (`forward`) — optionally within a maximum
+  * gap (`tolerance`).
   *
   * Implementation is the union-and-carry pattern (composition of built-ins,
   * preference (a) of the custom-operator ladder): tag both sides, union,
-  * and carry the last right payload forward with a running `last(...,
-  * ignoreNulls)` window ordered by (ts, side) — right rows sort before left
-  * rows at equal timestamps, so ties match ("at-or-before").
+  * and carry the nearest right payload across with a running
+  * `last(..., ignoreNulls)` (backward) or `first(..., ignoreNulls)`
+  * (forward) window ordered by (ts, side) — the side tag makes right rows
+  * at equal timestamps visible to the left row's frame, so ties match
+  * ("at-or-before" / "at-or-after").
   *
   * Scale: ONE shuffle on the join key (the union is shuffled once for the
   * window), versus the naive range-join's key x key explosion. State per
@@ -23,21 +27,57 @@ object AsOf {
 
   /** `left`/`right` must share `key` and `ts` column names given here; the
     * right payload arrives as a `__match` struct column (null when no right
-    * row precedes the left row). */
+    * row qualifies).
+    *
+    * @param direction `"backward"` (greatest right ts <= left ts — the
+    *   default, DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`) or `"forward"`
+    *   (smallest right ts >= left ts).
+    * @param tolerance optional maximum gap between the left ts and the
+    *   matched right ts, as a Column comparable to `ts - ts` (an INTERVAL
+    *   literal for timestamp columns, a number for numeric ones); matches
+    *   farther away resolve to null, exactly like pandas `merge_asof`'s
+    *   tolerance. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String], direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
+    // carry the right ts inside the payload struct so the tolerance check
+    // can see how far the matched row actually is
     val rTagged = right
       .select(col(key), col(ts),
-        struct(rightPayload.map(col): _*).as("__p"))
-      .withColumn("__side", lit(0))
+        struct((col(ts).as("__mts") +: rightPayload.map(col)): _*)
+          .as("__p"))
+      // backward: right sorts BEFORE left at equal ts (inside the
+      // trailing frame); forward: right sorts AFTER left (inside the
+      // leading frame) — both make equal-ts rows match
+      .withColumn("__side", lit(if (backward) 0 else 2))
     val lSlim = left.withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(rTagged.schema("__p").dataType))
     val unioned = lSlim.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
+    val ordered = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched =
+      if (backward)
+        last(col("__p"), ignoreNulls = true).over(ordered.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__p"), ignoreNulls = true).over(ordered.rowsBetween(
+          Window.currentRow, Window.unboundedFollowing))
+    val gapOk = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        // the nearest row is the ONLY candidate that can be in tolerance:
+        // anything farther in scan order is farther in time too
+        if (backward) col(ts) - matched.getField("__mts") <= tol
+        else matched.getField("__mts") - col(ts) <= tol
+    }
+    val stripped = struct(
+      rightPayload.map(n => matched.getField(n).as(n)): _*)
     unioned
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        when(matched.isNotNull && gapOk, stripped))
       .filter(col("__side") === 1)
       .drop("__side", "__p")
   }
@@ -47,11 +87,20 @@ object AsOf {
     * ([[graft.plans.AsOfJoinExec]] — streamed merge over co-partitioned
     * sorted children, O(1) state, no window frames). Requires a session
     * with [[graft.plans.GraftExtensions]] registered (the planner strategy
-    * lives there). */
+    * lives there).
+    *
+    * @param direction `"backward"` or `"forward"` as in [[asOfJoin]].
+    * @param tolerance optional maximum gap in the ts column's NATIVE unit —
+    *   microseconds for TimestampType (Spark's internal representation),
+    *   the column's own unit for integer columns. */
   def asOfJoinExec(left: DataFrame, right: DataFrame, key: String,
-      ts: String, rightPayload: Seq[String]): DataFrame = {
+      ts: String, rightPayload: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.{StructField, StructType}
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val sp = left.sparkSession
     // alias the right side's columns: fresh exprIds keep a self-join's
     // children attribute-disjoint (the analyzer's DeduplicateRelations
@@ -70,7 +119,8 @@ object AsOf {
         a.nullable))), nullable = true)()
     val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
       attr(lPlan, key), attr(lPlan, ts),
-      attr(rPlan, "__rkey"), attr(rPlan, "__rts"), payload, matchAttr)
+      attr(rPlan, "__rkey"), attr(rPlan, "__rts"), payload, matchAttr,
+      forward = direction == "forward", tolerance = tolerance)
     org.apache.spark.sql.graft.DatasetBridge.ofRows(sp, node)
   }
 }

@@ -167,15 +167,18 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbr = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("__nid")).agg(min("label").as("__nl"))
+      // carry the previous label THROUGH the update so convergence is read
+      // off the same pass — the old form re-joined next to labels for the
+      // count, a whole extra join job per round. The checkpoint is LAZY:
+      // the changed-count action below materializes the checkpoint blocks
+      // AND computes the count in ONE job per iteration.
       val next = labels.join(nbr, labels("id") === nbr("__nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__prev"),
           least(col("label"), coalesce(col("__nl"), col("label")))
             .as("label"))
-        .localCheckpoint() // flat lineage per round
-      changed = next.select(col("id"), col("label").as("__new"))
-        .join(labels, "id")
-        .filter(col("__new") =!= col("label")).count()
-      labels = next
+        .localCheckpoint(eager = false) // flat lineage per round
+      changed = next.filter(col("label") =!= col("__prev")).count()
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))

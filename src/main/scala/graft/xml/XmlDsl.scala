@@ -554,10 +554,17 @@ final class CompiledXmlParser private[xml] (
     * ([[XmlRecordSplit]] wraps the byte scanner the input format runs), and
     * bind via `parse()`; the reference applies its glob dispatch to any
     * input (Parser.cs:175-187), so the streaming surface must too.
-    * Wholetext means one in-memory string per file: keep streaming drop
-    * files at single-file-in-memory size (micro-batch granularity is
-    * per-file either way). */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
+    *
+    * MEMORY BOUND: wholetext holds ONE WHOLE FILE per row on an executor,
+    * so this path is safe only for record-sized drop files — a 10 GB file
+    * would OOM the task long before the splitter sees it. `maxFileBytes`
+    * (default 256 MiB) makes the bound explicit: any oversize file FAILS
+    * FAST with an actionable message instead of dying opaquely in the
+    * task's heap. Batch [[read]] has no such limit — its input format
+    * splits byte ranges. For bigger streaming files, pre-shard upstream
+    * or raise the limit knowingly. */
+  def readStream(spark: SparkSession, path: String,
+      maxFileBytes: Long = 256L << 20): DataFrame = {
     require(asArray.isEmpty && rootTag.nonEmpty,
       "readStream() has the same constraints as read()")
     if (spec.isNative) {
@@ -573,10 +580,24 @@ final class CompiledXmlParser private[xml] (
     } else {
       import spark.implicits._
       val tag = rootTag.get
+      val limit = maxFileBytes
       spark.readStream.format("text").option("wholetext", "true")
         .load(path)
-        .as[String]
-        .flatMap(doc => XmlRecordSplit.split(doc, tag))
+        .select(col("value"), input_file_name().as("__file"))
+        .as[(String, String)]
+        .flatMap { case (doc, file) =>
+          // every UTF-16 code unit encodes to >= 1 UTF-8 byte, so
+          // chars > limit implies bytes > limit: a sound fail-fast
+          // check without re-encoding the payload (it under-counts
+          // multibyte text by at most 3x, never over-counts)
+          if (doc.length.toLong > limit)
+            throw new IllegalStateException(
+              s"streaming XML file $file is ${doc.length} chars, over " +
+                s"maxFileBytes=$limit: the wholetext streaming path holds " +
+                "one file per row. Pre-shard the file for streaming, use " +
+                "the splittable batch read(), or raise maxFileBytes.")
+          XmlRecordSplit.split(doc, tag)
+        }
         .toDF("xml")
         .select(parse(col("xml")).as("parsed"))
     }

@@ -316,6 +316,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(conv2(2L) == 0L && conv2(11L) == 10L && conv2(5L) == 5L)
   }
 
+  test("dedupClustersConverged runs ONE job per iteration (no extra " +
+      "join+count job)") {
+    import spark.implicits._
+    // with AQE off AND broadcast joins off (async broadcast builds submit
+    // their own jobs), one action = one job, so jobs are countable exactly
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // chain 0-1-2 plus edge 10-11: converges in exactly 3 rounds
+      // (2 change rounds + 1 confirming round)
+      val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+      Dedup.dedupClustersConverged((0L until 12L).toDF("id"), pairs)
+        .collect()
+      // listener bus is async — poll until the count settles
+      val deadline = System.nanoTime() + 5e9.toLong
+      var last = -1
+      while (System.nanoTime() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(100)
+      }
+      // 1 eager seed checkpoint + 3 iteration jobs (the lazy checkpoint is
+      // materialized BY the changed-count, fusing update and convergence
+      // check) + 1 final collect = 5. The pre-fix form ran an eager
+      // checkpoint job PLUS a join+count job per round (8 here).
+      assert(jobs.get() == 5, s"expected 5 jobs, saw ${jobs.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+    }
+  }
+
   test("hashSplit: deterministic, partition-independent, bounds checked") {
     import spark.implicits._
     val df = spark.range(1000).select(col("id").cast("string").as("k"))

@@ -131,4 +131,51 @@ class PlanSpec extends AnyFunSuite {
     assert(got == Map(100L -> Some(900L), 101L -> Some(901L),
       102L -> None, 103L -> None))
   }
+
+  test("as-of direction + tolerance: forward picks the next row, " +
+      "tolerance nulls far matches, exec stays one merge pass") {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 14L, 101L), (1L, 20L, 102L),
+      (2L, 5L, 103L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 1L, 902L))
+      .toDF("k", "t", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), col("__match.rid").as("rid")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    // forward, no tolerance: tie at equal ts matches (at-or-after); the
+    // SAME right row serves several left rows; nothing after -> null
+    val fwdExpect = Map(100L -> Some(900L), 101L -> Some(901L),
+      102L -> None, 103L -> None)
+    val fwdCarry = graft.operators.AsOf.asOfJoin(
+      l, r, "k", "t", Seq("rid"), direction = "forward")
+    val fwdExec = graft.operators.AsOf.asOfJoinExec(
+      l, r, "k", "t", Seq("rid"), direction = "forward")
+    assert(canon(fwdCarry) == fwdExpect)
+    assert(canon(fwdExec) == fwdExpect)
+    // backward + tolerance 3: lid=101 is 4 ticks past its nearest
+    // predecessor (t=10) -> nulled; lid=103 is 4 past 902 -> nulled
+    val tolExpect = Map(100L -> Some(900L), 101L -> None,
+      102L -> None, 103L -> None)
+    val tolCarry = graft.operators.AsOf.asOfJoin(
+      l, r.filter(col("t") =!= 15L), "k", "t", Seq("rid"),
+      tolerance = Some(lit(3L)))
+    val tolExec = graft.operators.AsOf.asOfJoinExec(
+      l, r.filter(col("t") =!= 15L), "k", "t", Seq("rid"),
+      tolerance = Some(3L))
+    assert(canon(tolCarry) == tolExpect)
+    assert(canon(tolExec) == tolExpect)
+    // the exec's plan shape is unchanged by direction/tolerance: one
+    // AsOfJoin, no Window, both children sorted once
+    val planStr = graft.operators.AsOf.asOfJoinExec(
+        l, r, "k", "t", Seq("rid"), direction = "forward",
+        tolerance = Some(3L))
+      .queryExecution.executedPlan.toString
+    assert(planStr.linesIterator.count(_.contains("AsOfJoin")) == 1,
+      s"plan:\n$planStr")
+    assert(!planStr.contains("Window"), s"plan:\n$planStr")
+  }
 }

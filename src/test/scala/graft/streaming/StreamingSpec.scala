@@ -221,4 +221,28 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("id").as[(Option[Int], String, String)].collect().toSeq
     assert(got == Seq((Some(1), "x", "rec"), (Some(2), "y", "rec")))
   }
+
+  test("XML readStream: oversize file fails fast at maxFileBytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlstreamsz")
+    val w = new java.io.PrintWriter(dir.resolve("big.xml").toFile)
+    w.write("<rows>" +
+      (1 to 50).map(i => s"<rec><id>$i</id><q_a>x</q_a></rec>").mkString +
+      "</rows>")
+    w.close()
+    val parser = graft.xml.XmlParser.struct("rec") { a =>
+      struct(a.nullInt("id").as("id"), a.str("q_*").as("v"))
+    }
+    assert(!parser.isFullyNative) // guard lives on the wholetext path
+    val stream = parser
+      .readStream(spark, dir.toString + "/*.xml", maxFileBytes = 100L)
+      .select("parsed.*")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamOps.runToMemory(spark, stream, "xmlstreamsz_t", "append")
+    }
+    // the guard's message survives to the query failure, naming the knob
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxFileBytes=100")))
+  }
 }
