@@ -778,9 +778,11 @@ object ExtensionQueries {
 
   // ======================= multimodal =======================
 
-  /** Real container decode round-trip: even docs become actual BMPs, odd
-    * docs actual PCM WAVs (Multimodal.attachBlobs), then decodeBlob parses
-    * dimensions / sample layout back out of the little-endian headers —
+  /** Real container decode round-trip: docs become actual BMPs
+    * (doc_id%3=0), PCM WAVs (%3=1) or uncompressed AVIs (%3=2) via
+    * Multimodal.attachBlobs, then decodeBlob parses dimensions / sample
+    * layout / frame counts back out of the little-endian headers (the AVI
+    * frame count comes from WALKING `LIST movi`, not trusting avih) —
     * while the oracle computes the same facts straight from the documents
     * table. A hash match proves the byte-level build AND parse. */
   def m1Multimodal(sp: SparkSession, dir: String): DataFrame =
@@ -797,31 +799,47 @@ object ExtensionQueries {
     // WAV: 16-bit PCM, channels = bytes%2+1, data truncated to whole frames
     val ch = s"($ob % 2 + 1)"
     val dataLen = s"($ob - $ob % ($ch * 2))"
+    // AVI: width = bytes%7+1, height = doc_id%4+1, frames = doc_id%5+2,
+    // 224 header bytes + one (8+frameBytes) 00db chunk per frame
+    val aw = s"($ob % 7 + 1)"
+    val ah = "(doc_id % 4 + 1)"
+    val nf = "(doc_id % 5 + 2)"
+    val fb = s"(((3 * $aw + 3) // 4) * 4 * $ah)"
+    val aviBytes = s"(224 + $nf * (8 + $fb))"
     s"""SELECT doc_id,
-       |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS fmt,
-       |  CAST(CASE WHEN doc_id % 2 = 0 THEN $bmpBytes
-       |            ELSE 44 + $dataLen END AS BIGINT) AS n_bytes,
-       |  CAST(CASE WHEN doc_id % 2 = 0 THEN $w ELSE 0 END AS INT) AS width,
-       |  CAST(CASE WHEN doc_id % 2 = 0 THEN $h ELSE 0 END AS INT) AS height,
-       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-       |            ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS sample_rate,
-       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE $ch END AS INT) AS n_channels,
-       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-       |            ELSE $dataLen // ($ch * 2) END AS BIGINT) AS n_samples
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+       |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       |       ELSE 'video/avi' END AS fmt,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN $bmpBytes
+       |            WHEN doc_id % 3 = 1 THEN 44 + $dataLen
+       |            ELSE $aviBytes END AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN $w
+       |            WHEN doc_id % 3 = 1 THEN 0
+       |            ELSE $aw END AS INT) AS width,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN $h
+       |            WHEN doc_id % 3 = 1 THEN 0
+       |            ELSE $ah END AS INT) AS height,
+       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000
+       |            ELSE 0 END AS INT) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 3 = 1 THEN $ch ELSE 0 END AS INT) AS n_channels,
+       |  CAST(CASE WHEN doc_id % 3 = 1 THEN $dataLen // ($ch * 2)
+       |            WHEN doc_id % 3 = 2 THEN $nf
+       |            ELSE 0 END AS BIGINT) AS n_samples
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** REAL pixel processing gate: every even doc's BMP (built from its text
-    * bytes) is resized 8x8 by nearest-neighbor, and the gate hashes the
-    * decoded dimensions plus the resized image's pixel checksum. The oracle
-    * recomputes the full chain — fill byte at data index i is text byte
-    * i % len, source pixel (x*srcW/8, y*srcH/8), sum over the 192 resized
-    * pixel bytes — straight from the documents table, so a hash match
-    * proves actual pixel resampling, not payload truncation. */
+  /** REAL pixel processing gate: every BMP doc's image (built from its
+    * text bytes, doc_id%3=0) is resized 8x8 by nearest-neighbor, and the
+    * gate hashes the decoded dimensions plus the resized image's pixel
+    * checksum. The oracle recomputes the full chain — fill byte at data
+    * index i is text byte i % len, source pixel (x*srcW/8, y*srcH/8), sum
+    * over the 192 resized pixel bytes — straight from the documents table,
+    * so a hash match proves actual pixel resampling, not payload
+    * truncation. */
   def m2MultimodalResize(sp: SparkSession, dir: String): DataFrame = {
     import sp.implicits._
     val media = Multimodal.attachBlobs(
-      documents(sp, dir).filter(col("doc_id") % 2 === 0), frameSize = 100)
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
     Multimodal.resize(sp, media, 8, 8)
       .map(r => (r.doc_id, r.width, r.height,
         Multimodal.bmpPixelChecksum(r.media)))
@@ -834,7 +852,7 @@ object ExtensionQueries {
     val ob = "octet_length(encode(text))"
     s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
        |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
-       |  FROM documents WHERE doc_id % 2 = 0),
+       |  FROM documents WHERE doc_id % 3 = 0),
        |p AS (SELECT doc_id, hx, len, src_w, src_h,
        |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
        |s AS (SELECT p.doc_id,
@@ -847,6 +865,48 @@ object ExtensionQueries {
        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
        |  checksum
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** REAL video-container gate: every AVI doc's blob (doc_id%3=2) goes
+    * through the `LIST movi` walk and every SECOND frame is emitted
+    * (stride 2 — the frame-sampling primitive of a video training
+    * pipeline), hashed on frame index, frame byte count and whole-frame
+    * checksum. The oracle recomputes the frame fill — frame f's data byte
+    * i is text byte (f+i) % len, frameBytes = 4-aligned 24bpp rows x
+    * height — straight from the documents table, so a hash match proves
+    * the container walk found the right chunks at the right offsets, not
+    * a stride slice of raw bytes. */
+  def m3FrameSample(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 2), frameSize = 100)
+    Multimodal.sampleFrames(sp, media, stride = 2)
+      .map(r => (r.doc_id, r.frame_idx, r.frame.length,
+        Multimodal.frameChecksum(r.frame)))
+      .toDF("doc_id", "frame_idx", "n_bytes", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val m3Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |p AS (SELECT doc_id, hx, len,
+       |    ((3 * (len % 7 + 1) + 3) // 4) * 4 * (doc_id % 4 + 1) AS fb,
+       |    doc_id % 5 + 2 AS nf
+       |  FROM e),
+       |s AS (SELECT p.doc_id, CAST(fr.f AS INT) AS frame_idx,
+       |    CAST(p.fb AS INT) AS n_bytes,
+       |    CAST(SUM(('0x' || substr(p.hx,
+       |      2 * ((fr.f + i.i) % p.len) + 1, 2))::BIGINT) AS BIGINT)
+       |      AS checksum
+       |  FROM p, range(0, 6) fr(f), range(0, 96) i(i)
+       |  -- fixed range bounds (nf <= 6, fb <= 24*4 = 96) filtered per doc:
+       |  -- DuckDB's range() cannot take correlated lateral parameters
+       |  WHERE fr.f % 2 = 0 AND fr.f < p.nf AND i.i < p.fb
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, frame_idx, n_bytes, checksum
+       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
   }
 
   // ======================= streaming =======================
@@ -1058,6 +1118,7 @@ object ExtensionQueries {
     "a5_ann_recall" -> (a5AnnRecall _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
+    "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
     "s3_asof_join" -> (s3AsOf _),
@@ -1090,6 +1151,7 @@ object ExtensionQueries {
     "a5_ann_recall" -> a5Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
+    "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
     "s3_asof_join" -> s3Sql,

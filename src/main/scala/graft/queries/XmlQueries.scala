@@ -266,6 +266,47 @@ object XmlQueries {
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tot
       |FROM orders ORDER BY id""".stripMargin
 
+  /** x7's file-level read over GZIPPED shards: the text is written with
+    * gzip compression (many `part-*.txt.gz` files), and the rowTag scanner
+    * reads each through its codec as a single split
+    * ([[graft.xml.XmlElementInputFormat]] `isSplitable` = false for
+    * compressed paths — serial per file, parallel across files, the
+    * standard Hadoop contract for non-splittable codecs). The oracle
+    * computes the same result straight from `customer`, so a hash match
+    * proves the decompressed byte stream fed the same scan. */
+  def x9GzipWildcard(sp: SparkSession, dir: String): DataFrame = {
+    val c = customer(sp, dir)
+    val xml = concat(
+      lit("<rec><id>"), s(col("c_custkey")), lit("</id><m><seg_"),
+      col("c_mktsegment"), lit(">"), d2s(col("c_acctbal")),
+      lit("</seg_"), col("c_mktsegment"), lit("></m></rec>"))
+    val outDir = "/tmp/graft-x9-" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // spread -> many small .gz shards: a non-splittable codec's scale
+    // story IS the file count
+    spread(c.select(xml.as("value"))).write.mode("overwrite")
+      .option("compression", "gzip").text(outDir)
+    val parser = XmlParser.struct("rec") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.array("m") { cc =>
+          struct(cc.tag.as("tag"),
+            cc.nullDecimal("seg_*").cast("double").as("bal"))
+        }.as("m"))
+    }
+    parser.read(sp, outDir)
+      .select(col("parsed.id").as("id"),
+        get(col("parsed.m"), lit(0)).as("v"))
+      .select(col("id"), col("v.tag").as("tag"), col("v.bal").as("bal"))
+      .orderBy("id")
+  }
+
+  val x9Sql: String =
+    """SELECT CAST(c_custkey AS INT) AS id,
+      |  'seg_' || c_mktsegment AS tag,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+      |FROM customer ORDER BY id""".stripMargin
+
   /** Op #5 through the UDTF surface (SURVEY §2.2 UDAF/UDTF row): the same
     * per-order documents as x2, exploded by the custom Catalyst `Generator`
     * XmlExplodeChildren — rows stream out of the Generate node without an
@@ -309,7 +350,8 @@ object XmlQueries {
     "x5_xml_custom_composite" -> (x5CustomComposite _),
     "x6_xml_mixed_content" -> (x6MixedContent _),
     "x7_xml_file_wildcard" -> (x7FileWildcard _),
-    "x8_xml_generator" -> (x8Generator _))
+    "x8_xml_generator" -> (x8Generator _),
+    "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
     "x1_xml_scan_cast" -> x1Sql,
@@ -319,5 +361,6 @@ object XmlQueries {
     "x5_xml_custom_composite" -> x5Sql,
     "x6_xml_mixed_content" -> x6Sql,
     "x7_xml_file_wildcard" -> x7Sql,
-    "x8_xml_generator" -> x8Sql)
+    "x8_xml_generator" -> x8Sql,
+    "x9_xml_gzip" -> x9Sql)
 }

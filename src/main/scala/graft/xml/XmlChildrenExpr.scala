@@ -114,16 +114,37 @@ object XmlChildrenExpr {
     }
   }
 
+  // attribute-less children (the common case) share one immutable empty map
+  private val emptyMap = new ArrayBasedMapData(
+    new GenericArrayData(Array.empty[Any]),
+    new GenericArrayData(Array.empty[Any]))
+
   private def build(res: Seq[XmlStax.Child]): ArrayData = {
     if (res == null) return null
-    new GenericArrayData(res.map { c =>
-      val ks = new GenericArrayData(
-        c.attrs.map(a => UTF8String.fromString(a._1)).toArray[Any])
-      val vs = new GenericArrayData(
-        c.attrs.map(a => UTF8String.fromString(a._2)).toArray[Any])
-      InternalRow(UTF8String.fromString(c.tag), UTF8String.fromString(c.outer),
-        UTF8String.fromString(c.value), new ArrayBasedMapData(ks, vs))
-    }.toArray[Any])
+    val out = new Array[Any](res.length)
+    var i = 0
+    while (i < res.length) {
+      val c = res(i)
+      val attrs = if (c.attrs.isEmpty) emptyMap else {
+        val n = c.attrs.length
+        val ks = new Array[Any](n)
+        val vs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val a = c.attrs(j)
+          ks(j) = UTF8String.fromString(a._1)
+          vs(j) = UTF8String.fromString(a._2)
+          j += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks),
+          new GenericArrayData(vs))
+      }
+      out(i) = InternalRow(UTF8String.fromString(c.tag),
+        UTF8String.fromString(c.outer), UTF8String.fromString(c.value),
+        attrs)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -292,8 +292,21 @@ final class XmlElementRecordReader extends RecordReader[LongWritable, Text] {
     val file = fsplit.getPath
     val fs = file.getFileSystem(ctx.getConfiguration)
     val fsin = fs.open(file)
-    fsin.seek(start)
-    in = new java.io.BufferedInputStream(fsin, 64 * 1024)
+    val codec = new CompressionCodecFactory(ctx.getConfiguration)
+      .getCodec(file)
+    if (codec != null) {
+      // compressed file: isSplitable said no, so this single split covers
+      // the whole file — scan the DECOMPRESSED stream from 0 to its end
+      // (offsets/keys are decompressed-stream positions). Serial per file;
+      // parallelism at scale comes from many files.
+      start = 0L
+      end = Long.MaxValue
+      in = new java.io.BufferedInputStream(
+        codec.createInputStream(fsin), 64 * 1024)
+    } else {
+      fsin.seek(start)
+      in = new java.io.BufferedInputStream(fsin, 64 * 1024)
+    }
     scanner = new XmlRecordScanner(() => in.read(),
       tag.getBytes("UTF-8"), start)
   }

@@ -178,4 +178,66 @@ class PlanSpec extends AnyFunSuite {
       s"plan:\n$planStr")
     assert(!planStr.contains("Window"), s"plan:\n$planStr")
   }
+
+  test("PushLambdaThroughExplode: explode(transform) becomes a codegen'd " +
+      "projection over the exploded elements, same results") {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sp2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      def query(sp: SparkSession) = {
+        val parser = XmlParser.array { c =>
+          c.obj("item") { z =>
+            org.apache.spark.sql.functions.struct(
+              z.attribute("ln").cast("int").as("ln"), z.tag.as("tag"))
+          }
+        }
+        sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .limit(50)
+          .select(col("doc_id"), concat(lit("<o><item ln='1'>"),
+            substring(col("text"), 1, 3),
+            lit("</item><item ln='2'>x</item></o>")).as("xml"))
+          .select(col("doc_id"), parser.parse(col("xml")).as("items"))
+          .select(col("doc_id"), posexplode(col("items")))
+          .select(col("doc_id"), col("pos"), col("col.ln").as("ln"),
+            col("col.tag").as("tag"))
+          .orderBy("doc_id", "pos")
+      }
+      def transformCount(plan: org.apache.spark.sql.catalyst.plans.logical
+          .LogicalPlan): Int =
+        plan.collect { case n =>
+          n.expressions.map(_.collect {
+            case _: org.apache.spark.sql.catalyst.expressions
+              .ArrayTransform => 1
+          }.sum).sum
+        }.sum
+      val optimized = query(sp2).queryExecution.optimizedPlan
+      // the interpreted ArrayTransform is gone from the whole plan — the λ
+      // body now runs as a whole-stage-codegen'd Project after the Generate
+      assert(optimized.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.nonEmpty)
+      assert(transformCount(optimized) == 0, optimized.treeString)
+      // same rows as the un-rewritten plan (the plain test session has no
+      // GraftExtensions, so its plan keeps the transform)
+      val got = query(sp2).collect().map(_.toString).toSeq
+      val baseline = query(spark).collect().map(_.toString).toSeq
+      assert(transformCount(query(spark).queryExecution.optimizedPlan) > 0,
+        "baseline session unexpectedly rewrote too")
+      assert(got == baseline)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

@@ -109,16 +109,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0 && n < total)
   }
 
-  test("multimodal resize + frame sampling stubs keep shape") {
+  test("multimodal resize keeps shape; frame sampling walks real AVIs") {
     import spark.implicits._
     val media = graft.operators.Multimodal.attachBlobs(
       graft.Tables.documents(spark, sf), frameSize = 100)
     val resized = graft.operators.Multimodal.resize(spark, media, 8, 8)
       .collect()
-    // even ids (BMPs): REAL 8x8 24bpp resize -> valid BMP, re-decodable;
-    // odd ids (WAVs): stub truncate/pad to width*height bytes
+    // doc_id%3=0 (BMPs): REAL 8x8 24bpp resize -> valid BMP, re-decodable;
+    // WAVs/AVIs: documented truncate/pad fallback to width*height bytes
     assert(resized.forall { r =>
-      if (r.doc_id % 2 == 0) {
+      if (r.doc_id % 3 == 0) {
         val d = graft.operators.Multimodal.decodeBlob(
           graft.operators.Multimodal.MediaRow(r.doc_id, r.media, r.fmt, 1))
         r.media.length == 54 + 24 * 8 && d.width == 8 && d.height == 8
@@ -126,11 +126,37 @@ class StreamingSpec extends AnyFunSuite {
     })
     val frames = graft.operators.Multimodal.sampleFrames(spark, media, 2)
       .groupByKey(_.doc_id).count().collect().toMap
-    // every blob yields ceil(ceil(len/frame)/2) sampled frames
+    // AVI blobs yield ceil(nFrames/2) REAL container frames; other blobs
+    // keep the raw-byte fallback of ceil(ceil(len/frame_size)/2) slices
     val expect = media.as[graft.operators.Multimodal.MediaRow].collect()
-      .map(m => m.doc_id ->
-        ((m.media.length + 99) / 100 + 1L) / 2L).toMap
+      .map { m =>
+        m.doc_id -> (if (m.doc_id % 3 == 2) (m.doc_id % 5 + 2 + 1) / 2
+          else ((m.media.length + 99) / 100 + 1L) / 2L)
+      }.toMap
     assert(frames == expect)
+  }
+
+  test("AVI builder round-trips through the container walk") {
+    val M = graft.operators.Multimodal
+    val fill = "framesample".getBytes("UTF-8")
+    val avi = M.buildAvi(5, 2, 4, fill) // rowSize 16, fb 32
+    val d = M.decodeBlob(M.MediaRow(8L, avi, "x", 10))
+    assert(d.fmt == "video/avi" && d.width == 5 && d.height == 2 &&
+      d.n_samples == 4)
+    assert(d.n_bytes == 224 + 4 * (8 + 32))
+    val slices = M.aviFrameSlices(avi)
+    assert(slices.length == 4 && slices.forall(_._2 == 32))
+    // frame f's byte i is fill((f+i) % len) — check frames 0 and 3
+    for (f <- Seq(0, 3)) {
+      val (off, len) = slices(f)
+      val frame = java.util.Arrays.copyOfRange(avi, off, off + len)
+      assert(frame.toSeq ==
+        (0 until len).map(i => fill((f + i) % fill.length)).toSeq)
+    }
+    // a truncated payload yields the frames that still parse, no throw
+    assert(M.aviFrameSlices(java.util.Arrays.copyOf(avi,
+      avi.length - 10)).isEmpty) // RIFF size now overruns -> stop early
+    assert(M.aviFrameSlices(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
   }
 
   test("foreachBatch sink: streaming micro-batches land as parquet") {
