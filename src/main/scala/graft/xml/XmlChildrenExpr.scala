@@ -119,33 +119,112 @@ object XmlChildrenExpr {
     new GenericArrayData(Array.empty[Any]),
     new GenericArrayData(Array.empty[Any]))
 
+  /** One Child as the `elemType` struct row (shared by the array builder
+    * and the first-match expression). */
+  def buildChildRow(c: XmlStax.Child): InternalRow = {
+    val attrs = if (c.attrs.isEmpty) emptyMap else {
+      val n = c.attrs.length
+      val ks = new Array[Any](n)
+      val vs = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val a = c.attrs(j)
+        ks(j) = UTF8String.fromString(a._1)
+        vs(j) = UTF8String.fromString(a._2)
+        j += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(ks),
+        new GenericArrayData(vs))
+    }
+    InternalRow(UTF8String.fromString(c.tag),
+      UTF8String.fromString(c.outer), UTF8String.fromString(c.value),
+      attrs)
+  }
+
   private def build(res: Seq[XmlStax.Child]): ArrayData = {
     if (res == null) return null
     val out = new Array[Any](res.length)
     var i = 0
     while (i < res.length) {
-      val c = res(i)
-      val attrs = if (c.attrs.isEmpty) emptyMap else {
-        val n = c.attrs.length
-        val ks = new Array[Any](n)
-        val vs = new Array[Any](n)
-        var j = 0
-        while (j < n) {
-          val a = c.attrs(j)
-          ks(j) = UTF8String.fromString(a._1)
-          vs(j) = UTF8String.fromString(a._2)
-          j += 1
-        }
-        new ArrayBasedMapData(new GenericArrayData(ks),
-          new GenericArrayData(vs))
-      }
-      out(i) = InternalRow(UTF8String.fromString(c.tag),
-        UTF8String.fromString(c.outer), UTF8String.fromString(c.value),
-        attrs)
+      out(i) = buildChildRow(res(i))
       i += 1
     }
     new GenericArrayData(out)
   }
+}
+
+/** First matching depth-1 child of an XML string as a nullable
+  * `struct<tag,xml,value,attrs>` — the codegen'd form of
+  * `get(filter(xml_children(x), ch => activeCond(name, ch.tag)), 0)`.
+  *
+  * The HOF form evaluates INTERPRETED (higher-order functions are
+  * CodegenFallback) and materializes the filtered array per member
+  * expression; this expression linear-scans the memoized StAX extraction
+  * (same per-thread cache as [[XmlChildrenExpr]], so N members on one row
+  * still parse once) and builds ONE struct for the winner. Dispatch is the
+  * reference's (Parser.cs:166-187): an exact `memberName` matches by
+  * equality; a glob member matches `prefix*suffix` minus any tag claimed
+  * by an exact member or by a LATER-registered glob (last-glob-wins). */
+case class XmlFirstChildExpr(child: Expression, capturePatterns: Seq[String],
+    fromRoot: Boolean, memberName: String, exactNames: Seq[String],
+    laterGlobs: Seq[String]) extends UnaryExpression {
+
+  override def dataType: DataType = XmlChildrenExpr.elemType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xml_first_child"
+
+  @transient private lazy val specKey: String =
+    XmlStax.specKey(capturePatterns, fromRoot)
+  @transient private lazy val exactSet: Set[String] = exactNames.toSet
+  @transient private lazy val selfGlob: Option[XmlStax.Glob] =
+    if (memberName.contains("*")) {
+      val i = memberName.indexOf('*')
+      Some(XmlStax.Glob(memberName.substring(0, i),
+        memberName.substring(i + 1)))
+    } else None
+  @transient private lazy val laterCompiled: Seq[XmlStax.Glob] =
+    laterGlobs.map { g =>
+      val i = g.indexOf('*')
+      XmlStax.Glob(g.substring(0, i), g.substring(i + 1))
+    }
+
+  private def matches(tag: String): Boolean = selfGlob match {
+    case None => tag == memberName
+    case Some(g) => g.matches(tag) && !exactSet.contains(tag) &&
+      !laterCompiled.exists(_.matches(tag))
+  }
+
+  /** Instance evaluator referenced directly from the generated code. */
+  def firstChild(input: UTF8String): InternalRow = {
+    val kids = XmlStax.children(input.toString, capturePatterns, fromRoot,
+      specKey)
+    if (kids == null) return null
+    var i = 0
+    while (i < kids.length) {
+      if (matches(kids(i).tag))
+        return XmlChildrenExpr.buildChildRow(kids(i))
+      i += 1
+    }
+    null
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    firstChild(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("expr", this,
+      "graft.xml.XmlFirstChildExpr")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $self.firstChild($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Reference `StringParser` semantics over a whole element string. */

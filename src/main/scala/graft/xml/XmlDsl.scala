@@ -243,8 +243,7 @@ private[xml] object Bind {
       m.f(new NativeBindNode(fx(outer, schema), tagC, m.spec))
     else {
       val parsed = if (schema.nonEmpty) fx(outer, schema) else lit(null)
-      val kids = xml_children(outer, m.spec.staxPatterns, fromRoot = true)
-      m.f(new StaxBindNode(parsed, kids, tagC, m.spec))
+      m.f(new StaxBindNode(outer, parsed, tagC, m.spec))
     }
     }
 
@@ -349,13 +348,21 @@ private[xml] final class NativeBindNode(parsed: Column, tagC: Column,
 
 /** StAX-path binding: exact members bind natively via the pre-built
   * `parsed` struct (from_xml over the outer XML); wildcard/custom/
-  * heterogeneous members come from the pre-built `kids` children array. */
-private[xml] final class StaxBindNode(parsed: Column, kids: Column,
+  * heterogeneous members bind through the codegen'd first-match
+  * expression ([[XmlFirstChildExpr]] — one memoized StAX extraction per
+  * row shared by every member, no interpreted HOF filters). */
+private[xml] final class StaxBindNode(outer: Column, parsed: Column,
     tagC: Column, spec: ObjSpec) extends BaseBindNode(spec) {
 
-  private def firstKid(name: String): Column =
-    get(filter(kids,
-      ch => spec.activeCond(name, ch.getField("tag"))), lit(0))
+  private def firstKid(name: String): Column = {
+    val globs = spec.globNames
+    val later =
+      if (name.contains("*")) globs.drop(globs.indexOf(name) + 1) else Nil
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      XmlFirstChildExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(outer),
+        spec.staxPatterns, fromRoot = true, name, spec.exactNames, later))
+  }
 
   override def tag: Column = tagC
   override protected def scalarRaw(name: String): Column =
@@ -555,16 +562,12 @@ final class CompiledXmlParser private[xml] (
     * bind via `parse()`; the reference applies its glob dispatch to any
     * input (Parser.cs:175-187), so the streaming surface must too.
     *
-    * MEMORY BOUND: wholetext holds ONE WHOLE FILE per row on an executor,
-    * so this path is safe only for record-sized drop files — a 10 GB file
-    * would OOM the task long before the splitter sees it. `maxFileBytes`
-    * (default 256 MiB) makes the bound explicit: any oversize file FAILS
-    * FAST with an actionable message instead of dying opaquely in the
-    * task's heap. Batch [[read]] has no such limit — its input format
-    * splits byte ranges. For bigger streaming files, pre-shard upstream
-    * or raise the limit knowingly. */
-  def readStream(spark: SparkSession, path: String,
-      maxFileBytes: Long = 256L << 20): DataFrame = {
+    * MEMORY: the wildcard/custom path streams through the `graft-xml`
+    * FileFormat, which scans byte-range SPLITS — a 10 GB drop file becomes
+    * ~80 independent 128 MB-split tasks holding one record each at a time,
+    * never a wholetext string (the pre-round-5 OOM ceiling). Compressed
+    * files decode through their codec as one split per file. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
     require(asArray.isEmpty && rootTag.nonEmpty,
       "readStream() has the same constraints as read()")
     if (spec.isNative) {
@@ -578,28 +581,13 @@ final class CompiledXmlParser private[xml] (
       df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
         .as("parsed"))
     } else {
-      import spark.implicits._
-      val tag = rootTag.get
-      val limit = maxFileBytes
-      spark.readStream.format("text").option("wholetext", "true")
+      // file stream sources require an explicit schema; graft-xml's is
+      // fixed (value: string), one row per rowTag element
+      spark.readStream.format("graft-xml")
+        .option("rowTag", rootTag.get)
+        .schema(org.apache.spark.sql.graft.XmlRowTagFileFormat.schema)
         .load(path)
-        .select(col("value"), input_file_name().as("__file"))
-        .as[(String, String)]
-        .flatMap { case (doc, file) =>
-          // every UTF-16 code unit encodes to >= 1 UTF-8 byte, so
-          // chars > limit implies bytes > limit: a sound fail-fast
-          // check without re-encoding the payload (it under-counts
-          // multibyte text by at most 3x, never over-counts)
-          if (doc.length.toLong > limit)
-            throw new IllegalStateException(
-              s"streaming XML file $file is ${doc.length} chars, over " +
-                s"maxFileBytes=$limit: the wholetext streaming path holds " +
-                "one file per row. Pre-shard the file for streaming, use " +
-                "the splittable batch read(), or raise maxFileBytes.")
-          XmlRecordSplit.split(doc, tag)
-        }
-        .toDF("xml")
-        .select(parse(col("xml")).as("parsed"))
+        .select(parse(col("value")).as("parsed"))
     }
   }
 }

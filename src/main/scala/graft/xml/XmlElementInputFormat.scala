@@ -42,10 +42,12 @@ object XmlElementInputFormat {
 }
 
 /** The scan state machine, shared by the Hadoop record reader (byte-range
-  * splits) and [[XmlRecordSplit]] (whole strings, for streaming reads).
+  * splits), the `graft-xml` FileFormat
+  * ([[org.apache.spark.sql.graft.XmlRowTagFileFormat]] — batch AND
+  * streaming reads) and [[XmlRecordSplit]] (whole strings).
   * `read` supplies bytes (-1 = EOF); `pos` counts absolute consumed bytes
   * starting from `startPos`. */
-private[xml] final class XmlRecordScanner(read: () => Int,
+final class XmlRecordScanner(read: () => Int,
     rowTag: Array[Byte], startPos: Long) {
 
   var pos: Long = startPos

@@ -248,27 +248,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((Some(1), "x", "rec"), (Some(2), "y", "rec")))
   }
 
-  test("XML readStream: oversize file fails fast at maxFileBytes") {
-    val dir = java.nio.file.Files.createTempDirectory("graftxmlstreamsz")
+  test("graft-xml FileFormat: batch read matches the splitter; streaming " +
+      "a multi-record file is split-based, not wholetext") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlfmt")
     val w = new java.io.PrintWriter(dir.resolve("big.xml").toFile)
+    val n = 500
     w.write("<rows>" +
-      (1 to 50).map(i => s"<rec><id>$i</id><q_a>x</q_a></rec>").mkString +
+      (1 to n).map(i => s"<rec><id>$i</id><q_a>x$i</q_a></rec>").mkString +
       "</rows>")
     w.close()
+    // batch surface: one value row per rowTag element, identical to the
+    // whole-string splitter's records
+    val batch = spark.read.format("graft-xml").option("rowTag", "rec")
+      .load(dir.toString + "/*.xml").as[String].collect().toSeq
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("big.xml")), "UTF-8")
+    assert(batch.sorted == graft.xml.XmlRecordSplit.split(doc, "rec").sorted)
+    assert(batch.length == n)
+    // streaming surface: the wildcard DSL path reads through the same
+    // format (split-based — no wholetext string of the file is ever built)
     val parser = graft.xml.XmlParser.struct("rec") { a =>
       struct(a.nullInt("id").as("id"), a.str("q_*").as("v"))
     }
-    assert(!parser.isFullyNative) // guard lives on the wholetext path
-    val stream = parser
-      .readStream(spark, dir.toString + "/*.xml", maxFileBytes = 100L)
+    assert(!parser.isFullyNative)
+    val stream = parser.readStream(spark, dir.toString + "/*.xml")
       .select("parsed.*")
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      StreamOps.runToMemory(spark, stream, "xmlstreamsz_t", "append")
-    }
-    // the guard's message survives to the query failure, naming the knob
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("maxFileBytes=100")))
+    val got = StreamOps.runToMemory(spark, stream, "xmlfmt_t", "append")
+    assert(got.count() == n)
+    assert(got.orderBy("id").limit(1).as[(Option[Int], String)].head() ==
+      ((Some(1), "x1")))
+  }
+
+  test("graft-xml FileFormat: gzipped files decode through the codec") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlfmtgz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(dir.resolve("a.xml.gz").toFile))
+    out.write(("<rows>" +
+      (1 to 20).map(i => s"<rec><id>$i</id></rec>").mkString +
+      "</rows>").getBytes("UTF-8"))
+    out.close()
+    val vals = spark.read.format("graft-xml").option("rowTag", "rec")
+      .load(dir.toString).as[String].collect()
+    assert(vals.length == 20 && vals.exists(_.contains("<id>20</id>")))
   }
 }
