@@ -512,10 +512,15 @@ final class CompiledXmlParser private[xml] (
     *
     * Fully-native specs go through the XML file source (schema pushdown,
     * subtree skipping in the scan). Wildcard/custom specs need each
-    * element's raw text, so they read through [[XmlElementInputFormat]] —
-    * a splittable rowTag scanner (the distributed form of the reference's
-    * glob dispatch, Parser.cs:175-187) — and bind via the StAX expressions,
-    * exactly as `parse()` does. Both paths return one `parsed` column. */
+    * element's raw text, so they read through the `graft-xml` FileFormat —
+    * the splittable rowTag scanner surfaced as a data source (the
+    * distributed form of the reference's glob dispatch, Parser.cs:175-187;
+    * FileSourceScan sizes splits as max(openCost, totalBytes/parallelism),
+    * so one big file fans out across cores without manual split tuning) —
+    * and bind via the StAX expressions, exactly as `parse()` does. Both
+    * paths return one `parsed` column. The raw Hadoop surface
+    * ([[XmlElementInputFormat]]) remains for RDD/Hadoop-API consumers and
+    * shares the same [[XmlRecordScanner]]. */
   def read(spark: SparkSession, path: String): DataFrame = {
     require(asArray.isEmpty, "read() needs a struct parser; array parsers " +
       "consume a container element — use parse() on a string column")
@@ -531,23 +536,10 @@ final class CompiledXmlParser private[xml] (
       df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
         .as("parsed"))
     } else {
-      val conf = new org.apache.hadoop.conf.Configuration(
-        spark.sparkContext.hadoopConfiguration)
-      conf.set(XmlElementInputFormat.RowTagKey, rootTag.get)
-      // XML parsing is CPU-heavy relative to IO: default to fine-grained
-      // splits so a single large file still fans out across cores
-      // (overridable via the standard Hadoop key)
-      if (conf.get("mapreduce.input.fileinputformat.split.maxsize") == null)
-        conf.setLong("mapreduce.input.fileinputformat.split.maxsize",
-          4L * 1024 * 1024)
-      val rdd = spark.sparkContext.newAPIHadoopFile(path,
-          classOf[XmlElementInputFormat],
-          classOf[org.apache.hadoop.io.LongWritable],
-          classOf[org.apache.hadoop.io.Text], conf)
-        .map(_._2.toString)
-      spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
-        .toDF("xml")
-        .select(parse(col("xml")).as("parsed"))
+      spark.read.format("graft-xml")
+        .option("rowTag", rootTag.get)
+        .load(path)
+        .select(parse(col("value")).as("parsed"))
     }
   }
 
