@@ -240,6 +240,67 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** INCREMENTAL near-dup check — the production shape of corpus growth:
+    * which docs of `increment` already have a confirmed near-duplicate in
+    * `base`? Both sides are MinHash-sketched and band-bucketed, but the
+    * join is STRICTLY increment x base: the base corpus is never
+    * self-joined (it was deduped in its own run) and neither is the
+    * increment (callers chain [[nearDupSurvivors]] over the increment for
+    * intra-batch dups). `maxBucket` caps pathological BASE buckets — the
+    * big side is where boilerplate explosions live. Exact n-gram Jaccard
+    * confirms candidates, as in [[confirmedNearDupPairs]].
+    *
+    * Returns one row per increment doc: (id, is_new, n_dups) — n_dups =
+    * confirmed base near-dups; is_new = none found.
+    *
+    * Scale: at 100 TB the base sketches are computed once per corpus
+    * version and persisted columnar (k longs per doc); each increment
+    * batch then costs one scan of ITSELF plus a bucket join against the
+    * sketch table — never a rescan of the base text. This method
+    * recomputes the base sketches inline (the gate has no cross-run
+    * storage); the join topology is identical either way. */
+  def incrementalNearDups(base: DataFrame, increment: DataFrame, id: Column,
+      text: Column, n: Int, k: Int, rows: Int, threshold: Double,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val bands = k / rows
+    def buckets(df: DataFrame): DataFrame = {
+      val sigd = withMinhashSig(df.select(id.as("__id"), text.as("__text")),
+        col("__text"), n, k)
+      val bandKeys = array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_",
+            (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
+            .as("key"))
+      }: _*)
+      sigd.select(col("__id"), explode(bandKeys).as("bk"))
+        .select(col("__id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val baseB = (
+      if (maxBucket == Long.MaxValue) buckets(base)
+      else buckets(base).withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= maxBucket).drop("__bc"))
+      .persist() // sketch-sized; joined once per band collision
+    val cand = buckets(increment).as("i")
+      .join(baseB.as("b"),
+        col("i.band") === col("b.band") && col("i.key") === col("b.key"))
+      .select(col("i.__id").as("inc_id"), col("b.__id").as("base_id"))
+      .distinct()
+    val shInc = increment.select(id.as("inc_id"),
+      shingleSet(text, n).as("si"))
+    val shBase = base.select(id.as("base_id"), shingleSet(text, n).as("sb"))
+    val confirmed = cand
+      .join(shInc, "inc_id")
+      .join(shBase, "base_id")
+      .filter(jaccard(col("si"), col("sb")) >= threshold)
+      .groupBy(col("inc_id")).agg(count(lit(1)).as("n_dups"))
+    increment.select(id.as("id"))
+      .join(confirmed.withColumnRenamed("inc_id", "id"), Seq("id"), "left")
+      .select(col("id"), col("n_dups").isNull.as("is_new"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+  }
+
   /** LSH candidate pairs: ids that collide in at least one band of the
     * MinHash signature, with the signature-estimated similarity.
     * `rows` = signature positions per band; bands = k / rows.

@@ -75,4 +75,43 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Deterministic stratified QUOTA sample: keep exactly `quota` rows per
+    * stratum (fewer when the stratum is smaller), chosen in portable-hash
+    * order of `key` — a reproducible "random" draw that is independent of
+    * partitioning and stable across engines, the property a training-mix
+    * rebalancer needs (per-language caps, per-source caps).
+    *
+    * One shuffle (window on the stratum). A stratum's rows sort within a
+    * single task, so this EXACT form is for strata that fit a task's sort
+    * spill budget; for web-scale strata use [[stratifiedSampleThreshold]],
+    * which needs no per-stratum sort. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      quota: Int): DataFrame = {
+    require(quota >= 0, "quota must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(Hashing.portableHash32(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** The SCALE form of stratified sampling: per stratum, keep rows whose
+    * portable hash falls under `ceil(quota / n * 2^32)` — approximately
+    * `quota` rows, no per-stratum sort, deterministic given the corpus.
+    * One count aggregate (broadcast back as a join on the stratum) plus a
+    * codegen'd per-row hash compare; strata of ANY size stream through. */
+  def stratifiedSampleThreshold(df: DataFrame, stratum: Column, key: Column,
+      quota: Int): DataFrame = {
+    require(quota >= 0, "quota must be >= 0")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val cutoff = ceil(lit(quota.toDouble * 4294967296.0) / col("__n"))
+      .cast("long")
+    df.join(broadcast(counts.select(col("__stratum"),
+        least(cutoff, lit(4294967296L)).as("__cut"))),
+        stratum === col("__stratum"))
+      .filter(Hashing.portableHash32(key) < col("__cut"))
+      .drop("__stratum", "__cut")
+  }
 }

@@ -197,6 +197,41 @@ object ExtensionQueries {
        |  ((start_offset + n_tokens - 1) // 512) > (start_offset // 512) AS spans_boundary
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Stratified QUOTA sampling — the training-mix rebalancer: keep at most
+    * 30 docs per language, drawn in portable-hash order (deterministic,
+    * partition-independent, stable across engines — the oracle replays the
+    * identical draw). Exact form: one window per stratum. */
+  def t9StratifiedSample(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        documents(sp, dir).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id").cast("string"), quota = 30)
+      .orderBy("doc_id")
+
+  val t9Sql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY ${h("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 30 ORDER BY doc_id""".stripMargin
+
+  /** The SCALE form of t9: per-stratum hash-threshold sampling — no
+    * per-stratum sort, so strata of any size stream through; approximately
+    * the quota, deterministic given the corpus (the oracle recomputes the
+    * same cutoff arithmetic, so even the approximation is hash-verified). */
+  def t9bStratifiedThreshold(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSampleThreshold(
+        documents(sp, dir).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id").cast("string"), quota = 30)
+      .orderBy("doc_id")
+
+  val t9bSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN c ON c.lang = d.lang
+       |WHERE ${h("CAST(d.doc_id AS VARCHAR)")} <
+       |  least(CAST(ceil(30.0 * 4294967296.0 / c.n) AS BIGINT), 4294967296)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -275,6 +310,70 @@ object ExtensionQueries {
        |FROM kept l JOIN kept r
        |  ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** INCREMENTAL dedup — the corpus-growth shape: base = docs 0-399
+    * (already deduped in "a previous run"), increment = docs 400+ PLUS
+    * exact twins of docs 0-99 (re-crawls of known content). The operator
+    * sketches both sides and bucket-joins increment x base ONLY (the base
+    * is never self-joined again), Jaccard-confirms, and labels each
+    * increment doc is_new / n_dups. The oracle replays sketching, the
+    * base-side bucket cap, the cross join and the verify — certifying the
+    * exact topology a nightly ingest run executes. */
+  private val D13MaxBucket = 2L
+
+  def d13DedupIncremental(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") < 400)
+    val inc = docs.filter(col("doc_id") >= 400)
+      .union(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    Dedup.incrementalNearDups(spread(base), spread(inc), col("doc_id"),
+        col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8,
+        maxBucket = D13MaxBucket)
+      .orderBy("id")
+  }
+
+  val d13Sql: String = {
+    val bands = K / BandRows
+    def bandSelects(sig: String) = (0 until bands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(s${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM $sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+       |  WHERE doc_id < 100),
+       |tb AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+       |shb AS (SELECT doc_id, ${shingleSql("t")} AS s FROM tb),
+       |hhb AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM shb),
+       |sigb AS (SELECT doc_id, $sigSqlCols FROM hhb),
+       |ti AS (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
+       |shi AS (SELECT doc_id, ${shingleSql("t")} AS s FROM ti),
+       |hhi AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs FROM shi),
+       |sigi AS (SELECT doc_id, $sigSqlCols FROM hhi),
+       |bandsb AS (${bandSelects("sigb")}),
+       |keptb AS (SELECT doc_id, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc FROM bandsb)
+       |  WHERE bc <= $D13MaxBucket),
+       |bandsi AS (${bandSelects("sigi")}),
+       |cand AS (SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id
+       |  FROM bandsi i JOIN keptb b ON i.band = b.band AND i.key = b.key),
+       |conf AS (SELECT c.inc_id,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |    len(a.s) + len(b.s) AS tot
+       |  FROM cand c JOIN shi a ON a.doc_id = c.inc_id
+       |              JOIN shb b ON b.doc_id = c.base_id),
+       |dups AS (SELECT inc_id AS id, count(*) AS n_dups FROM conf
+       |  WHERE CASE WHEN tot = 0 THEN 0.0
+       |             ELSE inter::DOUBLE / (tot - inter) END >= 0.8
+       |  GROUP BY 1)
+       |SELECT inc.doc_id AS id, (dups.n_dups IS NULL) AS is_new,
+       |  coalesce(dups.n_dups, 0) AS n_dups
+       |FROM inc LEFT JOIN dups ON dups.id = inc.doc_id
+       |ORDER BY id""".stripMargin
   }
 
   /** The END-TO-END dedup pipeline over a re-crawled corpus: MinHash
@@ -1099,6 +1198,8 @@ object ExtensionQueries {
     "t6_text_scrub" -> (t6TextScrub _),
     "t7_hash_split" -> (t7HashSplit _),
     "t8_seq_pack" -> (t8SeqPack _),
+    "t9_stratified_sample" -> (t9StratifiedSample _),
+    "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
     "d3_minhash_pairs" -> (d3MinhashPairs _),
@@ -1111,6 +1212,7 @@ object ExtensionQueries {
     "d10_embed_quant" -> (d10EmbedQuant _),
     "d11_dedup_e2e" -> (d11DedupE2e _),
     "d12_dedup_clusters" -> (d12DedupClusters _),
+    "d13_dedup_incremental" -> (d13DedupIncremental _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
@@ -1135,6 +1237,8 @@ object ExtensionQueries {
     "t6_text_scrub" -> t6Sql,
     "t7_hash_split" -> t7Sql,
     "t8_seq_pack" -> t8Sql,
+    "t9_stratified_sample" -> t9Sql,
+    "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_pairs" -> d3Sql,
@@ -1160,5 +1264,6 @@ object ExtensionQueries {
     "s4_stream_join" -> s4Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
-    "d12_dedup_clusters" -> d12Sql)
+    "d12_dedup_clusters" -> d12Sql,
+    "d13_dedup_incremental" -> d13Sql)
 }

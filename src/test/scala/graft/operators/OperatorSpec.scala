@@ -356,6 +356,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: exact quota per stratum, deterministic, " +
+      "partition-independent; threshold form approximates it sortlessly") {
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, s"lang${i % 3}"))
+      .toDF("id", "lang")
+    val a = Sampling.stratifiedSample(df, col("lang"),
+      col("id").cast("string"), 25)
+    // exactly the quota from every (large-enough) stratum
+    assert(a.groupBy("lang").count().collect()
+      .forall(_.getLong(1) == 25L))
+    // identical draw regardless of physical layout
+    val b = Sampling.stratifiedSample(df.repartition(13), col("lang"),
+      col("id").cast("string"), 25)
+    assert(a.orderBy("id").collect().toSeq ==
+      b.orderBy("id").collect().toSeq)
+    // a stratum smaller than the quota survives whole
+    val small = Sampling.stratifiedSample(
+      df.filter(col("id") < 10), col("lang"), col("id").cast("string"), 25)
+    assert(small.count() == 10)
+    // threshold (scale) form: no window, approximately the quota, same
+    // determinism
+    val t = Sampling.stratifiedSampleThreshold(df, col("lang"),
+      col("id").cast("string"), 25)
+    val counts = t.groupBy("lang").count().collect()
+      .map(_.getLong(1))
+    assert(counts.forall(c => c >= 10 && c <= 45), counts.toSeq.toString)
+    assert(!t.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("incrementalNearDups: base x increment only, twins flagged, " +
+      "novel docs pass") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("id", "text")
+    val inc = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact twin of 1
+      (11L, "totally different words entirely here now"),
+      (12L, "one two three four five six")) // exact twin of 2
+      .toDF("id", "text")
+    val got = Dedup.incrementalNearDups(base, inc, col("id"), col("text"),
+        n = 3, k = 8, rows = 2, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    assert(got(10L) == ((false, 1L)) && got(12L) == ((false, 1L)))
+    assert(got(11L) == ((true, 0L)))
+    assert(got.size == 3) // one row per increment doc, base never emitted
+  }
+
   test("hashSplit: deterministic, partition-independent, bounds checked") {
     import spark.implicits._
     val df = spark.range(1000).select(col("id").cast("string").as("k"))
