@@ -55,6 +55,17 @@ object Text {
       lit(0.0)), lit(1.0)), 4)
   }
 
+  /** Word n-gram repetition ratio in [0,1]: 1 - distinct/total n-grams —
+    * the Gopher-style boilerplate/loop detector (a doc that repeats the
+    * same phrases has few distinct n-grams relative to its length). 0 for
+    * docs shorter than n tokens. Pure codegen'd Columns, one pass. */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val sh = Hashing.shingles(tokens(c), n) // ordered, duplicates kept
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh), 4))
+  }
+
   /** Language-ID by stopword-list hits — the classic n-gram/function-word
     * heuristic, restricted to portable string ops. Scores each language by
     * the fraction of tokens in its function-word list; argmax wins, 'und'

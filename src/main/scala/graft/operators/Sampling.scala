@@ -96,6 +96,25 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-stratum quantile floor — the quality-curation step: keep rows
+    * whose `score` reaches at least the `minPercentile` rank within their
+    * stratum (e.g. drop each language's bottom decile by quality).
+    * `percent_rank` gives ties identical ranks, so the cut is
+    * deterministic regardless of row order. One shuffle (window on the
+    * stratum); for web-scale strata swap the window for a broadcast of
+    * per-stratum `approx_percentile` thresholds (the q11b sketch path —
+    * same join shape as [[stratifiedSampleThreshold]]). */
+  def stratifiedQuantileFilter(df: DataFrame, stratum: Column,
+      score: Column, minPercentile: Double): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      "minPercentile must be in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(stratum)
+      .orderBy(score)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= minPercentile)
+      .drop("__pr")
+  }
+
   /** The SCALE form of stratified sampling: per stratum, keep rows whose
     * portable hash falls under `ceil(quota / n * 2^32)` — approximately
     * `quota` rows, no per-stratum sort, deterministic given the corpus.

@@ -197,6 +197,58 @@ object ExtensionQueries {
        |  ((start_offset + n_tokens - 1) // 512) > (start_offset // 512) AS spans_boundary
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Quality curation — drop each language's bottom decile by the
+    * composite quality score (the per-stratum floor a training-mix
+    * pipeline applies before sampling). percent_rank gives ties identical
+    * ranks, so the cut is deterministic and the oracle replays it. */
+  def t10QualityFilter(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedQuantileFilter(
+        documents(sp, dir).select(col("doc_id"), col("lang"),
+          Text.qualityScore(col("text")).as("quality")),
+        col("lang"), col("quality"), minPercentile = 0.10)
+      .orderBy("doc_id")
+
+  val t10Sql: String = {
+    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
+      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
+    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
+      "'', 'g')))::DOUBLE / length(text))"
+    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
+    val quality = s"round(least(greatest($len500 * 0.5 + " +
+      s"least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4)"
+    s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+       |r AS (SELECT doc_id, lang, quality,
+       |    percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr
+       |  FROM q)
+       |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.10
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Word-3-gram repetition ratio (1 - distinct/total) — the Gopher-style
+    * boilerplate detector, plus the filter verdict at the classic 0.2
+    * threshold. */
+  def t11Repetition(sp: SparkSession, dir: String): DataFrame =
+    documents(sp, dir).select(col("doc_id"),
+        Text.repetitionRatio(col("text"), 3).as("rep_ratio"))
+      .withColumn("keep", col("rep_ratio") <= 0.2)
+      .orderBy("doc_id")
+
+  val t11Sql: String = {
+    // RAW shingle list (duplicates kept) — shingleSql would dedupe
+    val raw = s"CASE WHEN len($Toks) < 3 THEN [] ELSE " +
+      s"list_transform(range(1, len($Toks)-2+1), i -> " +
+      s"array_to_string($Toks[i:i+2], ' ')) END"
+    s"""WITH sh AS (SELECT doc_id, $raw AS s FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN len(s) = 0 THEN 0.0
+       |       ELSE round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 4)
+       |       END AS rep_ratio,
+       |  (CASE WHEN len(s) = 0 THEN 0.0
+       |        ELSE round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 4)
+       |        END) <= 0.2 AS keep
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
   /** Stratified QUOTA sampling — the training-mix rebalancer: keep at most
     * 30 docs per language, drawn in portable-hash order (deterministic,
     * partition-independent, stable across engines — the oracle replays the
@@ -1199,6 +1251,8 @@ object ExtensionQueries {
     "t7_hash_split" -> (t7HashSplit _),
     "t8_seq_pack" -> (t8SeqPack _),
     "t9_stratified_sample" -> (t9StratifiedSample _),
+    "t10_quality_filter" -> (t10QualityFilter _),
+    "t11_repetition" -> (t11Repetition _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -1238,6 +1292,8 @@ object ExtensionQueries {
     "t7_hash_split" -> t7Sql,
     "t8_seq_pack" -> t8Sql,
     "t9_stratified_sample" -> t9Sql,
+    "t10_quality_filter" -> t10Sql,
+    "t11_repetition" -> t11Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
