@@ -53,6 +53,31 @@ class XmlDispatchSpec extends AnyFunSuite {
       (None, Some("3"))))
   }
 
+  test("struct-parser wildcard binds (XmlFirstChildExpr): exact beats " +
+      "glob, last glob wins, first match wins within a member") {
+    import spark.implicits._
+    // q_* and *_x both glob; q_x matches both -> *_x (later) claims it;
+    // exact member "q_a" steals q_a from q_*; first q_* child wins
+    val parser = XmlParser.struct("r") { a =>
+      struct(
+        a.str("q_a").as("exact"),
+        a.str("q_*").as("g1"),
+        a.str("*_x").as("g2"))
+    }
+    val doc = "<r><q_a>E</q_a><q_x>B</q_x><q_b>F1</q_b><q_c>F2</q_c></r>"
+    val got = one(doc).select(parser.parse(col("x")).as("r"))
+      .select("r.*").as[(String, String, String)].head()
+    // exact=q_a; g1 = first q_* child NOT claimed by exact or the later
+    // glob (*_x claims q_x) -> q_b; g2 = q_x
+    assert(got == (("E", "F1", "B")))
+    // no match -> null slot, and the expression survives malformed input
+    val got2 = one("<r><zz>1</zz></r>")
+      .select(parser.parse(col("x")).as("r"))
+      .select("r.*").as[(Option[String], Option[String], Option[String])]
+      .head()
+    assert(got2 == ((None, None, None)))
+  }
+
   test("container attributes broadcast to every array element") {
     import spark.implicits._
     val parser = XmlParser.struct("r") { a =>
