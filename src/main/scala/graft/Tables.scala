@@ -48,6 +48,24 @@ object Tables {
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Unique /tmp scratch path (concurrent harness invocations over the
+    * same sfDir must not overwrite each other's files mid-read), deleted
+    * recursively on JVM exit — the bench harness runs every query 1+reps
+    * times, and without cleanup each rep would leave a corpus copy behind. */
+  def scratchDir(prefix: String): String = {
+    val dir = "/tmp/" + prefix + "-" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  }
+
   /** Exact money arithmetic: the source columns are doubles; both Spark and
     * DuckDB round-trip them through DECIMAL(18,2) to the same exact value, so
     * aggregates hash-match bit-for-bit once cast back to double.

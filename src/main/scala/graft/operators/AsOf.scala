@@ -44,8 +44,12 @@ object AsOf {
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
     // carry the right ts inside the payload struct so the tolerance check
-    // can see how far the matched row actually is
+    // can see how far the matched row actually is. Right rows with a null
+    // key or ts can never satisfy "greatest ts <= / smallest ts >=" — drop
+    // them up front so the window cannot carry one (matches the exec form
+    // and DuckDB ASOF, where a null never orders against anything)
     val rTagged = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
       .select(col(key), col(ts),
         struct((col(ts).as("__mts") +: rightPayload.map(col)): _*)
           .as("__p"))
@@ -76,8 +80,13 @@ object AsOf {
     val stripped = struct(
       rightPayload.map(n => matched.getField(n).as(n)): _*)
     unioned
+      // a left row with a null key or ts has no order position either —
+      // null match, same as the exec (without the guard, a FORWARD join
+      // would let a nulls-first left row see every real right row in its
+      // leading frame)
       .withColumn("__match",
-        when(matched.isNotNull && gapOk, stripped))
+        when(col(key).isNotNull && col(ts).isNotNull &&
+          matched.isNotNull && gapOk, stripped))
       .filter(col("__side") === 1)
       .drop("__side", "__p")
   }

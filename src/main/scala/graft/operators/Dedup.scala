@@ -281,7 +281,12 @@ object Dedup {
       if (maxBucket == Long.MaxValue) buckets(base)
       else buckets(base).withColumn("__bc", count(lit(1)).over(w))
         .filter(col("__bc") <= maxBucket).drop("__bc"))
-      .persist() // sketch-sized; joined once per band collision
+      // persist: sketch-sized (band keys per doc, never corpus-scale);
+      // without it the bucket join + cap window re-run the md5 pipeline.
+      // Lifecycle is the caller's session (harnesses clearCache between
+      // queries); a long-lived ingest service should persist the base
+      // sketches to parquet across runs instead — see the scaladoc
+      .persist()
     val cand = buckets(increment).as("i")
       .join(baseB.as("b"),
         col("i.band") === col("b.band") && col("i.key") === col("b.key"))

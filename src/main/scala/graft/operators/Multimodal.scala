@@ -184,17 +184,46 @@ object Multimodal {
       DecodedRow(b.doc_id, "audio/wav", m.length.toLong, 0, 0, rate,
         channels, if (frame > 0) dataLen.toLong / frame else 0L)
     } else if (isRiff(m, "AVI ")) {
-      val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
-      // avih is the first chunk of the first LIST (hdrl): its payload
-      // starts at offset 12 (LIST hdr) + 8 (+4 'hdrl') + 8 (avih hdr) = 32
-      val (w, h) =
-        if (m.length >= 32 + 56) (buf.getInt(32 + 32), buf.getInt(32 + 36))
-        else (0, 0)
+      // locate avih by fourcc (walk top-level chunks for LIST hdrl, then
+      // its sub-chunks) — real muxers may emit JUNK padding before hdrl,
+      // so a fixed offset would read garbage dimensions
+      val (w, h) = aviMainHeaderDims(m)
       DecodedRow(b.doc_id, "video/avi", m.length.toLong, w, h, 0, 0,
         aviFrameSlices(m).length.toLong)
     } else {
       DecodedRow(b.doc_id, b.fmt, m.length.toLong, 0, 0, 0, 0, 0L)
     }
+  }
+
+  /** Width/height from the avih main header, located BY FOURCC: walk the
+    * top-level chunks for `LIST hdrl`, then hdrl's sub-chunks for `avih`
+    * (dwWidth/dwHeight at payload offsets 32/36). (0, 0) when absent or
+    * truncated. */
+  def aviMainHeaderDims(m: Array[Byte]): (Int, Int) = {
+    if (!isRiff(m, "AVI ")) return (0, 0)
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int, s: String): Boolean =
+      m(off) == s(0) && m(off + 1) == s(1) && m(off + 2) == s(2) &&
+        m(off + 3) == s(3)
+    var off = 12
+    while (off + 12 <= m.length) {
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > m.length) return (0, 0)
+      if (fourcc(off, "LIST") && size >= 4 && fourcc(off + 8, "hdrl")) {
+        val end = off + 8 + size
+        var p = off + 12
+        while (p + 8 <= end) {
+          val csz = buf.getInt(p + 4)
+          if (csz < 0 || p + 8 + csz > end) return (0, 0)
+          if (fourcc(p, "avih") && csz >= 40)
+            return (buf.getInt(p + 8 + 32), buf.getInt(p + 8 + 36))
+          p += 8 + csz + (csz & 1)
+        }
+        return (0, 0) // hdrl without avih
+      }
+      off += 8 + size + (size & 1)
+    }
+    (0, 0)
   }
 
   /** REAL RIFF AVI container walk: locate every `LIST movi` among the

@@ -129,7 +129,9 @@ object Sampling {
       .cast("long")
     df.join(broadcast(counts.select(col("__stratum"),
         least(cutoff, lit(4294967296L)).as("__cut"))),
-        stratum === col("__stratum"))
+        // null-safe: a null stratum is a stratum (the exact form samples
+        // it via its window partition; a plain === would drop those rows)
+        stratum <=> col("__stratum"))
       .filter(Hashing.portableHash32(key) < col("__cut"))
       .drop("__stratum", "__cut")
   }

@@ -262,7 +262,9 @@ object ExtensionQueries {
   val t9Sql: String =
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-       |    ORDER BY ${h("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |    -- tiebreak on the STRING key, as the Spark side does ("10"<"9")
+       |    ORDER BY ${h("CAST(doc_id AS VARCHAR)")},
+       |      CAST(doc_id AS VARCHAR)) AS rn
        |  FROM documents)
        |WHERE rn <= 30 ORDER BY doc_id""".stripMargin
 

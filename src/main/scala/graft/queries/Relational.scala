@@ -391,10 +391,7 @@ object Relational {
   def q14Formats(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_totalprice"), col("o_orderstatus"))
-    // unique per run: concurrent harness invocations over the same sfDir
-    // must not overwrite each other's files mid-read
-    val base = "/tmp/graft-q14-" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    val base = graft.Tables.scratchDir("graft-q14") // deleted on exit
     spread(o).write.mode("overwrite").json(s"$base/json")
     spread(o).write.mode("overwrite").option("header", "true")
       .csv(s"$base/csv")

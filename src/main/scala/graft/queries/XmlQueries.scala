@@ -238,10 +238,7 @@ object XmlQueries {
       lit("<rec><id>"), s(col("o_orderkey")), lit("</id><vals><st_"),
       col("o_orderstatus"), lit(">"), d2s(col("o_totalprice")),
       lit("</st_"), col("o_orderstatus"), lit("></vals></rec>"))
-    // unique per run: concurrent harness invocations over the same sfDir
-    // must not overwrite each other's files mid-read
-    val outDir = "/tmp/graft-x7-" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    val outDir = graft.Tables.scratchDir("graft-x7") // deleted on exit
     // spread the write: the 1-partition scan would otherwise serialize
     // both the file write and (single big file) the read-back
     spread(o.select(xml.as("value"))).write.mode("overwrite").text(outDir)
@@ -280,8 +277,7 @@ object XmlQueries {
       lit("<rec><id>"), s(col("c_custkey")), lit("</id><m><seg_"),
       col("c_mktsegment"), lit(">"), d2s(col("c_acctbal")),
       lit("</seg_"), col("c_mktsegment"), lit("></m></rec>"))
-    val outDir = "/tmp/graft-x9-" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
+    val outDir = graft.Tables.scratchDir("graft-x9") // deleted on exit
     // spread -> many small .gz shards: a non-splittable codec's scale
     // story IS the file count
     spread(c.select(xml.as("value"))).write.mode("overwrite")

@@ -179,6 +179,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!planStr.contains("Window"), s"plan:\n$planStr")
   }
 
+  test("as-of null semantics: null right ts/key never matches, null left " +
+      "ts/key gets a null match — carry and exec agree, both directions") {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L), 100L), (Some(1L), None, 101L),
+      (None, Some(5L), 102L), (Some(2L), Some(7L), 103L))
+      .toDF("k", "t", "lid")
+    val r = Seq((Some(1L), Some(9L), 900L), (Some(1L), None, 901L),
+      (None, Some(1L), 902L), (Some(2L), Some(8L), 903L))
+      .toDF("k", "t", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), col("__match.rid").as("rid")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    for (dir <- Seq("backward", "forward")) {
+      val carry = canon(graft.operators.AsOf.asOfJoin(
+        l, r, "k", "t", Seq("rid"), direction = dir))
+      val exec = canon(graft.operators.AsOf.asOfJoinExec(
+        l, r, "k", "t", Seq("rid"), direction = dir))
+      assert(carry == exec, s"direction=$dir carry=$carry exec=$exec")
+      // null left ts (101) and null left key (102) never match; the
+      // null-ts right row 901 is never carried into anything
+      assert(carry(101L).isEmpty && carry(102L).isEmpty, s"dir=$dir")
+      assert(!carry.values.flatten.exists(_ == 901L), s"dir=$dir")
+    }
+    // sanity on the real rows: backward 100->900 (9<=10), forward
+    // 103 -> 903 (8>=7)
+    val back = canon(graft.operators.AsOf.asOfJoin(
+      l, r, "k", "t", Seq("rid")))
+    assert(back(100L) == Some(900L))
+    val fwd = canon(graft.operators.AsOf.asOfJoin(
+      l, r, "k", "t", Seq("rid"), direction = "forward"))
+    assert(fwd(103L) == Some(903L))
+  }
+
   test("PushLambdaThroughExplode: explode(transform) becomes a codegen'd " +
       "projection over the exploded elements, same results") {
     val prevActive = SparkSession.getActiveSession
