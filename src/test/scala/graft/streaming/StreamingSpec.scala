@@ -280,6 +280,35 @@ class StreamingSpec extends AnyFunSuite {
       ((Some(1), "x1")))
   }
 
+  test("graft-xml FileFormat: one big file splits into many tasks and " +
+      "records straddling split boundaries stay intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftxmlsplit")
+    val n = 5000
+    val w = new java.io.PrintWriter(dir.resolve("one-big.xml").toFile)
+    w.write("<rows>")
+    // ~100-byte records -> ~500 KB file
+    (1 to n).foreach(i => w.write(
+      s"<rec><id>$i</id><pad>${"x" * 60}</pad></rec>"))
+    w.write("</rows>")
+    w.close()
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536") // 64 KB
+    try {
+      val df = spark.read.format("graft-xml").option("rowTag", "rec")
+        .load(dir.toString)
+      // genuinely split: many byte-range tasks over the single file
+      assert(df.rdd.getNumPartitions > 4, s"${df.rdd.getNumPartitions}")
+      // no record lost or duplicated at any of the split boundaries
+      assert(df.count() == n)
+      val ids = df.as[String]
+        .map(s => s.substring(s.indexOf("<id>") + 4, s.indexOf("</id>")).toInt)
+      assert(ids.distinct().count() == n)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+  }
+
   test("graft-xml FileFormat: gzipped files decode through the codec") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftxmlfmtgz")
