@@ -1241,6 +1241,43 @@ object ExtensionQueries {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY v.user_id, view_event, click_event""".stripMargin
 
+  /** Streaming XML ingestion gate: orders written as XML text shards,
+    * STREAMED back through the wildcard DSL — which routes through the
+    * `graft-xml` FileFormat (split-based reads, the wholetext replacement)
+    * — and aggregated per status in complete mode. The oracle computes the
+    * same aggregate straight off the orders table, so the gate certifies
+    * the streaming source + parse + aggregate chain, not just specs. */
+  def s5StreamXml(sp: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(sp, dir)
+    val xml = concat(
+      lit("<rec st='"), col("o_orderstatus"), lit("'><id>"),
+      col("o_orderkey").cast("string"), lit("</id><v_"),
+      col("o_orderstatus"), lit(">"), dec(col("o_totalprice"))
+        .cast("string"),
+      lit("</v_"), col("o_orderstatus"), lit("></rec>"))
+    val outDir = graft.Tables.scratchDir("graft-s5")
+    spread(o.select(xml.as("value"))).write.mode("overwrite").text(outDir)
+    val parser = graft.xml.XmlParser.struct("rec") { a =>
+      struct(a.attribute("st").as("status"),
+        a.nullDecimal("v_*").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2)).as("tot"))
+    }
+    val name = "s5_xml_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = parser.readStream(sp, outDir)
+      .select(col("parsed.status").as("status"), col("parsed.tot").as("tot"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(col("tot"))).as("sum_total"))
+    graft.streaming.StreamOps.runToMemory(sp, stream, name, "complete")
+      .orderBy("status")
+  }
+
+  val s5Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1282,7 +1319,8 @@ object ExtensionQueries {
     "s3_asof_join" -> (s3AsOf _),
     "s3b_asof_exec" -> (s3bAsOfExec _),
     "s3c_asof_dir_tol" -> (s3cAsOfDirTol _),
-    "s4_stream_join" -> (s4StreamJoin _))
+    "s4_stream_join" -> (s4StreamJoin _),
+    "s5_stream_xml" -> (s5StreamXml _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1320,6 +1358,8 @@ object ExtensionQueries {
     "s3b_asof_exec" -> s3Sql,
     "s3c_asof_dir_tol" -> s3cSql,
     "s4_stream_join" -> s4Sql,
+    "s5_stream_xml" -> s5Sql,
+    "s5_stream_xml" -> s5Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,
