@@ -58,8 +58,16 @@ object Text {
   /** Word n-gram repetition ratio in [0,1]: 1 - distinct/total n-grams —
     * the Gopher-style boilerplate/loop detector (a doc that repeats the
     * same phrases has few distinct n-grams relative to its length). 0 for
-    * docs shorter than n tokens. Pure codegen'd Columns, one pass. */
-  def repetitionRatio(c: Column, n: Int): Column = {
+    * docs shorter than n tokens. One-pass codegen kernel
+    * ([[RepetitionExpr]]); [[repetitionRatioRef]] is the declarative
+    * formula it is parity-tested against. */
+  def repetitionRatio(c: Column, n: Int): Column =
+    RepetitionExpr.repetition_ratio(c, n)
+
+  /** Declarative reference form of [[repetitionRatio]] (transform +
+    * array_distinct — higher-order functions, interpreted; ~35x slower at
+    * corpus scale). Kept as the kernel's parity oracle. */
+  def repetitionRatioRef(c: Column, n: Int): Column = {
     val sh = Hashing.shingles(tokens(c), n) // ordered, duplicates kept
     when(size(sh) === 0, lit(0.0))
       .otherwise(round(lit(1.0) -

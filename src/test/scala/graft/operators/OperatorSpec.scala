@@ -356,6 +356,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("RepetitionExpr kernel: bit-parity with the declarative " +
+      "transform/array_distinct formula, incl. edge shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b c a b c a b c",      // heavy repetition
+      "all distinct words here entirely",
+      "x",                      // shorter than n -> 0.0
+      "",                       // empty string -> one empty token -> 0.0
+      "a  b c",                 // double space = empty token (split -1)
+      "a b a b a b a b a b a b" // alternating
+    ) ++ (0 until 200).map(i => s"doc $i with some shared tail words " +
+      ("lorem ipsum " * (i % 7)))
+    val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+    val got = df.select(col("id"),
+      graft.functions.Text.repetitionRatio(col("text"), 3).as("r"))
+    val ref = df.select(col("id"),
+      graft.functions.Text.repetitionRatioRef(col("text"), 3).as("r"))
+    val g = got.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val w = ref.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(g == w, (g.toSeq.sorted zip w.toSeq.sorted)
+      .filter { case (x, y) => x != y }.take(5).toString)
+  }
+
   test("stratifiedSample: exact quota per stratum, deterministic, " +
       "partition-independent; threshold form approximates it sortlessly") {
     import spark.implicits._
