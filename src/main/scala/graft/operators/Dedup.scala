@@ -28,8 +28,17 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(min(id).as("keeper_id"), count(lit(1)).as("group_size"))
 
-  /** Word-n-gram shingle set (distinct) of a text column. */
+  /** Word-n-gram shingle set (distinct, first-occurrence order) of a text
+    * column — one-pass codegen kernel
+    * ([[graft.functions.ShingleSetExpr]]); [[shingleSetRef]] is the
+    * declarative formula it is parity-tested against. */
   def shingleSet(text: Column, n: Int): Column =
+    graft.functions.ShingleSetExpr.shingle_set(text, n)
+
+  /** Declarative reference form of [[shingleSet]] (transform +
+    * array_distinct — higher-order functions, interpreted). Kept as the
+    * kernel's parity oracle. */
+  def shingleSetRef(text: Column, n: Int): Column =
     array_distinct(Hashing.shingles(Text.tokens(text), n))
 
   /** Exact Jaccard similarity between two shingle-set columns — the

@@ -379,6 +379,23 @@ class OperatorSpec extends AnyFunSuite {
       .filter { case (x, y) => x != y }.take(5).toString)
   }
 
+  test("ShingleSetExpr kernel: bit-parity with array_distinct(shingles), " +
+      "incl. ordering and edge shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b c a b c a b c", "x", "", "a  b c",
+      "one two three four five six seven"
+    ) ++ (0 until 100).map(i => s"doc $i tail " + ("lorem ipsum " * (i % 5)))
+    val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+    val g = df.select(col("id"),
+        Dedup.shingleSet(col("text"), 3).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    val w = df.select(col("id"),
+        Dedup.shingleSetRef(col("text"), 3).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(g == w) // element ORDER included (first-occurrence)
+  }
+
   test("stratifiedSample: exact quota per stratum, deterministic, " +
       "partition-independent; threshold form approximates it sortlessly") {
     import spark.implicits._
