@@ -413,6 +413,39 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_csv
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  /** Interval (range) join, binned: overlapping value bands over the events
+    * stream, joined via [[graft.operators.RangeJoin.binned]] — an equi-join
+    * on quantized bins plus a residual range filter, never a nested loop.
+    * Scale: the exploded band side broadcasts (config-sized here); with a
+    * large interval table the same plan shuffles both sides on the bin id.
+    * Bands deliberately overlap (25..100 overlaps 0..50) to prove this is a
+    * real interval join, not disjoint bucketing.
+    */
+  def q15RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val bands = Seq(
+      (0L, 0.0, 50.0), (1L, 25.0, 100.0), (2L, 100.0, 200.0),
+      (3L, 150.0, 300.0), (4L, 300.0, 500.0))
+      .toDF("band_id", "lo", "hi")
+    graft.operators.RangeJoin
+      .binned(ev, col("value"), bands, col("lo"), col("hi"), binWidth = 50.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("band_id"))
+  }
+
+  val q15Sql: String =
+    """SELECT band_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |JOIN (VALUES (CAST(0 AS BIGINT), 0.0, 50.0), (1, 25.0, 100.0),
+      |             (2, 100.0, 200.0), (3, 150.0, 300.0), (4, 300.0, 500.0))
+      |  AS bands(band_id, lo, hi)
+      |  ON e.value >= bands.lo AND e.value < bands.hi
+      |GROUP BY band_id ORDER BY band_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -428,7 +461,8 @@ object Relational {
     "q11b_percentile_approx" -> (q11bApproxPercentiles _),
     "q12_cube" -> (q12Cube _),
     "q13_pivot" -> (q13Pivot _),
-    "q14_formats" -> (q14Formats _))
+    "q14_formats" -> (q14Formats _),
+    "q15_range_join" -> (q15RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -445,5 +479,6 @@ object Relational {
     "q11b_percentile_approx" -> q11bSql,
     "q12_cube" -> q12Sql,
     "q13_pivot" -> q13Sql,
-    "q14_formats" -> q14Sql)
+    "q14_formats" -> q14Sql,
+    "q15_range_join" -> q15Sql)
 }

@@ -31,6 +31,7 @@ class OperatorSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -495,6 +496,30 @@ class OperatorSpec extends AnyFunSuite {
     val sat = spark.range(64).select(col("id").cast("string").as("v"))
     val satRow = Sketches.approxDistinct(sat, col("v"), 1).head()
     assert(satRow.isNullAt(0))
+  }
+
+  test("RangeJoin.binned equals the theta join; plan is equi-join, " +
+      "no nested loop") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("value"))
+    val bands = Seq((0L, 0.0, 50.0), (1L, 25.0, 100.0), (2L, 100.0, 300.0))
+      .toDF("band_id", "lo", "hi")
+    val binned = RangeJoin.binned(ev, col("value"), bands,
+      col("lo"), col("hi"), binWidth = 40.0)
+      .select("event_id", "band_id")
+    val theta = ev.join(bands,
+      col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "band_id")
+    assert(binned.except(theta).isEmpty && theta.except(binned).isEmpty)
+    // overlap region really produces two bands for one event
+    assert(binned.groupBy("event_id").count().filter(col("count") > 1)
+      .count() > 0)
+    // physical plan: hash equi-join on the bin id, not BNLJ/cartesian
+    val phys = binned.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"))
+    assert(phys.contains("BroadcastHashJoin"))
   }
 
   test("SQL registration: xml_children usable from spark.sql") {
