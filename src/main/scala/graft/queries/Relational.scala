@@ -446,6 +446,37 @@ object Relational {
       |  ON e.value >= bands.lo AND e.value < bands.hi
       |GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  /** Bloom-pruned semi join: lineitem rows restricted to high-value 'F'
+    * orders. [[graft.operators.BloomPrune]] builds a ~KB bloom filter over
+    * the qualifying order keys (distributed treeAggregate, config-sized
+    * driver state) and drops non-matching lineitem rows in the SCAN stage —
+    * before the shuffle — then a residual semi join removes false
+    * positives, so the result is exactly the semi join. At 100 TB this is
+    * the difference between shuffling the full fact table and shuffling
+    * only the ~matching slice.
+    */
+  def q16BloomSemi(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val dim = orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    graft.operators.BloomPrune.prunedSemiJoin(
+      li, col("l_orderkey"), dim, col("o_orderkey"),
+      expectedItems = 1000000L, fpp = 0.01, dimKeyName = "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q16Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -462,7 +493,8 @@ object Relational {
     "q12_cube" -> (q12Cube _),
     "q13_pivot" -> (q13Pivot _),
     "q14_formats" -> (q14Formats _),
-    "q15_range_join" -> (q15RangeJoin _))
+    "q15_range_join" -> (q15RangeJoin _),
+    "q16_bloom_semi" -> (q16BloomSemi _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -480,5 +512,6 @@ object Relational {
     "q12_cube" -> q12Sql,
     "q13_pivot" -> q13Sql,
     "q14_formats" -> q14Sql,
-    "q15_range_join" -> q15Sql)
+    "q15_range_join" -> q15Sql,
+    "q16_bloom_semi" -> q16Sql)
 }

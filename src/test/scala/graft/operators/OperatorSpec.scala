@@ -522,6 +522,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(phys.contains("BroadcastHashJoin"))
   }
 
+  test("BloomPrune: prefilter prunes before the shuffle, result is the " +
+      "exact semi join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val pruned = BloomPrune.prunedSemiJoin(li, col("l_orderkey"), dim,
+      col("o_orderkey"), expectedItems = 100000L, fpp = 0.01,
+      dimKeyName = "o_orderkey")
+    val plain = li.join(dim, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    assert(pruned.count() == plain.count())
+    assert(pruned.select("l_orderkey").except(plain.select("l_orderkey"))
+      .isEmpty)
+    // the bloom prefilter alone keeps all matches (no false negatives)
+    // while dropping most of the fact table
+    val bytes = BloomPrune.buildBloom(dim, "o_orderkey", 100000L, 0.01)
+    val kept = li.filter(graft.functions.BloomMightContainExpr
+      .might_contain(col("l_orderkey"), bytes)).count()
+    assert(kept >= plain.count() && kept < li.count() / 2)
+    // filter sits below the exchange: pruned rows never shuffle
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("bloom_might_contain"))
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
