@@ -30,4 +30,22 @@ object Sketches {
         round(lit(-m.toDouble) * log(lit(1.0) -
           col("occupied").cast("double") / m), 2).as("est_distinct"),
         col("occupied"))
+
+  /** Two-level mergeable distinct count over Spark's Datasketches HLL:
+    * one sketch per (group, shard) partial, then a lossless sketch UNION
+    * per group — the shape a 100 TB pipeline needs, because partial
+    * sketches can be computed per day/partition/file, persisted
+    * (BinaryType), and re-unioned later without touching raw rows again.
+    * Standard error ~1.04/sqrt(2^lgK) (~1.6% at lgK=12).
+    *
+    * Output: (group, est_distinct) — estimate is engine-private (unlike
+    * [[approxDistinct]]'s replayable linear counting), so gates assert an
+    * error bound vs the exact count rather than hash equality. */
+  def hllMergedDistinct(df: DataFrame, group: Column, shard: Column,
+      value: Column, lgK: Int = 12): DataFrame =
+    df.groupBy(group.as("__g"), shard.as("__s"))
+      .agg(hll_sketch_agg(value, lgK).as("__sk"))
+      .groupBy(col("__g"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), true))
+        .as("est_distinct"))
 }

@@ -122,6 +122,99 @@ object ExtensionQueries {
        |  occupied, (SELECT count(DISTINCT t) FROM toks) AS exact_distinct
        |FROM b""".stripMargin
 
+  /** Mergeable HLL distinct tokens per language: per-(lang, source) partial
+    * sketches unioned per lang ([[graft.operators.Sketches.hllMergedDistinct]]).
+    * The estimate is engine-private (Datasketches), so the gate outputs the
+    * EXACT distinct count (hash-verifiable in DuckDB) plus `est_ok` =
+    * estimate within 5% of exact — a regression in the sketch path flips
+    * the boolean and fails the hash. */
+  def t12HllUnion(sp: SparkSession, dir: String): DataFrame = {
+    val toks = documents(sp, dir)
+      .select(col("lang"), col("source"),
+        explode(Text.tokens(col("text"))).as("t"))
+    val est = graft.operators.Sketches.hllMergedDistinct(
+      toks, col("lang"), col("source"), col("t"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("t")).as("exact_distinct"))
+    exact.join(est, col("lang") === col("__g"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("est_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("est_ok"))
+      .orderBy(col("lang"))
+  }
+
+  val t12Sql: String =
+    s"""WITH toks AS (SELECT lang, unnest($Toks) AS t FROM documents)
+       |SELECT lang, count(DISTINCT t) AS exact_distinct, TRUE AS est_ok
+       |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** BM25 relevance scoring (k1=1.2, b=0.75) for a fixed 3-term query over
+    * the documents corpus — the retrieval primitive of a training-data
+    * curation stack (dedup-aware sampling, contamination checks).
+    *
+    * Fully distributed: explode→filter to query-term hits only (the scan
+    * prunes everything else), one small groupBy for per-(doc,term) tf, a
+    * broadcast-joined 3-row df table and 1-row corpus stats, and a global
+    * top-k that Spark executes as TakeOrderedAndProject (per-partition
+    * heaps, no global sort). Floating parity with DuckDB: identical IEEE
+    * expression trees (rational idf — no transcendentals), conditional
+    * per-term sums recombined in fixed order. */
+  def t13Bm25(sp: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "stream")
+    val docs = documents(sp, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val hits = documents(sp, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = ((col("n") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfd = col("tf").cast("double")
+    val tfn = (tfd * 2.2) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / avgdl)))
+    val contrib = tf
+      .join(docs, "doc_id")
+      .join(broadcast(dfs.as("dfs")), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("t"), (idf * tfn).as("c"))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("t") === t, col("c"))).as(s"s$i") }
+    contrib.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        ((coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))) +
+          coalesce(col("s2"), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val t13Sql: String =
+    s"""WITH docs AS (SELECT doc_id, len($Toks) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM docs),
+       |hits AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+       |  WHERE t IN ('join', 'vector', 'stream') GROUP BY doc_id, t),
+       |dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |contrib AS (SELECT tf.doc_id, tf.t,
+       |    ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |    ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+       |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+       |        (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS c
+       |  FROM tf JOIN docs USING (doc_id) JOIN dfs ON tf.t = dfs.t
+       |  CROSS JOIN stats),
+       |sc AS (SELECT doc_id,
+       |    COALESCE(SUM(CASE WHEN t = 'join' THEN c END), 0.0) AS s0,
+       |    COALESCE(SUM(CASE WHEN t = 'vector' THEN c END), 0.0) AS s1,
+       |    COALESCE(SUM(CASE WHEN t = 'stream' THEN c END), 0.0) AS s2
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, ((s0 + s1) + s2) AS score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Text hygiene: PII scrubbing (emails, phone numbers) + Unicode NFC
     * normalization over text with injected PII and a decomposed accent —
     * both verified against DuckDB's identical regexes / nfc_normalize. */
@@ -1292,6 +1385,8 @@ object ExtensionQueries {
     "t9_stratified_sample" -> (t9StratifiedSample _),
     "t10_quality_filter" -> (t10QualityFilter _),
     "t11_repetition" -> (t11Repetition _),
+    "t12_hll_union" -> (t12HllUnion _),
+    "t13_bm25" -> (t13Bm25 _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -1334,6 +1429,8 @@ object ExtensionQueries {
     "t9_stratified_sample" -> t9Sql,
     "t10_quality_filter" -> t10Sql,
     "t11_repetition" -> t11Sql,
+    "t12_hll_union" -> t12Sql,
+    "t13_bm25" -> t13Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
