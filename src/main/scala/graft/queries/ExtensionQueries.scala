@@ -215,6 +215,31 @@ object ExtensionQueries {
        |SELECT doc_id, ((s0 + s1) + s2) AS score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Z-order (Morton) layout key over (l_partkey, l_suppkey) — the
+    * clustering primitive for multi-dimensional scan pruning
+    * ([[graft.operators.Layout]]): sorting by the interleave keeps files
+    * narrow in BOTH dimensions so parquet min/max footers prune scans on
+    * either column. The gate verifies the bit interleave itself against a
+    * DuckDB shift/mask oracle (codegen'd O(log w) spread vs a per-bit
+    * correlated sum). */
+  def z1Zorder(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    li.withColumn("z",
+        graft.operators.Layout.zvalue(col("l_partkey"), col("l_suppkey")))
+      .orderBy(col("z"), col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"))
+      .limit(50)
+  }
+
+  val z1Sql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey,
+      |  CAST((SELECT SUM((((l_partkey >> i) & 1) << (2 * i)) +
+      |                   (((l_suppkey >> i) & 1) << (2 * i + 1)))
+      |        FROM range(0, 16) t(i)) AS BIGINT) AS z
+      |FROM lineitem
+      |ORDER BY z, l_orderkey, l_partkey, l_suppkey LIMIT 50""".stripMargin
+
   /** Text hygiene: PII scrubbing (emails, phone numbers) + Unicode NFC
     * normalization over text with injected PII and a decomposed accent —
     * both verified against DuckDB's identical regexes / nfc_normalize. */
@@ -1387,6 +1412,7 @@ object ExtensionQueries {
     "t11_repetition" -> (t11Repetition _),
     "t12_hll_union" -> (t12HllUnion _),
     "t13_bm25" -> (t13Bm25 _),
+    "z1_zorder" -> (z1Zorder _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -1431,6 +1457,7 @@ object ExtensionQueries {
     "t11_repetition" -> t11Sql,
     "t12_hll_union" -> t12Sql,
     "t13_bm25" -> t13Sql,
+    "z1_zorder" -> z1Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,

@@ -546,6 +546,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(phys.contains("bloom_might_contain"))
   }
 
+  test("ZOrder: codegen interleave matches the declarative bit formula; " +
+      "zorderBy yields disjoint per-partition z ranges") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    // declarative twin: per-bit shift/mask sum
+    val ref = (0 until 16).map { i =>
+      (shiftleft(shiftright(col("x"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ + _)
+    val mismatches = li
+      .select(Layout.zvalue(col("x"), col("y")).as("z"), ref.as("zr"))
+      .filter(col("z") =!= col("zr")).count()
+    assert(mismatches == 0)
+    // layout: range partitions carry disjoint, ordered z intervals
+    val parts = Layout.zorderBy(li, col("x"), col("y"), 8)
+      .select(Layout.zvalue(col("x"), col("y")).as("z"))
+      .mapPartitions { it =>
+        val zs = it.map(_.getLong(0)).toArray
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max, zs.sameElements(zs.sorted)))
+      }.collect()
+    assert(parts.forall(_._3)) // sorted within each partition
+    val ordered = parts.sortBy(_._1)
+    assert(ordered.sliding(2).forall {
+      case Array((_, hi, _), (lo, _, _)) => hi <= lo
+      case _ => true
+    })
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
