@@ -1239,6 +1239,49 @@ object ExtensionQueries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** STREAMING sessionization: the incremental twin of s2 — gap-based
+    * session windows maintained as watermark-bounded state inside a real
+    * streaming query ([[graft.streaming.StreamOps.sessionAgg]]), drained
+    * via the update-mode memory sink. A 30-minute gap (vs s2's 10) keeps
+    * the two gates from being the same query. Oracle: DuckDB
+    * gaps-and-islands with the session_window boundary rule
+    * (new session iff ts >= prev + gap). */
+  def s6StreamSession(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s6_sess_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = graft.streaming.StreamOps.sessionAgg(
+      graft.streaming.StreamOps.eventsStream(sp, dir),
+      "30 minutes", "1 hour")
+    // session_window streams reject update mode; complete re-emits the
+    // full aggregate per batch, which the single-batch drain makes
+    // equivalent to one final emission (production would run append mode
+    // and let the watermark finalize sessions incrementally).
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "complete")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val s6Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -1441,7 +1484,8 @@ object ExtensionQueries {
     "s3b_asof_exec" -> (s3bAsOfExec _),
     "s3c_asof_dir_tol" -> (s3cAsOfDirTol _),
     "s4_stream_join" -> (s4StreamJoin _),
-    "s5_stream_xml" -> (s5StreamXml _))
+    "s5_stream_xml" -> (s5StreamXml _),
+    "s6_stream_session" -> (s6StreamSession _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1483,7 +1527,7 @@ object ExtensionQueries {
     "s3c_asof_dir_tol" -> s3cSql,
     "s4_stream_join" -> s4Sql,
     "s5_stream_xml" -> s5Sql,
-    "s5_stream_xml" -> s5Sql,
+    "s6_stream_session" -> s6Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

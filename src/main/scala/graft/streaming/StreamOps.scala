@@ -42,6 +42,21 @@ object StreamOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("sum_value"))
 
+  /** Streaming gap-based sessionization: merges events into per-user
+    * sessions incrementally as micro-batches arrive, with the watermark
+    * bounding session state (a session whose close precedes the watermark
+    * can never grow again and is finalized/evicted). This is the streaming
+    * twin of the batch `session_window` aggregation (gate s2) — same
+    * semantics, incremental state instead of a sort. */
+  def sessionAgg(events: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+
   /** Streaming exact dedup with watermark-bounded state: duplicates of a
     * key are dropped as long as they arrive within the watermark horizon,
     * and the key state is evicted afterwards — the only dedup that is safe

@@ -95,6 +95,39 @@ class StreamingSpec extends AnyFunSuite {
       sessions.sortBy(_.session_start_us).toSeq)
   }
 
+  test("streaming session windows: append mode finalizes a session only " +
+      "after the watermark passes its close") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val ev = in.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamOps.sessionAgg(ev, "10 minutes", "0 seconds")
+    val name = "s6_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // batch 1: two events 5 min apart -> one open session for user 1
+      in.addData((t(0), 1L, 1.0), (t(5), 1L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0) // watermark still at 10:05
+      // batch 2: an event far past the gap advances the watermark beyond
+      // the first session's close (10:15) -> session finalizes and emits
+      in.addData((t(50), 1L, 4.0))
+      q.processAllAvailable()
+      in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L, 0.0))
+      q.processAllAvailable()
+      val done = spark.table(name)
+        .select(col("user_id"), col("session_window.start").as("s"),
+          col("n_events"), col("sum_value")).collect()
+      assert(done.exists(r => r.getLong(0) == 1L &&
+        r.getTimestamp(1) == t(0) && r.getLong(2) == 2 &&
+        r.getDouble(3) == 3.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     import spark.implicits._
     val ev = StreamOps.eventsStream(spark, sf)
