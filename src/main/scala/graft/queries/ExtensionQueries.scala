@@ -215,6 +215,32 @@ object ExtensionQueries {
        |SELECT doc_id, ((s0 + s1) + s2) AS score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Vocabulary build + corpus encode: dense sorted token ids from
+    * [[graft.operators.Vocab.contiguousIds]] (range-sort + per-partition
+    * offsets — no single-partition window), then every token joined to its
+    * id. The per-lang sum of encoded ids is sensitive to any gap, shift, or
+    * ordering error in the id assignment, and DuckDB replays it exactly
+    * with a row_number over the distinct sorted tokens. */
+  def t14VocabEncode(sp: SparkSession, dir: String): DataFrame = {
+    val toks = documents(sp, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("t"))
+    val vocab = graft.operators.Vocab.contiguousIds(toks, col("t"),
+      sp.conf.get("spark.sql.shuffle.partitions").toInt)
+    graft.operators.Vocab.encode(toks, col("t"), vocab)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
+  val t14Sql: String =
+    s"""WITH toks AS (SELECT lang, unnest($Toks) AS t FROM documents),
+       |v AS (SELECT t, row_number() OVER (ORDER BY t) - 1 AS id
+       |      FROM (SELECT DISTINCT t FROM toks)),
+       |enc AS (SELECT lang, id FROM toks JOIN v USING (t))
+       |SELECT lang, count(*) AS n_tokens,
+       |  CAST(SUM(id) AS BIGINT) AS sum_ids
+       |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Z-order (Morton) layout key over (l_partkey, l_suppkey) — the
     * clustering primitive for multi-dimensional scan pruning
     * ([[graft.operators.Layout]]): sorting by the interleave keeps files
@@ -1455,6 +1481,7 @@ object ExtensionQueries {
     "t11_repetition" -> (t11Repetition _),
     "t12_hll_union" -> (t12HllUnion _),
     "t13_bm25" -> (t13Bm25 _),
+    "t14_vocab_encode" -> (t14VocabEncode _),
     "z1_zorder" -> (z1Zorder _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
@@ -1501,6 +1528,7 @@ object ExtensionQueries {
     "t11_repetition" -> t11Sql,
     "t12_hll_union" -> t12Sql,
     "t13_bm25" -> t13Sql,
+    "t14_vocab_encode" -> t14Sql,
     "z1_zorder" -> z1Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,

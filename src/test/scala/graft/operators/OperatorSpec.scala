@@ -576,6 +576,21 @@ class OperatorSpec extends AnyFunSuite {
     })
   }
 
+  test("Vocab.contiguousIds: dense 0..V-1, sorted by token, stable " +
+      "across partition counts") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val v4 = graft.operators.Vocab.contiguousIds(toks, col("t"), 4)
+      .orderBy("id").collect()
+    val v = v4.map(r => (r.getString(0), r.getLong(1)))
+    assert(v.map(_._2).toSeq == (0L until v.length).toSeq) // dense
+    assert(v.map(_._1).toSeq == v.map(_._1).sorted.toSeq) // token-ordered
+    // ids depend only on token order, not the partition count
+    val v7 = graft.operators.Vocab.contiguousIds(toks, col("t"), 7)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v7.toSeq == v.toSeq)
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
