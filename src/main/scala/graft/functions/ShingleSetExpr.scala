@@ -17,12 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * materializes the duplicated array first. This feeds the exact-Jaccard
   * verify stage of every dedup pipeline (d5, d11-d13), where it runs once
   * per DOCUMENT side of each candidate pair. */
-case class ShingleSetExpr(child: Expression, n: Int)
+case class ShingleSetExpr(child: Expression, n: Int,
+    distinct: Boolean = true)
   extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "shingle_set"
+  override def prettyName: String =
+    if (distinct) "shingle_set" else "shingles"
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -35,12 +37,13 @@ case class ShingleSetExpr(child: Expression, n: Int)
     }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleSetExpr.compute(input.asInstanceOf[UTF8String], n)
+    ShingleSetExpr.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleSetExpr.compute($c, $n);")
+      s"${ev.value} = graft.functions.ShingleSetExpr.compute($c, $n, " +
+        s"$distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -52,11 +55,15 @@ object ShingleSetExpr {
     * Tokenization is `split(c, " ")` with limit -1 (trailing empty tokens
     * kept); LinkedHashSet preserves first-occurrence order, exactly like
     * Spark's array_distinct. */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  def compute(input: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val toks = input.toString.split(" ", -1)
     val total = toks.length - (n - 1)
     if (total <= 0) return new GenericArrayData(Array.empty[Any])
-    val distinct = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet preserves first-occurrence order (= array_distinct);
+    // the non-distinct form keeps every shingle in document order.
+    val acc: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String]()
+      else new java.util.ArrayList[String](total)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < total) {
@@ -67,11 +74,11 @@ object ShingleSetExpr {
         sb.append(toks(i + j))
         j += 1
       }
-      distinct.add(sb.toString): Unit
+      acc.add(sb.toString): Unit
       i += 1
     }
-    val out = new Array[Any](distinct.size)
-    val it = distinct.iterator()
+    val out = new Array[Any](acc.size)
+    val it = acc.iterator()
     var k = 0
     while (it.hasNext) {
       out(k) = UTF8String.fromString(it.next())
@@ -82,4 +89,10 @@ object ShingleSetExpr {
 
   def shingle_set(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(c), n))
+
+  /** All n-gram shingles in document order, duplicates kept — the multiset
+    * form n-gram language-model statistics need. */
+  def shingles(c: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleSetExpr(ColumnBridge.expression(c), n, distinct = false))
 }

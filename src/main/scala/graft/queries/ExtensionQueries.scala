@@ -241,6 +241,41 @@ object ExtensionQueries {
        |  CAST(SUM(id) AS BIGINT) AS sum_ids
        |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Bigram language-model statistics: conditional probability
+    * P(w2 | w1) = cnt(w1 w2) / cnt(w1 ·) over the corpus — the n-gram-LM
+    * feature underlying perplexity-style quality filters. Bigrams come
+    * from the one-pass [[graft.functions.ShingleSetExpr.shingles]] kernel
+    * (multiset form, codegen'd — no interpreted lambda per row); counts
+    * aggregate with map-side partials and the conditional divides two
+    * exact integers, so DuckDB replays it bit-for-bit. */
+  def t15BigramLm(sp: SparkSession, dir: String): DataFrame = {
+    val bi = documents(sp, dir)
+      .select(explode(
+        graft.functions.ShingleSetExpr.shingles(col("text"), 2))
+        .as("bigram"))
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val tot = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    counts.join(tot, "w1")
+      .select(col("bigram"), col("cnt"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val t15Sql: String =
+    """WITH bi AS (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' ||
+      |         string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents),
+      |c AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram),
+      |c2 AS (SELECT bigram, cnt, split_part(bigram, ' ', 1) AS w1 FROM c),
+      |tot AS (SELECT w1, SUM(cnt) AS tot FROM c2 GROUP BY w1)
+      |SELECT bigram, cnt, CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+      |FROM c2 JOIN tot USING (w1)
+      |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+
   /** Z-order (Morton) layout key over (l_partkey, l_suppkey) — the
     * clustering primitive for multi-dimensional scan pruning
     * ([[graft.operators.Layout]]): sorting by the interleave keeps files
@@ -1482,6 +1517,7 @@ object ExtensionQueries {
     "t12_hll_union" -> (t12HllUnion _),
     "t13_bm25" -> (t13Bm25 _),
     "t14_vocab_encode" -> (t14VocabEncode _),
+    "t15_bigram_lm" -> (t15BigramLm _),
     "z1_zorder" -> (z1Zorder _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
@@ -1529,6 +1565,7 @@ object ExtensionQueries {
     "t12_hll_union" -> t12Sql,
     "t13_bm25" -> t13Sql,
     "t14_vocab_encode" -> t14Sql,
+    "t15_bigram_lm" -> t15Sql,
     "z1_zorder" -> z1Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,

@@ -395,6 +395,19 @@ class OperatorSpec extends AnyFunSuite {
         Dedup.shingleSetRef(col("text"), 3).as("s"))
       .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
     assert(g == w) // element ORDER included (first-occurrence)
+    // multiset form: duplicates kept, document order == the declarative
+    // transform over token indices
+    val m = df.select(col("id"),
+        graft.functions.ShingleSetExpr.shingles(col("text"), 2).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    val mref = df.select(col("id"), expr(
+        "CASE WHEN size(split(text, ' ', -1)) < 2 " +
+          "THEN slice(split(text, ' ', -1), 1, 0) " +
+          "ELSE transform(sequence(0, size(split(text, ' ', -1)) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' ', -1), i + 1, 2))) END")
+        .as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(m == mref)
   }
 
   test("stratifiedSample: exact quota per stratum, deterministic, " +
