@@ -41,6 +41,41 @@ object Dedup {
   def shingleSetRef(text: Column, n: Int): Column =
     array_distinct(Hashing.shingles(Text.tokens(text), n))
 
+  /** Benchmark decontamination: per eval document, the fraction of its
+    * distinct word n-gram shingles that also occur ANYWHERE in the train
+    * corpus — the standard check that held-out/benchmark text has not
+    * leaked into training data.
+    *
+    * Scale shape: both sides reduce to DISTINCT 32-bit shingle hashes
+    * (longs, not strings) before the only shuffle — a semi join on the
+    * hash. The train side dedups map-side first, so the shuffle carries
+    * |distinct train shingles| hashes once, never the corpus. Hash
+    * collisions can only overcount contamination (conservative — a
+    * collision flags a clean shingle, never hides a leak), at ~2^-32 per
+    * pair; the oracle replays the identical hash so the gate stays exact.
+    *
+    * Output: (doc_id, n_shingles, n_hits, frac) per eval doc with at
+    * least one shingle. */
+  def contamination(evalDocs: DataFrame, trainDocs: DataFrame, text: Column,
+      id: Column, n: Int): DataFrame = {
+    val evalSh = evalDocs
+      .select(id.as("doc_id"), explode(shingleSet(text, n)).as("__sh"))
+      .select(col("doc_id"), Hashing.portableHash32(col("__sh")).as("__h"))
+    val trainSh = trainDocs
+      .select(explode(shingleSet(text, n)).as("__sh"))
+      .select(Hashing.portableHash32(col("__sh")).as("__h")).distinct()
+    val hits = evalSh.join(trainSh, Seq("__h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    evalDocs
+      .select(id.as("doc_id"), size(shingleSet(text, n)).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("frac"))
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns — the
     * one-pass codegen'd kernel (see graft.functions.JaccardExpr); values
     * bit-match size(array_intersect)/size(array_union). */

@@ -215,6 +215,41 @@ object ExtensionQueries {
        |SELECT doc_id, ((s0 + s1) + s2) AS score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Benchmark decontamination ([[graft.operators.Dedup.contamination]]):
+    * every 20th document plays the held-out set; for each, the fraction of
+    * its distinct 5-gram shingles that appear anywhere in the remaining
+    * (train) corpus. Both sides reduce to distinct 32-bit portable hashes
+    * before the single semi-join shuffle; the oracle replays the identical
+    * md5-derived hash, so the gate is exact even under collisions. */
+  def d14Contamination(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    graft.operators.Dedup.contamination(
+      docs.filter(col("doc_id") % 20 === 0),
+      docs.filter(col("doc_id") % 20 =!= 0),
+      col("text"), col("doc_id"), n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val d14Sql: String =
+    s"""WITH sh5 AS (SELECT doc_id,
+       |    CASE WHEN len($Toks) < 5 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len($Toks) - 3),
+       |           i -> array_to_string(($Toks)[i:i+4], ' '))) END AS s
+       |  FROM documents),
+       |ev AS (SELECT doc_id, unnest(s) AS sh FROM sh5 WHERE doc_id % 20 = 0),
+       |evh AS (SELECT doc_id, ${h("sh")} AS hh FROM ev),
+       |trh AS (SELECT DISTINCT ${h("sh")} AS hh FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 <> 0)),
+       |hits AS (SELECT doc_id, count(*) AS n_hits FROM evh
+       |  WHERE hh IN (SELECT hh FROM trh) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(s) AS INT) AS n_shingles FROM sh5
+       |  WHERE doc_id % 20 = 0 AND len(s) > 0)
+       |SELECT t.doc_id, n_shingles, COALESCE(n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+       |    AS frac
+       |FROM tot t LEFT JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Vocabulary build + corpus encode: dense sorted token ids from
     * [[graft.operators.Vocab.contiguousIds]] (range-sort + per-partition
     * offsets — no single-partition window), then every token joined to its
@@ -1533,6 +1568,7 @@ object ExtensionQueries {
     "d11_dedup_e2e" -> (d11DedupE2e _),
     "d12_dedup_clusters" -> (d12DedupClusters _),
     "d13_dedup_incremental" -> (d13DedupIncremental _),
+    "d14_contamination" -> (d14Contamination _),
     "a1_ann_brute" -> (a1AnnBrute _),
     "a2_ann_lsh" -> (a2AnnLsh _),
     "a3_ann_ivf" -> (a3AnnIvf _),
@@ -1596,5 +1632,6 @@ object ExtensionQueries {
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,
-    "d13_dedup_incremental" -> d13Sql)
+    "d13_dedup_incremental" -> d13Sql,
+    "d14_contamination" -> d14Sql)
 }
