@@ -26,6 +26,11 @@ object Register {
     case other => throw new IllegalArgumentException(
       s"$what must be a boolean literal, got: $other")
   }
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: java.lang.Integer, _) => i.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -51,6 +56,20 @@ object Register {
     reg.createOrReplaceTempFunction("nfc_normalize", exprs => {
       require(exprs.length == 1, "nfc_normalize(str)")
       graft.functions.NfcNormalizeExpr(exprs.head)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("zorder16", exprs => {
+      require(exprs.length == 2, "zorder16(x BIGINT, y BIGINT)")
+      graft.functions.ZOrderExpr(exprs.head, exprs(1))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_set", exprs => {
+      require(exprs.length == 2, "shingle_set(text, n)")
+      graft.functions.ShingleSetExpr(exprs.head,
+        litInt(exprs(1), "n"))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingles", exprs => {
+      require(exprs.length == 2, "shingles(text, n)")
+      graft.functions.ShingleSetExpr(exprs.head,
+        litInt(exprs(1), "n"), distinct = false)
     }, "scala_udf")
     // mergeable MinHash union over array<bigint> signatures of length 8
     // (the engine's default k; other widths via the Column API)

@@ -620,5 +620,14 @@ class OperatorSpec extends AnyFunSuite {
     val nfc = spark.sql(
       "SELECT nfc_normalize('cafe\u0301')").as[String].head()
     assert(nfc == "caf\u00e9")
+    // Morton interleave from SQL: x=3 (bits 0,1), y=1 (bit 0) -> 0b111
+    val z = spark.sql("SELECT zorder16(3L, 1L)").as[Long].head()
+    assert(z == 7L)
+    val ss = spark.sql("SELECT shingle_set('a b a b', 2)")
+      .as[Seq[String]].head()
+    assert(ss == Seq("a b", "b a"))
+    val sm = spark.sql("SELECT shingles('a b a b', 2)")
+      .as[Seq[String]].head()
+    assert(sm == Seq("a b", "b a", "a b"))
   }
 }
