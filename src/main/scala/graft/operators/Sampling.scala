@@ -135,4 +135,29 @@ object Sampling {
       .filter(Hashing.portableHash32(key) < col("__cut"))
       .drop("__stratum", "__cut")
   }
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis-Spirakis priority sampling): each row gets priority
+    * u^(1/w) for a hash-derived uniform u in (0,1); the k largest
+    * priorities are the sample, selected with probability proportional to
+    * weight — temperature/importance sampling for corpus mixing, but
+    * reproducible in any engine because u is the row key's portable hash,
+    * not an RNG.
+    *
+    * Priorities compare by ln(u)/w (monotone in u^(1/w), no pow), and the
+    * global top-k runs as TakeOrderedAndProject — per-partition heaps, no
+    * global sort. Weights must be > 0; rows with null/zero/negative
+    * weight are excluded. */
+  def weightedSample(df: DataFrame, weight: Column, key: Column, k: Int,
+      seed: String = "s42"): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val u = (Hashing.portableHash32(
+      concat(key.cast("string"), lit(":" + seed))).cast("double") + 0.5) /
+      4294967296.0
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__pri", log(u) / weight.cast("double"))
+      .orderBy(col("__pri").desc, key)
+      .limit(k)
+      .drop("__pri")
+  }
 }

@@ -215,6 +215,29 @@ object ExtensionQueries {
        |SELECT doc_id, ((s0 + s1) + s2) AS score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Deterministic weighted sampling
+    * ([[graft.operators.Sampling.weightedSample]]): 50 documents drawn
+    * with probability proportional to length — the temperature-sampling
+    * primitive for corpus mixing — via Efraimidis-Spirakis priorities on
+    * hash-derived uniforms, so DuckDB reproduces the draw exactly. The
+    * priority itself stays out of the output (ln may differ in the last
+    * ulp across libm implementations; selection order is robust to that,
+    * bit-printing is not). */
+  def t16WeightedSample(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      documents(sp, dir).select(col("doc_id"), col("n_chars")),
+      col("n_chars"), col("doc_id"), k = 50)
+      .orderBy(col("doc_id"))
+
+  val t16Sql: String =
+    s"""WITH w AS (SELECT doc_id, n_chars,
+       |    ln((${h("doc_id::VARCHAR || ':s42'")} + 0.5) / 4294967296.0) /
+       |      CAST(n_chars AS DOUBLE) AS pri
+       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |top AS (SELECT doc_id, n_chars FROM w
+       |  ORDER BY pri DESC, doc_id LIMIT 50)
+       |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin
+
   /** Benchmark decontamination ([[graft.operators.Dedup.contamination]]):
     * every 20th document plays the held-out set; for each, the fraction of
     * its distinct 5-gram shingles that appear anywhere in the remaining
@@ -1553,6 +1576,7 @@ object ExtensionQueries {
     "t13_bm25" -> (t13Bm25 _),
     "t14_vocab_encode" -> (t14VocabEncode _),
     "t15_bigram_lm" -> (t15BigramLm _),
+    "t16_weighted_sample" -> (t16WeightedSample _),
     "z1_zorder" -> (z1Zorder _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
@@ -1602,6 +1626,7 @@ object ExtensionQueries {
     "t13_bm25" -> t13Sql,
     "t14_vocab_encode" -> t14Sql,
     "t15_bigram_lm" -> t15Sql,
+    "t16_weighted_sample" -> t16Sql,
     "z1_zorder" -> z1Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,

@@ -604,6 +604,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(v7.toSeq == v.toSeq)
   }
 
+  test("weightedSample: deterministic, seed-sensitive, biased toward " +
+      "heavy rows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def ids(seed: String) = Sampling
+      .weightedSample(docs, col("n_chars"), col("doc_id"), 40, seed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids("s42")
+    assert(a == ids("s42")) // reproducible
+    assert(a != ids("other-seed")) // seed actually matters
+    val sampleAvg = Sampling
+      .weightedSample(docs, col("n_chars"), col("doc_id"), 40, "s42")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val corpusAvg = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleAvg > corpusAvg) // P(select) ~ weight
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
