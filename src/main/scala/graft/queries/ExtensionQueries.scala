@@ -238,6 +238,39 @@ object ExtensionQueries {
        |  ORDER BY pri DESC, doc_id LIMIT 50)
        |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin
 
+  /** Count-min heavy hitters: one mergeable CMS over every corpus token
+    * ([[graft.functions.CmsAgg]], map-side partials, fixed seed), fetched
+    * as config-sized driver state; the exact top-10 tokens are then probed
+    * through the codegen'd [[graft.functions.CmsEstimateExpr]] and gated
+    * on the CMS invariant est in [exact, exact + eps*N] — never an
+    * undercount, bounded overcount. Exact counts hash-match DuckDB; a
+    * sketch regression flips est_ok and fails the hash. */
+  def t17CmsHeavyHitters(sp: SparkSession, dir: String): DataFrame = {
+    val toks = documents(sp, dir)
+      .select(explode(Text.tokens(col("text"))).as("t"))
+    val skBytes = toks
+      .agg(graft.functions.CmsAgg.cmsSketch(1e-4, 0.99, 42)(col("t"))
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    toks.groupBy(col("t")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("t"))
+      .limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("t"), col("exact_cnt"),
+        (graft.functions.CmsEstimateExpr.cms_estimate(col("t"), skBytes)
+          .between(col("exact_cnt"),
+            col("exact_cnt") + ceil(col("n_total") * 1e-4)))
+          .as("est_ok"))
+      .orderBy(col("exact_cnt").desc, col("t"))
+  }
+
+  val t17Sql: String =
+    s"""WITH toks AS (SELECT unnest($Toks) AS t FROM documents)
+       |SELECT t, count(*) AS exact_cnt, TRUE AS est_ok
+       |FROM toks GROUP BY t
+       |ORDER BY exact_cnt DESC, t LIMIT 10""".stripMargin
+
   /** Benchmark decontamination ([[graft.operators.Dedup.contamination]]):
     * every 20th document plays the held-out set; for each, the fraction of
     * its distinct 5-gram shingles that appear anywhere in the remaining
@@ -1401,6 +1434,33 @@ object ExtensionQueries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Stream-static enrichment: the events stream joined per micro-batch to
+    * the broadcast customer dimension
+    * ([[graft.streaming.StreamOps.staticEnrich]] — stateless, no
+    * watermark, the shape dimension enrichment should take instead of a
+    * stream-stream join), then aggregated by nation in update mode. */
+  def s7StreamEnrich(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s7_enr_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ev = graft.streaming.StreamOps.eventsStream(sp, dir)
+    val cust = customer(sp, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val agg = graft.streaming.StreamOps
+      .staticEnrich(ev, cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "update")
+      .orderBy(col("c_nationkey"))
+  }
+
+  val s7Sql: String =
+    """SELECT c_nationkey, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -1577,6 +1637,7 @@ object ExtensionQueries {
     "t14_vocab_encode" -> (t14VocabEncode _),
     "t15_bigram_lm" -> (t15BigramLm _),
     "t16_weighted_sample" -> (t16WeightedSample _),
+    "t17_cms_heavy" -> (t17CmsHeavyHitters _),
     "z1_zorder" -> (z1Zorder _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
@@ -1608,7 +1669,8 @@ object ExtensionQueries {
     "s3c_asof_dir_tol" -> (s3cAsOfDirTol _),
     "s4_stream_join" -> (s4StreamJoin _),
     "s5_stream_xml" -> (s5StreamXml _),
-    "s6_stream_session" -> (s6StreamSession _))
+    "s6_stream_session" -> (s6StreamSession _),
+    "s7_stream_enrich" -> (s7StreamEnrich _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1627,6 +1689,7 @@ object ExtensionQueries {
     "t14_vocab_encode" -> t14Sql,
     "t15_bigram_lm" -> t15Sql,
     "t16_weighted_sample" -> t16Sql,
+    "t17_cms_heavy" -> t17Sql,
     "z1_zorder" -> z1Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
@@ -1654,6 +1717,7 @@ object ExtensionQueries {
     "s4_stream_join" -> s4Sql,
     "s5_stream_xml" -> s5Sql,
     "s6_stream_session" -> s6Sql,
+    "s7_stream_enrich" -> s7Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

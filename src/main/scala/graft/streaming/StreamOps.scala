@@ -66,6 +66,15 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-static enrichment join: each micro-batch joins the (broadcast)
+    * static dimension — STATELESS, unlike stream-stream joins: no
+    * watermark, no join state, the static side is just re-read/broadcast
+    * per batch. This is the dimension-enrichment shape (events x user
+    * table) that should never be written as a stream-stream join. */
+  def staticEnrich(stream: DataFrame, dim: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), cond)
+
   /** Stream-stream INNER join with event-time bounds: each left row joins
     * right rows of the same key whose timestamp falls in
     * [left.ts, left.ts + maxDelay]. Both sides carry watermarks so the join

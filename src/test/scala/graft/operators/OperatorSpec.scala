@@ -621,6 +621,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(sampleAvg > corpusAvg) // P(select) ~ weight
   }
 
+  test("CmsAgg: partial sketches merge losslessly; estimates never " +
+      "undercount and respect the eps bound") {
+    import graft.functions.{CmsAgg, CmsEstimateExpr}
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // whole-corpus sketch vs merge of two half-corpus sketches: the UDAF
+    // merge path is exactly what runs map-side, so the two must agree
+    val whole = toks
+      .agg(CmsAgg.cmsSketch(1e-3, 0.99, 7)(col("t"))).head().getAs[Array[Byte]](0)
+    // merge via the sketch API directly (deterministic same-seed grids)
+    val skA = toks.filter(col("doc_id") % 2 === 0)
+      .agg(CmsAgg.cmsSketch(1e-3, 0.99, 7)(col("t"))).head().getAs[Array[Byte]](0)
+    val skB = toks.filter(col("doc_id") % 2 =!= 0)
+      .agg(CmsAgg.cmsSketch(1e-3, 0.99, 7)(col("t"))).head().getAs[Array[Byte]](0)
+    val merged = {
+      val a = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skA))
+      a.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skB)))
+      a
+    }
+    val exact = toks.groupBy("t").count()
+      .orderBy(col("count").desc).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = toks.count()
+    val wholeSk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(whole))
+    exact.foreach { case (t, c) =>
+      assert(wholeSk.estimateCount(t) == merged.estimateCount(t))
+      assert(wholeSk.estimateCount(t) >= c)
+      assert(wholeSk.estimateCount(t) <= c + math.ceil(n * 1e-3).toLong)
+    }
+    // and the codegen probe matches the API
+    val probed = spark.range(1).select(
+      CmsEstimateExpr.cms_estimate(lit(exact.head._1), whole)).head().getLong(0)
+    assert(probed == wholeSk.estimateCount(exact.head._1))
+  }
+
   test("SQL registration: xml_children usable from spark.sql") {
     graft.Register.all(spark)
     import spark.implicits._
