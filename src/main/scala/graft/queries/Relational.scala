@@ -477,6 +477,40 @@ object Relational {
       |  WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** CDC snapshot compaction ([[graft.operators.Cdc.applyChanges]]): the
+    * orders table as the base snapshot (version 0), a deterministic change
+    * batch derived from it — price upserts (version 1) for keys % 10 == 0,
+    * deletes (version 2) for keys % 17 == 3, so overlapping keys prove
+    * latest-version-wins — folded into the new snapshot and aggregated.
+    * The window is keyed by order key (WindowGroupLimit prunes map-side);
+    * the oracle replays the merge relationally. */
+  def q17CdcUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.withColumn("__v", lit(0L)).withColumn("__op", lit("u"))
+    val ups = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("__v", lit(1L)).withColumn("__op", lit("u"))
+    val dels = o.filter(col("o_orderkey") % 17 === 3)
+      .withColumn("__v", lit(2L)).withColumn("__op", lit("d"))
+    graft.operators.Cdc.applyChanges(base, ups.unionByName(dels),
+        Seq("o_orderkey"), "__v", "__op")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val q17Sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 17 <> 3)
+      |SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -494,7 +528,8 @@ object Relational {
     "q13_pivot" -> (q13Pivot _),
     "q14_formats" -> (q14Formats _),
     "q15_range_join" -> (q15RangeJoin _),
-    "q16_bloom_semi" -> (q16BloomSemi _))
+    "q16_bloom_semi" -> (q16BloomSemi _),
+    "q17_cdc_upsert" -> (q17CdcUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -513,5 +548,6 @@ object Relational {
     "q13_pivot" -> q13Sql,
     "q14_formats" -> q14Sql,
     "q15_range_join" -> q15Sql,
-    "q16_bloom_semi" -> q16Sql)
+    "q16_bloom_semi" -> q16Sql,
+    "q17_cdc_upsert" -> q17Sql)
 }
