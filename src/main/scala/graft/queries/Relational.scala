@@ -511,6 +511,26 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY status ORDER BY status""".stripMargin
 
+  /** One-pass column profiling ([[graft.operators.Profile.describeNumeric]]):
+    * count / nulls / exact distinct / min / max for four lineitem columns
+    * in a single aggregation (one Expand, one shuffle — not one job per
+    * column), long-format via stack. */
+  def p1Profile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.describeNumeric(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
+      .orderBy(col("col_name"))
+
+  val p1Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count($c) AS n,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -529,7 +549,8 @@ object Relational {
     "q14_formats" -> (q14Formats _),
     "q15_range_join" -> (q15RangeJoin _),
     "q16_bloom_semi" -> (q16BloomSemi _),
-    "q17_cdc_upsert" -> (q17CdcUpsert _))
+    "q17_cdc_upsert" -> (q17CdcUpsert _),
+    "p1_profile" -> (p1Profile _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -549,5 +570,6 @@ object Relational {
     "q14_formats" -> q14Sql,
     "q15_range_join" -> q15Sql,
     "q16_bloom_semi" -> q16Sql,
-    "q17_cdc_upsert" -> q17Sql)
+    "q17_cdc_upsert" -> q17Sql,
+    "p1_profile" -> p1Sql)
 }
