@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the composed relational operators: randomized
+  * inputs, invariants stated against an obviously-correct reference
+  * computation. Each property batches all generated rows into ONE Spark
+  * job so the suite stays fast.
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  /** forAll stand-in over raw ScalaCheck Gens (the scalatest-scalacheck
+    * bridge is not on the offline classpath). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("RangeJoin.binned == theta join for random overlapping intervals " +
+      "and random bin widths") {
+    import spark.implicits._
+    val intervalGen = for {
+      lo <- Gen.chooseNum(-50.0, 950.0)
+      span <- Gen.chooseNum(0.0, 120.0)
+    } yield (lo, lo + span)
+    val intervals = samples(intervalGen, 60).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    val probes = samples(Gen.chooseNum(-100.0, 1100.0), 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+    for (width <- Seq(0.7, 13.0, 200.0)) {
+      val binned = RangeJoin.binned(probes, col("v"), intervals,
+        col("lo"), col("hi"), width).select("pid", "iid")
+      val theta = probes.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid")
+      assert(binned.except(theta).isEmpty && theta.except(binned).isEmpty,
+        s"binWidth=$width mismatch")
+    }
+  }
+
+  test("Cdc.applyChanges == reference merge for random change batches") {
+    import spark.implicits._
+    val n = 80
+    val baseRows = (0 until n).map(k => (k.toLong, s"p$k", 0L, "u"))
+    // random change stream: per key 0..3 changes at versions 1..9
+    val changeGen = for {
+      key <- Gen.chooseNum(0, n + 10) // some keys not in base
+      ver <- Gen.chooseNum(1L, 9L)
+      op <- Gen.frequency(3 -> Gen.const("u"), 1 -> Gen.const("d"))
+    } yield (key.toLong, s"c$key-v$ver", ver, op)
+    val changes0 = samples(changeGen, 150)
+    // de-dup (key, version) so "latest version" is well-defined
+    val changes = changes0.groupBy(c => (c._1, c._3)).map(_._2.head).toSeq
+    val got = Cdc.applyChanges(
+        baseRows.toDF("k", "payload", "ver", "op"),
+        changes.toDF("k", "payload", "ver", "op"),
+        Seq("k"), "ver", "op")
+      .select("k", "payload", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // reference: plain Scala fold
+    val all = baseRows ++ changes
+    val expect = all.groupBy(_._1).flatMap { case (_, rows) =>
+      val latest = rows.maxBy(_._3)
+      if (latest._4 == "d") None else Some((latest._1, latest._2, latest._3))
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("Vocab ids: encode(decode) round-trips every token") {
+    import spark.implicits._
+    val toks = samples(Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"), 300)
+      .toDF("t")
+    val vocab = Vocab.contiguousIds(toks, col("t"), 3)
+    val enc = Vocab.encode(toks, col("t"), vocab)
+    // every input row survives with an id, and joining back recovers the
+    // token set bijectively
+    assert(enc.count() == 300)
+    val pairs = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pairs.map(_._1).distinct.length == pairs.length)
+    assert(pairs.map(_._2).sorted.toSeq == pairs.indices.map(_.toLong))
+  }
+}
