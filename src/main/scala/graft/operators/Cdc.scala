@@ -22,8 +22,10 @@ object Cdc {
   def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String, opCol: String): DataFrame = {
     val all = base.unionByName(changes)
+    // tiebreak: on equal versions a delete outranks an upsert ('d' < 'u'
+    // ascending), so the merge is deterministic even for degenerate feeds
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc)
+      .orderBy(col(versionCol).desc, col(opCol))
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(opCol) =!= "d")
       .drop("__rn", opCol)
