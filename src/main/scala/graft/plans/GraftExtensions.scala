@@ -27,6 +27,7 @@ import graft.xml.XmlMemoParseExpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DedupXmlParses)
+    e.injectOptimizerRule(_ => PushLambdaThroughGetItem)
     // post-hoc resolution (NOT optimizer): the Generate-over-alias shape it
     // matches exists only right after analysis — see the rule's scaladoc
     e.injectPostHocResolutionRule(_ => PushLambdaThroughExplode)

@@ -87,6 +87,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("PushLambdaThroughGetItem: element-0 projection of a parsed array " +
+      "is lambda-free and matches the unoptimized result") {
+    // x3's shape: array member bound per child, query reads element 0
+    def q(sp: SparkSession) = {
+      val parser = XmlParser.struct("r") { a =>
+        org.apache.spark.sql.functions.struct(
+          a.int("id").as("id"),
+          a.array("vals")(c => c.nullInt("q")).as("vals"))
+      }
+      sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(concat(lit("<r><id>"), (col("doc_id") % 97).cast("string"),
+          lit("</id><vals><q>"), (col("doc_id") % 13).cast("string"),
+          lit("</q></vals></r>")).as("x"))
+        .select(parser.parse(col("x")).as("r"))
+        .select(col("r.id").as("id"), get(col("r.vals"), lit(0)).as("v"))
+        .orderBy("id")
+    }
+    val baseline = q(spark).collect().toSeq
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sp2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val df = q(sp2)
+      val lambdas = df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case _: org.apache.spark.sql.catalyst.expressions.ArrayTransform =>
+            1
+        }.sum).sum
+      }.sum
+      assert(lambdas == 0) // the interpreted transform is gone
+      assert(df.collect().toSeq == baseline)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("AsOfJoinExec: first-class operator matches union-and-carry; " +
       "merge semantics on edges") {
     // the shared test session may predate GraftExtensions — register the
