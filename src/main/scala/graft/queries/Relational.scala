@@ -531,6 +531,57 @@ object Relational {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Outer-join semantics: full outer between two grouped aggregates with
+    * a deliberately thinned supplier side (s_suppkey < 30 leaves some
+    * nations supplier-less), so both null wings are exercised and
+    * coalesced. Scale: both inputs pre-aggregate to nation granularity
+    * BEFORE the join — the join touches ~25 rows regardless of corpus
+    * size. */
+  def q18OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = supplier(s, d).filter(col("s_suppkey") < 30)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q18Sql: String =
+    """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |  GROUP BY c_nationkey),
+      |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+      |  WHERE s_suppkey < 30 GROUP BY s_nationkey)
+      |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Calendar rollup: monthly revenue via date_trunc + year/month
+    * extraction — the time-dimension aggregation every analytics surface
+    * needs. Partial aggregation collapses to ~24 month rows map-side. */
+  def q19DateRollup(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
+      .select(col("month_start").cast("date").as("month_start"),
+        year(col("month_start")).as("yr"), month(col("month_start")).as("mo"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("month_start"))
+
+  val q19Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+      |  count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY 1, 2, 3 ORDER BY month_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -550,7 +601,9 @@ object Relational {
     "q15_range_join" -> (q15RangeJoin _),
     "q16_bloom_semi" -> (q16BloomSemi _),
     "q17_cdc_upsert" -> (q17CdcUpsert _),
-    "p1_profile" -> (p1Profile _))
+    "p1_profile" -> (p1Profile _),
+    "q18_outer_join" -> (q18OuterJoin _),
+    "q19_date_rollup" -> (q19DateRollup _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -571,5 +624,7 @@ object Relational {
     "q15_range_join" -> q15Sql,
     "q16_bloom_semi" -> q16Sql,
     "q17_cdc_upsert" -> q17Sql,
-    "p1_profile" -> p1Sql)
+    "p1_profile" -> p1Sql,
+    "q18_outer_join" -> q18Sql,
+    "q19_date_rollup" -> q19Sql)
 }
