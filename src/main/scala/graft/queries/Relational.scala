@@ -382,12 +382,14 @@ object Relational {
       |FROM lineitem GROUP BY l_linestatus
       |ORDER BY linestatus""".stripMargin
 
-  /** Source/sink format round-trip: orders written as JSON lines AND
-    * headered CSV, read back with explicit schemas, joined on the key, and
-    * aggregated — a hash match against the original parquet table proves
-    * both text formats round-trip values exactly (doubles via
-    * shortest-representation printing). Writes are spread so files and the
-    * read-back fan out across cores. */
+  /** Source/sink format round-trip: orders written as JSON lines, headered
+    * CSV, AND ORC (columnar, dictionary+RLE — the non-parquet binary
+    * format Spark ships natively), read back with explicit schemas, joined
+    * on the key, and aggregated — a hash match against the original
+    * parquet table proves all three formats round-trip values exactly
+    * (text formats via shortest-representation double printing, ORC
+    * bit-exact). Writes are spread so files and the read-back fan out
+    * across cores. */
   def q14Formats(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_totalprice"), col("o_orderstatus"))
@@ -395,22 +397,27 @@ object Relational {
     spread(o).write.mode("overwrite").json(s"$base/json")
     spread(o).write.mode("overwrite").option("header", "true")
       .csv(s"$base/csv")
+    spread(o).write.mode("overwrite").orc(s"$base/orc")
     val j = s.read.schema(o.schema).json(s"$base/json")
     val c = s.read.schema(o.schema).option("header", "true")
       .csv(s"$base/csv")
       .select(col("o_orderkey"), col("o_totalprice").as("c_price"))
-    j.join(c, "o_orderkey")
+    val rc = s.read.orc(s"$base/orc")
+      .select(col("o_orderkey"), col("o_totalprice").as("o_price"))
+    j.join(c, "o_orderkey").join(rc, "o_orderkey")
       .groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"),
         asDouble(sum(dec(col("o_totalprice")))).as("sum_json"),
-        asDouble(sum(dec(col("c_price")))).as("sum_csv"))
+        asDouble(sum(dec(col("c_price")))).as("sum_csv"),
+        asDouble(sum(dec(col("o_price")))).as("sum_orc"))
       .orderBy("status")
   }
 
   val q14Sql: String =
     """SELECT o_orderstatus AS status, count(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_json,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_csv
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_csv,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_orc
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
   /** Interval (range) join, binned: overlapping value bands over the events
