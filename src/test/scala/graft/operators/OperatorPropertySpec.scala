@@ -47,6 +47,36 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoin.binned shuffle path (broadcastIntervals=false) equals " +
+      "the broadcast path and stays an equi-join") {
+    import spark.implicits._
+    val intervals = Seq((0L, 0.0, 40.0), (1L, 25.0, 90.0), (2L, 80.0, 200.0))
+      .toDF("iid", "lo", "hi")
+    val probes = (0 until 500).map(i => (i.toLong, i * 0.41)).toDF("pid", "v")
+    val bc = RangeJoin.binned(probes, col("v"), intervals, col("lo"),
+      col("hi"), 30.0).select("pid", "iid")
+    val sh = RangeJoin.binned(probes, col("v"), intervals, col("lo"),
+      col("hi"), 30.0, broadcastIntervals = false).select("pid", "iid")
+    assert(bc.except(sh).isEmpty && sh.except(bc).isEmpty)
+    val phys = sh.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"))
+  }
+
+  test("Profile.describeNumeric matches direct per-column aggregates, " +
+      "including a null-bearing column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (2L, 3.0), (null, 3.0), (5L, null))
+      .toDF("a", "b")
+    val prof = Profile.describeNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(prof("a") == ((4L, 1L, 3L, 1.0, 5.0)))
+    assert(prof("b") == ((3L, 2L, 2L, 1.5, 3.0)))
+  }
+
   test("Cdc.applyChanges == reference merge for random change batches") {
     import spark.implicits._
     val n = 80
