@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   * window — the exact scale killer t8 eliminated for sequence packing. Same
   * cure here, two phases:
   *   1. range-partition + sort the distinct tokens (one shuffle — the same
-  *      cost as any global sort) and checkpoint the partitioning;
+  *      cost as any global sort) and materialize the partitioning to a
+  *      scratch parquet round-trip (a RELIABLE materialization: unlike
+  *      localCheckpoint, a lost executor re-reads the files instead of
+  *      killing the lineage — the production-safe form);
   *   2. fetch per-partition COUNTS (numPartitions integers — config-sized,
   *      never rows), prefix-sum them on the driver, and add the partition's
   *      offset to a per-partition row number (a window PARTITIONed on the
   *      partition id, so every partition numbers its slice in parallel).
+  *      The offset lookup is a constant array literal indexed by the
+  *      partition id — O(1) per row and codegen-friendly at any partition
+  *      count, never an O(numPartitions)-deep conditional chain.
   *
   * Ids are reproducible run-to-run: they depend only on the sorted token
   * order, not on partitioning or scheduling.
@@ -26,21 +32,24 @@ object Vocab {
   /** (token, id) with ids dense in [0, V), ordered by token. */
   def contiguousIds(tokens: DataFrame, tokenCol: Column,
       numPartitions: Int): DataFrame = {
-    val sorted = tokens.select(tokenCol.as("token"))
+    val scratch = graft.Tables.scratchDir("graft-vocab") // deleted on exit
+    tokens.select(tokenCol.as("token"))
       .na.drop(Seq("token")).distinct()
       .repartitionByRange(numPartitions, col("token"))
       .sortWithinPartitions(col("token"))
       .withColumn("__pid", spark_partition_id())
       // one materialization: the counts job and the numbering job must see
       // the SAME range boundaries (RangePartitioner samples its input)
-      .localCheckpoint()
+      .write.mode("overwrite").parquet(scratch)
+    val sorted = tokens.sparkSession.read.parquet(scratch)
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val offsets = (0 until numPartitions)
       .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
-      (acc, p) => when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
+      .take(numPartitions)
+    // element_at is 1-based; __pid is 0-based
+    val offsetExpr =
+      element_at(typedLit(offsets), col("__pid").cast("int") + 1)
     sorted
       .withColumn("id", offsetExpr +
         row_number().over(

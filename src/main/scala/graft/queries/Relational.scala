@@ -580,6 +580,37 @@ object Relational {
         col("n_orders"), col("revenue"))
       .orderBy(col("month_start"))
 
+  /** Partitioned write + partition pruning: the most common 100 TB user
+    * path — write the fact table hive-partitioned on a date-derived column
+    * (`partitionBy(o_year)`), read it back with a partition predicate, and
+    * aggregate only the surviving slice. The read-back plan carries the
+    * predicate as a PartitionFilter (directory-level pruning: non-matching
+    * partitions are never listed into the scan, asserted in OperatorSpec
+    * with file-read counts) — the reference's "never touch data you didn't
+    * register" skip semantics (Parser.cs:164,194-202) at file granularity.
+    * The oracle replays the filtered aggregate off the original table. */
+  def q20PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    val base = graft.Tables.scratchDir("graft-q20") // deleted on exit
+    spread(o).write.mode("overwrite").partitionBy("o_year").parquet(base)
+    s.read.parquet(base)
+      .filter(col("o_year") === 1995) // prunes to one partition directory
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |GROUP BY status ORDER BY status""".stripMargin
+
   val q19Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
@@ -610,7 +641,8 @@ object Relational {
     "q17_cdc_upsert" -> (q17CdcUpsert _),
     "p1_profile" -> (p1Profile _),
     "q18_outer_join" -> (q18OuterJoin _),
-    "q19_date_rollup" -> (q19DateRollup _))
+    "q19_date_rollup" -> (q19DateRollup _),
+    "q20_partition_pruning" -> (q20PartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -633,5 +665,6 @@ object Relational {
     "q17_cdc_upsert" -> q17Sql,
     "p1_profile" -> p1Sql,
     "q18_outer_join" -> q18Sql,
-    "q19_date_rollup" -> q19Sql)
+    "q19_date_rollup" -> q19Sql,
+    "q20_partition_pruning" -> q20Sql)
 }

@@ -37,6 +37,55 @@ class OperatorSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** All FileSourceScanExec nodes, descending through AQE wrappers. */
+  private def collectScans(p: SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val self = p match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    self ++ kids.flatMap(collectScans)
+  }
+
+  test("partitioned write + read-back: partition filter prunes at " +
+      "directory granularity — non-matching files are never read") {
+    val dir = graft.Tables.scratchDir("graft-q20spec")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    def parquetFiles(f: java.io.File): Int = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.count(k => k.isFile && k.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(parquetFiles).sum
+    }
+    val totalFiles = parquetFiles(new java.io.File(dir))
+    val yearDirs = Option(new java.io.File(dir).listFiles()).get
+      .count(f => f.isDirectory && f.getName.startsWith("o_year="))
+    assert(yearDirs > 1, "need several partitions for pruning to mean much")
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1995)
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+    pruned.collect()
+    val scan = collectScans(pruned.queryExecution.executedPlan).head
+    // the predicate rides the scan as a partition filter, not a data filter
+    assert(scan.partitionFilters.exists(_.references.exists(
+      _.name == "o_year")), scan.toString)
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"expected pruning: read $filesRead of $totalFiles files")
+    // pruned result equals the unpartitioned filter (values survive intact)
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(year(col("o_orderdate")) === 1995)
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"))
+      .collect().toSeq
+    assert(pruned.collect().toSeq == expected)
+  }
+
   test("salted join result equals plain join") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val p = spark.read.parquet(s"$sf/part.parquet")
@@ -602,6 +651,26 @@ class OperatorSpec extends AnyFunSuite {
     val v7 = graft.operators.Vocab.contiguousIds(toks, col("t"), 7)
       .orderBy("id").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(v7.toSeq == v.toSeq)
+  }
+
+  test("Vocab.contiguousIds: survives high partition counts — offset " +
+      "lookup is an array literal, never an O(P) conditional chain") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val v256 = graft.operators.Vocab.contiguousIds(toks, col("t"), 256)
+    // the per-partition offset must not expand into a CASE WHEN per
+    // partition (codegen bloat / interpreted fallback at scale)
+    val plan = v256.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("CASE WHEN"),
+      "offset lookup expanded into a conditional chain")
+    val ids = v256.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(ids.map(_._2).toSeq == (0L until ids.length).toSeq) // dense
+    assert(ids.map(_._1).toSeq == ids.map(_._1).sorted.toSeq) // ordered
+    // same ids as the small-partition-count run: partitioning-invariant
+    val v4 = graft.operators.Vocab.contiguousIds(toks, col("t"), 4)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ids.toSeq == v4.toSeq)
   }
 
   test("weightedSample: deterministic, seed-sensitive, biased toward " +
