@@ -268,15 +268,20 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** Salted skew join (operators.Skew): lineitem x part with the key space
-    * split 8 ways; result must equal the plain join (the oracle IS the
-    * plain join).
-    * Scale: the pattern for hot-key fact-dim joins beyond AQE's reach. */
+  /** Adaptive salted skew join (operators.Skew): lineitem x part, but only
+    * keys the frequency probe finds hot are split `maxSalt` ways — cold keys
+    * join plain with one dim copy. The threshold sits at the average
+    * rows-per-key, so the gate exercises BOTH paths (roughly half the keys
+    * salted, half not) and the result must still equal the plain join (the
+    * oracle IS the plain join — the hot list steers performance only).
+    * Scale: the pattern for hot-key fact-dim joins beyond AQE's reach,
+    * without `saltedJoin`'s unconditional salt x |dim| replication. */
   def q10SaltedJoin(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val p  = part(s, d)
-    graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey",
-        col("l_orderkey") * 10 + col("l_linenumber"), salt = 8)
+    graft.operators.Skew.adaptiveSaltedJoin(li, p, "l_partkey", "p_partkey",
+        col("l_orderkey") * 10 + col("l_linenumber"), maxSalt = 8,
+        hotThreshold = 30, sampleFraction = 1.0)
       .groupBy(col("p_brand"))
       .agg(asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
         count(lit(1)).as("n"))
