@@ -44,13 +44,27 @@ object Bench {
       }
       (name, times.min, times)
     }
-    val qs = results.map { case (k, m, _) => s"\"" + k + "\":" + m }
+    // The stdout summary line must survive tail-capture (round 5's line,
+    // with 80 full-precision rep arrays inlined, overflowed the capture and
+    // left parsed:null) — so stdout gets a COMPACT line (ms precision, no
+    // reps) and the full rep arrays are persisted to BENCH_FULL.json in the
+    // repo, where they are committed and the claims stay reproducible.
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, m, _) => s"\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, ts) =>
-        s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+        s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rs,"reps_n":$reps,"warmup":$warmup,"cpus":"$cpus","sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line is the contract
+    println(line)
     spark.stop()
   }
 }

@@ -87,6 +87,48 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x4 optimized plan: exactly one raw extraction per parser — the " +
+      "struct and alternatives parsers never re-parse the row's XML") {
+    // x4 runs TWO parsers over the same XML column; its bench reps showed
+    // the widest spread (r5 verdict) — this pins the plan shape so a
+    // regression to duplicate per-member parses can't land silently.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val sp2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val plan = graft.queries.XmlQueries
+        .x4FirstWinsAlt(sp2, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      var fromXml, stax, memo = 0
+      plan.foreach(_.expressions.foreach(_.foreach {
+        case _: XmlMemoParseExpr => memo += 1
+        case _: graft.xml.XmlChildrenExpr => stax += 1
+        case _: graft.xml.XmlFirstChildExpr => stax += 1
+        case e if e.prettyName == "from_xml" => fromXml += 1
+        case _ =>
+      }))
+      // one native parse feeds every struct member; one StAX extraction
+      // feeds the alternatives array; nothing left behind a memo wrapper
+      assert(fromXml == 1, s"expected 1 from_xml, got $fromXml")
+      assert(stax == 1, s"expected 1 StAX extraction, got $stax")
+      assert(memo == 0, s"expected 0 memo-wrapped parses, got $memo")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("PushLambdaThroughGetItem: element-0 projection of a parsed array " +
       "is lambda-free and matches the unoptimized result") {
     // x3's shape: array member bound per child, query reads element 0
