@@ -271,6 +271,19 @@ object ExtensionQueries {
        |FROM toks GROUP BY t
        |ORDER BY exact_cnt DESC, t LIMIT 10""".stripMargin
 
+  /** BPE tokenizer TRAINING ([[graft.operators.Bpe.trainMerges]]): learn 8
+    * merges from the documents corpus — one corpus-scale word-histogram
+    * shuffle, then bounded rounds over the vocab-sized table with a
+    * single-row argmax collect per round. The oracle replays the identical
+    * training loop as a generated DuckDB CTE chain (same delimiter-framed
+    * left-to-right replace, same count-DESC/lex-ASC tie-break), so the
+    * learned merge list AND the final encoded corpus token count (trailing
+    * `&lt;corpus&gt;` row) hash-match exactly. */
+  def t18BpeTrain(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(documents(sp, dir), col("text"), 8)
+
+  val t18Sql: String = graft.operators.Bpe.trainMergesSql(8)
+
   /** Benchmark decontamination ([[graft.operators.Dedup.contamination]]):
     * every 20th document plays the held-out set; for each, the fraction of
     * its distinct 5-gram shingles that appear anywhere in the remaining
@@ -1461,6 +1474,52 @@ object ExtensionQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Checkpoint-RECOVERY gate: the production restart property, proven
+    * end-to-end. Half the events (even ids) are written as the stream's
+    * initial files and drained through a windowed aggregation with a REAL
+    * checkpoint dir; the query then STOPS. The odd half arrives, and a new
+    * query starts from the SAME checkpoint: the file-source log makes it
+    * read only the new files, while the aggregation state for the first
+    * half is restored from the state store. The final complete-mode output
+    * therefore equals the uninterrupted full-data aggregate ONLY if
+    * recovery worked — a fresh-state restart would emit the odd half alone
+    * and fail rows+hash against the all-events oracle. (Complete mode is
+    * the one memory-sink mode Spark permits checkpoint recovery for;
+    * StreamingSpec asserts the restarted run ingested only the second
+    * tranche.) */
+  def s8CheckpointRecovery(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val inDir = graft.Tables.scratchDir("graft-s8-in")
+    val ckpt = graft.Tables.scratchDir("graft-s8-ckpt")
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(inDir)
+    def agg = sp.readStream.schema(ev.schema).parquet(inDir)
+      .groupBy(window(col("ts"), "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+    def drain(name: String): Unit = {
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    drain(s"s8_a_$tag")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(inDir)
+    drain(s"s8_b_$tag")
+    sp.table(s"s8_b_$tag")
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val s8Sql: String =
+    """SELECT time_bucket(INTERVAL 2 HOUR, make_timestamp(epoch_ns(ts) // 1000)) AS wstart,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY wstart, event_type
+      |ORDER BY wstart, event_type""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -1670,7 +1729,9 @@ object ExtensionQueries {
     "s4_stream_join" -> (s4StreamJoin _),
     "s5_stream_xml" -> (s5StreamXml _),
     "s6_stream_session" -> (s6StreamSession _),
-    "s7_stream_enrich" -> (s7StreamEnrich _))
+    "s7_stream_enrich" -> (s7StreamEnrich _),
+    "s8_checkpoint_recovery" -> (s8CheckpointRecovery _),
+    "t18_bpe_train" -> (t18BpeTrain _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1718,6 +1779,8 @@ object ExtensionQueries {
     "s5_stream_xml" -> s5Sql,
     "s6_stream_session" -> s6Sql,
     "s7_stream_enrich" -> s7Sql,
+    "s8_checkpoint_recovery" -> s8Sql,
+    "t18_bpe_train" -> t18Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed BPE training oracle on a corpus small enough to verify on
+  * paper — fixes the merge selection (weighted overlapping pair counts,
+  * count-DESC/lex-ASC tie-break) and the greedy LEFT-TO-RIGHT application
+  * ("aaa" + merge (a,a) -> "aa a", not "a aa").
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("trainMerges learns the hand-computed merge list") {
+    import spark.implicits._
+    // histogram: aaab x3, ab x1, cab x1
+    val docs = Seq("aaab aaab ab", "aaab cab").toDF("text")
+    val got = Bpe.trainMerges(docs, org.apache.spark.sql.functions
+        .col("text"), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // round 1: (a,a) appears twice per "aaab" (overlapping) -> 6;
+    //          (a,b) 3+1+1 = 5; (c,a) 1 -> merge (a,a), n=6
+    //          "aaab" -> [aa, a, b]   (left-to-right: NOT [a, aa, b])
+    // round 2: (aa,a) 3, (a,b) 5, (c,a) 1 -> merge (a,b), n=5
+    // round 3: (aa,ab) 3, (c,ab) 1 -> merge (aa,ab), n=3
+    // encoded corpus: aaab=[aaab] x3, ab=[ab] x1, cab=[c,ab] x1 -> 6 tokens
+    assert(got == Seq(
+      (1, "a", "a", 6L),
+      (2, "a", "b", 5L),
+      (3, "aa", "ab", 3L),
+      (4, "<corpus>", "", 6L)))
+  }
+
+  test("non-alphabetic text is excluded from training") {
+    import spark.implicits._
+    val docs = Seq("ab ab 12 |x| !?", "ab").toDF("text")
+    val got = Bpe.trainMerges(docs, org.apache.spark.sql.functions
+        .col("text"), 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // only "ab" x3 and "x" x1 survive the [A-Za-z]+ pre-tokenizer; the "|"
+    // delimiter can never collide with corpus symbols
+    assert(got == Seq((1, "a", "b", 3L), (2, "<corpus>", "", 4L)))
+  }
+}
