@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * stays on the codegen'd `from_xml` path.
   */
 case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
-    fromRoot: Boolean)
+    fromRoot: Boolean, needOuter: Boolean = true, needValue: Boolean = true)
   extends UnaryExpression {
 
   override def dataType: DataType = XmlChildrenExpr.outType
@@ -34,11 +34,11 @@ case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
   // computed once per instance; the hot memo path then hashes only the
   // xml string (see XmlStax.specKey)
   @transient private lazy val specKey: String =
-    XmlStax.specKey(patterns, fromRoot)
+    XmlStax.specKey(patterns, fromRoot, needOuter, needValue)
 
   override def nullSafeEval(input: Any): Any =
     XmlChildrenExpr.evalJava(input.asInstanceOf[UTF8String], patterns,
-      fromRoot, specKey)
+      fromRoot, specKey, needOuter, needValue)
 
   // a real doGenCode (vs CodegenFallback) keeps the surrounding projection
   // inside whole-stage codegen; the generated code just calls the static
@@ -51,7 +51,7 @@ case class XmlChildrenExpr(child: Expression, patterns: Seq[String],
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = graft.xml.XmlChildrenExpr.evalJava($c, $pats,
-         |  $fromRoot, $key);
+         |  $fromRoot, $key, $needOuter, $needValue);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -93,11 +93,13 @@ object XmlChildrenExpr {
 
   def evalJava(input: UTF8String, patterns: Seq[String],
       fromRoot: Boolean): ArrayData =
-    evalJava(input, patterns, fromRoot, XmlStax.specKey(patterns, fromRoot))
+    evalJava(input, patterns, fromRoot, XmlStax.specKey(patterns, fromRoot),
+      needOuter = true, needValue = true)
 
   /** Static evaluator shared by interpreted eval and generated code. */
   def evalJava(input: UTF8String, patterns: Seq[String],
-      fromRoot: Boolean, specKey: String): ArrayData = {
+      fromRoot: Boolean, specKey: String, needOuter: Boolean,
+      needValue: Boolean): ArrayData = {
     val xml = input.toString
     val perSpec = memo.get()
     var cache = perSpec.get(specKey)
@@ -108,11 +110,16 @@ object XmlChildrenExpr {
     val hit = cache.get(xml)
     if (hit != null || cache.containsKey(xml)) hit
     else {
-      val res = build(XmlStax.children(xml, patterns, fromRoot, specKey))
+      val res = build(XmlStax.children(xml, patterns, fromRoot, specKey,
+        needOuter, needValue))
       cache.put(xml, res)
       res
     }
   }
+
+  // pruned outer/value fields are "" for every child — share one constant
+  private def utf8(s: String): UTF8String =
+    if (s.isEmpty) UTF8String.EMPTY_UTF8 else UTF8String.fromString(s)
 
   // attribute-less children (the common case) share one immutable empty map
   private val emptyMap = new ArrayBasedMapData(
@@ -136,9 +143,8 @@ object XmlChildrenExpr {
       new ArrayBasedMapData(new GenericArrayData(ks),
         new GenericArrayData(vs))
     }
-    InternalRow(UTF8String.fromString(c.tag),
-      UTF8String.fromString(c.outer), UTF8String.fromString(c.value),
-      attrs)
+    InternalRow(UTF8String.fromString(c.tag), utf8(c.outer),
+      utf8(c.value), attrs)
   }
 
   private def build(res: Seq[XmlStax.Child]): ArrayData = {
@@ -167,14 +173,15 @@ object XmlChildrenExpr {
   * by an exact member or by a LATER-registered glob (last-glob-wins). */
 case class XmlFirstChildExpr(child: Expression, capturePatterns: Seq[String],
     fromRoot: Boolean, memberName: String, exactNames: Seq[String],
-    laterGlobs: Seq[String]) extends UnaryExpression {
+    laterGlobs: Seq[String], needOuter: Boolean = true,
+    needValue: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = XmlChildrenExpr.elemType
   override def nullable: Boolean = true
   override def prettyName: String = "xml_first_child"
 
   @transient private lazy val specKey: String =
-    XmlStax.specKey(capturePatterns, fromRoot)
+    XmlStax.specKey(capturePatterns, fromRoot, needOuter, needValue)
   @transient private lazy val exactSet: Set[String] = exactNames.toSet
   @transient private lazy val selfGlob: Option[XmlStax.Glob] =
     if (memberName.contains("*")) {
@@ -197,7 +204,7 @@ case class XmlFirstChildExpr(child: Expression, capturePatterns: Seq[String],
   /** Instance evaluator referenced directly from the generated code. */
   def firstChild(input: UTF8String): InternalRow = {
     val kids = XmlStax.children(input.toString, capturePatterns, fromRoot,
-      specKey)
+      specKey, needOuter, needValue)
     if (kids == null) return null
     var i = 0
     while (i < kids.length) {
@@ -257,11 +264,14 @@ object XmlElementValueExpr {
 object XmlFunctions {
   import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Column API over [[XmlChildrenExpr]]. */
-  def xml_children(c: Column, patterns: Seq[String],
-      fromRoot: Boolean): Column =
+  /** Column API over [[XmlChildrenExpr]]. needOuter/needValue prune the
+    * per-child `xml`/`value` serialization (pruned fields read as "") —
+    * pass false only when nothing downstream reads the field. */
+  def xml_children(c: Column, patterns: Seq[String], fromRoot: Boolean,
+      needOuter: Boolean = true, needValue: Boolean = true): Column =
     ColumnBridge.column(
-      XmlChildrenExpr(ColumnBridge.expression(c), patterns, fromRoot))
+      XmlChildrenExpr(ColumnBridge.expression(c), patterns, fromRoot,
+        needOuter, needValue))
 
   def xml_element_value(c: Column): Column =
     ColumnBridge.column(XmlElementValueExpr(ColumnBridge.expression(c)))

@@ -256,11 +256,50 @@ private[xml] object Bind {
       m.f(new KidAttrBindNode(ch, m.spec))
     else bindObj(ch.getField("xml"), ch.getField("tag"), m)
 
+  /** Which extracted-child fields an AltBindNode over `spec` can read:
+    * (needOuter, needValue). Scalar alternatives read `value`; obj
+    * alternatives with element members, arrays, and custom members
+    * re-parse `xml`; attr/tag-only objs read neither — the extractor
+    * then skips serialization entirely (tag+attrs + subtree skip). */
+  private[xml] def altKidNeeds(spec: ObjSpec): (Boolean, Boolean) = {
+    var needOuter = false
+    var needValue = false
+    spec.members.values.foreach {
+      case _: ScalarM => needValue = true
+      case o: ObjM    => if (o.spec.members.nonEmpty) needOuter = true
+      case _: ArrM    => needOuter = true
+      case _: CustomM => needOuter = true
+    }
+    (needOuter, needValue)
+  }
+
+  /** Same for the children a StaxBindNode pulls through firstKid — exact
+    * scalars bind natively off from_xml (never from the extraction), so
+    * only glob scalars pull `value`; the obj/array conditions mirror the
+    * StaxBindNode dispatch exactly (over-approximation is safe, an
+    * under-approximation would serve "" to a live consumer). */
+  private[xml] def staxKidNeeds(spec: ObjSpec): (Boolean, Boolean) = {
+    var needOuter = false
+    var needValue = false
+    spec.members.foreach {
+      case (n, _: ScalarM) => if (n.contains("*")) needValue = true
+      case (n, o: ObjM) =>
+        if ((n.contains("*") || !o.spec.isNative) && o.spec.members.nonEmpty)
+          needOuter = true
+      case (n, a: ArrM) =>
+        if (!(!n.contains("*") && spec.arrayIsNative(a) &&
+            a.spec.attrs.isEmpty)) needOuter = true
+      case (_, _: CustomM) => needOuter = true
+    }
+    (needOuter, needValue)
+  }
+
   /** Array semantics over a container's outer XML: one combined value per
     * matching child, document order (Parser.cs:257-316). */
   def bindArray(containerOuter: Column, m: ArrM): Column = {
+    val (needOuter, needValue) = altKidNeeds(m.spec)
     val kids = xml_children(containerOuter, m.spec.members.keys.toSeq,
-      fromRoot = true)
+      fromRoot = true, needOuter, needValue)
     val containerAttrs: Option[Column] =
       if (m.spec.attrs.isEmpty) None
       else Some(fx(containerOuter, StructType(
@@ -354,6 +393,10 @@ private[xml] final class NativeBindNode(parsed: Column, tagC: Column,
 private[xml] final class StaxBindNode(outer: Column, parsed: Column,
     tagC: Column, spec: ObjSpec) extends BaseBindNode(spec) {
 
+  // one extraction serves every member of this spec (shared memo key), so
+  // the capture flags are the UNION of all members' needs
+  private lazy val kidNeeds: (Boolean, Boolean) = Bind.staxKidNeeds(spec)
+
   private def firstKid(name: String): Column = {
     val globs = spec.globNames
     val later =
@@ -361,7 +404,8 @@ private[xml] final class StaxBindNode(outer: Column, parsed: Column,
     org.apache.spark.sql.graft.ColumnBridge.column(
       XmlFirstChildExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(outer),
-        spec.staxPatterns, fromRoot = true, name, spec.exactNames, later))
+        spec.staxPatterns, fromRoot = true, name, spec.exactNames, later,
+        kidNeeds._1, kidNeeds._2))
   }
 
   override def tag: Column = tagC

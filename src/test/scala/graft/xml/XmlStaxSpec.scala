@@ -95,4 +95,25 @@ class XmlStaxSpec extends AnyFunSuite {
     val Seq(c2) = XmlStax.children(xml2, Seq("k"), fromRoot = true).toList
     assert(c2.outer == """<k xmlns="urn:d">t</k>""")
   }
+
+  test("capture flags prune outer/value; pruned and full extractions " +
+      "never share a memo entry") {
+    val xml = "<r><k a='1'><s>v</s>txt</k><j/></r>"
+    def run(o: Boolean, v: Boolean) =
+      XmlStax.children(xml, Seq("k"), fromRoot = true,
+        XmlStax.specKey(Seq("k"), fromRoot = true, o, v), o, v).head
+    // pruned first: if the memo ignored the flags, the full read below
+    // would be served the pruned ("" outer/value) entry
+    val pruned = run(o = false, v = false)
+    assert(pruned.tag == "k" && pruned.attrs == Seq(("a", "1")))
+    assert(pruned.outer == "" && pruned.value == "")
+    val valueOnly = run(o = false, v = true)
+    assert(valueOnly.outer == "" && valueOnly.value == "<s>v</s>txt")
+    val outerOnly = run(o = true, v = false)
+    assert(outerOnly.outer == "<k a=\"1\"><s>v</s>txt</k>" &&
+      outerOnly.value == "")
+    val full = run(o = true, v = true)
+    assert(full.outer == "<k a=\"1\"><s>v</s>txt</k>" &&
+      full.value == "<s>v</s>txt")
+  }
 }
