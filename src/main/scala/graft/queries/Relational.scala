@@ -616,6 +616,38 @@ object Relational {
       |WHERE EXTRACT(year FROM o_orderdate) = 1995
       |GROUP BY status ORDER BY status""".stripMargin
 
+  /** Bucketed co-located join: both join sides written `bucketBy(16,
+    * key).sortBy(key)` ([[graft.operators.Bucketing]]), then joined and
+    * aggregated. The bucketed layout makes the fact-fact join a ZERO-
+    * EXCHANGE sort-merge join — each task merges matching buckets
+    * (OperatorSpec asserts no Exchange under the join; this gate adds the
+    * oracle: the result equals the plain join). At 100 TB this is the
+    * single biggest recurring-shuffle saving a pipeline that owns its
+    * storage layout can take. Tables get unique names under the /tmp
+    * warehouse so bench reps never collide. */
+  def q21BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val lt = s"q21_l_$tag"
+    val ot = s"q21_o_$tag"
+    graft.operators.Bucketing.writeBucketed(
+      lineitem(s, d).select(col("l_orderkey").as("okey"),
+        col("l_quantity")), lt, "okey", 16)
+    graft.operators.Bucketing.writeBucketed(
+      orders(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderstatus")), ot, "okey", 16)
+    graft.operators.Bucketing.colocatedJoin(s, ot, lt, "okey")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_lines"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("status"))
+  }
+
+  val q21Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY status ORDER BY status""".stripMargin
+
   val q19Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
@@ -647,7 +679,8 @@ object Relational {
     "p1_profile" -> (p1Profile _),
     "q18_outer_join" -> (q18OuterJoin _),
     "q19_date_rollup" -> (q19DateRollup _),
-    "q20_partition_pruning" -> (q20PartitionPruning _))
+    "q20_partition_pruning" -> (q20PartitionPruning _),
+    "q21_bucketed_join" -> (q21BucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -671,5 +704,6 @@ object Relational {
     "p1_profile" -> p1Sql,
     "q18_outer_join" -> q18Sql,
     "q19_date_rollup" -> q19Sql,
-    "q20_partition_pruning" -> q20Sql)
+    "q20_partition_pruning" -> q20Sql,
+    "q21_bucketed_join" -> q21Sql)
 }

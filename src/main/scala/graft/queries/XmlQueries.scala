@@ -338,7 +338,45 @@ object XmlQueries {
       |FROM lineitem
       |ORDER BY okey, pos""".stripMargin
 
+  /** Malformed-input robustness (PERMISSIVE posture): every 10th order's
+    * document is truncated to the constant prefix "&lt;rec&gt;&lt;id&gt;"
+    * (unclosed tags, no salvageable field). Both engine paths must turn
+    * exactly those rows into nulls — the wildcard member runs the StAX
+    * extractor (null children on parse error), the exact member runs
+    * from_xml (PERMISSIVE null fields) — and no malformed document may
+    * kill the job or leak a partial value. The oracle recomputes the
+    * per-status parse/fail counts straight from the modulus. At 100 TB
+    * some shards ARE corrupt; dropping-not-crashing is the production
+    * contract. */
+  def x10MalformedPermissive(sp: SparkSession, dir: String): DataFrame = {
+    val o = orders(sp, dir)
+    val good = concat(
+      lit("<rec><id>"), s(col("o_orderkey")), lit("</id><t_"),
+      col("o_orderstatus"), lit(">"), d2s(col("o_totalprice")),
+      lit("</t_"), col("o_orderstatus"), lit("></rec>"))
+    val xml = when(col("o_orderkey") % 10 === 0,
+      good.substr(lit(1), lit(9))) // "<rec><id>" — definitely malformed
+      .otherwise(good)
+    val parser = XmlParser.struct("rec") { a =>
+      struct(a.nullInt("id").as("id"), a.str("t_*").as("tot"))
+    }
+    spread(o.select(col("o_orderstatus").as("status"), xml.as("__xml")))
+      .select(col("status"), parser.parse(col("__xml")).as("p"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("p.id")).as("n_id"),
+        count(col("p.tot")).as("n_tot"))
+      .orderBy(col("status"))
+  }
+
+  val x10Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
+      |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tot
+      |FROM orders GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_xml_malformed" -> (x10MalformedPermissive _),
     "x1_xml_scan_cast" -> (x1ScanCast _),
     "x2_xml_array_order" -> (x2ArrayOrder _),
     "x3_xml_wildcard_tag" -> (x3WildcardTag _),
@@ -350,6 +388,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x10_xml_malformed" -> x10Sql,
     "x1_xml_scan_cast" -> x1Sql,
     "x2_xml_array_order" -> x2Sql,
     "x3_xml_wildcard_tag" -> x3Sql,
