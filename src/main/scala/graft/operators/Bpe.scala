@@ -70,7 +70,8 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var cur = hist
-    for (r <- 1 to numMerges) {
+    var exhausted = false
+    for (r <- 1 to numMerges if !exhausted) {
       val syms = symbols(col("sym"))
       // adjacent pairs; single-symbol words contribute nothing (sequence()
       // would run DESCENDING for size=1, so the guard is load-bearing)
@@ -83,18 +84,22 @@ object Bpe {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()(0) // argmax: ONE row to the driver per round
-      val (l, rt, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, l, rt, n))
-      cur = cur.withColumn("sym",
-        replace(col("sym"), lit(s"|$l||$rt|"), lit(s"|$l$rt|")))
+        .limit(1).collect() // argmax: ONE row to the driver per round
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, rt, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, l, rt, n))
+        cur = cur.withColumn("sym",
+          replace(col("sym"), lit(s"|$l||$rt|"), lit(s"|$l$rt|")))
+      }
     }
     val corpusTokens = cur
       .select(sum(col("freq") * size(symbols(col("sym")))).as("t"))
       .collect()(0).getLong(0)
     hist.unpersist()
     val rows = merges.toSeq :+
-      ((numMerges + 1, "<corpus>", "", corpusTokens))
+      ((merges.length + 1, "<corpus>", "", corpusTokens))
     import sp.implicits._
     rows.toDF("merge_rank", "lhs", "rhs", "n").orderBy("merge_rank")
   }

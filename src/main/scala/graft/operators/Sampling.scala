@@ -160,4 +160,29 @@ object Sampling {
       .limit(k)
       .drop("__pri")
   }
+
+  /** TOKEN-budget corpus mixing: keep a deterministic per-stratum document
+    * sample whose EXPECTED token mass hits `budget` tokens per stratum —
+    * the data-mixture rebalancing step of a training pipeline (cap the
+    * dominant web source, keep all of a scarce one). Per stratum the keep
+    * fraction is min(1, budget / stratum_tokens), applied as the same
+    * portable hash threshold as [[stratifiedSampleThreshold]] — no
+    * per-stratum sort, stable under corpus growth and across engines.
+    *
+    * One tiny aggregation (stratum -> token total, broadcast back) plus a
+    * map-side filter: nothing here scales with the corpus except the scan.
+    */
+  def tokenBudgetMix(df: DataFrame, stratum: Column, key: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val totals = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(tokens).as("__tok"))
+    val frac = least(lit(1.0), lit(budget.toDouble) / col("__tok"))
+    val cut = least(ceil(frac * 4294967296.0).cast("long"),
+      lit(4294967296L))
+    df.join(broadcast(totals.select(col("__stratum"), cut.as("__cut"))),
+        stratum <=> col("__stratum"))
+      .filter(Hashing.portableHash32(key) < col("__cut"))
+      .drop("__stratum", "__cut")
+  }
 }

@@ -569,6 +569,33 @@ object ExtensionQueries {
        |  least(CAST(ceil(30.0 * 4294967296.0 / c.n) AS BIGINT), 4294967296)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Token-budget data mixing ([[graft.operators.Sampling.tokenBudgetMix]]):
+    * cap every source at ~800 tokens via a deterministic per-stratum hash
+    * threshold (fraction = min(1, budget/total)); dominant sources get
+    * downsampled, scarce ones kept whole. The oracle replays the identical
+    * fraction arithmetic and md5 threshold, so even the approximation is
+    * hash-verified. */
+  def t19TokenBudgetMix(sp: SparkSession, dir: String): DataFrame = {
+    val d = documents(sp, dir).select(col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).as("n_tok"))
+    graft.operators.Sampling.tokenBudgetMix(d, col("source"),
+        col("doc_id").cast("string"), col("n_tok"), budget = 800L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val t19Sql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |             CAST(len($Toks) AS INT) AS n_tok FROM documents),
+       |t AS (SELECT source, SUM(n_tok) AS tok FROM d GROUP BY 1)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(SUM(d.n_tok) AS BIGINT) AS tokens_kept
+       |FROM d JOIN t ON d.source = t.source
+       |WHERE ${h("CAST(d.doc_id AS VARCHAR)")} <
+       |  least(CAST(ceil(least(1.0, 800.0 / tok) * 4294967296.0) AS BIGINT), 4294967296)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -1731,7 +1758,8 @@ object ExtensionQueries {
     "s6_stream_session" -> (s6StreamSession _),
     "s7_stream_enrich" -> (s7StreamEnrich _),
     "s8_checkpoint_recovery" -> (s8CheckpointRecovery _),
-    "t18_bpe_train" -> (t18BpeTrain _))
+    "t18_bpe_train" -> (t18BpeTrain _),
+    "t19_token_budget_mix" -> (t19TokenBudgetMix _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1781,6 +1809,7 @@ object ExtensionQueries {
     "s7_stream_enrich" -> s7Sql,
     "s8_checkpoint_recovery" -> s8Sql,
     "t18_bpe_train" -> t18Sql,
+    "t19_token_budget_mix" -> t19Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

@@ -321,7 +321,8 @@ object XmlQueries {
           lit("</o>")).as("xml"))
     docs.select(col("okey"),
         graft.xml.XmlExplodeChildren.xml_explode_children(
-          col("xml"), Seq("item"), fromRoot = true))
+          col("xml"), Seq("item"), fromRoot = true,
+          needOuter = false)) // the query reads pos/tag/value, never xml
       .select(col("okey"), col("pos").cast("int").as("pos"), col("tag"),
         col("value").cast("double").as("qty"))
       .orderBy("okey", "pos")

@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's array semantics (Parser.cs:272-277).
   */
 case class XmlExplodeChildren(child: Expression, patterns: Seq[String],
-    fromRoot: Boolean)
+    fromRoot: Boolean, needOuter: Boolean = true, needValue: Boolean = true)
   extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -34,20 +34,25 @@ case class XmlExplodeChildren(child: Expression, patterns: Seq[String],
   override def prettyName: String = "xml_explode_children"
 
   @transient private lazy val specKey: String =
-    XmlStax.specKey(patterns, fromRoot)
+    XmlStax.specKey(patterns, fromRoot, needOuter, needValue)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val s = child.eval(input)
     if (s == null) Nil
     else {
-      val kids = XmlStax.children(s.toString, patterns, fromRoot, specKey)
+      val kids = XmlStax.children(s.toString, patterns, fromRoot, specKey,
+        needOuter, needValue)
       if (kids == null) Nil // malformed input: PERMISSIVE, zero rows
       else kids.iterator.zipWithIndex.map { case (c, i) =>
-        InternalRow(i, UTF8String.fromString(c.tag),
-          UTF8String.fromString(c.outer), UTF8String.fromString(c.value))
+        InternalRow(i, UTF8String.fromString(c.tag), utf8(c.outer),
+          utf8(c.value))
       }
     }
   }
+
+  // pruned fields surface as "" (non-nullable schema) — shared constant
+  private def utf8(v: String): UTF8String =
+    if (v.isEmpty) UTF8String.EMPTY_UTF8 else UTF8String.fromString(v)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -56,9 +61,13 @@ case class XmlExplodeChildren(child: Expression, patterns: Seq[String],
 object XmlExplodeChildren {
   import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Column API: use in a select like `posexplode(...)`. */
+  /** Column API: use in a select like `posexplode(...)`. needOuter /
+    * needValue prune the per-child serialization (pruned fields read as
+    * "") — pass false only when the query never reads that column. */
   def xml_explode_children(c: Column, patterns: Seq[String],
-      fromRoot: Boolean): Column =
+      fromRoot: Boolean, needOuter: Boolean = true,
+      needValue: Boolean = true): Column =
     ColumnBridge.column(
-      XmlExplodeChildren(ColumnBridge.expression(c), patterns, fromRoot))
+      XmlExplodeChildren(ColumnBridge.expression(c), patterns, fromRoot,
+        needOuter, needValue))
 }
