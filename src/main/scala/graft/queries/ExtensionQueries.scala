@@ -1547,6 +1547,33 @@ object ExtensionQueries {
       |FROM events GROUP BY wstart, event_type
       |ORDER BY wstart, event_type""".stripMargin
 
+  /** Bounded streaming BACKFILL: reprocessing a large history through a
+    * streaming query must not load it in one giant batch —
+    * `maxFilesPerTrigger` paces the file source so state and shuffle
+    * memory stay micro-batch-sized (8 input files, 2 per trigger -> >= 4
+    * micro-batches, asserted in StreamingSpec). The complete-mode result
+    * must equal the batch aggregate regardless of the pacing — the
+    * incremental-equals-batch property backfills rely on. */
+  def s9BoundedBackfill(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val inDir = graft.Tables.scratchDir("graft-s9-in")
+    ev.repartition(8).write.mode("overwrite").parquet(inDir)
+    val name = "s9_bf_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = sp.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "complete")
+      .orderBy("event_type")
+  }
+
+  val s9Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -1759,7 +1786,8 @@ object ExtensionQueries {
     "s7_stream_enrich" -> (s7StreamEnrich _),
     "s8_checkpoint_recovery" -> (s8CheckpointRecovery _),
     "t18_bpe_train" -> (t18BpeTrain _),
-    "t19_token_budget_mix" -> (t19TokenBudgetMix _))
+    "t19_token_budget_mix" -> (t19TokenBudgetMix _),
+    "s9_bounded_backfill" -> (s9BoundedBackfill _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1810,6 +1838,7 @@ object ExtensionQueries {
     "s8_checkpoint_recovery" -> s8Sql,
     "t18_bpe_train" -> t18Sql,
     "t19_token_budget_mix" -> t19Sql,
+    "s9_bounded_backfill" -> s9Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

@@ -648,6 +648,58 @@ object Relational {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY status ORDER BY status""".stripMargin
 
+  /** Parquet AGGREGATE pushdown: COUNT/MIN/MAX answered from parquet
+    * footer statistics instead of scanning rows — at 100 TB the difference
+    * between touching every page and reading a few KB of metadata per
+    * file. Needs the DSv2 parquet reader, so the query runs in a child
+    * session (`newSession` — isolated SQLConf, shared context) with
+    * `spark.sql.sources.useV1SourceList=""` and
+    * `spark.sql.parquet.aggregatePushdown=true`; OperatorSpec asserts the
+    * scan carries `PushedAggregation: [COUNT(*), MIN(..), MAX(..)]`. */
+  def q22AggPushdown(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // the session-wide nanos-as-long legacy mode (needed for events.parquet)
+    // disables footer-stats pushdown; lineitem is micros/millis, so the
+    // child session can run without it
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    graft.Tables.table(s2, d, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  val q22Sql: String =
+    """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
+      |  max(l_orderkey) AS max_key FROM lineitem""".stripMargin
+
+  /** Small-file compaction ([[graft.operators.Compact]]): 48 ingestion-
+    * sized files rewritten into 4 range-sorted ones. The observed file
+    * counts ride IN the gate output (files_before/files_after columns), so
+    * the oracle's literals 48 and 4 hash-verify the physical layout, and
+    * the row aggregate proves no row was lost or duplicated by the
+    * rewrite. */
+  def q23Compaction(s: SparkSession, d: String): DataFrame = {
+    val src = graft.Tables.scratchDir("graft-q23-src")
+    val dst = graft.Tables.scratchDir("graft-q23-dst")
+    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      .repartition(48).write.mode("overwrite").parquet(src)
+    graft.operators.Compact.compactFiles(s, src, dst, 4, col("l_orderkey"))
+    s.read.parquet(dst)
+      .agg(count(lit(1)).as("n_rows"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(
+        lit(graft.operators.Compact.dataFileCount(src)).as("files_before"),
+        lit(graft.operators.Compact.dataFileCount(dst)).as("files_after"),
+        col("n_rows"), col("sum_qty"))
+  }
+
+  val q23Sql: String =
+    """SELECT 48 AS files_before, 4 AS files_after, count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem""".stripMargin
+
   val q19Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
@@ -680,7 +732,9 @@ object Relational {
     "q18_outer_join" -> (q18OuterJoin _),
     "q19_date_rollup" -> (q19DateRollup _),
     "q20_partition_pruning" -> (q20PartitionPruning _),
-    "q21_bucketed_join" -> (q21BucketedJoin _))
+    "q21_bucketed_join" -> (q21BucketedJoin _),
+    "q22_agg_pushdown" -> (q22AggPushdown _),
+    "q23_compaction" -> (q23Compaction _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -705,5 +759,7 @@ object Relational {
     "q18_outer_join" -> q18Sql,
     "q19_date_rollup" -> q19Sql,
     "q20_partition_pruning" -> q20Sql,
-    "q21_bucketed_join" -> q21Sql)
+    "q21_bucketed_join" -> q21Sql,
+    "q22_agg_pushdown" -> q22Sql,
+    "q23_compaction" -> q23Sql)
 }

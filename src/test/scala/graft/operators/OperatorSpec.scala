@@ -169,6 +169,30 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q22: COUNT/MIN/MAX ride the parquet scan as PushedAggregation") {
+    val df = graft.queries.Relational
+      .q22AggPushdown(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]"),
+      plan.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    // and the footer-stats answer equals the row-scan answer
+    val full = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+      .collect()(0)
+    assert(df.collect()(0) == full)
+  }
+
+  test("q23 compaction: many small files become the asked-for file count " +
+      "with no rows lost") {
+    val row = graft.queries.Relational
+      .q23Compaction(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getInt(0) == 48 && row.getInt(1) == 4,
+      s"files ${row.getInt(0)} -> ${row.getInt(1)}")
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(row.getLong(2) == n)
+  }
+
   test("simhash64: identical docs collide at hamming 0; cap drops hot buckets") {
     import spark.implicits._
     val docs = (0 until 20).map(i => (i.toLong, "the quick brown fox jumps"))

@@ -389,4 +389,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
   }
+
+  test("bounded backfill: maxFilesPerTrigger paces the history into " +
+      "multiple micro-batches") {
+    val ev = graft.Tables.events(spark, sf)
+    val inDir = graft.Tables.scratchDir("graft-s9spec-in")
+    ev.repartition(8).write.mode("overwrite").parquet(inDir)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("s9spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4, s"expected >= 4 paced batches, got $dataBatches")
+    val got = spark.table("s9spec").orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
 }
