@@ -1574,6 +1574,44 @@ object ExtensionQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** CUSTOM streaming state gate ([[graft.streaming.StreamOps
+    * .runningTotals]] — `flatMapGroupsWithState`): per-user cumulative
+    * (count, cents) counters updated across PACED micro-batches (8 files,
+    * 4 per trigger -> 2 batches). Update mode emits a running total per
+    * key per batch; the max cumulative row per user equals the all-data
+    * total ONLY if the group state carried across batches — lost state
+    * would leave the second batch's emission a partial count and fail the
+    * hash. Values become exact integer cents in Spark SQL before entering
+    * the typed state transition, so cents/100.0 and the oracle's
+    * CAST(SUM(DECIMAL) AS DOUBLE) are the same correctly-rounded double.
+    */
+  def s10StatefulCounter(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val ev = events(sp, dir)
+    val inDir = graft.Tables.scratchDir("graft-s10-in")
+    ev.select(col("user_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .repartition(8).write.mode("overwrite").parquet(inDir)
+    val pairs = sp.readStream
+      .schema("user_id LONG, cents LONG")
+      .option("maxFilesPerTrigger", "4").parquet(inDir)
+      .as[(Long, Long)]
+    val updates = graft.streaming.StreamOps.runningTotals(pairs)
+      .toDF("user_id", "n_cum", "cents_cum")
+    val name = "s10_st_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    graft.streaming.StreamOps.runToMemory(sp, updates, name, "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_cum")).as("n_events"),
+        (max(col("cents_cum")) / 100.0).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val s10Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -1787,7 +1825,8 @@ object ExtensionQueries {
     "s8_checkpoint_recovery" -> (s8CheckpointRecovery _),
     "t18_bpe_train" -> (t18BpeTrain _),
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
-    "s9_bounded_backfill" -> (s9BoundedBackfill _))
+    "s9_bounded_backfill" -> (s9BoundedBackfill _),
+    "s10_stateful_counter" -> (s10StatefulCounter _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1839,6 +1878,7 @@ object ExtensionQueries {
     "t18_bpe_train" -> t18Sql,
     "t19_token_budget_mix" -> t19Sql,
     "s9_bounded_backfill" -> s9Sql,
+    "s10_stateful_counter" -> s10Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

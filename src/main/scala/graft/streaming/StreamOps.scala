@@ -93,6 +93,38 @@ object StreamOps {
           col("rts") <= col("ts") + expr(s"interval $maxDelay"),
         "inner")
 
+  /** CUSTOM streaming state through the arbitrary-state API
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a per-key
+    * cumulative (count, sum-of-cents) counter. Each micro-batch folds its
+    * rows for a key into the key's `GroupState` and emits the RUNNING
+    * total — the hand-rolled form of a streaming aggregation, which is
+    * exactly what the API is for when the built-in aggregates can't
+    * express the state transition (counters are the minimal deterministic
+    * example; the same shape carries ML feature state, fraud windows,
+    * etc.).
+    *
+    * Scale: state is per-key (two longs here) and lives in the state
+    * store, partitioned by key hash across executors; each micro-batch
+    * shuffles only its own rows. Input is (key, cents) — callers convert
+    * values to exact integer cents IN Spark SQL so no floating-point
+    * arithmetic enters the state transition. */
+  def runningTotals(pairs: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, c) => n += 1; cents += c }
+          state.update((n, cents))
+          Iterator((key, n, cents))
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against currently-available
     * input and return the materialized result (memory sink). This is the
     * batch-shaped harness for incremental queries — production would

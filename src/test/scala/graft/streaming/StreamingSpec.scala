@@ -390,6 +390,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("flatMapGroupsWithState: cumulative counters carry state across " +
+      "paced micro-batches") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+    val inDir = graft.Tables.scratchDir("graft-s10spec-in")
+    ev.select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .repartition(8).write.mode("overwrite").parquet(inDir)
+    val pairs = spark.readStream.schema("user_id LONG, cents LONG")
+      .option("maxFilesPerTrigger", "4").parquet(inDir).as[(Long, Long)]
+    val updates = StreamOps.runningTotals(pairs)
+      .toDF("user_id", "n_cum", "cents_cum")
+    val q = updates.writeStream.outputMode("update").format("memory")
+      .queryName("s10spec").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    val emitted = spark.table("s10spec")
+    // users present in both batches emitted TWO updates (running totals) —
+    // proof the emissions span batches, not one big fold
+    assert(emitted.count() > emitted.select("user_id").distinct().count())
+    // and the max cumulative per user equals the batch ground truth —
+    // impossible if the second batch had started from empty state
+    val got = emitted.groupBy("user_id")
+      .agg(max(col("n_cum")).as("n")).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("bounded backfill: maxFilesPerTrigger paces the history into " +
       "multiple micro-batches") {
     val ev = graft.Tables.events(spark, sf)
