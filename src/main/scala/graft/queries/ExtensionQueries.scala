@@ -1547,6 +1547,40 @@ object ExtensionQueries {
       |FROM events GROUP BY wstart, event_type
       |ORDER BY wstart, event_type""".stripMargin
 
+  /** SLIDING windows (2-hour window, 1-hour slide): every event lands in
+    * exactly two overlapping windows — the moving-average shape tumbling
+    * windows can't express. Same watermark-bounded live run as s1; the
+    * oracle materializes the overlap as a two-way UNION of shifted 1-hour
+    * buckets. */
+  def s11SlidingWindow(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s11_sw_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = graft.streaming.StreamOps
+      .eventsStream(sp, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "update")
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val s11Sql: String =
+    """WITH ev AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_type, value FROM events),
+      |x AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR AS wstart,
+      |         event_type, value FROM ev
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart,
+      |         event_type, value FROM ev)
+      |SELECT wstart, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY wstart, event_type
+      |ORDER BY wstart, event_type""".stripMargin
+
   /** Bounded streaming BACKFILL: reprocessing a large history through a
     * streaming query must not load it in one giant batch —
     * `maxFilesPerTrigger` paces the file source so state and shuffle
@@ -1826,7 +1860,8 @@ object ExtensionQueries {
     "t18_bpe_train" -> (t18BpeTrain _),
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
     "s9_bounded_backfill" -> (s9BoundedBackfill _),
-    "s10_stateful_counter" -> (s10StatefulCounter _))
+    "s10_stateful_counter" -> (s10StatefulCounter _),
+    "s11_sliding_window" -> (s11SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1879,6 +1914,7 @@ object ExtensionQueries {
     "t19_token_budget_mix" -> t19Sql,
     "s9_bounded_backfill" -> s9Sql,
     "s10_stateful_counter" -> s10Sql,
+    "s11_sliding_window" -> s11Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,
