@@ -380,6 +380,67 @@ object ExtensionQueries {
       |FROM c2 JOIN tot USING (w1)
       |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
 
+  /** Model-based quality scoring (CCNet-shape): fit a bigram LM on the
+    * corpus (the t15 statistics, untruncated), then score every document
+    * against it — documents dominated by bigrams the model considers rare
+    * are the "surprising" ones a perplexity filter would cut. Transcendental-
+    * free by design so the score is bit-exact across engines: rarity is the
+    * integer test `cnt * 40 < tot` (p < 0.025 without a division), the
+    * per-doc rare fraction and the min probability are each ONE IEEE
+    * division (order-independent aggregates underneath), standing in for
+    * log-perplexity's order-dependent float sum.
+    *
+    * Scale: the model is `distinct bigrams` rows — sublinear in corpus
+    * size but NOT broadcastable at 100 TB, so scoring is a plain shuffle
+    * join of corpus bigrams against the model on the bigram key, then one
+    * per-doc aggregation. Fitting is the t15 pair: two hash aggregations.
+    */
+  def t20LmScore(sp: SparkSession, dir: String): DataFrame = {
+    val bi = documents(sp, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.ShingleSetExpr.shingles(col("text"), 2))
+        .as("bigram"))
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val tot = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    val model = counts.join(tot, "w1")
+      .select(col("bigram"), col("cnt"), col("tot"))
+    bi.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") * 40 < col("tot"), 1L).otherwise(0L))
+          .as("n_rare"),
+        min(col("cnt").cast("double") / col("tot").cast("double"))
+          .as("min_p"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_frac"),
+        col("min_p"))
+      .orderBy(col("rare_frac").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val t20Sql: String =
+    """WITH bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents),
+      |c AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram),
+      |c2 AS (SELECT bigram, cnt, split_part(bigram, ' ', 1) AS w1 FROM c),
+      |tot AS (SELECT w1, SUM(cnt) AS tot FROM c2 GROUP BY w1),
+      |model AS (SELECT bigram, cnt, tot FROM c2 JOIN tot USING (w1)),
+      |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN cnt * 40 < tot THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rare,
+      |    MIN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS min_p
+      |  FROM bi JOIN model USING (bigram) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, n_rare,
+      |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
+      |  min_p
+      |FROM sc ORDER BY rare_frac DESC, doc_id LIMIT 25""".stripMargin
+
   /** Z-order (Morton) layout key over (l_partkey, l_suppkey) — the
     * clustering primitive for multi-dimensional scan pruning
     * ([[graft.operators.Layout]]): sorting by the interleave keeps files
@@ -1766,6 +1827,55 @@ object ExtensionQueries {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
       |ORDER BY v.user_id, view_event, click_event""".stripMargin
 
+  /** Stream-stream LEFT OUTER join ([[graft.streaming.StreamOps
+    * .streamStreamOuterJoin]]): views left-joined to clicks of the same
+    * user within [ts, ts + 6 h]. Matches emit immediately; an unmatched
+    * view emits its null-extended row only after BOTH sides' watermarks
+    * (min across inputs, 1 h delay here) pass the end of its match window
+    * — so on this finite input, views whose window is still inside the
+    * final watermark horizon stay pending and never emit. The oracle
+    * replays exactly that: the inner matches UNION the unmatched views
+    * with `ts + 6 h < min(max view ts, max click ts) - 1 h`. */
+  def s12StreamOuterJoin(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s12_loj_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val views = side("view")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("view_event"))
+    val clicks = side("click")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"),
+        col("event_id").as("click_event"))
+    val joined = graft.streaming.StreamOps.streamStreamOuterJoin(
+      views, clicks, watermark = "1 hour", maxDelay = "6 hours")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(col("key").as("user_id"), col("view_event"),
+        col("click_event"))
+      .orderBy("user_id", "view_event", "click_event")
+  }
+
+  val s12Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts, event_id AS click_event FROM ev
+      |  WHERE event_type = 'click'),
+      |wm AS (SELECT LEAST((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+      |  - INTERVAL 1 HOUR AS horizon)
+      |SELECT v.user_id AS user_id, v.view_event, c.click_event
+      |FROM v JOIN c ON c.user_id = v.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+      |UNION ALL
+      |SELECT v.user_id, v.view_event, NULL
+      |FROM v CROSS JOIN wm
+      |WHERE v.ts + INTERVAL 6 HOUR < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM c
+      |    WHERE c.user_id = v.user_id AND c.ts >= v.ts
+      |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      |ORDER BY user_id, view_event, click_event""".stripMargin
+
   /** Streaming XML ingestion gate: orders written as XML text shards,
     * STREAMED back through the wildcard DSL — which routes through the
     * `graft-xml` FileFormat (split-based reads, the wholetext replacement)
@@ -1861,7 +1971,9 @@ object ExtensionQueries {
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
     "s9_bounded_backfill" -> (s9BoundedBackfill _),
     "s10_stateful_counter" -> (s10StatefulCounter _),
-    "s11_sliding_window" -> (s11SlidingWindow _))
+    "s11_sliding_window" -> (s11SlidingWindow _),
+    "s12_stream_outer_join" -> (s12StreamOuterJoin _),
+    "t20_lm_score" -> (t20LmScore _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -1915,6 +2027,8 @@ object ExtensionQueries {
     "s9_bounded_backfill" -> s9Sql,
     "s10_stateful_counter" -> s10Sql,
     "s11_sliding_window" -> s11Sql,
+    "s12_stream_outer_join" -> s12Sql,
+    "t20_lm_score" -> t20Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

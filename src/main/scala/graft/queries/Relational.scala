@@ -700,6 +700,203 @@ object Relational {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem""".stripMargin
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * first view, the first click AT OR AFTER that view, and the first
+    * purchase at or after that click — the product-analytics staple that
+    * plain per-type counts get wrong (a click before any view is not a
+    * funnel step). Each stage is a conditional-min aggregation keyed on
+    * user_id joined to the previous stage: three shuffles all on the SAME
+    * key, so at scale the exchanges after the first reuse the
+    * partitioning, and per-user state is two timestamps regardless of
+    * event volume (no per-user event sort, unlike a window-function
+    * formulation). */
+  def q24Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val v = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    def level(n: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+    level(1, "view", v)
+      .unionByName(level(2, "click_after_view", c))
+      .unionByName(level(3, "purchase_after_click", p))
+      .orderBy(col("stage"))
+  }
+
+  val q24Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_type FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, min(ev.ts) AS t_click FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ev.ts >= v.t_view GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, min(ev.ts) AS t_purchase FROM ev JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ev.ts >= c.t_click GROUP BY ev.user_id)
+      |SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+      |UNION ALL
+      |SELECT 2, 'click_after_view', count(*) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', count(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** Snapshot diff ([[graft.operators.Diff]]): two simulated versions of
+    * the orders table (v1 drops keys ≡ 0 mod 3; v2 drops keys ≡ 0 mod 5
+    * and doubles the price of keys ≡ 0 mod 7) classified added / removed /
+    * changed / unchanged by one full outer join, then reduced to the audit
+    * summary (count + key checksum per class). Doubling a double is exact
+    * in IEEE arithmetic, so the changed-row comparison is bit-identical in
+    * both engines. */
+  def q25SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v1 = o.filter(col("o_orderkey") % 3 =!= 0)
+    val v2 = o.filter(col("o_orderkey") % 5 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    graft.operators.Diff.diffSummary(
+      graft.operators.Diff.snapshotDiff(v1, v2, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice")),
+      "o_orderkey")
+  }
+
+  val q25Sql: String =
+    """WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |v2 AS (SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |d AS (SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+      |    CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+      |         WHEN v2.o_orderkey IS NULL THEN 'removed'
+      |         WHEN v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+      |           OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+      |           THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+      |SELECT change_type, count(*) AS n_keys,
+      |  CAST(SUM(k) AS BIGINT) AS key_sum
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  /** Dynamic partition pruning: the fact table is hive-partitioned on
+    * o_year (as in q20), but the year filter lives on a DIMENSION table
+    * (a calendar dim with an `era` label) — the star-schema norm, where
+    * the fact predicate is only discoverable at runtime through the join.
+    * Spark's DPP rule turns the broadcast of the filtered dim into a
+    * runtime partition filter on the fact scan
+    * (`dynamicpruningexpression` in PartitionFilters, asserted in
+    * OperatorSpec), so non-matching partition directories are never read
+    * — at 100 TB the difference between scanning 4 years and scanning 30.
+    * Both sides come from parquet so the optimizer cannot constant-fold
+    * the dim filter into a static predicate. */
+  def q26DynamicPruning(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    val factDir = graft.Tables.scratchDir("graft-q26-fact")
+    spread(o).write.mode("overwrite").partitionBy("o_year").parquet(factDir)
+    val dimDir = graft.Tables.scratchDir("graft-q26-dim")
+    o.select(col("o_year").as("dyear")).distinct()
+      .withColumn("era", when(col("dyear") <= 1997, "early")
+        .otherwise("late"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("era") === "late")
+    fact.join(broadcast(dim), fact("o_year") === dim("dyear"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE EXTRACT(year FROM o_orderdate) >= 1998
+      |GROUP BY status ORDER BY status""".stripMargin
+
+  /** Data-quality expectation suite ([[graft.operators.Expect]]): six
+    * row-level domain/range constraints on lineitem evaluated in ONE
+    * scan, plus key uniqueness (groupBy) and referential integrity into
+    * orders (anti join), unioned into a (constraint, n_violations,
+    * status) report. One constraint is designed to fail
+    * (`price_under_1000`) so the gate proves violations are counted, not
+    * just that green rows stay green. */
+  def p2Expectations(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val rows = graft.operators.Expect.rowChecks(li, Seq(
+      "discount_in_0_0.1" ->
+        (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+      "price_under_1000" -> (col("l_extendedprice") < 1000.0),
+      "quantity_in_1_50" ->
+        (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_not_null" -> col("l_shipdate").isNotNull,
+      "tax_in_0_0.08" -> (col("l_tax") >= 0.0 && col("l_tax") <= 0.08)))
+    val uniq = graft.operators.Expect.uniqueCheck(li,
+      Seq("l_orderkey", "l_linenumber"), "pk_unique")
+    val fk = graft.operators.Expect.fkCheck(li, "l_orderkey",
+      orders(s, d), "o_orderkey", "orderkey_fk")
+    graft.operators.Expect.report(Seq(rows, uniq, fk))
+  }
+
+  val p2Sql: String =
+    """WITH checks AS (
+      |  SELECT 'discount_in_0_0.1' AS "constraint",
+      |    CAST(SUM(CASE WHEN COALESCE(l_discount >= 0.0 AND l_discount <= 0.1,
+      |      FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'price_under_1000',
+      |    CAST(SUM(CASE WHEN COALESCE(l_extendedprice < 1000.0, FALSE)
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'quantity_in_1_50',
+      |    CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1.0 AND l_quantity <= 50.0,
+      |      FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'returnflag_domain',
+      |    CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE)
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'shipdate_not_null',
+      |    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax_in_0_0.08',
+      |    CAST(SUM(CASE WHEN COALESCE(l_tax >= 0.0 AND l_tax <= 0.08, FALSE)
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'pk_unique',
+      |    CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+      |  FROM (SELECT count(*) AS n FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)
+      |  UNION ALL
+      |  SELECT 'orderkey_fk',
+      |    CAST(count(*) AS BIGINT)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT "constraint", n_violations,
+      |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM checks ORDER BY "constraint"""".stripMargin
+
   val q19Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
@@ -734,7 +931,11 @@ object Relational {
     "q20_partition_pruning" -> (q20PartitionPruning _),
     "q21_bucketed_join" -> (q21BucketedJoin _),
     "q22_agg_pushdown" -> (q22AggPushdown _),
-    "q23_compaction" -> (q23Compaction _))
+    "q23_compaction" -> (q23Compaction _),
+    "q24_funnel" -> (q24Funnel _),
+    "q25_snapshot_diff" -> (q25SnapshotDiff _),
+    "q26_dynamic_pruning" -> (q26DynamicPruning _),
+    "p2_expectations" -> (p2Expectations _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -761,5 +962,9 @@ object Relational {
     "q20_partition_pruning" -> q20Sql,
     "q21_bucketed_join" -> q21Sql,
     "q22_agg_pushdown" -> q22Sql,
-    "q23_compaction" -> q23Sql)
+    "q23_compaction" -> q23Sql,
+    "q24_funnel" -> q24Sql,
+    "q25_snapshot_diff" -> q25Sql,
+    "q26_dynamic_pruning" -> q26Sql,
+    "p2_expectations" -> p2Sql)
 }

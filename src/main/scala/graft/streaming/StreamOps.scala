@@ -93,6 +93,25 @@ object StreamOps {
           col("rts") <= col("ts") + expr(s"interval $maxDelay"),
         "inner")
 
+  /** Stream-stream LEFT OUTER join, same key + event-time bounds as
+    * [[streamStreamJoin]]. Matches emit immediately (inner path); an
+    * UNMATCHED left row emits its null-extended row only once BOTH
+    * watermarks pass the end of its join window (ts + maxDelay) — before
+    * that a matching right row could still arrive, after that the state is
+    * evicted. This is the streaming form of "enrich if the lookup ever
+    * arrives, emit unenriched otherwise", with state bounded exactly like
+    * the inner join's. Left rows still inside the horizon when the input
+    * ends stay pending (correct on an unbounded stream); a finite-input
+    * gate must account for that tail in its oracle. */
+  def streamStreamOuterJoin(left: DataFrame, right: DataFrame,
+      watermark: String, maxDelay: String): DataFrame =
+    left.withWatermark("ts", watermark)
+      .join(right.withWatermark("rts", watermark),
+        col("key") === col("rkey") &&
+          col("rts") >= col("ts") &&
+          col("rts") <= col("ts") + expr(s"interval $maxDelay"),
+        "left_outer")
+
   /** CUSTOM streaming state through the arbitrary-state API
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a per-key
     * cumulative (count, sum-of-cents) counter. Each micro-batch folds its

@@ -813,4 +813,118 @@ class OperatorSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(sm == Seq("a b", "b a", "a b"))
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact " +
+      "partitions at runtime (q26 shape)") {
+    val factDir = graft.Tables.scratchDir("graft-q26spec-fact")
+    val dimDir = graft.Tables.scratchDir("graft-q26spec-dim")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(factDir)
+    o.select(col("o_year").as("dyear")).distinct()
+      .withColumn("era", when(col("dyear") <= 1997, "early")
+        .otherwise("late"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("era") === "late")
+    // decimal sum: order-independent, so the equality check below is exact
+    val q = fact.join(broadcast(dim), fact("o_year") === dim("dyear"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan
+    // the fact scan carries a runtime partition filter injected by DPP
+    assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamicpruningexpression in the fact scan:\n" + plan)
+    // column pruning strips o_orderkey; the fact scan is the one carrying
+    // the partition column o_year
+    val factScan = collectScans(plan)
+      .find(_.output.exists(_.name == "o_year")).get
+    val yearDirs = Option(new java.io.File(factDir).listFiles()).get
+      .count(f => f.isDirectory && f.getName.startsWith("o_year="))
+    val lateYears = spark.read.parquet(dimDir)
+      .filter(col("era") === "late").count()
+    assert(lateYears < yearDirs, "need early years for pruning to bite")
+    val filesRead = factScan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead <= lateYears,
+      s"expected <= $lateYears partition files read, got $filesRead " +
+        s"of $yearDirs years")
+    // and the result equals the statically-filtered aggregate
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(year(col("o_orderdate")) >= 1998)
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .collect().toSeq
+    assert(q.collect().toSeq == expected)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; " +
+      "null payloads compare null-safely") {
+    import spark.implicits._
+    val v1 = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "v", "p")
+    val v2 = Seq((2L, Some("b"), 20.0), (3L, Some("c"), 99.0),
+      (4L, None: Option[String], 40.0), (5L, Some("e"), 50.0))
+      .toDF("k", "v", "p")
+    val d = Diff.snapshotDiff(v1, v2, "k", Seq("v", "p"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    val sum = Diff.diffSummary(
+      Diff.snapshotDiff(v1, v2, "k", Seq("v", "p")), "k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(sum == Seq(("added", 1L, 5L), ("changed", 1L, 3L),
+      ("removed", 1L, 1L), ("unchanged", 2L, 6L)))
+  }
+
+  test("Expect: null check results count as violations; uniqueness " +
+      "counts every row of a duplicated key; FK counts orphans") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0)),
+      (3L, Some(7.0))).toDF("k", "x")
+    val rows = Expect.rowChecks(df,
+      Seq("x_nonneg" -> (col("x") >= 0.0)))
+      .as[(String, Long)].collect().toSeq
+    // -1.0 fails outright, the NULL is a violation too (unknown != pass)
+    assert(rows == Seq(("x_nonneg", 2L)))
+    val uniq = Expect.uniqueCheck(df, Seq("k"), "k_unique")
+      .as[(String, Long)].head()
+    assert(uniq == (("k_unique", 2L))) // both rows of key 3
+    val parent = Seq(1L, 3L).toDF("pk")
+    val fk = Expect.fkCheck(df, "k", parent, "pk", "k_fk")
+      .as[(String, Long)].head()
+    assert(fk == (("k_fk", 1L))) // key 2 is the orphan
+    val rep = Expect.report(Seq(
+      Expect.rowChecks(df, Seq("x_nonneg" -> (col("x") >= 0.0))),
+      Expect.uniqueCheck(df, Seq("k"), "a_unique")))
+      .as[(String, Long, String)].collect().toSeq
+    assert(rep == Seq(("a_unique", 2L, "fail"), ("x_nonneg", 2L, "fail")))
+  }
+
+  test("funnel ordering: a click BEFORE the first view is not a funnel " +
+      "step (q24 shape)") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val ev = Seq(
+      // user 1: proper view -> click -> purchase
+      (1L, at(0), "view"), (1L, at(5), "click"), (1L, at(9), "purchase"),
+      // user 2: click precedes the only view; purchase precedes any click
+      (2L, at(0), "click"), (2L, at(5), "view"), (2L, at(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    ev.createOrReplaceTempView("funnel_ev")
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val v = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    assert(v.count() == 2 && c.count() == 1 && p.count() == 1)
+    assert(c.select("user_id").as[Long].head() == 1L)
+  }
 }
