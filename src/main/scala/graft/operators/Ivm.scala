@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Insert-only incremental view maintenance: keep a grouped aggregate
+  * (count / sum / min / max) up to date under appends WITHOUT recomputing
+  * the base table — the daily-load pattern that makes a 100 TB aggregate
+  * affordable: re-aggregate only the delta (GBs), merge it into the stored
+  * state (MBs per group), never touch history.
+  *
+  * The state columns are chosen to be MERGEABLE: counts and sums add,
+  * mins and maxes combine by min/max — the same partial-aggregation
+  * algebra Spark uses inside a single query, lifted across queries. (Avg
+  * derives as sum/cnt at read time; non-mergeable aggregates — exact
+  * distinct, exact percentiles — need a sketch instead, see
+  * [[Sketches]] / [[graft.functions.CmsAgg]].)
+  *
+  * The reference is a single-pass forward-only parser (Parser.cs:119-208)
+  * whose users re-run it per feed drop; this is that re-run collapsed to
+  * delta-size work.
+  */
+object Ivm {
+
+  /** Aggregate a table (or a delta) into its mergeable state. `value` must
+    * already be exact-typed (cast money doubles through DECIMAL first —
+    * see [[graft.Tables.dec]]) so merging is order-independent. */
+  def aggState(df: DataFrame, grp: Column, value: Column): DataFrame =
+    df.groupBy(grp.as("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(value).as("sum_v"),
+        min(value).as("min_v"), max(value).as("max_v"))
+
+  /** Merge any number of states (base ∪ deltas) into one — the same
+    * shuffle shape as aggregating the concatenated inputs, but over
+    * state-sized frames. */
+  def mergeStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+}

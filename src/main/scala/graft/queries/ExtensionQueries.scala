@@ -319,6 +319,29 @@ object ExtensionQueries {
        |FROM tot t LEFT JOIN hits USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy entity matching ([[graft.operators.Fuzzy]]): part-name pairs
+    * within Levenshtein 3, found via character-3-gram blocking over the
+    * DISTINCT name vocabulary — the candidates-then-confirm discipline of
+    * the LSH dedup family applied to edit distance. The oracle replays
+    * the same blocking + confirm in DuckDB (its `levenshtein` is the same
+    * unit-cost distance). */
+  def d15FuzzyMatch(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy
+      .fuzzyPairs(part(sp, dir), "p_name", q = 3, maxDist = 3)
+      .orderBy(col("name1"), col("name2"))
+
+  val d15Sql: String =
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+      |g AS (SELECT DISTINCT name,
+      |    unnest(list_transform(range(1, len(name) - 1),
+      |      i -> name[i:i+2])) AS gram
+      |  FROM names WHERE len(name) >= 3),
+      |cand AS (SELECT DISTINCT a.name AS name1, b.name AS name2
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.name < b.name)
+      |SELECT name1, name2, levenshtein(name1, name2) AS dist FROM cand
+      |WHERE levenshtein(name1, name2) <= 3
+      |ORDER BY name1, name2""".stripMargin
+
   /** Vocabulary build + corpus encode: dense sorted token ids from
     * [[graft.operators.Vocab.contiguousIds]] (range-sort + per-partition
     * offsets — no single-partition window), then every token joined to its
@@ -1876,6 +1899,29 @@ object ExtensionQueries {
       |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event, click_event""".stripMargin
 
+  /** Streaming exact dedup gate ([[graft.streaming.StreamOps
+    * .streamingDedup]]): events deduplicated on (user_id, event_type)
+    * within a 1-hour watermark, live through the memory sink. The output
+    * projects the KEY columns only — which representative row survives is
+    * arrival-order-dependent and meaningless; the dedup contract is the
+    * distinct key set, which is what the oracle checks. State: one entry
+    * per key inside the watermark horizon, evicted after — the only dedup
+    * shape that is safe on an unbounded stream. */
+  def s13StreamDedup(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s13_dd_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val dd = graft.streaming.StreamOps.streamingDedup(
+      graft.streaming.StreamOps.eventsStream(sp, dir),
+      Seq("user_id", "event_type"), "1 hour")
+    graft.streaming.StreamOps.runToMemory(sp, dd, name, "append")
+      .select(col("user_id"), col("event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val s13Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Streaming XML ingestion gate: orders written as XML text shards,
     * STREAMED back through the wildcard DSL — which routes through the
     * `graft-xml` FileFormat (split-based reads, the wholetext replacement)
@@ -1973,7 +2019,9 @@ object ExtensionQueries {
     "s10_stateful_counter" -> (s10StatefulCounter _),
     "s11_sliding_window" -> (s11SlidingWindow _),
     "s12_stream_outer_join" -> (s12StreamOuterJoin _),
-    "t20_lm_score" -> (t20LmScore _))
+    "s13_stream_dedup" -> (s13StreamDedup _),
+    "t20_lm_score" -> (t20LmScore _),
+    "d15_fuzzy_match" -> (d15FuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -2028,7 +2076,9 @@ object ExtensionQueries {
     "s10_stateful_counter" -> s10Sql,
     "s11_sliding_window" -> s11Sql,
     "s12_stream_outer_join" -> s12Sql,
+    "s13_stream_dedup" -> s13Sql,
     "t20_lm_score" -> t20Sql,
+    "d15_fuzzy_match" -> d15Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

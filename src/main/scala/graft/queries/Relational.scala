@@ -897,6 +897,36 @@ object Relational {
       |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
       |FROM checks ORDER BY "constraint"""".stripMargin
 
+  /** Incremental aggregate maintenance ([[graft.operators.Ivm]]): the
+    * lineitem aggregate is computed as base state (keys ≢ 0 mod 4,
+    * "history") merged with a delta state (the remaining keys, "today's
+    * load") — delta-sized work instead of a full recompute. The oracle is
+    * the FULL recompute over the whole table, so the gate certifies the
+    * IVM property itself: merge(state(base), state(delta)) ≡
+    * state(base ∪ delta), exactly (decimal sums, no float drift). */
+  def q27IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        dec(col("l_quantity")).as("q"))
+    val base = li.filter(col("l_orderkey") % 4 =!= 0)
+    val delta = li.filter(col("l_orderkey") % 4 === 0)
+    graft.operators.Ivm.mergeStates(Seq(
+      graft.operators.Ivm.aggState(base, col("l_returnflag"), col("q")),
+      graft.operators.Ivm.aggState(delta, col("l_returnflag"), col("q"))))
+      .select(col("grp").as("l_returnflag"), col("cnt"),
+        asDouble(col("sum_v")).as("sum_qty"),
+        asDouble(col("min_v")).as("min_qty"),
+        asDouble(col("max_v")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q27Sql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val q19Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
@@ -935,6 +965,7 @@ object Relational {
     "q24_funnel" -> (q24Funnel _),
     "q25_snapshot_diff" -> (q25SnapshotDiff _),
     "q26_dynamic_pruning" -> (q26DynamicPruning _),
+    "q27_incremental_agg" -> (q27IncrementalAgg _),
     "p2_expectations" -> (p2Expectations _))
 
   val oracles: Map[String, String] = Map(
@@ -966,5 +997,6 @@ object Relational {
     "q24_funnel" -> q24Sql,
     "q25_snapshot_diff" -> q25Sql,
     "q26_dynamic_pruning" -> q26Sql,
+    "q27_incremental_agg" -> q27Sql,
     "p2_expectations" -> p2Sql)
 }

@@ -927,4 +927,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(v.count() == 2 && c.count() == 1 && p.count() == 1)
     assert(c.select("user_id").as[Long].head() == 1L)
   }
+
+  test("Fuzzy.qgrams: positional grams, short-string guard; fuzzyPairs " +
+      "equals the brute-force join wherever blocking guarantees recall") {
+    import spark.implicits._
+    val g = Seq("abcdef", "ab", "abc", "")
+      .toDF("s").select(Fuzzy.qgrams(col("s"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(g == Seq(Seq("abc", "bcd", "cde", "def"), Nil, Seq("abc"), Nil))
+    val names = Seq("cold rod", "cold bolt", "hot rod", "blue gear",
+      "blue gears", "old gear", "zzzz").toDF("n")
+    val got = Fuzzy.fuzzyPairs(names, "n", q = 3, maxDist = 3)
+      .select("name1", "name2", "dist")
+      .as[(String, String, Int)].collect().toSet
+    // brute force over all pairs, keeping only pairs that share a 3-gram
+    // (the blocking contract) and pass the distance threshold
+    val all = names.as[String].collect().toSeq
+    def grams(s: String) = s.sliding(3).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- all; b <- all if a < b
+      if grams(a).intersect(grams(b)).nonEmpty
+      dist = lev(a, b) if dist <= 3
+    } yield (a, b, dist)).toSet
+    assert(got == want)
+    assert(got.contains(("blue gear", "blue gears", 1)))
+    assert(!got.exists(p => p._1 == "zzzz" || p._2 == "zzzz"))
+  }
+
+  test("Ivm: merge(state(base), state(delta)) equals state(full), " +
+      "including min/max and groups present on one side only") {
+    import spark.implicits._
+    val full = Seq(("a", 1), ("a", 5), ("b", 2), ("b", -3), ("c", 9))
+      .toDF("g", "v")
+    val base = full.filter(col("v") < 5) // c only in delta
+    val delta = full.filter(col("v") >= 5)
+    val merged = Ivm.mergeStates(Seq(
+      Ivm.aggState(base, col("g"), col("v")),
+      Ivm.aggState(delta, col("g"), col("v"))))
+      .orderBy("grp").as[(String, Long, Long, Int, Int)].collect().toSeq
+    val direct = Ivm.aggState(full, col("g"), col("v"))
+      .orderBy("grp").as[(String, Long, Long, Int, Int)].collect().toSeq
+    assert(merged == direct)
+    assert(merged == Seq(("a", 2L, 6L, 1, 5), ("b", 2L, -1L, -3, 2),
+      ("c", 1L, 9L, 9, 9)))
+  }
 }
