@@ -927,6 +927,107 @@ object Relational {
       |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Semi-structured column extraction: events.props is a JSON string;
+    * `from_json` with an explicit schema projects it to a typed struct
+    * INSIDE whole-stage codegen (no UDF, no second pass), and the typed
+    * field aggregates like any column. At 100 TB the explicit schema
+    * matters twice: no sampling-based inference pass over the corpus, and
+    * unparseable documents become nulls instead of job failures. */
+  def q28JsonProps(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q28Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  count(json_extract_string(props, '$.k')) AS n_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+      |    AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Schema evolution: two parquet batches of the same table written with
+    * DIFFERENT schemas (the second adds o_orderstatus — the daily-load
+    * reality of a long-lived 100 TB table), read back as ONE table via
+    * `mergeSchema`, with the missing column null-filled and coalesced.
+    * Footer-schema union happens at planning; old files are never
+    * rewritten. */
+  def q29SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.scratchDir("graft-q29")
+    val o = orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/b1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$base/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+      .withColumn("status", coalesce(col("o_orderstatus"), lit("UNKNOWN")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val q29Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+      |            ELSE 'UNKNOWN' END AS status,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY status ORDER BY status""".stripMargin
+
+  /** Distributed least-squares via sufficient statistics: per return
+    * flag, fit extendedprice = a + b·quantity from the five mergeable
+    * sums (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable form that costs
+    * one aggregation at any scale and merges across deltas like
+    * [[graft.operators.Ivm]] states. All sums run in exact DECIMAL; the
+    * closing slope/intercept divisions are the only floating steps (one
+    * rounding each), so both engines produce bit-identical doubles. */
+  def p3RegressionStats(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+    val st = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("decimal(20,0)")
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    st.select(col("l_returnflag"), col("n"),
+        (num / den).as("slope"),
+        ((col("sy").cast("double") - (num / den) *
+          col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val p3Sql: String =
+    """WITH st AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS DOUBLE) /
+      |    CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE) -
+      |    (CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS DOUBLE) /
+      |     CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx AS DOUBLE)) *
+      |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM st ORDER BY l_returnflag""".stripMargin
+
   val q19Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
@@ -966,7 +1067,10 @@ object Relational {
     "q25_snapshot_diff" -> (q25SnapshotDiff _),
     "q26_dynamic_pruning" -> (q26DynamicPruning _),
     "q27_incremental_agg" -> (q27IncrementalAgg _),
-    "p2_expectations" -> (p2Expectations _))
+    "q28_json_props" -> (q28JsonProps _),
+    "q29_schema_evolution" -> (q29SchemaEvolution _),
+    "p2_expectations" -> (p2Expectations _),
+    "p3_regression_stats" -> (p3RegressionStats _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -998,5 +1102,8 @@ object Relational {
     "q25_snapshot_diff" -> q25Sql,
     "q26_dynamic_pruning" -> q26Sql,
     "q27_incremental_agg" -> q27Sql,
-    "p2_expectations" -> p2Sql)
+    "q28_json_props" -> q28Sql,
+    "q29_schema_evolution" -> q29Sql,
+    "p2_expectations" -> p2Sql,
+    "p3_regression_stats" -> p3Sql)
 }
