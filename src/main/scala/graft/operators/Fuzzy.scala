@@ -34,16 +34,29 @@ object Fuzzy {
 
   /** Matched pairs of DISTINCT values of `column` in `df` with
     * levenshtein ≤ maxDist, q-gram blocked. Output: (name1, name2, dist),
-    * name1 < name2, each pair once. */
-  def fuzzyPairs(df: DataFrame, column: String, q: Int,
-      maxDist: Int): DataFrame = {
+    * name1 < name2, each pair once.
+    *
+    * `maxGramBucket` hard-caps pathological gram buckets — "stop-grams"
+    * shared by huge fractions of the vocabulary (think "ing", " co") whose
+    * buckets would dominate Σ bucket²: any gram held by more than
+    * `maxGramBucket` names is dropped from blocking, the same explicit
+    * recall/cost trade as the LSH families' `maxBucket` ([[Dedup]]). The
+    * count rides the same gram partitioning the self-join needs, so the
+    * cap adds no extra shuffle. */
+  def fuzzyPairs(df: DataFrame, column: String, q: Int, maxDist: Int,
+      maxGramBucket: Long = Long.MaxValue): DataFrame = {
     require(q >= 1 && maxDist >= 0, "q >= 1, maxDist >= 0")
     val names = df.select(col(column).as("name")).distinct()
     val grams = names
       .select(col("name"), explode(qgrams(col("name"), q)).as("gram"))
       .distinct() // one (name, gram) membership row per pair
-    val cands = grams.as("a")
-      .join(grams.as("b"), col("a.gram") === col("b.gram") &&
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val capped =
+      if (maxGramBucket == Long.MaxValue) grams
+      else grams.withColumn("__gc", count(lit(1)).over(w))
+        .filter(col("__gc") <= maxGramBucket).drop("__gc")
+    val cands = capped.as("a")
+      .join(capped.as("b"), col("a.gram") === col("b.gram") &&
         col("a.name") < col("b.name"))
       .select(col("a.name").as("name1"), col("b.name").as("name2"))
       .distinct()

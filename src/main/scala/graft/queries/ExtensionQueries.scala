@@ -322,12 +322,15 @@ object ExtensionQueries {
   /** Fuzzy entity matching ([[graft.operators.Fuzzy]]): part-name pairs
     * within Levenshtein 3, found via character-3-gram blocking over the
     * DISTINCT name vocabulary — the candidates-then-confirm discipline of
-    * the LSH dedup family applied to edit distance. The oracle replays
-    * the same blocking + confirm in DuckDB (its `levenshtein` is the same
-    * unit-cost distance). */
+    * the LSH dedup family applied to edit distance. The gram-bucket cap
+    * (12) is EXERCISED live — the corpus's hottest grams ("old", "ld·")
+    * hold 16 names and are dropped from blocking, like d7's SimHash cap —
+    * and the oracle replays the same capped blocking + confirm in DuckDB
+    * (its `levenshtein` is the same unit-cost distance). */
   def d15FuzzyMatch(sp: SparkSession, dir: String): DataFrame =
     graft.operators.Fuzzy
-      .fuzzyPairs(part(sp, dir), "p_name", q = 3, maxDist = 3)
+      .fuzzyPairs(part(sp, dir), "p_name", q = 3, maxDist = 3,
+        maxGramBucket = 12L)
       .orderBy(col("name1"), col("name2"))
 
   val d15Sql: String =
@@ -336,8 +339,10 @@ object ExtensionQueries {
       |    unnest(list_transform(range(1, len(name) - 1),
       |      i -> name[i:i+2])) AS gram
       |  FROM names WHERE len(name) >= 3),
+      |gc AS (SELECT name, gram FROM g
+      |  QUALIFY count(*) OVER (PARTITION BY gram) <= 12),
       |cand AS (SELECT DISTINCT a.name AS name1, b.name AS name2
-      |  FROM g a JOIN g b ON a.gram = b.gram AND a.name < b.name)
+      |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.name < b.name)
       |SELECT name1, name2, levenshtein(name1, name2) AS dist FROM cand
       |WHERE levenshtein(name1, name2) <= 3
       |ORDER BY name1, name2""".stripMargin

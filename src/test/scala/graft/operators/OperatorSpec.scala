@@ -935,8 +935,8 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("s").select(Fuzzy.qgrams(col("s"), 3).as("g"))
       .as[Seq[String]].collect().toSeq
     assert(g == Seq(Seq("abc", "bcd", "cde", "def"), Nil, Seq("abc"), Nil))
-    val names = Seq("cold rod", "cold bolt", "hot rod", "blue gear",
-      "blue gears", "old gear", "zzzz").toDF("n")
+    val names = Seq("cold rod", "cold bolt", "hot rod", "old rod",
+      "blue gear", "blue gears", "old gear", "zzzz").toDF("n")
     val got = Fuzzy.fuzzyPairs(names, "n", q = 3, maxDist = 3)
       .select("name1", "name2", "dist")
       .as[(String, String, Int)].collect().toSet
@@ -960,6 +960,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.contains(("blue gear", "blue gears", 1)))
     assert(!got.exists(p => p._1 == "zzzz" || p._2 == "zzzz"))
+    // gram-bucket cap: "cold rod"/"hot rod" share only the ' ro'/'rod'
+    // grams, each held by 3 names (cold/hot/old rod); capping buckets at 2
+    // severs that pair while pairs blocked through rarer grams survive
+    // ("blue gear(s)" via 'blu', "cold rod"/"old rod" via 'd r')
+    val capped = Fuzzy.fuzzyPairs(names, "n", q = 3, maxDist = 3,
+      maxGramBucket = 2L)
+      .select("name1", "name2", "dist")
+      .as[(String, String, Int)].collect().toSet
+    assert(capped.subsetOf(got))
+    assert(!capped.contains(("cold rod", "hot rod", 3)))
+    assert(capped.contains(("blue gear", "blue gears", 1)))
   }
 
   test("Ivm: merge(state(base), state(delta)) equals state(full), " +
