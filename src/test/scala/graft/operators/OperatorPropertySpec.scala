@@ -119,4 +119,76 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(pairs.map(_._1).distinct.length == pairs.length)
     assert(pairs.map(_._2).sorted.toSeq == pairs.indices.map(_.toLong))
   }
+
+  test("Diff laws on random keyed tables: diff(v, v) is all unchanged; " +
+      "diff(empty, v) all added; diff(v, empty) all removed; summary " +
+      "counts partition the key universe") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 40L)
+      v <- Gen.option(Gen.oneOf("x", "y", "z"))
+      p <- Gen.chooseNum(0, 99)
+    } yield (k, v, p.toDouble)
+    // distinct keys (Diff is a keyed-table operator)
+    val rows1 = samples(rowGen, 60).distinctBy(_._1)
+    val rows2 = samples(rowGen, 60).distinctBy(_._1)
+    val v1 = rows1.toDF("k", "v", "p")
+    val v2 = rows2.toDF("k", "v", "p")
+    val empty = v1.limit(0)
+    def classify(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Diff.snapshotDiff(a, b, "k", Seq("v", "p"))
+        .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(classify(v1, v1).values.forall(_ == "unchanged"))
+    assert(classify(empty, v1).values.forall(_ == "added"))
+    assert(classify(v1, empty).values.forall(_ == "removed"))
+    // against the in-memory reference
+    val m1 = rows1.map(r => r._1 -> ((r._2, r._3))).toMap
+    val m2 = rows2.map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = (m1.keySet ++ m2.keySet).map { k =>
+      k -> ((m1.get(k), m2.get(k)) match {
+        case (None, Some(_))          => "added"
+        case (Some(_), None)          => "removed"
+        case (Some(a), Some(b))       => if (a == b) "unchanged" else "changed"
+        case (None, None)             => sys.error("unreachable")
+      })
+    }.toMap
+    assert(classify(v1, v2) == want)
+  }
+
+  test("Ivm law: any random partition of a table into deltas merges to " +
+      "the full-table state") {
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.chooseNum(-1000, 1000)
+      slice <- Gen.chooseNum(0, 3)
+    } yield (g, v, slice)
+    val rows = samples(rowGen, 400)
+    val full = rows.toDF("g", "v", "slice")
+    val deltas = (0 to 3).map(i => full.filter(col("slice") === i))
+    val merged = Ivm.mergeStates(
+      deltas.map(d => Ivm.aggState(d, col("g"), col("v"))))
+      .orderBy("grp").collect().toSeq
+    val direct = Ivm.aggState(full, col("g"), col("v"))
+      .orderBy("grp").collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("Fuzzy.qgrams law: |grams| == max(len - q + 1, 0) and each gram " +
+      "has length q") {
+    import spark.implicits._
+    val strGen = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val strs = samples(strGen, 80).toDF("s")
+    for (q <- Seq(2, 3, 5)) {
+      val got = strs.select(col("s"), Fuzzy.qgrams(col("s"), q).as("g"))
+        .as[(String, Seq[String])].collect()
+      got.foreach { case (s, g) =>
+        assert(g.length == math.max(s.length - q + 1, 0), s"s=$s q=$q")
+        assert(g.forall(_.length == q), s"s=$s q=$q")
+        assert(g == s.sliding(q).filter(_.length == q).toSeq)
+      }
+    }
+  }
 }
