@@ -143,8 +143,11 @@ object XmlChildrenExpr {
       new ArrayBasedMapData(new GenericArrayData(ks),
         new GenericArrayData(vs))
     }
-    InternalRow(UTF8String.fromString(c.tag), utf8(c.outer),
-      utf8(c.value), attrs)
+    // direct GenericInternalRow: InternalRow.apply boxes through a varargs
+    // Seq per child, measurable on million-child explodes
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(c.tag), utf8(c.outer),
+        utf8(c.value), attrs))
   }
 
   private def build(res: Seq[XmlStax.Child]): ArrayData = {
