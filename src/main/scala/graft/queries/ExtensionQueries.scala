@@ -1461,6 +1461,46 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** REAL audio-feature gate ([[graft.operators.Multimodal.wavEnergy]]):
+    * every WAV doc's payload (doc_id%3=1) goes through the RIFF chunk
+    * walk — the `data` chunk is located, not assumed at byte 44 — and its
+    * 16-bit LE PCM samples reduce to per-window sum-of-squares energy,
+    * the loudness/VAD screen of an audio curation pipeline. The oracle
+    * recomputes every sample from the document text bytes (sample k =
+    * bytes 2k, 2k+1 LE, sign-extended) and replays the exact integer
+    * energy, so a hash match proves sample decoding, not byte slicing. */
+  def m4WavEnergy(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 1), frameSize = 100)
+    Multimodal.wavEnergy(sp, media, window = 100)
+      .toDF()
+      .orderBy("doc_id", "window_idx")
+  }
+
+  val m4Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx,
+       |    (len - len % ((len % 2 + 1) * 2)) // 2 AS n FROM e),
+       |s AS (SELECT p.doc_id, CAST(k.k AS BIGINT) AS k,
+       |    ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |      + 256 * ('0x' || substr(p.hx,
+       |          4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |  -- fixed range bound (text <= 1024 bytes -> < 512 samples)
+       |  -- filtered per doc: range() cannot take lateral parameters
+       |  FROM p, range(0, 512) k(k) WHERE k.k < p.n),
+       |v AS (SELECT doc_id, k // 100 AS w,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+       |  FROM s)
+       |SELECT doc_id, CAST(w AS INT) AS window_idx,
+       |  CAST(count(*) AS INT) AS n_samples,
+       |  CAST(SUM(s16 * s16) AS BIGINT) AS energy
+       |FROM v GROUP BY doc_id, w
+       |ORDER BY doc_id, window_idx""".stripMargin
+  }
+
   // ======================= streaming =======================
 
   /** True Structured-Streaming run: file source -> watermarked tumbling
@@ -2026,7 +2066,8 @@ object ExtensionQueries {
     "s12_stream_outer_join" -> (s12StreamOuterJoin _),
     "s13_stream_dedup" -> (s13StreamDedup _),
     "t20_lm_score" -> (t20LmScore _),
-    "d15_fuzzy_match" -> (d15FuzzyMatch _))
+    "d15_fuzzy_match" -> (d15FuzzyMatch _),
+    "m4_wav_energy" -> (m4WavEnergy _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -2084,6 +2125,7 @@ object ExtensionQueries {
     "s13_stream_dedup" -> s13Sql,
     "t20_lm_score" -> t20Sql,
     "d15_fuzzy_match" -> d15Sql,
+    "m4_wav_energy" -> m4Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

@@ -984,6 +984,37 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY status ORDER BY status""".stripMargin
 
+  /** Corrupt-file resilience: at 100 TB some files WILL be truncated or
+    * garbage (failed writers, partial uploads); a scan that dies on the
+    * first bad footer cannot finish a large job. The gate writes the
+    * table as parquet, drops a garbage `.parquet` file into the
+    * directory, and reads back with `ignoreCorruptFiles` in a child
+    * session — the bad file is skipped at footer-read, every valid row
+    * survives (the oracle is the full-table aggregate), and the explicit
+    * read schema keeps planning off the corrupt footer. x10 is the same
+    * posture one level down (malformed records inside a readable file). */
+  def q30CorruptResilience(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.scratchDir("graft-q30")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice"))
+    o.write.mode("overwrite").parquet(base)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "part-junk.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    s2.read.schema(o.schema).parquet(base)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY status ORDER BY status""".stripMargin
+
   /** Distributed least-squares via sufficient statistics: per return
     * flag, fit extendedprice = a + b·quantity from the five mergeable
     * sums (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable form that costs
@@ -1069,6 +1100,7 @@ object Relational {
     "q27_incremental_agg" -> (q27IncrementalAgg _),
     "q28_json_props" -> (q28JsonProps _),
     "q29_schema_evolution" -> (q29SchemaEvolution _),
+    "q30_corrupt_resilience" -> (q30CorruptResilience _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _))
 
@@ -1104,6 +1136,7 @@ object Relational {
     "q27_incremental_agg" -> q27Sql,
     "q28_json_props" -> q28Sql,
     "q29_schema_evolution" -> q29Sql,
+    "q30_corrupt_resilience" -> q30Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql)
 }
