@@ -1015,6 +1015,97 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY status ORDER BY status""".stripMargin
 
+  /** SCD2 temporal dimension join: the warehouse staple q15 (numeric
+    * range) and s3 (nearest as-of) do NOT cover — each fact row joins the
+    * dimension VERSION whose validity window contains the fact's event
+    * time. The dimension is built as 3 deterministic versions per
+    * supplier (tier changes at per-key year boundaries); the join is an
+    * EQUI-join on the surrogate key with the window containment as a
+    * residual predicate — at 100 TB the hash join does all the work and
+    * the residual filters the handful of versions per key, never a
+    * nested-loop or inequality-only join. */
+  def q31Scd2Join(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).select(col("s_suppkey"))
+    val b1 = (lit(1995) + col("s_suppkey") % 3).cast("int")
+    val b2 = (lit(1998) + col("s_suppkey") % 3).cast("int")
+    val dim = sup.select(col("s_suppkey"), explode(array(
+      struct(lit("bronze").as("tier"),
+        make_date(lit(1990), lit(1), lit(1)).as("valid_from"),
+        make_date(b1, lit(1), lit(1)).as("valid_to")),
+      struct(lit("silver").as("tier"),
+        make_date(b1, lit(1), lit(1)).as("valid_from"),
+        make_date(b2, lit(1), lit(1)).as("valid_to")),
+      struct(lit("gold").as("tier"),
+        make_date(b2, lit(1), lit(1)).as("valid_from"),
+        make_date(lit(9999), lit(1), lit(1)).as("valid_to"))))
+      .as("v"))
+      .select(col("s_suppkey"), col("v.tier"), col("v.valid_from"),
+        col("v.valid_to"))
+    val li = lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate").cast("date").as("ship"),
+        dec(col("l_quantity")).as("q"))
+    li.join(dim, col("l_suppkey") === col("s_suppkey") &&
+        col("ship") >= col("valid_from") && col("ship") < col("valid_to"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(col("q"))).as("sum_qty"))
+      .orderBy(col("tier"))
+  }
+
+  val q31Sql: String =
+    """WITH dim AS (
+      |  SELECT s_suppkey, 'bronze' AS tier,
+      |    make_date(1990, 1, 1) AS valid_from,
+      |    make_date(CAST(1995 + s_suppkey % 3 AS INT), 1, 1) AS valid_to
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey, 'silver',
+      |    make_date(CAST(1995 + s_suppkey % 3 AS INT), 1, 1),
+      |    make_date(CAST(1998 + s_suppkey % 3 AS INT), 1, 1)
+      |  FROM supplier
+      |  UNION ALL
+      |  SELECT s_suppkey, 'gold',
+      |    make_date(CAST(1998 + s_suppkey % 3 AS INT), 1, 1),
+      |    make_date(9999, 1, 1)
+      |  FROM supplier)
+      |SELECT tier, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN dim ON l_suppkey = s_suppkey
+      |  AND CAST(l_shipdate AS DATE) >= valid_from
+      |  AND CAST(l_shipdate AS DATE) < valid_to
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
+  /** Unpivot (melt, the inverse of q13's pivot): a wide per-flag
+    * aggregate turned long — (flag, metric, value) — with Spark's native
+    * `unpivot` (an Expand node: no shuffle, no join; each input row fans
+    * out map-side). The long form is what generic downstream consumers
+    * (metric stores, plotting, schema-stable sinks) want at any scale. */
+  def q32Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val q32Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(count(*) AS DOUBLE) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** Distributed least-squares via sufficient statistics: per return
     * flag, fit extendedprice = a + b·quantity from the five mergeable
     * sums (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable form that costs
@@ -1101,6 +1192,8 @@ object Relational {
     "q28_json_props" -> (q28JsonProps _),
     "q29_schema_evolution" -> (q29SchemaEvolution _),
     "q30_corrupt_resilience" -> (q30CorruptResilience _),
+    "q31_scd2_join" -> (q31Scd2Join _),
+    "q32_unpivot" -> (q32Unpivot _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _))
 
@@ -1137,6 +1230,8 @@ object Relational {
     "q28_json_props" -> q28Sql,
     "q29_schema_evolution" -> q29Sql,
     "q30_corrupt_resilience" -> q30Sql,
+    "q31_scd2_join" -> q31Sql,
+    "q32_unpivot" -> q32Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql)
 }
