@@ -1074,6 +1074,36 @@ object Relational {
       |  AND CAST(l_shipdate AS DATE) < valid_to
       |GROUP BY tier ORDER BY tier""".stripMargin
 
+  /** Hierarchy flattening ([[graft.operators.Hierarchy]]): every part
+    * key resolves to its root and depth in the synthetic parent forest
+    * `parent(k) = k div 7` (roots are keys < 7) — the org-chart /
+    * bill-of-materials closure Spark has no recursive CTE for, done as
+    * one bounded iterative join per tree level. The oracle IS a recursive
+    * CTE (DuckDB `WITH RECURSIVE`), so the gate pins the iterative-join
+    * result against the declarative fixpoint semantics. */
+  def q33Hierarchy(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey").as("node"))
+    val edges = p.filter(col("node") >= 7)
+      .select(col("node"), expr("node div 7").as("parent"))
+    graft.operators.Hierarchy.flatten(p, edges)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n"), sum(col("node")).as("key_sum"),
+        min(col("root")).as("min_root"), max(col("root")).as("max_root"))
+      .orderBy(col("depth"))
+  }
+
+  val q33Sql: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS d FROM part
+      |  UNION ALL
+      |  SELECT node, anc // 7, d + 1 FROM r WHERE anc >= 7),
+      |f AS (SELECT node, anc AS root, d FROM r WHERE anc < 7)
+      |SELECT CAST(d AS INT) AS depth, count(*) AS n,
+      |  CAST(SUM(node) AS BIGINT) AS key_sum,
+      |  CAST(MIN(root) AS BIGINT) AS min_root,
+      |  CAST(MAX(root) AS BIGINT) AS max_root
+      |FROM f GROUP BY d ORDER BY depth""".stripMargin
+
   /** Unpivot (melt, the inverse of q13's pivot): a wide per-flag
     * aggregate turned long — (flag, metric, value) — with Spark's native
     * `unpivot` (an Expand node: no shuffle, no join; each input row fans
@@ -1194,6 +1224,7 @@ object Relational {
     "q30_corrupt_resilience" -> (q30CorruptResilience _),
     "q31_scd2_join" -> (q31Scd2Join _),
     "q32_unpivot" -> (q32Unpivot _),
+    "q33_hierarchy" -> (q33Hierarchy _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _))
 
@@ -1232,6 +1263,7 @@ object Relational {
     "q30_corrupt_resilience" -> q30Sql,
     "q31_scd2_join" -> q31Sql,
     "q32_unpivot" -> q32Sql,
+    "q33_hierarchy" -> q33Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql)
 }

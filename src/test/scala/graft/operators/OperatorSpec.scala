@@ -973,6 +973,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped.contains(("blue gear", "blue gears", 1)))
   }
 
+  test("Hierarchy.flatten: roots/depths across a forest; isolated root; " +
+      "cycle bounded by maxDepth") {
+    import spark.implicits._
+    // forest: 1 -> 2 -> 3 (root), 5 -> 3, 4 isolated root
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 3L)).toDF("node", "parent")
+    val got = Hierarchy.flatten(nodes, edges)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 3L, 2), (2L, 3L, 1), (3L, 3L, 0),
+      (4L, 4L, 0), (5L, 3L, 1)))
+    // 2-cycle: loop must stop at maxDepth, surfacing the leftovers
+    val cyc = Seq((7L, 8L), (8L, 7L)).toDF("node", "parent")
+    val bounded = Hierarchy.flatten(Seq(7L, 8L).toDF("node"), cyc,
+      maxDepth = 5)
+    assert(bounded.count() == 2)
+    assert(bounded.agg(max(col("depth"))).as[Int].head() == 5)
+  }
+
   test("Ivm: merge(state(base), state(delta)) equals state(full), " +
       "including min/max and groups present on one side only") {
     import spark.implicits._
