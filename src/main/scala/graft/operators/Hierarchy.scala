@@ -56,4 +56,45 @@ object Hierarchy {
     }
     done.unionByName(state) // maxDepth leftovers surface as-is
   }
+
+  /** Pointer-doubling form — the DEEP-hierarchy scale path: each pass
+    * composes the jump table with itself (`anc := anc's anc`,
+    * `depth += anc's depth`), so a depth-D tree resolves in ⌈log₂ D⌉
+    * passes instead of D. The per-pass join is over the FULL node set
+    * (nothing shrinks) — worth it when depth, not width, is the problem;
+    * [[flatten]] is the default for the shallow hierarchies real data
+    * has. Same output contract as [[flatten]]. */
+  def flattenDoubling(nodes: DataFrame, edges: DataFrame,
+      maxPasses: Int = 20): DataFrame = {
+    val sp = nodes.sparkSession
+    // jump(n) = (anc, d): the highest KNOWN ancestor and its distance
+    var jump = nodes.select(col("node"))
+      .join(edges.select(col("node"), col("parent")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("parent"), col("node")).as("anc"),
+        when(col("parent").isNull, 0).otherwise(1).as("depth"),
+        col("parent").isNull.as("done"))
+    var pass = 0
+    var unresolved = 1L
+    while (unresolved > 0 && pass < maxPasses) {
+      val j2 = jump.select(col("node").as("__n2"), col("anc").as("__a2"),
+        col("depth").as("__d2"), col("done").as("__done2"))
+      jump = jump.join(j2, jump("anc") === j2("__n2"), "left")
+        .select(col("node"),
+          when(col("done") || col("__a2").isNull, col("anc"))
+            .otherwise(col("__a2")).as("anc"),
+          when(col("done") || col("__a2").isNull, col("depth"))
+            .otherwise(col("depth") + col("__d2")).as("depth"),
+          (col("done") || col("__a2").isNull || col("__done2"))
+            .as("done"))
+      pass += 1
+      if (pass % 5 == 0) { // flatten lineage like the per-level form
+        val scratch = graft.Tables.scratchDir(s"graft-hier2-$pass")
+        jump.write.mode("overwrite").parquet(scratch)
+        jump = sp.read.parquet(scratch)
+      }
+      unresolved = jump.filter(!col("done")).limit(1).count()
+    }
+    jump.select(col("node"), col("anc").as("root"), col("depth"))
+  }
 }

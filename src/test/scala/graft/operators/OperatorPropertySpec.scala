@@ -175,6 +175,31 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("Hierarchy: per-level flatten == pointer-doubling flatten on " +
+      "random forests and on a deep chain") {
+    import spark.implicits._
+    // random acyclic forest: parent(k) strictly smaller than k
+    val parentGen = (k: Long) => Gen.chooseNum(0L, k - 1)
+    val n = 60
+    val edges = (1L until n).flatMap { k =>
+      // ~1/5 of nodes are roots (no edge)
+      if (k % 5 == 0) None
+      else Some((k, samples(parentGen(k), 1).head))
+    }.toDF("node", "parent")
+    val nodes = (0L until n).toDF("node")
+    val a = Hierarchy.flatten(nodes, edges)
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Hierarchy.flattenDoubling(nodes, edges)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b)
+    // depth-200 chain: doubling resolves within its default pass budget
+    val chainNodes = (0L to 200L).toDF("node")
+    val chainEdges = (1L to 200L).map(k => (k, k - 1)).toDF("node", "parent")
+    val deep = Hierarchy.flattenDoubling(chainNodes, chainEdges)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(deep == (0L to 200L).map(k => (k, 0L, k.toInt)).toSet)
+  }
+
   test("Fuzzy.qgrams law: |grams| == max(len - q + 1, 0) and each gram " +
       "has length q") {
     import spark.implicits._
