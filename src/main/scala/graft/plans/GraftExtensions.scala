@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DedupXmlParses)
     e.injectOptimizerRule(_ => PushLambdaThroughGetItem)
+    // no-op unless a summary is registered (SummaryRegistry.isEmpty gate)
+    e.injectOptimizerRule(_ => SummaryRewrite)
     // post-hoc resolution (NOT optimizer): the Generate-over-alias shape it
     // matches exists only right after analysis — see the rule's scaladoc
     e.injectPostHocResolutionRule(_ => PushLambdaThroughExplode)

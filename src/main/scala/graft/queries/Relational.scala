@@ -1104,6 +1104,61 @@ object Relational {
       |  CAST(MAX(root) AS BIGINT) AS max_root
       |FROM f GROUP BY d ORDER BY depth""".stripMargin
 
+  /** Materialized-summary rewrite ([[graft.plans.SummaryRewrite]]): a
+    * per-flag summary (cnt + decimal partial sum) is written once and
+    * registered; the gate then runs the AGGREGATE OVER THE BASE TABLE —
+    * the optimizer swaps the corpus scan for the |groups|-row summary and
+    * re-aggregates the mergeable partials. The ORACLE computes from the
+    * base table in DuckDB, so the hash match certifies the rewrite is
+    * answer-identical, and PlanSpec asserts the optimized plan reads the
+    * summary path, not the base. This is the q22 footer-stats idea
+    * generalized to per-group: at 100 TB the query touches KBs. */
+  def q34SummaryRewrite(s: SparkSession, d: String): DataFrame = {
+    val basePath = s"$d/lineitem.parquet"
+    val sumDir = graft.Tables.scratchDir("graft-q34-summary")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_v"))
+      .write.mode("overwrite").parquet(sumDir)
+    graft.plans.SummaryRegistry.register(basePath,
+      graft.plans.SummaryRegistry.Entry(
+        s.read.parquet(sumDir).queryExecution.analyzed,
+        groupCol = "l_returnflag", sumCol = "l_quantity"))
+    try {
+      val df = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+      // materialize WHILE registered (the driver writes the returned
+      // frame later, after the finally) — and prove the swap happened:
+      // the optimized plan's only relation is the summary, never the base
+      val relPaths = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+      require(relPaths.exists(_.contains("graft-q34-summary")),
+        s"summary rewrite did not fire: $relPaths\n" +
+          df.queryExecution.optimizedPlan)
+      require(!relPaths.exists(_.contains("lineitem.parquet")),
+        s"base table still scanned: $relPaths")
+      val rows = df.collect()
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(df.schema)
+      s.createDataset(rows.toSeq)(enc)
+    } finally graft.plans.SummaryRegistry.deregister(basePath)
+  }
+
+  val q34Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Unpivot (melt, the inverse of q13's pivot): a wide per-flag
     * aggregate turned long — (flag, metric, value) — with Spark's native
     * `unpivot` (an Expand node: no shuffle, no join; each input row fans
@@ -1225,6 +1280,7 @@ object Relational {
     "q31_scd2_join" -> (q31Scd2Join _),
     "q32_unpivot" -> (q32Unpivot _),
     "q33_hierarchy" -> (q33Hierarchy _),
+    "q34_summary_rewrite" -> (q34SummaryRewrite _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _))
 
@@ -1264,6 +1320,7 @@ object Relational {
     "q31_scd2_join" -> q31Sql,
     "q32_unpivot" -> q32Sql,
     "q33_hierarchy" -> q33Sql,
+    "q34_summary_rewrite" -> q34Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql)
 }

@@ -366,4 +366,48 @@ class PlanSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("SummaryRewrite: fires on the provable shape only — a filter " +
+      "between aggregate and scan, or an unsupported aggregate, bails") {
+    val sf = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sumDir = graft.Tables.scratchDir("graft-q34spec")
+    base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_v"))
+      .write.mode("overwrite").parquet(sumDir)
+    SummaryRegistry.register(s"$sf/lineitem.parquet",
+      SummaryRegistry.Entry(
+        spark.read.parquet(sumDir).queryExecution.analyzed,
+        groupCol = "l_returnflag", sumCol = "l_quantity"))
+    try {
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      // provable: rule rewrites, and the rewritten plan computes the
+      // same answer as the original
+      val good = agg(base)
+      val gPlan = good.queryExecution.analyzed
+      val rewritten = SummaryRewrite(gPlan)
+      assert(!rewritten.fastEquals(gPlan), "expected a rewrite")
+      assert(rewritten.toString.contains("sum_v"), rewritten.toString)
+      val viaSummary = org.apache.spark.sql.graft.DatasetBridge
+        .ofRows(spark, rewritten)
+        .orderBy("l_returnflag").collect().map(_.toString).toSeq
+      val direct = good.orderBy("l_returnflag").collect()
+        .map(_.toString).toSeq
+      assert(viaSummary == direct)
+      // a filter between aggregate and scan changes the group contents ->
+      // the summary is NOT valid -> no rewrite
+      val filtered = agg(base.filter(col("l_quantity") > 10))
+        .queryExecution.analyzed
+      assert(SummaryRewrite(filtered).fastEquals(filtered))
+      // an aggregate the summary cannot answer (min) -> no rewrite
+      val unsupported = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("m"))
+        .queryExecution.analyzed
+      assert(SummaryRewrite(unsupported).fastEquals(unsupported))
+    } finally SummaryRegistry.deregister(s"$sf/lineitem.parquet")
+  }
 }
