@@ -10,51 +10,57 @@ import org.apache.spark.sql.functions._
   * when a pass resolves no further ancestors. Depth of real hierarchies
   * is small (10-20), so the loop runs a handful of bounded passes over
   * ever-shrinking frontiers; d12's label propagation is the same shape
-  * on undirected similarity graphs. For pathological depths, switch to
-  * pointer doubling (anc := anc-of-anc, O(log depth) passes) — the plain
-  * per-level join is the readable default and what the gate pins.
+  * on undirected similarity graphs. For deep or unknown-depth trees use
+  * [[flattenDoubling]], which finishes in O(log depth) passes.
   *
-  * Frontier rows (still-unresolved) are checkpointed to a scratch parquet
-  * every `checkpointEvery` passes so the lineage does not grow one join
-  * per level (the same reliable-materialization pattern as [[Dedup]]'s
-  * clustering loop).
+  * Every pass MATERIALIZES its frontier and its newly-resolved rows to
+  * scratch parquet: each level is computed exactly once (a lazy
+  * formulation re-evaluates level k's join once per later level), the
+  * lineage stays one-join deep, and the materialization is reliable
+  * storage, not executor-pinned cache — the same discipline as
+  * [[Dedup]]'s clustering loop and the Vocab builder.
   */
 object Hierarchy {
 
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = graft.Tables.scratchDir(tag)
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** `edges`: (node, parent) — one row per non-root node; roots have no
     * row. Returns (node, root, depth) for EVERY node appearing in `nodes`
-    * (depth 0 = root). `maxDepth` bounds the loop against cycles. */
-  def flatten(nodes: DataFrame, edges: DataFrame, maxDepth: Int = 50,
-      checkpointEvery: Int = 10): DataFrame = {
+    * (depth 0 = root). `maxDepth` bounds the loop against cycles;
+    * leftovers at maxDepth surface with their last-known ancestor. */
+  def flatten(nodes: DataFrame, edges: DataFrame,
+      maxDepth: Int = 50): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
     val sp = nodes.sparkSession
-    val e = edges.select(col("node").as("__en"),
-      col("parent").as("__ep"))
+    val e = edges.select(col("node").as("__en"), col("parent").as("__ep"))
     var state = nodes.select(col("node"), col("node").as("root"),
       lit(0).as("depth"))
-    var done = state.limit(0)
+    val doneParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var depth = 0
     var remaining = 1L
     while (remaining > 0 && depth < maxDepth) {
-      // nodes whose current ancestor has a parent climb one level; the
-      // rest are resolved and leave the frontier
-      val joined = state.join(e, state("root") === e("__en"), "left")
-      val resolved = joined.filter(col("__ep").isNull)
+      // one join per level: nodes whose current ancestor has a parent
+      // climb; the rest are resolved and leave the frontier
+      val joined = materialize(
+        state.join(e, state("root") === e("__en"), "left")
+          .select(col("node"),
+            coalesce(col("__ep"), col("root")).as("root"),
+            when(col("__ep").isNull, col("depth"))
+              .otherwise(col("depth") + 1).as("depth"),
+            col("__ep").isNotNull.as("__climbed")),
+        s"graft-hier-$depth")
+      doneParts += joined.filter(!col("__climbed"))
         .select(col("node"), col("root"), col("depth"))
-      val climbing = joined.filter(col("__ep").isNotNull)
-        .select(col("node"), col("__ep").as("root"),
-          (col("depth") + 1).as("depth"))
-      done = done.unionByName(resolved)
-      state = climbing
+      state = joined.filter(col("__climbed"))
+        .select(col("node"), col("root"), col("depth"))
       depth += 1
-      if (depth % checkpointEvery == 0) {
-        val scratch = graft.Tables.scratchDir(s"graft-hier-$depth")
-        state.write.mode("overwrite").parquet(scratch)
-        state = sp.read.parquet(scratch)
-      }
-      remaining = state.limit(1).count() // cheap emptiness probe
+      remaining = state.limit(1).count() // cheap emptiness probe on parquet
     }
-    done.unionByName(state) // maxDepth leftovers surface as-is
+    (doneParts :+ state).reduce(_.unionByName(_))
   }
 
   /** Pointer-doubling form — the DEEP-hierarchy scale path: each pass
@@ -66,33 +72,31 @@ object Hierarchy {
     * has. Same output contract as [[flatten]]. */
   def flattenDoubling(nodes: DataFrame, edges: DataFrame,
       maxPasses: Int = 20): DataFrame = {
-    val sp = nodes.sparkSession
     // jump(n) = (anc, d): the highest KNOWN ancestor and its distance
-    var jump = nodes.select(col("node"))
-      .join(edges.select(col("node"), col("parent")), Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("parent"), col("node")).as("anc"),
-        when(col("parent").isNull, 0).otherwise(1).as("depth"),
-        col("parent").isNull.as("done"))
+    var jump = materialize(
+      nodes.select(col("node"))
+        .join(edges.select(col("node"), col("parent")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("parent"), col("node")).as("anc"),
+          when(col("parent").isNull, 0).otherwise(1).as("depth"),
+          col("parent").isNull.as("done")),
+      "graft-hier2-0")
     var pass = 0
-    var unresolved = 1L
+    var unresolved = jump.filter(!col("done")).limit(1).count()
     while (unresolved > 0 && pass < maxPasses) {
       val j2 = jump.select(col("node").as("__n2"), col("anc").as("__a2"),
         col("depth").as("__d2"), col("done").as("__done2"))
-      jump = jump.join(j2, jump("anc") === j2("__n2"), "left")
-        .select(col("node"),
-          when(col("done") || col("__a2").isNull, col("anc"))
-            .otherwise(col("__a2")).as("anc"),
-          when(col("done") || col("__a2").isNull, col("depth"))
-            .otherwise(col("depth") + col("__d2")).as("depth"),
-          (col("done") || col("__a2").isNull || col("__done2"))
-            .as("done"))
       pass += 1
-      if (pass % 5 == 0) { // flatten lineage like the per-level form
-        val scratch = graft.Tables.scratchDir(s"graft-hier2-$pass")
-        jump.write.mode("overwrite").parquet(scratch)
-        jump = sp.read.parquet(scratch)
-      }
+      jump = materialize(
+        jump.join(j2, jump("anc") === j2("__n2"), "left")
+          .select(col("node"),
+            when(col("done") || col("__a2").isNull, col("anc"))
+              .otherwise(col("__a2")).as("anc"),
+            when(col("done") || col("__a2").isNull, col("depth"))
+              .otherwise(col("depth") + col("__d2")).as("depth"),
+            (col("done") || col("__a2").isNull || col("__done2"))
+              .as("done")),
+        s"graft-hier2-$pass")
       unresolved = jump.filter(!col("done")).limit(1).count()
     }
     jump.select(col("node"), col("anc").as("root"), col("depth"))
