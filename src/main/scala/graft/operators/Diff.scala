@@ -26,13 +26,18 @@ object Diff {
   def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "need at least one value column")
-    val left = v1.select(col(key).as("__k1"),
+    // presence markers, not key nullness, drive the classification: a
+    // NULL-key row never joins (SQL equality), so keying the change type
+    // off __k1/__k2 nullness would label v1's null-key row "added". With
+    // markers it correctly reads "removed" / "added" per side (null keys
+    // are never treated as the same entity — document, don't guess).
+    val left = v1.select(col(key).as("__k1"), lit(1).as("__p1"),
       struct(valueCols.map(col): _*).as("__v1"))
-    val right = v2.select(col(key).as("__k2"),
+    val right = v2.select(col(key).as("__k2"), lit(1).as("__p2"),
       struct(valueCols.map(col): _*).as("__v2"))
     val joined = left.join(right, col("__k1") === col("__k2"), "full_outer")
-    val changeType = when(col("__k1").isNull, "added")
-      .when(col("__k2").isNull, "removed")
+    val changeType = when(col("__p1").isNull, "added")
+      .when(col("__p2").isNull, "removed")
       .when(!(col("__v1") <=> col("__v2")), "changed")
       .otherwise("unchanged")
     val olds = valueCols.map(c => col(s"__v1.$c").as(s"old_$c"))

@@ -29,12 +29,14 @@ object Expect {
     val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__c$i")
     }
-    val stackArgs = checks.zipWithIndex.map { case ((name, _), i) =>
-      s"'${name}', __c$i"
-    }.mkString(", ")
+    // long format via explode of literal structs — no SQL-string splicing,
+    // so constraint names may contain quotes or any other character
+    val pairs = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("constraint"), col(s"__c$i").as("n_violations"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${checks.size}, $stackArgs) AS (constraint, n_violations)"))
+      .select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.constraint"), col("kv.n_violations"))
   }
 
   /** Key-uniqueness expectation: violations = rows carrying a duplicated
@@ -48,12 +50,15 @@ object Expect {
       .select(lit(name).as("constraint"), col("n_violations"))
 
   /** Referential-integrity expectation: violations = child rows whose
-    * foreign key has no match in `parent` (LEFT ANTI join — at scale the
-    * parent key set is usually broadcastable or bloom-prunable, and
-    * Catalyst picks broadcast automatically when it fits). */
+    * NON-NULL foreign key has no match in `parent` (SQL FK semantics — a
+    * NULL FK passes; pair with a not-null row check to forbid it). LEFT
+    * ANTI join — at scale the parent key set is usually broadcastable or
+    * bloom-prunable, and Catalyst picks broadcast automatically when it
+    * fits. */
   def fkCheck(child: DataFrame, fk: String, parent: DataFrame, pk: String,
       name: String): DataFrame =
-    child.join(parent, child(fk) === parent(pk), "left_anti")
+    child.filter(child(fk).isNotNull)
+      .join(parent, child(fk) === parent(pk), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("constraint"), col("n_violations"))
 

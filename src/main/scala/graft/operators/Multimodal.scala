@@ -415,8 +415,9 @@ object Multimodal {
           while (off + 8 <= m.length && dataFrom < 0) {
             val size = (m(off + 4) & 0xff) | ((m(off + 5) & 0xff) << 8) |
               ((m(off + 6) & 0xff) << 16) | ((m(off + 7) & 0xff) << 24)
-            if (m(off) == 'd' && m(off + 1) == 'a' && m(off + 2) == 't' &&
-                m(off + 3) == 'a') {
+            if (size < 0) off = m.length // corrupt size: stop, no spin
+            else if (m(off) == 'd' && m(off + 1) == 'a' &&
+                m(off + 2) == 't' && m(off + 3) == 'a') {
               dataFrom = off + 8
               dataLen = math.min(size, m.length - dataFrom)
             } else off += 8 + size + (size & 1) // chunks are word-aligned

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Sum}
+  AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -85,23 +85,43 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val gS = out.find(_.name == e.groupCol)
     val cntS = out.find(_.name == "cnt")
     val sumS = out.find(_.name == "sum_v")
+    val minS = out.find(_.name == "min_v") // optional summary columns
+    val maxS = out.find(_.name == "max_v")
     if (gS.isEmpty || cntS.isEmpty || sumS.isEmpty) return None
 
     var ok = true
     def rewriteAggCalls(expr: Expression): Expression = expr.transformUp {
+      // a FILTER clause restricts which base rows aggregate — the summary
+      // cannot answer that; bail on any filtered call
+      case ae: AggregateExpression if ae.filter.isDefined =>
+        ok = false; ae
       case ae: AggregateExpression => ae.aggregateFunction match {
         // count(*) / count(1) over the base = sum of per-group counts
-        case Count(Seq(Literal(_, _))) if !ae.isDistinct =>
+        // (count of a NULL literal is 0, not the row count — exclude it)
+        case Count(Seq(Literal(v, _))) if !ae.isDistinct && v != null =>
           AggregateExpression(Sum(cntS.get), ae.mode, isDistinct = false)
         // sum(cast(x)) over the base = sum of per-group partial sums,
         // cast back to the original (narrower) result type — exact, the
-        // partials are the same decimals the base sum would fold
+        // partials are the same decimals the base sum would fold. The
+        // result-type check pins the cast: sum over a DIFFERENT cast of x
+        // (double, string, int) has different semantics and must not match
         case Sum(Cast(a: AttributeReference, _, _, _), _)
-            if a.name == e.sumCol && !ae.isDistinct =>
+            if a.name == e.sumCol && !ae.isDistinct &&
+              ae.dataType == sumS.get.dataType =>
           val inner = AggregateExpression(Sum(sumS.get), ae.mode,
             isDistinct = false)
+          // re-summing widens the scale bound; close it with an exact cast
           if (inner.dataType == ae.dataType) inner
           else Cast(inner, ae.dataType)
+        // min/max over the base = min/max of per-group extremes; the cast
+        // target must equal the partial's type (a string/int cast changes
+        // the ordering or truncates — different answer, no rewrite)
+        case Min(Cast(a: AttributeReference, dt, _, _))
+            if a.name == e.sumCol && minS.exists(_.dataType == dt) =>
+          AggregateExpression(Min(minS.get), ae.mode, isDistinct = false)
+        case Max(Cast(a: AttributeReference, dt, _, _))
+            if a.name == e.sumCol && maxS.exists(_.dataType == dt) =>
+          AggregateExpression(Max(maxS.get), ae.mode, isDistinct = false)
         case _ => ok = false; ae
       }
     }

@@ -1118,7 +1118,9 @@ object Relational {
     val sumDir = graft.Tables.scratchDir("graft-q34-summary")
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_v"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_v"),
+        min(dec(col("l_quantity"))).as("min_v"),
+        max(dec(col("l_quantity"))).as("max_v"))
       .write.mode("overwrite").parquet(sumDir)
     graft.plans.SummaryRegistry.register(basePath,
       graft.plans.SummaryRegistry.Entry(
@@ -1128,7 +1130,9 @@ object Relational {
       val df = lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asDouble(min(dec(col("l_quantity")))).as("min_qty"),
+          asDouble(max(dec(col("l_quantity")))).as("max_qty"))
         .orderBy(col("l_returnflag"))
       // materialize WHILE registered (the driver writes the returned
       // frame later, after the finally) — and prove the swap happened:
@@ -1156,7 +1160,9 @@ object Relational {
 
   val q34Sql: String =
     """SELECT l_returnflag, count(*) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Unpivot (melt, the inverse of q13's pivot): a wide per-flag

@@ -877,6 +877,13 @@ class OperatorSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(sum == Seq(("added", 1L, 5L), ("changed", 1L, 3L),
       ("removed", 1L, 1L), ("unchanged", 2L, 6L)))
+    // null keys never join: a null-key row classifies by the side it is
+    // on — v1-only null key is REMOVED (not 'added', the old-key bug)
+    val n1 = Seq((Some(1L), "a"), (None: Option[Long], "x")).toDF("k", "v")
+    val n2 = Seq((Some(1L), "a"), (None: Option[Long], "x")).toDF("k", "v")
+    val nd = Diff.snapshotDiff(n1, n2, "k", Seq("v"))
+      .select("change_type").as[String].collect().sorted.toSeq
+    assert(nd == Seq("added", "removed", "unchanged"))
   }
 
   test("Expect: null check results count as violations; uniqueness " +
@@ -896,6 +903,16 @@ class OperatorSpec extends AnyFunSuite {
     val fk = Expect.fkCheck(df, "k", parent, "pk", "k_fk")
       .as[(String, Long)].head()
     assert(fk == (("k_fk", 1L))) // key 2 is the orphan
+    // SQL FK semantics: a NULL foreign key passes, only non-null orphans count
+    val withNull = Seq(Some(1L), None, Some(9L)).toDF("k")
+    val fkN = Expect.fkCheck(withNull, "k", parent, "pk", "n_fk")
+      .as[(String, Long)].head()
+    assert(fkN == (("n_fk", 1L))) // 9 is the only violation, not the null
+    // constraint names with quotes survive (no SQL-string splicing)
+    val quoted = Expect.rowChecks(df,
+      Seq("x isn't negative" -> (col("x") >= 0.0)))
+      .as[(String, Long)].head()
+    assert(quoted == (("x isn't negative", 2L)))
     val rep = Expect.report(Seq(
       Expect.rowChecks(df, Seq("x_nonneg" -> (col("x") >= 0.0))),
       Expect.uniqueCheck(df, Seq("k"), "a_unique")))

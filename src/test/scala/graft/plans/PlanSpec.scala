@@ -403,11 +403,31 @@ class PlanSpec extends AnyFunSuite {
       val filtered = agg(base.filter(col("l_quantity") > 10))
         .queryExecution.analyzed
       assert(SummaryRewrite(filtered).fastEquals(filtered))
-      // an aggregate the summary cannot answer (min) -> no rewrite
+      // an aggregate the summary cannot answer (un-cast min) -> no rewrite
       val unsupported = base.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("m"))
         .queryExecution.analyzed
       assert(SummaryRewrite(unsupported).fastEquals(unsupported))
+      // a FILTER clause restricts the aggregated rows -> no rewrite
+      val filteredAgg = spark.sql(
+        "SELECT l_returnflag, count(*) FILTER (WHERE l_quantity > 10) AS n" +
+          ", SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s " +
+          s"FROM parquet.`$sf/lineitem.parquet` GROUP BY l_returnflag")
+        .queryExecution.analyzed
+      assert(SummaryRewrite(filteredAgg).fastEquals(filteredAgg))
+      // count of a NULL literal is 0, not the row count -> no rewrite
+      val countNull = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(null)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+        .queryExecution.analyzed
+      assert(SummaryRewrite(countNull).fastEquals(countNull))
+      // a DIFFERENT cast (double) of the summed column changes the float
+      // semantics -> no rewrite
+      val wrongCast = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("double")).as("s"))
+        .queryExecution.analyzed
+      assert(SummaryRewrite(wrongCast).fastEquals(wrongCast))
     } finally SummaryRegistry.deregister(s"$sf/lineitem.parquet")
   }
 }

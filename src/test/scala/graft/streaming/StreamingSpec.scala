@@ -442,6 +442,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("wavEnergy: windowed sum-of-squares matches a byte-level " +
+      "reference; corrupt chunk sizes terminate, not spin") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // odd-length data -> buildWav truncates to whole 2-byte frames
+    val data = Array.tabulate[Byte](37)(i => (i * 7 - 60).toByte)
+    val wav = Multimodal.buildWav(8000, 1, data)
+    val media = Seq(Multimodal.MediaRow(1L, wav, "audio/wav", 100))
+      .toDS().toDF()
+    val rows = Multimodal.wavEnergy(spark, media, window = 5)
+      .collect().sortBy(_.window_idx)
+    val dlen = data.length - data.length % 2
+    val samples = (0 until dlen / 2).map(k =>
+      (((data(2 * k) & 0xff) | (data(2 * k + 1) << 8)).toShort).toLong)
+    val want = samples.grouped(5).zipWithIndex.map { case (w, i) =>
+      (1L, i, w.length, w.map(s => s * s).sum) }.toSeq
+    assert(rows.map(r =>
+      (r.doc_id, r.window_idx, r.n_samples, r.energy)).toSeq == want)
+    // negative chunk size (corrupt blob) must terminate with no rows
+    val bad = wav.clone()
+    bad(16) = -1; bad(17) = -1; bad(18) = -1; bad(19) = -1 // fmt size
+    val badMedia = Seq(Multimodal.MediaRow(2L, bad, "audio/wav", 100))
+      .toDS().toDF()
+    assert(Multimodal.wavEnergy(spark, badMedia, 5).count() == 0)
+  }
+
   test("RocksDB state store: watermarked agg runs off-heap and matches " +
       "the batch result") {
     // At 100 TB of keyed state the default HDFS-backed in-memory store
