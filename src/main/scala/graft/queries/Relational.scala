@@ -543,6 +543,48 @@ object Relational {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Profile drift: the ML-ops screen between two snapshots of the same
+    * table — per column, row/null/distinct counts side by side plus the
+    * row-count ratio, composed from [[graft.operators.Profile]] on each
+    * snapshot and one tiny join on col_name (profiles are
+    * columns-not-rows sized, so the join is trivial at any corpus
+    * scale). A pipeline alerts when today's distinct count or null rate
+    * jumps against yesterday's; the gate keeps the exact counts and ONE
+    * division so the comparison is engine-exact. */
+  def p4ProfileDrift(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_partkey")
+    val li = lineitem(s, d)
+    val v1 = graft.operators.Profile
+      .describeNumeric(li.filter(col("l_orderkey") % 4 =!= 0), cols)
+      .select(col("col_name"), col("n").as("n_1"),
+        col("n_nulls").as("nulls_1"), col("n_distinct").as("nd_1"))
+    val v2 = graft.operators.Profile.describeNumeric(li, cols)
+      .select(col("col_name"), col("n").as("n_2"),
+        col("n_nulls").as("nulls_2"), col("n_distinct").as("nd_2"))
+    v1.join(v2, "col_name")
+      .select(col("col_name"), col("n_1"), col("n_2"),
+        col("nulls_1"), col("nulls_2"), col("nd_1"), col("nd_2"),
+        (col("n_2").cast("double") / col("n_1").cast("double"))
+          .as("row_ratio"))
+      .orderBy(col("col_name"))
+  }
+
+  val p4Sql: String = {
+    def side(tag: String, where: String) =
+      Seq("l_quantity", "l_extendedprice", "l_partkey").map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_$tag,
+           |  count(*) - count($c) AS nulls_$tag,
+           |  count(DISTINCT $c) AS nd_$tag
+           |FROM lineitem $where""".stripMargin
+      }.mkString("(", "\nUNION ALL\n", ")")
+    s"""WITH v1 AS ${side("1", "WHERE l_orderkey % 4 <> 0")},
+       |v2 AS ${side("2", "")}
+       |SELECT col_name, n_1, n_2, nulls_1, nulls_2, nd_1, nd_2,
+       |  CAST(n_2 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS row_ratio
+       |FROM v1 JOIN v2 USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Outer-join semantics: full outer between two grouped aggregates with
     * a deliberately thinned supplier side (s_suppkey < 30 leaves some
     * nations supplier-less), so both null wings are exercised and
@@ -1288,7 +1330,8 @@ object Relational {
     "q33_hierarchy" -> (q33Hierarchy _),
     "q34_summary_rewrite" -> (q34SummaryRewrite _),
     "p2_expectations" -> (p2Expectations _),
-    "p3_regression_stats" -> (p3RegressionStats _))
+    "p3_regression_stats" -> (p3RegressionStats _),
+    "p4_profile_drift" -> (p4ProfileDrift _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1328,5 +1371,6 @@ object Relational {
     "q33_hierarchy" -> q33Sql,
     "q34_summary_rewrite" -> q34Sql,
     "p2_expectations" -> p2Sql,
-    "p3_regression_stats" -> p3Sql)
+    "p3_regression_stats" -> p3Sql,
+    "p4_profile_drift" -> p4Sql)
 }
