@@ -543,6 +543,28 @@ object Relational {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** List/string aggregation (LISTAGG): per order priority, the DISTINCT
+    * order statuses as one sorted comma-joined string — the "collect the
+    * group's values" surface every SQL dialect grows. Determinism at any
+    * parallelism comes from collect_set + sort_array BEFORE the join (an
+    * unsorted collect_list's order is partition-arrival-dependent and
+    * never reproducible on a cluster); output is a plain string, so the
+    * gate hash is byte-stable. */
+  def q35StringAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"))
+      .orderBy(col("o_orderpriority"))
+
+  val q35Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+      |    AS statuses
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Profile drift: the ML-ops screen between two snapshots of the same
     * table — per column, row/null/distinct counts side by side plus the
     * row-count ratio, composed from [[graft.operators.Profile]] on each
@@ -1329,6 +1351,7 @@ object Relational {
     "q32_unpivot" -> (q32Unpivot _),
     "q33_hierarchy" -> (q33Hierarchy _),
     "q34_summary_rewrite" -> (q34SummaryRewrite _),
+    "q35_string_agg" -> (q35StringAgg _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _),
     "p4_profile_drift" -> (p4ProfileDrift _))
@@ -1370,6 +1393,7 @@ object Relational {
     "q32_unpivot" -> q32Sql,
     "q33_hierarchy" -> q33Sql,
     "q34_summary_rewrite" -> q34Sql,
+    "q35_string_agg" -> q35Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql,
     "p4_profile_drift" -> p4Sql)
