@@ -1944,6 +1944,41 @@ object ExtensionQueries {
       |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event, click_event""".stripMargin
 
+  /** Stream-stream LEFT SEMI join gate ([[graft.streaming.StreamOps
+    * .streamStreamSemiJoin]]): views that received at least one click of
+    * the same user within [ts, ts + 6 h] — each such view emits exactly
+    * once (first match), with no duplication per click and no
+    * null-extended rows, so unlike s12 the result needs no watermark
+    * horizon in the oracle: it is exactly the EXISTS set. */
+  def s14StreamSemiJoin(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s14_semi_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val views = side("view")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("view_event"))
+    val clicks = side("click")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"))
+    val joined = graft.streaming.StreamOps.streamStreamSemiJoin(
+      views, clicks, watermark = "48 hours", maxDelay = "6 hours")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(col("key").as("user_id"), col("view_event"))
+      .orderBy("user_id", "view_event")
+  }
+
+  val s14Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_event FROM v
+      |WHERE EXISTS (SELECT 1 FROM c
+      |  WHERE c.user_id = v.user_id AND c.ts >= v.ts
+      |    AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      |ORDER BY user_id, view_event""".stripMargin
+
   /** Streaming exact dedup gate ([[graft.streaming.StreamOps
     * .streamingDedup]]): events deduplicated on (user_id, event_type)
     * within a 1-hour watermark, live through the memory sink. The output
@@ -2065,6 +2100,7 @@ object ExtensionQueries {
     "s11_sliding_window" -> (s11SlidingWindow _),
     "s12_stream_outer_join" -> (s12StreamOuterJoin _),
     "s13_stream_dedup" -> (s13StreamDedup _),
+    "s14_stream_semi_join" -> (s14StreamSemiJoin _),
     "t20_lm_score" -> (t20LmScore _),
     "d15_fuzzy_match" -> (d15FuzzyMatch _),
     "m4_wav_energy" -> (m4WavEnergy _))
@@ -2123,6 +2159,7 @@ object ExtensionQueries {
     "s11_sliding_window" -> s11Sql,
     "s12_stream_outer_join" -> s12Sql,
     "s13_stream_dedup" -> s13Sql,
+    "s14_stream_semi_join" -> s14Sql,
     "t20_lm_score" -> t20Sql,
     "d15_fuzzy_match" -> d15Sql,
     "m4_wav_energy" -> m4Sql,

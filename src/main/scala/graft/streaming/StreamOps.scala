@@ -112,6 +112,20 @@ object StreamOps {
           col("rts") <= col("ts") + expr(s"interval $maxDelay"),
         "left_outer")
 
+  /** Stream-stream LEFT SEMI join, same key + event-time bounds as
+    * [[streamStreamJoin]]: a left row emits ONCE when its first in-window
+    * match arrives, never duplicates per match, and never emits without a
+    * match — "the views that ever converted", state bounded exactly like
+    * the inner join's. */
+  def streamStreamSemiJoin(left: DataFrame, right: DataFrame,
+      watermark: String, maxDelay: String): DataFrame =
+    left.withWatermark("ts", watermark)
+      .join(right.withWatermark("rts", watermark),
+        col("key") === col("rkey") &&
+          col("rts") >= col("ts") &&
+          col("rts") <= col("ts") + expr(s"interval $maxDelay"),
+        "left_semi")
+
   /** CUSTOM streaming state through the arbitrary-state API
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a per-key
     * cumulative (count, sum-of-cents) counter. Each micro-batch folds its
