@@ -182,6 +182,41 @@ object Ann {
     * QUERY side into its probe buckets, so the join stays a broadcast hash
     * equi-join on the bucket key — the corpus side is never replicated and
     * never shuffled differently than the exact-bucket form. */
+  /** QUERY-TABLE form of [[lshTopK]] — the "score 10M queries against the
+    * corpus" RAG shape, where the query set is itself a big DataFrame and
+    * must never be broadcast. Both sides bucket MAP-SIDE, then meet in a
+    * SHUFFLE hash equi-join on the bucket key (`shuffle_hash` hint — the
+    * planner must not auto-broadcast whichever side happens to look
+    * small), and the per-query top-k ranks inside a qid-partitioned
+    * window — one shuffle on bucket, one on qid, both keys
+    * high-cardinality and well-distributed, nothing driver- or
+    * broadcast-sized anywhere. Same answer as [[lshTopK]] on the same
+    * inputs (the a6 gate replays a2's oracle at a bigger query set). */
+  def lshTopKJoin(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Seq[Seq[Double]], multiProbe: Boolean = false): DataFrame = {
+    val cb = corpus.withColumn("bucket", Vectors.lshBucket(col("vec"), planes))
+      .withColumn("__nv", Vectors.norm2(col("vec")))
+    val qb0 = queries.withColumn("qbucket",
+        Vectors.lshBucket(col("qvec"), planes))
+      .withColumn("__nq", Vectors.norm2(col("qvec")))
+    val qb =
+      if (!multiProbe) qb0
+      else qb0.withColumn("qbucket", explode(array(
+        (col("qbucket") +: planes.indices.map(i =>
+          col("qbucket").bitwiseXOR(lit(1L << i)))): _*)))
+    val joined = cb.hint("shuffle_hash")
+      .join(qb, col("bucket") === col("qbucket"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Seq[Seq[Double]], multiProbe: Boolean = false): DataFrame = {
     val cb = corpus.withColumn("bucket", Vectors.lshBucket(col("vec"), planes))

@@ -196,31 +196,44 @@ object Dedup {
   }
 
   /** [[dedupClusters]] run to CONVERGENCE: iterate min-label propagation
-    * until no label changes (or maxIters), localCheckpoint-ing each round
-    * so lineage stays flat — the production form for graphs whose diameter
-    * is unknown. Components of any width collapse fully. */
+    * until no label changes (or maxIters), materializing each round to
+    * scratch parquet so lineage stays one join deep — the production form
+    * for graphs whose diameter is unknown. Components of any width
+    * collapse fully.
+    *
+    * Each round is written to RELIABLE storage (same discipline as
+    * [[Hierarchy]] and the Vocab builder), not executor-pinned cache: on a
+    * real cluster a lost executor past round 1 must not kill the lineage,
+    * which rules out `localCheckpoint`. The round's write doubles as the
+    * single materialization; the convergence probe reads the parquet back,
+    * so no round is ever computed twice. */
   def dedupClustersConverged(ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var labels = ids.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    def materialize(df: DataFrame, tag: String): DataFrame = {
+      val dir = graft.Tables.scratchDir(tag)
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    }
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      "graft-cluster-edges")
+    var labels = materialize(
+      ids.select(col("id"), col("id").as("label")), "graft-cluster-0")
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbr = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("__nid")).agg(min("label").as("__nl"))
       // carry the previous label THROUGH the update so convergence is read
-      // off the same pass — the old form re-joined next to labels for the
-      // count, a whole extra join job per round. The checkpoint is LAZY:
-      // the changed-count action below materializes the checkpoint blocks
-      // AND computes the count in ONE job per iteration.
-      val next = labels.join(nbr, labels("id") === nbr("__nid"), "left")
-        .select(col("id"), col("label").as("__prev"),
-          least(col("label"), coalesce(col("__nl"), col("label")))
-            .as("label"))
-        .localCheckpoint(eager = false) // flat lineage per round
+      // off the materialized round — one write job + one count-on-parquet
+      // per iteration, never a recompute of the join.
+      val next = materialize(
+        labels.join(nbr, labels("id") === nbr("__nid"), "left")
+          .select(col("id"), col("label").as("__prev"),
+            least(col("label"), coalesce(col("__nl"), col("label")))
+              .as("label")),
+        s"graft-cluster-${it + 1}")
       changed = next.filter(col("label") =!= col("__prev")).count()
       labels = next.select(col("id"), col("label"))
       it += 1

@@ -23,11 +23,14 @@ object Expect {
 
   /** Evaluate row-level expectations in one scan. Each (name, predicate)
     * pair counts the rows where the predicate is FALSE OR NULL (a null
-    * check result is a violation — unknown is not a pass). */
+    * check result is a violation — unknown is not a pass). An EMPTY input
+    * reports 0 violations / pass (the sums coalesce to 0, matching
+    * [[uniqueCheck]]'s convention — sum over zero rows is NULL in SQL). */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
     val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__c$i")
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"__c$i")
     }
     // long format via explode of literal structs — no SQL-string splicing,
     // so constraint names may contain quotes or any other character

@@ -415,11 +415,17 @@ object Multimodal {
           while (off + 8 <= m.length && dataFrom < 0) {
             val size = (m(off + 4) & 0xff) | ((m(off + 5) & 0xff) << 8) |
               ((m(off + 6) & 0xff) << 16) | ((m(off + 7) & 0xff) << 24)
-            if (size < 0) off = m.length // corrupt size: stop, no spin
-            else if (m(off) == 'd' && m(off + 1) == 'a' &&
+            if (size >= 0 && m(off) == 'd' && m(off + 1) == 'a' &&
                 m(off + 2) == 't' && m(off + 3) == 'a') {
               dataFrom = off + 8
-              dataLen = math.min(size, m.length - dataFrom)
+              dataLen = math.min(size, m.length - dataFrom) // truncation ok
+            } else if (size < 0 || size > m.length - off - 8) {
+              // corrupt size: stop, no spin. Oversized NON-data chunks
+              // count as corrupt too — nothing can follow them, and the
+              // word-aligned advance `8 + size + (size & 1)` would
+              // overflow Int for sizes near Int.MaxValue, wrapping `off`
+              // negative and crashing the walk instead of skipping
+              off = m.length
             } else off += 8 + size + (size & 1) // chunks are word-aligned
           }
           if (dataFrom < 0) Iterator.empty

@@ -18,21 +18,27 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Profile numeric columns: (col_name, n, n_nulls, n_distinct, min_v,
-    * max_v) with min/max cast to double. */
+    * max_v) with min/max cast to double. Long format via explode of
+    * literal structs with index-based internal aliases — no SQL-string
+    * splicing, so column names may contain quotes, spaces, or any other
+    * character (same shape as [[Expect.rowChecks]]). */
   def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("double").as(s"${c}__min"),
-        max(col(c)).cast("double").as(s"${c}__max"))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(df(c)).as(s"__${i}_n"),
+        sum(when(df(c).isNull, 1L).otherwise(0L)).as(s"__${i}_nulls"),
+        countDistinct(df(c)).as(s"__${i}_nd"),
+        min(df(c)).cast("double").as(s"__${i}_min"),
+        max(df(c)).cast("double").as(s"__${i}_max"))
     }
-    val stackArgs = cols.map { c =>
-      s"'$c', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max"
-    }.mkString(", ")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"__${i}_n").as("n"),
+        col(s"__${i}_nulls").as("n_nulls"), col(s"__${i}_nd").as("n_distinct"),
+        col(s"__${i}_min").as("min_v"), col(s"__${i}_max").as("max_v"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n, n_nulls, n_distinct, min_v, max_v)"))
+      .select(explode(array(rows: _*)).as("kv"))
+      .select(col("kv.col_name"), col("kv.n"), col("kv.n_nulls"),
+        col("kv.n_distinct"), col("kv.min_v"), col("kv.max_v"))
   }
 }

@@ -1,7 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, Cast, Expression, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
@@ -12,44 +13,72 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
 
 /** Materialized-summary rewrite — the "aggregate answered from a
   * pre-aggregated table" optimization every warehouse engine grows: when
-  * a query computes `GROUP BY g → count(*), sum(x)` directly over a
-  * registered base table, swap the scan for the table's SUMMARY
+  * a query computes `GROUP BY g1[, g2…] → count(*), sum(x)` directly over
+  * a registered base table, swap the scan for the table's SUMMARY
   * (per-group partial cnt/sum), re-aggregating the partials. At 100 TB
   * the difference is reading |groups| rows instead of the corpus — the
   * q22 footer-stats idea generalized from whole-table to per-group.
   *
   * Soundness rests on the partial-aggregation algebra ([[graft.operators
-  * .Ivm]]): counts add, sums add, so `sum(cnt)` / `sum(sum_v)` over the
-  * summary equal `count(*)` / `sum(x)` over the base — exactly (decimal
-  * partials, no float re-association). The rewrite preserves every outer
-  * expression wrapping the aggregate call (casts, arithmetic) and the
-  * original output exprIds, so downstream operators are untouched; a
-  * result-type widening (`sum` over decimal partials widens the scale
-  * bound) is closed with an exact cast back to the original type.
+  * .Ivm]]): counts add, sums add, min/max re-minimize, so re-aggregating
+  * the summary's partials equals aggregating the base — exactly (decimal
+  * partials, no float re-association). Because every supported aggregate
+  * is re-aggregable, a query may group by any SUBSET of the summary's
+  * group columns (a (flag, status) summary answers GROUP BY flag): the
+  * re-aggregation collapses the extra group dimensions. The rewrite
+  * preserves every outer expression wrapping the aggregate call (casts,
+  * arithmetic) and the original output exprIds, so downstream operators
+  * are untouched; a result-type widening (`sum` over decimal partials
+  * widens the scale bound) is closed with an exact cast back to the
+  * original type.
   *
   * Registration is explicit and scoped ([[SummaryRegistry]]): the rule is
   * a no-op unless a summary is registered for the scanned path, and the
-  * gate/spec deregister in `finally`. A registered summary must have
-  * columns (groupCol, cnt: long, sum_v: the exact Sum result type of the
-  * base column's cast).
+  * gate/spec deregister in `finally`. Registered paths are normalized and
+  * matched EXACTLY (never by suffix — `lineitem.parquet` must not match an
+  * unrelated table in another directory). A registered summary must have
+  * columns (groupCols…, cnt: long, sum_v: the exact Sum result type of
+  * the base column's cast). Each rewrite splices a FRESH instance of the
+  * summary plan (new exprIds), so one query rewriting two aggregates over
+  * the base table never ends up with duplicate exprIds post-analysis.
   */
 object SummaryRegistry {
-  /** basePath -> (summary plan, groupCol name, summed base col name). */
-  final case class Entry(summary: LogicalPlan, groupCol: String,
+  /** normalized basePath -> (summary plan, group col names, summed base
+    * col name). `groupCols` lists the summary's grouping columns; queries
+    * grouping by any non-empty subset of them rewrite. */
+  final case class Entry(summary: LogicalPlan, groupCols: Seq[String],
       sumCol: String)
+  object Entry {
+    /** Single-group convenience form (the common case). */
+    def apply(summary: LogicalPlan, groupCol: String,
+        sumCol: String): Entry = Entry(summary, Seq(groupCol), sumCol)
+  }
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, Entry]
 
-  def register(basePath: String, e: Entry): Unit = defs.put(basePath, e): Unit
-  def deregister(basePath: String): Unit = defs.remove(basePath): Unit
+  /** Scheme-insensitive canonical form of a table path: `file:/x`,
+    * `file:///x` and `/x` all normalize to `/x`; non-file URIs keep
+    * scheme+authority. Trailing slashes dropped. Exact equality on this
+    * form is the registry's match rule — never `endsWith`. */
+  private[plans] def normalize(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val uri = hp.toUri
+    val path = uri.getPath.stripSuffix("/")
+    if (uri.getScheme == null || uri.getScheme == "file") path
+    else s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}$path"
+  }
+
+  def register(basePath: String, e: Entry): Unit =
+    defs.put(normalize(basePath), e): Unit
+  def deregister(basePath: String): Unit =
+    defs.remove(normalize(basePath)): Unit
   def isEmpty: Boolean = defs.isEmpty
 
   private[plans] def lookup(paths: Seq[String]): Option[Entry] = {
-    val it = defs.entrySet().iterator()
-    while (it.hasNext) {
-      val kv = it.next()
-      if (paths.exists(_.endsWith(kv.getKey))) return Some(kv.getValue)
-    }
-    None
+    if (paths.isEmpty) return None
+    val norm = paths.map(normalize)
+    // the scan must be EXACTLY the registered table: every root path equal
+    norm.headOption.flatMap(h => Option(defs.get(h)))
+      .filter(_ => norm.forall(_ == norm.head))
   }
 }
 
@@ -68,26 +97,37 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (SummaryRegistry.isEmpty) return plan // fast path: feature unused
     plan.transformUp {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
-          if agg.resolved =>
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if agg.resolved && groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val gAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
         SummaryRegistry.lookup(scanPaths(child)) match {
-          case Some(e) if g.name == e.groupCol =>
-            rewrite(agg, g, aggExprs, e).getOrElse(agg)
+          case Some(e) if gAttrs.forall(a => e.groupCols.contains(a.name)) =>
+            rewrite(agg, gAttrs, aggExprs, e).getOrElse(agg)
           case _ => agg
         }
     }
   }
 
-  private def rewrite(agg: Aggregate, g: AttributeReference,
+  private def rewrite(agg: Aggregate, gAttrs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression],
       e: SummaryRegistry.Entry): Option[LogicalPlan] = {
-    val out = e.summary.output
-    val gS = out.find(_.name == e.groupCol)
+    // fresh instance per rewrite: two rewritten aggregates in one query
+    // must not share scan exprIds (DeduplicateRelations has already run)
+    val summary = e.summary.transformUp {
+      case m: MultiInstanceRelation => m.newInstance()
+    }
+    val out = summary.output
     val cntS = out.find(_.name == "cnt")
     val sumS = out.find(_.name == "sum_v")
     val minS = out.find(_.name == "min_v") // optional summary columns
     val maxS = out.find(_.name == "max_v")
-    if (gS.isEmpty || cntS.isEmpty || sumS.isEmpty) return None
+    if (cntS.isEmpty || sumS.isEmpty) return None
+    // query group attr exprId -> the matching fresh summary attribute
+    val gMap: Map[ExprId, Attribute] = gAttrs.flatMap { a =>
+      out.find(_.name == a.name).map(s => a.exprId -> s)
+    }.toMap
+    if (gMap.size != gAttrs.size) return None
 
     var ok = true
     def rewriteAggCalls(expr: Expression): Expression = expr.transformUp {
@@ -126,20 +166,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       }
     }
     val newList: Seq[NamedExpression] = aggExprs.map {
-      case a: AttributeReference if a.exprId == g.exprId =>
-        Alias(gS.get, a.name)(exprId = a.exprId)
+      case a: AttributeReference if gMap.contains(a.exprId) =>
+        Alias(gMap(a.exprId), a.name)(exprId = a.exprId)
       case al: Alias =>
         val newChild = rewriteAggCalls(al.child).transformUp {
-          case a: AttributeReference if a.exprId == g.exprId => gS.get
+          case a: AttributeReference if gMap.contains(a.exprId) =>
+            gMap(a.exprId)
         }
         Alias(newChild, al.name)(exprId = al.exprId)
-      case _ => ok = false; g
+      case _ => ok = false; gAttrs.head
     }
     // every original aggregate call must have been rewritten and no base
     // attribute may survive (a pattern we didn't recognize -> bail out)
     if (!ok) return None
     val refs = newList.flatMap(_.references.toSeq)
-    if (!refs.forall(r => e.summary.outputSet.contains(r))) return None
-    Some(Aggregate(Seq(gS.get), newList, e.summary))
+    if (!refs.forall(r => summary.outputSet.contains(r))) return None
+    Some(Aggregate(gAttrs.map(a => gMap(a.exprId)), newList, summary))
   }
 }

@@ -1182,6 +1182,44 @@ object ExtensionQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor, round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Query-TABLE ANN ([[Ann.lshTopKJoin]]): the RAG shape — a 50-row
+    * query TABLE scored against the corpus through a shuffle hash
+    * equi-join on the LSH bucket, with the query side never broadcast
+    * (plan-asserted: no BroadcastExchange anywhere). Same bucketing and
+    * multi-probe as a2, so the oracle is a2's SQL at the bigger query
+    * set; at 100 TB this is the plan that survives a 10M-row query set
+    * where a2's broadcast form cannot. */
+  def a6AnnQueryTable(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val qs = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = Ann.lshTopKJoin(qs, corpus, 3, planes, multiProbe = true)
+      .orderBy("qid", "rank")
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastExchange"),
+      s"query side must not be broadcast:\n$plan")
+    out
+  }
+
+  val a6Sql: String =
+    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
+       |bk AS (SELECT e.vec_id AS id, e.embedding AS vec,
+       |         CAST(SUM(CASE WHEN ${dotSql("e.embedding", "p.pe")} >= 0 THEN (1::BIGINT << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM embeddings e CROSS JOIN p GROUP BY e.vec_id, e.embedding),
+       |q AS (SELECT b.id AS qid, b.vec AS qvec,
+       |        CASE WHEN t.f < 0 THEN b.bucket
+       |             ELSE xor(b.bucket, CAST(1 AS BIGINT) << t.f) END AS qbucket
+       |      FROM bk b, range(-1, 4) t(f) WHERE b.id < 50),
+       |s AS (SELECT q.qid, c.id, ${cosSql("q.qvec", "c.vec")} AS sim
+       |      FROM bk c JOIN q ON c.bucket = q.qbucket WHERE c.id <> q.qid),
+       |r AS (SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM s)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor, round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** IVF ANN: deterministic stride-sampled centroids (vec_id % 100 == 0),
     * nearest-cell assignment, nprobe=2 search. */
   def a3AnnIvf(sp: SparkSession, dir: String): DataFrame = {
@@ -1654,9 +1692,17 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_events"),
         asDouble(sum(dec(col("value")))).as("sum_value"))
     def drain(name: String): Unit = {
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName(name).option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
+      // pin the state-store partition count like runToMemory — doubly so
+      // here, where the count is frozen into the REAL checkpoint and the
+      // restarted query must find the same number of stores
+      val prev = sp.conf.get("spark.sql.shuffle.partitions")
+      sp.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.StreamOps.StatePartitions)
+      try {
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
     }
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     drain(s"s8_a_$tag")
@@ -1981,18 +2027,25 @@ object ExtensionQueries {
 
   /** Streaming exact dedup gate ([[graft.streaming.StreamOps
     * .streamingDedup]]): events deduplicated on (user_id, event_type)
-    * within a 1-hour watermark, live through the memory sink. The output
+    * within the watermark, live through the memory sink. The output
     * projects the KEY columns only — which representative row survives is
-    * arrival-order-dependent and meaningless; the dedup contract is the
-    * distinct key set, which is what the oracle checks. State: one entry
-    * per key inside the watermark horizon, evicted after — the only dedup
-    * shape that is safe on an unbounded stream. */
+    * arrival-order-dependent and meaningless. The oracle is a GLOBAL
+    * `SELECT DISTINCT`; `dropDuplicatesWithinWatermark` only guarantees
+    * dedup of events arriving within the watermark gap of each other, so
+    * the gate pins a watermark WIDER than the dataset's full time span
+    * (~30 days of synthetic events vs a 90-day gap — same move as s14):
+    * no key's state can be evicted mid-run however the source batches,
+    * making within-watermark dedup provably equal to global DISTINCT
+    * here. State: one entry per key inside the watermark horizon, evicted
+    * after — the only dedup shape that is safe on an unbounded stream;
+    * production picks the gap from the real re-delivery window, not the
+    * corpus span. */
   def s13StreamDedup(sp: SparkSession, dir: String): DataFrame = {
     val name = "s13_dd_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val dd = graft.streaming.StreamOps.streamingDedup(
       graft.streaming.StreamOps.eventsStream(sp, dir),
-      Seq("user_id", "event_type"), "1 hour")
+      Seq("user_id", "event_type"), "90 days")
     graft.streaming.StreamOps.runToMemory(sp, dd, name, "append")
       .select(col("user_id"), col("event_type"))
       .orderBy("user_id", "event_type")
@@ -2080,6 +2133,7 @@ object ExtensionQueries {
     "a3_ann_ivf" -> (a3AnnIvf _),
     "a4_ann_ivf_kmeans" -> (a4AnnIvfKmeans _),
     "a5_ann_recall" -> (a5AnnRecall _),
+    "a6_ann_query_table" -> (a6AnnQueryTable _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m3_frame_sample" -> (m3FrameSample _),
@@ -2139,6 +2193,7 @@ object ExtensionQueries {
     "a3_ann_ivf" -> a3Sql,
     "a4_ann_ivf_kmeans" -> a4Sql,
     "a5_ann_recall" -> a5Sql,
+    "a6_ann_query_table" -> a6Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m3_frame_sample" -> m3Sql,

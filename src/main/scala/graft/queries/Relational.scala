@@ -1190,6 +1190,7 @@ object Relational {
       graft.plans.SummaryRegistry.Entry(
         s.read.parquet(sumDir).queryExecution.analyzed,
         groupCol = "l_returnflag", sumCol = "l_quantity"))
+    val outDir = graft.Tables.scratchDir("graft-q34-out")
     try {
       val df = lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -1215,10 +1216,11 @@ object Relational {
           df.queryExecution.optimizedPlan)
       require(!relPaths.exists(_.contains("lineitem.parquet")),
         s"base table still scanned: $relPaths")
-      val rows = df.collect()
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(df.schema)
-      s.createDataset(rows.toSeq)(enc)
+      // materialize WHILE registered via scratch parquet — distributed
+      // write + re-read, never a driver-sized collect; the driver writes
+      // the returned frame later, after the finally deregisters
+      df.write.mode("overwrite").parquet(outDir)
+      s.read.parquet(outDir).orderBy(col("l_returnflag"))
     } finally graft.plans.SummaryRegistry.deregister(basePath)
   }
 

@@ -158,18 +158,38 @@ object StreamOps {
       }
   }
 
+  /** Stateful streaming shuffle partition count. Streaming state stores
+    * are created one per shuffle partition and the count is FROZEN into
+    * the checkpoint at the first batch — it is a deliberate sizing
+    * decision, not an inherited session default: AQE never coalesces
+    * streaming shuffles, so every micro-batch pays per-partition state
+    * commit overhead forever. Sizing rule: enough partitions that the
+    * per-key state of the hottest partition fits an executor (at 100 TB
+    * state scale that is hundreds to thousands, set BEFORE the first run
+    * and changed only by re-checkpointing); small for local gates, where
+    * the dominant cost is trigger machinery × partitions, not state
+    * volume. */
+  val StatePartitions = 8
+
   /** Drive a streaming DataFrame to completion against currently-available
     * input and return the materialized result (memory sink). This is the
     * batch-shaped harness for incremental queries — production would
-    * `.start()` and leave the query running. */
+    * `.start()` and leave the query running. Pins
+    * `spark.sql.shuffle.partitions` to [[StatePartitions]] for the
+    * query's lifetime (the value is captured into the stream's checkpoint
+    * at start), restoring the session default after. */
   def runToMemory(sp: SparkSession, df: DataFrame, name: String,
       outputMode: String): DataFrame = {
-    val q = df.writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = df.writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
     sp.table(name)
   }
 }

@@ -77,6 +77,32 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(prof("b") == ((3L, 2L, 2L, 1.5, 3.0)))
   }
 
+  test("Profile.describeNumeric: column names with quotes and spaces " +
+      "profile fine (no SQL-string splicing)") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (3L, 4.0))
+      .toDF("a'b", "with space")
+    val prof = Profile.describeNumeric(df, Seq("a'b", "with space"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    assert(prof("a'b") == ((2L, 0L, 2L, 1.0, 3.0)))
+    assert(prof("with space") == ((2L, 0L, 2L, 2.0, 4.0)))
+  }
+
+  test("Expect.rowChecks: an EMPTY table reports 0 violations / pass " +
+      "for every expectation (sum-over-zero-rows coalesced)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val rep = Expect.report(Seq(
+      Expect.rowChecks(empty, Seq(
+        "k_nonneg" -> (col("k") >= 0), "v_nonnull" -> col("v").isNotNull)),
+      Expect.uniqueCheck(empty, Seq("k"), "k_unique")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rep.length == 3)
+    assert(rep.forall { case (_, n, st) => n == 0L && st == "pass" })
+  }
+
   test("Cdc.applyChanges == reference merge for random change batches") {
     import spark.implicits._
     val n = 80

@@ -369,6 +369,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@3 = $recall")
   }
 
+  test("lshTopKJoin (query-table form): same answer as the broadcast " +
+      "lshTopK; plan is a shuffle hash join with no broadcast of the " +
+      "query side") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planes: Seq[Seq[Double]] = e.filter(col("vec_id") < 4)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    for (mp <- Seq(false, true)) {
+      val bc = Ann.lshTopK(qs, corpus, 3, planes, multiProbe = mp)
+      val jn = Ann.lshTopKJoin(qs, corpus, 3, planes, multiProbe = mp)
+      assert(rows(jn) == rows(bc), s"multiProbe=$mp mismatch")
+      val phys = jn.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastExchange"),
+        s"query side broadcast (multiProbe=$mp):\n$phys")
+      assert(phys.contains("ShuffledHashJoin"),
+        s"expected a shuffle hash join (multiProbe=$mp):\n$phys")
+    }
+  }
+
   test("MinhashUnionAgg: element-wise min across partitions, SQL form") {
     import spark.implicits._
     val data = (0 until 100).map(i =>
@@ -425,8 +451,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(conv2(2L) == 0L && conv2(11L) == 10L && conv2(5L) == 5L)
   }
 
-  test("dedupClustersConverged runs ONE job per iteration (no extra " +
-      "join+count job)") {
+  test("dedupClustersConverged: reliable materialization — survives a " +
+      "full cache/RDD wipe (no executor-pinned lineage) and runs one " +
+      "write + one count job per iteration") {
     import spark.implicits._
     // with AQE off AND broadcast joins off (async broadcast builds submit
     // their own jobs), one action = one job, so jobs are countable exactly
@@ -445,19 +472,32 @@ class OperatorSpec extends AnyFunSuite {
       // chain 0-1-2 plus edge 10-11: converges in exactly 3 rounds
       // (2 change rounds + 1 confirming round)
       val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
-      Dedup.dedupClustersConverged((0L until 12L).toDF("id"), pairs)
-        .collect()
+      val result =
+        Dedup.dedupClustersConverged((0L until 12L).toDF("id"), pairs)
+      assert(result.collect().length == 12)
+      // the 100 TB reliability property the localCheckpoint form lacked:
+      // wipe EVERY cached/checkpointed RDD block (what losing all
+      // executors does to executor-pinned storage) — the result must
+      // still recompute, because each round lives in scratch parquet,
+      // not in block-manager memory
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      val byId = result.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byId(2L) == 0L && byId(11L) == 10L && byId(5L) == 5L)
       // listener bus is async — poll until the count settles
       val deadline = System.nanoTime() + 5e9.toLong
       var last = -1
       while (System.nanoTime() < deadline && jobs.get() != last) {
         last = jobs.get(); Thread.sleep(100)
       }
-      // 1 eager seed checkpoint + 3 iteration jobs (the lazy checkpoint is
-      // materialized BY the changed-count, fusing update and convergence
-      // check) + 1 final collect = 5. The pre-fix form ran an eager
-      // checkpoint job PLUS a join+count job per round (8 here).
-      assert(jobs.get() == 5, s"expected 5 jobs, saw ${jobs.get()}")
+      // 5 materializations (edges, seed, 3 rounds) x 2 jobs each (the
+      // write + the read-back's parquet footer/schema job) + 3 parquet
+      // convergence counts + 2 final collects = 15: each round is
+      // computed exactly once, and the convergence count reads the
+      // materialized parquet, never re-running the join
+      assert(jobs.get() == 15, s"expected 15 jobs, saw ${jobs.get()}")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)

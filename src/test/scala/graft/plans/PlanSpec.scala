@@ -430,4 +430,95 @@ class PlanSpec extends AnyFunSuite {
       assert(SummaryRewrite(wrongCast).fastEquals(wrongCast))
     } finally SummaryRegistry.deregister(s"$sf/lineitem.parquet")
   }
+
+  test("SummaryRewrite: registry matches the exact table path only — a " +
+      "bare-suffix registration never fires") {
+    val sf = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sumDir = graft.Tables.scratchDir("graft-q34spec-sfx")
+    base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_v"))
+      .write.mode("overwrite").parquet(sumDir)
+    val entry = SummaryRegistry.Entry(
+      spark.read.parquet(sumDir).queryExecution.analyzed,
+      groupCol = "l_returnflag", sumCol = "l_quantity")
+    val plan = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .queryExecution.analyzed
+    // a suffix-only key ("lineitem.parquet") would have matched under the
+    // old endsWith rule and silently rewritten ANY table with that leaf
+    // name; the exact-path registry must not fire on it
+    SummaryRegistry.register("lineitem.parquet", entry)
+    try assert(SummaryRewrite(plan).fastEquals(plan))
+    finally SummaryRegistry.deregister("lineitem.parquet")
+    // the full path (with or without a file: scheme) does fire
+    SummaryRegistry.register(s"file:$sf/lineitem.parquet", entry)
+    try assert(!SummaryRewrite(plan).fastEquals(plan))
+    finally SummaryRegistry.deregister(s"file:$sf/lineitem.parquet")
+  }
+
+  test("SummaryRewrite: multi-column summary answers the full group-by " +
+      "AND a subset group-by; two aggregates in one query get distinct " +
+      "fresh summary instances") {
+    val sf = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sumDir = graft.Tables.scratchDir("graft-q34spec-multi")
+    base.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_v"))
+      .write.mode("overwrite").parquet(sumDir)
+    SummaryRegistry.register(s"$sf/lineitem.parquet",
+      SummaryRegistry.Entry(
+        spark.read.parquet(sumDir).queryExecution.analyzed,
+        Seq("l_returnflag", "l_linestatus"), "l_quantity"))
+    try {
+      def check(q: org.apache.spark.sql.DataFrame,
+          order: Seq[String]): Unit = {
+        val plan = q.queryExecution.analyzed
+        val rewritten = SummaryRewrite(plan)
+        assert(!rewritten.fastEquals(plan), "expected a rewrite")
+        val got = org.apache.spark.sql.graft.DatasetBridge
+          .ofRows(spark, rewritten)
+          .orderBy(order.map(col): _*).collect().map(_.toString).toSeq
+        val direct = q.orderBy(order.map(col): _*).collect()
+          .map(_.toString).toSeq
+        assert(got == direct)
+      }
+      // full group set
+      check(base.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s")),
+        Seq("l_returnflag", "l_linestatus"))
+      // SUBSET of the summary's group columns — re-aggregation collapses
+      // the l_linestatus dimension
+      check(base.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("s")),
+        Seq("l_linestatus"))
+      // two rewritable aggregates in ONE query (union): each must get a
+      // FRESH summary instance — shared exprIds across the two scans
+      // would mis-resolve post-analysis
+      def aggOn(c: String) = base.groupBy(col(c))
+        .agg(count(lit(1)).as("n")).select(col("n"))
+      val union = aggOn("l_returnflag").union(aggOn("l_linestatus"))
+      val uPlan = union.queryExecution.analyzed
+      val uRewritten = SummaryRewrite(uPlan)
+      assert(!uRewritten.fastEquals(uPlan), "expected both sides rewritten")
+      val scans = uRewritten.collect {
+        case r: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => r
+      }
+      assert(scans.size == 2)
+      assert(scans(0).output.map(_.exprId).toSet
+        .intersect(scans(1).output.map(_.exprId).toSet).isEmpty,
+        "the two rewrites must not share summary exprIds")
+      val got = org.apache.spark.sql.graft.DatasetBridge
+        .ofRows(spark, uRewritten)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val direct = union.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == direct)
+    } finally SummaryRegistry.deregister(s"$sf/lineitem.parquet")
+  }
 }

@@ -466,6 +466,36 @@ class StreamingSpec extends AnyFunSuite {
     val badMedia = Seq(Multimodal.MediaRow(2L, bad, "audio/wav", 100))
       .toDS().toDF()
     assert(Multimodal.wavEnergy(spark, badMedia, 5).count() == 0)
+    // a huge POSITIVE size near Int.MaxValue on a non-data chunk must be
+    // treated as corrupt too: the word-aligned advance would overflow Int,
+    // wrap the offset negative and crash the walk instead of skipping
+    val big = wav.clone()
+    big(16) = 0xec.toByte; big(17) = -1; big(18) = -1; big(19) = 0x7f
+    val bigMedia = Seq(Multimodal.MediaRow(3L, big, "audio/wav", 100))
+      .toDS().toDF()
+    assert(Multimodal.wavEnergy(spark, bigMedia, 5).count() == 0)
+    // a TRUNCATED data chunk (size overstates the payload) still decodes
+    // the bytes that are present — truncation is tolerated on data
+    val trunc = wav.clone()
+    val dataOff = { // find the data chunk header
+      var o = 12
+      while (!(trunc(o) == 'd' && trunc(o + 1) == 'a' &&
+        trunc(o + 2) == 't' && trunc(o + 3) == 'a')) {
+        val sz = (trunc(o + 4) & 0xff) | ((trunc(o + 5) & 0xff) << 8) |
+          ((trunc(o + 6) & 0xff) << 16) | ((trunc(o + 7) & 0xff) << 24)
+        o += 8 + sz + (sz & 1)
+      }
+      o
+    }
+    trunc(dataOff + 4) = -1; trunc(dataOff + 5) = -1
+    trunc(dataOff + 6) = -1; trunc(dataOff + 7) = 0x7f
+    val truncMedia = Seq(Multimodal.MediaRow(4L, trunc, "audio/wav", 100))
+      .toDS().toDF()
+    val truncRows = Multimodal.wavEnergy(spark, truncMedia, 5)
+      .collect().sortBy(_.window_idx)
+    assert(truncRows.map(r =>
+      (r.doc_id, r.window_idx, r.n_samples, r.energy)).toSeq ==
+      want.map { case (_, w, n, e) => (4L, w, n, e) })
   }
 
   test("RocksDB state store: watermarked agg runs off-heap and matches " +

@@ -62,6 +62,42 @@ class XmlStaxSpec extends AnyFunSuite {
       "1234567890ABCD"))
   }
 
+  test("childrenAt: fused container descent equals the two-pass " +
+      "children(children(doc,[container]).outer, patterns) form") {
+    val xml = "<r><id>7</id><vals><q_A>1.5</q_A><junk>x</junk>" +
+      "<q_B>2.5</q_B></vals><tail>z</tail></r>"
+    def key(p: Seq[String]) = "t:" + p.mkString(",")
+    val fused = XmlStax.childrenAt(xml, "vals", Seq("q_*"),
+      key(Seq("q_*")), needOuter = false, needValue = true)
+    val twoPass = XmlStax.children(
+      XmlStax.children(xml, Seq("vals"), fromRoot = true).head.outer,
+      Seq("q_*"), fromRoot = true)
+    assert(fused.map(c => (c.tag, c.value)) ==
+      twoPass.map(c => (c.tag, c.value)))
+    assert(fused.map(_.tag) == Seq("q_A", "q_B"))
+    // absent container -> null (the two-pass firstKid miss)
+    assert(XmlStax.childrenAt(xml, "nope", Seq("q_*"), key(Seq("nope")),
+      needOuter = false, needValue = true) == null)
+    // present-but-empty container -> empty seq, NOT null
+    assert(XmlStax.childrenAt("<r><vals/></r>", "vals", Seq("q_*"),
+      key(Seq("e")), needOuter = false, needValue = true) == Seq())
+    // only the FIRST container counts (two-pass firstKid semantics)
+    val dup = "<r><vals><q_A>1</q_A></vals><vals><q_B>2</q_B></vals></r>"
+    assert(XmlStax.childrenAt(dup, "vals", Seq("q_*"), key(Seq("dup")),
+      needOuter = false, needValue = true).map(_.tag) == Seq("q_A"))
+    // malformed AFTER the container still nulls the row, like the
+    // two-pass whole-document walk did
+    val bad = "<r><vals><q_A>1</q_A></vals><broken"
+    assert(XmlStax.childrenAt(bad, "vals", Seq("q_*"), key(Seq("bad")),
+      needOuter = false, needValue = true) == null)
+    // nested children keep full outer capture when asked
+    val deep = "<r><vals><o i='1'><x>9</x></o></vals></r>"
+    val d = XmlStax.childrenAt(deep, "vals", Seq("o"), key(Seq("deep")),
+      needOuter = true, needValue = true)
+    assert(d.head.outer == "<o i=\"1\"><x>9</x></o>")
+    assert(d.head.attrs == Seq("i" -> "1"))
+  }
+
   test("fragment mode (no root) wraps content") {
     val frag = "<a>1</a>text<b>2</b>"
     assert(XmlStax.children(frag, Nil, fromRoot = false)
