@@ -160,6 +160,71 @@ object XmlChildrenExpr {
     }
     new GenericArrayData(out)
   }
+
+  /** Static evaluator for [[XmlChildrenAtExpr]] — same ArrayData memo,
+    * container-prefixed key. */
+  def evalJavaAt(input: UTF8String, container: String,
+      patterns: Seq[String], specKey: String, needOuter: Boolean,
+      needValue: Boolean): ArrayData = {
+    val xml = input.toString
+    val perSpec = memo.get()
+    var cache = perSpec.get(specKey)
+    if (cache == null) {
+      cache = newLru()
+      perSpec.put(specKey, cache)
+    }
+    val hit = cache.get(xml)
+    if (hit != null || cache.containsKey(xml)) hit
+    else {
+      val res = build(XmlStax.childrenAt(xml, container, patterns, specKey,
+        needOuter, needValue))
+      cache.put(xml, res)
+      res
+    }
+  }
+}
+
+/** Fused container descent ([[XmlStax.childrenAt]]): matching children of
+  * the first depth-1 child named `container`, extracted in ONE StAX pass
+  * over the document. Replaces the two-pass
+  * `xml_children(first_child(doc, container).xml, patterns)` shape, whose
+  * intermediate step serializes the container's outer XML only to
+  * re-tokenize it — the dominant cost of the nested-array bind (x3).
+  * Null when the container is absent or the document malformed (the
+  * two-pass form's semantics exactly). */
+case class XmlChildrenAtExpr(child: Expression, container: String,
+    patterns: Seq[String], needOuter: Boolean = true,
+    needValue: Boolean = true) extends UnaryExpression {
+
+  override def dataType: DataType = XmlChildrenExpr.outType
+  override def nullable: Boolean = true
+  override def prettyName: String = "xml_children_at"
+
+  @transient private lazy val specKey: String =
+    "at:" + container + ":" +
+      XmlStax.specKey(patterns, fromRoot = true, needOuter, needValue)
+
+  override def nullSafeEval(input: Any): Any =
+    XmlChildrenExpr.evalJavaAt(input.asInstanceOf[UTF8String], container,
+      patterns, specKey, needOuter, needValue)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cont = ctx.addReferenceObj("container", container, "java.lang.String")
+    val pats = ctx.addReferenceObj("patterns", patterns,
+      "scala.collection.immutable.Seq")
+    val key = ctx.addReferenceObj("specKey", specKey, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.xml.XmlChildrenExpr.evalJavaAt($c, $cont,
+         |  $pats, $key, $needOuter, $needValue);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** First matching depth-1 child of an XML string as a nullable
@@ -278,4 +343,11 @@ object XmlFunctions {
 
   def xml_element_value(c: Column): Column =
     ColumnBridge.column(XmlElementValueExpr(ColumnBridge.expression(c)))
+
+  /** Column API over [[XmlChildrenAtExpr]] — fused container descent. */
+  def xml_children_at(c: Column, container: String, patterns: Seq[String],
+      needOuter: Boolean = true, needValue: Boolean = true): Column =
+    ColumnBridge.column(
+      XmlChildrenAtExpr(ColumnBridge.expression(c), container, patterns,
+        needOuter, needValue))
 }

@@ -277,7 +277,10 @@ private[xml] object Bind {
     * scalars bind natively off from_xml (never from the extraction), so
     * only glob scalars pull `value`; the obj/array conditions mirror the
     * StaxBindNode dispatch exactly (over-approximation is safe, an
-    * under-approximation would serve "" to a live consumer). */
+    * under-approximation would serve "" to a live consumer). Arrays that
+    * bind natively OR through the fused container descent
+    * ([[bindArrayAt]] — exact name, no container attrs) never pull the
+    * container's outer through firstKid at all. */
   private[xml] def staxKidNeeds(spec: ObjSpec): (Boolean, Boolean) = {
     var needOuter = false
     var needValue = false
@@ -287,8 +290,7 @@ private[xml] object Bind {
         if ((n.contains("*") || !o.spec.isNative) && o.spec.members.nonEmpty)
           needOuter = true
       case (n, a: ArrM) =>
-        if (!(!n.contains("*") && spec.arrayIsNative(a) &&
-            a.spec.attrs.isEmpty)) needOuter = true
+        if (n.contains("*") || a.spec.attrs.nonEmpty) needOuter = true
       case (_, _: CustomM) => needOuter = true
     }
     (needOuter, needValue)
@@ -306,6 +308,21 @@ private[xml] object Bind {
         m.spec.attrs.toSeq.map(a => StructField("_" + a, StringType)))))
     transform(kids,
       ch => m.f(new AltBindNode(ch, m.spec, containerAttrs)))
+  }
+
+  /** Fused form of `firstKid(container) -> bindArray(outer)`: the
+    * container's matching children are extracted straight from the
+    * document in ONE StAX pass ([[XmlChildrenAtExpr]]), never serializing
+    * and re-parsing the container's outer XML. Valid whenever the
+    * container name is exact and no container-attribute broadcast is
+    * needed (attrs would require the container's own attributes, which
+    * the descent does not capture). Null when the container is absent —
+    * the `when(ch.isNotNull, …)` semantics of the two-pass form. */
+  def bindArrayAt(docOuter: Column, m: ArrM): Column = {
+    val (needOuter, needValue) = altKidNeeds(m.spec)
+    val kids = xml_children_at(docOuter, m.name, m.spec.members.keys.toSeq,
+      needOuter, needValue)
+    transform(kids, ch => m.f(new AltBindNode(ch, m.spec, None)))
   }
 
   /** Native array member binding (single exact alternative). */
@@ -425,6 +442,8 @@ private[xml] final class StaxBindNode(outer: Column, parsed: Column,
   override protected def arrBound(m: ArrM): Column =
     if (!m.name.contains("*") && spec.arrayIsNative(m) && m.spec.attrs.isEmpty) {
       Bind.bindNativeArray(get(parsed.getField(m.name), lit(0)), m)
+    } else if (!m.name.contains("*") && m.spec.attrs.isEmpty) {
+      Bind.bindArrayAt(outer, m) // fused one-pass container descent
     } else {
       val ch = firstKid(m.name)
       when(ch.isNotNull, Bind.bindArray(ch.getField("xml"), m))
