@@ -53,7 +53,16 @@ object SummaryRegistry {
     def apply(summary: LogicalPlan, groupCol: String,
         sumCol: String): Entry = Entry(summary, Seq(groupCol), sumCol)
   }
-  private val defs = new java.util.concurrent.ConcurrentHashMap[String, Entry]
+  // the registry object is JVM-global (the rule is an object), so each
+  // entry is pinned to the SparkSession that registered it — a
+  // registration must never rewrite queries of a CONCURRENT session that
+  // happens to scan the same path (its summary table may be stale there)
+  private final case class Scoped(entry: Entry, sessionId: Option[String])
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, Scoped]
+
+  private def activeSessionId: Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => java.lang.System.identityHashCode(s).toString)
 
   /** Scheme-insensitive canonical form of a table path: `file:/x`,
     * `file:///x` and `/x` all normalize to `/x`; non-file URIs keep
@@ -68,7 +77,7 @@ object SummaryRegistry {
   }
 
   def register(basePath: String, e: Entry): Unit =
-    defs.put(normalize(basePath), e): Unit
+    defs.put(normalize(basePath), Scoped(e, activeSessionId)): Unit
   def deregister(basePath: String): Unit =
     defs.remove(normalize(basePath)): Unit
   def isEmpty: Boolean = defs.isEmpty
@@ -76,9 +85,12 @@ object SummaryRegistry {
   private[plans] def lookup(paths: Seq[String]): Option[Entry] = {
     if (paths.isEmpty) return None
     val norm = paths.map(normalize)
-    // the scan must be EXACTLY the registered table: every root path equal
+    // the scan must be EXACTLY the registered table (every root path
+    // equal) and the lookup must come from the REGISTERING session
     norm.headOption.flatMap(h => Option(defs.get(h)))
-      .filter(_ => norm.forall(_ == norm.head))
+      .filter(s => norm.forall(_ == norm.head) &&
+        s.sessionId == activeSessionId)
+      .map(_.entry)
   }
 }
 

@@ -455,8 +455,15 @@ class PlanSpec extends AnyFunSuite {
     finally SummaryRegistry.deregister("lineitem.parquet")
     // the full path (with or without a file: scheme) does fire
     SummaryRegistry.register(s"file:$sf/lineitem.parquet", entry)
-    try assert(!SummaryRewrite(plan).fastEquals(plan))
-    finally SummaryRegistry.deregister(s"file:$sf/lineitem.parquet")
+    try {
+      assert(!SummaryRewrite(plan).fastEquals(plan))
+      // ... but only from the REGISTERING session: a concurrent session
+      // scanning the same path must not inherit the rewrite
+      val other = spark.newSession()
+      org.apache.spark.sql.SparkSession.setActiveSession(other)
+      try assert(SummaryRewrite(plan).fastEquals(plan))
+      finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    } finally SummaryRegistry.deregister(s"file:$sf/lineitem.parquet")
   }
 
   test("SummaryRewrite: multi-column summary answers the full group-by " +
