@@ -1231,6 +1231,62 @@ object Relational {
       |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Multi-column summary rewrite (q34's production generalization): ONE
+    * summary per (l_returnflag, l_linestatus) answers BOTH the full
+    * two-column group-by AND any subset group-by — every supported
+    * aggregate (count/sum/min/max) is re-aggregable, so collapsing a
+    * group dimension is just re-aggregation over the summary's rows. The
+    * gate runs the SUBSET shape (GROUP BY l_linestatus alone), the first
+    * thing a real user hits after the single-column rewrite works; the
+    * plan assertion proves the one registered summary served it. */
+  def q34bSummaryMultiCol(s: SparkSession, d: String): DataFrame = {
+    val basePath = s"$d/lineitem.parquet"
+    val sumDir = graft.Tables.scratchDir("graft-q34b-summary")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_v"),
+        min(dec(col("l_quantity"))).as("min_v"),
+        max(dec(col("l_quantity"))).as("max_v"))
+      .write.mode("overwrite").parquet(sumDir)
+    graft.plans.SummaryRegistry.register(basePath,
+      graft.plans.SummaryRegistry.Entry(
+        s.read.parquet(sumDir).queryExecution.analyzed,
+        Seq("l_returnflag", "l_linestatus"), "l_quantity"))
+    val outDir = graft.Tables.scratchDir("graft-q34b-out")
+    try {
+      val df = lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asDouble(min(dec(col("l_quantity")))).as("min_qty"),
+          asDouble(max(dec(col("l_quantity")))).as("max_qty"))
+        .orderBy(col("l_linestatus"))
+      val relPaths = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+      require(relPaths.exists(_.contains("graft-q34b-summary")),
+        s"multi-col summary rewrite did not fire: $relPaths\n" +
+          df.queryExecution.optimizedPlan)
+      require(!relPaths.exists(_.contains("lineitem.parquet")),
+        s"base table still scanned: $relPaths")
+      df.write.mode("overwrite").parquet(outDir)
+      s.read.parquet(outDir).orderBy(col("l_linestatus"))
+    } finally graft.plans.SummaryRegistry.deregister(basePath)
+  }
+
+  val q34bSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** Unpivot (melt, the inverse of q13's pivot): a wide per-flag
     * aggregate turned long — (flag, metric, value) — with Spark's native
     * `unpivot` (an Expand node: no shuffle, no join; each input row fans
@@ -1353,6 +1409,7 @@ object Relational {
     "q32_unpivot" -> (q32Unpivot _),
     "q33_hierarchy" -> (q33Hierarchy _),
     "q34_summary_rewrite" -> (q34SummaryRewrite _),
+    "q34b_summary_multicol" -> (q34bSummaryMultiCol _),
     "q35_string_agg" -> (q35StringAgg _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _),
@@ -1395,6 +1452,7 @@ object Relational {
     "q32_unpivot" -> q32Sql,
     "q33_hierarchy" -> q33Sql,
     "q34_summary_rewrite" -> q34Sql,
+    "q34b_summary_multicol" -> q34bSql,
     "q35_string_agg" -> q35Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql,
