@@ -376,7 +376,64 @@ object XmlQueries {
       |  CAST(SUM(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tot
       |FROM orders GROUP BY status ORDER BY status""".stripMargin
 
+  /** Write-path round trip through the `graft-xml` SINK
+    * ([[org.apache.spark.sql.graft.XmlOutputWriter]]): orders + their
+    * lineitem numbers are written as XML (attribute via `_status`, decimal
+    * / date / free-text scalars, an array under a container element), read
+    * back through the splittable rowTag scan, and re-extracted with the
+    * DSL. The oracle computes the same result straight from the parquet
+    * tables, so a hash match certifies write -> scan -> parse fidelity —
+    * including XML escaping of the comment text and array order. The
+    * reference has no sink (Parser.cs:207 materializes in-memory objects);
+    * this closes the library's write side. */
+  def x11WriteRoundtrip(sp: SparkSession, dir: String): DataFrame = {
+    val o = orders(sp, dir)
+    val lns = lineitem(sp, dir).groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber").cast("int"))).as("ln"))
+    val toWrite = o.join(lns, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey").cast("int").as("id"),
+        col("o_orderstatus").as("_status"), // -> status='..' attribute
+        dec(col("o_totalprice")).as("total"),
+        col("o_orderdate").cast("date").as("odate"),
+        // free text with XML-special chars: exercises escaping round-trip
+        concat(col("o_orderpriority"), lit(" <&> "),
+          col("o_orderpriority")).as("comment"),
+        struct(col("ln")).as("lns")) // container: <lns><ln>1</ln>..</lns>
+    val outDir = graft.Tables.scratchDir("graft-x11") // deleted on exit
+    spread(toWrite).write.mode("overwrite").format("graft-xml")
+      .option("rowTag", "o").save(outDir)
+    val parser = XmlParser.struct("o") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.attribute("status").as("status"),
+        a.nullDecimal("total").cast("double").as("total"),
+        a.nullDate("odate").cast("date").as("odate"),
+        a.str("comment").as("comment"),
+        a.array("lns")(c => c.nullInt("ln")).as("ln"))
+    }
+    parser.read(sp, outDir)
+      .select(col("parsed.id").as("id"), col("parsed.status").as("status"),
+        col("parsed.total").as("total"), col("parsed.odate").as("odate"),
+        col("parsed.comment").as("comment"),
+        size(col("parsed.ln")).as("n_items"),
+        aggregate(col("parsed.ln"), lit(0), (acc, x) => acc + x).as("sum_ln"))
+      .orderBy("id")
+  }
+
+  val x11Sql: String =
+    """SELECT CAST(o_orderkey AS INT) AS id, o_orderstatus AS status,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+      |  CAST(o_orderdate AS DATE) AS odate,
+      |  o_orderpriority || ' <&> ' || o_orderpriority AS comment,
+      |  CAST(count(*) AS INT) AS n_items,
+      |  CAST(SUM(l_linenumber) AS INT) AS sum_ln
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY id, status, total, odate, comment
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_xml_write_roundtrip" -> (x11WriteRoundtrip _),
     "x10_xml_malformed" -> (x10MalformedPermissive _),
     "x1_xml_scan_cast" -> (x1ScanCast _),
     "x2_xml_array_order" -> (x2ArrayOrder _),
@@ -389,6 +446,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x11_xml_write_roundtrip" -> x11Sql,
     "x10_xml_malformed" -> x10Sql,
     "x1_xml_scan_cast" -> x1Sql,
     "x2_xml_array_order" -> x2Sql,

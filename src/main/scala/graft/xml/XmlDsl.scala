@@ -573,77 +573,60 @@ final class CompiledXmlParser private[xml] (
   /** Batch table scan over XML files — one row per `rowTag` element
     * (≙ CreateArrayParser over a file, Parser.cs:341-345).
     *
-    * Fully-native specs go through the XML file source (schema pushdown,
-    * subtree skipping in the scan). Wildcard/custom specs need each
-    * element's raw text, so they read through the `graft-xml` FileFormat —
-    * the splittable rowTag scanner surfaced as a data source (the
-    * distributed form of the reference's glob dispatch, Parser.cs:175-187;
-    * FileSourceScan sizes splits as max(openCost, totalBytes/parallelism),
-    * so one big file fans out across cores without manual split tuning) —
-    * and bind via the StAX expressions, exactly as `parse()` does. Both
-    * paths return one `parsed` column. The raw Hadoop surface
-    * ([[XmlElementInputFormat]]) remains for RDD/Hadoop-API consumers and
-    * shares the same [[XmlRecordScanner]]. */
+    * Every spec reads through the `graft-xml` FileFormat — the splittable
+    * rowTag scanner surfaced as a data source (the distributed form of the
+    * reference's glob dispatch, Parser.cs:175-187; FileSourceScan sizes
+    * splits as max(openCost, totalBytes/parallelism), so one big file fans
+    * out across cores without manual split tuning) — then binds each
+    * record via `parse()`: native specs parse with codegen'd from_xml,
+    * wildcard/custom specs with the StAX expressions. Returns one `parsed`
+    * column. The raw Hadoop surface ([[XmlElementInputFormat]]) remains
+    * for RDD/Hadoop-API consumers and shares the same
+    * [[XmlRecordScanner]]. */
   def read(spark: SparkSession, path: String): DataFrame = {
     require(asArray.isEmpty, "read() needs a struct parser; array parsers " +
       "consume a container element — use parse() on a string column")
     require(rootTag.nonEmpty, "read() needs a rootTag (XmlParser.struct)")
-    if (spec.isNative) {
-      val df = spark.read.format("xml")
-        .option("rowTag", rootTag.get)
-        .option("attributePrefix", "_")
-        .option("mode", "PERMISSIVE")
-        .schema(spec.nativeReadSchema)
-        .load(path)
-      val all = struct(df.columns.map(col).toIndexedSeq: _*)
-      df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
-        .as("parsed"))
-    } else {
-      spark.read.format("graft-xml")
-        .option("rowTag", rootTag.get)
-        .load(path)
-        .select(parse(col("value")).as("parsed"))
-    }
+    // ALL specs read through the graft-xml rowTag scan, then bind via
+    // parse() — which itself picks the native from_xml path for native
+    // specs, so per-record parsing stays codegen'd. Routing native specs
+    // through Spark's built-in XML FILE source instead is NOT safe: with
+    // multiple root-level records per file (the rootless shape our writer
+    // emits and the reference parses, Test1.cs:128-133) it returns the
+    // FIRST record plus one corrupt-record row for the remainder of the
+    // file. The rowTag scanner handles rooted and rootless files alike
+    // and keeps big files splittable.
+    spark.read.format("graft-xml")
+      .option("rowTag", rootTag.get)
+      .load(path)
+      .select(parse(col("value")).as("parsed"))
   }
 
   /** Structured-streaming variant of [[read]] — the incremental realization
-    * of the reference's forward-only contract (SURVEY.md §7.1).
+    * of the reference's forward-only contract (SURVEY.md §7.1). Same
+    * routing as [[read]]: the `graft-xml` scan splits files into rowTag
+    * records, `parse()` binds each (native from_xml or StAX per spec); the
+    * reference applies its glob dispatch to any input (Parser.cs:175-187),
+    * so the streaming surface must too.
     *
-    * Fully-native specs stream through the native XML file source.
-    * Wildcard/custom specs — which batch [[read]] routes through the
-    * splittable rowTag scanner — stream through the `text` file source in
-    * wholetext mode, split into rowTag records by the SAME scan
-    * ([[XmlRecordSplit]] wraps the byte scanner the input format runs), and
-    * bind via `parse()`; the reference applies its glob dispatch to any
-    * input (Parser.cs:175-187), so the streaming surface must too.
-    *
-    * MEMORY: the wildcard/custom path streams through the `graft-xml`
-    * FileFormat, which scans byte-range SPLITS — a 10 GB drop file becomes
-    * ~80 independent 128 MB-split tasks holding one record each at a time,
-    * never a wholetext string (the pre-round-5 OOM ceiling). Compressed
-    * files decode through their codec as one split per file. */
+    * MEMORY: the `graft-xml` FileFormat scans byte-range SPLITS — a 10 GB
+    * drop file becomes ~80 independent 128 MB-split tasks holding one
+    * record each at a time, never a wholetext string (the pre-round-5 OOM
+    * ceiling). Compressed files decode through their codec as one split
+    * per file. */
   def readStream(spark: SparkSession, path: String): DataFrame = {
     require(asArray.isEmpty && rootTag.nonEmpty,
       "readStream() has the same constraints as read()")
-    if (spec.isNative) {
-      val df = spark.readStream.format("xml")
-        .option("rowTag", rootTag.get)
-        .option("attributePrefix", "_")
-        .option("mode", "PERMISSIVE")
-        .schema(spec.nativeReadSchema)
-        .load(path)
-      val all = struct(df.columns.map(col).toIndexedSeq: _*)
-      df.select(combine(new NativeBindNode(all, lit(rootTag.get), spec))
-        .as("parsed"))
-    } else {
-      // file stream sources require an explicit schema; graft-xml's is
-      // fixed (value: string), one row per rowTag element
-      spark.readStream.format("graft-xml")
-        .option("rowTag", rootTag.get)
-        .schema(org.apache.spark.sql.graft.XmlRowTagFileFormat.schema)
-        .load(path)
-        .select(parse(col("value")).as("parsed"))
-    }
+    // Same routing as read(), for the same reason: the built-in XML file
+    // source mis-handles rootless multi-record files (first record + one
+    // corrupt row per file); the rowTag scan is shape-agnostic. File
+    // stream sources require an explicit schema; graft-xml's is fixed
+    // (value: string), one row per rowTag element.
+    spark.readStream.format("graft-xml")
+      .option("rowTag", rootTag.get)
+      .schema(org.apache.spark.sql.graft.XmlRowTagFileFormat.schema)
+      .load(path)
+      .select(parse(col("value")).as("parsed"))
   }
 }
 

@@ -35,8 +35,28 @@ object XmlValues {
 
   /** `NullDecimal` (Parser.cs:69-84): empty/missing/unparseable -> null.
     * The reference's culture-separator quirk (Parser.cs:79) is deliberately
-    * not replicated (SURVEY.md §7.3). */
+    * NOT applied here (SURVEY.md §7.3) — this is the sane default;
+    * [[nullDecimalCulture]] restores bug-for-bug parity. */
   def nullDecimal(c: Column): Column = trim(c).try_cast(DecimalType(38, 18))
+
+  /** `NullDecimal` with full reference parity, QUIRK INCLUDED. Parser.cs:79
+    * runs `str.Replace(".", numberFormatInfo.NumberGroupSeparator)` where
+    * `new NumberFormatInfo()` is invariant-culture: the group separator is
+    * `","`. So every `.` becomes a THOUSANDS separator and .NET's TryParse
+    * (NumberStyles.Number) strips group separators regardless of position:
+    * `"123.45"` parses as `12345`, `"1.2.3"` as `123`, and an input that
+    * already used `","` groups (`"1,234"`) also parses as `1234`. A LEADING
+    * or TRAILING separator (`".5"`, `"5."`) makes TryParse fail -> null,
+    * which the guards below reproduce. Opt-in only — use when byte-for-byte
+    * agreement with reference output matters more than correct decimals. */
+  def nullDecimalCulture(c: Column): Column = {
+    val t = trim(c)
+    val sep = t.rlike("^[^.,].*[.,]") && !t.rlike("[.,]$") // no lead/trail sep
+    val stripped = regexp_replace(t, "[.,]", "")
+    when(sep, stripped.try_cast(DecimalType(38, 18)))
+      .otherwise(when(t.rlike("[.,]"), lit(null).cast(DecimalType(38, 18)))
+        .otherwise(t.try_cast(DecimalType(38, 18))))
+  }
 
   /** `NullDate` (Parser.cs:86-95): empty/missing -> null. */
   def nullDate(c: Column): Column = try_to_timestamp(trim(c))

@@ -4,15 +4,16 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.FileStatus
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.compress.CompressionCodecFactory
-import org.apache.hadoop.mapreduce.Job
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow,
   UnsafeProjection}
-import org.apache.spark.sql.execution.datasources.{FileFormat,
-  OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.catalyst.util.CompressionCodecs
+import org.apache.spark.sql.execution.datasources.{CodecStreams, FileFormat,
+  OutputWriter, OutputWriterFactory, PartitionedFile}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,9 +36,15 @@ import graft.xml.{XmlElementInputFormat, XmlRecordScanner}
   * their Hadoop codec as a single split each, exactly like the input
   * format.
   *
+  * The write side ([[XmlOutputWriter]]) makes the format symmetric:
+  * `df.write.format("graft-xml").option("rowTag", "rec").save(dir)` emits
+  * one rowTag element per row, attributes via `attributePrefix`-named
+  * struct fields, arrays as repeated elements — every shape the read DSL
+  * extracts, so data round-trips write -> scan -> parse.
+  *
   * Lives in the `org.apache.spark.sql.graft` bridge package because
   * `SerializableConfiguration` (the standard way to ship the Hadoop conf
-  * to executors) is `private[spark]`. Read-only: `prepareWrite` throws. */
+  * to executors) is `private[spark]`. */
 class XmlRowTagFileFormat extends FileFormat with DataSourceRegister
     with Serializable {
 
@@ -50,11 +57,33 @@ class XmlRowTagFileFormat extends FileFormat with DataSourceRegister
       files: Seq[FileStatus]): Option[StructType] =
     Some(XmlRowTagFileFormat.schema)
 
+  /** Write side: `df.write.format("graft-xml").option("rowTag", "rec")
+    * .save(dir)` — see [[XmlOutputWriter]] for the row->XML mapping.
+    * Schema validation happens here (plan time), not mid-write. */
   override def prepareWrite(sparkSession: SparkSession, job: Job,
       options: Map[String, String],
-      dataSchema: StructType): OutputWriterFactory =
-    throw new UnsupportedOperationException(
-      "graft-xml is read-only; write XML as text")
+      dataSchema: StructType): OutputWriterFactory = {
+    val rowTag = options.getOrElse("rowTag",
+      throw new IllegalArgumentException(
+        "graft-xml requires the rowTag option"))
+    require(rowTag.nonEmpty, "rowTag must be non-empty")
+    val rootTag = options.get("rootTag").filter(_.nonEmpty)
+    val attrPrefix = options.getOrElse("attributePrefix", "_")
+    require(attrPrefix.nonEmpty, "attributePrefix must be non-empty")
+    XmlOutputWriter.validateSchema(dataSchema, attrPrefix)
+    options.get("compression").foreach { c =>
+      CompressionCodecs.setCodecConfiguration(job.getConfiguration,
+        CompressionCodecs.getCodecClassName(c))
+    }
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String =
+        ".xml" + CodecStreams.getCompressionExtension(context)
+      override def newInstance(path: String, dataSchema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new XmlOutputWriter(path, dataSchema, rowTag, rootTag, attrPrefix,
+          context)
+    }
+  }
 
   override def isSplitable(sparkSession: SparkSession,
       options: Map[String, String], path: Path): Boolean =
