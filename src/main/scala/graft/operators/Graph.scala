@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over an edge table — the link-graph half of
+  * a web-scale training-data pipeline. Page quality at corpus scale is
+  * usually a LINK signal (incoming links from high-rank hosts) fed into
+  * the curation mix next to the text-quality scores (`Text`), so the
+  * engine needs an iterative graph primitive that survives 100 TB:
+  * per-iteration joins on a co-partitioned edge table, reliable scratch
+  * materialization between rounds (the [[Hierarchy]]/[[Vocab]]/[[Dedup]]
+  * discipline — never executor-pinned cache), and NO driver-side state
+  * beyond the loop counter.
+  *
+  * Arithmetic is INTEGER CREDITS, not floating-point rank: summing
+  * doubles is order-dependent under distributed aggregation, so two runs
+  * (or two engines) can disagree in the last ulp — poison for both the
+  * correctness oracle and cross-run reproducibility of a curation
+  * pipeline. Integer credit flow (`(cr * damp) div (scale * outdeg)`,
+  * exact integer division) is associative, so the result is bit-identical
+  * on any partitioning and replayable in any engine with 64-bit integers.
+  */
+object Graph {
+
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = graft.Tables.scratchDir(tag)
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
+  /** PageRank with integer credits. `edges`: (src: long, dst: long),
+    * multi-edges and self-loops allowed. Every node starts with
+    * `initCredits`; each iteration a node keeps nothing, sends each
+    * out-edge `(cr * dampNum) div (dampDen * outdeg)` credits (exact
+    * integer division — dangling remainders are burned, like the
+    * standard formulation's dangling-mass drop), and every node receives
+    * `teleport` base credits. Returns (id, cr) after `iters` rounds.
+    *
+    * Shape per iteration: one join credits⋈edges on src (both sides hash
+    * on the node id, and the edge side's partitioning is reused across
+    * all rounds), one aggregation by dst, one left join back to the node
+    * universe. Frontier state is materialized to scratch parquet each
+    * round, so a lost executor replays one round, not the whole loop. */
+  def pageRankCredits(edges: DataFrame, iters: Int,
+      initCredits: Long = 1000000L, teleport: Long = 150000L,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = materialize(
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id"))).distinct(),
+      "graft-pr-nodes")
+    // outdegree rides WITH each edge so the per-iteration join is a
+    // single equi-join on src — no second join against a degree table
+    val e = materialize(
+      e0.join(e0.groupBy("src").agg(count(lit(1)).as("__d")), "src"),
+      "graft-pr-edges")
+    var credits = nodes.select(col("id"), lit(initCredits).as("cr"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(credits, e("src") === credits("id"))
+        .select(col("dst"),
+          // SQL `div`: exact integer quotient — floor(double-division)
+          // could land one off when the true quotient sits on an integer
+          expr(s"(cr * $dampNum) div (${dampDen}L * __d)").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__in"))
+      credits = materialize(
+        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"),
+            (lit(teleport) + coalesce(col("__in"), lit(0L))).as("cr")),
+        s"graft-pr-$i")
+      i += 1
+    }
+    credits
+  }
+
+  /** Triangle count per node over an UNDIRECTED simple graph (the input
+    * edge list is symmetrized and de-duplicated; self-loops dropped).
+    *
+    * Uses the degree-ordered wedge join: each undirected edge {u,v} is
+    * oriented from the lower (degree, id) endpoint to the higher, wedges
+    * are built by joining oriented edges on their source, and a wedge
+    * (a->b, a->c) closes iff oriented edge b->c exists. Orientation bounds
+    * the wedge fan-out by the ARBORICITY bound (sum over nodes of
+    * min(deg, sqrt(E))²-ish) instead of sum(deg²) — the standard trick
+    * that keeps a power-law 100 TB web graph joinable: the million-degree
+    * hub generates no wedges because every hub edge points INTO it.
+    * Returns (id, triangles) for every node with at least one triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-tri-und")
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    // orient by the TOTAL order (degree, id), small -> large; exactly one
+    // row per {u,v}. The same order must drive the wedge pairing below,
+    // or triangles whose two middle corners have inverted degree order
+    // would look for a closing edge oriented the wrong way.
+    val oriented = materialize(
+      und.join(deg, "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .filter(col("d") < col("dv") ||
+          (col("d") === col("dv") && col("u") < col("v")))
+        .select(col("u").as("a"), col("v").as("b"), col("dv").as("db")),
+      "graft-tri-oriented")
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.a") === col("e2.a"))
+      .filter(col("e1.db") < col("e2.db") ||
+        (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b")))
+      .select(col("e1.a").as("w0"), col("e1.b").as("w1"),
+        col("e2.b").as("w2"))
+    // wedge (w1 ≺ w2 in orientation order) closes iff oriented edge
+    // w1 -> w2 exists; each triangle closes exactly once, from its
+    // minimum-order corner
+    val tris = wedges.join(oriented.as("c"),
+      col("w1") === col("c.a") && col("w2") === col("c.b"))
+      .select(col("w0"), col("w1"), col("w2"))
+    // every closed wedge is one distinct triangle; credit all 3 corners
+    tris.select(explode(array(col("w0"), col("w1"), col("w2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+}

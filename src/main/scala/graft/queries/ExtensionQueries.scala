@@ -2092,6 +2092,89 @@ object ExtensionQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
       |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ----- graph: link-quality propagation + triangle counting -----
+
+  /** The derived deterministic link graph both graph gates share: each
+    * document u = h(doc_id) mod N links to the 3 documents
+    * v_k = h(doc_id:k) mod N (portable md5 arithmetic, so the DuckDB
+    * oracle reconstructs the SAME graph; collisions/self-loops are part
+    * of the definition). N rides in via a broadcast 1-row cross join —
+    * no driver-side count action. */
+  private def linkEdges(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("__n"),
+        Hashing.portableHash32(col("doc_id").cast("string")).as("__h"),
+        explode(array(lit(0), lit(1), lit(2))).as("__k"),
+        col("doc_id"))
+      .select(
+        pmod(col("__h"), col("__n")).as("src"),
+        pmod(Hashing.portableHash32(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("__k").cast("string"))), col("__n")).as("dst"))
+  }
+
+  private val linkEdgesSql: String =
+    """edges AS (
+      |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |           % (SELECT COUNT(*) FROM documents) AS src,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |           CAST(k AS VARCHAR)), 1, 8))::BIGINT
+      |           % (SELECT COUNT(*) FROM documents) AS dst
+      |  FROM documents, (VALUES (0), (1), (2)) AS ks(k))""".stripMargin
+
+  /** Integer-credit PageRank ([[graft.operators.Graph.pageRankCredits]]),
+    * 3 iterations over the derived link graph; top 25 pages by credit.
+    * Exact integer arithmetic means the oracle's unrolled-CTE replay
+    * matches hash-for-hash — no float-sum order sensitivity. */
+  def g1Pagerank(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankCredits(linkEdges(sp, dir), iters = 3)
+      .orderBy(col("cr").desc, col("id")).limit(25)
+
+  val g1Sql: String =
+    s"""WITH $linkEdgesSql,
+      |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+      |e AS (SELECT edges.src, edges.dst, deg.d FROM edges
+      |      JOIN deg USING (src)),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |c0 AS (SELECT id, CAST(1000000 AS BIGINT) AS cr FROM nodes),
+      |c1 AS (SELECT n.id, 150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      |       FROM nodes n LEFT JOIN e ON e.dst = n.id
+      |       LEFT JOIN c0 c ON c.id = e.src GROUP BY n.id),
+      |c2 AS (SELECT n.id, 150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      |       FROM nodes n LEFT JOIN e ON e.dst = n.id
+      |       LEFT JOIN c1 c ON c.id = e.src GROUP BY n.id),
+      |c3 AS (SELECT n.id, 150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      |       FROM nodes n LEFT JOIN e ON e.dst = n.id
+      |       LEFT JOIN c2 c ON c.id = e.src GROUP BY n.id)
+      |SELECT id, cr FROM c3 ORDER BY cr DESC, id LIMIT 25""".stripMargin
+
+  /** Per-node triangle counts ([[graft.operators.Graph.triangleCounts]],
+    * degree-ordered wedge join) on the same derived graph; top 25 nodes. */
+  def g2Triangles(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(linkEdges(sp, dir))
+      .orderBy(col("triangles").desc, col("id")).limit(25)
+
+  val g2Sql: String =
+    s"""WITH $linkEdgesSql,
+      |und AS (SELECT DISTINCT u, v FROM (
+      |          SELECT src AS u, dst AS v FROM edges
+      |          UNION ALL SELECT dst, src FROM edges) s WHERE u <> v),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+      |orient AS (SELECT und.u AS a, und.v AS b, d2.d AS db FROM und
+      |           JOIN deg d1 ON d1.u = und.u JOIN deg d2 ON d2.u = und.v
+      |           WHERE d1.d < d2.d OR (d1.d = d2.d AND und.u < und.v)),
+      |tri AS (SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2
+      |        FROM orient e1 JOIN orient e2 ON e1.a = e2.a
+      |          AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+      |        JOIN orient c ON c.a = e1.b AND c.b = e2.b),
+      |corners AS (SELECT w0 AS id FROM tri UNION ALL
+      |            SELECT w1 FROM tri UNION ALL SELECT w2 FROM tri)
+      |SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
+      |ORDER BY triangles DESC, id LIMIT 25""".stripMargin
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2134,6 +2217,8 @@ object ExtensionQueries {
     "a4_ann_ivf_kmeans" -> (a4AnnIvfKmeans _),
     "a5_ann_recall" -> (a5AnnRecall _),
     "a6_ann_query_table" -> (a6AnnQueryTable _),
+    "g1_pagerank" -> (g1Pagerank _),
+    "g2_triangles" -> (g2Triangles _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m3_frame_sample" -> (m3FrameSample _),
@@ -2194,6 +2279,8 @@ object ExtensionQueries {
     "a4_ann_ivf_kmeans" -> a4Sql,
     "a5_ann_recall" -> a5Sql,
     "a6_ann_query_table" -> a6Sql,
+    "g1_pagerank" -> g1Sql,
+    "g2_triangles" -> g2Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m3_frame_sample" -> m3Sql,

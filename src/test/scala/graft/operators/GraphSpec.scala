@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Graph]] — integer-credit PageRank against hand-computed credit flow,
+  * and degree-ordered triangle counting including the case where the
+  * wedge corners' degree order inverts their id order. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("pageRankCredits: exact integer credit flow, 2 iterations") {
+    // 1->2, 1->3, 2->3, 3->1; outdeg 1:2, 2:1, 3:1
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 1L)
+    val got = Graph.pageRankCredits(e, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: c(1)=150k+850k; c(2)=150k+425k; c(3)=150k+425k+850k
+    // iter2: from1=425k each, from2=(575000*85) div 100=488750,
+    //        from3=(1425000*85) div 100=1211250
+    assert(got == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+  }
+
+  test("pageRankCredits: dangling remainder burned, teleport floor") {
+    // single edge 1->2; node 2 dangling (sends nothing)
+    val e = edges(1L -> 2L)
+    val got = Graph.pageRankCredits(e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 150000L, 2L -> (150000L + 850000L)))
+  }
+
+  test("triangleCounts: one triangle + pendant; symmetrization and dedup") {
+    // triangle {1,2,3} given as mixed directions + a duplicate, pendant 4
+    val e = edges(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    val got = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4: no triangle row
+  }
+
+  test("triangleCounts: wedge order follows degree, not id") {
+    // triangle {1,2,3} with 2 a hub (extra edges to 4,5): in the wedge
+    // from corner 1, the closing edge must be sought 3->2 (degree order),
+    // not 2->3 (id order)
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 2L -> 4L, 2L -> 5L)
+    val got = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // {1,2,3} and {2,3,4} share edge {2,3}
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val got = Graph.triangleCounts(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+}
