@@ -21,6 +21,20 @@ object Text {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** All overlapping n-token word grams of a document, in position order
+    * (NOT distinct — exact-substring dedup needs every occurrence). A doc
+    * with fewer than n tokens yields an empty array. Pure Column expression:
+    * `transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))`,
+    * entirely inside whole-stage codegen. */
+  def wordGrams(c: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** PII scrubbing: redact emails and phone numbers — the standard
     * training-corpus hygiene pass. Patterns stay in the regex subset that
     * Java and RE2-style engines interpret identically, so the oracle

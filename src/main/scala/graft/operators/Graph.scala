@@ -76,6 +76,56 @@ object Graph {
     credits
   }
 
+  /** Connected components over an UNDIRECTED graph (input edge list is
+    * symmetrized; self-loops irrelevant). Returns (id, comp) where comp is
+    * the minimum node id reachable from id.
+    *
+    * Each round does hash-to-min THEN pointer doubling:
+    *   1. neighbor-min: cand(v) = min over u in N(v) of comp(u) — one
+    *      equi-join edges⋈labels on the edge source + one min-agg by dst
+    *      (label values only ever travel along edges, so a round is one
+    *      shuffle-join + one shuffle-agg on the node id);
+    *   2. pointer doubling: comp'(v) = comp(comp(v)) — comp values ARE
+    *      node ids, so one self-join of the label table chases one level
+    *      of indirection per round, collapsing long chains in O(log
+    *      diameter) rounds instead of the O(diameter) of plain label
+    *      propagation (the classic trick; cf. large-star/small-star).
+    * Convergence = a round changes no label (one count action per round);
+    * labels are materialized to scratch parquet per round — a lost
+    * executor replays one round, not the loop. Driver state: the loop
+    * counter and the change count. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym0 = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))
+    val und = materialize(
+      sym0.union(sym0.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-cc-und")
+    var labels = materialize(
+      und.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")),
+      "graft-cc-0")
+    var i = 0
+    var changed = 1L
+    while (i < maxIters && changed > 0L) {
+      val nbrMin = und.join(labels, und("u") === labels("id"))
+        .groupBy(und("v").as("id")).agg(min(col("comp")).as("__nm"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"))
+      val parent = stepped.select(col("id").as("__pid"),
+        col("comp").as("__pcomp"))
+      val doubled = stepped.join(parent, stepped("comp") === col("__pid"))
+        .select(col("id"), col("__pcomp").as("comp"))
+      val next = materialize(doubled, s"graft-cc-${i + 1}")
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") =!= col("p.comp")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

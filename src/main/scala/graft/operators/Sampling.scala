@@ -185,4 +185,31 @@ object Sampling {
       .filter(Hashing.portableHash32(key) < col("__cut"))
       .drop("__stratum", "__cut")
   }
+
+  /** Per-domain quota: keep at most `k` rows per `domain`, chosen by
+    * ascending (portable hash of `key`, `key`) — the web-pipeline "cap any
+    * single host at N pages" rule, deterministic across engines and runs
+    * because rank is a hash, not arrival order.
+    *
+    * The naive form is `row_number() over (partition by domain order by
+    * rank)` — one shuffle whose reduce side SORTS every row of the biggest
+    * domain; at web scale one domain can be 1% of the corpus. This instead
+    * aggregates with [[graft.functions.TopKPairsAgg]], whose state is
+    * capped at k pairs everywhere in the partial-aggregation tree, so the
+    * dominant domain costs map-side k-pair partials plus a k*partitions
+    * merge — never a domain-sized sort or buffer. One hash-agg shuffle
+    * total. `key` must be a long id (doc_id-shaped). */
+  def domainQuota(df: DataFrame, domain: Column, key: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be > 0")
+    val topk = graft.functions.TopKPairsAgg.topKPairs(k)
+    val rank = Hashing.portableHash32(key.cast("string"))
+    df.select(domain.as("domain"), rank.as("__rk"),
+        key.cast("long").as("__id"))
+      .groupBy(col("domain"))
+      .agg(topk(col("__rk"), col("__id")).as("__top"))
+      .select(col("domain"), explode(col("__top")).as("__e"))
+      .select(col("domain"), col("__e._2").as("key"),
+        col("__e._1").as("rank"))
+  }
 }

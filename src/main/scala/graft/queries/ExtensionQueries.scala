@@ -685,6 +685,61 @@ object ExtensionQueries {
        |  least(CAST(ceil(least(1.0, 800.0 / tok) * 4294967296.0) AS BIGINT), 4294967296)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-domain quota sampling ([[graft.operators.Sampling.domainQuota]]):
+    * keep at most 10 docs per source by ascending (portable hash, id) —
+    * the "cap any single host" web-pipeline rule. Runs through the bounded
+    * [[graft.functions.TopKPairsAgg]] (state capped at k pairs through the
+    * whole partial-agg tree), not a window sort; the oracle is the window
+    * form, which proves the bounded aggregate selects exactly the
+    * row_number()-over-(hash, id) prefix. */
+  def t21DomainQuota(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.domainQuota(
+        documents(sp, dir), col("source"), col("doc_id"), k = 10)
+      .orderBy("domain", "key")
+
+  val t21Sql: String =
+    s"""SELECT source AS domain, doc_id AS key, h AS rank
+       |FROM (SELECT source, doc_id,
+       |        ${h("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+       |QUALIFY row_number() OVER
+       |  (PARTITION BY source ORDER BY h, doc_id) <= 10
+       |ORDER BY domain, key""".stripMargin
+
+  /** Exact-substring duplicate-span detection (the Lee et al. 2022
+    * "Deduplicating Training Data" signal): for every document, how many of
+    * its overlapping 8-token grams occur more than once in the corpus.
+    * Grams are reduced to 32-bit portable hashes BEFORE the count shuffle
+    * — at 100 TB the shuffle carries 4-byte keys, not 8-token strings; the
+    * oracle applies the identical md5 hash, so collisions (part of the
+    * definition) match bit-for-bit. Plan: one explode (codegen
+    * [[graft.functions.Text.wordGrams]]), one hash-agg by gram hash, one
+    * equi-join back, one agg by doc. */
+  def t22DupSpans(sp: SparkSession, dir: String): DataFrame = {
+    val occ = documents(sp, dir)
+      .select(col("doc_id"), explode(Text.wordGrams(col("text"), 8)).as("__g"))
+      .select(col("doc_id"), Hashing.portableHash32(col("__g")).as("__gh"))
+    val counts = occ.groupBy("__gh").agg(count(lit(1)).as("__c"))
+    occ.join(counts, "__gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("__c") > 1, 1).otherwise(0)).cast("int").as("n_dup"),
+        round(avg(when(col("__c") > 1, 1.0).otherwise(0.0)), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val t22Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS l FROM documents),
+       |occ AS (SELECT doc_id, ${h("gram")} AS gh FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 6),
+       |    i -> array_to_string(l[i:i+7], ' '))) AS gram FROM toks)),
+       |counts AS (SELECT gh, COUNT(*) AS c FROM occ GROUP BY gh)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+       |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup,
+       |  ROUND(AVG(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
+       |FROM occ JOIN counts USING (gh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ======================= dedup =======================
 
   /** Exact dedup over a re-crawled (duplicated) corpus: survivors + group
@@ -2175,6 +2230,27 @@ object ExtensionQueries {
       |SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
       |ORDER BY triangles DESC, id LIMIT 25""".stripMargin
 
+  /** Connected components ([[graft.operators.Graph.connectedComponents]],
+    * hash-to-min + pointer doubling, O(log diameter) rounds) over the
+    * derived link graph; every node labeled with its component's minimum
+    * id. The oracle is DuckDB's recursive-CTE transitive closure reduced
+    * by MIN — a completely independent algorithm, so agreement checks the
+    * fixpoint itself, not the implementation. */
+  def g3Components(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.connectedComponents(linkEdges(sp, dir))
+      .orderBy("id")
+
+  val g3Sql: String =
+    s"""WITH RECURSIVE $linkEdgesSql,
+      |und AS (SELECT src AS u, dst AS v FROM edges
+      |        UNION SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT u AS id FROM und),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id)
+      |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2219,6 +2295,7 @@ object ExtensionQueries {
     "a6_ann_query_table" -> (a6AnnQueryTable _),
     "g1_pagerank" -> (g1Pagerank _),
     "g2_triangles" -> (g2Triangles _),
+    "g3_components" -> (g3Components _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m3_frame_sample" -> (m3FrameSample _),
@@ -2241,6 +2318,8 @@ object ExtensionQueries {
     "s13_stream_dedup" -> (s13StreamDedup _),
     "s14_stream_semi_join" -> (s14StreamSemiJoin _),
     "t20_lm_score" -> (t20LmScore _),
+    "t21_domain_quota" -> (t21DomainQuota _),
+    "t22_dup_spans" -> (t22DupSpans _),
     "d15_fuzzy_match" -> (d15FuzzyMatch _),
     "m4_wav_energy" -> (m4WavEnergy _))
 
@@ -2281,6 +2360,7 @@ object ExtensionQueries {
     "a6_ann_query_table" -> a6Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
+    "g3_components" -> g3Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
@@ -2303,6 +2383,8 @@ object ExtensionQueries {
     "s13_stream_dedup" -> s13Sql,
     "s14_stream_semi_join" -> s14Sql,
     "t20_lm_score" -> t20Sql,
+    "t21_domain_quota" -> t21Sql,
+    "t22_dup_spans" -> t22Sql,
     "d15_fuzzy_match" -> d15Sql,
     "m4_wav_energy" -> m4Sql,
     "d10_embed_quant" -> d10Sql,

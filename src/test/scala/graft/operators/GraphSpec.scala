@@ -63,4 +63,29 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("connectedComponents: two components + a long chain") {
+    // chain 1-2-3-4-5 (forces >1 round without doubling) and pair {10,11}
+    val e = edges(2L -> 1L, 2L -> 3L, 4L -> 3L, 4L -> 5L, 10L -> 11L)
+    val got = Graph.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: min id sits at the chain's far end") {
+    // labels must travel the whole path: 9-8-7-6-1, min (1) at one end
+    val e = edges(9L -> 8L, 8L -> 7L, 7L -> 6L, 6L -> 1L)
+    val got = Graph.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L) && got.keySet ==
+      Set(1L, 6L, 7L, 8L, 9L))
+  }
+
+  test("connectedComponents: self-loop-only node keeps its own label") {
+    val e = edges(1L -> 2L, 7L -> 7L)
+    val got = Graph.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
 }

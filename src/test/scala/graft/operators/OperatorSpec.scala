@@ -1065,4 +1065,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(merged == Seq(("a", 2L, 6L, 1, 5), ("b", 2L, -1L, -3, 2),
       ("c", 1L, 9L, 9, 9)))
   }
+
+  test("TopKPairsAgg: bounded state, reduce/merge associative, ties by id") {
+    val agg = new graft.functions.TopKPairsAgg(3)
+    // reduce 6 pairs in adversarial order; rank ties broken by id
+    val in = Seq((5L, 50L), (1L, 99L), (1L, 10L), (9L, 1L), (2L, 7L),
+      (1L, 11L))
+    val all = in.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(all) == Seq((1L, 10L), (1L, 11L), (1L, 99L)))
+    // state never exceeds k pairs
+    assert(all(0) == 3L && all.length == 7)
+    // split-and-merge equals single-pass for every split point
+    for (cut <- 0 to in.length) {
+      val (l, r) = in.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m) == agg.finish(all), s"split at $cut")
+    }
+  }
+
+  test("domainQuota: equals the window form; bounded agg, no window sort") {
+    import spark.implicits._
+    // skewed: domain "big" has 40 rows, "small" has 2
+    val df = ((1L to 40L).map(i => ("big", i)) ++
+      Seq(("small", 100L), ("small", 101L))).toDF("source", "doc_id")
+    val got = Sampling.domainQuota(df, col("source"), col("doc_id"), k = 5)
+    val rows = got.orderBy("domain", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // oracle: row_number over (hash, id) per domain
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.Hashing.portableHash32(
+      col("doc_id").cast("string"))
+    val want = df.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+      .filter(col("__rn") <= 5).orderBy("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == want)
+    assert(rows.count(_._1 == "big") == 5 &&
+      rows.count(_._1 == "small") == 2)
+    // plan: hash aggregation with the UDAF, no window exec
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "quota must not use a window sort")
+  }
+
+  test("wordGrams: positions, overlap, short-doc empty; hash parity shape") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+    val got = df.select(graft.functions.Text.wordGrams(col("text"), 3)
+      .as("g")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq()))
+  }
 }
