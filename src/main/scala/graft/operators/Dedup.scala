@@ -414,4 +414,31 @@ object Dedup {
           lit(0), _ + _).cast("double") / k)
       .drop("sig_a", "sig_b")
   }
+
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023): scope
+    * the pairwise cosine check to k-means CELLS instead of LSH buckets —
+    * cluster the corpus (see [[Ann.kmeansRefine]]), then confirm exact
+    * cosine >= threshold only WITHIN each cell. Near-dups land in the
+    * same cell because the cells are cosine-Voronoi regions, so recall
+    * tracks cluster quality while the candidate count drops from
+    * corpus-squared to sum over cells of |cell|^2 — the knob is the
+    * centroid count, which should scale with the corpus (|cell| roughly
+    * constant). Same never-all-pairs discipline as the LSH families;
+    * assignment itself is the zero-shuffle map-side argmin, so the only
+    * shuffle is the self-join's hash partition on cid.
+    *
+    * `corpus`: (id, vec); `centroids`: (cid, cvec) — refined or not.
+    * Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4. */
+  def semanticNearDupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val cells = Ann.ivfIndex(corpus, centroids)
+    val l = cells.as("l")
+    val r = cells.as("r")
+    l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .filter(graft.functions.Vectors.cosine(col("l.vec"), col("r.vec"))
+        >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        graft.functions.Vectors.cosineR(col("l.vec"), col("r.vec"), 4)
+          .as("cos"))
+  }
 }

@@ -347,6 +347,51 @@ object ExtensionQueries {
       |WHERE levenshtein(name1, name2) <= 3
       |ORDER BY name1, name2""".stripMargin
 
+  /** Semantic dedup, SemDeDup-style
+    * ([[graft.operators.Dedup.semanticNearDupPairs]]): k-means cells
+    * (1 refine iteration from the deterministic seed set) scope the
+    * pairwise cosine check; exact confirm within cells only. Contrast
+    * with d8, which scopes by sign-bit LSH buckets — same corpus, same
+    * threshold, different candidate-restriction geometry. The oracle
+    * replays the full centroid refinement + Voronoi assignment in SQL. */
+  def d16SemanticDedup(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val init = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val refined = Ann.kmeansRefine(corpus, init, iters = 1)
+    Dedup.semanticNearDupPairs(corpus, refined, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d16Sql: String = {
+    val dim = 64
+    def assignCte(cent: String, out: String) =
+      s"""$out AS (SELECT id, vec, cid FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN $cent c) WHERE rn = 1)""".stripMargin
+    def meanCte(asg: String, prev: String, out: String) =
+      s"""${out}m AS (SELECT cid, list(m ORDER BY pos) AS mvec FROM (
+         |  SELECT cid, pos, round(avg(vec[pos]), 4) AS m
+         |  FROM $asg, range(1, ${dim + 1}) t(pos) GROUP BY cid, pos)
+         |  GROUP BY cid),
+         |$out AS (SELECT p.cid, coalesce(m.mvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN ${out}m m ON p.cid = m.cid)""".stripMargin
+    s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |${assignCte("c0", "a1")},
+       |${meanCte("a1", "c0", "c1")},
+       |${assignCte("c1", "cells")}
+       |SELECT l.id AS id_a, r.id AS id_b,
+       |  round(${cosSql("l.vec", "r.vec")}, 4) AS cos
+       |FROM cells l JOIN cells r ON l.cid = r.cid AND l.id < r.id
+       |WHERE ${cosSql("l.vec", "r.vec")} >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Vocabulary build + corpus encode: dense sorted token ids from
     * [[graft.operators.Vocab.contiguousIds]] (range-sort + per-partition
     * offsets — no single-partition window), then every token joined to its
@@ -739,6 +784,30 @@ object ExtensionQueries {
        |  ROUND(AVG(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
        |FROM occ JOIN counts USING (gh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Positional inverted index + exact phrase search
+    * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
+    * the distributed posting-list form — then a 3-token phrase query
+    * resolved by doc_id equi-joins of the query terms' postings and a
+    * codegen'd position-array intersection. The oracle scans the raw text
+    * with an independent token-window predicate, so it checks the index's
+    * CONTENT, not its construction. */
+  def t23PhraseSearch(sp: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.InvertedIndex.build(
+      documents(sp, dir), col("doc_id"), col("text"))
+    graft.operators.InvertedIndex
+      .phraseSearch(idx, Seq("big", "order", "scan"))
+      .orderBy("doc_id")
+  }
+
+  val t23Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS l FROM documents),
+       |m AS (SELECT doc_id, CAST(len(list_filter(range(1, len(l) - 1),
+       |        i -> l[i] = 'big' AND l[i+1] = 'order' AND l[i+2] = 'scan'))
+       |        AS INT) AS n_matches
+       |      FROM toks)
+       |SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+       |ORDER BY doc_id""".stripMargin
 
   // ======================= dedup =======================
 
@@ -2320,7 +2389,9 @@ object ExtensionQueries {
     "t20_lm_score" -> (t20LmScore _),
     "t21_domain_quota" -> (t21DomainQuota _),
     "t22_dup_spans" -> (t22DupSpans _),
+    "t23_phrase_search" -> (t23PhraseSearch _),
     "d15_fuzzy_match" -> (d15FuzzyMatch _),
+    "d16_semantic_dedup" -> (d16SemanticDedup _),
     "m4_wav_energy" -> (m4WavEnergy _))
 
   val oracles: Map[String, String] = Map(
@@ -2385,7 +2456,9 @@ object ExtensionQueries {
     "t20_lm_score" -> t20Sql,
     "t21_domain_quota" -> t21Sql,
     "t22_dup_spans" -> t22Sql,
+    "t23_phrase_search" -> t23Sql,
     "d15_fuzzy_match" -> d15Sql,
+    "d16_semantic_dedup" -> d16Sql,
     "m4_wav_energy" -> m4Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,

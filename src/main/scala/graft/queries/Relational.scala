@@ -565,6 +565,35 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Calendar gap-fill + forward-fill ([[graft.operators.GapFill]]): daily
+    * order counts per priority densified to EVERY day of each priority's
+    * observed span, missing days carrying the last count forward and
+    * flagged `is_gap`. The filled metric is an integer count, so the
+    * forward-carry is hash-exact across engines. */
+  def q36GapFill(s: SparkSession, d: String): DataFrame = {
+    val obs = orders(s, d)
+      .groupBy(col("o_orderpriority").as("key"),
+        col("o_orderdate").cast("date").as("date"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.operators.GapFill.fillDaily(obs, "key", "date", "n_orders")
+      .orderBy("key", "date")
+  }
+
+  val q36Sql: String =
+    """WITH obs AS (SELECT o_orderpriority AS key,
+      |               CAST(o_orderdate AS DATE) AS d, COUNT(*) AS v
+      |             FROM orders GROUP BY 1, 2),
+      |span AS (SELECT key, MIN(d) AS d0, MAX(d) AS d1 FROM obs GROUP BY 1),
+      |cal AS (SELECT key, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |          CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      |        FROM span)
+      |SELECT cal.key, cal.d AS date,
+      |  last_value(obs.v IGNORE NULLS) OVER (PARTITION BY cal.key
+      |    ORDER BY cal.d) AS n_orders,
+      |  obs.v IS NULL AS is_gap
+      |FROM cal LEFT JOIN obs ON obs.key = cal.key AND obs.d = cal.d
+      |ORDER BY cal.key, date""".stripMargin
+
   /** Profile drift: the ML-ops screen between two snapshots of the same
     * table — per column, row/null/distinct counts side by side plus the
     * row-count ratio, composed from [[graft.operators.Profile]] on each
@@ -1411,6 +1440,7 @@ object Relational {
     "q34_summary_rewrite" -> (q34SummaryRewrite _),
     "q34b_summary_multicol" -> (q34bSummaryMultiCol _),
     "q35_string_agg" -> (q35StringAgg _),
+    "q36_gap_fill" -> (q36GapFill _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _),
     "p4_profile_drift" -> (p4ProfileDrift _))
@@ -1454,6 +1484,7 @@ object Relational {
     "q34_summary_rewrite" -> q34Sql,
     "q34b_summary_multicol" -> q34bSql,
     "q35_string_agg" -> q35Sql,
+    "q36_gap_fill" -> q36Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql,
     "p4_profile_drift" -> p4Sql)

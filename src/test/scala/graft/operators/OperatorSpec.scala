@@ -1116,4 +1116,63 @@ class OperatorSpec extends AnyFunSuite {
       .as("g")).as[Seq[String]].collect().toSeq
     assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq()))
   }
+
+  test("GapFill.fillDaily: per-key spans, forward carry, is_gap flags") {
+    import spark.implicits._
+    import java.sql.Date
+    val df = Seq(
+      ("a", Date.valueOf("2024-01-01"), 5L),
+      ("a", Date.valueOf("2024-01-04"), 7L),
+      ("b", Date.valueOf("2024-02-10"), 1L)).toDF("key", "date", "v")
+    val got = GapFill.fillDaily(df, "key", "date", "v")
+      .orderBy("key", "date")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", 5L, false),
+      ("a", "2024-01-02", 5L, true),
+      ("a", "2024-01-03", 5L, true),
+      ("a", "2024-01-04", 7L, false),
+      ("b", "2024-02-10", 1L, false))) // b's span independent of a's
+  }
+
+  test("InvertedIndex: posting rows per (token, doc); phrase search " +
+      "counts overlapping occurrences; absent term -> no rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "a b a b"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, col("doc_id"), col("text"))
+    // postings for token "a": doc1 tf=3, doc2 tf=2
+    val aRows = idx.filter(col("token") === "a")
+      .collect().map(r => (r.getLong(1), r.getSeq[Int](2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(aRows == Seq((1L, Seq(0, 1, 2), 3), (2L, Seq(0, 2), 2)))
+    // "a a" in doc1 twice (overlap), never in doc2/doc3
+    val got = InvertedIndex.phraseSearch(idx, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 2)))
+    // "a b" in doc1 once, doc2 twice
+    val ab = InvertedIndex.phraseSearch(idx, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(ab == Seq((1L, 1), (2L, 2)))
+    assert(InvertedIndex.phraseSearch(idx, Seq("zzz", "a")).count() == 0L)
+  }
+
+  test("semanticNearDupPairs: pairs confined to k-means cells; " +
+      "threshold respected") {
+    import spark.implicits._
+    // two orthogonal clusters in 2D; within-cluster cosine ~1, across ~0
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(1.0f, 0.02f)),
+      (3L, Seq(0.01f, 1.0f)), (4L, Seq(0.02f, 1.0f)))
+      .toDF("id", "vec")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val got = Dedup.semanticNearDupPairs(corpus, cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(got == Seq((1L, 2L), (3L, 4L))) // never a cross-cell pair
+    // tight threshold kills even same-cell pairs
+    assert(Dedup.semanticNearDupPairs(corpus, cents, 0.9999999)
+      .count() == 0L)
+  }
 }
