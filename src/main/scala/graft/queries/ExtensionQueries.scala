@@ -347,6 +347,61 @@ object ExtensionQueries {
       |WHERE levenshtein(name1, name2) <= 3
       |ORDER BY name1, name2""".stripMargin
 
+  /** Entity resolution end-to-end: d15's fuzzy matching
+    * ([[graft.operators.Fuzzy.fuzzyPairs]]) produces the match-pair edge
+    * list, g3's [[graft.operators.Graph.connectedComponents]] closes it
+    * transitively (A~B, B~C => one entity even when A,C don't match
+    * directly), and one aggregation elects the canonical surface form
+    * (lexicographic min) per cluster. Names become graph nodes via the
+    * portable 32-bit hash — the same value in the oracle, so even a
+    * collision (which would merge two clusters) is deterministic and
+    * engine-identical. Output: multi-member clusters only. */
+  def d17EntityResolution(sp: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Fuzzy
+      .fuzzyPairs(part(sp, dir), "p_name", q = 3, maxDist = 3,
+        maxGramBucket = 12L)
+    val edges = pairs.select(
+      Hashing.portableHash32(col("name1")).as("src"),
+      Hashing.portableHash32(col("name2")).as("dst"))
+    val comps = graft.operators.Graph.connectedComponents(edges)
+    val names = pairs.select(col("name1").as("name"))
+      .union(pairs.select(col("name2"))).distinct()
+    names
+      .join(comps, Hashing.portableHash32(col("name")) === col("id"))
+      .groupBy(col("comp"))
+      .agg(min(col("name")).as("canonical"),
+        count(lit(1)).cast("int").as("n_members"),
+        array_join(sort_array(collect_set(col("name"))), "|").as("members"))
+      .select(col("canonical"), col("n_members"), col("members"))
+      .orderBy(col("canonical"))
+  }
+
+  val d17Sql: String =
+    s"""WITH RECURSIVE names0 AS (SELECT DISTINCT p_name AS name FROM part),
+      |g AS (SELECT DISTINCT name,
+      |    unnest(list_transform(range(1, len(name) - 1),
+      |      i -> name[i:i+2])) AS gram
+      |  FROM names0 WHERE len(name) >= 3),
+      |gc AS (SELECT name, gram FROM g
+      |  QUALIFY count(*) OVER (PARTITION BY gram) <= 12),
+      |cand AS (SELECT DISTINCT a.name AS name1, b.name AS name2
+      |  FROM gc a JOIN gc b ON a.gram = b.gram AND a.name < b.name),
+      |pairs AS (SELECT name1, name2 FROM cand
+      |  WHERE levenshtein(name1, name2) <= 3),
+      |nodes AS (SELECT DISTINCT name FROM (SELECT name1 AS name FROM pairs
+      |  UNION ALL SELECT name2 FROM pairs)),
+      |e AS (SELECT ${h("name1")} AS u, ${h("name2")} AS v FROM pairs
+      |  UNION SELECT ${h("name2")}, ${h("name1")} FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT ${h("name")}, ${h("name")} FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+      |SELECT MIN(n.name) AS canonical, CAST(COUNT(*) AS INT) AS n_members,
+      |  string_agg(n.name, '|' ORDER BY n.name) AS members
+      |FROM nodes n JOIN comp c ON ${h("n.name")} = c.id
+      |GROUP BY c.comp ORDER BY canonical""".stripMargin
+
   /** Semantic dedup, SemDeDup-style
     * ([[graft.operators.Dedup.semanticNearDupPairs]]): k-means cells
     * (1 refine iteration from the deterministic seed set) scope the
@@ -784,6 +839,37 @@ object ExtensionQueries {
        |  ROUND(AVG(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
        |FROM occ JOIN counts USING (gh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-language lexical profile: type-token ratio and hapax-legomenon
+    * fraction — the corpus-linguistics screen for synthetic/templated
+    * text (low TTR = repetitive generation; high hapax = noisy OCR). Two
+    * hash aggregations, the second over the TYPE table (vocabulary-sized,
+    * not corpus-sized); every statistic is exact-integer until the one
+    * final division, so the hash check is engine-exact. */
+  def t24LexicalStats(sp: SparkSession, dir: String): DataFrame = {
+    val freq = documents(sp, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    freq.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4).as("ttr"),
+        round(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("hapax_frac"))
+      .orderBy(col("lang"))
+  }
+
+  val t24Sql: String =
+    s"""WITH tok AS (SELECT lang, unnest($Toks) AS t FROM documents),
+       |freq AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t)
+       |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_types,
+       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+       |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS hapax_frac
+       |FROM freq GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Positional inverted index + exact phrase search
     * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
@@ -2390,8 +2476,10 @@ object ExtensionQueries {
     "t21_domain_quota" -> (t21DomainQuota _),
     "t22_dup_spans" -> (t22DupSpans _),
     "t23_phrase_search" -> (t23PhraseSearch _),
+    "t24_lexical_stats" -> (t24LexicalStats _),
     "d15_fuzzy_match" -> (d15FuzzyMatch _),
     "d16_semantic_dedup" -> (d16SemanticDedup _),
+    "d17_entity_resolution" -> (d17EntityResolution _),
     "m4_wav_energy" -> (m4WavEnergy _))
 
   val oracles: Map[String, String] = Map(
@@ -2457,8 +2545,10 @@ object ExtensionQueries {
     "t21_domain_quota" -> t21Sql,
     "t22_dup_spans" -> t22Sql,
     "t23_phrase_search" -> t23Sql,
+    "t24_lexical_stats" -> t24Sql,
     "d15_fuzzy_match" -> d15Sql,
     "d16_semantic_dedup" -> d16Sql,
+    "d17_entity_resolution" -> d17Sql,
     "m4_wav_energy" -> m4Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
