@@ -1,16 +1,10 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
-
-/** Plan auditor: prints the formatted physical plan of selected gate queries
-  * so pushdown/broadcast/codegen can be eyeballed per round.
-  * Usage: runMain graft.Explain <sfDir> <queryName> [queryName...]
-  */
+/** Dev helper: print the formatted physical plan of selected gates.
+  * Usage: runMain graft.Explain <sfDir> <name>[,<name>...] */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val Array(sfDir, names) = args
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
@@ -20,11 +14,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n=================== $n ===================")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println("EXPLAIN FAILED: " + e) }
+    names.split(",").foreach { n =>
+      println(s"========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
-    spark.stop()
   }
 }
