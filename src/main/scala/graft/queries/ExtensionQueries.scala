@@ -402,6 +402,42 @@ object ExtensionQueries {
       |FROM nodes n JOIN comp c ON ${h("n.name")} = c.id
       |GROUP BY c.comp ORDER BY canonical""".stripMargin
 
+  /** Exact set-similarity self-join with prefix filtering
+    * ([[graft.operators.SetSimJoin.jaccardJoin]]) over 3-gram shingle
+    * sets — the deterministic complement to d3's MinHash-LSH candidates:
+    * same corpus, same Jaccard semantics, but candidate generation is the
+    * LOSSLESS prefix-filter theorem (rare-first global order) instead of
+    * banding probability. The oracle replays ordering, prefix, size
+    * filter, and intersection in SQL. */
+  def d18PrefixJoin(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin.jaccardJoin(
+        documents(sp, dir).select(col("doc_id"),
+          Dedup.shingleSet(col("text"), 3).as("sh")),
+        col("doc_id"), col("sh"), tau = 0.3)
+      .orderBy("id_a", "id_b")
+
+  val d18Sql: String =
+    s"""WITH s AS (SELECT doc_id, ${shingleSql(Toks)} AS sh FROM documents),
+      |el AS (SELECT doc_id, unnest(sh) AS e FROM s WHERE len(sh) > 0),
+      |fr AS (SELECT e, COUNT(*) AS df FROM el GROUP BY e),
+      |ordered AS (SELECT doc_id, list(e ORDER BY df, e) AS toks,
+      |              COUNT(*) AS n
+      |            FROM el JOIN fr USING (e) GROUP BY doc_id),
+      |pfx AS (SELECT doc_id,
+      |          unnest(toks[1 : CAST(n - CAST(ceil(0.3 * n) AS INT) + 1
+      |            AS INT)]) AS p
+      |        FROM ordered),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM pfx a JOIN pfx b ON a.p = b.p AND a.doc_id < b.doc_id),
+      |j AS (SELECT id_a, id_b, oa.n AS na, ob.n AS nb,
+      |        len(list_intersect(oa.toks, ob.toks)) AS i
+      |      FROM cand JOIN ordered oa ON oa.doc_id = cand.id_a
+      |                JOIN ordered ob ON ob.doc_id = cand.id_b
+      |      WHERE oa.n >= 0.3 * ob.n AND ob.n >= 0.3 * oa.n)
+      |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jac
+      |FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Semantic dedup, SemDeDup-style
     * ([[graft.operators.Dedup.semanticNearDupPairs]]): k-means cells
     * (1 refine iteration from the deterministic seed set) scope the
@@ -2480,6 +2516,7 @@ object ExtensionQueries {
     "d15_fuzzy_match" -> (d15FuzzyMatch _),
     "d16_semantic_dedup" -> (d16SemanticDedup _),
     "d17_entity_resolution" -> (d17EntityResolution _),
+    "d18_prefix_join" -> (d18PrefixJoin _),
     "m4_wav_energy" -> (m4WavEnergy _))
 
   val oracles: Map[String, String] = Map(
@@ -2549,6 +2586,7 @@ object ExtensionQueries {
     "d15_fuzzy_match" -> d15Sql,
     "d16_semantic_dedup" -> d16Sql,
     "d17_entity_resolution" -> d17Sql,
+    "d18_prefix_join" -> d18Sql,
     "m4_wav_energy" -> m4Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,

@@ -1158,6 +1158,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(InvertedIndex.phraseSearch(idx, Seq("zzz", "a")).count() == 0L)
   }
 
+  test("SetSimJoin.jaccardJoin: equals the brute-force join (prefix " +
+      "filter is lossless); empty sets dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")), // jac(1,2) = 3/5 = 0.6
+      (3L, Seq("x", "y", "z")),      // disjoint from 1,2
+      (4L, Seq("x", "y", "z", "w")), // jac(3,4) = 3/4 = 0.75
+      (5L, Seq("a", "x")),           // below tau vs everything
+      (6L, Seq.empty[String]))
+      .toDF("id", "s")
+    val got = SetSimJoin.jaccardJoin(df, col("id"), col("s"), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    // brute force over all pairs at tau=0.5
+    val sets = Map(1L -> Set("a","b","c","d"), 2L -> Set("a","b","c","e"),
+      3L -> Set("x","y","z"), 4L -> Set("x","y","z","w"), 5L -> Set("a","x"))
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).size
+      j = i.toDouble / (sets(a) | sets(b)).size if j >= 0.5
+    } yield (a, b, math.rint(j * 10000) / 10000)).toSeq.sortBy(p => (p._1, p._2))
+    assert(got == want)
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L)))
+  }
+
   test("semanticNearDupPairs: pairs confined to k-means cells; " +
       "threshold respected") {
     import spark.implicits._
