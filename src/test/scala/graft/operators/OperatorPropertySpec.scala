@@ -242,4 +242,48 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKPairsAgg == sorted-take reference for random pair streams, " +
+      "any k, any split into partial buffers") {
+    val pairGen = for {
+      r <- Gen.chooseNum(-5L, 5L) // narrow range forces rank ties
+      id <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+    } yield (r, id)
+    for (k <- Seq(1, 2, 7, 64); trial <- 1 to 3) {
+      val n = 1 + (trial * 37) % 90
+      val in = samples(pairGen, n)
+      val agg = new graft.functions.TopKPairsAgg(k)
+      val uniqueIn = in.distinct // ids in real use are unique per group
+      val wantU = uniqueIn.sorted.take(k)
+      // merge tree: fold in random-sized chunks, then pairwise merge
+      val chunks = uniqueIn.grouped(math.max(1, uniqueIn.length / 4)).toSeq
+      val merged = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      assert(agg.finish(merged) == wantU, s"k=$k trial=$trial")
+      assert(merged(0).toInt <= k)
+    }
+  }
+
+  test("SetSimJoin == brute-force Jaccard join on random small sets " +
+      "across thresholds") {
+    import spark.implicits._
+    val setGen = Gen.chooseNum(0, 6).flatMap(sz =>
+      Gen.listOfN(sz, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))
+    val recs = samples(setGen, 40).zipWithIndex
+      .map { case (s, i) => (i.toLong, s.distinct) }
+    val df = recs.toDF("id", "s")
+    val sets = recs.toMap.map { case (k, v) => k -> v.toSet }
+    for (tau <- Seq(0.34, 0.5, 0.75, 1.0)) {
+      val got = SetSimJoin.jaccardJoin(df, col("id"), col("s"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity).toSeq
+      val want = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        i = (sets(a) & sets(b)).size
+        if i.toDouble / (sets(a) | sets(b)).size >= tau
+      } yield (a, b)).toSeq.sortBy(identity)
+      assert(got == want, s"tau=$tau")
+    }
+  }
 }
