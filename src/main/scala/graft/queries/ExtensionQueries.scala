@@ -403,7 +403,7 @@ object ExtensionQueries {
       |GROUP BY c.comp ORDER BY canonical""".stripMargin
 
   /** Exact set-similarity self-join with prefix filtering
-    * ([[graft.operators.SetSimJoin.jaccardJoin]]) over 3-gram shingle
+    * ([[graft.operators.SetSimJoin.jaccardJoin]]) over 5-gram shingle
     * sets — the deterministic complement to d3's MinHash-LSH candidates:
     * same corpus, same Jaccard semantics, but candidate generation is the
     * LOSSLESS prefix-filter theorem (rare-first global order) instead of
@@ -412,19 +412,25 @@ object ExtensionQueries {
   def d18PrefixJoin(sp: SparkSession, dir: String): DataFrame =
     graft.operators.SetSimJoin.jaccardJoin(
         documents(sp, dir).select(col("doc_id"),
-          Dedup.shingleSet(col("text"), 3).as("sh")),
-        col("doc_id"), col("sh"), tau = 0.3)
+          Dedup.shingleSet(col("text"), 5).as("sh")),
+        col("doc_id"), col("sh"), tau = 0.5)
       .orderBy("id_a", "id_b")
 
-  val d18Sql: String =
-    s"""WITH s AS (SELECT doc_id, ${shingleSql(Toks)} AS sh FROM documents),
+  val d18Sql: String = {
+    // 5-token shingles (rarer elements than d5's 3-grams: the prefix
+    // filter's bucket sizes track element rarity, so a richer shingle
+    // space is both the realistic and the fast configuration)
+    val sh5 = s"CASE WHEN len($Toks) < 5 THEN [] ELSE " +
+      s"list_distinct(list_transform(range(1, len($Toks) - 3), i -> " +
+      s"array_to_string($Toks[i:i+4], ' '))) END"
+    s"""WITH s AS (SELECT doc_id, $sh5 AS sh FROM documents),
       |el AS (SELECT doc_id, unnest(sh) AS e FROM s WHERE len(sh) > 0),
       |fr AS (SELECT e, COUNT(*) AS df FROM el GROUP BY e),
       |ordered AS (SELECT doc_id, list(e ORDER BY df, e) AS toks,
       |              COUNT(*) AS n
       |            FROM el JOIN fr USING (e) GROUP BY doc_id),
       |pfx AS (SELECT doc_id,
-      |          unnest(toks[1 : CAST(n - CAST(ceil(0.3 * n) AS INT) + 1
+      |          unnest(toks[1 : CAST(n - CAST(ceil(0.5 * n) AS INT) + 1
       |            AS INT)]) AS p
       |        FROM ordered),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -433,10 +439,11 @@ object ExtensionQueries {
       |        len(list_intersect(oa.toks, ob.toks)) AS i
       |      FROM cand JOIN ordered oa ON oa.doc_id = cand.id_a
       |                JOIN ordered ob ON ob.doc_id = cand.id_b
-      |      WHERE oa.n >= 0.3 * ob.n AND ob.n >= 0.3 * oa.n)
+      |      WHERE oa.n >= 0.5 * ob.n AND ob.n >= 0.5 * oa.n)
       |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jac
-      |FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3
+      |FROM j WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Semantic dedup, SemDeDup-style
     * ([[graft.operators.Dedup.semanticNearDupPairs]]): k-means cells
@@ -906,6 +913,58 @@ object ExtensionQueries {
        |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
        |    / COUNT(*), 4) AS hapax_frac
        |FROM freq GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** BPE merge APPLICATION ([[graft.functions.BpeApplyExpr]]) — the
+    * encode side of the t18-trained tokenizer: every distinct corpus word
+    * split into subword pieces under a fixed 8-merge table (a literal
+    * here so the oracle isolates ENCODE semantics; the spec composes
+    * train -> encode end-to-end). Per-word greedy left-to-right merge
+    * passes in rank order, replayed by the oracle as an 8-step
+    * string-rewrite recursion — piece boundaries match byte-for-byte. */
+  def t25BpeApply(sp: SparkSession, dir: String): DataFrame = {
+    val words = documents(sp, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val pieces = graft.functions.BpeApplyExpr.bpe_apply(col("w"), t25Merges)
+    words.select(col("w"),
+        array_join(pieces, "+").as("pieces"),
+        size(pieces).as("n_pieces"), col("n"))
+      .orderBy(col("w"))
+  }
+
+  private val t25Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"))
+
+  val t25Sql: String = {
+    val mergeRows = t25Merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT t AS w, COUNT(*) AS n FROM
+       |    (SELECT unnest($Toks) AS t FROM documents) WHERE t <> ''
+       |  GROUP BY t),
+       |mg(r, a, b) AS (SELECT * FROM (VALUES $mergeRows)),
+       |base AS (SELECT w, ' ' || array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i:i]), ' ') || ' '
+       |  AS s FROM words),
+       |enc(w, s, m) AS (
+       |  SELECT w, s, 0 FROM base
+       |  UNION ALL
+       |  SELECT e.w,
+       |    replace(replace(replace(e.s, ' ', '  '),
+       |      ' ' || mg.a || '  ' || mg.b || ' ', ' ' || mg.a || mg.b || ' '),
+       |      '  ', ' '),
+       |    e.m + 1
+       |  FROM enc e JOIN mg ON mg.r = e.m),
+       |done AS (SELECT w, s FROM enc WHERE m = ${t25Merges.length})
+       |SELECT words.w,
+       |  array_to_string(string_split(trim(done.s), ' '), '+') AS pieces,
+       |  CAST(len(string_split(trim(done.s), ' ')) AS INT) AS n_pieces,
+       |  CAST(words.n AS BIGINT) AS n
+       |FROM done JOIN words ON words.w = done.w
+       |ORDER BY words.w""".stripMargin
+  }
 
   /** Positional inverted index + exact phrase search
     * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
@@ -2513,6 +2572,7 @@ object ExtensionQueries {
     "t22_dup_spans" -> (t22DupSpans _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
+    "t25_bpe_apply" -> (t25BpeApply _),
     "d15_fuzzy_match" -> (d15FuzzyMatch _),
     "d16_semantic_dedup" -> (d16SemanticDedup _),
     "d17_entity_resolution" -> (d17EntityResolution _),
@@ -2583,6 +2643,7 @@ object ExtensionQueries {
     "t22_dup_spans" -> t22Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
+    "t25_bpe_apply" -> t25Sql,
     "d15_fuzzy_match" -> d15Sql,
     "d16_semantic_dedup" -> d16Sql,
     "d17_entity_resolution" -> d17Sql,

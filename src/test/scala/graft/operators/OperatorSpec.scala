@@ -1184,6 +1184,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("BpeApplyExpr: greedy LTR pass per merge in rank order; " +
+      "composes with trainMerges output") {
+    import spark.implicits._
+    import graft.functions.BpeApplyExpr.bpe_apply
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "a"))
+    val df = Seq("the", "than", "aaa", "xyz", "").toDF("w")
+    val got = df.select(bpe_apply(col("w"), merges).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("the"),          // t+h then th+e chain across ranks
+      Seq("th", "a", "n"), // rank order: th formed, (a,a) never fires
+      Seq("aa", "a"),      // greedy LTR, no overlapping merge
+      Seq("x", "y", "z"),
+      Seq()))
+    // code points, not chars: non-ASCII splits correctly with no merges
+    val uni = Seq("aé").toDF("w")
+      .select(bpe_apply(col("w"), Seq(("q", "q"))).as("p"))
+      .as[Seq[String]].collect().head
+    assert(uni == Seq("a", "é"))
+    // train -> encode composition: the trained merge lands and applies
+    val corpus = Seq("ab ab ab b").toDF("text")
+    val trained = Bpe.trainMerges(corpus, col("text"), numMerges = 2)
+      .filter(col("rhs") =!= "").orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(trained == Seq(("a", "b")))
+    val enc = Seq("ab", "b").toDF("w")
+      .select(bpe_apply(col("w"), trained).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(enc == Seq(Seq("ab"), Seq("b")))
+  }
+
   test("semanticNearDupPairs: pairs confined to k-means cells; " +
       "threshold respected") {
     import spark.implicits._
