@@ -123,6 +123,35 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Query-TABLE form of [[ivfTopK]] — the "score 10M queries against the
+    * corpus" RAG shape, IVF flavor (a6/`lshTopKJoin` is the LSH flavor):
+    * probe-cell selection stays the zero-shuffle map-side argmax over the
+    * driver-held centroid seq on BOTH sides, but the candidate join is a
+    * shuffle hash equi-join on cid — the query side is a distributed
+    * table end to end, never broadcast. Per-query top-k via the same
+    * qid-partitioned rank window. */
+  def ivfTopKJoin(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidSeq(centroids)
+    val index = ivfIndexWith(corpus, cents)
+    val qn = queries.withColumn("__nq", Vectors.norm2(col("qvec")))
+    val probes = qn
+      .withColumn("__cell", explode(slice(reverse(array_sort(
+        centScores(col("qvec"), col("__nq"), cents))), 1, nprobe)))
+      .select(col("qid"), col("qvec"), col("__nq"),
+        (-col("__cell.ncid")).as("cid"))
+    val cand = index.hint("shuffle_hash").join(probes, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Seeded Lloyd (k-means) refinement of an IVF centroid set: `iters`
     * deterministic iterations over the corpus starting from `init`
     * (cid, cvec). Assignment = nearest centroid by cosine with ties to the

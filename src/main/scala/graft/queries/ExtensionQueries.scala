@@ -1510,6 +1510,51 @@ object ExtensionQueries {
     out
   }
 
+  /** Query-table ANN, IVF flavor ([[Ann.ivfTopKJoin]]): 50 queries as a
+    * distributed table probing 2 cells of the seed centroid set, candidate
+    * join as a shuffle hash equi-join on cid — plan-asserted no broadcast
+    * of either join side (the a6 contract, different index geometry). */
+  def a7AnnIvfQueryTable(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val init = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Ann.ivfTopKJoin(qs, corpus, init, k = 3, nprobe = 2)
+      .orderBy("qid", "rank")
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastExchange"),
+      s"query side must not be broadcast:\n$plan")
+    out
+  }
+
+  val a7Sql: String =
+    s"""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |cells AS (SELECT id, vec, cid FROM (
+       |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+       |probes AS (SELECT qid, qvec, cid FROM (
+       |  SELECT e.vec_id AS qid, e.embedding AS qvec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN c0 c WHERE e.vec_id < 50)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   val a6Sql: String =
     s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id < 4),
        |bk AS (SELECT e.vec_id AS id, e.embedding AS vec,
@@ -2543,6 +2588,7 @@ object ExtensionQueries {
     "a4_ann_ivf_kmeans" -> (a4AnnIvfKmeans _),
     "a5_ann_recall" -> (a5AnnRecall _),
     "a6_ann_query_table" -> (a6AnnQueryTable _),
+    "a7_ann_ivf_query_table" -> (a7AnnIvfQueryTable _),
     "g1_pagerank" -> (g1Pagerank _),
     "g2_triangles" -> (g2Triangles _),
     "g3_components" -> (g3Components _),
@@ -2614,6 +2660,7 @@ object ExtensionQueries {
     "a4_ann_ivf_kmeans" -> a4Sql,
     "a5_ann_recall" -> a5Sql,
     "a6_ann_query_table" -> a6Sql,
+    "a7_ann_ivf_query_table" -> a7Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
     "g3_components" -> g3Sql,
