@@ -2375,6 +2375,40 @@ object ExtensionQueries {
       |    AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event""".stripMargin
 
+  /** Streaming XML SINK ([[graft.streaming.StreamOps.runToXmlSink]]):
+    * orders streamed from parquet, written as XML shards through the
+    * graft-xml FileFormat under Spark's FileStreamSink exactly-once
+    * commit log, then read BACK through the splittable rowTag scan + DSL
+    * and aggregated — the sink half of the streaming XML story (s5 is the
+    * source half), gated end-to-end against the parquet replay. */
+  def s15StreamXmlSink(sp: SparkSession, dir: String): DataFrame = {
+    val sch = graft.Tables.orders(sp, dir).schema
+    val src = sp.readStream.schema(sch)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      .select(col("o_orderkey").cast("int").as("id"),
+        col("o_orderstatus").as("_status"),
+        dec(col("o_totalprice")).as("total"))
+    val outDir = graft.Tables.scratchDir("graft-s15")
+    graft.streaming.StreamOps.runToXmlSink(sp, src, outDir, rowTag = "o")
+    val parser = graft.xml.XmlParser.struct("o") { a =>
+      struct(a.attribute("status").as("status"),
+        a.nullDecimal("total")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
+    }
+    parser.read(sp, outDir)
+      .select(col("parsed.status").as("status"),
+        col("parsed.total").as("total"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(col("total"))).as("sum_total"))
+      .orderBy("status")
+  }
+
+  val s15Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   /** Streaming exact dedup gate ([[graft.streaming.StreamOps
     * .streamingDedup]]): events deduplicated on (user_id, event_type)
     * within the watermark, live through the memory sink. The output
@@ -2613,6 +2647,7 @@ object ExtensionQueries {
     "s12_stream_outer_join" -> (s12StreamOuterJoin _),
     "s13_stream_dedup" -> (s13StreamDedup _),
     "s14_stream_semi_join" -> (s14StreamSemiJoin _),
+    "s15_stream_xml_sink" -> (s15StreamXmlSink _),
     "t20_lm_score" -> (t20LmScore _),
     "t21_domain_quota" -> (t21DomainQuota _),
     "t22_dup_spans" -> (t22DupSpans _),
@@ -2685,6 +2720,7 @@ object ExtensionQueries {
     "s12_stream_outer_join" -> s12Sql,
     "s13_stream_dedup" -> s13Sql,
     "s14_stream_semi_join" -> s14Sql,
+    "s15_stream_xml_sink" -> s15Sql,
     "t20_lm_score" -> t20Sql,
     "t21_domain_quota" -> t21Sql,
     "t22_dup_spans" -> t22Sql,

@@ -178,6 +178,29 @@ object StreamOps {
     * `spark.sql.shuffle.partitions` to [[StatePartitions]] for the
     * query's lifetime (the value is captured into the stream's checkpoint
     * at start), restoring the session default after. */
+  /** Drive a streaming DataFrame into the `graft-xml` FILE sink
+    * (append-mode micro-batch shards + the exactly-once `_spark_metadata`
+    * commit log Spark's FileStreamSink keeps; a batch read of `outDir`
+    * sees only committed shards). Same pinned-partitions discipline as
+    * [[runToMemory]]; the checkpoint lives beside the output and is
+    * scratch-scoped. This is the sink half of the streaming XML story —
+    * [[graft.xml.XmlParser.readStream]] being the source half. */
+  def runToXmlSink(sp: SparkSession, df: DataFrame, outDir: String,
+      rowTag: String): Unit = {
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      val q = df.writeStream
+        .format("graft-xml")
+        .option("rowTag", rowTag)
+        .option("checkpointLocation",
+          graft.Tables.scratchDir(s"graft-xmlsink-ckpt"))
+        .outputMode("append")
+        .start(outDir)
+      try q.processAllAvailable() finally q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def runToMemory(sp: SparkSession, df: DataFrame, name: String,
       outputMode: String): DataFrame = {
     val prev = sp.conf.get("spark.sql.shuffle.partitions")

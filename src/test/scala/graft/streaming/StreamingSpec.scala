@@ -539,4 +539,31 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("w", "event_type").collect().toSeq
     assert(got == want)
   }
+
+  test("streaming graft-xml sink: commit log written; read-back equals " +
+      "the streamed input; uncommitted files invisible") {
+    import spark.implicits._
+    val src = Seq((1, "A", "x <&> y"), (2, "B", "plain"))
+      .toDF("id", "_status", "comment")
+    val inDir = graft.Tables.scratchDir("graft-s15spec-in")
+    src.write.mode("overwrite").parquet(inDir)
+    val stream = spark.readStream.schema(src.schema).parquet(inDir)
+    val outDir = graft.Tables.scratchDir("graft-s15spec-out")
+    graft.streaming.StreamOps.runToXmlSink(spark, stream, outDir, "r")
+    // FileStreamSink's exactly-once commit log must exist
+    assert(new java.io.File(outDir, "_spark_metadata").exists())
+    // a stray uncommitted shard is ignored by the metadata-log read
+    val stray = new java.io.File(outDir, "part-junk.xml")
+    val w = new java.io.PrintWriter(stray)
+    w.print("<r id='99'><id>99</id></r>"); w.close()
+    val parser = graft.xml.XmlParser.struct("r") { a =>
+      struct(a.int("id").as("id"), a.attribute("status").as("status"),
+        a.str("comment").as("comment"))
+    }
+    val got = parser.read(spark, outDir)
+      .select(col("parsed.id"), col("parsed.status"), col("parsed.comment"))
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "A", "x <&> y"), (2, "B", "plain")))
+  }
 }
