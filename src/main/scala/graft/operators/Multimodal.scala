@@ -354,6 +354,43 @@ object Multimodal {
     sum
   }
 
+  /** 64-bit AVERAGE HASH (aHash) of a 24bpp BMP — the classic perceptual
+    * image fingerprint for near-dup detection at corpus scale: resize to
+    * 8x8 through the REAL [[resizeBmp]] resample, integer grayscale
+    * (b+g+r)/3 per pixel, one bit per pixel set where gray > the integer
+    * mean. All-integer arithmetic end to end, so the oracle can recompute
+    * the exact bits from the blob-fill formula; perceptually-identical
+    * images (crops/rescales of the same content) collide, and near-dups
+    * sit within a small Hamming radius. None for non-BMP payloads. */
+  def bmpAverageHash(m: Array[Byte]): Option[Long] =
+    resizeBmp(m, 8, 8).map { r =>
+      val buf = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOff = buf.getInt(10)
+      val row = ((3 * 8 + 3) / 4) * 4
+      val gray = new Array[Long](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val i = dataOff + y * row + x * 3
+          val g = ((r(i) & 0xff) + (r(i + 1) & 0xff) + (r(i + 2) & 0xff)) / 3
+          gray(y * 8 + x) = g
+          sum += g
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / 64
+      var h = 0L
+      var k = 0
+      while (k < 64) {
+        if (gray(k) > mean) h |= (1L << k)
+        k += 1
+      }
+      h
+    }
+
   /** Resize over partitions: BMPs go through the REAL [[resizeBmp]] pixel
     * resample; other payloads (audio, opaque formats — where a real
     * deployment plugs a codec) deterministically truncate/pad to

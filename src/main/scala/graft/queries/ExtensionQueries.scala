@@ -1807,6 +1807,59 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Perceptual image dedup ([[Multimodal.bmpAverageHash]]): every image
+    * doc's 64-bit aHash (REAL resize-to-8x8 + integer grayscale + bit per
+    * pixel above the integer mean), grouped to surface perceptual
+    * collisions — the image-side near-dup primitive. The oracle recomputes
+    * every BIT from the blob-fill formula: resample indices, channel
+    * bytes, integer-division grayscale and mean, two's-complement bit 63
+    * via int128 summation — a hash match proves the whole pixel pipeline,
+    * not just a checksum. */
+  def m5PerceptualHash(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    val hashes = media.as[Multimodal.MediaRow]
+      .map(r => (r.doc_id, Multimodal.bmpAverageHash(r.media).getOrElse(0L)))
+      .toDF("doc_id", "ahash")
+    val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("n_same"))
+    hashes.join(groups, "ahash")
+      .select(col("doc_id"), col("ahash"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  val m5Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |g AS (SELECT p.doc_id, ty.y AS y, tx.x AS x,
+       |    (SUM(('0x' || substr(p.hx,
+       |      2 * ((((ty.y * p.src_h) // 8) * p.src_row
+       |            + ((tx.x * p.src_w) // 8) * 3 + tc.c) % p.len) + 1,
+       |      2))::BIGINT)) // 3 AS gray
+       |  FROM p, range(0, 8) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+       |  GROUP BY p.doc_id, ty.y, tx.x),
+       |m AS (SELECT doc_id, SUM(gray) // 64 AS mean FROM g GROUP BY doc_id),
+       |h0 AS (SELECT g.doc_id,
+       |    SUM(CASE WHEN g.gray > m.mean
+       |      THEN (1::HUGEINT << (g.y * 8 + g.x)) ELSE 0::HUGEINT END)
+       |      AS hsum
+       |  FROM g JOIN m ON g.doc_id = m.doc_id
+       |  GROUP BY g.doc_id),
+       |h AS (SELECT doc_id,
+       |    CAST(CASE WHEN hsum >= 9223372036854775808::HUGEINT
+       |      THEN hsum - 18446744073709551616::HUGEINT ELSE hsum END
+       |      AS BIGINT) AS ahash
+       |  FROM h0),
+       |c AS (SELECT ahash, COUNT(*) AS n_same FROM h GROUP BY ahash)
+       |SELECT h.doc_id, h.ahash, c.n_same
+       |FROM h JOIN c ON h.ahash = c.ahash
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   /** REAL video-container gate: every AVI doc's blob (doc_id%3=2) goes
     * through the `LIST movi` walk and every SECOND frame is emitted
     * (stride 2 — the frame-sampling primitive of a video training
@@ -2658,7 +2711,8 @@ object ExtensionQueries {
     "d16_semantic_dedup" -> (d16SemanticDedup _),
     "d17_entity_resolution" -> (d17EntityResolution _),
     "d18_prefix_join" -> (d18PrefixJoin _),
-    "m4_wav_energy" -> (m4WavEnergy _))
+    "m4_wav_energy" -> (m4WavEnergy _),
+    "m5_perceptual_hash" -> (m5PerceptualHash _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -2732,6 +2786,7 @@ object ExtensionQueries {
     "d17_entity_resolution" -> d17Sql,
     "d18_prefix_join" -> d18Sql,
     "m4_wav_energy" -> m4Sql,
+    "m5_perceptual_hash" -> m5Sql,
     "d10_embed_quant" -> d10Sql,
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,

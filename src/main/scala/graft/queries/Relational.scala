@@ -636,6 +636,41 @@ object Relational {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** Daily-volume anomaly screen: days whose order count deviates >= 2
+    * population-sigma from the series mean. The DECISION is pure integer
+    * arithmetic — with D days, S = sum(n), Q = sum(n^2), the z-score is
+    * (nD - S)/sqrt(QD - S^2), so |z| >= 2 iff (nD - S)^2 >= 4(QD - S^2),
+    * all in BIGINT (no float boundary can flip a flag; upgrade to
+    * DECIMAL(38,0) if nD can exceed ~3e9 at your corpus). The displayed z
+    * divides two exactly-representable integers and takes one IEEE sqrt,
+    * so even it is engine-exact. One tiny stats aggregate broadcast back
+    * over the daily series — nothing scales past the pre-aggregation. */
+  def p5DailyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = daily.agg(count(lit(1)).as("__dd"), sum(col("n")).as("__s"),
+      sum(col("n") * col("n")).as("__q"))
+    val num = col("n") * col("__dd") - col("__s")
+    val den = col("__q") * col("__dd") - col("__s") * col("__s")
+    daily.crossJoin(broadcast(st))
+      .filter(den > 0 && num * num >= lit(4L) * den)
+      .select(col("day"), col("n"),
+        round(num.cast("double") / sqrt(den.cast("double")), 4).as("z"))
+      .orderBy("day")
+  }
+
+  val p5Sql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS dd, SUM(n) AS s, SUM(n*n) AS q FROM daily)
+      |SELECT day, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n*dd - s AS DOUBLE) / sqrt(CAST(q*dd - s*s AS DOUBLE)),
+      |    4) AS z
+      |FROM daily, st
+      |WHERE q*dd - s*s > 0 AND (n*dd - s)*(n*dd - s) >= 4*(q*dd - s*s)
+      |ORDER BY day""".stripMargin
+
   /** Outer-join semantics: full outer between two grouped aggregates with
     * a deliberately thinned supplier side (s_suppkey < 30 leaves some
     * nations supplier-less), so both null wings are exercised and
@@ -1443,7 +1478,8 @@ object Relational {
     "q36_gap_fill" -> (q36GapFill _),
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _),
-    "p4_profile_drift" -> (p4ProfileDrift _))
+    "p4_profile_drift" -> (p4ProfileDrift _),
+    "p5_daily_anomalies" -> (p5DailyAnomalies _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1487,5 +1523,6 @@ object Relational {
     "q36_gap_fill" -> q36Sql,
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql,
-    "p4_profile_drift" -> p4Sql)
+    "p4_profile_drift" -> p4Sql,
+    "p5_daily_anomalies" -> p5Sql)
 }
