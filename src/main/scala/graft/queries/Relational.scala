@@ -671,6 +671,37 @@ object Relational {
       |WHERE q*dd - s*s > 0 AND (n*dd - s)*(n*dd - s) >= 4*(q*dd - s*s)
       |ORDER BY day""".stripMargin
 
+  /** Explicit GROUPING SETS — the irregular-lattice form rollup (q8) and
+    * cube (q12) can't express: exactly {(status, priority), (status), ()}
+    * with grouping_id disambiguating the null-vs-NULL ambiguity. Single
+    * Expand + one hash aggregation, same engine machinery as rollup, but
+    * the set list is user-chosen. Entered through spark.sql — the SQL
+    * front door is part of the library surface. */
+  def q37GroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q37")
+    s.sql("""
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_total
+      FROM orders_q37
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), ())
+      ORDER BY gid, status, priority""")
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), ())
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** Outer-join semantics: full outer between two grouped aggregates with
     * a deliberately thinned supplier side (s_suppkey < 30 leaves some
     * nations supplier-less), so both null wings are exercised and
@@ -1479,7 +1510,8 @@ object Relational {
     "p2_expectations" -> (p2Expectations _),
     "p3_regression_stats" -> (p3RegressionStats _),
     "p4_profile_drift" -> (p4ProfileDrift _),
-    "p5_daily_anomalies" -> (p5DailyAnomalies _))
+    "p5_daily_anomalies" -> (p5DailyAnomalies _),
+    "q37_grouping_sets" -> (q37GroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1524,5 +1556,6 @@ object Relational {
     "p2_expectations" -> p2Sql,
     "p3_regression_stats" -> p3Sql,
     "p4_profile_drift" -> p4Sql,
-    "p5_daily_anomalies" -> p5Sql)
+    "p5_daily_anomalies" -> p5Sql,
+    "q37_grouping_sets" -> q37Sql)
 }
