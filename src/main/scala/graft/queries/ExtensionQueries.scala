@@ -883,6 +883,61 @@ object ExtensionQueries {
        |FROM occ JOIN counts USING (gh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Paragraph-level (fixed 12-token segment) exact dedup with document
+    * reassembly — the RefinedWeb/CCNet rewrite step: every distinct
+    * segment survives once at its first (doc_id, seg_idx) occurrence,
+    * documents are rebuilt from their surviving segments, and fully
+    * deduplicated documents come back empty rather than vanishing.
+    * Distinct from d1 (whole-doc dedup — keeps or drops a doc atomically)
+    * and t22 (measures overlapping-gram duplication but rewrites
+    * nothing). Keeper election is min(struct) — a partial-aggregating
+    * shuffle on the segment, not a corpus-wide window. */
+  def d19SegmentDedup(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk
+      .segmentDedup(documents(sp, dir), col("text"), col("doc_id"), 12)
+      .orderBy("doc_id")
+
+  val d19Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS l
+      |  FROM documents),
+      |segs AS (SELECT doc_id, i AS seg_idx,
+      |    array_to_string(l[i*12+1:i*12+12], ' ') AS seg
+      |  FROM toks, LATERAL unnest(
+      |    range(0, CAST(ceil(len(l)/12.0) AS BIGINT))) AS t(i)),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs),
+      |kept AS (SELECT doc_id, seg_idx, seg FROM ranked WHERE rn = 1),
+      |totals AS (SELECT doc_id, count(*) AS n_total FROM segs GROUP BY 1),
+      |agg AS (SELECT doc_id,
+      |    string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+      |    count(*) AS n_kept FROM kept GROUP BY 1)
+      |SELECT t.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+      |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+      |  CAST(t.n_total - coalesce(a.n_kept, 0) AS INT) AS n_dropped
+      |FROM totals t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Overlapping sliding-window chunking (16-token windows, stride 8) —
+    * the RAG / context-packing expansion. Chunk count is a per-row
+    * closed form inside codegen (no number-table join); consecutive
+    * chunks share w−s tokens so no boundary context is lost. */
+  def t26ChunkOverlap(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk
+      .overlapping(documents(sp, dir), col("text"), col("doc_id"), 16, 8)
+      .orderBy("doc_id", "chunk_id")
+
+  val t26Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS l
+      |  FROM documents),
+      |ch AS (SELECT doc_id, i AS chunk_id,
+      |    array_to_string(l[i*8+1:i*8+16], ' ') AS chunk,
+      |    len(l[i*8+1:i*8+16]) AS n_tokens
+      |  FROM toks, LATERAL unnest(range(0, CAST(
+      |    1 + floor((greatest(len(l)-16,0)+7)/8) AS BIGINT))) AS t(i))
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(n_tokens AS INT) AS n_tokens, chunk
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Per-language lexical profile: type-token ratio and hapax-legomenon
     * fraction — the corpus-linguistics screen for synthetic/templated
     * text (low TTR = repetitive generation; high hapax = noisy OCR). Two
@@ -2712,7 +2767,9 @@ object ExtensionQueries {
     "d17_entity_resolution" -> (d17EntityResolution _),
     "d18_prefix_join" -> (d18PrefixJoin _),
     "m4_wav_energy" -> (m4WavEnergy _),
-    "m5_perceptual_hash" -> (m5PerceptualHash _))
+    "m5_perceptual_hash" -> (m5PerceptualHash _),
+    "d19_segment_dedup" -> (d19SegmentDedup _),
+    "t26_chunk_overlap" -> (t26ChunkOverlap _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -2791,5 +2848,7 @@ object ExtensionQueries {
     "d11_dedup_e2e" -> d11Sql,
     "d12_dedup_clusters" -> d12Sql,
     "d13_dedup_incremental" -> d13Sql,
-    "d14_contamination" -> d14Sql)
+    "d14_contamination" -> d14Sql,
+    "d19_segment_dedup" -> d19Sql,
+    "t26_chunk_overlap" -> t26Sql)
 }

@@ -702,6 +702,42 @@ object Relational {
       |  (o_orderstatus), ())
       |ORDER BY gid, status, priority""".stripMargin
 
+  /** Navigation window-function family — lag/lead/first_value/ntile/
+    * row_number over a per-customer order-date frame, through the SQL
+    * front door (like q37). q4 covers running aggregates; this gates the
+    * offset/navigation functions, whose frame semantics (lag/lead ignore
+    * the frame; first_value uses RANGE UNBOUNDED PRECEDING..CURRENT ROW;
+    * ntile splits with the first buckets one row larger) must match the
+    * standard exactly. The ORDER BY key (o_orderdate, o_orderkey) is
+    * unique per partition, so every function is deterministic. Scale: one
+    * shuffle on o_custkey + an in-partition sort — the minimal plan for
+    * any ordered-window computation; partitions are per-customer so no
+    * global sort exists. */
+  def q38WindowNav(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q38")
+    s.sql("""
+      SELECT o_custkey, o_orderkey,
+        CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+        CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
+        CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        CAST(row_number() OVER w AS INT) AS rn
+      FROM orders_q38
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, rn""")
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(lag(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+      |  CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
+      |  CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  CAST(row_number() OVER w AS INT) AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   /** Outer-join semantics: full outer between two grouped aggregates with
     * a deliberately thinned supplier side (s_suppkey < 30 leaves some
     * nations supplier-less), so both null wings are exercised and
@@ -1511,7 +1547,8 @@ object Relational {
     "p3_regression_stats" -> (p3RegressionStats _),
     "p4_profile_drift" -> (p4ProfileDrift _),
     "p5_daily_anomalies" -> (p5DailyAnomalies _),
-    "q37_grouping_sets" -> (q37GroupingSets _))
+    "q37_grouping_sets" -> (q37GroupingSets _),
+    "q38_window_nav" -> (q38WindowNav _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1557,5 +1594,6 @@ object Relational {
     "p3_regression_stats" -> p3Sql,
     "p4_profile_drift" -> p4Sql,
     "p5_daily_anomalies" -> p5Sql,
-    "q37_grouping_sets" -> q37Sql)
+    "q37_grouping_sets" -> q37Sql,
+    "q38_window_nav" -> q38Sql)
 }
