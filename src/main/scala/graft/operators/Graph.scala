@@ -126,6 +126,53 @@ object Graph {
     labels
   }
 
+  /** Synchronous label propagation (community detection) over an
+    * UNDIRECTED graph, a FIXED number of rounds. Labels start as node
+    * ids; each round every node adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label value. Fixed
+    * deterministic rounds — not convergence — because synchronous LPA can
+    * oscillate on bipartite-ish structures; a fixed horizon keeps the
+    * result exact, replayable, and engine-independent (the asynchronous
+    * variant is order-dependent and unreproducible by construction).
+    *
+    * Shape per round: one equi-join und⋈labels on the edge source (label
+    * values only travel along edges), one (node, label) count
+    * aggregation, one argmax-by-node aggregation — the majority vote is
+    * `max(struct(count, -label))`, a single partial-aggregating shuffle,
+    * never a per-node window. Labels materialize to scratch parquet per
+    * round (the [[Hierarchy]]/[[Vocab]] reliability discipline). Node ids
+    * must be >= 0 (the negation trick needs -lab exact; ids here are
+    * pmod-derived).
+    *
+    * Returns (id, lab) — nodes sharing `lab` are one community. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val sym = edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-lpa-und")
+    var labels = materialize(
+      und.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("lab")),
+      "graft-lpa-0")
+    var i = 0
+    while (i < rounds) {
+      val votes = und.join(labels, und("u") === labels("id"))
+        .groupBy(und("v").as("nid"), col("lab"))
+        .agg(count(lit(1)).as("__c"))
+      // every node of the symmetrized graph has >= 1 neighbor, so the
+      // vote table covers the node universe — no left join back needed
+      val next = votes
+        .groupBy(col("nid").as("id"))
+        .agg(max(struct(col("__c"), (-col("lab")).as("__nl"))).as("__m"))
+        .select(col("id"), (-col("__m.__nl")).as("lab"))
+      labels = materialize(next, s"graft-lpa-${i + 1}")
+      i += 1
+    }
+    labels
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

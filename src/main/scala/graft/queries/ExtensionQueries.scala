@@ -1569,6 +1569,65 @@ object ExtensionQueries {
     * distributed table probing 2 cells of the seed centroid set, candidate
     * join as a shuffle hash equi-join on cid — plan-asserted no broadcast
     * of either join side (the a6 contract, different index geometry). */
+  /** Product-quantized ADC top-k ([[graft.operators.Pq]]): 4 subspaces ×
+    * 16 codewords (subvectors of the first 16 corpus vectors), corpus
+    * encoded to 4 int codes map-side, queries score by asymmetric
+    * distance (4 table lookups + 3 adds per pair). Distances fold
+    * left-to-right in double arithmetic so the oracle replays encode +
+    * ADC bit-exactly; codeword ties break to the lower code id. */
+  def a8PqTopK(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val codebooks = e.filter(col("vec_id") < 16)
+      .select(explode(sequence(lit(0), lit(3))).as("m"),
+        col("vec_id").cast("int").as("j"),
+        expr("slice(embedding, m * 16 + 1, 16)").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Pq.adcTopK(qs, corpus, codebooks, subDim = 16, k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val a8Sql: String = {
+    // L2² between subspace m of vector a and codeword row c, both read
+    // from the FULL embedding at offset m*16 — same left fold as Spark's
+    // aggregate HOF
+    def l2(a: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 17), i ->
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)) *
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)))), (x,y) -> x+y)""".stripMargin
+    s"""WITH cw AS (SELECT ms.m, e.vec_id AS j, e.embedding AS full
+       |  FROM embeddings e, (VALUES (0),(1),(2),(3)) AS ms(m)
+       |  WHERE e.vec_id < 16),
+       |enc AS (SELECT e.vec_id AS id, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id, c.m ORDER BY ${l2("e")}, c.j) AS rn
+       |  FROM embeddings e CROSS JOIN cw c),
+       |codes AS (SELECT id,
+       |    MAX(CASE WHEN m = 0 THEN j END) AS j0,
+       |    MAX(CASE WHEN m = 1 THEN j END) AS j1,
+       |    MAX(CASE WHEN m = 2 THEN j END) AS j2,
+       |    MAX(CASE WHEN m = 3 THEN j END) AS j3
+       |  FROM enc WHERE rn = 1 GROUP BY id),
+       |qd AS (SELECT q.vec_id AS qid, c.m, c.j, ${l2("q")} AS d
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5),
+       |adc AS (SELECT d0.qid, codes.id,
+       |    (((d0.d + d1.d) + d2.d) + d3.d) AS adist
+       |  FROM codes
+       |  JOIN qd d0 ON d0.m = 0 AND d0.j = codes.j0
+       |  JOIN qd d1 ON d1.m = 1 AND d1.j = codes.j1 AND d1.qid = d0.qid
+       |  JOIN qd d2 ON d2.m = 2 AND d2.j = codes.j2 AND d2.qid = d0.qid
+       |  JOIN qd d3 ON d3.m = 3 AND d3.j = codes.j3 AND d3.qid = d0.qid
+       |  WHERE codes.id <> d0.qid),
+       |r AS (SELECT qid, id, adist, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, id) AS rank FROM adc)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(adist, 4) AS adist
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   def a7AnnIvfQueryTable(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
     val init = e.filter(col("vec_id") % 100 === 0)
@@ -2688,6 +2747,35 @@ object ExtensionQueries {
       |  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id)
       |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Synchronous label-propagation communities
+    * ([[graft.operators.Graph.labelPropagation]]), 3 fixed rounds on the
+    * derived link graph — the majority-vote aggregation shape (argmax by
+    * node via max(struct), never a per-node window), vs g3's min-
+    * propagation. The oracle replays each round as a count + row_number
+    * stage. */
+  def g4LabelProp(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(linkEdges(sp, dir), rounds = 3)
+      .orderBy("id")
+
+  val g4Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS (SELECT e.v AS id, l.lab, COUNT(*) AS c
+         |  FROM und e JOIN l$prev l ON e.u = l.id GROUP BY 1, 2),
+         |l$cur AS (SELECT id, lab FROM (
+         |  SELECT id, lab, row_number() OVER (
+         |    PARTITION BY id ORDER BY c DESC, lab) AS rn FROM c$cur)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |und AS (SELECT src AS u, dst AS v FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT DISTINCT u AS id FROM und),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
+  }
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2769,7 +2857,9 @@ object ExtensionQueries {
     "m4_wav_energy" -> (m4WavEnergy _),
     "m5_perceptual_hash" -> (m5PerceptualHash _),
     "d19_segment_dedup" -> (d19SegmentDedup _),
-    "t26_chunk_overlap" -> (t26ChunkOverlap _))
+    "t26_chunk_overlap" -> (t26ChunkOverlap _),
+    "g4_label_prop" -> (g4LabelProp _),
+    "a8_pq_topk" -> (a8PqTopK _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -2850,5 +2940,7 @@ object ExtensionQueries {
     "d13_dedup_incremental" -> d13Sql,
     "d14_contamination" -> d14Sql,
     "d19_segment_dedup" -> d19Sql,
-    "t26_chunk_overlap" -> t26Sql)
+    "t26_chunk_overlap" -> t26Sql,
+    "g4_label_prop" -> g4Sql,
+    "a8_pq_topk" -> a8Sql)
 }

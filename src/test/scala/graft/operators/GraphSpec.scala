@@ -88,4 +88,23 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
+
+  test("labelPropagation: hand-computed rounds with majority and ties") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      4L -> 5L, 4L -> 6L, 5L -> 6L, 3L -> 4L)
+    // round 1 (all votes count 1, tie -> min neighbor label):
+    //   1<-min{2,3}=2, 2<-min{1,3}=1, 3<-min{1,2,4}=1,
+    //   4<-min{3,5,6}=3, 5<-min{4,6}=4, 6<-min{4,5}=4
+    val r1 = Graph.labelPropagation(e, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // round 2: 1<-{1,1}=1 (majority), 2<-{2,1} tie=1, 3<-{2,1,3} tie=1,
+    //   4<-{1,4,4}=4 (majority), 5<-{3,4} tie=3, 6<-{3,4} tie=3
+    val r2 = Graph.labelPropagation(e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: hand-computed encode/ADC on a 4-dim toy space,
+  * the codeword tie-break, and the zero-shuffle encode plan claim. */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def shuffles(p: SparkPlan): Seq[SparkPlan] =
+    (p.collect { case s: ShuffleExchangeLike => s }) ++
+      p.subqueries.flatMap(shuffles)
+
+  // 4-dim vectors, 2 subspaces of 2 dims; codebooks per subspace:
+  //   m=0: j0=[0,0], j1=[10,10];  m=1: j0=[0,0], j1=[10,10]
+  private def codebooks = {
+    import spark.implicits._
+    Seq((0, 0, Seq(0f, 0f)), (0, 1, Seq(10f, 10f)),
+      (1, 0, Seq(0f, 0f)), (1, 1, Seq(10f, 10f)))
+      .toDF("m", "j", "cvec")
+  }
+
+  test("encode: per-subspace argmin, ties to the lower code id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 1f, 9f, 9f)),   // m0 -> j0 (2 vs 162), m1 -> j1
+      (2L, Seq(5f, 5f, 5f, 5f)),   // both subspaces tie (50 vs 50) -> j0
+      (3L, Seq(10f, 10f, 0f, 0f))  // m0 -> j1 (exact), m1 -> j0 (exact)
+    ).toDF("id", "vec")
+    val got = Pq.encode(corpus, codebooks, subDim = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == Map(1L -> List(0, 1), 2L -> List(0, 0),
+      3L -> List(1, 0)))
+  }
+
+  test("encode is one map-side pass: zero shuffles in the plan") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1f, 1f, 9f, 9f))).toDF("id", "vec")
+    val enc = Pq.encode(corpus, codebooks, subDim = 2)
+    enc.count()
+    assert(shuffles(enc.queryExecution.executedPlan).isEmpty,
+      s"unexpected shuffle:\n${enc.queryExecution.executedPlan}")
+  }
+
+  test("adcTopK: distance = sum of per-subspace codeword distances") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),    // codes [0,0]
+      (2L, Seq(10f, 10f, 10f, 10f)) // codes [1,1]
+    ).toDF("id", "vec")
+    val qs = Seq((9L, Seq(1f, 1f, 1f, 1f))).toDF("qid", "qvec")
+    // q vs codeword j0 per subspace: (1-0)²*2 = 2; vs j1: (1-10)²*2 = 162
+    // ADC(q, id=1) = 2 + 2 = 4; ADC(q, id=2) = 162 + 162 = 324
+    val got = Pq.adcTopK(qs, corpus, codebooks, subDim = 2, k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, 1L, 4.0), (2, 2L, 324.0)))
+  }
+
+  test("adcTopK excludes self-matches and respects k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (9L, Seq(1f, 1f, 1f, 1f)), (1L, Seq(0f, 0f, 0f, 0f)),
+      (2L, Seq(10f, 10f, 10f, 10f))).toDF("id", "vec")
+    val qs = Seq((9L, Seq(1f, 1f, 1f, 1f))).toDF("qid", "qvec")
+    val got = Pq.adcTopK(qs, corpus, codebooks, subDim = 2, k = 1)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(got == Seq(1L)) // 9 itself excluded despite ADC 4.0 tie
+  }
+}
