@@ -159,7 +159,15 @@ object ExtensionQueries {
     * heaps, no global sort). Floating parity with DuckDB: identical IEEE
     * expression trees (rational idf — no transcendentals), conditional
     * per-term sums recombined in fixed order. */
-  def t13Bm25(sp: SparkSession, dir: String): DataFrame = {
+  def t13Bm25(sp: SparkSession, dir: String): DataFrame =
+    bm25Scored(sp, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+
+  /** Per-doc BM25 score for the fixed 3-term query (the t13 arithmetic,
+    * un-truncated) — shared by t13's top-10 gate and t27's lexical
+    * ranker. */
+  private def bm25Scored(sp: SparkSession, dir: String): DataFrame = {
     val terms = Seq("join", "vector", "stream")
     val docs = documents(sp, dir)
       .select(col("doc_id"), size(Text.tokens(col("text"))).as("dl"))
@@ -189,8 +197,6 @@ object ExtensionQueries {
       .select(col("doc_id"),
         ((coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))) +
           coalesce(col("s2"), lit(0.0))).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
   }
 
   val t13Sql: String =
@@ -214,6 +220,77 @@ object ExtensionQueries {
        |  FROM contrib GROUP BY doc_id)
        |SELECT doc_id, ((s0 + s1) + s2) AS score FROM sc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]): the t13
+    * BM25 lexical ranker and a dense cosine ranker (query = embedding of
+    * vec 7, doc_id ≡ vec_id in the synthetic corpus) each contribute
+    * their top-50 list; reciprocal rank fusion (k=60) merges them rank-
+    * wise. Each ranker truncates through TakeOrdered (distributed heaps)
+    * BEFORE the window stamps ranks, so the global sort only ever sees 50
+    * rows; the fusion full-outer join is between result-sized frames. */
+  def t27HybridRrf(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 50
+    val lexW = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scored(sp, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"), row_number().over(lexW).as("rank"))
+    val e = embeddings(sp, dir)
+    val qv = e.filter(col("vec_id") === 7).select(col("embedding").as("qvec"))
+    val denseW = Window.orderBy(col("sim").desc, col("doc_id"))
+    val dense = e.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        (Vectors.dot(col("embedding"), col("qvec")) /
+          (Vectors.norm2(col("embedding")) * Vectors.norm2(col("qvec"))))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"), row_number().over(denseW).as("rank"))
+    graft.operators.Retrieval
+      .rrfFuse(Seq("lex" -> lex, "dense" -> dense), k = 60, topK = 10)
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  val t27Sql: String =
+    s"""WITH docs AS (SELECT doc_id, len($Toks) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM docs),
+       |hits AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM hits
+       |  WHERE t IN ('join', 'vector', 'stream') GROUP BY doc_id, t),
+       |dfs AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+       |contrib AS (SELECT tf.doc_id, tf.t,
+       |    ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |    ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+       |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+       |        (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS c
+       |  FROM tf JOIN docs USING (doc_id) JOIN dfs ON tf.t = dfs.t
+       |  CROSS JOIN stats),
+       |sc AS (SELECT doc_id,
+       |    COALESCE(SUM(CASE WHEN t = 'join' THEN c END), 0.0) AS s0,
+       |    COALESCE(SUM(CASE WHEN t = 'vector' THEN c END), 0.0) AS s1,
+       |    COALESCE(SUM(CASE WHEN t = 'stream' THEN c END), 0.0) AS s2
+       |  FROM contrib GROUP BY doc_id),
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY ((s0 + s1) + s2) DESC, doc_id) AS INT) AS lex_rank
+       |  FROM sc ORDER BY ((s0 + s1) + s2) DESC, doc_id LIMIT 50),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+       |ds AS (SELECT e.vec_id AS doc_id,
+       |    ${cosSql("e.embedding", "q.qvec")} AS sim
+       |  FROM embeddings e CROSS JOIN q),
+       |dense AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY sim DESC, doc_id) AS INT) AS dense_rank
+       |  FROM ds ORDER BY sim DESC, doc_id LIMIT 50),
+       |fused AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    l.lex_rank, d.dense_rank,
+       |    (COALESCE(CAST(1.0 AS DOUBLE) /
+       |        (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)), 0.0) +
+       |     COALESCE(CAST(1.0 AS DOUBLE) /
+       |        (CAST(60 AS DOUBLE) + CAST(d.dense_rank AS DOUBLE)), 0.0))
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   /** Deterministic weighted sampling
     * ([[graft.operators.Sampling.weightedSample]]): 50 documents drawn
@@ -2859,7 +2936,8 @@ object ExtensionQueries {
     "d19_segment_dedup" -> (d19SegmentDedup _),
     "t26_chunk_overlap" -> (t26ChunkOverlap _),
     "g4_label_prop" -> (g4LabelProp _),
-    "a8_pq_topk" -> (a8PqTopK _))
+    "a8_pq_topk" -> (a8PqTopK _),
+    "t27_hybrid_rrf" -> (t27HybridRrf _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -2942,5 +3020,6 @@ object ExtensionQueries {
     "d19_segment_dedup" -> d19Sql,
     "t26_chunk_overlap" -> t26Sql,
     "g4_label_prop" -> g4Sql,
-    "a8_pq_topk" -> a8Sql)
+    "a8_pq_topk" -> a8Sql,
+    "t27_hybrid_rrf" -> t27Sql)
 }
