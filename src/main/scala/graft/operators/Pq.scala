@@ -83,6 +83,23 @@ object Pq {
         .as("codes"))
   }
 
+  /** Per-query ADC distance tables: `__dtm[j]` = exact L2² between the
+    * query's subvector m and codeword j — M·K doubles per query row. */
+  private def dtCols(qvec: Column,
+      cb: Map[Int, IndexedSeq[(Int, IndexedSeq[Double])]],
+      subDim: Int): Seq[Column] =
+    cb.keys.toSeq.sorted.map { m =>
+      array(cb(m).map { case (_, cw) =>
+        l2sq(slice(qvec, m * subDim + 1, subDim), cw)
+      }: _*).as(s"__dt$m")
+    }
+
+  /** ADC distance of a codes row against the riding `__dtm` tables:
+    * M lookups + M−1 adds, summed in ascending-m order. */
+  private def adistCol(ms: Seq[Int]): Column =
+    ms.map(m => element_at(col(s"__dt$m"), col("codes").getItem(m) + 1))
+      .reduceLeft(_ + _)
+
   /** ADC top-k: approximate L2² of each (query, corpus row) pair as the
     * sum over subspaces of the query's precomputed distance to the row's
     * codeword — M lookups + M−1 adds per pair, summed in ascending-m
@@ -94,19 +111,69 @@ object Pq {
     val ms = cb.keys.toSeq.sorted
     val codes = encodeWith(corpus, cb, subDim)
     // per-query ADC tables: dt_m[j] = L2²(query subvector m, codeword j)
-    val q = queries.select(col("qid") +: ms.map { m =>
-      array(cb(m).map { case (_, cw) =>
-        l2sq(slice(col("qvec"), m * subDim + 1, subDim), cw)
-      }: _*).as(s"__dt$m")
-    }: _*)
+    val q = queries.select(col("qid") +: dtCols(col("qvec"), cb, subDim): _*)
     val joined = codes.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("id"))
-    val adist = ms.map(m =>
-        element_at(col(s"__dt$m"), col("codes").getItem(m) + 1))
-      .reduceLeft(_ + _)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("id"))
-    joined.withColumn("adist", adist)
+    joined.withColumn("adist", adistCol(ms))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("adist"), 4).as("adist"))
+  }
+
+  /** IVF + PQ — the FAISS "IVFPQ" composition (Jégou et al. §V, non-
+    * residual flavor): a coarse quantizer (the `centroids` table) scopes
+    * each query to its `nprobe` nearest cells, and ADC scores only the
+    * candidates inside those cells. The index a 100 TB corpus actually
+    * stores is `(id, cid, codes)` — one int plus M small codes per row —
+    * built in ONE zero-shuffle map-side pass (cell argmin + subspace
+    * argmins over driver-held, config-sized tables).
+    *
+    * The candidate join is the a7 contract: queries are a distributed
+    * TABLE carrying their ADC tables, matched to index rows by a shuffle
+    * hash equi-join on `cid` — neither side broadcast. Coarse assignment
+    * is exact L2² with the same left-to-right fold as encoding, ties to
+    * the lower cid, so the whole index + search replays in SQL.
+    *
+    * @param centroids (cid: long, cvec: array) — the coarse codebook
+    * @param nprobe    cells probed per query (recall/cost knob)
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, subDim: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    val cb = codebookSeq(codebooks)
+    val ms = cb.keys.toSeq.sorted
+    val cents: IndexedSeq[(Long, IndexedSeq[Double])] = centroids
+      .select(col("cid").cast("long"),
+        transform(col("cvec"), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+    require(cents.nonEmpty && nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe=$nprobe must be in [1, ${cents.size}]")
+    def cellScores(vec: Column): Column =
+      array(cents.map { case (cid, cv) =>
+        struct(l2sq(vec, cv).as("d"), lit(cid).as("cid"))
+      }: _*)
+    // the stored index: cell + codes in one map-side pass
+    val index = corpus.select(col("id"),
+      array_min(cellScores(col("vec"))).getField("cid").as("cid"),
+      array(ms.map(m => codeFor(col("vec"), m, subDim, cb(m))): _*)
+        .as("codes"))
+    // query rows fan out to their nprobe cells, ADC tables riding along
+    val probes = queries.select(
+      (col("qid") +:
+        explode(transform(
+          slice(array_sort(cellScores(col("qvec"))), 1, nprobe),
+          s => s.getField("cid"))).as("cid") +:
+        dtCols(col("qvec"), cb, subDim)): _*)
+    val cand = index.hint("shuffle_hash").join(probes, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id"))
+    cand.withColumn("adist", adistCol(ms))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id").as("neighbor"),

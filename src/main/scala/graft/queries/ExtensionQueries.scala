@@ -1705,6 +1705,81 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** IVF+PQ search ([[graft.operators.Pq.ivfAdcTopK]]): the a8 codebooks
+    * plus a 5-cell coarse quantizer (seed vectors, as a7); each query
+    * probes its 2 nearest cells and ADC-scores only those cells'
+    * candidates through a shuffle hash join on cid — the stored index is
+    * (id, cid, 4 codes), built in one map-side pass. */
+  def a9IvfPqTopK(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val codebooks = e.filter(col("vec_id") < 16)
+      .select(explode(sequence(lit(0), lit(3))).as("m"),
+        col("vec_id").cast("int").as("j"),
+        expr("slice(embedding, m * 16 + 1, 16)").as("cvec"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Pq.ivfAdcTopK(qs, corpus, cents, codebooks,
+      subDim = 16, nprobe = 2, k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val a9Sql: String = {
+    def l2sub(a: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 17), i ->
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)) *
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)))), (x,y) -> x+y)""".stripMargin
+    val l2full =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len(e.embedding) + 1), i ->
+         |    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+         |    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    s"""WITH cw AS (SELECT ms.m, e.vec_id AS j, e.embedding AS full
+       |  FROM embeddings e, (VALUES (0),(1),(2),(3)) AS ms(m)
+       |  WHERE e.vec_id < 16),
+       |enc AS (SELECT e.vec_id AS id, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id, c.m ORDER BY ${l2sub("e")}, c.j) AS rn
+       |  FROM embeddings e CROSS JOIN cw c),
+       |codes AS (SELECT id,
+       |    MAX(CASE WHEN m = 0 THEN j END) AS j0,
+       |    MAX(CASE WHEN m = 1 THEN j END) AS j1,
+       |    MAX(CASE WHEN m = 2 THEN j END) AS j2,
+       |    MAX(CASE WHEN m = 3 THEN j END) AS j3
+       |  FROM enc WHERE rn = 1 GROUP BY id),
+       |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |celld AS (SELECT e.vec_id AS id, c.cid, $l2full AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cella AS (SELECT id, cid FROM (SELECT id, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY id ORDER BY d, cid) AS rn FROM celld) WHERE rn = 1),
+       |qprobe AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM celld WHERE id < 5) WHERE rn <= 2),
+       |qd AS (SELECT q.vec_id AS qid, c.m, c.j, ${l2sub("q")} AS d
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5),
+       |adc AS (SELECT d0.qid, codes.id,
+       |    (((d0.d + d1.d) + d2.d) + d3.d) AS adist
+       |  FROM codes
+       |  JOIN cella ON cella.id = codes.id
+       |  JOIN qprobe ON qprobe.cid = cella.cid
+       |  JOIN qd d0 ON d0.m = 0 AND d0.j = codes.j0 AND d0.qid = qprobe.qid
+       |  JOIN qd d1 ON d1.m = 1 AND d1.j = codes.j1 AND d1.qid = d0.qid
+       |  JOIN qd d2 ON d2.m = 2 AND d2.j = codes.j2 AND d2.qid = d0.qid
+       |  JOIN qd d3 ON d3.m = 3 AND d3.j = codes.j3 AND d3.qid = d0.qid
+       |  WHERE codes.id <> d0.qid),
+       |r AS (SELECT qid, id, adist, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, id) AS rank FROM adc)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(adist, 4) AS adist
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   def a7AnnIvfQueryTable(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
     val init = e.filter(col("vec_id") % 100 === 0)
@@ -2937,6 +3012,7 @@ object ExtensionQueries {
     "t26_chunk_overlap" -> (t26ChunkOverlap _),
     "g4_label_prop" -> (g4LabelProp _),
     "a8_pq_topk" -> (a8PqTopK _),
+    "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "t27_hybrid_rrf" -> (t27HybridRrf _))
 
   val oracles: Map[String, String] = Map(
@@ -3021,5 +3097,6 @@ object ExtensionQueries {
     "t26_chunk_overlap" -> t26Sql,
     "g4_label_prop" -> g4Sql,
     "a8_pq_topk" -> a8Sql,
+    "a9_ivfpq_topk" -> a9Sql,
     "t27_hybrid_rrf" -> t27Sql)
 }

@@ -67,6 +67,36 @@ class PqSpec extends AnyFunSuite {
     assert(got == Seq((1, 1L, 4.0), (2, 2L, 324.0)))
   }
 
+  test("ivfAdcTopK: candidates scoped to probed cells; shuffle hash " +
+      "join, no broadcast") {
+    import spark.implicits._
+    // two well-separated cells at 0 and 100; corpus rows near each
+    val cents = Seq((0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(100f, 100f, 100f, 100f)))
+      .toDF("cid", "cvec")
+    val corpus = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),       // cell 0, codes [0,0]
+      (2L, Seq(10f, 10f, 10f, 10f)),   // cell 0, codes [1,1]
+      (3L, Seq(100f, 100f, 100f, 100f)) // cell 1, codes [1,1]
+    ).toDF("id", "vec")
+    val qs = Seq((9L, Seq(1f, 1f, 1f, 1f))).toDF("qid", "qvec")
+    // nprobe=1: only cell 0 searched — id 3 invisible even though its
+    // ADC distance (324.0, codes [1,1]) ties id 2's
+    val got = Pq.ivfAdcTopK(qs, corpus, cents, codebooks, subDim = 2,
+      nprobe = 1, k = 3)
+    val rows = got.collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq((1, 1L, 4.0), (2, 2L, 324.0)))
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastExchange"),
+      s"query side broadcast:\n$phys")
+    assert(phys.contains("ShuffledHashJoin"),
+      s"expected a shuffle hash join:\n$phys")
+    // nprobe=2 recovers cell 1's candidate
+    val both = Pq.ivfAdcTopK(qs, corpus, cents, codebooks, subDim = 2,
+      nprobe = 2, k = 3).collect().map(_.getLong(2)).toSeq
+    assert(both == Seq(1L, 2L, 3L))
+  }
+
   test("adcTopK excludes self-matches and respects k") {
     import spark.implicits._
     val corpus = Seq(
