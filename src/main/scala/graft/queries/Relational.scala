@@ -671,6 +671,49 @@ object Relational {
       |WHERE q*dd - s*s > 0 AND (n*dd - s)*(n*dd - s) >= 4*(q*dd - s*s)
       |ORDER BY day""".stripMargin
 
+  /** Distributed OLS fit ([[graft.operators.Linreg.fitOLS2]]): price in
+    * cents regressed on quantity and discount percent points over
+    * lineitem. One partial-aggregating scan computes nine exact integer
+    * moment sums (DECIMAL(38,0) — no overflow, no float order noise); the
+    * driver solves the 3×3 normal equations in closed form, a fixed IEEE
+    * tree DuckDB replays bit-for-bit. The per-row integerization uses
+    * round(x*100) so the double→integer step is identical in both
+    * engines. */
+  def p6Linreg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linreg.fitOLS2(lineitem(s, d),
+      y = round(col("l_extendedprice") * 100),
+      x1 = col("l_quantity"),
+      x2 = round(col("l_discount") * 100),
+      names = ("intercept", "quantity", "discount_pct"))
+      .select(col("term"), round(col("coef"), 6).as("coef"))
+      .orderBy("term")
+
+  val p6Sql: String =
+    """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS y,
+      |    CAST(l_quantity AS BIGINT) AS x1,
+      |    CAST(round(l_discount*100) AS BIGINT) AS x2 FROM lineitem),
+      |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+      |    CAST(SUM(x1*x1) AS DOUBLE) AS s11,
+      |    CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+      |    CAST(SUM(x2*x2) AS DOUBLE) AS s22, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x1*y) AS DOUBLE) AS s1y,
+      |    CAST(SUM(x2*y) AS DOUBLE) AS s2y
+      |  FROM t),
+      |d AS (SELECT *, (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) +
+      |    s2*(s1*s12 - s11*s2)) AS det FROM m)
+      |SELECT term, round(coef, 6) AS coef FROM (
+      |  SELECT 'intercept' AS term,
+      |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) +
+      |     s2*(s1y*s12 - s11*s2y)) / det AS coef FROM d
+      |  UNION ALL SELECT 'quantity',
+      |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) +
+      |     s2*(s1*s2y - s1y*s2)) / det FROM d
+      |  UNION ALL SELECT 'discount_pct',
+      |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) +
+      |     sy*(s1*s12 - s11*s2)) / det FROM d)
+      |ORDER BY term""".stripMargin
+
   /** Explicit GROUPING SETS — the irregular-lattice form rollup (q8) and
     * cube (q12) can't express: exactly {(status, priority), (status), ()}
     * with grouping_id disambiguating the null-vs-NULL ambiguity. Single
@@ -1547,6 +1590,7 @@ object Relational {
     "p3_regression_stats" -> (p3RegressionStats _),
     "p4_profile_drift" -> (p4ProfileDrift _),
     "p5_daily_anomalies" -> (p5DailyAnomalies _),
+    "p6_linreg" -> (p6Linreg _),
     "q37_grouping_sets" -> (q37GroupingSets _),
     "q38_window_nav" -> (q38WindowNav _))
 
@@ -1594,6 +1638,7 @@ object Relational {
     "p3_regression_stats" -> p3Sql,
     "p4_profile_drift" -> p4Sql,
     "p5_daily_anomalies" -> p5Sql,
+    "p6_linreg" -> p6Sql,
     "q37_grouping_sets" -> q37Sql,
     "q38_window_nav" -> q38Sql)
 }
