@@ -173,6 +173,45 @@ object Graph {
     labels
   }
 
+  /** Min hop-distance from a seed set over DIRECTED edges, bounded to
+    * `maxHops` rounds — the TrustRank-style propagation shape: curated
+    * trusted domains are the seeds, and a page's distance from the seed
+    * set is a spam/quality prior for the curation mix. Bellman-Ford
+    * relaxation on unit weights: each round every reached node offers
+    * `dist+1` along its out-edges and the per-node MIN wins — pure
+    * integer state, so any engine replays it exactly. Nodes not reached
+    * within `maxHops` are absent from the output (at web scale the
+    * reached set is the interesting one; densify against the node
+    * universe with a left join if the unreached need a sentinel).
+    *
+    * Shape per round: one equi-join frontier⋈edges on the edge source +
+    * one min aggregation; state materializes to scratch parquet per
+    * round (the reliability discipline above). Monotone: once a node's
+    * min distance is found, later rounds can only confirm it, so a fixed
+    * horizon under-reaches but never mislabels. */
+  def seededDistance(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = materialize(
+      edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v")).distinct(),
+      "graft-dist-e")
+    var dist = materialize(
+      seeds.select(col("id").cast("long").as("id"), lit(0L).as("dist"))
+        .distinct(),
+      "graft-dist-0")
+    var i = 0
+    while (i < maxHops) {
+      val next = e.join(dist, e("u") === dist("id"))
+        .select(e("v").as("id"), (col("dist") + 1L).as("dist"))
+        .union(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+      dist = materialize(next, s"graft-dist-${i + 1}")
+      i += 1
+    }
+    dist
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

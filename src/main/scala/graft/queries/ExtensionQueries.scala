@@ -2928,6 +2928,34 @@ object ExtensionQueries {
        |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
   }
 
+  /** Seeded hop-distance ([[graft.operators.Graph.seededDistance]]):
+    * trusted seeds = link-graph nodes ≡ 0 (mod 37); 3 rounds of directed
+    * min-distance relaxation — the TrustRank propagation shape. The
+    * oracle unrolls the same relaxation as three UNION ALL + MIN
+    * stages. */
+  def g5SeedDistance(sp: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(sp, dir)
+    val seeds = e.select(col("src").as("id")).distinct()
+      .filter(col("id") % 37 === 0)
+    graft.operators.Graph.seededDistance(e, seeds, maxHops = 3)
+      .orderBy("id")
+  }
+
+  val g5Sql: String = {
+    def relax(prev: String, cur: String): String =
+      s"""d$cur AS (SELECT id, MIN(dist) AS dist FROM (
+         |  SELECT e.dst AS id, d.dist + 1 AS dist
+         |  FROM edges e JOIN d$prev d ON e.src = d.id
+         |  UNION ALL SELECT id, dist FROM d$prev) GROUP BY id)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 37 = 0),
+       |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |${relax("0", "1")},
+       |${relax("1", "2")},
+       |${relax("2", "3")}
+       |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
+  }
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3011,6 +3039,7 @@ object ExtensionQueries {
     "d19_segment_dedup" -> (d19SegmentDedup _),
     "t26_chunk_overlap" -> (t26ChunkOverlap _),
     "g4_label_prop" -> (g4LabelProp _),
+    "g5_seed_distance" -> (g5SeedDistance _),
     "a8_pq_topk" -> (a8PqTopK _),
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "t27_hybrid_rrf" -> (t27HybridRrf _))
@@ -3096,6 +3125,7 @@ object ExtensionQueries {
     "d19_segment_dedup" -> d19Sql,
     "t26_chunk_overlap" -> t26Sql,
     "g4_label_prop" -> g4Sql,
+    "g5_seed_distance" -> g5Sql,
     "a8_pq_topk" -> a8Sql,
     "a9_ivfpq_topk" -> a9Sql,
     "t27_hybrid_rrf" -> t27Sql)

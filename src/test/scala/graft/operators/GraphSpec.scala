@@ -89,6 +89,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
   }
 
+  test("seededDistance: BFS layers on a directed chain with a shortcut") {
+    // 1->2->3->4, plus shortcut 1->4 and back-edge 3->1; seed = {1}
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 3L -> 1L)
+    val seeds = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    def run(h: Int) = Graph.seededDistance(e, seeds, h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(0) == Map(1L -> 0L))
+    assert(run(1) == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // shortcut keeps 4 at 1 even once 3->4 offers 3; 3 arrives at 2
+    assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("labelPropagation: hand-computed rounds with majority and ties") {
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4
     val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L,
