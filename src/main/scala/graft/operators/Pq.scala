@@ -123,6 +123,57 @@ object Pq {
         round(col("adist"), 4).as("adist"))
   }
 
+  /** Exact L2² between two vector COLUMNS, same left-to-right fold as
+    * the codeword form. */
+  private def l2sqCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact L2² brute-force top-k — the truth reference for PQ recall
+    * evaluation (the L2 counterpart of [[Ann.bruteForceTopK]]'s cosine).
+    * Queries broadcast; corpus streams. */
+  def bruteL2TopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("dist", l2sqCols(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("dist"), 4).as("dist"))
+  }
+
+  /** ADC shortlist + EXACT re-rank — the production PQ pipeline (FAISS's
+    * two-stage search): ADC's table lookups prune the corpus to a
+    * `shortlist`-sized candidate set per query, then the exact L2² is
+    * computed for candidates only and the true top-k of the shortlist
+    * returned. Quantization error affects only shortlist membership —
+    * every distance the caller sees is exact. At scale the exact re-rank
+    * touches `|queries| × shortlist` rows, never the corpus: the
+    * shortlist joins back to the (id, vec) table by id, an equi-join on
+    * a high-cardinality key. Returns (qid, rank, neighbor, dist). */
+  def adcRerankTopK(queries: DataFrame, corpus: DataFrame,
+      codebooks: DataFrame, subDim: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    val cand = adcTopK(queries, corpus, codebooks, subDim, shortlist)
+      .select(col("qid"), col("neighbor"))
+    val scored = cand
+      .join(queries, "qid")
+      .join(corpus.withColumnRenamed("id", "neighbor"), "neighbor")
+      .withColumn("dist", l2sqCols(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("dist"), 4).as("dist"))
+  }
+
   /** IVF + PQ — the FAISS "IVFPQ" composition (Jégou et al. §V, non-
     * residual flavor): a coarse quantizer (the `centroids` table) scopes
     * each query to its `nprobe` nearest cells, and ADC scores only the

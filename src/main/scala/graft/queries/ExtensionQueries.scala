@@ -1780,6 +1780,101 @@ object ExtensionQueries {
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** PQ recall gate ([[graft.operators.Pq.adcRerankTopK]] vs
+    * [[graft.operators.Pq.bruteL2TopK]]): the production two-stage
+    * pipeline — ADC prunes to a 50-deep shortlist, exact L2 re-ranks —
+    * must recover >= 50% of the true L2 top-3 (untrained seed codebooks;
+    * quantization error affects shortlist membership only, so recall
+    * here IS shortlist coverage). Mirrors a5's per-family floor
+    * contract. */
+  def a10PqRecall(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val codebooks = e.filter(col("vec_id") < 16)
+      .select(explode(sequence(lit(0), lit(3))).as("m"),
+        col("vec_id").cast("int").as("j"),
+        expr("slice(embedding, m * 16 + 1, 16)").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val rr = graft.operators.Pq
+      .adcRerankTopK(qs, corpus, codebooks, subDim = 16, shortlist = 50,
+        k = 3)
+      .select(col("qid"), col("neighbor"))
+    val truth = graft.operators.Pq.bruteL2TopK(qs, corpus, 3)
+      .select(col("qid"), col("neighbor"))
+    val floor = 0.5
+    truth.join(rr, Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("pq_rerank").as("method"), col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"),
+        lit(floor).as("floor"),
+        (col("n_hits").cast("double") / col("n_truth") >= floor)
+          .as("recall_ok"))
+  }
+
+  val a10Sql: String = {
+    def l2sub(a: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 17), i ->
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)) *
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)))), (x,y) -> x+y)""".stripMargin
+    def l2pair(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i ->
+         |    (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |    (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    s"""WITH cw AS (SELECT ms.m, e.vec_id AS j, e.embedding AS full
+       |  FROM embeddings e, (VALUES (0),(1),(2),(3)) AS ms(m)
+       |  WHERE e.vec_id < 16),
+       |enc AS (SELECT e.vec_id AS id, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id, c.m ORDER BY ${l2sub("e")}, c.j) AS rn
+       |  FROM embeddings e CROSS JOIN cw c),
+       |codes AS (SELECT id,
+       |    MAX(CASE WHEN m = 0 THEN j END) AS j0,
+       |    MAX(CASE WHEN m = 1 THEN j END) AS j1,
+       |    MAX(CASE WHEN m = 2 THEN j END) AS j2,
+       |    MAX(CASE WHEN m = 3 THEN j END) AS j3
+       |  FROM enc WHERE rn = 1 GROUP BY id),
+       |qd AS (SELECT q.vec_id AS qid, c.m, c.j, ${l2sub("q")} AS d
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5),
+       |adc AS (SELECT d0.qid, codes.id,
+       |    (((d0.d + d1.d) + d2.d) + d3.d) AS adist
+       |  FROM codes
+       |  JOIN qd d0 ON d0.m = 0 AND d0.j = codes.j0
+       |  JOIN qd d1 ON d1.m = 1 AND d1.j = codes.j1 AND d1.qid = d0.qid
+       |  JOIN qd d2 ON d2.m = 2 AND d2.j = codes.j2 AND d2.qid = d0.qid
+       |  JOIN qd d3 ON d3.m = 3 AND d3.j = codes.j3 AND d3.qid = d0.qid
+       |  WHERE codes.id <> d0.qid),
+       |sl AS (SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, id) AS rank FROM adc)
+       |  WHERE rank <= 50),
+       |rr AS (SELECT qid, id FROM (SELECT s.qid, s.id, ROW_NUMBER() OVER (
+       |    PARTITION BY s.qid ORDER BY
+       |      ${l2pair("q.embedding", "e.embedding")}, s.id) AS rank
+       |  FROM sl s JOIN embeddings q ON q.vec_id = s.qid
+       |    JOIN embeddings e ON e.vec_id = s.id) WHERE rank <= 3),
+       |truth AS (SELECT qid, id FROM (SELECT q.vec_id AS qid,
+       |    e.vec_id AS id, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${l2pair("q.embedding", "e.embedding")}, e.vec_id)
+       |      AS rank
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rank <= 3),
+       |h AS (SELECT count(*) AS n_hits FROM rr
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = rr.qid AND t.id = rr.id)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT 'pq_rerank' AS method, h.n_hits, tt.n_truth,
+       |  round(h.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.5 AS DOUBLE) AS floor,
+       |  (h.n_hits::DOUBLE / tt.n_truth >= 0.5) AS recall_ok
+       |FROM h, tt""".stripMargin
+  }
+
   def a7AnnIvfQueryTable(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
     val init = e.filter(col("vec_id") % 100 === 0)
@@ -3042,6 +3137,7 @@ object ExtensionQueries {
     "g5_seed_distance" -> (g5SeedDistance _),
     "a8_pq_topk" -> (a8PqTopK _),
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
+    "a10_pq_recall" -> (a10PqRecall _),
     "t27_hybrid_rrf" -> (t27HybridRrf _))
 
   val oracles: Map[String, String] = Map(
@@ -3128,5 +3224,6 @@ object ExtensionQueries {
     "g5_seed_distance" -> g5Sql,
     "a8_pq_topk" -> a8Sql,
     "a9_ivfpq_topk" -> a9Sql,
+    "a10_pq_recall" -> a10Sql,
     "t27_hybrid_rrf" -> t27Sql)
 }

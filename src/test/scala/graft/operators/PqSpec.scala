@@ -97,6 +97,29 @@ class PqSpec extends AnyFunSuite {
     assert(both == Seq(1L, 2L, 3L))
   }
 
+  test("adcRerankTopK: exact distances fix ADC's quantized ordering " +
+      "inside the shortlist") {
+    import spark.implicits._
+    // ADC sees ids 1 and 2 as the same code [0,0] (tie), but exact L2
+    // re-rank orders 2 (dist 4) before 1 (dist 16)
+    val corpus = Seq(
+      (1L, Seq(3f, 3f, 1f, 1f)),  // codes [0,0], exact d = 4+4+0+0 = 8
+      (2L, Seq(2f, 2f, 0f, 0f)),  // codes [0,0], exact d = 1+1+1+1 = 4
+      (3L, Seq(10f, 10f, 10f, 10f)) // codes [1,1]
+    ).toDF("id", "vec")
+    val qs = Seq((9L, Seq(1f, 1f, 1f, 1f))).toDF("qid", "qvec")
+    val adcOrder = Pq.adcTopK(qs, corpus, codebooks, subDim = 2, k = 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(adcOrder == Seq(1L, 2L, 3L)) // ADC tie broken by id: wrong
+    val got = Pq.adcRerankTopK(qs, corpus, codebooks, subDim = 2,
+      shortlist = 3, k = 2).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, 2L, 4.0), (2, 1L, 8.0))) // exact order restored
+    val truth = Pq.bruteL2TopK(qs, corpus, 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(truth == Seq(2L, 1L))
+  }
+
   test("adcTopK excludes self-matches and respects k") {
     import spark.implicits._
     val corpus = Seq(
