@@ -132,6 +132,46 @@ object Pq {
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Per-subspace Lloyd training of the PQ codebooks — the train step of
+    * Jégou et al. §III: each subspace independently runs k-means on the
+    * corpus's subvectors, starting from `init` (same (m, j, cvec) shape
+    * the search operators take). Assignment is the zero-shuffle map-side
+    * argmin over the driver-held codebooks (the [[Ann.kmeansRefine]]
+    * discipline); the update is one (m, j, pos) partial-agg shuffle of
+    * component means ROUNDED to `scale` decimals — rounding absorbs the
+    * ulp-level noise of float-summation order, which is what makes the
+    * training replayable bit-for-bit in any engine. Codewords that lose
+    * all members keep their previous value. Per iteration the driver
+    * holds only M·K·subDim doubles — config-sized, never corpus-sized. */
+  def trainCodebooks(corpus: DataFrame, init: DataFrame, subDim: Int,
+      iters: Int, scale: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cb = codebookSeq(init)
+    val ms = cb.keys.toSeq.sorted
+    for (_ <- 0 until iters) {
+      val perSub = ms.map { m =>
+        struct(lit(m).as("m"), codeFor(col("vec"), m, subDim, cb(m)).as("j"),
+          slice(col("vec"), m * subDim + 1, subDim).as("sv")).as(s"__a$m")
+      }
+      val means = corpus.select(explode(array(perSub: _*)).as("a"))
+        .select(col("a.m"), col("a.j"), posexplode(col("a.sv")))
+        .groupBy(col("m"), col("j"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), scale).as("mv"))
+        .groupBy(col("m"), col("j"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toIndexedSeq)
+        .toMap
+      cb = cb.map { case (m, cws) =>
+        m -> cws.map { case (j, cv) => (j, means.getOrElse((m, j), cv)) }
+      }
+    }
+    ms.flatMap(m => cb(m).map { case (j, cv) => (m, j, cv: Seq[Double]) })
+      .toDF("m", "j", "cvec")
+  }
+
   /** Exact L2² brute-force top-k — the truth reference for PQ recall
     * evaluation (the L2 counterpart of [[Ann.bruteForceTopK]]'s cosine).
     * Queries broadcast; corpus streams. */

@@ -1875,6 +1875,117 @@ object ExtensionQueries {
        |FROM h, tt""".stripMargin
   }
 
+  /** Trained-PQ recall gate ([[graft.operators.Pq.trainCodebooks]] →
+    * [[graft.operators.Pq.adcRerankTopK]]): one per-subspace Lloyd
+    * iteration over the corpus (means rounded to 4 decimals — the
+    * kmeansRefine replayability discipline) lifts shortlist-50 coverage
+    * from 0.6 (a10's seed codebooks) to ~0.87 here; floor 0.7. The
+    * oracle unrolls the training iteration — assignment, per-component
+    * rounded means, lost-cell carryover — then replays the full a10
+    * pipeline against the trained codewords. */
+  def a11PqTrainedRecall(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val init = e.filter(col("vec_id") < 16)
+      .select(explode(sequence(lit(0), lit(3))).as("m"),
+        col("vec_id").cast("int").as("j"),
+        expr("slice(embedding, m * 16 + 1, 16)").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val trained = graft.operators.Pq
+      .trainCodebooks(corpus, init, subDim = 16, iters = 1)
+    val rr = graft.operators.Pq
+      .adcRerankTopK(qs, corpus, trained, subDim = 16, shortlist = 50,
+        k = 3)
+      .select(col("qid"), col("neighbor"))
+    val truth = graft.operators.Pq.bruteL2TopK(qs, corpus, 3)
+      .select(col("qid"), col("neighbor"))
+    val floor = 0.7
+    truth.join(rr, Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("pq_trained").as("method"), col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"),
+        lit(floor).as("floor"),
+        (col("n_hits").cast("double") / col("n_truth") >= floor)
+          .as("recall_ok"))
+  }
+
+  val a11Sql: String = {
+    def l2cv(a: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 17), i ->
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) - c.cv[i]) *
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) - c.cv[i]))),
+         |  (x,y) -> x+y)""".stripMargin
+    def l2pair(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i ->
+         |    (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |    (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    s"""WITH cw0 AS (SELECT ms.m, e.vec_id AS j,
+       |    list_transform(e.embedding[ms.m*16+1 : ms.m*16+16],
+       |      x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings e, (VALUES (0),(1),(2),(3)) AS ms(m)
+       |  WHERE e.vec_id < 16),
+       |en0 AS (SELECT e.vec_id AS id, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id, c.m ORDER BY ${l2cv("e")}, c.j) AS rn
+       |  FROM embeddings e CROSS JOIN cw0 c),
+       |mean1 AS (SELECT a.m, a.j, p.i,
+       |    round(avg(CAST(e.embedding[a.m*16 + p.i] AS DOUBLE)), 4) AS mv
+       |  FROM en0 a JOIN embeddings e ON e.vec_id = a.id
+       |  CROSS JOIN range(1, 17) AS p(i)
+       |  WHERE a.rn = 1 GROUP BY 1, 2, 3),
+       |agg1 AS (SELECT m, j, list(mv ORDER BY i) AS cv FROM mean1
+       |  GROUP BY m, j),
+       |cw AS (SELECT c.m, c.j, COALESCE(t.cv, c.cv) AS cv FROM cw0 c
+       |  LEFT JOIN agg1 t ON t.m = c.m AND t.j = c.j),
+       |enc AS (SELECT e.vec_id AS id, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id, c.m ORDER BY ${l2cv("e")}, c.j) AS rn
+       |  FROM embeddings e CROSS JOIN cw c),
+       |codes AS (SELECT id,
+       |    MAX(CASE WHEN m = 0 THEN j END) AS j0,
+       |    MAX(CASE WHEN m = 1 THEN j END) AS j1,
+       |    MAX(CASE WHEN m = 2 THEN j END) AS j2,
+       |    MAX(CASE WHEN m = 3 THEN j END) AS j3
+       |  FROM enc WHERE rn = 1 GROUP BY id),
+       |qd AS (SELECT q.vec_id AS qid, c.m, c.j, ${l2cv("q")} AS d
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5),
+       |adc AS (SELECT d0.qid, codes.id,
+       |    (((d0.d + d1.d) + d2.d) + d3.d) AS adist
+       |  FROM codes
+       |  JOIN qd d0 ON d0.m = 0 AND d0.j = codes.j0
+       |  JOIN qd d1 ON d1.m = 1 AND d1.j = codes.j1 AND d1.qid = d0.qid
+       |  JOIN qd d2 ON d2.m = 2 AND d2.j = codes.j2 AND d2.qid = d0.qid
+       |  JOIN qd d3 ON d3.m = 3 AND d3.j = codes.j3 AND d3.qid = d0.qid
+       |  WHERE codes.id <> d0.qid),
+       |sl AS (SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, id) AS rank FROM adc)
+       |  WHERE rank <= 50),
+       |rr AS (SELECT qid, id FROM (SELECT s.qid, s.id, ROW_NUMBER() OVER (
+       |    PARTITION BY s.qid ORDER BY
+       |      ${l2pair("q.embedding", "e.embedding")}, s.id) AS rank
+       |  FROM sl s JOIN embeddings q ON q.vec_id = s.qid
+       |    JOIN embeddings e ON e.vec_id = s.id) WHERE rank <= 3),
+       |truth AS (SELECT qid, id FROM (SELECT q.vec_id AS qid,
+       |    e.vec_id AS id, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${l2pair("q.embedding", "e.embedding")}, e.vec_id)
+       |      AS rank
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rank <= 3),
+       |h AS (SELECT count(*) AS n_hits FROM rr
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = rr.qid AND t.id = rr.id)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT 'pq_trained' AS method, h.n_hits, tt.n_truth,
+       |  round(h.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.7 AS DOUBLE) AS floor,
+       |  (h.n_hits::DOUBLE / tt.n_truth >= 0.7) AS recall_ok
+       |FROM h, tt""".stripMargin
+  }
+
   def a7AnnIvfQueryTable(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
     val init = e.filter(col("vec_id") % 100 === 0)
@@ -3138,6 +3249,7 @@ object ExtensionQueries {
     "a8_pq_topk" -> (a8PqTopK _),
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "a10_pq_recall" -> (a10PqRecall _),
+    "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "t27_hybrid_rrf" -> (t27HybridRrf _))
 
   val oracles: Map[String, String] = Map(
@@ -3225,5 +3337,6 @@ object ExtensionQueries {
     "a8_pq_topk" -> a8Sql,
     "a9_ivfpq_topk" -> a9Sql,
     "a10_pq_recall" -> a10Sql,
+    "a11_pq_trained_recall" -> a11Sql,
     "t27_hybrid_rrf" -> t27Sql)
 }

@@ -120,6 +120,23 @@ class PqSpec extends AnyFunSuite {
     assert(truth == Seq(2L, 1L))
   }
 
+  test("trainCodebooks: one Lloyd step — hand-computed means, lost " +
+      "cells keep their codeword") {
+    import spark.implicits._
+    // m0: both rows -> j0 (means (2,2)); m1: both -> j1 (means (9,9));
+    // the losing codewords keep their seed values
+    val corpus = Seq(
+      (1L, Seq(1f, 1f, 9f, 9f)),
+      (2L, Seq(3f, 3f, 9f, 9f))).toDF("id", "vec")
+    val got = Pq.trainCodebooks(corpus, codebooks, subDim = 2, iters = 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toList)
+      .toMap
+    assert(got == Map(
+      (0, 0) -> List(2.0, 2.0), (0, 1) -> List(10.0, 10.0),
+      (1, 0) -> List(0.0, 0.0), (1, 1) -> List(9.0, 9.0)))
+  }
+
   test("adcTopK excludes self-matches and respects k") {
     import spark.implicits._
     val corpus = Seq(
