@@ -714,6 +714,34 @@ object Relational {
       |     sy*(s1*s12 - s11*s2)) / det FROM d)
       |ORDER BY term""".stripMargin
 
+  /** k-anonymity / l-diversity screen
+    * ([[graft.operators.Privacy.kAnonymityReport]]): customers grouped by
+    * the quasi-identifier (nation, market segment), k=10, with the
+    * account-balance sign as the sensitive attribute. One hash
+    * aggregation over the QI key, then a result-sized roll-up — the
+    * release-gate report a training-data pipeline runs before metadata
+    * ships. */
+  def p7KAnonymity(s: SparkSession, d: String): DataFrame =
+    graft.operators.Privacy.kAnonymityReport(
+      customer(s, d),
+      qis = Seq(col("c_nationkey"), col("c_mktsegment")),
+      sensitive = when(col("c_acctbal") < 0, "neg").otherwise("pos"),
+      k = 10)
+
+  val p7Sql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+      |    COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+      |      ELSE 'pos' END) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT 10 AS k, COUNT(*) AS n_groups,
+      |  CAST(COALESCE(MIN(n), 0) AS BIGINT) AS min_group,
+      |  CAST(COALESCE(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS groups_at_risk,
+      |  CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n ELSE 0 END), 0)
+      |    AS BIGINT) AS rows_at_risk,
+      |  CAST(COALESCE(MIN(l), 0) AS BIGINT) AS min_l
+      |FROM g""".stripMargin
+
   /** Explicit GROUPING SETS — the irregular-lattice form rollup (q8) and
     * cube (q12) can't express: exactly {(status, priority), (status), ()}
     * with grouping_id disambiguating the null-vs-NULL ambiguity. Single
@@ -1591,6 +1619,7 @@ object Relational {
     "p4_profile_drift" -> (p4ProfileDrift _),
     "p5_daily_anomalies" -> (p5DailyAnomalies _),
     "p6_linreg" -> (p6Linreg _),
+    "p7_k_anonymity" -> (p7KAnonymity _),
     "q37_grouping_sets" -> (q37GroupingSets _),
     "q38_window_nav" -> (q38WindowNav _))
 
@@ -1639,6 +1668,7 @@ object Relational {
     "p4_profile_drift" -> p4Sql,
     "p5_daily_anomalies" -> p5Sql,
     "p6_linreg" -> p6Sql,
+    "p7_k_anonymity" -> p7Sql,
     "q37_grouping_sets" -> q37Sql,
     "q38_window_nav" -> q38Sql)
 }
