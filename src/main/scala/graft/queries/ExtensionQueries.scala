@@ -3134,6 +3134,58 @@ object ExtensionQueries {
        |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
   }
 
+  /** Per-document keyword extraction: top-3 TF-IDF terms (stopwords
+    * dropped, rational idf n/df — no transcendentals, so the score is a
+    * fixed double tree both engines share). Distributed shape: one
+    * (doc, term) tf aggregation, one vocab-sized df aggregation joined
+    * back on the term key, and a per-doc rank window partitioned by
+    * doc_id — no global sort anywhere. The df side is vocab-sized, so at
+    * corpus scale the join shuffles on the term key rather than
+    * broadcasting. */
+  def t28Keywords(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it",
+      "that")
+    val docs = documents(sp, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .filter(!col("t").isin(stop: _*))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val sc = tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"),
+        (col("tf").cast("double") *
+          (col("n").cast("double") / col("df").cast("double")))
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("t"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("t").as("term"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val t28Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+       |  WHERE t NOT IN ('the','a','an','of','and','to','in','is','it',
+       |    'that')
+       |  GROUP BY 1, 2),
+       |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |sc AS (SELECT tf.doc_id, tf.t,
+       |    (CAST(tf.tf AS DOUBLE) *
+       |      (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))) AS score
+       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+       |r AS (SELECT doc_id, t, score, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, t) AS rank FROM sc)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, t AS term,
+       |  round(score, 4) AS score
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Seeded hop-distance ([[graft.operators.Graph.seededDistance]]):
     * trusted seeds = link-graph nodes ≡ 0 (mod 37); 3 rounds of directed
     * min-distance relaxation — the TrustRank propagation shape. The
@@ -3250,7 +3302,8 @@ object ExtensionQueries {
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "a10_pq_recall" -> (a10PqRecall _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
-    "t27_hybrid_rrf" -> (t27HybridRrf _))
+    "t27_hybrid_rrf" -> (t27HybridRrf _),
+    "t28_keywords" -> (t28Keywords _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3338,5 +3391,6 @@ object ExtensionQueries {
     "a9_ivfpq_topk" -> a9Sql,
     "a10_pq_recall" -> a10Sql,
     "a11_pq_trained_recall" -> a11Sql,
-    "t27_hybrid_rrf" -> t27Sql)
+    "t27_hybrid_rrf" -> t27Sql,
+    "t28_keywords" -> t28Sql)
 }
