@@ -25,30 +25,46 @@ object Retrieval {
     *
     * @param systems ordered (name, df) pairs; each df has `doc_id` and
     *                `rank` (1-based position in that system's list; each
-    *                doc at most once per system)
+    *                doc at most once per system), plus the `queryKeys`
+    *                columns when fusing a multi-query batch
     * @param k       the RRF damping constant (60 in the paper: makes the
     *                fused score robust to outlier top ranks)
-    * @param topK    fused list depth
-    * @return (doc_id, <name>_rank ... per system in order, rrf) ordered by
-    *         (rrf DESC, doc_id); a doc absent from a system has a null
-    *         rank there and contributes 0 from it
+    * @param topK    fused list depth (per query when `queryKeys` is set)
+    * @param queryKeys batch mode: per-system ranks are per-query, the
+    *                join key widens to (queryKeys..., doc_id), and topK
+    *                applies per query via a rank window partitioned on
+    *                the query keys — the "10M queries" form stays one
+    *                equi-join + one partitioned window, no global sort
+    * @return (queryKeys..., doc_id, <name>_rank ... per system in order,
+    *         rrf) ordered by (rrf DESC, doc_id) within a query; a doc
+    *         absent from a system has a null rank there and contributes
+    *         0 from it
     */
   def rrfFuse(systems: Seq[(String, DataFrame)], k: Int = 60,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10, queryKeys: Seq[String] = Nil): DataFrame = {
     require(systems.nonEmpty, "need at least one ranked system")
+    val keys = queryKeys :+ "doc_id"
     val renamed = systems.map { case (n, df) =>
-      n -> df.select(col("doc_id"),
-        col("rank").cast("int").as(s"${n}_rank"))
+      n -> df.select(keys.map(col) :+
+        col("rank").cast("int").as(s"${n}_rank"): _*)
     }
     val joined = renamed.map(_._2)
-      .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+      .reduce((a, b) => a.join(b, keys, "full_outer"))
     // left-to-right add order over systems — the oracle's fold
     val score = renamed.map { case (n, _) =>
       coalesce(lit(1.0) / (lit(k).cast("double") +
         col(s"${n}_rank").cast("double")), lit(0.0))
     }.reduceLeft(_ + _)
-    joined.withColumn("rrf", score)
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(topK)
+    val scored = joined.withColumn("rrf", score)
+    if (queryKeys.isEmpty) {
+      scored.orderBy(col("rrf").desc, col("doc_id")).limit(topK)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(queryKeys.map(col): _*)
+        .orderBy(col("rrf").desc, col("doc_id"))
+      scored.withColumn("__r", org.apache.spark.sql.functions.row_number()
+          .over(w))
+        .filter(col("__r") <= topK).drop("__r")
+    }
   }
 }

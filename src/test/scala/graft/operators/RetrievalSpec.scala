@@ -30,6 +30,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(3) == ((30L, Some(3), None, 1.0 / 63)))
   }
 
+  test("rrfFuse batch mode: queries fuse independently, topK per query") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1))
+      .toDF("qid", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1), (2L, 40L, 1))
+      .toDF("qid", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "dense" -> dense),
+      k = 60, topK = 1, queryKeys = Seq("qid"))
+      .orderBy("qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    // q1: doc 20 wins (1/62 + 1/61 > 1/61); q2: tie 1/61 -> doc 30
+    assert(got.toSeq == Seq((1L, 20L, 1.0 / 62 + 1.0 / 61),
+      (2L, 30L, 1.0 / 61)))
+  }
+
   test("rrfFuse: equal scores break toward the lower doc_id; topK cuts") {
     import spark.implicits._
     // 5 and 3 both score 1/61 from exactly one system each
