@@ -286,4 +286,99 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(got == want, s"tau=$tau")
     }
   }
+
+  test("Pq.encode == in-memory per-subspace argmin (ties to lower code) " +
+      "for random vectors and codebooks") {
+    import spark.implicits._
+    val M = 3; val sub = 4; val K = 5
+    val vecGen = Gen.listOfN(M * sub, Gen.chooseNum(-8, 8).map(_.toFloat))
+    val cbRows = samples(vecGen, K).zipWithIndex.flatMap { case (v, j) =>
+      (0 until M).map(m => (m, j, v.slice(m * sub, (m + 1) * sub))) }
+    val vs = samples(vecGen, 50).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val got = Pq.encode(vs.toDF("id", "vec"), cbRows.toDF("m", "j", "cvec"),
+        subDim = sub)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val cb = cbRows.groupBy(_._1).map { case (m, rs) =>
+      m -> rs.sortBy(_._2).map(_._3.map(_.toDouble)) }
+    val want = vs.map { case (i, v) =>
+      i -> (0 until M).map { m =>
+        val s = v.slice(m * sub, (m + 1) * sub).map(_.toDouble)
+        cb(m).zipWithIndex.minBy { case (cw, j) =>
+          (s.zip(cw).map { case (x, c) => (x - c) * (x - c) }.sum, j)
+        }._2
+      }.toList
+    }.toMap
+    assert(got == want)
+  }
+
+  test("Graph.seededDistance == in-memory BFS layers on random digraphs") {
+    import spark.implicits._
+    val n = 30
+    val edgeGen = for {
+      u <- Gen.chooseNum(0, n - 1); v <- Gen.chooseNum(0, n - 1)
+    } yield (u.toLong, v.toLong)
+    val es = samples(edgeGen, 80).distinct
+    val seeds = Seq(0L, 7L, 13L)
+    val adj = es.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    def bfs(maxHops: Int): Map[Long, Long] = {
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 0 until maxHops) {
+        val offers = dist.toSeq.flatMap { case (u, d) =>
+          adj.getOrElse(u, Nil).map(_ -> (d + 1)) }
+        dist = (dist.toSeq ++ offers).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      dist
+    }
+    val e = es.toDF("src", "dst")
+    val sd = seeds.toDF("id")
+    for (h <- Seq(0, 2, 5)) {
+      val got = Graph.seededDistance(e, sd, h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bfs(h), s"maxHops=$h")
+    }
+  }
+
+  test("Linreg.fitOLS2 residuals are X-orthogonal (the defining OLS " +
+      "property) on random integer data") {
+    import spark.implicits._
+    val rowGen = for {
+      x1 <- Gen.chooseNum(0, 20); x2 <- Gen.chooseNum(0, 20)
+      e <- Gen.chooseNum(-5, 5)
+    } yield (x1.toLong, x2.toLong, 3L + 2L * x1 - x2 + e)
+    val rows = samples(rowGen, 60)
+    val df = rows.map { case (x1, x2, y) => (y, x1, x2) }
+      .toDF("y", "x1", "x2")
+    val b = Linreg.fitOLS2(df, col("y"), col("x1"), col("x2"),
+        ("b0", "b1", "b2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r = rows.map { case (x1, x2, y) =>
+      (x1.toDouble, x2.toDouble,
+        y - (b("b0") + b("b1") * x1 + b("b2") * x2)) }
+    val scale = rows.map(_._3.toDouble.abs).max * rows.size
+    assert(math.abs(r.map(_._3).sum) < 1e-7 * scale)          // 1 ⟂ r
+    assert(math.abs(r.map(t => t._1 * t._3).sum) < 1e-7 * scale) // x1 ⟂ r
+    assert(math.abs(r.map(t => t._2 * t._3).sum) < 1e-7 * scale) // x2 ⟂ r
+  }
+
+  test("Retrieval.rrfFuse == in-memory fusion for random rank lists") {
+    import spark.implicits._
+    val listGen = Gen.chooseNum(1, 15).flatMap(sz =>
+      Gen.pick(sz, 0L until 30L).map(_.toSeq))
+    val sys = Seq("s1", "s2", "s3").map { n =>
+      n -> samples(listGen, 1).head.zipWithIndex
+        .map { case (d, i) => (d, i + 1) }
+    }
+    val dfs = sys.map { case (n, l) => n -> l.toDF("doc_id", "rank") }
+    val got = Retrieval.rrfFuse(dfs, k = 60, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    val ranks = sys.map { case (_, l) => l.toMap }
+    val docs = sys.flatMap(_._2.map(_._1)).distinct
+    val want = docs.map { d =>
+      d -> ranks.map(m => m.get(d).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+        .reduceLeft(_ + _)
+    }.sortBy { case (d, s) => (-s, d) }
+    assert(got == want)
+  }
 }
