@@ -27,39 +27,61 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // noop write materializes EVERY result row through the full plan
-    // (a count() would let Catalyst delete sorts and projections)
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+    // (a count() would let Catalyst delete sorts and projections).
+    // A gate that throws must NEVER contribute a timing (round 7: 10
+    // gates broke on a fixture change, benchmarked at ~0.06 s each, and
+    // the suite total "improved") — so run() surfaces the error and the
+    // gate is reported in `errors`, excluded from `queries`/total.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[String] = {
+      val r =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(300)) }
       // drop cached intermediates (e.g. the LSH sketch table) so queries
       // don't leak memory pressure into each other
       spark.catalog.clearCache()
+      r
     }
     if (warmup) names.foreach { case (_, fn) => run(fn) }
     val results = names.map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        run(fn)
+        val e = run(fn)
+        if (err.isEmpty) err = e
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, times)
+      (name, times.min, times, err)
     }
+    val errors = results.collect { case (n, _, _, Some(e)) => (n, e) }
+    val healthy = results.collect { case (n, m, ts, None) => (n, m, ts) }
     // The stdout summary line must survive tail-capture (round 5's line,
     // with 80 full-precision rep arrays inlined, overflowed the capture and
     // left parsed:null) — so stdout gets a COMPACT line (ms precision, no
     // reps) and the full rep arrays are persisted to BENCH_FULL.json in the
     // repo, where they are committed and the claims stay reproducible.
     def r3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, m, _) => s"\"" + k + "\":" + r3(m) }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = healthy.map { case (k, m, _) => s"\"" + k + "\":" + r3(m) }
       .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, ts) =>
+    val rs = healthy.map { case (k, _, ts) =>
         s"\"" + k + "\":" + ts.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val es = errors.map { case (k, e) => s"${jq(k)}: ${jq(e)}" }
+      .mkString("{", ",", "}")
+    val total = healthy.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"gates":${names.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rs,"reps_n":$reps,"warmup":$warmup,"cpus":"$cpus","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rs,"reps_n":$reps,"warmup":$warmup,"cpus":"$cpus","gates":${names.size},"n_errors":${errors.size},"errors":$es,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("BENCH_FULL.json")
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))

@@ -23,13 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong and
-    * this loader truncates to microsecond timestamps (integer division, as
-    * DuckDB's epoch_ns(ts)//1000 does on the oracle side). */
+  /** events.parquet's `ts` encoding has varied across fixture generations:
+    * TIMESTAMP(NANOS) (bound as LongType via the nanosAsLong legacy conf)
+    * and timestamp[us] without UTC adjustment (bound as TIMESTAMP_NTZ).
+    * Hard-coding either breaks when the fixtures regenerate, so normalize
+    * whatever the footer declares to a micros-precision instant
+    * (TimestampType) — the reference's own scalar parsers tolerate input
+    * variation per field (Parser.cs:69-84) and this is the same posture at
+    * the table level. DuckDB's `make_timestamp(epoch_ns(ts) // 1000)` on
+    * the oracle side is identity on micros timestamps and a truncation on
+    * nanos, so the oracle SQL is valid for every encoding. Sessions pin
+    * spark.sql.session.timeZone=UTC, making the NTZ→instant cast exact. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

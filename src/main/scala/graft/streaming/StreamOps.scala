@@ -15,21 +15,21 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  val EventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming view of the events table (micros-truncated timestamps, same
-    * as Tables.events). */
-  def eventsStream(sp: SparkSession, dir: String): DataFrame =
-    sp.readStream.schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Streaming view of the events table, normalized to micros-precision
+    * TimestampType exactly like `Tables.events`. A streaming file source
+    * needs an explicit schema, and the fixture's `ts` encoding has changed
+    * across generations (int64 nanos vs timestamp[us]); forcing one
+    * encoding silently mis-scales the other (a micros value divided by
+    * 1000 lands every event in 1970). So probe the actual footer schema
+    * with a batch read (metadata-only, no row scan) and feed THAT to the
+    * stream, then normalize. */
+  def eventsStream(sp: SparkSession, dir: String): DataFrame = {
+    val bound = sp.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      sp.readStream.schema(bound)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir))
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
     * state. */

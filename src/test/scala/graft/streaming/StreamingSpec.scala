@@ -512,10 +512,7 @@ class StreamingSpec extends AnyFunSuite {
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state" +
         ".RocksDBStateStoreProvider")
-    val stream = s2.readStream.schema(
-      graft.streaming.StreamOps.EventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.streaming.StreamOps.eventsStream(s2, sf)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
