@@ -208,13 +208,15 @@ object Multimodal {
     var off = 12
     while (off + 12 <= m.length) {
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > m.length) return (0, 0)
+      // subtraction form: `off + 8 + size` itself overflows Int for a
+      // crafted size near Int.MaxValue and the bound check passes wrongly
+      if (size < 0 || size > m.length - off - 8) return (0, 0)
       if (fourcc(off, "LIST") && size >= 4 && fourcc(off + 8, "hdrl")) {
         val end = off + 8 + size
         var p = off + 12
         while (p + 8 <= end) {
           val csz = buf.getInt(p + 4)
-          if (csz < 0 || p + 8 + csz > end) return (0, 0)
+          if (csz < 0 || csz > end - p - 8) return (0, 0)
           if (fourcc(p, "avih") && csz >= 40)
             return (buf.getInt(p + 8 + 32), buf.getInt(p + 8 + 36))
           p += 8 + csz + (csz & 1)
@@ -240,7 +242,8 @@ object Multimodal {
     var ok = true
     while (ok && off + 8 <= m.length) {
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > m.length) ok = false
+      // overflow-safe subtraction form (see aviMainHeaderDims)
+      if (size < 0 || size > m.length - off - 8) ok = false
       else {
         if (size >= 4 && m(off) == 'L' && m(off + 1) == 'I' &&
             m(off + 2) == 'S' && m(off + 3) == 'T' &&
@@ -250,7 +253,7 @@ object Multimodal {
           var p = off + 12
           while (p + 8 <= end) {
             val csz = buf.getInt(p + 4)
-            if (csz < 0 || p + 8 + csz > end) p = end
+            if (csz < 0 || csz > end - p - 8) p = end
             else {
               // video frame chunks are '<2-digit stream id>db|dc'
               if (m(p + 2) == 'd'.toByte &&

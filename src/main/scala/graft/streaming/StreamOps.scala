@@ -24,9 +24,23 @@ object StreamOps {
     * with a batch read (metadata-only, no row scan) and feed THAT to the
     * stream, then normalize. */
   def eventsStream(sp: SparkSession, dir: String): DataFrame = {
-    val bound = sp.read.parquet(s"$dir/events.parquet").schema
+    val raw = sp.read.parquet(s"$dir/events.parquet")
+    // Input-sanity tripwire (round 7 post-mortem): a mis-scaled ts corpus
+    // collapsed every event into two 1970 windows and the gates handed the
+    // driver hashable WRONG answers instead of errors. Refuse to build the
+    // stream unless the normalized event times are plausible: min after
+    // 2000-01-01 and a span wider than 2 h (> 2 distinct hourly windows).
+    // Cost: one aggregate scan of a single narrow column before the query
+    // starts — negligible beside any streaming gate's state machinery.
+    val b = graft.Tables.normalizeTs(raw)
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+    val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
+    require(mn != null && mn.getTime >= 946684800000L && // 2000-01-01 UTC
+      mx.getTime - mn.getTime > 2L * 3600 * 1000,
+      s"events time corpus implausible: span [$mn, $mx] — mis-scaled ts " +
+        "fixture? refusing to stream a collapsed-timestamp corpus")
     graft.Tables.normalizeTs(
-      sp.readStream.schema(bound)
+      sp.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
         .parquet(dir))
   }

@@ -105,6 +105,73 @@ class GraphSpec extends AnyFunSuite {
     assert(run(3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("g1_pagerank gate replay: partition-invariant driver hash, " +
+      "unrolled-SQL oracle match, deterministic rank-25 boundary") {
+    // Round-7 driver run flagged g1 hash_match=false (rows/schema ok) but
+    // it never reproduced locally. This replays the driver's compare
+    // in-JVM: canonical form = columns sorted by name, rows sorted,
+    // CSV, sha256 — run at the driver's 32 shuffle partitions AND at 3,
+    // and against an independent unrolled-CTE oracle (the DuckDB g1Sql
+    // translated to Spark SQL), so any partition-order or tie
+    // nondeterminism trips here first.
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.SparkEntry.queries("g1_pagerank")
+    def canonSha(rows: Array[org.apache.spark.sql.Row]): String = {
+      val sorted = rows.map(r =>
+        (r.getLong(r.fieldIndex("cr")), r.getLong(r.fieldIndex("id"))))
+        .sortBy(identity).toSeq
+      val csv = "cr,id\n" +
+        sorted.map { case (cr, id) => s"$cr,$id\n" }.mkString
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(csv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def run(parts: Int) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      gate(s2, sf).collect()
+    }
+    val at32 = run(32)
+    val at3 = run(3)
+    assert(at32.length == 25 && canonSha(at32) == canonSha(at3))
+    // independent oracle replay (mirrors ExtensionQueries.g1Sql)
+    val s3 = spark.newSession()
+    s3.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("documents")
+    def h32(e: String): String =
+      s"pmod(CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)," +
+        " (SELECT COUNT(*) FROM documents))"
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (SELECT n.id,
+         |  150000 + COALESCE(SUM((c.cr * 85) div (100 * e.d)), 0) AS cr
+         |  FROM nodes n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN $prev c ON c.id = e.src GROUP BY n.id)""".stripMargin
+    val oracle = s3.sql(
+      s"""WITH edges AS (
+         |  SELECT ${h32("CAST(doc_id AS STRING)")} AS src,
+         |    ${h32("concat(CAST(doc_id AS STRING), ':', CAST(k AS STRING))")}
+         |      AS dst
+         |  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS ks(k)),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |e AS (SELECT edges.src, edges.dst, deg.d FROM edges
+         |      JOIN deg USING (src)),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |c0 AS (SELECT id, CAST(1000000 AS BIGINT) AS cr FROM nodes),
+         |${iter("c0", "c1")},
+         |${iter("c1", "c2")},
+         |${iter("c2", "c3")}
+         |SELECT id, cr FROM c3 ORDER BY cr DESC, id LIMIT 26""".stripMargin)
+      .collect()
+    val gateSeq = at32.map(r =>
+      (r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("cr")))).toSeq
+    val oracleSeq = oracle.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gateSeq == oracleSeq.take(25))
+    // rank-25 boundary: the total order (cr DESC, id) both sides use must
+    // strictly separate row 25 from row 26
+    val b25 = oracleSeq(24); val b26 = oracleSeq(25)
+    assert(b25._2 > b26._2 || (b25._2 == b26._2 && b25._1 < b26._1))
+  }
+
   test("labelPropagation: hand-computed rounds with majority and ties") {
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4
     val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L,

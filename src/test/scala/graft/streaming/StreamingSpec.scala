@@ -192,6 +192,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(M.aviFrameSlices(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
   }
 
+  test("eventsStream refuses a collapsed-timestamp corpus (tripwire)") {
+    // Poisoned fixture: every ts within minutes of 1970-01-20 — exactly
+    // what a double-divided micros corpus looks like. The source must
+    // throw, never hand downstream gates a hashable wrong answer.
+    import spark.implicits._
+    val dir = graft.Tables.scratchDir("graft-poison-ev")
+    (1L to 50L).map(i =>
+        (i, new java.sql.Timestamp(1700000000L + i * 60000), i % 7,
+          "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir)
+    f.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(p => p.renameTo(new java.io.File(f, "events.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.eventsStream(spark, dir)
+    }
+    assert(e.getMessage.contains("implausible"))
+    // and a plausible-but-flat corpus (all events in one hour) trips too
+    (1L to 50L).map(i =>
+        (i, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), i % 7,
+          "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    f.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(p => p.renameTo(new java.io.File(f, "events.parquet")))
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.eventsStream(spark, dir)
+    }
+  }
+
+  test("crafted chunk size near Int.MaxValue terminates the AVI walks") {
+    // `off + 8 + size` overflows Int for this size; the additive bound
+    // check wrongly passed and the walk ran off the array (or spun on a
+    // negative offset). The subtraction-form guard must reject it cleanly.
+    val M = graft.operators.Multimodal
+    val b = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(24)
+    b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")); b.putInt(Int.MaxValue - 5)
+    b.put("movi".getBytes("US-ASCII"))
+    val m = b.array()
+    assert(M.aviFrameSlices(m).isEmpty)
+    assert(M.aviMainHeaderDims(m) == ((0, 0)))
+  }
+
   test("foreachBatch sink: streaming micro-batches land as parquet") {
     val out = java.nio.file.Files.createTempDirectory("graftfb").toString
     val ev = StreamOps.eventsStream(spark, sf)
