@@ -25,7 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local-iteration filter, same contract as Verify's: the driver never
+    // sets it, so the round bench always runs the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // noop write materializes EVERY result row through the full plan
     // (a count() would let Catalyst delete sorts and projections).
     // A gate that throws must NEVER contribute a timing (round 7: 10

@@ -935,9 +935,18 @@ object ExtensionQueries {
     * [[graft.functions.Text.wordGrams]]), one hash-agg by gram hash, one
     * equi-join back, one agg by doc. */
   def t22DupSpans(sp: SparkSession, dir: String): DataFrame = {
-    val occ = documents(sp, dir)
+    // occ feeds BOTH the gram-count aggregation and the join probe side;
+    // without materialization the tokenize+explode+md5 (the expensive
+    // part) executes twice. Scratch parquet costs one narrow (doc_id,
+    // int32) write and two cheap columnar scans — the Graph.materialize
+    // pattern; at 100 TB this also decouples the two consumers' stage
+    // boundaries for AQE.
+    val occDir = graft.Tables.scratchDir("graft-t22-occ")
+    documents(sp, dir)
       .select(col("doc_id"), explode(Text.wordGrams(col("text"), 8)).as("__g"))
       .select(col("doc_id"), Hashing.portableHash32(col("__g")).as("__gh"))
+      .write.mode("overwrite").parquet(occDir)
+    val occ = sp.read.parquet(occDir)
     val counts = occ.groupBy("__gh").agg(count(lit(1)).as("__c"))
     occ.join(counts, "__gh")
       .groupBy("doc_id")
