@@ -111,6 +111,20 @@ object XmlMicroBench {
         graft.queries.XmlQueries.x4FirstWinsAlt(spark, sfDir)
           .write.format("noop").mode("overwrite").save(); 0L
       }),
+      // x4 cost split: the same document through ONLY the native struct
+      // parse vs ONLY the alternatives (xml_children) parse
+      "x4_struct_noop" -> (() => {
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.01")
+        graft.queries.XmlQueries.x4StructOnly(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }),
+      "x4_alt_noop" -> (() => {
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.01")
+        graft.queries.XmlQueries.x4AltOnly(spark, sfDir)
+          .write.format("noop").mode("overwrite").save(); 0L
+      }),
       // x2 rebuilt inline with NO persist
       "x2_nopersist" -> (() => {
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.xml.XmlMemoParseExpr
+import graft.xml.{XmlFlatParseExpr, XmlMemoParseExpr}
 
 /** Session extensions: `SparkSession.builder.withExtensions(new
   * GraftExtensions)` or `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -37,9 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Pull repeated (semantically-equal) XmlMemoParseExpr subtrees of a
-  * Project into a dedicated child Project, so each parse runs once per row
-  * and the original expressions read the materialized struct.
+/** Pull repeated (semantically-equal) per-row XML parses of a Project into
+  * a dedicated child Project, so each parse runs once per row and the
+  * original expressions read the materialized struct. Two parse forms:
+  * memo-wrapped `from_xml` (nested native schemas — the pulled alias
+  * UNWRAPS the memo, a single evaluation needs no cache) and
+  * [[XmlFlatParseExpr]] (flat native schemas — pulled as-is; it IS the
+  * parse).
   *
   * Runs in the operator-optimization fixpoint batch next to
   * CollapseProject; the split is stable because CollapseProject refuses to
@@ -47,17 +51,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * application each parse appears exactly once. */
 object DedupXmlParses extends Rule[LogicalPlan] {
 
+  /** The expression to alias in the pulled Project for a given parse. */
+  private def pullTarget(e: Expression): Expression = e match {
+    case m: XmlMemoParseExpr => m.child // single eval needs no memo
+    case other               => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(list, child) if child.resolved =>
       val counts = mutable.LinkedHashMap.empty[Expression,
-        (XmlMemoParseExpr, Int)]
+        (Expression, Int)]
+      def note(e: Expression): Unit = {
+        val k = e.canonicalized
+        counts.updateWith(k) {
+          case Some((ex, n)) => Some((ex, n + 1))
+          case None          => Some((e, 1))
+        }: Unit
+      }
       list.foreach(_.foreach {
-        case e: XmlMemoParseExpr =>
-          val k = e.canonicalized
-          counts.updateWith(k) {
-            case Some((ex, n)) => Some((ex, n + 1))
-            case None          => Some((e, 1))
-          }: Unit
+        case e: XmlMemoParseExpr => note(e)
+        case e: XmlFlatParseExpr => note(e)
         case _ =>
       })
       val pullable = counts.values.collect {
@@ -66,13 +79,13 @@ object DedupXmlParses extends Rule[LogicalPlan] {
       }.toSeq
       if (pullable.isEmpty) p
       else {
-        // alias the UNWRAPPED parse: evaluated once in its own slot, the
-        // memo wrapper would only add a per-row cache lookup
-        val aliases = pullable.map(e => Alias(e.child, "_graft_parse")())
+        val aliases = pullable.map(e => Alias(pullTarget(e), "_graft_parse")())
         val byKey = pullable.map(_.canonicalized)
           .zip(aliases.map(_.toAttribute)).toMap
         val newList = list.map(_.transformUp {
           case e: XmlMemoParseExpr if byKey.contains(e.canonicalized) =>
+            byKey(e.canonicalized)
+          case e: XmlFlatParseExpr if byKey.contains(e.canonicalized) =>
             byKey(e.canonicalized)
         }.asInstanceOf[NamedExpression])
         Project(newList, Project(child.output ++ aliases, child))

@@ -167,6 +167,52 @@ object XmlQueries {
       .orderBy("id")
   }
 
+  /** Micro-bench split halves of x4 (XmlMicroBench x4_struct_noop /
+    * x4_alt_noop): same document, one parse each. Not gates. */
+  def x4StructOnly(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val even = (col("l_linenumber") % 2) === 0
+    val xml = concat(
+      lit("<m><id>"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("</id><v>"), d2s(col("l_quantity")), lit("</v><v>"),
+      d2s(col("l_extendedprice")), lit("</v>"),
+      when(even, concat(lit("<item1>"), s(col("l_linenumber")),
+        lit("</item1>")))
+        .otherwise(concat(lit("<item2>"), s(col("l_linenumber")),
+          lit("</item2>"))),
+      lit("</m>"))
+    val parser = XmlParser.struct("m") { a =>
+      struct(
+        a.int("id").as("id"),
+        a.nullDecimal("v").cast("double").as("first_v"),
+        a.array("missing_arr")(c => c.nullInt("zz")).as("marr"))
+    }
+    spread(li.select(xml.as("__xml")))
+      .select(parser.parse(col("__xml")).as("r"))
+      .select(col("r.id").as("id"), col("r.first_v").as("first_v"),
+        col("r.marr").as("marr"))
+  }
+
+  def x4AltOnly(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val even = (col("l_linenumber") % 2) === 0
+    val xml = concat(
+      lit("<m><id>"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("</id><v>"), d2s(col("l_quantity")), lit("</v><v>"),
+      d2s(col("l_extendedprice")), lit("</v>"),
+      when(even, concat(lit("<item1>"), s(col("l_linenumber")),
+        lit("</item1>")))
+        .otherwise(concat(lit("<item2>"), s(col("l_linenumber")),
+          lit("</item2>"))),
+      lit("</m>"))
+    val altParser = XmlParser.array { c =>
+      coalesce(c.nullInt("item1"), c.nullInt("item2") * 10)
+    }
+    spread(li.select(xml.as("__xml")))
+      .select(altParser.parse(col("__xml")).as("alts"))
+      .select(get(col("alts"), lit(0)).as("alt"))
+  }
+
   val x4Sql: String =
     """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS first_v,

@@ -100,6 +100,12 @@ object XmlChildrenExpr {
   def evalJava(input: UTF8String, patterns: Seq[String],
       fromRoot: Boolean, specKey: String, needOuter: Boolean,
       needValue: Boolean): ArrayData = {
+    // byte-level fast path (value-only capture of leaf children): no
+    // toString decode, no StAX, values copied straight from the input
+    // bytes; anything outside the proven-equivalent subset falls through
+    val fast = XmlFastScan.children(input, patterns, specKey, fromRoot,
+      needOuter, needValue)
+    if (!(fast eq XmlFastScan.Bail)) return fast.asInstanceOf[ArrayData]
     val xml = input.toString
     val perSpec = memo.get()
     var cache = perSpec.get(specKey)
@@ -271,6 +277,19 @@ case class XmlFirstChildExpr(child: Expression, capturePatterns: Seq[String],
 
   /** Instance evaluator referenced directly from the generated code. */
   def firstChild(input: UTF8String): InternalRow = {
+    val fast = XmlFastScan.children(input, capturePatterns, specKey,
+      fromRoot, needOuter, needValue)
+    if (!(fast eq XmlFastScan.Bail)) {
+      val arr = fast.asInstanceOf[org.apache.spark.sql.catalyst.util
+        .GenericArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.array(i).asInstanceOf[InternalRow]
+        if (matches(row.getUTF8String(0).toString)) return row
+        i += 1
+      }
+      return null
+    }
     val kids = XmlStax.children(input.toString, capturePatterns, fromRoot,
       specKey, needOuter, needValue)
     if (kids == null) return null

@@ -221,13 +221,24 @@ private[xml] object Bind {
     m
   }
 
-  /** from_xml wrapped in the per-thread parse memo — the DSL references the
-    * parsed struct once per bound member, and those references survive as
-    * duplicate parses in the optimized Project (see XmlMemoParseExpr). */
+  /** The per-row record parse for a native read schema. FLAT schemas (root
+    * attrs + scalars + single-scalar containers — the overwhelmingly common
+    * record shape) run through [[XmlFlatParseExpr]]: a one-pass byte
+    * scanner with per-row fallback to Spark's own XML evaluator, an order
+    * of magnitude cheaper than from_xml's per-row Woodstox reader. Nested
+    * schemas keep from_xml wrapped in the per-thread parse memo — the DSL
+    * references the parsed struct once per bound member, and those
+    * references survive as duplicate parses in the optimized Project (see
+    * XmlMemoParseExpr). */
   def fx(c: Column, st: StructType): Column =
-    org.apache.spark.sql.graft.ColumnBridge.column(
-      XmlMemoParseExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
-        from_xml(c, st, xmlOptions))))
+    if (XmlFastScan.FlatSpec.of(st).isDefined)
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        XmlFlatParseExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c), st))
+    else
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        XmlMemoParseExpr(org.apache.spark.sql.graft.ColumnBridge.expression(
+          from_xml(c, st, xmlOptions))))
 
   /** First element's local name of a document/fragment string — for rootless
     * (`fragment`) parsers, ≙ the reference's root-depth bootstrap tag

@@ -1,0 +1,652 @@
+package graft.xml
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level fast path for XML record parsing (VERDICT r7 item 9:
+  * "UTF8String-slice capture without String materialization").
+  *
+  * Both engine paths pay heavily per record-sized document: the StAX path a
+  * full UTF8→UTF16 decode + SJSXP tokenization + StringBuilder capture +
+  * UTF16→UTF8 re-encode; the `from_xml` path a fresh Woodstox stream reader
+  * per row (`SymbolTable.makeChild` dominates its profile). For the common
+  * machine-generated record shape none of that is needed: these scanners
+  * walk the UTF8 bytes once and copy captured values straight out of the
+  * input buffer (XML structural delimiters are ASCII, so byte scanning is
+  * UTF-8-safe). Captured slices are COPIED, never aliased — upstream row
+  * buffers can be reused by Spark between rows.
+  *
+  * Two entry points:
+  *   - [[children]] — the `xml_children` alternatives capture
+  *     (tag/value/attrs per matching depth-1 child), value-only;
+  *   - [[flatStruct]] — the flat native-spec record shape
+  *     (root attrs + repeated scalar children + single-scalar containers),
+  *     the `from_xml` replacement used by [[XmlFlatParseExpr]].
+  *
+  * Each handles exactly the subset it can prove equivalent to the engine
+  * path it replaces and returns [[Bail]] for everything else (the caller
+  * then runs the real engine, whose semantics decide). "Prove equivalent"
+  * is deliberately strict — the scanners must never SUCCEED where the real
+  * engine would reject the document (PERMISSIVE null / all-null row), so:
+  *
+  *   - element/attribute names must be ASCII `[A-Za-z_][A-Za-z0-9_.-]*`
+  *     (colons — namespaces — bail);
+  *   - any `&` anywhere bails (undefined entities reject the document);
+  *   - control bytes outside tab/LF/CR bail (illegal XML characters);
+  *   - `]]>` in character data bails;
+  *   - `<!` / `<?` constructs bail (prolog, DTD, CDATA, comments, PIs);
+  *   - markup must be properly nested and name-balanced (verified with an
+  *     offset stack), with nothing but whitespace after the root's close;
+  *   - duplicate attribute names on captured elements bail.
+  */
+object XmlFastScan {
+
+  /** Sentinel: this document/spec is outside the fast subset. */
+  val Bail: AnyRef = new Object
+
+  // ------------------------------------------------------------------
+  // shared byte helpers
+  // ------------------------------------------------------------------
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n'
+
+  private def nameStart(c: Byte): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || c == '_'
+
+  private def nameChar(c: Byte): Boolean =
+    nameStart(c) || (c >= '0' && c <= '9') || c == '.' || c == '-'
+
+  /** Legal XML character-data byte: anything except control chars (minus
+    * tab/LF/CR). Multi-byte UTF-8 continuation/lead bytes are negative and
+    * pass. '<' and '&' are handled by the callers' scan loops. */
+  private def textByte(c: Byte): Boolean =
+    c < 0 || c >= 0x20 || c == '\t' || c == '\n' || c == '\r'
+
+  private def regionEq(b: Array[Byte], s: Int, e: Int,
+      pat: Array[Byte]): Boolean = {
+    if (e - s != pat.length) return false
+    var i = 0
+    while (i < pat.length) {
+      if (b(s + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def regionsEq(b: Array[Byte], s1: Int, e1: Int, s2: Int,
+      e2: Int): Boolean = {
+    if (e1 - s1 != e2 - s2) return false
+    var i = 0
+    while (i < e1 - s1) {
+      if (b(s1 + i) != b(s2 + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def startsW(b: Array[Byte], s: Int, e: Int,
+      pat: Array[Byte]): Boolean = {
+    if (e - s < pat.length) return false
+    var i = 0
+    while (i < pat.length) {
+      if (b(s + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def endsW(b: Array[Byte], s: Int, e: Int,
+      pat: Array[Byte]): Boolean = {
+    if (e - s < pat.length) return false
+    var i = 0
+    val off = e - pat.length
+    while (i < pat.length) {
+      if (b(off + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def slice(b: Array[Byte], s: Int, e: Int): UTF8String =
+    if (e <= s) UTF8String.EMPTY_UTF8
+    else {
+      val a = new Array[Byte](e - s)
+      System.arraycopy(b, s, a, 0, e - s)
+      UTF8String.fromBytes(a)
+    }
+
+  private val emptyMap = new ArrayBasedMapData(
+    new GenericArrayData(Array.empty[Any]),
+    new GenericArrayData(Array.empty[Any]))
+
+  private final val MaxDepth = 64
+
+  /** Mutable cursor state for one scan. A scan either completes or sets
+    * `bail`; every helper checks/propagates it. */
+  private final class Scan(val b: Array[Byte]) {
+    val n: Int = b.length
+    var i: Int = 0
+    var bail: Boolean = false
+    var selfClose: Boolean = false
+
+    def fail(): Int = { bail = true; -1 }
+
+    /** [s, e) of a valid element/attribute name starting at i, advancing
+      * i past it; -1 (+bail) on invalid names. */
+    def name(): Int = {
+      val s = i
+      if (i >= n || !nameStart(b(i))) return fail()
+      i += 1
+      while (i < n && nameChar(b(i))) i += 1
+      if (i >= n) return fail()
+      // next byte must be a legal name terminator
+      val c = b(i)
+      if (!(isWs(c) || c == '>' || c == '/' || c == '=')) return fail()
+      s
+    }
+
+    /** Consume attributes + the closing '>' of a start tag, starting just
+      * after the element name. Sets selfClose. When `kv` is non-null,
+      * (name, value) UTF8String pairs of the element's attributes are
+      * appended (with duplicate-name detection). Returns -1 on bail. */
+    def tagTail(kv: java.util.ArrayList[AnyRef]): Int = {
+      selfClose = false
+      var nAttrs = 0
+      val seenS = new Array[Int](8)
+      val seenE = new Array[Int](8)
+      while (i < n) {
+        while (i < n && isWs(b(i))) i += 1
+        if (i >= n) return fail()
+        val c = b(i)
+        if (c == '>') { i += 1; return i }
+        if (c == '/') {
+          if (i + 1 < n && b(i + 1) == '>') {
+            selfClose = true; i += 2; return i
+          }
+          return fail()
+        }
+        // attribute
+        val as = name()
+        if (as < 0) return fail()
+        val ae = i
+        // xmlns declarations are not attributes in the engines' local view
+        if (regionEq(b, as, ae, XmlnsBytes)) return fail()
+        // duplicate attribute names make conforming parsers reject
+        var d = 0
+        while (d < nAttrs) {
+          if (regionsEq(b, seenS(d), seenE(d), as, ae)) return fail()
+          d += 1
+        }
+        if (nAttrs < seenS.length) {
+          seenS(nAttrs) = as; seenE(nAttrs) = ae; nAttrs += 1
+        } else return fail() // >8 attrs: outside the fast subset
+        while (i < n && isWs(b(i))) i += 1
+        if (i >= n || b(i) != '=') return fail()
+        i += 1
+        while (i < n && isWs(b(i))) i += 1
+        if (i >= n || (b(i) != '"' && b(i) != '\'')) return fail()
+        val q = b(i)
+        i += 1
+        val vs = i
+        while (i < n && b(i) != q) {
+          val vc = b(i)
+          if (vc == '&' || vc == '<' || !textByte(vc) || vc == '\t' ||
+            vc == '\n' || vc == '\r') return fail() // normalization chars
+          i += 1
+        }
+        if (i >= n) return fail()
+        if (kv != null) {
+          kv.add(slice(b, as, ae))
+          kv.add(slice(b, vs, i))
+        }
+        i += 1
+      }
+      fail()
+    }
+
+    /** Scan character data up to the next '<', enforcing the strict text
+      * rules ('&', control bytes, "]]>"). Returns the text start; i ends
+      * at the '<'. -1 on bail. */
+    def text(): Int = {
+      val s = i
+      var brackets = 0
+      while (i < n && b(i) != '<') {
+        val c = b(i)
+        if (c == '&' || !textByte(c)) return fail()
+        if (c == ']') brackets += 1
+        else {
+          if (c == '>' && brackets >= 2) return fail()
+          brackets = 0
+        }
+        i += 1
+      }
+      if (i >= n) return fail()
+      s
+    }
+
+    /** i is on '<' of an end tag ("</"); verify its name against [ns, ne)
+      * and consume through '>'. -1 on bail. */
+    def endTag(ns: Int, ne: Int): Int = {
+      i += 2
+      val es = name()
+      if (es < 0) return fail()
+      if (!regionsEq(b, es, i, ns, ne)) return fail()
+      while (i < n && isWs(b(i))) i += 1
+      if (i >= n || b(i) != '>') return fail()
+      i += 1
+      i
+    }
+
+    /** i is on the '<' of a start tag; skip the whole element subtree with
+      * name-balance verification. -1 on bail. */
+    def skipElement(): Int = {
+      val stackS = new Array[Int](MaxDepth)
+      val stackE = new Array[Int](MaxDepth)
+      var depth = 0
+      i += 1
+      var ns = name()
+      if (ns < 0) return fail()
+      stackS(0) = ns; stackE(0) = i; depth = 1
+      if (tagTail(null) < 0) return fail()
+      if (selfClose) depth = 0
+      while (depth > 0) {
+        if (text() < 0) return fail()
+        if (i + 1 >= n) return fail()
+        val c1 = b(i + 1)
+        if (c1 == '!' || c1 == '?') return fail()
+        if (c1 == '/') {
+          depth -= 1
+          if (endTag(stackS(depth), stackE(depth)) < 0) return fail()
+        } else {
+          if (depth >= MaxDepth) return fail()
+          i += 1
+          ns = name()
+          if (ns < 0) return fail()
+          stackS(depth) = ns; stackE(depth) = i
+          depth += 1
+          if (tagTail(null) < 0) return fail()
+          if (selfClose) depth -= 1
+        }
+      }
+      i
+    }
+
+    /** Leading whitespace + the root start tag. Returns the root name
+      * start (name end = i after the call via rootE). */
+    var rootS: Int = 0
+    var rootE: Int = 0
+    def openRoot(kv: java.util.ArrayList[AnyRef]): Boolean = {
+      while (i < n && isWs(b(i))) i += 1
+      if (i + 1 >= n || b(i) != '<') { bail = true; return false }
+      val c1 = b(i + 1)
+      if (c1 == '!' || c1 == '?' || c1 == '/') { bail = true; return false }
+      i += 1
+      rootS = name()
+      if (rootS < 0) return false
+      rootE = i
+      if (tagTail(kv) < 0) return false
+      true
+    }
+
+    /** i is on '<' of the root's end tag; verify and require only trailing
+      * whitespace. */
+    def closeRoot(): Boolean = {
+      if (endTag(rootS, rootE) < 0) return false
+      while (i < n && isWs(b(i))) i += 1
+      if (i != n) { bail = true; return false }
+      true
+    }
+  }
+
+  private val XmlnsBytes = "xmlns".getBytes("UTF-8")
+
+  // ------------------------------------------------------------------
+  // children() — the xml_children alternatives capture
+  // ------------------------------------------------------------------
+
+  private final class Pats(val all: Boolean,
+      val exacts: Array[Array[Byte]],
+      val pre: Array[Array[Byte]], val suf: Array[Array[Byte]])
+
+  private val compiledTL = new ThreadLocal[java.util.HashMap[String, Pats]] {
+    override def initialValue() = new java.util.HashMap[String, Pats]()
+  }
+
+  private def compiled(patterns: Seq[String], key: String): Pats = {
+    val m = compiledTL.get()
+    var p = m.get(key)
+    if (p == null) {
+      val (globs, exacts) = patterns.partition(_.contains("*"))
+      p = new Pats(patterns.isEmpty,
+        exacts.map(_.getBytes("UTF-8")).toArray,
+        globs.map(s => s.substring(0, s.indexOf('*')).getBytes("UTF-8"))
+          .toArray,
+        globs.map(s => s.substring(s.indexOf('*') + 1).getBytes("UTF-8"))
+          .toArray)
+      m.put(key, p)
+    }
+    p
+  }
+
+  /** Replicates XmlStax.Glob / exact-set dispatch at the byte level. */
+  private def hit(b: Array[Byte], s: Int, e: Int, p: Pats): Boolean = {
+    if (p.all) return true
+    var i = 0
+    while (i < p.exacts.length) {
+      if (regionEq(b, s, e, p.exacts(i))) return true
+      i += 1
+    }
+    i = 0
+    while (i < p.pre.length) {
+      if (startsW(b, s, e, p.pre(i)) && endsW(b, s, e, p.suf(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Scan for matching depth-1 children. Returns a GenericArrayData of
+    * struct<tag, xml(=""), value, attrs> rows, or [[Bail]]. Matched
+    * children must be leaves (text-only content). */
+  def children(input: UTF8String, patterns: Seq[String], key: String,
+      fromRoot: Boolean, needOuter: Boolean, needValue: Boolean): AnyRef = {
+    if (!fromRoot || needOuter) return Bail
+    val sc = new Scan(input.getBytes)
+    val pats = compiled(patterns, key)
+    if (!sc.openRoot(null)) return Bail
+    val out = new java.util.ArrayList[AnyRef](4)
+    if (sc.selfClose) {
+      while (sc.i < sc.n && isWs(sc.b(sc.i))) sc.i += 1
+      if (sc.i != sc.n) return Bail
+      return new GenericArrayData(out.toArray)
+    }
+    var done = false
+    while (!done) {
+      if (sc.text() < 0) return Bail
+      if (sc.i + 1 >= sc.n) return Bail
+      val c1 = sc.b(sc.i + 1)
+      if (c1 == '!' || c1 == '?') return Bail
+      if (c1 == '/') {
+        if (!sc.closeRoot()) return Bail
+        done = true
+      } else {
+        // child start tag — decide match BEFORE consuming the tag tail
+        val save = sc.i
+        sc.i += 1
+        val cs = sc.name()
+        if (cs < 0) return Bail
+        val ce = sc.i
+        if (hit(sc.b, cs, ce, pats)) {
+          val kv = new java.util.ArrayList[AnyRef](4)
+          if (sc.tagTail(kv) < 0) return Bail
+          var value: UTF8String = UTF8String.EMPTY_UTF8
+          if (!sc.selfClose) {
+            val ts = sc.text()
+            if (ts < 0) return Bail
+            if (sc.i + 1 >= sc.n) return Bail
+            if (sc.b(sc.i + 1) != '/') return Bail // nested element: bail
+            if (needValue) value = slice(sc.b, ts, sc.i)
+            if (sc.endTag(cs, ce) < 0) return Bail
+          }
+          val attrs =
+            if (kv.isEmpty) emptyMap
+            else {
+              val half = kv.size / 2
+              val ks = new Array[Any](half)
+              val vs = new Array[Any](half)
+              var m2 = 0
+              while (m2 < half) {
+                ks(m2) = kv.get(m2 * 2)
+                vs(m2) = kv.get(m2 * 2 + 1)
+                m2 += 1
+              }
+              new ArrayBasedMapData(new GenericArrayData(ks),
+                new GenericArrayData(vs))
+            }
+          out.add(new GenericInternalRow(Array[Any](
+            slice(sc.b, cs, ce), UTF8String.EMPTY_UTF8, value, attrs)))
+        } else {
+          sc.i = save
+          if (sc.skipElement() < 0) return Bail
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // ------------------------------------------------------------------
+  // flatStruct() — the from_xml replacement for flat native specs
+  // ------------------------------------------------------------------
+
+  /** One field of a flat native read schema, in schema order. */
+  sealed trait FlatField extends Serializable { def name: String }
+  /** `_name: string` — an attribute of the root element. */
+  final case class AttrF(name: String) extends FlatField
+  /** `name: array<string>` — every depth-1 child named `name`, leaf text. */
+  final case class ScalarF(name: String) extends FlatField
+  /** `name: array<struct<inner: array<string>>>` — single-scalar container
+    * (the native-array member shape). */
+  final case class ContainerF(name: String, inner: String) extends FlatField
+
+  /** The compiled byte-level form (built once per expression instance per
+    * executor). */
+  final class FlatSpec(val fields: Array[FlatField]) extends Serializable {
+    @transient lazy val nameBytes: Array[Array[Byte]] =
+      fields.map {
+        case AttrF(n)         => n.getBytes("UTF-8")
+        case ScalarF(n)       => n.getBytes("UTF-8")
+        case ContainerF(n, _) => n.getBytes("UTF-8")
+      }
+    @transient lazy val innerBytes: Array[Array[Byte]] =
+      fields.map {
+        case ContainerF(_, inr) => inr.getBytes("UTF-8")
+        case _                  => null
+      }
+  }
+
+  object FlatSpec {
+    /** A native read schema this scanner can serve, or None. */
+    def of(st: StructType): Option[FlatSpec] = {
+      val fs = new Array[FlatField](st.fields.length)
+      var i = 0
+      while (i < st.fields.length) {
+        val f = st.fields(i)
+        f.dataType match {
+          case StringType if f.name.startsWith("_") =>
+            fs(i) = AttrF(f.name.substring(1))
+          case ArrayType(StringType, _) =>
+            fs(i) = ScalarF(f.name)
+          case ArrayType(StructType(Array(
+              StructField(inner, ArrayType(StringType, _), _, _))), _) =>
+            fs(i) = ContainerF(f.name, inner)
+          case _ => return None
+        }
+        i += 1
+      }
+      Some(new FlatSpec(fs))
+    }
+  }
+
+  /** Parse a flat record. Returns a GenericInternalRow in schema order, or
+    * [[Bail]]. Semantic contract (proven equivalent to from_xml's
+    * PERMISSIVE parse on the accepted subset):
+    *   - absent attribute/element → null field;
+    *   - scalar fields collect every matching depth-1 leaf child's text in
+    *     document order; captured values must be non-empty with no
+    *     surrounding whitespace and no attributes (trim/null-semantics
+    *     ambiguity bails);
+    *   - container fields collect one struct per occurrence, each with the
+    *     inner leaf values (empty container → struct with null inner);
+    *   - unmatched elements are skipped like from_xml ignores them.
+    */
+  def flatStruct(input: UTF8String, spec: FlatSpec): AnyRef = {
+    val sc = new Scan(input.getBytes)
+    val fields = spec.fields
+    val nameB = spec.nameBytes
+    val innerB = spec.innerBytes
+    val nf = fields.length
+    var hasAttrs = false
+    var fi = 0
+    while (fi < nf) {
+      if (fields(fi).isInstanceOf[AttrF]) hasAttrs = true
+      fi += 1
+    }
+    val rootAttrs = if (hasAttrs) new java.util.ArrayList[AnyRef](4) else null
+    if (!sc.openRoot(rootAttrs)) return Bail
+    val out = new Array[Any](nf)
+    if (rootAttrs != null) {
+      fi = 0
+      while (fi < nf) {
+        fields(fi) match {
+          case AttrF(_) =>
+            var j = 0
+            var found: AnyRef = null
+            while (j < rootAttrs.size && found == null) {
+              val k = rootAttrs.get(j).asInstanceOf[UTF8String]
+              if (regionEq(k.getBytes, 0, k.numBytes, nameB(fi)))
+                found = rootAttrs.get(j + 1)
+              j += 2
+            }
+            out(fi) = found
+          case _ =>
+        }
+        fi += 1
+      }
+    }
+    // per-field accumulation buffers, lazily allocated
+    val acc = new Array[java.util.ArrayList[AnyRef]](nf)
+
+    def fieldOf(s: Int, e: Int, wantContainer: Boolean): Int = {
+      var k = 0
+      while (k < nf) {
+        val isC = fields(k).isInstanceOf[ContainerF]
+        val isS = fields(k).isInstanceOf[ScalarF]
+        if ((if (wantContainer) isC else isS) &&
+          regionEq(sc.b, s, e, nameB(k))) return k
+        k += 1
+      }
+      -1
+    }
+
+    /** Capture a leaf element's text; the start tag must carry NO
+      * attributes (value-semantics ambiguity). cs/ce: name span. Returns
+      * the value or null (+bail via sc). */
+    def leafValue(cs: Int, ce: Int): UTF8String = {
+      // no attributes allowed: next non-ws must close the tag
+      while (sc.i < sc.n && isWs(sc.b(sc.i))) sc.i += 1
+      if (sc.i >= sc.n) { sc.bail = true; return null }
+      if (sc.b(sc.i) == '/' && sc.i + 1 < sc.n && sc.b(sc.i + 1) == '>') {
+        sc.bail = true; return null // self-closing: empty-value ambiguity
+      }
+      if (sc.b(sc.i) != '>') { sc.bail = true; return null }
+      sc.i += 1
+      val ts = sc.text()
+      if (ts < 0) return null
+      val te = sc.i
+      if (te == ts || isWs(sc.b(ts)) || isWs(sc.b(te - 1))) {
+        sc.bail = true; return null // empty / padded: trim ambiguity
+      }
+      if (sc.i + 1 >= sc.n || sc.b(sc.i + 1) != '/') {
+        sc.bail = true; return null // nested element under a scalar
+      }
+      if (sc.endTag(cs, ce) < 0) return null
+      slice(sc.b, ts, te)
+    }
+
+    if (!sc.selfClose) {
+      var done = false
+      while (!done) {
+        if (sc.text() < 0) return Bail
+        if (sc.i + 1 >= sc.n) return Bail
+        val c1 = sc.b(sc.i + 1)
+        if (c1 == '!' || c1 == '?') return Bail
+        if (c1 == '/') {
+          if (!sc.closeRoot()) return Bail
+          done = true
+        } else {
+          val save = sc.i
+          sc.i += 1
+          val cs = sc.name()
+          if (cs < 0) return Bail
+          val ce = sc.i
+          val sf = fieldOf(cs, ce, wantContainer = false)
+          val cf = if (sf < 0) fieldOf(cs, ce, wantContainer = true) else -1
+          if (sf >= 0) {
+            val v = leafValue(cs, ce)
+            if (sc.bail) return Bail
+            if (acc(sf) == null) acc(sf) = new java.util.ArrayList[AnyRef](2)
+            acc(sf).add(v)
+          } else if (cf >= 0) {
+            // container: attributes bail (ignored-entity ambiguity is the
+            // same, and gates never attribute containers on this path)
+            while (sc.i < sc.n && isWs(sc.b(sc.i))) sc.i += 1
+            if (sc.i >= sc.n) return Bail
+            var inner: java.util.ArrayList[AnyRef] = null
+            if (sc.b(sc.i) == '/' && sc.i + 1 < sc.n &&
+              sc.b(sc.i + 1) == '>') {
+              sc.i += 2 // empty container
+            } else if (sc.b(sc.i) == '>') {
+              sc.i += 1
+              var cdone = false
+              while (!cdone) {
+                val ts = sc.text()
+                if (ts < 0) return Bail
+                // only whitespace may separate container children
+                var w = ts
+                while (w < sc.i) {
+                  if (!isWs(sc.b(w))) return Bail
+                  w += 1
+                }
+                if (sc.i + 1 >= sc.n) return Bail
+                val c2 = sc.b(sc.i + 1)
+                if (c2 == '!' || c2 == '?') return Bail
+                if (c2 == '/') {
+                  if (sc.endTag(cs, ce) < 0) return Bail
+                  cdone = true
+                } else {
+                  val save2 = sc.i
+                  sc.i += 1
+                  val is = sc.name()
+                  if (is < 0) return Bail
+                  val ie = sc.i
+                  if (regionEq(sc.b, is, ie, innerB(cf))) {
+                    val v = leafValue(is, ie)
+                    if (sc.bail) return Bail
+                    if (inner == null)
+                      inner = new java.util.ArrayList[AnyRef](2)
+                    inner.add(v)
+                  } else {
+                    sc.i = save2
+                    if (sc.skipElement() < 0) return Bail
+                  }
+                }
+              }
+            } else return Bail
+            val innerArr: Any =
+              if (inner == null) null else new GenericArrayData(inner.toArray)
+            val row = new GenericInternalRow(Array[Any](innerArr))
+            if (acc(cf) == null) acc(cf) = new java.util.ArrayList[AnyRef](2)
+            acc(cf).add(row)
+          } else {
+            sc.i = save
+            if (sc.skipElement() < 0) return Bail
+          }
+        }
+      }
+    } else {
+      while (sc.i < sc.n && isWs(sc.b(sc.i))) sc.i += 1
+      if (sc.i != sc.n) return Bail
+    }
+    fi = 0
+    while (fi < nf) {
+      if (!fields(fi).isInstanceOf[AttrF]) {
+        out(fi) = if (acc(fi) == null) null
+          else new GenericArrayData(acc(fi).toArray)
+      }
+      fi += 1
+    }
+    new GenericInternalRow(out)
+  }
+}

@@ -22,6 +22,15 @@ class PlanSpec extends AnyFunSuite {
       p.expressions.map(_.collect { case _: XmlMemoParseExpr => 1 }.sum).sum
     }.sum
 
+  // flat native specs parse via XmlFlatParseExpr instead of from_xml
+  private def flatParseCount(plan: org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan): Int =
+    plan.collect { case p =>
+      p.expressions.map(_.collect {
+        case _: graft.xml.XmlFlatParseExpr => 1
+      }.sum).sum
+    }.sum
+
   // parquet-backed (a local Seq would constant-fold into a LocalRelation
   // and optimize the parses away entirely)
   private def multiMemberQuery(sp: SparkSession) = {
@@ -50,12 +59,14 @@ class PlanSpec extends AnyFunSuite {
   test("DedupXmlParses rewrites duplicate parses to a single evaluation") {
     val df = multiMemberQuery(spark)
     val before = df.queryExecution.optimizedPlan
-    assert(parseCount(before) > 1) // the duplication the rule exists for
+    // the spec is flat (all scalars), so the parse is XmlFlatParseExpr;
+    // every member reference duplicates it in the optimized Project
+    assert(flatParseCount(before) > 1) // the duplication the rule exists for
     val after = DedupXmlParses(before)
-    // pulled parse is unwrapped (no memo needed for a single evaluation):
-    // zero wrappers remain, exactly one raw from_xml runs per row
+    // exactly one parse per row survives, nothing behind a memo wrapper
+    assert(flatParseCount(after) == 1)
     assert(parseCount(after) == 0)
-    assert(rawParseCount(after) == 1)
+    assert(rawParseCount(after) == 0)
     // the rule is idempotent (stable under the fixpoint batch)
     assert(DedupXmlParses(after).fastEquals(after))
   }
@@ -77,7 +88,7 @@ class PlanSpec extends AnyFunSuite {
         .getOrCreate() // reuses the JVM's SparkContext, new session state
       val df = multiMemberQuery(sp2)
       assert(parseCount(df.queryExecution.optimizedPlan) == 0)
-      assert(rawParseCount(df.queryExecution.optimizedPlan) == 1)
+      assert(flatParseCount(df.queryExecution.optimizedPlan) == 1)
       assert(df.collect().toSeq == baseline)
     } finally {
       SparkSession.clearActiveSession()
@@ -108,18 +119,21 @@ class PlanSpec extends AnyFunSuite {
       val plan = graft.queries.XmlQueries
         .x4FirstWinsAlt(sp2, "/root/testdata/sf0.001")
         .queryExecution.optimizedPlan
-      var fromXml, stax, memo = 0
+      var fromXml, flat, stax, memo = 0
       plan.foreach(_.expressions.foreach(_.foreach {
         case _: XmlMemoParseExpr => memo += 1
+        case _: graft.xml.XmlFlatParseExpr => flat += 1
         case _: graft.xml.XmlChildrenExpr => stax += 1
         case _: graft.xml.XmlFirstChildExpr => stax += 1
         case e if e.prettyName == "from_xml" => fromXml += 1
         case _ =>
       }))
-      // one native parse feeds every struct member; one StAX extraction
-      // feeds the alternatives array; nothing left behind a memo wrapper
-      assert(fromXml == 1, s"expected 1 from_xml, got $fromXml")
-      assert(stax == 1, s"expected 1 StAX extraction, got $stax")
+      // one flat native parse feeds every struct member (x4's spec — id,
+      // v, missing_arr — is flat, so no from_xml remains at all); one
+      // extraction feeds the alternatives array; no memo wrappers
+      assert(flat == 1, s"expected 1 flat parse, got $flat")
+      assert(fromXml == 0, s"expected 0 from_xml, got $fromXml")
+      assert(stax == 1, s"expected 1 extraction, got $stax")
       assert(memo == 0, s"expected 0 memo-wrapped parses, got $memo")
     } finally {
       SparkSession.clearActiveSession()
