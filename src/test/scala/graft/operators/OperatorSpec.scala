@@ -1215,6 +1215,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(enc == Seq(Seq("ab"), Seq("b")))
   }
 
+  test("Tables.events is encoding-adaptive: int64-nanos, TIMESTAMP_NTZ " +
+      "and TimestampType fixtures all load to identical instants") {
+    // Round 7 lost 16 gates when the fixture flipped nanos -> micros; the
+    // loader now branches on the bound footer type. Synthesize all three
+    // encodings from the real fixture and require identical results.
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val real = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    def scratch(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = graft.Tables.scratchDir("graft-tsenc")
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      val f = new java.io.File(dir)
+      f.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(p => p.renameTo(new java.io.File(f, "events.parquet")))
+      dir
+    }
+    // (a) TimestampType (UTC-adjusted micros on disk)
+    val tsDir = scratch(real)
+    // (b) TIMESTAMP_NTZ (micros, no UTC adjustment — the current fixture)
+    val ntzDir = scratch(real.withColumn("ts",
+      expr("cast(ts as timestamp_ntz)")))
+    // (c) int64 nanoseconds bound as LongType (the pre-r7 legacy shape)
+    val nanosDir = scratch(real.withColumn("ts",
+      expr("unix_micros(ts) * 1000L")))
+    val dirs = Seq(tsDir, ntzDir, nanosDir)
+    val loaded = dirs.map(d => graft.Tables.events(spark, d))
+    loaded.foreach(df => assert(df.schema("ts").dataType == TimestampType))
+    // sanity: the synthesized encodings really are distinct on disk
+    assert(spark.read.parquet(s"$nanosDir/events.parquet")
+      .schema("ts").dataType == LongType)
+    val sets = loaded.map(_.select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq)
+    assert(sets(0) == sets(1) && sets(1) == sets(2))
+    assert(sets(0) == real.select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq)
+  }
+
   test("semanticNearDupPairs: pairs confined to k-means cells; " +
       "threshold respected") {
     import spark.implicits._
