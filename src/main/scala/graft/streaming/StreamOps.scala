@@ -23,24 +23,34 @@ object StreamOps {
     * 1000 lands every event in 1970). So probe the actual footer schema
     * with a batch read (metadata-only, no row scan) and feed THAT to the
     * stream, then normalize. */
+  /** Per-JVM cache of validated events dirs: the sanity probe is one
+    * aggregate job, and gates that stream two sides (the join family)
+    * would otherwise pay it twice per construction × reps in the bench.
+    * Fixtures are immutable within a process lifetime. */
+  private val probedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   def eventsStream(sp: SparkSession, dir: String): DataFrame = {
-    val raw = sp.read.parquet(s"$dir/events.parquet")
     // Input-sanity tripwire (round 7 post-mortem): a mis-scaled ts corpus
     // collapsed every event into two 1970 windows and the gates handed the
     // driver hashable WRONG answers instead of errors. Refuse to build the
     // stream unless the normalized event times are plausible: min after
     // 2000-01-01 and a span wider than 2 h (> 2 distinct hourly windows).
-    // Cost: one aggregate scan of a single narrow column before the query
-    // starts — negligible beside any streaming gate's state machinery.
-    val b = graft.Tables.normalizeTs(raw)
-      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
-    val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
-    require(mn != null && mn.getTime >= 946684800000L && // 2000-01-01 UTC
-      mx.getTime - mn.getTime > 2L * 3600 * 1000,
-      s"events time corpus implausible: span [$mn, $mx] — mis-scaled ts " +
-        "fixture? refusing to stream a collapsed-timestamp corpus")
+    // Cost: one aggregate scan of a single narrow column, once per dir per
+    // JVM — negligible beside any streaming gate's state machinery.
+    val bound = probedDirs.computeIfAbsent(dir, { d =>
+      val raw = sp.read.parquet(s"$d/events.parquet")
+      val b = graft.Tables.normalizeTs(raw)
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).collect()(0)
+      val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
+      require(mn != null && mn.getTime >= 946684800000L && // 2000-01-01 UTC
+        mx.getTime - mn.getTime > 2L * 3600 * 1000,
+        s"events time corpus implausible: span [$mn, $mx] — mis-scaled ts " +
+          "fixture? refusing to stream a collapsed-timestamp corpus")
+      raw.schema
+    })
     graft.Tables.normalizeTs(
-      sp.readStream.schema(raw.schema)
+      sp.readStream.schema(bound)
         .option("pathGlobFilter", "events.parquet") // file source needs a dir
         .parquet(dir))
   }
