@@ -251,8 +251,15 @@ object Dedup {
     val docs = df.select(id.as("__id"), text.as("__text"))
     val cand = minhashCandidates(docs, col("__id"), col("__text"), n, k,
       rows, maxBucket)
-    val sh = docs.select(col("__id"),
-      shingleSet(col("__text"), n).as("__sh"))
+    // materialize the shingle sets once: both join probes consume them,
+    // and without this the tokenize+shingle+md5 pass (the expensive part)
+    // runs once PER SIDE on top of the candidate pipeline's own pass. At
+    // scale this is also the right shape: sketches persist to scratch
+    // storage, join probes read a narrow columnar table.
+    val shDir = graft.Tables.scratchDir("graft-nds-sh")
+    docs.select(col("__id"), shingleSet(col("__text"), n).as("__sh"))
+      .write.mode("overwrite").parquet(shDir)
+    val sh = df.sparkSession.read.parquet(shDir)
     cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sa")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sb")), "id_b")

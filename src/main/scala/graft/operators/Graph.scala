@@ -109,18 +109,19 @@ object Graph {
     while (i < maxIters && changed > 0L) {
       val nbrMin = und.join(labels, und("u") === labels("id"))
         .groupBy(und("v").as("id")).agg(min(col("comp")).as("__nm"))
+      // carry the pre-round label through the materialized table so the
+      // convergence check is a pruned scan of the round's own output —
+      // not a separate next⋈prev join job per round
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("__nm"), col("comp"))).as("comp"))
       val parent = stepped.select(col("id").as("__pid"),
         col("comp").as("__pcomp"))
       val doubled = stepped.join(parent, stepped("comp") === col("__pid"))
-        .select(col("id"), col("__pcomp").as("comp"))
+        .select(col("id"), col("__pcomp").as("comp"), col("__prev"))
       val next = materialize(doubled, s"graft-cc-${i + 1}")
-      changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("__prev")).count()
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     labels
