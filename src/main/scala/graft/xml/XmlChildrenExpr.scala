@@ -172,6 +172,9 @@ object XmlChildrenExpr {
   def evalJavaAt(input: UTF8String, container: String,
       patterns: Seq[String], specKey: String, needOuter: Boolean,
       needValue: Boolean): ArrayData = {
+    val fast = XmlFastScan.childrenAt(input, container, patterns, specKey,
+      needOuter, needValue)
+    if (!(fast eq XmlFastScan.Bail)) return fast.asInstanceOf[ArrayData]
     val xml = input.toString
     val perSpec = memo.get()
     var cache = perSpec.get(specKey)

@@ -40,6 +40,18 @@ case class XmlExplodeChildren(child: Expression, patterns: Seq[String],
     val s = child.eval(input)
     if (s == null) Nil
     else {
+      // byte-level fast path (value-only capture) before the StAX walk
+      val fast = XmlFastScan.children(s.asInstanceOf[UTF8String], patterns,
+        specKey, fromRoot, needOuter, needValue)
+      if (!(fast eq XmlFastScan.Bail)) {
+        val arr = fast
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        return (0 until arr.numElements()).iterator.map { i =>
+          val r = arr.array(i).asInstanceOf[InternalRow]
+          InternalRow(i, r.getUTF8String(0), r.getUTF8String(1),
+            r.getUTF8String(2))
+        }
+      }
       val kids = XmlStax.children(s.toString, patterns, fromRoot, specKey,
         needOuter, needValue)
       if (kids == null) Nil // malformed input: PERMISSIVE, zero rows

@@ -347,6 +347,41 @@ object XmlFastScan {
     false
   }
 
+  /** Capture a matched LEAF child as a struct<tag,"",value,attrs> row.
+    * `cs/ce`: the child name span; the scan sits just after the name.
+    * Returns null with sc.bail set when outside the fast subset. */
+  private def captureLeaf(sc: Scan, cs: Int, ce: Int,
+      needValue: Boolean): GenericInternalRow = {
+    val kv = new java.util.ArrayList[AnyRef](4)
+    if (sc.tagTail(kv) < 0) return null
+    var value: UTF8String = UTF8String.EMPTY_UTF8
+    if (!sc.selfClose) {
+      val ts = sc.text()
+      if (ts < 0) return null
+      if (sc.i + 1 >= sc.n) { sc.bail = true; return null }
+      if (sc.b(sc.i + 1) != '/') { sc.bail = true; return null } // nested
+      if (needValue) value = slice(sc.b, ts, sc.i)
+      if (sc.endTag(cs, ce) < 0) return null
+    }
+    val attrs =
+      if (kv.isEmpty) emptyMap
+      else {
+        val half = kv.size / 2
+        val ks = new Array[Any](half)
+        val vs = new Array[Any](half)
+        var m2 = 0
+        while (m2 < half) {
+          ks(m2) = kv.get(m2 * 2)
+          vs(m2) = kv.get(m2 * 2 + 1)
+          m2 += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks),
+          new GenericArrayData(vs))
+      }
+    new GenericInternalRow(Array[Any](
+      slice(sc.b, cs, ce), UTF8String.EMPTY_UTF8, value, attrs))
+  }
+
   /** Scan for matching depth-1 children. Returns a GenericArrayData of
     * struct<tag, xml(=""), value, attrs> rows, or [[Bail]]. Matched
     * children must be leaves (text-only content). */
@@ -379,34 +414,9 @@ object XmlFastScan {
         if (cs < 0) return Bail
         val ce = sc.i
         if (hit(sc.b, cs, ce, pats)) {
-          val kv = new java.util.ArrayList[AnyRef](4)
-          if (sc.tagTail(kv) < 0) return Bail
-          var value: UTF8String = UTF8String.EMPTY_UTF8
-          if (!sc.selfClose) {
-            val ts = sc.text()
-            if (ts < 0) return Bail
-            if (sc.i + 1 >= sc.n) return Bail
-            if (sc.b(sc.i + 1) != '/') return Bail // nested element: bail
-            if (needValue) value = slice(sc.b, ts, sc.i)
-            if (sc.endTag(cs, ce) < 0) return Bail
-          }
-          val attrs =
-            if (kv.isEmpty) emptyMap
-            else {
-              val half = kv.size / 2
-              val ks = new Array[Any](half)
-              val vs = new Array[Any](half)
-              var m2 = 0
-              while (m2 < half) {
-                ks(m2) = kv.get(m2 * 2)
-                vs(m2) = kv.get(m2 * 2 + 1)
-                m2 += 1
-              }
-              new ArrayBasedMapData(new GenericArrayData(ks),
-                new GenericArrayData(vs))
-            }
-          out.add(new GenericInternalRow(Array[Any](
-            slice(sc.b, cs, ce), UTF8String.EMPTY_UTF8, value, attrs)))
+          val row = captureLeaf(sc, cs, ce, needValue)
+          if (row == null) return Bail
+          out.add(row)
         } else {
           sc.i = save
           if (sc.skipElement() < 0) return Bail
@@ -414,6 +424,81 @@ object XmlFastScan {
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Fused container descent (the fast form of [[XmlStax.childrenAt]]):
+    * matching children of the FIRST depth-1 child named `container`.
+    * Returns [[Bail]], null (container absent — the two-pass form's
+    * semantics), or a GenericArrayData of struct<tag,"",value,attrs> rows.
+    * The rest of the document is still walked with full verification, so
+    * a malformation after the container bails to the engine path exactly
+    * like the StAX walk nulls there. */
+  def childrenAt(input: UTF8String, container: String,
+      patterns: Seq[String], key: String, needOuter: Boolean,
+      needValue: Boolean): AnyRef = {
+    if (needOuter) return Bail
+    val sc = new Scan(input.getBytes)
+    val pats = compiled(patterns, key)
+    val cont = container.getBytes("UTF-8")
+    if (!sc.openRoot(null)) return Bail
+    var out: java.util.ArrayList[AnyRef] = null
+    if (sc.selfClose) {
+      while (sc.i < sc.n && isWs(sc.b(sc.i))) sc.i += 1
+      if (sc.i != sc.n) return Bail
+      return null // empty root: no container
+    }
+    var done = false
+    while (!done) {
+      if (sc.text() < 0) return Bail
+      if (sc.i + 1 >= sc.n) return Bail
+      val c1 = sc.b(sc.i + 1)
+      if (c1 == '!' || c1 == '?') return Bail
+      if (c1 == '/') {
+        if (!sc.closeRoot()) return Bail
+        done = true
+      } else {
+        val save = sc.i
+        sc.i += 1
+        val cs = sc.name()
+        if (cs < 0) return Bail
+        val ce = sc.i
+        if (out == null && regionEq(sc.b, cs, ce, cont)) {
+          if (sc.tagTail(null) < 0) return Bail
+          out = new java.util.ArrayList[AnyRef](4)
+          if (!sc.selfClose) {
+            var cdone = false
+            while (!cdone) {
+              if (sc.text() < 0) return Bail
+              if (sc.i + 1 >= sc.n) return Bail
+              val c2 = sc.b(sc.i + 1)
+              if (c2 == '!' || c2 == '?') return Bail
+              if (c2 == '/') {
+                if (sc.endTag(cs, ce) < 0) return Bail
+                cdone = true
+              } else {
+                val save2 = sc.i
+                sc.i += 1
+                val is = sc.name()
+                if (is < 0) return Bail
+                val ie = sc.i
+                if (hit(sc.b, is, ie, pats)) {
+                  val row = captureLeaf(sc, is, ie, needValue)
+                  if (row == null) return Bail
+                  out.add(row)
+                } else {
+                  sc.i = save2
+                  if (sc.skipElement() < 0) return Bail
+                }
+              }
+            }
+          }
+        } else {
+          sc.i = save
+          if (sc.skipElement() < 0) return Bail
+        }
+      }
+    }
+    if (out == null) null else new GenericArrayData(out.toArray)
   }
 
   // ------------------------------------------------------------------

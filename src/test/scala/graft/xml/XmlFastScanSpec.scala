@@ -98,6 +98,39 @@ class XmlFastScanSpec extends AnyFunSuite {
         needValue = false)))
   }
 
+  test("childrenAt fused descent: agrees with StAX; absent container is " +
+      "null; second container occurrence ignored; post-container " +
+      "malformation bails") {
+    def fastAt(xml: String, cont: String, pats: Seq[String]): AnyRef =
+      XmlFastScan.childrenAt(UTF8String.fromString(xml), cont, pats,
+        "specat:" + cont + pats.mkString(","), needOuter = false,
+        needValue = true)
+    def staxAt(xml: String, cont: String,
+        pats: Seq[String]): Seq[XmlStax.Child] =
+      XmlStax.childrenAt(xml, cont, pats,
+        "specatstax:" + cont + pats.mkString(","), needOuter = false,
+        needValue = true)
+    val doc = "<r><id>7</id><vals><q_A>1.5</q_A><zz>x</zz>" +
+      "<q_B>2.5</q_B></vals><tail>t</tail></r>"
+    val f = fastAt(doc, "vals", Seq("q_*"))
+    assert(f ne XmlFastScan.Bail)
+    assert(rows(f) == staxRows(staxAt(doc, "vals", Seq("q_*"))))
+    assert(rows(f).map(_._1) == Seq("q_A", "q_B"))
+    // absent container -> null (both engines)
+    assert(fastAt("<r><id>7</id></r>", "vals", Seq("q_*")) == null)
+    assert(staxAt("<r><id>7</id></r>", "vals", Seq("q_*")) == null)
+    // only the FIRST container occurrence is descended
+    val two = "<r><vals><q_A>1</q_A></vals><vals><q_B>2</q_B></vals></r>"
+    assert(rows(fastAt(two, "vals", Seq("q_*"))) ==
+      staxRows(staxAt(two, "vals", Seq("q_*"))))
+    // a malformation AFTER the container must not be silently accepted
+    assert(fastAt("<r><vals><q_A>1</q_A></vals><bad>", "vals",
+      Seq("q_*")) eq XmlFastScan.Bail)
+    // empty and self-closing containers
+    assert(rows(fastAt("<r><vals></vals></r>", "vals", Seq("q_*"))).isEmpty)
+    assert(rows(fastAt("<r><vals/></r>", "vals", Seq("q_*"))).isEmpty)
+  }
+
   test("randomized equivalence sweep: fast accepts => identical to StAX") {
     val rnd = new scala.util.Random(42)
     val tags = Seq("aa", "bb", "cc", "item1", "item2")
