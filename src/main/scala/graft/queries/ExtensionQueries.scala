@@ -2152,8 +2152,14 @@ object ExtensionQueries {
     Seq("ivf" -> 0.8, "ivf_kmeans" -> 0.8, "lsh" -> 0.6)
 
   def a5AnnRecall(sp: SparkSession, dir: String): DataFrame = {
-    val truth = a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+    // materialize the exact truth set once: it is referenced twice per
+    // method (semi-join probe + denominator count) and would otherwise
+    // re-run the whole brute-force pipeline ~6x
+    val truthDir = graft.Tables.scratchDir("graft-a5-truth")
+    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
       .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
     val methods = Seq(
       ("ivf", a3AnnIvf(sp, dir)),
       ("ivf_kmeans", a4AnnIvfKmeans(sp, dir)),
