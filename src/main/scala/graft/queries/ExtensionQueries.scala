@@ -2915,6 +2915,47 @@ object ExtensionQueries {
       |    AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event""".stripMargin
 
+  /** Stream-stream LEFT ANTI join gate ([[graft.streaming.StreamOps
+    * .streamStreamAntiJoin]]): views with NO click of the same user in
+    * [ts, ts + 6 h] — the abandonment query. Spark streaming has no
+    * native anti join; the outer-join + null-filter composition emits an
+    * unmatched view exactly once, after both watermarks (1 h delay) pass
+    * its window end. The oracle replays that horizon: views whose window
+    * closed before `min(max view ts, max click ts) - 1 h` and that have
+    * no in-window click (s12's null-extended branch, stand-alone). */
+  def s16StreamAntiJoin(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s16_anti_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val views = side("view")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("view_event"))
+    val clicks = side("click")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"))
+    val joined = graft.streaming.StreamOps.streamStreamAntiJoin(
+      views, clicks, watermark = "1 hour", maxDelay = "6 hours")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(col("key").as("user_id"), col("view_event"))
+      .orderBy("user_id", "view_event")
+  }
+
+  val s16Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click'),
+      |wm AS (SELECT LEAST((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+      |  - INTERVAL 1 HOUR AS horizon)
+      |SELECT v.user_id, v.view_event
+      |FROM v CROSS JOIN wm
+      |WHERE v.ts + INTERVAL 6 HOUR < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM c
+      |    WHERE c.user_id = v.user_id AND c.ts >= v.ts
+      |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      |ORDER BY user_id, view_event""".stripMargin
+
   /** Streaming XML SINK ([[graft.streaming.StreamOps.runToXmlSink]]):
     * orders streamed from parquet, written as XML shards through the
     * graft-xml FileFormat under Spark's FileStreamSink exactly-once
@@ -3297,6 +3338,7 @@ object ExtensionQueries {
     "s13_stream_dedup" -> (s13StreamDedup _),
     "s14_stream_semi_join" -> (s14StreamSemiJoin _),
     "s15_stream_xml_sink" -> (s15StreamXmlSink _),
+    "s16_stream_anti_join" -> (s16StreamAntiJoin _),
     "t20_lm_score" -> (t20LmScore _),
     "t21_domain_quota" -> (t21DomainQuota _),
     "t22_dup_spans" -> (t22DupSpans _),
@@ -3381,6 +3423,7 @@ object ExtensionQueries {
     "s13_stream_dedup" -> s13Sql,
     "s14_stream_semi_join" -> s14Sql,
     "s15_stream_xml_sink" -> s15Sql,
+    "s16_stream_anti_join" -> s16Sql,
     "t20_lm_score" -> t20Sql,
     "t21_domain_quota" -> t21Sql,
     "t22_dup_spans" -> t22Sql,

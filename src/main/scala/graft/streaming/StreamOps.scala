@@ -150,6 +150,20 @@ object StreamOps {
           col("rts") <= col("ts") + expr(s"interval $maxDelay"),
         "left_semi")
 
+  /** Stream-stream LEFT ANTI join, same key + event-time bounds as
+    * [[streamStreamJoin]]. Structured Streaming's join surface covers
+    * inner/outer/semi but NOT anti, so the correct composition is the
+    * LEFT OUTER join filtered to its null-extended rows: a left row emits
+    * exactly once, and only after BOTH watermarks pass the end of its
+    * match window (before that a matching right row could still arrive —
+    * the outer join's emission rule IS the anti join's correctness proof).
+    * The filter is stateless, so state stays bounded exactly like the
+    * outer join's. */
+  def streamStreamAntiJoin(left: DataFrame, right: DataFrame,
+      watermark: String, maxDelay: String): DataFrame =
+    streamStreamOuterJoin(left, right, watermark, maxDelay)
+      .filter(col("rkey").isNull)
+
   /** CUSTOM streaming state through the arbitrary-state API
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a per-key
     * cumulative (count, sum-of-cents) counter. Each micro-batch folds its

@@ -192,6 +192,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(M.aviFrameSlices(Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
   }
 
+  test("streamStreamAntiJoin: each unmatched view emits exactly once, " +
+      "only after both watermarks pass its window end") {
+    val got = graft.SparkEntry.queries("s16_stream_anti_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch replay of the emission rule: an unmatched view may emit only
+    // once min(max view ts, max click ts) - 1h passes ts + 6h
+    val ev = graft.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_event"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val Array(mv, mc) = v.agg(max("ts")).collect() ++
+      c.agg(max("cts")).collect()
+    val horizon = new java.sql.Timestamp(
+      math.min(mv.getTimestamp(0).getTime, mc.getTimestamp(0).getTime) -
+        3600L * 1000)
+    val want = v
+      .join(c, col("user_id") === col("cu") && col("cts") >= col("ts") &&
+        col("cts") <= col("ts") + expr("interval 6 hours"), "left_anti")
+      .filter(col("ts") + expr("interval 6 hours") < lit(horizon))
+      .select(col("user_id"), col("view_event"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted && got.nonEmpty)
+    assert(got.distinct.size == got.size) // exactly-once emission
+  }
+
   test("eventsStream refuses a collapsed-timestamp corpus (tripwire)") {
     // Poisoned fixture: every ts within minutes of 1970-01-20 — exactly
     // what a double-divided micros corpus looks like. The source must
