@@ -123,6 +123,35 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** [[ivfTopK]] over a PRE-BUILT postings table (id, vec, __nv, cid) —
+    * the persisted-index form: the index is built once ([[ivfIndex]]
+    * written to storage partitioned by cell) and EXTENDED per increment
+    * by assigning only the new vectors against the frozen centroids —
+    * IVF assignment is per-row independent, so append-only maintenance
+    * is lossless vs a full rebuild (gate a12 hash-proves it). Search
+    * never re-assigns the corpus: probes select cells map-side and the
+    * cell equi-join reads only probed partitions of the on-disk index. */
+  def ivfTopKOnIndex(queries: DataFrame, postings: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroidSeq(centroids)
+    val qn = queries.withColumn("__nq", Vectors.norm2(col("qvec")))
+    val probes = qn
+      .withColumn("__cell", explode(slice(reverse(array_sort(
+        centScores(col("qvec"), col("__nq"), cents))), 1, nprobe)))
+      .select(col("qid"), col("qvec"), col("__nq"),
+        (-col("__cell.ncid")).as("cid"))
+    val cand = postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Query-TABLE form of [[ivfTopK]] — the "score 10M queries against the
     * corpus" RAG shape, IVF flavor (a6/`lshTopKJoin` is the LSH flavor):
     * probe-cell selection stays the zero-shuffle map-side argmax over the

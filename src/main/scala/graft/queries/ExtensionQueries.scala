@@ -2083,6 +2083,58 @@ object ExtensionQueries {
        |  round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** Incremental IVF index MAINTENANCE — the production corpus-growth
+    * shape: centroids were trained when only the base corpus existed and
+    * are FROZEN; the base postings live on disk partitioned by cell (the
+    * real index layout); a new increment is assigned against the frozen
+    * centroids and APPENDED — no retraining, no base re-scan. Because IVF
+    * assignment is per-row independent, append-only maintenance is
+    * lossless: the oracle computes the FULL-REBUILD result over
+    * base+increment, and the hash match proves the incremental index
+    * answers queries identically. At 100 TB this is the difference
+    * between re-indexing the corpus per ingest batch and scanning only
+    * the batch. */
+  def a12IvfIncremental(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val centroids = e
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def slice2(pred: org.apache.spark.sql.Column) = e.filter(pred)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idxDir = graft.Tables.scratchDir("graft-a12-idx")
+    Ann.ivfIndex(slice2(col("vec_id") < 400), centroids)
+      .write.partitionBy("cid").mode("overwrite").parquet(idxDir)
+    // the increment: assignment scans ONLY the new vectors
+    Ann.ivfIndex(slice2(col("vec_id") >= 400), centroids)
+      .write.partitionBy("cid").mode("append").parquet(idxDir)
+    val postings = sp.read.parquet(idxDir)
+      .withColumn("cid", col("cid").cast("long")) // partition-dir inference
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopKOnIndex(qs, postings, centroids, k = 3, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  val a12Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 100 = 0 AND vec_id < 400),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |        FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS qid, vec AS qvec, cid FROM asg
+       |           WHERE id < 5 AND rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** IVF with seeded k-means refinement (2 Lloyd iterations over the stride
     * sample), then the same nprobe search as a3. The oracle unrolls both
     * iterations in SQL — possible because the refinement rounds each
@@ -3359,6 +3411,7 @@ object ExtensionQueries {
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "a10_pq_recall" -> (a10PqRecall _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
+    "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
     "t28_keywords" -> (t28Keywords _))
 
@@ -3449,6 +3502,7 @@ object ExtensionQueries {
     "a9_ivfpq_topk" -> a9Sql,
     "a10_pq_recall" -> a10Sql,
     "a11_pq_trained_recall" -> a11Sql,
+    "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,
     "t28_keywords" -> t28Sql)
 }
