@@ -131,6 +131,57 @@ class XmlFastScanSpec extends AnyFunSuite {
     assert(rows(fastAt("<r><vals/></r>", "vals", Seq("q_*"))).isEmpty)
   }
 
+  test("flatStruct randomized sweep: whenever the fast path accepts, it " +
+      "equals Spark's own XmlToStructsEvaluator") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("_a1", StringType),
+      StructField("s", ArrayType(StringType)),
+      StructField("arr", ArrayType(StructType(Seq(
+        StructField("zz", ArrayType(StringType))))))))
+    val spec = XmlFastScan.FlatSpec.of(schema).get
+    val evaluator = {
+      val opts = Map.newBuilder[String, String]
+      Bind.xmlOptions.forEach((k, v) => opts += (k -> v))
+      org.apache.spark.sql.catalyst.expressions.xml.XmlToStructsEvaluator(
+        opts.result(), schema, "_corrupt_record", Some("UTC"),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(""), StringType))
+    }
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    val rnd = new scala.util.Random(4242)
+    var accepted = 0
+    (1 to 600).foreach { _ =>
+      val attr = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => s" a1='${rnd.nextInt(100)}'"
+        case _ => s" a1=\"w${rnd.nextInt(10)}\""
+      }
+      val kids = (0 until rnd.nextInt(5)).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => s"<s>${rnd.nextInt(1000)}</s>"
+          case 1 => s"<s>word${rnd.nextInt(10)}</s>"
+          case 2 =>
+            val zz = (0 until rnd.nextInt(3))
+              .map(_ => s"<zz>${rnd.nextInt(50)}</zz>").mkString
+            s"<arr>$zz</arr>"
+          case 3 => s"<junk><deep>${rnd.nextInt(9)}</deep></junk>"
+          case 4 => "<arr/>"
+          case _ => s"<s>mixed &amp; entity</s>" // outside the subset
+        }
+      }.mkString
+      val doc = s"<root$attr>$kids</root>"
+      val fast = XmlFastScan.flatStruct(UTF8String.fromString(doc), spec)
+      if (!(fast eq XmlFastScan.Bail)) {
+        accepted += 1
+        val viaSpark = evaluator.evaluate(UTF8String.fromString(doc))
+        assert(toScala(fast) == toScala(viaSpark), s"diverged on: $doc")
+      }
+    }
+    assert(accepted > 150) // the fast subset must actually trigger
+  }
+
   test("randomized equivalence sweep: fast accepts => identical to StAX") {
     val rnd = new scala.util.Random(42)
     val tags = Seq("aa", "bb", "cc", "item1", "item2")
