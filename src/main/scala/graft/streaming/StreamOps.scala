@@ -207,7 +207,7 @@ object StreamOps {
     * and changed only by re-checkpointing); small for local gates, where
     * the dominant cost is trigger machinery × partitions, not state
     * volume. */
-  val StatePartitions = 8
+  val StatePartitions = 4
 
   /** Drive a streaming DataFrame to completion against currently-available
     * input and return the materialized result (memory sink). This is the
