@@ -434,9 +434,15 @@ object ExtensionQueries {
     * collision (which would merge two clusters) is deterministic and
     * engine-identical. Output: multi-member clusters only. */
   def d17EntityResolution(sp: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.Fuzzy
+    // materialize the fuzzy-match pairs once: both the edge list and the
+    // member-name universe consume them, and the q-gram blocking +
+    // Levenshtein confirm is the expensive part of this gate
+    val pairsDir = graft.Tables.scratchDir("graft-d17-pairs")
+    graft.operators.Fuzzy
       .fuzzyPairs(part(sp, dir), "p_name", q = 3, maxDist = 3,
         maxGramBucket = 12L)
+      .write.mode("overwrite").parquet(pairsDir)
+    val pairs = sp.read.parquet(pairsDir)
     val edges = pairs.select(
       Hashing.portableHash32(col("name1")).as("src"),
       Hashing.portableHash32(col("name2")).as("dst"))
