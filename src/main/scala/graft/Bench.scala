@@ -88,7 +88,11 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rs,"reps_n":$reps,"warmup":$warmup,"cpus":"$cpus","gates":${names.size},"n_errors":${errors.size},"errors":$es,"sf":"$sfDir"}"""
     try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      // A filtered local-iteration run must never clobber the committed
+      // full-suite artifact (round 8's last subset run overwrote the
+      // 147-gate BENCH_FULL.json with a 1-gate file).
+      val out = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+      val p = java.nio.file.Paths.get(out)
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line is the contract
     println(line)
