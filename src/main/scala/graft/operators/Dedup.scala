@@ -76,6 +76,45 @@ object Dedup {
           col("n_shingles").cast("double")).as("frac"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup join: containment(A→B) =
+    * |S(A) ∩ S(B)| / |S(A)| over distinct n-gram shingle hashes — the
+    * quote/excerpt/superset detector Jaccard misses (a doc fully embedded
+    * in a 10× larger one has Jaccard ≈ 0.1 but containment 1.0; cf. the
+    * suffix-array containment analyses of Lee et al. 2022).
+    *
+    * Scale shape: docs reduce to distinct (doc, hash32) posting rows;
+    * shingles with document frequency > `dfCap` are dropped from pairing
+    * BEFORE the self-join (and, symmetrically, from every |S| and
+    * intersection count — the cap is part of the metric, like d15's
+    * stop-gram cap), so candidate traffic per shingle is bounded by
+    * dfCap² and the boilerplate gram shared by half the corpus never
+    * fans out. One posting self-join on the hash + one pair-count agg +
+    * one size join; id-pair-only traffic after the candidate stage.
+    *
+    * Output: (a_id, b_id, shared, size_a, containment) for ordered pairs
+    * with containment >= `minCont`, both directions. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, dfCap: Long = 50L, minCont: Double = 0.5): DataFrame = {
+    val posts = docs
+      .select(id.as("__id"), explode(shingleSet(text, n)).as("__sh"))
+      .select(col("__id"), Hashing.portableHash32(col("__sh")).as("__h"))
+    val rare = posts.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("__h")
+    val keep = posts.join(rare, Seq("__h"), "left_semi")
+    val sizes = keep.groupBy(col("__id").as("a_id"))
+      .agg(count(lit(1)).as("size_a"))
+    val shared = keep.as("a")
+      .join(keep.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__id") =!= col("b.__id"))
+      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared.join(sizes, "a_id")
+      .select(col("a_id"), col("b_id"), col("shared"), col("size_a"),
+        (col("shared").cast("double") / col("size_a").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minCont)
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns — the
     * one-pass codegen'd kernel (see graft.functions.JaccardExpr); values
     * bit-match size(array_intersect)/size(array_union). */

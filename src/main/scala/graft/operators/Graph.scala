@@ -174,6 +174,58 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) with integer credits over
+    * DIRECTED edges (de-duplicated to a simple graph; self-loops kept —
+    * both sides of the gate replay the same universe). The float algorithm
+    * L2-normalizes per half-round; here each half-round rescales by the
+    * MAXIMUM instead — `x * scale div max(x)` in exact integer arithmetic —
+    * an L-inf normalization that keeps every score in [0, scale], makes the
+    * fixpoint iteration overflow-free (raw sums are bounded by
+    * max-degree * scale, far under int64), and — because every operation is
+    * integer — is bit-identical on any partitioning and in any engine.
+    *
+    * Shape per round: authority update = one equi-join edges⋈hub on src +
+    * one sum-agg by dst + one left join back to the node universe (nodes
+    * with no in-edges score 0) + one global-max broadcast (1 row); hub
+    * update mirrors it across dst. Scores materialize to scratch parquet
+    * per half-round (the reliability discipline of [[pageRankCredits]]).
+    * Returns (id, auth, hub) for every node. */
+  def hitsCredits(edges: DataFrame, rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val de = materialize(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct(),
+      "graft-hits-e")
+    val nodes = materialize(
+      de.select(col("src").as("id"))
+        .union(de.select(col("dst").as("id"))).distinct(),
+      "graft-hits-n")
+    // x -> x * scale div max(x); greatest(max,1) guards the no-edges case
+    def rescale(raw: DataFrame, v: String): DataFrame = {
+      val mx = raw.agg(greatest(max(col(v)), lit(1L)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"), expr(s"($v * ${scale}L) div __mx").as(v))
+    }
+    def halfRound(scores: DataFrame, inCol: String, joinOn: String,
+        groupOn: String, outCol: String, tag: String): DataFrame = {
+      val s = de.join(scores, de(joinOn) === scores("id"))
+        .groupBy(de(groupOn).as("nid")).agg(sum(inCol).as("__s"))
+      val raw = nodes.join(s, nodes("id") === col("nid"), "left")
+        .select(nodes("id"), coalesce(col("__s"), lit(0L)).as(outCol))
+      materialize(rescale(raw, outCol), tag)
+    }
+    var hub = nodes.select(col("id"), lit(scale).as("hub"))
+    var auth: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      auth = halfRound(hub, "hub", "src", "dst", "auth", s"graft-hits-a$i")
+      hub = halfRound(auth, "auth", "dst", "src", "hub", s"graft-hits-h$i")
+      i += 1
+    }
+    auth.join(hub, "id").select(col("id"), col("auth"), col("hub"))
+  }
+
   /** Min hop-distance from a seed set over DIRECTED edges, bounded to
     * `maxHops` rounds — the TrustRank-style propagation shape: curated
     * trusted domains are the seeds, and a page's distance from the seed

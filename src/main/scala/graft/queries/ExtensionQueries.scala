@@ -3328,6 +3328,104 @@ object ExtensionQueries {
        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
   }
 
+  /** Containment near-dup join ([[graft.operators.Dedup.containmentPairs]]):
+    * 3-gram shingle-hash postings, df cap 50, containment >= 0.5, both
+    * directions — the asymmetric quote/excerpt detector. The oracle
+    * replays the capped posting self-join; division is the same double
+    * op in both engines. */
+  def d20Containment(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+        documents(sp, dir), col("doc_id"), col("text"),
+        n = 3, dfCap = 50L, minCont = 0.5)
+      .select(col("a_id"), col("b_id"), col("shared"), col("size_a"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("a_id", "b_id")
+
+  val d20Sql: String =
+    s"""WITH sh AS (SELECT doc_id, unnest(${shingleSql(Toks)}) AS s
+       |  FROM documents),
+       |hs AS (SELECT DISTINCT doc_id, ${h("s")} AS hh FROM sh),
+       |rare AS (SELECT hh FROM hs GROUP BY hh HAVING count(*) <= 50),
+       |keep AS (SELECT doc_id, hh FROM hs
+       |  WHERE hh IN (SELECT hh FROM rare)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    count(*) AS shared
+       |  FROM keep a JOIN keep b
+       |    ON a.hh = b.hh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       |SELECT a_id, b_id, shared, sz.n AS size_a,
+       |  round(shared::DOUBLE / sz.n::DOUBLE, 4) AS containment
+       |FROM pairs JOIN sz ON sz.doc_id = a_id
+       |WHERE shared::DOUBLE / sz.n::DOUBLE >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Deterministic epoch reshuffle + sharding — the training-data ordering
+    * op: every epoch the corpus is re-permuted by a salted portable hash
+    * (`ep1:` here; the epoch tag is the salt, so epoch 2 is a different
+    * permutation with zero state carried over) and split into fixed shards,
+    * each shard internally ordered by the same hash. Shard = hash mod
+    * nShards, position = rank of (hash, doc_id) within the shard.
+    *
+    * Scale: shard count at 100 TB is chosen so one shard ≈ one output file
+    * (corpus_tokens / shard_token_budget, i.e. thousands of shards), so the
+    * per-shard window is bounded by construction and the whole reshuffle is
+    * ONE hash-partitioned shuffle + in-partition sort — never a global
+    * sort. The hash is engine-portable, so a resumed/re-run epoch produces
+    * the identical order on any cluster size. */
+  def t29EpochShuffle(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val keyed = documents(sp, dir).select(col("doc_id"),
+      Hashing.portableHash32(
+        concat(lit("ep1:"), col("doc_id").cast("string"))).as("__k"))
+      .select(col("doc_id"), col("__k"),
+        pmod(col("__k"), lit(nShards)).cast("int").as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val t29Sql: String =
+    s"""WITH k AS (SELECT doc_id,
+       |  ${h("'ep1:' || CAST(doc_id AS VARCHAR)")} AS k FROM documents)
+       |SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id)
+       |    AS INT) AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+
+  /** HITS hubs & authorities ([[graft.operators.Graph.hitsCredits]]):
+    * 2 rounds of the integer-credit, max-rescaled fixpoint over the
+    * derived link graph; top 25 nodes by authority. Exact integer
+    * arithmetic end-to-end, so the oracle's unrolled half-round CTEs
+    * replay hash-for-hash. */
+  def g6Hits(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.hitsCredits(linkEdges(sp, dir), rounds = 2)
+      .orderBy(col("auth").desc, col("hub").desc, col("id")).limit(25)
+
+  val g6Sql: String = {
+    // one half-round: score[out] <- rescale(sum over edges of score[in])
+    def half(in: String, out: String, joinOn: String, groupOn: String,
+        v: String, pv: String): String =
+      s"""${out}r AS (SELECT n.id, COALESCE(SUM(p.$pv), 0) AS $v
+         |  FROM nodes n LEFT JOIN de ON de.$groupOn = n.id
+         |  LEFT JOIN $in p ON p.id = de.$joinOn GROUP BY n.id),
+         |$out AS (SELECT id, $v * 1000000 //
+         |  greatest((SELECT MAX($v) FROM ${out}r), 1) AS $v
+         |  FROM ${out}r)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |de AS (SELECT DISTINCT src, dst FROM edges),
+       |nodes AS (SELECT DISTINCT src AS id FROM de
+       |          UNION SELECT DISTINCT dst FROM de),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |${half("h0", "a1", "src", "dst", "auth", "hub")},
+       |${half("a1", "h1", "dst", "src", "hub", "auth")},
+       |${half("h1", "a2", "src", "dst", "auth", "hub")},
+       |${half("a2", "h2", "dst", "src", "hub", "auth")}
+       |SELECT a2.id, a2.auth, h2.hub FROM a2 JOIN h2 ON a2.id = h2.id
+       |ORDER BY auth DESC, hub DESC, a2.id LIMIT 25""".stripMargin
+  }
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3419,7 +3517,10 @@ object ExtensionQueries {
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
-    "t28_keywords" -> (t28Keywords _))
+    "t28_keywords" -> (t28Keywords _),
+    "g6_hits" -> (g6Hits _),
+    "t29_epoch_shuffle" -> (t29EpochShuffle _),
+    "d20_containment" -> (d20Containment _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3510,5 +3611,8 @@ object ExtensionQueries {
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,
-    "t28_keywords" -> t28Sql)
+    "t28_keywords" -> t28Sql,
+    "g6_hits" -> g6Sql,
+    "t29_epoch_shuffle" -> t29Sql,
+    "d20_containment" -> d20Sql)
 }
