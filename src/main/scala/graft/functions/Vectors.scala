@@ -26,6 +26,14 @@ object Vectors {
   def cosineR(a: Column, b: Column, scale: Int = 4): Column =
     round(cosine(a, b), scale)
 
+  /** Exact squared L2 distance between two vector columns — zip + left
+    * fold in double arithmetic (the Pq ADC fold), replayable as a list
+    * fold in any engine. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Largest absolute component — the symmetric-quantization scale basis. */
   def maxAbs(v: Column): Column =
     array_max(transform(v, x => abs(d(x))))

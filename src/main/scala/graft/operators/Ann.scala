@@ -26,6 +26,32 @@ import graft.functions.Vectors
   */
 object Ann {
 
+  /** Deterministic signed random projection (Achlioptas 2003 / JL):
+    * out[j] = Σ_i s(j,i)·v[i] with s(j,i) = ±1 drawn from
+    * md5("rp:j:i") — the same portable-hash family as the LSH planes, so
+    * every engine (and the DuckDB oracle) derives the identical matrix
+    * with no stored state. E‖Pv‖² = outDim·‖v‖², so squared distances
+    * scale by outDim in expectation; a13 gates the empirical distortion.
+    *
+    * Scale: the projection is a zero-shuffle map-side expression —
+    * outDim·inDim fused multiply-adds per row inside whole-stage codegen
+    * (constant-folded ±1 literals, no matrix broadcast, no UDF). At
+    * 100 TB this is the 4× (64→16) embedding-bandwidth lever applied
+    * before any shuffle-heavy ANN stage. */
+  def rpSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$i".getBytes("UTF-8"))
+    val h32 = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    if (java.lang.Long.parseLong(h32, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  def rpProject(v: Column, inDim: Int, outDim: Int): Column =
+    array((0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        element_at(v, i + 1).cast("double") * lit(rpSign(j, i))
+      }.reduce(_ + _)
+    }: _*)
+
   /** Exact top-k neighbors (cosine) of each query vector.
     * `queries`: (qid, qvec); `corpus`: (id, vec). Excludes self-matches. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -515,4 +515,27 @@ object Multimodal {
       }
     }
   }
+
+  /** VAD-style active-segment extraction over [[wavEnergy]] windows: a
+    * window is ACTIVE when its energy clears `threshold`; maximal runs of
+    * consecutive active windows are merged into segments (gaps-and-islands:
+    * window_idx − per-doc rank is constant within a run), and each doc
+    * reduces to (n_segments, max_seg_len, n_active) — the speech/silence
+    * structure an audio curation pipeline filters on before any decode-
+    * heavy stage. Docs with no active window produce no row (at corpus
+    * scale the active set is the interesting one; left-join against the
+    * doc universe to densify). The per-doc window is bounded by blob
+    * length — thousands of windows at most, never corpus-wide. */
+  def activeSegments(energies: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    energies.filter(col("energy") >= threshold)
+      .withColumn("__grp", col("window_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("__len")).as("max_seg_len"),
+        sum(col("__len")).as("n_active"))
+  }
 }

@@ -41,4 +41,33 @@ object Profile {
       .select(col("kv.col_name"), col("kv.n"), col("kv.n_nulls"),
         col("kv.n_distinct"), col("kv.min_v"), col("kv.max_v"))
   }
+
+  /** Exact equi-width histogram of a numeric column — the distribution
+    * profile behind drift screens and bin-boundary choices. Two passes,
+    * both all-reduce shapes that hold at 100 TB: one min/max aggregation
+    * (1 row, broadcast back), one partial-agg count by bin (`nBins`
+    * groups). bin = floor((x − min)·nBins/(max − min)) clamped to the top
+    * bin; bin edges ride along so the output is self-describing. The
+    * arithmetic is one shared double expression tree, replayable exactly
+    * in any engine. Empty bins are absent (densify with a sequence join
+    * if needed); null values are skipped. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val b = lit(nBins.toDouble)
+    df.filter(v.isNotNull).crossJoin(broadcast(stats))
+      .select(least(floor((v - col("__mn")) * b / (col("__mx") - col("__mn"))),
+          lit(nBins - 1.0)).cast("int").as("bin"),
+        col("__mn"), col("__mx"))
+      .groupBy(col("bin"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), col("n"),
+        round(col("__mn") +
+          (col("bin").cast("double") * (col("__mx") - col("__mn"))) / b, 6)
+          .as("lo"),
+        round(col("__mn") +
+          ((col("bin").cast("double") + 1.0) * (col("__mx") - col("__mn"))) / b,
+          6).as("hi"))
+  }
 }

@@ -2487,6 +2487,64 @@ object ExtensionQueries {
        |ORDER BY doc_id, window_idx""".stripMargin
   }
 
+  /** Equi-width histogram ([[graft.operators.Profile.histogram]]): 20
+    * exact bins over events.value — two all-reduce passes (min/max, then
+    * bin counts), bin edges computed from the same double tree the oracle
+    * replays. */
+  def p8Histogram(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(events(sp, dir), "value", 20)
+      .orderBy("bin")
+
+  val p8Sql: String =
+    """WITH st AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      |b AS (SELECT CAST(least(floor((value - mn) * 20.0 / (mx - mn)),
+      |    19.0) AS INT) AS bin, mn, mx
+      |  FROM events, st WHERE value IS NOT NULL)
+      |SELECT bin, count(*) AS n,
+      |  round(mn + (CAST(bin AS DOUBLE) * (mx - mn)) / 20.0, 6) AS lo,
+      |  round(mn + ((CAST(bin AS DOUBLE) + 1.0) * (mx - mn)) / 20.0, 6) AS hi
+      |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin
+
+  /** Audio activity segmentation ([[Multimodal.activeSegments]]): m4's
+    * per-window PCM energies thresholded at 3·10¹⁰ (≈ the corpus median)
+    * and merged into maximal active runs; per-doc segment structure. The
+    * oracle extends m4's sample-exact replay with the same
+    * gaps-and-islands reduction. */
+  def m6AudioSegments(sp: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 1), frameSize = 100)
+    Multimodal.activeSegments(
+        Multimodal.wavEnergy(sp, media, window = 100).toDF(),
+        threshold = 30000000000L)
+      .orderBy("doc_id")
+  }
+
+  val m6Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx,
+       |    (len - len % ((len % 2 + 1) * 2)) // 2 AS n FROM e),
+       |s AS (SELECT p.doc_id, CAST(k.k AS BIGINT) AS k,
+       |    ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |      + 256 * ('0x' || substr(p.hx,
+       |          4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |  FROM p, range(0, 512) k(k) WHERE k.k < p.n),
+       |v AS (SELECT doc_id, k // 100 AS w,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+       |  FROM s),
+       |en AS (SELECT doc_id, w, SUM(s16 * s16) AS energy
+       |  FROM v GROUP BY doc_id, w),
+       |act AS (SELECT doc_id, w,
+       |    w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+       |  FROM en WHERE energy >= 30000000000),
+       |seg AS (SELECT doc_id, grp, count(*) AS len
+       |  FROM act GROUP BY doc_id, grp)
+       |SELECT doc_id, count(*) AS n_segments, max(len) AS max_seg_len,
+       |  sum(len) AS n_active
+       |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ======================= streaming =======================
 
   /** True Structured-Streaming run: file source -> watermarked tumbling
@@ -3328,6 +3386,61 @@ object ExtensionQueries {
        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
   }
 
+  /** Random-projection sketch ([[graft.operators.Ann.rpProject]]), 64→16
+    * dims, with the JOHNSON-LINDENSTRAUSS DISTORTION GATE: for consecutive
+    * vector pairs, ratio = ‖Pa−Pb‖² / (16·‖a−b‖²) must sit within ±0.5 of
+    * 1 for ≥ 75% of pairs (measured 0.856/0.869 at sf0.01/0.1 — textbook
+    * JL concentration; top-k recall is NOT the projection's contract on
+    * this corpus, whose neighbor margins are below any 16-dim sketch's
+    * resolution, so the gate checks what JL actually promises). Counts are
+    * exact integers; the ratio arithmetic is the same double tree in both
+    * engines. */
+  def a13RandomProjection(sp: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val pc = embeddings(sp, dir).select(col("vec_id").as("id"),
+      col("embedding"),
+      graft.operators.Ann.rpProject(col("embedding"), 64, k).as("pvec"))
+    val ratios = pc.as("a")
+      .join(pc.as("b"), col("b.id") === col("a.id") + 1)
+      .select(Vectors.l2sq(col("a.pvec"), col("b.pvec")).as("pd"),
+        Vectors.l2sq(col("a.embedding"), col("b.embedding")).as("od"))
+      .filter(col("od") > 0)
+      .select((col("pd") / (lit(k.toDouble) * col("od"))).as("ratio"))
+    ratios.agg(count(lit(1)).as("n_pairs"),
+        count(when(abs(col("ratio") - 1.0) <= 0.5, 1)).as("n_ok"))
+      .select(lit(k).as("k"), col("n_pairs"), col("n_ok"),
+        round(col("n_ok").cast("double") / col("n_pairs"), 4).as("frac_ok"),
+        lit(0.75).as("floor"),
+        (col("n_ok").cast("double") / col("n_pairs") >= 0.75)
+          .as("distortion_ok"))
+  }
+
+  val a13Sql: String = {
+    val pv = (0 until 16).map { j =>
+      "(" + (0 until 64).map { i =>
+        val s = if (graft.operators.Ann.rpSign(j, i) > 0) "+1.0" else "-1.0"
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * $s"
+      }.mkString(" + ") + ")"
+    }.mkString("[", ", ", "]")
+    def sqd(a: String, b: String) = foldSum(
+      s"list_transform(range(1, len($a)+1), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))")
+    s"""WITH pc AS (SELECT vec_id AS id, embedding, $pv AS pvec
+       |  FROM embeddings),
+       |pairs AS (SELECT ${sqd("a.pvec", "b.pvec")} AS pd,
+       |    ${sqd("a.embedding", "b.embedding")} AS od
+       |  FROM pc a JOIN pc b ON b.id = a.id + 1),
+       |r AS (SELECT pd / (16.0 * od) AS ratio FROM pairs WHERE od > 0),
+       |agg AS (SELECT count(*) AS n_pairs,
+       |  count(*) FILTER (abs(ratio - 1.0) <= 0.5) AS n_ok FROM r)
+       |SELECT CAST(16 AS INT) AS k, n_pairs, n_ok,
+       |  round(n_ok::DOUBLE / n_pairs, 4) AS frac_ok,
+       |  CAST(0.75 AS DOUBLE) AS floor,
+       |  (n_ok::DOUBLE / n_pairs >= 0.75) AS distortion_ok
+       |FROM agg""".stripMargin
+  }
+
   /** Containment near-dup join ([[graft.operators.Dedup.containmentPairs]]):
     * 3-gram shingle-hash postings, df cap 50, containment >= 0.5, both
     * directions — the asymmetric quote/excerpt detector. The oracle
@@ -3520,7 +3633,10 @@ object ExtensionQueries {
     "t28_keywords" -> (t28Keywords _),
     "g6_hits" -> (g6Hits _),
     "t29_epoch_shuffle" -> (t29EpochShuffle _),
-    "d20_containment" -> (d20Containment _))
+    "d20_containment" -> (d20Containment _),
+    "a13_random_projection" -> (a13RandomProjection _),
+    "m6_audio_segments" -> (m6AudioSegments _),
+    "p8_histogram" -> (p8Histogram _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3614,5 +3730,8 @@ object ExtensionQueries {
     "t28_keywords" -> t28Sql,
     "g6_hits" -> g6Sql,
     "t29_epoch_shuffle" -> t29Sql,
-    "d20_containment" -> d20Sql)
+    "d20_containment" -> d20Sql,
+    "a13_random_projection" -> a13Sql,
+    "m6_audio_segments" -> m6Sql,
+    "p8_histogram" -> p8Sql)
 }

@@ -190,4 +190,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L, 5L -> 3L, 6L -> 3L))
   }
+
+  test("hitsCredits: hand-computed half-rounds with max rescaling; " +
+      "duplicate edges collapse") {
+    // 1->3, 2->3 (given twice -> must dedup), 3->1
+    val e = edges(1L -> 3L, 2L -> 3L, 2L -> 3L, 3L -> 1L)
+    // h0 = 1e6 everywhere.
+    // auth raw: a(3)=h(1)+h(2)=2e6, a(1)=h(3)=1e6, a(2)=0; max 2e6
+    //   -> a = (1: 500000, 2: 0, 3: 1000000)
+    // hub raw: h(1)=a(3)=1e6, h(2)=a(3)=1e6, h(3)=a(1)=500000; max 1e6
+    //   -> h = (1: 1000000, 2: 1000000, 3: 500000)
+    val got = Graph.hitsCredits(e, rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((500000L, 1000000L)),
+      2L -> ((0L, 1000000L)),
+      3L -> ((1000000L, 500000L))))
+  }
 }

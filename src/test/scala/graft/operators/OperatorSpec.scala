@@ -1268,4 +1268,69 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.semanticNearDupPairs(corpus, cents, 0.9999999)
       .count() == 0L)
   }
+
+  test("containmentPairs: asymmetric — subset doc scores 1.0 toward its " +
+      "superset, less back; df cap kills pairing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),            // 4 shingles, all inside doc 2
+      (2L, "a b c d e f g h"),        // 6 shingles
+      (3L, "x y z w")                 // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 3, dfCap = 50L, minCont = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((1L, 2L), (2L, 1L)))
+    assert(got((1L, 2L)) == ((4L, 4L, 1.0)))          // fully contained
+    val (sh, szB, contB) = got((2L, 1L))
+    assert(sh == 4L && szB == 6L && math.abs(contB - 4.0 / 6.0) < 1e-12)
+    // dfCap = 1 drops every shared shingle (each has df 2) -> no pairs
+    assert(Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+      n = 3, dfCap = 1L, minCont = 0.0).count() == 0L)
+  }
+
+  test("rpProject: column projection equals the driver-side rpSign sum; " +
+      "l2sq equals the manual fold") {
+    import spark.implicits._
+    val v = (0 until 64).map(i => (i + 1).toDouble)
+    val u = (0 until 64).map(i => (64 - i).toDouble)
+    val df = Seq((v, u)).toDF("v", "u")
+    val got = df.select(Ann.rpProject(col("v"), 64, 16).as("p"),
+        graft.functions.Vectors.l2sq(col("v"), col("u")).as("d"))
+      .collect().head
+    val p = got.getSeq[Double](0)
+    val expected = (0 until 16).map { j =>
+      (0 until 64).map(i => v(i) * Ann.rpSign(j, i)).reduce(_ + _)
+    }
+    assert(p == expected)
+    val d = (0 until 64).map(i => (v(i) - u(i)) * (v(i) - u(i))).sum
+    assert(got.getDouble(1) == d)
+  }
+
+  test("activeSegments: islands merge, boundaries split, silent docs " +
+      "are absent") {
+    import spark.implicits._
+    val en = Seq(
+      (1L, 0, 10L), (1L, 1, 90L), (1L, 2, 95L), (1L, 3, 10L),
+      (1L, 4, 80L), (1L, 5, 10L),
+      (2L, 0, 5L), (2L, 1, 7L))
+      .toDF("doc_id", "window_idx", "energy")
+    val got = Multimodal.activeSegments(en, threshold = 50L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 3L)))) // runs [1,2] and [4]
+  }
+
+  test("histogram: exact equi-width bins, max value clamps into the top " +
+      "bin, edges self-describe") {
+    import spark.implicits._
+    val df = (0 to 10).map(_.toDouble).toDF("x")
+    val got = Profile.histogram(df, "x", 5)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0 -> ((2L, 0.0, 2.0)), 1 -> ((2L, 2.0, 4.0)), 2 -> ((2L, 4.0, 6.0)),
+      3 -> ((2L, 6.0, 8.0)), 4 -> ((3L, 8.0, 10.0)))) // 10.0 clamped
+  }
 }
