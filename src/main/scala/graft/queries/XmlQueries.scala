@@ -478,7 +478,54 @@ object XmlQueries {
       |GROUP BY id, status, total, odate, comment
       |ORDER BY id""".stripMargin
 
+  /** XSD-DRIVEN schema derivation: the record schema comes from an XML
+    * Schema document via Spark's `XSDToSchema` (shipped with the native
+    * XML source) instead of a hand-built StructType — the
+    * contract-first integration path when a feed publishes an .xsd. The
+    * derived schema drives `from_xml` over per-order documents built from
+    * the tables; a type-sensitive aggregate (sum of xs:decimal totals by
+    * priority) proves xs:int/xs:decimal/xs:string all bound with the
+    * right Catalyst types. Per-row parse, zero shuffle before the final
+    * group-by. */
+  def x12XsdSchema(sp: SparkSession, dir: String): DataFrame = {
+    val xsd =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="order">
+        |    <xs:complexType>
+        |      <xs:sequence>
+        |        <xs:element name="id" type="xs:int"/>
+        |        <xs:element name="total" type="xs:decimal"/>
+        |        <xs:element name="prio" type="xs:string"/>
+        |      </xs:sequence>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin
+    val derived = org.apache.spark.sql.execution.datasources.xml.XSDToSchema
+      .read(xsd)
+    val rowSchema = derived("order").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val o = orders(sp, dir)
+    val xml = concat(
+      lit("<order><id>"), s(col("o_orderkey")), lit("</id><total>"),
+      d2s(col("o_totalprice")), lit("</total><prio>"),
+      col("o_orderpriority"), lit("</prio></order>"))
+    spread(o.select(xml.as("__xml")))
+      .select(from_xml(col("__xml"), rowSchema).as("r"))
+      .groupBy(col("r.prio").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("r.total")))).as("sum_total"))
+      .orderBy("prio")
+  }
+
+  val x12Sql: String =
+    """SELECT o_orderpriority AS prio, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_total
+      |FROM orders GROUP BY prio ORDER BY prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_xsd_schema" -> (x12XsdSchema _),
     "x11_xml_write_roundtrip" -> (x11WriteRoundtrip _),
     "x10_xml_malformed" -> (x10MalformedPermissive _),
     "x1_xml_scan_cast" -> (x1ScanCast _),
@@ -492,6 +539,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x12_xsd_schema" -> x12Sql,
     "x11_xml_write_roundtrip" -> x11Sql,
     "x10_xml_malformed" -> x10Sql,
     "x1_xml_scan_cast" -> x1Sql,

@@ -287,6 +287,42 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.containmentPairs == brute-force shingle containment on " +
+      "random docs, with and without the df cap") {
+    import spark.implicits._
+    val docGen = Gen.chooseNum(0, 10).flatMap(sz =>
+      Gen.listOfN(sz, Gen.oneOf("u", "v", "w", "x", "y", "z")))
+    val recs = samples(docGen, 25).zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+    val df = recs.toDF("doc_id", "text")
+    def shset(t: String): Set[String] = {
+      val tk = t.split(" ", -1).toSeq
+      if (tk.size < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = recs.map { case (i, t) => i -> shset(t) }.toMap
+    for ((cap, tau) <- Seq((1000L, 0.0), (1000L, 0.5), (2L, 0.0))) {
+      // reference: drop shingles with doc frequency > cap, then exact
+      // pairwise containment over the capped sets
+      val dfreq = all.values.toSeq.flatMap(_.toSeq)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val capped = all.view
+        .mapValues(_.filter(sh => dfreq(sh) <= cap)).toMap
+      val want = (for {
+        a <- capped.keys; b <- capped.keys
+        if a != b && capped(a).nonEmpty
+        sh = (capped(a) & capped(b)).size
+        if sh > 0 && sh.toDouble / capped(a).size >= tau
+      } yield ((a, b), (sh.toLong, capped(a).size.toLong))).toMap
+      val got = Dedup.containmentPairs(df, col("doc_id"), col("text"),
+          n = 3, dfCap = cap, minCont = tau)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == want, s"cap=$cap tau=$tau")
+    }
+  }
+
   test("Pq.encode == in-memory per-subspace argmin (ties to lower code) " +
       "for random vectors and codebooks") {
     import spark.implicits._
