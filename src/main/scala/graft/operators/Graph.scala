@@ -265,6 +265,42 @@ object Graph {
     dist
   }
 
+  /** k-core peeling over an UNDIRECTED simple graph (symmetrized,
+    * self-loops dropped), a FIXED number of rounds: each round recomputes
+    * degrees on the surviving induced subgraph and drops every node with
+    * degree < k — the standard spam-farm / fringe-page screen (a link
+    * farm's periphery peels away; the dense core stays). Fixed rounds keep
+    * the result exact and replayable; peeling is monotone, so a fixed
+    * horizon can only UNDER-peel (report a superset of the true k-core),
+    * never drop a core member. Returns (id, deg) for survivors with their
+    * final-round induced degree.
+    *
+    * Shape per round: two semi-joins (edge endpoints against the
+    * survivor set — both shuffle on the node id) + one count-agg; the
+    * survivor set materializes to scratch parquet per round. Total work
+    * only shrinks round over round; no state beyond the survivor list. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-kcore-und")
+    var deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    var i = 0
+    while (i < rounds) {
+      val alive = materialize(
+        deg.filter(col("deg") >= k).select("id"), s"graft-kcore-$i")
+      deg = und
+        .join(alive.select(col("id").as("u")), "u")
+        .join(alive.select(col("id").as("v")), "v")
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      i += 1
+    }
+    deg.filter(col("deg") >= k)
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

@@ -3539,6 +3539,118 @@ object ExtensionQueries {
        |ORDER BY auth DESC, hub DESC, a2.id LIMIT 25""".stripMargin
   }
 
+  /** Filter-cascade telemetry — the attrition report a curation pipeline
+    * publishes per source: how many docs survive each successive quality
+    * rule (length ≥ 30 tokens, then punctuation ratio ≤ 0.08, then
+    * stopword ratio ≥ 0.02 — t2's exact ratio arithmetic, so the oracle
+    * replays bit-for-bit). ONE conditional-count aggregation pass per
+    * source — the cascade is cumulative ANDs inside the same scan, not
+    * one job per rule. */
+  def t30QualityFunnel(sp: SparkSession, dir: String): DataFrame = {
+    val d = documents(sp, dir)
+    val r1 = Text.tokenCount(col("text")) >= 30
+    val r2 = Text.punctRatio(col("text")) <= 0.08
+    val r3 = Text.stopwordRatio(col("text")) >= 0.02
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(r1, 1)).as("pass_len"),
+        count(when(r1 && r2, 1)).as("pass_len_punct"),
+        count(when(r1 && r2 && r3, 1)).as("pass_all"))
+      .select(col("source"), col("n_docs"), col("pass_len"),
+        col("pass_len_punct"), col("pass_all"),
+        round(col("pass_all").cast("double") / col("n_docs"), 4)
+          .as("keep_rate"))
+      .orderBy("source")
+  }
+
+  val t30Sql: String = {
+    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
+      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
+    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
+      "'', 'g')))::DOUBLE / length(text))"
+    val r1 = s"len($Toks) >= 30"
+    val r2 = s"$punct <= 0.08"
+    val r3 = s"$stop >= 0.02"
+    s"""SELECT source, count(*) AS n_docs,
+       |  count(*) FILTER ($r1) AS pass_len,
+       |  count(*) FILTER ($r1 AND $r2) AS pass_len_punct,
+       |  count(*) FILTER ($r1 AND $r2 AND $r3) AS pass_all,
+       |  round(count(*) FILTER ($r1 AND $r2 AND $r3)::DOUBLE / count(*), 4)
+       |    AS keep_rate
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic over events.value:
+    * 'click' events vs the rest — the distribution-shift screen between
+    * a reference slice and a candidate slice. KS = max |F₁−F₂| over the
+    * pooled support, computed EXACTLY: one aggregation reduces the corpus
+    * to per-distinct-value counts (the value domain of a fixed-precision
+    * metric is bounded — ~49k cells here — and stays bounded at 100 TB),
+    * then cumulative sums run as a window over that domain-sized table,
+    * never over the corpus. ECDF fractions are exact-integer ratios;
+    * the max picks the first value attaining it for a deterministic
+    * report row. */
+  def p9KsDrift(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(sp, dir)
+    val cells = ev.groupBy(col("value").as("v"))
+      .agg(count(when(col("event_type") === "click", 1)).as("c1"),
+        count(when(col("event_type") =!= "click", 1)).as("c2"))
+    val tot = cells.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val ks = cells
+      .select(col("v"), sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(col("f1").cast("double") / col("n1") -
+          col("f2").cast("double") / col("n2")).as("d"),
+        col("n1"), col("n2"))
+    ks.orderBy(col("d").desc, col("v")).limit(1)
+      .select(round(col("d"), 6).as("ks"), col("v").as("at_value"),
+        col("n1"), col("n2"))
+  }
+
+  val p9Sql: String =
+    """WITH cells AS (SELECT value AS v,
+      |    count(*) FILTER (event_type = 'click') AS c1,
+      |    count(*) FILTER (event_type <> 'click') AS c2
+      |  FROM events GROUP BY value),
+      |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells),
+      |cum AS (SELECT v,
+      |    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+      |    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
+      |  FROM cells),
+      |d AS (SELECT v, abs(f1::DOUBLE / n1 - f2::DOUBLE / n2) AS d, n1, n2
+      |  FROM cum, tot)
+      |SELECT round(d, 6) AS ks, v AS at_value, n1, n2 FROM d
+      |ORDER BY d DESC, v LIMIT 1""".stripMargin
+
+  /** k-core peeling ([[graft.operators.Graph.kCore]]): 3 rounds at k=3
+    * over the derived link graph — survivors of the dense core with
+    * their final induced degree. The oracle unrolls the same peel
+    * schedule (degree → filter → induced subgraph, three times, plus the
+    * final filtered degree pass). */
+  def g7Kcore(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(linkEdges(sp, dir), k = 3, rounds = 3)
+      .orderBy("id")
+
+  val g7Sql: String = {
+    def peel(dPrev: String, a: String, dNext: String): String =
+      s"""$a AS (SELECT id FROM $dPrev WHERE d >= 3),
+         |$dNext AS (SELECT u AS id, count(*) AS d FROM und
+         |  WHERE u IN (SELECT id FROM $a) AND v IN (SELECT id FROM $a)
+         |  GROUP BY u)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |und AS (SELECT DISTINCT src AS u, dst AS v FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT dst, src FROM edges) s WHERE src <> dst),
+       |d1 AS (SELECT u AS id, count(*) AS d FROM und GROUP BY u),
+       |${peel("d1", "a1", "d2")},
+       |${peel("d2", "a2", "d3")},
+       |${peel("d3", "a3", "d4")}
+       |SELECT id, d AS deg FROM d4 WHERE d >= 3 ORDER BY id""".stripMargin
+  }
+
   // ======================= registry =======================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3636,7 +3748,10 @@ object ExtensionQueries {
     "d20_containment" -> (d20Containment _),
     "a13_random_projection" -> (a13RandomProjection _),
     "m6_audio_segments" -> (m6AudioSegments _),
-    "p8_histogram" -> (p8Histogram _))
+    "p8_histogram" -> (p8Histogram _),
+    "g7_kcore" -> (g7Kcore _),
+    "t30_quality_funnel" -> (t30QualityFunnel _),
+    "p9_ks_drift" -> (p9KsDrift _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3733,5 +3848,8 @@ object ExtensionQueries {
     "d20_containment" -> d20Sql,
     "a13_random_projection" -> a13Sql,
     "m6_audio_segments" -> m6Sql,
-    "p8_histogram" -> p8Sql)
+    "p8_histogram" -> p8Sql,
+    "g7_kcore" -> g7Sql,
+    "t30_quality_funnel" -> t30Sql,
+    "p9_ks_drift" -> p9Sql)
 }

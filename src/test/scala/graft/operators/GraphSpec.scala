@@ -208,4 +208,15 @@ class GraphSpec extends AnyFunSuite {
       2L -> ((0L, 1000000L)),
       3L -> ((1000000L, 500000L))))
   }
+
+  test("kCore: pendant peels away, the 2-core triangle survives with " +
+      "induced degrees") {
+    // triangle {1,2,3} + pendant 4 on node 1 (+ a self-loop to drop)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 4L)
+    val got = Graph.kCore(e, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max induced degree empties the core
+    assert(Graph.kCore(e, k = 4, rounds = 1).count() == 0L)
+  }
 }
