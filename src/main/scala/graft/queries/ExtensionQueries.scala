@@ -3441,6 +3441,68 @@ object ExtensionQueries {
        |FROM agg""".stripMargin
   }
 
+  /** Scalar-quantized (int8) similarity search: the corpus is stored as
+    * d10's symmetric int8 codes + one scale (4× smaller working set — the
+    * 100 TB embedding-storage lever BELOW PQ's 64×, with far less recall
+    * risk), queries stay full-precision, and scoring runs on the
+    * dequantized corpus — the standard asymmetric SQ search. Recall@3 vs
+    * the exact float truth (a1) gated at 0.8 (measured 1.0 at sf0.01 AND
+    * sf0.1: int8 error is far below this corpus's neighbor margins, unlike
+    * a13's 16-dim sketch). Quantize/dequantize arithmetic is d10's exact
+    * replayable tree. */
+  def a14QuantizedRecall(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val truthDir = graft.Tables.scratchDir("graft-a14-truth")
+    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val corpus = e
+      .select(col("vec_id").as("id"), Vectors.maxAbs(col("embedding")).as("m"),
+        Vectors.quantize(col("embedding"), Vectors.maxAbs(col("embedding")))
+          .as("q"))
+      .select(col("id"), Vectors.dequantize(col("q"), col("m")).as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val res = Ann.bruteForceTopK(qs, corpus, 3)
+    val floor = 0.8
+    truth.join(res.select(col("qid"), col("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("sq_int8").as("method"), col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"),
+        lit(floor).as("floor"),
+        (col("n_hits").cast("double") / col("n_truth") >= floor)
+          .as("recall_ok"))
+  }
+
+  val a14Sql: String =
+    s"""WITH truth AS (SELECT qid, neighbor FROM ($a1Sql) WHERE rank <= 3),
+       |mm AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |      AS m
+       |  FROM embeddings),
+       |dq AS (SELECT vec_id AS id, list_transform(list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INT)),
+       |    x -> CAST(x AS DOUBLE) * m / 127.0) AS vec FROM mm),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |  WHERE vec_id < 5),
+       |s AS (SELECT q.qid, c.id, ${cosSql("q.qvec", "c.vec")} AS sim
+       |      FROM dq c CROSS JOIN q WHERE c.id <> q.qid),
+       |rq AS (SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM s)
+       |  WHERE rank <= 3),
+       |h AS (SELECT count(*) AS n_hits FROM rq
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = rq.qid AND t.neighbor = rq.id)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT 'sq_int8' AS method, h.n_hits, tt.n_truth,
+       |  round(h.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.8 AS DOUBLE) AS floor,
+       |  (h.n_hits::DOUBLE / tt.n_truth >= 0.8) AS recall_ok
+       |FROM h CROSS JOIN tt""".stripMargin
+
   /** Containment near-dup join ([[graft.operators.Dedup.containmentPairs]]):
     * 3-gram shingle-hash postings, df cap 50, containment >= 0.5, both
     * directions — the asymmetric quote/excerpt detector. The oracle
@@ -3751,7 +3813,8 @@ object ExtensionQueries {
     "p8_histogram" -> (p8Histogram _),
     "g7_kcore" -> (g7Kcore _),
     "t30_quality_funnel" -> (t30QualityFunnel _),
-    "p9_ks_drift" -> (p9KsDrift _))
+    "p9_ks_drift" -> (p9KsDrift _),
+    "a14_quantized_recall" -> (a14QuantizedRecall _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3851,5 +3914,6 @@ object ExtensionQueries {
     "p8_histogram" -> p8Sql,
     "g7_kcore" -> g7Sql,
     "t30_quality_funnel" -> t30Sql,
-    "p9_ks_drift" -> p9Sql)
+    "p9_ks_drift" -> p9Sql,
+    "a14_quantized_recall" -> a14Sql)
 }

@@ -485,8 +485,12 @@ object XmlQueries {
     * derived schema drives `from_xml` over per-order documents built from
     * the tables; a type-sensitive aggregate (sum of xs:decimal totals by
     * priority) proves xs:int/xs:decimal/xs:string all bound with the
-    * right Catalyst types. Per-row parse, zero shuffle before the final
-    * group-by. */
+    * right Catalyst types. The derived StructType then drives a
+    * SCHEMA-CONSTRUCTED `XmlParser` spec (field name + Catalyst type →
+    * DSL member), so the parse runs on the engine's flat-record byte
+    * fast path, not the interpreted `from_xml` evaluator — XSD as the
+    * contract, graft as the executor. Per-row parse, zero shuffle before
+    * the final group-by. */
   def x12XsdSchema(sp: SparkSession, dir: String): DataFrame = {
     val xsd =
       """<?xml version="1.0" encoding="UTF-8"?>
@@ -510,8 +514,19 @@ object XmlQueries {
       lit("<order><id>"), s(col("o_orderkey")), lit("</id><total>"),
       d2s(col("o_totalprice")), lit("</total><prio>"),
       col("o_orderpriority"), lit("</prio></order>"))
+    // schema-driven spec: one DSL member per derived field, typed by the
+    // Catalyst type the XSD mapped to
+    val parser = XmlParser.struct("order") { a =>
+      struct(rowSchema.fields.map { f =>
+        (f.dataType match {
+          case org.apache.spark.sql.types.IntegerType => a.nullInt(f.name)
+          case _: org.apache.spark.sql.types.DecimalType => a.nullDecimal(f.name)
+          case _ => a.str(f.name)
+        }).as(f.name)
+      }.toSeq: _*)
+    }
     spread(o.select(xml.as("__xml")))
-      .select(from_xml(col("__xml"), rowSchema).as("r"))
+      .select(parser.parse(col("__xml")).as("r"))
       .groupBy(col("r.prio").as("prio"))
       .agg(count(lit(1)).as("n"),
         asDouble(sum(dec(col("r.total")))).as("sum_total"))
