@@ -100,7 +100,15 @@ object Dedup {
       .select(col("__id"), Hashing.portableHash32(col("__sh")).as("__h"))
     val rare = posts.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("__h")
-    val keep = posts.join(rare, Seq("__h"), "left_semi")
+    // materialize the capped posting table once: THREE consumers below
+    // (size agg + both self-join probes) would otherwise each re-run the
+    // tokenize+shingle+md5 explode — the t22 lesson. At scale this is
+    // also the production shape: postings persist, probes read a narrow
+    // (id, hash32) columnar table.
+    val keepDir = graft.Tables.scratchDir("graft-containment-posts")
+    posts.join(rare, Seq("__h"), "left_semi")
+      .write.mode("overwrite").parquet(keepDir)
+    val keep = docs.sparkSession.read.parquet(keepDir)
     val sizes = keep.groupBy(col("__id").as("a_id"))
       .agg(count(lit(1)).as("size_a"))
     val shared = keep.as("a")
