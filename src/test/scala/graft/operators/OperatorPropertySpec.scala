@@ -323,6 +323,62 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Graph.hitsCredits == in-memory integer half-round replay on " +
+      "random digraphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      u <- Gen.chooseNum(0L, 9L); v <- Gen.chooseNum(0L, 9L)
+    } yield (u, v)
+    for (trial <- 1 to 3) {
+      val edges = samples(edgeGen, 25).distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val scale = 1000000L
+      def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+        val mx = math.max(m.values.max, 1L)
+        m.map { case (k, v) => k -> v * scale / mx }
+      }
+      var hub = nodes.map(_ -> scale).toMap
+      var auth = Map.empty[Long, Long]
+      for (_ <- 1 to 2) {
+        auth = rescale(nodes.map(n =>
+          n -> in.getOrElse(n, Nil).map(hub).sum).toMap)
+        hub = rescale(nodes.map(n =>
+          n -> out.getOrElse(n, Nil).map(auth).sum).toMap)
+      }
+      val got = Graph.hitsCredits(edges.toDF("src", "dst"), rounds = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val want = nodes.map(n => n -> ((auth(n), hub(n)))).toMap
+      assert(got == want, s"trial $trial edges=$edges")
+    }
+  }
+
+  test("Graph.kCore == in-memory fixed-round peeling on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      u <- Gen.chooseNum(0L, 11L); v <- Gen.chooseNum(0L, 11L)
+    } yield (u, v)
+    for (trial <- 1 to 3) {
+      val edges = samples(edgeGen, 30)
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      val k = 2; val rounds = 3
+      def degrees(alive: Set[Long]): Map[Long, Int] =
+        und.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).view.mapValues(_.size).toMap
+      var deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+      for (_ <- 1 to rounds)
+        deg = degrees(deg.filter(_._2 >= k).keySet)
+      val want = deg.filter(_._2 >= k)
+        .map { case (id, d) => id -> d.toLong }
+      val got = Graph.kCore(edges.toDF("src", "dst"), k = k, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial edges=$edges")
+    }
+  }
+
   test("Pq.encode == in-memory per-subspace argmin (ties to lower code) " +
       "for random vectors and codebooks") {
     import spark.implicits._
