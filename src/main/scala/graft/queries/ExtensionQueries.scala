@@ -3687,6 +3687,70 @@ object ExtensionQueries {
       |SELECT round(d, 6) AS ks, v AS at_value, n1, n2 FROM d
       |ORDER BY d DESC, v LIMIT 1""".stripMargin
 
+  /** p9's SCALE TWIN (the q11/q11b discipline): KS approximated on a
+    * 64-bin equi-width reduction instead of the exact value domain — the
+    * form that stays fixed-size when the metric has unbounded precision
+    * (floats, latencies) and the p9 domain-table trick stops applying.
+    * SELF-VERIFYING: |KS_exact − KS_binned| is bounded by the largest
+    * single-bin mass of either distribution (coarsening an ECDF moves any
+    * evaluation point at most one bin's worth of mass), and the gate
+    * computes exact, binned, AND the bound, asserting the inequality —
+    * so the approximation ships with its own error certificate. */
+  def p9bKsBinned(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBins = 64
+    val ev = events(sp, dir)
+    val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val b = lit(nBins.toDouble)
+    val binned = ev.crossJoin(broadcast(stats))
+      .select(least(floor((col("value") - col("mn")) * b /
+          (col("mx") - col("mn"))), lit(nBins - 1.0)).cast("int").as("bin"),
+        col("event_type"))
+      .groupBy("bin")
+      .agg(count(when(col("event_type") === "click", 1)).as("c1"),
+        count(when(col("event_type") =!= "click", 1)).as("c2"))
+    val tot = binned.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val ksb = binned
+      .select(col("bin"), col("c1"), col("c2"),
+        sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+      .crossJoin(broadcast(tot))
+      .agg(max(abs(col("f1").cast("double") / col("n1") -
+          col("f2").cast("double") / col("n2"))).as("ks_binned"),
+        max(greatest(col("c1").cast("double") / col("n1"),
+          col("c2").cast("double") / col("n2"))).as("bound"))
+    val exact = p9KsDrift(sp, dir).select(col("ks").as("ks_exact"))
+    ksb.crossJoin(exact)
+      .select(col("ks_exact"), round(col("ks_binned"), 6).as("ks_binned"),
+        round(col("bound"), 6).as("bound"),
+        (abs(col("ks_binned") - col("ks_exact")) <= col("bound"))
+          .as("within_bound"))
+  }
+
+  val p9bSql: String =
+    s"""WITH st AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+       |bn AS (SELECT CAST(least(floor((value - mn) * 64.0 / (mx - mn)),
+       |    63.0) AS INT) AS bin,
+       |    count(*) FILTER (event_type = 'click') AS c1,
+       |    count(*) FILTER (event_type <> 'click') AS c2
+       |  FROM events, st WHERE value IS NOT NULL GROUP BY 1),
+       |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM bn),
+       |cum AS (SELECT bin, c1, c2,
+       |    SUM(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS f1,
+       |    SUM(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS f2
+       |  FROM bn),
+       |kb AS (SELECT max(abs(f1::DOUBLE / n1 - f2::DOUBLE / n2))
+       |    AS ks_binned,
+       |    max(greatest(c1::DOUBLE / n1, c2::DOUBLE / n2)) AS bound
+       |  FROM cum, tot),
+       |ex AS (SELECT ks AS ks_exact FROM ($p9Sql)),
+       |fin AS (SELECT ks_exact, ks_binned, bound,
+       |    (abs(ks_binned - ks_exact) <= bound) AS within_bound
+       |  FROM kb CROSS JOIN ex)
+       |SELECT ks_exact, round(ks_binned, 6) AS ks_binned,
+       |  round(bound, 6) AS bound, within_bound
+       |FROM fin""".stripMargin
+
   /** k-core peeling ([[graft.operators.Graph.kCore]]): 3 rounds at k=3
     * over the derived link graph — survivors of the dense core with
     * their final induced degree. The oracle unrolls the same peel
@@ -3814,7 +3878,8 @@ object ExtensionQueries {
     "g7_kcore" -> (g7Kcore _),
     "t30_quality_funnel" -> (t30QualityFunnel _),
     "p9_ks_drift" -> (p9KsDrift _),
-    "a14_quantized_recall" -> (a14QuantizedRecall _))
+    "a14_quantized_recall" -> (a14QuantizedRecall _),
+    "p9b_ks_binned" -> (p9bKsBinned _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3915,5 +3980,6 @@ object ExtensionQueries {
     "g7_kcore" -> g7Sql,
     "t30_quality_funnel" -> t30Sql,
     "p9_ks_drift" -> p9Sql,
-    "a14_quantized_recall" -> a14Sql)
+    "a14_quantized_recall" -> a14Sql,
+    "p9b_ks_binned" -> p9bSql)
 }

@@ -219,4 +219,23 @@ class GraphSpec extends AnyFunSuite {
     // k above the max induced degree empties the core
     assert(Graph.kCore(e, k = 4, rounds = 1).count() == 0L)
   }
+
+  test("hitsCredits / kCore: bit-identical across partition counts " +
+      "(the g1 driver-compare discipline)") {
+    val e = edges((1L to 40L).map(i => (i % 7) -> (i % 11)): _*)
+    def snap(parts: String): (Seq[(Long, Long, Long)], Seq[(Long, Long)]) = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val h = Graph.hitsCredits(e, rounds = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val kc = Graph.kCore(e, k = 2, rounds = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      (h, kc)
+    }
+    try {
+      val a = snap("3")
+      val b = snap("17")
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
 }
