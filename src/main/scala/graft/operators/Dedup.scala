@@ -339,14 +339,28 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = ids.select(col("id"), col("id").as("label"))
-    for (_ <- 0 until iters) {
+    def materialize(df: DataFrame, tag: String): DataFrame = {
+      val dir = graft.Tables.scratchDir(tag)
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    }
+    // each round reads `labels` TWICE (neighbor-min build + the update
+    // join), so without a cut the label lineage doubles per round — after
+    // r rounds the plan holds 2^r copies of the ids subtree and its
+    // shuffles. One tiny scratch write per round keeps every round's plan
+    // two joins deep (the [[dedupClustersConverged]] discipline; same
+    // exact semantics, the oracle still unrolls it).
+    var labels = materialize(
+      ids.select(col("id"), col("id").as("label")), "graft-dc-0")
+    for (i <- 0 until iters) {
       val nbr = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("__nid")).agg(min("label").as("__nl"))
-      labels = labels.join(nbr, labels("id") === nbr("__nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__nl"), col("label")))
-            .as("label"))
+      labels = materialize(
+        labels.join(nbr, labels("id") === nbr("__nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nl"), col("label")))
+              .as("label")),
+        s"graft-dc-${i + 1}")
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
