@@ -76,6 +76,58 @@ object Graph {
     credits
   }
 
+  /** PERSONALIZED PageRank with integer credits — the literal TrustRank
+    * construction (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): the
+    * teleport mass lands ONLY on the curated seed set, so credit can
+    * reach a page exclusively through link paths from trusted pages, and
+    * a page's score is a propagated-trust prior for corpus curation
+    * (g5's hop-distance is the cheap radius form; this is the mass-flow
+    * form that also discounts many-hop, low-conductance paths).
+    *
+    * Identical shape and arithmetic to [[pageRankCredits]] — one
+    * edge⋈credit equi-join, one dst aggregation, one node left-join per
+    * round, per-round scratch materialization — with the teleport term
+    * `when(isSeed, teleport, 0)`; seed membership is stamped on the node
+    * universe once, so rounds add no extra join. Exact integer ops:
+    * replayable hash-for-hash in any engine. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      initCredits: Long = 1000000L, teleport: Long = 150000L,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val s = seeds.select(col("id").cast("long").as("id")).distinct()
+      .select(col("id"), lit(true).as("__seed"))
+    val nodes = materialize(
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id"))).distinct()
+        .join(s, Seq("id"), "left")
+        .select(col("id"),
+          when(coalesce(col("__seed"), lit(false)), lit(teleport))
+            .otherwise(lit(0L)).as("__t")),
+      "graft-ppr-nodes")
+    val e = materialize(
+      e0.join(e0.groupBy("src").agg(count(lit(1)).as("__d")), "src"),
+      "graft-ppr-edges")
+    // start mass on the seeds only — the TrustRank initial vector
+    var credits = nodes.select(col("id"),
+      when(col("__t") > 0, lit(initCredits)).otherwise(lit(0L)).as("cr"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e.join(credits, e("src") === credits("id"))
+        .select(col("dst"),
+          expr(s"(cr * $dampNum) div (${dampDen}L * __d)").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__in"))
+      credits = materialize(
+        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select(col("id"),
+            (col("__t") + coalesce(col("__in"), lit(0L))).as("cr")),
+        s"graft-ppr-$i")
+      i += 1
+    }
+    credits
+  }
+
   /** Connected components over an UNDIRECTED graph (input edge list is
     * symmetrized; self-loops irrelevant). Returns (id, comp) where comp is
     * the minimum node id reachable from id.

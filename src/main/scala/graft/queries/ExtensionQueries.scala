@@ -3751,6 +3751,43 @@ object ExtensionQueries {
        |  round(bound, 6) AS bound, within_bound
        |FROM fin""".stripMargin
 
+  /** Personalized PageRank / TrustRank
+    * ([[graft.operators.Graph.personalizedPageRank]]): teleport restricted
+    * to the g5 seed set (link-graph nodes ≡ 0 mod 37), 3 iterations; top
+    * 25 by propagated trust. Exact integer credits, so the oracle's
+    * unrolled CTEs replay hash-for-hash; pages unreachable from the seeds
+    * hold credit 0. */
+  def g8TrustRank(sp: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(sp, dir)
+    val seeds = e.select(col("src").as("id")).distinct()
+      .filter(col("id") % 37 === 0)
+    graft.operators.Graph.personalizedPageRank(e, seeds, iters = 3)
+      .orderBy(col("cr").desc, col("id")).limit(25)
+  }
+
+  val g8Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT n.id, n.t + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+         |  FROM nodes n LEFT JOIN e ON e.dst = n.id
+         |  LEFT JOIN $prev c ON c.id = e.src GROUP BY n.id, n.t)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, deg.d FROM edges
+       |      JOIN deg USING (src)),
+       |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 37 = 0),
+       |nu AS (SELECT DISTINCT src AS id FROM edges
+       |       UNION SELECT DISTINCT dst FROM edges),
+       |nodes AS (SELECT id, CASE WHEN id IN (SELECT id FROM seeds)
+       |    THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS t
+       |  FROM nu),
+       |c0 AS (SELECT id, CASE WHEN t > 0 THEN CAST(1000000 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS cr FROM nodes),
+       |${round("c0", "c1")},
+       |${round("c1", "c2")},
+       |${round("c2", "c3")}
+       |SELECT id, cr FROM c3 ORDER BY cr DESC, id LIMIT 25""".stripMargin
+  }
+
   /** k-core peeling ([[graft.operators.Graph.kCore]]): 3 rounds at k=3
     * over the derived link graph — survivors of the dense core with
     * their final induced degree. The oracle unrolls the same peel
@@ -3879,7 +3916,8 @@ object ExtensionQueries {
     "t30_quality_funnel" -> (t30QualityFunnel _),
     "p9_ks_drift" -> (p9KsDrift _),
     "a14_quantized_recall" -> (a14QuantizedRecall _),
-    "p9b_ks_binned" -> (p9bKsBinned _))
+    "p9b_ks_binned" -> (p9bKsBinned _),
+    "g8_trustrank" -> (g8TrustRank _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -3981,5 +4019,6 @@ object ExtensionQueries {
     "t30_quality_funnel" -> t30Sql,
     "p9_ks_drift" -> p9Sql,
     "a14_quantized_recall" -> a14Sql,
-    "p9b_ks_binned" -> p9bSql)
+    "p9b_ks_binned" -> p9bSql,
+    "g8_trustrank" -> g8Sql)
 }

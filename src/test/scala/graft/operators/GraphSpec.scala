@@ -220,6 +220,23 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(e, k = 4, rounds = 1).count() == 0L)
   }
 
+  test("personalizedPageRank: teleport and start mass land on seeds " +
+      "only; credit flows along trusted paths") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3, seed {1}
+    val e = edges(1L -> 2L, 2L -> 3L)
+    val seeds = Seq(1L).toDF("id")
+    // c0 = (1e6, 0, 0)
+    // iter1: 1 keeps teleport 150000; 2 gets (1e6*85) div 100 = 850000
+    val r1 = Graph.personalizedPageRank(e, seeds, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+    // iter2: 2 <- (150000*85) div 100 = 127500; 3 <- (850000*85) div 100
+    val r2 = Graph.personalizedPageRank(e, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
   test("hitsCredits / kCore: bit-identical across partition counts " +
       "(the g1 driver-compare discipline)") {
     val e = edges((1L to 40L).map(i => (i % 7) -> (i % 11)): _*)
