@@ -3816,6 +3816,233 @@ object ExtensionQueries {
 
   // ======================= registry =======================
 
+  // ================= round-10 additions =================
+
+  /** Top collocations by PMI — pointwise mutual information over corpus
+    * bigrams, the classic multi-word-expression / collocation extractor
+    * ("new york" scores high because its joint count dwarfs what its
+    * unigram frequencies predict). Transcendental-free by design: PMI =
+    * log(N·c(xy)/(c(x)c(y))) is monotone in the RATIO, so ranking and
+    * output use the exact-integer ratio N·c(xy)/(c(x)·c(y)) through one
+    * IEEE division — both engines replay it bit-for-bit (the t20/p5
+    * discipline). Bigrams come from the one-pass codegen'd
+    * [[graft.functions.ShingleSetExpr.shingles]] kernel (t15's), counts
+    * are map-side-partial hash aggs, and the unigram model joins on the
+    * token key — vocabulary-sized, a shuffle join, never broadcast at
+    * corpus scale. Support floor c(xy) ≥ 5 bounds the ranked set. */
+  def t31PmiCollocations(sp: SparkSession, dir: String): DataFrame = {
+    val uni = documents(sp, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("__n"))
+    val bi = documents(sp, dir)
+      .select(explode(
+        graft.functions.ShingleSetExpr.shingles(col("text"), 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= 5)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    bi.join(uni.select(col("w").as("w1"), col("c1").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cy")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("cxy"), col("cx"), col("cy"),
+        round((col("cxy") * col("__n")).cast("double") /
+          (col("cx") * col("cy")).cast("double"), 6).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("bigram")).limit(25)
+  }
+
+  val t31Sql: String =
+    s"""WITH u AS (SELECT unnest($Toks) AS w FROM documents),
+       |uni AS (SELECT w, count(*) AS c1 FROM u GROUP BY w),
+       |tot AS (SELECT SUM(c1) AS n FROM uni),
+       |bi AS (
+       |  SELECT unnest(list_transform(range(1, len($Toks)),
+       |    i -> string_split(text, ' ')[i] || ' ' ||
+       |         string_split(text, ' ')[i + 1])) AS bigram
+       |  FROM documents),
+       |c AS (SELECT bigram, count(*) AS cxy FROM bi GROUP BY bigram
+       |      HAVING count(*) >= 5),
+       |c2 AS (SELECT bigram, cxy, split_part(bigram, ' ', 1) AS w1,
+       |       split_part(bigram, ' ', 2) AS w2 FROM c)
+       |SELECT bigram, cxy, a.c1 AS cx, b.c1 AS cy,
+       |  round(CAST(cxy * tot.n AS DOUBLE) /
+       |        CAST(a.c1 * b.c1 AS DOUBLE), 6) AS pmi_ratio
+       |FROM c2 JOIN uni a ON a.w = c2.w1 JOIN uni b ON b.w = c2.w2
+       |CROSS JOIN tot
+       |ORDER BY pmi_ratio DESC, bigram LIMIT 25""".stripMargin
+
+  /** Sentence segmentation + per-document sentence statistics — the
+    * document-structure profile (sentence count, length distribution)
+    * quality filters cut on (Gopher's "mean sentence length" rules).
+    * Sentences split on `[.!?]+` runs — a regex both engines' dialects
+    * treat identically — with whitespace-only segments dropped; counts
+    * and char sums are exact integers, the mean is ONE IEEE division.
+    * Pure per-row work: explode + re-aggregate on the doc key, partial
+    * aggs all the way down, nothing corpus-wide. */
+  def t32SentenceStats(sp: SparkSession, dir: String): DataFrame = {
+    val segs = documents(sp, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), "[.!?]+")).as("seg"))
+      .select(col("doc_id"), trim(col("seg")).as("seg"))
+      .filter(length(col("seg")) > 0)
+    segs
+      .select(col("doc_id"), length(col("seg")).as("n_chars"),
+        size(split(col("seg"), " ")).as("n_words"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_sentences"),
+        sum(col("n_chars")).as("sent_chars"),
+        max(col("n_words")).cast("int").as("max_words"),
+        round(sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("avg_chars"))
+      .orderBy("doc_id")
+  }
+
+  val t32Sql: String =
+    """WITH s AS (SELECT doc_id,
+      |    trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS seg
+      |  FROM documents),
+      |f AS (SELECT doc_id, length(seg) AS n_chars,
+      |    len(string_split(seg, ' ')) AS n_words
+      |  FROM s WHERE length(seg) > 0)
+      |SELECT doc_id, CAST(count(*) AS INT) AS n_sentences,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sent_chars,
+      |  CAST(MAX(n_words) AS INT) AS max_words,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+      |    AS avg_chars
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Hamming-distance similarity search over 64-bit SimHash sketches —
+    * the binary-fingerprint ANN family (d4 produces the sketch; this
+    * searches it): every query doc's top-5 nearest corpus docs by
+    * `bit_count(xor(sh_a, sh_b))`, the 1-instruction distance that makes
+    * binary sketches the cheapest large-scale near-dup/similarity index.
+    * The query side (doc_id % 100 = 0) BROADCASTS — it's the small side
+    * by construction — and the corpus side streams through one codegen'd
+    * projection; per-query top-5 aggregates with the k-capped
+    * [[graft.functions.TopKPairsAgg]] (rank = exact integer distance,
+    * ties by doc id), so the shuffle carries ≤ 5 pairs per partition per
+    * query and NO corpus-sized window sort exists anywhere. Distances
+    * are exact integers; the oracle replays them bit-for-bit. */
+  def a15HammingTopK(sp: SparkSession, dir: String): DataFrame = {
+    val sh = documents(sp, dir).select(col("doc_id"),
+      Hashing.simhash64(Text.tokens(col("text"))).as("sh"))
+    val q = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("sh").as("qsh"))
+    val topk = graft.functions.TopKPairsAgg.topKPairs(5)
+    sh.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        bit_count(col("sh").bitwiseXOR(col("qsh"))).cast("long").as("dist"))
+      .groupBy(col("qid"))
+      .agg(topk(col("dist"), col("doc_id")).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e._2").as("doc_id"),
+        col("__e._1").cast("int").as("dist"))
+      .orderBy(col("qid"), col("dist"), col("doc_id"))
+  }
+
+  val a15Sql: String =
+    s"""WITH $simhash64Cte,
+       |q AS (SELECT doc_id AS qid, sh AS qsh FROM sh WHERE doc_id % 100 = 0),
+       |d AS (SELECT q.qid, s.doc_id, bit_count(xor(s.sh, q.qsh)) AS dist
+       |  FROM sh s, q WHERE s.doc_id <> q.qid),
+       |r AS (SELECT qid, doc_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS rn
+       |  FROM d)
+       |SELECT qid, doc_id, CAST(dist AS INT) AS dist
+       |FROM r WHERE rn <= 5 ORDER BY qid, dist, doc_id""".stripMargin
+
+  /** Scene-cut detection over the AVI frame walk ([[Multimodal
+    * .sampleFrames]] at stride 1, m3's REAL container decode): a cut is
+    * a consecutive-frame checksum jump ≥ 500 — the frame-difference
+    * primitive of video curation (shot segmentation, keyframe pick,
+    * static-clip drop). The lag window is PER DOCUMENT over ≤ 6 frames,
+    * so the window never sees corpus scale; everything else is exact
+    * integer arithmetic the oracle replays from the document bytes. */
+  def m7SceneCuts(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 2), frameSize = 100)
+    val frames = Multimodal.sampleFrames(sp, media, stride = 1)
+      .map(r => (r.doc_id, r.frame_idx, Multimodal.frameChecksum(r.frame)))
+      .toDF("doc_id", "frame_idx", "checksum")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.withColumn("prev", lag(col("checksum"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("diff", abs(col("checksum") - col("prev")))
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) + 1).cast("int").as("n_frames"),
+        sum(when(col("diff") >= 500, 1).otherwise(0)).cast("int")
+          .as("n_cuts"),
+        max(col("diff")).as("max_diff"),
+        coalesce(min(when(col("diff") >= 500, col("frame_idx"))), lit(-1))
+          .cast("int").as("first_cut"))
+      .orderBy("doc_id")
+  }
+
+  val m7Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |p AS (SELECT doc_id, hx, len,
+       |    ((3 * (len % 7 + 1) + 3) // 4) * 4 * (doc_id % 4 + 1) AS fb,
+       |    doc_id % 5 + 2 AS nf
+       |  FROM e),
+       |s AS (SELECT p.doc_id, CAST(fr.f AS INT) AS fi,
+       |    CAST(SUM(('0x' || substr(p.hx,
+       |      2 * ((fr.f + i.i) % p.len) + 1, 2))::BIGINT) AS BIGINT) AS ck
+       |  FROM p, range(0, 6) fr(f), range(0, 96) i(i)
+       |  WHERE fr.f < p.nf AND i.i < p.fb
+       |  GROUP BY 1, 2),
+       |d AS (SELECT doc_id, fi,
+       |    abs(ck - lag(ck) OVER (PARTITION BY doc_id ORDER BY fi)) AS diff
+       |  FROM s)
+       |SELECT doc_id, CAST(count(*) + 1 AS INT) AS n_frames,
+       |  CAST(SUM(CASE WHEN diff >= 500 THEN 1 ELSE 0 END) AS INT)
+       |    AS n_cuts,
+       |  CAST(MAX(diff) AS BIGINT) AS max_diff,
+       |  CAST(COALESCE(MIN(CASE WHEN diff >= 500 THEN fi END), -1) AS INT)
+       |    AS first_cut
+       |FROM d WHERE diff IS NOT NULL
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Link prediction ([[graft.operators.Graph.commonNeighbors]]) on the
+    * derived link graph: top 25 non-adjacent pairs by shared-neighbor
+    * count, with the exact-integer Jaccard overlap. Wedge centers above
+    * degree 16 are excluded from candidate generation (the hub cap that
+    * bounds the d² pair blow-up at web scale — exercised live on this
+    * graph's hubs); true degrees still feed the Jaccard. */
+  def g9LinkPredict(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.commonNeighbors(linkEdges(sp, dir),
+        maxCenterDegree = 16)
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        round(col("jac"), 6).as("jac"))
+      .orderBy(col("cn").desc, col("u"), col("v")).limit(25)
+
+  val g9Sql: String =
+    s"""WITH $linkEdgesSql,
+       |e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+       |sym AS (SELECT DISTINCT c, n FROM (
+       |  SELECT src AS c, dst AS n FROM e2
+       |  UNION ALL SELECT dst, src FROM e2)),
+       |deg AS (SELECT c, COUNT(*) AS d FROM sym GROUP BY c),
+       |ctr AS (SELECT sym.c, sym.n FROM sym JOIN deg USING (c)
+       |        WHERE deg.d <= 16),
+       |pr AS (SELECT s1.n AS u, s2.n AS v, COUNT(*) AS cn
+       |  FROM ctr s1 JOIN ctr s2 ON s1.c = s2.c AND s1.n < s2.n
+       |  GROUP BY 1, 2),
+       |na AS (SELECT pr.u, pr.v, pr.cn FROM pr
+       |  WHERE NOT EXISTS (SELECT 1 FROM sym
+       |                    WHERE sym.c = pr.u AND sym.n = pr.v))
+       |SELECT na.u, na.v, na.cn, du.d AS du, dv.d AS dv,
+       |  round(CAST(na.cn AS DOUBLE) /
+       |        CAST(du.d + dv.d - na.cn AS DOUBLE), 6) AS jac
+       |FROM na JOIN deg du ON du.c = na.u JOIN deg dv ON dv.c = na.v
+       |ORDER BY na.cn DESC, na.u, na.v LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1Tokens _),
     "t2_text_quality" -> (t2Quality _),
@@ -3917,7 +4144,12 @@ object ExtensionQueries {
     "p9_ks_drift" -> (p9KsDrift _),
     "a14_quantized_recall" -> (a14QuantizedRecall _),
     "p9b_ks_binned" -> (p9bKsBinned _),
-    "g8_trustrank" -> (g8TrustRank _))
+    "g8_trustrank" -> (g8TrustRank _),
+    "t31_pmi_collocations" -> (t31PmiCollocations _),
+    "t32_sentence_stats" -> (t32SentenceStats _),
+    "a15_hamming_topk" -> (a15HammingTopK _),
+    "m7_scene_cuts" -> (m7SceneCuts _),
+    "g9_link_predict" -> (g9LinkPredict _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4020,5 +4252,10 @@ object ExtensionQueries {
     "p9_ks_drift" -> p9Sql,
     "a14_quantized_recall" -> a14Sql,
     "p9b_ks_binned" -> p9bSql,
-    "g8_trustrank" -> g8Sql)
+    "g8_trustrank" -> g8Sql,
+    "t31_pmi_collocations" -> t31Sql,
+    "t32_sentence_stats" -> t32Sql,
+    "a15_hamming_topk" -> a15Sql,
+    "m7_scene_cuts" -> m7Sql,
+    "g9_link_predict" -> g9Sql)
 }

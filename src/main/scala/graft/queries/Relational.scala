@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1574,6 +1574,198 @@ object Relational {
       |FROM orders
       |GROUP BY 1, 2, 3 ORDER BY month_start""".stripMargin
 
+  /** Native recursive CTE (`WITH RECURSIVE`, Spark 4's `UnionLoop`
+    * plan): the q33 parent-forest closure (`parent(k) = k div 7`)
+    * declared as a declarative fixpoint instead of q33's hand-rolled
+    * per-level join loop. The output aggregates the FULL closure trace
+    * (every node×ancestor step, not just the resolved roots), so this
+    * gate and q33 pin different slices of the same recursion. The oracle
+    * is DuckDB's recursive CTE over identical arithmetic.
+    *
+    * Scale: Spark executes each recursion level as one self-contained
+    * step over the previous level's output — the same per-level shuffle
+    * shape as [[graft.operators.Hierarchy.flatten]], but without the
+    * scratch-parquet rematerialization q33 adds for deep lineage
+    * control. For production hierarchy closures [[q33Hierarchy]]'s
+    * operator remains the tuned path; this gates the SQL front door. */
+  def q39RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    part(s, d).createOrReplaceTempView("part_q39")
+    s.sql("""
+      WITH RECURSIVE r AS (
+        SELECT p_partkey AS node, p_partkey AS anc, 0 AS lvl FROM part_q39
+        UNION ALL
+        SELECT node, anc div 7, lvl + 1 FROM r WHERE anc >= 7
+      )
+      SELECT CAST(lvl AS INT) AS lvl, count(*) AS n,
+        CAST(sum(node) AS BIGINT) AS key_sum,
+        CAST(sum(anc) AS BIGINT) AS anc_sum
+      FROM r GROUP BY lvl ORDER BY lvl""")
+  }
+
+  val q39Sql: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS lvl FROM part
+      |  UNION ALL
+      |  SELECT node, anc // 7, lvl + 1 FROM r WHERE anc >= 7)
+      |SELECT CAST(lvl AS INT) AS lvl, count(*) AS n,
+      |  CAST(sum(node) AS BIGINT) AS key_sum,
+      |  CAST(sum(anc) AS BIGINT) AS anc_sum
+      |FROM r GROUP BY lvl ORDER BY lvl""".stripMargin
+
+  /** Correlated LATERAL subquery join — per-nation top-3 customers by
+    * account balance, expressed as `FROM nation, LATERAL (... ORDER BY
+    * ... LIMIT 3)`: the "for each outer row, run this parameterized
+    * subquery" operator SQL:2016 standardizes and both engines support
+    * natively. Spark decorrelates the lateral into a join + per-key
+    * window under the hood, so the physical plan is the scalable
+    * ranked-retrieval shape (no nested-loop re-execution per outer row);
+    * the gate pins that rewrite against DuckDB's lateral semantics,
+    * including the deterministic (acctbal DESC, custkey) tie-break. */
+  def q40LateralTopN(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("nation_q40")
+    customer(s, d).createOrReplaceTempView("customer_q40")
+    s.sql("""
+      SELECT n.n_name AS nation, c.custkey,
+        CAST(c.acctbal AS DOUBLE) AS acctbal
+      FROM nation_q40 n,
+      LATERAL (SELECT c_custkey AS custkey, c_acctbal AS acctbal
+               FROM customer_q40
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+      ORDER BY nation, acctbal DESC, custkey""")
+  }
+
+  val q40Sql: String =
+    """SELECT n.n_name AS nation, c.custkey,
+      |  CAST(c.acctbal AS DOUBLE) AS acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey AS custkey, c_acctbal AS acctbal
+      |         FROM customer
+      |         WHERE c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+      |ORDER BY nation, acctbal DESC, custkey""".stripMargin
+
+  /** Pearson correlation matrix via exact integer moments (the p6 OLS
+    * discipline applied to pairwise dependence): quantity, price-cents
+    * and discount-percent integerize per row (`round(x*100)` — the
+    * identical double→int step in both engines), ONE partial-aggregating
+    * scan reduces the corpus to ten exact DECIMAL(38,0) moment sums, and
+    * each correlation is the fixed IEEE tree
+    * `(n·sxy−sx·sy)/(√(n·sxx−sx²)·√(n·syy−sy²))` over those exact sums —
+    * engine-replayable bit-for-bit because every double enters through
+    * one CAST and sqrt/division are IEEE-exact. Scale: the corpus never
+    * leaves the scan; state is one 10-number row. At 10¹² rows the
+    * per-row products stay < 10¹⁵ (BIGINT-safe) and the DECIMAL(38,0)
+    * sums have ~23 digits of headroom. */
+  def p10Correlation(s: SparkSession, d: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def m(c: Column) = sum(c.cast(d38))
+    val q = round(col("l_quantity")).cast("long")
+    val p = round(col("l_extendedprice") * 100).cast("long")
+    val dd = round(col("l_discount") * 100).cast("long")
+    val st = lineitem(s, d).agg(
+      count(lit(1)).cast(d38).as("n"),
+      m(q).as("sq"), m(p).as("sp"), m(dd).as("sd"),
+      m(q * q).as("sqq"), m(p * p).as("spp"), m(dd * dd).as("sdd"),
+      m(q * p).as("sqp"), m(q * dd).as("sqd"), m(p * dd).as("spd"))
+    def corr(sxy: String, sx: String, sy: String, sxx: String,
+        syy: String): Column = {
+      def dbl(c: Column) = c.cast("double")
+      val n = dbl(col("n"))
+      val cov = n * dbl(col(sxy)) - dbl(col(sx)) * dbl(col(sy))
+      val vx = n * dbl(col(sxx)) - dbl(col(sx)) * dbl(col(sx))
+      val vy = n * dbl(col(syy)) - dbl(col(sy)) * dbl(col(sy))
+      cov / (sqrt(vx) * sqrt(vy))
+    }
+    st.select(
+      corr("sqp", "sq", "sp", "sqq", "spp").as("c_qp"),
+      corr("sqd", "sq", "sd", "sqq", "sdd").as("c_qd"),
+      corr("spd", "sp", "sd", "spp", "sdd").as("c_pd"))
+      .select(expr(
+        """stack(3,
+          |  'quantity_price', round(c_qp, 6),
+          |  'quantity_discount', round(c_qd, 6),
+          |  'price_discount', round(c_pd, 6)) AS (pair, corr)"""
+          .stripMargin))
+      .orderBy("pair")
+  }
+
+  val p10Sql: String =
+    """WITH t AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+      |    CAST(round(l_discount*100) AS BIGINT) AS d FROM lineitem),
+      |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+      |    CAST(SUM(d) AS DOUBLE) AS sd,
+      |    CAST(SUM(q*q) AS DOUBLE) AS sqq, CAST(SUM(p*p) AS DOUBLE) AS spp,
+      |    CAST(SUM(d*d) AS DOUBLE) AS sdd,
+      |    CAST(SUM(q*p) AS DOUBLE) AS sqp, CAST(SUM(q*d) AS DOUBLE) AS sqd,
+      |    CAST(SUM(p*d) AS DOUBLE) AS spd FROM t)
+      |SELECT pair, corr FROM (
+      |  SELECT 'quantity_price' AS pair,
+      |    round((n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)), 6) AS corr FROM m
+      |  UNION ALL
+      |  SELECT 'quantity_discount',
+      |    round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)), 6) FROM m
+      |  UNION ALL
+      |  SELECT 'price_discount',
+      |    round((n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)), 6) FROM m)
+      |ORDER BY pair""".stripMargin
+
+  /** Benford first-digit screen — the classic fabricated-numbers data-
+    * quality test: the leading significant digit of every price is
+    * extracted in EXACT integer/string arithmetic (cents as BIGINT →
+    * first character; no log10, no float magnitude walk), counted, and
+    * compared against the Benford expectation log10(1+1/d) embedded as
+    * shared 15-significant-digit literals — both engines parse the same
+    * literal to the same IEEE double, so deviations and flags replay
+    * exactly. One hash-agg over the scan, 9-row output; nothing scales
+    * past the digit histogram. */
+  def p11Benford(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = lineitem(s, d)
+      .filter(cents > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__tot"))
+    val benford = s.range(1).select(expr(
+      """stack(9,
+        |  1, 0.301029995663981D, 2, 0.176091259055681D,
+        |  3, 0.124938736608300D, 4, 0.096910013008056D,
+        |  5, 0.079181246047625D, 6, 0.066946789630613D,
+        |  7, 0.057991946977687D, 8, 0.051152522447381D,
+        |  9, 0.045757490560675D) AS (digit, benford_pct)""".stripMargin))
+    counts.join(broadcast(benford), "digit")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("cnt"),
+        round(col("benford_pct"), 6).as("benford_pct"),
+        round(col("cnt").cast("double") / col("__tot").cast("double"), 6)
+          .as("obs_pct"),
+        (abs(col("cnt").cast("double") / col("__tot").cast("double") -
+          col("benford_pct")) > 0.02).as("flagged"))
+      .orderBy("digit")
+  }
+
+  val p11Sql: String =
+    """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c
+      |  FROM lineitem WHERE round(l_extendedprice*100) > 0),
+      |cnts AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    COUNT(*) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS tot FROM cnts),
+      |b(digit, benford_pct) AS (VALUES
+      |  (1, 0.301029995663981), (2, 0.176091259055681),
+      |  (3, 0.124938736608300), (4, 0.096910013008056),
+      |  (5, 0.079181246047625), (6, 0.066946789630613),
+      |  (7, 0.057991946977687), (8, 0.051152522447381),
+      |  (9, 0.045757490560675))
+      |SELECT cnts.digit, cnts.cnt, round(b.benford_pct, 6) AS benford_pct,
+      |  round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_pct,
+      |  (abs(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) - b.benford_pct)
+      |    > 0.02) AS flagged
+      |FROM cnts JOIN b ON cnts.digit = b.digit CROSS JOIN tot
+      |ORDER BY cnts.digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1621,7 +1813,11 @@ object Relational {
     "p6_linreg" -> (p6Linreg _),
     "p7_k_anonymity" -> (p7KAnonymity _),
     "q37_grouping_sets" -> (q37GroupingSets _),
-    "q38_window_nav" -> (q38WindowNav _))
+    "q38_window_nav" -> (q38WindowNav _),
+    "q39_recursive_cte" -> (q39RecursiveCte _),
+    "q40_lateral_topn" -> (q40LateralTopN _),
+    "p10_correlation" -> (p10Correlation _),
+    "p11_benford" -> (p11Benford _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1670,5 +1866,9 @@ object Relational {
     "p6_linreg" -> p6Sql,
     "p7_k_anonymity" -> p7Sql,
     "q37_grouping_sets" -> q37Sql,
-    "q38_window_nav" -> q38Sql)
+    "q38_window_nav" -> q38Sql,
+    "q39_recursive_cte" -> q39Sql,
+    "q40_lateral_topn" -> q40Sql,
+    "p10_correlation" -> p10Sql,
+    "p11_benford" -> p11Sql)
 }

@@ -255,4 +255,47 @@ class GraphSpec extends AnyFunSuite {
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
+
+  test("commonNeighbors: brute-force equivalence on a random graph, " +
+      "adjacent pairs excluded, Jaccard from true degrees") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val got = Graph.commonNeighbors(edges(pairs: _*),
+        maxCenterDegree = Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // in-memory reference
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    pairs.filter(p => p._1 != p._2).foreach { case (a, b) =>
+      adj(a) += b; adj(b) += a
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val exp = (for {
+      u <- nodes; v <- nodes if u < v && !adj(u).contains(v)
+      cn = (adj(u) & adj(v)).size if cn > 0
+    } yield (u, v) -> ((cn.toLong, adj(u).size.toLong, adj(v).size.toLong,
+      cn.toDouble / (adj(u).size + adj(v).size - cn).toDouble))).toMap
+    assert(got == exp)
+  }
+
+  test("commonNeighbors: hub cap removes candidates only reachable " +
+      "through the hub; true degrees still reported") {
+    // star: hub 0 connected to 1..5; plus 1-6, 2-6 (center 6, degree 2)
+    val e = edges((1L to 5L).map(i => 0L -> i) ++
+      Seq(1L -> 6L, 2L -> 6L): _*)
+    // uncapped: pairs {1..5}² via hub + (1,2) via 6 + hub-pairs via 1,2
+    val uncapped = Graph.commonNeighbors(e, maxCenterDegree = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L))) // only common neighbor is the hub
+    // cap 3 excludes hub 0 (degree 5) as center: (3,4) disappears,
+    // (1,2) survives through center 6 (degree 2)
+    val capped = Graph.commonNeighbors(e, maxCenterDegree = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!capped.contains((3L, 4L)))
+    // common neighbors of (1,2) are 0 and 6; hub 0 excluded as center
+    assert(capped((1L, 2L)) == 1L)
+  }
 }

