@@ -3818,6 +3818,71 @@ object ExtensionQueries {
 
   // ================= round-10 additions =================
 
+  /** Late-data ACCOUNTING under the watermark — the streaming semantics
+    * this suite had not yet pinned: rows arriving after the watermark
+    * has passed their window are DROPPED, not aggregated. Three input
+    * files with controlled modification times force three deterministic
+    * micro-batches (the file source orders by mtime). The subtlety this
+    * gate encodes: Spark filters late input against the watermark the
+    * PREVIOUS batch ran with (the lenient "late events" watermark), so
+    * a late file arriving one batch after the watermark-advancing data
+    * is still aggregated — it takes a full batch in between to arm the
+    * filter. Hence: batch 0 = day 3+ (advances the watermark to
+    * max(ts) − 2h at its end), batch 1 = day 2 (runs WITH that
+    * watermark, arming late filtering for the next batch), batch 2 =
+    * day 1 — now entirely below the armed late-events watermark, so
+    * the windowed aggregate must discard ALL of it. The oracle
+    * aggregates only the on-time slices; a hash match proves the drop
+    * (leaked day-1 windows would add 113 rows). The watermark is also
+    * what BOUNDS state at scale — without it every window lives
+    * forever — and this gate is the eviction-correctness proof for
+    * that bound. */
+  def s17LateData(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir).select(col("ts"), col("event_type"))
+    val day1End = "2024-01-02 00:00:00"
+    val day2End = "2024-01-03 00:00:00"
+    val inDir = graft.Tables.scratchDir("graft-s17-in")
+    new java.io.File(inDir).mkdirs()
+    // one parquet FILE per slice, mtime-ordered: on-time, arm, late
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = graft.Tables.scratchDir(s"graft-s17-tmp-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeOne(ev.filter(col("ts") >= day2End), "a-ontime", now - 120000)
+    writeOne(ev.filter(col("ts") >= day1End && col("ts") < day2End),
+      "b-arm", now - 60000)
+    writeOne(ev.filter(col("ts") < day1End), "c-late", now)
+    val name = "s17_ld_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = sp.readStream.schema("ts TIMESTAMP, event_type STRING")
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "update")
+      .groupBy(col("window.start").as("wstart"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val s17Sql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR,
+      |    make_timestamp(epoch_ns(ts) // 1000)) AS wstart,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events
+      |WHERE make_timestamp(epoch_ns(ts) // 1000)
+      |  >= TIMESTAMP '2024-01-02 00:00:00'
+      |GROUP BY wstart, event_type
+      |ORDER BY wstart, event_type""".stripMargin
+
   /** Top collocations by PMI — pointwise mutual information over corpus
     * bigrams, the classic multi-word-expression / collocation extractor
     * ("new york" scores high because its joint count dwarfs what its
@@ -4149,7 +4214,8 @@ object ExtensionQueries {
     "t32_sentence_stats" -> (t32SentenceStats _),
     "a15_hamming_topk" -> (a15HammingTopK _),
     "m7_scene_cuts" -> (m7SceneCuts _),
-    "g9_link_predict" -> (g9LinkPredict _))
+    "g9_link_predict" -> (g9LinkPredict _),
+    "s17_late_data" -> (s17LateData _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4257,5 +4323,6 @@ object ExtensionQueries {
     "t32_sentence_stats" -> t32Sql,
     "a15_hamming_topk" -> a15Sql,
     "m7_scene_cuts" -> m7Sql,
-    "g9_link_predict" -> g9Sql)
+    "g9_link_predict" -> g9Sql,
+    "s17_late_data" -> s17Sql)
 }

@@ -1766,6 +1766,43 @@ object Relational {
       |FROM cnts JOIN b ON cnts.digit = b.digit CROSS JOIN tot
       |ORDER BY cnts.digit""".stripMargin
 
+  /** Pipeline telemetry via `df.observe` (Catalyst `CollectMetrics`):
+    * row counts and control totals are computed ON the pipeline's own
+    * scan — zero extra jobs, zero extra passes — while the query
+    * continues through its filter and aggregation. At 100 TB this is
+    * how you get audit counts (rows in, rows dropped, control sums)
+    * without paying a second corpus read: the metrics ride the
+    * already-running tasks and reduce through the same partial-agg
+    * tree. The gate returns the observed metrics plus the downstream
+    * result cardinality as one row; the oracle recomputes both from
+    * the base table, so a hash match proves the piggybacked metrics
+    * equal a dedicated scan's answer. */
+  def q41Observe(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val downstream = lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val nGroups = downstream.count() // forces the job; metrics collect
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double],
+        m("n_discounted").asInstanceOf[Long], nGroups))
+      .toDF("n_rows", "sum_qty", "n_discounted", "n_groups")
+  }
+
+  val q41Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+      |  (SELECT COUNT(*) FROM (SELECT l_returnflag FROM lineitem
+      |    WHERE l_quantity > 25 GROUP BY l_returnflag)) AS n_groups
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1816,6 +1853,7 @@ object Relational {
     "q38_window_nav" -> (q38WindowNav _),
     "q39_recursive_cte" -> (q39RecursiveCte _),
     "q40_lateral_topn" -> (q40LateralTopN _),
+    "q41_observe_metrics" -> (q41Observe _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -1869,6 +1907,7 @@ object Relational {
     "q38_window_nav" -> q38Sql,
     "q39_recursive_cte" -> q39Sql,
     "q40_lateral_topn" -> q40Sql,
+    "q41_observe_metrics" -> q41Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

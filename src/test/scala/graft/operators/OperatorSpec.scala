@@ -1494,6 +1494,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 observe: piggybacked CollectMetrics equal a dedicated " +
+      "aggregation pass") {
+    val row = graft.queries.Relational.q41Observe(spark, sf).collect()(0)
+    val direct = graft.Tables.lineitem(spark, sf).agg(
+      count(lit(1)),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+      count(when(col("l_discount") > 0.05, 1))).collect()(0)
+    assert(row.getLong(0) == direct.getLong(0))
+    assert(row.getDouble(1) == direct.getDouble(1))
+    assert(row.getLong(2) == direct.getLong(2))
+    val nGroups = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 25)
+      .select(col("l_returnflag")).distinct().count()
+    assert(row.getLong(3) == nGroups)
+  }
+
   test("p11 benford: digit histogram is exact and flags replay; digits " +
       "cover 1-9 on a synthetic corpus") {
     import spark.implicits._

@@ -636,4 +636,25 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
     assert(got == Seq((1, "A", "x <&> y"), (2, "B", "plain")))
   }
+
+  test("s17 late data: the armed watermark drops the day-1 replay — no " +
+      "window before the cutoff, on-time windows intact") {
+    val rows = graft.queries.ExtensionQueries.s17LateData(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    assert(!rows.exists(_.getTimestamp(0).before(cutoff)),
+      "late day-1 windows leaked past the watermark")
+    // on-time slice equals the batch aggregation of ts >= cutoff
+    val batch = graft.Tables.events(spark, sf)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1),
+        r.getLong(2))).toSet
+    val got = rows
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
 }
