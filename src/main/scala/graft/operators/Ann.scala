@@ -324,4 +324,50 @@ object Ann {
       .select(col("qid"), col("rank"), col("id").as("neighbor"),
         round(col("sim"), 4).as("sim"))
   }
+
+  /** Maximum-inner-product search (MIPS) — retrieval by RAW dot product,
+    * the ranking recommender models and learned retrievers actually
+    * train for (cosine's normalization deliberately discards the
+    * magnitude signal; under MIPS a long vector can out-rank a
+    * better-aligned short one, so the two orders genuinely differ).
+    * `queries`: (qid, qvec); `corpus`: (id, vec); excludes self-matches.
+    * Per-pair work is one codegen'd dot fold; per-query top-k through
+    * the qid-partitioned rank window (query-count-sized, never
+    * corpus-wide).
+    *
+    * Scale path: MIPS has no triangle inequality, so cosine/L2 indexes
+    * don't apply DIRECTLY — the standard reduction (Bachrach et al.,
+    * RecSys'14) augments corpus vectors to [x, √(M²−‖x‖²)] (M =
+    * max corpus norm) and queries to [q, 0]: augmented cosine order ==
+    * inner-product order, so every cosine index in this file
+    * (lshTopK/ivfTopK/PQ) becomes a MIPS index unchanged.
+    * [[augmentMips]] builds that embedding; the spec proves order
+    * equivalence on real vectors. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("ip", Vectors.dot(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ip").desc, col("id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("ip"), 4).as("ip"))
+  }
+
+  /** The MIPS→cosine reduction: append √(M²−‖x‖²) to every corpus
+    * vector (`isQuery = false`) and a literal 0 to every query
+    * (`isQuery = true`). With M ≥ max ‖x‖, augmented-cosine ranking
+    * equals inner-product ranking for every query. M is ONE scalar —
+    * computed in a single all-reduce and bound into the plan, never a
+    * per-row join. */
+  def augmentMips(vecs: DataFrame, vecCol: String, m2: Double,
+      isQuery: Boolean): DataFrame = {
+    val v = col(vecCol)
+    val tail =
+      if (isQuery) lit(0.0)
+      else sqrt(lit(m2) - Vectors.dot(v, v))
+    vecs.withColumn(vecCol,
+      concat(transform(v, x => x.cast("double")), array(tail)))
+  }
 }

@@ -279,6 +279,51 @@ object Multimodal {
     sum
   }
 
+  case class ChannelStatsRow(doc_id: Long, channel: Int, n_pixels: Long,
+      c_sum: Long, c_min: Int, c_max: Int)
+
+  /** Per-channel pixel statistics of a 24bpp BMP — the brightness /
+    * color-cast profile an image-curation pipeline screens on (all-black
+    * frames, blown-out scans, single-channel casts). Walks the REAL
+    * pixel array: data offset from the header (byte 10), 4-aligned rows,
+    * padding bytes excluded — so the stats certify the decode geometry,
+    * not a raw byte slice. Channel order is BMP storage order (0=B, 1=G,
+    * 2=R). None for payloads that are not 24bpp BMPs. */
+  def bmpChannelStats(m: Array[Byte]): Option[Seq[ChannelStatsRow]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    if (buf.getShort(28) != 24 || width <= 0 || height <= 0) return None
+    val rowSize = ((3 * width + 3) / 4) * 4
+    if (off < 0 || off > m.length ||
+      rowSize.toLong * height > m.length - off) return None
+    val sums = new Array[Long](3)
+    val mins = Array(255, 255, 255)
+    val maxs = Array(0, 0, 0)
+    var y = 0
+    while (y < height) {
+      val row = off + y * rowSize
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < 3) {
+          val v = m(row + x * 3 + c) & 0xff
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some((0 until 3).map(c =>
+      ChannelStatsRow(0L, c, n, sums(c), mins(c), maxs(c))))
+  }
+
   /** Batch decode over partitions (codec init once per partition). */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._

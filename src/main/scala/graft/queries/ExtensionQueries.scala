@@ -4108,6 +4108,158 @@ object ExtensionQueries {
        |FROM na JOIN deg du ON du.c = na.u JOIN deg dv ON dv.c = na.v
        |ORDER BY na.cn DESC, na.u, na.v LIMIT 25""".stripMargin
 
+  /** Zipf rank–frequency profile: the top-30 corpus tokens with their
+    * rank, exact count, frequency ratio to the top token, and the
+    * rank×count product (constant under an ideal Zipf law — the
+    * one-glance diagnostic for tokenizer health and boilerplate
+    * contamination: a flat head means duplicated template text, a
+    * collapsed tail means over-aggressive normalization). Counts are one
+    * vocab-sized hash agg; the rank window runs on the 30-row top-k
+    * frame, never the vocabulary. */
+  def t33ZipfProfile(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(sp, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("w")).limit(30)
+    val f1 = top.agg(max(col("cnt")).as("__f1"))
+    val w = Window.orderBy(col("cnt").desc, col("w")) // 30-row frame
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(f1))
+      .select(col("rank"), col("w"), col("cnt"),
+        round(col("__f1").cast("double") / col("cnt").cast("double"), 6)
+          .as("ratio_to_top"),
+        (col("rank") * col("cnt")).as("zipf_product"))
+      .orderBy("rank")
+  }
+
+  val t33Sql: String =
+    s"""WITH u AS (SELECT unnest($Toks) AS w FROM documents),
+       |c AS (SELECT w, count(*) AS cnt FROM u GROUP BY w),
+       |t AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 30),
+       |r AS (SELECT w, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM t),
+       |f AS (SELECT MAX(cnt) AS f1 FROM t)
+       |SELECT CAST(rank AS INT) AS rank, w, cnt,
+       |  round(CAST(f1 AS DOUBLE) / CAST(cnt AS DOUBLE), 6)
+       |    AS ratio_to_top,
+       |  CAST(rank * cnt AS BIGINT) AS zipf_product
+       |FROM r, f ORDER BY rank""".stripMargin
+
+  /** Gini concentration of event value per event type — the inequality
+    * screen of a traffic/revenue profile (one whale user vs uniform
+    * spread produce the same SUM; they do not produce the same Gini).
+    * Exact-integer discipline: values integerize to cents
+    * (`round(x*100)`, the shared double→int step), the per-type rank is
+    * a window ordered by the total order (cents, event_id) — tie order
+    * cannot change Σi·xᵢ because tied values commute — and Gini =
+    * (2Σi·xᵢ − (n+1)Σx) / (nΣx) divides two exact BIGINTs in one IEEE
+    * op. The window partitions by event_type: per-group state, the
+    * standard distributed shape (upgrade the sums to DECIMAL(38,0) past
+    * ~10⁹ rows·cents per group). */
+  def p12Gini(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(sp, dir).select(col("event_type"), col("event_id"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    ev.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("i") * col("cents")).as("__sic"))
+      .select(col("event_type"), col("n"), col("sum_cents"),
+        round((lit(2L) * col("__sic") - (col("n") + 1) * col("sum_cents"))
+          .cast("double") /
+          (col("n") * col("sum_cents")).cast("double"), 6).as("gini"))
+      .orderBy("event_type")
+  }
+
+  val p12Sql: String =
+    """WITH t AS (SELECT event_type, event_id,
+      |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT event_type, cents,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS BIGINT) AS i FROM t),
+      |g AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS sum_cents,
+      |    SUM(i * cents) AS sic FROM r GROUP BY event_type)
+      |SELECT event_type, n, CAST(sum_cents AS BIGINT) AS sum_cents,
+      |  round(CAST(2*sic - (n+1)*sum_cents AS DOUBLE) /
+      |        CAST(n*sum_cents AS DOUBLE), 6) AS gini
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** Maximum-inner-product search ([[graft.operators.Ann.mipsTopK]]):
+    * every 50th vector queries the corpus for its top-5 by RAW dot
+    * product — the recommender/two-tower retrieval order, which
+    * genuinely differs from a1's cosine (magnitude carries signal). The
+    * spec proves the norm-augmentation reduction ([[graft.operators
+    * .Ann.augmentMips]]) reproduces this exact ranking through a cosine
+    * index — the 100 TB path. */
+  def a16Mips(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    Ann.mipsTopK(qs, corpus, 5).orderBy("qid", "rank")
+  }
+
+  val a16Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |s AS (SELECT q.qid, e.vec_id AS id,
+       |    ${dotSql("q.qvec", "e.embedding")} AS ip
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |r AS (SELECT qid, id, ip, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY ip DESC, id) AS rank FROM s)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(ip, 4) AS ip
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Per-channel pixel statistics over the REAL BMP pixel array
+    * ([[Multimodal.bmpChannelStats]]): mean/min/max/sum per B/G/R
+    * channel with padding bytes excluded — the brightness and color-cast
+    * screen of an image curation pipeline (all-black scans, blown
+    * highlights, single-channel casts). The oracle recomputes every
+    * channel byte from the blob-fill formula, so a hash match certifies
+    * the decode geometry (data offset, 4-aligned rows, channel order),
+    * not a raw byte slice. */
+  def m8ChannelStats(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap(r => Multimodal.bmpChannelStats(r.media)
+        .getOrElse(Seq.empty)
+        .map(s => (r.doc_id, s.channel, s.n_pixels, s.c_sum,
+          s.c_min, s.c_max)))
+      .toDF("doc_id", "channel", "n_pixels", "c_sum", "c_min", "c_max")
+      .withColumn("c_mean", round(
+        col("c_sum").cast("double") / col("n_pixels").cast("double"), 4))
+      .orderBy("doc_id", "channel")
+  }
+
+  val m8Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |px AS (SELECT p.doc_id, tc.c AS channel,
+       |    ('0x' || substr(p.hx,
+       |      2 * ((ty.y * p.src_row + tx.x * 3 + tc.c) % p.len) + 1,
+       |      2))::BIGINT AS v
+       |  FROM p, range(0, 7) ty(y), range(0, 31) tx(x), range(0, 3) tc(c)
+       |  WHERE ty.y < p.src_h AND tx.x < p.src_w)
+       |SELECT doc_id, CAST(channel AS INT) AS channel,
+       |  COUNT(*) AS n_pixels, CAST(SUM(v) AS BIGINT) AS c_sum,
+       |  CAST(MIN(v) AS INT) AS c_min, CAST(MAX(v) AS INT) AS c_max,
+       |  round(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+       |    AS c_mean
+       |FROM px GROUP BY doc_id, channel
+       |ORDER BY doc_id, channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1Tokens _),
     "t2_text_quality" -> (t2Quality _),
@@ -4215,7 +4367,11 @@ object ExtensionQueries {
     "a15_hamming_topk" -> (a15HammingTopK _),
     "m7_scene_cuts" -> (m7SceneCuts _),
     "g9_link_predict" -> (g9LinkPredict _),
-    "s17_late_data" -> (s17LateData _))
+    "s17_late_data" -> (s17LateData _),
+    "t33_zipf_profile" -> (t33ZipfProfile _),
+    "p12_gini" -> (p12Gini _),
+    "a16_mips" -> (a16Mips _),
+    "m8_channel_stats" -> (m8ChannelStats _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4324,5 +4480,9 @@ object ExtensionQueries {
     "a15_hamming_topk" -> a15Sql,
     "m7_scene_cuts" -> m7Sql,
     "g9_link_predict" -> g9Sql,
-    "s17_late_data" -> s17Sql)
+    "s17_late_data" -> s17Sql,
+    "t33_zipf_profile" -> t33Sql,
+    "p12_gini" -> p12Sql,
+    "a16_mips" -> a16Sql,
+    "m8_channel_stats" -> m8Sql)
 }

@@ -1803,6 +1803,38 @@ object Relational {
       |    WHERE l_quantity > 25 GROUP BY l_returnflag)) AS n_groups
       |FROM lineitem""".stripMargin
 
+  /** Explicit two-phase SALTED aggregation — the skew-mitigation shape
+    * for aggregates whose reduce-side hot key overwhelms one task (q10
+    * is the join-side twin): phase 1 aggregates by (key, salt) so the
+    * hot key's rows split across 16 reducers, phase 2 merges the
+    * partials by key alone. Exactness is free because every partial is
+    * MERGEABLE — counts add, DECIMAL sums add (associative, unlike
+    * doubles), min/min and max/max compose — so the oracle's one-phase
+    * answer matches hash-for-hash. The salt is `l_orderkey % 16`:
+    * deterministic, no RNG, and any salt gives the same answer by
+    * construction. At 100 TB this is the pattern that keeps a
+    * 10%-of-corpus group from serializing on one core. */
+  def q42SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"),
+        (col("l_orderkey") % 16).as("__salt"))
+      .agg(count(lit(1)).as("pc"), sum(dec(col("l_quantity"))).as("ps"),
+        min(dec(col("l_quantity"))).as("pm"),
+        max(dec(col("l_quantity"))).as("px"))
+      .groupBy(col("flag"))
+      .agg(sum(col("pc")).as("n"), asDouble(sum(col("ps"))).as("sum_qty"),
+        asDouble(min(col("pm"))).as("min_qty"),
+        asDouble(max(col("px"))).as("max_qty"))
+      .orderBy("flag")
+  }
+
+  val q42Sql: String =
+    """SELECT l_returnflag AS flag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1854,6 +1886,7 @@ object Relational {
     "q39_recursive_cte" -> (q39RecursiveCte _),
     "q40_lateral_topn" -> (q40LateralTopN _),
     "q41_observe_metrics" -> (q41Observe _),
+    "q42_salted_agg" -> (q42SaltedAgg _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -1908,6 +1941,7 @@ object Relational {
     "q39_recursive_cte" -> q39Sql,
     "q40_lateral_topn" -> q40Sql,
     "q41_observe_metrics" -> q41Sql,
+    "q42_salted_agg" -> q42Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

@@ -539,7 +539,44 @@ object XmlQueries {
       |    AS sum_total
       |FROM orders GROUP BY prio ORDER BY prio""".stripMargin
 
+  /** The XPath expression family (SURVEY §0: the reference's README
+    * explicitly lists "no XPath selectors" as a non-feature — Spark
+    * ships the whole `xpath_*` Catalyst family, so the engine exposes
+    * ad-hoc XPath as a BONUS surface next to the compiled DSL). Same
+    * generated document shape as x3; extraction via xpath_int /
+    * xpath_string / xpath_double / xpath-array instead of the compiled
+    * parser. The oracle recomputes every value from the base columns,
+    * so this also pins the xpath evaluator's text handling against the
+    * builder. At scale the same caveat as any per-row XML evaluation
+    * applies: the document parses once per xpath_* call, so the
+    * compiled-DSL path (x3) stays the production form; this gate is
+    * the ad-hoc/debug surface. */
+  def x13XpathFamily(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val xml = concat(
+      lit("<r><id>"),
+      s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("</id><vals><q_"), col("l_returnflag"), lit(">"),
+      d2s(col("l_quantity")), lit("</q_"), col("l_returnflag"),
+      lit("></vals></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(
+        expr("xpath_int(__xml, '/r/id')").as("id"),
+        expr("xpath_string(__xml, '/r/vals/*[1]')").as("qty_s"),
+        expr("xpath_double(__xml, '/r/vals/*[1]')").as("qty"),
+        expr("size(xpath(__xml, '/r/vals/*/text()'))").as("n_vals"))
+      .orderBy("id")
+  }
+
+  val x13Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS qty_s,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+      |  CAST(1 AS INT) AS n_vals
+      |FROM lineitem ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_xpath_family" -> (x13XpathFamily _),
     "x12_xsd_schema" -> (x12XsdSchema _),
     "x11_xml_write_roundtrip" -> (x11WriteRoundtrip _),
     "x10_xml_malformed" -> (x10MalformedPermissive _),
@@ -554,6 +591,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x13_xpath_family" -> x13Sql,
     "x12_xsd_schema" -> x12Sql,
     "x11_xml_write_roundtrip" -> x11Sql,
     "x10_xml_malformed" -> x10Sql,

@@ -1510,6 +1510,97 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.getLong(3) == nGroups)
   }
 
+  test("a16 MIPS: norm-augmentation reduction reproduces the exact " +
+      "inner-product ranking through cosine") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val mips = Ann.mipsTopK(qs, corpus, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // M^2 = max corpus squared norm (one scalar all-reduce)
+    val m2 = corpus
+      .select(graft.functions.Vectors.dot(col("vec"), col("vec")).as("n2"))
+      .agg(max(col("n2"))).collect()(0).getDouble(0)
+    val viaCosine = Ann.bruteForceTopK(
+        Ann.augmentMips(qs, "qvec", m2, isQuery = true),
+        Ann.augmentMips(corpus, "vec", m2, isQuery = false), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mips == viaCosine && mips.nonEmpty)
+  }
+
+  test("q42 salted agg: equals the one-phase aggregation; the salt " +
+      "phase is visible in the plan") {
+    val salted = graft.queries.Relational.q42SaltedAgg(spark, sf)
+    val got = salted.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val direct = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        min(col("l_quantity").cast("decimal(18,2)")).cast("double"),
+        max(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == direct)
+    // two aggregation phases = two shuffles beyond the final sort
+    assert(collectShuffles(salted.queryExecution.executedPlan).size >= 2)
+  }
+
+  test("p12 gini: zero for uniform values, (n-1)/n for a single " +
+      "concentrated value") {
+    import spark.implicits._
+    def gini(vals: Seq[Long]): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val df = vals.zipWithIndex
+        .map { case (v, i) => ("t", i.toLong, v) }
+        .toDF("event_type", "event_id", "cents")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      df.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("i") * col("cents")).as("sic"))
+        .select(((lit(2L) * col("sic") - (col("n") + 1) * col("s"))
+          .cast("double") / (col("n") * col("s")).cast("double")).as("g"))
+        .collect()(0).getDouble(0)
+    }
+    assert(gini(Seq(100L, 100L, 100L, 100L)) == 0.0)
+    assert(gini(Seq(0L, 0L, 0L, 400L)) == 0.75) // (n-1)/n, n=4
+  }
+
+  test("m8 channel stats: hand-built BMP — padding excluded, channel " +
+      "order B/G/R, exact sums") {
+    // 2x2, fill cycles 0..5: rowSize=8 (2 pad bytes per row)
+    val bmp = Multimodal.buildBmp(2, 2, Array[Byte](0, 1, 2, 3, 4, 5))
+    val stats = Multimodal.bmpChannelStats(bmp).get
+    // row0 bytes: px(0,0)=0,1,2 px(1,0)=3,4,5 pad=0,1; row1 starts at
+    // offset 8 in the cycle -> 2,3,4 / 5,0,1, pad
+    val exp = Map(
+      0 -> ((0L + 3 + 2 + 5), 0, 5), // B: bytes 0,3 / 2,5
+      1 -> ((1L + 4 + 3 + 0), 0, 4), // G: bytes 1,4 / 3,0
+      2 -> ((2L + 5 + 4 + 1), 1, 5)) // R: bytes 2,5 / 4,1
+    stats.foreach { s =>
+      val (sum, mn, mx) = exp(s.channel)
+      assert(s.n_pixels == 4 && s.c_sum == sum &&
+        s.c_min == mn && s.c_max == mx, s"channel ${s.channel}")
+    }
+    // non-BMP payload refuses
+    assert(Multimodal.bmpChannelStats(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("t33 zipf: rank ordering, ratio and product on a crafted corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val counts = docs.select(explode(
+        graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("p11 benford: digit histogram is exact and flags replay; digits " +
       "cover 1-9 on a synthetic corpus") {
     import spark.implicits._
