@@ -4108,6 +4108,64 @@ object ExtensionQueries {
        |FROM na JOIN deg du ON du.c = na.u JOIN deg dv ON dv.c = na.v
        |ORDER BY na.cn DESC, na.u, na.v LIMIT 25""".stripMargin
 
+  /** Stream-stream FULL OUTER join gate ([[graft.streaming.StreamOps
+    * .streamStreamFullOuterJoin]]) — the last cell of the streaming join
+    * matrix (s4 inner, s12 left outer, s14 semi, s16 anti): views and
+    * clicks of the same user within [ts, ts+6h] match; views that never
+    * convert AND clicks with no preceding view each null-extend exactly
+    * once when the watermark proves no match can still arrive. The
+    * oracle replays both emission horizons: unmatched views need both
+    * watermarks past ts+6h (the s12 rule), unmatched clicks only past
+    * their own rts (the `rts >= ts` bound means no future view can
+    * match them) — so the two null wings have DIFFERENT horizons, which
+    * is precisely the semantics this gate pins. */
+  def s18StreamFullOuter(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s18_foj_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val views = side("view")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("view_event"))
+    val clicks = side("click")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"),
+        col("event_id").as("click_event"))
+    val joined = graft.streaming.StreamOps.streamStreamFullOuterJoin(
+      views, clicks, watermark = "1 hour", maxDelay = "6 hours")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(coalesce(col("key"), col("rkey")).as("user_id"),
+        col("view_event"), col("click_event"))
+      .orderBy("user_id", "view_event", "click_event")
+  }
+
+  val s18Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev
+      |  WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts, event_id AS click_event FROM ev
+      |  WHERE event_type = 'click'),
+      |wm AS (SELECT LEAST((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+      |  - INTERVAL 1 HOUR AS horizon)
+      |SELECT v.user_id AS user_id, v.view_event, c.click_event
+      |FROM v JOIN c ON c.user_id = v.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+      |UNION ALL
+      |SELECT v.user_id, v.view_event, NULL
+      |FROM v CROSS JOIN wm
+      |WHERE v.ts + INTERVAL 6 HOUR < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM c
+      |    WHERE c.user_id = v.user_id AND c.ts >= v.ts
+      |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      |UNION ALL
+      |SELECT c.user_id, NULL, c.click_event
+      |FROM c CROSS JOIN wm
+      |WHERE c.ts < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM v
+      |    WHERE v.user_id = c.user_id AND c.ts >= v.ts
+      |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
+      |ORDER BY user_id, view_event, click_event""".stripMargin
+
   /** Zipf rank–frequency profile: the top-30 corpus tokens with their
     * rank, exact count, frequency ratio to the top token, and the
     * rank×count product (constant under an ideal Zipf law — the
@@ -4214,6 +4272,84 @@ object ExtensionQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
        |  round(ip, 4) AS ip
        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** INDEXED MIPS — the a16↔cosine-index reduction run for real: corpus
+    * and queries embed through [[graft.operators.Ann.augmentMips]]
+    * (corpus → [x, √(M²−‖x‖²)], query → [q, 0]; M² is ONE scalar
+    * all-reduce), then the stock cosine IVF ([[Ann.ivfTopK]], every
+    * 100th augmented vector as centroid, nprobe 3) searches the
+    * augmented space — no MIPS-specific index code exists or is needed,
+    * which is the entire point of the reduction. Recall@5 against a16's
+    * exact inner-product truth is the gate: the oracle replays the
+    * augmentation, the cell assignment, the probe choice and the ADC
+    * ranking list-for-list in DuckDB and applies the same floor. */
+  def a17MipsIvf(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val m2 = corpus
+      .agg(max(Vectors.dot(col("vec"), col("vec")))).collect()(0)
+      .getDouble(0)
+    val aCorpus = Ann.augmentMips(corpus, "vec", m2, isQuery = false)
+    val aQueries = Ann.augmentMips(
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qvec", m2, isQuery = true)
+    val cents = aCorpus.filter(col("id") % 100 === 0)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val found = Ann.ivfTopK(aQueries, aCorpus, cents, k = 5, nprobe = 3)
+      .select(col("qid"), col("neighbor"))
+    val truthDir = graft.Tables.scratchDir("graft-a17-truth")
+    a16Mips(sp, dir).select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    truth.join(found, Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"),
+        (col("n_hits").cast("double") / col("n_truth") >= 0.6)
+          .as("recall_ok"))
+  }
+
+  val a17Sql: String = {
+    val dd = dotSql("e.embedding", "e.embedding")
+    s"""WITH m2 AS (SELECT MAX($dd) AS m2 FROM embeddings e),
+       |av AS (SELECT e.vec_id AS id,
+       |    list_append(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+       |      sqrt(m2.m2 - $dd)) AS vec
+       |  FROM embeddings e, m2),
+       |aq AS (SELECT e.vec_id AS qid,
+       |    list_append(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+       |      CAST(0.0 AS DOUBLE)) AS qvec
+       |  FROM embeddings e, m2 WHERE e.vec_id % 50 = 0),
+       |cent AS (SELECT id AS cid, vec AS cvec FROM av WHERE id % 100 = 0),
+       |asg AS (SELECT av.id, av.vec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY av.id
+       |      ORDER BY ${cosSql("av.vec", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM av CROSS JOIN cent c),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |qprob AS (SELECT aq.qid, aq.qvec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY aq.qid
+       |      ORDER BY ${cosSql("aq.qvec", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM aq CROSS JOIN cent c),
+       |probes AS (SELECT qid, qvec, cid FROM qprob WHERE rn <= 3),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |  FROM cells c JOIN probes p ON c.cid = p.cid WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, id) AS rank FROM cand),
+       |found AS (SELECT qid, id AS neighbor FROM r WHERE rank <= 5),
+       |truth AS (SELECT qid, neighbor FROM ($a16Sql)),
+       |h AS (SELECT count(*) AS n_hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM found f
+       |    WHERE f.qid = t.qid AND f.neighbor = t.neighbor)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT h.n_hits, tt.n_truth,
+       |  round(h.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  (h.n_hits::DOUBLE / tt.n_truth >= 0.6) AS recall_ok
+       |FROM h, tt""".stripMargin
+  }
 
   /** Per-channel pixel statistics over the REAL BMP pixel array
     * ([[Multimodal.bmpChannelStats]]): mean/min/max/sum per B/G/R
@@ -4371,7 +4507,9 @@ object ExtensionQueries {
     "t33_zipf_profile" -> (t33ZipfProfile _),
     "p12_gini" -> (p12Gini _),
     "a16_mips" -> (a16Mips _),
-    "m8_channel_stats" -> (m8ChannelStats _))
+    "m8_channel_stats" -> (m8ChannelStats _),
+    "s18_stream_full_outer" -> (s18StreamFullOuter _),
+    "a17_mips_ivf" -> (a17MipsIvf _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4484,5 +4622,7 @@ object ExtensionQueries {
     "t33_zipf_profile" -> t33Sql,
     "p12_gini" -> p12Sql,
     "a16_mips" -> a16Sql,
-    "m8_channel_stats" -> m8Sql)
+    "m8_channel_stats" -> m8Sql,
+    "s18_stream_full_outer" -> s18Sql,
+    "a17_mips_ivf" -> a17Sql)
 }

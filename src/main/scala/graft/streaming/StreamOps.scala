@@ -150,6 +150,25 @@ object StreamOps {
           col("rts") <= col("ts") + expr(s"interval $maxDelay"),
         "left_semi")
 
+  /** Stream-stream FULL OUTER join, same key + event-time bounds as
+    * [[streamStreamJoin]] — completes the join matrix (inner / left
+    * outer / semi / anti / full). Matches emit immediately; an unmatched
+    * LEFT row null-extends once both watermarks pass its match-window
+    * end (ts + maxDelay, the s12 rule); an unmatched RIGHT row
+    * null-extends once the watermark passes its OWN event time — the
+    * condition `rts >= ts` means a right row at rts can only match left
+    * rows with ts ≤ rts, so rts below the watermark is proof no future
+    * match exists. Both sides' state evicts on exactly those bounds, so
+    * memory stays (delay + maxDelay)-windowed on each side. */
+  def streamStreamFullOuterJoin(left: DataFrame, right: DataFrame,
+      watermark: String, maxDelay: String): DataFrame =
+    left.withWatermark("ts", watermark)
+      .join(right.withWatermark("rts", watermark),
+        col("key") === col("rkey") &&
+          col("rts") >= col("ts") &&
+          col("rts") <= col("ts") + expr(s"interval $maxDelay"),
+        "full_outer")
+
   /** Stream-stream LEFT ANTI join, same key + event-time bounds as
     * [[streamStreamJoin]]. Structured Streaming's join surface covers
     * inner/outer/semi but NOT anti, so the correct composition is the

@@ -637,6 +637,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1, "A", "x <&> y"), (2, "B", "plain")))
   }
 
+  test("s18 full outer: inner rows equal the batch join; both null " +
+      "wings emit") {
+    val rows = graft.queries.ExtensionQueries
+      .s18StreamFullOuter(spark, sf).collect()
+    val inner = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("ve"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("ce"))
+    val batchInner = v.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("ts") &&
+        col("cts") <= col("ts") + expr("interval 6 hours"))
+      .select(col("user_id"), col("ve"), col("ce"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inner == batchInner)
+    // full outer's distinguishing feature: BOTH unmatched wings appear
+    assert(rows.exists(r => r.isNullAt(2)), "no unmatched-view wing")
+    assert(rows.exists(r => r.isNullAt(1)), "no unmatched-click wing")
+  }
+
   test("s17 late data: the armed watermark drops the day-1 replay — no " +
       "window before the cutoff, on-time windows intact") {
     val rows = graft.queries.ExtensionQueries.s17LateData(spark, sf)
