@@ -4351,6 +4351,49 @@ object ExtensionQueries {
        |FROM h, tt""".stripMargin
   }
 
+  /** Chi-square independence screen — is event type independent of
+    * day-of-week? The drift test a pipeline runs on categorical
+    * dimensions (a weekday-only event type is a collection artifact).
+    * Pure contingency-table arithmetic: observed counts O, row sums R,
+    * column sums C, total T are exact integers from one hash agg +
+    * two tiny re-aggregations; each cell's contribution
+    * (O·T − R·C)²/(T·R·C) divides two exact BIGINTs in one IEEE op
+    * (the p5/p12 discipline — no float expected-count intermediate).
+    * Output is per-cell so the offending cells are visible, not just
+    * the statistic. (O·T)² needs DECIMAL(38,0) past ~3·10⁹ rows.) */
+  def p13ChiSquare(sp: SparkSession, dir: String): DataFrame = {
+    val obs = events(sp, dir)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rows = obs.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols = obs.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val tot = obs.agg(sum(col("o")).as("t"))
+    obs.join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("o"),
+        round((col("o") * col("t") - col("r") * col("c")).cast("double") *
+          (col("o") * col("t") - col("r") * col("c")).cast("double") /
+          (col("t") * col("r") * col("c")).cast("double"), 8)
+          .as("contrib"))
+      .orderBy("event_type", "dow")
+  }
+
+  val p13Sql: String =
+    """WITH obs AS (SELECT event_type, dayofweek(ts) AS dow,
+      |    COUNT(*) AS o FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+      |c AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY 1),
+      |t AS (SELECT SUM(o) AS t FROM obs)
+      |SELECT obs.event_type, CAST(obs.dow AS INT) AS dow,
+      |  obs.o,
+      |  round(CAST(obs.o*t.t - r.r*c.c AS DOUBLE) *
+      |        CAST(obs.o*t.t - r.r*c.c AS DOUBLE) /
+      |        CAST(t.t*r.r*c.c AS DOUBLE), 8) AS contrib
+      |FROM obs JOIN r USING (event_type) JOIN c USING (dow), t
+      |ORDER BY obs.event_type, obs.dow""".stripMargin
+
   /** Per-channel pixel statistics over the REAL BMP pixel array
     * ([[Multimodal.bmpChannelStats]]): mean/min/max/sum per B/G/R
     * channel with padding bytes excluded — the brightness and color-cast
@@ -4509,7 +4552,8 @@ object ExtensionQueries {
     "a16_mips" -> (a16Mips _),
     "m8_channel_stats" -> (m8ChannelStats _),
     "s18_stream_full_outer" -> (s18StreamFullOuter _),
-    "a17_mips_ivf" -> (a17MipsIvf _))
+    "a17_mips_ivf" -> (a17MipsIvf _),
+    "p13_chi_square" -> (p13ChiSquare _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4624,5 +4668,6 @@ object ExtensionQueries {
     "a16_mips" -> a16Sql,
     "m8_channel_stats" -> m8Sql,
     "s18_stream_full_outer" -> s18Sql,
-    "a17_mips_ivf" -> a17Sql)
+    "a17_mips_ivf" -> a17Sql,
+    "p13_chi_square" -> p13Sql)
 }

@@ -1601,6 +1601,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("p13 chi-square: contributions are zero on an exactly " +
+      "independent contingency table") {
+    import spark.implicits._
+    // 2x2 independent: O = R*C/T exactly for all cells
+    val ev = (Seq.fill(4)(("a", 0)) ++ Seq.fill(4)(("a", 1)) ++
+      Seq.fill(2)(("b", 0)) ++ Seq.fill(2)(("b", 1)))
+      .toDF("event_type", "dow")
+    val obs = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rows = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val cols = obs.groupBy("dow").agg(sum("o").as("c"))
+    val tot = obs.agg(sum("o").as("t"))
+    val contribs = obs.join(rows, "event_type").join(cols, "dow")
+      .crossJoin(tot)
+      .select(((col("o") * col("t") - col("r") * col("c")) *
+        (col("o") * col("t") - col("r") * col("c"))).cast("double")
+        ./((col("t") * col("r") * col("c")).cast("double")).as("x"))
+      .collect().map(_.getDouble(0))
+    assert(contribs.length == 4 && contribs.forall(_ == 0.0))
+  }
+
   test("p11 benford: digit histogram is exact and flags replay; digits " +
       "cover 1-9 on a synthetic corpus") {
     import spark.implicits._
