@@ -491,30 +491,9 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { b =>
         val m = b.media
-        if (!isRiff(m, "WAVE")) Iterator.empty
-        else {
-          // chunk walk: [id(4) size(4) payload(size)] from offset 12
-          var off = 12
-          var dataFrom = -1
-          var dataLen = 0
-          while (off + 8 <= m.length && dataFrom < 0) {
-            val size = (m(off + 4) & 0xff) | ((m(off + 5) & 0xff) << 8) |
-              ((m(off + 6) & 0xff) << 16) | ((m(off + 7) & 0xff) << 24)
-            if (size >= 0 && m(off) == 'd' && m(off + 1) == 'a' &&
-                m(off + 2) == 't' && m(off + 3) == 'a') {
-              dataFrom = off + 8
-              dataLen = math.min(size, m.length - dataFrom) // truncation ok
-            } else if (size < 0 || size > m.length - off - 8) {
-              // corrupt size: stop, no spin. Oversized NON-data chunks
-              // count as corrupt too — nothing can follow them, and the
-              // word-aligned advance `8 + size + (size & 1)` would
-              // overflow Int for sizes near Int.MaxValue, wrapping `off`
-              // negative and crashing the walk instead of skipping
-              off = m.length
-            } else off += 8 + size + (size & 1) // chunks are word-aligned
-          }
-          if (dataFrom < 0) Iterator.empty
-          else {
+        wavDataSlice(m) match {
+          case None => Iterator.empty
+          case Some((dataFrom, dataLen)) =>
             val nSamples = dataLen / 2
             val nWindows = (nSamples + window - 1) / window
             (0 until nWindows).iterator.map { w =>
@@ -530,7 +509,66 @@ object Multimodal {
               }
               EnergyRow(b.doc_id, w, until - from, energy)
             }
-          }
+        }
+      }
+    }
+  }
+
+  /** Locate the `data` chunk of a RIFF WAVE payload: (offset, length),
+    * or None when the container is not WAVE / the chunk is absent /
+    * a size field is corrupt. Shared by [[wavEnergy]] and [[pcmPeaks]]
+    * so both decode EXACTLY the same sample span. */
+  private def wavDataSlice(m: Array[Byte]): Option[(Int, Int)] = {
+    if (!isRiff(m, "WAVE")) return None
+    // chunk walk: [id(4) size(4) payload(size)] from offset 12
+    var off = 12
+    while (off + 8 <= m.length) {
+      val size = (m(off + 4) & 0xff) | ((m(off + 5) & 0xff) << 8) |
+        ((m(off + 6) & 0xff) << 16) | ((m(off + 7) & 0xff) << 24)
+      if (size >= 0 && m(off) == 'd' && m(off + 1) == 'a' &&
+          m(off + 2) == 't' && m(off + 3) == 'a') {
+        val dataFrom = off + 8
+        return Some((dataFrom, math.min(size, m.length - dataFrom)))
+      } else if (size < 0 || size > m.length - off - 8) {
+        // corrupt size: stop, no spin. Oversized NON-data chunks count
+        // as corrupt too — nothing can follow them, and the word-aligned
+        // advance `8 + size + (size & 1)` would overflow Int for sizes
+        // near Int.MaxValue, wrapping `off` negative and crashing the
+        // walk instead of skipping
+        return None
+      } else off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  case class PeakRow(doc_id: Long, peak: Long)
+
+  /** Per-document peak |sample| over the same RIFF-walked 16-bit PCM
+    * decode as [[wavEnergy]] (shared [[wavDataSlice]] walk) — the
+    * normalization numerator. One integer-max pass; docs whose data
+    * chunk is absent or empty emit nothing, matching wavEnergy. */
+  def pcmPeaks(spark: SparkSession, media: DataFrame): Dataset[PeakRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { b =>
+        val m = b.media
+        wavDataSlice(m) match {
+          case None => Iterator.empty
+          case Some((dataFrom, dataLen)) =>
+            val nSamples = dataLen / 2
+            if (nSamples == 0) Iterator.empty
+            else {
+              var peak = 0L
+              var k = 0
+              while (k < nSamples) {
+                val s = ((m(dataFrom + 2 * k) & 0xff) |
+                  (m(dataFrom + 2 * k + 1) << 8)).toShort.toLong
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                k += 1
+              }
+              Iterator.single(PeakRow(b.doc_id, peak))
+            }
         }
       }
     }

@@ -4351,6 +4351,54 @@ object ExtensionQueries {
        |FROM h, tt""".stripMargin
   }
 
+  /** Audio normalization profile ([[Multimodal]] m4 infrastructure):
+    * per-document peak amplitude, RMS level and the linear gain that
+    * would normalize the peak to a -~0.9 FS target (30000/32768) — the
+    * loudness-normalization pass an audio training pipeline runs before
+    * feature extraction. Peak and sum-of-squares are exact integers from
+    * the same RIFF-walked PCM decode m4 gates; RMS and gain are one
+    * sqrt and one division each, IEEE-replayable. Clipping detection
+    * rides along (any |sample| = 32767-floor counts). */
+  def m9WavGain(sp: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 1), frameSize = 100)
+    Multimodal.wavEnergy(sp, media, window = 1000000).toDF()
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_samples")).as("n_samples"),
+        sum(col("energy")).as("ss"))
+      .join(
+        Multimodal.pcmPeaks(sp, media).toDF(), Seq("doc_id"))
+      .select(col("doc_id"), col("n_samples"), col("peak"),
+        round(sqrt(col("ss").cast("double") /
+          col("n_samples").cast("double")), 4).as("rms"),
+        round(lit(30000.0) / col("peak").cast("double"), 6).as("gain"))
+      .orderBy("doc_id")
+  }
+
+  val m9Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx,
+       |    (len - len % ((len % 2 + 1) * 2)) // 2 AS n FROM e),
+       |s AS (SELECT p.doc_id,
+       |    ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |      + 256 * ('0x' || substr(p.hx,
+       |          4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |  FROM p, range(0, 512) k(k) WHERE k.k < p.n),
+       |v AS (SELECT doc_id,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+       |  FROM s),
+       |g AS (SELECT doc_id, COUNT(*) AS n_samples,
+       |    SUM(s16 * s16) AS ss, MAX(ABS(s16)) AS peak
+       |  FROM v GROUP BY doc_id)
+       |SELECT doc_id, n_samples, CAST(peak AS BIGINT) AS peak,
+       |  round(sqrt(CAST(ss AS DOUBLE) / CAST(n_samples AS DOUBLE)), 4)
+       |    AS rms,
+       |  round(30000.0 / CAST(peak AS DOUBLE), 6) AS gain
+       |FROM g WHERE n_samples > 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** Chi-square independence screen — is event type independent of
     * day-of-week? The drift test a pipeline runs on categorical
     * dimensions (a weekday-only event type is a collection artifact).
@@ -4553,7 +4601,8 @@ object ExtensionQueries {
     "m8_channel_stats" -> (m8ChannelStats _),
     "s18_stream_full_outer" -> (s18StreamFullOuter _),
     "a17_mips_ivf" -> (a17MipsIvf _),
-    "p13_chi_square" -> (p13ChiSquare _))
+    "p13_chi_square" -> (p13ChiSquare _),
+    "m9_wav_gain" -> (m9WavGain _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4669,5 +4718,6 @@ object ExtensionQueries {
     "m8_channel_stats" -> m8Sql,
     "s18_stream_full_outer" -> s18Sql,
     "a17_mips_ivf" -> a17Sql,
-    "p13_chi_square" -> p13Sql)
+    "p13_chi_square" -> p13Sql,
+    "m9_wav_gain" -> m9Sql)
 }

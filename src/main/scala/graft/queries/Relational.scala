@@ -1835,6 +1835,41 @@ object Relational {
       |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL front door — the
+    * subquery form users actually write (q7 gates the DataFrame
+    * semi/anti operators; this pins Spark's DECORRELATION of the
+    * correlated predicate subquery into those same joins, the rewrite
+    * that decides whether a 100 TB query runs as one hash semi-join or
+    * a per-row re-execution). Customers with at least one
+    * high-value order and none below the floor — both wings correlated,
+    * each with its own inner predicate that must stay inside the
+    * subquery's scan. */
+  def q43ExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_q43")
+    orders(s, d).createOrReplaceTempView("orders_q43")
+    s.sql("""
+      SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+      FROM customer_q43 c
+      WHERE EXISTS (SELECT 1 FROM orders_q43 o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders_q43 o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice < 1000)
+      ORDER BY c.c_custkey""")
+  }
+
+  val q43Sql: String =
+    """SELECT c.c_custkey, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice < 1000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1887,6 +1922,7 @@ object Relational {
     "q40_lateral_topn" -> (q40LateralTopN _),
     "q41_observe_metrics" -> (q41Observe _),
     "q42_salted_agg" -> (q42SaltedAgg _),
+    "q43_exists_subquery" -> (q43ExistsSubquery _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -1942,6 +1978,7 @@ object Relational {
     "q40_lateral_topn" -> q40Sql,
     "q41_observe_metrics" -> q41Sql,
     "q42_salted_agg" -> q42Sql,
+    "q43_exists_subquery" -> q43Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

@@ -1601,6 +1601,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("pcmPeaks: hand-built WAV — exact peak |sample|, same data walk " +
+      "as wavEnergy") {
+    import spark.implicits._
+    // samples LE: 1000, -3000, 200 (mono 16-bit) -> peak 3000
+    val data = Array[Byte](
+      (1000 & 0xff).toByte, (1000 >> 8).toByte,
+      (-3000 & 0xff).toByte, ((-3000 >> 8) & 0xff).toByte,
+      (200 & 0xff).toByte, (200 >> 8).toByte)
+    val wav = Multimodal.buildWav(8000, 1, data)
+    val media = Seq(Multimodal.MediaRow(7L, wav, "audio/wav", 100)).toDS()
+    val got = Multimodal.pcmPeaks(spark, media.toDF()).collect()
+    assert(got.length == 1 && got(0).doc_id == 7L && got(0).peak == 3000L)
+    // non-WAV payload emits nothing
+    val junk = Seq(Multimodal.MediaRow(8L, Array[Byte](1, 2, 3),
+      "audio/wav", 100)).toDS()
+    assert(Multimodal.pcmPeaks(spark, junk.toDF()).collect().isEmpty)
+  }
+
+  test("q43 EXISTS subquery: decorrelated to semi/anti joins — no " +
+      "nested loop in the plan; equals the DataFrame form") {
+    val df = graft.queries.Relational.q43ExistsSubquery(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val o = graft.Tables.orders(spark, sf)
+    val c = graft.Tables.customer(spark, sf)
+    val hi = o.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    val lo = o.filter(col("o_totalprice") < 1000)
+      .select(col("o_custkey").as("c_custkey"))
+    val exp = c.join(hi, Seq("c_custkey"), "left_semi")
+      .join(lo, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == exp)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("p13 chi-square: contributions are zero on an exactly " +
       "independent contingency table") {
     import spark.implicits._
