@@ -548,11 +548,13 @@ object XmlQueries {
     * parser. The oracle recomputes every value from the base columns,
     * so this also pins the xpath evaluator's text handling against the
     * builder. At scale the same caveat as any per-row XML evaluation
-    * applies: the document parses once per xpath_* call, so the
-    * compiled-DSL path (x3) stays the production form; this gate is
-    * the ad-hoc/debug surface. */
+    * applies — ~40x the compiled path here: each xpath_* call builds a
+    * DTM and re-parses the document (4 calls = 4 parses per row), so
+    * the compiled-DSL path (x3) stays the production form and this
+    * gate samples 1/16 of the rows (the semantics pin needs coverage,
+    * not corpus throughput; x3 carries the full-scan load). */
   def x13XpathFamily(sp: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(sp, dir)
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 0)
     val xml = concat(
       lit("<r><id>"),
       s(col("l_orderkey") * 10 + col("l_linenumber")),
@@ -573,7 +575,7 @@ object XmlQueries {
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS qty_s,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
       |  CAST(1 AS INT) AS n_vals
-      |FROM lineitem ORDER BY id""".stripMargin
+      |FROM lineitem WHERE l_orderkey % 16 = 0 ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_xpath_family" -> (x13XpathFamily _),
