@@ -3990,8 +3990,13 @@ object ExtensionQueries {
     * query and NO corpus-sized window sort exists anywhere. Distances
     * are exact integers; the oracle replays them bit-for-bit. */
   def a15HammingTopK(sp: SparkSession, dir: String): DataFrame = {
-    val sh = documents(sp, dir).select(col("doc_id"),
-      Hashing.simhash64(Text.tokens(col("text"))).as("sh"))
+    // materialize the sketch once: corpus side and query side both read
+    // it (otherwise each branch re-runs the tokenize+md5 sketch scan)
+    val shDir = graft.Tables.scratchDir("graft-a15-sh")
+    documents(sp, dir).select(col("doc_id"),
+        Hashing.simhash64(Text.tokens(col("text"))).as("sh"))
+      .write.mode("overwrite").parquet(shDir)
+    val sh = sp.read.parquet(shDir)
     val q = sh.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("qid"), col("sh").as("qsh"))
     val topk = graft.functions.TopKPairsAgg.topKPairs(5)
