@@ -4356,6 +4356,86 @@ object ExtensionQueries {
        |FROM h, tt""".stripMargin
   }
 
+  /** Readability scoring (Flesch reading ease, the t2/t32 family's
+    * document-difficulty screen): words, sentences and vowel-group
+    * "syllables" are exact integer counts (regexp_count with a pattern
+    * both regex dialects treat identically), and the score
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W) is a fixed double tree over
+    * exact ints — the shared-literal discipline of p11. Pure per-row
+    * work + no corpus-wide state; docs with no sentence or no word are
+    * excluded on both sides. */
+  def t34Readability(sp: SparkSession, dir: String): DataFrame = {
+    val w = Text.tokenCount(col("text")).cast("long")
+    val s0 = size(filter(
+      transform(split(col("text"), "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)).cast("long")
+    val y = regexp_count(col("text"), lit("[aeiouAEIOU]+")).cast("long")
+    documents(sp, dir)
+      .select(col("doc_id"), w.as("n_words"), s0.as("n_sentences"),
+        y.as("n_syll"))
+      .filter(col("n_words") > 0 && col("n_sentences") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syll"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syll").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  val t34Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len($Toks) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(list_transform(
+       |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+       |      x -> length(x) > 0)) AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+       |      AS n_syll
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syll,
+       |  round(206.835
+       |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |    - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 4)
+       |    AS flesch
+       |FROM t WHERE n_words > 0 AND n_sentences > 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** CUSUM change-point detection over the daily order series — the
+    * sequential mean-shift screen (p5 flags outlier DAYS; CUSUM finds
+    * where the LEVEL changed). Division-free centering: with D days and
+    * total S, the cumulative sum of (n_i·D − S) is exact BIGINT and
+    * crosses its extremum at the change point; the reported day is the
+    * |CUSUM| argmax with earliest-day tie-break. One date-domain-sized
+    * window over the daily aggregate — the corpus reduces to D rows
+    * before any ordered state. */
+  def p14Cusum(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders(sp, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = daily.agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(st))
+      .withColumn("cusum", sum(col("n") * col("__d") - col("__s")).over(w))
+      .select(col("day"), col("n"), col("cusum"),
+        abs(col("cusum")).as("abs_cusum"))
+      .orderBy(col("abs_cusum").desc, col("day")).limit(5)
+  }
+
+  val p14Sql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    COUNT(*) AS n FROM orders GROUP BY 1),
+      |st AS (SELECT COUNT(*) AS d, SUM(n) AS s FROM daily),
+      |c AS (SELECT day, n,
+      |    SUM(n * st.d - st.s) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM daily, st)
+      |SELECT day, CAST(n AS BIGINT) AS n, CAST(cusum AS BIGINT) AS cusum,
+      |  CAST(abs(cusum) AS BIGINT) AS abs_cusum
+      |FROM c ORDER BY abs_cusum DESC, day LIMIT 5""".stripMargin
+
   /** Audio normalization profile ([[Multimodal]] m4 infrastructure):
     * per-document peak amplitude, RMS level and the linear gain that
     * would normalize the peak to a -~0.9 FS target (30000/32768) — the
@@ -4607,7 +4687,9 @@ object ExtensionQueries {
     "s18_stream_full_outer" -> (s18StreamFullOuter _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "p13_chi_square" -> (p13ChiSquare _),
-    "m9_wav_gain" -> (m9WavGain _))
+    "m9_wav_gain" -> (m9WavGain _),
+    "t34_readability" -> (t34Readability _),
+    "p14_cusum" -> (p14Cusum _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4724,5 +4806,7 @@ object ExtensionQueries {
     "s18_stream_full_outer" -> s18Sql,
     "a17_mips_ivf" -> a17Sql,
     "p13_chi_square" -> p13Sql,
-    "m9_wav_gain" -> m9Sql)
+    "m9_wav_gain" -> m9Sql,
+    "t34_readability" -> t34Sql,
+    "p14_cusum" -> p14Sql)
 }

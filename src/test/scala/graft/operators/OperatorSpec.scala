@@ -1639,6 +1639,43 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("p14 CUSUM: argmax |cusum| lands on the level-shift boundary of " +
+      "a step series") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 5 days at 10/day then 5 days at 30/day: the shift is after day 5
+    val daily = ((1 to 5).map(d => (d, 10L)) ++
+      (6 to 10).map(d => (d, 30L))).toDF("day", "n")
+    val st = daily.agg(count(lit(1)).as("__d"), sum(col("n")).as("__s"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val top = daily.crossJoin(broadcast(st))
+      .withColumn("cusum", sum(col("n") * col("__d") - col("__s")).over(w))
+      .select(col("day"), abs(col("cusum")).as("a"))
+      .orderBy(col("a").desc, col("day")).limit(1)
+      .collect()(0)
+    // mean*D = 200; days 1-5 each contribute 10*10-200 = -100 -> the
+    // cumulative minimum (|cusum| max = 500) sits exactly at day 5
+    assert(top.getInt(0) == 5 && top.getLong(1) == 500L)
+  }
+
+  test("t34 readability: hand-counted words/sentences/vowel groups on " +
+      "a crafted doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat. on a mat!")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t34_doc")
+    val r = docs.select(
+      graft.functions.Text.tokenCount(col("text")).cast("long").as("w"),
+      size(filter(transform(split(col("text"), "[.!?]+"), x => trim(x)),
+        x => length(x) > 0)).cast("long").as("s"),
+      regexp_count(col("text"), lit("[aeiouAEIOU]+")).cast("long").as("y"))
+      .collect()(0)
+    // tokens: the cat sat. on a mat! -> whitespace split = 6
+    // sentences: "the cat sat" / "on a mat" = 2
+    // vowel groups: e,a,a,o,a,a = 6
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 2L, 6L)))
+  }
+
   test("p13 chi-square: contributions are zero on an exactly " +
       "independent contingency table") {
     import spark.implicits._
