@@ -1870,6 +1870,44 @@ object Relational {
       |                    AND o.o_totalprice < 1000)
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** RANGE-interval window frame — trailing 7-day revenue per day: the
+    * frame is VALUE-based (`RANGE INTERVAL 6 DAYS PRECEDING`), so gaps
+    * in the date series shrink the window — semantics a ROWS frame (q4)
+    * cannot express. The corpus pre-aggregates to the date-domain-sized
+    * daily table BEFORE the window, so the ordered state is |days| rows
+    * regardless of corpus size; revenue stays DECIMAL inside the frame
+    * sum and casts to double once. */
+  def q44RangeFrame(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q44")
+    s.sql("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders_q44 GROUP BY 1)
+      SELECT day, n,
+        CAST(SUM(rev) OVER (ORDER BY day
+          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS rev_7d,
+        CAST(COUNT(*) OVER (ORDER BY day
+          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+          AS INT) AS days_in_window
+      FROM daily ORDER BY day""")
+  }
+
+  val q44Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n,
+      |  CAST(SUM(rev) OVER (ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS rev_7d,
+      |  CAST(COUNT(*) OVER (ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+      |    AS INT) AS days_in_window
+      |FROM daily ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1923,6 +1961,7 @@ object Relational {
     "q41_observe_metrics" -> (q41Observe _),
     "q42_salted_agg" -> (q42SaltedAgg _),
     "q43_exists_subquery" -> (q43ExistsSubquery _),
+    "q44_range_frame" -> (q44RangeFrame _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -1979,6 +2018,7 @@ object Relational {
     "q41_observe_metrics" -> q41Sql,
     "q42_salted_agg" -> q42Sql,
     "q43_exists_subquery" -> q43Sql,
+    "q44_range_frame" -> q44Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

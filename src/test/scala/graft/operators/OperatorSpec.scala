@@ -1639,6 +1639,25 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q44 range frame: a gap in the date series shrinks the window " +
+      "(value-based, not row-based)") {
+    import spark.implicits._
+    // days 1,2,3 then a jump to day 20: the trailing-7-day frame at day
+    // 20 contains ONLY day 20 (a ROWS 6-preceding frame would not)
+    val days = Seq(("2024-01-01", 10), ("2024-01-02", 20),
+      ("2024-01-03", 30), ("2024-01-20", 40))
+      .toDF("d", "v")
+      .select(col("d").cast("date").as("day"), col("v"))
+    days.createOrReplaceTempView("q44_gap")
+    val got = spark.sql("""
+      SELECT day, SUM(v) OVER (ORDER BY day
+        RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS s
+      FROM q44_gap ORDER BY day""")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == Map("2024-01-01" -> 10L, "2024-01-02" -> 30L,
+      "2024-01-03" -> 60L, "2024-01-20" -> 40L))
+  }
+
   test("p14 CUSUM: argmax |cusum| lands on the level-shift boundary of " +
       "a step series") {
     import spark.implicits._
