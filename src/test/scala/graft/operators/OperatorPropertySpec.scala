@@ -473,4 +473,53 @@ class OperatorPropertySpec extends AnyFunSuite {
     }.sortBy { case (d, s) => (-s, d) }
     assert(got == want)
   }
+
+  test("mipsTopK on random vectors: equals in-memory brute force AND " +
+      "the norm-augmented cosine ranking") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(6, Gen.chooseNum(-5.0, 5.0))
+    val vecs = samples(vecGen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val corpus = vecs.toDF("id", "vec")
+    val queries = vecs.take(5)
+      .map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val got = Ann.mipsTopK(queries, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // in-memory reference: exact double dot in element order
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble }
+    val exp = (for ((qi, qv) <- vecs.take(5)) yield {
+      vecs.filter(_._1 != qi)
+        .map { case (i, v) => (i, dot(qv, v)) }
+        .sortBy { case (i, ip) => (-ip, i) }.take(3).zipWithIndex
+        .map { case ((i, _), r) => (qi, r + 1, i) }
+    }).flatten.toSet
+    assert(got == exp)
+    // augmentation reduction: cosine order over [x, sqrt(M2-|x|2)]
+    val m2 = vecs.map { case (_, v) => dot(v, v) }.max
+    val viaCos = Ann.bruteForceTopK(
+        Ann.augmentMips(queries, "qvec", m2, isQuery = true),
+        Ann.augmentMips(corpus, "vec", m2, isQuery = false), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaCos == exp)
+  }
+
+  test("pcmPeaks == sqrt of the max single-sample wavEnergy window on " +
+      "random PCM payloads") {
+    import spark.implicits._
+    val byteGen = Gen.listOfN(40, Gen.chooseNum(-128, 127).map(_.toByte))
+    val media = samples(byteGen, 20).zipWithIndex.map { case (bs, i) =>
+      Multimodal.MediaRow(i.toLong, Multimodal.buildWav(8000, 1,
+        bs.toArray), "audio/wav", 100)
+    }.toDS().toDF()
+    val peaks = Multimodal.pcmPeaks(spark, media)
+      .collect().map(p => p.doc_id -> p.peak).toMap
+    // window=1 energies are per-sample squares: peak^2 == max energy
+    val maxE = Multimodal.wavEnergy(spark, media, window = 1)
+      .collect().groupBy(_.doc_id)
+      .map { case (d, rs) => d -> rs.map(_.energy).max }
+    assert(peaks.keySet == maxE.keySet && peaks.nonEmpty)
+    peaks.foreach { case (d, p) => assert(p * p == maxE(d), s"doc $d") }
+  }
 }
