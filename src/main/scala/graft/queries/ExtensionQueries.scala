@@ -4356,6 +4356,61 @@ object ExtensionQueries {
        |FROM h, tt""".stripMargin
   }
 
+  /** Median absolute deviation per event type — the ROBUST spread
+    * statistic (p5's z-scores break on heavy tails; MAD doesn't): two
+    * exact interpolated percentiles (the q11 `percentile` ↔
+    * `quantile_cont` parity), with the per-group median broadcast back
+    * over the scan for the deviation pass. Two scans + two group aggs,
+    * no window; the broadcast is |event types| rows. */
+  def p15Mad(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("dev"))
+      .groupBy(col("event_type"))
+      .agg(round(min(col("med")), 4).as("median"),
+        round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val p15Sql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type, med.med, abs(e.value - med.med) AS dev
+      |  FROM events e JOIN med USING (event_type))
+      |SELECT event_type, round(MIN(med), 4) AS median,
+      |  round(quantile_cont(dev, 0.5), 4) AS mad
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Keyword-in-context (KWIC) snippet extraction — the search-preview /
+    * concordance primitive (t23's positional index finds WHERE; this
+    * materializes the reading context): for every document containing
+    * the term, a fixed 60-char window centered on the FIRST occurrence,
+    * built from 1-based locate + clamped substring — string functions
+    * both engines define identically, so snippets hash bit-for-bit.
+    * Pure per-row scan work; the pushed-down `contains` filter prunes
+    * non-matching documents before any string surgery. */
+  def t35Kwic(sp: SparkSession, dir: String): DataFrame = {
+    val term = "filter"
+    documents(sp, dir)
+      .filter(col("text").contains(term))
+      .select(col("doc_id"), locate(term, col("text")).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(greatest(lit(1), col("pos") - 27), lit(60))
+          .as("snippet"))
+      .orderBy("doc_id")
+  }
+
+  val t35Sql: String =
+    """SELECT doc_id, CAST(strpos(text, 'filter') AS INT) AS pos,
+      |  substring(text, greatest(1, strpos(text, 'filter') - 27), 60)
+      |    AS snippet
+      |FROM documents WHERE contains(text, 'filter')
+      |ORDER BY doc_id""".stripMargin
+
   /** Readability scoring (Flesch reading ease, the t2/t32 family's
     * document-difficulty screen): words, sentences and vowel-group
     * "syllables" are exact integer counts (regexp_count with a pattern
@@ -4689,7 +4744,9 @@ object ExtensionQueries {
     "p13_chi_square" -> (p13ChiSquare _),
     "m9_wav_gain" -> (m9WavGain _),
     "t34_readability" -> (t34Readability _),
-    "p14_cusum" -> (p14Cusum _))
+    "p14_cusum" -> (p14Cusum _),
+    "t35_kwic" -> (t35Kwic _),
+    "p15_mad" -> (p15Mad _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -4808,5 +4865,7 @@ object ExtensionQueries {
     "p13_chi_square" -> p13Sql,
     "m9_wav_gain" -> m9Sql,
     "t34_readability" -> t34Sql,
-    "p14_cusum" -> p14Sql)
+    "p14_cusum" -> p14Sql,
+    "t35_kwic" -> t35Sql,
+    "p15_mad" -> p15Sql)
 }

@@ -1908,6 +1908,37 @@ object Relational {
       |    AS INT) AS days_in_window
       |FROM daily ORDER BY day""".stripMargin
 
+  /** Correlated SCALAR subqueries in the SELECT list — per-customer
+    * order count and total via `(SELECT agg ...)`, the third
+    * decorrelation face after q40's LATERAL and q43's EXISTS: Spark
+    * rewrites each scalar subquery into a left outer join against the
+    * pre-aggregated orders (group once, join once), so the 100 TB plan
+    * is two hash joins, not a per-customer re-scan. The COUNT wing must
+    * produce 0 (not NULL) for order-less customers and the SUM wing
+    * NULL→0 through COALESCE — exactly the null semantics the oracle
+    * pins. */
+  def q45ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_q45")
+    orders(s, d).createOrReplaceTempView("orders_q45")
+    s.sql("""
+      SELECT c.c_custkey,
+        (SELECT count(*) FROM orders_q45 o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+              FROM orders_q45 o
+              WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS total
+      FROM customer_q45 c ORDER BY c.c_custkey""")
+  }
+
+  val q45Sql: String =
+    """SELECT c.c_custkey,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  CAST((SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+      |        FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS total
+      |FROM customer c ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1962,6 +1993,7 @@ object Relational {
     "q42_salted_agg" -> (q42SaltedAgg _),
     "q43_exists_subquery" -> (q43ExistsSubquery _),
     "q44_range_frame" -> (q44RangeFrame _),
+    "q45_scalar_subquery" -> (q45ScalarSubquery _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -2019,6 +2051,7 @@ object Relational {
     "q42_salted_agg" -> q42Sql,
     "q43_exists_subquery" -> q43Sql,
     "q44_range_frame" -> q44Sql,
+    "q45_scalar_subquery" -> q45Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

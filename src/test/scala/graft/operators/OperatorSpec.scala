@@ -1639,6 +1639,78 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q45 scalar subquery: equals the join+agg form; order-less " +
+      "customers get 0 not NULL") {
+    val got = graft.queries.Relational.q45ScalarSubquery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byKey = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    val agg = graft.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val custs = graft.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    custs.foreach { k =>
+      assert(byKey(k) == agg.getOrElse(k, (0L, 0.0)), s"custkey $k")
+    }
+    // 0-not-NULL wing on a crafted pair (every sf0.001 customer has
+    // orders, so the fixture can't exercise it)
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("ck", "nm")
+      .createOrReplaceTempView("q45_c")
+    Seq((1L, 5.0)).toDF("ok", "amt").createOrReplaceTempView("q45_o")
+    val crafted = spark.sql("""
+      SELECT ck, (SELECT count(*) FROM q45_o WHERE ok = ck) AS n,
+        (SELECT coalesce(sum(amt), 0.0) FROM q45_o WHERE ok = ck) AS t
+      FROM q45_c ORDER BY ck""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(crafted == Seq((1L, 1L, 5.0), (2L, 0L, 0.0)))
+  }
+
+  test("t35 KWIC: snippet window centers on the first hit and clamps " +
+      "at the left edge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "filter starts this document and goes on for a while longer"),
+      (2L, "a doc where somewhere in the middle a filter term appears " +
+        "and text continues after it for quite some time"))
+      .toDF("doc_id", "text")
+    val got = docs.filter(col("text").contains("filter"))
+      .select(col("doc_id"), locate("filter", col("text")).as("pos"),
+        col("text"))
+      .withColumn("snippet", col("text")
+        .substr(greatest(lit(1), col("pos") - 27), lit(60)))
+      .select(col("doc_id"), col("pos"), col("snippet"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(got(1L)._1 == 1)
+    assert(got(1L)._2.startsWith("filter starts")) // clamped to 1
+    val (p2, s2) = got(2L)
+    assert(p2 == 39)
+    assert(s2.length == 60 && s2.contains("filter"))
+    // centered: the hit sits 27 chars into the unclamped window
+    assert(s2.indexOf("filter") == 27)
+  }
+
+  test("p15 MAD: hand-computed median and deviation median on a small " +
+      "group") {
+    import spark.implicits._
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0))
+      .toDF("event_type", "value")
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val r = ev.join(broadcast(med), "event_type")
+      .select(col("med"), abs(col("value") - col("med")).as("dev"))
+      .groupBy(col("med"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+      .collect()(0)
+    // median of 1,2,3,10 = 2.5; devs 1.5,0.5,0.5,7.5 -> median 1.0
+    assert(r.getDouble(0) == 2.5 && r.getDouble(1) == 1.0)
+  }
+
   test("q44 range frame: a gap in the date series shrinks the window " +
       "(value-based, not row-based)") {
     import spark.implicits._
