@@ -1939,6 +1939,39 @@ object Relational {
       |        WHERE o.o_custkey = c.c_custkey) AS DOUBLE) AS total
       |FROM customer c ORDER BY c.c_custkey""".stripMargin
 
+  /** Null-safe equality join (`<=>` ↔ `IS NOT DISTINCT FROM`): NULL
+    * keys MATCH each other instead of vanishing — the semantics CDC and
+    * dedup joins need when the business key is nullable (a plain `=`
+    * silently drops every NULL-keyed row from both sides). Nullable
+    * keys are derived with nullif so the gate exercises real NULL↔NULL
+    * matches; both engines hash NULL as an ordinary key value here, so
+    * the join stays a hash join, not a nested loop. */
+  def q46NullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(
+      nullif(col("c_nationkey") % 5, lit(0)).as("k"),
+      col("c_custkey"))
+    val n = nation(s, d).select(
+      nullif(col("n_nationkey") % 5, lit(0)).as("k"),
+      col("n_nationkey"))
+    c.join(n, c("k") <=> n("k"))
+      .groupBy(c("k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(col("n_nationkey")).as("n_nat"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val q46Sql: String =
+    """WITH c AS (SELECT nullif(c_nationkey % 5, 0) AS k, c_custkey
+      |  FROM customer),
+      |n AS (SELECT nullif(n_nationkey % 5, 0) AS k, n_nationkey
+      |  FROM nation)
+      |SELECT c.k, count(*) AS n_pairs,
+      |  count(DISTINCT c.c_custkey) AS n_cust,
+      |  count(DISTINCT n.n_nationkey) AS n_nat
+      |FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
+      |GROUP BY c.k ORDER BY c.k NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -1994,6 +2027,7 @@ object Relational {
     "q43_exists_subquery" -> (q43ExistsSubquery _),
     "q44_range_frame" -> (q44RangeFrame _),
     "q45_scalar_subquery" -> (q45ScalarSubquery _),
+    "q46_null_safe_join" -> (q46NullSafeJoin _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -2052,6 +2086,7 @@ object Relational {
     "q43_exists_subquery" -> q43Sql,
     "q44_range_frame" -> q44Sql,
     "q45_scalar_subquery" -> q45Sql,
+    "q46_null_safe_join" -> q46Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

@@ -1639,6 +1639,21 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q46 null-safe join: NULL keys match NULL keys; plain equality " +
+      "drops them") {
+    import spark.implicits._
+    val a = Seq(Some(1), None, Some(2)).toDF("k")
+    val b = Seq(Some(1), None, None).toDF("kb")
+    val nullSafe = a.join(b, a("k") <=> b("kb")).count()
+    val plain = a.join(b, a("k") === b("kb")).count()
+    assert(nullSafe == 3L) // 1<->1 plus NULL matching two NULLs
+    assert(plain == 1L)
+    // the gate's NULL group aggregates the null-keyed cross matches
+    val rows = graft.queries.Relational.q46NullSafeJoin(spark, sf)
+      .collect()
+    assert(rows.exists(_.isNullAt(0)), "no NULL-key group in the gate")
+  }
+
   test("q45 scalar subquery: equals the join+agg form; order-less " +
       "customers get 0 not NULL") {
     val got = graft.queries.Relational.q45ScalarSubquery(spark, sf)
