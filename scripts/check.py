@@ -28,8 +28,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def h(df: pd.DataFrame) -> str:
-    return hashlib.sha256(
-        df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+    # No float_format: the driver hashes default-rendered values, so an
+    # int64 Spark column vs a float64 oracle column (e.g. DuckDB promoting
+    # SUM(BIGINT) to HUGEINT -> float64 in pandas) must FAIL here too
+    # (1521743 vs 1521743.0). Keep local red == driver red.
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -65,6 +68,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             print(f"  ✗ {name}: schema={ok_schema} rows={ok_rows}"
                   f" ({len(spark_df)} vs {len(duck_df)})")
+            if ok_schema and list(spark_df.dtypes) != list(duck_df.dtypes):
+                dt = [(c, str(a), str(b)) for c, a, b in
+                      zip(spark_df.columns, spark_df.dtypes, duck_df.dtypes)
+                      if str(a) != str(b)]
+                print(f"    dtype mismatch (spark vs duck): {dt}")
             if ok_schema and ok_rows:
                 neq = (spark_df.astype(str) != duck_df.astype(str)).any(axis=1)
                 print("    spark:", spark_df[neq].head(3).to_dict("records"))

@@ -2541,7 +2541,7 @@ object ExtensionQueries {
        |seg AS (SELECT doc_id, grp, count(*) AS len
        |  FROM act GROUP BY doc_id, grp)
        |SELECT doc_id, count(*) AS n_segments, max(len) AS max_seg_len,
-       |  sum(len) AS n_active
+       |  CAST(sum(len) AS BIGINT) AS n_active
        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
@@ -3221,13 +3221,13 @@ object ExtensionQueries {
       |nodes AS (SELECT DISTINCT src AS id FROM edges
       |          UNION SELECT DISTINCT dst FROM edges),
       |c0 AS (SELECT id, CAST(1000000 AS BIGINT) AS cr FROM nodes),
-      |c1 AS (SELECT n.id, 150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      |c1 AS (SELECT n.id, CAST(150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS BIGINT) AS cr
       |       FROM nodes n LEFT JOIN e ON e.dst = n.id
       |       LEFT JOIN c0 c ON c.id = e.src GROUP BY n.id),
-      |c2 AS (SELECT n.id, 150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      |c2 AS (SELECT n.id, CAST(150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS BIGINT) AS cr
       |       FROM nodes n LEFT JOIN e ON e.dst = n.id
       |       LEFT JOIN c1 c ON c.id = e.src GROUP BY n.id),
-      |c3 AS (SELECT n.id, 150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      |c3 AS (SELECT n.id, CAST(150000 + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS BIGINT) AS cr
       |       FROM nodes n LEFT JOIN e ON e.dst = n.id
       |       LEFT JOIN c2 c ON c.id = e.src GROUP BY n.id)
       |SELECT id, cr FROM c3 ORDER BY cr DESC, id LIMIT 25""".stripMargin
@@ -3585,8 +3585,8 @@ object ExtensionQueries {
       s"""${out}r AS (SELECT n.id, COALESCE(SUM(p.$pv), 0) AS $v
          |  FROM nodes n LEFT JOIN de ON de.$groupOn = n.id
          |  LEFT JOIN $in p ON p.id = de.$joinOn GROUP BY n.id),
-         |$out AS (SELECT id, $v * 1000000 //
-         |  greatest((SELECT MAX($v) FROM ${out}r), 1) AS $v
+         |$out AS (SELECT id, CAST($v * 1000000 //
+         |  greatest((SELECT MAX($v) FROM ${out}r), 1) AS BIGINT) AS $v
          |  FROM ${out}r)""".stripMargin
     s"""WITH $linkEdgesSql,
        |de AS (SELECT DISTINCT src, dst FROM edges),
@@ -3677,7 +3677,8 @@ object ExtensionQueries {
       |    count(*) FILTER (event_type = 'click') AS c1,
       |    count(*) FILTER (event_type <> 'click') AS c2
       |  FROM events GROUP BY value),
-      |tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM cells),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2 FROM cells),
       |cum AS (SELECT v,
       |    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
       |    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2
@@ -3767,7 +3768,7 @@ object ExtensionQueries {
 
   val g8Sql: String = {
     def round(prev: String, cur: String): String =
-      s"""$cur AS (SELECT n.id, n.t + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS cr
+      s"""$cur AS (SELECT n.id, CAST(n.t + COALESCE(SUM((c.cr * 85) // (100 * e.d)), 0) AS BIGINT) AS cr
          |  FROM nodes n LEFT JOIN e ON e.dst = n.id
          |  LEFT JOIN $prev c ON c.id = e.src GROUP BY n.id, n.t)""".stripMargin
     s"""WITH $linkEdgesSql,
