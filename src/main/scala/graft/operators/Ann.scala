@@ -332,8 +332,13 @@ object Ann {
     * better-aligned short one, so the two orders genuinely differ).
     * `queries`: (qid, qvec); `corpus`: (id, vec); excludes self-matches.
     * Per-pair work is one codegen'd dot fold; per-query top-k through
-    * the qid-partitioned rank window (query-count-sized, never
-    * corpus-wide).
+    * the k-capped [[graft.functions.TopKPairsAgg]] with the score
+    * encoded as an order-reversed sortable long
+    * ([[graft.functions.DoubleKeyExprs.doubleDescKey]], exact and
+    * invertible) — map-side partial top-k, so the shuffle carries ≤ k
+    * pairs per (partition, query) and NO corpus-sized window sort
+    * exists anywhere (a rank window here would sort |corpus| rows
+    * inside every query partition).
     *
     * Scale path: MIPS has no triangle inequality, so cosine/L2 indexes
     * don't apply DIRECTLY — the standard reduction (Bachrach et al.,
@@ -344,15 +349,18 @@ object Ann {
     * [[augmentMips]] builds that embedding; the spec proves order
     * equivalence on real vectors. */
   def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    import graft.functions.DoubleKeyExprs.{doubleDescKey, doubleFromDescKey}
+    val topk = graft.functions.TopKPairsAgg.topKPairs(k)
+    corpus.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("id"))
-      .withColumn("ip", Vectors.dot(col("qvec"), col("vec")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("ip").desc, col("id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id").as("neighbor"),
-        round(col("ip"), 4).as("ip"))
+      .select(col("qid"), col("id"),
+        doubleDescKey(Vectors.dot(col("qvec"), col("vec"))).as("__key"))
+      .groupBy(col("qid"))
+      .agg(topk(col("__key"), col("id")).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("qid"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e._2").as("neighbor"),
+        round(doubleFromDescKey(col("__e._1")), 4).as("ip"))
   }
 
   /** The MIPS→cosine reduction: append √(M²−‖x‖²) to every corpus
@@ -364,9 +372,14 @@ object Ann {
   def augmentMips(vecs: DataFrame, vecCol: String, m2: Double,
       isQuery: Boolean): DataFrame = {
     val v = col(vecCol)
+    // Clamp the radicand at 0: if a caller passes an m2 below the true max
+    // squared norm (stale scalar, wrong corpus), sqrt of a negative would
+    // NaN-tail the vector and silently corrupt the augmented-cosine
+    // ranking. Clamped, a violating vector degrades to tail 0 (ranked by
+    // raw dot among violators) instead of poisoning every comparison.
     val tail =
       if (isQuery) lit(0.0)
-      else sqrt(lit(m2) - Vectors.dot(v, v))
+      else sqrt(greatest(lit(0.0), lit(m2) - Vectors.dot(v, v)))
     vecs.withColumn(vecCol,
       concat(transform(v, x => x.cast("double")), array(tail)))
   }

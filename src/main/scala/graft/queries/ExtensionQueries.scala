@@ -3854,7 +3854,12 @@ object ExtensionQueries {
       val dst = new java.io.File(inDir, s"$name.parquet")
       java.nio.file.Files.copy(part.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.setLastModified(mtime)
+      // fail fast if the filesystem rejects mtime updates: the gate's
+      // three-file micro-batch ordering depends on them, and a silent
+      // rejection degenerates into a nondeterministic late-data drop
+      require(dst.setLastModified(mtime),
+        s"setLastModified failed for $dst — filesystem does not support " +
+          "mtime updates; s17's micro-batch ordering would be undefined")
     }
     val now = System.currentTimeMillis()
     writeOne(ev.filter(col("ts") >= day2End), "a-ontime", now - 120000)

@@ -505,6 +505,32 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(viaCos == exp)
   }
 
+  test("doubleDescKey: exact roundtrip and strict order reversal on " +
+      "random doubles including zeros, denormals and infinities") {
+    import spark.implicits._
+    import graft.functions.DoubleKeyExprs.{doubleDescKey, doubleFromDescKey}
+    val edge = Seq(0.0, -0.0, Double.MinPositiveValue,
+      -Double.MinPositiveValue, Double.MaxValue, Double.MinValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, 1.0, -1.0)
+    val rand = samples(Gen.chooseNum(-1e12, 1e12), 200)
+    val vals = (edge ++ rand).distinct.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val got = vals.toDF("i", "v")
+      .select(col("i"), col("v"), doubleDescKey(col("v")).as("k"))
+      .withColumn("back", doubleFromDescKey(col("k")))
+      .collect().map(r => (r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    got.foreach { case (v, _, back) =>
+      // roundtrip is bit-exact except -0.0, which normalizes to 0.0
+      if (v == 0.0) assert(back == 0.0)
+      else assert(java.lang.Double.doubleToLongBits(back) ==
+        java.lang.Double.doubleToLongBits(v), s"roundtrip $v -> $back")
+    }
+    // ascending key order == descending double order (zeros tie)
+    val byKey = got.sortBy(_._2).map(_._1).toSeq
+    val byDesc = got.map(_._1).sortBy(v => -v).toSeq
+    assert(byKey.zip(byDesc).forall { case (a, b) => a == b })
+  }
+
   test("pcmPeaks == sqrt of the max single-sample wavEnergy window on " +
       "random PCM payloads") {
     import spark.implicits._
