@@ -496,10 +496,23 @@ object Dedup {
     * shuffle is the self-join's hash partition on cid.
     *
     * `corpus`: (id, vec); `centroids`: (cid, cvec) — refined or not.
-    * Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4. */
+    * Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 4.
+    *
+    * `maxCell` mirrors the LSH families' `maxBucket`: a cell holding more
+    * than `maxCell` docs is dropped from pairing entirely. A degenerate
+    * clustering (too few centroids, or a mode-collapsed embedding space
+    * dumping half the corpus into one Voronoi region) would otherwise
+    * quadratic-blow that cell — |cell|² pairs through one shuffle
+    * partition. Capped, the worst cell costs maxCell² and the fix is the
+    * documented knob (scale the centroid count), not an OOM postmortem. */
   def semanticNearDupPairs(corpus: DataFrame, centroids: DataFrame,
-      threshold: Double): DataFrame = {
-    val cells = Ann.ivfIndex(corpus, centroids)
+      threshold: Double, maxCell: Long = Long.MaxValue): DataFrame = {
+    val cells0 = Ann.ivfIndex(corpus, centroids)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    val cells =
+      if (maxCell == Long.MaxValue) cells0
+      else cells0.withColumn("__cc", count(lit(1)).over(cw))
+        .filter(col("__cc") <= maxCell).drop("__cc")
     val l = cells.as("l")
     val r = cells.as("r")
     l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))

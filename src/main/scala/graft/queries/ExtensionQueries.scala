@@ -2141,6 +2141,64 @@ object ExtensionQueries {
        |  round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** FILTERED vector search — the retrieval shape every production vector
+    * store exposes (metadata predicate + ANN: "nearest among lang='en'
+    * docs"). Two deliberate design points, both scale decisions:
+    * (1) PRE-FILTER, not post-filter: at ~44% selectivity, probing cells
+    * first and filtering candidates after would silently lose recall
+    * (filtered-away candidates still occupy the shortlist); filtering the
+    * corpus BEFORE the cell join searches only survivors, and IVF
+    * assignment being per-row independent means the filtered index is
+    * exactly the filtered rows of the full index — nothing recomputes.
+    * (2) The centroid set is trained on (strided from) the FULL corpus
+    * and shared across every filter — one frozen index serves all
+    * predicates, the a12 maintenance property applied to filtering.
+    * The metadata dimension (documents.lang) semi-joins the embedding
+    * corpus on vec_id = doc_id; the dim side may broadcast (it is
+    * key+predicate only — correct at 100 TB), while the probe join stays
+    * a shuffle hash equi-join on cid (spec-asserted). Exact-replayable
+    * top-3, so the oracle hash-matches; a5/a10 carry the recall
+    * contracts. */
+  def a18FilteredIvf(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val enDocs = documents(sp, dir).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    val corpus = e.join(enDocs, col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopKJoin(qs, corpus, cents, k = 3, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  val a18Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |        FROM embeddings e CROSS JOIN cent c
+       |        WHERE EXISTS (SELECT 1 FROM en WHERE en.doc_id = e.vec_id)),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT qid, qvec, cid FROM (
+       |  SELECT e.vec_id AS qid, e.embedding AS qvec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 50 = 0)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** IVF with seeded k-means refinement (2 Lloyd iterations over the stride
     * sample), then the same nprobe search as a3. The oracle unrolls both
     * iterations in SQL — possible because the refinement rounds each
@@ -4177,6 +4235,151 @@ object ExtensionQueries {
       |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event, click_event""".stripMargin
 
+  /** MESSAGE-BUS streaming XML entry (SURVEY §7.1 item 4's missing half):
+    * the compiled DSL bound over a Kafka-shaped `value` STRING column —
+    * `parser.parse(col("value"))` on a [[org.apache.spark.sql.execution
+    * .streaming.runtime.MemoryStream]] of XML messages — instead of the
+    * file source every other streaming gate uses. No broker exists in
+    * this sandbox; MemoryStream is the honest proxy (same unbounded
+    * `value`-column contract as `spark.readStream.format("kafka")
+    * .select(col("value").cast("string"))` — swap the source line and the
+    * rest of the query is byte-identical). The reference's forward-only
+    * single-pass contract (Parser.cs:119-208) over a non-file transport.
+    *
+    * Payloads are one XML message per event (attr + three child elements,
+    * decimal-rendered value, epoch-micros timestamp), fed in THREE
+    * ts-ordered producer batches so the watermark genuinely advances
+    * across micro-batches, then two arm messages 30/31 days past the
+    * corpus push the watermark over every real window: APPEND mode emits
+    * each finalized window exactly once, so the memory sink IS the final
+    * answer with no per-batch rematerialization (arm rows are filtered
+    * from the batch readout). The driver-side
+    * collect below is the PRODUCER side of the bus proxy — test harness,
+    * not query plan; the streaming query itself is fully distributed.
+    * Oracle: the same hourly aggregate straight off the events table. */
+  def s19StreamXmlBus(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val ev = events(sp, dir)
+    val payload = concat(
+      lit("<msg u='"), col("user_id").cast("string"), lit("'><t>"),
+      unix_micros(col("ts")).cast("string"), lit("</t><k>"),
+      col("event_type"), lit("</k><v>"),
+      dec(col("value")).cast("string"), lit("</v></msg>"))
+    val msgs = ev.select(payload.as("value"), col("ts")).orderBy("ts")
+      .collect().map(_.getString(0))
+    val armTs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) +
+      30L * 24 * 3600 * 1000000
+    val arm = s"<msg u='0'><t>$armTs</t><k>arm</k><v>0</v></msg>"
+    val arm2 =
+      s"<msg u='0'><t>${armTs + 86400000000L}</t><k>arm</k><v>0</v></msg>"
+    val parser = graft.xml.XmlParser.struct("msg") { a =>
+      struct(a.attribute("u").cast("long").as("user_id"),
+        a.str("t").cast("long").as("tmicros"),
+        a.str("k").as("event_type"),
+        a.nullDecimal("v")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    }
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("value")
+      .select(parser.parse(col("value")).as("p"))
+      .select(timestamp_micros(col("p.tmicros")).as("ts"),
+        col("p.event_type").as("event_type"), col("p.v").as("v"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), asDouble(sum(col("v")))
+        .as("sum_value"))
+    val name = "s19_bus_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val slice = math.max(1, (msgs.length + 2) / 3)
+      msgs.grouped(slice).foreach { s =>
+        in.addData(s.toIndexedSeq); q.processAllAvailable()
+      }
+      // TWO arm batches: the watermark derived from a batch's max event
+      // time only governs the NEXT batch, so arm #1 advances it past all
+      // real windows and arm #2 runs under that watermark and flushes
+      // them (same reason the s6 spec needs its third batch)
+      in.addData(arm); q.processAllAvailable()
+      in.addData(arm2); q.processAllAvailable()
+    } finally q.stop()
+    sp.table(name)
+      .filter(col("event_type") =!= "arm") // arm #1's window emits at arm #2
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
+  val s19Sql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_ns(ts) // 1000)) AS wstart,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY wstart, event_type
+      |ORDER BY wstart, event_type""".stripMargin
+
+  /** Wildcard-glob + tag-capture + first-wins ALTERNATIVES on the
+    * STREAMING path — x3/x4's semantics (Test1.cs:187-209) re-run under
+    * micro-batch re-evaluation. s5 already streams a `v_*` glob; this
+    * gate adds the two remaining DSL capture shapes the StAX expressions
+    * memo-cache per row (XmlStax.children): the `tag` accessor inside an
+    * array bind (child names are DATA — `q_<returnflag>` — recovered via
+    * glob + Tag()) and a computed alternatives column
+    * (`coalesce(item1, item2*10)`) whose member expressions re-read the
+    * same per-row parse from separate null-guard branches. A streaming
+    * micro-batch re-plans and re-evaluates that projection per batch, so
+    * a memo cache leaking state across rows/batches would corrupt
+    * exactly this shape first. Lineitems are written as XML text shards
+    * and STREAMED back through the `graft-xml` FileFormat (split-based
+    * reads), aggregated per recovered tag in complete mode; the oracle
+    * computes the same aggregate straight off lineitem. */
+  def s20StreamXmlTag(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+    val even = (col("l_linenumber") % 2) === 0
+    val xml = concat(
+      lit("<rec><vals><q_"), col("l_returnflag"), lit(">"),
+      dec(col("l_quantity")).cast("string"),
+      lit("</q_"), col("l_returnflag"), lit("></vals>"),
+      when(even, concat(lit("<item1>"), col("l_linenumber").cast("string"),
+        lit("</item1>")))
+        .otherwise(concat(lit("<item2>"),
+          col("l_linenumber").cast("string"), lit("</item2>"))),
+      lit("</rec>"))
+    val outDir = graft.Tables.scratchDir("graft-s20")
+    spread(li.select(xml.as("value"))).write.mode("overwrite").text(outDir)
+    val parser = graft.xml.XmlParser.struct("rec") { a =>
+      struct(
+        a.array("vals") { c =>
+          struct(c.tag.as("tag"),
+            c.nullDecimal("q_*")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("qty"))
+        }.as("vals"),
+        coalesce(a.nullInt("item1"), a.nullInt("item2") * 10).as("alt"))
+    }
+    val name = "s20_tag_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = parser.readStream(sp, outDir)
+      .select(get(col("parsed.vals"), lit(0)).as("v"),
+        col("parsed.alt").as("alt"))
+      .select(col("v.tag").as("tag"), col("v.qty").as("qty"), col("alt"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n_items"),
+        asDouble(sum(col("qty"))).as("sum_qty"),
+        sum(col("alt")).cast("long").as("sum_alt"))
+    graft.streaming.StreamOps.runToMemory(sp, stream, name, "complete")
+      .orderBy("tag")
+  }
+
+  val s20Sql: String =
+    """SELECT 'q_' || l_returnflag AS tag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN l_linenumber
+      |                ELSE l_linenumber * 10 END) AS BIGINT) AS sum_alt
+      |FROM lineitem GROUP BY tag ORDER BY tag""".stripMargin
+
   /** Zipf rank–frequency profile: the top-30 corpus tokens with their
     * rank, exact count, frequency ratio to the top token, and the
     * rank×count product (constant under an ideal Zipf law — the
@@ -4746,7 +4949,10 @@ object ExtensionQueries {
     "a16_mips" -> (a16Mips _),
     "m8_channel_stats" -> (m8ChannelStats _),
     "s18_stream_full_outer" -> (s18StreamFullOuter _),
+    "s19_stream_xml_bus" -> (s19StreamXmlBus _),
+    "s20_stream_xml_tag" -> (s20StreamXmlTag _),
     "a17_mips_ivf" -> (a17MipsIvf _),
+    "a18_filtered_ivf" -> (a18FilteredIvf _),
     "p13_chi_square" -> (p13ChiSquare _),
     "m9_wav_gain" -> (m9WavGain _),
     "t34_readability" -> (t34Readability _),
@@ -4867,7 +5073,10 @@ object ExtensionQueries {
     "a16_mips" -> a16Sql,
     "m8_channel_stats" -> m8Sql,
     "s18_stream_full_outer" -> s18Sql,
+    "s19_stream_xml_bus" -> s19Sql,
+    "s20_stream_xml_tag" -> s20Sql,
     "a17_mips_ivf" -> a17Sql,
+    "a18_filtered_ivf" -> a18Sql,
     "p13_chi_square" -> p13Sql,
     "m9_wav_gain" -> m9Sql,
     "t34_readability" -> t34Sql,

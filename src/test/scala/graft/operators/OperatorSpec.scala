@@ -1109,6 +1109,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "quota must not use a window sort")
   }
 
+  test("a18 filtered search: pre-filtered IVF returns only survivors, " +
+      "equals filtered brute force, probe join stays a shuffle join") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val keep = graft.Tables.documents(spark, sf)
+      .filter(col("lang") === "en").select(col("doc_id"))
+    val corpus = e.join(keep, col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Ann.ivfTopKJoin(qs, corpus, cents, k = 3, nprobe = 2)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // every returned neighbor satisfies the predicate
+    val en = keep.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.forall { case (_, _, n) => en.contains(n) })
+    // with nprobe = all cells, filtered IVF == filtered brute force (the
+    // pre-filter loses nothing the index itself doesn't)
+    val nCells = cents.count().toInt
+    val full = Ann.ivfTopKJoin(qs, corpus, cents, k = 3, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Ann.bruteForceTopK(qs, corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // the candidate join shuffles on cid; only the key+predicate dim (and
+    // config-sized centroids riding in literals) may broadcast — the
+    // corpus must never be on a BroadcastExchange's build side with qs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"probe join must be a shuffle join:\n$plan")
+  }
+
   test("wordGrams: positions, overlap, short-doc empty; hash parity shape") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
@@ -1267,6 +1300,31 @@ class OperatorSpec extends AnyFunSuite {
     // tight threshold kills even same-cell pairs
     assert(Dedup.semanticNearDupPairs(corpus, cents, 0.9999999)
       .count() == 0L)
+  }
+
+  test("semanticNearDupPairs maxCell: a pathological centroid set that " +
+      "dumps the corpus into one cell is capped, small cells still pair") {
+    import spark.implicits._
+    // cluster A: 3 near-identical docs; cluster B: 2 near-identical docs
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.01f)), (2L, Seq(1.0f, 0.02f)), (3L, Seq(1.0f, 0.03f)),
+      (4L, Seq(0.01f, 1.0f)), (5L, Seq(0.02f, 1.0f)))
+      .toDF("id", "vec")
+    // PATHOLOGICAL: one centroid -> every doc lands in cell 0; uncapped,
+    // the self-join would consider all C(5,2)=10 pairs in one cell
+    val oneCent = Seq((0L, Seq(1.0, 1.0))).toDF("cid", "cvec")
+    val uncapped = Dedup.semanticNearDupPairs(corpus, oneCent, 0.9)
+    assert(uncapped.count() == 4L) // (1,2)(1,3)(2,3)(4,5) pass cosine>=0.9
+    // maxCell below the blown cell's size drops it entirely: zero pairs
+    assert(Dedup.semanticNearDupPairs(corpus, oneCent, 0.9, maxCell = 4L)
+      .count() == 0L)
+    // sane clustering + the same cap: both cells fit, nothing is lost
+    val twoCents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val capped = Dedup.semanticNearDupPairs(corpus, twoCents, 0.9,
+        maxCell = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(capped == Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
 
   test("containmentPairs: asymmetric — subset doc scores 1.0 toward its " +

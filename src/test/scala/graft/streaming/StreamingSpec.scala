@@ -128,6 +128,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("message-bus XML: the compiled DSL binds a MemoryStream value " +
+      "column; append-mode windows emit only after the watermark passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def msg(u: Long, ts: String, k: String, v: String): String = {
+      val us = java.sql.Timestamp.valueOf(ts).getTime * 1000
+      s"<msg u='$u'><t>$us</t><k>$k</k><v>$v</v></msg>"
+    }
+    val parser = graft.xml.XmlParser.struct("msg") { a =>
+      struct(a.attribute("u").cast("long").as("u"),
+        a.str("t").cast("long").as("tmicros"),
+        a.str("k").as("k"),
+        a.nullDecimal("v")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    }
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("value")
+      .select(parser.parse(col("value")).as("p"))
+      .select(timestamp_micros(col("p.tmicros")).as("ts"),
+        col("p.k").as("k"), col("p.v").as("v"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("sv"))
+    val name = "s19_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // batch 1: two messages inside the 10:00 window -> still open
+      in.addData(msg(1, "2024-01-01 10:05:00", "click", "1.50"),
+        msg(2, "2024-01-01 10:20:00", "click", "2.25"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 0)
+      // batches 2+3: advance the watermark past 11:00 (batch N's max event
+      // time only governs batch N+1, hence two arm batches)
+      in.addData(msg(9, "2024-01-01 12:00:00", "arm", "0"))
+      q.processAllAvailable()
+      in.addData(msg(9, "2024-01-01 14:00:00", "arm", "0"))
+      q.processAllAvailable()
+      val rows = spark.table(name).filter(col("k") === "click")
+        .select(col("window.start"), col("n"), col("sv")).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getTimestamp(0) ==
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.75)
+    } finally q.stop()
+  }
+
+  test("streaming wildcard tag + alternatives: the StAX memo cache stays " +
+      "row-local across micro-batch re-evaluation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val parser = graft.xml.XmlParser.struct("rec") { a =>
+      struct(
+        a.array("vals") { c =>
+          struct(c.tag.as("tag"),
+            c.nullDecimal("q_*").cast("double").as("qty"))
+        }.as("vals"),
+        coalesce(a.nullInt("item1"), a.nullInt("item2") * 10).as("alt"))
+    }
+    val in = MemoryStream[String]
+    val parsed = in.toDF().toDF("value")
+      .select(parser.parse(col("value")).as("p"))
+      .select(get(col("p.vals"), lit(0)).as("v"), col("p.alt").as("alt"))
+      .select(col("v.tag").as("tag"), col("v.qty").as("qty"), col("alt"))
+    val name = "s20_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = parsed.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // same glob, different data-derived tags, alternating alt branches —
+      // fed as THREE separate micro-batches so the per-thread memo cache
+      // is re-entered under fresh codegen'd projections each time
+      in.addData("<rec><vals><q_A>1.5</q_A></vals><item1>3</item1></rec>")
+      q.processAllAvailable()
+      in.addData("<rec><vals><q_B>2.5</q_B></vals><item2>4</item2></rec>")
+      q.processAllAvailable()
+      in.addData("<rec><vals><q_A>9.0</q_A></vals><item2>5</item2></rec>",
+        "<rec><vals><q_C>0.5</q_C></vals><item1>6</item1></rec>")
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+        .sortBy(identity).toSeq
+      assert(got == Seq(("q_A", 1.5, 3), ("q_A", 9.0, 50),
+        ("q_B", 2.5, 40), ("q_C", 0.5, 6)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     import spark.implicits._
     val ev = StreamOps.eventsStream(spark, sf)
