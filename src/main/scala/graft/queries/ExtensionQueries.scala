@@ -1113,6 +1113,73 @@ object ExtensionQueries {
        |ORDER BY words.w""".stripMargin
   }
 
+  /** Tokenizer FERTILITY / compression profile — the tokenizer-health
+    * report every multilingual training pipeline publishes before
+    * committing to a vocab: per language, subword pieces per word
+    * (fertility — a language whose fertility balloons is under-served by
+    * the merge table and burns context budget) and chars per piece
+    * (compression). Uses the t25 merge table so encode semantics stay
+    * oracle-isolated; the spec-level train→encode composition lives in
+    * BpeSpec. Scale shape: BPE runs once per DISTINCT (lang, word) —
+    * vocab-sized work — and occurrence counts weight the sums, so the
+    * corpus contributes one hash agg, never a per-occurrence encode.
+    * Exact integer sums until the two final divisions. */
+  def t36TokenizerFertility(sp: SparkSession, dir: String): DataFrame = {
+    val words = documents(sp, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    val pieces = graft.functions.BpeApplyExpr.bpe_apply(col("w"), t25Merges)
+    words
+      .select(col("lang"), col("n"),
+        size(pieces).cast("long").as("np"),
+        length(col("w")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("np") * col("n")).as("n_pieces"),
+        sum(col("nc") * col("n")).as("n_chars"),
+        round(sum(col("np") * col("n")).cast("double") / sum(col("n")), 4)
+          .as("fertility"),
+        round(sum(col("nc") * col("n")).cast("double")
+          / sum(col("np") * col("n")), 4).as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
+  val t36Sql: String = {
+    val mergeRows = t25Merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }.mkString(", ")
+    s"""WITH RECURSIVE words AS (
+       |  SELECT lang, t AS w, COUNT(*) AS n FROM
+       |    (SELECT lang, unnest($Toks) AS t FROM documents) WHERE t <> ''
+       |  GROUP BY lang, t),
+       |uw AS (SELECT DISTINCT w FROM words),
+       |mg(r, a, b) AS (SELECT * FROM (VALUES $mergeRows)),
+       |base AS (SELECT w, ' ' || array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i:i]), ' ') || ' '
+       |  AS s FROM uw),
+       |enc(w, s, m) AS (
+       |  SELECT w, s, 0 FROM base
+       |  UNION ALL
+       |  SELECT e.w,
+       |    replace(replace(replace(e.s, ' ', '  '),
+       |      ' ' || mg.a || '  ' || mg.b || ' ', ' ' || mg.a || mg.b || ' '),
+       |      '  ', ' '),
+       |    e.m + 1
+       |  FROM enc e JOIN mg ON mg.r = e.m),
+       |done AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT)
+       |    AS np
+       |  FROM enc WHERE m = ${t25Merges.length})
+       |SELECT words.lang, CAST(SUM(words.n) AS BIGINT) AS n_words,
+       |  CAST(SUM(done.np * words.n) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(len(words.w) * words.n) AS BIGINT) AS n_chars,
+       |  ROUND(SUM(done.np * words.n)::DOUBLE / SUM(words.n), 4)
+       |    AS fertility,
+       |  ROUND(SUM(len(words.w) * words.n)::DOUBLE
+       |    / SUM(done.np * words.n), 4) AS chars_per_piece
+       |FROM words JOIN done ON done.w = words.w
+       |GROUP BY words.lang ORDER BY words.lang""".stripMargin
+  }
+
   /** Positional inverted index + exact phrase search
     * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
     * the distributed posting-list form — then a 3-token phrase query
@@ -4593,6 +4660,67 @@ object ExtensionQueries {
       |  round(quantile_cont(dev, 0.5), 4) AS mad
       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** EMBEDDING-SPACE drift monitor — the vector twin of p4's scalar
+    * profile drift: when a corpus snapshot refreshes (new crawl, new
+    * encoder version), per-label mean vectors are compared between the
+    * two slices — mean-direction cosine and mean-norm ratio per label
+    * flag a label whose embedding cloud moved or rescaled, BEFORE that
+    * drift silently degrades every downstream ANN/dedup threshold
+    * (IVF centroids and cosine thresholds were tuned on the old cloud).
+    * Slices here are the vec_id parity classes (two-snapshot stand-in).
+    *
+    * Scale shape: the corpus reduces in ONE partial-agg pass to a
+    * (label × dim × slice)-sized table of component means (640 cells at
+    * any corpus size — the p9 domain-table discipline applied to vector
+    * space); everything after runs on label-sized frames. Means round to
+    * 4 decimals, the [[Ann.kmeansRefine]] trick that absorbs float-sum
+    * order noise and makes the oracle's replay exact; the cosine/norm
+    * folds over the two rounded mean vectors are then bit-identical
+    * left-to-right double arithmetic in both engines. */
+  def p16EmbeddingDrift(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    def meanVecs(par: Int) = e.filter(col("vec_id") % 2 === par)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), 4).as("m"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mvec"))
+    val a = meanVecs(0).select(col("label"), col("mvec").as("ma"))
+    val b = meanVecs(1).select(col("label"), col("mvec").as("mb"))
+    val counts = e.groupBy("label").agg(
+      count(when(col("vec_id") % 2 === 0, 1)).as("n_a"),
+      count(when(col("vec_id") % 2 === 1, 1)).as("n_b"))
+    counts.join(a, "label").join(b, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(Vectors.cosine(col("ma"), col("mb")), 4).as("mean_cos"),
+        round(Vectors.norm2(col("mb")) / Vectors.norm2(col("ma")), 4)
+          .as("norm_ratio"))
+      .orderBy("label")
+  }
+
+  val p16Sql: String =
+    s"""WITH ex AS (SELECT label, vec_id % 2 AS par, t.i,
+       |    CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, 1025) t(i)
+       |  WHERE t.i <= len(embedding)),
+       |m AS (SELECT label, par, i, round(avg(x), 4) AS mm
+       |  FROM ex GROUP BY label, par, i),
+       |mv AS (SELECT label, par, list(mm ORDER BY i) AS mvec
+       |  FROM m GROUP BY label, par),
+       |ab AS (SELECT a.label, a.mvec AS ma, b.mvec AS mb
+       |  FROM mv a JOIN mv b ON a.label = b.label
+       |  WHERE a.par = 0 AND b.par = 1),
+       |cnt AS (SELECT label,
+       |    count(*) FILTER (vec_id % 2 = 0) AS n_a,
+       |    count(*) FILTER (vec_id % 2 = 1) AS n_b
+       |  FROM embeddings GROUP BY label)
+       |SELECT c.label, c.n_a, c.n_b,
+       |  round(${cosSql("ab.ma", "ab.mb")}, 4) AS mean_cos,
+       |  round(${normSql("ab.mb")} / ${normSql("ab.ma")}, 4) AS norm_ratio
+       |FROM cnt c JOIN ab ON ab.label = c.label ORDER BY c.label""".stripMargin
+
   /** Keyword-in-context (KWIC) snippet extraction — the search-preview /
     * concordance primitive (t23's positional index finds WHERE; this
     * materializes the reading context): for every document containing
@@ -4958,7 +5086,9 @@ object ExtensionQueries {
     "t34_readability" -> (t34Readability _),
     "p14_cusum" -> (p14Cusum _),
     "t35_kwic" -> (t35Kwic _),
-    "p15_mad" -> (p15Mad _))
+    "t36_tokenizer_fertility" -> (t36TokenizerFertility _),
+    "p15_mad" -> (p15Mad _),
+    "p16_embedding_drift" -> (p16EmbeddingDrift _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -5082,5 +5212,7 @@ object ExtensionQueries {
     "t34_readability" -> t34Sql,
     "p14_cusum" -> p14Sql,
     "t35_kwic" -> t35Sql,
-    "p15_mad" -> p15Sql)
+    "t36_tokenizer_fertility" -> t36Sql,
+    "p15_mad" -> p15Sql,
+    "p16_embedding_drift" -> p16Sql)
 }

@@ -1142,6 +1142,43 @@ class OperatorSpec extends AnyFunSuite {
       s"probe join must be a shuffle join:\n$plan")
   }
 
+  test("p16 embedding drift: scaled slice reports cos 1 / ratio 2; " +
+      "rotated slice reports cos 0 / ratio 1") {
+    import spark.implicits._
+    val dir = graft.Tables.scratchDir("graft-p16-spec")
+    // vec_id parity = the two slices; label 0 drifts in NORM only (B = 2A),
+    // label 1 drifts in DIRECTION only (B orthogonal to A, same norm)
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0), // A, label 0
+      (1L, Seq(2.0f, 0.0f), 0), (3L, Seq(2.0f, 0.0f), 0), // B, label 0
+      (4L, Seq(0.0f, 1.0f), 1), (6L, Seq(0.0f, 1.0f), 1), // A, label 1
+      (5L, Seq(1.0f, 0.0f), 1), (7L, Seq(1.0f, 0.0f), 1)) // B, label 1
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.ExtensionQueries.p16EmbeddingDrift(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq((0, 2L, 2L, 1.0, 2.0), (1, 2L, 2L, 0.0, 1.0)))
+  }
+
+  test("t36 tokenizer fertility: merged word = 1 piece, unmergeable word " +
+      "= 1 piece per char; occurrence counts weight the sums") {
+    import spark.implicits._
+    val dir = graft.Tables.scratchDir("graft-t36-spec")
+    // 'the' fully merges under the t25 table ((t,h) then (th,e)) -> 1
+    // piece; 'xy' has no applicable merge -> 2 single-char pieces
+    Seq((1L, "the the", "en"), (2L, "xy", "zz"), (3L, "xy xy xy", "zz"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.ExtensionQueries
+      .t36TokenizerFertility(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("en", 2L, 2L, 6L, 1.0, 3.0),   // 2 words, 1 piece each, 3 chars
+      ("zz", 4L, 8L, 8L, 2.0, 1.0)))  // 4 occurrences of 'xy', 2 pieces
+  }
+
   test("wordGrams: positions, overlap, short-doc empty; hash parity shape") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
