@@ -4447,6 +4447,56 @@ object ExtensionQueries {
       |                ELSE l_linenumber * 10 END) AS BIGINT) AS sum_alt
       |FROM lineitem GROUP BY tag ORDER BY tag""".stripMargin
 
+  /** STREAMING sketch maintenance — the t17 count-min sketch kept as
+    * streaming state: user-activity heavy hitters where the CMS is a
+    * GLOBAL streaming aggregate whose UDAF buffer lives in the state
+    * store and absorbs each micro-batch's partials. Three input shards
+    * paced one file per trigger make the merge genuinely incremental,
+    * and because CMS merge is commutative/associative counter addition,
+    * the gate asserts the strongest possible property: the streaming
+    * sketch's SERIALIZED BYTES equal the batch sketch's
+    * (`stream_eq_batch`) — incremental == rebuild, the a12 maintenance
+    * certificate applied to sketch state. The exact top-10 users probe
+    * the streaming sketch under the CMS invariant est ∈
+    * [exact, exact + eps·N] (never undercounts, bounded overcount).
+    * Exact counts hash-match DuckDB; a sketch regression flips a boolean
+    * and fails the hash. */
+  def s21StreamCms(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir).select(col("user_id").cast("string").as("u"))
+    val inDir = graft.Tables.scratchDir("graft-s21-in")
+    ev.repartition(3).write.mode("overwrite").parquet(inDir)
+    val cms = graft.functions.CmsAgg.cmsSketch(1e-4, 0.99, 42)
+    val name = "s21_cms_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = sp.readStream.schema("u STRING")
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .agg(cms(col("u")).as("sk"))
+    val skStream = graft.streaming.StreamOps
+      .runToMemory(sp, stream, name, "complete")
+      .head().getAs[Array[Byte]]("sk")
+    val skBatch = ev.agg(cms(col("u")).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val sketchesEqual = java.util.Arrays.equals(skStream, skBatch)
+    val totals = ev.agg(count(lit(1)).as("n_total"))
+    ev.groupBy(col("u")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("u"))
+      .limit(10)
+      .crossJoin(broadcast(totals))
+      .select(col("u"), col("exact_cnt"),
+        (graft.functions.CmsEstimateExpr.cms_estimate(col("u"), skStream)
+          .between(col("exact_cnt"),
+            col("exact_cnt") + ceil(col("n_total") * 1e-4)))
+          .as("est_ok"),
+        lit(sketchesEqual).as("stream_eq_batch"))
+      .orderBy(col("exact_cnt").desc, col("u"))
+  }
+
+  val s21Sql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS u, count(*) AS exact_cnt,
+      |  TRUE AS est_ok, TRUE AS stream_eq_batch
+      |FROM events GROUP BY u
+      |ORDER BY exact_cnt DESC, u LIMIT 10""".stripMargin
+
   /** Zipf rank–frequency profile: the top-30 corpus tokens with their
     * rank, exact count, frequency ratio to the top token, and the
     * rank×count product (constant under an ideal Zipf law — the
@@ -5079,6 +5129,7 @@ object ExtensionQueries {
     "s18_stream_full_outer" -> (s18StreamFullOuter _),
     "s19_stream_xml_bus" -> (s19StreamXmlBus _),
     "s20_stream_xml_tag" -> (s20StreamXmlTag _),
+    "s21_stream_cms" -> (s21StreamCms _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "p13_chi_square" -> (p13ChiSquare _),
@@ -5205,6 +5256,7 @@ object ExtensionQueries {
     "s18_stream_full_outer" -> s18Sql,
     "s19_stream_xml_bus" -> s19Sql,
     "s20_stream_xml_tag" -> s20Sql,
+    "s21_stream_cms" -> s21Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "p13_chi_square" -> p13Sql,
