@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
@@ -31,6 +32,13 @@ import org.apache.spark.sql.types._
   * original double bit-for-bit (cross-engine hash compares still work).
   */
 case class DoubleDescKeyExpr(child: Expression) extends UnaryExpression {
+  // Analysis-time type gate (AbstractDataType/ExpectsInputTypes is
+  // private[sql]): a non-double child must fail during analysis, not as
+  // a runtime ClassCastException or a codegen compile error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a DOUBLE child, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def prettyName: String = "double_desc_key"
   override def nullSafeEval(v: Any): Any = {
@@ -58,6 +66,10 @@ case class DoubleDescKeyExpr(child: Expression) extends UnaryExpression {
   * from the reversed sortable key (the sortable-bits transform is an
   * involution, so decode = NOT, then the same transform). */
 case class DoubleFromDescKeyExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT child, got ${child.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_from_desc_key"
   override def nullSafeEval(v: Any): Any = {

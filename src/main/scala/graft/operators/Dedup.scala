@@ -508,11 +508,17 @@ object Dedup {
   def semanticNearDupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, maxCell: Long = Long.MaxValue): DataFrame = {
     val cells0 = Ann.ivfIndex(corpus, centroids)
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    // Enforce maxCell with a partial-aggregated groupBy + broadcast
+    // semi-join on the (≤ |centroids|)-row count table — NOT a
+    // count-over-window, which would buffer the pathological cell in one
+    // WindowExec task before dropping it (the very skew being guarded).
     val cells =
       if (maxCell == Long.MaxValue) cells0
-      else cells0.withColumn("__cc", count(lit(1)).over(cw))
-        .filter(col("__cc") <= maxCell).drop("__cc")
+      else {
+        val keep = cells0.groupBy("cid").count()
+          .filter(col("count") <= maxCell).select("cid")
+        cells0.join(broadcast(keep), Seq("cid"), "left_semi")
+      }
     val l = cells.as("l")
     val r = cells.as("r")
     l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))

@@ -2952,6 +2952,49 @@ object ExtensionQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** s10's state transition through Spark 4's `transformWithState`
+    * ([[graft.streaming.StreamOps.TwsRunningTotals]]) — the arbitrary-
+    * state API that REPLACES `flatMapGroupsWithState` (typed state
+    * handles, native TTL, first-class timers; SPARK-49070). A Spark-4
+    * user building sessionized counters is steered here first, so the
+    * engine pins BOTH generations of the API against the same oracle:
+    * same paced micro-batches, same per-key cumulative (count, cents)
+    * counters, same all-data totals — lost or double-counted state across
+    * batches fails the hash exactly as in s10. transformWithState
+    * requires the RocksDB state store provider (the off-heap store that
+    * survives 100 TB keyed state), so the gate runs in a child session
+    * pinned to it; the timer surface is spec-verified separately
+    * (StreamingSpec "transformWithState event-time timers"). */
+  def s22TransformWithState(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val inDir = graft.Tables.scratchDir("graft-s22-in")
+    ev.select(col("user_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .repartition(8).write.mode("overwrite").parquet(inDir)
+    // provider class is read from the SESSION conf at query start; a
+    // child session isolates the RocksDB pin from the rest of the suite
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    val pairs = s2.readStream
+      .schema("user_id LONG, cents LONG")
+      .option("maxFilesPerTrigger", "4").parquet(inDir)
+      .as[(Long, Long)]
+    val updates = graft.streaming.StreamOps.runningTotalsTws(pairs)
+      .toDF("user_id", "n_cum", "cents_cum")
+    val name = "s22_tws_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    graft.streaming.StreamOps.runToMemory(s2, updates, name, "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_cum")).as("n_events"),
+        (max(col("cents_cum")) / 100.0).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val s22Sql: String = s10Sql
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -4314,7 +4357,7 @@ object ExtensionQueries {
     * single-pass contract (Parser.cs:119-208) over a non-file transport.
     *
     * Payloads are one XML message per event (attr + three child elements,
-    * decimal-rendered value, epoch-micros timestamp), fed in THREE
+    * decimal-rendered value, epoch-micros timestamp), fed in TWO
     * ts-ordered producer batches so the watermark genuinely advances
     * across micro-batches, then two arm messages 30/31 days past the
     * corpus push the watermark over every real window: APPEND mode emits
@@ -4323,21 +4366,28 @@ object ExtensionQueries {
     * from the batch readout). The driver-side
     * collect below is the PRODUCER side of the bus proxy — test harness,
     * not query plan; the streaming query itself is fully distributed.
+    * The producer feed is a deterministic 1/16 slice (`event_id % 16`,
+    * x13's sampling precedent, mirrored in the oracle) so the driver
+    * never materializes the corpus — a semantics pin does not need 100k
+    * messages — and the parse output is repartitioned so the stateful
+    * agg is not fed from MemoryStream's single partition.
     * Oracle: the same hourly aggregate straight off the events table. */
   def s19StreamXmlBus(sp: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
-    val ev = events(sp, dir)
+    val ev = events(sp, dir).filter(col("event_id") % 16 === 0)
     val payload = concat(
       lit("<msg u='"), col("user_id").cast("string"), lit("'><t>"),
       unix_micros(col("ts")).cast("string"), lit("</t><k>"),
       col("event_type"), lit("</k><v>"),
       dec(col("value")).cast("string"), lit("</v></msg>"))
-    val msgs = ev.select(payload.as("value"), col("ts")).orderBy("ts")
-      .collect().map(_.getString(0))
-    val armTs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) +
-      30L * 24 * 3600 * 1000000
+    val rows = ev.select(payload.as("value"), unix_micros(col("ts"))
+      .as("tmicros")).orderBy("tmicros").collect()
+    val msgs = rows.map(_.getString(0))
+    // arm offset from the SAMPLE's max ts (only sampled events are on the
+    // bus, so their max bounds every real window) — one producer scan
+    val armTs = rows.last.getLong(1) + 30L * 24 * 3600 * 1000000
     val arm = s"<msg u='0'><t>$armTs</t><k>arm</k><v>0</v></msg>"
     val arm2 =
       s"<msg u='0'><t>${armTs + 86400000000L}</t><k>arm</k><v>0</v></msg>"
@@ -4350,6 +4400,7 @@ object ExtensionQueries {
     }
     val in = MemoryStream[String]
     val agg = in.toDF().toDF("value")
+      .repartition(8) // spread the bus feed before the per-row parse
       .select(parser.parse(col("value")).as("p"))
       .select(timestamp_micros(col("p.tmicros")).as("ts"),
         col("p.event_type").as("event_type"), col("p.v").as("v"))
@@ -4359,20 +4410,29 @@ object ExtensionQueries {
         .as("sum_value"))
     val name = "s19_bus_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = agg.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    // pin stateful shuffle partitions like StreamOps.runToMemory: the
+    // count is frozen into the stream at start, AQE never coalesces
+    // streaming shuffles, and 32 state stores x 5 micro-batches is pure
+    // per-partition commit overhead at this input size
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
     try {
-      val slice = math.max(1, (msgs.length + 2) / 3)
-      msgs.grouped(slice).foreach { s =>
-        in.addData(s.toIndexedSeq); q.processAllAvailable()
-      }
-      // TWO arm batches: the watermark derived from a batch's max event
-      // time only governs the NEXT batch, so arm #1 advances it past all
-      // real windows and arm #2 runs under that watermark and flushes
-      // them (same reason the s6 spec needs its third batch)
-      in.addData(arm); q.processAllAvailable()
-      in.addData(arm2); q.processAllAvailable()
-    } finally q.stop()
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        val slice = math.max(1, (msgs.length + 1) / 2)
+        msgs.grouped(slice).foreach { s =>
+          in.addData(s.toIndexedSeq); q.processAllAvailable()
+        }
+        // TWO arm batches: the watermark derived from a batch's max event
+        // time only governs the NEXT batch, so arm #1 advances it past all
+        // real windows and arm #2 runs under that watermark and flushes
+        // them (same reason the s6 spec needs its third batch)
+        in.addData(arm); q.processAllAvailable()
+        in.addData(arm2); q.processAllAvailable()
+      } finally q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
     sp.table(name)
       .filter(col("event_type") =!= "arm") // arm #1's window emits at arm #2
       .select(col("window.start").as("wstart"), col("event_type"),
@@ -4384,7 +4444,8 @@ object ExtensionQueries {
     """SELECT time_bucket(INTERVAL 1 HOUR, make_timestamp(epoch_ns(ts) // 1000)) AS wstart,
       |  event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY wstart, event_type
+      |FROM events WHERE event_id % 16 = 0
+      |GROUP BY wstart, event_type
       |ORDER BY wstart, event_type""".stripMargin
 
   /** Wildcard-glob + tag-capture + first-wins ALTERNATIVES on the
@@ -4742,11 +4803,22 @@ object ExtensionQueries {
     val counts = e.groupBy("label").agg(
       count(when(col("vec_id") % 2 === 0, 1)).as("n_a"),
       count(when(col("vec_id") % 2 === 1, 1)).as("n_b"))
-    counts.join(a, "label").join(b, "label")
+    // LEFT joins from counts (which sees every label): a label present in
+    // only ONE slice — vanished or newly appeared, the strongest drift
+    // signal — surfaces with null drift stats instead of silently
+    // dropping from the report. Zero-norm denominators are guarded to
+    // null identically here and in the oracle (Spark's x/0.0 = Inf vs
+    // DuckDB's configurable division semantics would otherwise diverge
+    // on degenerate all-zero mean vectors).
+    val na = Vectors.norm2(col("ma"))
+    val nb = Vectors.norm2(col("mb"))
+    val bothPresent = col("ma").isNotNull && col("mb").isNotNull
+    counts.join(a, Seq("label"), "left").join(b, Seq("label"), "left")
       .select(col("label"), col("n_a"), col("n_b"),
-        round(Vectors.cosine(col("ma"), col("mb")), 4).as("mean_cos"),
-        round(Vectors.norm2(col("mb")) / Vectors.norm2(col("ma")), 4)
-          .as("norm_ratio"))
+        when(bothPresent && na =!= 0.0 && nb =!= 0.0,
+          round(Vectors.cosine(col("ma"), col("mb")), 4)).as("mean_cos"),
+        when(bothPresent && na =!= 0.0,
+          round(nb / na, 4)).as("norm_ratio"))
       .orderBy("label")
   }
 
@@ -4759,17 +4831,23 @@ object ExtensionQueries {
        |  FROM ex GROUP BY label, par, i),
        |mv AS (SELECT label, par, list(mm ORDER BY i) AS mvec
        |  FROM m GROUP BY label, par),
-       |ab AS (SELECT a.label, a.mvec AS ma, b.mvec AS mb
-       |  FROM mv a JOIN mv b ON a.label = b.label
-       |  WHERE a.par = 0 AND b.par = 1),
+       |a AS (SELECT label, mvec AS ma FROM mv WHERE par = 0),
+       |b AS (SELECT label, mvec AS mb FROM mv WHERE par = 1),
        |cnt AS (SELECT label,
        |    count(*) FILTER (vec_id % 2 = 0) AS n_a,
        |    count(*) FILTER (vec_id % 2 = 1) AS n_b
        |  FROM embeddings GROUP BY label)
        |SELECT c.label, c.n_a, c.n_b,
-       |  round(${cosSql("ab.ma", "ab.mb")}, 4) AS mean_cos,
-       |  round(${normSql("ab.mb")} / ${normSql("ab.ma")}, 4) AS norm_ratio
-       |FROM cnt c JOIN ab ON ab.label = c.label ORDER BY c.label""".stripMargin
+       |  CASE WHEN a.ma IS NOT NULL AND b.mb IS NOT NULL
+       |      AND ${normSql("a.ma")} <> 0 AND ${normSql("b.mb")} <> 0
+       |    THEN round(${cosSql("a.ma", "b.mb")}, 4) END AS mean_cos,
+       |  CASE WHEN a.ma IS NOT NULL AND b.mb IS NOT NULL
+       |      AND ${normSql("a.ma")} <> 0
+       |    THEN round(${normSql("b.mb")} / ${normSql("a.ma")}, 4)
+       |  END AS norm_ratio
+       |FROM cnt c LEFT JOIN a ON a.label = c.label
+       |  LEFT JOIN b ON b.label = c.label
+       |ORDER BY c.label""".stripMargin
 
   /** Keyword-in-context (KWIC) snippet extraction — the search-preview /
     * concordance primitive (t23's positional index finds WHERE; this
@@ -5130,6 +5208,7 @@ object ExtensionQueries {
     "s19_stream_xml_bus" -> (s19StreamXmlBus _),
     "s20_stream_xml_tag" -> (s20StreamXmlTag _),
     "s21_stream_cms" -> (s21StreamCms _),
+    "s22_transform_with_state" -> (s22TransformWithState _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "p13_chi_square" -> (p13ChiSquare _),
@@ -5257,6 +5336,7 @@ object ExtensionQueries {
     "s19_stream_xml_bus" -> s19Sql,
     "s20_stream_xml_tag" -> s20Sql,
     "s21_stream_cms" -> s21Sql,
+    "s22_transform_with_state" -> s22Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "p13_chi_square" -> p13Sql,

@@ -215,6 +215,118 @@ object StreamOps {
       }
   }
 
+  /** [[runningTotals]]'s state transition re-expressed through Spark 4's
+    * ARBITRARY-STATE API (`KeyValueGroupedDataset.transformWithState` +
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]]): the
+    * replacement for `flatMapGroupsWithState` a Spark-4 user is steered
+    * to first, with typed state handles (Value/List/MapState), native
+    * TTL, and event-time/processing-time timers. This processor uses one
+    * `ValueState[(Long, Long)]` per key — the minimal deterministic
+    * transition — so the gate's answer is comparable to s10's and both
+    * APIs are pinned against the same oracle.
+    *
+    * Scale: identical posture to [[runningTotals]] — per-key state in the
+    * state store (transformWithState REQUIRES the RocksDB provider, the
+    * off-heap store that survives 100 TB keyed state), hash-partitioned
+    * across executors, each micro-batch shuffling only its own rows. */
+  class TwsRunningTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      totals.update((n, cents))
+      Iterator((key, n, cents))
+    }
+  }
+
+  /** Per-key cumulative (count, cents) totals via [[TwsRunningTotals]].
+    * Same contract as [[runningTotals]]; requires the session to run the
+    * RocksDB state store provider (transformWithState rejects the
+    * default HDFS-backed store). */
+  def runningTotalsTws(pairs: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new TwsRunningTotals,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Event-time SESSION EXPIRY through transformWithState's TIMER surface
+    * (the capability `flatMapGroupsWithState` never had as a first-class
+    * API): each input batch extends the key's session state and re-arms
+    * an event-time timer at (max event time seen + gap); when the
+    * WATERMARK passes the armed timer, `handleExpiredTimer` fires exactly
+    * once, emits the finalized (key, n, cents, closeMs) session row, and
+    * clears the state — per-key state lives only until gap past the
+    * key's last event, the sessionization eviction contract expressed
+    * with timers instead of `session_window`. Input: (key, cents,
+    * eventTimeMs) with the event-time column watermarked by the caller;
+    * output rows appear ONLY on expiry (append semantics). */
+  class TwsSessionExpiry(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      var (n, cents, maxTs) =
+        if (sess.exists()) sess.get() else (0L, 0L, Long.MinValue)
+      val oldTimer = if (n > 0) maxTs + gapMs else Long.MinValue
+      rows.foreach { case (_, c, ts) =>
+        n += 1; cents += c; maxTs = math.max(maxTs, ts.getTime)
+      }
+      sess.update((n, cents, maxTs))
+      if (oldTimer != Long.MinValue) getHandle.deleteTimer(oldTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val out =
+        if (sess.exists()) {
+          val (n, cents, maxTs) = sess.get()
+          Iterator((key, n, cents, maxTs))
+        } else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** Sessionize rows via [[TwsSessionExpiry]] timers; emits one row per
+    * expired session — (key, n, cents, lastEventMs). The caller supplies
+    * a streaming Dataset of (key, cents, eventTime) whose TIMESTAMP
+    * column already carries a watermark (the `.as[...]` cast preserves
+    * the event-time tag; a `.map` would drop it, which is why the tuple
+    * keeps the Timestamp type through to the processor). */
+  def sessionExpiryTws(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)],
+      gapMs: Long): org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new TwsSessionExpiry(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stateful streaming shuffle partition count. Streaming state stores
     * are created one per shuffle partition and the count is FROZEN into
     * the checkpoint at the first batch — it is a deliberate sizing

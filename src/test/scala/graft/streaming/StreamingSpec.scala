@@ -128,6 +128,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: ValueState carries per-key totals across " +
+      "micro-batches (update mode, RocksDB provider)") {
+    // the Spark-4 arbitrary-state API (s22's gate path): same running-
+    // totals contract as flatMapGroupsWithState's (s10), state must
+    // survive batch boundaries, and the provider pin must actually
+    // engage RocksDB (transformWithState rejects the default store).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val updates = StreamOps.runningTotalsTws(in.toDS())
+      .toDF("key", "n_cum", "cents_cum")
+    val name = "tws_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = updates.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData((1L, 10L), (1L, 5L), (2L, 100L))
+      q.processAllAvailable()
+      in.addData((1L, 7L))
+      q.processAllAvailable()
+      val rows = s2.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // batch 1 emits the fold of its own rows; batch 2's emission only
+      // reads (3, 22) if the (2, 15) state actually crossed the boundary
+      assert(rows.contains((1L, 2L, 15L)))
+      assert(rows.contains((1L, 3L, 22L)))
+      assert(rows.contains((2L, 1L, 100L)))
+      assert(q.recentProgress.map(_.json).exists(_.contains("rocksdb")),
+        "no rocksdb metrics in progress - provider pin not applied")
+    } finally q.stop()
+  }
+
+  test("transformWithState event-time timers: a session emits exactly " +
+      "once, when the watermark passes its re-armed timer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ds = in.toDF().toDF("key", "cents", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val out = StreamOps.sessionExpiryTws(ds, 10 * 60 * 1000L)
+      .toDF("key", "n", "cents", "last_ms")
+    val name = "tws_timer_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // batch 1: key 1, two events 5 min apart -> timer armed at 10:15;
+      // watermark is still 0 during the batch AND in its trailing
+      // no-data batch (batch-1 data only lifts it to 10:05 < 10:15)
+      in.addData((1L, 1L, t("10:00")), (1L, 2L, t("10:05")))
+      q.processAllAvailable()
+      assert(s2.table(name).count() == 0)
+      // batch 2: key 2 at 10:50 lifts the watermark to 10:50; the
+      // trailing NO-DATA batch (transformWithState runs one whenever the
+      // watermark advances, precisely to fire timers) fires key 1's
+      // 10:15 timer -> the finalized session emits exactly once and the
+      // state clears; key 2's own 11:00 timer stays ahead
+      in.addData((2L, 5L, t("10:50")))
+      q.processAllAvailable()
+      val rows1 = s2.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows1 == Set((1L, 2L, 3L, t("10:05").getTime)))
+      // batch 3: watermark 12:00 -> key 2's 11:00 timer fires; key 3's
+      // own 12:10 timer is still ahead of the watermark; key 1 emits
+      // nothing again (its state was cleared on expiry)
+      in.addData((3L, 9L, t("12:00")))
+      q.processAllAvailable()
+      val rows2 = s2.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows2 == Set(
+        (1L, 2L, 3L, t("10:05").getTime),
+        (2L, 1L, 5L, t("10:50").getTime)))
+    } finally q.stop()
+  }
+
   test("message-bus XML: the compiled DSL binds a MemoryStream value " +
       "column; append-mode windows emit only after the watermark passes") {
     import spark.implicits._
