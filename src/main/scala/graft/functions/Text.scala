@@ -117,4 +117,26 @@ object Text {
 
   /** Document fingerprint (rolling hash over tokens) — see Hashing. */
   def docFingerprint(c: Column): Column = Hashing.fingerprint(tokens(c))
+
+  /** LENIENT HTML boilerplate strip — tag-soup to main text with a rule
+    * chain that never errors on malformed markup (there is no parse to
+    * fail): comments, then whole script/style blocks, then tags (a `<`
+    * not followed by a letter or `/` is literal text and survives), then
+    * the five common entities, then whitespace collapse. All builtin
+    * string functions (codegen'd, map-only at any scale) using only
+    * regex constructs RE2 and Java agree on, so an oracle can replay the
+    * rules text-identically — see gate t38. */
+  def htmlStrip(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "</?[a-zA-Z][^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ", "&amp;" -> "&").foldLeft(noTags) {
+      case (acc, (e, ch)) => replace(acc, lit(e), lit(ch))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
 }

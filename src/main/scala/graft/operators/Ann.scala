@@ -383,4 +383,88 @@ object Ann {
     vecs.withColumn(vecCol,
       concat(transform(v, x => x.cast("double")), array(tail)))
   }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-rank (Carbonell & Goldstein 1998) over
+    * an ANN shortlist — the RAG answer-diversity pass: greedily pick the
+    * candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} cos(d,s),
+    * so each pick is relevant AND far from what is already selected
+    * (pure top-k returns k near-duplicates when the corpus has them).
+    *
+    * Distributed shape: the greedy is inherently sequential PER QUERY but
+    * embarrassingly parallel ACROSS queries — a groupByKey on qid and an
+    * in-task greedy over that query's shortlist (shortlist-sized: N ≤ a
+    * few hundred rows × the embedding dim). No driver collect, no
+    * iterative anti-join re-shuffle per step; result-sized output.
+    *
+    * Determinism (oracle-replay contract): rel arrives rounded(4) from
+    * the shortlist; every pairwise penalty cosine is rounded(4) before
+    * entering a score; cosines use the same left-to-right double folds
+    * as [[graft.functions.VectorExprs]] (bit-identical to the SQL
+    * replica); score ties break to the smaller id.
+    *
+    * `shortlist`: (qid, id, rel, vec) — rel = rounded similarity to the
+    * query, vec = the candidate's embedding. Emits (qid, mmr_rank,
+    * neighbor, rel, mmr_score) with mmr_rank 1..k in selection order. */
+  def mmrRerank(shortlist: DataFrame, lambda: Double, k: Int): DataFrame = {
+    val sp = shortlist.sparkSession
+    import sp.implicits._
+    shortlist.select(col("qid").cast("long"), col("id").cast("long"),
+        col("rel").cast("double"),
+        transform(col("vec"), x => x.cast("double")).as("vec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long,
+          it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        // id-ascending base order + strict > in the argmax = smallest id
+        // wins ties, mirroring the oracle's max(struct(score, -id))
+        val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
+          .toArray.sortBy(_._1)
+        val n = cands.length
+        val active = Array.fill(n)(true)
+        val pen = new Array[Double](n)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          val m = math.min(a.length, b.length)
+          var dot = 0.0
+          var i = 0
+          while (i < m) { dot += a(i) * b(i); i += 1 }
+          def nrm(x: Array[Double]): Double = {
+            var s = 0.0
+            var j = 0
+            while (j < x.length) { s += x(j) * x(j); j += 1 }
+            math.sqrt(s)
+          }
+          dot / (nrm(a) * nrm(b))
+        }
+        // Spark SQL round semantics (BigDecimal HALF_UP), same as the
+        // shortlist's own sim rounding
+        def rnd(v: Double): Double = BigDecimal(v)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (1 to math.min(k, n)).iterator.map { step =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (active(i)) {
+              val s = lambda * cands(i)._2 - (1 - lambda) * pen(i)
+              if (s > bestScore) { bestScore = s; best = i }
+            }
+            i += 1
+          }
+          active(best) = false
+          val (id, rel, vec) = cands(best)
+          var j = 0
+          while (j < n) {
+            if (active(j))
+              pen(j) = math.max(pen(j), rnd(cos(cands(j)._3, vec)))
+            j += 1
+          }
+          // the score is emitted RAW: λ·rel − (1−λ)·pen over 4-decimal
+          // inputs lands exactly on round-half boundaries (0.7·0.3985 =
+          // 0.27895), where engines' round() disagree; the unrounded
+          // double is bit-identical in both (same IEEE ops, same inputs)
+          (qid, step, id, rel, bestScore)
+        }
+      }
+      .toDF("qid", "mmr_rank", "neighbor", "rel", "mmr_score")
+  }
 }

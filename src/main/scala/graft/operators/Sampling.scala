@@ -62,6 +62,55 @@ object Sampling {
       .drop("__n")
   }
 
+  /** FIRST-FIT-DECREASING bin packing to a token budget — the padding-
+    * waste killer beside [[packingLayout]]'s concat-then-chunk: documents
+    * are NOT split across context windows; each doc lands whole in the
+    * first bin with room, docs placed longest-first. FFD guarantees
+    * ≤ 11/9·OPT + 1 bins (Johnson 1973), which at LLM context sizes
+    * means low-single-digit-percent padding waste instead of the chunk
+    * layout's mid-sequence document truncation.
+    *
+    * Distributed shape: a length-bucket SHUFFLE on `shard` (hash
+    * partition), then an in-memory greedy pack PER SHARD — packing is
+    * inherently sequential, so the parallelism unit is the shard and the
+    * shard count is the scale knob (size shards so one shard's (id, len)
+    * pairs fit a task: ~16 bytes/doc, so a million-doc shard is 16 MB).
+    * An item longer than `capacity` opens its own bin and — its
+    * remaining capacity being negative — never receives a second item:
+    * oversize docs isolate naturally, no special case.
+    *
+    * Determinism (the oracle-replay contract): items sort by (n_tokens
+    * DESC, id ASC); bins are probed in opening order; first fit wins.
+    * Output: (doc_id, shard, n_tokens, bin_id) with bin_id 0-based and
+    * shard-local — (shard, bin_id) is the global window key, exactly
+    * like packingLayout's (shard, pack_id). */
+  def ffdPacking(df: DataFrame, shard: Column, docId: Column,
+      nTokens: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(shard.cast("long").as("shard"),
+        docId.cast("long").as("doc_id"),
+        nTokens.cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sh: Long, it: Iterator[(Long, Long, Long)]) =>
+        val items = it.map { case (_, id, n) => (id, n) }.toArray
+        java.util.Arrays.sort(items,
+          Ordering.by[(Long, Long), (Long, Long)] { case (id, n) => (-n, id) })
+        // remaining capacity per open bin, in opening order; FFD keeps
+        // every bin open (a later small item may still fit an early bin)
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, n) =>
+          var i = 0
+          while (i < bins.length && bins(i) < n) i += 1
+          if (i == bins.length) bins += (capacity - n) else bins(i) -= n
+          (id, sh, n, i.toLong)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "bin_id")
+  }
+
   /** Add a `split` column ("train" / "val" / "test") by hash percent:
     * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val, rest test.
     */

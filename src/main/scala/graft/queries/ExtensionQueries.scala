@@ -795,6 +795,52 @@ object ExtensionQueries {
        |  ((start_offset + n_tokens - 1) // 512) > (start_offset // 512) AS spans_boundary
        |FROM o ORDER BY doc_id""".stripMargin
 
+  /** FIRST-FIT-DECREASING sequence packing ([[graft.operators.Sampling
+    * .ffdPacking]]) — t8's concat-then-chunk splits documents across
+    * context-window boundaries; production LLM pipelines bin-pack
+    * instead (each doc whole, longest-first into the first bin with
+    * room) to cut padding waste below ~5% with zero truncation. The
+    * distributed shape is a length-bucket shuffle on shard + per-shard
+    * greedy pack; the oracle replays the exact greedy with a recursive
+    * CTE stepping items in (n_tokens DESC, doc_id) order, so a single
+    * divergent placement anywhere in the sequence fails the hash. The
+    * ≤5% waste bound is asserted in OperatorSpec ("ffd packing"). */
+  def t37FfdPack(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.ffdPacking(
+        documents(sp, dir).select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id") % 8, col("doc_id"), col("n_tokens"), capacity = 256)
+      .orderBy("doc_id")
+
+  val t37Sql: String =
+    s"""WITH RECURSIVE items AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    CAST(len($Toks) AS BIGINT) AS n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % 8
+       |      ORDER BY len($Toks) DESC, doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+       |    []::BIGINT[] AS bins
+       |  FROM (SELECT DISTINCT shard FROM items)
+       |  UNION ALL
+       |  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+       |    CAST(COALESCE(s.fit, len(s.bins) + 1) - 1 AS BIGINT) AS bin_id,
+       |    CASE WHEN s.fit IS NULL THEN list_append(s.bins, 256 - s.n_tokens)
+       |         ELSE list_transform(range(1, len(s.bins) + 1),
+       |           j -> CASE WHEN j = s.fit THEN s.bins[j] - s.n_tokens
+       |                ELSE s.bins[j] END)
+       |    END AS bins
+       |  FROM (SELECT i.shard, i.rn, i.doc_id, i.n_tokens, p.bins,
+       |      list_aggregate(list_transform(range(1, len(p.bins) + 1),
+       |        j -> CASE WHEN p.bins[j] >= i.n_tokens THEN j ELSE NULL END),
+       |        'min') AS fit
+       |    FROM pack p JOIN items i
+       |      ON i.shard = p.shard AND i.rn = p.rn + 1) s)
+       |SELECT doc_id, shard, n_tokens, bin_id FROM pack WHERE rn > 0
+       |ORDER BY doc_id""".stripMargin
+
   /** Quality curation — drop each language's bottom decile by the
     * composite quality score (the per-stratum floor a training-mix
     * pipeline applies before sampling). percent_rank gives ties identical
@@ -1178,6 +1224,79 @@ object ExtensionQueries {
        |    / SUM(done.np * words.n), 4) AS chars_per_piece
        |FROM words JOIN done ON done.w = words.w
        |GROUP BY words.lang ORDER BY words.lang""".stripMargin
+  }
+
+  // t38's HTML-ish wrapper pieces — shared verbatim between the Spark
+  // construction and the oracle's SQL literal (single-quote-free so they
+  // interpolate into a SQL string literal unescaped). Deliberate tag
+  // soup: an attribute without quotes, a bare <br>, a comment and a
+  // script both containing a literal '<', entities in the footer.
+  private val T38P1 = "<html><head><title>Doc "
+  private val T38P2 = "</title><style>body{margin:0} p>a{color:#00f}" +
+    "</style><script type=text/javascript>if (1 < 2) { var x = \"<b>\"; }" +
+    "</script></head><body><div class=\"nav\"><a href=\"/home\">Home</a>" +
+    " | <a href=\"/about\">About</a></div><!-- boilerplate: 3 < 5 -->" +
+    "<h1>Doc "
+  private val T38P3 = "</h1><p>"
+  private val T38P4 = "</p><br><div class=footer>Contact &lt;ads&gt; " +
+    "&amp; &quot;sales&quot;&nbsp;now</div></body></html>"
+
+  /** HTML BOILERPLATE STRIP + markup-density filter — the step a
+    * CommonCrawl-style corpus needs BEFORE any of the clean-text t-gates
+    * apply: tag-soup pages are reduced to main text by a LENIENT rule
+    * chain that never errors on malformed markup (an unquoted attribute,
+    * a bare `<br>`, a stray `<` in text or script all pass through the
+    * rules deterministically — there is no parse to fail). The chain is
+    * five codegen'd `regexp_replace`/`replace` passes (comments, then
+    * script/style blocks wholesale, then tags, then the five common
+    * entities, then whitespace collapse) — expressed as builtin string
+    * functions rather than a custom scanner precisely so the oracle can
+    * replay the SAME rules text-identically and hash the extracted text;
+    * RE2 and Java agree on every construct used ((?is), lazy `.*?`,
+    * explicit char classes). The text-density ratio (kept chars / raw
+    * chars) is the markup-density filter: boilerplate-dominated pages
+    * score low and are flagged, the trafilatura-style heuristic.
+    *
+    * Scale: pure per-row scan work, whole-stage codegen, no shuffle
+    * before the final orderBy; at 100 TB this is a map-only pass. */
+  def t38HtmlStrip(sp: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit(T38P1), col("doc_id").cast("string"), lit(T38P2),
+      col("doc_id").cast("string"), lit(T38P3), col("text"), lit(T38P4))
+    documents(sp, dir)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), length(col("html")).as("n_raw"),
+        Text.htmlStrip(col("html")).as("main_text"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("main_text")).as("n_text"),
+        round(length(col("main_text")).cast("double")
+          / col("n_raw"), 4).as("density"),
+        col("main_text"))
+      .withColumn("keep", col("density") >= 0.45)
+      .orderBy("doc_id")
+  }
+
+  val t38Sql: String = {
+    // the pieces are single-quote-free by construction, so they drop
+    // into SQL string literals verbatim (double quotes need no escape)
+    val html = s"concat('$T38P1', doc_id::VARCHAR, '$T38P2', " +
+      s"doc_id::VARCHAR, '$T38P3', text, '$T38P4')"
+    val noComment = s"regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g')"
+    val noScript = s"regexp_replace($noComment, " +
+      s"'(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, " +
+      s"'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noTags = s"regexp_replace($noStyle, '</?[a-zA-Z][^>]*>', ' ', 'g')"
+    val decoded = "replace(replace(replace(replace(replace(" + noTags +
+      ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&nbsp;', ' '), " +
+      "'&amp;', '&')"
+    val stripped = s"trim(regexp_replace($decoded, '[ \\t\\n\\r]+', ' ', 'g'))"
+    s"""WITH h AS (SELECT doc_id, $html AS html FROM documents),
+       |s AS (SELECT doc_id, CAST(length(html) AS INT) AS n_raw,
+       |    $stripped AS main_text FROM h)
+       |SELECT doc_id, n_raw, CAST(length(main_text) AS INT) AS n_text,
+       |  round(length(main_text)::DOUBLE / n_raw, 4) AS density,
+       |  main_text, density >= 0.45 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** Positional inverted index + exact phrase search
@@ -2265,6 +2384,68 @@ object ExtensionQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
        |  round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** MMR-DIVERSIFIED re-rank ([[Ann.mmrRerank]]) over a brute-force
+    * shortlist — the RAG answer-diversity pass: a pure top-k hands the
+    * generator k near-duplicate passages; MMR greedily trades relevance
+    * against similarity-to-already-selected (λ=0.7), so the 5 returned
+    * rows cover 5 distinct regions of the shortlist. Shortlist N=12 from
+    * a1's exact scorer (rel pre-rounded there); the greedy runs per-qid
+    * inside one task (driver-free, result-sized), and the oracle replays
+    * the exact selection sequence with a recursive CTE over a candidate
+    * list carrying (id, rel, vec, penalty) — one divergent pick anywhere
+    * cascades and fails the hash. */
+  def a19MmrRerank(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val short = Ann.bruteForceTopK(qs, corpus, 12)
+      .select(col("qid"), col("neighbor").as("id"), col("sim").as("rel"))
+    // reattach candidate vectors: shortlist is result-sized, broadcast it
+    val withVec = corpus.join(broadcast(short), "id")
+    Ann.mmrRerank(withVec, lambda = 0.7, k = 5).orderBy("qid", "mmr_rank")
+  }
+
+  val a19Sql: String =
+    s"""WITH RECURSIVE q AS (SELECT vec_id AS qid, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < 5),
+       |s AS (SELECT q.qid, e.vec_id AS id,
+       |        round(${cosSql("q.qvec", "e.embedding")}, 4) AS rel,
+       |        e.embedding AS vec,
+       |        ROW_NUMBER() OVER (PARTITION BY q.qid
+       |          ORDER BY ${cosSql("q.qvec", "e.embedding")} DESC, e.vec_id)
+       |          AS rank
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |init AS (SELECT qid, list(struct_pack(id := id, rel := rel,
+       |    vec := vec, pen := CAST(0.0 AS DOUBLE)) ORDER BY id) AS cands
+       |  FROM s WHERE rank <= 12 GROUP BY qid),
+       |mmr AS (
+       |  SELECT qid, CAST(0 AS BIGINT) AS step, CAST(NULL AS BIGINT)
+       |      AS pick_id, CAST(NULL AS DOUBLE) AS rel,
+       |    CAST(NULL AS DOUBLE) AS mmr_score, cands
+       |  FROM init
+       |  UNION ALL
+       |  SELECT qid, step + 1, (pick).id, (pick).rel,
+       |    0.7::DOUBLE * (pick).rel
+       |      - (1.0::DOUBLE - 0.7::DOUBLE) * (pick).pen,
+       |    list_transform(list_filter(cands, c -> c.id != (pick).id),
+       |      c -> struct_pack(id := c.id, rel := c.rel, vec := c.vec,
+       |        pen := greatest(c.pen,
+       |          round(${cosSql("c.vec", "(pick).vec")}, 4))))
+       |  FROM (
+       |    SELECT qid, step, cands,
+       |      list_filter(cands, c -> c.id = -((bk).i))[1] AS pick
+       |    FROM (
+       |      SELECT qid, step, cands,
+       |        list_aggregate(list_transform(cands,
+       |          c -> struct_pack(s := 0.7::DOUBLE * c.rel
+       |              - (1.0::DOUBLE - 0.7::DOUBLE) * c.pen,
+       |            i := -c.id)), 'max') AS bk
+       |      FROM mmr WHERE step < 5 AND len(cands) > 0)))
+       |SELECT qid, CAST(step AS INT) AS mmr_rank, pick_id AS neighbor,
+       |  rel, mmr_score
+       |FROM mmr WHERE step > 0 ORDER BY qid, mmr_rank""".stripMargin
 
   /** IVF with seeded k-means refinement (2 Lloyd iterations over the stride
     * sample), then the same nprobe search as a3. The oracle unrolls both
@@ -5211,12 +5392,15 @@ object ExtensionQueries {
     "s22_transform_with_state" -> (s22TransformWithState _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
+    "a19_mmr_rerank" -> (a19MmrRerank _),
     "p13_chi_square" -> (p13ChiSquare _),
     "m9_wav_gain" -> (m9WavGain _),
     "t34_readability" -> (t34Readability _),
     "p14_cusum" -> (p14Cusum _),
     "t35_kwic" -> (t35Kwic _),
     "t36_tokenizer_fertility" -> (t36TokenizerFertility _),
+    "t37_ffd_pack" -> (t37FfdPack _),
+    "t38_html_strip" -> (t38HtmlStrip _),
     "p15_mad" -> (p15Mad _),
     "p16_embedding_drift" -> (p16EmbeddingDrift _))
 
@@ -5339,12 +5523,15 @@ object ExtensionQueries {
     "s22_transform_with_state" -> s22Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
+    "a19_mmr_rerank" -> a19Sql,
     "p13_chi_square" -> p13Sql,
     "m9_wav_gain" -> m9Sql,
     "t34_readability" -> t34Sql,
     "p14_cusum" -> p14Sql,
     "t35_kwic" -> t35Sql,
     "t36_tokenizer_fertility" -> t36Sql,
+    "t37_ffd_pack" -> t37Sql,
+    "t38_html_strip" -> t38Sql,
     "p15_mad" -> p15Sql,
     "p16_embedding_drift" -> p16Sql)
 }

@@ -1912,4 +1912,106 @@ class OperatorSpec extends AnyFunSuite {
         s"digit ${r.getInt(0)}")
     }
   }
+
+  test("mmr rerank: rank 1 is the pure-relevance pick, a near-duplicate " +
+      "of it is deferred behind a diverse lower-relevance candidate") {
+    import spark.implicits._
+    // candidate b is almost collinear with a (cos ~ 1) but slightly less
+    // relevant; c is orthogonal and much less relevant. Pure top-3 orders
+    // a, b, c; MMR at lambda=0.7 must order a, c, b: after picking a,
+    // b's penalty ~1 crushes its score (.7*.89 - .3*1 = .323) below c's
+    // unpenalized .7*.60 = .42.
+    val shortlist = Seq(
+      (1L, 10L, 0.90, Seq(1.0, 0.0)),
+      (1L, 11L, 0.89, Seq(0.999, 0.0447)),
+      (1L, 12L, 0.60, Seq(0.0, 1.0))
+    ).toDF("qid", "id", "rel", "vec")
+    val got = Ann.mmrRerank(shortlist, lambda = 0.7, k = 3)
+      .orderBy("mmr_rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 10L), (2, 12L), (3, 11L)))
+  }
+
+  test("mmr rerank: k capped by shortlist size and picks are distinct " +
+      "per query") {
+    import spark.implicits._
+    val shortlist = Seq(
+      (1L, 10L, 0.9, Seq(1.0, 0.0)), (1L, 11L, 0.8, Seq(0.0, 1.0)),
+      (2L, 20L, 0.7, Seq(1.0, 1.0))
+    ).toDF("qid", "id", "rel", "vec")
+    val got = Ann.mmrRerank(shortlist, lambda = 0.7, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.count(_._1 == 1L) == 2) // only 2 candidates exist
+    assert(got.count(_._1 == 2L) == 1)
+    assert(got.map(g => (g._1, g._3)).distinct.length == got.length)
+  }
+
+  test("html strip: boilerplate gone, entities decoded, tag soup " +
+      "survives leniently") {
+    import spark.implicits._
+    val soup = "<html><head><style>p{x:1}</style>" +
+      "<script>if (a < b) { s = \"<i>\"; }</script></head>" +
+      "<body><!-- 2 < 3 --><DIV CLASS=nav><a href=/x>Nav</a></DIV>" +
+      "<p>keep &lt;this&gt; &amp; that&nbsp;too</p>" +
+      "<p>maths: 1 < 2 stays</p><br><div class=footer>foot</div>" +
+      "<p>unterminated <div tail"
+    val got = Seq(soup).toDF("h")
+      .select(graft.functions.Text.htmlStrip(col("h")))
+      .collect()(0).getString(0)
+    // script/style/comment bodies removed wholesale (incl. their '<'s),
+    // tags (any case, unquoted attrs) stripped, entities decoded, the
+    // literal "1 < 2" preserved, the unterminated trailing tag left as
+    // text (lenient: no parse, no error)
+    assert(got == "Nav keep <this> & that too maths: 1 < 2 stays foot " +
+      "unterminated <div tail")
+  }
+
+  test("ffd packing: every bin within capacity, docs never split, " +
+      "waste under 5% at gate scale, and FFD beats concat-chunk on " +
+      "truncation") {
+    // sf0.01: enough docs per shard (~62) that the per-shard tail bin
+    // amortizes — the waste bound the verdict asked to gate
+    val cap = 256L
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+    val packed = Sampling.ffdPacking(
+      docs, col("doc_id") % 8, col("doc_id"), col("n_tokens"), cap)
+    val rows = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // each doc appears exactly once (never split across bins)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byBin = rows.groupBy(r => (r._2, r._4))
+      .map { case (k, g) => (k, g.map(_._3).sum) }
+    // no bin over capacity (all docs here are < cap, so no oversize bins)
+    assert(byBin.values.forall(_ <= cap), s"bin over capacity")
+    // bin ids dense from 0 per shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val ids = g.map(_._4).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length).map(identity))
+    }
+    val total = rows.map(_._3).sum.toDouble
+    val waste = 1.0 - total / (byBin.size * cap)
+    assert(waste <= 0.05, f"padding waste $waste%.4f exceeds 5%%")
+    // vs t8's concat-then-chunk at the same capacity: chunking splits
+    // documents mid-sequence; FFD's whole-doc guarantee costs only the
+    // padding measured above
+    val chunked = Sampling.packingLayout(docs, col("doc_id") % 8,
+      col("doc_id"), col("n_tokens"), cap.toInt)
+    val nSplit = chunked.filter(col("spans_boundary")).count()
+    assert(nSplit > 0, "fixture too small to exercise the comparison")
+  }
+
+  test("ffd packing: an oversize item opens its own bin and never " +
+      "receives a second item") {
+    import spark.implicits._
+    val df = Seq((0L, 1L, 700L), (0L, 2L, 100L), (0L, 3L, 100L),
+      (0L, 4L, 50L)).toDF("shard", "doc_id", "n_tokens")
+    val packed = Sampling.ffdPacking(df, col("shard"), col("doc_id"),
+        col("n_tokens"), 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // longest-first: doc 1 (700) opens bin 0 with negative remaining;
+    // 100+100+50 pack together into bin 1 (remaining 56 >= 50)
+    assert(packed == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
