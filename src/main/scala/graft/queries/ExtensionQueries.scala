@@ -1299,6 +1299,69 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // t39's page pieces — two long content paragraphs separated by short
+  // boilerplate blocks (nav / ad / footer); single-quote-free like t38's
+  private val T39P1 = "<html><body><div class=nav><a href=/>Home</a> | " +
+    "<a href=/faq>FAQ</a></div><h1>Doc "
+  private val T39P2 = "</h1><p>"
+  private val T39P3 = "</p><div class=ad>BUY NOW!!!</div><p>"
+  private val T39P4 = "</p><div class=footer>(c) 2026 site</div>" +
+    "</body></html>"
+
+  /** BLOCK-LEVEL main-content extraction — the stage AFTER t38's flat
+    * strip: a flat strip keeps nav/ad/footer text glued to the article;
+    * the boilerplate detector works per BLOCK (trafilatura/boilerpipe's
+    * core idea): block-level tags become block boundaries, each block's
+    * text is cleaned independently, and only blocks with enough text
+    * (≥ 40 chars here — short nav/ad/footer fragments fall under) are
+    * stitched into the main text. Rules are split/transform/filter
+    * higher-order functions over one blockified string — every construct
+    * (regex tag classes, chr(10) boundaries, per-element lambdas) exists
+    * identically in both engines, so the oracle replays block-for-block.
+    *
+    * Scale: per-row string work, no shuffle before the final orderBy —
+    * map-only like t38. */
+  def t39BlockExtract(sp: SparkSession, dir: String): DataFrame = {
+    val page = concat(lit(T39P1), col("doc_id").cast("string"), lit(T39P2),
+      col("text"), lit(T39P3), upper(substring(col("text"), 1, 80)),
+      lit(T39P4))
+    // block-level tags -> newline boundaries; inline tags stripped later
+    val blockTags = "(?i)</?(html|body|div|p|h1|h2|h3|ul|ol|li|table|tr" +
+      "|td|br|section|article|header|footer|nav|blockquote)[^>]*>"
+    val blockified = regexp_replace(page, blockTags, "\n")
+    val cleaned = transform(split(blockified, "\n"), b =>
+      trim(regexp_replace(regexp_replace(b, "</?[a-zA-Z][^>]*>", " "),
+        "[ \\t\\r]+", " ")))
+    val nonEmpty = filter(cleaned, b => length(b) > 0)
+    val kept = filter(cleaned, b => length(b) >= 40)
+    documents(sp, dir)
+      .select(col("doc_id"), nonEmpty.as("blocks"), kept.as("kept"))
+      .select(col("doc_id"), size(col("blocks")).as("n_blocks"),
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("main_text"))
+      .orderBy("doc_id")
+  }
+
+  val t39Sql: String = {
+    val page = s"concat('$T39P1', doc_id::VARCHAR, '$T39P2', text, " +
+      s"'$T39P3', upper(substring(text, 1, 80)), '$T39P4')"
+    val blockTags = "(?i)</?(html|body|div|p|h1|h2|h3|ul|ol|li|table|tr" +
+      "|td|br|section|article|header|footer|nav|blockquote)[^>]*>"
+    val cleaned = s"list_transform(string_split(regexp_replace($page, " +
+      s"'$blockTags', chr(10), 'g'), chr(10)), b -> " +
+      "trim(regexp_replace(regexp_replace(b, '</?[a-zA-Z][^>]*>', ' ', " +
+      "'g'), '[ \\t\\r]+', ' ', 'g')))"
+    s"""WITH c AS (SELECT doc_id, $cleaned AS blocks FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(blocks, b -> length(b) > 0)) AS INT)
+       |    AS n_blocks,
+       |  CAST(len(list_filter(blocks, b -> length(b) >= 40)) AS INT)
+       |    AS n_kept,
+       |  array_to_string(list_filter(blocks, b -> length(b) >= 40), ' ')
+       |    AS main_text
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Positional inverted index + exact phrase search
     * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
     * the distributed posting-list form — then a 3-token phrase query
@@ -3176,6 +3239,45 @@ object ExtensionQueries {
 
   val s22Sql: String = s10Sql
 
+  /** transformWithState's MAP-STATE surface ([[graft.streaming.StreamOps
+    * .TwsCategoryCounts]]): a per-user event-type histogram kept as
+    * `MapState[String, Long]` — point-read/point-write per category, so
+    * one update never rewrites the whole map (the O(1)-vs-O(|map|)
+    * difference that makes MapState the wide-state primitive at 100 TB).
+    * Paced micro-batches as in s10/s22; update mode emits each key's
+    * running histogram per batch, and max over emissions equals the
+    * all-data counts ONLY if every map entry survived every batch
+    * boundary — one lost or double-counted category cell fails the hash.
+    * RocksDB provider required, pinned in a child session. */
+  def s23TwsMapState(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val inDir = graft.Tables.scratchDir("graft-s23-in")
+    ev.select(col("user_id"), col("event_type"))
+      .repartition(8).write.mode("overwrite").parquet(inDir)
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    val pairs = s2.readStream
+      .schema("user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "4").parquet(inDir)
+      .as[(Long, String)]
+    val updates = graft.streaming.StreamOps.categoryCountsTws(pairs)
+      .toDF("user_id", "event_type", "n_cum")
+    val name = "s23_tws_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    graft.streaming.StreamOps.runToMemory(s2, updates, name, "update")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n_cum")).as("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val s23Sql: String =
+    """SELECT user_id, event_type, count(*) AS n_events
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -5030,6 +5132,76 @@ object ExtensionQueries {
        |  LEFT JOIN b ON b.label = c.label
        |ORDER BY c.label""".stripMargin
 
+  /** HISTOGRAM drift between two corpus slices per event type — the
+    * scalar-distribution twin of p16's embedding drift, reported as
+    * TOTAL VARIATION DISTANCE instead of PSI: PSI's ln() is a
+    * transcendental whose last-ulp behavior differs across engines,
+    * while TVD = ½·Σ|pa−pb| stays in exact integer arithmetic until ONE
+    * IEEE division — |na·Nb − nb·Na| summed as BIGINT over the 16-bin
+    * histogram, divided once by 2·Na·Nb (the t31/p14 discipline). Slices
+    * are the event_id parity classes; bins are per-type equi-width over
+    * the type's own [min,max] (p8's two-pass shape: the min/max table is
+    * |event types| rows, broadcast back over the scan).
+    *
+    * Scale: the corpus reduces to type×bin×slice counts in one partial
+    * agg; everything downstream is domain-sized. TVD ∈ [0,1]; the 0.05
+    * flag is the retrain-trigger threshold a monitoring pipeline pages
+    * on. */
+  def p17HistDrift(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir).select(col("event_type"), col("value"),
+      (col("event_id") % 2 === 0).as("is_a"))
+    val mm = ev.groupBy("event_type")
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val binned = ev.join(broadcast(mm), "event_type")
+      .withColumn("bin", when(col("mx") > col("mn"),
+        least(floor((col("value") - col("mn"))
+          / (col("mx") - col("mn")) * 16), lit(15L)))
+        .otherwise(lit(0L)))
+    val cells = binned.groupBy(col("event_type"), col("bin"))
+      .agg(count(when(col("is_a"), 1)).as("na"),
+        count(when(!col("is_a"), 1)).as("nb"))
+    // slice totals ride a window OVER THE DOMAIN-SIZED cells table (≤ 16
+    // rows per type) — a groupBy+join would recompute the corpus-scan
+    // branch for the second consumer (no CSE across DataFrame reuse)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    cells
+      .select(col("event_type"), col("na"), col("nb"),
+        sum(col("na")).over(w).as("ta"), sum(col("nb")).over(w).as("tb"))
+      .groupBy(col("event_type"))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        (sum(abs(col("na") * col("tb") - col("nb") * col("ta")))
+          .cast("double")
+          / ((lit(2.0) * max(col("ta"))) * max(col("tb")))).as("tvd"))
+      .withColumn("drifted", col("tvd") > 0.05)
+      .orderBy("event_type")
+  }
+
+  val p17Sql: String =
+    """WITH ev AS (SELECT event_type, value, event_id % 2 = 0 AS is_a
+      |  FROM events),
+      |mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+      |  FROM ev GROUP BY 1),
+      |b AS (SELECT e.event_type, e.is_a,
+      |    CASE WHEN m.mx > m.mn THEN CAST(least(floor(
+      |      (e.value - m.mn) / (m.mx - m.mn) * 16), 15) AS BIGINT)
+      |    ELSE 0 END AS bin
+      |  FROM ev e JOIN mm m USING (event_type)),
+      |cells AS (SELECT event_type, bin,
+      |    count(*) FILTER (is_a) AS na,
+      |    count(*) FILTER (NOT is_a) AS nb
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, na, nb,
+      |    CAST(SUM(na) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+      |    CAST(SUM(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+      |  FROM cells)
+      |SELECT event_type, MAX(ta) AS n_a, MAX(tb) AS n_b,
+      |  CAST(SUM(abs(na * tb - nb * ta)) AS DOUBLE)
+      |    / ((CAST(2.0 AS DOUBLE) * MAX(ta)) * MAX(tb)) AS tvd,
+      |  CAST(SUM(abs(na * tb - nb * ta)) AS DOUBLE)
+      |    / ((CAST(2.0 AS DOUBLE) * MAX(ta)) * MAX(tb))
+      |    > CAST(0.05 AS DOUBLE) AS drifted
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Keyword-in-context (KWIC) snippet extraction — the search-preview /
     * concordance primitive (t23's positional index finds WHERE; this
     * materializes the reading context): for every document containing
@@ -5390,6 +5562,7 @@ object ExtensionQueries {
     "s20_stream_xml_tag" -> (s20StreamXmlTag _),
     "s21_stream_cms" -> (s21StreamCms _),
     "s22_transform_with_state" -> (s22TransformWithState _),
+    "s23_tws_mapstate" -> (s23TwsMapState _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -5401,8 +5574,10 @@ object ExtensionQueries {
     "t36_tokenizer_fertility" -> (t36TokenizerFertility _),
     "t37_ffd_pack" -> (t37FfdPack _),
     "t38_html_strip" -> (t38HtmlStrip _),
+    "t39_block_extract" -> (t39BlockExtract _),
     "p15_mad" -> (p15Mad _),
-    "p16_embedding_drift" -> (p16EmbeddingDrift _))
+    "p16_embedding_drift" -> (p16EmbeddingDrift _),
+    "p17_hist_drift" -> (p17HistDrift _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -5521,6 +5696,7 @@ object ExtensionQueries {
     "s20_stream_xml_tag" -> s20Sql,
     "s21_stream_cms" -> s21Sql,
     "s22_transform_with_state" -> s22Sql,
+    "s23_tws_mapstate" -> s23Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,
@@ -5532,6 +5708,8 @@ object ExtensionQueries {
     "t36_tokenizer_fertility" -> t36Sql,
     "t37_ffd_pack" -> t37Sql,
     "t38_html_strip" -> t38Sql,
+    "t39_block_extract" -> t39Sql,
     "p15_mad" -> p15Sql,
-    "p16_embedding_drift" -> p16Sql)
+    "p16_embedding_drift" -> p16Sql,
+    "p17_hist_drift" -> p17Sql)
 }

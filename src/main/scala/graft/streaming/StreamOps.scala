@@ -261,6 +261,53 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-key CATEGORY HISTOGRAM through transformWithState's MapState —
+    * the third typed-state primitive beside s22's ValueState and the
+    * timer spec's session state: each micro-batch folds its rows into a
+    * per-(user, category) counter kept as `MapState[String, Long]`, and
+    * the batch emits the key's full current histogram (update-mode
+    * running totals, one row per category). Map entries are point-read/
+    * point-written — the state store never materializes the whole map to
+    * update one category, which is the reason MapState exists (a
+    * ValueState[Map] would rewrite the full map per batch; at
+    * 100 TB-state scale with wide maps that is the difference between
+    * O(1) and O(|map|) per update). Additions are order-insensitive, so
+    * the emission is deterministic under any shuffle arrival order. */
+  class TwsCategoryCounts
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+      TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      rows.foreach { case (_, cat) =>
+        val cur = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+        counts.updateValue(cat, cur + 1L)
+      }
+      // snapshot eagerly: the store-backed iterator must not be consumed
+      // after the handler returns
+      counts.iterator().map { case (cat, n) => (key, cat, n) }
+        .toVector.iterator
+    }
+  }
+
+  /** Per-user event-type running histogram via [[TwsCategoryCounts]];
+    * requires the RocksDB provider like every transformWithState query. */
+  def categoryCountsTws(pairs: org.apache.spark.sql.Dataset[(Long, String)])
+      : org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new TwsCategoryCounts,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Event-time SESSION EXPIRY through transformWithState's TIMER surface
     * (the capability `flatMapGroupsWithState` never had as a first-class
     * API): each input batch extends the key's session state and re-arms

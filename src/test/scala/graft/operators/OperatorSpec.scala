@@ -1913,6 +1913,76 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("p17 TVD drift: zero against itself, bounded by 1, and a " +
+      "disjoint-support pair scores exactly 1") {
+    import spark.implicits._
+    // same rows in both slices -> every |na*Nb - nb*Na| term is 0
+    val same = Seq.tabulate(40)(i => (2L * i, "x", (i % 7).toDouble)) ++
+      Seq.tabulate(40)(i => (2L * i + 1, "x", (i % 7).toDouble))
+    val dirSame = graft.Tables.scratchDir("graft-p17-same")
+    same.toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(dirSame + "/events.parquet")
+    val r = graft.queries.ExtensionQueries.p17HistDrift(spark, dirSame)
+      .collect()(0)
+    assert(r.getDouble(3) == 0.0 && !r.getBoolean(4))
+    // even ids all at low values, odd ids all at high -> no shared bin
+    val split = Seq.tabulate(40)(i => (2L * i, "x", 0.0 + (i % 4) * 0.1)) ++
+      Seq.tabulate(40)(i => (2L * i + 1, "x", 100.0 + (i % 4) * 0.1))
+    val dirSplit = graft.Tables.scratchDir("graft-p17-split")
+    split.toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(dirSplit + "/events.parquet")
+    val r2 = graft.queries.ExtensionQueries.p17HistDrift(spark, dirSplit)
+      .collect()(0)
+    assert(r2.getDouble(3) == 1.0 && r2.getBoolean(4))
+  }
+
+  test("t39 block extract: nav/ad/footer blocks fall under the length " +
+      "floor; both content paragraphs survive in order") {
+    val row = graft.queries.ExtensionQueries
+      .t39BlockExtract(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(row.getInt(1) == 6) // nav, h1, p, ad, p2, footer
+    assert(row.getInt(2) == 2) // only the two content paragraphs
+    val text = row.getString(3)
+    assert(!text.contains("BUY NOW") && !text.contains("Home") &&
+      !text.contains("(c) 2026"))
+    // second kept block is the uppercased 80-char prefix, in order
+    // the cleaned block is trimmed, so trim the expected prefix too
+    val upperStart = text.indexWhere(_.isUpper)
+    assert(upperStart > 0 && text.substring(upperStart) ==
+      text.substring(0, 80).toUpperCase.trim)
+  }
+
+  test("a19 plan: the shortlist reattach is a broadcast join (the corpus " +
+      "is never shuffled to meet a result-sized table)") {
+    val df = graft.queries.ExtensionQueries.a19MmrRerank(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      "shortlist-vector reattach should broadcast the result-sized side")
+    // shuffles: the brute top-k's qid rank window, the per-qid greedy's
+    // groupByKey, the final orderBy — nothing corpus-shaped beyond those
+    val shuffles =
+      collectShuffles(df.queryExecution.executedPlan)
+    assert(shuffles.size <= 3, s"unexpected extra shuffles:\n$phys")
+  }
+
+  test("t37 plan: one hash shuffle on shard feeds the per-shard greedy " +
+      "(plus the gate's display orderBy)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+    val packed = Sampling.ffdPacking(
+      docs, col("doc_id") % 8, col("doc_id"), col("n_tokens"), 256L)
+    val shuffles = collectShuffles(packed.queryExecution.executedPlan)
+    assert(shuffles.size == 1,
+      s"ffdPacking should shuffle exactly once (hash on shard), got " +
+        s"${shuffles.size}")
+  }
+
   test("mmr rerank: rank 1 is the pure-relevance pick, a near-duplicate " +
       "of it is deferred behind a diverse lower-relevance candidate") {
     import spark.implicits._

@@ -166,6 +166,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState MapState: per-category counters survive " +
+      "batch boundaries independently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val updates = StreamOps.categoryCountsTws(in.toDS())
+      .toDF("key", "cat", "n")
+    val name = "tws_map_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = updates.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData((1L, "a"), (1L, "a"), (1L, "b"))
+      q.processAllAvailable()
+      in.addData((1L, "b"), (1L, "c"))
+      q.processAllAvailable()
+      val rows = s2.table(name)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // batch 1 snapshot: a=2, b=1; batch 2 snapshot must read a=2 back
+      // from the map (untouched this batch), bump b, and add c
+      assert(rows.contains((1L, "a", 2L)) && rows.contains((1L, "b", 1L)))
+      assert(rows.contains((1L, "b", 2L)) && rows.contains((1L, "c", 1L)))
+      assert(!rows.contains((1L, "a", 1L)) && !rows.contains((1L, "a", 3L)))
+    } finally q.stop()
+  }
+
   test("transformWithState event-time timers: a session emits exactly " +
       "once, when the watermark passes its re-armed timer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
