@@ -118,6 +118,27 @@ object Text {
   /** Document fingerprint (rolling hash over tokens) — see Hashing. */
   def docFingerprint(c: Column): Column = Hashing.fingerprint(tokens(c))
 
+  /** URL canonicalization — the key function under exact URL dedup
+    * (gate t40): lowercase scheme+host, strip a `www.` prefix, drop the
+    * fragment, drop a path's trailing slash, remove `utm_*` tracking
+    * parameters, and SORT the surviving query parameters so parameter
+    * order never splits a dedup group. Pure regex/HOF column work shared
+    * construct-for-construct with the DuckDB oracle. */
+  def urlCanonicalize(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(base, "^[A-Za-z]+://([^/]*)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(base, "^[A-Za-z]+://[^/]*(/.*)?$", 1), "/$", "")
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !startswith(p, lit("utm_")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   /** LENIENT HTML boilerplate strip — tag-soup to main text with a rule
     * chain that never errors on malformed markup (there is no parse to
     * fail): comments, then whole script/style blocks, then tags (a `<`

@@ -1362,6 +1362,80 @@ object ExtensionQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** URL CANONICALIZATION + exact dedup by canonical URL — the cheapest
+    * and first dedup pass a web-corpus pipeline runs (before any content
+    * hashing): the same page arrives under host-case variants, www
+    * prefixes, trailing slashes, tracking parameters, and fragments.
+    * Rules (each a builtin string/regex/HOF op shared verbatim with the
+    * oracle): lowercase scheme+host, strip `www.`, strip the fragment,
+    * drop a path's trailing slash, remove `utm_*` parameters, SORT the
+    * surviving parameters. Grouping then rides ONE hash shuffle on the
+    * canonical key with a window over the (tiny) per-URL groups — the d1
+    * exact-dedup shape keyed by canonical URL instead of content hash.
+    * URLs are synthesized from doc_id with deliberate variant collisions
+    * so raw-distinct rows genuinely collapse. */
+  def t40UrlCanonical(sp: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://WWW.Site"))
+        .otherwise(lit("https://www.site")),
+      (col("doc_id") % 7).cast("string"), lit(".com/Article/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), (col("doc_id") % 20).cast("string"),
+      lit("&utm_source=feed"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, lit("&ref=tw")).otherwise(lit("")),
+      lit("#sec"), (col("doc_id") % 4).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_url")
+    documents(sp, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", Text.urlCanonicalize(col("url")))
+      .select(col("doc_id"), col("canonical_url"),
+        min(col("doc_id")).over(w).as("rep_doc"),
+        count(lit(1)).over(w).as("n_variants"))
+      .withColumn("is_dup", col("doc_id") =!= col("rep_doc"))
+      .orderBy("doc_id")
+  }
+
+  val t40Sql: String =
+    """WITH u AS (SELECT doc_id,
+      |    concat(CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.Site'
+      |        ELSE 'https://www.site' END,
+      |      (doc_id % 7)::VARCHAR, '.com/Article/', (doc_id % 40)::VARCHAR,
+      |      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+      |      '?id=', (doc_id % 20)::VARCHAR,
+      |      '&utm_source=feed', doc_id::VARCHAR,
+      |      CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END,
+      |      '#sec', (doc_id % 4)::VARCHAR) AS url
+      |  FROM documents),
+      |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+      |  FROM u),
+      |c AS (SELECT doc_id,
+      |    concat(
+      |      lower(regexp_extract(regexp_extract(nofrag, '^([^?]*)', 1),
+      |        '^([A-Za-z]+)://', 1)),
+      |      '://',
+      |      regexp_replace(lower(regexp_extract(
+      |        regexp_extract(nofrag, '^([^?]*)', 1),
+      |        '^[A-Za-z]+://([^/]*)', 1)), '^www\.', ''),
+      |      regexp_replace(regexp_extract(
+      |        regexp_extract(nofrag, '^([^?]*)', 1),
+      |        '^[A-Za-z]+://[^/]*(/.*)?$', 1), '/$', ''),
+      |      CASE WHEN array_to_string(list_sort(list_filter(
+      |          string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+      |          q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&')
+      |          <> ''
+      |        THEN concat('?', array_to_string(list_sort(list_filter(
+      |          string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+      |          q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&'))
+      |        ELSE '' END) AS canonical_url
+      |  FROM p)
+      |SELECT doc_id, canonical_url,
+      |  MIN(doc_id) OVER (PARTITION BY canonical_url) AS rep_doc,
+      |  COUNT(*) OVER (PARTITION BY canonical_url) AS n_variants,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_dup
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Positional inverted index + exact phrase search
     * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
     * the distributed posting-list form — then a 3-token phrase query
@@ -5575,6 +5649,7 @@ object ExtensionQueries {
     "t37_ffd_pack" -> (t37FfdPack _),
     "t38_html_strip" -> (t38HtmlStrip _),
     "t39_block_extract" -> (t39BlockExtract _),
+    "t40_url_canonical" -> (t40UrlCanonical _),
     "p15_mad" -> (p15Mad _),
     "p16_embedding_drift" -> (p16EmbeddingDrift _),
     "p17_hist_drift" -> (p17HistDrift _))
@@ -5709,6 +5784,7 @@ object ExtensionQueries {
     "t37_ffd_pack" -> t37Sql,
     "t38_html_strip" -> t38Sql,
     "t39_block_extract" -> t39Sql,
+    "t40_url_canonical" -> t40Sql,
     "p15_mad" -> p15Sql,
     "p16_embedding_drift" -> p16Sql,
     "p17_hist_drift" -> p17Sql)

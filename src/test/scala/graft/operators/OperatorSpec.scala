@@ -1913,6 +1913,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("url canonicalize: case/www/fragment/trailing-slash/utm variants " +
+      "all collapse; surviving params sort; path case is preserved") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://WWW.Example.COM/Path/?utm_source=x&b=2&a=1#frag",
+      "HTTPS://example.com/Path?a=1&b=2",
+      "https://www.example.com/Path/?b=2&utm_campaign=z&a=1",
+      "https://example.com/path?a=1&b=2", // different PATH case: distinct
+      "https://example.com") // no path, no query
+    val got = urls.toDF("u")
+      .select(graft.functions.Text.urlCanonicalize(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "https://example.com/Path?a=1&b=2")
+    assert(got(1) == got(0) && got(2) == got(0))
+    assert(got(3) == "https://example.com/path?a=1&b=2" && got(3) != got(0))
+    assert(got(4) == "https://example.com")
+  }
+
   test("p17 TVD drift: zero against itself, bounded by 1, and a " +
       "disjoint-support pair scores exactly 1") {
     import spark.implicits._
