@@ -1535,9 +1535,18 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-    val nD = col("n").cast("decimal(20,0)")
-    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
-    val den = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    // Combine the EXACT decimal sums in a fixed IEEE double tree: the
+    // decimal-typed combination n·sxy − sx·sy needs > 38 digits of type
+    // precision at sf ≥ 0.1, and the two engines round the clamped
+    // decimal differently in the last ulp (caught by the sf0.1 suite
+    // check). Each sum is exact, its cast to double is the same
+    // correctly-rounded value in both engines, and the double ops below
+    // are the same IEEE tree — bit-identical at any scale factor.
+    val nD = col("n").cast("double")
+    val num = (nD * col("sxy").cast("double")) -
+      (col("sx").cast("double") * col("sy").cast("double"))
+    val den = (nD * col("sxx").cast("double")) -
+      (col("sx").cast("double") * col("sx").cast("double"))
     st.select(col("l_returnflag"), col("n"),
         (num / den).as("slope"),
         ((col("sy").cast("double") - (num / den) *
@@ -1557,11 +1566,15 @@ object Relational {
       |        CAST(l_quantity AS DECIMAL(18,2))) AS sxx
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS DOUBLE) /
-      |    CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
       |  (CAST(sy AS DOUBLE) -
-      |    (CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS DOUBLE) /
-      |     CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx AS DOUBLE)) *
+      |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
       |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
       |FROM st ORDER BY l_returnflag""".stripMargin
 
