@@ -548,4 +548,53 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(peaks.keySet == maxE.keySet && peaks.nonEmpty)
     peaks.foreach { case (d, p) => assert(p * p == maxE(d), s"doc $d") }
   }
+
+  test("ffdPacking laws on random item sets: valid packing, first-fit " +
+      "invariant (at most one bin at most half full), FFD never beats " +
+      "the LP lower bound") {
+    import spark.implicits._
+    val cap = 100L
+    val itemGen = Gen.chooseNum(1L, 100L)
+    val items = samples(itemGen, 300).zipWithIndex
+      .map { case (n, i) => ((i % 6).toLong, i.toLong, n) }
+      .toDF("shard", "doc_id", "n_tokens")
+    val packed = Sampling.ffdPacking(items, col("shard"), col("doc_id"),
+        col("n_tokens"), cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every item placed exactly once
+    assert(packed.length == 300 && packed.map(_._1).distinct.length == 300)
+    packed.groupBy(_._2).foreach { case (shard, g) =>
+      val bins = g.groupBy(_._4).map { case (b, rows) =>
+        (b, rows.map(_._3).sum) }
+      // capacity respected (all items <= cap here, so no oversize bins)
+      assert(bins.values.forall(_ <= cap), s"shard $shard over capacity")
+      // FIRST-FIT invariant: two bins both <= cap/2 is impossible — the
+      // later bin's entire contents would have fit the earlier one
+      assert(bins.values.count(_ <= cap / 2) <= 1,
+        s"shard $shard violates the first-fit half-full invariant")
+      // LP lower bound: ceil(total / cap) bins at minimum
+      val total = g.map(_._3).sum
+      assert(bins.size >= (total + cap - 1) / cap, s"shard $shard")
+    }
+  }
+
+  test("urlCanonicalize is idempotent on random urls (canon(canon(u)) " +
+      "== canon(u))") {
+    import spark.implicits._
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("ex.com", "A.Example.ORG", "site9.net")
+      path <- Gen.oneOf("", "/", "/P/q", "/a/B/c/")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x", "?utm_x=1&z=9&y=8")
+      frag <- Gen.oneOf("", "#f", "#Sec2")
+    } yield s"$scheme://$www$host$path$q$frag"
+    val urls = samples(urlGen, 120).toDF("u")
+    val once = graft.functions.Text.urlCanonicalize(col("u"))
+    val twice = graft.functions.Text.urlCanonicalize(once)
+    val bad = urls.select(once.as("c1"), twice.as("c2"))
+      .filter(col("c1") =!= col("c2")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
 }
