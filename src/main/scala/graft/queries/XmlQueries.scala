@@ -543,16 +543,23 @@ object XmlQueries {
     * explicitly lists "no XPath selectors" as a non-feature — Spark
     * ships the whole `xpath_*` Catalyst family, so the engine exposes
     * ad-hoc XPath as a BONUS surface next to the compiled DSL). Same
-    * generated document shape as x3; extraction via xpath_int /
-    * xpath_string / xpath_double / xpath-array instead of the compiled
-    * parser. The oracle recomputes every value from the base columns,
-    * so this also pins the xpath evaluator's text handling against the
-    * builder. At scale the same caveat as any per-row XML evaluation
-    * applies — ~40x the compiled path here: each xpath_* call builds a
-    * DTM and re-parses the document (4 calls = 4 parses per row), so
-    * the compiled-DSL path (x3) stays the production form and this
-    * gate samples 1/16 of the rows (the semantics pin needs coverage,
-    * not corpus throughput; x3 carries the full-scan load). */
+    * generated document shape as x3.
+    *
+    * Extraction runs through `xpath_multi` ([[graft.xml.XPathMultiExpr]]):
+    * Spark's own `xpath_int/string/double/xpath` each build a fresh DTM
+    * per CALL (4 calls = 4 re-parses per row through allocation-heavy
+    * evaluator machinery), which the round-10 driver bench measured
+    * collapsing 30-200x under load — the scale-killer for any multi-field
+    * XPath extraction. `xpath_multi` parses once per row and answers all
+    * four paths from that single tree; value/positional/text() parity
+    * with the built-in evaluator is pinned in XPathMultiSpec (which keeps
+    * the genuine `xpath_*` calls, on spec-sized data where per-row DTM
+    * churn cannot hurt). The oracle recomputes every value from the base
+    * columns, so the gate certifies build -> single-parse -> multi-path
+    * extraction end to end. The compiled-DSL path (x3) stays the
+    * production form; this gate samples 1/16 of the rows (the semantics
+    * pin needs coverage, not corpus throughput; x3 carries the
+    * full-scan load). */
   def x13XpathFamily(sp: SparkSession, dir: String): DataFrame = {
     val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 0)
     val xml = concat(
@@ -561,12 +568,17 @@ object XmlQueries {
       lit("</id><vals><q_"), col("l_returnflag"), lit(">"),
       d2s(col("l_quantity")), lit("</q_"), col("l_returnflag"),
       lit("></vals></r>"))
+    // materialize the struct ONCE per row (alias referenced by several
+    // members -> CollapseProject keeps the projections separate, same
+    // pattern as x1's parse)
     spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"),
+        Seq("/r/id", "/r/vals/*[1]", "/r/vals/*/text()")).as("m"))
       .select(
-        expr("xpath_int(__xml, '/r/id')").as("id"),
-        expr("xpath_string(__xml, '/r/vals/*[1]')").as("qty_s"),
-        expr("xpath_double(__xml, '/r/vals/*[1]')").as("qty"),
-        expr("size(xpath(__xml, '/r/vals/*/text()'))").as("n_vals"))
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p1"), lit(0)).as("qty_s"),
+        get(col("m.p1"), lit(0)).cast("double").as("qty"),
+        size(col("m.p2")).as("n_vals"))
       .orderBy("id")
   }
 

@@ -1,0 +1,248 @@
+package graft.xml
+
+import java.io.StringReader
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-parse evaluation of MANY XPath expressions over one document.
+  *
+  * Spark's built-in `xpath_*` family (`XPathInt`, `XPathString`, `XPathList`,
+  * ...) builds a fresh DTM per CALL: extracting four fields from one document
+  * re-tokenizes it four times through allocation-heavy evaluator machinery —
+  * measured to collapse 30-200x under memory/lock pressure (round-10 driver
+  * bench: x13 reps [60.4, 419.1, 103.6] s vs 1.96 s quiet). This evaluator
+  * parses the document ONCE into a transient element tree (one StAX pass,
+  * O(doc) memory) and resolves every registered path against it.
+  *
+  * Supported path subset (validated at construction, driver-side):
+  * absolute child-step paths `/a/b/c`, `*` name wildcards, 1-based
+  * positional predicates `[k]`, and a trailing `text()` step. Each path
+  * yields the matched nodes in document order as `array<string>` — the
+  * element string-value (concatenated descendant text, XPath `string()`)
+  * for element results, or the individual text-node segments for `text()`
+  * results. Typed casts (`xpath_int`'s number conversion etc.) compose on
+  * top as ordinary Catalyst casts. Parity with the built-in evaluator is
+  * pinned in XPathMultiSpec.
+  *
+  * Scale: per-row, stateless, embarrassingly parallel; the struct result
+  * keeps the surrounding projection inside whole-stage codegen.
+  */
+object XPathMini {
+
+  /** One location step: element name (or `*`) + optional 1-based position
+    * among the matching siblings of the same context node (0 = all). */
+  final case class Step(name: String, pos: Int)
+
+  /** A compiled path: steps from the document element down, and whether the
+    * path ends in `text()` (select text-node children of the final step's
+    * matches instead of their string-values). */
+  final case class Path(steps: Array[Step], textOnly: Boolean)
+
+  private val StepRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\])?$""".r
+
+  def compile(path: String): Path = {
+    require(path.startsWith("/") && path.length > 1,
+      s"xpath_multi supports absolute paths only, got: $path")
+    val parts = path.substring(1).split("/", -1)
+    require(parts.forall(_.nonEmpty), s"empty step in path: $path")
+    val textOnly = parts.last == "text()"
+    val stepParts = if (textOnly) parts.dropRight(1) else parts
+    require(stepParts.nonEmpty, s"path has no element steps: $path")
+    val steps = stepParts.map {
+      case StepRe(name, pos) => Step(name, if (pos == null) 0 else pos.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported step '$other' in path: $path (subset: name|*, [k], trailing text())")
+    }
+    Path(steps, textOnly)
+  }
+
+  /** Transient element-tree node: `content` holds text segments (String) and
+    * child elements (Elem) interleaved in document order. */
+  final class Elem(val tag: String) {
+    val content = new mutable.ArrayBuffer[AnyRef](4)
+  }
+
+  // Same config stance as XmlStax: coalescing text, internal entities
+  // expanded, external entities off (no XXE), instance reuse where the
+  // implementation supports it (the JDK reader's buffer allocation dominates
+  // record-sized parses).
+  private val factoryTL: ThreadLocal[XMLInputFactory] =
+    new ThreadLocal[XMLInputFactory] {
+      override def initialValue(): XMLInputFactory = {
+        val f = XMLInputFactory.newInstance()
+        f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+        f.setProperty(XMLInputFactory.IS_REPLACING_ENTITY_REFERENCES,
+          java.lang.Boolean.TRUE)
+        f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.TRUE)
+        f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+          java.lang.Boolean.FALSE)
+        try f.setProperty("reuse-instance", java.lang.Boolean.TRUE)
+        catch { case _: IllegalArgumentException => }
+        f
+      }
+    }
+
+  /** One StAX pass -> element tree. Null on malformed input. */
+  def parseDoc(xml: String): Elem = {
+    val reader =
+      try factoryTL.get().createXMLStreamReader(new StringReader(xml))
+      catch { case NonFatal(_) => return null }
+    try {
+      var root: Elem = null
+      var top: Elem = null
+      val stack = new mutable.ArrayBuffer[Elem](8)
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val e = new Elem(reader.getLocalName)
+            if (top != null) top.content += e
+            else if (root == null) root = e
+            stack += e
+            top = e
+          case XMLStreamConstants.END_ELEMENT =>
+            stack.remove(stack.length - 1)
+            top = if (stack.isEmpty) null else stack(stack.length - 1)
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA |
+              XMLStreamConstants.SPACE =>
+            if (top != null && reader.getTextLength > 0)
+              top.content += reader.getText
+          case _ =>
+        }
+      }
+      root
+    } catch {
+      case NonFatal(_) => null
+    } finally {
+      try reader.close() catch { case NonFatal(_) => }
+    }
+  }
+
+  private def stringValue(e: Elem, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case s: String => sb.append(s)
+        case c: Elem => stringValue(c, sb)
+      }
+      i += 1
+    }
+  }
+
+  /** Evaluate one compiled path against a parsed document, results in
+    * document order. */
+  def eval(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](4)
+    def emit(e: Elem): Unit =
+      if (p.textOnly) {
+        var i = 0
+        while (i < e.content.length) {
+          e.content(i) match {
+            case s: String => out += s
+            case _ =>
+          }
+          i += 1
+        }
+      } else {
+        val sb = new java.lang.StringBuilder
+        stringValue(e, sb)
+        out += sb.toString
+      }
+    def matches(step: Step, tag: String): Boolean =
+      step.name == "*" || step.name == tag
+    def rec(stepIdx: Int, ctx: Elem): Unit = {
+      val step = p.steps(stepIdx)
+      val last = stepIdx == p.steps.length - 1
+      var seen = 0
+      var i = 0
+      while (i < ctx.content.length) {
+        ctx.content(i) match {
+          case c: Elem if matches(step, c.tag) =>
+            seen += 1
+            if (step.pos == 0 || step.pos == seen) {
+              if (last) emit(c) else rec(stepIdx + 1, c)
+              if (step.pos != 0) return
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    // the first step matches the document element itself
+    val s0 = p.steps(0)
+    if (root != null && matches(s0, root.tag) && s0.pos <= 1) {
+      if (p.steps.length == 1) emit(root) else rec(1, root)
+    }
+    out
+  }
+}
+
+/** `xpath_multi(xml, paths...) -> struct<p0: array<string>, ...>` — all
+  * paths evaluated from ONE parse. See [[XPathMini]] for the supported
+  * subset and semantics. Null on null/malformed input. */
+case class XPathMultiExpr(child: Expression, paths: Seq[String])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(paths.indices.map(i =>
+    StructField("p" + i, ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "xpath_multi"
+
+  @transient private lazy val compiled: Array[XPathMini.Path] =
+    paths.map(XPathMini.compile).toArray
+
+  /** Instance evaluator referenced directly from the generated code. */
+  def evalDoc(input: UTF8String): InternalRow = {
+    val root = XPathMini.parseDoc(input.toString)
+    if (root == null) return null
+    val vals = new Array[Any](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      val res = XPathMini.eval(compiled(i), root)
+      val arr = new Array[Any](res.length)
+      var j = 0
+      while (j < res.length) {
+        arr(j) = UTF8String.fromString(res(j))
+        j += 1
+      }
+      vals(i) = new GenericArrayData(arr)
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalDoc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("expr", this, "graft.xml.XPathMultiExpr")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $self.evalDoc($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XPathMultiExpr {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def xpath_multi(c: Column, paths: Seq[String]): Column =
+    ColumnBridge.column(XPathMultiExpr(ColumnBridge.expression(c), paths))
+}
