@@ -123,7 +123,12 @@ object Text {
     * fragment, drop a path's trailing slash, remove `utm_*` tracking
     * parameters, and SORT the surviving query parameters so parameter
     * order never splits a dedup group. Pure regex/HOF column work shared
-    * construct-for-construct with the DuckDB oracle. */
+    * construct-for-construct with the DuckDB oracle.
+    *
+    * Scheme-less / relative URLs (common in crawl data) pass through
+    * UNCHANGED: every extraction above anchors on `scheme://`, so without
+    * the guard all non-absolute URLs would collapse to the same
+    * degenerate `://` key and falsely merge into one dedup group. */
   def urlCanonicalize(c: Column): Column = {
     val noFrag = regexp_replace(c, "#.*$", "")
     val base = regexp_extract(noFrag, "^([^?]*)", 1)
@@ -135,8 +140,10 @@ object Text {
       regexp_extract(base, "^[A-Za-z]+://[^/]*(/.*)?$", 1), "/$", "")
     val params = array_join(array_sort(filter(split(query, "&"),
       p => length(p) > 0 && !startswith(p, lit("utm_")))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+    when(c.rlike("^[A-Za-z]+://"),
+      concat(scheme, lit("://"), host, path,
+        when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))))
+      .otherwise(c)
   }
 
   /** LENIENT HTML boilerplate strip — tag-soup to main text with a rule

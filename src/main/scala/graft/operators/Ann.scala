@@ -433,37 +433,57 @@ object Ann {
             while (j < x.length) { s += x(j) * x(j); j += 1 }
             math.sqrt(s)
           }
-          dot / (nrm(a) * nrm(b))
+          val d = nrm(a) * nrm(b)
+          // zero-norm candidates carry no direction: similarity 0, not
+          // NaN (which would poison rnd()'s BigDecimal and the argmax)
+          if (d == 0.0) 0.0 else dot / d
         }
         // Spark SQL round semantics (BigDecimal HALF_UP), same as the
         // shortlist's own sim rounding
         def rnd(v: Double): Double = BigDecimal(v)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (1 to math.min(k, n)).iterator.map { step =>
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Long, Double, Double)](math.min(k, n))
+        var step = 1
+        var exhausted = false
+        while (step <= math.min(k, n) && !exhausted) {
           var best = -1
           var bestScore = Double.NegativeInfinity
           var i = 0
           while (i < n) {
             if (active(i)) {
               val s = lambda * cands(i)._2 - (1 - lambda) * pen(i)
-              if (s > bestScore) { bestScore = s; best = i }
+              // a NaN rel (degenerate public input) must never win the
+              // argmax; if no finite-scored candidate remains, stop
+              // emitting rather than index active(-1)
+              if (java.lang.Double.isFinite(s) && s > bestScore) {
+                bestScore = s; best = i
+              }
             }
             i += 1
           }
-          active(best) = false
-          val (id, rel, vec) = cands(best)
-          var j = 0
-          while (j < n) {
-            if (active(j))
-              pen(j) = math.max(pen(j), rnd(cos(cands(j)._3, vec)))
-            j += 1
+          if (best == -1) exhausted = true
+          else {
+            active(best) = false
+            val (id, rel, vec) = cands(best)
+            var j = 0
+            while (j < n) {
+              if (active(j)) {
+                val cv = cos(cands(j)._3, vec)
+                if (java.lang.Double.isFinite(cv))
+                  pen(j) = math.max(pen(j), rnd(cv))
+              }
+              j += 1
+            }
+            // the score is emitted RAW: λ·rel − (1−λ)·pen over 4-decimal
+            // inputs lands exactly on round-half boundaries (0.7·0.3985 =
+            // 0.27895), where engines' round() disagree; the unrounded
+            // double is bit-identical in both (same IEEE ops, same inputs)
+            out += ((qid, step, id, rel, bestScore))
+            step += 1
           }
-          // the score is emitted RAW: λ·rel − (1−λ)·pen over 4-decimal
-          // inputs lands exactly on round-half boundaries (0.7·0.3985 =
-          // 0.27895), where engines' round() disagree; the unrounded
-          // double is bit-identical in both (same IEEE ops, same inputs)
-          (qid, step, id, rel, bestScore)
         }
+        out.iterator
       }
       .toDF("qid", "mmr_rank", "neighbor", "rel", "mmr_score")
   }

@@ -1408,10 +1408,11 @@ object ExtensionQueries {
       |      CASE WHEN doc_id % 5 = 0 THEN '&ref=tw' ELSE '' END,
       |      '#sec', (doc_id % 4)::VARCHAR) AS url
       |  FROM documents),
-      |p AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+      |p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
       |  FROM u),
       |c AS (SELECT doc_id,
-      |    concat(
+      |    CASE WHEN NOT regexp_matches(url, '^[A-Za-z]+://') THEN url
+      |    ELSE concat(
       |      lower(regexp_extract(regexp_extract(nofrag, '^([^?]*)', 1),
       |        '^([A-Za-z]+)://', 1)),
       |      '://',
@@ -1428,7 +1429,7 @@ object ExtensionQueries {
       |        THEN concat('?', array_to_string(list_sort(list_filter(
       |          string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
       |          q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&'))
-      |        ELSE '' END) AS canonical_url
+      |        ELSE '' END) END AS canonical_url
       |  FROM p)
       |SELECT doc_id, canonical_url,
       |  MIN(doc_id) OVER (PARTITION BY canonical_url) AS rep_doc,
@@ -4741,6 +4742,9 @@ object ExtensionQueries {
       dec(col("value")).cast("string"), lit("</v></msg>"))
     val rows = ev.select(payload.as("value"), unix_micros(col("ts"))
       .as("tmicros")).orderBy("tmicros").collect()
+    require(rows.nonEmpty,
+      "s19: the 1/16 event_id sample is empty — fixture too small or " +
+        "filtered; the bus needs at least one real event to arm watermarks")
     val msgs = rows.map(_.getString(0))
     // arm offset from the SAMPLE's max ts (only sampled events are on the
     // bus, so their max bounds every real window) — one producer scan

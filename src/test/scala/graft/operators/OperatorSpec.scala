@@ -1931,6 +1931,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4) == "https://example.com")
   }
 
+  test("url canonicalize: scheme-less and relative urls pass through " +
+      "unchanged (no shared degenerate key)") {
+    import spark.implicits._
+    val urls = Seq("example.com/page", "/relative/path?a=1",
+      "page.html#frag", "ftp.example.com", "")
+    val got = urls.toDF("u")
+      .select(graft.functions.Text.urlCanonicalize(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    // every non-absolute input keeps its own identity — distinct inputs
+    // must NOT collapse into one '://'-keyed dedup group
+    assert(got == urls)
+  }
+
   test("p17 TVD drift: zero against itself, bounded by 1, and a " +
       "disjoint-support pair scores exactly 1") {
     import spark.implicits._
@@ -2032,6 +2045,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1L) == 2) // only 2 candidates exist
     assert(got.count(_._1 == 2L) == 1)
     assert(got.map(g => (g._1, g._3)).distinct.length == got.length)
+  }
+
+  test("mmr rerank: degenerate inputs (zero-norm vectors, NaN rel) " +
+      "neither crash nor get selected over finite candidates") {
+    import spark.implicits._
+    val shortlist = Seq(
+      // zero-norm vector: cosine vs anything = 0, must not NaN the run
+      (1L, 10L, 0.9, Seq(0.0, 0.0)),
+      (1L, 11L, 0.8, Seq(1.0, 0.0)),
+      // NaN rel: score is non-finite, never wins the argmax
+      (1L, 12L, Double.NaN, Seq(0.0, 1.0)),
+      // a query whose ONLY candidate has NaN rel emits nothing (stop,
+      // not ArrayIndexOutOfBounds on active(-1))
+      (2L, 20L, Double.NaN, Seq(1.0, 1.0))
+    ).toDF("qid", "id", "rel", "vec")
+    val got = Ann.mmrRerank(shortlist, lambda = 0.7, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.filter(_._1 == 1L).map(_._3).toSet == Set(10L, 11L))
+    assert(got.forall(_._1 != 2L))
   }
 
   test("html strip: boilerplate gone, entities decoded, tag soup " +
