@@ -3353,6 +3353,98 @@ object ExtensionQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** transformWithState TIMERS ([[graft.streaming.StreamOps
+    * .TwsSessionExpiry]]) — the third TWS leg after s22 (ValueState) and
+    * s23 (MapState), and the one most production TWS users adopt the API
+    * for: session-timeout semantics via REGISTERED EVENT-TIME TIMERS.
+    * Events sessionize under a 20-minute gap; a session row is emitted
+    * either by an in-flow split (a later event arrives >= gap past the
+    * open session) or by the timer firing when the watermark passes
+    * (last event + gap) — state is cleared on expiry, so per-key state
+    * lives only gap past the key's last event. The feed is the s19 bus
+    * shape: a deterministic 1/16 `event_id` sample, ts-ordered, in three
+    * producer batches so sessions genuinely span micro-batch boundaries
+    * and timers genuinely fire across them, then two arm rows 30/31 days
+    * out push the watermark over every real session (arm key filtered
+    * from the readout; RocksDB provider pinned in a child session as TWS
+    * requires). Integer cents all the way — no float crosses the hash.
+    * Oracle: DuckDB gaps-and-islands with the same `ts >= prev + gap`
+    * boundary rule on the same sample. */
+  def s24TwsSessionTimers(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = events(sp, dir).filter(col("event_id") % 16 === 0)
+    val rows = ev.select(col("user_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"), col("ts"))
+      .orderBy("ts").collect()
+    require(rows.nonEmpty,
+      "s24: the 1/16 event_id sample is empty — fixture too small or " +
+        "filtered; sessions need at least one event to arm timers")
+    val data = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val armBase = data.last._3.getTime + 30L * 24 * 3600 * 1000
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ds = in.toDF().toDF("user_id", "cents", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamOps
+      .sessionExpiryTws(ds, 20L * 60 * 1000)
+      .toDF("user_id", "n_events", "sum_cents", "last_ms")
+    val name = "s24_tws_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        val slice = math.max(1, (data.length + 2) / 3)
+        data.grouped(slice).foreach { s =>
+          in.addData(s.toIndexedSeq); q.processAllAvailable()
+        }
+        // arm #1 lifts the watermark past every real timer (governs the
+        // NEXT batch); arm #2 runs under it and the trailing no-data
+        // batch fires the remaining timers
+        in.addData((-1L, 0L, new java.sql.Timestamp(armBase)))
+        q.processAllAvailable()
+        in.addData((-1L, 0L, new java.sql.Timestamp(armBase + 86400000L)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.table(name)
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "last_ms")
+  }
+
+  val s24Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 16 = 0),
+      |e AS (
+      |  SELECT user_id, ts, cents,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                + INTERVAL 20 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |g AS (
+      |  SELECT user_id, ts, cents,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  epoch_ns(max(ts)) // 1000000 AS last_ms
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, last_ms""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -5641,6 +5733,7 @@ object ExtensionQueries {
     "s21_stream_cms" -> (s21StreamCms _),
     "s22_transform_with_state" -> (s22TransformWithState _),
     "s23_tws_mapstate" -> (s23TwsMapState _),
+    "s24_tws_session_timers" -> (s24TwsSessionTimers _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -5776,6 +5869,7 @@ object ExtensionQueries {
     "s21_stream_cms" -> s21Sql,
     "s22_transform_with_state" -> s22Sql,
     "s23_tws_mapstate" -> s23Sql,
+    "s24_tws_session_timers" -> s24Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,

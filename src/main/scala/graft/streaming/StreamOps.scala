@@ -310,15 +310,27 @@ object StreamOps {
 
   /** Event-time SESSION EXPIRY through transformWithState's TIMER surface
     * (the capability `flatMapGroupsWithState` never had as a first-class
-    * API): each input batch extends the key's session state and re-arms
-    * an event-time timer at (max event time seen + gap); when the
-    * WATERMARK passes the armed timer, `handleExpiredTimer` fires exactly
-    * once, emits the finalized (key, n, cents, closeMs) session row, and
-    * clears the state — per-key state lives only until gap past the
-    * key's last event, the sessionization eviction contract expressed
-    * with timers instead of `session_window`. Input: (key, cents,
-    * eventTimeMs) with the event-time column watermarked by the caller;
-    * output rows appear ONLY on expiry (append semantics). */
+    * API), with BOTH emission paths of a production sessionizer:
+    *
+    *  - **in-flow split** — a batch's rows are processed in event-time
+    *    order; a row at `>= maxTs + gap` finalizes and EMITS the open
+    *    session immediately and starts a new one. Without this, two
+    *    sessions separated by more than the gap but delivered in one
+    *    micro-batch would silently merge (batch boundaries are an
+    *    operational accident; session boundaries are data);
+    *  - **idle expiry** — each batch re-arms an event-time timer at
+    *    `maxTs + gap`; when the WATERMARK passes it, `handleExpiredTimer`
+    *    fires exactly once, emits the finalized (key, n, cents, closeMs)
+    *    row, and clears the state. Per-key state therefore lives only
+    *    until gap past the key's last event — the sessionization eviction
+    *    contract expressed with timers instead of `session_window`.
+    *
+    * Input: (key, cents, eventTime) with the event-time column
+    * watermarked by the caller; append semantics. A cross-batch late row
+    * (above the watermark, below the open session's maxTs) extends the
+    * open session. Per-batch-per-key rows are buffered for the sort —
+    * bounded by one key's volume within one micro-batch, the same bound
+    * any per-key batch processing carries. */
   class TwsSessionExpiry(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
@@ -336,13 +348,24 @@ object StreamOps {
       var (n, cents, maxTs) =
         if (sess.exists()) sess.get() else (0L, 0L, Long.MinValue)
       val oldTimer = if (n > 0) maxTs + gapMs else Long.MinValue
-      rows.foreach { case (_, c, ts) =>
-        n += 1; cents += c; maxTs = math.max(maxTs, ts.getTime)
+      val sorted = rows.toArray.sortBy(_._3.getTime)
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)](2)
+      var i = 0
+      while (i < sorted.length) {
+        val (_, c, ts) = sorted(i)
+        val t = ts.getTime
+        if (n > 0 && t >= maxTs + gapMs) {
+          out += ((key, n, cents, maxTs))
+          n = 0L; cents = 0L
+        }
+        n += 1; cents += c; maxTs = math.max(maxTs, t)
+        i += 1
       }
       sess.update((n, cents, maxTs))
       if (oldTimer != Long.MinValue) getHandle.deleteTimer(oldTimer)
       getHandle.registerTimer(maxTs + gapMs)
-      Iterator.empty
+      out.iterator
     }
     override def handleExpiredTimer(key: Long,
         timers: org.apache.spark.sql.streaming.TimerValues,
@@ -356,6 +379,53 @@ object StreamOps {
       sess.clear()
       out
     }
+  }
+
+  /** State TTL through transformWithState's `TTLConfig` — the eviction
+    * knob that bounds keyed-state growth WITHOUT timers or watermarks:
+    * a per-key counter whose ValueState the store expires `ttl` of
+    * processing time after its last update. At 100 TB keyed state this
+    * is the difference between "state grows with distinct keys forever"
+    * and "state holds only keys active within the TTL horizon".
+    * Emits (key, runningCount); a key whose state expired restarts
+    * from zero — spec-pinned in StreamingSpec ("state TTL evicts"). */
+  class TwsCountTtl(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long)] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator((key, n))
+    }
+  }
+
+  /** Per-key running counts whose state expires `ttl` after last update
+    * (processing-time TTL; TTL requires the ProcessingTime time mode).
+    *
+    * Operational caveat: in ProcessingTime mode the operator always
+    * reports that another batch may be needed (TTL can lapse at any
+    * wall-clock instant), so `processAllAvailable` on the running query
+    * NEVER returns and the default as-fast-as-possible trigger re-runs
+    * empty micro-batches continuously. Callers must pace the query with
+    * a ProcessingTime trigger and poll the sink — StreamingSpec's
+    * "state TTL evicts" test is the worked example. */
+  def countsWithTtl(pairs: org.apache.spark.sql.Dataset[(Long, Long)],
+      ttl: java.time.Duration)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new TwsCountTtl(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Sessionize rows via [[TwsSessionExpiry]] timers; emits one row per

@@ -250,6 +250,102 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState in-flow split: two sessions delivered in ONE " +
+      "micro-batch emit separately (batch boundaries are not session " +
+      "boundaries)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ds = in.toDF().toDF("key", "cents", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val out = StreamOps.sessionExpiryTws(ds, 10 * 60 * 1000L)
+      .toDF("key", "n", "cents", "last_ms")
+    val name = "tws_split_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // one batch, one key, three sessions: 10:00+10:05 | 11:00 | 11:30
+      // (rows deliberately unordered — the processor sorts by event time)
+      in.addData((1L, 2L, t("11:00")), (1L, 1L, t("10:00")),
+        (1L, 4L, t("10:05")), (1L, 8L, t("11:30")))
+      q.processAllAvailable()
+      // the two in-flow splits emit NOW; the open 11:30 session does not
+      val rows1 = s2.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows1 == Set(
+        (1L, 2L, 5L, t("10:05").getTime),
+        (1L, 1L, 2L, t("11:00").getTime)))
+      // a far-future row lifts the watermark; the trailing no-data batch
+      // fires the 11:40 timer and the last session emits via the timer
+      in.addData((2L, 0L, t("23:00")))
+      q.processAllAvailable()
+      val rows2 = s2.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows2 == rows1 + ((1L, 1L, 8L, t("11:30").getTime)))
+    } finally q.stop()
+  }
+
+  test("transformWithState state TTL evicts: a counter's state expires " +
+      "after the TTL and restarts from zero; within the TTL it carries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // TTL must dominate micro-batch scheduling latency (a paced trigger
+    // adds up to ~1 s between addData and the row's batch) or the "carry
+    // inside TTL" phase races the clock — 5 s is safely above it
+    val out = StreamOps.countsWithTtl(
+      in.toDS(), java.time.Duration.ofSeconds(5)).toDF("key", "n")
+    val name = "tws_ttl_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // ProcessingTime time mode always reports "another batch may be
+    // needed" (TTL can lapse at any wall-clock instant), so
+    // processAllAvailable would never return and an unpaced trigger would
+    // churn empty micro-batches continuously — pace the query and POLL
+    // the sink instead (the countsWithTtl scaladoc documents this).
+    val q = out.writeStream.outputMode("update").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .queryName(name).start()
+    try {
+      def latest(): Seq[(Long, Long)] = s2.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      def await(cond: => Boolean, msg: String): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (!cond) {
+          assert(System.currentTimeMillis < deadline,
+            s"$msg; sink rows = ${latest()}")
+          Thread.sleep(100)
+        }
+      }
+      in.addData((1L, 1L))
+      await(latest().contains((1L, 1L)), "first row never counted")
+      // immediately again: well inside the TTL, the count carries to 2
+      in.addData((1L, 1L))
+      await(latest().contains((1L, 2L)), "count did not carry inside TTL")
+      // let the TTL lapse in processing time, then touch the key again:
+      // the expired state must read as absent and the count restart at 1
+      Thread.sleep(7000)
+      in.addData((1L, 1L))
+      await(latest().count { case (k, n) => k == 1L && n == 1L } == 1,
+        "expected a fresh count of 1 after TTL expiry")
+    } finally q.stop()
+  }
+
   test("message-bus XML: the compiled DSL binds a MemoryStream value " +
       "column; append-mode windows emit only after the watermark passes") {
     import spark.implicits._
