@@ -1437,6 +1437,224 @@ object ExtensionQueries {
       |  doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_dup
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** END-TO-END pretraining-corpus composition — the one pipeline a data
+    * team actually ships, run as a single query chain so the STAGE
+    * INTERFACES are pinned (schema drift or double-filtering between
+    * stages has nowhere to hide):
+    *
+    *   quality floor (t10) -> URL-canonical dedup (t40) -> content
+    *   near-dup dedup (d11) -> per-domain quota (t21) -> token-budget
+    *   mix (t19) -> FFD sequence packing (t37)
+    *
+    * Input is the corpus plus a re-crawl twin of every doc (same text,
+    * id+1e6, mirror-host URL — so the URL stage catches SAME-SITE
+    * variant collisions and the content stage catches the cross-host
+    * re-crawls the URL key cannot see). Every stage output is
+    * materialized to scratch parquet — each is consumed twice (by the
+    * next stage and by the attrition count), and at 100 TB a stage
+    * boundary is exactly where you want a durable cut (retry scope, AQE
+    * stats, no lineage re-execution). Stage survivor counts ride the
+    * output as constant columns (t30-style attrition audit), so the
+    * oracle hash pins not just the final packed set but how many rows
+    * every stage let through. */
+  def t41CorpusPipeline(sp: SparkSession, dir: String): DataFrame = {
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val d = graft.Tables.scratchDir(tag)
+      df.write.mode("overwrite").parquet(d)
+      sp.read.parquet(d)
+    }
+    val base = documents(sp, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val corpus = base.union(base.select((col("doc_id") + 1000000L)
+      .as("doc_id"), col("source"), col("lang"), col("text")))
+    val d0 = corpus.select(col("doc_id"), col("source"), col("lang"),
+      col("text"), Text.tokenCount(col("text")).as("n_tok"),
+      Text.qualityScore(col("text")).as("quality"))
+    // stage 1 — per-language quality floor (drop each lang's bottom decile)
+    val s1 = mat(graft.operators.Sampling.stratifiedQuantileFilter(
+      d0, col("lang"), col("quality"), minPercentile = 0.10), "graft-t41-s1")
+    // stage 2 — canonicalize the crawl URL, keep each page's min-id variant
+    // (groupBy + semi-join, not a window: the keeper election is a
+    // partial-aggregating shuffle, never a per-group sort)
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://WWW."))
+        .otherwise(lit("https://www.")),
+      when(col("doc_id") < 1000000L, lit("Site")).otherwise(lit("Mirror")),
+      (col("doc_id") % 7).cast("string"), lit(".com/Article/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), (col("doc_id") % 20).cast("string"),
+      lit("&utm_source=feed"), col("doc_id").cast("string"), lit("#s"))
+    val withUrl = s1.withColumn("canonical_url", Text.urlCanonicalize(url))
+    val reps = withUrl.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val s2 = mat(withUrl.join(reps, Seq("canonical_url", "doc_id"),
+      "left_semi").drop("canonical_url"), "graft-t41-s2")
+    // stage 3 — MinHash-LSH near-dup dedup of the surviving content
+    val surv = Dedup.nearDupSurvivors(s2, col("doc_id"), col("text"),
+      n = 3, k = K, rows = BandRows, threshold = 0.8,
+      maxBucket = PipeMaxBucket)
+    val s3 = mat(s2.join(surv.filter(col("is_survivor"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .drop("text"), "graft-t41-s3")
+    // stage 4 — cap any single source at 12 docs (bounded TopKPairsAgg)
+    val q4 = graft.operators.Sampling.domainQuota(
+      s3, col("source"), col("doc_id"), k = 12)
+    val s4 = mat(s3.join(q4.select(col("key").as("doc_id")),
+      Seq("doc_id"), "left_semi"), "graft-t41-s4")
+    // stage 5 — rebalance to ~600 tokens per source (hash threshold)
+    val s5 = mat(graft.operators.Sampling.tokenBudgetMix(s4, col("source"),
+      col("doc_id").cast("string"), col("n_tok"), budget = 600L),
+      "graft-t41-s5")
+    // stage 6 — FFD-pack the survivors into 256-token bins, 4 shards
+    val packed = graft.operators.Sampling.ffdPacking(s5,
+      col("doc_id") % 4, col("doc_id"), col("n_tok"), capacity = 256)
+    // attrition audit: stage counts are scalar aggregates over the
+    // materialized stage parquets (cheap scans, no lineage re-execution)
+    val audit = broadcast(sp.range(1).select(
+      lit(corpus.count()).as("n_input"), lit(s1.count()).as("n_quality"),
+      lit(s2.count()).as("n_url"), lit(s3.count()).as("n_content"),
+      lit(s4.count()).as("n_quota"), lit(s5.count()).as("n_budget")))
+    packed
+      .join(s5.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .crossJoin(audit)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("shard"), col("bin_id"), col("n_input"), col("n_quality"),
+        col("n_url"), col("n_content"), col("n_quota"), col("n_budget"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: K / BandRows / PipeMaxBucket are declared further down the
+  // object; the registry maps (end of object) force this after them
+  lazy val t41Sql: String = {
+    val quality = {
+      val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
+        s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
+      val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]'," +
+        " '', 'g')))::DOUBLE / length(text))"
+      val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
+      s"round(least(greatest($len500 * 0.5 + " +
+        s"least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4)"
+    }
+    val bands = K / BandRows
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(s${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig2"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, source, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source, lang, text FROM documents),
+       |d0 AS (SELECT doc_id, source, lang, text,
+       |    CAST(len($Toks) AS INT) AS n_tok, $quality AS quality
+       |  FROM corpus),
+       |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang
+       |    ORDER BY quality) AS pr FROM d0),
+       |s1 AS (SELECT doc_id, source, lang, text, n_tok, quality
+       |  FROM r WHERE pr >= 0.10),
+       |u AS (SELECT *, concat(
+       |    CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.'
+       |         ELSE 'https://www.' END,
+       |    CASE WHEN doc_id < 1000000 THEN 'Site' ELSE 'Mirror' END,
+       |    (doc_id % 7)::VARCHAR, '.com/Article/', (doc_id % 40)::VARCHAR,
+       |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+       |    '?id=', (doc_id % 20)::VARCHAR,
+       |    '&utm_source=feed', doc_id::VARCHAR, '#s') AS url FROM s1),
+       |pn AS (SELECT *, regexp_replace(url, '#.*$$', '') AS nofrag FROM u),
+       |cu AS (SELECT doc_id, source, lang, text, n_tok, quality, concat(
+       |    lower(regexp_extract(regexp_extract(nofrag, '^([^?]*)', 1),
+       |      '^([A-Za-z]+)://', 1)),
+       |    '://',
+       |    regexp_replace(lower(regexp_extract(
+       |      regexp_extract(nofrag, '^([^?]*)', 1),
+       |      '^[A-Za-z]+://([^/]*)', 1)), '^www\\.', ''),
+       |    regexp_replace(regexp_extract(
+       |      regexp_extract(nofrag, '^([^?]*)', 1),
+       |      '^[A-Za-z]+://[^/]*(/.*)?$$', 1), '/$$', ''),
+       |    CASE WHEN array_to_string(list_sort(list_filter(
+       |        string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+       |        q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&')
+       |        <> ''
+       |      THEN concat('?', array_to_string(list_sort(list_filter(
+       |        string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+       |        q -> length(q) > 0 AND NOT starts_with(q, 'utm_'))), '&'))
+       |      ELSE '' END) AS canonical_url
+       |  FROM pn),
+       |s2 AS (SELECT doc_id, source, lang, text, n_tok, quality FROM cu
+       |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canonical_url)),
+       |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM s2),
+       |sh2 AS (SELECT doc_id, ${shingleSql("t")} AS s FROM toks2),
+       |hh2 AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs
+       |  FROM sh2),
+       |sig2 AS (SELECT doc_id, $sigSqlCols FROM hh2),
+       |bands2 AS ($bandSelects),
+       |kept2 AS (SELECT doc_id, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc FROM bands2)
+       |  WHERE bc <= $PipeMaxBucket),
+       |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM kept2 l JOIN kept2 r
+       |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+       |conf AS (SELECT c.id_a, c.id_b,
+       |    len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+       |    len(a.s) + len(b.s) AS tot
+       |  FROM cand c JOIN sh2 a ON a.doc_id = c.id_a
+       |              JOIN sh2 b ON b.doc_id = c.id_b),
+       |drops AS (SELECT DISTINCT id_b AS id FROM conf
+       |  WHERE CASE WHEN tot = 0 THEN 0.0
+       |             ELSE inter::DOUBLE / (tot - inter) END >= 0.8),
+       |s3 AS (SELECT s2.doc_id, s2.source, s2.lang, s2.n_tok, s2.quality
+       |  FROM s2 LEFT JOIN drops ON drops.id = s2.doc_id
+       |  WHERE drops.id IS NULL),
+       |s4 AS (SELECT doc_id, source, lang, n_tok, quality FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY ${h("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |    FROM s3) WHERE rn <= 12),
+       |tt AS (SELECT source, SUM(n_tok) AS tok FROM s4 GROUP BY 1),
+       |s5 AS (SELECT s4.doc_id, s4.source, s4.lang, s4.n_tok
+       |  FROM s4 JOIN tt ON s4.source = tt.source
+       |  WHERE ${h("CAST(s4.doc_id AS VARCHAR)")} <
+       |    least(CAST(ceil(least(1.0, 600.0 / tok) * 4294967296.0)
+       |      AS BIGINT), 4294967296)),
+       |items AS (SELECT doc_id, doc_id % 4 AS shard,
+       |    CAST(n_tok AS BIGINT) AS n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % 4
+       |      ORDER BY n_tok DESC, doc_id) AS rn
+       |  FROM s5),
+       |pack AS (
+       |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT)
+       |      AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+       |    CAST(NULL AS BIGINT) AS bin_id, []::BIGINT[] AS bins
+       |  FROM (SELECT DISTINCT shard FROM items)
+       |  UNION ALL
+       |  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+       |    CAST(COALESCE(s.fit, len(s.bins) + 1) - 1 AS BIGINT) AS bin_id,
+       |    CASE WHEN s.fit IS NULL THEN list_append(s.bins, 256 - s.n_tokens)
+       |         ELSE list_transform(range(1, len(s.bins) + 1),
+       |           j -> CASE WHEN j = s.fit THEN s.bins[j] - s.n_tokens
+       |                ELSE s.bins[j] END)
+       |    END AS bins
+       |  FROM (SELECT i.shard, i.rn, i.doc_id, i.n_tokens, p.bins,
+       |      list_aggregate(list_transform(range(1, len(p.bins) + 1),
+       |        j -> CASE WHEN p.bins[j] >= i.n_tokens THEN j ELSE NULL END),
+       |        'min') AS fit
+       |    FROM pack p JOIN items i
+       |      ON i.shard = p.shard AND i.rn = p.rn + 1) s),
+       |audit AS (SELECT
+       |    (SELECT count(*) FROM corpus) AS n_input,
+       |    (SELECT count(*) FROM s1) AS n_quality,
+       |    (SELECT count(*) FROM s2) AS n_url,
+       |    (SELECT count(*) FROM s3) AS n_content,
+       |    (SELECT count(*) FROM s4) AS n_quota,
+       |    (SELECT count(*) FROM s5) AS n_budget)
+       |SELECT p.doc_id, s5.source, s5.lang, p.n_tokens, p.shard, p.bin_id,
+       |  a.n_input, a.n_quality, a.n_url, a.n_content, a.n_quota,
+       |  a.n_budget
+       |FROM pack p JOIN s5 ON p.doc_id = s5.doc_id CROSS JOIN audit a
+       |WHERE p.rn > 0 ORDER BY p.doc_id""".stripMargin
+  }
+
   /** Positional inverted index + exact phrase search
     * ([[graft.operators.InvertedIndex]]): per-posting (token, doc) rows —
     * the distributed posting-list form — then a 3-token phrase query
@@ -5747,6 +5965,7 @@ object ExtensionQueries {
     "t38_html_strip" -> (t38HtmlStrip _),
     "t39_block_extract" -> (t39BlockExtract _),
     "t40_url_canonical" -> (t40UrlCanonical _),
+    "t41_corpus_pipeline" -> (t41CorpusPipeline _),
     "p15_mad" -> (p15Mad _),
     "p16_embedding_drift" -> (p16EmbeddingDrift _),
     "p17_hist_drift" -> (p17HistDrift _))
@@ -5883,6 +6102,7 @@ object ExtensionQueries {
     "t38_html_strip" -> t38Sql,
     "t39_block_extract" -> t39Sql,
     "t40_url_canonical" -> t40Sql,
+    "t41_corpus_pipeline" -> t41Sql,
     "p15_mad" -> p15Sql,
     "p16_embedding_drift" -> p16Sql,
     "p17_hist_drift" -> p17Sql)

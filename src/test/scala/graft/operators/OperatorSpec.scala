@@ -2134,4 +2134,29 @@ class OperatorSpec extends AnyFunSuite {
     // 100+100+50 pack together into bin 1 (remaining 56 >= 50)
     assert(packed == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("t41 corpus pipeline: every stage genuinely attrits, the audit " +
+      "is monotone, every budget survivor is packed exactly once, and " +
+      "no bin exceeds capacity") {
+    val out = graft.queries.ExtensionQueries
+      .t41CorpusPipeline(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val a = out.head
+    val counts = Seq("n_input", "n_quality", "n_url", "n_content",
+      "n_quota", "n_budget").map(c => a.getLong(a.fieldIndex(c)))
+    // strictly decreasing: the fixture exercises EVERY stage (a stage
+    // with zero attrition is a stage the gate is not actually testing)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x > y },
+      s"stage counts not strictly decreasing: $counts")
+    // the packed set IS the budget-mix survivor set, each doc once
+    assert(out.length == counts.last.toInt)
+    val ids = out.map(_.getLong(a.fieldIndex("doc_id")))
+    assert(ids.distinct.length == ids.length)
+    // packing invariant holds through the composed chain
+    val byBin = out.groupBy(r => (r.getLong(a.fieldIndex("shard")),
+        r.getLong(a.fieldIndex("bin_id"))))
+      .map { case (k, g) =>
+        (k, g.map(_.getLong(a.fieldIndex("n_tokens"))).sum) }
+    assert(byBin.values.forall(_ <= 256L), "bin over capacity")
+  }
 }
