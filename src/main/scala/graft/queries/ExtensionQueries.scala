@@ -2803,6 +2803,199 @@ object ExtensionQueries {
        |  rel, mmr_score
        |FROM mmr WHERE step > 0 ORDER BY qid, mmr_rank""".stripMargin
 
+  /** END-TO-END RAG retrieval composition — the full retrieval stack as
+    * ONE pipeline over a 3-query batch, so the stage INTERFACES are
+    * pinned the way t41 pins the curation chain:
+    *
+    *   chunk (t26 geometry) -> per-query BM25 over chunks (t13
+    *   arithmetic, batch form) + dense ranker (chunks inherit the
+    *   parent document's embedding — the doc-level dense prior) ->
+    *   reciprocal-rank fusion (t27, batch mode on qid) -> MMR
+    *   diversity re-rank (a19) of the fused shortlist.
+    *
+    * Chunks get a global key cid = doc_id*1000 + chunk_idx (chunk
+    * counts are len/8-ish, far under 1000). The lexical candidate set
+    * is posting-bounded (only chunks containing a query term score),
+    * so the per-qid rank window sorts posting-sized groups; the dense
+    * leg is the a1 brute-force-baseline shape (the IVF path a3/a17 is
+    * the scale swap-in). RRF needs no score calibration; MMR's rel is
+    * the raw RRF score mapped onto the penalty's [0,1] scale
+    * (x 30.5 = 61/2, the two-system RRF maximum) and rounded(4) like
+    * a19's rel. Because all chunks of one document share its embedding,
+    * a selected chunk pins its siblings' penalty at cos=1.0 — MMR
+    * provably forces CROSS-DOCUMENT diversity in the final context
+    * pack. One DuckDB oracle replays the entire fused ranking
+    * end-to-end, recursion included. */
+  def a20RagPipeline(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import sp.implicits._
+    // stage 1 — chunk the corpus once, materialized (three consumers:
+    // lexical explode, dense join, shortlist vector reattach)
+    val chDir = graft.Tables.scratchDir("graft-a20-ch")
+    graft.operators.Chunk
+      .overlapping(documents(sp, dir), col("text"), col("doc_id"), 16, 8)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+        col("doc_id"), col("n_tokens").as("dl"), col("chunk"))
+      .write.mode("overwrite").parquet(chDir)
+    val ch = sp.read.parquet(chDir)
+    // stage 2a — lexical: per-query BM25 (qid x tidx keyed, so the
+    // 3-term sum recombines in fixed (s0+s1)+s2 order — IEEE parity)
+    val termsDf = Seq(
+      (0L, 0, "join"), (0L, 1, "vector"), (0L, 2, "stream"),
+      (1L, 0, "big"), (1L, 1, "order"), (1L, 2, "scan"),
+      (2L, 0, "window"), (2L, 1, "merge"), (2L, 2, "sort"))
+      .toDF("qid", "tidx", "term")
+    val stats = ch.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val tf = ch.select(col("cid"), explode(Text.tokens(col("chunk"))).as("t"))
+      .join(broadcast(termsDf), col("t") === col("term"))
+      .groupBy(col("qid"), col("tidx"), col("cid"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("qid"), col("tidx"))
+      .agg(count(lit(1)).as("df"))
+    val avgdl = col("sdl").cast("double") / col("n").cast("double")
+    val idf = ((col("n") - col("df")).cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5)
+    val tfd = col("tf").cast("double")
+    val tfn = (tfd * 2.2) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / avgdl)))
+    val contrib = tf
+      .join(ch.select(col("cid"), col("dl")), "cid")
+      .join(broadcast(dfs), Seq("qid", "tidx"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("cid"), col("tidx"), (idf * tfn).as("c"))
+    val sc = contrib.groupBy(col("qid"), col("cid"))
+      .agg(sum(when(col("tidx") === 0, col("c"))).as("s0"),
+        sum(when(col("tidx") === 1, col("c"))).as("s1"),
+        sum(when(col("tidx") === 2, col("c"))).as("s2"))
+      .select(col("qid"), col("cid"),
+        ((coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))) +
+          coalesce(col("s2"), lit(0.0))).as("score"))
+    val lexW = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("cid"))
+    val lex = sc.withColumn("rank", row_number().over(lexW))
+      .filter(col("rank") <= 20)
+      .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+    // stage 2b — dense: cosine to the query embedding, doc-level prior
+    val qv = embeddings(sp, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("__nq", Vectors.norm2(col("qvec")))
+    val dv = embeddings(sp, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("dvec"))
+    val dsim = ch.select(col("cid"), col("doc_id")).join(dv, "doc_id")
+      .withColumn("__nv", Vectors.norm2(col("dvec")))
+      .crossJoin(broadcast(qv))
+      .select(col("qid"), col("cid"),
+        (Vectors.dot(col("qvec"), col("dvec")) /
+          (col("__nq") * col("__nv"))).as("sim"))
+    val denseW = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("cid"))
+    val dense = dsim.withColumn("rank", row_number().over(denseW))
+      .filter(col("rank") <= 20)
+      .select(col("qid"), col("cid").as("doc_id"), col("rank"))
+    // stage 3 — RRF fusion, 12-deep shortlist per query
+    val fused = graft.operators.Retrieval.rrfFuse(
+      Seq("lex" -> lex, "dense" -> dense), k = 60, topK = 12,
+      queryKeys = Seq("qid"))
+    // stage 4 — MMR over the fused shortlist (result-sized: broadcast)
+    val short = fused.select(col("qid"), col("doc_id").as("id"),
+      round(col("rrf") * 30.5, 4).as("rel"))
+    val shortDocs = ch.select(col("cid").as("id"), col("doc_id"))
+      .join(broadcast(short), "id")
+    val withVec = dv.join(broadcast(shortDocs), "doc_id")
+      .select(col("qid"), col("id"), col("rel"), col("dvec").as("vec"))
+    Ann.mmrRerank(withVec, lambda = 0.7, k = 5).orderBy("qid", "mmr_rank")
+  }
+
+  val a20Sql: String =
+    s"""WITH RECURSIVE toksC AS (SELECT doc_id, string_split(text, ' ') AS l
+       |  FROM documents),
+       |ch AS (SELECT doc_id, doc_id * 1000 + i AS cid,
+       |    array_to_string(l[i*8+1:i*8+16], ' ') AS chunk,
+       |    len(l[i*8+1:i*8+16]) AS dl
+       |  FROM toksC, LATERAL unnest(range(0, CAST(
+       |    1 + floor((greatest(len(l)-16,0)+7)/8) AS BIGINT))) AS t(i)),
+       |terms(qid, tidx, term) AS (VALUES
+       |  (0, 0, 'join'), (0, 1, 'vector'), (0, 2, 'stream'),
+       |  (1, 0, 'big'), (1, 1, 'order'), (1, 2, 'scan'),
+       |  (2, 0, 'window'), (2, 1, 'merge'), (2, 2, 'sort')),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM ch),
+       |hits AS (SELECT cid, unnest(string_split(chunk, ' ')) AS t FROM ch),
+       |tf AS (SELECT q.qid, q.tidx, h.cid, count(*) AS tf
+       |  FROM hits h JOIN terms q ON h.t = q.term GROUP BY 1, 2, 3),
+       |dfs AS (SELECT qid, tidx, count(*) AS df FROM tf GROUP BY 1, 2),
+       |contrib AS (SELECT tf.qid, tf.cid, tf.tidx,
+       |    ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |    ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) +
+       |      1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+       |        (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS c
+       |  FROM tf JOIN ch USING (cid)
+       |  JOIN dfs ON tf.qid = dfs.qid AND tf.tidx = dfs.tidx
+       |  CROSS JOIN stats),
+       |sc AS (SELECT qid, cid,
+       |    COALESCE(SUM(CASE WHEN tidx = 0 THEN c END), 0.0) AS s0,
+       |    COALESCE(SUM(CASE WHEN tidx = 1 THEN c END), 0.0) AS s1,
+       |    COALESCE(SUM(CASE WHEN tidx = 2 THEN c END), 0.0) AS s2
+       |  FROM contrib GROUP BY qid, cid),
+       |lex AS (SELECT qid, cid, CAST(rn AS INT) AS lex_rank FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY ((s0 + s1) + s2) DESC, cid) AS rn FROM sc)
+       |  WHERE rn <= 20),
+       |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |  WHERE vec_id < 3),
+       |dv AS (SELECT vec_id AS doc_id, embedding AS dvec FROM embeddings),
+       |ds AS (SELECT qv.qid, ch.cid, ${cosSql("qv.qvec", "dv.dvec")} AS sim
+       |  FROM ch JOIN dv USING (doc_id) CROSS JOIN qv),
+       |dense AS (SELECT qid, cid, CAST(rn AS INT) AS dense_rank FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, cid) AS rn FROM ds)
+       |  WHERE rn <= 20),
+       |fusedAll AS (SELECT COALESCE(l.qid, d.qid) AS qid,
+       |    COALESCE(l.cid, d.cid) AS cid,
+       |    (COALESCE(CAST(1.0 AS DOUBLE) /
+       |        (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)), 0.0) +
+       |     COALESCE(CAST(1.0 AS DOUBLE) /
+       |        (CAST(60 AS DOUBLE) + CAST(d.dense_rank AS DOUBLE)), 0.0))
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON l.qid = d.qid AND l.cid = d.cid),
+       |fused AS (SELECT qid, cid, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf DESC, cid) AS rn FROM fusedAll)
+       |  WHERE rn <= 12),
+       |init AS (SELECT f.qid, list(struct_pack(id := f.cid,
+       |    rel := round(f.rrf * CAST(30.5 AS DOUBLE), 4), vec := dv.dvec,
+       |    pen := CAST(0.0 AS DOUBLE)) ORDER BY f.cid) AS cands
+       |  FROM fused f JOIN ch ON ch.cid = f.cid
+       |  JOIN dv ON dv.doc_id = ch.doc_id
+       |  GROUP BY f.qid),
+       |mmr AS (
+       |  SELECT qid, CAST(0 AS BIGINT) AS step, CAST(NULL AS BIGINT)
+       |      AS pick_id, CAST(NULL AS DOUBLE) AS rel,
+       |    CAST(NULL AS DOUBLE) AS mmr_score, cands
+       |  FROM init
+       |  UNION ALL
+       |  SELECT qid, step + 1, (pick).id, (pick).rel,
+       |    0.7::DOUBLE * (pick).rel
+       |      - (1.0::DOUBLE - 0.7::DOUBLE) * (pick).pen,
+       |    list_transform(list_filter(cands, c -> c.id != (pick).id),
+       |      c -> struct_pack(id := c.id, rel := c.rel, vec := c.vec,
+       |        pen := greatest(c.pen,
+       |          round(${cosSql("c.vec", "(pick).vec")}, 4))))
+       |  FROM (
+       |    SELECT qid, step, cands,
+       |      list_filter(cands, c -> c.id = -((bk).i))[1] AS pick
+       |    FROM (
+       |      SELECT qid, step, cands,
+       |        list_aggregate(list_transform(cands,
+       |          c -> struct_pack(s := 0.7::DOUBLE * c.rel
+       |              - (1.0::DOUBLE - 0.7::DOUBLE) * c.pen,
+       |            i := -c.id)), 'max') AS bk
+       |      FROM mmr WHERE step < 5 AND len(cands) > 0)))
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(step AS INT) AS mmr_rank,
+       |  pick_id AS neighbor, rel, mmr_score
+       |FROM mmr WHERE step > 0 ORDER BY qid, mmr_rank""".stripMargin
+
   /** IVF with seeded k-means refinement (2 Lloyd iterations over the stride
     * sample), then the same nprobe search as a3. The oracle unrolls both
     * iterations in SQL — possible because the refinement rounds each
@@ -5955,6 +6148,7 @@ object ExtensionQueries {
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
+    "a20_rag_pipeline" -> (a20RagPipeline _),
     "p13_chi_square" -> (p13ChiSquare _),
     "m9_wav_gain" -> (m9WavGain _),
     "t34_readability" -> (t34Readability _),
@@ -6092,6 +6286,7 @@ object ExtensionQueries {
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,
+    "a20_rag_pipeline" -> a20Sql,
     "p13_chi_square" -> p13Sql,
     "m9_wav_gain" -> m9Sql,
     "t34_readability" -> t34Sql,

@@ -2159,4 +2159,27 @@ class OperatorSpec extends AnyFunSuite {
         (k, g.map(_.getLong(a.fieldIndex("n_tokens"))).sum) }
     assert(byBin.values.forall(_ <= 256L), "bin over capacity")
   }
+
+  test("a20 RAG pipeline: 5 picks per query, greedy MMR scores " +
+      "non-increasing, and — because sibling chunks share the parent " +
+      "embedding — every pick from a DISTINCT parent document") {
+    val out = graft.queries.ExtensionQueries
+      .a20RagPipeline(spark, "/root/testdata/sf0.001").collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5),
+        s"qid $q ranks not 1..5")
+      // greedy argmax: penalties only grow, so each step's winning
+      // score is <= the previous step's
+      val scores = sorted.map(_.getDouble(4)).toSeq
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y },
+        s"qid $q mmr scores not non-increasing: $scores")
+      // the diversity contract MMR exists for: five distinct parents
+      val parents = sorted.map(_.getLong(2) / 1000L).distinct
+      assert(parents.length == 5,
+        s"qid $q picked sibling chunks of one document: $parents")
+    }
+  }
 }
