@@ -33,7 +33,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * for element results, or the individual text-node segments for `text()`
   * results. Typed casts (`xpath_int`'s number conversion etc.) compose on
   * top as ordinary Catalyst casts. Parity with the built-in evaluator is
-  * pinned in XPathMultiSpec.
+  * pinned in XPathMultiSpec (fixed cases + a randomized-trees property).
+  *
+  * One DELIBERATE divergence from the built-in LIST form: `xpath(x, p)`
+  * on an element path emits one NULL per match (it reads DOM
+  * `Node.getNodeValue`, which is null for Element nodes — a Hive UDF
+  * artifact that makes the list entries carry no information); this
+  * evaluator emits the string-value instead — the value `xpath_string`
+  * extracts from the first match — so per-element values are usable and
+  * scalar casts compose. The property spec pins match COUNT against
+  * `xpath()` and first string-value against `xpath_string` for element
+  * paths, and exact list equality for `text()` paths.
   *
   * Scale: per-row, stateless, embarrassingly parallel; the struct result
   * keeps the surrounding projection inside whole-stage codegen.

@@ -110,4 +110,62 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("relative/path")
     }
   }
+
+  test("property: xpath_multi == built-in xpath node-set form on random " +
+      "trees x random paths (names, *, [k], text(), no-match)") {
+    import spark.implicits._
+    // seeded so a failure replays; one DataFrame pass over all cases
+    val rnd = new scala.util.Random(42)
+    val tags = Array("a", "b", "c")
+    def genElem(depth: Int): String = {
+      val tag = tags(rnd.nextInt(tags.length))
+      val nKids = if (depth >= 3) 0 else rnd.nextInt(4)
+      val kids = (0 until nKids).map { _ =>
+        if (depth < 3 && rnd.nextBoolean()) genElem(depth + 1)
+        else s"t${rnd.nextInt(10)}"
+      }
+      s"<$tag>${kids.mkString}</$tag>"
+    }
+    val docs = (1 to 80).map(_ =>
+      s"<r>${(0 until 1 + rnd.nextInt(4)).map(_ => genElem(1)).mkString}</r>")
+    def genPath(): String = {
+      val steps = (1 to 1 + rnd.nextInt(3)).map { _ =>
+        val nm = if (rnd.nextInt(4) == 0) "*" else tags(rnd.nextInt(tags.length))
+        val pred = if (rnd.nextInt(3) == 0) s"[${1 + rnd.nextInt(3)}]" else ""
+        nm + pred
+      }
+      val txt = if (rnd.nextInt(3) == 0) "/text()" else ""
+      "/r/" + steps.mkString("/") + txt
+    }
+    val paths = (1 to 12).map(_ => genPath()).distinct
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    // Parity contract per path kind:
+    //  - text() paths: exact list equality with the built-in xpath()
+    //  - element paths: match COUNT equality with xpath() (whose entries
+    //    are Hive-quirk nulls — DOM Element.getNodeValue — so the values
+    //    themselves carry no information) + FIRST string-value equality
+    //    with xpath_string (the value the scalar casts compose over)
+    val cols = col("x") +:
+      (paths.indices.map(i => col(s"m.p$i")) ++
+        paths.zipWithIndex.map { case (p, i) => expr(s"xpath(x, '$p')") } ++
+        paths.zipWithIndex.map { case (p, i) =>
+          expr(s"xpath_string(x, '$p')") })
+    val rows = docs.toDF("x").select(m.as("m"), col("x"))
+      .select(cols: _*).collect()
+    rows.foreach { r =>
+      paths.indices.foreach { i =>
+        val mine = r.getSeq[String](1 + i)
+        val ref = r.getSeq[String](1 + paths.length + i)
+        val refS = r.getString(1 + 2 * paths.length + i)
+        val label = s"path ${paths(i)} on doc ${r.getString(0)}"
+        assert(mine.length == ref.length,
+          s"$label: match count ${mine.length} vs ${ref.length}")
+        if (paths(i).endsWith("text()"))
+          assert(mine == ref, s"$label: $mine vs $ref")
+        else
+          assert(mine.headOption.getOrElse("") == refS,
+            s"$label: first value '${mine.headOption}' vs '$refS'")
+      }
+    }
+  }
 }
