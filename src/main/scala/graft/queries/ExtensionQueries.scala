@@ -5783,6 +5783,49 @@ object ExtensionQueries {
       |    > CAST(0.05 AS DOUBLE) AS drifted
       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** EWMA trend monitor over daily spend per event type — the
+    * recency-weighted smoother next to p5's z-flags and p14's CUSUM,
+    * made CROSS-ENGINE EXACT by choosing the dyadic decay 1/2 with a
+    * 30-day horizon: ewma_d = Σ_{0≤k≤30} cents_{d-k} / 2^k. Instead of
+    * summing fractions (order-sensitive double rounding), every term is
+    * SCALED to an integer — cents · 2^(30−k), a BIGINT shift — summed
+    * exactly (order-free), and divided once by 2^30 (an exact power-of-
+    * two scaling, not a rounding division). The corpus reduces to the
+    * (type, day) daily table in one partial agg; the 31-term lookback
+    * joins the CALENDAR-sized daily table to itself — nothing after the
+    * first aggregation scales with the corpus, the p9 discipline. */
+  def p18Ewma(sp: SparkSession, dir: String): DataFrame = {
+    val daily = events(sp, dir)
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("cents"))
+    val l = daily.select(col("etype"), col("day"), col("cents"))
+    val r = daily.select(col("etype").as("__e"), col("day").as("__d"),
+      col("cents").as("__c"))
+    l.join(r, col("etype") === col("__e") &&
+        col("__d") <= col("day") && datediff(col("day"), col("__d")) <= 30)
+      .groupBy(col("etype"), col("day"), col("cents"))
+      .agg(sum(expr("shiftleft(__c, CAST(30 - datediff(day, __d) AS INT))"))
+        .as("__acc"))
+      .select(col("etype"), col("day"), col("cents"),
+        (col("__acc").cast("double") / lit(1073741824.0)).as("ewma"))
+      .orderBy("etype", "day")
+  }
+
+  val p18Sql: String =
+    """WITH daily AS (SELECT event_type AS etype,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT l.etype, l.day, l.cents,
+      |    SUM(r.cents << (30 - CAST(l.day - r.day AS INT))) AS acc
+      |  FROM daily l JOIN daily r ON l.etype = r.etype
+      |    AND r.day <= l.day AND l.day - r.day <= 30
+      |  GROUP BY 1, 2, 3)
+      |SELECT etype, day, cents,
+      |  CAST(acc AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS ewma
+      |FROM p ORDER BY etype, day""".stripMargin
+
   /** Keyword-in-context (KWIC) snippet extraction — the search-preview /
     * concordance primitive (t23's positional index finds WHERE; this
     * materializes the reading context): for every document containing
@@ -6162,7 +6205,8 @@ object ExtensionQueries {
     "t41_corpus_pipeline" -> (t41CorpusPipeline _),
     "p15_mad" -> (p15Mad _),
     "p16_embedding_drift" -> (p16EmbeddingDrift _),
-    "p17_hist_drift" -> (p17HistDrift _))
+    "p17_hist_drift" -> (p17HistDrift _),
+    "p18_ewma_trend" -> (p18Ewma _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -6300,5 +6344,6 @@ object ExtensionQueries {
     "t41_corpus_pipeline" -> t41Sql,
     "p15_mad" -> p15Sql,
     "p16_embedding_drift" -> p16Sql,
-    "p17_hist_drift" -> p17Sql)
+    "p17_hist_drift" -> p17Sql,
+    "p18_ewma_trend" -> p18Sql)
 }

@@ -1985,6 +1985,58 @@ object Relational {
       |FROM c JOIN n ON c.k IS NOT DISTINCT FROM n.k
       |GROUP BY c.k ORDER BY c.k NULLS FIRST""".stripMargin
 
+  /** MERGE INTO semantics ([[graft.operators.Merge.threeWayMerge]]) —
+    * the lakehouse upsert applied to the customer snapshot: a changeset
+    * updates every third customer's balance (+10.00, exact DECIMAL),
+    * inserts a re-keyed cohort, and the WHEN NOT MATCHED BY SOURCE
+    * DELETE clause drops untouched negative-balance rows. One full-outer
+    * hash join + map-side CASEs; the row-grain `action` column is the
+    * audit the lakehouse MERGE metrics aggregate. Distinct from q17
+    * (CDC log compaction) and q25 (diff report — changes nothing). */
+  def q47Merge(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(col("c_custkey"), col("c_name"),
+      dec(col("c_acctbal")).as("c_acctbal"))
+    val updates = base.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        dec(col("c_acctbal") + lit(10).cast("decimal(18,2)"))
+          .as("c_acctbal"))
+    val inserts = base.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 900000L).as("c_custkey"),
+        concat(lit("NEW "), col("c_name")).as("c_name"), col("c_acctbal"))
+    graft.operators.Merge
+      .threeWayMerge(base, updates.union(inserts), "c_custkey",
+        deleteWhen = col("c_acctbal") < 0)
+      // merge math runs exact DECIMAL; double only in the final projection
+      .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+      .orderBy("c_custkey")
+  }
+
+  val q47Sql: String =
+    """WITH base AS (SELECT c_custkey, c_name,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal FROM customer),
+      |src AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_acctbal + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+      |      AS c_acctbal
+      |  FROM base WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 900000, 'NEW ' || c_name, c_acctbal
+      |  FROM base WHERE c_custkey % 7 = 0),
+      |m AS (SELECT coalesce(s.c_custkey, b.c_custkey) AS c_custkey,
+      |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+      |         ELSE b.c_name END AS c_name,
+      |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+      |         ELSE b.c_acctbal END AS c_acctbal,
+      |    CASE WHEN b.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+      |           THEN 'updated'
+      |         WHEN s.c_custkey IS NOT NULL THEN 'inserted'
+      |         ELSE 'kept' END AS action
+      |  FROM base b FULL OUTER JOIN src s ON b.c_custkey = s.c_custkey)
+      |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+      |  action
+      |FROM m WHERE NOT (action = 'kept' AND c_acctbal < 0)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -2041,6 +2093,7 @@ object Relational {
     "q44_range_frame" -> (q44RangeFrame _),
     "q45_scalar_subquery" -> (q45ScalarSubquery _),
     "q46_null_safe_join" -> (q46NullSafeJoin _),
+    "q47_merge_upsert" -> (q47Merge _),
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _))
 
@@ -2100,6 +2153,7 @@ object Relational {
     "q44_range_frame" -> q44Sql,
     "q45_scalar_subquery" -> q45Sql,
     "q46_null_safe_join" -> q46Sql,
+    "q47_merge_upsert" -> q47Sql,
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql)
 }

@@ -2160,6 +2160,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(byBin.values.forall(_ <= 256L), "bin over capacity")
   }
 
+  test("three-way merge: all four MERGE outcomes on a crafted snapshot " +
+      "(update takes source values, insert lands, kept survives, " +
+      "not-matched-by-source delete fires only on its condition)") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 7.0))
+      .toDF("k", "name", "bal")
+    // k=1 matched (update), k=4 source-only (insert); k=2 base-only with
+    // bal<0 (deleted), k=3 base-only with bal>=0 (kept)
+    val src = Seq((1L, "a2", 99.0), (4L, "d", 1.0))
+      .toDF("k", "name", "bal")
+    val out = Merge.threeWayMerge(base, src, "k",
+        deleteWhen = col("bal") < 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (1L, "a2", 99.0, "updated"),
+      (3L, "c", 7.0, "kept"),
+      (4L, "d", 1.0, "inserted")))
+    // delete clause must NOT touch matched rows: a matched negative row
+    // updates, it does not vanish
+    val out2 = Merge.threeWayMerge(base, src.union(
+        Seq((2L, "b2", -50.0)).toDF("k", "name", "bal")), "k",
+        deleteWhen = col("bal") < 0)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out2(2L) == "updated")
+  }
+
+  test("p18 EWMA: the dyadic recurrence ewma_d == cents_d + ewma_{d-1}/2 " +
+      "holds EXACTLY (==, not approx) on consecutive days — the " +
+      "integer-scaled sum is bit-exact, not a float approximation") {
+    val out = graft.queries.ExtensionQueries
+      .p18Ewma(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.sortBy(_._2.toEpochDay)
+      assert(s.head._4 == s.head._3.toDouble) // first day: ewma == cents
+      s.sliding(2).foreach {
+        case Array((_, d1, _, e1), (_, d2, c2, e2))
+            if d2.toEpochDay == d1.toEpochDay + 1 =>
+          assert(e2 == c2.toDouble + e1 / 2.0,
+            s"recurrence broken at $d2: $e2 != $c2 + $e1/2")
+        case _ => ()
+      }
+    }
+  }
+
   test("a20 RAG pipeline: 5 picks per query, greedy MMR scores " +
       "non-increasing, and — because sibling chunks share the parent " +
       "embedding — every pick from a DISTINCT parent document") {
