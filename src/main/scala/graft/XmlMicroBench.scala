@@ -64,6 +64,27 @@ object XmlMicroBench {
         df.select(explode(xml_children(col("xml"), Seq("item"),
             fromRoot = true)).as("k"))
           .agg(sum(col("k.value").cast("long"))).first().getLong(0)),
+      // the pre-fix x13 shape: FOUR built-in xpath_* calls per row, each
+      // re-parsing the document into its own DTM
+      "xpath_builtin4" -> (() =>
+        df.select(
+            expr("xpath_int(xml, '/o/item[1]')").as("a"),
+            expr("xpath_string(xml, '/o/item[1]')").as("b"),
+            expr("xpath_double(xml, '/o/item[2]')").as("c"),
+            expr("size(xpath(xml, '/o/item/text()'))").as("d"))
+          .agg(sum(col("a") + col("c").cast("long") + col("d")))
+          .first().getLong(0)),
+      // the same four extractions through ONE parse (the x13 fix)
+      "xpath_multi4" -> (() =>
+        df.select(graft.xml.XPathMultiExpr.xpath_multi(col("xml"),
+            Seq("/o/item[1]", "/o/item[2]", "/o/item/text()")).as("m"))
+          .select(
+            get(col("m.p0"), lit(0)).cast("long").as("a"),
+            get(col("m.p0"), lit(0)).as("b"),
+            get(col("m.p1"), lit(0)).cast("double").as("c"),
+            size(col("m.p2")).as("d"))
+          .agg(sum(col("a") + col("c").cast("long") + col("d")))
+          .first().getLong(0)),
       // the real x2 shape: DSL array parser (transform over xml_children
       // with a nested from_xml per child) exploded, no persist
       "dsl_generate" -> (() => {
