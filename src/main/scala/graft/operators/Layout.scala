@@ -34,4 +34,23 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Hilbert index of the two keys (low 8 bits each) — consecutive
+    * indices are always ADJACENT grid cells (Morton jumps at power-of-two
+    * boundaries), so range-sorted files get tighter (x, y) bounding boxes
+    * and footer stats prune more. The reason table formats offer Hilbert
+    * clustering beside Z-order. */
+  def hilbertValue(x: Column, y: Column): Column =
+    graft.functions.HilbertExpr.hilbert8(x, y)
+
+  /** [[zorderBy]] with the Hilbert key: range repartition + in-partition
+    * sort, one shuffle, fully distributed write. */
+  def hilbertBy(df: DataFrame, x: Column, y: Column,
+      numPartitions: Int): DataFrame = {
+    val h = hilbertValue(x, y).as("__h")
+    df.withColumn("__h", h)
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
 }

@@ -720,6 +720,55 @@ object ExtensionQueries {
       |FROM lineitem
       |ORDER BY z, l_orderkey, l_partkey, l_suppkey LIMIT 50""".stripMargin
 
+  /** Hilbert-curve layout key over the same dimensions as z1
+    * ([[graft.operators.Layout.hilbertValue]]) — the clustering key
+    * table formats offer BESIDE Z-order because consecutive Hilbert
+    * indices are always adjacent grid cells (Morton jumps at every
+    * power-of-two boundary), tightening per-file bounding boxes for
+    * footer-stats pruning. The oracle unrolls the classic 8-round xy2d
+    * quadrant-rotation transform as a CTE chain — pure integer CASEs,
+    * bit-identical in any engine; HilbertSpec pins the two defining
+    * curve properties (bijection on the 256x256 grid, unit-step
+    * adjacency) plus the Morton contrast. */
+  def z2Hilbert(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    li.withColumn("h", graft.operators.Layout
+        .hilbertValue(col("l_partkey"), col("l_suppkey")))
+      .orderBy(col("h"), col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"))
+      .limit(50)
+  }
+
+  val z2Sql: String = {
+    def step(s: Int, in: String, out: String): String =
+      s"""$out AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |  d + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |       WHEN rx = 0 AND ry = 1 THEN 1
+         |       WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END) AS d,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - y
+         |       WHEN ry = 0 THEN y ELSE x END AS x,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - x
+         |       WHEN ry = 0 THEN x ELSE y END AS y
+         |  FROM (SELECT *,
+         |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM $in))""".stripMargin
+    val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+    val chain = steps.zipWithIndex.map { case (s, i) =>
+      step(s, if (i == 0) "h0" else s"h$i", s"h${i + 1}")
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |    CAST(l_partkey & 255 AS BIGINT) AS x,
+       |    CAST(l_suppkey & 255 AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$chain
+       |SELECT l_orderkey, l_partkey, l_suppkey, CAST(d AS BIGINT) AS h
+       |FROM h8
+       |ORDER BY h, l_orderkey, l_partkey, l_suppkey LIMIT 50""".stripMargin
+  }
+
   /** Text hygiene: PII scrubbing (emails, phone numbers) + Unicode NFC
     * normalization over text with injected PII and a decomposed accent —
     * both verified against DuckDB's identical regexes / nfc_normalize. */
@@ -6088,6 +6137,7 @@ object ExtensionQueries {
     "t16_weighted_sample" -> (t16WeightedSample _),
     "t17_cms_heavy" -> (t17CmsHeavyHitters _),
     "z1_zorder" -> (z1Zorder _),
+    "z2_hilbert" -> (z2Hilbert _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -6227,6 +6277,7 @@ object ExtensionQueries {
     "t16_weighted_sample" -> t16Sql,
     "t17_cms_heavy" -> t17Sql,
     "z1_zorder" -> z1Sql,
+    "z2_hilbert" -> z2Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
