@@ -597,4 +597,37 @@ class OperatorPropertySpec extends AnyFunSuite {
       .filter(col("c1") =!= col("c2")).collect()
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
+
+  test("Merge.threeWayMerge is idempotent on random snapshots: applying " +
+      "the same changeset to an already-merged table changes no values, " +
+      "and row counts obey kept+updated+inserted accounting") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 40L)
+      bal <- Gen.chooseNum(-100, 100)
+    } yield (k, s"n$k", bal.toDouble)
+    def dedupByKey(rows: Seq[(Long, String, Double)]) =
+      rows.groupBy(_._1).map(_._2.head).toSeq
+    (1 to 5).foreach { round =>
+      val base = dedupByKey(samples(rowGen, 30)).toDF("k", "name", "bal")
+      val src = dedupByKey(samples(rowGen, 20))
+        .map { case (k, n, b) => (k, n + "'", b) }.toDF("k", "name", "bal")
+      val once = Merge.threeWayMerge(base, src, "k",
+        deleteWhen = col("bal") < -50)
+      val values1 = once.drop("action")
+      // idempotence: a second application of the SAME changeset cannot
+      // change any value (updates rewrite to identical values, inserts
+      // become updates, nothing new deletes: survivors either carry
+      // bal >= -50 or are source-matched)
+      val twice = Merge.threeWayMerge(values1, src, "k",
+        deleteWhen = col("bal") < -50).drop("action")
+      assert(twice.except(values1).isEmpty &&
+        values1.except(twice).isEmpty, s"round $round not idempotent")
+      // accounting: output = src rows (updated+inserted) + kept
+      val acts = once.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(acts.getOrElse("updated", 0L) + acts.getOrElse("inserted", 0L)
+        == src.count(), s"round $round: source rows not all applied")
+    }
+  }
 }
