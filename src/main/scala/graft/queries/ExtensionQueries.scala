@@ -3905,6 +3905,106 @@ object ExtensionQueries {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, last_ms""".stripMargin
 
+  /** STREAMING INGEST CURATION — the online form of t41's batch chain:
+    * a document bus (Kafka-shaped MemoryStream, the s19 pattern) flows
+    * through the CODEGEN text kernels under micro-batch re-evaluation —
+    * quality scoring (t2), language-ID (t3), token counting (t1) — a
+    * quality floor drops low-value docs in-flight, and watermarked
+    * 1-hour windows aggregate per predicted language (doc count + token
+    * mass): the live dashboard a crawl-firehose curation pipeline
+    * actually runs. Deterministic 1/4 doc_id sample with synthesized
+    * event time (epoch + doc_id x 60 s), three producer batches so
+    * windows genuinely span micro-batches, two arm batches to flush
+    * append-mode windows; arm windows (and nothing else) fall past the
+    * sample's max event time, so the readout bounds on it instead of
+    * string sentinels. Oracle: the same filter/score/langid/window
+    * arithmetic in DuckDB over the same sample. */
+  def s25StreamCuration(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = documents(sp, dir).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+    require(rows.nonEmpty,
+      "s25: the 1/4 doc_id sample is empty — fixture too small; the bus " +
+        "needs at least one document to arm watermarks")
+    val docs = rows.map(r => (r.getLong(0), r.getString(1)))
+    val epoch = 1704067200L // 2024-01-01 UTC
+    val maxTs = epoch + docs.last._1 * 60
+    // arm docs: far-future ts, stopword-dense text that PASSES the
+    // quality floor (a filtered-out arm row would never advance the
+    // watermark, which is computed after the filter)
+    val armText = "the of and to in is it that a an " * 8
+    val arm1 = (((30L * 24 * 3600 + maxTs - epoch) / 60), armText)
+    val arm2 = (arm1._1 + 1440L, armText)
+    val in = MemoryStream[(Long, String)]
+    val agg = in.toDF().toDF("doc_id", "text")
+      .repartition(8) // spread the bus feed before the per-row kernels
+      .select(
+        timestamp_seconds(lit(epoch) + col("doc_id") * 60).as("ts"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.langId(col("text")).as("lang_pred"),
+        Text.tokenCount(col("text")).as("n_tok"))
+      .withWatermark("ts", "1 hour")
+      .filter(col("quality") >= 0.3)
+      .groupBy(window(col("ts"), "1 hour"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val name = "s25_cur_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        val slice = math.max(1, (docs.length + 2) / 3)
+        docs.grouped(slice).foreach { s =>
+          in.addData(s.toIndexedSeq); q.processAllAvailable()
+        }
+        in.addData(arm1); q.processAllAvailable()
+        in.addData(arm2); q.processAllAvailable()
+      } finally q.stop()
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    sp.table(name)
+      .select(col("window.start").as("wstart"), col("lang_pred"),
+        col("n_docs"), col("n_tokens"))
+      .filter(col("wstart") <= timestamp_seconds(lit(maxTs)))
+      .orderBy("wstart", "lang_pred")
+  }
+
+  val s25Sql: String = {
+    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
+      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
+    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
+      "'', 'g')))::DOUBLE / length(text))"
+    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
+    val quality = s"round(least(greatest($len500 * 0.5 + " +
+      s"least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4)"
+    def score(words: Seq[String]) =
+      s"(len(list_filter($Toks, x -> x IN (" +
+        words.map(w => s"'$w'").mkString(",") + s")))::DOUBLE / len($Toks))"
+    val scores = Text.LangWords.map { case (l, ws) => l -> score(ws) }.toMap
+    val best =
+      s"greatest(${Text.LangWords.map(lw => scores(lw._1)).mkString(", ")})"
+    val caseChain = Text.LangWords.map { case (l, _) =>
+      s"WHEN ${scores(l)} = $best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |q AS (SELECT doc_id, text,
+       |    make_timestamp((1704067200 + doc_id * 60) * 1000000) AS ts,
+       |    $quality AS quality,
+       |    CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END
+       |      AS lang_pred,
+       |    CAST(len($Toks) AS BIGINT) AS n_tok
+       |  FROM d)
+       |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, lang_pred,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM q WHERE quality >= CAST(0.3 AS DOUBLE)
+       |GROUP BY wstart, lang_pred
+       |ORDER BY wstart, lang_pred""".stripMargin
+  }
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -6238,6 +6338,7 @@ object ExtensionQueries {
     "s22_transform_with_state" -> (s22TransformWithState _),
     "s23_tws_mapstate" -> (s23TwsMapState _),
     "s24_tws_session_timers" -> (s24TwsSessionTimers _),
+    "s25_stream_curation" -> (s25StreamCuration _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -6378,6 +6479,7 @@ object ExtensionQueries {
     "s22_transform_with_state" -> s22Sql,
     "s23_tws_mapstate" -> s23Sql,
     "s24_tws_session_timers" -> s24Sql,
+    "s25_stream_curation" -> s25Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,

@@ -2209,6 +2209,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s25 streaming curation: the quality floor genuinely attrits " +
+      "in-flight, arm windows never leak into the readout, and window " +
+      "totals account exactly for the passing sample docs") {
+    val out = graft.queries.ExtensionQueries
+      .s25StreamCuration(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val sample = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") % 4 === 0)
+    val nSample = sample.count()
+    val nPass = sample.filter(
+      graft.functions.Text.qualityScore(col("text")) >= 0.3).count()
+    val emitted = out.map(_.getLong(2)).sum
+    assert(emitted == nPass, s"window totals $emitted != passing $nPass")
+    assert(nPass < nSample, "quality floor dropped nothing — gate inert")
+    // arm rows ride 30 days out; every emitted window is within the
+    // sample's own time span (readout bound holds)
+    val spanEnd = 1704067200L + 1000000L // epoch + generous sample bound
+    assert(out.forall(_.getTimestamp(0).getTime / 1000 < spanEnd))
+  }
+
   test("a20 RAG pipeline: 5 picks per query, greedy MMR scores " +
       "non-increasing, and — because sibling chunks share the parent " +
       "embedding — every pick from a DISTINCT parent document") {
