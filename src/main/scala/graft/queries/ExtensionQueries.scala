@@ -3910,9 +3910,11 @@ object ExtensionQueries {
     * through the CODEGEN text kernels under micro-batch re-evaluation —
     * quality scoring (t2), language-ID (t3), token counting (t1) — a
     * quality floor drops low-value docs in-flight, and watermarked
-    * 1-hour windows aggregate per predicted language (doc count + token
-    * mass): the live dashboard a crawl-firehose curation pipeline
-    * actually runs. Deterministic 1/4 doc_id sample with synthesized
+    * 1-hour windows aggregate per INGEST-LABELED language (doc count +
+    * token mass + how many docs the language-ID model AGREES with the
+    * label on — the label-quality drift signal): the live dashboard a
+    * crawl-firehose curation pipeline actually runs. Deterministic 1/4
+    * doc_id sample with synthesized
     * event time (epoch + doc_id x 60 s), three producer batches so
     * windows genuinely span micro-batches, two arm batches to flush
     * append-mode windows; arm windows (and nothing else) fall past the
@@ -3924,31 +3926,34 @@ object ExtensionQueries {
     import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
     val rows = documents(sp, dir).filter(col("doc_id") % 4 === 0)
-      .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id").collect()
     require(rows.nonEmpty,
       "s25: the 1/4 doc_id sample is empty — fixture too small; the bus " +
         "needs at least one document to arm watermarks")
-    val docs = rows.map(r => (r.getLong(0), r.getString(1)))
+    val docs = rows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val epoch = 1704067200L // 2024-01-01 UTC
     val maxTs = epoch + docs.last._1 * 60
     // arm docs: far-future ts, stopword-dense text that PASSES the
     // quality floor (a filtered-out arm row would never advance the
     // watermark, which is computed after the filter)
     val armText = "the of and to in is it that a an " * 8
-    val arm1 = (((30L * 24 * 3600 + maxTs - epoch) / 60), armText)
-    val arm2 = (arm1._1 + 1440L, armText)
-    val in = MemoryStream[(Long, String)]
-    val agg = in.toDF().toDF("doc_id", "text")
+    val arm1 = (((30L * 24 * 3600 + maxTs - epoch) / 60), "xx", armText)
+    val arm2 = (arm1._1 + 1440L, "xx", armText)
+    val in = MemoryStream[(Long, String, String)]
+    val agg = in.toDF().toDF("doc_id", "lang", "text")
       .repartition(8) // spread the bus feed before the per-row kernels
       .select(
         timestamp_seconds(lit(epoch) + col("doc_id") * 60).as("ts"),
+        col("lang"),
         Text.qualityScore(col("text")).as("quality"),
-        Text.langId(col("text")).as("lang_pred"),
+        (Text.langId(col("text")) === col("lang")).as("agree"),
         Text.tokenCount(col("text")).as("n_tok"))
       .withWatermark("ts", "1 hour")
       .filter(col("quality") >= 0.3)
-      .groupBy(window(col("ts"), "1 hour"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        count(when(col("agree"), 1)).as("n_lang_agree"))
     val name = "s25_cur_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val prev = sp.conf.get("spark.sql.shuffle.partitions")
@@ -3967,10 +3972,10 @@ object ExtensionQueries {
       } finally q.stop()
     } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
     sp.table(name)
-      .select(col("window.start").as("wstart"), col("lang_pred"),
-        col("n_docs"), col("n_tokens"))
+      .select(col("window.start").as("wstart"), col("lang"),
+        col("n_docs"), col("n_tokens"), col("n_lang_agree"))
       .filter(col("wstart") <= timestamp_seconds(lit(maxTs)))
-      .orderBy("wstart", "lang_pred")
+      .orderBy("wstart", "lang")
   }
 
   val s25Sql: String = {
@@ -3990,19 +3995,21 @@ object ExtensionQueries {
     val caseChain = Text.LangWords.map { case (l, _) =>
       s"WHEN ${scores(l)} = $best THEN '$l'"
     }.mkString(" ")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
-       |q AS (SELECT doc_id, text,
+    s"""WITH d AS (SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id % 4 = 0),
+       |q AS (SELECT doc_id, lang, text,
        |    make_timestamp((1704067200 + doc_id * 60) * 1000000) AS ts,
        |    $quality AS quality,
-       |    CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END
-       |      AS lang_pred,
+       |    (CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END)
+       |      = lang AS agree,
        |    CAST(len($Toks) AS BIGINT) AS n_tok
        |  FROM d)
-       |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, lang_pred,
-       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, lang,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  COUNT(*) FILTER (agree) AS n_lang_agree
        |FROM q WHERE quality >= CAST(0.3 AS DOUBLE)
-       |GROUP BY wstart, lang_pred
-       |ORDER BY wstart, lang_pred""".stripMargin
+       |GROUP BY wstart, lang
+       |ORDER BY wstart, lang""".stripMargin
   }
 
   /** As-of join: attribute each purchase to the user's latest signup at or
