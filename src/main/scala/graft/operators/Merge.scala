@@ -30,25 +30,34 @@ object Merge {
   /** Apply `source` to `base` (identical schemas, `key` a unique key in
     * each). `deleteWhen` is evaluated on the OUTPUT row (base values —
     * only `kept` rows are eligible), mirroring MERGE's
-    * whenNotMatchedBySource(condition).delete(). */
+    * whenNotMatchedBySource(condition).delete(); like SQL's DELETE, a
+    * NULL condition does NOT delete (only TRUE does).
+    *
+    * NULL keys follow SQL MERGE's join semantics: a NULL-key row never
+    * matches (the ON clause is a plain equality), so a NULL-key base row
+    * is `kept` and a NULL-key source row is `inserted` — presence is
+    * tracked with explicit marker columns, never inferred from key
+    * nullness. */
   def threeWayMerge(base: DataFrame, source: DataFrame, key: String,
       deleteWhen: Column = lit(false)): DataFrame = {
     require(source.columns.toSeq == base.columns.toSeq,
       s"source schema ${source.columns.toSeq} must match base " +
         s"${base.columns.toSeq}")
     val valueCols = base.columns.filter(_ != key).toSeq
-    val b = base.select(col(key).as("__bk") +:
+    val b = base.select(lit(true).as("__bp") +: col(key).as("__bk") +:
       valueCols.map(c => col(c).as(s"__b_$c")): _*)
-    val s = source.select(col(key).as("__sk") +:
+    val s = source.select(lit(true).as("__sp") +: col(key).as("__sk") +:
       valueCols.map(c => col(c).as(s"__s_$c")): _*)
+    val inSrc = col("__sp").isNotNull
     val action =
-      when(col("__bk").isNotNull && col("__sk").isNotNull, lit("updated"))
-        .when(col("__sk").isNotNull, lit("inserted"))
+      when(col("__bp").isNotNull && inSrc, lit("updated"))
+        .when(inSrc, lit("inserted"))
         .otherwise(lit("kept"))
     val merged = b.join(s, col("__bk") === col("__sk"), "full_outer")
-      .select((coalesce(col("__sk"), col("__bk")).as(key) +:
-        valueCols.map(c => when(col("__sk").isNotNull, col(s"__s_$c"))
+      .select((when(inSrc, col("__sk")).otherwise(col("__bk")).as(key) +:
+        valueCols.map(c => when(inSrc, col(s"__s_$c"))
           .otherwise(col(s"__b_$c")).as(c))) :+ action.as("action"): _*)
-    merged.filter(!(col("action") === "kept" && deleteWhen))
+    merged.filter(!(col("action") === "kept" &&
+      coalesce(deleteWhen, lit(false))))
   }
 }

@@ -34,6 +34,32 @@ object ExtensionQueries {
     s"sqrt(${foldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
   private def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+  // shared text-kernel SQL replicas (t2's exact arithmetic) — ONE copy,
+  // consumed by every oracle that scores quality or predicts language
+  // (t2/t3/t10/t41/s25); a formula tweak lands everywhere or nowhere
+  private def stopSql: String =
+    s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
+      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
+  private def punctSql: String =
+    "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
+      "'', 'g')))::DOUBLE / length(text))"
+  private def qualitySqlExpr: String = {
+    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
+    s"round(least(greatest($len500 * 0.5 + " +
+      s"least($stopSql * 4.0, 1.0) * 0.4 - $punctSql * 0.5, 0.0), 1.0), 4)"
+  }
+  private def langIdSqlExpr: String = {
+    def score(words: Seq[String]) =
+      s"(len(list_filter($Toks, x -> x IN (" +
+        words.map(w => s"'$w'").mkString(",") + s")))::DOUBLE / len($Toks))"
+    val scores = Text.LangWords.map { case (l, ws) => l -> score(ws) }.toMap
+    val best =
+      s"greatest(${Text.LangWords.map(lw => scores(lw._1)).mkString(", ")})"
+    val caseChain = Text.LangWords.map { case (l, _) =>
+      s"WHEN ${scores(l)} = $best THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END"
+  }
 
   // ======================= text analysis =======================
 
@@ -59,17 +85,11 @@ object ExtensionQueries {
       Text.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  val t2Sql: String = {
-    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
-      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
-    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
-      "'', 'g')))::DOUBLE / length(text))"
-    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
-    s"""SELECT doc_id, round($stop, 4) AS stop_ratio,
-       |  round($punct, 4) AS punct_ratio,
-       |  round(least(greatest($len500 * 0.5 + least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4) AS quality
+  val t2Sql: String =
+    s"""SELECT doc_id, round($stopSql, 4) AS stop_ratio,
+       |  round($punctSql, 4) AS punct_ratio,
+       |  $qualitySqlExpr AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
 
   def t3LangId(sp: SparkSession, dir: String): DataFrame =
     documents(sp, dir).select(
@@ -82,14 +102,9 @@ object ExtensionQueries {
     def score(words: Seq[String]) =
       s"(len(list_filter($Toks, x -> x IN (" +
         words.map(w => s"'$w'").mkString(",") + s")))::DOUBLE / len($Toks))"
-    val scores = Text.LangWords.map { case (l, ws) => l -> score(ws) }.toMap
-    val best = s"greatest(${Text.LangWords.map(lw => scores(lw._1)).mkString(", ")})"
-    val caseChain = Text.LangWords.map { case (l, _) =>
-      s"WHEN ${scores(l)} = $best THEN '$l'"
-    }.mkString(" ")
     s"""SELECT doc_id,
-       |  CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
-       |  round(${scores("en")}, 4) AS en_score
+       |  $langIdSqlExpr AS lang_pred,
+       |  round(${score(Text.LangWords.toMap.apply("en"))}, 4) AS en_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -902,14 +917,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val t10Sql: String = {
-    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
-      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
-    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
-      "'', 'g')))::DOUBLE / length(text))"
-    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
-    val quality = s"round(least(greatest($len500 * 0.5 + " +
-      s"least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4)"
-    s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+    s"""WITH q AS (SELECT doc_id, lang, $qualitySqlExpr AS quality FROM documents),
        |r AS (SELECT doc_id, lang, quality,
        |    percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr
        |  FROM q)
@@ -1576,15 +1584,7 @@ object ExtensionQueries {
   // lazy: K / BandRows / PipeMaxBucket are declared further down the
   // object; the registry maps (end of object) force this after them
   lazy val t41Sql: String = {
-    val quality = {
-      val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
-        s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
-      val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]'," +
-        " '', 'g')))::DOUBLE / length(text))"
-      val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
-      s"round(least(greatest($len500 * 0.5 + " +
-        s"least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4)"
-    }
+    val quality = qualitySqlExpr
     val bands = K / BandRows
     val bandSelects = (0 until bands).map { b =>
       val key = (0 until BandRows)
@@ -3979,28 +3979,12 @@ object ExtensionQueries {
   }
 
   val s25Sql: String = {
-    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
-      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
-    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
-      "'', 'g')))::DOUBLE / length(text))"
-    val len500 = "least(length(text)::DOUBLE / 500.0, 1.0)"
-    val quality = s"round(least(greatest($len500 * 0.5 + " +
-      s"least($stop * 4.0, 1.0) * 0.4 - $punct * 0.5, 0.0), 1.0), 4)"
-    def score(words: Seq[String]) =
-      s"(len(list_filter($Toks, x -> x IN (" +
-        words.map(w => s"'$w'").mkString(",") + s")))::DOUBLE / len($Toks))"
-    val scores = Text.LangWords.map { case (l, ws) => l -> score(ws) }.toMap
-    val best =
-      s"greatest(${Text.LangWords.map(lw => scores(lw._1)).mkString(", ")})"
-    val caseChain = Text.LangWords.map { case (l, _) =>
-      s"WHEN ${scores(l)} = $best THEN '$l'"
-    }.mkString(" ")
     s"""WITH d AS (SELECT doc_id, lang, text FROM documents
        |  WHERE doc_id % 4 = 0),
        |q AS (SELECT doc_id, lang, text,
        |    make_timestamp((1704067200 + doc_id * 60) * 1000000) AS ts,
-       |    $quality AS quality,
-       |    (CASE WHEN $best <= 0 THEN 'und' $caseChain ELSE 'und' END)
+       |    $qualitySqlExpr AS quality,
+       |    ($langIdSqlExpr)
        |      = lang AS agree,
        |    CAST(len($Toks) AS BIGINT) AS n_tok
        |  FROM d)
@@ -4811,13 +4795,9 @@ object ExtensionQueries {
   }
 
   val t30Sql: String = {
-    val stop = s"(len(list_filter($Toks, x -> x IN ('the','a','an','of'," +
-      s"'and','to','in','is','it','that')))::DOUBLE / len($Toks))"
-    val punct = "((length(text) - length(regexp_replace(text, '[.,!?;:]', " +
-      "'', 'g')))::DOUBLE / length(text))"
     val r1 = s"len($Toks) >= 30"
-    val r2 = s"$punct <= 0.08"
-    val r3 = s"$stop >= 0.02"
+    val r2 = s"$punctSql <= 0.08"
+    val r3 = s"$stopSql >= 0.02"
     s"""SELECT source, count(*) AS n_docs,
        |  count(*) FILTER ($r1) AS pass_len,
        |  count(*) FILTER ($r1 AND $r2) AS pass_len_punct,

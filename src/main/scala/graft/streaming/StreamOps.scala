@@ -337,6 +337,17 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
       ValueState}
     @transient private var sess: ValueState[(Long, Long, Long)] = _
+    // Session-boundary arithmetic runs at MICROSECOND precision — the
+    // native resolution of the event timestamps. Timestamp.getTime is
+    // millisecond-truncated; comparing gaps at ms while the oracle
+    // compares full-precision timestamps would split/merge sessions
+    // differently within 1 ms of an exact gap boundary (and mis-sort
+    // same-millisecond rows). Timers stay ms (Spark's timer unit),
+    // rounded UP so a timer never fires before the true session end.
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    private def timerMsFor(maxMicros: Long): Long =
+      Math.floorDiv(maxMicros + gapMs * 1000L + 999L, 1000L)
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sess = getHandle.getValueState[(Long, Long, Long)]("sess",
         org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
@@ -345,26 +356,26 @@ object StreamOps {
         rows: Iterator[(Long, Long, java.sql.Timestamp)],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Long, Long, Long)] = {
-      var (n, cents, maxTs) =
+      var (n, cents, maxUs) =
         if (sess.exists()) sess.get() else (0L, 0L, Long.MinValue)
-      val oldTimer = if (n > 0) maxTs + gapMs else Long.MinValue
-      val sorted = rows.toArray.sortBy(_._3.getTime)
+      val oldTimer = if (n > 0) timerMsFor(maxUs) else Long.MinValue
+      val sorted = rows.toArray.sortBy(r => micros(r._3))
       val out = new scala.collection.mutable.ArrayBuffer[
         (Long, Long, Long, Long)](2)
       var i = 0
       while (i < sorted.length) {
         val (_, c, ts) = sorted(i)
-        val t = ts.getTime
-        if (n > 0 && t >= maxTs + gapMs) {
-          out += ((key, n, cents, maxTs))
+        val t = micros(ts)
+        if (n > 0 && t >= maxUs + gapMs * 1000L) {
+          out += ((key, n, cents, Math.floorDiv(maxUs, 1000L)))
           n = 0L; cents = 0L
         }
-        n += 1; cents += c; maxTs = math.max(maxTs, t)
+        n += 1; cents += c; maxUs = math.max(maxUs, t)
         i += 1
       }
-      sess.update((n, cents, maxTs))
+      sess.update((n, cents, maxUs))
       if (oldTimer != Long.MinValue) getHandle.deleteTimer(oldTimer)
-      getHandle.registerTimer(maxTs + gapMs)
+      getHandle.registerTimer(timerMsFor(maxUs))
       out.iterator
     }
     override def handleExpiredTimer(key: Long,
@@ -373,8 +384,8 @@ object StreamOps {
         : Iterator[(Long, Long, Long, Long)] = {
       val out =
         if (sess.exists()) {
-          val (n, cents, maxTs) = sess.get()
-          Iterator((key, n, cents, maxTs))
+          val (n, cents, maxUs) = sess.get()
+          Iterator((key, n, cents, Math.floorDiv(maxUs, 1000L)))
         } else Iterator.empty
       sess.clear()
       out

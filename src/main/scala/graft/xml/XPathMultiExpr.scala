@@ -45,6 +45,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `xpath()` and first string-value against `xpath_string` for element
   * paths, and exact list equality for `text()` paths.
   *
+  * Namespaces: elements are captured under their LOCAL name, matching
+  * the built-in family's observed behavior — its DTM resolves a bare
+  * node test by local name, so `/r/b` matches `<n:b>` in both engines
+  * (spec-pinned in the namespace case; prefixed path steps stay outside
+  * the validated subset, as the built-in cannot bind prefixes either).
+  *
   * Scale: per-row, stateless, embarrassingly parallel; the struct result
   * keeps the surrounding projection inside whole-stage codegen.
   */
@@ -115,6 +121,10 @@ object XPathMini {
       while (reader.hasNext) {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT =>
+            // LOCAL name, matching the built-in xpath_* family: its DTM
+            // resolves a bare node test by local name, so '/r/b' matches
+            // '<n:b>' too — measured against xpath_string in the
+            // namespace case of XPathMultiSpec
             val e = new Elem(reader.getLocalName)
             if (top != null) top.content += e
             else if (root == null) root = e
@@ -209,7 +219,18 @@ case class XPathMultiExpr(child: Expression, paths: Seq[String])
   override def nullable: Boolean = true
   override def prettyName: String = "xpath_multi"
 
-  @transient private lazy val compiled: Array[XPathMini.Path] =
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"xpath_multi needs a STRING document column, got ${child.dataType}")
+
+  // plain val: bad paths must fail at CONSTRUCTION on the driver, not
+  // per-task inside eval (the scaladoc's validated-at-construction
+  // contract; was a transient lazy val first forced executor-side)
+  private val compiled: Array[XPathMini.Path] =
     paths.map(XPathMini.compile).toArray
 
   /** Instance evaluator referenced directly from the generated code. */

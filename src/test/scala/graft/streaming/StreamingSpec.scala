@@ -338,11 +338,15 @@ class StreamingSpec extends AnyFunSuite {
       in.addData((1L, 1L))
       await(latest().contains((1L, 2L)), "count did not carry inside TTL")
       // let the TTL lapse in processing time, then touch the key again:
-      // the expired state must read as absent and the count restart at 1
+      // the expired state must read as absent and the count restart at 1.
+      // The update-mode memory sink ACCUMULATES rows, so the batch-1
+      // (1,1) row is already present — eviction is only proven by a
+      // SECOND (1,1) row arriving (count == 2); a carried count would
+      // instead append (1,3)
       Thread.sleep(7000)
       in.addData((1L, 1L))
-      await(latest().count { case (k, n) => k == 1L && n == 1L } == 1,
-        "expected a fresh count of 1 after TTL expiry")
+      await(latest().count { case (k, n) => k == 1L && n == 1L } == 2,
+        "expected a second fresh count of 1 after TTL expiry")
     } finally q.stop()
   }
 

@@ -99,6 +99,29 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(0)))
   }
 
+  test("namespace parity: the built-in family resolves a bare node test " +
+      "by LOCAL name (/r/b matches <n:b> too) — xpath_multi does the " +
+      "same, first value and match count agreeing") {
+    import spark.implicits._
+    val doc = "<r xmlns:n='u'><n:b>1</n:b><b>2</b></r>"
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq("/r/b"))
+    val r = Seq(doc).toDF("x").select(m.as("m")).select(col("m.p0")).head()
+    // local-name matching: BOTH elements, document order
+    assert(r.getSeq[String](0) == Seq("1", "2"))
+    val ref = Seq(doc).toDF("x").select(
+      expr("xpath_string(x, '/r/b')"),
+      expr("size(xpath(x, '/r/b'))")).head()
+    assert(ref.getString(0) == "1")  // built-in first match is n:b's value
+    assert(ref.getInt(1) == 2)       // and it too matches both
+  }
+
+  test("a bad path fails when the EXPRESSION is constructed (driver-" +
+      "side), not per-task at eval") {
+    intercept[IllegalArgumentException] {
+      XPathMultiExpr.xpath_multi(col("x"), Seq("//anywhere"))
+    }
+  }
+
   test("unsupported path syntax rejected at construction") {
     intercept[IllegalArgumentException] {
       XPathMini.compile("//anywhere")
