@@ -43,6 +43,16 @@ object Merge {
     require(source.columns.toSeq == base.columns.toSeq,
       s"source schema ${source.columns.toSeq} must match base " +
         s"${base.columns.toSeq}")
+    // Names alone are not "identical schemas": a dtype mismatch would
+    // otherwise coerce silently through the when/otherwise projection (or
+    // fail later with an opaque join/cast error). Nullability is allowed
+    // to differ — it carries no merge semantics.
+    locally {
+      val bt = base.schema.map(f => (f.name, f.dataType))
+      val st = source.schema.map(f => (f.name, f.dataType))
+      require(st == bt,
+        s"source column types $st must match base $bt")
+    }
     val valueCols = base.columns.filter(_ != key).toSeq
     val b = base.select(lit(true).as("__bp") +: col(key).as("__bk") +:
       valueCols.map(c => col(c).as(s"__b_$c")): _*)

@@ -5940,7 +5940,17 @@ object ExtensionQueries {
     l.join(r, col("etype") === col("__e") &&
         col("__d") <= col("day") && datediff(col("day"), col("__d")) <= 30)
       .groupBy(col("etype"), col("day"), col("cents"))
-      .agg(sum(expr("shiftleft(__c, CAST(30 - datediff(day, __d) AS INT))"))
+      // Overflow guard: a daily |cents| >= 2^32 would make the 31-term
+      // shifted sum exceed 2^63 (max|cents|·Σ2^(30−k) < max|cents|·2^31)
+      // and Spark's BIGINT shiftleft/sum would WRAP silently while
+      // DuckDB's HUGEINT sum raises — a divergent failure mode. Fail
+      // loudly on the Spark side too; above ~$43M/day per type, switch
+      // the accumulator to DECIMAL.
+      .agg(sum(expr(
+        "CASE WHEN abs(__c) < 4294967296 THEN " +
+          "shiftleft(__c, CAST(30 - datediff(day, __d) AS INT)) " +
+          "ELSE raise_error(concat('p18: daily cents magnitude ', __c, " +
+          "' >= 2^32 — dyadic EWMA shift would overflow BIGINT')) END"))
         .as("__acc"))
       .select(col("etype"), col("day"), col("cents"),
         (col("__acc").cast("double") / lit(1073741824.0)).as("ewma"))

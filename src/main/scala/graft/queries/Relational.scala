@@ -2000,8 +2000,16 @@ object Relational {
       .select(col("c_custkey"), col("c_name"),
         dec(col("c_acctbal") + lit(10).cast("decimal(18,2)"))
           .as("c_acctbal"))
+    // Insert-cohort keys must be DISJOINT from genuine c_custkey values at
+    // ANY scale factor (a collision would put one key in `source` twice —
+    // as update AND insert — violating threeWayMerge's unique-source-key
+    // precondition). Derive the offset from the actual key range instead
+    // of a fixed constant: next million above max(c_custkey). One scalar
+    // agg collect — result-sized, the same cost class as a broadcast dim.
+    val maxKey = base.agg(max(col("c_custkey"))).head.getLong(0)
+    val offset = (maxKey / 1000000L + 1L) * 1000000L
     val inserts = base.filter(col("c_custkey") % 7 === 0)
-      .select((col("c_custkey") + 900000L).as("c_custkey"),
+      .select((col("c_custkey") + offset).as("c_custkey"),
         concat(lit("NEW "), col("c_name")).as("c_name"), col("c_acctbal"))
     graft.operators.Merge
       .threeWayMerge(base, updates.union(inserts), "c_custkey",
@@ -2020,7 +2028,9 @@ object Relational {
       |      AS c_acctbal
       |  FROM base WHERE c_custkey % 3 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 900000, 'NEW ' || c_name, c_acctbal
+      |  SELECT c_custkey
+      |      + (SELECT (max(c_custkey) // 1000000 + 1) * 1000000 FROM base),
+      |    'NEW ' || c_name, c_acctbal
       |  FROM base WHERE c_custkey % 7 = 0),
       |m AS (SELECT coalesce(s.c_custkey, b.c_custkey) AS c_custkey,
       |    CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name

@@ -115,6 +115,38 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(ref.getInt(1) == 2)       // and it too matches both
   }
 
+  test("adjacent text and CDATA segments coalesce into ONE text node — " +
+      "count parity with the built-in DTM pinned") {
+    import spark.implicits._
+    // xpath_multi parses with IS_COALESCING=true, so <a>x<![CDATA[y]]>z</a>
+    // yields a single text node "xyz". Empirically the built-in family's
+    // DTM coalesces the same way (size(xpath(...'text()')) == 1), so the
+    // COUNT contract of the property test holds on CDATA-adjacent content
+    // too; the built-in's LIST entry carries only the first segment ("x",
+    // the Hive partial-getNodeValue quirk) while its string-value form
+    // agrees with ours ("xyz") — the same value-vs-node divergence already
+    // documented for element matches.
+    val cases = Seq(
+      ("<a>x<![CDATA[y]]></a>", "xy"),
+      ("<a>x<![CDATA[y]]>z</a>", "xyz"),
+      ("<a><![CDATA[y]]>z</a>", "yz"),
+      ("<a><![CDATA[y]]></a>", "y"))
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq("/a/text()"))
+    val rows = cases.map(_._1).toDF("x").select(
+      col("x"), m.as("m"),
+      expr("size(xpath(x, '/a/text()'))").as("ref_n"),
+      expr("xpath_string(x, '/a/text()')").as("ref_sv")).collect()
+    val byDoc = rows.map(r => r.getString(0) ->
+      (r.getStruct(1).getSeq[String](0), r.getInt(2), r.getString(3))).toMap
+    for ((doc, want) <- cases) {
+      val (mine, refN, refSv) = byDoc(doc)
+      assert(mine == Seq(want), s"$doc: coalesced text $mine != Seq($want)")
+      assert(refN == 1, s"$doc: built-in DTM count $refN != 1 — the " +
+        "coalescing contract with the built-in family has CHANGED")
+      assert(refSv == want, s"$doc: built-in string-value '$refSv' != '$want'")
+    }
+  }
+
   test("a bad path fails when the EXPRESSION is constructed (driver-" +
       "side), not per-task at eval") {
     intercept[IllegalArgumentException] {
