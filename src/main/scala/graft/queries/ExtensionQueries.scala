@@ -3996,6 +3996,112 @@ object ExtensionQueries {
        |ORDER BY wstart, lang""".stripMargin
   }
 
+  /** TWS STATE TTL under the driver's oracle — promotes the TTLConfig
+    * eviction contract (StreamingSpec's "state TTL evicts") from a
+    * spec-only pin to a hash-gated CORRECTNESS entry, closing the one
+    * operator in the surface without one. TTL is what bounds 100 TB
+    * keyed state to the keys active within the horizon; a silent TTL
+    * regression (state carrying across the horizon) must fail a driver
+    * round, not just a test run.
+    *
+    * Determinism shape: the 1/16 `event_id % 16 = 1` sample (disjoint
+    * from s24's `= 0` bus), (ts, event_id)-ordered, splits into two
+    * PHASES at the ceil-half row. Phase 1 feeds in one producer batch
+    * and the sink is POLLED until every phase-1 key has reported
+    * (ProcessingTime TWS never satisfies processAllAvailable — the
+    * documented pace-and-poll harness); then the TTL lapses in wall
+    * clock; then phase 2 feeds. [[graft.streaming.StreamOps
+    * .TwsCountTtlPhased]] emits (key, phase, runningCount), so expired
+    * state makes each phase's final count exactly that phase's own row
+    * count — the per-(key, phase) readout is a plain batch recount the
+    * DuckDB oracle replays with one row_number split. A carried (un-
+    * expired) state would inflate every phase-2 count of a key seen in
+    * phase 1 and fail the hash. TTL 4 s >> micro-batch latency (~1 s
+    * paced), sleep 6.5 s >> TTL; both margins follow the spec's worked
+    * example. RocksDB provider on a child session as TWS requires;
+    * state partitions pinned. */
+  def s26TwsTtl(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events(sp, dir).filter(col("event_id") % 16 === 1)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .orderBy("ts", "event_id").collect()
+    require(rows.nonEmpty,
+      "s26: the 1/16 event_id sample is empty — fixture too small; the " +
+        "TTL gate needs at least one keyed row per phase")
+    val keys = rows.map(_.getLong(0))
+    val nPhase1 = (keys.length + 1) / 2
+    val phase1 = keys.take(nPhase1).map(k => (k, 1L))
+    val phase2 = keys.drop(nPhase1).map(k => (k, 2L))
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val ttl = java.time.Duration.ofSeconds(4)
+    val out = graft.streaming.StreamOps
+      .countsWithTtlPhased(in.toDS(), ttl)
+      .toDF("user_id", "phase", "n")
+    val name = "s26_ttl_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = out.writeStream.outputMode("update").format("memory")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .queryName(name).start()
+      try {
+        def seen(phase: Long): Long = s2.table(name)
+          .filter(col("phase") === phase).select("user_id")
+          .distinct().count()
+        def await(want: Long, phase: Long): Unit = {
+          val deadline = System.currentTimeMillis + 120000
+          while (seen(phase) < want) {
+            require(System.currentTimeMillis < deadline,
+              s"s26: phase $phase never fully reported " +
+                s"(${seen(phase)}/$want keys)")
+            Thread.sleep(100)
+          }
+        }
+        in.addData(phase1.toIndexedSeq)
+        await(phase1.map(_._1).distinct.length.toLong, 1L)
+        // all phase-1 state written; let the TTL lapse in processing time
+        Thread.sleep(ttl.toMillis + 2500)
+        if (phase2.nonEmpty) {
+          in.addData(phase2.toIndexedSeq)
+          await(phase2.map(_._1).distinct.length.toLong, 2L)
+        }
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    // Update-mode sink accumulates one row per (key, batch); with one
+    // producer batch per phase that is one row per (key, phase), and
+    // max() collapses any intra-phase re-trigger split (TTL >> batch
+    // latency keeps such splits carry-correct) — the final running
+    // count per phase IS the phase's row count iff eviction worked.
+    s2.table(name)
+      .groupBy(col("user_id"), col("phase"))
+      .agg(max(col("n")).as("cnt"))
+      .orderBy("user_id", "phase")
+  }
+
+  val s26Sql: String =
+    """WITH ev AS (SELECT user_id, ts, event_id FROM events
+      |  WHERE event_id % 16 = 1),
+      |r AS (SELECT user_id,
+      |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM ev),
+      |p AS (SELECT user_id,
+      |    CASE WHEN rn <= (n + 1) // 2 THEN 1 ELSE 2 END AS phase
+      |  FROM r)
+      |SELECT user_id, CAST(phase AS BIGINT) AS phase,
+      |  count(*) AS cnt
+      |FROM p GROUP BY user_id, phase
+      |ORDER BY user_id, phase""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -6336,6 +6442,7 @@ object ExtensionQueries {
     "s23_tws_mapstate" -> (s23TwsMapState _),
     "s24_tws_session_timers" -> (s24TwsSessionTimers _),
     "s25_stream_curation" -> (s25StreamCuration _),
+    "s26_tws_ttl" -> (s26TwsTtl _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -6477,6 +6584,7 @@ object ExtensionQueries {
     "s23_tws_mapstate" -> s23Sql,
     "s24_tws_session_timers" -> s24Sql,
     "s25_stream_curation" -> s25Sql,
+    "s26_tws_ttl" -> s26Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,

@@ -419,6 +419,50 @@ object StreamOps {
     }
   }
 
+  /** [[TwsCountTtl]] with a caller-supplied PHASE tag riding along —
+    * input rows are (key, phase) and each emission is (key, phase, n)
+    * where `phase` is the largest tag among the batch's rows for the
+    * key. The tag gives a TTL eviction a deterministic, hashable
+    * signature: a phase fed entirely after the TTL lapsed emits counts
+    * that RESTART from the phase's own row count (expired state reads
+    * as absent), while an unexpired state would carry the prior phase's
+    * total into the new tag's rows — so a (key, phase)-keyed readout is
+    * exactly "the non-TTL recount over only the rows inside the TTL
+    * horizon", which a batch oracle can replay. */
+  class TwsCountTtlPhased(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      var tag = Long.MinValue
+      rows.foreach { r => n += 1; tag = math.max(tag, r._2) }
+      cnt.update(n)
+      Iterator((key, tag, n))
+    }
+  }
+
+  /** Phase-tagged running counts under state TTL — see
+    * [[TwsCountTtlPhased]]; same ProcessingTime pace-and-poll caveat as
+    * [[countsWithTtl]]. */
+  def countsWithTtlPhased(pairs: org.apache.spark.sql.Dataset[(Long, Long)],
+      ttl: java.time.Duration)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new TwsCountTtlPhased(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** Per-key running counts whose state expires `ttl` after last update
     * (processing-time TTL; TTL requires the ProcessingTime time mode).
     *

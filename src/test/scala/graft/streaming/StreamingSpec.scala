@@ -350,6 +350,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("phase-tagged TTL counts: the tag rides each emission, counts " +
+      "carry inside the TTL across tags, and restart after expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = StreamOps.countsWithTtlPhased(
+      in.toDS(), java.time.Duration.ofSeconds(5))
+      .toDF("key", "phase", "n")
+    val name = "tws_ttlp_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .queryName(name).start()
+    try {
+      def latest(): Seq[(Long, Long, Long)] = s2.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      def await(cond: => Boolean, msg: String): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (!cond) {
+          assert(System.currentTimeMillis < deadline,
+            s"$msg; sink rows = ${latest()}")
+          Thread.sleep(100)
+        }
+      }
+      // two rows, one batch, tag 1: count 2 under tag 1 (max-of-batch)
+      in.addData((1L, 1L), (1L, 1L))
+      await(latest().contains((1L, 1L, 2L)), "tag-1 batch never counted")
+      // INSIDE the TTL a new tag does NOT reset the count — the tag is a
+      // label, eviction is the TTL's alone: tag 2 sees the carried 2+1
+      in.addData((1L, 2L))
+      await(latest().contains((1L, 2L, 3L)),
+        "count did not carry into tag 2 inside TTL")
+      // after the TTL lapses the same tag restarts from its own rows
+      Thread.sleep(7000)
+      in.addData((1L, 3L))
+      await(latest().contains((1L, 3L, 1L)),
+        "expected a fresh count of 1 under tag 3 after TTL expiry")
+    } finally q.stop()
+  }
+
   test("message-bus XML: the compiled DSL binds a MemoryStream value " +
       "column; append-mode windows emit only after the watermark passes") {
     import spark.implicits._
