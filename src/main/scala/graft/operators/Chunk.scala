@@ -76,6 +76,80 @@ object Chunk {
           .as("n_dropped"))
   }
 
+  /** Exact-substring duplicate-span REMOVAL (the rewrite Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", actually
+    * apply to C4/RealNews — t22 computes the per-doc duplicate-gram
+    * SCORE; this drops the duplicated spans and keeps the rest of the
+    * document): every overlapping `n`-token gram that already occurred
+    * earlier in the corpus (first occurrence in (doc_id, pos) order wins,
+    * the d19 keeper rule — so one copy of every duplicated passage
+    * SURVIVES) marks its token range [pos, pos+n-1] for removal; per
+    * document the marked ranges merge (gaps-and-islands over token
+    * positions, overlapping-or-adjacent intervals coalesce) and the
+    * document is rebuilt from its uncovered tokens in order. A document
+    * fully covered by duplicates surfaces with EMPTY text rather than
+    * vanishing (the d19 precedent — downstream filters must see the
+    * drop).
+    *
+    * Scale shape: the tokenize+explode+hash occurrence table — the
+    * expensive part — is scratch-materialized once for its two consumers
+    * (keeper election and the probe side of the join back). Grams travel
+    * as 32-bit portable hashes, never strings (hash collisions are part
+    * of the definition, as in t22). Keeper election is `min(struct)` —
+    * a partial-aggregating shuffle on the gram hash, never a corpus-wide
+    * window; the interval merge windows are partitioned BY DOC (a
+    * document's duplicate spans, result-sized), so no global sort
+    * exists anywhere. The rebuild is one `filter(transform(...))` over
+    * the token array with the doc's merged spans riding as a
+    * result-sized array column — pure codegen, no UDF.
+    *
+    * Output: (doc_id, text_clean, n_tokens, n_removed, n_spans). */
+  def spanDedup(df: DataFrame, text: Column, id: Column,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span gram width must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val occDir = graft.Tables.scratchDir("graft-spandedup-occ")
+    df.select(id.as("doc_id"),
+        posexplode(Text.wordGrams(text, n)).as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.Hashing.portableHash32(col("__g")).as("__gh"))
+      .write.mode("overwrite").parquet(occDir)
+    val occ = df.sparkSession.read.parquet(occDir)
+    val keeper = occ.groupBy(col("__gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__k"))
+    val dup = occ.join(keeper, "__gh")
+      .filter(!(col("doc_id") === col("__k.doc_id") &&
+        col("pos") === col("__k.pos")))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (n - 1)).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val prevEnd = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("__new",
+        when(prevEnd.isNull || col("s") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__gid", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__gid"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s0"), col("e0"))))
+        .as("spans"))
+    df.select(id.as("doc_id"), Text.tokens(text).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        expr("CAST(array() AS array<struct<s0: bigint, e0: bigint>>)")))
+      .withColumn("__kept", expr(
+        "filter(transform(__toks, (t, i) -> " +
+          "CASE WHEN exists(spans, p -> i >= p.s0 AND i <= p.e0) " +
+          "THEN NULL ELSE t END), x -> x IS NOT NULL)"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__kept")).as("text_clean"),
+        size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).as("n_removed"),
+        size(col("spans")).as("n_spans"))
+  }
+
   /** Overlapping sliding-window chunks — the RAG / pretraining context
     * shape: windows of `w` tokens advancing by stride `s` (< w ⇒
     * consecutive chunks share w - s tokens), every token covered, the

@@ -1078,6 +1078,56 @@ object ExtensionQueries {
        |FROM occ JOIN counts USING (gh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring duplicate-span REMOVAL
+    * ([[graft.operators.Chunk.spanDedup]]) — the rewrite form of t22's
+    * score, and the form Lee et al. 2022 actually apply to C4/RealNews:
+    * every 8-token gram seen earlier in the corpus (first occurrence in
+    * (doc_id, pos) order survives — one copy of every duplicated
+    * passage remains) marks its token range; ranges merge per document
+    * (gaps-and-islands; overlapping-or-adjacent coalesce) and each
+    * document is rebuilt from its uncovered tokens. Distinct from d19
+    * (fixed segment GRID — can't catch an unaligned duplicated
+    * passage) and t22 (measures, rewrites nothing). Oracle replays
+    * keeper election (window form), interval merge, and the rebuild
+    * as an anti-joined token recount. */
+  def t42SpanRemoval(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunk
+      .spanDedup(documents(sp, dir), col("text"), col("doc_id"), 8)
+      .orderBy("doc_id")
+
+  val t42Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS l FROM documents),
+       |occ AS (SELECT doc_id, i - 1 AS pos, ${h("gram")} AS gh FROM (
+       |  SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS gram
+       |  FROM toks, LATERAL unnest(range(1, len(l) - 6)) AS t(i))),
+       |rk AS (SELECT doc_id, pos, row_number() OVER (
+       |    PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM occ),
+       |dup AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM rk WHERE rn > 1),
+       |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+       |    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    AS pe FROM dup),
+       |isl AS (SELECT doc_id, s, e, SUM(CASE WHEN pe IS NULL OR s > pe + 1
+       |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+       |    ROWS UNBOUNDED PRECEDING) AS gid FROM m),
+       |sp AS (SELECT doc_id, min(s) AS s0, max(e) AS e0 FROM isl
+       |  GROUP BY doc_id, gid),
+       |cov AS (SELECT doc_id, unnest(range(s0, e0 + 1)) AS p FROM sp),
+       |tokpos AS (SELECT doc_id, i AS idx, l[i] AS tok FROM toks,
+       |  LATERAL unnest(range(1, len(l) + 1)) AS t(i)),
+       |kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |    WHERE c.doc_id = tp.doc_id AND c.p = tp.idx - 1)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
+       |    AS text_clean, count(*) AS n_kept FROM kept GROUP BY 1),
+       |ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+       |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+       |  CAST(len(t.l) AS INT) AS n_tokens,
+       |  CAST(len(t.l) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+       |  CAST(coalesce(ns.n_spans, 0) AS INT) AS n_spans
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |  LEFT JOIN ns USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Paragraph-level (fixed 12-token segment) exact dedup with document
     * reassembly — the RefinedWeb/CCNet rewrite step: every distinct
     * segment survives once at its first (doc_id, seg_idx) occurrence,
@@ -6392,6 +6442,7 @@ object ExtensionQueries {
     "t20_lm_score" -> (t20LmScore _),
     "t21_domain_quota" -> (t21DomainQuota _),
     "t22_dup_spans" -> (t22DupSpans _),
+    "t42_span_removal" -> (t42SpanRemoval _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -6529,6 +6580,7 @@ object ExtensionQueries {
     "t20_lm_score" -> t20Sql,
     "t21_domain_quota" -> t21Sql,
     "t22_dup_spans" -> t22Sql,
+    "t42_span_removal" -> t42Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,

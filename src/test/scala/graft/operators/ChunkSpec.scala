@@ -51,6 +51,67 @@ class ChunkSpec extends AnyFunSuite {
     assert(got == ("x y z z", 2, 1))
   }
 
+  test("spanDedup: later occurrence loses its span, first keeps it") {
+    import spark.implicits._
+    // n=2 grams; "a b" first occurs in doc 1 (kept), doc 2's copy at
+    // pos 1 covers tokens [1,2] -> doc 2 rebuilds to "x y"
+    val df = Seq((1L, "a b c d"), (2L, "x a b y")).toDF("doc_id", "text")
+    val got = Chunk.spanDedup(df, col("text"), col("doc_id"), 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSeq
+    assert(got == Seq(
+      (1L, "a b c d", 4, 0, 0),
+      (2L, "x y", 4, 2, 1)))
+  }
+
+  test("spanDedup: a doc fully covered by duplicates surfaces EMPTY, " +
+      "its overlapping dup grams merged into one span") {
+    import spark.implicits._
+    val df = Seq((1L, "p q r s"), (2L, "p q r s")).toDF("doc_id", "text")
+    val got = Chunk.spanDedup(df, col("text"), col("doc_id"), 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3),
+        r.getInt(4))).toSeq
+    // doc 2's three dup grams cover [0,1],[1,2],[2,3] -> one merged span,
+    // every token removed — the row is PRESENT with empty text
+    assert(got == Seq((1L, "p q r s", 0, 0), (2L, "", 4, 1)))
+  }
+
+  test("spanDedup: adjacent spans coalesce; a unique gram bridging two " +
+      "dup spans does not rescue its covered tokens") {
+    import spark.implicits._
+    // doc 3's "a b" ([0,1]) and "c d" ([2,3]) are dups, "b c" is unique;
+    // adjacent intervals merge -> one span [0,3], all four tokens gone
+    val df = Seq((1L, "a b"), (2L, "c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Chunk.spanDedup(df, col("text"), col("doc_id"), 2)
+      .filter(col("doc_id") === 3L)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).head
+    assert(got == ("", 4, 4, 1))
+  }
+
+  test("spanDedup: within-doc repeat keeps the first occurrence; " +
+      "non-adjacent spans stay separate") {
+    import spark.implicits._
+    val df = Seq((1L, "m n z m n")).toDF("doc_id", "text")
+    val got = Chunk.spanDedup(df, col("text"), col("doc_id"), 2)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).head
+    assert(got == ("m n z", 5, 2, 1))
+
+    // doc 3: dup spans [0,1] ("a b"), [3,4] (in-doc "x x" repeat),
+    // [5,6] ("c d"); [3,4]+[5,6] adjacent -> merge, [0,1] separate
+    val df2 = Seq((1L, "a b"), (2L, "c d"), (3L, "a b x x x c d"))
+      .toDF("doc_id", "text")
+    val got2 = Chunk.spanDedup(df2, col("text"), col("doc_id"), 2)
+      .filter(col("doc_id") === 3L)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).head
+    assert(got2 == ("x", 7, 6, 2))
+  }
+
   test("overlapping: stride coverage, shared prefix, short tail") {
     import spark.implicits._
     // 7 tokens, w=4, s=2 -> chunks at 0,2,4: sizes 4,4,3
