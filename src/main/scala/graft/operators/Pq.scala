@@ -214,6 +214,93 @@ object Pq {
         round(col("dist"), 4).as("dist"))
   }
 
+  /** Collect the coarse-centroid table driver-side: config-sized, like
+    * the codebooks. */
+  private def centSeq(
+      centroids: DataFrame): IndexedSeq[(Long, IndexedSeq[Double])] =
+    centroids.select(col("cid").cast("long"),
+        transform(col("cvec"), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
+  /** Per-row (L2², cid) scores against the driver-held centroids —
+    * map-side, ties to the lower cid via struct ordering. */
+  private def cellScoresFor(vec: Column,
+      cents: Seq[(Long, IndexedSeq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(l2sq(vec, cv).as("d"), lit(cid).as("cid"))
+    }: _*)
+
+  /** Degree-capped k-NN GRAPH over the corpus, candidates scoped by IVF
+    * cell — the graph HNSW-style methods refine shortlists with, built
+    * with the d16/SemDeDup candidate discipline: each vector considers
+    * only its own coarse cell's members (ONE shuffle hash equi-join on
+    * cid — never an all-pairs corpus self-join; the centroid count is
+    * the knob that bounds cell size, exactly as in semantic dedup), ranks
+    * them by exact L2² and keeps its `deg` nearest as directed edges.
+    * The ranking window partitions by the VECTOR id — high-cardinality,
+    * no global sort — and the stored graph is O(N·deg) ids, the
+    * navigable structure a 100 TB corpus can actually persist. Cell
+    * assignment is the same exact-L2² argmin (ties to the lower cid) as
+    * [[ivfAdcTopK]]'s coarse quantizer, so graph and index agree and
+    * the whole build replays in SQL. Returns (id, nbr). */
+  def cellKnnGraph(corpus: DataFrame, centroids: DataFrame,
+      deg: Int): DataFrame = {
+    val cents = centSeq(centroids)
+    require(cents.nonEmpty && deg >= 1,
+      s"need centroids and deg >= 1, got ${cents.size} cents, deg=$deg")
+    val assigned = corpus.select(col("id"), col("vec"),
+      array_min(cellScoresFor(col("vec"), cents)).getField("cid").as("cid"))
+    val left = assigned.select(col("cid"), col("id"), col("vec"))
+    val right = assigned.select(col("cid"), col("id").as("nbr"),
+      col("vec").as("__nvec"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("dist").asc, col("nbr"))
+    left.hint("shuffle_hash").join(right, Seq("cid"))
+      .filter(col("id") =!= col("nbr"))
+      .withColumn("dist", l2sqCols(col("vec"), col("__nvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= deg)
+      .select(col("id"), col("nbr"))
+  }
+
+  /** ADC shortlist + ONE k-NN-graph expansion hop + exact re-rank — the
+    * graph-refined search the ANN ladder's LSH/IVF/PQ families lack:
+    * a SMALL ADC shortlist seeds the candidate set, the [[cellKnnGraph]]
+    * edges of every seed join in their neighbors ("neighbors of near
+    * candidates are near" — the HNSW insight, one bounded hop instead of
+    * a beam loop), and the exact L2² re-rank sees the union. Per query
+    * the candidate set is ≤ shortlist·(1+deg) ids, so the expansion join
+    * and re-rank touch |queries|·shortlist·deg rows, never the corpus;
+    * the hop is an equi-join on the seed id against the O(N·deg) graph —
+    * shuffle-shaped, nothing broadcast but the query-side ADC tables the
+    * seed stage already broadcasts. Same recall/cost contract as
+    * [[adcRerankTopK]] at equal candidate budget, but candidates follow
+    * the metric structure instead of the quantizer's error surface.
+    * Returns (qid, rank, neighbor, dist) with exact distances. */
+  def adcGraphExpandTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, subDim: Int,
+      shortlist: Int, deg: Int, k: Int): DataFrame = {
+    val graph = cellKnnGraph(corpus, centroids, deg)
+    val seed = adcTopK(queries, corpus, codebooks, subDim, shortlist)
+      .select(col("qid"), col("neighbor"))
+    val hop = seed.join(graph.withColumnRenamed("id", "neighbor"),
+        "neighbor")
+      .select(col("qid"), col("nbr").as("neighbor"))
+    val cand = seed.union(hop)
+      .filter(col("qid") =!= col("neighbor")).distinct()
+    val scored = cand.join(queries, "qid")
+      .join(corpus.withColumnRenamed("id", "neighbor"), "neighbor")
+      .withColumn("dist", l2sqCols(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        round(col("dist"), 4).as("dist"))
+  }
+
   /** IVF + PQ — the FAISS "IVFPQ" composition (Jégou et al. §V, non-
     * residual flavor): a coarse quantizer (the `centroids` table) scopes
     * each query to its `nprobe` nearest cells, and ADC scores only the
@@ -236,12 +323,7 @@ object Pq {
       nprobe: Int, k: Int): DataFrame = {
     val cb = codebookSeq(codebooks)
     val ms = cb.keys.toSeq.sorted
-    val cents: IndexedSeq[(Long, IndexedSeq[Double])] = centroids
-      .select(col("cid").cast("long"),
-        transform(col("cvec"), x => x.cast("double")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-      .sortBy(_._1).toIndexedSeq
+    val cents: IndexedSeq[(Long, IndexedSeq[Double])] = centSeq(centroids)
     require(cents.nonEmpty && nprobe >= 1 && nprobe <= cents.size,
       s"nprobe=$nprobe must be in [1, ${cents.size}]")
     def cellScores(vec: Column): Column =

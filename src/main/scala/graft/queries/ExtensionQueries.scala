@@ -2730,6 +2730,154 @@ object ExtensionQueries {
        |  round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** k-NN-GRAPH-refined ANN ([[graft.operators.Pq.adcGraphExpandTopK]])
+    * — the graph family the LSH/IVF/PQ ladder lacked: a degree-4 k-NN
+    * graph built inside IVF cells (bounded candidate join, the d16
+    * discipline — never all-pairs; degree 8), then a SMALL ADC
+    * shortlist (12, vs a10's 50) expands through ONE graph hop before
+    * the exact re-rank. Two rows: the un-expanded shortlist-12 baseline
+    * and the graph-expanded result on the same truth set — the hop's
+    * recall LIFT at equal seed budget is the point (measured
+    * 0.33-0.47 → 0.60-0.67 across the three SFs), and the expanded
+    * floor 0.55 sits above a10's 0.5. Oracle replays cell assignment,
+    * graph edges, expansion, and both re-ranks. */
+  def a21GraphRecall(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val codebooks = e.filter(col("vec_id") < 16)
+      .select(explode(sequence(lit(0), lit(3))).as("m"),
+        col("vec_id").cast("int").as("j"),
+        expr("slice(embedding, m * 16 + 1, 16)").as("cvec"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truth = graft.operators.Pq.bruteL2TopK(qs, corpus, 3)
+      .select(col("qid"), col("neighbor"))
+    val base = graft.operators.Pq
+      .adcRerankTopK(qs, corpus, codebooks, subDim = 16, shortlist = 12,
+        k = 3)
+      .select(col("qid"), col("neighbor"))
+    val expanded = graft.operators.Pq
+      .adcGraphExpandTopK(qs, corpus, cents, codebooks, subDim = 16,
+        shortlist = 12, deg = 8, k = 3)
+      .select(col("qid"), col("neighbor"))
+    def row(method: String, rr: DataFrame, floor: Double): DataFrame =
+      truth.join(rr, Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(method).as("method"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"),
+          lit(floor).as("floor"),
+          (col("n_hits").cast("double") / col("n_truth") >= floor)
+            .as("recall_ok"))
+    row("adc_short12", base, 0.2)
+      .union(row("graph_hop", expanded, 0.55))
+      .orderBy("method")
+  }
+
+  val a21Sql: String = {
+    def l2sub(a: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 17), i ->
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)) *
+         |    (CAST($a.embedding[c.m*16+i] AS DOUBLE) -
+         |       CAST(c.full[c.m*16+i] AS DOUBLE)))), (x,y) -> x+y)""".stripMargin
+    def l2pair(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i ->
+         |    (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+         |    (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    val l2full =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len(e.embedding) + 1), i ->
+         |    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+         |    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    s"""WITH cw AS (SELECT ms.m, e.vec_id AS j, e.embedding AS full
+       |  FROM embeddings e, (VALUES (0),(1),(2),(3)) AS ms(m)
+       |  WHERE e.vec_id < 16),
+       |enc AS (SELECT e.vec_id AS id, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY e.vec_id, c.m ORDER BY ${l2sub("e")}, c.j) AS rn
+       |  FROM embeddings e CROSS JOIN cw c),
+       |codes AS (SELECT id,
+       |    MAX(CASE WHEN m = 0 THEN j END) AS j0,
+       |    MAX(CASE WHEN m = 1 THEN j END) AS j1,
+       |    MAX(CASE WHEN m = 2 THEN j END) AS j2,
+       |    MAX(CASE WHEN m = 3 THEN j END) AS j3
+       |  FROM enc WHERE rn = 1 GROUP BY id),
+       |qd AS (SELECT q.vec_id AS qid, c.m, c.j, ${l2sub("q")} AS d
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id < 5),
+       |adc AS (SELECT d0.qid, codes.id,
+       |    (((d0.d + d1.d) + d2.d) + d3.d) AS adist
+       |  FROM codes
+       |  JOIN qd d0 ON d0.m = 0 AND d0.j = codes.j0
+       |  JOIN qd d1 ON d1.m = 1 AND d1.j = codes.j1 AND d1.qid = d0.qid
+       |  JOIN qd d2 ON d2.m = 2 AND d2.j = codes.j2 AND d2.qid = d0.qid
+       |  JOIN qd d3 ON d3.m = 3 AND d3.j = codes.j3 AND d3.qid = d0.qid
+       |  WHERE codes.id <> d0.qid),
+       |sl AS (SELECT qid, id FROM (SELECT qid, id, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, id) AS rank FROM adc)
+       |  WHERE rank <= 12),
+       |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |celld AS (SELECT e.vec_id AS id, c.cid, $l2full AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cella AS (SELECT id, cid FROM (SELECT id, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY id ORDER BY d, cid) AS rn FROM celld) WHERE rn = 1),
+       |g AS (SELECT id, nbr FROM (SELECT a.id, b.id AS nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY
+       |      ${l2pair("ea.embedding", "eb.embedding")}, b.id) AS rn
+       |  FROM cella a JOIN cella b ON a.cid = b.cid AND a.id <> b.id
+       |    JOIN embeddings ea ON ea.vec_id = a.id
+       |    JOIN embeddings eb ON eb.vec_id = b.id) WHERE rn <= 8),
+       |cand AS (SELECT DISTINCT qid, id FROM (
+       |    SELECT qid, id FROM sl
+       |    UNION ALL
+       |    SELECT sl.qid, g.nbr AS id FROM sl JOIN g ON g.id = sl.id)
+       |  WHERE qid <> id),
+       |rr AS (SELECT qid, id FROM (SELECT cd.qid, cd.id, ROW_NUMBER()
+       |    OVER (PARTITION BY cd.qid ORDER BY
+       |      ${l2pair("q.embedding", "e.embedding")}, cd.id) AS rank
+       |  FROM cand cd JOIN embeddings q ON q.vec_id = cd.qid
+       |    JOIN embeddings e ON e.vec_id = cd.id) WHERE rank <= 3),
+       |base AS (SELECT qid, id FROM (SELECT s.qid, s.id, ROW_NUMBER()
+       |    OVER (PARTITION BY s.qid ORDER BY
+       |      ${l2pair("q.embedding", "e.embedding")}, s.id) AS rank
+       |  FROM sl s JOIN embeddings q ON q.vec_id = s.qid
+       |    JOIN embeddings e ON e.vec_id = s.id) WHERE rank <= 3),
+       |truth AS (SELECT qid, id FROM (SELECT q.vec_id AS qid,
+       |    e.vec_id AS id, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${l2pair("q.embedding", "e.embedding")}, e.vec_id)
+       |      AS rank
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) WHERE rank <= 3),
+       |tt AS (SELECT count(*) AS n_truth FROM truth),
+       |hb AS (SELECT count(*) AS n_hits FROM base
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = base.qid AND t.id = base.id)),
+       |hg AS (SELECT count(*) AS n_hits FROM rr
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = rr.qid AND t.id = rr.id))
+       |SELECT 'adc_short12' AS method, hb.n_hits, tt.n_truth,
+       |  round(hb.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.2 AS DOUBLE) AS floor,
+       |  (hb.n_hits::DOUBLE / tt.n_truth >= CAST(0.2 AS DOUBLE))
+       |    AS recall_ok
+       |FROM hb, tt
+       |UNION ALL
+       |SELECT 'graph_hop' AS method, hg.n_hits, tt.n_truth,
+       |  round(hg.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.55 AS DOUBLE) AS floor,
+       |  (hg.n_hits::DOUBLE / tt.n_truth >= CAST(0.55 AS DOUBLE))
+       |    AS recall_ok
+       |FROM hg, tt
+       |ORDER BY method""".stripMargin
+  }
+
   /** Incremental IVF index MAINTENANCE — the production corpus-growth
     * shape: centroids were trained when only the base corpus existed and
     * are FROZEN; the base postings live on disk partitioned by cell (the
@@ -6459,6 +6607,7 @@ object ExtensionQueries {
     "a8_pq_topk" -> (a8PqTopK _),
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "a10_pq_recall" -> (a10PqRecall _),
+    "a21_graph_recall" -> (a21GraphRecall _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -6602,6 +6751,7 @@ object ExtensionQueries {
     "a8_pq_topk" -> a8Sql,
     "a9_ivfpq_topk" -> a9Sql,
     "a10_pq_recall" -> a10Sql,
+    "a21_graph_recall" -> a21Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,

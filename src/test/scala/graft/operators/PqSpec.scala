@@ -137,6 +137,73 @@ class PqSpec extends AnyFunSuite {
       (1, 0) -> List(0.0, 0.0), (1, 1) -> List(9.0, 9.0)))
   }
 
+  test("cellKnnGraph: degree-capped nearest edges, scoped to the cell, " +
+      "no self-edges, no cartesian/broadcast-NL join") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(100f, 100f, 100f, 100f))).toDF("cid", "cvec")
+    val corpus = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),      // cell 0
+      (2L, Seq(1f, 1f, 1f, 1f)),      // cell 0
+      (3L, Seq(3f, 3f, 3f, 3f)),      // cell 0
+      (4L, Seq(100f, 100f, 100f, 100f)),  // cell 1
+      (5L, Seq(101f, 101f, 101f, 101f))   // cell 1
+    ).toDF("id", "vec")
+    val g1 = Pq.cellKnnGraph(corpus, cents, deg = 1)
+    val e1 = g1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nearest within cell: 1->2 (4 vs 36), 2->1 (4 vs 16), 3->2 (16 vs
+    // 36); cell 1 pairs up. No edge crosses cells despite 3<->4 being
+    // closer than nothing — cell scoping is the candidate bound.
+    assert(e1 == Set((1L, 2L), (2L, 1L), (3L, 2L), (4L, 5L), (5L, 4L)))
+    val g2 = Pq.cellKnnGraph(corpus, cents, deg = 2)
+    val e2 = g2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e2.groupBy(_._1).forall(_._2.size <= 2), "degree cap violated")
+    assert(e2.toSet == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L),
+      (3L, 2L), (3L, 1L), (4L, 5L), (5L, 4L)),
+      s"deg-2 edges: $e2")
+    assert(e2.forall { case (a, b) => a != b }, "self-edge")
+    val phys = g2.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"unbounded join in graph build:\n$phys")
+  }
+
+  test("adcGraphExpandTopK: one graph hop rescues a true neighbor the " +
+      "ADC shortlist missed; exact re-rank over a superset never ranks " +
+      "worse than the base") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0f, 0f, 0f, 0f))).toDF("cid", "cvec")
+    // q's true nearest is 3, but 3 ties 2 at ADC distance (same codes)
+    // and loses the (adist, id) tie-break — a shortlist of 1 seeds only
+    // 2. The graph's 2->3 edge (their exact distance 4 beats 2->1's 400)
+    // brings 3 in; the exact re-rank then puts it first.
+    val corpus = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)),
+      (2L, Seq(10f, 10f, 10f, 10f)),
+      (3L, Seq(9f, 9f, 9f, 9f))
+    ).toDF("id", "vec")
+    val qs = Seq((9L, Seq(8f, 8f, 8f, 8f))).toDF("qid", "qvec")
+    val base = Pq.adcRerankTopK(qs, corpus, codebooks, subDim = 2,
+      shortlist = 1, k = 1).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(base == Seq((2L, 16.0)), s"base seed: $base")
+    val exp = Pq.adcGraphExpandTopK(qs, corpus, cents, codebooks,
+      subDim = 2, shortlist = 1, deg = 1, k = 1).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(exp == Seq((3L, 4.0)), s"expanded: $exp")
+
+    // superset invariant at k=2: per rank, expanded dist <= base dist
+    val b2 = Pq.adcRerankTopK(qs, corpus, codebooks, subDim = 2,
+      shortlist = 2, k = 2).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val e2 = Pq.adcGraphExpandTopK(qs, corpus, cents, codebooks,
+      subDim = 2, shortlist = 2, deg = 1, k = 2).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    b2.keys.foreach { r =>
+      assert(e2(r) <= b2(r), s"rank $r: expanded ${e2(r)} > base ${b2(r)}")
+    }
+  }
+
   test("adcTopK excludes self-matches and respects k") {
     import spark.implicits._
     val corpus = Seq(
