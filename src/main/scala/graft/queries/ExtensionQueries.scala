@@ -4300,6 +4300,80 @@ object ExtensionQueries {
       |FROM p GROUP BY user_id, phase
       |ORDER BY user_id, phase""".stripMargin
 
+  /** TWS ListState recent-event buffer
+    * ([[graft.streaming.StreamOps.TwsRecentEvents]]) — the fourth and
+    * last typed-state primitive under the oracle (ValueState s22,
+    * MapState s23, timers s24, TTL s26): every user's 3 most recent
+    * (event-time-micros, cents) pairs, the last-N feature buffer a
+    * serving-time model reads. The 1/16 `event_id % 16 = 2` sample
+    * (disjoint from s24's and s26's buses) feeds ts-ordered in three
+    * producer batches so buffers genuinely merge across micro-batches;
+    * recency is event-time (ties by cents) so the result is
+    * arrival-order-independent, and incremental top-n trimming is exact
+    * (trimmed entries sit strictly below the kept minimum). TimeMode
+    * .None — processAllAvailable works, no pacing needed. Readout is
+    * max(struct(nSeen, recent)) per key: nSeen strictly increases, so
+    * the max struct IS the final state. Oracle: per-key top-3 by
+    * (micros, cents) DESC, re-joined ascending. */
+  def s27TwsRecent(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events(sp, dir).filter(col("event_id") % 16 === 2)
+      .select(col("user_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"), col("ts"))
+      .orderBy("ts").collect()
+    require(rows.nonEmpty,
+      "s27: the 1/16 event_id sample is empty — fixture too small; the " +
+        "recent-events buffer needs at least one row")
+    val data = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamOps
+      .recentEventsTws(in.toDS(), n = 3)
+      .toDF("user_id", "n_seen", "recent")
+    val name = "s27_rec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        val slice = math.max(1, (data.length + 2) / 3)
+        data.grouped(slice).foreach { s =>
+          in.addData(s.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_seen"), col("recent"))).as("__f"))
+      .select(col("user_id"), col("__f.n_seen").as("n_seen"),
+        col("__f.recent").as("recent"))
+      .orderBy("user_id")
+  }
+
+  val s27Sql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 16 = 2),
+      |r AS (SELECT user_id, us, cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, cents DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_seen
+      |  FROM ev)
+      |SELECT user_id, n_seen,
+      |  string_agg(us || ':' || cents, ',' ORDER BY us, cents) AS recent
+      |FROM r WHERE rn <= 3
+      |GROUP BY user_id, n_seen
+      |ORDER BY user_id""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -6643,6 +6717,7 @@ object ExtensionQueries {
     "s24_tws_session_timers" -> (s24TwsSessionTimers _),
     "s25_stream_curation" -> (s25StreamCuration _),
     "s26_tws_ttl" -> (s26TwsTtl _),
+    "s27_tws_recent" -> (s27TwsRecent _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -6787,6 +6862,7 @@ object ExtensionQueries {
     "s24_tws_session_timers" -> s24Sql,
     "s25_stream_curation" -> s25Sql,
     "s26_tws_ttl" -> s26Sql,
+    "s27_tws_recent" -> s27Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,

@@ -589,8 +589,50 @@ object XmlQueries {
       |  CAST(1 AS INT) AS n_vals
       |FROM lineitem WHERE l_orderkey % 16 = 0 ORDER BY id""".stripMargin
 
+  /** The ATTRIBUTE axis of the bonus XPath surface — `@attr` terminal
+    * steps through the same single-parse `xpath_multi` (x13's engine;
+    * the built-in family re-parses per call). Attribute-heavy layouts
+    * are the OTHER common XML shape (values in attributes, not child
+    * text): one `<v>` carries `f`/`q`, a second carries only `t`, so
+    * the gate pins that an element lacking the attribute contributes
+    * NOTHING to the node-set (`n_f` = 1, `n_missing` = 0) while
+    * positional steps compose with `@` ([2]/@t). Exact list parity
+    * with the built-in `xpath()` holds for attribute paths (DOM Attr
+    * nodes DO carry values, unlike its element-path NULL artifact) —
+    * pinned in XPathMultiSpec. Oracle recomputes from base columns.
+    * 1/16 sample, disjoint from x13's. */
+  def x14XpathAttrs(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 1)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><v f='"), col("l_returnflag"),
+      lit("' q='"), d2s(col("l_quantity")),
+      lit("'/><v t='"), d2s(col("l_tax")), lit("'/></r>"))
+    graft.Tables.spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"),
+        Seq("/r/@id", "/r/v/@f", "/r/v/@q", "/r/v[2]/@t", "/r/v/@missing"))
+        .as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p1"), lit(0)).as("flag"),
+        size(col("m.p1")).as("n_f"),
+        get(col("m.p2"), lit(0)).cast("double").as("qty"),
+        get(col("m.p3"), lit(0)).cast("double").as("tax"),
+        size(col("m.p4")).as("n_missing"))
+      .orderBy("id")
+  }
+
+  val x14Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  l_returnflag AS flag, CAST(1 AS INT) AS n_f,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+      |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax,
+      |  CAST(0 AS INT) AS n_missing
+      |FROM lineitem WHERE l_orderkey % 16 = 1 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_xpath_family" -> (x13XpathFamily _),
+    "x14_xpath_attrs" -> (x14XpathAttrs _),
     "x12_xsd_schema" -> (x12XsdSchema _),
     "x11_xml_write_roundtrip" -> (x11WriteRoundtrip _),
     "x10_xml_malformed" -> (x10MalformedPermissive _),
@@ -606,6 +648,7 @@ object XmlQueries {
 
   val oracles: Map[String, String] = Map(
     "x13_xpath_family" -> x13Sql,
+    "x14_xpath_attrs" -> x14Sql,
     "x12_xsd_schema" -> x12Sql,
     "x11_xml_write_roundtrip" -> x11Sql,
     "x10_xml_malformed" -> x10Sql,

@@ -297,6 +297,80 @@ object StreamOps {
     }
   }
 
+  /** Per-key BOUNDED RECENT-EVENT BUFFER through transformWithState's
+    * ListState — the fourth typed-state primitive (ValueState s22,
+    * MapState s23, timers s24, TTL s26): each key keeps its `n` most
+    * recent (eventTimeMicros, cents) pairs, the "last N events per
+    * user" feature a ranker/fraud model reads at serving time. ListState
+    * exists because RocksDB implements `appendValue/appendList` as
+    * APPEND-ONLY writes — the common no-overflow batch costs O(batch),
+    * not O(buffer) (a ValueState[Seq] rewrites the whole buffer every
+    * batch); only an overflowing batch pays the `put()` rewrite of n
+    * entries. Recency is by EVENT TIME (ties by cents), not arrival:
+    * each batch merges state + its rows in (micros, cents) order and
+    * keeps the largest n — incremental top-n is exact because trimmed
+    * entries are strictly below the kept minimum and later input only
+    * adds, so the final buffer equals the global per-key top-n no matter
+    * how batches slice. Emits (key, nSeen, "us:cents,..." ascending);
+    * `nSeen` strictly increases per key, so max(struct(nSeen, recent))
+    * is the deterministic final-state readout. */
+  class TwsRecentEvents(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), (Long, Long, String)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode,
+      TTLConfig, ValueState}
+    @transient private var recent: ListState[(Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[(Long, Long)]("recent",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      val batch = rows.toArray.map(r => (micros(r._3), r._2)).sorted
+      val total = (if (seen.exists()) seen.get() else 0L) + batch.length
+      seen.update(total)
+      // snapshot eagerly: the store-backed iterator must not outlive the
+      // handler (the TwsCategoryCounts discipline)
+      val cur = recent.get().toVector
+      val out: Vector[(Long, Long)] =
+        if (cur.size + batch.length <= n && cur.lastOption.forall(last =>
+            batch.headOption.forall(b =>
+              implicitly[Ordering[(Long, Long)]].lteq(last, b)))) {
+          // fast path: no overflow and the batch extends the buffer in
+          // order — pure append, no rewrite
+          recent.appendList(batch)
+          cur ++ batch
+        } else {
+          val merged = (cur ++ batch).sorted.takeRight(n)
+          recent.put(merged.toArray)
+          merged
+        }
+      Iterator((key, total,
+        out.map { case (us, c) => s"$us:$c" }.mkString(",")))
+    }
+  }
+
+  /** Last-`n`-events-per-key feature via [[TwsRecentEvents]]; input
+    * (key, cents, eventTime), update-mode emissions, RocksDB provider
+    * required as for every transformWithState query. TimeMode.None —
+    * no timers, no TTL — so `processAllAvailable` works normally. */
+  def recentEventsTws(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)],
+      n: Int): org.apache.spark.sql.Dataset[(Long, Long, String)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new TwsRecentEvents(n),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-user event-type running histogram via [[TwsCategoryCounts]];
     * requires the RocksDB provider like every transformWithState query. */
   def categoryCountsTws(pairs: org.apache.spark.sql.Dataset[(Long, String)])

@@ -27,11 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Supported path subset (validated at construction, driver-side):
   * absolute child-step paths `/a/b/c`, `*` name wildcards, 1-based
-  * positional predicates `[k]`, and a trailing `text()` step. Each path
+  * positional predicates `[k]`, and a trailing `text()` or `@attr`
+  * step. Each path
   * yields the matched nodes in document order as `array<string>` — the
   * element string-value (concatenated descendant text, XPath `string()`)
-  * for element results, or the individual text-node segments for `text()`
-  * results. Typed casts (`xpath_int`'s number conversion etc.) compose on
+  * for element results, the individual text-node segments for `text()`
+  * results, or the attribute's value for `@attr` results (elements
+  * lacking the attribute contribute nothing, as in the XPath attribute
+  * axis — and the built-in list form DOES carry values for attribute
+  * nodes, so `@attr` paths get exact list parity, spec-pinned). Typed casts (`xpath_int`'s number conversion etc.) compose on
   * top as ordinary Catalyst casts. Parity with the built-in evaluator is
   * pinned in XPathMultiSpec (fixed cases + a randomized-trees property).
   *
@@ -60,33 +64,46 @@ object XPathMini {
     * among the matching siblings of the same context node (0 = all). */
   final case class Step(name: String, pos: Int)
 
-  /** A compiled path: steps from the document element down, and whether the
-    * path ends in `text()` (select text-node children of the final step's
-    * matches instead of their string-values). */
-  final case class Path(steps: Array[Step], textOnly: Boolean)
+  /** A compiled path: steps from the document element down, plus the
+    * terminal selector — `textOnly` (select text-node children of the
+    * final step's matches) or `attr` (select the named attribute of the
+    * final step's matches; null = element string-value). */
+  final case class Path(steps: Array[Step], textOnly: Boolean,
+      attr: String)
 
   private val StepRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\])?$""".r
+  private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   def compile(path: String): Path = {
     require(path.startsWith("/") && path.length > 1,
       s"xpath_multi supports absolute paths only, got: $path")
     val parts = path.substring(1).split("/", -1)
     require(parts.forall(_.nonEmpty), s"empty step in path: $path")
-    val textOnly = parts.last == "text()"
-    val stepParts = if (textOnly) parts.dropRight(1) else parts
+    val attr = parts.last match {
+      case AttrRe(a) => a
+      case _ => null
+    }
+    val afterAttr = if (attr != null) parts.dropRight(1) else parts
+    val textOnly = afterAttr.nonEmpty && afterAttr.last == "text()"
+    val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
       case StepRe(name, pos) => Step(name, if (pos == null) 0 else pos.toInt)
       case other => throw new IllegalArgumentException(
-        s"unsupported step '$other' in path: $path (subset: name|*, [k], trailing text())")
+        s"unsupported step '$other' in path: $path " +
+          "(subset: name|*, [k], trailing text() or @attr)")
     }
-    Path(steps, textOnly)
+    require(!(textOnly && attr != null),
+      s"text() cannot be followed by an attribute step: $path")
+    Path(steps, textOnly, attr)
   }
 
   /** Transient element-tree node: `content` holds text segments (String) and
     * child elements (Elem) interleaved in document order. */
   final class Elem(val tag: String) {
     val content = new mutable.ArrayBuffer[AnyRef](4)
+    /** (localName, value) pairs; null when the element has none. */
+    var attrs: Array[(String, String)] = null
   }
 
   // Same config stance as XmlStax: coalescing text, internal entities
@@ -126,6 +143,17 @@ object XPathMini {
             // '<n:b>' too — measured against xpath_string in the
             // namespace case of XPathMultiSpec
             val e = new Elem(reader.getLocalName)
+            val na = reader.getAttributeCount
+            if (na > 0) {
+              val as = new Array[(String, String)](na)
+              var k = 0
+              while (k < na) {
+                as(k) = (reader.getAttributeLocalName(k),
+                  reader.getAttributeValue(k))
+                k += 1
+              }
+              e.attrs = as
+            }
             if (top != null) top.content += e
             else if (root == null) root = e
             stack += e
@@ -164,7 +192,17 @@ object XPathMini {
   def eval(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String](4)
     def emit(e: Elem): Unit =
-      if (p.textOnly) {
+      if (p.attr != null) {
+        if (e.attrs != null) {
+          var k = 0
+          while (k < e.attrs.length) {
+            if (e.attrs(k)._1 == p.attr) {
+              out += e.attrs(k)._2
+              k = e.attrs.length
+            } else k += 1
+          }
+        }
+      } else if (p.textOnly) {
         var i = 0
         while (i < e.content.length) {
           e.content(i) match {

@@ -350,6 +350,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ListState recent-events buffer: cross-batch merge by event " +
+      "time, bounded trim, late row below the kept minimum ignored") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamOps.recentEventsTws(in.toDS(), n = 3)
+      .toDF("key", "n_seen", "recent")
+    val name = "tws_rec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      def state(): Map[Long, (Long, String)] = s2.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (k, rs) =>
+          val last = rs.maxBy(_._2)
+          k -> (last._2, last._3)
+        }
+      // one batch of four: buffer trims to the three LATEST by event time
+      in.addData((1L, 1L, ts(10)), (1L, 2L, ts(20)),
+        (1L, 3L, ts(30)), (1L, 4L, ts(40)))
+      q.processAllAvailable()
+      assert(state()(1L) ==
+        (4L, "20000000:2,30000000:3,40000000:4"))
+      // a LATE row below the kept minimum: counted, buffer unchanged;
+      // a fresh row above it: rolls the window
+      in.addData((1L, 9L, ts(5)), (1L, 5L, ts(50)))
+      q.processAllAvailable()
+      assert(state()(1L) ==
+        (6L, "30000000:3,40000000:4,50000000:5"))
+      // an independent key with fewer than n events keeps them all
+      in.addData((2L, 7L, ts(100)))
+      q.processAllAvailable()
+      assert(state()(2L) == (1L, "100000000:7"))
+    } finally q.stop()
+  }
+
   test("phase-tagged TTL counts: the tag rides each emission, counts " +
       "carry inside the TTL across tags, and restart after expiry") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

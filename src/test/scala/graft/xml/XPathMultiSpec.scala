@@ -147,6 +147,52 @@ class XPathMultiSpec extends AnyFunSuite {
     }
   }
 
+  test("@attr steps: values in document order, absent attribute " +
+      "contributes nothing, exact list parity with the built-in") {
+    import spark.implicits._
+    val adocs = Seq(
+      "<r id='7'><v f='A' q='1.5'/><v q='2.5'/><v f='C'/></r>",
+      "<r><v f='solo'>txt</v></r>",
+      "<r id='x &amp; y'/>")
+    val m = XPathMultiExpr.xpath_multi(col("x"),
+      Seq("/r/@id", "/r/v/@f", "/r/v[2]/@q", "/r/v/@nope"))
+    val rows = adocs.toDF("x").select(col("x"), m.as("m"),
+      expr("xpath(x, '/r/v/@f')").as("ref_f"),
+      expr("xpath_string(x, '/r/@id')").as("ref_id"),
+      expr("size(xpath(x, '/r/v/@nope'))").as("ref_nope")).collect()
+    val byDoc = rows.map(r => r.getString(0) -> (
+      r.getStruct(1).getSeq[String](0), r.getStruct(1).getSeq[String](1),
+      r.getStruct(1).getSeq[String](2), r.getStruct(1).getSeq[String](3),
+      r.getSeq[String](2), r.getString(3), r.getInt(4))).toMap
+
+    val (id1, f1, q1, n1, rf1, rid1, rn1) = byDoc(adocs(0))
+    assert(id1 == Seq("7") && rid1 == "7")
+    // middle <v> lacks f: node-set skips it — document order of the rest
+    assert(f1 == Seq("A", "C"))
+    assert(rf1 == Seq("A", "C"), "built-in list parity for @attr broke")
+    assert(q1 == Seq("2.5")) // positional step composes with @
+    assert(n1 == Seq.empty && rn1 == 0)
+
+    val (id2, f2, _, _, rf2, rid2, _) = byDoc(adocs(1))
+    assert(id2 == Seq.empty && rid2 == "")
+    assert(f2 == Seq("solo") && rf2 == Seq("solo"))
+
+    val (id3, _, _, _, _, rid3, _) = byDoc(adocs(2))
+    assert(id3 == Seq("x & y") && rid3 == "x & y") // entity in attr value
+  }
+
+  test("@attr path validation: attr must terminate the path") {
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/a/@b/c")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/a/text()/@b")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/@a")
+    }
+  }
+
   test("a bad path fails when the EXPRESSION is constructed (driver-" +
       "side), not per-task at eval") {
     intercept[IllegalArgumentException] {
