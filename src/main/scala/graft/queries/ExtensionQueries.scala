@@ -710,6 +710,77 @@ object ExtensionQueries {
       |  min_p
       |FROM sc ORDER BY rare_frac DESC, doc_id LIMIT 25""".stripMargin
 
+  /** HELD-OUT model scoring — the contamination-free form of t20: the
+    * bigram LM is fitted on the TRAIN half of a portable hash split and
+    * scores only the EVAL half, so no document contributes statistics
+    * to its own score (t20's corpus-fit score systematically flatters
+    * every document's own bigrams — the same leakage train/eval splits
+    * exist to prevent). The held-out view adds the signal corpus-fit
+    * scoring cannot express: UNSEEN bigrams (absent from the model
+    * entirely, a LEFT join miss), reported beside the rare-bigram test;
+    * `surprise_frac` = (unseen + rare) / total is the transcendental-
+    * free stand-in for held-out perplexity. Split membership is the
+    * same md5-derived portable hash as t7 — pushed to the scan as a
+    * predicate, replayed verbatim by the oracle; the model is
+    * vocabulary-sized and joins the eval side on the bigram key (plain
+    * shuffle equi-join, nothing broadcast at 100 TB). */
+  def t43HeldoutScore(sp: SparkSession, dir: String): DataFrame = {
+    val bi = documents(sp, dir)
+      .select(col("doc_id"),
+        (Hashing.portableHash32(col("doc_id").cast("string")) % 2 === 0)
+          .as("__train"),
+        explode(graft.functions.ShingleSetExpr.shingles(col("text"), 2))
+          .as("bigram"))
+    val counts = bi.filter(col("__train"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val tot = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    val model = counts.join(tot, "w1")
+      .select(col("bigram"), col("cnt"), col("tot"))
+    bi.filter(!col("__train"))
+      .join(model, Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(when(col("cnt").isNotNull && col("cnt") * 40 < col("tot"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        col("n_rare"),
+        (col("n_unseen").cast("double") / col("n_bigrams").cast("double"))
+          .as("unseen_frac"),
+        ((col("n_unseen") + col("n_rare")).cast("double")
+          / col("n_bigrams").cast("double")).as("surprise_frac"))
+      .orderBy(col("surprise_frac").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val t43Sql: String =
+    s"""WITH bi AS (
+       |  SELECT doc_id,
+       |    ${h("CAST(doc_id AS VARCHAR)")} % 2 = 0 AS train,
+       |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' ||
+       |           string_split(text, ' ')[i + 1])) AS bigram
+       |  FROM documents),
+       |c AS (SELECT bigram, count(*) AS cnt FROM bi WHERE train
+       |  GROUP BY bigram),
+       |c2 AS (SELECT bigram, cnt, split_part(bigram, ' ', 1) AS w1 FROM c),
+       |tot AS (SELECT w1, SUM(cnt) AS tot FROM c2 GROUP BY w1),
+       |model AS (SELECT bigram, cnt, tot FROM c2 JOIN tot USING (w1)),
+       |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_unseen,
+       |    CAST(SUM(CASE WHEN m.cnt IS NOT NULL AND m.cnt * 40 < m.tot
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM bi b LEFT JOIN model m USING (bigram)
+       |  WHERE NOT b.train GROUP BY b.doc_id)
+       |SELECT doc_id, n_bigrams, n_unseen, n_rare,
+       |  CAST(n_unseen AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |    AS unseen_frac,
+       |  CAST(n_unseen + n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       |    AS surprise_frac
+       |FROM sc ORDER BY surprise_frac DESC, doc_id LIMIT 25""".stripMargin
+
   /** Z-order (Morton) layout key over (l_partkey, l_suppkey) — the
     * clustering primitive for multi-dimensional scan pruning
     * ([[graft.operators.Layout]]): sorting by the interleave keeps files
@@ -6665,6 +6736,7 @@ object ExtensionQueries {
     "t21_domain_quota" -> (t21DomainQuota _),
     "t22_dup_spans" -> (t22DupSpans _),
     "t42_span_removal" -> (t42SpanRemoval _),
+    "t43_heldout_score" -> (t43HeldoutScore _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -6805,6 +6877,7 @@ object ExtensionQueries {
     "t21_domain_quota" -> t21Sql,
     "t22_dup_spans" -> t22Sql,
     "t42_span_removal" -> t42Sql,
+    "t43_heldout_score" -> t43Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,
