@@ -710,6 +710,63 @@ object ExtensionQueries {
       |  min_p
       |FROM sc ORDER BY rare_frac DESC, doc_id LIMIT 25""".stripMargin
 
+  /** EXACT WEIGHTED QUANTILES — the quantile form q11's percentile()
+    * cannot express: the cut v* such that rows with value ≤ v* carry at
+    * least q of the TOTAL WEIGHT (here volume-weighted price quartiles
+    * + p90 — "half the shipped quantity moved at or below this price",
+    * the VWAP-family sizing statistic; same machinery prices a
+    * token-weighted quality floor in a corpus-curation budget). The p9
+    * discipline end-to-end: the corpus reduces to the (value, Σweight)
+    * DOMAIN table in one partial agg; the cumulative scan and the
+    * threshold test run on that reduced table only. The quantile test
+    * is PURE INTEGER — cum·den ≥ num·total on exact cent sums, so no
+    * float boundary can flip a cut and both engines agree bit-for-bit;
+    * the quantile list rides as a broadcast 4-row literal. */
+  def p19WeightedQuantile(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val li = lineitem(sp, dir).select(
+      (dec(col("l_extendedprice")) * 100).cast("long").as("v"),
+      (dec(col("l_quantity")) * 100).cast("long").as("w"))
+    val cells = li.groupBy(col("v")).agg(sum(col("w")).as("cw"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cells.withColumn("cum", sum(col("cw")).over(win))
+    val tot = li.agg(sum(col("w")).as("tw"))
+    val qs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L)).toDF("num", "den")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+      .filter(col("cum") * col("den") >= col("num") * col("tw"))
+      .groupBy(col("num"), col("den"), col("tw"))
+      .agg(min(col("v")).as("cut_cents"))
+      .select(
+        concat(col("num").cast("string"), lit("/"),
+          col("den").cast("string")).as("q"),
+        col("cut_cents"),
+        (col("cut_cents").cast("double") / 100.0).as("cutoff"),
+        col("tw").as("total_weight"))
+      .orderBy(col("cut_cents"), col("q"))
+  }
+
+  val p19Sql: String =
+    """WITH li AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS v,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      |  FROM lineitem),
+      |cells AS (SELECT v, SUM(w) AS cw FROM li GROUP BY v),
+      |cum AS (SELECT v, SUM(cw) OVER (ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM cells),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM li),
+      |qs AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10))
+      |  AS t(num, den))
+      |SELECT num || '/' || den AS q,
+      |  CAST(MIN(v) AS BIGINT) AS cut_cents,
+      |  CAST(MIN(v) AS DOUBLE) / 100 AS cutoff,
+      |  tw AS total_weight
+      |FROM cum, tot, qs WHERE cum * den >= num * tw
+      |GROUP BY num, den, tw
+      |ORDER BY cut_cents, q""".stripMargin
+
   /** HELD-OUT model scoring — the contamination-free form of t20: the
     * bigram LM is fitted on the TRAIN half of a portable hash split and
     * scores only the EVAL half, so no document contributes statistics
@@ -6808,7 +6865,8 @@ object ExtensionQueries {
     "p15_mad" -> (p15Mad _),
     "p16_embedding_drift" -> (p16EmbeddingDrift _),
     "p17_hist_drift" -> (p17HistDrift _),
-    "p18_ewma_trend" -> (p18Ewma _))
+    "p18_ewma_trend" -> (p18Ewma _),
+    "p19_weighted_quantile" -> (p19WeightedQuantile _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -6954,5 +7012,6 @@ object ExtensionQueries {
     "p15_mad" -> p15Sql,
     "p16_embedding_drift" -> p16Sql,
     "p17_hist_drift" -> p17Sql,
-    "p18_ewma_trend" -> p18Sql)
+    "p18_ewma_trend" -> p18Sql,
+    "p19_weighted_quantile" -> p19Sql)
 }
