@@ -214,6 +214,65 @@ object Pq {
         round(col("dist"), 4).as("dist"))
   }
 
+  /** RESIDUAL IVF+PQ — the encoding FAISS's IVFPQ actually uses
+    * (Jégou et al. §V.A, Eq. 27): each vector quantizes its RESIDUAL
+    * `vec − centroid(cell)` rather than the raw vector, and each query
+    * scores a cell's candidates with ADC tables built from its OWN
+    * residual against that cell's centroid. Residuals concentrate the
+    * coordinate distribution around zero, which is what lets a trained
+    * codebook spend its codewords where the mass is — the recall
+    * advantage of IVFPQ over flat PQ at equal code budget (codebook
+    * training itself is [[trainCodebooks]]'s job, composable here).
+    *
+    * Plan shape is EXACTLY [[ivfAdcTopK]]'s (same one map-side index
+    * pass, same shuffle hash equi-join on cid, neither side broadcast):
+    * the centroid each row needs rides INSIDE the argmin/probe struct
+    * (d, cid, cvec) — config-sized literals, no extra join to look the
+    * centroid back up — and the query's per-cell distance tables are
+    * computed on the exploded (qid, cid) probe rows, so nprobe cells
+    * cost nprobe table computations, not a corpus pass. All arithmetic
+    * stays the left-fold double tree, so the whole residual pipeline
+    * replays bit-for-bit in SQL. Returns (qid, rank, neighbor, adist). */
+  def ivfResidualAdcTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, subDim: Int,
+      nprobe: Int, k: Int): DataFrame = {
+    val cb = codebookSeq(codebooks)
+    val ms = cb.keys.toSeq.sorted
+    val cents = centSeq(centroids)
+    require(cents.nonEmpty && nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe=$nprobe must be in [1, ${cents.size}]")
+    // (d, cid, cvec) — the centroid rides along so the residual needs no
+    // join; (d, cid) is unique, so struct ordering never compares cvec
+    def cellScoresV(vec: Column): Column =
+      array(cents.map { case (cid, cv) =>
+        struct(l2sq(vec, cv).as("d"), lit(cid).as("cid"),
+          typedLit(cv.toArray).as("cvec"))
+      }: _*)
+    def residual(vec: Column, cvec: Column): Column =
+      zip_with(vec, cvec, (x, c) => x.cast("double") - c)
+    val index = corpus
+      .withColumn("__mc", array_min(cellScoresV(col("vec"))))
+      .withColumn("__rv", residual(col("vec"), col("__mc.cvec")))
+      .select(col("id"), col("__mc.cid").as("cid"),
+        array(ms.map(m => codeFor(col("__rv"), m, subDim, cb(m))): _*)
+          .as("codes"))
+    val probes = queries
+      .select(col("qid"), col("qvec"),
+        explode(slice(array_sort(cellScoresV(col("qvec"))), 1, nprobe))
+          .as("__pc"))
+      .select((col("qid") +: col("__pc.cid").as("cid") +:
+        dtCols(residual(col("qvec"), col("__pc.cvec")), cb, subDim)): _*)
+    val cand = index.hint("shuffle_hash").join(probes, Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id"))
+    cand.withColumn("adist", adistCol(ms))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("adist"), 4).as("adist"))
+  }
+
   /** Collect the coarse-centroid table driver-side: config-sized, like
     * the codebooks. */
   private def centSeq(

@@ -3006,6 +3006,96 @@ object ExtensionQueries {
        |ORDER BY method""".stripMargin
   }
 
+  /** RESIDUAL IVF+PQ ([[graft.operators.Pq.ivfResidualAdcTopK]]) — the
+    * encoding FAISS's IVFPQ actually ships (a9 is the non-residual
+    * flavor): vectors quantize `vec − centroid(cell)`, queries build
+    * their ADC tables from their own residual against each probed
+    * cell's centroid. Same index/probe/join plan as a9; the oracle
+    * replays cell assignment, residual computation, residual encode,
+    * per-cell query tables, and the ADC ranking — every step the same
+    * left-fold double tree. */
+  def a22ResidualIvfPq(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val codebooks = e.filter(col("vec_id") < 16)
+      .select(explode(sequence(lit(0), lit(3))).as("m"),
+        col("vec_id").cast("int").as("j"),
+        expr("slice(embedding, m * 16 + 1, 16)").as("cvec"))
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Pq.ivfResidualAdcTopK(qs, corpus, cents, codebooks,
+      subDim = 16, nprobe = 2, k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  val a22Sql: String = {
+    def l2res(rv: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 17), i ->
+         |    ($rv[c.m*16+i] - CAST(c.full[c.m*16+i] AS DOUBLE)) *
+         |    ($rv[c.m*16+i] - CAST(c.full[c.m*16+i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    val l2full =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len(e.embedding) + 1), i ->
+         |    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+         |    (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))),
+         |  (x,y) -> x+y)""".stripMargin
+    s"""WITH cw AS (SELECT ms.m, e.vec_id AS j, e.embedding AS full
+       |  FROM embeddings e, (VALUES (0),(1),(2),(3)) AS ms(m)
+       |  WHERE e.vec_id < 16),
+       |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |celld AS (SELECT e.vec_id AS id, c.cid, $l2full AS d
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cella AS (SELECT id, cid FROM (SELECT id, cid, ROW_NUMBER() OVER (
+       |    PARTITION BY id ORDER BY d, cid) AS rn FROM celld) WHERE rn = 1),
+       |rv AS (SELECT a.id, a.cid,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(e.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |      AS r
+       |  FROM cella a JOIN embeddings e ON e.vec_id = a.id
+       |    JOIN cents ct ON ct.cid = a.cid),
+       |enc AS (SELECT rv.id, rv.cid, c.m, c.j, ROW_NUMBER() OVER (
+       |    PARTITION BY rv.id, c.m ORDER BY ${l2res("rv.r")}, c.j) AS rn
+       |  FROM rv CROSS JOIN cw c),
+       |codes AS (SELECT id, cid,
+       |    MAX(CASE WHEN m = 0 THEN j END) AS j0,
+       |    MAX(CASE WHEN m = 1 THEN j END) AS j1,
+       |    MAX(CASE WHEN m = 2 THEN j END) AS j2,
+       |    MAX(CASE WHEN m = 3 THEN j END) AS j3
+       |  FROM enc WHERE rn = 1 GROUP BY id, cid),
+       |qprobe AS (SELECT id AS qid, cid FROM (SELECT id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM celld WHERE id < 5) WHERE rn <= 2),
+       |qrv AS (SELECT p.qid, p.cid,
+       |    list_transform(range(1, 65), i ->
+       |      CAST(q.embedding[i] AS DOUBLE) - CAST(ct.cvec[i] AS DOUBLE))
+       |      AS r
+       |  FROM qprobe p JOIN embeddings q ON q.vec_id = p.qid
+       |    JOIN cents ct ON ct.cid = p.cid),
+       |qd AS (SELECT qrv.qid, qrv.cid, c.m, c.j, ${l2res("qrv.r")} AS d
+       |  FROM qrv CROSS JOIN cw c),
+       |adc AS (SELECT d0.qid, codes.id,
+       |    (((d0.d + d1.d) + d2.d) + d3.d) AS adist
+       |  FROM codes
+       |  JOIN qd d0 ON d0.cid = codes.cid AND d0.m = 0 AND d0.j = codes.j0
+       |  JOIN qd d1 ON d1.cid = codes.cid AND d1.qid = d0.qid
+       |    AND d1.m = 1 AND d1.j = codes.j1
+       |  JOIN qd d2 ON d2.cid = codes.cid AND d2.qid = d0.qid
+       |    AND d2.m = 2 AND d2.j = codes.j2
+       |  JOIN qd d3 ON d3.cid = codes.cid AND d3.qid = d0.qid
+       |    AND d3.m = 3 AND d3.j = codes.j3
+       |  WHERE codes.id <> d0.qid),
+       |r AS (SELECT qid, id, adist, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY adist, id) AS rank FROM adc)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(adist, 4) AS adist
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Incremental IVF index MAINTENANCE — the production corpus-growth
     * shape: centroids were trained when only the base corpus existed and
     * are FROZEN; the base postings live on disk partitioned by cell (the
@@ -6811,6 +6901,7 @@ object ExtensionQueries {
     "a9_ivfpq_topk" -> (a9IvfPqTopK _),
     "a10_pq_recall" -> (a10PqRecall _),
     "a21_graph_recall" -> (a21GraphRecall _),
+    "a22_residual_ivfpq" -> (a22ResidualIvfPq _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -6958,6 +7049,7 @@ object ExtensionQueries {
     "a9_ivfpq_topk" -> a9Sql,
     "a10_pq_recall" -> a10Sql,
     "a21_graph_recall" -> a21Sql,
+    "a22_residual_ivfpq" -> a22Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,

@@ -137,6 +137,36 @@ class PqSpec extends AnyFunSuite {
       (1, 0) -> List(0.0, 0.0), (1, 1) -> List(9.0, 9.0)))
   }
 
+  test("ivfResidualAdcTopK: codes quantize the RESIDUAL (raw encode " +
+      "would pick a different codeword), query tables are per-cell, " +
+      "probe scoping holds") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(100f, 100f, 100f, 100f))).toDF("cid", "cvec")
+    val corpus = Seq(
+      (1L, Seq(101f, 101f, 101f, 101f)), // cell 1; residual (1,1,..) ->
+      // codes [0,0] — a RAW encode of 101s would pick [1,1] (codeword
+      // 10s), which is the distinction this test pins
+      (2L, Seq(109f, 109f, 109f, 109f)), // cell 1; residual (9,9,..) -> [1,1]
+      (3L, Seq(0f, 0f, 0f, 0f))          // cell 0 — invisible at nprobe=1
+    ).toDF("id", "vec")
+    val qs = Seq((9L, Seq(102f, 102f, 102f, 102f))).toDF("qid", "qvec")
+    // query residual vs cell 1 = (2,2,2,2): per-subspace d(j0)=8,
+    // d(j1)=128 -> adist: id 1 codes[0,0] = 16, id 2 codes[1,1] = 256
+    val got = Pq.ivfResidualAdcTopK(qs, corpus, cents, codebooks,
+      subDim = 2, nprobe = 1, k = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, 1L, 16.0), (2, 2L, 256.0)), s"got $got")
+    // non-residual a9 path on the same data ranks by raw-vector codes:
+    // both 1 and 2 encode [1,1], so ADC cannot separate them (tie ->
+    // lower id) — the resolution residual encoding buys
+    val raw = Pq.ivfAdcTopK(qs, corpus, cents, codebooks, subDim = 2,
+      nprobe = 1, k = 3).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(raw.map(_._1) == Seq(1L, 2L) && raw(0)._2 == raw(1)._2,
+      s"raw ADC should tie both candidates, got $raw")
+  }
+
   test("cellKnnGraph: degree-capped nearest edges, scoped to the cell, " +
       "no self-edges, no cartesian/broadcast-NL join") {
     import spark.implicits._
