@@ -377,6 +377,50 @@ object Multimodal {
     Some(out)
   }
 
+  /** REAL crop of a 24-bit uncompressed BMP: the output is a valid BMP
+    * whose storage row j, column i is the source's storage pixel
+    * (x0+i, y0+j) — coordinates are in STORAGE order (BMP rows are
+    * bottom-up on screen; a screen-coordinate crop is the same walk
+    * with y flipped, which changes nothing about the byte mechanics
+    * this exercises). The rectangle is clipped to the source bounds;
+    * None if the clipped rectangle is empty or the payload is not a
+    * 24bpp BMP. Together with [[resizeBmp]] this is the augmentation
+    * pair (random-crop + resize) an image-pretraining pipeline runs
+    * per sample. */
+  def cropBmp(m: Array[Byte], x0: Int, y0: Int, w: Int,
+      h: Int): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val srcW = src.getInt(18)
+    val srcH = src.getInt(22)
+    if (src.getShort(28) != 24 || srcW <= 0 || srcH <= 0 || dataOff < 54)
+      return None
+    val srcRow = ((3 * srcW + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + srcRow.toLong * srcH) return None
+    if (x0 < 0 || y0 < 0 || x0 >= srcW || y0 >= srcH) return None
+    val cw = math.min(w, srcW - x0)
+    val ch = math.min(h, srcH - y0)
+    if (cw <= 0 || ch <= 0) return None
+    val dstRow = ((3 * cw + 3) / 4) * 4
+    val dataSize = dstRow * ch
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(cw).putInt(ch).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val out = b.array()
+    var j = 0
+    while (j < ch) {
+      val s = dataOff + (y0 + j) * srcRow + x0 * 3
+      val d = 54 + j * dstRow
+      System.arraycopy(m, s, out, d, 3 * cw)
+      j += 1
+    }
+    Some(out)
+  }
+
   /** Sum of all pixel bytes (unsigned, padding excluded) of a 24-bit BMP —
     * the portable content witness the m2 gate hashes against an oracle that
     * recomputes the same resample arithmetic straight from the documents

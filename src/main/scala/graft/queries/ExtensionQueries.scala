@@ -3672,6 +3672,61 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** REAL BMP crop ([[Multimodal.cropBmp]]) — the augmentation pair to
+    * m2's resize (random-crop + resize is the standard image-pretraining
+    * transform): a 2×3 window anchored at (doc_id % w, doc_id % h),
+    * CLIPPED at the source edge so the emitted width/height prove the
+    * clip logic, checksummed over the cropped pixel array. The oracle
+    * recomputes every cropped byte from the blob-fill formula — a hash
+    * match certifies the crop's byte geometry (row stride, 3-byte
+    * pixels, storage-order anchor), not a pass-through. */
+  def m10Crop(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        val buf = java.nio.ByteBuffer.wrap(r.media)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val srcW = buf.getInt(18)
+        val srcH = buf.getInt(22)
+        Multimodal.cropBmp(r.media, (r.doc_id % srcW).toInt,
+            (r.doc_id % srcH).toInt, 2, 3)
+          .map { c =>
+            val cb = java.nio.ByteBuffer.wrap(c)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (r.doc_id, cb.getInt(18), cb.getInt(22),
+              Multimodal.bmpPixelChecksum(c))
+          }
+      }
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m10Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row,
+       |    doc_id % src_w AS x0, doc_id % src_h AS y0,
+       |    least(2, src_w - doc_id % src_w) AS cw,
+       |    least(3, src_h - doc_id % src_h) AS ch
+       |  FROM e),
+       |s AS (SELECT p.doc_id, MAX(p.cw) AS cw, MAX(p.ch) AS ch,
+       |    CAST(SUM(('0x' || substr(p.hx,
+       |      2 * (((p.y0 + tj.j) * p.src_row + (p.x0 + ti.i) * 3 + tc.c)
+       |           % p.len) + 1,
+       |      2))::BIGINT) AS BIGINT) AS checksum
+       |  FROM p, range(0, 3) tj(j), range(0, 2) ti(i), range(0, 3) tc(c)
+       |  WHERE tj.j < p.ch AND ti.i < p.cw
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(cw AS INT) AS width, CAST(ch AS INT) AS height,
+       |  checksum
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Perceptual image dedup ([[Multimodal.bmpAverageHash]]): every image
     * doc's 64-bit aHash (REAL resize-to-8x8 + integer grayscale + bit per
     * pixel above the integer mean), grouped to surface perceptual
@@ -6858,6 +6913,7 @@ object ExtensionQueries {
     "g3_components" -> (g3Components _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
+    "m10_bmp_crop" -> (m10Crop _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -7001,6 +7057,7 @@ object ExtensionQueries {
     "g3_components" -> g3Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
+    "m10_bmp_crop" -> m10Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1686,6 +1686,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.bmpChannelStats(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("m10 cropBmp: exact storage-order window, edge clipping, " +
+      "valid output headers, refusal cases") {
+    // 3x2 source, fill cycles 0..11: rowSize=12 (3 pad bytes per row);
+    // row0 px: (0,1,2)(3,4,5)(6,7,8) pad 9,10,11; row1 restarts the
+    // cycle at offset 12 -> same bytes
+    val bmp = Multimodal.buildBmp(3, 2,
+      Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+    // full-size crop is the identity on pixels
+    val full = Multimodal.cropBmp(bmp, 0, 0, 3, 2).get
+    assert(Multimodal.bmpPixelChecksum(full) ==
+      Multimodal.bmpPixelChecksum(bmp))
+    // 1x1 at (1,1): bytes 3,4,5 (row1 repeats the cycle)
+    val c11 = Multimodal.cropBmp(bmp, 1, 1, 1, 1).get
+    assert(Multimodal.bmpPixelChecksum(c11) == (3 + 4 + 5))
+    val hb = java.nio.ByteBuffer.wrap(c11)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(hb.getInt(18) == 1 && hb.getInt(22) == 1 &&
+      hb.getShort(28) == 24)
+    // a 5x5 request at (2,0) clips to 1x2: column (6,7,8) both rows
+    val clipped = Multimodal.cropBmp(bmp, 2, 0, 5, 5).get
+    val cb = java.nio.ByteBuffer.wrap(clipped)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(cb.getInt(18) == 1 && cb.getInt(22) == 2)
+    assert(Multimodal.bmpPixelChecksum(clipped) == 2L * (6 + 7 + 8))
+    // the crop round-trips through the channel-stats decoder
+    assert(Multimodal.bmpChannelStats(clipped).get.map(_.n_pixels).sum == 6)
+    // anchor outside the source, or junk payload -> None
+    assert(Multimodal.cropBmp(bmp, 3, 0, 1, 1).isEmpty)
+    assert(Multimodal.cropBmp(bmp, 0, 2, 1, 1).isEmpty)
+    assert(Multimodal.cropBmp(Array[Byte](1, 2, 3), 0, 0, 1, 1).isEmpty)
+  }
+
   test("t33 zipf: rank ordering, ratio and product on a crafted corpus") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
