@@ -112,6 +112,56 @@ class ChunkSpec extends AnyFunSuite {
     assert(got2 == ("x", 7, 6, 2))
   }
 
+  test("property: spanDedup equals an independent in-memory reference " +
+      "on random corpora (seeded)") {
+    import spark.implicits._
+    def reference(docs: Seq[(Long, String)],
+        n: Int): Map[Long, (String, Int, Int, Int)] = {
+      val occ = for {
+        (id, text) <- docs
+        toks = text.split(" ", -1)
+        i <- 0 to toks.length - n
+      } yield (id, i, toks.slice(i, i + n).mkString(" "))
+      val keeper = occ.groupBy(_._3)
+        .map { case (g, os) => g -> os.map(o => (o._1, o._2)).min }
+      val dupByDoc = occ
+        .filter(o => keeper(o._3) != ((o._1, o._2)))
+        .groupBy(_._1)
+      docs.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val ivs = dupByDoc.getOrElse(id, Seq.empty)
+          .map(o => (o._2, o._2 + n - 1)).sorted
+        val spans = ivs.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, (s, e)) => acc match {
+            case (ps, pe) :: rest if s <= pe + 1 =>
+              (ps, math.max(pe, e)) :: rest
+            case _ => (s, e) :: acc
+          }
+        }.reverse
+        val covered = spans.flatMap { case (s, e) => s to e }.toSet
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t
+        }
+        id -> (kept.mkString(" "), toks.length,
+          toks.length - kept.length, spans.length)
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c")
+    for (round <- 1 to 5) {
+      val docs = (1L to 8L).map(id => id ->
+        (0 until rnd.nextInt(13)).map(_ => vocab(rnd.nextInt(3)))
+          .mkString(" "))
+      val got = Chunk.spanDedup(docs.toDF("doc_id", "text"),
+          col("text"), col("doc_id"), 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+      val want = reference(docs, 3)
+      assert(got == want,
+        s"round $round mismatch:\n got  $got\n want $want\n docs $docs")
+    }
+  }
+
   test("overlapping: stride coverage, shared prefix, short tail") {
     import spark.implicits._
     // 7 tokens, w=4, s=2 -> chunks at 0,2,4: sizes 4,4,3
