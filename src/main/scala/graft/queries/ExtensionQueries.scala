@@ -767,6 +767,52 @@ object ExtensionQueries {
       |GROUP BY num, den, tw
       |ORDER BY cut_cents, q""".stripMargin
 
+  /** JOIN-KEY SKEW PROFILE — the diagnosis that decides WHEN q10's
+    * salting (or AQE skew-join) is worth its cost, run before any big
+    * join ships: per-key frequencies of the join key reduce the corpus
+    * to the key domain in one partial agg; everything after (distinct
+    * count, total, max frequency, top-5 heavy keys) is domain-sized or
+    * result-sized. Heavy keys surface via TakeOrdered (orderBy+limit —
+    * a heap per partition, never a global sort); the rank window runs
+    * on the 5-ROW result only. share_bp is exact integer basis points
+    * (cnt·10000 div total) and skew_x is the one IEEE division: how
+    * many times the hottest key exceeds the uniform expectation —
+    * skew_x ≈ 1 means salting buys nothing, large skew_x says the
+    * hottest partition will straggle by that factor. */
+  def p20SkewProfile(sp: SparkSession, dir: String): DataFrame = {
+    val keys = lineitem(sp, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = keys.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total"), max(col("cnt")).as("max_cnt"))
+    val top = keys.orderBy(col("cnt").desc, col("key")).limit(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        col("n_keys"), col("total"), col("max_cnt"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        (col("max_cnt").cast("double")
+          * col("n_keys").cast("double") / col("total").cast("double"))
+          .as("skew_x"))
+      .orderBy("rank")
+  }
+
+  val p20Sql: String =
+    """WITH k AS (SELECT l_suppkey AS key, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |st AS (SELECT count(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM k),
+      |top AS (SELECT key, cnt, row_number() OVER (
+      |    ORDER BY cnt DESC, key) AS rank FROM k
+      |  QUALIFY rank <= 5)
+      |SELECT CAST(rank AS INT) AS rank, key, cnt,
+      |  st.n_keys, st.total, st.max_cnt,
+      |  cnt * 10000 // st.total AS share_bp,
+      |  CAST(st.max_cnt AS DOUBLE) * CAST(st.n_keys AS DOUBLE)
+      |    / CAST(st.total AS DOUBLE) AS skew_x
+      |FROM top, st ORDER BY rank""".stripMargin
+
   /** HELD-OUT model scoring — the contamination-free form of t20: the
     * bigram LM is fitted on the TRAIN half of a portable hash split and
     * scores only the EVAL half, so no document contributes statistics
@@ -7013,7 +7059,8 @@ object ExtensionQueries {
     "p16_embedding_drift" -> (p16EmbeddingDrift _),
     "p17_hist_drift" -> (p17HistDrift _),
     "p18_ewma_trend" -> (p18Ewma _),
-    "p19_weighted_quantile" -> (p19WeightedQuantile _))
+    "p19_weighted_quantile" -> (p19WeightedQuantile _),
+    "p20_skew_profile" -> (p20SkewProfile _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -7162,5 +7209,6 @@ object ExtensionQueries {
     "p16_embedding_drift" -> p16Sql,
     "p17_hist_drift" -> p17Sql,
     "p18_ewma_trend" -> p18Sql,
-    "p19_weighted_quantile" -> p19Sql)
+    "p19_weighted_quantile" -> p19Sql,
+    "p20_skew_profile" -> p20Sql)
 }
