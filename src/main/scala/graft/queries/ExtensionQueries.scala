@@ -4095,6 +4095,76 @@ object ExtensionQueries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** STREAMING SCD2 (point-in-time) ENRICHMENT — s7 joins the CURRENT
+    * dimension row; this joins the version VALID AT EACH EVENT'S TIME
+    * (q31's warehouse staple, online): a 3-version tiered dimension with
+    * per-key boundaries rides as a broadcast static table, each
+    * micro-batch equi-joins on the key with window containment as the
+    * residual — stateless, no watermark, the labeling rule that makes
+    * streamed training features point-in-time correct (an event enriched
+    * with a LATER dimension version is feature leakage, the online twin
+    * of t43's train/eval contamination). At 100 TB/day the dim stays
+    * dims-sized and broadcast; the residual filters the ~3 versions per
+    * key after the hash match, never an inequality-only join. */
+  def s28StreamScd2(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s28_scd_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val ev = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .withColumn("k", col("user_id") % 50)
+    val b1 = (lit(5) + col("id") % 12).cast("int")
+    val b2 = (lit(18) + col("id") % 10).cast("int")
+    val dim = sp.range(50).select(col("id").as("dk"), explode(array(
+        struct(lit("bronze").as("tier"),
+          make_date(lit(2024), lit(1), lit(1)).cast("timestamp").as("vf"),
+          make_date(lit(2024), lit(1), b1).cast("timestamp").as("vt")),
+        struct(lit("silver").as("tier"),
+          make_date(lit(2024), lit(1), b1).cast("timestamp").as("vf"),
+          make_date(lit(2024), lit(1), b2).cast("timestamp").as("vt")),
+        struct(lit("gold").as("tier"),
+          make_date(lit(2024), lit(1), b2).cast("timestamp").as("vf"),
+          make_date(lit(2024), lit(2), lit(1)).cast("timestamp").as("vt"))))
+        .as("v"))
+      .select(col("dk"), col("v.tier"), col("v.vf"), col("v.vt"))
+    val agg = graft.streaming.StreamOps
+      .staticEnrich(ev, dim, col("k") === col("dk") &&
+        col("ts") >= col("vf") && col("ts") < col("vt"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((dec(col("value")) * 100).cast("long")).as("sum_cents"))
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "update")
+      .orderBy("tier")
+  }
+
+  val s28Sql: String =
+    """WITH dim AS (
+      |  SELECT k.range AS dk, 'bronze' AS tier,
+      |    CAST(make_date(2024, 1, 1) AS TIMESTAMP) AS vf,
+      |    CAST(make_date(2024, 1, CAST(5 + k.range % 12 AS INT))
+      |      AS TIMESTAMP) AS vt
+      |  FROM range(0, 50) k
+      |  UNION ALL
+      |  SELECT k.range, 'silver',
+      |    CAST(make_date(2024, 1, CAST(5 + k.range % 12 AS INT))
+      |      AS TIMESTAMP),
+      |    CAST(make_date(2024, 1, CAST(18 + k.range % 10 AS INT))
+      |      AS TIMESTAMP)
+      |  FROM range(0, 50) k
+      |  UNION ALL
+      |  SELECT k.range, 'gold',
+      |    CAST(make_date(2024, 1, CAST(18 + k.range % 10 AS INT))
+      |      AS TIMESTAMP),
+      |    CAST(make_date(2024, 2, 1) AS TIMESTAMP)
+      |  FROM range(0, 50) k),
+      |ev AS (SELECT user_id % 50 AS k,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT tier, count(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM ev JOIN dim ON ev.k = dim.dk
+      |  AND ev.ts >= dim.vf AND ev.ts < dim.vt
+      |GROUP BY tier ORDER BY tier""".stripMargin
+
   /** Checkpoint-RECOVERY gate: the production restart property, proven
     * end-to-end. Half the events (even ids) are written as the stream's
     * initial files and drained through a windowed aggregation with a REAL
@@ -7040,6 +7110,7 @@ object ExtensionQueries {
     "s25_stream_curation" -> (s25StreamCuration _),
     "s26_tws_ttl" -> (s26TwsTtl _),
     "s27_tws_recent" -> (s27TwsRecent _),
+    "s28_stream_scd2" -> (s28StreamScd2 _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -7190,6 +7261,7 @@ object ExtensionQueries {
     "s25_stream_curation" -> s25Sql,
     "s26_tws_ttl" -> s26Sql,
     "s27_tws_recent" -> s27Sql,
+    "s28_stream_scd2" -> s28Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,
