@@ -384,6 +384,74 @@ object Ann {
       concat(transform(v, x => x.cast("double")), array(tail)))
   }
 
+  // ==================== binary (sign) quantization ====================
+
+  /** Binary-quantization code: bit i of ONE 64-bit long is set iff
+    * vector component i+1 is strictly positive. 8 bytes per vector —
+    * 32× smaller than 64 floats, the most aggressive compression tier
+    * in this file (PQ stores M=4 ints): at 100 TB the whole embedding
+    * working set reduces to a code column that scans at memory
+    * bandwidth. The bit literals are constants (`1L << i`), the chain
+    * of conditional ORs stays inside whole-stage codegen, and the same
+    * formula replays in any engine as a conditional bit sum. */
+  def bqCode(vec: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"dim must be in [1, 64], got $dim")
+    (0 until dim).map { i =>
+      when(element_at(vec, i + 1).cast("double") > 0d, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming shortlist over binary codes — the candidate stage of
+    * binary-quantized search (the brute-scan path production BQ systems
+    * ship: no bucketing, just xor+popcount over packed codes at memory
+    * bandwidth). Codes both sides, scores every (query, corpus) pair by
+    * `bit_count(xor)` — two instructions per 8-byte pair — and keeps
+    * the `shortlist` closest ids per query through the k-capped
+    * [[graft.functions.TopKPairsAgg]]: map-side partial top-k, the
+    * shuffle carries ≤ shortlist pairs per (partition, query), and NO
+    * corpus-sized window sort exists. Queries broadcast; the corpus
+    * side streams only (id, code) — vectors are NOT carried here, the
+    * re-rank fetches them by id for the result-sized shortlist only.
+    * Ties break toward the lower id. Returns (qid, id, ham). */
+  def bqHammingShortlist(queries: DataFrame, corpus: DataFrame,
+      dim: Int, shortlist: Int): DataFrame = {
+    val topk = graft.functions.TopKPairsAgg.topKPairs(shortlist)
+    val codes = corpus.select(col("id"), bqCode(col("vec"), dim).as("ccode"))
+    val qcodes = queries.select(col("qid"),
+      bqCode(col("qvec"), dim).as("qcode"))
+    codes.crossJoin(broadcast(qcodes))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        bit_count(col("ccode").bitwiseXOR(col("qcode")))
+          .cast("long").as("ham"))
+      .groupBy(col("qid"))
+      .agg(topk(col("ham"), col("id")).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e._2").as("id"), col("__e._1").as("ham"))
+  }
+
+  /** Exact cosine re-rank of a Hamming shortlist: the shortlist is
+    * result-sized, so it is the BROADCAST side of the vector fetch join
+    * against the corpus; scoring and ranking then touch candidate rows
+    * only. Quantization error affects shortlist MEMBERSHIP, never a
+    * reported similarity — a10's two-stage contract on the BQ tier. */
+  def bqRerankTopK(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val cn = corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+    val qn = broadcast(queries.withColumn("__nq", Vectors.norm2(col("qvec"))))
+    val scored = cn.join(broadcast(shortlist.select("qid", "id")), Seq("id"))
+      .join(qn, Seq("qid"))
+      .withColumn("sim",
+        Vectors.dot(col("qvec"), col("vec")) / (col("__nq") * col("__nv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** MAXIMAL-MARGINAL-RELEVANCE re-rank (Carbonell & Goldstein 1998) over
     * an ANN shortlist — the RAG answer-diversity pass: greedily pick the
     * candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} cos(d,s),

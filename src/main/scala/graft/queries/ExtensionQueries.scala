@@ -5439,6 +5439,94 @@ object ExtensionQueries {
        |  (h.n_hits::DOUBLE / tt.n_truth >= 0.8) AS recall_ok
        |FROM h CROSS JOIN tt""".stripMargin
 
+  /** Binary-quantization Hamming search with exact re-rank — the 32×
+    * compression tier of the ANN ladder ([[Ann.bqCode]]: ONE long per
+    * 64-float vector, below SQ's 4× and PQ's 64×... in bytes the most
+    * aggressive here). Candidates come from a brute Hamming scan over
+    * the code column — bit_count(xor) per pair, the memory-bandwidth
+    * path real BQ systems ship, k-capped through TopKPairsAgg so no
+    * corpus-sized window exists — then the shortlist is
+    * re-ranked by exact cosine. Shortlist depth 128 is the oversample
+    * knob (production BQ oversamples 4-50× k; this synthetic corpus is
+    * near-orthogonal so sign codes need the deep end). Emits shortlist
+    * recall (was the true neighbor among the candidates?) AND final
+    * recall@3 vs the a1 exact truth, floor 0.6 (measured 1.0 / 0.93 /
+    * 0.67 at sf0.001/0.01/0.1). The oracle recomputes every code bit via
+    * HUGEINT two's-complement summation (m5's bit-63 discipline) and
+    * replays Hamming, shortlist, and re-rank. */
+  def a23BqHamming(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val truthDir = graft.Tables.scratchDir("graft-a23-truth")
+    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val shortDir = graft.Tables.scratchDir("graft-a23-short")
+    Ann.bqHammingShortlist(qs, corpus, 64, 128)
+      .write.mode("overwrite").parquet(shortDir)
+    val short = sp.read.parquet(shortDir)
+    val res = Ann.bqRerankTopK(short, qs, corpus, 3)
+    val floor = 0.6
+    val hitsShort = truth
+      .join(short.select(col("qid"), col("id").as("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_short"))
+    val hits = truth.join(res.select(col("qid"), col("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    hitsShort.crossJoin(hits)
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("bq_hamming").as("method"), col("n_hits_short"),
+        col("n_hits"), col("n_truth"),
+        round(col("n_hits_short").cast("double") / col("n_truth"), 4)
+          .as("recall_short"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"),
+        lit(floor).as("floor"),
+        (col("n_hits").cast("double") / col("n_truth") >= floor)
+          .as("recall_ok"))
+  }
+
+  val a23Sql: String =
+    s"""WITH truth AS (SELECT qid, neighbor FROM ($a1Sql) WHERE rank <= 3),
+       |bc AS (SELECT e.vec_id AS id,
+       |    SUM(CASE WHEN CAST(e.embedding[t.i + 1] AS DOUBLE) > 0
+       |      THEN (1::HUGEINT << t.i) ELSE 0::HUGEINT END) AS hsum
+       |  FROM embeddings e, range(0, 64) t(i)
+       |  GROUP BY e.vec_id),
+       |c AS (SELECT id, CAST(CASE WHEN hsum >= 9223372036854775808::HUGEINT
+       |    THEN hsum - 18446744073709551616::HUGEINT ELSE hsum END
+       |    AS BIGINT) AS code FROM bc),
+       |q AS (SELECT id AS qid, code AS qcode FROM c WHERE id < 5),
+       |s AS (SELECT q.qid, c.id, bit_count(xor(c.code, q.qcode)) AS ham
+       |  FROM c CROSS JOIN q WHERE c.id <> q.qid),
+       |short AS (SELECT qid, id FROM (SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, id) AS hrank
+       |  FROM s) WHERE hrank <= 128),
+       |rr AS (SELECT sh.qid, sh.id,
+       |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+       |  FROM short sh
+       |  JOIN embeddings qe ON qe.vec_id = sh.qid
+       |  JOIN embeddings ce ON ce.vec_id = sh.id),
+       |top3 AS (SELECT qid, id FROM (SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS r
+       |  FROM rr) WHERE r <= 3),
+       |hs AS (SELECT count(*) AS n_hits_short FROM short
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = short.qid AND t.neighbor = short.id)),
+       |hh AS (SELECT count(*) AS n_hits FROM top3
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = top3.qid AND t.neighbor = top3.id)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT 'bq_hamming' AS method, hs.n_hits_short, hh.n_hits, tt.n_truth,
+       |  round(hs.n_hits_short::DOUBLE / tt.n_truth, 4) AS recall_short,
+       |  round(hh.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.6 AS DOUBLE) AS floor,
+       |  (hh.n_hits::DOUBLE / tt.n_truth >= 0.6) AS recall_ok
+       |FROM hs CROSS JOIN hh CROSS JOIN tt""".stripMargin
+
   /** Containment near-dup join ([[graft.operators.Dedup.containmentPairs]]):
     * 3-gram shingle-hash postings, df cap 50, containment >= 0.5, both
     * directions — the asymmetric quote/excerpt detector. The oracle
@@ -7074,6 +7162,7 @@ object ExtensionQueries {
     "a10_pq_recall" -> (a10PqRecall _),
     "a21_graph_recall" -> (a21GraphRecall _),
     "a22_residual_ivfpq" -> (a22ResidualIvfPq _),
+    "a23_bq_hamming" -> (a23BqHamming _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -7225,6 +7314,7 @@ object ExtensionQueries {
     "a10_pq_recall" -> a10Sql,
     "a21_graph_recall" -> a21Sql,
     "a22_residual_ivfpq" -> a22Sql,
+    "a23_bq_hamming" -> a23Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,
