@@ -630,7 +630,55 @@ object XmlQueries {
       |  CAST(0 AS INT) AS n_missing
       |FROM lineitem WHERE l_orderkey % 16 = 1 ORDER BY id""".stripMargin
 
+  /** The DESCENDANT axis of the bonus XPath surface — `//name` steps
+    * through the same single-parse `xpath_multi`. `//` is the most-used
+    * XPath feature on documents whose nesting depth varies (the exact
+    * reason users reach for XPath over a compiled projection): the gate
+    * buries the same `<v>` element at THREE different depths plus a
+    * two-sibling group, and pins that `//v` finds all five in document
+    * order, `//v[2]` keeps XPath's per-parent sibling-position meaning
+    * (the descendant-or-self expansion — NOT "2nd match in document
+    * order"), and a mid-path `/r/d//v` scopes the walk to a subtree.
+    * Built-in parity incl. node-set dedup is pinned in XPathMultiSpec;
+    * the oracle recomputes every value from base columns. 1/16 sample,
+    * disjoint from x13/x14's. */
+  def x15XpathDescendant(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 2)
+    val xml = concat(
+      lit("<r><g><v>"), d2s(col("l_quantity")),
+      lit("</v><v>"), col("l_returnflag"),
+      lit("</v></g><d><e><v>"), d2s(col("l_extendedprice")),
+      lit("</v></e></d><v>"), s(col("l_linenumber")),
+      lit("</v><d><v>"), d2s(col("l_tax")), lit("</v></d><id>"),
+      s(col("l_orderkey") * 10 + col("l_linenumber")), lit("</id></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"),
+        Seq("/r/id", "//v", "//v[2]", "/r/d//v", "//e/v")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        size(col("m.p1")).as("n_all"),
+        get(col("m.p1"), lit(0)).cast("double").as("qty"),
+        get(col("m.p2"), lit(0)).as("flag"),
+        size(col("m.p3")).as("n_under_d"),
+        get(col("m.p3"), lit(0)).cast("double").as("price"),
+        get(col("m.p3"), lit(1)).cast("double").as("tax"),
+        get(col("m.p4"), lit(0)).cast("double").as("price_e"))
+      .orderBy("id")
+  }
+
+  val x15Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(5 AS INT) AS n_all,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+      |  l_returnflag AS flag,
+      |  CAST(2 AS INT) AS n_under_d,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_e
+      |FROM lineitem WHERE l_orderkey % 16 = 2 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_xpath_descendant" -> (x15XpathDescendant _),
     "x13_xpath_family" -> (x13XpathFamily _),
     "x14_xpath_attrs" -> (x14XpathAttrs _),
     "x12_xsd_schema" -> (x12XsdSchema _),
@@ -647,6 +695,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,
     "x12_xsd_schema" -> x12Sql,

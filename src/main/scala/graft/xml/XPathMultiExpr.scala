@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(doc) memory) and resolves every registered path against it.
   *
   * Supported path subset (validated at construction, driver-side):
-  * absolute child-step paths `/a/b/c`, `*` name wildcards, 1-based
-  * positional predicates `[k]`, and a trailing `text()` or `@attr`
-  * step. Each path
+  * absolute child-step paths `/a/b/c`, descendant-axis steps `//a`
+  * (leading or between element steps — XPath's
+  * `/descendant-or-self::node()/child::a` expansion, so `//a[k]`
+  * keeps its per-parent sibling-position meaning), `*` name
+  * wildcards, 1-based positional predicates `[k]`, and a trailing
+  * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
   * element string-value (concatenated descendant text, XPath `string()`)
   * for element results, the individual text-node segments for `text()`
@@ -61,15 +64,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object XPathMini {
 
   /** One location step: element name (or `*`) + optional 1-based position
-    * among the matching siblings of the same context node (0 = all). */
-  final case class Step(name: String, pos: Int)
+    * among the matching siblings of the same context node (0 = all).
+    * `desc` marks the DESCENDANT axis (`//name`): the step matches
+    * child::name of the context node or of ANY of its descendants —
+    * XPath's `/descendant-or-self::node()/child::name` expansion, so
+    * `//a[2]` keeps the spec's sibling-position meaning (every `a` that
+    * is the 2nd `a` child of ITS parent), not "2nd in document order". */
+  final case class Step(name: String, pos: Int, desc: Boolean)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
     * final step's matches) or `attr` (select the named attribute of the
     * final step's matches; null = element string-value). */
   final case class Path(steps: Array[Step], textOnly: Boolean,
-      attr: String)
+      attr: String) {
+    /** Any descendant-axis step? Routes eval to the node-set evaluator
+      * (doc-order sort + dedup); pure child paths keep the recursive
+      * fast path, whose results are doc-ordered and duplicate-free by
+      * construction. */
+    val hasDesc: Boolean = steps.exists(_.desc)
+  }
 
   private val StepRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\])?$""".r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
@@ -77,22 +91,43 @@ object XPathMini {
   def compile(path: String): Path = {
     require(path.startsWith("/") && path.length > 1,
       s"xpath_multi supports absolute paths only, got: $path")
-    val parts = path.substring(1).split("/", -1)
-    require(parts.forall(_.nonEmpty), s"empty step in path: $path")
-    val attr = parts.last match {
+    // '//' yields an empty split part, marking the FOLLOWING step as a
+    // descendant-axis step
+    val rawParts = path.substring(1).split("/", -1)
+    val marked = new mutable.ArrayBuffer[(String, Boolean)](rawParts.length)
+    var pendingDesc = false
+    rawParts.foreach { part =>
+      if (part.isEmpty) {
+        require(!pendingDesc, s"invalid '///' in path: $path")
+        pendingDesc = true
+      } else {
+        marked += ((part, pendingDesc))
+        pendingDesc = false
+      }
+    }
+    require(!pendingDesc && marked.nonEmpty,
+      s"path cannot end with '/': $path")
+    val attr = marked.last._1 match {
       case AttrRe(a) => a
       case _ => null
     }
-    val afterAttr = if (attr != null) parts.dropRight(1) else parts
-    val textOnly = afterAttr.nonEmpty && afterAttr.last == "text()"
+    require(attr == null || !marked.last._2,
+      s"'//@$attr' is outside the subset ('//' precedes element steps " +
+        s"only): $path")
+    val afterAttr = if (attr != null) marked.dropRight(1) else marked
+    val textOnly = afterAttr.nonEmpty && afterAttr.last._1 == "text()"
+    require(!textOnly || !afterAttr.last._2,
+      s"'//text()' is outside the subset ('//' precedes element steps " +
+        s"only): $path")
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case StepRe(name, pos) => Step(name, if (pos == null) 0 else pos.toInt)
-      case other => throw new IllegalArgumentException(
+      case (StepRe(name, pos), desc) =>
+        Step(name, if (pos == null) 0 else pos.toInt, desc)
+      case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, [k], trailing text() or @attr)")
-    }
+          "(subset: name|*, //name, [k], trailing text() or @attr)")
+    }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
     Path(steps, textOnly, attr)
@@ -104,6 +139,10 @@ object XPathMini {
     val content = new mutable.ArrayBuffer[AnyRef](4)
     /** (localName, value) pairs; null when the element has none. */
     var attrs: Array[(String, String)] = null
+    /** Pre-order (document-order) index, assigned at parse — the sort
+      * key that restores node-set document order after descendant-axis
+      * steps mix depths. */
+    var docPos: Int = 0
   }
 
   // Same config stance as XmlStax: coalescing text, internal entities
@@ -134,6 +173,7 @@ object XPathMini {
     try {
       var root: Elem = null
       var top: Elem = null
+      var nextPos = 0
       val stack = new mutable.ArrayBuffer[Elem](8)
       while (reader.hasNext) {
         reader.next() match {
@@ -143,6 +183,8 @@ object XPathMini {
             // '<n:b>' too — measured against xpath_string in the
             // namespace case of XPathMultiSpec
             val e = new Elem(reader.getLocalName)
+            e.docPos = nextPos
+            nextPos += 1
             val na = reader.getAttributeCount
             if (na > 0) {
               val as = new Array[(String, String)](na)
@@ -187,59 +229,145 @@ object XPathMini {
     }
   }
 
-  /** Evaluate one compiled path against a parsed document, results in
-    * document order. */
-  def eval(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
-    val out = new mutable.ArrayBuffer[String](4)
-    def emit(e: Elem): Unit =
-      if (p.attr != null) {
-        if (e.attrs != null) {
-          var k = 0
-          while (k < e.attrs.length) {
-            if (e.attrs(k)._1 == p.attr) {
-              out += e.attrs(k)._2
-              k = e.attrs.length
-            } else k += 1
-          }
+  /** Terminal selection for one matched element, appended to `out`. */
+  private def emitNode(p: Path, e: Elem,
+      out: mutable.ArrayBuffer[String]): Unit =
+    if (p.attr != null) {
+      if (e.attrs != null) {
+        var k = 0
+        while (k < e.attrs.length) {
+          if (e.attrs(k)._1 == p.attr) {
+            out += e.attrs(k)._2
+            k = e.attrs.length
+          } else k += 1
         }
-      } else if (p.textOnly) {
-        var i = 0
-        while (i < e.content.length) {
-          e.content(i) match {
-            case s: String => out += s
-            case _ =>
-          }
-          i += 1
-        }
-      } else {
-        val sb = new java.lang.StringBuilder
-        stringValue(e, sb)
-        out += sb.toString
       }
-    def matches(step: Step, tag: String): Boolean =
-      step.name == "*" || step.name == tag
-    def rec(stepIdx: Int, ctx: Elem): Unit = {
-      val step = p.steps(stepIdx)
-      val last = stepIdx == p.steps.length - 1
-      var seen = 0
+    } else if (p.textOnly) {
       var i = 0
-      while (i < ctx.content.length) {
-        ctx.content(i) match {
-          case c: Elem if matches(step, c.tag) =>
-            seen += 1
-            if (step.pos == 0 || step.pos == seen) {
-              if (last) emit(c) else rec(stepIdx + 1, c)
-              if (step.pos != 0) return
-            }
+      while (i < e.content.length) {
+        e.content(i) match {
+          case s: String => out += s
           case _ =>
         }
         i += 1
       }
+    } else {
+      val sb = new java.lang.StringBuilder
+      stringValue(e, sb)
+      out += sb.toString
     }
-    // the first step matches the document element itself
-    val s0 = p.steps(0)
-    if (root != null && matches(s0, root.tag) && s0.pos <= 1) {
-      if (p.steps.length == 1) emit(root) else rec(1, root)
+
+  private def matches(step: Step, tag: String): Boolean =
+    step.name == "*" || step.name == tag
+
+  /** Evaluate one compiled path against a parsed document, results in
+    * document order. */
+  def eval(p: Path, root: Elem): mutable.ArrayBuffer[String] =
+    if (p.hasDesc) evalDesc(p, root)
+    else {
+      // pure child-step fast path: single recursion, results are
+      // doc-ordered and duplicate-free by construction (each node has
+      // one parent; contexts at step i all sit at depth i)
+      val out = new mutable.ArrayBuffer[String](4)
+      def rec(stepIdx: Int, ctx: Elem): Unit = {
+        val step = p.steps(stepIdx)
+        val last = stepIdx == p.steps.length - 1
+        var seen = 0
+        var i = 0
+        while (i < ctx.content.length) {
+          ctx.content(i) match {
+            case c: Elem if matches(step, c.tag) =>
+              seen += 1
+              if (step.pos == 0 || step.pos == seen) {
+                if (last) emitNode(p, c, out) else rec(stepIdx + 1, c)
+                if (step.pos != 0) return
+              }
+            case _ =>
+          }
+          i += 1
+        }
+      }
+      // the first step matches the document element itself
+      val s0 = p.steps(0)
+      if (root != null && matches(s0, root.tag) && s0.pos <= 1) {
+        if (p.steps.length == 1) emitNode(p, root, out) else rec(1, root)
+      }
+      out
+    }
+
+  /** child::step matches of one context node, sibling-counted. */
+  private def childCollect(step: Step, ctx: Elem,
+      out: mutable.ArrayBuffer[Elem]): Unit = {
+    var seen = 0
+    var i = 0
+    while (i < ctx.content.length) {
+      ctx.content(i) match {
+        case c: Elem if matches(step, c.tag) =>
+          seen += 1
+          if (step.pos == 0 || step.pos == seen) {
+            out += c
+            if (step.pos != 0) return
+          }
+        case _ =>
+      }
+      i += 1
+    }
+  }
+
+  /** descendant-or-self::node()/child::step of one context node —
+    * child matching applied at the context AND every descendant, so
+    * positional predicates keep their per-parent sibling meaning. */
+  private def descCollect(step: Step, ctx: Elem,
+      out: mutable.ArrayBuffer[Elem]): Unit = {
+    childCollect(step, ctx, out)
+    var i = 0
+    while (i < ctx.content.length) {
+      ctx.content(i) match {
+        case c: Elem => descCollect(step, c, out)
+        case _ =>
+      }
+      i += 1
+    }
+  }
+
+  /** Node-set evaluator for paths with a descendant axis: contexts can
+    * nest and repeat, so each step's result is sorted by document
+    * position and deduped — XPath node-set semantics. Docs are
+    * record-sized; the sort is tiny. */
+  private def evalDesc(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](4)
+    if (root == null) return out
+    // virtual document node: parent of the document element, so the
+    // first step (child OR descendant) applies uniformly
+    val doc = new Elem("")
+    doc.docPos = -1
+    doc.content += root
+    var ctxs = new mutable.ArrayBuffer[Elem](1)
+    ctxs += doc
+    var si = 0
+    while (si < p.steps.length) {
+      val step = p.steps(si)
+      val next = new mutable.ArrayBuffer[Elem](8)
+      var i = 0
+      while (i < ctxs.length) {
+        if (step.desc) descCollect(step, ctxs(i), next)
+        else childCollect(step, ctxs(i), next)
+        i += 1
+      }
+      val sorted = next.sortInPlaceBy(_.docPos)
+      val dedup = new mutable.ArrayBuffer[Elem](sorted.length)
+      var j = 0
+      while (j < sorted.length) {
+        if (j == 0 || (sorted(j) ne sorted(j - 1))) dedup += sorted(j)
+        j += 1
+      }
+      ctxs = dedup
+      si += 1
+    }
+    var i = 0
+    while (i < ctxs.length) {
+      emitNode(p, ctxs(i), out)
+      i += 1
     }
     out
   }

@@ -196,24 +196,92 @@ class XPathMultiSpec extends AnyFunSuite {
   test("a bad path fails when the EXPRESSION is constructed (driver-" +
       "side), not per-task at eval") {
     intercept[IllegalArgumentException] {
-      XPathMultiExpr.xpath_multi(col("x"), Seq("//anywhere"))
+      XPathMultiExpr.xpath_multi(col("x"), Seq("/a/b[last()]"))
     }
   }
 
   test("unsupported path syntax rejected at construction") {
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("//anywhere")
-    }
     intercept[IllegalArgumentException] {
       XPathMini.compile("/a/b[last()]")
     }
     intercept[IllegalArgumentException] {
       XPathMini.compile("relative/path")
     }
+    // '//' precedes element steps only in the subset
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("///a")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/a//text()")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/a//@b")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/a/b//")
+    }
+  }
+
+  test("descendant axis //: any-depth matches in document order, " +
+      "per-parent sibling predicates, node-set dedup — parity with " +
+      "the built-in") {
+    import spark.implicits._
+    val doc = "<r><x><a>1</a><a>2</a></x><a>3<a>4</a></a><b><a>5</a></b></r>"
+    val m = XPathMultiExpr.xpath_multi(col("x"),
+      Seq("//a", "//a[2]", "/r//a", "/r/x//a", "//x/a", "//nope"))
+    val r = Seq(doc).toDF("x").select(m.as("m")).select("m.*").head()
+    // string-values, document order, every depth
+    assert(r.getSeq[String](0) == Seq("1", "2", "34", "4", "5"))
+    // //a[2] = each a that is the SECOND a-child of ITS parent (XPath's
+    // descendant-or-self expansion), NOT "2nd match in document order"
+    assert(r.getSeq[String](1) == Seq("2"))
+    assert(r.getSeq[String](2) == Seq("1", "2", "34", "4", "5"))
+    assert(r.getSeq[String](3) == Seq("1", "2"))
+    assert(r.getSeq[String](4) == Seq("1", "2"))
+    assert(r.getSeq[String](5) == Seq.empty)
+    // built-in agreement: counts and sibling-predicate semantics
+    val ref = Seq(doc).toDF("x").select(
+      expr("size(xpath(x, '//a'))"),
+      expr("xpath_string(x, '//a')"),
+      expr("size(xpath(x, '//a[2]'))"),
+      expr("xpath_string(x, '//a[2]')"),
+      expr("size(xpath(x, '/r/x//a'))")).head()
+    assert(ref.getInt(0) == 5)
+    assert(ref.getString(1) == "1")
+    assert(ref.getInt(2) == 1)
+    assert(ref.getString(3) == "2")
+    assert(ref.getInt(4) == 2)
+
+    // node-set dedup: //a//b reaches the same b through BOTH enclosing
+    // a contexts — one node, once
+    val nested = "<r><a><a><b>z</b></a></a></r>"
+    val m2 = XPathMultiExpr.xpath_multi(col("x"), Seq("//a//b", "//a"))
+    val r2 = Seq(nested).toDF("x").select(m2.as("m")).select("m.*").head()
+    assert(r2.getSeq[String](0) == Seq("z"))
+    assert(r2.getSeq[String](1) == Seq("z", "z")) // outer a, inner a
+    val ref2 = Seq(nested).toDF("x")
+      .select(expr("size(xpath(x, '//a//b'))"),
+        expr("size(xpath(x, '//a'))")).head()
+    assert(ref2.getInt(0) == 1)
+    assert(ref2.getInt(1) == 2)
+
+    // leading // matches the document element itself
+    val m3 = XPathMultiExpr.xpath_multi(col("x"), Seq("//r"))
+    val r3 = Seq("<r>top<c>x</c></r>").toDF("x")
+      .select(m3.as("m")).select("m.*").head()
+    assert(r3.getSeq[String](0) == Seq("topx"))
+
+    // //a/text(): trailing text() composes after a descendant step
+    val m4 = XPathMultiExpr.xpath_multi(col("x"), Seq("//a/text()"))
+    val r4 = Seq(doc).toDF("x").select(m4.as("m")).select("m.*").head()
+    assert(r4.getSeq[String](0) == Seq("1", "2", "3", "4", "5"))
+    val ref4 = Seq(doc).toDF("x")
+      .select(expr("xpath(x, '//a/text()')")).head()
+    assert(ref4.getSeq[String](0) == Seq("1", "2", "3", "4", "5"))
   }
 
   test("property: xpath_multi == built-in xpath node-set form on random " +
-      "trees x random paths (names, *, [k], text(), no-match)") {
+      "trees x random paths (names, *, [k], //, text(), no-match)") {
     import spark.implicits._
     // seeded so a failure replays; one DataFrame pass over all cases
     val rnd = new scala.util.Random(42)
@@ -230,15 +298,18 @@ class XPathMultiSpec extends AnyFunSuite {
     val docs = (1 to 80).map(_ =>
       s"<r>${(0 until 1 + rnd.nextInt(4)).map(_ => genElem(1)).mkString}</r>")
     def genPath(): String = {
+      // each element step randomly rides the child or descendant axis
+      // ('//', 1 in 4)
       val steps = (1 to 1 + rnd.nextInt(3)).map { _ =>
         val nm = if (rnd.nextInt(4) == 0) "*" else tags(rnd.nextInt(tags.length))
         val pred = if (rnd.nextInt(3) == 0) s"[${1 + rnd.nextInt(3)}]" else ""
-        nm + pred
+        val sep = if (rnd.nextInt(4) == 0) "//" else "/"
+        sep + nm + pred
       }
       val txt = if (rnd.nextInt(3) == 0) "/text()" else ""
-      "/r/" + steps.mkString("/") + txt
+      "/r" + steps.mkString + txt
     }
-    val paths = (1 to 12).map(_ => genPath()).distinct
+    val paths = (1 to 16).map(_ => genPath()).distinct
     val m = XPathMultiExpr.xpath_multi(col("x"), paths)
     // Parity contract per path kind:
     //  - text() paths: exact list equality with the built-in xpath()
