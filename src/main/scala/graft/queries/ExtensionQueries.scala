@@ -4763,6 +4763,86 @@ object ExtensionQueries {
       |GROUP BY user_id, n_seen
       |ORDER BY user_id""".stripMargin
 
+  /** Streaming TOKEN-BUCKET admission control
+    * ([[graft.streaming.StreamOps.TwsTokenBucket]]): every sampled event
+    * is admitted or rejected against its user's bucket — capacity 2
+    * tokens, one token regenerated per 5 event-time DAYS (this corpus's
+    * median per-user gap is ~4 days, so ~15% of events reject: both
+    * verdicts exercised at every SF). Token state is integer µtoken
+    * units (1 token = the period), refill = clamped Δus — no division,
+    * no float, so the oracle replays every verdict and residual token
+    * count exactly with a per-user recursive CTE. Producer feeds 3
+    * event-time-ordered batches (s19 discipline: deterministic 1/16
+    * sample, pinned state partitions); each event's verdict is emitted
+    * exactly once, so the memory sink IS the result. */
+  def s29TokenBucket(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events(sp, dir).filter(col("event_id") % 16 === 3)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy("ts", "event_id").collect()
+    require(rows.nonEmpty,
+      "s29: the 1/16 event_id sample is empty — fixture too small; " +
+        "admission control needs at least one row")
+    val data = rows.map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamOps
+      .tokenBucketTws(in.toDS(), capacity = 2L,
+        periodUs = 5L * 86400L * 1000000L)
+      .toDF("user_id", "event_id", "admitted", "tokens_after")
+    val name = "s29_tb_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        val slice = math.max(1, (data.length + 2) / 3)
+        data.grouped(slice).foreach { s =>
+          in.addData(s.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.table(name)
+      .select(col("event_id"), col("user_id"), col("admitted"),
+        col("tokens_after"))
+      .orderBy("event_id")
+  }
+
+  val s29Sql: String = {
+    val P = 5L * 86400L * 1000000L
+    val full = 2 * P
+    s"""WITH RECURSIVE ev AS (SELECT user_id, event_id,
+       |    epoch_ns(ts) // 1000 AS us
+       |  FROM events WHERE event_id % 16 = 3),
+       |r AS (SELECT user_id, event_id, us,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS rn
+       |  FROM ev),
+       |tb AS (
+       |  SELECT user_id, event_id, us, rn, TRUE AS admitted,
+       |      CAST(${full - P} AS BIGINT) AS tokens_after
+       |    FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.user_id, r.event_id, r.us, r.rn,
+       |      least(CAST($full AS BIGINT),
+       |        tb.tokens_after + (r.us - tb.us)) >= $P AS admitted,
+       |      least(CAST($full AS BIGINT), tb.tokens_after + (r.us - tb.us))
+       |        - CASE WHEN least(CAST($full AS BIGINT),
+       |            tb.tokens_after + (r.us - tb.us)) >= $P
+       |          THEN CAST($P AS BIGINT) ELSE 0 END AS tokens_after
+       |    FROM tb JOIN r ON r.user_id = tb.user_id AND r.rn = tb.rn + 1)
+       |SELECT event_id, user_id, admitted, tokens_after
+       |FROM tb ORDER BY event_id""".stripMargin
+  }
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -7200,6 +7280,7 @@ object ExtensionQueries {
     "s26_tws_ttl" -> (s26TwsTtl _),
     "s27_tws_recent" -> (s27TwsRecent _),
     "s28_stream_scd2" -> (s28StreamScd2 _),
+    "s29_token_bucket" -> (s29TokenBucket _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -7352,6 +7433,7 @@ object ExtensionQueries {
     "s26_tws_ttl" -> s26Sql,
     "s27_tws_recent" -> s27Sql,
     "s28_stream_scd2" -> s28Sql,
+    "s29_token_bucket" -> s29Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,

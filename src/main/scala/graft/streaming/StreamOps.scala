@@ -357,6 +357,80 @@ object StreamOps {
     }
   }
 
+  /** Per-key TOKEN-BUCKET ADMISSION CONTROL through transformWithState —
+    * the streaming throttle/quota primitive (rate-limit a crawler per
+    * domain, cap per-user ingest, bound per-tenant quota): each key owns
+    * a bucket of `capacity` tokens that regenerates one token every
+    * `periodUs` microseconds of EVENT time; an event is ADMITTED iff a
+    * whole token is available, and consumes it. Event-time refill (not
+    * wall clock) makes the decision a pure function of the data, so the
+    * operator is replayable and the oracle can recompute every verdict.
+    *
+    * Exactness: token state is held in µtoken units where 1 token =
+    * `periodUs` units — refill is then `min(cap, tok + Δus)` and
+    * admission costs `periodUs`, ALL integer arithmetic, no division
+    * and no float drift. Rows are processed per key in (eventTimeUs,
+    * eventId) order within each batch; a non-increasing timestamp
+    * contributes zero refill (late rows never un-refill). With the
+    * producer feeding batches in event-time order (the s19 gate
+    * discipline) the per-key sequence is globally ordered and the
+    * verdict stream is deterministic.
+    *
+    * State per key: ONE (µtokens, lastUs) pair — O(keys) total, the
+    * bounded-state contract; emits one (key, eventId, admitted,
+    * µtokensAfter) row per input row, exactly once. */
+  class TwsTokenBucket(capacity: Long, periodUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), (Long, Long, Boolean, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    require(capacity >= 1 && periodUs >= 1,
+      s"token bucket needs capacity >= 1 and periodUs >= 1, " +
+        s"got ($capacity, $periodUs)")
+    @transient private var bucket: ValueState[(Long, Long)] = _
+    private def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bucket = getHandle.getValueState[(Long, Long)]("bucket",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Boolean, Long)] = {
+      val full = capacity * periodUs
+      val batch = rows.toArray.map(r => (micros(r._3), r._2)).sorted
+      var (tok, last) =
+        if (bucket.exists()) bucket.get() else (full, Long.MinValue)
+      val out = batch.map { case (us, eid) =>
+        if (last != Long.MinValue && us > last) {
+          tok = math.min(full, tok + (us - last))
+          last = us
+        } else if (last == Long.MinValue) last = us
+        val admitted = tok >= periodUs
+        if (admitted) tok -= periodUs
+        (key, eid, admitted, tok)
+      }
+      bucket.update((tok, last))
+      out.iterator
+    }
+  }
+
+  /** Token-bucket admission via [[TwsTokenBucket]]; input (key, eventId,
+    * eventTime), update-mode emissions, RocksDB provider required as for
+    * every transformWithState query. TimeMode.None — refill rides event
+    * time inside the rows, no timers — so `processAllAvailable` works
+    * normally. */
+  def tokenBucketTws(
+      rows: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)],
+      capacity: Long, periodUs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long, Boolean, Long)] = {
+    import rows.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    rows.groupByKey(_._1)
+      .transformWithState(new TwsTokenBucket(capacity, periodUs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Last-`n`-events-per-key feature via [[TwsRecentEvents]]; input
     * (key, cents, eventTime), update-mode emissions, RocksDB provider
     * required as for every transformWithState query. TimeMode.None —

@@ -166,6 +166,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState token bucket: drain, event-time refill with " +
+      "capacity clamp, no refill on non-increasing timestamps, state " +
+      "across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    // capacity 2 tokens, 1 token per 10 seconds (P = 10^7 us)
+    val P = 10L * 1000000L
+    val out = StreamOps.tokenBucketTws(in.toDS(), capacity = 2L,
+        periodUs = P)
+      .toDF("key", "event_id", "admitted", "tokens_after")
+    val name = "tb_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      // batch 1 (key 1): t=0,1,2 — bucket starts full (2 tokens), the
+      // 1-2s refills are partial, so the third event REJECTS; a batch-
+      // internal out-of-order pair must be processed in event-time order
+      in.addData((1L, 10L, ts(1)), (1L, 9L, ts(0)), (1L, 11L, ts(2)))
+      q.processAllAvailable()
+      // batch 2: t=2 again (no refill — non-increasing) rejects with the
+      // SAME residue; t=32 refills 3 tokens -> clamped at capacity 2,
+      // admits; key 2's bucket is independent and starts full
+      in.addData((1L, 12L, ts(2)), (1L, 13L, ts(32)), (2L, 20L, ts(5)))
+      q.processAllAvailable()
+      val rows = s2.table(name).collect()
+        .map(r => r.getLong(1) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+      assert(rows(9L) == ((true, P)))          // full -> 1 token left
+      assert(rows(10L) == ((true, 1000000L)))  // +1s refill, admit
+      assert(rows(11L) == ((false, 2000000L))) // +1s refill, < P: reject
+      assert(rows(12L) == ((false, 2000000L))) // same ts: zero refill
+      // t=32: +30s = 3 tokens, clamp at 2P, admit -> P left
+      assert(rows(13L) == ((true, P)))
+      assert(rows(20L) == ((true, P)))         // fresh key, full bucket
+    } finally q.stop()
+  }
+
   test("transformWithState MapState: per-category counters survive " +
       "batch boundaries independently") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
