@@ -813,6 +813,54 @@ object ExtensionQueries {
       |    / CAST(st.total AS DOUBLE) AS skew_x
       |FROM top, st ORDER BY rank""".stripMargin
 
+  /** COHORT RETENTION TRIANGLE — the classic product-analytics readout
+    * (and, for a training-data platform, the contributor/source
+    * survival view): users are cohorted by their FIRST active week,
+    * and cell (cohort_week, age_weeks) counts how many of that cohort
+    * were active `age` weeks later. Scale shape: the corpus reduces to
+    * distinct (user, week) activity cells in one agg, first-activity is
+    * a min per user (partial agg), the cells join the user-domain-sized
+    * cohort table on user_id (plain shuffle equi-join), and the result
+    * is calendar² sized. Every number is an exact integer — counts and
+    * basis-point retention via integer division — so no float boundary
+    * exists anywhere; week bucketing is ISO date_trunc('week') in both
+    * engines. Age-0 retention is 10000 bp by construction (every user
+    * is active in their own first week), a free self-check the hash
+    * covers. */
+  def p21Retention(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val cells = ev.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        expr("datediff(wk, cohort_wk) div 7").cast("int").as("age_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = first.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("n_cohort"))
+    cells.join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("age_weeks"), col("n_users"),
+        col("n_cohort"),
+        expr("n_users * 10000 div n_cohort").as("retention_bp"))
+      .orderBy("cohort_wk", "age_weeks")
+  }
+
+  val p21Sql: String =
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+      |cells AS (SELECT f.cohort_wk,
+      |    CAST((ev.wk - f.cohort_wk) // 7 AS INT) AS age_weeks,
+      |    count(*) AS n_users
+      |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2),
+      |sz AS (SELECT cohort_wk, count(*) AS n_cohort FROM f GROUP BY 1)
+      |SELECT cells.cohort_wk, age_weeks, n_users, n_cohort,
+      |  n_users * 10000 // n_cohort AS retention_bp
+      |FROM cells JOIN sz USING (cohort_wk)
+      |ORDER BY cohort_wk, age_weeks""".stripMargin
+
   /** HELD-OUT model scoring — the contamination-free form of t20: the
     * bigram LM is fitted on the TRAIN half of a portable hash split and
     * scores only the EVAL half, so no document contributes statistics
@@ -7301,7 +7349,8 @@ object ExtensionQueries {
     "p17_hist_drift" -> (p17HistDrift _),
     "p18_ewma_trend" -> (p18Ewma _),
     "p19_weighted_quantile" -> (p19WeightedQuantile _),
-    "p20_skew_profile" -> (p20SkewProfile _))
+    "p20_skew_profile" -> (p20SkewProfile _),
+    "p21_retention" -> (p21Retention _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -7454,5 +7503,6 @@ object ExtensionQueries {
     "p17_hist_drift" -> p17Sql,
     "p18_ewma_trend" -> p18Sql,
     "p19_weighted_quantile" -> p19Sql,
-    "p20_skew_profile" -> p20Sql)
+    "p20_skew_profile" -> p20Sql,
+    "p21_retention" -> p21Sql)
 }
