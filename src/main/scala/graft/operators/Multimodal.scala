@@ -269,6 +269,24 @@ object Multimodal {
     out.result()
   }
 
+  /** Sum of absolute byte differences between two equal-length frames —
+    * the INTER-FRAME MOTION proxy of a video curation pipeline: near-zero
+    * delta marks static/duplicate frames (drop before training), a spike
+    * marks a scene cut (the keyframe-selection signal). Exact integer,
+    * so an oracle can replay it from the frame-fill formula. */
+  def frameAbsDelta(a: Array[Byte], b: Array[Byte]): Long = {
+    require(a.length == b.length,
+      s"frameAbsDelta needs equal-length frames, got ${a.length} vs " +
+        s"${b.length}")
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      s += math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      i += 1
+    }
+    s
+  }
+
   /** Whole-frame byte checksum (unsigned sum) — the content witness the m3
     * gate hashes against an oracle that recomputes the frame fill straight
     * from the documents table. */

@@ -3916,6 +3916,65 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** INTER-FRAME MOTION gate ([[Multimodal.frameAbsDelta]]): every AVI
+    * doc's consecutive frame pairs reduce to the sum of absolute byte
+    * differences plus an integer basis-point motion score (delta
+    * normalized by the frame's max possible delta) — the static-frame /
+    * scene-cut signal a video curation pipeline thresholds on before
+    * sampling training frames. The pairing happens INSIDE the per-doc
+    * map (frames of one document live in one row — zero shuffle,
+    * embarrassingly parallel; m3's container walk supplies the frame
+    * slices). The oracle recomputes every byte of both frames from the
+    * blob-fill formula, so a hash match certifies the walk offsets AND
+    * the pairwise arithmetic. */
+  def m11FrameDelta(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 2), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        val slices = Multimodal.aviFrameSlices(r.media)
+        (0 until slices.length - 1).iterator.flatMap { f =>
+          val (o1, l1) = slices(f)
+          val (o2, l2) = slices(f + 1)
+          if (l1 != l2) Iterator.empty
+          else {
+            val a = java.util.Arrays.copyOfRange(r.media, o1, o1 + l1)
+            val b = java.util.Arrays.copyOfRange(r.media, o2, o2 + l2)
+            val d = Multimodal.frameAbsDelta(a, b)
+            Iterator((r.doc_id, f, l1, d, d * 10000L / (l1.toLong * 255L)))
+          }
+        }
+      }
+      .toDF("doc_id", "pair_idx", "n_bytes", "delta", "motion_bp")
+      .orderBy("doc_id", "pair_idx")
+  }
+
+  val m11Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |p AS (SELECT doc_id, hx, len,
+       |    ((3 * (len % 7 + 1) + 3) // 4) * 4 * (doc_id % 4 + 1) AS fb,
+       |    doc_id % 5 + 2 AS nf
+       |  FROM e),
+       |s AS (SELECT p.doc_id, CAST(fr.f AS INT) AS pair_idx,
+       |    CAST(p.fb AS INT) AS n_bytes,
+       |    CAST(SUM(abs(
+       |      ('0x' || substr(p.hx, 2 * ((fr.f + i.i) % p.len) + 1,
+       |        2))::BIGINT
+       |      - ('0x' || substr(p.hx, 2 * ((fr.f + 1 + i.i) % p.len) + 1,
+       |        2))::BIGINT)) AS BIGINT) AS delta
+       |  FROM p, range(0, 5) fr(f), range(0, 96) i(i)
+       |  -- fixed range bounds (nf <= 6 -> <= 5 pairs, fb <= 96) filtered
+       |  -- per doc: range() cannot take correlated lateral parameters
+       |  WHERE fr.f < p.nf - 1 AND i.i < p.fb
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, pair_idx, n_bytes, delta,
+       |  delta * 10000 // (n_bytes * 255) AS motion_bp
+       |FROM s ORDER BY doc_id, pair_idx""".stripMargin
+  }
+
   /** REAL audio-feature gate ([[graft.operators.Multimodal.wavEnergy]]):
     * every WAV doc's payload (doc_id%3=1) goes through the RIFF chunk
     * walk — the `data` chunk is located, not assumed at byte 44 — and its
@@ -7246,6 +7305,7 @@ object ExtensionQueries {
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m10_bmp_crop" -> (m10Crop _),
+    "m11_frame_delta" -> (m11FrameDelta _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -7395,6 +7455,7 @@ object ExtensionQueries {
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m10_bmp_crop" -> m10Sql,
+    "m11_frame_delta" -> m11Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1686,6 +1686,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.bmpChannelStats(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("m11 frameAbsDelta: hand bytes, unsigned-byte wraparound, " +
+      "zero on identical frames, length refusal") {
+    val a = Array[Byte](0, 10, -1)         // -1 reads as 255 unsigned
+    val b = Array[Byte](5, 10, 0)
+    // |0-5| + |10-10| + |255-0| = 260
+    assert(Multimodal.frameAbsDelta(a, b) == 260L)
+    assert(Multimodal.frameAbsDelta(b, a) == 260L) // symmetric
+    assert(Multimodal.frameAbsDelta(a, a) == 0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.frameAbsDelta(a, Array[Byte](1, 2))
+    }
+  }
+
   test("m10 cropBmp: exact storage-order window, edge clipping, " +
       "valid output headers, refusal cases") {
     // 3x2 source, fill cycles 0..11: rowSize=12 (3 pad bytes per row);
