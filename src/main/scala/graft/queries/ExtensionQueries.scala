@@ -813,6 +813,45 @@ object ExtensionQueries {
       |    / CAST(st.total AS DOUBLE) AS skew_x
       |FROM top, st ORDER BY rank""".stripMargin
 
+  /** ASSOCIATION MINING ([[graft.operators.Assoc.pairMeasures]]): the
+    * market-basket 2-itemset stage over document-token baskets —
+    * support / confidence / lift in EXACT integer basis points for
+    * every co-occurring pair of the top-20 tokens. Lift is the
+    * related-term / tag-correlation / topic-leakage signal popularity-
+    * normalized co-occurrence gives and raw counts don't. The candidate
+    * set is top-V by frequency (broadcast; per-basket fan-out ≤ V, so
+    * the pair join emits ≤ V² rows per document — the frequency-cap
+    * discipline), pairs come from one shuffle equi-join on doc_id, and
+    * the oracle replays baskets, the top-V election, and every bp
+    * measure. */
+  def t44AssocMining(sp: SparkSession, dir: String): DataFrame = {
+    val b = documents(sp, dir)
+      .select(col("doc_id").as("basket"),
+        explode(split(col("text"), " ")).as("item"))
+      .distinct()
+    graft.operators.Assoc.pairMeasures(b, topV = 20)
+      .orderBy("item_a", "item_b")
+  }
+
+  val t44Sql: String =
+    s"""WITH b AS (SELECT DISTINCT doc_id AS basket, t.t AS item
+       |  FROM documents, unnest($Toks) AS t(t)),
+       |ic AS (SELECT item, count(*) AS c FROM b GROUP BY 1),
+       |top AS (SELECT item, c FROM ic ORDER BY c DESC, item LIMIT 20),
+       |k AS (SELECT b.basket, b.item, top.c FROM b JOIN top USING (item)),
+       |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+       |pr AS (SELECT a.item AS item_a, bb.item AS item_b,
+       |    max(a.c) AS c_a, max(bb.c) AS c_b, count(*) AS c_ab
+       |  FROM k a JOIN k bb
+       |    ON a.basket = bb.basket AND a.item < bb.item
+       |  GROUP BY 1, 2)
+       |SELECT item_a, item_b, n.n_baskets, c_a, c_b, c_ab,
+       |  c_ab * 10000 // n.n_baskets AS support_bp,
+       |  c_ab * 10000 // c_a AS conf_ab_bp,
+       |  c_ab * 10000 // c_b AS conf_ba_bp,
+       |  c_ab * n.n_baskets * 10000 // (c_a * c_b) AS lift_bp
+       |FROM pr, n ORDER BY item_a, item_b""".stripMargin
+
   /** COHORT RETENTION TRIANGLE — the classic product-analytics readout
     * (and, for a training-data platform, the contributor/source
     * survival view): users are cohorted by their FIRST active week,
@@ -7332,6 +7371,7 @@ object ExtensionQueries {
     "t22_dup_spans" -> (t22DupSpans _),
     "t42_span_removal" -> (t42SpanRemoval _),
     "t43_heldout_score" -> (t43HeldoutScore _),
+    "t44_assoc_mining" -> (t44AssocMining _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -7482,6 +7522,7 @@ object ExtensionQueries {
     "t22_dup_spans" -> t22Sql,
     "t42_span_removal" -> t42Sql,
     "t43_heldout_score" -> t43Sql,
+    "t44_assoc_mining" -> t44Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,

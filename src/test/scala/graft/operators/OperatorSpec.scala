@@ -1686,6 +1686,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.bmpChannelStats(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("t44 assoc pairMeasures: hand-computed support/confidence/lift, " +
+      "top-V frequency cap, floor-division basis points") {
+    import spark.implicits._
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("basket", "item")
+    val got = Assoc.pairMeasures(baskets, topV = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set(("x", "y"), ("x", "z")))
+    val xy = got(("x", "y"))
+    // n=4, c_x=3, c_y=3, c_xy=2: support 5000, conf 6666 both ways,
+    // lift 2*4*10000 // 9 = 8888
+    assert(xy.getLong(2) == 4 && xy.getLong(3) == 3 &&
+      xy.getLong(4) == 3 && xy.getLong(5) == 2)
+    assert(xy.getLong(6) == 5000 && xy.getLong(7) == 6666 &&
+      xy.getLong(8) == 6666 && xy.getLong(9) == 8888)
+    val xz = got(("x", "z"))
+    // c_z=1, c_xz=1: conf z->x = 10000, lift 1*4*10000 // 3 = 13333
+    assert(xz.getLong(5) == 1 && xz.getLong(7) == 3333 &&
+      xz.getLong(8) == 10000 && xz.getLong(9) == 13333)
+    // topV=2 drops the rarest item entirely
+    val capped = Assoc.pairMeasures(baskets, topV = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("x", "y")))
+  }
+
   test("m11 frameAbsDelta: hand bytes, unsigned-byte wraparound, " +
       "zero on identical frames, length refusal") {
     val a = Array[Byte](0, 10, -1)         // -1 reads as 255 unsigned
