@@ -852,6 +852,57 @@ object ExtensionQueries {
        |  c_ab * n.n_baskets * 10000 // (c_a * c_b) AS lift_bp
        |FROM pr, n ORDER BY item_a, item_b""".stripMargin
 
+  /** PER-SOURCE QUALITY QUANTILE NORMALIZATION — the cross-source
+    * calibration step a mixing pipeline needs before one threshold can
+    * govern many sources: the same absolute quality score means
+    * different things under different scorers/source styles, so each
+    * document's score is replaced by its percentile WITHIN its source
+    * (exact cume_dist in integer basis points; ties share a
+    * percentile), and "keep the top 60% of every source" becomes one
+    * uniform `pct_bp > 4000` predicate. Differs from t10 (which FILTERS
+    * at a percent_rank floor) in both output — the normalized score
+    * rides per doc for downstream mixing — and scale shape: the rank
+    * window here runs on the (source, quality)-DOMAIN table (the
+    * p9/p19 value-domain reduction), never a corpus-sized window sort;
+    * the corpus is touched only by one partial agg and one equi-join
+    * back on (source, quality). */
+  def t45QuantileNorm(sp: SparkSession, dir: String): DataFrame = {
+    val scored = documents(sp, dir).select(col("doc_id"), col("source"),
+      Text.qualityScore(col("text")).as("quality"))
+    val dom = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("cnt"))
+    // domain table has one row per (source, quality): the default
+    // RANGE frame and a ROWS frame coincide — no tie ambiguity
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"))
+    val cum = dom.withColumn("n_le", sum(col("cnt")).over(w))
+    val sz = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    scored.join(cum.select(col("source"), col("quality"), col("n_le")),
+        Seq("source", "quality"))
+      .join(sz, Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"), col("n_le"),
+        col("n_src"),
+        expr("n_le * 10000 div n_src").as("pct_bp"),
+        (expr("n_le * 10000 div n_src") > 4000).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val t45Sql: String =
+    s"""WITH q AS (SELECT doc_id, source, $qualitySqlExpr AS quality
+       |  FROM documents),
+       |dom AS (SELECT source, quality, count(*) AS cnt
+       |  FROM q GROUP BY 1, 2),
+       |c AS (SELECT source, quality,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY quality)
+       |      AS BIGINT) AS n_le
+       |  FROM dom),
+       |sz AS (SELECT source, count(*) AS n_src FROM q GROUP BY 1)
+       |SELECT q.doc_id, q.source, q.quality, c.n_le, sz.n_src,
+       |  c.n_le * 10000 // sz.n_src AS pct_bp,
+       |  c.n_le * 10000 // sz.n_src > 4000 AS keep
+       |FROM q JOIN c USING (source, quality) JOIN sz USING (source)
+       |ORDER BY doc_id""".stripMargin
+
   /** COHORT RETENTION TRIANGLE — the classic product-analytics readout
     * (and, for a training-data platform, the contributor/source
     * survival view): users are cohorted by their FIRST active week,
@@ -7372,6 +7423,7 @@ object ExtensionQueries {
     "t42_span_removal" -> (t42SpanRemoval _),
     "t43_heldout_score" -> (t43HeldoutScore _),
     "t44_assoc_mining" -> (t44AssocMining _),
+    "t45_quantile_norm" -> (t45QuantileNorm _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -7523,6 +7575,7 @@ object ExtensionQueries {
     "t42_span_removal" -> t42Sql,
     "t43_heldout_score" -> t43Sql,
     "t44_assoc_mining" -> t44Sql,
+    "t45_quantile_norm" -> t45Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,
