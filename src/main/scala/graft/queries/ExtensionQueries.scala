@@ -5804,6 +5804,69 @@ object ExtensionQueries {
        |  (hh.n_hits::DOUBLE / tt.n_truth >= 0.6) AS recall_ok
        |FROM hs CROSS JOIN hh CROSS JOIN tt""".stripMargin
 
+  /** k-NN LABEL PROBE — the embedding-quality eval that gates an
+    * embedding version before anything expensive is built on it (the
+    * standard linear/kNN probing protocol): a held-out query slice
+    * (vec_id % 7 = 0) is classified by the MAJORITY LABEL of its k=5
+    * cosine neighbors in the remaining corpus (disjoint — a query can
+    * never vote with its own label), and per-class accuracy lands in
+    * exact integer basis points. Ties break to the smallest label via
+    * one max(struct) partial agg — never a per-query window over votes.
+    * The probe set is result-sized (broadcast side of a1's brute scan;
+    * the a7/a9 index paths are the drop-in for corpus-sized probes).
+    * The oracle replays neighbors, votes, tie-break, and the accuracy
+    * division. */
+  def a24KnnProbe(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val qs = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("true_label"))
+    val corpus = e.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val nn = Ann.bruteForceTopK(
+      qs.select(col("qid"), col("qvec")),
+      corpus.select(col("id"), col("vec")), 5)
+    val votes = nn
+      .join(corpus.select(col("id").as("neighbor"), col("label")),
+        Seq("neighbor"))
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes.groupBy(col("qid"))
+      .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("m"))
+      .select(col("qid"), (-col("m.neg")).as("pred_label"))
+    qs.select(col("qid"), col("true_label")).join(pred, Seq("qid"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("pred_label") === col("true_label"), 1))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        expr("n_correct * 10000 div n_queries").as("acc_bp"))
+      .orderBy("true_label")
+  }
+
+  val a24Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS tl
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |c AS (SELECT vec_id AS id, embedding AS vec, label
+       |  FROM embeddings WHERE vec_id % 7 <> 0),
+       |s AS (SELECT q.qid, c.id, c.label,
+       |    ${cosSql("q.qvec", "c.vec")} AS sim
+       |  FROM c CROSS JOIN q),
+       |r AS (SELECT qid, label FROM (SELECT qid, label,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, id) AS rank FROM s) WHERE rank <= 5),
+       |v AS (SELECT qid, label, count(*) AS votes FROM r GROUP BY 1, 2),
+       |p AS (SELECT qid, label AS pred FROM (SELECT qid, label,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY votes DESC, label) AS rn FROM v) WHERE rn = 1),
+       |j AS (SELECT q.tl, (p.pred = q.tl) AS ok FROM q
+       |  JOIN p ON p.qid = q.qid)
+       |SELECT tl AS true_label, count(*) AS n_queries,
+       |  count(*) FILTER (ok) AS n_correct,
+       |  count(*) FILTER (ok) * 10000 // count(*) AS acc_bp
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Containment near-dup join ([[graft.operators.Dedup.containmentPairs]]):
     * 3-gram shingle-hash postings, df cap 50, containment >= 0.5, both
     * directions — the asymmetric quote/excerpt detector. The oracle
@@ -7443,6 +7506,7 @@ object ExtensionQueries {
     "a21_graph_recall" -> (a21GraphRecall _),
     "a22_residual_ivfpq" -> (a22ResidualIvfPq _),
     "a23_bq_hamming" -> (a23BqHamming _),
+    "a24_knn_probe" -> (a24KnnProbe _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -7600,6 +7664,7 @@ object ExtensionQueries {
     "a21_graph_recall" -> a21Sql,
     "a22_residual_ivfpq" -> a22Sql,
     "a23_bq_hamming" -> a23Sql,
+    "a24_knn_probe" -> a24Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,
