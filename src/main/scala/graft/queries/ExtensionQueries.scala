@@ -4027,7 +4027,10 @@ object ExtensionQueries {
         (0 until slices.length - 1).iterator.flatMap { f =>
           val (o1, l1) = slices(f)
           val (o2, l2) = slices(f + 1)
-          if (l1 != l2) Iterator.empty
+          // unequal or empty frames: malformed blob — skip the pair
+          // rather than divide by zero in the bp normalization (a
+          // zero-length chunk is legal RIFF)
+          if (l1 != l2 || l1 == 0) Iterator.empty
           else {
             val a = java.util.Arrays.copyOfRange(r.media, o1, o1 + l1)
             val b = java.util.Arrays.copyOfRange(r.media, o2, o2 + l2)

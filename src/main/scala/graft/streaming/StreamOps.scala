@@ -387,6 +387,9 @@ object StreamOps {
     require(capacity >= 1 && periodUs >= 1,
       s"token bucket needs capacity >= 1 and periodUs >= 1, " +
         s"got ($capacity, $periodUs)")
+    require(capacity <= Long.MaxValue / periodUs,
+      s"capacity * periodUs must fit in a Long, " +
+        s"got ($capacity, $periodUs)")
     @transient private var bucket: ValueState[(Long, Long)] = _
     private def micros(ts: java.sql.Timestamp): Long =
       Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
