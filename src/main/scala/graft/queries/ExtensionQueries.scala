@@ -4963,6 +4963,83 @@ object ExtensionQueries {
       |GROUP BY user_id, n_seen
       |ORDER BY user_id""".stripMargin
 
+  /** MULTI-TOUCH REVENUE ATTRIBUTION — the warehouse staple s3's as-of
+    * join cannot express alone: each purchase credits the user's FIRST
+    * and LAST click inside a 7-day lookback (the U-shaped first/last
+    * rule; single-touch purchases credit that touch fully, untouched
+    * purchases surface with zero attribution rather than vanish — the
+    * unattributed-revenue audit row). Cents split by integer floor
+    * division, first/last election by min/max(struct) partial aggs with
+    * (ts, id) tie-break — never a per-purchase window. Scale shape: ONE
+    * shuffle equi-join on user_id with the time window as the join
+    * residual (per-user event volumes bound the fan-out; p20 is the
+    * skew screen for hot users), then one partial agg keyed by
+    * purchase. Oracle replays the window join, both elections, and the
+    * integer split. */
+  def q48Attribution(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+        col("ts").as("tts"))
+    val joined = purchases.join(touches,
+      col("t_user") === col("user_id") &&
+        col("tts") <= col("pts") &&
+        col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"), "left")
+    joined.groupBy(col("purchase_id"), col("cents"))
+      .agg(count(col("touch_id")).as("n_touches"),
+        min(when(col("touch_id").isNotNull,
+          struct(col("tts"), col("touch_id")))).as("ft"),
+        max(when(col("touch_id").isNotNull,
+          struct(col("tts"), col("touch_id")))).as("lt"))
+      .select(col("purchase_id"), col("cents"), col("n_touches"),
+        col("ft.touch_id").as("first_touch"),
+        col("lt.touch_id").as("last_touch"),
+        when(col("n_touches") === 0, lit(0L))
+          .when(col("ft.touch_id") === col("lt.touch_id"), col("cents"))
+          .otherwise(expr("cents div 2")).as("first_cents"),
+        when(col("n_touches") === 0, lit(0L))
+          .when(col("ft.touch_id") === col("lt.touch_id"), lit(0L))
+          .otherwise(expr("cents - cents div 2")).as("last_cents"))
+      .orderBy("purchase_id")
+  }
+
+  val q48Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, cents
+      |  FROM ev WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS touch_id, ts AS tts
+      |  FROM ev WHERE event_type = 'click'),
+      |j AS (SELECT p.purchase_id, p.cents, t.touch_id, t.tts
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+      |r AS (SELECT purchase_id, touch_id, tts,
+      |    row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY tts, touch_id) AS rf,
+      |    row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY tts DESC, touch_id DESC) AS rl
+      |  FROM j),
+      |a AS (SELECT purchase_id, count(*) AS n_touches,
+      |    max(CASE WHEN rf = 1 THEN touch_id END) AS first_touch,
+      |    max(CASE WHEN rl = 1 THEN touch_id END) AS last_touch
+      |  FROM r GROUP BY 1)
+      |SELECT p.purchase_id, p.cents,
+      |  coalesce(a.n_touches, 0) AS n_touches, a.first_touch,
+      |  a.last_touch,
+      |  CASE WHEN a.n_touches IS NULL THEN 0
+      |       WHEN a.first_touch = a.last_touch THEN p.cents
+      |       ELSE p.cents // 2 END AS first_cents,
+      |  CASE WHEN a.n_touches IS NULL THEN 0
+      |       WHEN a.first_touch = a.last_touch THEN 0
+      |       ELSE p.cents - p.cents // 2 END AS last_cents
+      |FROM p LEFT JOIN a USING (purchase_id)
+      |ORDER BY purchase_id""".stripMargin
+
   /** Streaming TOKEN-BUCKET admission control
     * ([[graft.streaming.StreamOps.TwsTokenBucket]]): every sampled event
     * is admitted or rejected against its user's bucket — capacity 2
@@ -7548,6 +7625,7 @@ object ExtensionQueries {
     "s27_tws_recent" -> (s27TwsRecent _),
     "s28_stream_scd2" -> (s28StreamScd2 _),
     "s29_token_bucket" -> (s29TokenBucket _),
+    "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
     "a19_mmr_rerank" -> (a19MmrRerank _),
@@ -7706,6 +7784,7 @@ object ExtensionQueries {
     "s27_tws_recent" -> s27Sql,
     "s28_stream_scd2" -> s28Sql,
     "s29_token_bucket" -> s29Sql,
+    "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,
     "a19_mmr_rerank" -> a19Sql,
