@@ -4963,6 +4963,47 @@ object ExtensionQueries {
       |GROUP BY user_id, n_seen
       |ORDER BY user_id""".stripMargin
 
+  /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
+    * "user flow" diagram: consecutive event pairs per user (ordered by
+    * event time, ties by id) reduce to (from_type, to_type) transition
+    * counts plus each row's share of its from-state in exact integer
+    * basis points. The per-user lead() window is partitioned by
+    * user_id — bounded by one user's history, the q38 navigation-window
+    * shape, never a global sort — and everything after it is
+    * state-domain sized (|types|² rows). The share division is floor
+    * integer, so no float boundary exists. */
+  def p22Transitions(sp: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(sp, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+    val counts = pairs.filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("n * 10000 div n_from").as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val p22Sql: String =
+    """WITH s AS (SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, f.n_from,
+      |  c.n * 10000 // f.n_from AS share_bp
+      |FROM c JOIN f USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** MULTI-TOUCH REVENUE ATTRIBUTION — the warehouse staple s3's as-of
     * join cannot express alone: each purchase credits the user's FIRST
     * and LAST click inside a 7-day lookback (the U-shaped first/last
@@ -7647,7 +7688,8 @@ object ExtensionQueries {
     "p18_ewma_trend" -> (p18Ewma _),
     "p19_weighted_quantile" -> (p19WeightedQuantile _),
     "p20_skew_profile" -> (p20SkewProfile _),
-    "p21_retention" -> (p21Retention _))
+    "p21_retention" -> (p21Retention _),
+    "p22_transitions" -> (p22Transitions _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -7806,5 +7848,6 @@ object ExtensionQueries {
     "p18_ewma_trend" -> p18Sql,
     "p19_weighted_quantile" -> p19Sql,
     "p20_skew_profile" -> p20Sql,
-    "p21_retention" -> p21Sql)
+    "p21_retention" -> p21Sql,
+    "p22_transitions" -> p22Sql)
 }
