@@ -4963,6 +4963,55 @@ object ExtensionQueries {
       |GROUP BY user_id, n_seen
       |ORDER BY user_id""".stripMargin
 
+  /** OUT-OF-VOCABULARY DRIFT — the vocab/tokenizer health monitor
+    * between corpus snapshots: a vocabulary is frozen on the BASE half
+    * of a deterministic doc split (tokens present in ≥ 10% of base
+    * documents — a RELATIVE floor, so the vocab contract is stable at
+    * any corpus size; the integer test df·10 ≥ n_base has no float
+    * boundary), and the NEW half reports, per language, how much of
+    * its token mass falls outside it (exact integer basis points). A rising
+    * oov_bp is the signal that a frozen tokenizer/embedding vocabulary
+    * no longer fits incoming data — the retrain trigger. Scale shape:
+    * the vocab is vocabulary-sized (one distinct agg + df filter), the
+    * new side joins it on the token key (plain shuffle equi-join, a
+    * LEFT join whose miss IS the OOV event), and the result is
+    * language-domain sized. */
+  def t46OovDrift(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val base = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val nBase = base.agg(countDistinct(col("doc_id")).as("n_base"))
+    val baseVocab = base
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nBase))
+      .filter(col("df") * 10 >= col("n_base"))
+      .select(col("tok"), lit(1).as("__known"))
+    val newToks = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    newToks.join(baseVocab, Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__known").isNull, 1)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 10000 div n_tokens").as("oov_bp"))
+      .orderBy("lang")
+  }
+
+  val t46Sql: String =
+    s"""WITH base AS (SELECT DISTINCT doc_id, t.t AS tok
+       |  FROM documents, unnest($Toks) AS t(t) WHERE doc_id % 2 = 0),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_base FROM base),
+       |v AS (SELECT tok FROM base GROUP BY tok
+       |  HAVING count(*) * 10 >= (SELECT n_base FROM n)),
+       |nw AS (SELECT lang, t.t AS tok
+       |  FROM documents, unnest($Toks) AS t(t) WHERE doc_id % 2 = 1)
+       |SELECT lang, count(*) AS n_tokens,
+       |  count(*) FILTER (tok NOT IN (SELECT tok FROM v)) AS n_oov,
+       |  count(*) FILTER (tok NOT IN (SELECT tok FROM v)) * 10000
+       |    // count(*) AS oov_bp
+       |FROM nw GROUP BY lang ORDER BY lang""".stripMargin
+
   /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
     * "user flow" diagram: consecutive event pairs per user (ordered by
     * event time, ties by id) reduce to (from_type, to_type) transition
@@ -7608,6 +7657,7 @@ object ExtensionQueries {
     "t43_heldout_score" -> (t43HeldoutScore _),
     "t44_assoc_mining" -> (t44AssocMining _),
     "t45_quantile_norm" -> (t45QuantileNorm _),
+    "t46_oov_drift" -> (t46OovDrift _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -7763,6 +7813,7 @@ object ExtensionQueries {
     "t43_heldout_score" -> t43Sql,
     "t44_assoc_mining" -> t44Sql,
     "t45_quantile_norm" -> t45Sql,
+    "t46_oov_drift" -> t46Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,
