@@ -5210,6 +5210,82 @@ object ExtensionQueries {
        |FROM tb ORDER BY event_id""".stripMargin
   }
 
+  /** transformWithState INITIAL-STATE bootstrap
+    * ([[graft.streaming.StreamOps.TwsWarmStartTotals]]) — the last
+    * untested leg of the TWS API after ValueState (s22), MapState (s23),
+    * timers (s24), TTL (s26) and ListState (s27): `handleInitialState`
+    * seeds per-key state from a BATCH snapshot before the first
+    * micro-batch, the batch→streaming migration handoff a production
+    * stateful job performs exactly once in its life and can never get
+    * silently wrong without corrupting every number it emits afterward.
+    *
+    * Determinism shape: the 1/16 `event_id % 16 = 4` sample (a fresh
+    * bus — 0/1/2/3 belong to s24/s26/s27/s29) splits at a fixed
+    * mid-corpus pivot: history (ts < Jan 16) reduces to a per-user
+    * (count, cents) batch aggregate that becomes the initial state, the
+    * live half (ts ≥ pivot) feeds a file-source stream in multiple
+    * micro-batches. The readout takes each key's final cumulative
+    * emission; it equals the key's FULL-sample recount iff the seed
+    * actually landed — a processor that ignored `handleInitialState`
+    * would report the live-half counts only and fail the hash at every
+    * key with history. Keys live in history only hold silent state and
+    * must NOT surface (the oracle's semi-join on live users pins that);
+    * keys born after the pivot start from zero through the same code
+    * path. TimeMode.None, so processAllAvailable terminates (no
+    * ProcessingTime pacing needed); RocksDB provider on a child session
+    * as transformWithState requires; state partitions pinned by
+    * runToMemory. */
+  def s30TwsWarmStart(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    val pivot = lit("2024-01-16 00:00:00").cast("timestamp")
+    val base = events(s2, dir).filter(col("event_id") % 16 === 4)
+      .select(col("user_id"), col("ts"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    val snap = base.filter(col("ts") < pivot)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n0"), sum(col("cents")).as("c0"))
+      .as[(Long, Long, Long)]
+    val live = base.filter(col("ts") >= pivot)
+      .select(col("user_id"), col("cents"))
+    require(snap.limit(1).count() > 0 && live.limit(1).count() > 0,
+      "s30: one side of the warm-start pivot is empty — fixture too " +
+        "small; the gate needs history to seed AND live rows to fold")
+    val inDir = graft.Tables.scratchDir("graft-s30-in")
+    live.repartition(4).write.mode("overwrite").parquet(inDir)
+    val pairs = s2.readStream
+      .schema("user_id LONG, cents LONG")
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+      .as[(Long, Long)]
+    val updates = graft.streaming.StreamOps
+      .runningTotalsWarmStart(pairs, snap)
+      .toDF("user_id", "n_cum", "cents_cum")
+    val name = "s30_warm_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // n_cum is strictly increasing per key, so max(struct) is the final
+    // cumulative emission even if cents were ever negative
+    graft.streaming.StreamOps.runToMemory(s2, updates, name, "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_cum"), col("cents_cum"))).as("m"))
+      .select(col("user_id"), col("m.n_cum").as("n_events"),
+        col("m.cents_cum").as("cents"))
+      .orderBy("user_id")
+  }
+
+  val s30Sql: String =
+    """WITH s AS (SELECT user_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 16 = 4),
+      |live AS (SELECT DISTINCT user_id FROM s
+      |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM s JOIN live USING (user_id)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -7716,6 +7792,7 @@ object ExtensionQueries {
     "s27_tws_recent" -> (s27TwsRecent _),
     "s28_stream_scd2" -> (s28StreamScd2 _),
     "s29_token_bucket" -> (s29TokenBucket _),
+    "s30_tws_warm_start" -> (s30TwsWarmStart _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
@@ -7877,6 +7954,7 @@ object ExtensionQueries {
     "s27_tws_recent" -> s27Sql,
     "s28_stream_scd2" -> s28Sql,
     "s29_token_bucket" -> s29Sql,
+    "s30_tws_warm_start" -> s30Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,

@@ -248,6 +248,65 @@ object StreamOps {
     }
   }
 
+  /** Batch-snapshot WARM-START for transformWithState — the one API leg
+    * the rest of the TWS ladder (ValueState s22, MapState s23, ListState
+    * s27, timers s24, TTL s26) doesn't touch: a
+    * `StatefulProcessorWithInitialState` whose `handleInitialState`
+    * seeds each key's state from a BATCH dataset before the first
+    * micro-batch processes a row. This is the migration path every
+    * production stateful job needs when it goes live on top of history —
+    * a nightly batch aggregate becomes the day-one state and the stream
+    * folds on top — and the only way to re-shape keyed state that a
+    * checkpoint cannot carry forward (checkpoint state formats are tied
+    * to the old processor). Contract: each initial-state key gets
+    * exactly one `handleInitialState` call at query start; snapshot-only
+    * keys hold silent state (no phantom emissions until a stream row
+    * arrives); stream-only keys start from (0, 0) exactly as in
+    * [[TwsRunningTotals]].
+    *
+    * Scale: the snapshot is a first-batch co-partitioned shuffle into
+    * the state store's hash partitioning — O(|keys|) state, the same
+    * cost the stream path pays, nothing broadcast or collected. At
+    * 100 TB the snapshot is itself the output of a distributed batch
+    * aggregate; this operator is the handoff between the two worlds. */
+  class TwsWarmStartTotals
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: (Long, Long),
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit =
+      totals.update(initial)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      totals.update((n, cents))
+      Iterator((key, n, cents))
+    }
+  }
+
+  /** [[TwsRunningTotals]] semantics seeded from a batch snapshot of
+    * (key, n0, cents0) rows via [[TwsWarmStartTotals]] — emissions are
+    * cumulative over snapshot + stream. Requires the RocksDB provider
+    * like every transformWithState entry point. */
+  def runningTotalsWarmStart(
+      pairs: org.apache.spark.sql.Dataset[(Long, Long)],
+      snapshot: org.apache.spark.sql.Dataset[(Long, Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new TwsWarmStartTotals,
+        TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_._1).mapValues(r => (r._2, r._3)))
+  }
+
   /** Per-key cumulative (count, cents) totals via [[TwsRunningTotals]].
     * Same contract as [[runningTotals]]; requires the session to run the
     * RocksDB state store provider (transformWithState rejects the

@@ -166,6 +166,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState initial state: batch snapshot seeds per-key " +
+      "totals; snapshot-only keys stay silent; unseeded keys start at " +
+      "zero") {
+    // the warm-start handoff (s30's gate path): handleInitialState runs
+    // once per snapshot key BEFORE any stream row, so the first stream
+    // emission already includes history; a key with history but no
+    // stream rows must never emit; a key absent from the snapshot folds
+    // from (0, 0) through the same code path.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    // key 1: history (2 events, 50 cents) + stream; key 2: history only;
+    // key 3: stream only
+    val snap = s2.createDataset(Seq((1L, 2L, 50L), (2L, 9L, 900L)))
+    val in = MemoryStream[(Long, Long)]
+    val updates = StreamOps.runningTotalsWarmStart(in.toDS(), snap)
+      .toDF("key", "n_cum", "cents_cum")
+    val name = "tws_warm_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = updates.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try {
+      in.addData((1L, 10L), (3L, 7L))
+      q.processAllAvailable()
+      in.addData((1L, 1L))
+      q.processAllAvailable()
+      val rows = s2.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // first batch: key 1 folds ON TOP of the seeded (2, 50)
+      assert(rows.contains((1L, 3L, 60L)),
+        s"seed did not land before the first batch: $rows")
+      // second batch proves seeded state persists like streamed state
+      assert(rows.contains((1L, 4L, 61L)))
+      // unseeded key starts from zero
+      assert(rows.contains((3L, 1L, 7L)))
+      // snapshot-only key holds state silently - no phantom emission
+      assert(!rows.exists(_._1 == 2L),
+        s"snapshot-only key emitted without input rows: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState token bucket: drain, event-time refill with " +
       "capacity clamp, no refill on non-increasing timestamps, state " +
       "across batches") {
