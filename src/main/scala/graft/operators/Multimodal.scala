@@ -636,6 +636,61 @@ object Multimodal {
     }
   }
 
+  case class ZcrRow(doc_id: Long, window_idx: Int, n_samples: Int,
+      dc_mean: Long, n_crossings: Int)
+
+  /** Per-window ZERO-CROSSING RATE (after DC removal) over the same
+    * RIFF-walked 16-bit PCM decode as [[wavEnergy]] (shared
+    * [[wavDataSlice]] walk) — the voicing/noisiness signal audio
+    * pipelines pair with energy: high energy + low ZCR reads as voiced
+    * speech/tone, high ZCR as fricatives or broadband noise, and the
+    * two together drive the speech/music/silence triage that decides
+    * which clips are worth a transcription pass. Raw sign-bit ZCR is
+    * DEGENERATE on a DC-offset signal (a waveform that never crosses
+    * zero reports 0 everywhere regardless of content — true of any
+    * unsigned-ish payload), so the standard practice is built in: each
+    * window's integer mean is its DC estimate and a crossing is a flip
+    * of (sample < mean) between ADJACENT samples. Integer-exact end to
+    * end (floorDiv mean, no float anywhere); pairs straddling a window
+    * boundary belong to neither window, so every window's count is a
+    * pure function of its own samples and the result is
+    * partition-order free. Windows mirror [[wavEnergy]] exactly (same
+    * index, same short last window), so the two features join per
+    * (doc, window) without re-decoding. */
+  def wavZcr(spark: SparkSession, media: DataFrame,
+      window: Int): Dataset[ZcrRow] = {
+    require(window > 0, "window must be positive")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { b =>
+        val m = b.media
+        wavDataSlice(m) match {
+          case None => Iterator.empty
+          case Some((dataFrom, dataLen)) =>
+            val nSamples = dataLen / 2
+            val nWindows = (nSamples + window - 1) / window
+            (0 until nWindows).iterator.map { w =>
+              val from = w * window
+              val until = math.min(from + window, nSamples)
+              def s16(k: Int): Long = ((m(dataFrom + 2 * k) & 0xff) |
+                (m(dataFrom + 2 * k + 1) << 8)).toShort.toLong
+              var sum = 0L
+              var k = from
+              while (k < until) { sum += s16(k); k += 1 }
+              val mu = Math.floorDiv(sum, (until - from).toLong)
+              var crossings = 0
+              k = from + 1
+              while (k < until) {
+                if ((s16(k - 1) < mu) != (s16(k) < mu)) crossings += 1
+                k += 1
+              }
+              ZcrRow(b.doc_id, w, until - from, mu, crossings)
+            }
+        }
+      }
+    }
+  }
+
   def sampleFrames(spark: SparkSession, media: DataFrame,
       stride: Int): Dataset[FrameRow] = {
     import spark.implicits._

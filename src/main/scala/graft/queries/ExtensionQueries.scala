@@ -4068,6 +4068,65 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id, pair_idx""".stripMargin
   }
 
+  /** WAV zero-crossing rate after DC removal
+    * ([[graft.operators.Multimodal.wavZcr]]) — m4's companion feature:
+    * per-window count of flips of (sample < window-mean) between
+    * adjacent PCM samples, the voicing/noisiness axis of the classic
+    * (energy, ZCR) speech/music/silence triage. The DC estimate is
+    * built in because raw sign-bit ZCR is degenerate on any DC-offset
+    * payload (this fixture's ASCII-derived samples never go negative —
+    * a constant-zero gate would certify nothing). Same RIFF walk, same
+    * window grid as m4 so the two features join per (doc, window);
+    * boundary-straddling pairs belong to neither window, making each
+    * count a pure function of its own window. Integer-exact end to end
+    * (floorDiv mean rides the output); the oracle recomputes every
+    * sample from the blob-fill formula and counts flips with one lag()
+    * window, so a hash match certifies sample decoding, the DC mean,
+    * AND the pair bookkeeping at window edges. */
+  def m12WavZcr(sp: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 1), frameSize = 100)
+    Multimodal.wavZcr(sp, media, window = 100)
+      .toDF()
+      .orderBy("doc_id", "window_idx")
+  }
+
+  val m12Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx,
+       |    (len - len % ((len % 2 + 1) * 2)) // 2 AS n FROM e),
+       |s AS (SELECT p.doc_id, CAST(k.k AS BIGINT) AS k,
+       |    ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |      + 256 * ('0x' || substr(p.hx,
+       |          4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |  -- fixed range bound (text <= 1024 bytes -> < 512 samples)
+       |  -- filtered per doc: range() cannot take lateral parameters
+       |  FROM p, range(0, 512) k(k) WHERE k.k < p.n),
+       |v AS (SELECT doc_id, k, k // 100 AS w,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+       |  FROM s),
+       |-- floor (not //, which truncates toward zero) mirrors floorDiv;
+       |-- |sum| <= 512*32768 keeps the double quotient's floor exact
+       |mu AS (SELECT doc_id, w,
+       |    CAST(floor(SUM(s16)::DOUBLE / count(*)::DOUBLE) AS BIGINT)
+       |      AS dc_mean
+       |  FROM v GROUP BY doc_id, w),
+       |pr AS (SELECT doc_id, k, w, s16,
+       |    lag(s16) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+       |  FROM v)
+       |SELECT pr.doc_id, CAST(pr.w AS INT) AS window_idx,
+       |  CAST(count(*) AS INT) AS n_samples,
+       |  CAST(any_value(mu.dc_mean) AS BIGINT) AS dc_mean,
+       |  CAST(SUM(CASE WHEN pr.k % 100 <> 0
+       |    AND ((pr.prev < mu.dc_mean) <> (pr.s16 < mu.dc_mean))
+       |    THEN 1 ELSE 0 END) AS INT) AS n_crossings
+       |FROM pr JOIN mu ON mu.doc_id = pr.doc_id AND mu.w = pr.w
+       |GROUP BY pr.doc_id, pr.w
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** REAL audio-feature gate ([[graft.operators.Multimodal.wavEnergy]]):
     * every WAV doc's payload (doc_id%3=1) goes through the RIFF chunk
     * walk — the `data` chunk is located, not assumed at byte 44 — and its
@@ -7705,6 +7764,7 @@ object ExtensionQueries {
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m10_bmp_crop" -> (m10Crop _),
     "m11_frame_delta" -> (m11FrameDelta _),
+    "m12_wav_zcr" -> (m12WavZcr _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -7862,6 +7922,7 @@ object ExtensionQueries {
     "m2_multimodal_resize" -> m2Sql,
     "m10_bmp_crop" -> m10Sql,
     "m11_frame_delta" -> m11Sql,
+    "m12_wav_zcr" -> m12Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1062,6 +1062,33 @@ class StreamingSpec extends AnyFunSuite {
       want.map { case (_, w, n, e) => (4L, w, n, e) })
   }
 
+  test("wavZcr: crossings count flips around the per-window floorDiv " +
+      "mean; boundary pairs belong to neither window") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    // 9 samples, window 4: [10,-10,10,-10 | 5,5,-100,3 | 7]
+    // w0: mean 0, flips at all 3 adjacent pairs
+    // w1: sum -87 -> floorDiv mean -22 (truncation would give -21),
+    //     (5,5) no, (5,-100) flip, (-100,3) flip -> 2
+    // w2: single sample, no pairs; the (-10,5) and (3,7) straddling
+    //     pairs must count nowhere
+    val samples = Seq[Short](10, -10, 10, -10, 5, 5, -100, 3, 7)
+    val data = samples.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    val wav = Multimodal.buildWav(8000, 1, data)
+    val media = Seq(Multimodal.MediaRow(1L, wav, "audio/wav", 100))
+      .toDS().toDF()
+    val rows = Multimodal.wavZcr(spark, media, window = 4)
+      .collect().sortBy(_.window_idx)
+      .map(r => (r.window_idx, r.n_samples, r.dc_mean, r.n_crossings))
+    assert(rows.toSeq == Seq((0, 4, 0L, 3), (1, 4, -22L, 2),
+      (2, 1, 7L, 0)))
+    // same window grid as wavEnergy: features join per (doc, window)
+    val e = Multimodal.wavEnergy(spark, media, window = 4)
+      .collect().map(r => (r.window_idx, r.n_samples)).sorted.toSeq
+    assert(e == rows.map(r => (r._1, r._2)).toSeq)
+  }
+
   test("RocksDB state store: watermarked agg runs off-heap and matches " +
       "the batch result") {
     // At 100 TB of keyed state the default HDFS-backed in-memory store
