@@ -5112,6 +5112,84 @@ object ExtensionQueries {
       |FROM c JOIN f USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** LAG-k AUTOCORRELATION of the daily revenue series — the
+    * weekly-seasonality / persistence detector beside p5's z-flags,
+    * p14's CUSUM and p18's EWMA: r_k at lags 1 and 7 says whether
+    * today's revenue predicts tomorrow's (momentum) or last week's
+    * same-day (weekly cycle) — the signal that decides seasonal
+    * adjustment before any drift monitor interprets a Monday dip as
+    * regression. Cross-engine EXACT up to the single final division:
+    * centering is multiplied through by n (y_d = n·x_d − S is a pure
+    * integer — the mean itself never materializes as a float), products
+    * accumulate in DECIMAL, and r_k = double(Σ y_d·y_{d+k}) /
+    * double(Σ y_d²) is one IEEE division on exactly-equal operands.
+    * Overflow posture, p18-style: |y| ≤ 2n·max|daily cents|, so
+    * DECIMAL(18,0) holds while daily |cents| < ~1.5·10¹⁴ ($1.5T/day);
+    * the gate raises loudly past that instead of letting either
+    * engine's precision clamp diverge silently. Scale shape: the corpus
+    * reduces to the calendar-sized daily table in ONE partial agg;
+    * everything after (stats crossJoin, per-lag self-equi-join on
+    * date_add, centered products) touches ≤ 31 rows. The contiguity
+    * tripwire matters because autocorr over a silently gapped series
+    * shifts every lag; a hole in the calendar must fail the gate, not
+    * re-index it. */
+  def p23Autocorr(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events(sp, dir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum((dec(col("value")) * 100).cast("long")).as("x"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      min(col("d")).as("d0"), max(col("d")).as("d1"),
+      max(abs(col("x"))).as("xmax"))
+    val str = st.collect()(0) // 1 row: calendar stats, config-sized
+    val (nDays, span) = (str.getLong(0),
+      str.getDate(3).toLocalDate.toEpochDay -
+        str.getDate(2).toLocalDate.toEpochDay + 1)
+    require(nDays == span,
+      s"p23: daily series has gaps ($nDays observed days over a " +
+        s"$span-day span) — autocorr lags would silently shift")
+    require(str.getLong(4) < 150000000000000L,
+      "p23: daily cents magnitude >= 1.5e14 — n*x - S would overflow " +
+        "DECIMAL(18,0); widen the centering type before trusting r")
+    val y = daily.crossJoin(broadcast(st))
+      .select(col("d"),
+        (col("n").cast(DecimalType(18, 0)) * col("x").cast(DecimalType(18, 0))
+          - col("s").cast(DecimalType(18, 0)))
+          .cast(DecimalType(18, 0)).as("y"))
+    val den = y.agg(sum((col("y") * col("y")).cast(DecimalType(38, 0)))
+      .as("den"))
+    Seq(1, 7).map { k =>
+      y.as("a")
+        .join(y.as("b"), col("b.d") === date_add(col("a.d"), k))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("a.y") * col("b.y")).cast(DecimalType(38, 0)))
+            .as("num"))
+        .crossJoin(broadcast(den))
+        .select(lit(k).as("lag"), col("n_pairs"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("r"))
+    }.reduce(_ union _).orderBy("lag")
+  }
+
+  val p23Sql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS x
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT count(*) AS n, SUM(x) AS s FROM daily),
+      |y AS (SELECT d, CAST(st.n * daily.x - st.s AS DECIMAL(18,0)) AS y
+      |  FROM daily, st),
+      |den AS (SELECT SUM(CAST(y * y AS DECIMAL(38,0))) AS den FROM y),
+      |lags(lag) AS (VALUES (1), (7)),
+      |num AS (SELECT l.lag, count(*) AS n_pairs,
+      |    SUM(CAST(a.y * b.y AS DECIMAL(38,0))) AS num
+      |  FROM lags l
+      |  JOIN y a ON TRUE
+      |  JOIN y b ON b.d = a.d + l.lag
+      |  GROUP BY l.lag)
+      |SELECT num.lag, num.n_pairs,
+      |  CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS r
+      |FROM num, den ORDER BY lag""".stripMargin
+
   /** MULTI-TOUCH REVENUE ATTRIBUTION — the warehouse staple s3's as-of
     * join cannot express alone: each purchase credits the user's FIRST
     * and LAST click inside a 7-day lookback (the U-shaped first/last
@@ -7876,7 +7954,8 @@ object ExtensionQueries {
     "p19_weighted_quantile" -> (p19WeightedQuantile _),
     "p20_skew_profile" -> (p20SkewProfile _),
     "p21_retention" -> (p21Retention _),
-    "p22_transitions" -> (p22Transitions _))
+    "p22_transitions" -> (p22Transitions _),
+    "p23_autocorr" -> (p23Autocorr _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -8039,5 +8118,6 @@ object ExtensionQueries {
     "p19_weighted_quantile" -> p19Sql,
     "p20_skew_profile" -> p20Sql,
     "p21_retention" -> p21Sql,
-    "p22_transitions" -> p22Sql)
+    "p22_transitions" -> p22Sql,
+    "p23_autocorr" -> p23Sql)
 }

@@ -2306,6 +2306,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("p23 autocorr: the gate's exact-integer centering reproduces the " +
+      "textbook r_k from an independent BigInt reference, |r| <= 1, " +
+      "n_pairs = n - k") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("x"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1))).sortBy(_._1)
+    val n = daily.length
+    val s = daily.map(_._2).map(BigInt(_)).sum
+    val y = daily.map { case (d, x) => d -> (BigInt(n) * x - s) }.toMap
+    val den = y.values.map(v => v * v).sum
+    def ref(k: Int): (Long, Double) = {
+      val pairs = daily.flatMap { case (d, _) =>
+        y.get(d + k).map(yk => y(d) * yk) }
+      (pairs.length.toLong,
+        pairs.sum.doubleValue / den.doubleValue)
+    }
+    val got = graft.queries.ExtensionQueries
+      .p23Autocorr(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._1) == Seq(1, 7))
+    got.foreach { case (k, nPairs, r) =>
+      val (wantN, wantR) = ref(k)
+      assert(nPairs == wantN && nPairs == n - k)
+      // both sides divide the SAME exact integers cast to double, so
+      // equality is exact, not approximate
+      assert(r == wantR, s"lag $k: $r != $wantR")
+      assert(math.abs(r) <= 1.0) // Cauchy-Schwarz
+    }
+  }
+
   test("s25 streaming curation: the quality floor genuinely attrits " +
       "in-flight, arm windows never leak into the readout, and window " +
       "totals account exactly for the passing sample docs") {
