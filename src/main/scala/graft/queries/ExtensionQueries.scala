@@ -5423,6 +5423,67 @@ object ExtensionQueries {
       |FROM s JOIN live USING (user_id)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming CDC apply — the foreachBatch + MERGE lakehouse writer
+    * ([[graft.streaming.StreamOps.cdcMergeSink]]): each micro-batch of
+    * the change bus folds into a persistent key table through q47's
+    * threeWayMerge with a NEWER-WINS version guard and delete
+    * TOMBSTONES retained — the two subtleties that make a streaming
+    * upsert sink idempotent under replay and immune to out-of-order
+    * resurrection (q17's one-shot compaction drops tombstones, which in
+    * a loop would let a late older upsert revive a deleted key).
+    * `error` events are the delete markers; the readout filters them.
+    *
+    * Determinism shape: the 1/16 `event_id % 16 = 5` bus (6 belongs to
+    * no one yet; 0-4 are s24/s26/s27/s29/s30) streams from scratch
+    * parquet in multiple paced micro-batches; because of the
+    * newer-wins guard the final table is the GLOBAL latest version per
+    * key regardless of how the file source slices batches, so the
+    * DuckDB oracle is one row_number replay with the tombstone filter.
+    * A sink that applied batches unguarded would depend on file order
+    * and (on this fixture) surface deleted keys or stale versions —
+    * either fails the hash. */
+  def s31CdcApply(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession() // isolate shuffle-partition pin; stateless
+    // stream, so no state-store provider needed
+    val bus = events(s2, dir).filter(col("event_id") % 16 === 5)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), (dec(col("value")) * 100).cast("long")
+          .as("cents"))
+    require(bus.limit(1).count() > 0,
+      "s31: the 1/16 event_id sample is empty — fixture too small for " +
+        "a change bus")
+    val inDir = graft.Tables.scratchDir("graft-s31-in")
+    bus.repartition(6).write.mode("overwrite").parquet(inDir)
+    val stateRoot = graft.Tables.scratchDir("graft-s31-state")
+    val changes = s2.readStream.schema(bus.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    val last =
+      try graft.streaming.StreamOps.cdcMergeSink(changes, "user_id",
+        stateRoot)
+      finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.read.parquet(last.getOrElse(
+        sys.error("s31: no micro-batch ever committed a state snapshot")))
+      .filter(col("event_type") =!= "error") // tombstone filter
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("cents"))
+      .orderBy("user_id")
+  }
+
+  val s31Sql: String =
+    """WITH s AS (SELECT user_id, ts, event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 16 = 5),
+      |r AS (SELECT user_id, event_id, event_type, cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM s)
+      |SELECT user_id, event_id AS last_event, cents
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -7931,6 +7992,7 @@ object ExtensionQueries {
     "s28_stream_scd2" -> (s28StreamScd2 _),
     "s29_token_bucket" -> (s29TokenBucket _),
     "s30_tws_warm_start" -> (s30TwsWarmStart _),
+    "s31_cdc_apply" -> (s31CdcApply _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
@@ -8095,6 +8157,7 @@ object ExtensionQueries {
     "s28_stream_scd2" -> s28Sql,
     "s29_token_bucket" -> s29Sql,
     "s30_tws_warm_start" -> s30Sql,
+    "s31_cdc_apply" -> s31Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,

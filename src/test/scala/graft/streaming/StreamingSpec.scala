@@ -1062,6 +1062,64 @@ class StreamingSpec extends AnyFunSuite {
       want.map { case (_, w, n, e) => (4L, w, n, e) })
   }
 
+  test("cdcMergeSink: newer-wins guard makes replay idempotent; a " +
+      "retained tombstone blocks out-of-order resurrection; a genuinely " +
+      "newer upsert revives the key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // (user_id, ts, event_id, event_type, cents)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Long)]
+    val stateRoot = graft.Tables.scratchDir("graft-s31spec")
+    var cur: Option[String] = None
+    val changes = in.toDS()
+      .toDF("user_id", "ts", "event_id", "event_type", "cents")
+    // drive batch-by-batch through the same foreachBatch body the sink
+    // uses, so each addData is exactly one micro-batch
+    val q = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        cur = graft.streaming.StreamOps
+          .applyCdcBatch(batch, "user_id", stateRoot, id, cur)
+      }.start()
+    def state(): Map[Long, (Long, String, Long)] =
+      spark.read.parquet(cur.get).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3),
+          r.getLong(4))).toMap
+    try {
+      // batch 0: two keys born; key 1 has two in-batch versions (the
+      // max-struct keeper must elect event 11)
+      in.addData((1L, ts(10), 10L, "purchase", 100L),
+        (1L, ts(20), 11L, "purchase", 150L),
+        (2L, ts(10), 12L, "purchase", 200L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (11L, "purchase", 150L),
+        2L -> (12L, "purchase", 200L)))
+      // batch 1: key 1 deleted (tombstone), key 2 stale update ignored
+      in.addData((1L, ts(30), 20L, "error", 0L),
+        (2L, ts(5), 21L, "purchase", 999L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (20L, "error", 0L),
+        2L -> (12L, "purchase", 200L)))
+      // batch 2: out-of-order OLDER upsert for deleted key 1 — the
+      // tombstone must block resurrection (this is the case a
+      // drop-deletes compactor gets wrong in a loop)
+      in.addData((1L, ts(25), 30L, "purchase", 300L))
+      q.processAllAvailable()
+      assert(state()(1L) == ((20L, "error", 0L)))
+      // batch 3: exact replay of batch 1 — idempotent, no change
+      in.addData((1L, ts(30), 20L, "error", 0L),
+        (2L, ts(5), 21L, "purchase", 999L))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (20L, "error", 0L),
+        2L -> (12L, "purchase", 200L)))
+      // batch 4: genuinely newer upsert revives key 1
+      in.addData((1L, ts(40), 40L, "purchase", 500L))
+      q.processAllAvailable()
+      assert(state()(1L) == ((40L, "purchase", 500L)))
+    } finally q.stop()
+  }
+
   test("wavZcr: crossings count flips around the per-window floorDiv " +
       "mean; boundary pairs belong to neither window") {
     import graft.operators.Multimodal
