@@ -677,7 +677,58 @@ object XmlQueries {
       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_e
       |FROM lineitem WHERE l_orderkey % 16 = 2 ORDER BY id""".stripMargin
 
+  /** The UNION operator of the bonus XPath surface — `p1 | p2` through
+    * the same single-parse `xpath_multi`: XPath 1.0 unions are NODE-SET
+    * unions in DOCUMENT ORDER with duplicates removed, which is exactly
+    * what this gate pins — two disjoint branches interleave by document
+    * position (not branch order: `/r/t | /r/h` still leads with `h`),
+    * overlapping branches (`//h | /r/h`) surface shared nodes ONCE, and
+    * a branch mixing depths (`//h | /r/m`) emits the container's
+    * string-value at its own document position between the h's. Union
+    * branches are element-terminal in this subset (text()/@ unions need
+    * inter-sibling doc-order the element tree doesn't track — rejected
+    * driver-side, spec-pinned). Built-in `xpath()` parity is pinned in
+    * XPathMultiSpec; the oracle recomputes every value and count from
+    * base columns. 1/16 sample, disjoint from x13/x14/x15's. */
+  def x16XpathUnion(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 3)
+    val xml = concat(
+      lit("<r><h>"), col("l_returnflag"),
+      lit("</h><m><h>"), d2s(col("l_quantity")),
+      lit("</h></m><t>"), col("l_linestatus"),
+      lit("</t><id>"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("</id></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"),
+        Seq("/r/id",
+          "/r/h | /r/t",
+          "//h | /r/m",
+          "//h | /r/h",
+          "/r/t | /r/h")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p1"), lit(0)).as("flag"),
+        get(col("m.p1"), lit(1)).as("status"),
+        size(col("m.p1")).as("n_ht"),
+        size(col("m.p2")).as("n_hm"),
+        get(col("m.p2"), lit(1)).cast("double").as("qty_m"),
+        size(col("m.p3")).as("n_dedup"),
+        get(col("m.p4"), lit(0)).as("first_rev"))
+      .orderBy("id")
+  }
+
+  val x16Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  l_returnflag AS flag, l_linestatus AS status,
+      |  CAST(2 AS INT) AS n_ht,
+      |  CAST(3 AS INT) AS n_hm,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_m,
+      |  CAST(2 AS INT) AS n_dedup,
+      |  l_returnflag AS first_rev
+      |FROM lineitem WHERE l_orderkey % 16 = 3 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_xpath_union" -> (x16XpathUnion _),
     "x15_xpath_descendant" -> (x15XpathDescendant _),
     "x13_xpath_family" -> (x13XpathFamily _),
     "x14_xpath_attrs" -> (x14XpathAttrs _),
@@ -695,6 +746,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x16_xpath_union" -> x16Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

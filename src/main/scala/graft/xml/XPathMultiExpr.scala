@@ -88,6 +88,28 @@ object XPathMini {
   private val StepRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\])?$""".r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
+  /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
+    * 1.0's `|` operator — the node-set union in DOCUMENT ORDER with
+    * duplicates removed (a node reached by several branches surfaces
+    * once). Subset rule: union branches must be ELEMENT-terminal
+    * (no trailing `text()` / `@attr`), because a cross-branch union of
+    * text or attribute NODES needs an inter-sibling document-order
+    * relation the element tree doesn't track; single paths keep the
+    * full selector surface. The top-level split on `|` is safe in this
+    * subset — predicates hold only digits. */
+  def compileAll(spec: String): Array[Path] = {
+    val parts = spec.split("\\|", -1).map(_.trim)
+    if (parts.length == 1) Array(compile(spec.trim))
+    else {
+      require(parts.forall(_.nonEmpty), s"empty union branch in: $spec")
+      val ps = parts.map(compile)
+      ps.foreach(p => require(p.attr == null && !p.textOnly,
+        "union branches must be element-terminal (trailing text()/@attr " +
+          s"is single-path only): $spec"))
+      ps
+    }
+  }
+
   def compile(path: String): Path = {
     require(path.startsWith("/") && path.length > 1,
       s"xpath_multi supports absolute paths only, got: $path")
@@ -330,13 +352,14 @@ object XPathMini {
     }
   }
 
-  /** Node-set evaluator for paths with a descendant axis: contexts can
-    * nest and repeat, so each step's result is sorted by document
-    * position and deduped — XPath node-set semantics. Docs are
-    * record-sized; the sort is tiny. */
-  private def evalDesc(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
-    val out = new mutable.ArrayBuffer[String](4)
-    if (root == null) return out
+  /** Final context node-set of a path — sorted by document position,
+    * deduped (XPath node-set semantics). Used by the descendant-axis
+    * route of [[eval]] and by union evaluation, where per-branch
+    * node sets merge before emission. Docs are record-sized; the sorts
+    * are tiny. */
+  private def nodeSet(p: Path, root: Elem): mutable.ArrayBuffer[Elem] = {
+    val empty = new mutable.ArrayBuffer[Elem](0)
+    if (root == null) return empty
     // virtual document node: parent of the document element, so the
     // first step (child OR descendant) applies uniformly
     val doc = new Elem("")
@@ -354,20 +377,56 @@ object XPathMini {
         else childCollect(step, ctxs(i), next)
         i += 1
       }
-      val sorted = next.sortInPlaceBy(_.docPos)
-      val dedup = new mutable.ArrayBuffer[Elem](sorted.length)
-      var j = 0
-      while (j < sorted.length) {
-        if (j == 0 || (sorted(j) ne sorted(j - 1))) dedup += sorted(j)
-        j += 1
-      }
-      ctxs = dedup
+      ctxs = sortDedup(next)
       si += 1
     }
+    ctxs
+  }
+
+  private def sortDedup(nodes: mutable.ArrayBuffer[Elem])
+      : mutable.ArrayBuffer[Elem] = {
+    val sorted = nodes.sortInPlaceBy(_.docPos)
+    val dedup = new mutable.ArrayBuffer[Elem](sorted.length)
+    var j = 0
+    while (j < sorted.length) {
+      if (j == 0 || (sorted(j) ne sorted(j - 1))) dedup += sorted(j)
+      j += 1
+    }
+    dedup
+  }
+
+  /** Node-set evaluator for paths with a descendant axis. */
+  private def evalDesc(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String](4)
+    val ctxs = nodeSet(p, root)
     var i = 0
     while (i < ctxs.length) {
       emitNode(p, ctxs(i), out)
       i += 1
+    }
+    out
+  }
+
+  /** Evaluate a compiled spec ([[compileAll]]): single branch keeps its
+    * dedicated route (child fast path / descendant node-set evaluator);
+    * a union merges the branches' node sets, restores document order,
+    * dedups by node identity, and emits string-values (branches are
+    * element-terminal by [[compileAll]]'s subset rule). */
+  def evalBranches(branches: Array[Path],
+      root: Elem): mutable.ArrayBuffer[String] = {
+    if (branches.length == 1) return eval(branches(0), root)
+    val all = new mutable.ArrayBuffer[Elem](8)
+    var b = 0
+    while (b < branches.length) {
+      all ++= nodeSet(branches(b), root)
+      b += 1
+    }
+    val merged = sortDedup(all)
+    val out = new mutable.ArrayBuffer[String](merged.length)
+    var i = 0
+    while (i < merged.length) {
+      emitNode(branches(0), merged(i), out) // element-terminal: plain
+      i += 1                                // string-value emission
     }
     out
   }
@@ -395,9 +454,10 @@ case class XPathMultiExpr(child: Expression, paths: Seq[String])
 
   // plain val: bad paths must fail at CONSTRUCTION on the driver, not
   // per-task inside eval (the scaladoc's validated-at-construction
-  // contract; was a transient lazy val first forced executor-side)
-  private val compiled: Array[XPathMini.Path] =
-    paths.map(XPathMini.compile).toArray
+  // contract; was a transient lazy val first forced executor-side).
+  // Each spec compiles to its union branches (length 1 for plain paths).
+  private val compiled: Array[Array[XPathMini.Path]] =
+    paths.map(XPathMini.compileAll).toArray
 
   /** Instance evaluator referenced directly from the generated code. */
   def evalDoc(input: UTF8String): InternalRow = {
@@ -406,7 +466,7 @@ case class XPathMultiExpr(child: Expression, paths: Seq[String])
     val vals = new Array[Any](compiled.length)
     var i = 0
     while (i < compiled.length) {
-      val res = XPathMini.eval(compiled(i), root)
+      val res = XPathMini.evalBranches(compiled(i), root)
       val arr = new Array[Any](res.length)
       var j = 0
       while (j < res.length) {

@@ -222,6 +222,56 @@ class XPathMultiSpec extends AnyFunSuite {
     }
   }
 
+  test("union |: document-order interleave regardless of branch order, " +
+      "identity dedup of overlapping branches, built-in count parity") {
+    import spark.implicits._
+    val doc = "<r><h>A</h><m><h>B</h></m><t>C</t></r>"
+    val one = Seq(doc).toDF("x")
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq(
+      "/r/h | /r/t", // disjoint, doc order
+      "/r/t | /r/h", // branch order reversed -> SAME result
+      "//h | /r/h", // overlap: the top h reached twice, surfaces once
+      "//h | /r/m", // container and its descendant both selected
+      "/r/h | /r/h | /r/t")) // 3-branch, self-overlap
+    val r = one.select(m.as("m")).select(
+      col("m.p0"), col("m.p1"), col("m.p2"), col("m.p3"), col("m.p4"))
+      .head()
+    assert(r.getSeq[String](0) == Seq("A", "C"))
+    assert(r.getSeq[String](1) == Seq("A", "C"),
+      "union must normalize to document order, not branch order")
+    assert(r.getSeq[String](2) == Seq("A", "B"),
+      "a node reached by both branches must surface exactly once")
+    // doc order: h(A) @1, m @2 (string-value 'B'), h(B) @3
+    assert(r.getSeq[String](3) == Seq("A", "B", "B"))
+    assert(r.getSeq[String](4) == Seq("A", "C"))
+    // count parity with the built-in evaluator's union (Xalan dedups
+    // and doc-orders the same way; element matches are NULL-valued in
+    // its list form, so counts are the comparable surface)
+    val ref = one.select(
+      expr("size(xpath(x, '/r/h | /r/t'))"),
+      expr("size(xpath(x, '//h | /r/h'))"),
+      expr("size(xpath(x, '//h | /r/m'))")).head()
+    assert(ref.getInt(0) == 2 && ref.getInt(1) == 2 && ref.getInt(2) == 3)
+  }
+
+  test("union subset rule: text()/@attr branches rejected at " +
+      "construction; empty branch rejected") {
+    intercept[IllegalArgumentException] {
+      XPathMini.compileAll("/a/b | /a/c/text()")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compileAll("/a/@x | /a/b")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compileAll("/a/b | | /a/c")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compileAll("/a/b |")
+    }
+    // single path with selector stays fully supported through compileAll
+    assert(XPathMini.compileAll("/a/b/text()").length == 1)
+  }
+
   test("descendant axis //: any-depth matches in document order, " +
       "per-parent sibling predicates, node-set dedup — parity with " +
       "the built-in") {
