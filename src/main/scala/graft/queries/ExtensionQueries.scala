@@ -2351,6 +2351,64 @@ object ExtensionQueries {
        |SELECT id, label AS cluster_id FROM l3 ORDER BY id""".stripMargin
   }
 
+  /** QUALITY-AWARE CANONICAL ELECTION — the keep-BEST dedup rule
+    * (FineWeb/RefinedWeb practice): within each near-dup cluster the
+    * survivor is the HIGHEST-QUALITY member, not the first-seen one
+    * (d1/d11's keep-first is the cheap rule; it silently keeps whichever
+    * crawl happened to arrive first, which for recrawl twins is a coin
+    * flip and for boilerplate-heavy mirrors is often the worst copy).
+    * Composes d12's confirmed-pair min-label clustering with t2's
+    * quality kernel: one groupBy(cluster) max(struct(quality, -id))
+    * partial agg elects the keeper — no corpus window, ties break to
+    * the smallest id deterministically. Output is cluster-grain (the
+    * dedup decision log a curation team audits): members, keeper, its
+    * quality, and how many copies drop. The oracle replays the ENTIRE
+    * chain — LSH bands, capped buckets, Jaccard confirmation, three
+    * label-propagation rounds, the quality formula, and the argmax —
+    * so a drift anywhere in the composed pipeline fails the hash. */
+  def d21QualityKeeper(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"), col("text"))
+    val recrawl = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      col("text"))
+    val corpus = spread(docs.union(recrawl))
+    val confirmed = Dedup.confirmedNearDupPairs(corpus, col("doc_id"),
+      col("text"), n = 3, k = K, rows = BandRows, threshold = 0.8,
+      maxBucket = PipeMaxBucket)
+    val clusters = Dedup.dedupClusters(
+      corpus.select(col("doc_id").as("id")), confirmed, iters = 3)
+    val quality = corpus.select(col("doc_id").as("id"),
+      Text.qualityScore(col("text")).as("q"))
+    clusters.join(quality, "id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("id")).as("nid"))).as("__k"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("__k.nid")).as("keeper_id"),
+        col("__k.q").as("keeper_q"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  val d21Sql: String = {
+    // replay d12's full clustering chain, then score + elect
+    val clusterCtes = d12Sql
+      .stripSuffix("SELECT id, label AS cluster_id FROM l3 ORDER BY id")
+      .stripSuffix("\n")
+    s"""$clusterCtes,
+       |cl AS (SELECT id, label AS cluster_id FROM l3),
+       |q AS (SELECT doc_id AS id, $qualitySqlExpr AS q
+       |  FROM corpus AS documents(doc_id, text)),
+       |j AS (SELECT cl.cluster_id, cl.id, q.q FROM cl JOIN q USING (id)),
+       |e AS (SELECT cluster_id, id, q, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY q DESC, id) AS rn FROM j)
+       |SELECT j.cluster_id, count(*) AS n_members,
+       |  any_value(e.id) AS keeper_id,
+       |  any_value(e.q) AS keeper_q,
+       |  count(*) - 1 AS n_dropped
+       |FROM j JOIN e ON e.cluster_id = j.cluster_id AND e.rn = 1
+       |GROUP BY j.cluster_id ORDER BY j.cluster_id""".stripMargin
+  }
+
   // ---- shared 64-bit SimHash SQL (mirrors Hashing.simhash64 exactly) ----
   private def h2(x: String, w: Int) =
     s"('0x' || substr(md5($x), ${1 + 8 * w}, 8))::BIGINT"
@@ -7960,6 +8018,7 @@ object ExtensionQueries {
     "g6_hits" -> (g6Hits _),
     "t29_epoch_shuffle" -> (t29EpochShuffle _),
     "d20_containment" -> (d20Containment _),
+    "d21_quality_keeper" -> (d21QualityKeeper _),
     "a13_random_projection" -> (a13RandomProjection _),
     "m6_audio_segments" -> (m6AudioSegments _),
     "p8_histogram" -> (p8Histogram _),
@@ -8125,6 +8184,7 @@ object ExtensionQueries {
     "g6_hits" -> g6Sql,
     "t29_epoch_shuffle" -> t29Sql,
     "d20_containment" -> d20Sql,
+    "d21_quality_keeper" -> d21Sql,
     "a13_random_projection" -> a13Sql,
     "m6_audio_segments" -> m6Sql,
     "p8_histogram" -> p8Sql,

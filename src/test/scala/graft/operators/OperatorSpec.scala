@@ -2306,6 +2306,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("d21 quality keeper: the election genuinely diverges from " +
+      "keep-first, and every keeper's quality dominates its cluster's " +
+      "min-id member (strictly when they differ)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtensionQueries
+      .d21QualityKeeper(spark, "/root/testdata/sf0.001")
+    // corpus quality, recrawl twins included (same construction as the
+    // gate)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.select(
+      (col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val q = corpus.select(col("doc_id"),
+      graft.functions.Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows.nonEmpty)
+    // cluster_id IS the component's min member id (min-label
+    // propagation), so keeper != cluster_id means the quality election
+    // overrode keep-first — it must happen somewhere on this fixture,
+    // or the gate degenerates into d11's rule
+    assert(rows.exists { case (cid, n, kid, _) => n > 1 && kid != cid },
+      "election never diverged from keep-first on this fixture")
+    rows.foreach { case (cid, _, kid, kq) =>
+      assert(kq == q(kid), s"keeper_q mismatch for $kid")
+      if (kid == cid) assert(rows.nonEmpty) // trivially consistent
+      else assert(kq > q(cid),
+        s"cluster $cid: keeper $kid ($kq) must STRICTLY beat the " +
+          s"min-id member (${q(cid)}) — ties break to the smaller id")
+    }
+  }
+
   test("p23 autocorr: the gate's exact-integer centering reproduces the " +
       "textbook r_k from an independent BigInt reference, |r| <= 1, " +
       "n_pairs = n - k") {
