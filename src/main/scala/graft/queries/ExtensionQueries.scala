@@ -5542,6 +5542,80 @@ object ExtensionQueries {
       |FROM r WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** PROCESSING-TIME timer flush
+    * ([[graft.streaming.StreamOps.TwsIdleFlush]]) — the wall-clock half
+    * of the TWS timer surface (s24 pins the event-time half): per-key
+    * buffered totals flush exactly once when the key goes idle, state
+    * clearing on fire. The operational pattern no watermark can express
+    * — a stalled source still flushes because wall clock keeps moving.
+    *
+    * Determinism shape: one producer batch of the 1/16
+    * `event_id % 16 = 6` bus (0-5 are taken), so each key's single
+    * flush carries the key's full sample totals — emission CONTENT is
+    * deterministic, only the firing instant is wall-clock. Pace and
+    * poll (ProcessingTime TWS never satisfies processAllAvailable);
+    * idle 1.5 s >> the ~200 ms paced batch latency. The DuckDB oracle
+    * is the plain batch recount; a flush that fired early (splitting a
+    * key's totals) or double-fired after clear (a zero-count phantom
+    * row) would fail rows or hash. Emit-once and restart-from-zero
+    * after flush are spec-pinned where sleeps are cheap. */
+  def s32PtTimerFlush(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events(sp, dir).filter(col("event_id") % 16 === 6)
+      .select(col("user_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .collect()
+    require(rows.nonEmpty,
+      "s32: the 1/16 event_id sample is empty — fixture too small for " +
+        "an idle-flush bus")
+    val feed = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val nKeys = feed.map(_._1).distinct.length.toLong
+    val s2 = sp.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = graft.streaming.StreamOps.idleFlushTws(in.toDS(), 1500L)
+      .toDF("user_id", "n_events", "cents")
+    val name = "s32_flush_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = out.writeStream.outputMode("update").format("memory")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .queryName(name).start()
+      try {
+        in.addData(feed.toIndexedSeq)
+        val deadline = System.currentTimeMillis + 120000
+        def seen(): Long =
+          s2.table(name).select("user_id").distinct().count()
+        while (seen() < nKeys) {
+          require(System.currentTimeMillis < deadline,
+            s"s32: only ${seen()}/$nKeys keys flushed before deadline")
+          Thread.sleep(100)
+        }
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("cents")).as("cents"))
+      .orderBy("user_id")
+  }
+
+  val s32Sql: String =
+    """WITH s AS (SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 16 = 6)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -8052,6 +8126,7 @@ object ExtensionQueries {
     "s29_token_bucket" -> (s29TokenBucket _),
     "s30_tws_warm_start" -> (s30TwsWarmStart _),
     "s31_cdc_apply" -> (s31CdcApply _),
+    "s32_pt_timer_flush" -> (s32PtTimerFlush _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
@@ -8218,6 +8293,7 @@ object ExtensionQueries {
     "s29_token_bucket" -> s29Sql,
     "s30_tws_warm_start" -> s30Sql,
     "s31_cdc_apply" -> s31Sql,
+    "s32_pt_timer_flush" -> s32Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,

@@ -602,6 +602,74 @@ object StreamOps {
     }
   }
 
+  /** PROCESSING-TIME timers — the wall-clock half of the timer surface
+    * (s24's [[TwsSessionExpiry]] is the event-time half): a per-key
+    * IDLE FLUSH, the canonical processing-time timer use case. Each
+    * batch folds its rows into per-key (count, cents) state and re-arms
+    * a single wall-clock timer at now+idle; when a key stays quiet for
+    * the idle window the timer fires, the accumulated totals emit
+    * EXACTLY ONCE, and the state clears — the "ship the buffer when the
+    * burst ends" pattern behind micro-batch upload coalescing,
+    * abandoned-cart notifications, and buffered writes to costly sinks.
+    * Distinct from event-time sessions: no watermark is involved and a
+    * stalled SOURCE still flushes (wall clock keeps moving), which is
+    * precisely why production jobs pick processing time for operational
+    * flushes. One pending timer per key (`armed` state re-arms), so
+    * timer count is O(keys) like everything else in the store. Emission
+    * CONTENT is deterministic (totals of everything folded since the
+    * last flush); only the firing instant is wall-clock. */
+  class TwsIdleFlush(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ValueState}
+    @transient private var acc: ValueState[(Long, Long)] = _
+    @transient private var armed: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      acc = getHandle.getValueState[(Long, Long)]("acc",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (acc.exists()) acc.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      acc.update((n, cents))
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val t = timers.getCurrentProcessingTimeInMs() + idleMs
+      getHandle.registerTimer(t)
+      armed.update(t)
+      Iterator.empty // nothing emits until the idle flush
+    }
+    override def handleExpiredTimer(key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long)] = {
+      val out =
+        if (acc.exists()) {
+          val (n, cents) = acc.get()
+          Iterator((key, n, cents))
+        } else Iterator.empty
+      acc.clear()
+      armed.clear()
+      out
+    }
+  }
+
+  /** Per-key idle-flush totals via [[TwsIdleFlush]]. ProcessingTime
+    * mode: pace the query and poll the sink ([[countsWithTtl]]'s
+    * caveat — processAllAvailable never returns). */
+  def idleFlushTws(pairs: org.apache.spark.sql.Dataset[(Long, Long)],
+      idleMs: Long): org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    pairs.groupByKey(_._1)
+      .transformWithState(new TwsIdleFlush(idleMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   /** State TTL through transformWithState's `TTLConfig` — the eviction
     * knob that bounds keyed-state growth WITHOUT timers or watermarks:
     * a per-key counter whose ValueState the store expires `ttl` of

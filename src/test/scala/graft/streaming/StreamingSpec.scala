@@ -1062,6 +1062,59 @@ class StreamingSpec extends AnyFunSuite {
       want.map { case (_, w, n, e) => (4L, w, n, e) })
   }
 
+  test("processing-time idle flush: state folds across batches before " +
+      "ONE flush, a quiet period emits nothing more, and post-flush " +
+      "input restarts from zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val idleMs = 4000L // >> paced batch latency (~1 s), TTL-spec margins
+    val out = StreamOps.idleFlushTws(in.toDS(), idleMs)
+      .toDF("key", "n", "cents")
+    val name = "ptflush_spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .queryName(name).start()
+    def rows(): Seq[(Long, Long, Long)] = s2.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def awaitRows(want: Int): Unit = {
+      val deadline = System.currentTimeMillis + 120000
+      while (rows().length < want) {
+        require(System.currentTimeMillis < deadline,
+          s"flush never reached $want rows: ${rows()}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      // two producer batches BEFORE any flush: the idle timer re-arms
+      // (deleteTimer + registerTimer) and state crosses the batch
+      // boundary, so the single flush must carry the combined fold
+      in.addData((1L, 10L))
+      Thread.sleep(500) // let batch 1 land well inside the idle window
+      in.addData((1L, 5L), (1L, 7L))
+      awaitRows(1)
+      assert(rows() == Seq((1L, 3L, 22L)),
+        s"flush must fold both batches: ${rows()}")
+      // quiet period longer than idle: no phantom re-flush of cleared
+      // state (the emit-exactly-once half of the contract)
+      Thread.sleep(idleMs + 2000)
+      assert(rows() == Seq((1L, 3L, 22L)),
+        s"cleared state re-flushed: ${rows()}")
+      // post-flush input restarts from zero — state really cleared
+      in.addData((1L, 100L))
+      awaitRows(2)
+      assert(rows().toSet == Set((1L, 3L, 22L), (1L, 1L, 100L)),
+        s"post-flush fold must restart from zero: ${rows()}")
+    } finally q.stop()
+  }
+
   test("cdcMergeSink: newer-wins guard makes replay idempotent; a " +
       "retained tombstone blocks out-of-order resurrection; a genuinely " +
       "newer upsert revives the key") {
