@@ -439,6 +439,69 @@ object Multimodal {
     Some(out)
   }
 
+  /** HORIZONTAL FLIP of a 24bpp BMP — the mirror augmentation beside
+    * [[resizeBmp]] and [[cropBmp]] (flip is the one augmentation applied
+    * to nearly every image-pretraining batch because label semantics
+    * survive it). Each row's pixel triplets reverse in place
+    * (dst x <- src W-1-x, channel order within the pixel preserved);
+    * header, row padding and data offset are byte-identical to the
+    * source, so the output is a valid BMP of the same dimensions and
+    * the total pixel-byte sum is invariant — which is exactly why
+    * [[bmpPixelChecksum]] CANNOT witness a flip and
+    * [[bmpWeightedChecksum]] exists. None for non-BMP payloads. */
+  def flipBmp(m: Array[Byte]): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val row = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + row.toLong * h) return None
+    val out = m.clone()
+    var y = 0
+    while (y < h) {
+      val base = dataOff + y * row
+      var x = 0
+      while (x < w) {
+        val s = base + 3 * (w - 1 - x)
+        val d = base + 3 * x
+        out(d) = m(s); out(d + 1) = m(s + 1); out(d + 2) = m(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Position-WEIGHTED pixel checksum of a 24bpp BMP: sum of
+    * byte * (row-major pixel-byte index + 1), padding excluded. Unlike
+    * the plain sum this witnesses WHERE every byte sits, so it
+    * distinguishes a flipped image from its source (the plain sum is
+    * permutation-invariant). Bound: weights <= 3WH, so the sum stays
+    * far inside Long for any record-sized image. 0 for non-BMP. */
+  def bmpWeightedChecksum(m: Array[Byte]): Long = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return 0L
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < 3 * w) {
+        sum += (m(dataOff + y * rowSize + x) & 0xff).toLong *
+          (y.toLong * 3 * w + x + 1)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
   /** Sum of all pixel bytes (unsigned, padding excluded) of a 24-bit BMP —
     * the portable content witness the m2 gate hashes against an oracle that
     * recomputes the same resample arithmetic straight from the documents

@@ -3969,6 +3969,60 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Real BMP horizontal FLIP ([[graft.operators.Multimodal.flipBmp]]) —
+    * the mirror augmentation beside m2's resize and m10's crop, applied
+    * to nearly every image-pretraining batch. The witness is the
+    * position-WEIGHTED pixel checksum: the plain pixel sum is
+    * permutation-invariant (a broken flip that shuffled or didn't move
+    * bytes would still pass it), so the gate emits both — `checksum`
+    * pins content preservation, `wsum` pins that every byte landed at
+    * its mirrored position (the oracle recomputes it from the blob-fill
+    * formula with the x-index reversed). Valid-BMP structure of the
+    * output is spec-pinned via the header decoder round-trip. */
+  def m13FlipBmp(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.flipBmp(r.media).map { f =>
+          val fb = java.nio.ByteBuffer.wrap(f)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (r.doc_id, fb.getInt(18), fb.getInt(22),
+            Multimodal.bmpWeightedChecksum(f),
+            Multimodal.bmpPixelChecksum(f))
+        }
+      }
+      .toDF("doc_id", "width", "height", "wsum", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m13Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(idx: String) =
+      s"('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))::BIGINT"
+    val srcIdx = "tj.j * p.src_row + (p.src_w - 1 - ti.x) * 3 + tc.c"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row
+       |  FROM e),
+       |s AS (SELECT p.doc_id, MAX(p.src_w) AS w, MAX(p.src_h) AS h,
+       |    CAST(SUM(${byteAt(srcIdx)}
+       |      * (tj.j * 3 * p.src_w + ti.x * 3 + tc.c + 1)) AS BIGINT)
+       |      AS wsum,
+       |    CAST(SUM(${byteAt(srcIdx)}) AS BIGINT) AS checksum
+       |  -- fixed range bounds (w <= 31, h <= 7) filtered per doc:
+       |  -- range() cannot take correlated lateral parameters
+       |  FROM p, range(0, 7) tj(j), range(0, 31) ti(x), range(0, 3) tc(c)
+       |  WHERE tj.j < p.src_h AND ti.x < p.src_w
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  wsum, checksum
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Perceptual image dedup ([[Multimodal.bmpAverageHash]]): every image
     * doc's 64-bit aHash (REAL resize-to-8x8 + integer grayscale + bit per
     * pixel above the integer mean), grouped to surface perceptual
@@ -8036,6 +8090,7 @@ object ExtensionQueries {
     "m10_bmp_crop" -> (m10Crop _),
     "m11_frame_delta" -> (m11FrameDelta _),
     "m12_wav_zcr" -> (m12WavZcr _),
+    "m13_bmp_flip" -> (m13FlipBmp _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -8198,6 +8253,7 @@ object ExtensionQueries {
     "m10_bmp_crop" -> m10Sql,
     "m11_frame_delta" -> m11Sql,
     "m12_wav_zcr" -> m12Sql,
+    "m13_bmp_flip" -> m13Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1173,6 +1173,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flipBmp: exact mirrored bytes, double-flip identity, decoder " +
+      "round-trip; weighted checksum discriminates where the plain sum " +
+      "cannot") {
+    import graft.operators.Multimodal
+    // 3x2, asymmetric fill -> flip must move bytes
+    val fill = Array.tabulate[Byte](64)(i => (i * 11 + 3).toByte)
+    val bmp = Multimodal.buildBmp(3, 2, fill)
+    val flipped = Multimodal.flipBmp(bmp).get
+    // same dims through the real decoder
+    val d = Multimodal.decodeBlob(
+      Multimodal.MediaRow(1L, flipped, "image/bmp", 100))
+    assert(d.width == 3 && d.height == 2)
+    // row-level mirror: pixel x of the flip == pixel (w-1-x) of the src
+    val buf = java.nio.ByteBuffer.wrap(bmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val row = ((3 * 3 + 3) / 4) * 4
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      assert(flipped(off + y * row + 3 * x + c) ==
+        bmp(off + y * row + 3 * (2 - x) + c), s"byte ($y,$x,$c)")
+    // involution: flip of flip is byte-identical to the source
+    assert(java.util.Arrays.equals(
+      Multimodal.flipBmp(flipped).get, bmp))
+    // the plain sum is flip-invariant (why it can't be the witness);
+    // the weighted sum must move for this asymmetric image
+    assert(Multimodal.bmpPixelChecksum(flipped) ==
+      Multimodal.bmpPixelChecksum(bmp))
+    assert(Multimodal.bmpWeightedChecksum(flipped) !=
+      Multimodal.bmpWeightedChecksum(bmp))
+    // non-BMP refused
+    assert(Multimodal.flipBmp(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("wavZcr: crossings count flips around the per-window floorDiv " +
       "mean; boundary pairs belong to neither window") {
     import graft.operators.Multimodal
