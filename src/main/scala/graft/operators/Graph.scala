@@ -353,6 +353,34 @@ object Graph {
     deg.filter(col("deg") >= k)
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — how close each node's
+    * neighborhood is to a clique: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * reported in EXACT integer basis points (floor). The standard
+    * community-tightness signal beside raw triangle counts: a crawl
+    * graph's mutually-linking content farms score near 10000 while
+    * organically-linked hubs sit low, so cc is the per-node feature a
+    * link-spam screen thresholds where g2's absolute counts would just
+    * measure degree. Degree-0/1 nodes (no possible wedge) report 0.
+    *
+    * Scale shape: [[triangleCounts]]'s arboricity-bounded wedge join
+    * plus ONE node-domain degree join — nothing beyond g2's proven
+    * plan; tri·2·10⁴ < 2⁶³ for any realistic per-node count. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges).withColumnRenamed("id", "u"),
+        Seq("u"), "left")
+      .select(col("u").as("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_bp", when(col("degree") >= 2,
+        expr("triangles * 20000 div (degree * (degree - 1))"))
+        .otherwise(lit(0L)))
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

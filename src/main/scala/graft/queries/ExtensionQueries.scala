@@ -6099,6 +6099,44 @@ object ExtensionQueries {
       |SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
       |ORDER BY triangles DESC, id LIMIT 25""".stripMargin
 
+  /** Local clustering coefficient
+    * ([[graft.operators.Graph.clusteringCoeff]]): per-node
+    * 2·tri/(deg·(deg−1)) in exact integer basis points over the derived
+    * link graph — the community-tightness / link-farm signal beside
+    * g2's absolute triangle counts (which mostly measure degree).
+    * Same arboricity-bounded wedge join as g2 plus one node-domain
+    * degree join; degree-0/1 nodes report 0 by definition. The oracle
+    * replays orientation, wedge closure, corner credit, and the
+    * integer-bp division, so the whole composed chain is hash-pinned
+    * for EVERY node, not a top-25 slice. */
+  def g10ClusteringCoeff(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoeff(linkEdges(sp, dir))
+      .orderBy("id")
+
+  val g10Sql: String =
+    s"""WITH $linkEdgesSql,
+      |und AS (SELECT DISTINCT u, v FROM (
+      |          SELECT src AS u, dst AS v FROM edges
+      |          UNION ALL SELECT dst, src FROM edges) s WHERE u <> v),
+      |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+      |orient AS (SELECT und.u AS a, und.v AS b, d2.d AS db FROM und
+      |           JOIN deg d1 ON d1.u = und.u JOIN deg d2 ON d2.u = und.v
+      |           WHERE d1.d < d2.d OR (d1.d = d2.d AND und.u < und.v)),
+      |tri AS (SELECT e1.a AS w0, e1.b AS w1, e2.b AS w2
+      |        FROM orient e1 JOIN orient e2 ON e1.a = e2.a
+      |          AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+      |        JOIN orient c ON c.a = e1.b AND c.b = e2.b),
+      |corners AS (SELECT w0 AS id FROM tri UNION ALL
+      |            SELECT w1 FROM tri UNION ALL SELECT w2 FROM tri),
+      |tc AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id)
+      |SELECT deg.u AS id, CAST(deg.d AS BIGINT) AS degree,
+      |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+      |  CAST(CASE WHEN deg.d >= 2 THEN
+      |      coalesce(tc.triangles, 0) * 20000 // (deg.d * (deg.d - 1))
+      |    ELSE 0 END AS BIGINT) AS cc_bp
+      |FROM deg LEFT JOIN tc ON tc.id = deg.u
+      |ORDER BY id""".stripMargin
+
   /** Connected components ([[graft.operators.Graph.connectedComponents]],
     * hash-to-min + pointer doubling, O(log diameter) rounds) over the
     * derived link graph; every node labeled with its component's minimum
@@ -8162,6 +8200,7 @@ object ExtensionQueries {
     "a15_hamming_topk" -> (a15HammingTopK _),
     "m7_scene_cuts" -> (m7SceneCuts _),
     "g9_link_predict" -> (g9LinkPredict _),
+    "g10_clustering_coeff" -> (g10ClusteringCoeff _),
     "s17_late_data" -> (s17LateData _),
     "t33_zipf_profile" -> (t33ZipfProfile _),
     "p12_gini" -> (p12Gini _),
@@ -8330,6 +8369,7 @@ object ExtensionQueries {
     "a15_hamming_topk" -> a15Sql,
     "m7_scene_cuts" -> m7Sql,
     "g9_link_predict" -> g9Sql,
+    "g10_clustering_coeff" -> g10Sql,
     "s17_late_data" -> s17Sql,
     "t33_zipf_profile" -> t33Sql,
     "p12_gini" -> p12Sql,

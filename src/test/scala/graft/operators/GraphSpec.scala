@@ -56,6 +56,20 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clusteringCoeff: triangle + pendant, exact bp; degree<2 is 0") {
+    // triangle {1,2,3}, pendant 4 on 3:
+    // cc(1)=cc(2)=20000/(2*1)=10000; cc(3)=20000/(3*2)=3333; cc(4)=0
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    val got = Graph.clusteringCoeff(e)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 10000L)),
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 1L, 3333L)),
+      4L -> ((1L, 0L, 0L))))
+  }
+
   test("triangleCounts: two triangles sharing an edge") {
     // {1,2,3} and {2,3,4} share edge {2,3}
     val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
