@@ -5302,6 +5302,71 @@ object ExtensionQueries {
       |  CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE) AS r
       |FROM num, den ORDER BY lag""".stripMargin
 
+  /** BENFORD FIRST-DIGIT PROFILE of transaction amounts — the classic
+    * fabricated-data / fraud screen: organically-grown magnitudes follow
+    * log10(1+1/d) first-digit shares, hand-entered or synthesized
+    * amounts don't, and an auditor reads the deviation column before
+    * trusting a feed. Cross-engine exact with NO transcendental at
+    * runtime: the expected shares are 4-decimal integer-bp CONSTANTS
+    * baked identically into both engines (3010, 1761, …, 458 — they sum
+    * to 10000), the digit is the first character of the exact cents
+    * integer (value·100 in DECIMAL, so no float formatting is involved),
+    * and shares/deviations are integer-floor basis points. On this
+    * fixture the amounts land near-Benford (dev_bp ≤ ~190, digit 3
+    * within 1 bp) — every one of those nine deviations is hash-pinned,
+    * so a drifted generator or a broken digit extraction fails. Scale:
+    * one partial agg to the 9-row digit domain; everything after is
+    * digit-domain sized with the total riding a broadcast 1-row agg. */
+  def p24Benford(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val cents = events(sp, dir)
+      .select((dec(col("value")) * 100).cast("long").as("c"))
+      .filter(col("c") > 0)
+    val counts = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expected = BenfordBp.zipWithIndex
+      .map { case (bp, i) => (i + 1, bp.toLong) }
+      .toDF("digit", "expected_bp")
+    val total = counts.agg(sum(col("n")).as("total"))
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0) * 10000 div total").as("share_bp"),
+        col("expected_bp"),
+        abs(expr("coalesce(n, 0) * 10000 div total")
+          - col("expected_bp")).as("dev_bp"))
+      .orderBy("digit")
+  }
+
+  /** floor(log10(1+1/d)·10⁴) for d = 1..9 — the Benford shares as exact
+    * integer constants (they sum to 10000), shared by gate and oracle so
+    * neither engine evaluates a logarithm. */
+  private val BenfordBp =
+    Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+  val p24Sql: String = {
+    val rows = BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
+    s"""WITH c AS (SELECT c FROM (SELECT
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM events) WHERE c > 0),
+       |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+       |    AS digit FROM c),
+       |cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+       |t AS (SELECT SUM(n) AS total FROM cnt),
+       |be(digit, expected_bp) AS (VALUES $rows)
+       |SELECT be.digit, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+       |  CAST(coalesce(cnt.n, 0) * 10000 // t.total AS BIGINT)
+       |    AS share_bp,
+       |  CAST(be.expected_bp AS BIGINT) AS expected_bp,
+       |  CAST(abs(coalesce(cnt.n, 0) * 10000 // t.total
+       |    - be.expected_bp) AS BIGINT) AS dev_bp
+       |FROM be LEFT JOIN cnt USING (digit) CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
+
   /** MULTI-TOUCH REVENUE ATTRIBUTION — the warehouse staple s3's as-of
     * join cannot express alone: each purchase credits the user's FIRST
     * and LAST click inside a 7-day lookback (the U-shaped first/last
@@ -8245,7 +8310,8 @@ object ExtensionQueries {
     "p20_skew_profile" -> (p20SkewProfile _),
     "p21_retention" -> (p21Retention _),
     "p22_transitions" -> (p22Transitions _),
-    "p23_autocorr" -> (p23Autocorr _))
+    "p23_autocorr" -> (p23Autocorr _),
+    "p24_benford" -> (p24Benford _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -8414,5 +8480,6 @@ object ExtensionQueries {
     "p20_skew_profile" -> p20Sql,
     "p21_retention" -> p21Sql,
     "p22_transitions" -> p22Sql,
-    "p23_autocorr" -> p23Sql)
+    "p23_autocorr" -> p23Sql,
+    "p24_benford" -> p24Sql)
 }

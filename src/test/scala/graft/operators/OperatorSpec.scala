@@ -2306,6 +2306,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("p24 Benford: constants sum to exactly 10000, all nine digits " +
+      "surface, counts reconcile with the corpus, shares are floor-bp") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtensionQueries
+      .p24Benford(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to 9))
+    assert(out.map(_._4).sum == 10000L, "expected-bp constants must sum")
+    val total = out.map(_._2).sum
+    val positives = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("c"))
+      .filter(col("c") > 0).count()
+    assert(total == positives, "every positive amount lands in a bucket")
+    out.foreach { case (_, n, share, _, dev) =>
+      assert(share == n * 10000L / total) // floor semantics
+      assert(dev >= 0)
+    }
+    // floor shares undershoot by at most 9 in total
+    assert(out.map(_._3).sum > 10000L - 10 && out.map(_._3).sum <= 10000L)
+  }
+
   test("d21 quality keeper: the election genuinely diverges from " +
       "keep-first, and every keeper's quality dominates its cluster's " +
       "min-id member (strictly when they differ)") {
