@@ -2047,7 +2047,84 @@ object Relational {
       |FROM m WHERE NOT (action = 'kept' AND c_acctbal < 0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** GDPR ERASURE CASCADE — the right-to-be-forgotten job every lake
+    * with personal data runs: a forget-set of customers
+    * (c_custkey % 29 = 3) is purged from `customer`, their orders from
+    * `orders`, and those orders' line items from `lineitem` — the
+    * referential cascade, since child rows re-identify a "deleted"
+    * person as surely as the parent row. The purged snapshots are
+    * WRITTEN to scratch parquet and RE-READ for the audit, so the gate
+    * certifies erased tables, not erasure arithmetic: per table it
+    * emits rows before / purged / after (counted from the re-read
+    * snapshot) and `n_residual` — rows in the re-read snapshot still
+    * reachable from the forget-set, which the oracle pins at EXACTLY
+    * zero; a purge that missed rows (or an anti-join with inverted
+    * sense) fails the hash. Scale shape: one anti-join per table on its
+    * own key (AQE picks broadcast while the forget-set is small,
+    * shuffle when it isn't) plus a semi-join to derive the purged
+    * order-key set — no windows, no driver state beyond the audit's
+    * final 3 rows. */
+  def q49Erasure(s: SparkSession, d: String): DataFrame = {
+    val forget = customer(s, d).filter(col("c_custkey") % 29 === 3)
+      .select(col("c_custkey"))
+    val cust = customer(s, d)
+    val ord = orders(s, d)
+    val li = lineitem(s, d)
+    val fOrders = ord
+      .join(forget.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val outRoot = graft.Tables.scratchDir("graft-q49")
+    def purgeAndAudit(tbl: String, base: DataFrame,
+        purged: DataFrame, residualOf: DataFrame => DataFrame)
+        : DataFrame = {
+      val dir = s"$outRoot/$tbl"
+      purged.write.mode("overwrite").parquet(dir)
+      val re = s.read.parquet(dir)
+      base.agg(count(lit(1)).as("n_before"))
+        .crossJoin(re.agg(count(lit(1)).as("n_after")))
+        .crossJoin(residualOf(re)
+          .agg(count(lit(1)).as("n_residual")))
+        .select(lit(tbl).as("tbl"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_purged"),
+          col("n_after"), col("n_residual"))
+    }
+    val cA = purgeAndAudit("customer", cust,
+      cust.join(forget, Seq("c_custkey"), "left_anti"),
+      re => re.join(forget, Seq("c_custkey"), "left_semi"))
+    val oA = purgeAndAudit("orders", ord,
+      ord.join(forget.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_anti"),
+      re => re.join(forget.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi"))
+    val lA = purgeAndAudit("lineitem", li,
+      li.join(fOrders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti"),
+      re => re.join(fOrders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi"))
+    cA.union(oA).union(lA).orderBy("tbl")
+  }
+
+  val q49Sql: String =
+    """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 29 = 3),
+      |fo AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM f)),
+      |c AS (SELECT count(*) AS nb,
+      |    count(*) FILTER (c_custkey % 29 = 3) AS np FROM customer),
+      |o AS (SELECT count(*) AS nb,
+      |    count(*) FILTER (o_custkey IN (SELECT c_custkey FROM f)) AS np
+      |  FROM orders),
+      |l AS (SELECT count(*) AS nb,
+      |    count(*) FILTER (l_orderkey IN (SELECT o_orderkey FROM fo)) AS np
+      |  FROM lineitem)
+      |SELECT 'customer' AS tbl, nb AS n_before, np AS n_purged,
+      |  nb - np AS n_after, CAST(0 AS BIGINT) AS n_residual FROM c
+      |UNION ALL SELECT 'lineitem', nb, np, nb - np, 0 FROM l
+      |UNION ALL SELECT 'orders', nb, np, nb - np, 0 FROM o
+      |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_erasure_cascade" -> (q49Erasure _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -2108,6 +2185,7 @@ object Relational {
     "p11_benford" -> (p11Benford _))
 
   val oracles: Map[String, String] = Map(
+    "q49_erasure_cascade" -> q49Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

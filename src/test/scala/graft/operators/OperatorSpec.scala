@@ -2306,6 +2306,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 erasure: the cascade is genuinely exercised (forgotten " +
+      "customers own orders and line items) and the re-read snapshots " +
+      "carry zero forget-set references") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Relational.q49Erasure(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.foreach { case (t, (nb, np, na, res)) =>
+      assert(nb == np + na, s"$t: before != purged + after")
+      assert(res == 0L, s"$t: residual forget-set references survive")
+      assert(np > 0L,
+        s"$t: cascade not exercised — fixture has no $t rows to purge")
+    }
+    // cross-table consistency: purged orders must equal the orders the
+    // forgotten customers own, recomputed independently
+    val forgetOrders = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf)
+        .filter(col("c_custkey") % 29 === 3)
+        .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+        "left_semi").count()
+    assert(rows("orders")._2 == forgetOrders)
+  }
+
   test("p24 Benford: constants sum to exactly 10000, all nine digits " +
       "surface, counts reconcile with the corpus, shares are floor-bp") {
     import org.apache.spark.sql.functions._
