@@ -6600,6 +6600,101 @@ object ExtensionQueries {
        |  count(*) FILTER (ok) * 10000 // count(*) AS acc_bp
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RECALL-vs-NPROBE tuning curve — the knob every IVF deployment
+    * actually turns: one persisted index ([[graft.operators.Ann
+    * .ivfIndex]] to scratch, the a12 production shape) probed at
+    * nprobe 1, 2 and 4 against the same brute-force truth, each rung's
+    * recall@3 on one row. `monotone_ok` pins the mathematical
+    * invariant that makes the curve a safe tuning dial: more probes =
+    * a candidate SUPERSET, and the top-3 of a superset can only gain
+    * true-top-3 members (anything displacing a true-top-3 candidate
+    * outranks it globally and is itself true-top-3) — so recall is
+    * non-decreasing BY CONSTRUCTION, and a violation means the probe
+    * routing or ranking broke, not that the data shifted. The oracle
+    * replays assignment, all three probe depths, ranking, and the
+    * monotone flag. Scale: the index builds ONCE (at 100 TB this gate
+    * is why — re-assigning the corpus per nprobe experiment is the
+    * anti-pattern); each probe reads only probed cells. */
+  def a26NprobeCurve(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val truthDir = graft.Tables.scratchDir("graft-a26-truth")
+    Ann.bruteForceTopK(qs, corpus, 3)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val idxDir = graft.Tables.scratchDir("graft-a26-idx")
+    Ann.ivfIndex(corpus, centroids)
+      .write.partitionBy("cid").mode("overwrite").parquet(idxDir)
+    val postings = sp.read.parquet(idxDir)
+      .withColumn("cid", col("cid").cast("long")) // partition-dir inference
+    val curve = Seq(1, 2, 4).map { np =>
+      val res = Ann.ivfTopKOnIndex(qs, postings, centroids, 3, np)
+      truth.join(res.select(col("qid"), col("neighbor")),
+          Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .select(lit(np).as("nprobe"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    }.reduce(_ union _)
+    // 3-row result: the unpartitioned lag window is result-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy("nprobe")
+    curve.withColumn("monotone_ok",
+        col("recall") >= coalesce(lag(col("recall"), 1).over(w),
+          lit(-1.0)))
+      .orderBy("nprobe")
+  }
+
+  val a26Sql: String = {
+    def hitsCte(np: Int) =
+      s"""h$np AS (SELECT count(*) AS hits FROM (
+         |  SELECT qid, id FROM (
+         |    SELECT p.id AS qid, c.id, ROW_NUMBER() OVER (PARTITION BY p.id
+         |        ORDER BY ${cosSql("p.qvec", "c.vec")} DESC, c.id) AS rank
+         |    FROM cells c JOIN asg p ON c.cid = p.cid
+         |      AND p.id < 5 AND p.rn <= $np
+         |    WHERE c.id <> p.id) WHERE rank <= 3) x
+         |  WHERE EXISTS (SELECT 1 FROM truth t
+         |    WHERE t.qid = x.qid AND t.neighbor = x.id))""".stripMargin
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS qvec,
+       |          e.embedding AS vec, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+       |              c.cid) AS rn
+       |        FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |truth AS (SELECT qid, id AS neighbor FROM (
+       |  SELECT q.id AS qid, e.vec_id AS id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.id
+       |      ORDER BY ${cosSql("q.qvec", "e.embedding")} DESC,
+       |        e.vec_id) AS rank
+       |  FROM embeddings e CROSS JOIN (SELECT DISTINCT id, qvec FROM asg
+       |    WHERE id < 5) q
+       |  WHERE e.vec_id <> q.id) WHERE rank <= 3),
+       |${hitsCte(1)},
+       |${hitsCte(2)},
+       |${hitsCte(4)},
+       |tt AS (SELECT count(*) AS n_truth FROM truth),
+       |curve AS (
+       |  SELECT 1 AS nprobe, h1.hits AS n_hits FROM h1
+       |  UNION ALL SELECT 2, h2.hits FROM h2
+       |  UNION ALL SELECT 4, h4.hits FROM h4)
+       |SELECT nprobe, n_hits, tt.n_truth,
+       |  round(n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  (round(n_hits::DOUBLE / tt.n_truth, 4) >= coalesce(
+       |    lag(round(n_hits::DOUBLE / tt.n_truth, 4))
+       |      OVER (ORDER BY nprobe), -1.0)) AS monotone_ok
+       |FROM curve, tt ORDER BY nprobe""".stripMargin
+  }
+
   /** Containment near-dup join ([[graft.operators.Dedup.containmentPairs]]):
     * 3-gram shingle-hash postings, df cap 50, containment >= 0.5, both
     * directions — the asymmetric quote/excerpt detector. The oracle
@@ -8243,6 +8338,7 @@ object ExtensionQueries {
     "a22_residual_ivfpq" -> (a22ResidualIvfPq _),
     "a23_bq_hamming" -> (a23BqHamming _),
     "a24_knn_probe" -> (a24KnnProbe _),
+    "a26_nprobe_curve" -> (a26NprobeCurve _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -8413,6 +8509,7 @@ object ExtensionQueries {
     "a22_residual_ivfpq" -> a22Sql,
     "a23_bq_hamming" -> a23Sql,
     "a24_knn_probe" -> a24Sql,
+    "a26_nprobe_curve" -> a26Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,

@@ -2306,6 +2306,20 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("a26 nprobe curve: recall is monotone non-decreasing in probe " +
+      "depth and the curve genuinely moves on this fixture") {
+    val rows = graft.queries.ExtensionQueries
+      .a26NprobeCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(rows.forall(_._4), s"monotone_ok violated: ${rows.toSeq}")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 >= a._2 },
+      "hits must be non-decreasing in nprobe (candidate superset)")
+    assert(rows.last._3 > rows.head._3,
+      "widening probes never helped — probe routing is suspect")
+  }
+
   test("q49 erasure: the cascade is genuinely exercised (forgotten " +
       "customers own orders and line items) and the re-read snapshots " +
       "carry zero forget-set references") {
