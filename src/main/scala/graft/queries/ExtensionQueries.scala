@@ -1096,6 +1096,123 @@ object ExtensionQueries {
        |ORDER BY h, l_orderkey, l_partkey, l_suppkey LIMIT 50""".stripMargin
   }
 
+  /** LAYOUT PRUNING PROFILE — the number that justifies the z-family's
+    * existence: model each layout's output files as consecutive 512-row
+    * chunks of its sort order, compute every file's (x, y) bounding box
+    * on the shared 256×256 grid, and count how many files a central
+    * 32×32 box query must read. Unsorted files stripe the whole domain
+    * (every file hits); Morton files cover small rectangles; Hilbert's
+    * adjacency makes them tighter still — and the gate hash-pins the
+    * exact file-hit counts of all three at every SF, so a layout-key
+    * regression shows up as a pruning number, not a vibe. The
+    * deterministic chunk model is what makes the profile portable (the
+    * oracle replays it row for row); a production write cuts files via
+    * `hilbertBy`'s range shuffle, whose boundaries are cluster-
+    * dependent — same geometry, different cut points. The global
+    * row_number window is the same single-sort cost class as the z1/z2
+    * ordering gates; the production path stays the range repartition.
+    * File grain 512 rows keeps tens-to-thousands of files across the
+    * SFs. */
+  def z3PruningProfile(sp: SparkSession, dir: String): DataFrame = {
+    val base = lineitem(sp, dir).select(col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_partkey").bitwiseAND(255).as("x"),
+      col("l_suppkey").bitwiseAND(255).as("y"))
+    // query box = the middle decile of each OBSERVED grid dimension
+    // (integer arithmetic, so the oracle replays the bounds exactly):
+    // a fixed box would fall outside the populated grid at small SFs
+    // where suppkey & 255 spans only 1..10·SF·100
+    val box = base.agg(min(col("x")).as("gxlo"), max(col("x")).as("gxhi"),
+      min(col("y")).as("gylo"), max(col("y")).as("gyhi"))
+      .select(
+        expr("gxlo + (gxhi - gxlo) * 45 div 100").as("lx"),
+        expr("gxlo + (gxhi - gxlo) * 55 div 100").as("hx"),
+        expr("gylo + (gyhi - gylo) * 45 div 100").as("ly"),
+        expr("gylo + (gyhi - gylo) * 55 div 100").as("hy"))
+    def profile(name: String, keyed: DataFrame): DataFrame = {
+      keyed.withColumn("f",
+          expr("(row_number() OVER (ORDER BY k, l_orderkey, " +
+            "l_linenumber) - 1) div 512"))
+        .groupBy("f")
+        .agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
+          min(col("y")).as("ymn"), max(col("y")).as("ymx"))
+        .crossJoin(broadcast(box))
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("xmn") <= col("hx") && col("xmx") >= col("lx") &&
+            col("ymn") <= col("hy") && col("ymx") >= col("ly"), 1))
+            .as("n_hit"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_hit"),
+          expr("n_hit * 10000 div n_files").as("hit_bp"))
+    }
+    val unsorted = base.withColumn("k", lit(0L))
+    val morton = base.withColumn("k",
+      graft.operators.Layout.zvalue(col("x"), col("y")))
+    val hilbert = base.withColumn("k",
+      graft.operators.Layout.hilbertValue(col("x"), col("y")))
+    profile("hilbert", hilbert)
+      .union(profile("unsorted", unsorted))
+      .union(profile("zorder", morton))
+      .orderBy("layout")
+  }
+
+  val z3Sql: String = {
+    def step(s: Int, in: String, out: String): String =
+      s"""$out AS (SELECT l_orderkey, l_linenumber, x0, y0,
+         |  d + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |       WHEN rx = 0 AND ry = 1 THEN 1
+         |       WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END) AS d,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - y
+         |       WHEN ry = 0 THEN y ELSE x END AS x,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - x
+         |       WHEN ry = 0 THEN x ELSE y END AS y
+         |  FROM (SELECT *,
+         |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM $in))""".stripMargin
+    val chain = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex
+      .map { case (s, i) => step(s, if (i == 0) "h0" else s"h$i", s"h${i + 1}") }
+      .mkString(",\n")
+    s"""WITH h0 AS (SELECT l_orderkey, l_linenumber,
+       |    l_partkey & 255 AS x0, l_suppkey & 255 AS y0,
+       |    CAST(l_partkey & 255 AS BIGINT) AS x,
+       |    CAST(l_suppkey & 255 AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$chain,
+       |keys AS (SELECT l_orderkey, l_linenumber, x0, y0,
+       |    CAST(d AS BIGINT) AS hk,
+       |    CAST((SELECT SUM((((x0 >> i) & 1) << (2 * i)) +
+       |                     (((y0 >> i) & 1) << (2 * i + 1)))
+       |          FROM range(0, 16) t(i)) AS BIGINT) AS zk
+       |  FROM h8),
+       |lay AS (
+       |  SELECT 'hilbert' AS layout, hk AS k, l_orderkey, l_linenumber,
+       |    x0, y0 FROM keys
+       |  UNION ALL SELECT 'unsorted', 0, l_orderkey, l_linenumber,
+       |    x0, y0 FROM keys
+       |  UNION ALL SELECT 'zorder', zk, l_orderkey, l_linenumber,
+       |    x0, y0 FROM keys),
+       |files AS (SELECT layout,
+       |    (row_number() OVER (PARTITION BY layout
+       |      ORDER BY k, l_orderkey, l_linenumber) - 1) // 512 AS f,
+       |    x0, y0 FROM lay),
+       |bb AS (SELECT layout, f, min(x0) AS xmn, max(x0) AS xmx,
+       |    min(y0) AS ymn, max(y0) AS ymx
+       |  FROM files GROUP BY layout, f),
+       |box AS (SELECT gxlo + (gxhi - gxlo) * 45 // 100 AS lx,
+       |    gxlo + (gxhi - gxlo) * 55 // 100 AS hx,
+       |    gylo + (gyhi - gylo) * 45 // 100 AS ly,
+       |    gylo + (gyhi - gylo) * 55 // 100 AS hy
+       |  FROM (SELECT min(x0) AS gxlo, max(x0) AS gxhi,
+       |      min(y0) AS gylo, max(y0) AS gyhi FROM keys))
+       |SELECT layout, count(*) AS n_files,
+       |  count(*) FILTER (xmn <= hx AND xmx >= lx
+       |    AND ymn <= hy AND ymx >= ly) AS n_hit,
+       |  count(*) FILTER (xmn <= hx AND xmx >= lx
+       |    AND ymn <= hy AND ymx >= ly) * 10000 // count(*) AS hit_bp
+       |FROM bb, box GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   /** Text hygiene: PII scrubbing (emails, phone numbers) + Unicode NFC
     * normalization over text with injected PII and a decomposed accent —
     * both verified against DuckDB's identical regexes / nfc_normalize. */
@@ -8258,6 +8375,7 @@ object ExtensionQueries {
     "t17_cms_heavy" -> (t17CmsHeavyHitters _),
     "z1_zorder" -> (z1Zorder _),
     "z2_hilbert" -> (z2Hilbert _),
+    "z3_pruning_profile" -> (z3PruningProfile _),
     "t9b_stratified_threshold" -> (t9bStratifiedThreshold _),
     "d1_dedup_exact" -> (d1Exact _),
     "d2_minhash_sig" -> (d2MinhashSig _),
@@ -8429,6 +8547,7 @@ object ExtensionQueries {
     "t17_cms_heavy" -> t17Sql,
     "z1_zorder" -> z1Sql,
     "z2_hilbert" -> z2Sql,
+    "z3_pruning_profile" -> z3Sql,
     "t9b_stratified_threshold" -> t9bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,

@@ -2306,6 +2306,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("z3 pruning profile: both space-filling layouts strictly prune " +
+      "the box query while the unsorted stripes read everything") {
+    val rows = graft.queries.ExtensionQueries
+      .z3PruningProfile(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("hilbert", "zorder", "unsorted"))
+    val (nf, unsortedHit) = rows("unsorted")
+    assert(rows.values.forall(_._1 == nf), "same file count per layout")
+    assert(unsortedHit == nf,
+      "unsorted files stripe the whole domain — all must hit")
+    Seq("hilbert", "zorder").foreach { l =>
+      assert(rows(l)._2 < unsortedHit,
+        s"$l failed to prune anything vs unsorted")
+      assert(rows(l)._2 > 0,
+        s"$l pruned the populated box away — bbox logic suspect")
+    }
+  }
+
   test("a26 nprobe curve: recall is monotone non-decreasing in probe " +
       "depth and the curve genuinely moves on this fixture") {
     val rows = graft.queries.ExtensionQueries
