@@ -50,8 +50,8 @@ object Text {
     (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("double") /
       length(c)
 
-  private val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in",
-    "is", "it", "that")
+  private[graft] val Stopwords = Seq("the", "a", "an", "of", "and", "to",
+    "in", "is", "it", "that")
 
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(c: Column): Column =

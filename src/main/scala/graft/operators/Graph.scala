@@ -381,6 +381,54 @@ object Graph {
         .otherwise(lit(0L)))
   }
 
+  /** Per-community MODULARITY decomposition (Newman 2004) over the
+    * undirected SIMPLE graph (symmetrized, de-duplicated, self-loops
+    * dropped): for communities `labels` = (id, lab), emits per community
+    * c the node count, degree mass d_c, DIRECTED intra-edge count
+    * intra2_c (= 2·l_c, both orientations of each intra edge), the
+    * directed-edge total u_tot (= 2m), and the exact integer numerator
+    *   q_num_c = intra2_c·u_tot − d_c²,
+    * so global modularity Q = Σ_c q_num_c / u_tot² — one exact rational,
+    * no float ever exists on either engine (the standard form
+    * Q = Σ_c (l_c/m − (d_c/2m)²) multiplied through by u_tot² = 4m²).
+    * This is the "are these communities real" acceptance number for any
+    * community detector (labelPropagation here): Q near 0 means the
+    * partition explains no more edges than a random graph with the same
+    * degrees. Scale shape: degrees and the directed-edge total are one
+    * partial agg each; intra counting is two hash equi-joins of the edge
+    * list against the node-domain label table (never an all-pairs);
+    * everything after is community-domain sized. Overflow envelope:
+    * q_num needs intra2·u_tot < 2⁶³ — u_tot ≤ ~3·10⁹ directed edges is
+    * safe; beyond that, scale the decomposition per community batch or
+    * move to DECIMAL. */
+  def modularityParts(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-mod-und")
+    val uTot = und.agg(count(lit(1)).as("u_tot"))
+    val deg = und.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+    val degC = deg.join(labels, Seq("id"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("degree")).as("deg_sum"))
+    val intra = und
+      .join(labels.select(col("id").as("u"), col("lab").as("__lu")),
+        Seq("u"))
+      .join(labels.select(col("id").as("v"), col("lab").as("__lv")),
+        Seq("v"))
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("lab")).agg(count(lit(1)).as("intra2"))
+    degC.join(intra, Seq("lab"), "left")
+      .na.fill(0L, Seq("intra2"))
+      .crossJoin(broadcast(uTot))
+      .select(col("lab").as("community"), col("n_nodes"), col("deg_sum"),
+        col("intra2"), col("u_tot"),
+        (col("intra2") * col("u_tot") -
+          col("deg_sum") * col("deg_sum")).as("q_num"))
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

@@ -5300,6 +5300,66 @@ object ExtensionQueries {
        |    // count(*) AS oov_bp
        |FROM nw GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** GOPHER-STYLE INDEPENDENT RULE SCREEN — the per-rule diagnosis t30's
+    * sequential funnel cannot give: t30 counts survivors of rules applied
+    * IN ORDER (rule 2's count is conditioned on rule 1), so a curation
+    * team cannot see which single rule to tune. t47 evaluates four
+    * independent document-quality rules (Rae et al. 2021 "Gopher" §A1.1
+    * repetition/word-count/mean-word-length/stopword heuristics, public)
+    * per DOCUMENT and emits the verdict vector plus n_fail — "docs
+    * failing EXACTLY this one rule" is then one filter away, which is the
+    * threshold-tuning signal. Rules: word count in [30, 50000]; mean word
+    * length in [3, 10] tested as the EXACT integer inequality
+    * 3·wc ≤ sum_chars ≤ 10·wc (sum of token lengths = length − (wc−1) on
+    * the single-space token stream — no float mean exists); ≥ 2 DISTINCT
+    * stopwords present (array_intersect against the 10-word list); 3-gram
+    * repetition ratio ≤ 0.2 (the t11 codegen kernel). Scale shape: four
+    * per-row codegen predicates, zero shuffle before the final sort —
+    * embarrassingly parallel at any corpus size. */
+  def t47GopherRules(sp: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val wc = size(toks)
+    val sumChars = length(col("text")) - (wc - lit(1))
+    val rWc = wc.between(30, 50000)
+    val rMwl = sumChars >= wc * 3 && sumChars <= wc * 10
+    val rStop = size(array_intersect(array_distinct(toks),
+      array(Text.Stopwords.map(lit): _*))) >= 2
+    val rRep = Text.repetitionRatio(col("text"), 3) <= 0.2
+    documents(sp, dir).select(col("doc_id"), wc.as("wc"),
+        rWc.as("r_wc"), rMwl.as("r_mwl"), rStop.as("r_stop"),
+        rRep.as("r_rep"))
+      .withColumn("n_fail", lit(4) - col("r_wc").cast("int")
+        - col("r_mwl").cast("int") - col("r_stop").cast("int")
+        - col("r_rep").cast("int"))
+      .withColumn("keep", col("n_fail") === 0)
+      .orderBy("doc_id")
+  }
+
+  val t47Sql: String = {
+    val stops = Text.Stopwords.map(w => s"'$w'").mkString(", ")
+    val rawSh = s"CASE WHEN len($Toks) < 3 THEN [] ELSE " +
+      s"list_transform(range(1, len($Toks)-2+1), i -> " +
+      s"array_to_string($Toks[i:i+2], ' ')) END"
+    s"""WITH b AS (SELECT doc_id, len($Toks) AS wc,
+       |    length(text) - (len($Toks) - 1) AS sum_chars,
+       |    len(list_intersect(list_distinct($Toks), [$stops])) AS n_stop,
+       |    $rawSh AS sh
+       |  FROM documents),
+       |r AS (SELECT doc_id, CAST(wc AS INT) AS wc,
+       |    wc BETWEEN 30 AND 50000 AS r_wc,
+       |    sum_chars >= wc * 3 AND sum_chars <= wc * 10 AS r_mwl,
+       |    n_stop >= 2 AS r_stop,
+       |    (CASE WHEN len(sh) = 0 THEN 0.0
+       |          ELSE round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh),
+       |            4) END) <= 0.2 AS r_rep
+       |  FROM b)
+       |SELECT doc_id, wc, r_wc, r_mwl, r_stop, r_rep,
+       |  4 - (r_wc::INT + r_mwl::INT + r_stop::INT + r_rep::INT)
+       |    AS n_fail,
+       |  (r_wc::INT + r_mwl::INT + r_stop::INT + r_rep::INT) = 4 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
     * "user flow" diagram: consecutive event pairs per user (ordered by
     * event time, ties by id) reduce to (from_type, to_type) transition
@@ -6318,6 +6378,61 @@ object ExtensionQueries {
       |    ELSE 0 END AS BIGINT) AS cc_bp
       |FROM deg LEFT JOIN tc ON tc.id = deg.u
       |ORDER BY id""".stripMargin
+
+  /** MODULARITY of the g4 label-propagation communities
+    * ([[graft.operators.Graph.modularityParts]]) — the "are these
+    * communities real" acceptance number: per-community exact integer
+    * numerators q_num = intra2·u_tot − deg_sum² over the simple
+    * (self-loop-free) derived link graph, with Q = Σ q_num / u_tot² one
+    * exact rational. Detector output (g4) and detector QUALITY (g11)
+    * are deliberately separate gates: a label-prop regression that
+    * still emits plausible labels shifts every q_num here. The oracle
+    * replays the 3 label-prop rounds AND the full decomposition.
+    * (labelPropagation runs on the raw symmetrized graph, self-loops
+    * kept, exactly as g4 defines it; modularity's edge universe drops
+    * self-loops — nodes with ONLY self-loop edges would count in a
+    * community's n_nodes 0 times, matching the simple-graph contract.) */
+  def g11Modularity(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.modularityParts(linkEdges(sp, dir),
+        graft.operators.Graph.labelPropagation(linkEdges(sp, dir),
+          rounds = 3))
+      .orderBy("community")
+
+  val g11Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""c$cur AS (SELECT e.v AS id, l.lab, COUNT(*) AS c
+         |  FROM undl e JOIN l$prev l ON e.u = l.id GROUP BY 1, 2),
+         |l$cur AS (SELECT id, lab FROM (
+         |  SELECT id, lab, row_number() OVER (
+         |    PARTITION BY id ORDER BY c DESC, lab) AS rn FROM c$cur)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |undl AS (SELECT src AS u, dst AS v FROM edges
+       |         UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT DISTINCT u AS id FROM undl),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")},
+       |und AS (SELECT u, v FROM undl WHERE u <> v),
+       |ut AS (SELECT CAST(count(*) AS BIGINT) AS u_tot FROM und),
+       |deg AS (SELECT u AS id, count(*) AS degree FROM und GROUP BY 1),
+       |dc AS (SELECT l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.degree) AS BIGINT) AS deg_sum
+       |  FROM deg d JOIN l3 l ON d.id = l.id GROUP BY 1),
+       |ia AS (SELECT lu.lab, CAST(count(*) AS BIGINT) AS intra2
+       |  FROM und e
+       |  JOIN l3 lu ON e.u = lu.id
+       |  JOIN l3 lv ON e.v = lv.id AND lu.lab = lv.lab
+       |  GROUP BY 1)
+       |SELECT dc.lab AS community, dc.n_nodes, dc.deg_sum,
+       |  CAST(coalesce(ia.intra2, 0) AS BIGINT) AS intra2,
+       |  ut.u_tot,
+       |  CAST(coalesce(ia.intra2, 0) * ut.u_tot
+       |    - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num
+       |FROM dc LEFT JOIN ia ON ia.lab = dc.lab CROSS JOIN ut
+       |ORDER BY community""".stripMargin
+  }
 
   /** Connected components ([[graft.operators.Graph.connectedComponents]],
     * hash-to-min + pointer doubling, O(log diameter) rounds) over the
@@ -8436,6 +8551,7 @@ object ExtensionQueries {
     "t44_assoc_mining" -> (t44AssocMining _),
     "t45_quantile_norm" -> (t45QuantileNorm _),
     "t46_oov_drift" -> (t46OovDrift _),
+    "t47_gopher_rules" -> (t47GopherRules _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -8480,6 +8596,7 @@ object ExtensionQueries {
     "m7_scene_cuts" -> (m7SceneCuts _),
     "g9_link_predict" -> (g9LinkPredict _),
     "g10_clustering_coeff" -> (g10ClusteringCoeff _),
+    "g11_modularity" -> (g11Modularity _),
     "s17_late_data" -> (s17LateData _),
     "t33_zipf_profile" -> (t33ZipfProfile _),
     "p12_gini" -> (p12Gini _),
@@ -8603,6 +8720,7 @@ object ExtensionQueries {
     "t44_assoc_mining" -> t44Sql,
     "t45_quantile_norm" -> t45Sql,
     "t46_oov_drift" -> t46Sql,
+    "t47_gopher_rules" -> t47Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,
@@ -8652,6 +8770,7 @@ object ExtensionQueries {
     "m7_scene_cuts" -> m7Sql,
     "g9_link_predict" -> g9Sql,
     "g10_clustering_coeff" -> g10Sql,
+    "g11_modularity" -> g11Sql,
     "s17_late_data" -> s17Sql,
     "t33_zipf_profile" -> t33Sql,
     "p12_gini" -> p12Sql,

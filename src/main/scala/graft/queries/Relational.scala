@@ -2123,6 +2123,162 @@ object Relational {
       |UNION ALL SELECT 'orders', nb, np, nb - np, 0 FROM o
       |ORDER BY tbl""".stripMargin
 
+  /** CANDIDATE-KEY DISCOVERY — the schema-profiling staple (uniqueness
+    * screen): for a declared list of candidate column sets per table,
+    * report row count, distinct count, duplicate excess, uniqueness in
+    * exact integer basis points, and the is_key verdict. Scale shape: ONE
+    * scan per table computes every candidate's distinct count as a
+    * multi-distinct aggregate (Catalyst's Expand rewrite — the scan is
+    * read once and replicated per distinct group in-memory, which beats k
+    * separate scans of a 100 TB table; the candidate-grain explode after
+    * the 1-row aggregate is free). countDistinct over a struct counts
+    * distinct key TUPLES, matching the oracle's DISTINCT subselects on
+    * this null-free schema (a null-keyed row would count under
+    * countDistinct's struct but be collapsed by SQL DISTINCT the same
+    * way — structs make the tuple itself non-null). */
+  def p25KeyDiscovery(s: SparkSession, d: String): DataFrame = {
+    def profile(tbl: String, df: DataFrame,
+        cands: Seq[Seq[String]]): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        cands.zipWithIndex.map { case (cs, i) =>
+          countDistinct(struct(cs.map(col): _*)).as(s"__d_$i")
+        }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cands.zipWithIndex.map { case (cs, i) =>
+            struct(lit(cs.mkString(",")).as("candidate"),
+              col(s"__d_$i").as("n_distinct"))
+          }: _*)).as("c"), col("n_rows"))
+        .select(lit(tbl).as("tbl"), col("c.candidate"), col("n_rows"),
+          col("c.n_distinct"))
+    }
+    val rows = profile("orders", orders(s, d), Seq(
+        Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("o_custkey", "o_orderdate")))
+      .union(profile("lineitem", lineitem(s, d), Seq(
+        Seq("l_orderkey"), Seq("l_orderkey", "l_linenumber"),
+        Seq("l_partkey", "l_suppkey"))))
+      .union(profile("customer", customer(s, d), Seq(
+        Seq("c_custkey"), Seq("c_nationkey"))))
+    rows
+      .withColumn("n_excess", col("n_rows") - col("n_distinct"))
+      .withColumn("uniqueness_bp", expr("n_distinct * 10000 div n_rows"))
+      .withColumn("is_key", col("n_excess") === 0)
+      .orderBy("tbl", "candidate")
+  }
+
+  val p25Sql: String = {
+    def cand(tbl: String, cols: Seq[String]): String = {
+      val cn = cols.mkString(",")
+      val sel = cols.mkString(", ")
+      s"""SELECT '$tbl' AS tbl, '$cn' AS candidate,
+         |  CAST((SELECT count(*) FROM $tbl) AS BIGINT) AS n_rows,
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT $sel FROM $tbl))
+         |    AS BIGINT) AS n_distinct""".stripMargin
+    }
+    val parts = Seq(
+      cand("orders", Seq("o_orderkey")),
+      cand("orders", Seq("o_custkey")),
+      cand("orders", Seq("o_custkey", "o_orderdate")),
+      cand("lineitem", Seq("l_orderkey")),
+      cand("lineitem", Seq("l_orderkey", "l_linenumber")),
+      cand("lineitem", Seq("l_partkey", "l_suppkey")),
+      cand("customer", Seq("c_custkey")),
+      cand("customer", Seq("c_nationkey"))).mkString("\nUNION ALL ")
+    s"""WITH cand AS ($parts)
+       |SELECT tbl, candidate, n_rows, n_distinct,
+       |  n_rows - n_distinct AS n_excess,
+       |  n_distinct * 10000 // n_rows AS uniqueness_bp,
+       |  n_rows - n_distinct = 0 AS is_key
+       |FROM cand ORDER BY tbl, candidate""".stripMargin
+  }
+
+  /** FOREIGN-KEY CONFORMANCE AUDIT — the referential-integrity profile a
+    * warehouse runs before trusting joins (and the inverse of q49's
+    * purge: q49 erases a cascade, q50 certifies the links): for every FK
+    * edge of the star schema, child row count, ORPHAN child rows (no
+    * parent — the broken-join rows), distinct parents actually
+    * referenced, parent table size, and coverage/orphan rates in exact
+    * integer basis points. Scale shape per edge: the child collapses to
+    * its KEY DOMAIN in one partial agg (carrying per-key row counts so
+    * orphan ROWS are recoverable from the domain table), then ONE
+    * left equi-join of that domain against the parent's key projection —
+    * the 100 TB fact table is scanned once and never joined raw; parent
+    * sizes ride broadcast 1-row aggregates. The fixture is referentially
+    * intact, so every orphan count is hash-pinned at zero — a scan or
+    * join regression that drops parents surfaces as a non-zero orphan or
+    * a coverage shift. */
+  def q50FkAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ckey: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val dom = child.groupBy(col(ckey).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val pk = parent.select(col(pkey).as("k"), lit(1).as("__p"))
+      val np = parent.agg(count(lit(1)).as("n_parents"))
+      dom.join(pk, Seq("k"), "left")
+        .agg(sum(col("cnt")).as("n_child"),
+          sum(when(col("__p").isNull, col("cnt")).otherwise(0L))
+            .as("n_orphan"),
+          count(when(col("__p").isNotNull, 1)).as("n_referenced"))
+        .crossJoin(broadcast(np))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphan"),
+          col("n_referenced"), col("n_parents"),
+          expr("n_referenced * 10000 div n_parents").as("coverage_bp"),
+          expr("n_orphan * 10000 div n_child").as("orphan_bp"))
+    }
+    edge("lineitem.l_orderkey->orders.o_orderkey",
+        lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+      .union(edge("lineitem.l_partkey->part.p_partkey",
+        lineitem(s, d), "l_partkey", part(s, d), "p_partkey"))
+      .union(edge("lineitem.l_suppkey->supplier.s_suppkey",
+        lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey"))
+      .union(edge("orders.o_custkey->customer.c_custkey",
+        orders(s, d), "o_custkey", customer(s, d), "c_custkey"))
+      .union(edge("customer.c_nationkey->nation.n_nationkey",
+        customer(s, d), "c_nationkey", nation(s, d), "n_nationkey"))
+      .union(edge("supplier.s_nationkey->nation.n_nationkey",
+        supplier(s, d), "s_nationkey", nation(s, d), "n_nationkey"))
+      .union(edge("nation.n_regionkey->region.r_regionkey",
+        nation(s, d), "n_regionkey", region(s, d), "r_regionkey"))
+      .orderBy("edge")
+  }
+
+  val q50Sql: String = {
+    def edge(name: String, child: String, ckey: String,
+        parent: String, pkey: String): String =
+      s"""SELECT '$name' AS edge,
+         |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+         |  CAST((SELECT count(*) FROM $child
+         |    WHERE $ckey NOT IN (SELECT $pkey FROM $parent))
+         |    AS BIGINT) AS n_orphan,
+         |  CAST((SELECT count(*) FROM
+         |    (SELECT DISTINCT $ckey FROM $child)
+         |    WHERE $ckey IN (SELECT $pkey FROM $parent))
+         |    AS BIGINT) AS n_referenced,
+         |  CAST((SELECT count(*) FROM $parent) AS BIGINT)
+         |    AS n_parents""".stripMargin
+    val parts = Seq(
+      edge("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation.n_nationkey",
+        "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation.n_regionkey->region.r_regionkey",
+        "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS ($parts)
+       |SELECT edge, n_child, n_orphan, n_referenced, n_parents,
+       |  n_referenced * 10000 // n_parents AS coverage_bp,
+       |  n_orphan * 10000 // n_child AS orphan_bp
+       |FROM e ORDER BY edge""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_erasure_cascade" -> (q49Erasure _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -2182,7 +2338,9 @@ object Relational {
     "q46_null_safe_join" -> (q46NullSafeJoin _),
     "q47_merge_upsert" -> (q47Merge _),
     "p10_correlation" -> (p10Correlation _),
-    "p11_benford" -> (p11Benford _))
+    "p11_benford" -> (p11Benford _),
+    "p25_key_discovery" -> (p25KeyDiscovery _),
+    "q50_fk_audit" -> (q50FkAudit _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -2243,5 +2401,7 @@ object Relational {
     "q46_null_safe_join" -> q46Sql,
     "q47_merge_upsert" -> q47Sql,
     "p10_correlation" -> p10Sql,
-    "p11_benford" -> p11Sql)
+    "p11_benford" -> p11Sql,
+    "p25_key_discovery" -> p25Sql,
+    "q50_fk_audit" -> q50Sql)
 }

@@ -2495,4 +2495,96 @@ class OperatorSpec extends AnyFunSuite {
         s"qid $q picked sibling chunks of one document: $parents")
     }
   }
+
+  test("t47 gopher rules: every rule reconstructs from raw text, n_fail " +
+      "and keep are consistent, and wc/stopword rules genuinely " +
+      "discriminate on the fixture") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtensionQueries
+      .t47GopherRules(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getInt(6),
+        r.getBoolean(7)))
+    val texts = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    val stops = Set("the", "a", "an", "of", "and", "to", "in", "is",
+      "it", "that")
+    out.foreach { case (id, wc, rWc, rMwl, rStop, rRep, nFail, keep) =>
+      val toks = texts(id).split(" ", -1).toSeq
+      assert(wc == toks.length, s"doc $id wc")
+      assert(rWc == (wc >= 30 && wc <= 50000), s"doc $id r_wc")
+      val sumChars = toks.map(_.length).sum
+      assert(rMwl == (sumChars >= 3 * wc && sumChars <= 10 * wc),
+        s"doc $id r_mwl")
+      assert(rStop == (toks.distinct.count(stops) >= 2), s"doc $id r_stop")
+      val sh = if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val rep = if (sh.isEmpty) 0.0
+        else BigDecimal(1.0 - sh.distinct.length.toDouble / sh.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rRep == (rep <= 0.2), s"doc $id r_rep")
+      assert(nFail == Seq(rWc, rMwl, rStop, rRep).count(!_), s"doc $id")
+      assert(keep == (nFail == 0), s"doc $id keep")
+    }
+    // independent-rule diagnosis only means something if rules fire
+    assert(out.exists(!_._3) && out.exists(_._3), "r_wc never splits")
+    assert(out.exists(!_._5) && out.exists(_._5), "r_stop never splits")
+  }
+
+  test("p25 key discovery: declared PKs verify as keys, known non-keys " +
+      "fail, and excess/uniqueness arithmetic is exact") {
+    val out = graft.queries.Relational
+      .p25KeyDiscovery(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    assert(out.size == 8)
+    assert(out(("orders", "o_orderkey"))._5, "o_orderkey is the PK")
+    assert(out(("customer", "c_custkey"))._5, "c_custkey is the PK")
+    // the synthetic fixture does NOT honor TPC-H's composite lineitem
+    // PK — (l_orderkey, l_linenumber) has duplicate tuples — and the
+    // profiler's job is to DISCOVER that, not assume the spec sheet
+    assert(!out(("lineitem", "l_orderkey,l_linenumber"))._5,
+      "fixture fact: the composite is not unique here")
+    assert(!out(("lineitem", "l_orderkey"))._5,
+      "l_orderkey alone cannot be a key")
+    assert(out(("lineitem", "l_orderkey,l_linenumber"))._4 >
+      out(("lineitem", "l_orderkey"))._4,
+      "adding a column must raise uniqueness")
+    assert(!out(("customer", "c_nationkey"))._5)
+    val nOrders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+      .count()
+    out.foreach { case ((tbl, cand), (n, d, ex, bp, isKey)) =>
+      assert(ex == n - d, s"$tbl/$cand excess")
+      assert(bp == d * 10000L / n, s"$tbl/$cand bp floor")
+      assert(isKey == (ex == 0L), s"$tbl/$cand verdict")
+      if (tbl == "orders") assert(n == nOrders)
+    }
+  }
+
+  test("q50 fk audit: the intact fixture pins every orphan at zero, " +
+      "parent counts match the tables, and the lineitem->orders edge " +
+      "reconciles against an independent distinct-key count") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.Relational.q50FkAudit(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.size == 7)
+    out.foreach { case (e, (nc, orph, nref, np, covBp, orphBp)) =>
+      assert(orph == 0L, s"$e orphan rows on an intact schema")
+      assert(orphBp == 0L, s"$e orphan bp")
+      assert(nref <= np, s"$e cannot reference more parents than exist")
+      assert(covBp == nref * 10000L / np, s"$e coverage floor")
+    }
+    val li = graft.Tables.lineitem(spark, d)
+    val e = out("lineitem.l_orderkey->orders.o_orderkey")
+    assert(e._1 == li.count())
+    assert(e._3 == li.select(countDistinct(col("l_orderkey"))).head
+      .getLong(0))
+    assert(e._4 == graft.Tables.orders(spark, d).count())
+    assert(out("customer.c_nationkey->nation.n_nationkey")._6 == 0L)
+  }
 }
