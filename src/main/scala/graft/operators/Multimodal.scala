@@ -342,6 +342,55 @@ object Multimodal {
       ChannelStatsRow(0L, c, n, sums(c), mins(c), maxs(c))))
   }
 
+  case class LuminanceRow(doc_id: Long, n_pixels: Long, lum_sum: Long,
+    lum_min: Int, lum_max: Int, h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Grayscale (ITU-R BT.601 luma) profile of a 24bpp BMP: per-pixel
+    * integer luminance lum = (299·R + 587·G + 114·B) div 1000 — the
+    * standard RGB→gray weights in exact thousandths, floor division, so
+    * no float crosses an engine — reduced to sum/min/max plus a 4-bucket
+    * histogram (lum div 64: shadows / low-mid / high-mid / highlights).
+    * This is the exposure/contrast screen an image-curation pipeline
+    * thresholds before training (all-dark, all-blown, or zero-contrast
+    * frames carry no signal), and the per-doc reduction the m5 aHash
+    * builds on. BMP rows store B,G,R per pixel — channel index 2 is red.
+    * One header decode + one pass over the pixel data per row; no state
+    * across rows. */
+  def bmpLuminance(m: Array[Byte]): Option[LuminanceRow] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    if (buf.getShort(28) != 24 || width <= 0 || height <= 0) return None
+    val rowSize = ((3 * width + 3) / 4) * 4
+    if (off < 0 || off > m.length ||
+      rowSize.toLong * height > m.length - off) return None
+    var sum = 0L
+    var mn = 255
+    var mx = 0
+    val hist = new Array[Long](4)
+    var y = 0
+    while (y < height) {
+      val row = off + y * rowSize
+      var x = 0
+      while (x < width) {
+        val b = m(row + x * 3) & 0xff
+        val g = m(row + x * 3 + 1) & 0xff
+        val r = m(row + x * 3 + 2) & 0xff
+        val lum = (299 * r + 587 * g + 114 * b) / 1000
+        sum += lum
+        if (lum < mn) mn = lum
+        if (lum > mx) mx = lum
+        hist(lum / 64) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(LuminanceRow(0L, width.toLong * height, sum, mn, mx,
+      hist(0), hist(1), hist(2), hist(3)))
+  }
+
   /** Batch decode over partitions (codec init once per partition). */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._

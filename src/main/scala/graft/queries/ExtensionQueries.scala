@@ -5360,6 +5360,58 @@ object ExtensionQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** CORPUS N-GRAM NOVELTY — the saturation curve behind every "is more
+    * data still worth ingesting" decision (and the corpus-level signal
+    * Lee et al. 2022 derive from duplicate-gram statistics): for each
+    * document, the fraction of its DISTINCT 3-gram types whose FIRST
+    * corpus occurrence is this document (doc_id as ingest order). A
+    * corpus whose late documents show low novelty_bp is recrawling
+    * itself — ingest money is buying grams the model already has.
+    * Differs from t22/t42 (within- and cross-doc duplicate SPANS on
+    * overlapping gram instances) and d5 (pairwise Jaccard): this is
+    * first-occurrence ELECTION on the gram-type domain, credited back
+    * to the electing document. Scale shape: the (doc, gram) distinct
+    * pairs table is the one corpus-sized intermediate (t42's occurrence
+    * table without positions); first occurrence is ONE min() partial
+    * agg on the gram key; the join back is a shuffle hash equi-join on
+    * the same key — the corpus is never self-joined. Exact integer bp;
+    * gramless docs (< 3 tokens) surface with zeros rather than vanish
+    * (d19/t42 precedent). */
+  def t48NgramNovelty(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val pairs = docs.select(col("doc_id"),
+        explode(graft.operators.Dedup.shingleSet(col("text"), 3))
+          .as("gram"))
+    val first = pairs.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val per = pairs.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(expr("n_novel * 10000 div n_grams"), lit(0L))
+          .as("novelty_bp"))
+      .orderBy("doc_id")
+  }
+
+  val t48Sql: String =
+    s"""WITH g AS (SELECT doc_id, gg.gg AS gram
+       |  FROM documents, unnest(${shingleSql(Toks)}) AS gg(gg)),
+       |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+       |per AS (SELECT g.doc_id, count(*) AS n_grams,
+       |    count(*) FILTER (f.first_doc = g.doc_id) AS n_novel
+       |  FROM g JOIN f USING (gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(per.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST(coalesce(per.n_novel * 10000 // per.n_grams, 0) AS BIGINT)
+       |    AS novelty_bp
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
     * "user flow" diagram: consecutive event pairs per user (ordered by
     * event time, ties by id) reduce to (from_type, to_type) transition
@@ -8470,6 +8522,57 @@ object ExtensionQueries {
        |ORDER BY doc_id, channel""".stripMargin
   }
 
+  /** GRAYSCALE LUMINANCE PROFILE ([[Multimodal.bmpLuminance]]): per-BMP
+    * BT.601 integer luma sum/min/max plus the 4-bucket exposure
+    * histogram — the all-dark / blown-out / zero-contrast screen an
+    * image pipeline applies before spending GPU time, and the exact
+    * reduction m5's average-hash thresholds build on. Same per-doc map
+    * shape as m8 (zero shuffle before the final sort); the oracle
+    * recomputes EVERY pixel's three channels from the blob-fill formula
+    * and replays the exact (299R + 587G + 114B) div 1000 luma and the
+    * div-64 bucketing, so a swapped B/R channel, a float luma, or an
+    * off-by-one stride all fail the hash. */
+  def m14GrayHist(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap(r => Multimodal.bmpLuminance(r.media)
+        .map(s => (r.doc_id, s.n_pixels, s.lum_sum, s.lum_min, s.lum_max,
+          s.h0, s.h1, s.h2, s.h3)))
+      .toDF("doc_id", "n_pixels", "lum_sum", "lum_min", "lum_max",
+        "h0", "h1", "h2", "h3")
+      .withColumn("lum_mean_bp", expr("lum_sum * 10000 div n_pixels"))
+      .orderBy("doc_id")
+  }
+
+  val m14Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byte(c: Int) =
+      s"('0x' || substr(p.hx, 2 * ((ty.y * p.src_row + tx.x * 3 + $c) " +
+        s"% p.len) + 1, 2))::BIGINT"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |lum AS (SELECT p.doc_id,
+       |    (299 * ${byte(2)} + 587 * ${byte(1)} + 114 * ${byte(0)})
+       |      // 1000 AS l
+       |  FROM p, range(0, 7) ty(y), range(0, 31) tx(x)
+       |  WHERE ty.y < p.src_h AND tx.x < p.src_w)
+       |SELECT doc_id, COUNT(*) AS n_pixels,
+       |  CAST(SUM(l) AS BIGINT) AS lum_sum,
+       |  CAST(MIN(l) AS INT) AS lum_min, CAST(MAX(l) AS INT) AS lum_max,
+       |  CAST(count(*) FILTER (l // 64 = 0) AS BIGINT) AS h0,
+       |  CAST(count(*) FILTER (l // 64 = 1) AS BIGINT) AS h1,
+       |  CAST(count(*) FILTER (l // 64 = 2) AS BIGINT) AS h2,
+       |  CAST(count(*) FILTER (l // 64 = 3) AS BIGINT) AS h3,
+       |  CAST(SUM(l) AS BIGINT) * 10000 // COUNT(*) AS lum_mean_bp
+       |FROM lum GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1Tokens _),
     "t2_text_quality" -> (t2Quality _),
@@ -8522,6 +8625,7 @@ object ExtensionQueries {
     "m11_frame_delta" -> (m11FrameDelta _),
     "m12_wav_zcr" -> (m12WavZcr _),
     "m13_bmp_flip" -> (m13FlipBmp _),
+    "m14_gray_hist" -> (m14GrayHist _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -8552,6 +8656,7 @@ object ExtensionQueries {
     "t45_quantile_norm" -> (t45QuantileNorm _),
     "t46_oov_drift" -> (t46OovDrift _),
     "t47_gopher_rules" -> (t47GopherRules _),
+    "t48_ngram_novelty" -> (t48NgramNovelty _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -8691,6 +8796,7 @@ object ExtensionQueries {
     "m11_frame_delta" -> m11Sql,
     "m12_wav_zcr" -> m12Sql,
     "m13_bmp_flip" -> m13Sql,
+    "m14_gray_hist" -> m14Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
@@ -8721,6 +8827,7 @@ object ExtensionQueries {
     "t45_quantile_norm" -> t45Sql,
     "t46_oov_drift" -> t46Sql,
     "t47_gopher_rules" -> t47Sql,
+    "t48_ngram_novelty" -> t48Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,

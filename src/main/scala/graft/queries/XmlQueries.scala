@@ -727,7 +727,70 @@ object XmlQueries {
       |  l_returnflag AS first_rev
       |FROM lineitem WHERE l_orderkey % 16 = 3 ORDER BY id""".stripMargin
 
+  /** ATTRIBUTE-EQUALITY PREDICATES — `step[@a='v']` through the
+    * single-parse `xpath_multi`: the select-by-attribute-value idiom
+    * (`//item[@type='x']`) that makes XPath usable on attribute-keyed
+    * layouts, where a positional predicate cannot express "the item
+    * whose type says X" because element order varies. The gate's layout
+    * keys three `<it>` elements by a `t` attribute — one keyed by the
+    * row's OWN return flag, one by a constant, one nested a level down
+    * and keyed by the line status — and pins: constant-key selection,
+    * data-dependent presence (the `[@t='R']` match is empty unless the
+    * flag IS R — get() on the empty node-set surfaces NULL, replayed by
+    * the oracle's CASE), predicate composition with the descendant axis
+    * and the `*` wildcard, and predicate+`@attr` emission. Grammar
+    * enforces ONE predicate per step (positional OR attribute);
+    * built-in xpath() parity is pinned in XPathMultiSpec. 1/16 sample
+    * disjoint from x13-x16's. */
+  def x17XpathAttrPredicate(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 4)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it t='"), col("l_returnflag"),
+      lit("'><q>"), d2s(col("l_quantity")),
+      lit("</q></it><it t='X'><q>"), d2s(col("l_extendedprice")),
+      lit("</q></it><s><it t='"), col("l_linestatus"),
+      lit("'><q>"), d2s(col("l_tax")), lit("</q></it></s></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[@t='X']/q",
+        "/r/it[@t='R']/q",
+        "//it[@t='O']/q",
+        "/r/*[@t='X']/q",
+        "/r/it[@t='X']/@t")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p1"), lit(0)).cast("double").as("price"),
+        size(col("m.p2")).as("n_r"),
+        get(col("m.p2"), lit(0)).cast("double").as("q_r"),
+        size(col("m.p3")).as("n_o"),
+        get(col("m.p3"), lit(0)).cast("double").as("tax_o"),
+        get(col("m.p4"), lit(0)).cast("double").as("price_wild"),
+        get(col("m.p5"), lit(0)).as("t_back"))
+      .orderBy("id")
+  }
+
+  val x17Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT)
+      |    AS n_r,
+      |  CASE WHEN l_returnflag = 'R'
+      |    THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS q_r,
+      |  CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS INT)
+      |    AS n_o,
+      |  CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS tax_o,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS price_wild,
+      |  'X' AS t_back
+      |FROM lineitem WHERE l_orderkey % 16 = 4 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_xpath_attr_pred" -> (x17XpathAttrPredicate _),
     "x16_xpath_union" -> (x16XpathUnion _),
     "x15_xpath_descendant" -> (x15XpathDescendant _),
     "x13_xpath_family" -> (x13XpathFamily _),
@@ -747,6 +810,7 @@ object XmlQueries {
 
   val oracles: Map[String, String] = Map(
     "x16_xpath_union" -> x16Sql,
+    "x17_xpath_attr_pred" -> x17Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

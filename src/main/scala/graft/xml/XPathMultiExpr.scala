@@ -30,7 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (leading or between element steps — XPath's
   * `/descendant-or-self::node()/child::a` expansion, so `//a[k]`
   * keeps its per-parent sibling-position meaning), `*` name
-  * wildcards, 1-based positional predicates `[k]`, and a trailing
+  * wildcards, 1-based positional predicates `[k]`, attribute-equality
+  * predicates `[@a='v']` (one predicate per step — positional OR
+  * attribute, enforced by the grammar), and a trailing
   * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
   * element string-value (concatenated descendant text, XPath `string()`)
@@ -70,7 +72,8 @@ object XPathMini {
     * XPath's `/descendant-or-self::node()/child::name` expansion, so
     * `//a[2]` keeps the spec's sibling-position meaning (every `a` that
     * is the 2nd `a` child of ITS parent), not "2nd in document order". */
-  final case class Step(name: String, pos: Int, desc: Boolean)
+  final case class Step(name: String, pos: Int, desc: Boolean,
+      predAttr: String = null, predVal: String = null)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -85,7 +88,9 @@ object XPathMini {
     val hasDesc: Boolean = steps.exists(_.desc)
   }
 
-  private val StepRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\])?$""".r
+  private val StepRe =
+    ("""^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\]""" +
+      """|\[@([A-Za-z_][\w.-]*)='([^']*)'\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
@@ -144,11 +149,14 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case (StepRe(name, pos), desc) =>
-        Step(name, if (pos == null) 0 else pos.toInt, desc)
+      case (StepRe(name, pos, pa, pv), desc) =>
+        // the regex alternation guarantees at most ONE predicate per
+        // step: positional [k] or attribute-equality [@a='v']
+        Step(name, if (pos == null) 0 else pos.toInt, desc, pa, pv)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, //name, [k], trailing text() or @attr)")
+          "(subset: name|*, //name, [k], [@a='v'], trailing text() " +
+          "or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
@@ -279,8 +287,21 @@ object XPathMini {
       out += sb.toString
     }
 
-  private def matches(step: Step, tag: String): Boolean =
-    step.name == "*" || step.name == tag
+  private def matches(step: Step, e: Elem): Boolean =
+    (step.name == "*" || step.name == e.tag) &&
+      (step.predAttr == null || attrEq(e, step.predAttr, step.predVal))
+
+  /** Does the element carry attribute `a` with exactly value `v`?
+    * First occurrence wins, like [[emitNode]]'s attribute emission. */
+  private def attrEq(e: Elem, a: String, v: String): Boolean = {
+    if (e.attrs == null) return false
+    var k = 0
+    while (k < e.attrs.length) {
+      if (e.attrs(k)._1 == a) return e.attrs(k)._2 == v
+      k += 1
+    }
+    false
+  }
 
   /** Evaluate one compiled path against a parsed document, results in
     * document order. */
@@ -298,7 +319,7 @@ object XPathMini {
         var i = 0
         while (i < ctx.content.length) {
           ctx.content(i) match {
-            case c: Elem if matches(step, c.tag) =>
+            case c: Elem if matches(step, c) =>
               seen += 1
               if (step.pos == 0 || step.pos == seen) {
                 if (last) emitNode(p, c, out) else rec(stepIdx + 1, c)
@@ -311,7 +332,7 @@ object XPathMini {
       }
       // the first step matches the document element itself
       val s0 = p.steps(0)
-      if (root != null && matches(s0, root.tag) && s0.pos <= 1) {
+      if (root != null && matches(s0, root) && s0.pos <= 1) {
         if (p.steps.length == 1) emitNode(p, root, out) else rec(1, root)
       }
       out
@@ -324,7 +345,7 @@ object XPathMini {
     var i = 0
     while (i < ctx.content.length) {
       ctx.content(i) match {
-        case c: Elem if matches(step, c.tag) =>
+        case c: Elem if matches(step, c) =>
           seen += 1
           if (step.pos == 0 || step.pos == seen) {
             out += c

@@ -2587,4 +2587,110 @@ class OperatorSpec extends AnyFunSuite {
     assert(e._4 == graft.Tables.orders(spark, d).count())
     assert(out("customer.c_nationkey->nation.n_nationkey")._6 == 0L)
   }
+
+  test("g11 modularity: hand graph — two triangles and a bridge — " +
+      "yields the textbook per-community numerators, and the gate's " +
+      "decomposition is internally consistent") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("id", "lab")
+    val parts = Graph.modularityParts(edges, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // m = 7 undirected edges, u_tot = 14; each triangle community:
+    // degrees 2+2+3 = 7, intra2 = 6, q_num = 6*14 - 49 = 35
+    assert(parts.keySet == Set(1L, 4L))
+    parts.values.foreach { case (nNodes, degSum, intra2, uTot, qNum) =>
+      assert(nNodes == 3L); assert(degSum == 7L); assert(intra2 == 6L)
+      assert(uTot == 14L); assert(qNum == 35L)
+    }
+    // Q = 70/196 ~ 0.357 — communities are real, well inside (0, 1]
+    val out = graft.queries.ExtensionQueries
+      .g11Modularity(spark, sf).collect()
+    val uTot = out.head.getLong(4)
+    assert(out.forall(_.getLong(4) == uTot), "u_tot is a global")
+    val q = out.map(_.getLong(5)).sum.toDouble / (uTot.toDouble * uTot)
+    assert(q > -1.0 && q <= 1.0, s"modularity $q outside its range")
+    // every community's intra edges are bounded by its degree mass
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        "intra2 cannot exceed deg_sum")
+    }
+  }
+
+  test("m14 grayscale: gate rows reconstruct from the blob-fill formula " +
+      "independently (luma, extremes, histogram), and the decoder " +
+      "refuses non-BMP bytes") {
+    import org.apache.spark.sql.functions._
+    assert(Multimodal.bmpLuminance("RIFFxxxxWAVE".getBytes).isEmpty)
+    val rows = graft.queries.ExtensionQueries
+      .m14GrayHist(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toMap
+    val texts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val w = bytes.length % 31 + 1
+      val h = (id % 7 + 1).toInt
+      val rowSize = ((3 * w + 3) / 4) * 4
+      var sum = 0L; var mn = 255; var mx = 0
+      val hist = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        def b(c: Int) = bytes((y * rowSize + x * 3 + c) % bytes.length) & 0xff
+        val lum = (299 * b(2) + 587 * b(1) + 114 * b(0)) / 1000
+        sum += lum; mn = math.min(mn, lum); mx = math.max(mx, lum)
+        hist(lum / 64) += 1
+      }
+      val (np, ls, lmn, lmx, h0, h1, h2, h3, bp) = rows(id)
+      assert(np == w.toLong * h, s"doc $id n_pixels")
+      assert(ls == sum, s"doc $id lum_sum")
+      assert(lmn == mn && lmx == mx, s"doc $id extremes")
+      assert(Seq(h0, h1, h2, h3) == hist.toSeq, s"doc $id histogram")
+      assert(h0 + h1 + h2 + h3 == np, s"doc $id histogram total")
+      assert(bp == sum * 10000L / np, s"doc $id mean bp")
+    }
+  }
+
+  test("t48 ngram novelty: every row reconstructs from a first-principles " +
+      "first-occurrence election over the corpus, and novelty is total " +
+      "over documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    val gramsByDoc = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val grams = if (toks.length < 3) Set.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      grams.foreach(g => if (!firstDoc.contains(g) || firstDoc(g) > id)
+        firstDoc(g) = id)
+      id -> grams
+    }.toMap
+    val out = graft.queries.ExtensionQueries
+      .t48NgramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(out.keySet == gramsByDoc.keySet, "novelty must be total")
+    gramsByDoc.foreach { case (id, grams) =>
+      val (ng, nn, bp) = out(id)
+      assert(ng == grams.size, s"doc $id n_grams")
+      val novel = grams.count(g => firstDoc(g) == id)
+      assert(nn == novel, s"doc $id n_novel")
+      assert(bp == (if (ng == 0) 0L else novel * 10000L / ng),
+        s"doc $id bp")
+    }
+    // doc 0 is all-novel by construction; SOME later doc must repeat a
+    // gram or the novelty signal is vacuous on this fixture
+    assert(out(docs.head._1)._3 == 10000L, "first doc is all-novel")
+    assert(out.values.exists(_._3 < 10000L),
+      "no doc ever repeated a gram — fixture cannot exercise novelty")
+  }
 }

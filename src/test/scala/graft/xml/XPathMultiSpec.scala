@@ -390,4 +390,69 @@ class XPathMultiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("attribute-equality predicates [@a='v']: built-in parity, " +
+      "data-dependent selection, wildcard/descendant composition, " +
+      "first-attr-wins, grammar rejections") {
+    import spark.implicits._
+    val pdocs = Seq(
+      // two candidates, attribute selects the SECOND (position cannot)
+      "<r><it t='a'><q>1</q></it><it t='b'><q>2</q></it></r>",
+      // no match at all
+      "<r><it t='c'><q>3</q></it></r>",
+      // nested: // + predicate reaches depth 2; depth-1 'b' also matches
+      "<r><it t='b'><q>4</q></it><s><it t='b'><q>5</q></it></s></r>",
+      // entity in the matched value; empty-string value match
+      "<r><it t='x &amp; y'><q>6</q></it><it t=''><q>7</q></it></r>")
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq(
+      "/r/it[@t='b']/q", "//it[@t='b']/q", "/r/*[@t='b']/q",
+      "/r/it[@t='x & y']/q", "/r/it[@t='']/q", "/r/it[@t='b']/@t"))
+    val rows = pdocs.toDF("x").select(col("x"), m.as("m"),
+      expr("xpath(x, \"/r/it[@t='b']/q/text()\")").as("ref_child"),
+      expr("xpath(x, \"//it[@t='b']/q/text()\")").as("ref_desc"))
+      .collect()
+    val byDoc = rows.map(r => r.getString(0) -> (
+      r.getStruct(1).getSeq[String](0), r.getStruct(1).getSeq[String](1),
+      r.getStruct(1).getSeq[String](2), r.getStruct(1).getSeq[String](3),
+      r.getStruct(1).getSeq[String](4), r.getStruct(1).getSeq[String](5),
+      r.getSeq[String](2), r.getSeq[String](3))).toMap
+
+    val d0 = byDoc(pdocs(0))
+    assert(d0._1 == Seq("2"), "attribute selects by VALUE, not position")
+    assert(d0._1 == d0._7, "built-in child parity")
+    assert(d0._3 == Seq("2"), "wildcard composes with the predicate")
+    assert(d0._6 == Seq("b"), "predicate + @attr emission")
+
+    val d1 = byDoc(pdocs(1))
+    assert(d1._1 == Seq.empty && d1._7 == Seq.empty)
+
+    val d2 = byDoc(pdocs(2))
+    assert(d2._1 == Seq("4"), "child axis stays at depth 1")
+    assert(d2._2 == Seq("4", "5"), "descendant axis finds both, doc order")
+    assert(d2._2 == d2._8, "built-in descendant parity")
+
+    val d3 = byDoc(pdocs(3))
+    assert(d3._4 == Seq("6"), "entity-bearing attribute value matches " +
+      "against the UNESCAPED comparison string")
+    assert(d3._5 == Seq("7"), "empty-string value is a real match")
+
+    // grammar: one predicate per step, no double/combined predicates
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[1][@t='b']")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@t='b'][2]")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@t=b]") // unquoted value
+    }
+    // root-element predicate applies to the document element itself
+    val rm = XPathMultiExpr.xpath_multi(col("x"),
+      Seq("/r[@k='1']/it/q"))
+    val rr = Seq("<r k='1'><it><q>9</q></it></r>",
+        "<r k='2'><it><q>8</q></it></r>")
+      .toDF("x").select(rm.as("m"))
+      .collect().map(_.getStruct(0).getSeq[String](0))
+    assert(rr(0) == Seq("9") && rr(1) == Seq.empty)
+  }
 }
