@@ -3507,6 +3507,95 @@ object ExtensionQueries {
        |  round(sim, 4) AS sim
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** VECTOR-STORE DELETION — the erasure path of the index-maintenance
+    * pair (a12 is insertion): a forget-set is purged from the persisted
+    * IVF postings by ONE anti-join rewrite and queries run against the
+    * purged index. This is q49's right-to-be-forgotten applied to the
+    * embedding store — deleting source rows is not erasure while their
+    * vectors still answer similarity queries. Scale shape: per-row IVF
+    * assignment means the purged index IS the purged rows of the old
+    * index (nothing re-trains, centroids stay frozen — the a12/a18
+    * property again), and because postings are partitioned by cell, a
+    * production rewrite scopes to the AFFECTED cells via dynamic
+    * partition overwrite — the gate emits n_cells vs n_affected_cells,
+    * the numbers that size that rewrite (with the caveat that a cell
+    * whose every member is forgotten needs an explicit empty-partition
+    * delete, which dynamic overwrite alone won't produce). The
+    * `forgotten` flag per result row is computed by an ACTUAL join
+    * against the forget-set — hash-pinned FALSE on every row, so a
+    * resurrected vector fails the gate, q49's zero-residual discipline.
+    * Audit counts ride broadcast 1-row aggregates. */
+  def a27IvfDelete(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idxDir = graft.Tables.scratchDir("graft-a27-idx")
+    Ann.ivfIndex(corpus, cents)
+      .write.partitionBy("cid").mode("overwrite").parquet(idxDir)
+    val postings0 = sp.read.parquet(idxDir)
+      .withColumn("cid", col("cid").cast("long"))
+    val forget = e.filter(col("vec_id") % 17 === 5)
+      .select(col("vec_id").as("fid"))
+    // the erasure rewrite: one anti-join, persisted (at scale: scoped to
+    // affected cells with partitionOverwriteMode=dynamic)
+    val purgedDir = graft.Tables.scratchDir("graft-a27-purged")
+    postings0.join(forget, col("id") === col("fid"), "left_anti")
+      .write.partitionBy("cid").mode("overwrite").parquet(purgedDir)
+    val postings = sp.read.parquet(purgedDir)
+      .withColumn("cid", col("cid").cast("long"))
+    val audit = postings0
+      .join(forget, col("id") === col("fid"), "left")
+      .agg(count(when(col("fid").isNotNull, 1)).as("n_deleted"),
+        countDistinct(col("cid")).as("n_cells"),
+        countDistinct(when(col("fid").isNotNull, col("cid")))
+          .as("n_affected_cells"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopKOnIndex(qs, postings, cents, k = 3, nprobe = 2)
+      .join(forget, col("neighbor") === col("fid"), "left")
+      .crossJoin(broadcast(audit))
+      .select(col("qid"), col("rank"), col("neighbor"), col("sim"),
+        col("fid").isNotNull.as("forgotten"),
+        col("n_deleted"), col("n_cells"), col("n_affected_cells"))
+      .orderBy("qid", "rank")
+  }
+
+  val a27Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid)
+       |            AS rn
+       |        FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |forget AS (SELECT vec_id AS fid FROM embeddings
+       |  WHERE vec_id % 17 = 5),
+       |purged AS (SELECT * FROM cells
+       |  WHERE id NOT IN (SELECT fid FROM forget)),
+       |aud AS (SELECT
+       |    CAST((SELECT count(*) FROM cells
+       |      WHERE id IN (SELECT fid FROM forget)) AS BIGINT) AS n_deleted,
+       |    CAST((SELECT count(DISTINCT cid) FROM cells) AS BIGINT)
+       |      AS n_cells,
+       |    CAST((SELECT count(DISTINCT cid) FROM cells
+       |      WHERE id IN (SELECT fid FROM forget)) AS BIGINT)
+       |      AS n_affected_cells),
+       |probes AS (SELECT id AS qid, vec AS qvec, cid FROM asg
+       |           WHERE id < 5 AND rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM purged c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim, FALSE AS forgotten,
+       |  aud.n_deleted, aud.n_cells, aud.n_affected_cells
+       |FROM r CROSS JOIN aud WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   /** FILTERED vector search — the retrieval shape every production vector
     * store exposes (metadata predicate + ANN: "nearest among lang='en'
     * docs"). Two deliberate design points, both scale decisions:
@@ -5963,6 +6052,68 @@ object ExtensionQueries {
       |SELECT user_id, count(*) AS n_events,
       |  CAST(SUM(cents) AS BIGINT) AS cents
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** DUAL-SINK EXACTLY-ONCE FAN-OUT
+    * ([[graft.streaming.StreamOps.dualSinkFanout]]) — the multi-sink
+    * foreachBatch pattern s31 writes one sink with, completed with its
+    * failure mode: one stream feeds an aggregated rollup (sink A) and
+    * the raw event log (sink B); an injected crash tears batch 1 open
+    * in the A-committed/B-not window, the restart replays the torn
+    * epoch under the SAME batch id, and the batch_id-partition
+    * OVERWRITE absorbs the duplicate write — at-least-once delivery ×
+    * idempotent epoch writes = exactly-once content. The gate
+    * reconciles the two sinks per user AND against the DuckDB recount
+    * of the raw sample: an append-mode sink would double batch 1's
+    * rows in A and fail the hash; a swallowed replay would leave B
+    * missing the batch and fail `consistent`. Batch coverage
+    * (n_batches on each side, pinned equal at 3: 6 producer files ÷
+    * maxFilesPerTrigger 2) rides every row. Stateless stream — the
+    * exactly-once machinery is entirely sink-side, which is the point. */
+  def s33DualSink(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    val bus = events(s2, dir).filter(col("event_id") % 16 === 7)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+    require(bus.limit(1).count() > 0,
+      "s33: the 1/16 event_id sample is empty — fixture too small for " +
+        "a fan-out bus")
+    val inDir = graft.Tables.scratchDir("graft-s33-in")
+    bus.repartition(6).write.mode("overwrite").parquet(inDir)
+    val changes = s2.readStream.schema(bus.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val (aDir, bDir) = graft.streaming.StreamOps
+      .dualSinkFanout(s2, changes, failAt = 1L)
+    val a = s2.read.parquet(aDir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_a"), sum(col("cents")).as("cents_a"))
+    val b = s2.read.parquet(bDir)
+    val bAgg = b.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("cents_b"))
+    val cov = s2.read.parquet(aDir)
+      .agg(countDistinct(col("batch_id")).as("n_batches_a"))
+      .crossJoin(b.agg(countDistinct(col("batch_id")).as("n_batches_b")))
+    a.join(bAgg, Seq("user_id"), "full_outer")
+      .crossJoin(broadcast(cov))
+      .select(col("user_id"), col("n_a"), col("cents_a"), col("n_b"),
+        col("cents_b"),
+        (col("n_a") <=> col("n_b") &&
+          col("cents_a") <=> col("cents_b")).as("consistent"),
+        col("n_batches_a"), col("n_batches_b"))
+      .orderBy("user_id")
+  }
+
+  val s33Sql: String =
+    """WITH s AS (SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_id % 16 = 7),
+      |g AS (SELECT user_id, count(*) AS n, CAST(SUM(cents) AS BIGINT)
+      |    AS cents
+      |  FROM s GROUP BY user_id)
+      |SELECT user_id, n AS n_a, cents AS cents_a, n AS n_b,
+      |  cents AS cents_b, TRUE AS consistent,
+      |  CAST(3 AS BIGINT) AS n_batches_a, CAST(3 AS BIGINT)
+      |    AS n_batches_b
+      |FROM g ORDER BY user_id""".stripMargin
 
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
@@ -8678,6 +8829,7 @@ object ExtensionQueries {
     "a23_bq_hamming" -> (a23BqHamming _),
     "a24_knn_probe" -> (a24KnnProbe _),
     "a26_nprobe_curve" -> (a26NprobeCurve _),
+    "a27_ivf_delete" -> (a27IvfDelete _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -8722,6 +8874,7 @@ object ExtensionQueries {
     "s30_tws_warm_start" -> (s30TwsWarmStart _),
     "s31_cdc_apply" -> (s31CdcApply _),
     "s32_pt_timer_flush" -> (s32PtTimerFlush _),
+    "s33_dual_sink" -> (s33DualSink _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
@@ -8854,6 +9007,7 @@ object ExtensionQueries {
     "a23_bq_hamming" -> a23Sql,
     "a24_knn_probe" -> a24Sql,
     "a26_nprobe_curve" -> a26Sql,
+    "a27_ivf_delete" -> a27Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,
@@ -8898,6 +9052,7 @@ object ExtensionQueries {
     "s30_tws_warm_start" -> s30Sql,
     "s31_cdc_apply" -> s31Sql,
     "s32_pt_timer_flush" -> s32Sql,
+    "s33_dual_sink" -> s33Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,

@@ -877,6 +877,70 @@ object StreamOps {
     * `spark.sql.shuffle.partitions` to [[StatePartitions]] for the
     * query's lifetime (the value is captured into the stream's checkpoint
     * at start), restoring the session default after. */
+  /** One micro-batch of the DUAL-SINK fan-out: write the batch to TWO
+    * independent parquet sinks — an aggregated rollup (sink A) and the
+    * raw event log (sink B) — each under a `batch_id=<id>` partition
+    * directory written with OVERWRITE mode. The partition-per-epoch
+    * overwrite is the whole exactly-once mechanism: foreachBatch gives
+    * at-least-once delivery (a batch that fails before the checkpoint
+    * commits REPLAYS under the SAME batch id), so a sink write is safe
+    * iff replaying it is a no-op — overwriting one epoch's partition
+    * with identical content is exactly that. Appending here instead
+    * would double the replayed batch in whichever sink had already
+    * committed. */
+  def dualSinkBatch(batch: DataFrame, id: Long, aDir: String,
+      bDir: String, betweenWrites: () => Unit = () => ()): Unit = {
+    batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .write.mode("overwrite").parquet(f"$aDir/batch_id=$id%05d")
+    betweenWrites() // fault-injection seam: the A-committed/B-not window
+    batch.write.mode("overwrite").parquet(f"$bDir/batch_id=$id%05d")
+  }
+
+  /** Drive a stream through [[dualSinkBatch]] with an injected crash
+    * BETWEEN the two sink writes of batch `failAt` on the first run —
+    * the torn-write window every multi-sink foreachBatch has (sink A
+    * committed, sink B not, epoch uncommitted) — then restart from the
+    * same checkpoint. Spark replays the torn epoch under the same batch
+    * id; the idempotent partition overwrite absorbs the duplicate A
+    * write and completes B, so both sinks converge to exactly-once
+    * content. Returns (aDir, bDir). */
+  def dualSinkFanout(sp: SparkSession, changes: DataFrame,
+      failAt: Long): (String, String) = {
+    val aDir = graft.Tables.scratchDir("graft-dualsink-a")
+    val bDir = graft.Tables.scratchDir("graft-dualsink-b")
+    val ckpt = graft.Tables.scratchDir("graft-dualsink-ckpt")
+    // @volatile not needed: foreachBatch bodies run serially and the
+    // flag is read/armed across runs on the driver
+    var armed = true
+    def run(): Unit = {
+      val q = changes.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          dualSinkBatch(batch, id, aDir, bDir, () =>
+            if (armed && id == failAt) {
+              armed = false
+              throw new RuntimeException(
+                s"injected torn-write crash after sink A of batch $id")
+            })
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    sp.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    try {
+      try run() catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if !armed => // the injected tear; anything else propagates
+      }
+      require(!armed, "the injected crash never fired — failAt batch " +
+        "id was not reached, the tear was not exercised")
+      run() // restart: torn epoch replays under the same id
+    } finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    (aDir, bDir)
+  }
+
   /** Drive a streaming DataFrame into the `graft-xml` FILE sink
     * (append-mode micro-batch shards + the exactly-once `_spark_metadata`
     * commit log Spark's FileStreamSink keeps; a batch read of `outDir`

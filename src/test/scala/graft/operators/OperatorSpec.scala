@@ -2693,4 +2693,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.values.exists(_._3 < 10000L),
       "no doc ever repeated a gram — fixture cannot exercise novelty")
   }
+
+  test("a27 ivf delete: no forgotten id survives anywhere in the purged " +
+      "postings, survivors' cell assignments are untouched, and the " +
+      "audit counts reconcile") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtensionQueries.a27IvfDelete(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val forget = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 17 === 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(forget.nonEmpty, "fixture must have a non-empty forget set")
+    out.foreach { r =>
+      assert(!forget.contains(r.getLong(2)),
+        s"forgotten vector ${r.getLong(2)} answered a query")
+      assert(!r.getBoolean(4), "forgotten flag must be false everywhere")
+    }
+    val nDeleted = out.head.getLong(5)
+    assert(nDeleted == forget.size,
+      "every forget id had exactly one posting to delete")
+    assert(out.head.getLong(7) <= out.head.getLong(6),
+      "affected cells bounded by cell count")
+    // rebuild both indexes the gate's way: purged == full minus forget,
+    // with IDENTICAL cell assignment for every survivor
+    val e = graft.Tables.embeddings(spark, sf)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val full = Ann.ivfIndex(
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")), cents)
+      .select(col("cid"), col("id")).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val survivors = full.filterNot { case (id, _) => forget.contains(id) }
+    assert(survivors.size == full.size - forget.size)
+    // per-row assignment independence: purging cannot move a survivor
+    val purgedAsg = Ann.ivfIndex(
+      e.filter(col("vec_id") % 17 =!= 5)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")), cents)
+      .select(col("cid"), col("id")).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(purgedAsg == survivors,
+      "deleting rows must not re-assign any surviving vector")
+  }
 }

@@ -1342,4 +1342,45 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(got == batch)
   }
+
+  test("s33 dual-sink fan-out: the torn epoch replays under the same " +
+      "batch id, both sinks converge to exactly-once content, and an " +
+      "unreached failAt is a loud error") {
+    import spark.implicits._
+    val data = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L), (2L, 9L),
+      (1L, 1L), (3L, 3L), (4L, 100L))
+      .toDF("user_id", "cents")
+    val inDir = graft.Tables.scratchDir("graft-s33spec-in")
+    data.repartition(4).write.mode("overwrite").parquet(inDir)
+    val changes = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val (aDir, bDir) = StreamOps.dualSinkFanout(spark, changes,
+      failAt = 2L)
+    val a = spark.read.parquet(aDir)
+    val b = spark.read.parquet(bDir)
+    // every epoch present in BOTH sinks, including the torn one
+    val batchesA = a.select("batch_id").distinct().as[Int].collect().toSet
+    val batchesB = b.select("batch_id").distinct().as[Int].collect().toSet
+    assert(batchesA == Set(0, 1, 2, 3) && batchesB == batchesA)
+    // exactly-once content: sink totals equal the source, no double
+    // count from the replayed epoch in either sink
+    val totA = a.agg(sum("n"), sum("cents")).head
+    assert(totA.getLong(0) == 8L && totA.getLong(1) == 155L)
+    assert(b.count() == 8L)
+    assert(b.agg(sum("cents")).head.getLong(0) == 155L)
+    // per-user reconciliation across sinks
+    val perA = a.groupBy("user_id").agg(sum("cents").as("c"))
+      .as[(Long, Long)].collect().toMap
+    val perB = b.groupBy("user_id").agg(sum("cents").as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(perA == perB)
+    assert(perA == Map(1L -> 31L, 2L -> 14L, 3L -> 10L, 4L -> 100L))
+    // a failAt that never fires must fail loudly, not silently pass
+    val changes2 = spark.readStream.schema(data.schema)
+      .option("maxFilesPerTrigger", "4").parquet(inDir)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.dualSinkFanout(spark, changes2, failAt = 99L)
+    }
+    assert(e.getMessage.contains("never fired"))
+  }
 }
