@@ -8673,6 +8673,105 @@ object ExtensionQueries {
        |ORDER BY doc_id, channel""".stripMargin
   }
 
+  /** MULTIMODAL SHARD MANIFEST — the WebDataset/tar-shard layout step a
+    * multimodal training pipeline runs before anything reads blobs:
+    * variable-size media blobs pack whole into fixed-capacity shard
+    * files ([[graft.operators.Sampling.ffdPacking]] on BYTE sizes — FFD,
+    * ≤ 11/9·OPT+1 shards, oversize blobs isolate in their own shard)
+    * and every blob gets its EXACT byte placement: (shard, bin_id) is
+    * the shard file, `off` the byte offset where the blob starts, so a
+    * trainer random-reads any sample with one ranged fetch — no index
+    * server, no per-sample files. Offsets are a window cumsum in FFD
+    * placement order (items enter a bin in (size DESC, id) order, so
+    * that IS the within-file order — no extra state needed); shard_bytes
+    * certifies capacity. Scale shape: pack parallelism is the hash
+    * shard (t37's contract); the offset window is bin-local. The oracle
+    * replays blob sizes from the three container formulas, the full
+    * recursive FFD, and the offset cumsum — a shifted offset or a
+    * mis-sized header fails the hash. */
+  def m15ShardManifest(sp: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.attachBlobs(documents(sp, dir), frameSize = 100)
+    val sizes = media.select(col("doc_id"),
+      length(col("media")).cast("long").as("n_bytes"))
+    val packed = graft.operators.Sampling.ffdPacking(sizes,
+        col("doc_id") % 8, col("doc_id"), col("n_bytes"), capacity = 4096)
+      .withColumnRenamed("n_tokens", "n_bytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bin_id"))
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    packed
+      .withColumn("off", coalesce(sum(col("n_bytes")).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)), lit(0L)))
+      .withColumn("shard_bytes", sum(col("n_bytes")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("bin_id"))))
+      .withColumn("fits",
+        col("off") + col("n_bytes") <= 4096 || col("off") === 0)
+      .orderBy("doc_id")
+  }
+
+  val m15Sql: String = {
+    val ob = "octet_length(encode(text))"
+    val w = s"($ob % 31 + 1)"
+    val h = "(doc_id % 7 + 1)"
+    val bmpBytes = s"(54 + ((3 * $w + 3) // 4) * 4 * $h)"
+    val ch = s"($ob % 2 + 1)"
+    val dataLen = s"($ob - $ob % ($ch * 2))"
+    val aw = s"($ob % 7 + 1)"
+    val ah = "(doc_id % 4 + 1)"
+    val nf = "(doc_id % 5 + 2)"
+    val fb = s"(((3 * $aw + 3) // 4) * 4 * $ah)"
+    val aviBytes = s"(224 + $nf * (8 + $fb))"
+    val nb = s"""CAST(CASE WHEN doc_id % 3 = 0 THEN $bmpBytes
+       |       WHEN doc_id % 3 = 1 THEN 44 + $dataLen
+       |       ELSE $aviBytes END AS BIGINT)""".stripMargin
+    s"""WITH RECURSIVE items AS (
+       |  SELECT doc_id, doc_id % 8 AS shard, $nb AS n_bytes,
+       |    row_number() OVER (PARTITION BY doc_id % 8
+       |      ORDER BY $nb DESC, doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+       |    CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS BIGINT) AS bin_id,
+       |    []::BIGINT[] AS bins
+       |  FROM (SELECT DISTINCT shard FROM items)
+       |  UNION ALL
+       |  SELECT s.shard, s.rn, s.doc_id, s.n_bytes,
+       |    CAST(COALESCE(s.fit, len(s.bins) + 1) - 1 AS BIGINT) AS bin_id,
+       |    CASE WHEN s.fit IS NULL
+       |         THEN list_append(s.bins, 4096 - s.n_bytes)
+       |         ELSE list_transform(range(1, len(s.bins) + 1),
+       |           j -> CASE WHEN j = s.fit THEN s.bins[j] - s.n_bytes
+       |                ELSE s.bins[j] END)
+       |    END AS bins
+       |  FROM (SELECT i.shard, i.rn, i.doc_id, i.n_bytes, p.bins,
+       |      list_aggregate(list_transform(range(1, len(p.bins) + 1),
+       |        j -> CASE WHEN p.bins[j] >= i.n_bytes THEN j ELSE NULL END),
+       |        'min') AS fit
+       |    FROM pack p JOIN items i
+       |      ON i.shard = p.shard AND i.rn = p.rn + 1) s)
+       |SELECT doc_id, shard, n_bytes, bin_id,
+       |  CAST(coalesce(SUM(n_bytes) OVER (PARTITION BY shard, bin_id
+       |    ORDER BY n_bytes DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS off,
+       |  CAST(SUM(n_bytes) OVER (PARTITION BY shard, bin_id) AS BIGINT)
+       |    AS shard_bytes,
+       |  (coalesce(SUM(n_bytes) OVER (PARTITION BY shard, bin_id
+       |    ORDER BY n_bytes DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + n_bytes <= 4096
+       |   OR coalesce(SUM(n_bytes) OVER (PARTITION BY shard, bin_id
+       |    ORDER BY n_bytes DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 0)
+       |    AS fits
+       |FROM pack WHERE rn > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** GRAYSCALE LUMINANCE PROFILE ([[Multimodal.bmpLuminance]]): per-BMP
     * BT.601 integer luma sum/min/max plus the 4-bucket exposure
     * histogram — the all-dark / blown-out / zero-contrast screen an
@@ -8777,6 +8876,7 @@ object ExtensionQueries {
     "m12_wav_zcr" -> (m12WavZcr _),
     "m13_bmp_flip" -> (m13FlipBmp _),
     "m14_gray_hist" -> (m14GrayHist _),
+    "m15_shard_manifest" -> (m15ShardManifest _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -8950,6 +9050,7 @@ object ExtensionQueries {
     "m12_wav_zcr" -> m12Sql,
     "m13_bmp_flip" -> m13Sql,
     "m14_gray_hist" -> m14Sql,
+    "m15_shard_manifest" -> m15Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

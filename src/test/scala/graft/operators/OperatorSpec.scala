@@ -2735,4 +2735,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(purgedAsg == survivors,
       "deleting rows must not re-assign any surviving vector")
   }
+
+  test("m15 shard manifest: byte ranges tile each shard file exactly — " +
+      "contiguous from zero, non-overlapping, capacity-respecting — and " +
+      "every size matches the real blob") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.ExtensionQueries
+      .m15ShardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.length == 500)
+    val realSizes = Multimodal.attachBlobs(
+        graft.Tables.documents(spark, sf), frameSize = 100)
+      .select(col("doc_id"), length(col("media")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _, nb, _, _, _, fits) =>
+      assert(nb == realSizes(id), s"doc $id manifest size vs real blob")
+      assert(fits, s"doc $id placement broke capacity")
+    }
+    rows.groupBy { case (_, sh, _, bin, _, _, _) => (sh, bin) }
+      .foreach { case ((sh, bin), members) =>
+        val sorted = members.sortBy { case (id, _, nb, _, _, _, _) =>
+          (-nb, id) }
+        // FFD placement order IS the file order: offsets tile from 0
+        var expect = 0L
+        sorted.foreach { case (id, _, nb, _, off, sb, _) =>
+          assert(off == expect, s"doc $id offset gap in shard $sh/$bin")
+          expect += nb
+          assert(sb == members.map(_._3).sum, "shard_bytes per member")
+        }
+        assert(expect <= 4096 || members.length == 1,
+          s"shard $sh/$bin overfilled with ${members.length} members")
+      }
+    // FFD cannot beat the volume lower bound, and must be near it
+    rows.groupBy(_._2).foreach { case (sh, ms) =>
+      val bins = ms.map(_._4).distinct.length
+      val lower = (ms.map(_._3).sum + 4095) / 4096
+      assert(bins >= lower.toInt, s"shard $sh bin count below volume")
+    }
+  }
 }
