@@ -5658,6 +5658,87 @@ object ExtensionQueries {
       .orderBy("digit")
   }
 
+  /** A/B EXPERIMENT READOUT — the two-proportion significance test every
+    * product analytics stack runs (p13 tests feature-distribution
+    * independence; this is the treatment-vs-control CONVERSION readout):
+    * users split into arms (id parity — the deterministic stand-in for a
+    * salted assignment hash), convert on a binary metric (heavy buyer:
+    * ≥ 14 purchases, a median-straddling threshold on this fixture so
+    * both verdict inputs are live at every SF), and the gate emits
+    * per-arm conversion in exact bp, the treatment-minus-control lift,
+    * and the Pearson chi-square verdict at 95% — WITHOUT ever computing
+    * the statistic as a float: chi² = N·(ad−bc)²/D ≥ 3.8415 is
+    * evaluated as the exact integer cross-multiplication
+    * 10000·N·(ad−bc)² ≥ 38415·D in DECIMAL(38,0) (HUGEINT in the
+    * oracle), so no transcendental and no rounding boundary crosses an
+    * engine. Scale shape: corpus reduces to the user domain in one
+    * partial agg, then to the 2-row arm table; the 2×2 cells ride a
+    * broadcast 1-row aggregate. */
+  def p26AbTest(sp: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val conv = events(sp, dir)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("np"))
+      .select((col("user_id") % 2).as("arm"),
+        (col("np") >= 14).cast("long").as("conv"))
+    val arms = conv.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val cells = arms.agg(
+      sum(when(col("arm") === 1, col("n_conv"))).as("a"),
+      sum(when(col("arm") === 1, col("n_users") - col("n_conv"))).as("b"),
+      sum(when(col("arm") === 0, col("n_conv"))).as("c"),
+      sum(when(col("arm") === 0, col("n_users") - col("n_conv"))).as("d"))
+    // every product runs in DECIMAL(38,0) — casting operands BEFORE the
+    // multiply keeps the 2x2 algebra exact at any user count (a LONG
+    // a*d would wrap silently with ANSI off; DuckDB's BIGINT would at
+    // least error — neither is acceptable in a significance verdict)
+    def dd(c: org.apache.spark.sql.Column) = c.cast(dec38)
+    val det = dd(col("a")) * dd(col("d")) - dd(col("b")) * dd(col("c"))
+    val stats = cells.select(
+      expr("a * 10000 div (a + b) - c * 10000 div (c + d)").as("lift_bp"),
+      (dd(col("a") + col("b") + col("c") + col("d")) * (det * det) *
+        lit(10000).cast(dec38) >=
+        lit(38415).cast(dec38) *
+          (dd(col("a") + col("b")) * dd(col("c") + col("d")) *
+            (dd(col("a") + col("c")) * dd(col("b") + col("d")))))
+        .as("significant"))
+    arms.crossJoin(broadcast(stats))
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        expr("n_conv * 10000 div n_users").as("conv_bp"),
+        col("lift_bp"), col("significant"))
+      .orderBy("arm")
+  }
+
+  val p26Sql: String =
+    """WITH u AS (SELECT user_id,
+      |    count(*) FILTER (event_type = 'purchase') AS np
+      |  FROM events GROUP BY 1),
+      |cv AS (SELECT user_id % 2 AS arm,
+      |    CAST(np >= 14 AS BIGINT) AS conv FROM u),
+      |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(conv) AS BIGINT) AS n_conv
+      |  FROM cv GROUP BY 1),
+      |cells AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 1 THEN n_conv END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN n_users - n_conv END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN n_conv END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN arm = 0 THEN n_users - n_conv END)
+      |      AS BIGINT) AS d
+      |  FROM arms),
+      |st AS (SELECT
+      |    a * 10000 // (a + b) - c * 10000 // (c + d) AS lift_bp,
+      |    (CAST(a + b + c + d AS HUGEINT)
+      |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) * 10000
+      |     >= CAST(38415 AS HUGEINT) * CAST(a + b AS HUGEINT)
+      |      * CAST(c + d AS HUGEINT) * CAST(a + c AS HUGEINT)
+      |      * CAST(b + d AS HUGEINT)) AS significant
+      |  FROM cells)
+      |SELECT arm, n_users, n_conv,
+      |  n_conv * 10000 // n_users AS conv_bp, st.lift_bp, st.significant
+      |FROM arms CROSS JOIN st ORDER BY arm""".stripMargin
+
   /** floor(log10(1+1/d)·10⁴) for d = 1..9 — the Benford shares as exact
     * integer constants (they sum to 10000), shared by gate and oracle so
     * neither engine evaluates a logarithm. */
@@ -6581,6 +6662,58 @@ object ExtensionQueries {
       |    ELSE 0 END AS BIGINT) AS cc_bp
       |FROM deg LEFT JOIN tc ON tc.id = deg.u
       |ORDER BY id""".stripMargin
+
+  /** DEGREE-DISTRIBUTION PROFILE — the graph-shape screen run before
+    * choosing a join strategy on a 100 TB edge list (p20 profiles JOIN
+    * keys; this profiles the graph itself): node degrees over the
+    * simple undirected link graph, log₂-binned into power-of-two
+    * buckets [2^b, 2^(b+1)) — the binning under every "is it power-law"
+    * plot — with per-bucket counts, extremes, and exact-bp shares. The
+    * floor-log₂ is computed as `length(bin(degree)) - 1`, a pure
+    * integer/string identity both engines share, so no float log ever
+    * exists and no boundary can flip a bucket. A heavy tail here is the
+    * signal to orient wedges (g2), cap buckets (d3), or salt (q10)
+    * before joining. One partial agg to the node domain, one to the
+    * ~log(maxdeg)-row bucket domain. */
+  def g12DegreeHist(sp: SparkSession, dir: String): DataFrame = {
+    val edges = linkEdges(sp, dir)
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val tot = deg.agg(count(lit(1)).as("n_total"))
+    deg.withColumn("bucket", (length(bin(col("degree"))) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("degree")).as("deg_min"),
+        max(col("degree")).as("deg_max"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("deg_lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").as("deg_hi"),
+        col("n_nodes"), col("deg_min"), col("deg_max"),
+        expr("n_nodes * 10000 div n_total").as("share_bp"))
+      .orderBy("bucket")
+  }
+
+  val g12Sql: String =
+    s"""WITH $linkEdgesSql,
+       |und AS (SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+       |        UNION SELECT dst, src FROM edges WHERE src <> dst),
+       |deg AS (SELECT u AS id, count(*) AS degree FROM und GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM deg),
+       |b AS (SELECT length(bin(degree)) - 1 AS bucket,
+       |    count(*) AS n_nodes, min(degree) AS dmin, max(degree) AS dmax
+       |  FROM deg GROUP BY 1)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS deg_lo,
+       |  CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT)
+       |    AS deg_hi,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(dmin AS BIGINT) AS deg_min, CAST(dmax AS BIGINT) AS deg_max,
+       |  CAST(n_nodes * 10000 // t.n_total AS BIGINT) AS share_bp
+       |FROM b CROSS JOIN t ORDER BY bucket""".stripMargin
 
   /** MODULARITY of the g4 label-propagation communities
     * ([[graft.operators.Graph.modularityParts]]) — the "are these
@@ -8954,6 +9087,7 @@ object ExtensionQueries {
     "g9_link_predict" -> (g9LinkPredict _),
     "g10_clustering_coeff" -> (g10ClusteringCoeff _),
     "g11_modularity" -> (g11Modularity _),
+    "g12_degree_hist" -> (g12DegreeHist _),
     "s17_late_data" -> (s17LateData _),
     "t33_zipf_profile" -> (t33ZipfProfile _),
     "p12_gini" -> (p12Gini _),
@@ -9000,7 +9134,8 @@ object ExtensionQueries {
     "p21_retention" -> (p21Retention _),
     "p22_transitions" -> (p22Transitions _),
     "p23_autocorr" -> (p23Autocorr _),
-    "p24_benford" -> (p24Benford _))
+    "p24_benford" -> (p24Benford _),
+    "p26_ab_test" -> (p26AbTest _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -9133,6 +9268,7 @@ object ExtensionQueries {
     "g9_link_predict" -> g9Sql,
     "g10_clustering_coeff" -> g10Sql,
     "g11_modularity" -> g11Sql,
+    "g12_degree_hist" -> g12Sql,
     "s17_late_data" -> s17Sql,
     "t33_zipf_profile" -> t33Sql,
     "p12_gini" -> p12Sql,
@@ -9179,5 +9315,6 @@ object ExtensionQueries {
     "p21_retention" -> p21Sql,
     "p22_transitions" -> p22Sql,
     "p23_autocorr" -> p23Sql,
-    "p24_benford" -> p24Sql)
+    "p24_benford" -> p24Sql,
+    "p26_ab_test" -> p26Sql)
 }

@@ -2774,4 +2774,77 @@ class OperatorSpec extends AnyFunSuite {
       assert(bins >= lower.toInt, s"shard $sh bin count below volume")
     }
   }
+
+  test("p26 ab test: the 2x2 reconstructs from raw events, bp floors " +
+      "hold, and the integer chi-square verdict equals an exact BigInt " +
+      "evaluation of the same inequality") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.ExtensionQueries.p26AbTest(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    val perUser = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("np"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byArm = perUser.groupBy(_._1 % 2)
+    val a = byArm(1L).count(_._2 >= 14).toLong
+    val b = byArm(1L).size - a
+    val c = byArm(0L).count(_._2 >= 14).toLong
+    val d = byArm(0L).size - c
+    assert(out(1L)._1 == a + b && out(1L)._2 == a)
+    assert(out(0L)._1 == c + d && out(0L)._2 == c)
+    assert(out(1L)._3 == a * 10000 / (a + b))
+    assert(out(0L)._3 == c * 10000 / (c + d))
+    val lift = a * 10000 / (a + b) - c * 10000 / (c + d)
+    assert(out.values.forall(_._4 == lift), "lift rides both rows")
+    val det = BigInt(a * d) - BigInt(b * c)
+    val lhs = BigInt(a + b + c + d) * det * det * 10000
+    val rhs = BigInt(38415) * BigInt(a + b) * BigInt(c + d) *
+      BigInt(a + c) * BigInt(b + d)
+    assert(out.values.forall(_._5 == (lhs >= rhs)),
+      "chi-square verdict diverged from the exact inequality")
+    assert(a > 0 && b > 0 && c > 0 && d > 0,
+      "fixture must keep all four 2x2 cells live")
+  }
+
+  test("g12 degree histogram: buckets reconstruct from first-principles " +
+      "degrees, extremes sit inside their power-of-two range, and " +
+      "shares account for every node") {
+    val out = graft.queries.ExtensionQueries.g12DegreeHist(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    // independent degree recount over the same derived simple graph
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = docs.length.toLong
+    def h32(x: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_))
+        .mkString, 16).toLong
+    }
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    docs.foreach { id =>
+      val s0 = math.floorMod(h32(id.toString), n)
+      (0 to 2).foreach { k =>
+        val d0 = math.floorMod(h32(s"$id:$k"), n)
+        if (s0 != d0) { und += ((s0, d0)); und += ((d0, s0)) }
+      }
+    }
+    val deg = und.toSeq.groupBy(_._1).map { case (_, es) => es.size }
+    val expect = deg.groupBy(d => 63 - java.lang.Long
+        .numberOfLeadingZeros(d.toLong))
+      .map { case (bkt, ds) => bkt.toInt ->
+        (ds.size.toLong, ds.min.toLong, ds.max.toLong) }
+    assert(out.map(_._1).toSet == expect.keySet)
+    out.foreach { case (bkt, lo, hi, nn, dmin, dmax, share) =>
+      val (en, emin, emax) = expect(bkt)
+      assert(nn == en && dmin == emin && dmax == emax, s"bucket $bkt")
+      assert(lo == (1L << bkt) && hi == (1L << (bkt + 1)) - 1)
+      assert(dmin >= lo && dmax <= hi, s"bucket $bkt extremes escaped")
+      assert(share == nn * 10000L / deg.size)
+    }
+    assert(out.map(_._4).sum == deg.size.toLong, "buckets partition nodes")
+  }
 }
