@@ -2253,6 +2253,89 @@ object ExtensionQueries {
        |SELECT doc_id, ${(0 until K).map(i => s"s$i").mkString(", ")}
        |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** LSH PARAMETER SWEEP — the (bands × rows) S-curve table a dedup team
+    * reads before fixing d3/d11's banding: K = 8 minhash permutations
+    * rebanded three ways (8×1 permissive, 4×2 the production setting,
+    * 2×4 strict) against PLANTED partial twins (each doc < 100 recurs
+    * under id+10⁶ with only its FIRST HALF of tokens — Jaccard well
+    * inside the S-curve's live region, unlike an exact twin every
+    * config would catch). Per config: candidate-pair volume, planted
+    * twins caught, recall in exact bp, and the theoretical 50%-catch
+    * similarity (1/b)^(1/r) as a BAKED floor-bp constant shared by gate
+    * and oracle (8408 = ⌊(1/2)^(1/4)·10⁴⌋ — no transcendental crosses
+    * an engine). The volume column is the precision-side cost the
+    * recall buys. Scale note: the gate re-sketches per config for
+    * oracle transparency; a production sweep persists d2's signature
+    * table ONCE and only re-bands — banding, not sketching, is the
+    * sweep cost. Bucket cap 32 applies identically in both engines. */
+  private val D22Cap = 32L
+  private val D22ThrBp = Map(1 -> 1250, 2 -> 5000, 4 -> 8408)
+
+  def d22LshSweep(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val twins = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), (size(toks) / 2)))
+          .as("text"))
+    val corpus = docs.union(twins)
+    Seq(1, 2, 4).map { r =>
+      Dedup.minhashCandidates(spread(corpus), col("doc_id"), col("text"),
+          3, K, r, maxBucket = D22Cap)
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("id_b") === col("id_a") + 1000000 &&
+            col("id_a") < 100, 1)).as("n_caught"))
+        .select(lit(K / r).as("bands"), lit(r).as("band_rows"),
+          lit(D22ThrBp(r)).as("s50_bp"), col("n_candidates"),
+          col("n_caught"), lit(100L).as("n_planted"))
+        .withColumn("recall_bp", expr("n_caught * 10000 div n_planted"))
+    }.reduce(_ union _).orderBy("band_rows")
+  }
+
+  val d22Sql: String = {
+    def bandSelects(r: Int) = (0 until K / r).map { b =>
+      val key = (0 until r)
+        .map(j => s"CAST(s${b * r + j} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    def cfg(r: Int) =
+      s"""bands$r AS (${bandSelects(r)}),
+         |kept$r AS (SELECT * FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc
+         |  FROM bands$r) WHERE bc <= $D22Cap),
+         |cand$r AS (SELECT DISTINCT l.doc_id AS a, q.doc_id AS b
+         |  FROM kept$r l JOIN kept$r q
+         |    ON l.band = q.band AND l.key = q.key AND l.doc_id < q.doc_id),
+         |row$r AS (SELECT CAST(${K / r} AS INT) AS bands,
+         |    CAST($r AS INT) AS band_rows,
+         |    CAST(${D22ThrBp(r)} AS INT) AS s50_bp,
+         |    CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(count(*) FILTER (b = a + 1000000 AND a < 100)
+         |      AS BIGINT) AS n_caught,
+         |    CAST(100 AS BIGINT) AS n_planted
+         |  FROM cand$r)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    array_to_string(t[1:(len(t) // 2)], ' ')
+       |  FROM (SELECT doc_id, $Toks AS t FROM documents
+       |        WHERE doc_id < 100)),
+       |toks AS (SELECT doc_id, $Toks AS t FROM corpus),
+       |sh AS (SELECT doc_id, ${shingleSql("t")} AS s FROM toks),
+       |hh AS (SELECT doc_id, list_transform(s, x -> ${h("x")}) AS hs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, $sigSqlCols FROM hh),
+       |${cfg(1)},
+       |${cfg(2)},
+       |${cfg(4)}
+       |SELECT bands, band_rows, s50_bp, n_candidates, n_caught,
+       |  n_planted, n_caught * 10000 // n_planted AS recall_bp
+       |FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row2
+       |      UNION ALL SELECT * FROM row4)
+       |ORDER BY band_rows""".stripMargin
+  }
+
   /** The sf0.01 corpus has four (band, key) buckets of size 3 (measured);
     * maxBucket=2 drops them, so the skew cap is exercised LIVE by the gate
     * and the oracle replays the same drop. */
@@ -9071,6 +9154,7 @@ object ExtensionQueries {
     "t29_epoch_shuffle" -> (t29EpochShuffle _),
     "d20_containment" -> (d20Containment _),
     "d21_quality_keeper" -> (d21QualityKeeper _),
+    "d22_lsh_sweep" -> (d22LshSweep _),
     "a13_random_projection" -> (a13RandomProjection _),
     "m6_audio_segments" -> (m6AudioSegments _),
     "p8_histogram" -> (p8Histogram _),
@@ -9252,6 +9336,7 @@ object ExtensionQueries {
     "t29_epoch_shuffle" -> t29Sql,
     "d20_containment" -> d20Sql,
     "d21_quality_keeper" -> d21Sql,
+    "d22_lsh_sweep" -> d22Sql,
     "a13_random_projection" -> a13Sql,
     "m6_audio_segments" -> m6Sql,
     "p8_histogram" -> p8Sql,

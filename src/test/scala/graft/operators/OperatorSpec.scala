@@ -2847,4 +2847,30 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(out.map(_._4).sum == deg.size.toLong, "buckets partition nodes")
   }
+
+  test("d22 lsh sweep: recall is monotone in band width, volume is " +
+      "monotone in permissiveness, the 8x1 config catches every planted " +
+      "twin, and caught pairs are real candidates") {
+    val out = graft.queries.ExtensionQueries.d22LshSweep(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._2)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((8, 1), (4, 2), (2, 4)))
+    // the S-curve: stricter banding can only lose recall and volume
+    assert(out(0)._4 >= out(1)._4 && out(1)._4 >= out(2)._4,
+      "candidate volume must shrink as rows tighten")
+    assert(out(0)._5 >= out(1)._5 && out(1)._5 >= out(2)._5,
+      "recall must shrink as rows tighten")
+    // 8x1 ORs eight independent hashes: half-overlap twins are caught
+    // with overwhelming probability — recall 100% on this fixture
+    assert(out(0)._5 == 100L && out(0)._7 == 10000L,
+      "the permissive config should catch every planted twin")
+    // the sweep only means something if the strict end genuinely loses
+    assert(out(2)._5 < 100L, "4-row banding lost nothing — planted " +
+      "twins are too similar to exercise the curve")
+    out.foreach { case (_, _, _, nc, caught, planted, bp) =>
+      assert(caught <= nc && caught <= planted)
+      assert(bp == caught * 10000L / planted)
+    }
+  }
 }
