@@ -64,20 +64,38 @@ object Tables {
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
 
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** One-time-per-JVM sweep of STALE scratch dirs: shutdown hooks don't
+    * run on SIGKILL/OOM, so non-clean exits strand `/tmp/graft-*` dirs
+    * (1.1 GB of them observed after a build round). Any graft-prefixed
+    * dir untouched for 2+ hours cannot belong to a live run — every
+    * consumer reads its scratch back within the same query, seconds
+    * after the write — so sweeping at the next JVM start is safe even
+    * with concurrent harness invocations. */
+  private lazy val sweepStale: Unit = {
+    val cutoff = System.currentTimeMillis - 2L * 3600 * 1000
+    val tmp = new java.io.File("/tmp").listFiles()
+    if (tmp != null)
+      tmp.filter(f => f.isDirectory && f.getName.startsWith("graft-") &&
+          f.lastModified < cutoff)
+        .foreach(f => try rmTree(f) catch { case _: Exception => () })
+  }
+
   /** Unique /tmp scratch path (concurrent harness invocations over the
     * same sfDir must not overwrite each other's files mid-read), deleted
     * recursively on JVM exit — the bench harness runs every query 1+reps
     * times, and without cleanup each rep would leave a corpus copy behind. */
   def scratchDir(prefix: String): String = {
+    sweepStale
     val dir = "/tmp/" + prefix + "-" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
+      rmTree(new java.io.File(dir))
     }))
     dir
   }

@@ -445,9 +445,25 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, id: Column, text: Column,
       n: Int, k: Int, rows: Int, maxBucket: Long = Long.MaxValue): DataFrame = {
-    val bands = k / rows
     val sigd = withMinhashSig(df.select(id.as("__id"), text.as("__text")),
       col("__text"), n, k)
+    bandCandidates(sigd, col("__id"), k, rows, maxBucket)
+  }
+
+  /** LSH candidate pairs from an ALREADY-SKETCHED signature table — the
+    * production re-banding path: signatures are computed once per corpus
+    * version ([[withMinhashSig]], k longs per doc) and persisted columnar;
+    * a parameter sweep or re-tuned dedup run then re-bands the persisted
+    * table without ever touching the corpus text again (banding, not
+    * sketching, is the sweep cost). Same output contract as
+    * [[minhashCandidates]], which delegates here after sketching inline.
+    *
+    * `sig0` must carry the id column plus signature columns s0..s{k-1}. */
+  def bandCandidates(sig0: DataFrame, id: Column, k: Int, rows: Int,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val bands = k / rows
+    val sigd = sig0.select(id.as("__id") +:
+      (0 until k).map(i => col(s"s$i")): _*)
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)

@@ -536,7 +536,9 @@ object Multimodal {
     val dataOff = buf.getInt(10)
     val w = buf.getInt(18)
     val h = buf.getInt(22)
+    if (buf.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54) return 0L
     val rowSize = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + rowSize.toLong * h) return 0L
     var sum = 0L
     var y = 0
     while (y < h) {

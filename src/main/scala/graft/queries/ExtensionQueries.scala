@@ -2264,10 +2264,11 @@ object ExtensionQueries {
     * similarity (1/b)^(1/r) as a BAKED floor-bp constant shared by gate
     * and oracle (8408 = ⌊(1/2)^(1/4)·10⁴⌋ — no transcendental crosses
     * an engine). The volume column is the precision-side cost the
-    * recall buys. Scale note: the gate re-sketches per config for
-    * oracle transparency; a production sweep persists d2's signature
-    * table ONCE and only re-bands — banding, not sketching, is the
-    * sweep cost. Bucket cap 32 applies identically in both engines. */
+    * recall buys. The gate runs the PRODUCTION sweep shape: ONE sketch
+    * job materializes the d2-style signature table to scratch parquet,
+    * then each config only re-bands the persisted table
+    * ([[Dedup.bandCandidates]]) — banding, not sketching, is the sweep
+    * cost. Bucket cap 32 applies identically in both engines. */
   private val D22Cap = 32L
   private val D22ThrBp = Map(1 -> 1250, 2 -> 5000, 4 -> 8408)
 
@@ -2279,9 +2280,12 @@ object ExtensionQueries {
         concat_ws(" ", slice(toks, lit(1), (size(toks) / 2)))
           .as("text"))
     val corpus = docs.union(twins)
+    val sigDir = graft.Tables.scratchDir("graft-d22-sig")
+    Dedup.withMinhashSig(spread(corpus), col("text"), 3, K)
+      .drop("text").write.mode("overwrite").parquet(sigDir)
+    val sig = sp.read.parquet(sigDir)
     Seq(1, 2, 4).map { r =>
-      Dedup.minhashCandidates(spread(corpus), col("doc_id"), col("text"),
-          3, K, r, maxBucket = D22Cap)
+      Dedup.bandCandidates(sig, col("doc_id"), K, r, maxBucket = D22Cap)
         .agg(count(lit(1)).as("n_candidates"),
           count(when(col("id_b") === col("id_a") + 1000000 &&
             col("id_a") < 100, 1)).as("n_caught"))
@@ -6238,11 +6242,21 @@ object ExtensionQueries {
     val bus = events(s2, dir).filter(col("event_id") % 16 === 7)
       .select(col("user_id"), col("ts"), col("event_id"),
         (dec(col("value")) * 100).cast("long").as("cents"))
-    require(bus.limit(1).count() > 0,
-      "s33: the 1/16 event_id sample is empty — fixture too small for " +
-        "a fan-out bus")
+    // The oracle pins 3 micro-batches = 6 producer files / 2 per
+    // trigger, which holds only if repartition(6) fills every partition
+    // (Spark skips empty partitions when writing, so a < 6-row bus would
+    // silently shrink the file count and the batch count). Fail loudly
+    // at both layers instead of diverging from the pinned constant.
+    require(bus.limit(6).count() >= 6,
+      "s33: the 1/16 event_id sample has < 6 rows — fixture too small " +
+        "for the pinned 3-batch fan-out bus")
     val inDir = graft.Tables.scratchDir("graft-s33-in")
     bus.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s33: producer wrote $nFiles non-empty part files, expected 6 — " +
+        "the oracle's pinned 3-batch coverage would diverge")
     val changes = s2.readStream.schema(bus.schema)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
     val (aDir, bDir) = graft.streaming.StreamOps

@@ -100,10 +100,11 @@ object XPathMini {
     * (no trailing `text()` / `@attr`), because a cross-branch union of
     * text or attribute NODES needs an inter-sibling document-order
     * relation the element tree doesn't track; single paths keep the
-    * full selector surface. The top-level split on `|` is safe in this
-    * subset — predicates hold only digits. */
+    * full selector surface. The top-level split on `|` is QUOTE-AWARE:
+    * attribute-equality predicate values (`[@t='a|b']`) may contain
+    * `|`, so the scanner only splits outside single-quoted spans. */
   def compileAll(spec: String): Array[Path] = {
-    val parts = spec.split("\\|", -1).map(_.trim)
+    val parts = splitUnion(spec).map(_.trim)
     if (parts.length == 1) Array(compile(spec.trim))
     else {
       require(parts.forall(_.nonEmpty), s"empty union branch in: $spec")
@@ -113,6 +114,23 @@ object XPathMini {
           s"is single-path only): $spec"))
       ps
     }
+  }
+
+  /** Split a path spec on top-level `|` only: a `|` inside a
+    * single-quoted predicate value is part of the value, not a union
+    * operator. XPath 1.0 string literals in this subset use single
+    * quotes with no escaping, so a simple quote-state scan is exact. */
+  private def splitUnion(spec: String): Array[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    spec.foreach { ch =>
+      if (ch == '\'') { inQuote = !inQuote; cur += ch }
+      else if (ch == '|' && !inQuote) { parts += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    parts += cur.toString
+    parts.toArray
   }
 
   def compile(path: String): Path = {

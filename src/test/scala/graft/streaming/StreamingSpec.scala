@@ -1204,6 +1204,14 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.bmpWeightedChecksum(bmp))
     // non-BMP refused
     assert(Multimodal.flipBmp(Array[Byte](1, 2, 3)).isEmpty)
+    // weighted checksum: documented 0-for-non-BMP behavior also covers
+    // truncated payloads and non-24bpp headers (same validation as its
+    // siblings — no executor-side ArrayIndexOutOfBounds)
+    assert(Multimodal.bmpWeightedChecksum(Array[Byte](1, 2, 3)) == 0L)
+    assert(Multimodal.bmpWeightedChecksum(
+      java.util.Arrays.copyOf(bmp, bmp.length - 4)) == 0L)
+    val mono = bmp.clone(); mono(28) = 1 // bpp 24 -> 1
+    assert(Multimodal.bmpWeightedChecksum(mono) == 0L)
   }
 
   test("wavZcr: crossings count flips around the per-window floorDiv " +

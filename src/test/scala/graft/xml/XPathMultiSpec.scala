@@ -272,6 +272,31 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(XPathMini.compileAll("/a/b/text()").length == 1)
   }
 
+  test("union split is quote-aware: '|' inside a predicate value is the " +
+      "value, not a union operator") {
+    import spark.implicits._
+    // one path, not a mis-split two-branch union
+    assert(XPathMini.compileAll("/r/it[@t='a|b']/q").length == 1)
+    // and a genuine union whose FIRST branch carries a quoted '|'
+    assert(XPathMini.compileAll("/r/it[@t='a|b']/q | /r/it[@t='c']/q")
+      .length == 2)
+    val docs = Seq(
+      "<r><it t='a|b'><q>1</q></it><it t='c'><q>2</q></it></r>",
+      "<r><it t='a'><q>3</q></it></r>").toDF("x")
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq(
+      "/r/it[@t='a|b']/q",
+      "/r/it[@t='a|b']/q | /r/it[@t='c']/q"))
+    val rows = docs.select(col("x"), m.as("m")).collect()
+      .map(r => r.getString(0) ->
+        (r.getStruct(1).getSeq[String](0), r.getStruct(1).getSeq[String](1)))
+      .toMap
+    assert(rows(
+      "<r><it t='a|b'><q>1</q></it><it t='c'><q>2</q></it></r>") ==
+      (Seq("1"), Seq("1", "2")))
+    assert(rows("<r><it t='a'><q>3</q></it></r>") ==
+      (Seq.empty, Seq.empty))
+  }
+
   test("descendant axis //: any-depth matches in document order, " +
       "per-parent sibling predicates, node-set dedup — parity with " +
       "the built-in") {
