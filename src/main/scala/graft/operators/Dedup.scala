@@ -161,11 +161,24 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       bandBits: Int, bands: Int, maxHamming: Int,
       maxBucket: Long = Long.MaxValue): DataFrame = {
-    require(bands * bandBits <= 64, s"bands*bandBits must be <= 64")
     import graft.functions.{Hashing, Text}
     // one-pass codegen'd sketch: one md5 per token, no per-bit re-scan
-    val sh = df.select(id.as("__id"),
-      Hashing.simhash64(Text.tokens(text)).as("sh"))
+    hammingBandPairs(df, id, Hashing.simhash64(Text.tokens(text)),
+      bandBits, bands, maxHamming, maxBucket)
+  }
+
+  /** The Hamming-banded near-dup kernel over ANY 64-bit perceptual/
+    * semantic hash column — SimHash ([[simhashPairs]] delegates here),
+    * image aHash ([[Multimodal.bmpAverageHash]]), audio fingerprints:
+    * candidates collide when any of `bands` consecutive `bandBits`-bit
+    * windows match (one shuffle on the (band, key) bucket, never a full
+    * self-join); exact Hamming distance <= maxHamming confirms. Same
+    * `maxBucket` pathological-bucket cap as the text families. */
+  def hammingBandPairs(df: DataFrame, id: Column, hash: Column,
+      bandBits: Int, bands: Int, maxHamming: Int,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(bands * bandBits <= 64, s"bands*bandBits must be <= 64")
+    val sh = df.select(id.as("__id"), hash.as("sh"))
     val mask = (1L << bandBits) - 1
     val bandArr = array((0 until bands).map { b =>
       struct(lit(b).as("band"),

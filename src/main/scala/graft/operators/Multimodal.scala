@@ -524,6 +524,28 @@ object Multimodal {
     Some(out)
   }
 
+  /** One-pixel-off NEAR-DUP twin of a 24bpp BMP: the first pixel-data
+    * byte (blue channel of the storage-order first pixel) bumped by
+    * `delta` mod 256; header, dimensions, and every other byte are
+    * byte-identical. The canonical perceptual near-duplicate plant —
+    * close enough that [[bmpAverageHash]] moves by at most a few bits,
+    * far enough that exact hashes/checksums diverge. None for non-BMP
+    * payloads (same validation as [[flipBmp]]). */
+  def bumpFirstPixelByte(m: Array[Byte], delta: Int): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val row = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + row.toLong * h) return None
+    val out = m.clone()
+    out(dataOff) = (((m(dataOff) & 0xff) + delta) % 256).toByte
+    Some(out)
+  }
+
   /** Position-WEIGHTED pixel checksum of a 24bpp BMP: sum of
     * byte * (row-major pixel-byte index + 1), padding excluded. Unlike
     * the plain sum this witnesses WHERE every byte sits, so it

@@ -4369,6 +4369,91 @@ object ExtensionQueries {
        |ORDER BY h.doc_id""".stripMargin
   }
 
+  /** PERCEPTUAL NEAR-DUP IMAGES — m5's 64-bit aHash pushed through the
+    * d4/d7 Hamming-banding kernel ([[Dedup.hammingBandPairs]]: 4×16-bit
+    * bands, bucket cap, exact Hamming ≤ 8 confirm), with PLANTED
+    * one-pixel-off twins ([[Multimodal.bumpFirstPixelByte]]: every image
+    * doc with id < 300 recurs under id+10⁶ with its first pixel-data
+    * byte bumped +48). Exact-hash grouping (m5) misses a twin whose
+    * hash moved; the banded pass catches any twin with one clean band —
+    * the image-side analogue of d4's text SimHash screen. The oracle
+    * recomputes every twin bit from the blob-fill formula (the modified
+    * byte is data index 0, sampled only by the resample cells whose
+    * source pixel is (0,0): (y·src_h)//8 = 0, (x·src_w)//8 = 0, c = 0)
+    * and replays banding, cap, and Hamming confirm exactly. Scale: the
+    * image corpus never self-joins — one shuffle on (band, key), the
+    * d7 topology, same pathological-bucket cap. */
+  private val M16Delta = 48
+  private val M16Cap = 32L
+  private val M16MaxHam = 8
+
+  def m16ImageNearDup(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      spread(documents(sp, dir).filter(col("doc_id") % 3 === 0)),
+      frameSize = 100)
+    val base = media.as[Multimodal.MediaRow]
+      .map(r => (r.doc_id, Multimodal.bmpAverageHash(r.media).getOrElse(0L)))
+    val twins = media.filter(col("doc_id") < 300).as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.bumpFirstPixelByte(r.media, M16Delta)
+          .flatMap(Multimodal.bmpAverageHash)
+          .map(h => (r.doc_id + 1000000L, h))
+      }
+    val hashes = base.union(twins).toDF("doc_id", "ahash")
+    Dedup.hammingBandPairs(hashes, col("doc_id"), col("ahash"),
+        bandBits = 16, bands = 4, maxHamming = M16MaxHam,
+        maxBucket = M16Cap)
+      .withColumn("planted",
+        col("id_b") === col("id_a") + 1000000L && col("id_a") < 300)
+      .orderBy("id_a", "id_b")
+  }
+
+  val m16Sql: String = {
+    val ob = "octet_length(encode(text))"
+    val idx = "(((ty.y * p.src_h) // 8) * p.src_row" +
+      " + ((tx.x * p.src_w) // 8) * 3 + tc.c)"
+    s"""WITH e AS (SELECT doc_id AS sid, tw.t AS tw,
+       |    hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents, range(0, 2) tw(t)
+       |  WHERE doc_id % 3 = 0 AND (tw.t = 0 OR doc_id < 300)),
+       |p AS (SELECT sid + tw * 1000000 AS oid, tw, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |g AS (SELECT p.oid, ty.y AS y, tx.x AS x,
+       |    (SUM(CASE WHEN p.tw = 1 AND $idx = 0
+       |      THEN (('0x' || substr(p.hx, 1, 2))::BIGINT + $M16Delta) % 256
+       |      ELSE ('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))::BIGINT
+       |      END)) // 3 AS gray
+       |  FROM p, range(0, 8) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+       |  GROUP BY p.oid, ty.y, tx.x),
+       |m AS (SELECT oid, SUM(gray) // 64 AS mean FROM g GROUP BY oid),
+       |h0 AS (SELECT g.oid,
+       |    SUM(CASE WHEN g.gray > m.mean
+       |      THEN (1::HUGEINT << (g.y * 8 + g.x)) ELSE 0::HUGEINT END)
+       |      AS hsum
+       |  FROM g JOIN m ON g.oid = m.oid GROUP BY g.oid),
+       |h AS (SELECT oid,
+       |    CAST(CASE WHEN hsum >= 9223372036854775808::HUGEINT
+       |      THEN hsum - 18446744073709551616::HUGEINT ELSE hsum END
+       |      AS BIGINT) AS ahash
+       |  FROM h0),
+       |banded AS (SELECT oid, ahash, CAST(bb.b AS INT) AS band,
+       |    (ahash >> CAST(16 * bb.b AS INT)) & 65535 AS key
+       |  FROM h, range(0, 4) bb(b)),
+       |kept AS (SELECT oid, ahash, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc
+       |  FROM banded) WHERE bc <= $M16Cap),
+       |pairs AS (SELECT DISTINCT l.oid AS id_a, r.oid AS id_b,
+       |    l.ahash AS ha, r.ahash AS hb
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.key = r.key AND l.oid < r.oid)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       |  (id_b = id_a + 1000000 AND id_a < 300) AS planted
+       |FROM pairs WHERE bit_count(xor(ha, hb)) <= $M16MaxHam
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** REAL video-container gate: every AVI doc's blob (doc_id%3=2) goes
     * through the `LIST movi` walk and every SECOND frame is emitted
     * (stride 2 — the frame-sampling primitive of a video training
@@ -6292,6 +6377,86 @@ object ExtensionQueries {
       |  CAST(3 AS BIGINT) AS n_batches_a, CAST(3 AS BIGINT)
       |    AS n_batches_b
       |FROM g ORDER BY user_id""".stripMargin
+
+  /** STREAMING VECTOR-INDEX MAINTENANCE
+    * ([[graft.streaming.StreamOps.ivfIngestSink]]) — the ONLINE-ingest
+    * completion of the a12 story: the base corpus's IVF postings are
+    * built batch-style under frozen centroids, then the increment
+    * arrives as a 3-micro-batch stream (6 producer files at
+    * maxFilesPerTrigger=2, the s31/s33 bus) and foreachBatch appends
+    * each epoch's assignments under an idempotent
+    * `batch_id=<epoch>/cid=<cell>` partition tree. Queries then run on
+    * the streamed-in index; the oracle is the FULL-REBUILD IVF search
+    * over all embeddings — a hash match proves streamed ingest ≡ batch
+    * rebuild (per-row-independent assignment makes append-only
+    * maintenance lossless, now under streaming delivery semantics too).
+    * Batch coverage (n_batches, pinned 3 with the s33 file-count
+    * guards) rides every row. */
+  def s34IvfStreamIngest(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    val e = embeddings(s2, dir)
+    val centroids = e
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def slice2(pred: org.apache.spark.sql.Column) = e.filter(pred)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idxDir = graft.Tables.scratchDir("graft-s34-idx")
+    Ann.ivfIndex(slice2(col("vec_id") < 400), centroids)
+      .write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$idxDir/batch_id=base")
+    val inc = slice2(col("vec_id") >= 400)
+    require(inc.limit(6).count() >= 6,
+      "s34: the increment (vec_id >= 400) has < 6 rows — fixture too " +
+        "small for the pinned 3-batch ingest bus")
+    val inDir = graft.Tables.scratchDir("graft-s34-in")
+    inc.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s34: producer wrote $nFiles non-empty part files, expected 6 — " +
+        "the oracle's pinned 3-batch coverage would diverge")
+    val changes = s2.readStream.schema(inc.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    // failAt=1: tear epoch 1 open after its postings write — the replay
+    // must overwrite, not double, its partition (an append would shift
+    // every downstream rank and fail the hash)
+    try graft.streaming.StreamOps.ivfIngestSink(changes, centroids, idxDir,
+      failAt = 1L)
+    finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    val postings = s2.read.parquet(idxDir)
+      .withColumn("cid", col("cid").cast("long"))
+    val cov = postings.filter(col("batch_id") =!= "base")
+      .agg(countDistinct(col("batch_id")).as("n_batches"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Ann.ivfTopKOnIndex(qs, postings.drop("batch_id"), centroids,
+        k = 3, nprobe = 2)
+      .crossJoin(broadcast(cov))
+      .orderBy("qid", "rank")
+  }
+
+  val s34Sql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 100 = 0 AND vec_id < 400),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |        FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT id, vec, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS qid, vec AS qvec, cid FROM asg
+       |           WHERE id < 5 AND rn <= 2),
+       |cand AS (SELECT p.qid, c.id, ${cosSql("p.qvec", "c.vec")} AS sim
+       |         FROM cells c JOIN probes p ON c.cid = p.cid
+       |         WHERE c.id <> p.qid),
+       |r AS (SELECT qid, id, sim,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+       |      FROM cand)
+       |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
+       |  round(sim, 4) AS sim, CAST(3 AS BIGINT) AS n_batches
+       |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
@@ -9107,6 +9272,7 @@ object ExtensionQueries {
     "m13_bmp_flip" -> (m13FlipBmp _),
     "m14_gray_hist" -> (m14GrayHist _),
     "m15_shard_manifest" -> (m15ShardManifest _),
+    "m16_image_near_dup" -> (m16ImageNearDup _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -9207,6 +9373,7 @@ object ExtensionQueries {
     "s31_cdc_apply" -> (s31CdcApply _),
     "s32_pt_timer_flush" -> (s32PtTimerFlush _),
     "s33_dual_sink" -> (s33DualSink _),
+    "s34_ivf_stream_ingest" -> (s34IvfStreamIngest _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
@@ -9284,6 +9451,7 @@ object ExtensionQueries {
     "m13_bmp_flip" -> m13Sql,
     "m14_gray_hist" -> m14Sql,
     "m15_shard_manifest" -> m15Sql,
+    "m16_image_near_dup" -> m16Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
@@ -9389,6 +9557,7 @@ object ExtensionQueries {
     "s31_cdc_apply" -> s31Sql,
     "s32_pt_timer_flush" -> s32Sql,
     "s33_dual_sink" -> s33Sql,
+    "s34_ivf_stream_ingest" -> s34Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,

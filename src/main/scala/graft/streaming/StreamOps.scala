@@ -941,6 +941,58 @@ object StreamOps {
     (aDir, bDir)
   }
 
+  /** STREAMING IVF INGEST — a12's append-only index maintenance driven
+    * by foreachBatch: every micro-batch of (id, vec) rows is assigned
+    * against the FROZEN `centroids` (config-sized, collected driver-side
+    * into literals by [[graft.operators.Ann.ivfIndex]], so no
+    * cross-session plan ever joins the stream) and written under its own
+    * `batch_id=<epoch>/cid=<cell>` partition tree with per-epoch
+    * OVERWRITE — the [[dualSinkBatch]] idempotency rule applied to index
+    * postings: foreachBatch is at-least-once, so a torn epoch replays
+    * under the SAME id and overwrites its own partition instead of
+    * doubling postings. Readers scan the dir and drop `batch_id`;
+    * because IVF assignment is per-row independent, the union of
+    * per-batch assignments IS the batch rebuild (the a12 losslessness
+    * argument) — gate s34 hash-proves it against the full-rebuild
+    * oracle.
+    *
+    * `failAt` >= 0 injects a crash AFTER the postings write of that epoch
+    * but BEFORE its checkpoint commit (the torn window where the index
+    * already holds the batch), then restarts from the same checkpoint —
+    * the replay overwrites the epoch's partition with identical content;
+    * an append-mode sink would double those postings and shift every
+    * downstream rank. */
+  def ivfIngestSink(changes: DataFrame, centroids: DataFrame,
+      idxDir: String, failAt: Long = -1L): Unit = {
+    val ckpt = graft.Tables.scratchDir("graft-ivfingest-ckpt")
+    var armed = failAt >= 0
+    def run(): Unit = {
+      val q = changes.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.Ann.ivfIndex(batch, centroids)
+            .write.partitionBy("cid").mode("overwrite")
+            .parquet(f"$idxDir/batch_id=$id%05d")
+          if (armed && id == failAt) {
+            armed = false
+            throw new RuntimeException(
+              s"injected post-write crash in epoch $id")
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try run() catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException
+        if failAt >= 0 && !armed => // the injected tear; others propagate
+    }
+    if (failAt >= 0) {
+      require(!armed, "the injected crash never fired — failAt epoch " +
+        "was not reached, the tear was not exercised")
+      run() // torn epoch replays under the same id; overwrite absorbs it
+    }
+  }
+
   /** Drive a streaming DataFrame into the `graft-xml` FILE sink
     * (append-mode micro-batch shards + the exactly-once `_spark_metadata`
     * commit log Spark's FileStreamSink keeps; a batch read of `outDir`

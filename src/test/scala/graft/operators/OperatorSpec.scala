@@ -210,6 +210,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(uncapped.count() == 190)
   }
 
+  test("m16 perceptual image near-dup: one-pixel-off twins land within a " +
+      "small Hamming radius and the banded pass catches nearly all of " +
+      "them; exact grouping (m5) cannot") {
+    import graft.operators.Multimodal
+    // plant mechanics: bump changes exactly one byte, keeps validity
+    val bmp = Multimodal.buildBmp(5, 3,
+      Array.tabulate[Byte](45)(i => (i * 7 % 251).toByte))
+    val twin = Multimodal.bumpFirstPixelByte(bmp, 48).get
+    assert(twin.length == bmp.length &&
+      twin.zip(bmp).count { case (a, b) => a != b } == 1)
+    assert(Multimodal.bumpFirstPixelByte(Array[Byte](1, 2, 3), 48).isEmpty)
+    val h0 = Multimodal.bmpAverageHash(bmp).get
+    val h1 = Multimodal.bmpAverageHash(twin).get
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 8,
+      s"one-pixel twin drifted ${java.lang.Long.bitCount(h0 ^ h1)} bits")
+
+    // gate-level recall: nearly every planted twin is caught (banding
+    // recall < 1 by design — a twin loses only if its flipped bits touch
+    // all 4 bands or its bucket is capped)
+    val rows = graft.queries.ExtensionQueries
+      .m16ImageNearDup(spark, "/root/testdata/sf0.001").collect()
+    val planted = rows.filter(_.getBoolean(3))
+    assert(planted.length >= 15,
+      s"only ${planted.length} planted twins caught at sf0.001")
+    assert(planted.forall(_.getInt(2) <= 8))
+    // each caught pair is (src, src + 1e6)
+    assert(planted.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+  }
+
   test("ivfIndex: zero-shuffle assignment, equal to the join+window form") {
     import graft.functions.Vectors
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

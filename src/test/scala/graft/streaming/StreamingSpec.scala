@@ -1391,4 +1391,37 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("never fired"))
   }
+
+  test("s34 streaming IVF ingest: per-epoch postings partitions, torn " +
+      "epoch absorbed by overwrite (no doubled postings), streamed " +
+      "index row-identical to the batch rebuild") {
+    import spark.implicits._
+    import graft.operators.Ann
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = e
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val inc = e.filter(col("vec_id") >= 400)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nInc = inc.count()
+    val inDir = graft.Tables.scratchDir("graft-s34spec-in")
+    inc.repartition(6).write.mode("overwrite").parquet(inDir)
+    val idxDir = graft.Tables.scratchDir("graft-s34spec-idx")
+    val changes = spark.readStream.schema(inc.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    StreamOps.ivfIngestSink(changes, centroids, idxDir, failAt = 1L)
+    val postings = spark.read.parquet(idxDir)
+    // 3 epochs (6 files / 2), the torn one exactly once
+    assert(postings.select("batch_id").distinct().count() == 3)
+    // no doubled postings from the replay: one row per increment vector
+    assert(postings.count() == nInc)
+    assert(postings.select("id").distinct().count() == nInc)
+    // streamed-in assignments == the one-shot batch assignment
+    val rebuilt = Ann.ivfIndex(inc, centroids)
+      .select(col("id"), col("cid").cast("int").as("cid"))
+    val streamed = postings
+      .select(col("id"), col("cid").cast("int").as("cid"))
+    assert(streamed.except(rebuilt).isEmpty &&
+      rebuilt.except(streamed).isEmpty)
+  }
 }
