@@ -189,10 +189,16 @@ object Dedup {
       .select(col("__id"), col("sh"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-    val capped =
+    val capped = (
       if (maxBucket == Long.MaxValue) exploded
       else exploded.withColumn("__bc", count(lit(1)).over(w))
-        .filter(col("__bc") <= maxBucket).drop("__bc")
+        .filter(col("__bc") <= maxBucket).drop("__bc"))
+      // persist the sketch table (one long + band keys per row — never
+      // corpus-scale): without it BOTH self-join probes re-run the whole
+      // upstream hash pipeline (for m16 that is blob decode + resample
+      // per side; for d4/d7 the tokenize+md5 scan) — the t22/a15 lesson,
+      // same lifecycle note as minhashCandidates' persist
+      .persist()
     val l = capped.as("l")
     val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") &&

@@ -739,6 +739,80 @@ object Multimodal {
     None
   }
 
+  /** INTEGER DECIMATION resample of a 16-bit PCM WAV — downsample by
+    * integer `factor` with a per-channel length-`factor` boxcar mean
+    * (floorDiv) as the anti-alias: output frame j, channel c =
+    * floorDiv(Σ_{i∈[jF,(j+1)F)} s(i,c), F). Channels stay separate (a
+    * flat decimation of the interleaved stream would mix L into R),
+    * only COMPLETE input groups emit a frame, and the result is a
+    * VALID WAV at rate/factor with the same channel count — so
+    * downstream walks ([[wavEnergy]], [[pcmPeaks]]) run on it
+    * unchanged. All-integer arithmetic: the oracle replays every
+    * output sample from the blob-fill formula. None for non-WAV /
+    * non-16-bit payloads. */
+  def decimateWav(m: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, "factor must be >= 1")
+    if (!isRiff(m, "WAVE") || m.length < 44) return None
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val ch = buf.getShort(22).toInt
+    val rate = buf.getInt(24)
+    if (buf.getShort(34) != 16 || ch < 1 || rate <= 0) return None
+    wavDataSlice(m) match {
+      case None => None
+      case Some((from, len)) =>
+        val nFrames = (len / 2) / ch
+        val outFrames = nFrames / factor
+        val out = new Array[Byte](outFrames * ch * 2)
+        var j = 0
+        while (j < outFrames) {
+          var c = 0
+          while (c < ch) {
+            var sum = 0L
+            var i = 0
+            while (i < factor) {
+              val k = (j * factor + i) * ch + c
+              sum += ((m(from + 2 * k) & 0xff) |
+                (m(from + 2 * k + 1) << 8)).toShort.toLong
+              i += 1
+            }
+            val v = Math.floorDiv(sum, factor).toInt
+            val o = (j * ch + c) * 2
+            out(o) = (v & 0xff).toByte
+            out(o + 1) = ((v >> 8) & 0xff).toByte
+            c += 1
+          }
+          j += 1
+        }
+        Some(buildWav(rate / factor, ch, out))
+    }
+  }
+
+  /** Header + sample witness of a 16-bit PCM WAV: (sample_rate,
+    * n_channels, n_samples, sample sum, sample energy) over the
+    * RIFF-walked data chunk — the cheap integrity summary gates hash
+    * after a transform ([[decimateWav]]) instead of shipping payloads.
+    * None for non-WAV payloads. */
+  def wavStats(m: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (!isRiff(m, "WAVE") || m.length < 44) return None
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val ch = buf.getShort(22).toInt
+    val rate = buf.getInt(24)
+    wavDataSlice(m).map { case (from, len) =>
+      val n = len / 2
+      var k = 0
+      var sum = 0L
+      var energy = 0L
+      while (k < n) {
+        val s = ((m(from + 2 * k) & 0xff) |
+          (m(from + 2 * k + 1) << 8)).toShort.toLong
+        sum += s
+        energy += s * s
+        k += 1
+      }
+      (rate, ch, n.toLong, sum, energy)
+    }
+  }
+
   case class PeakRow(doc_id: Long, peak: Long)
 
   /** Per-document peak |sample| over the same RIFF-walked 16-bit PCM

@@ -4454,6 +4454,68 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** WAV DECIMATION RESAMPLE ([[Multimodal.decimateWav]]) — the
+    * rate-normalization step an audio training pipeline runs before
+    * batching (mixed-rate corpora can't share a feature grid): every
+    * WAV doc is downsampled 2× through a per-channel integer boxcar
+    * (floorDiv mean of each complete 2-frame group; channels NEVER mix
+    * — a flat decimation of the interleaved stream would fold L into
+    * R), re-emitted as a valid WAV at rate/2, and witnessed by
+    * [[Multimodal.wavStats]] over the REBUILT container — header rate,
+    * channel count, and the sample sum/energy of the re-walked data
+    * chunk, so header rebuild and payload arithmetic are both hashed.
+    * The oracle replays every output sample from the blob-fill formula
+    * (s16 decode as m4, pairwise floorDiv mean per channel). */
+  def m17WavDecimate(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      spread(documents(sp, dir).filter(col("doc_id") % 3 === 1)),
+      frameSize = 100)
+    media.as[Multimodal.MediaRow].flatMap { r =>
+      Multimodal.decimateWav(r.media, 2).flatMap(Multimodal.wavStats)
+        .map { case (rate, ch, n, sum, energy) =>
+          (r.doc_id, rate, ch, n, sum, energy)
+        }
+    }.toDF("doc_id", "dst_rate", "n_channels", "n_samples", "sum_s",
+        "energy")
+      .orderBy("doc_id")
+  }
+
+  val m17Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 2 + 1 AS ch, 8000 + (doc_id % 8) * 1000 AS rate
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx, ch, rate,
+       |    (len - len % (ch * 2)) // 2 AS nsamp,
+       |    (((len - len % (ch * 2)) // 2) // ch) // 2 AS outf
+       |  FROM e),
+       |sm AS (SELECT doc_id, k,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+       |  FROM (SELECT p.doc_id, CAST(k.k AS BIGINT) AS k,
+       |      ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |        + 256 * ('0x' || substr(p.hx,
+       |            4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |    FROM p, range(0, 512) k(k) WHERE k.k < p.nsamp)),
+       |i AS (SELECT p.doc_id,
+       |    CAST((2 * j.j) * p.ch + c.c AS BIGINT) AS k0,
+       |    CAST((2 * j.j + 1) * p.ch + c.c AS BIGINT) AS k1
+       |  FROM p, range(0, 256) j(j), range(0, 2) c(c)
+       |  WHERE j.j < p.outf AND c.c < p.ch),
+       |o AS (SELECT i.doc_id, (a.s16 + b.s16) // 2 AS o
+       |  FROM i JOIN sm a ON a.doc_id = i.doc_id AND a.k = i.k0
+       |         JOIN sm b ON b.doc_id = i.doc_id AND b.k = i.k1),
+       |agg AS (SELECT doc_id, count(*) AS n, SUM(o) AS sum_s,
+       |    SUM(o * o) AS energy
+       |  FROM o GROUP BY 1)
+       |SELECT p.doc_id, CAST(p.rate // 2 AS INT) AS dst_rate,
+       |  CAST(p.ch AS INT) AS n_channels,
+       |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_samples,
+       |  CAST(coalesce(agg.sum_s, 0) AS BIGINT) AS sum_s,
+       |  CAST(coalesce(agg.energy, 0) AS BIGINT) AS energy
+       |FROM p LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** REAL video-container gate: every AVI doc's blob (doc_id%3=2) goes
     * through the `LIST movi` walk and every SECOND frame is emitted
     * (stride 2 — the frame-sampling primitive of a video training
@@ -9273,6 +9335,7 @@ object ExtensionQueries {
     "m14_gray_hist" -> (m14GrayHist _),
     "m15_shard_manifest" -> (m15ShardManifest _),
     "m16_image_near_dup" -> (m16ImageNearDup _),
+    "m17_wav_decimate" -> (m17WavDecimate _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -9452,6 +9515,7 @@ object ExtensionQueries {
     "m14_gray_hist" -> m14Sql,
     "m15_shard_manifest" -> m15Sql,
     "m16_image_near_dup" -> m16Sql,
+    "m17_wav_decimate" -> m17Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

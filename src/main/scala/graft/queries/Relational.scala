@@ -2242,6 +2242,142 @@ object Relational {
       .orderBy("edge")
   }
 
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE ([[graft.operators.Ivm.joinDelta]])
+    * — q27 keeps an AGGREGATE fresh under appends; q51 keeps a JOIN
+    * fresh: the orders⋈customer view is materialized to scratch parquet
+    * from the base slices (the stored view), then a delta batch lands on
+    * BOTH sides (new orders o_orderkey % 37 = 0, new customers
+    * c_custkey % 50 = 0) and the view is updated by the three
+    * delta-sided joins ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — the base⋈base term is
+    * READ BACK, never recomputed. The oracle is the full-recompute join
+    * over the complete tables, so the hash match proves the
+    * distributivity bookkeeping (a dropped term, a double-counted
+    * ΔL⋈ΔR, or a recompute leak all shift the per-nation counters).
+    * Provenance counters classify every joined row by which side was
+    * delta — the numbers that size a production maintenance run. Money
+    * rides the exact DECIMAL(18,2)→cents path. */
+  def q51IvmJoin(s: SparkSession, d: String): DataFrame = {
+    val L = orders(s, d).select(col("o_custkey").as("k"),
+      col("o_orderkey"), (dec(col("o_totalprice")) * 100).cast("long")
+        .as("cents"))
+    val R = customer(s, d).select(col("c_custkey").as("k"),
+      col("c_nationkey"))
+    val dl = col("o_orderkey") % 37 === 0
+    val dr = col("k") % 50 === 0
+    val viewDir = graft.Tables.scratchDir("graft-q51-view")
+    L.filter(!dl).join(R.filter(!dr), "k")
+      .write.mode("overwrite").parquet(viewDir)
+    val baseJ = s.read.parquet(viewDir)
+    val deltaJ = graft.operators.Ivm.joinDelta(
+      L.filter(!dl), R.filter(!dr), L.filter(dl), R.filter(dr), "k")
+    val isDl = col("o_orderkey") % 37 === 0
+    val isDr = col("k") % 50 === 0
+    baseJ.unionByName(deltaJ)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents"),
+        count(when(!isDl && !isDr, 1)).as("n_base"),
+        count(when(isDl && !isDr, 1)).as("n_delta_order"),
+        count(when(!isDl && isDr, 1)).as("n_delta_cust"),
+        count(when(isDl && isDr, 1)).as("n_delta_both"))
+      .orderBy("nationkey")
+  }
+
+  val q51Sql: String =
+    """WITH j AS (SELECT o.o_orderkey, o.o_custkey AS k,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    c.c_nationkey
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+      |SELECT c_nationkey AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(count(*) FILTER (o_orderkey % 37 <> 0 AND k % 50 <> 0)
+      |    AS BIGINT) AS n_base,
+      |  CAST(count(*) FILTER (o_orderkey % 37 = 0 AND k % 50 <> 0)
+      |    AS BIGINT) AS n_delta_order,
+      |  CAST(count(*) FILTER (o_orderkey % 37 <> 0 AND k % 50 = 0)
+      |    AS BIGINT) AS n_delta_cust,
+      |  CAST(count(*) FILTER (o_orderkey % 37 = 0 AND k % 50 = 0)
+      |    AS BIGINT) AS n_delta_both
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SNAPSHOT CONTENT FINGERPRINT — the migration-validation primitive:
+    * an ORDER-INDEPENDENT content hash (bit_xor of two 32-bit md5 lanes
+    * over a canonical row string, plus the row count) that certifies two
+    * physical copies of a table hold identical logical content WITHOUT
+    * sorting either one — at 100 TB a fingerprint is one map-side pass +
+    * a 1-row combine per copy, vs the full-sort/full-shuffle a row diff
+    * (q25) needs. Three snapshots ride the gate: the source `orders`,
+    * its scratch-parquet ROUND-TRIP (the fingerprint must survive a
+    * write/read cycle — a codec or type-mapping regression lands here),
+    * and a 1-in-1000 MUTATED copy (the fingerprint must move — xor
+    * lanes that ignore a column would pass a corrupted migration). The
+    * canonical string fixes types cross-engine: money through
+    * DECIMAL(18,2), timestamps to DATE, concat_ws('|'). matches_source
+    * is COMPUTED against the source lanes, never pinned. Collision
+    * note: 2×32-bit xor lanes suffice for a gate; production uses the
+    * same shape with 2×64-bit lanes. */
+  def q52SnapshotFingerprint(s: SparkSession, d: String): DataFrame = {
+    def fp(df: DataFrame): DataFrame = df
+      .select(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).cast("string"),
+        col("o_orderdate").cast("date").cast("string"),
+        col("o_orderpriority")).as("s"))
+      .select(
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ha"),
+        conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("hb"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(ha)").as("fp_a"),
+        expr("bit_xor(hb)").as("fp_b"))
+    val o = orders(s, d)
+    val rtDir = graft.Tables.scratchDir("graft-q52-rt")
+    o.write.mode("overwrite").parquet(rtDir)
+    val rt = s.read.parquet(rtDir)
+    val mut = o.withColumn("o_orderstatus",
+      when(col("o_orderkey") % 1000 === 7,
+        concat(col("o_orderstatus"), lit("*")))
+        .otherwise(col("o_orderstatus")))
+    val base = fp(o)
+    val src = base.select(col("fp_a").as("__fa"), col("fp_b").as("__fb"))
+    def row(tag: String, f: DataFrame) = f.crossJoin(broadcast(src))
+      .select(lit(tag).as("snapshot"), col("n_rows"), col("fp_a"),
+        col("fp_b"),
+        (col("fp_a") === col("__fa") && col("fp_b") === col("__fb"))
+          .as("matches_source"))
+    row("orders", base)
+      .union(row("orders_roundtrip", fp(rt)))
+      .union(row("orders_mutated", fp(mut)))
+      .orderBy("snapshot")
+  }
+
+  val q52Sql: String = {
+    def canon(status: String) =
+      s"""concat_ws('|', o_orderkey, o_custkey, $status,
+         |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |      CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+         |      o_orderpriority)""".stripMargin
+    def lanes(src: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    bit_xor(('0x' || substr(md5(s), 1, 8))::BIGINT) AS fp_a,
+         |    bit_xor(('0x' || substr(md5(s), 9, 8))::BIGINT) AS fp_b
+         |  FROM $src""".stripMargin
+    s"""WITH c AS (SELECT ${canon("o_orderstatus")} AS s FROM orders),
+       |m AS (SELECT ${canon(
+      "CASE WHEN o_orderkey % 1000 = 7 THEN o_orderstatus || '*' " +
+        "ELSE o_orderstatus END")} AS s FROM orders),
+       |f AS (${lanes("c")}),
+       |g AS (${lanes("m")})
+       |SELECT 'orders' AS snapshot, n_rows, fp_a, fp_b,
+       |  TRUE AS matches_source FROM f
+       |UNION ALL
+       |SELECT 'orders_mutated', g.n_rows, g.fp_a, g.fp_b,
+       |  (g.fp_a = f.fp_a AND g.fp_b = f.fp_b) FROM g, f
+       |UNION ALL
+       |SELECT 'orders_roundtrip', n_rows, fp_a, fp_b, TRUE FROM f
+       |ORDER BY snapshot""".stripMargin
+  }
+
   val q50Sql: String = {
     def edge(name: String, child: String, ckey: String,
         parent: String, pkey: String): String =
@@ -2340,7 +2476,9 @@ object Relational {
     "p10_correlation" -> (p10Correlation _),
     "p11_benford" -> (p11Benford _),
     "p25_key_discovery" -> (p25KeyDiscovery _),
-    "q50_fk_audit" -> (q50FkAudit _))
+    "q50_fk_audit" -> (q50FkAudit _),
+    "q51_ivm_join" -> (q51IvmJoin _),
+    "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -2403,5 +2541,7 @@ object Relational {
     "p10_correlation" -> p10Sql,
     "p11_benford" -> p11Sql,
     "p25_key_discovery" -> p25Sql,
-    "q50_fk_audit" -> q50Sql)
+    "q50_fk_audit" -> q50Sql,
+    "q51_ivm_join" -> q51Sql,
+    "q52_snapshot_fingerprint" -> q52Sql)
 }

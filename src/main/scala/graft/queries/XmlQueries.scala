@@ -789,7 +789,72 @@ object XmlQueries {
       |  'X' AS t_back
       |FROM lineitem WHERE l_orderkey % 16 = 4 ORDER BY id""".stripMargin
 
+  /** CHILD-VALUE PREDICATES — XPath 1.0 `step[q='v']` through the
+    * single-parse `xpath_multi`: the select-by-FIELD-value idiom
+    * (`//order[status='shipped']`) for element-keyed layouts, where the
+    * key lives in a child element's text rather than an attribute.
+    * Semantics are the spec's EXISTENTIAL node-set comparison: the
+    * predicate holds iff ANY child named `q` has that exact
+    * string-value — pinned here by giving each `<it>` TWO `<k>`
+    * children (flag and status) so one element satisfies two different
+    * predicates at once; positional predicates cannot express either
+    * selection because element order varies per row. Pins:
+    * constant-value selection, data-dependent presence (empty node-set
+    * → NULL through get(), CASE-replayed), existential multi-child
+    * match, descendant-axis + wildcard composition, and string-value
+    * nesting (the matched child's value includes nested element text).
+    * Built-in xpath() parity is spec-pinned in XPathMultiSpec. 1/16
+    * sample disjoint from x13-x17's. */
+  def x18XpathChildPredicate(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 5)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it><k>"), col("l_returnflag"),
+      lit("</k><k>"), col("l_linestatus"),
+      lit("</k><q>"), d2s(col("l_quantity")),
+      lit("</q></it><it><k>ZZ</k><q>"), d2s(col("l_extendedprice")),
+      lit("</q></it><s><it><k><b>A</b>F</k><q>"), d2s(col("l_tax")),
+      lit("</q></it></s></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[k='ZZ']/q",
+        "/r/it[k='R']/q",
+        "/r/it[k='O']/q",
+        "//it[k='AF']/q",
+        "/r/*[k='ZZ']/q")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p1"), lit(0)).cast("double").as("price"),
+        size(col("m.p2")).as("n_r"),
+        get(col("m.p2"), lit(0)).cast("double").as("q_r"),
+        size(col("m.p3")).as("n_o"),
+        get(col("m.p3"), lit(0)).cast("double").as("q_o"),
+        get(col("m.p4"), lit(0)).cast("double").as("tax_nested"),
+        get(col("m.p5"), lit(0)).cast("double").as("price_wild"))
+      .orderBy("id")
+  }
+
+  val x18Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT)
+      |    AS n_r,
+      |  CASE WHEN l_returnflag = 'R'
+      |    THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS q_r,
+      |  CAST(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS INT)
+      |    AS n_o,
+      |  CASE WHEN l_linestatus = 'O'
+      |    THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS q_o,
+      |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax_nested,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS price_wild
+      |FROM lineitem WHERE l_orderkey % 16 = 5 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_xpath_child_pred" -> (x18XpathChildPredicate _),
     "x17_xpath_attr_pred" -> (x17XpathAttrPredicate _),
     "x16_xpath_union" -> (x16XpathUnion _),
     "x15_xpath_descendant" -> (x15XpathDescendant _),
@@ -811,6 +876,7 @@ object XmlQueries {
   val oracles: Map[String, String] = Map(
     "x16_xpath_union" -> x16Sql,
     "x17_xpath_attr_pred" -> x17Sql,
+    "x18_xpath_child_pred" -> x18Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

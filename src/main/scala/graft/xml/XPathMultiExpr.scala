@@ -31,8 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `/descendant-or-self::node()/child::a` expansion, so `//a[k]`
   * keeps its per-parent sibling-position meaning), `*` name
   * wildcards, 1-based positional predicates `[k]`, attribute-equality
-  * predicates `[@a='v']` (one predicate per step — positional OR
-  * attribute, enforced by the grammar), and a trailing
+  * predicates `[@a='v']`, existential child-value predicates `[q='v']`
+  * (one predicate per step, enforced by the grammar), and a trailing
   * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
   * element string-value (concatenated descendant text, XPath `string()`)
@@ -73,7 +73,8 @@ object XPathMini {
     * `//a[2]` keeps the spec's sibling-position meaning (every `a` that
     * is the 2nd `a` child of ITS parent), not "2nd in document order". */
   final case class Step(name: String, pos: Int, desc: Boolean,
-      predAttr: String = null, predVal: String = null)
+      predAttr: String = null, predVal: String = null,
+      predChild: String = null)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -90,7 +91,8 @@ object XPathMini {
 
   private val StepRe =
     ("""^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\]""" +
-      """|\[@([A-Za-z_][\w.-]*)='([^']*)'\])?$""").r
+      """|\[@([A-Za-z_][\w.-]*)='([^']*)'\]""" +
+      """|\[([A-Za-z_][\w.-]*)='([^']*)'\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
@@ -167,14 +169,16 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case (StepRe(name, pos, pa, pv), desc) =>
+      case (StepRe(name, pos, pa, pav, pc, pcv), desc) =>
         // the regex alternation guarantees at most ONE predicate per
-        // step: positional [k] or attribute-equality [@a='v']
-        Step(name, if (pos == null) 0 else pos.toInt, desc, pa, pv)
+        // step: positional [k], attribute-equality [@a='v'], or
+        // child-value [q='v']
+        Step(name, if (pos == null) 0 else pos.toInt, desc, pa,
+          if (pa != null) pav else pcv, pc)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, //name, [k], [@a='v'], trailing text() " +
-          "or @attr)")
+          "(subset: name|*, //name, [k], [@a='v'], [q='v'], trailing " +
+          "text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
@@ -307,7 +311,29 @@ object XPathMini {
 
   private def matches(step: Step, e: Elem): Boolean =
     (step.name == "*" || step.name == e.tag) &&
-      (step.predAttr == null || attrEq(e, step.predAttr, step.predVal))
+      (step.predAttr == null || attrEq(e, step.predAttr, step.predVal)) &&
+      (step.predChild == null || childEq(e, step.predChild, step.predVal))
+
+  /** XPath 1.0 `[q='v']` existential child-value test: true iff ANY
+    * child element named `q` has string-value exactly `v` (node-set =
+    * string comparison is existential over the set, XPath 1.0 §3.4 —
+    * so `<it><q>a</q><q>b</q></it>` satisfies both [q='a'] and
+    * [q='b']). String-value includes nested element text, matching
+    * [[emitNode]]'s element emission. */
+  private def childEq(e: Elem, name: String, v: String): Boolean = {
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case c: Elem if c.tag == name =>
+          val sb = new java.lang.StringBuilder
+          stringValue(c, sb)
+          if (sb.toString == v) return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
 
   /** Does the element carry attribute `a` with exactly value `v`?
     * First occurrence wins, like [[emitNode]]'s attribute emission. */

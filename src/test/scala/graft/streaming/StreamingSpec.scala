@@ -1214,6 +1214,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(Multimodal.bmpWeightedChecksum(mono) == 0L)
   }
 
+  test("m17 decimateWav: per-channel boxcar (no L/R mixing), floorDiv " +
+      "on negative sums, odd tail dropped, valid half-rate container") {
+    import graft.operators.Multimodal
+    // stereo frames (L,R): (100,-3),(200,-4),(7,9) — 3 frames, factor 2
+    // keeps ONE output frame: L=(100+200)//2=150, R=(-3+-4)//2=-4
+    // (floorDiv: -7/2 -> -4, truncation would give -3); frame 3 dropped
+    def le(s: Short) = Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    val data = Seq[Short](100, -3, 200, -4, 7, 9).flatMap(le).toArray
+    val wav = Multimodal.buildWav(8000, 2, data)
+    val dec = Multimodal.decimateWav(wav, 2).get
+    val (rate, ch, n, sum, energy) = Multimodal.wavStats(dec).get
+    assert(rate == 4000 && ch == 2)
+    assert(n == 2 && sum == 150L - 4L &&
+      energy == 150L * 150 + 4L * 4)
+    // factor 1 is the identity on samples
+    val id1 = Multimodal.decimateWav(wav, 1).get
+    assert(Multimodal.wavStats(id1).get._5 ==
+      Multimodal.wavStats(wav).get._5)
+    // non-WAV refused
+    assert(Multimodal.decimateWav(Array[Byte](1, 2, 3), 2).isEmpty)
+  }
+
   test("wavZcr: crossings count flips around the per-window floorDiv " +
       "mean; boundary pairs belong to neither window") {
     import graft.operators.Multimodal

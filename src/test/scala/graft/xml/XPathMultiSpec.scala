@@ -272,6 +272,51 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(XPathMini.compileAll("/a/b/text()").length == 1)
   }
 
+  test("child-value predicates [q='v']: existential over multiple " +
+      "children, string-value includes nested text, built-in parity, " +
+      "composition with // and *") {
+    import spark.implicits._
+    val pdocs = Seq(
+      // two candidates; the child VALUE selects the second
+      "<r><it><k>a</k><q>1</q></it><it><k>b</k><q>2</q></it></r>",
+      // existential: ONE it with two k children satisfies both tests
+      "<r><it><k>a</k><k>b</k><q>3</q></it></r>",
+      // nested text: string-value of k is 'xy', not 'y'
+      "<r><it><k><b>x</b>y</k><q>4</q></it></r>",
+      // no match anywhere
+      "<r><it><k>z</k><q>5</q></it></r>",
+      // depth-2 candidate via //
+      "<r><s><it><k>b</k><q>6</q></it></s></r>")
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq(
+      "/r/it[k='b']/q", "/r/it[k='a']/q", "//it[k='b']/q",
+      "/r/*[k='xy']/q"))
+    val rows = pdocs.toDF("x").select(col("x"), m.as("m"),
+      expr("xpath(x, \"/r/it[k='b']/q/text()\")").as("ref_b"),
+      expr("xpath(x, \"//it[k='b']/q/text()\")").as("ref_desc"))
+      .collect()
+    val byDoc = rows.map(r => r.getString(0) -> (
+      r.getStruct(1).getSeq[String](0), r.getStruct(1).getSeq[String](1),
+      r.getStruct(1).getSeq[String](2), r.getStruct(1).getSeq[String](3),
+      r.getSeq[String](2), r.getSeq[String](3))).toMap
+    val d0 = byDoc(pdocs(0))
+    assert(d0._1 == Seq("2") && d0._1 == d0._5, "value selects by child")
+    val d1 = byDoc(pdocs(1))
+    assert(d1._1 == Seq("3") && d1._2 == Seq("3"),
+      "existential: one element satisfies BOTH [k='a'] and [k='b']")
+    assert(d1._1 == d1._5, "built-in parity on the existential case")
+    val d2 = byDoc(pdocs(2))
+    assert(d2._4 == Seq("4"), "string-value concatenates nested text")
+    val d3 = byDoc(pdocs(3))
+    assert(d3._1 == Seq.empty && d3._3 == Seq.empty && d3._5 == Seq.empty)
+    val d4 = byDoc(pdocs(4))
+    assert(d4._1 == Seq.empty, "child axis stays at depth 1")
+    assert(d4._3 == Seq("6") && d4._3 == d4._6, "// reaches depth 2")
+    // grammar: still one predicate per step; '@' vs child distinguished
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[k='a'][2]/q")
+    }
+  }
+
   test("union split is quote-aware: '|' inside a predicate value is the " +
       "value, not a union operator") {
     import spark.implicits._
