@@ -5735,6 +5735,61 @@ object ExtensionQueries {
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** TOKEN-RANK FLUENCY — the exact, rank-based stand-in for the
+    * unigram-LM perplexity screen (the cheapest fluency axis of a
+    * quality pipeline, CCNet-style): every token's CORPUS-FREQUENCY
+    * RANK (1 = most frequent, ties broken by token — a total order both
+    * engines replay), then per doc the token count, summed rank, and
+    * floor-average rank. Low mean rank = built from the corpus's common
+    * vocabulary; high = rare/noisy/OOV-heavy — the same ordering a
+    * log-prob screen induces, in exact integers, because log-prob
+    * itself is transcendental and would never hash cross-engine. Scale
+    * shape: the corpus tokenizes ONCE into a scratch posting table
+    * (both the vocabulary count and the join probe read it — the t22
+    * discipline); the rank window runs over the VOCABULARY domain, not
+    * the corpus; the probe is one shuffle equi-join on token. */
+  def t49TokenRankFluency(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val postsDir = graft.Tables.scratchDir("graft-t49-posts")
+    docs.select(col("doc_id"), explode(Text.tokens(col("text")))
+        .as("token"))
+      .write.mode("overwrite").parquet(postsDir)
+    val posts = sp.read.parquet(postsDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val vocab = posts.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val per = posts.join(vocab.select(col("token"), col("rank")), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("sum_rank"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_rank"), lit(0L)).as("sum_rank"),
+        coalesce(expr("sum_rank div n_tokens"), lit(0L)).as("mean_rank"))
+      .orderBy("doc_id")
+  }
+
+  val t49Sql: String =
+    s"""WITH g AS (SELECT doc_id, tt.tt AS token
+       |  FROM documents, unnest($Toks) AS tt(tt)),
+       |v AS (SELECT token, count(*) AS cnt FROM g GROUP BY 1),
+       |r AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+       |      AS rank
+       |  FROM v),
+       |per AS (SELECT g.doc_id, count(*) AS n_tokens,
+       |    SUM(r.rank) AS sum_rank
+       |  FROM g JOIN r USING (token) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(per.sum_rank, 0) AS BIGINT) AS sum_rank,
+       |  CAST(coalesce(per.sum_rank // per.n_tokens, 0) AS BIGINT)
+       |    AS mean_rank
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
     * "user flow" diagram: consecutive event pairs per user (ordered by
     * event time, ties by id) reduce to (from_type, to_type) transition
@@ -6519,6 +6574,82 @@ object ExtensionQueries {
        |SELECT qid, CAST(rank AS INT) AS rank, id AS neighbor,
        |  round(sim, 4) AS sim, CAST(3 AS BIGINT) AS n_batches
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** dropDuplicatesWithinWatermark — Spark 4's BOUNDED-STATE streaming
+    * dedup (the API leg s13's unbounded dropDuplicates doesn't cover):
+    * key state lives only `delay` past its event time, so the store
+    * stays O(keys-per-window) forever — the only dedup a year-running
+    * ingest can afford — at the price of re-admitting a key that
+    * recurs after eviction. The gate pins the FULL semantic surface,
+    * probed and pinned empirically: (1) a key re-occurring while its
+    * state lives is dropped; (2) a key re-occurring after eviction
+    * (first-ts + delay < watermark) is EMITTED AGAIN; (3) any row
+    * below the watermark is late-dropped even if its key was never
+    * seen. Harness: the 1/16 `event_id % 16 = 8` bus in three
+    * event-time-ordered tercile batches (ntile(3), oracle-replayed);
+    * batch 3 additionally REPLAYS every `event_id % 3 = 0` row of
+    * terciles 1-2 bumped +8 days — against watermark = maxTs(b2) − 4d
+    * those replays split into all three classes at every SF. Keys are
+    * unique within each batch, so emissions are slicing-deterministic
+    * and the oracle replays them with two interval comparisons. */
+  def s35DedupWithinWatermark(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val rows = events(sp, dir).filter(col("event_id") % 16 === 8)
+      .select(col("event_id"), col("ts"))
+      .withColumn("b", ntile(3).over(w))
+      .orderBy("ts", "event_id").collect()
+    require(rows.length >= 9,
+      "s35: the 1/16 event_id sample has < 9 rows — fixture too small " +
+        "for a 3-tercile dedup bus")
+    def feed(b: Int): Seq[(Long, java.sql.Timestamp)] = rows.toIndexedSeq
+      .filter(_.getInt(2) == b)
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    // +8d via Instant so MICROSECOND precision survives (Timestamp
+    // getTime is millis and would truncate the fixture's micros)
+    val replays = rows.toIndexedSeq
+      .filter(r => r.getInt(2) != 3 && r.getLong(0) % 3 == 0)
+      .map(r => (r.getLong(0), java.sql.Timestamp.from(
+        r.getTimestamp(1).toInstant.plusSeconds(8L * 86400))))
+    val s2 = sp.newSession()
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = in.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "4 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "s35_ddw_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        in.addData(feed(1)); q.processAllAvailable()
+        in.addData(feed(2)); q.processAllAvailable()
+        in.addData(feed(3) ++ replays); q.processAllAvailable()
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.table(name).orderBy("event_id", "ts")
+  }
+
+  val s35Sql: String =
+    """WITH s AS (SELECT event_id,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ts
+      |  FROM events WHERE event_id % 16 = 8),
+      |b AS (SELECT event_id, ts,
+      |    ntile(3) OVER (ORDER BY ts, event_id) AS b FROM s),
+      |wm AS (SELECT max(ts) - INTERVAL 4 DAY AS w FROM b WHERE b <= 2),
+      |rep AS (SELECT event_id, ts + INTERVAL 8 DAY AS ts
+      |  FROM b, wm WHERE b.b <= 2 AND event_id % 3 = 0
+      |    AND ts + INTERVAL 8 DAY >= wm.w
+      |    AND ts + INTERVAL 4 DAY < wm.w)
+      |SELECT event_id, ts FROM b
+      |UNION ALL SELECT event_id, ts FROM rep
+      |ORDER BY event_id, ts""".stripMargin
 
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
@@ -9367,6 +9498,7 @@ object ExtensionQueries {
     "t46_oov_drift" -> (t46OovDrift _),
     "t47_gopher_rules" -> (t47GopherRules _),
     "t48_ngram_novelty" -> (t48NgramNovelty _),
+    "t49_token_rank_fluency" -> (t49TokenRankFluency _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -9437,6 +9569,7 @@ object ExtensionQueries {
     "s32_pt_timer_flush" -> (s32PtTimerFlush _),
     "s33_dual_sink" -> (s33DualSink _),
     "s34_ivf_stream_ingest" -> (s34IvfStreamIngest _),
+    "s35_dedup_within_watermark" -> (s35DedupWithinWatermark _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
     "a18_filtered_ivf" -> (a18FilteredIvf _),
@@ -9547,6 +9680,7 @@ object ExtensionQueries {
     "t46_oov_drift" -> t46Sql,
     "t47_gopher_rules" -> t47Sql,
     "t48_ngram_novelty" -> t48Sql,
+    "t49_token_rank_fluency" -> t49Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,
@@ -9622,6 +9756,7 @@ object ExtensionQueries {
     "s32_pt_timer_flush" -> s32Sql,
     "s33_dual_sink" -> s33Sql,
     "s34_ivf_stream_ingest" -> s34Sql,
+    "s35_dedup_within_watermark" -> s35Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,
     "a18_filtered_ivf" -> a18Sql,

@@ -1414,6 +1414,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("never fired"))
   }
 
+  test("s35 dropDuplicatesWithinWatermark: live-state drop, post-" +
+      "eviction re-emission, late-filter below watermark even for " +
+      "unseen keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val out = in.toDS().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val name = "s35spec_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.format("memory").outputMode("append")
+      .queryName(name).start()
+    try {
+      // b1: intra-batch dup A dropped (one A emission)
+      in.addData(Seq(("A", ts("2024-01-01 10:00:00")),
+        ("B", ts("2024-01-01 10:00:00")),
+        ("A", ts("2024-01-01 10:01:00"))))
+      q.processAllAvailable()
+      // b2: A alive (expiry 10:10 >= wm 9:51) -> dropped; C emits and
+      // pushes the watermark to 11:50, evicting A and B
+      in.addData(Seq(("C", ts("2024-01-01 12:00:00")),
+        ("A", ts("2024-01-01 10:02:00"))))
+      q.processAllAvailable()
+      // b3: A re-occurs past eviction -> EMITS AGAIN; B below the
+      // watermark -> late-dropped; D unseen but below watermark ->
+      // ALSO dropped (the late filter precedes the dedup state)
+      in.addData(Seq(("A", ts("2024-01-01 11:55:00")),
+        ("B", ts("2024-01-01 09:00:00")),
+        ("D", ts("2024-01-01 11:49:00"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[(String, java.sql.Timestamp)]
+      .collect().map { case (k, t) => (k, t.toString) }.toSet
+    assert(got == Set(
+      ("A", "2024-01-01 10:00:00.0"),
+      ("B", "2024-01-01 10:00:00.0"),
+      ("C", "2024-01-01 12:00:00.0"),
+      ("A", "2024-01-01 11:55:00.0")))
+  }
+
   test("s34 streaming IVF ingest: per-epoch postings partitions, torn " +
       "epoch absorbed by overwrite (no doubled postings), streamed " +
       "index row-identical to the batch rebuild") {
