@@ -853,7 +853,61 @@ object XmlQueries {
       |    AS price_wild
       |FROM lineitem WHERE l_orderkey % 16 = 5 ORDER BY id""".stripMargin
 
+  /** `[last()]` POSITIONAL PREDICATES — the final-sibling selector
+    * (`/log/entry[last()]`, the latest-entry idiom) through the
+    * single-parse evaluator: per XPath 1.0 the predicate binds to the
+    * step's CONTEXT, so `//v[last()]` selects the last `v` child of
+    * EACH parent, not the document's last `v` — pinned by a layout
+    * with `<v>` runs at two depths. Each row's doc carries a variable-
+    * length run of `<v>` children (1 + l_linenumber of them: the
+    * run length is data, so a fixed `[k]` cannot express "the last
+    * one") plus a nested `<s><v>…</v></s>` level; pins: last-of-run
+    * selection, last-vs-first divergence, composition with a following
+    * step (`it[last()]/q`), per-parent meaning under `//`, and
+    * single-match collapse. Built-in parity in XPathMultiSpec. 1/16
+    * sample disjoint from x13-x18's. */
+  def x19XpathLastPredicate(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 6)
+    // vs: l_linenumber+1 <v> children, values "<q>0".."<q>n" derived
+    // from quantity+index so the LAST differs from the FIRST
+    val run = concat_ws("",
+      transform(sequence(lit(0), col("l_linenumber")), i =>
+        concat(lit("<v>"), (col("l_quantity").cast("int") + i)
+          .cast("string"), lit("</v>"))))
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'>"), run,
+      lit("<it><q>a</q></it><it><q>b</q></it><s><v>"),
+      d2s(col("l_tax")), lit("</v></s></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/v[last()]",
+        "/r/v[1]",
+        "/r/it[last()]/q",
+        "//v[last()]",
+        "/r/s/v[last()]")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p1"), lit(0)).cast("int").as("last_v"),
+        get(col("m.p2"), lit(0)).cast("int").as("first_v"),
+        get(col("m.p3"), lit(0)).as("last_q"),
+        size(col("m.p4")).as("n_last_per_parent"),
+        get(col("m.p5"), lit(0)).cast("double").as("nested_last"))
+      .orderBy("id")
+  }
+
+  val x19Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(CAST(l_quantity AS INT) + l_linenumber AS INT) AS last_v,
+      |  CAST(CAST(l_quantity AS INT) AS INT) AS first_v,
+      |  'b' AS last_q,
+      |  CAST(2 AS INT) AS n_last_per_parent,
+      |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS nested_last
+      |FROM lineitem WHERE l_orderkey % 16 = 6 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_xpath_last_pred" -> (x19XpathLastPredicate _),
     "x18_xpath_child_pred" -> (x18XpathChildPredicate _),
     "x17_xpath_attr_pred" -> (x17XpathAttrPredicate _),
     "x16_xpath_union" -> (x16XpathUnion _),
@@ -877,6 +931,7 @@ object XmlQueries {
     "x16_xpath_union" -> x16Sql,
     "x17_xpath_attr_pred" -> x17Sql,
     "x18_xpath_child_pred" -> x18Sql,
+    "x19_xpath_last_pred" -> x19Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

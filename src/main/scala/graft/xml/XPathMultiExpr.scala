@@ -30,8 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (leading or between element steps — XPath's
   * `/descendant-or-self::node()/child::a` expansion, so `//a[k]`
   * keeps its per-parent sibling-position meaning), `*` name
-  * wildcards, 1-based positional predicates `[k]`, attribute-equality
-  * predicates `[@a='v']`, existential child-value predicates `[q='v']`
+  * wildcards, 1-based positional predicates `[k]` and `[last()]`,
+  * attribute-equality
+  * `[@a='v']`, existential child-value predicates `[q='v']`
   * (one predicate per step, enforced by the grammar), and a trailing
   * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
@@ -66,7 +67,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object XPathMini {
 
   /** One location step: element name (or `*`) + optional 1-based position
-    * among the matching siblings of the same context node (0 = all).
+    * among the matching siblings of the same context node (0 = all,
+    * -1 = `last()` — the final matching sibling of its context).
     * `desc` marks the DESCENDANT axis (`//name`): the step matches
     * child::name of the context node or of ANY of its descendants —
     * XPath's `/descendant-or-self::node()/child::name` expansion, so
@@ -91,6 +93,7 @@ object XPathMini {
 
   private val StepRe =
     ("""^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\]""" +
+      """|\[(last)\(\)\]""" +
       """|\[@([A-Za-z_][\w.-]*)='([^']*)'\]""" +
       """|\[([A-Za-z_][\w.-]*)='([^']*)'\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
@@ -169,16 +172,17 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case (StepRe(name, pos, pa, pav, pc, pcv), desc) =>
+      case (StepRe(name, pos, lastG, pa, pav, pc, pcv), desc) =>
         // the regex alternation guarantees at most ONE predicate per
-        // step: positional [k], attribute-equality [@a='v'], or
-        // child-value [q='v']
-        Step(name, if (pos == null) 0 else pos.toInt, desc, pa,
-          if (pa != null) pav else pcv, pc)
+        // step: positional [k] / [last()], attribute-equality
+        // [@a='v'], or child-value [q='v']
+        val p = if (lastG != null) -1
+          else if (pos == null) 0 else pos.toInt
+        Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, //name, [k], [@a='v'], [q='v'], trailing " +
-          "text() or @attr)")
+          "(subset: name|*, //name, [k], [last()], [@a='v'], [q='v'], " +
+          "trailing text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
@@ -359,6 +363,22 @@ object XPathMini {
       def rec(stepIdx: Int, ctx: Elem): Unit = {
         val step = p.steps(stepIdx)
         val last = stepIdx == p.steps.length - 1
+        if (step.pos == -1) { // [last()]: the FINAL matching sibling
+          var lastMatch: Elem = null
+          var i = 0
+          while (i < ctx.content.length) {
+            ctx.content(i) match {
+              case c: Elem if matches(step, c) => lastMatch = c
+              case _ =>
+            }
+            i += 1
+          }
+          if (lastMatch != null) {
+            if (last) emitNode(p, lastMatch, out)
+            else rec(stepIdx + 1, lastMatch)
+          }
+          return
+        }
         var seen = 0
         var i = 0
         while (i < ctx.content.length) {
@@ -385,6 +405,19 @@ object XPathMini {
   /** child::step matches of one context node, sibling-counted. */
   private def childCollect(step: Step, ctx: Elem,
       out: mutable.ArrayBuffer[Elem]): Unit = {
+    if (step.pos == -1) { // [last()]: the FINAL matching sibling
+      var lastMatch: Elem = null
+      var i = 0
+      while (i < ctx.content.length) {
+        ctx.content(i) match {
+          case c: Elem if matches(step, c) => lastMatch = c
+          case _ =>
+        }
+        i += 1
+      }
+      if (lastMatch != null) out += lastMatch
+      return
+    }
     var seen = 0
     var i = 0
     while (i < ctx.content.length) {

@@ -196,13 +196,17 @@ class XPathMultiSpec extends AnyFunSuite {
   test("a bad path fails when the EXPRESSION is constructed (driver-" +
       "side), not per-task at eval") {
     intercept[IllegalArgumentException] {
-      XPathMultiExpr.xpath_multi(col("x"), Seq("/a/b[last()]"))
+      XPathMultiExpr.xpath_multi(col("x"), Seq("/a/b[position()>1]"))
     }
   }
 
   test("unsupported path syntax rejected at construction") {
     intercept[IllegalArgumentException] {
-      XPathMini.compile("/a/b[last()]")
+      XPathMini.compile("/a/b[position()>1]")
+    }
+    // last() composes only as the whole predicate, not arithmetic
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/a/b[last()-1]")
     }
     intercept[IllegalArgumentException] {
       XPathMini.compile("relative/path")
@@ -315,6 +319,32 @@ class XPathMultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[k='a'][2]/q")
     }
+  }
+
+  test("[last()] predicates: final sibling of the CONTEXT (per-parent " +
+      "under //), built-in parity, composition with following steps") {
+    import spark.implicits._
+    val doc = "<r><v>1</v><v>2</v><v>3</v>" +
+      "<it><q>a</q></it><it><q>b</q></it>" +
+      "<s><v>9</v></s></r>"
+    val one = Seq(doc).toDF("x")
+    val m = XPathMultiExpr.xpath_multi(col("x"), Seq(
+      "/r/v[last()]", "/r/it[last()]/q", "//v[last()]",
+      "/r/s/v[last()]", "/r/zz[last()]"))
+    val r = one.select(m.as("m"),
+      expr("xpath_string(x, '/r/v[last()]')").as("ref_last"),
+      expr("xpath_string(x, '/r/it[last()]/q')").as("ref_q"),
+      expr("size(xpath(x, '//v[last()]'))").as("ref_n")).head()
+    val st = r.getStruct(0)
+    assert(st.getSeq[String](0) == Seq("3"), "last of the v run")
+    assert(st.getSeq[String](1) == Seq("b"), "last composes with /q")
+    // per-parent meaning: last v of <r> (3) AND last v of <s> (9)
+    assert(st.getSeq[String](2) == Seq("3", "9"))
+    assert(st.getSeq[String](3) == Seq("9"))
+    assert(st.getSeq[String](4) == Seq.empty, "no match -> empty")
+    // built-in evaluator agrees
+    assert(r.getString(1) == "3" && r.getString(2) == "b" &&
+      r.getInt(3) == 2)
   }
 
   test("union split is quote-aware: '|' inside a predicate value is the " +
