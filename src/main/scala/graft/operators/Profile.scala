@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling — the data-quality screen a pipeline runs
@@ -69,5 +69,50 @@ object Profile {
         round(col("__mn") +
           ((col("bin").cast("double") + 1.0) * (col("__mx") - col("__mn"))) / b,
           6).as("hi"))
+  }
+
+  /** TWO-SAMPLE chi-square DRIFT profile — the distribution-shift test
+    * behind train/serve skew and week-over-week data-drift monitors
+    * (p4 tracks count/null/distinct drift; this tracks the SHAPE of a
+    * numeric column): rows split into samples A/B by `sampleA`, binned
+    * on the SHARED [[histogram]] grid (global min/max, so both samples
+    * use identical edges), then per (bin, sample) the standard
+    * contingency term (O−E)²/E with E = rowTotal·colTotal/grand.
+    * Exactness: counts and every product stay in BIGINT — the term is
+    * computed as double(O·grand − n·colTotal)² / double(grand·n·colTotal),
+    * one shared IEEE tree both engines replay bit-for-bit, so the gate
+    * emits RAW doubles. Per-bin terms are emitted instead of the summed
+    * statistic (a 20-term double sum has no cross-engine fold order);
+    * the caller sums, or compares terms directly against a threshold.
+    * Scale: two all-reduce passes (min/max, then bin×sample counts into
+    * nBins groups) — nothing after the first shuffle scales with the
+    * corpus. */
+  def chi2Drift(df: DataFrame, valueCol: String, sampleA: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val b = lit(nBins.toDouble)
+    val counts = df.filter(v.isNotNull).withColumn("__a", sampleA)
+      .crossJoin(broadcast(stats))
+      .select(least(floor((v - col("__mn")) * b /
+          (col("__mx") - col("__mn"))), lit(nBins - 1.0)).cast("int")
+          .as("bin"),
+        col("__a"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("__a"), 1)).as("o_a"),
+        count(when(!col("__a"), 1)).as("o_b"))
+    val tot = counts.agg(sum(col("o_a")).as("__na"),
+      sum(col("o_b")).as("__nb"))
+    def term(o: Column, n: Column): Column = {
+      val colT = col("o_a") + col("o_b")
+      val grand = col("__na") + col("__nb")
+      val dd = (o * grand - n * colT).cast("double")
+      (dd * dd) / (grand * n * colT).cast("double")
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("o_a"), col("o_b"),
+        term(col("o_a"), col("__na")).as("term_a"),
+        term(col("o_b"), col("__nb")).as("term_b"))
   }
 }

@@ -4737,6 +4737,39 @@ object ExtensionQueries {
       |  round(mn + ((CAST(bin AS DOUBLE) + 1.0) * (mx - mn)) / 20.0, 6) AS hi
       |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin
 
+  /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
+    * events.value's distribution in the first half of January vs the
+    * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
+    * p4's count/null drift. Per-bin contingency terms ride as raw
+    * doubles (one shared integer-fed IEEE tree; no cross-engine fold
+    * order exists for the 20-term sum, so terms are the contract). */
+  def p27Chi2Drift(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.chi2Drift(events(sp, dir), "value",
+        col("ts") < lit("2024-01-16").cast("timestamp"), 20)
+      .orderBy("bin")
+
+  val p27Sql: String =
+    """WITH st AS (SELECT min(CAST(value AS DOUBLE)) AS mn,
+      |    max(CAST(value AS DOUBLE)) AS mx FROM events),
+      |b AS (SELECT CAST(least(floor((CAST(value AS DOUBLE) - mn) * 20.0
+      |      / (mx - mn)), 19.0) AS INT) AS bin,
+      |    (make_timestamp(epoch_ns(ts) // 1000)
+      |      < TIMESTAMP '2024-01-16') AS a
+      |  FROM events, st WHERE value IS NOT NULL),
+      |c AS (SELECT bin, count(*) FILTER (a) AS o_a,
+      |    count(*) FILTER (NOT a) AS o_b
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(o_a) AS BIGINT) AS na,
+      |    CAST(SUM(o_b) AS BIGINT) AS nb FROM c)
+      |SELECT bin, CAST(o_a AS BIGINT) AS o_a, CAST(o_b AS BIGINT) AS o_b,
+      |  (CAST(o_a * (na + nb) - na * (o_a + o_b) AS DOUBLE)
+      |     * CAST(o_a * (na + nb) - na * (o_a + o_b) AS DOUBLE))
+      |    / CAST((na + nb) * na * (o_a + o_b) AS DOUBLE) AS term_a,
+      |  (CAST(o_b * (na + nb) - nb * (o_a + o_b) AS DOUBLE)
+      |     * CAST(o_b * (na + nb) - nb * (o_a + o_b) AS DOUBLE))
+      |    / CAST((na + nb) * nb * (o_a + o_b) AS DOUBLE) AS term_b
+      |FROM c, t ORDER BY bin""".stripMargin
+
   /** Audio activity segmentation ([[Multimodal.activeSegments]]): m4's
     * per-window PCM energies thresholded at 3·10¹⁰ (≈ the corpus median)
     * and merged into maximal active runs; per-doc segment structure. The
@@ -9596,7 +9629,8 @@ object ExtensionQueries {
     "p22_transitions" -> (p22Transitions _),
     "p23_autocorr" -> (p23Autocorr _),
     "p24_benford" -> (p24Benford _),
-    "p26_ab_test" -> (p26AbTest _))
+    "p26_ab_test" -> (p26AbTest _),
+    "p27_chi2_drift" -> (p27Chi2Drift _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -9783,5 +9817,6 @@ object ExtensionQueries {
     "p22_transitions" -> p22Sql,
     "p23_autocorr" -> p23Sql,
     "p24_benford" -> p24Sql,
-    "p26_ab_test" -> p26Sql)
+    "p26_ab_test" -> p26Sql,
+    "p27_chi2_drift" -> p27Sql)
 }

@@ -2318,18 +2318,24 @@ object Relational {
     * is COMPUTED against the source lanes, never pinned. Collision
     * note: 2×32-bit xor lanes suffice for a gate; production uses the
     * same shape with 2×64-bit lanes. */
+  /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
+    * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
+    * Order-independent (xor commutes), so physical copies compare
+    * without sorting. */
+  private def ordersFp(df: DataFrame): DataFrame = df
+    .select(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      dec(col("o_totalprice")).cast("string"),
+      col("o_orderdate").cast("date").cast("string"),
+      col("o_orderpriority")).as("s"))
+    .select(
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ha"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("hb"))
+    .agg(count(lit(1)).as("n_rows"), expr("bit_xor(ha)").as("fp_a"),
+      expr("bit_xor(hb)").as("fp_b"))
+
   def q52SnapshotFingerprint(s: SparkSession, d: String): DataFrame = {
-    def fp(df: DataFrame): DataFrame = df
-      .select(concat_ws("|",
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        dec(col("o_totalprice")).cast("string"),
-        col("o_orderdate").cast("date").cast("string"),
-        col("o_orderpriority")).as("s"))
-      .select(
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("ha"),
-        conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("hb"))
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(ha)").as("fp_a"),
-        expr("bit_xor(hb)").as("fp_b"))
+    def fp(df: DataFrame): DataFrame = ordersFp(df)
     val o = orders(s, d)
     val rtDir = graft.Tables.scratchDir("graft-q52-rt")
     o.write.mode("overwrite").parquet(rtDir)
@@ -2350,6 +2356,77 @@ object Relational {
       .union(row("orders_mutated", fp(mut)))
       .orderBy("snapshot")
   }
+
+  /** PARQUET COMPRESSION-CODEC MATRIX — at 100 TB the codec is a
+    * first-order cost lever (zstd trades ~CPU for markedly smaller
+    * files than snappy; lz4 decodes fastest; gzip is the legacy small/
+    * slow point), and a codec migration must be provably LOSSLESS
+    * before a fleet rewrites exabytes. The gate writes `orders` under
+    * all four codecs Spark ships natively, reads each copy back, and
+    * certifies content identity through the q52 fingerprint lanes —
+    * byte sizes are layout/hardware facts, not logical content, so the
+    * gate hashes the lossless round-trip only (n_rows + lanes +
+    * matches_source), never sizes. One scan per codec copy; the
+    * fingerprint is the same one-pass map + 1-row combine as q52. */
+  def q53CodecMatrix(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val src = ordersFp(o)
+      .select(col("fp_a").as("__fa"), col("fp_b").as("__fb"))
+    Seq("snappy", "zstd", "gzip", "lz4").map { codec =>
+      val dir = graft.Tables.scratchDir(s"graft-q53-$codec")
+      o.write.mode("overwrite").option("compression", codec).parquet(dir)
+      ordersFp(s.read.parquet(dir)).crossJoin(broadcast(src))
+        .select(lit(codec).as("codec"), col("n_rows"), col("fp_a"),
+          col("fp_b"),
+          (col("fp_a") === col("__fa") && col("fp_b") === col("__fb"))
+            .as("matches_source"))
+    }.reduce(_ union _).orderBy("codec")
+  }
+
+  val q53Sql: String = {
+    def canon =
+      s"""concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+         |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+         |      CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+         |      o_orderpriority)""".stripMargin
+    s"""WITH c AS (SELECT $canon AS s FROM orders),
+       |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    bit_xor(('0x' || substr(md5(s), 1, 8))::BIGINT) AS fp_a,
+       |    bit_xor(('0x' || substr(md5(s), 9, 8))::BIGINT) AS fp_b
+       |  FROM c)
+       |SELECT k.codec, f.n_rows, f.fp_a, f.fp_b, TRUE AS matches_source
+       |FROM f, (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd'))
+       |  AS k(codec)
+       |ORDER BY k.codec""".stripMargin
+  }
+
+  /** COLUMN-LEVEL LINEAGE ([[graft.plans.Lineage.columnLineage]]) over
+    * q2's star join + aggregate: every output column traced to its
+    * source (table, column) set by walking the analyzed logical plan —
+    * the impact-analysis / PII-propagation audit surface. The pinned
+    * report is itself the regression tripwire: a change to q2's plan
+    * shape or to the walker that gains/loses an edge fails the hash.
+    * `revenue` traces to exactly lineitem.(l_extendedprice, l_discount)
+    * — join keys and filters deliberately do NOT taint outputs (data
+    * lineage, not control lineage) — and `n_items` (count(*)) surfaces
+    * as `<const>` so the report stays total. Driver-side plan walk,
+    * O(plan) regardless of data size. */
+  def q54ColumnLineage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.Lineage.columnLineage(q2RevenueByNation(s, d))
+      .toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
+  val q54Sql: String =
+    """SELECT * FROM (VALUES
+      |  ('n_items', '<const>', '<const>'),
+      |  ('n_name', 'nation', 'n_name'),
+      |  ('r_name', 'region', 'r_name'),
+      |  ('revenue', 'lineitem', 'l_discount'),
+      |  ('revenue', 'lineitem', 'l_extendedprice'))
+      |  AS t(out_col, src_table, src_col)
+      |ORDER BY out_col, src_table, src_col""".stripMargin
 
   val q52Sql: String = {
     def canon(status: String) =
@@ -2478,7 +2555,9 @@ object Relational {
     "p25_key_discovery" -> (p25KeyDiscovery _),
     "q50_fk_audit" -> (q50FkAudit _),
     "q51_ivm_join" -> (q51IvmJoin _),
-    "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _))
+    "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
+    "q53_codec_matrix" -> (q53CodecMatrix _),
+    "q54_column_lineage" -> (q54ColumnLineage _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -2543,5 +2622,7 @@ object Relational {
     "p25_key_discovery" -> p25Sql,
     "q50_fk_audit" -> q50Sql,
     "q51_ivm_join" -> q51Sql,
-    "q52_snapshot_fingerprint" -> q52Sql)
+    "q52_snapshot_fingerprint" -> q52Sql,
+    "q53_codec_matrix" -> q53Sql,
+    "q54_column_lineage" -> q54Sql)
 }

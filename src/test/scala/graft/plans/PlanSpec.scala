@@ -542,4 +542,45 @@ class PlanSpec extends AnyFunSuite {
       assert(got == direct)
     } finally SummaryRegistry.deregister(s"$sf/lineitem.parquet")
   }
+
+  test("column lineage: window, union positional merge, explode, " +
+      "filter/join conditions don't taint, parquet source naming") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // window + arithmetic: rank over length(text), value from doc_id
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(length(col("text")))
+    val b = docs.filter(col("source") =!= "zz")
+      .select(col("doc_id"), (col("doc_id") * 2).as("v"),
+        row_number().over(w).as("rk"))
+    val linB = Lineage.columnLineage(b.select(col("v"), col("rk")))
+    assert(linB.contains(("v", "documents", "doc_id")))
+    assert(linB.contains(("rk", "documents", "text")))
+    // the filter's `source` column must NOT appear anywhere
+    assert(!linB.exists(_._3 == "source"))
+
+    // union merges positionally across DIFFERENT source tables
+    val e = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val u = docs.select(col("doc_id").as("id"))
+      .union(e.select(col("vec_id").as("id")))
+    val linU = Lineage.columnLineage(u)
+    assert(linU.toSet == Set(
+      ("id", "documents", "doc_id"), ("id", "embeddings", "vec_id")))
+
+    // explode (Generate): output element traces to the array source
+    val g = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val linG = Lineage.columnLineage(g.select(col("tok")))
+    assert(linG == Seq(("tok", "documents", "text")))
+
+    // join: keys don't taint, payloads trace to their own side
+    val j = docs.select(col("doc_id"), col("text"))
+      .join(e.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("text"), col("embedding"))
+    val linJ = Lineage.columnLineage(j).toSet
+    assert(linJ == Set(("text", "documents", "text"),
+      ("embedding", "embeddings", "embedding")))
+  }
 }
