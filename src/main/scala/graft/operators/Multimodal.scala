@@ -121,6 +121,72 @@ object Multimodal {
     b.array()
   }
 
+  /** Valid minimal AVI from EXPLICIT frame payloads — the rebuild half
+    * of [[dropFramesAvi]] (container layout identical to [[buildAvi]],
+    * which cycles a fill array instead of taking frames). Every frame
+    * must be exactly rowSize·height bytes. */
+  def buildAviFrames(width: Int, height: Int,
+      frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val fb = rowSize * height
+    require(frames.forall(_.length == fb),
+      s"every frame must be rowSize*height = $fb bytes")
+    val nFrames = frames.length
+    val moviData = 4 + nFrames * (8 + fb)
+    val total = 224 + nFrames * (8 + fb)
+    def fcc(b: ByteBuffer, s: String): ByteBuffer =
+      b.put(s.getBytes("US-ASCII"))
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    fcc(b, "RIFF").putInt(total - 8); fcc(b, "AVI ")
+    fcc(b, "LIST").putInt(192); fcc(b, "hdrl")
+    fcc(b, "avih").putInt(56)
+      .putInt(40000).putInt(fb * 25).putInt(0).putInt(0)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(fb)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc(b, "LIST").putInt(116); fcc(b, "strl")
+    fcc(b, "strh").putInt(56)
+    fcc(b, "vids"); fcc(b, "DIB ")
+    b.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25).putInt(0).putInt(nFrames)
+      .putInt(fb).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort)
+      .putShort(height.toShort)
+    fcc(b, "strf").putInt(40)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(fb).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fcc(b, "LIST").putInt(moviData); fcc(b, "movi")
+    frames.foreach { fr => fcc(b, "00db").putInt(fb); b.put(fr) }
+    b.array()
+  }
+
+  /** TEMPORAL DOWNSAMPLE of an AVI — the video-rate normalization
+    * beside [[resizeBmp]] (image) and [[decimateWav]] (audio): keep
+    * every `stride`-th video frame of the `LIST movi` walk (frames 0,
+    * stride, 2·stride, …) and REBUILD a valid container with updated
+    * frame counts, so downstream walks ([[aviFrameSlices]],
+    * [[frameAbsDelta]]) run on the result unchanged. m3 SAMPLES frames
+    * out of the container; this emits a working container — the form a
+    * training pipeline actually stores. Only uniform-frame DIB AVIs
+    * (every frame rowSize·height bytes) are rebuilt; anything else
+    * returns None. */
+  def dropFramesAvi(m: Array[Byte], stride: Int): Option[Array[Byte]] = {
+    require(stride >= 1, "stride must be >= 1")
+    if (!isRiff(m, "AVI ")) return None
+    val (w, h) = aviMainHeaderDims(m)
+    if (w <= 0 || h <= 0) return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val fb = rowSize * h
+    val slices = aviFrameSlices(m)
+    if (slices.exists(_._2 != fb)) return None
+    val kept = slices.indices.collect {
+      case f if f % stride == 0 =>
+        java.util.Arrays.copyOfRange(m, slices(f)._1,
+          slices(f)._1 + slices(f)._2)
+    }
+    Some(buildAviFrames(w, h, kept))
+  }
+
   /** Attach real media blobs to the documents table (the corpus-building
     * step), dispatching on `doc_id % 3`: 0 -> a BMP whose dimensions derive
     * from the text, 1 -> a PCM WAV carrying the text bytes, 2 -> an

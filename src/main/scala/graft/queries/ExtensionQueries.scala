@@ -4558,6 +4558,61 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  /** AVI TEMPORAL DOWNSAMPLE ([[Multimodal.dropFramesAvi]]) — the video
+    * leg of the resample triptych (m2 image resize, m17 audio
+    * decimation): every AVI doc keeps frames 0, 2, 4, … and is REBUILT
+    * as a valid container (m3 samples frames OUT of the container; m18
+    * emits the working container a pipeline stores). The witness
+    * re-decodes the REBUILT blob: header dims, re-walked frame count,
+    * exact container byte length (224 + n·(8+fb) — header rebuild
+    * pinned to the byte), and the summed bytes of every kept frame.
+    * The oracle recomputes all of it from the blob-fill formula. */
+  def m18AviDropFrames(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      spread(documents(sp, dir).filter(col("doc_id") % 3 === 2)),
+      frameSize = 100)
+    media.as[Multimodal.MediaRow].flatMap { r =>
+      val nIn = Multimodal.aviFrameSlices(r.media).length
+      Multimodal.dropFramesAvi(r.media, 2).map { out =>
+        val (w, h) = Multimodal.aviMainHeaderDims(out)
+        val slices = Multimodal.aviFrameSlices(out)
+        var sum = 0L
+        slices.foreach { case (from, len) =>
+          var i = 0
+          while (i < len) { sum += (out(from + i) & 0xff); i += 1 }
+        }
+        (r.doc_id, w, h, nIn, slices.length, out.length, sum)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames_in", "n_frames_out",
+        "out_bytes", "frames_checksum")
+      .orderBy("doc_id")
+  }
+
+  val m18Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |p AS (SELECT doc_id, hx, len,
+       |    len % 7 + 1 AS w, CAST(doc_id % 4 + 1 AS INT) AS h,
+       |    ((3 * (len % 7 + 1) + 3) // 4) * 4 * (doc_id % 4 + 1) AS fb,
+       |    doc_id % 5 + 2 AS nf
+       |  FROM e),
+       |s AS (SELECT p.doc_id,
+       |    CAST(SUM(('0x' || substr(p.hx,
+       |      2 * ((fr.f + i.i) % p.len) + 1, 2))::BIGINT) AS BIGINT)
+       |      AS checksum
+       |  FROM p, range(0, 6) fr(f), range(0, 96) i(i)
+       |  WHERE fr.f % 2 = 0 AND fr.f < p.nf AND i.i < p.fb
+       |  GROUP BY 1)
+       |SELECT p.doc_id, CAST(p.w AS INT) AS width, p.h AS height,
+       |  CAST(p.nf AS INT) AS n_frames_in,
+       |  CAST((p.nf + 1) // 2 AS INT) AS n_frames_out,
+       |  CAST(224 + ((p.nf + 1) // 2) * (8 + p.fb) AS INT) AS out_bytes,
+       |  s.checksum AS frames_checksum
+       |FROM p JOIN s USING (doc_id) ORDER BY p.doc_id""".stripMargin
+  }
+
   /** INTER-FRAME MOTION gate ([[Multimodal.frameAbsDelta]]): every AVI
     * doc's consecutive frame pairs reduce to the sum of absolute byte
     * differences plus an integer basis-point motion score (delta
@@ -9500,6 +9555,7 @@ object ExtensionQueries {
     "m15_shard_manifest" -> (m15ShardManifest _),
     "m16_image_near_dup" -> (m16ImageNearDup _),
     "m17_wav_decimate" -> (m17WavDecimate _),
+    "m18_avi_drop_frames" -> (m18AviDropFrames _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -9683,6 +9739,7 @@ object ExtensionQueries {
     "m15_shard_manifest" -> m15Sql,
     "m16_image_near_dup" -> m16Sql,
     "m17_wav_decimate" -> m17Sql,
+    "m18_avi_drop_frames" -> m18Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1785,6 +1785,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(capped == Set(("x", "y")))
   }
 
+  test("m18 dropFramesAvi: kept frames byte-identical, rebuilt container " +
+      "re-walks, odd counts keep the extra leading frame, composition") {
+    import graft.operators.Multimodal
+    // 1x1 24bpp frames: rowSize 4, fb 4; 5 frames with distinct fills
+    val fill = Array.tabulate[Byte](20)(i => (i * 11 % 251).toByte)
+    val avi = Multimodal.buildAvi(1, 1, 5, fill)
+    val in = Multimodal.aviFrameSlices(avi)
+    assert(in.length == 5)
+    val out = Multimodal.dropFramesAvi(avi, 2).get
+    val kept = Multimodal.aviFrameSlices(out)
+    assert(kept.length == 3) // frames 0, 2, 4 of 5
+    for ((fOut, fIn) <- kept.zip(Seq(0, 2, 4).map(in(_)))) {
+      val a = java.util.Arrays.copyOfRange(out, fOut._1, fOut._1 + fOut._2)
+      val b = java.util.Arrays.copyOfRange(avi, fIn._1, fIn._1 + fIn._2)
+      assert(java.util.Arrays.equals(a, b), "kept frame bytes moved")
+    }
+    // header rebuilt: dims preserved, byte length exact
+    assert(Multimodal.aviMainHeaderDims(out) == ((1, 1)))
+    assert(out.length == 224 + 3 * (8 + 4))
+    // composition: downsample twice == stride 4 on the original
+    val twice = Multimodal.dropFramesAvi(out, 2).get
+    val four = Multimodal.dropFramesAvi(avi, 4).get
+    assert(java.util.Arrays.equals(twice, four))
+    // non-AVI refused
+    assert(Multimodal.dropFramesAvi(Array[Byte](1, 2, 3), 2).isEmpty)
+  }
+
   test("m11 frameAbsDelta: hand bytes, unsigned-byte wraparound, " +
       "zero on identical frames, length refusal") {
     val a = Array[Byte](0, 10, -1)         // -1 reads as 255 unsigned
