@@ -64,9 +64,14 @@ object Tables {
     df.repartition(df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Recursive delete that NEVER follows symlinks: a link inside a
+    * scratch dir (planted or accidental — /tmp is world-writable) is
+    * removed as a link, its target untouched. */
   private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(rmTree)
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
     f.delete(): Unit
   }
 

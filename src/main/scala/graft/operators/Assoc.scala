@@ -50,15 +50,18 @@ object Assoc {
         expr("c_ab * 10000 div n_baskets").as("support_bp"),
         expr("c_ab * 10000 div c_a").as("conf_ab_bp"),
         expr("c_ab * 10000 div c_b").as("conf_ba_bp"),
-        // Overflow guard (the p18 posture): c_ab·n·10⁴ wraps BIGINT
-        // silently in Spark while DuckDB's HUGEINT product raises — a
-        // divergent failure mode. Fail loudly past the envelope; at that
-        // corpus size production ranks by DOUBLE lift instead.
-        expr("CASE WHEN c_ab <= 922337203685477 div n_baskets THEN " +
+        // Overflow guard (the p18 posture), BOTH sides of the division:
+        // the numerator c_ab·n·10⁴ and the denominator c_a·c_b each wrap
+        // BIGINT silently in Spark while DuckDB's HUGEINT products raise
+        // — a divergent failure mode. Fail loudly past either envelope;
+        // at that corpus size production ranks by DOUBLE lift instead.
+        expr("CASE WHEN c_ab <= 922337203685477 div n_baskets " +
+          "AND c_a <= 9223372036854775807 div c_b THEN " +
           "c_ab * n_baskets * 10000 div (c_a * c_b) " +
           "ELSE raise_error(concat('Assoc: c_ab*n_baskets = ', c_ab, '*', " +
-          "n_baskets, ' exceeds the exact-lift BIGINT envelope (2^63/10^4)" +
-          " — compute lift as DOUBLE past ~3e7 baskets')) END")
+          "n_baskets, ' or c_a*c_b = ', c_a, '*', c_b, ' exceeds the " +
+          "exact-lift BIGINT envelope — compute lift as DOUBLE past " +
+          "~3e7 baskets')) END")
           .as("lift_bp"))
   }
 }

@@ -82,43 +82,16 @@ object Multimodal {
     * can recompute any frame's checksum from the source text alone. */
   def buildAvi(width: Int, height: Int, nFrames: Int,
       fill: Array[Byte]): Array[Byte] = {
+    // delegate to the frames-explicit builder (single copy of the
+    // container/header layout — the m18 composition spec proves the two
+    // entry points emit identical bytes); frame f byte i cycles `fill`
+    // at offset f+i, the documented blob-fill formula every m-gate
+    // oracle replays
     val rowSize = ((3 * width + 3) / 4) * 4
-    val fb = rowSize * height // multiple of 4, so chunks need no odd pad
-    val moviData = 4 + nFrames * (8 + fb)
-    val total = 224 + nFrames * (8 + fb)
-    def fcc(b: ByteBuffer, s: String): ByteBuffer =
-      b.put(s.getBytes("US-ASCII"))
-    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    fcc(b, "RIFF").putInt(total - 8); fcc(b, "AVI ")
-    fcc(b, "LIST").putInt(192); fcc(b, "hdrl")
-    fcc(b, "avih").putInt(56)
-      .putInt(40000).putInt(fb * 25).putInt(0).putInt(0) // 25fps, no flags
-      .putInt(nFrames).putInt(0).putInt(1).putInt(fb)
-      .putInt(width).putInt(height)
-      .putInt(0).putInt(0).putInt(0).putInt(0)
-    fcc(b, "LIST").putInt(116); fcc(b, "strl")
-    fcc(b, "strh").putInt(56)
-    fcc(b, "vids"); fcc(b, "DIB ")
-    b.putInt(0).putShort(0).putShort(0).putInt(0)
-      .putInt(1).putInt(25).putInt(0).putInt(nFrames) // scale/rate/len
-      .putInt(fb).putInt(-1).putInt(0)
-      .putShort(0).putShort(0).putShort(width.toShort)
-      .putShort(height.toShort)
-    fcc(b, "strf").putInt(40)
-    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
-      .putInt(0).putInt(fb).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    fcc(b, "LIST").putInt(moviData); fcc(b, "movi")
-    var f = 0
-    while (f < nFrames) {
-      fcc(b, "00db").putInt(fb)
-      var i = 0
-      while (i < fb) {
-        b.put(if (fill.nonEmpty) fill((f + i) % fill.length) else 0.toByte)
-        i += 1
-      }
-      f += 1
-    }
-    b.array()
+    val fb = rowSize * height
+    buildAviFrames(width, height, IndexedSeq.tabulate(nFrames)(f =>
+      Array.tabulate(fb)(i =>
+        if (fill.nonEmpty) fill((f + i) % fill.length) else 0.toByte)))
   }
 
   /** Valid minimal AVI from EXPLICIT frame payloads — the rebuild half

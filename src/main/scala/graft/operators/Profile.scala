@@ -78,10 +78,14 @@ object Profile {
     * on the SHARED [[histogram]] grid (global min/max, so both samples
     * use identical edges), then per (bin, sample) the standard
     * contingency term (O−E)²/E with E = rowTotal·colTotal/grand.
-    * Exactness: counts and every product stay in BIGINT — the term is
-    * computed as double(O·grand − n·colTotal)² / double(grand·n·colTotal),
-    * one shared IEEE tree both engines replay bit-for-bit, so the gate
-    * emits RAW doubles. Per-bin terms are emitted instead of the summed
+    * Exactness: counts stay in BIGINT; every FACTOR is cast to double
+    * BEFORE multiplying and the term is the fixed IEEE tree
+    * (O·grand − n·colTotal)² / ((grand·n)·colTotal) over those doubles —
+    * products are exact up to 2⁵³ and round IDENTICALLY in both engines
+    * beyond it (a BIGINT product would instead wrap silently in Spark
+    * past 2⁶³ while DuckDB raises — the divergent failure mode the
+    * Assoc/p18 guards exist for), so the gate emits RAW doubles at any
+    * corpus size. Per-bin terms are emitted instead of the summed
     * statistic (a 20-term double sum has no cross-engine fold order);
     * the caller sums, or compares terms directly against a threshold.
     * Scale: two all-reduce passes (min/max, then bin×sample counts into
@@ -105,10 +109,10 @@ object Profile {
     val tot = counts.agg(sum(col("o_a")).as("__na"),
       sum(col("o_b")).as("__nb"))
     def term(o: Column, n: Column): Column = {
-      val colT = col("o_a") + col("o_b")
-      val grand = col("__na") + col("__nb")
-      val dd = (o * grand - n * colT).cast("double")
-      (dd * dd) / (grand * n * colT).cast("double")
+      val colT = (col("o_a") + col("o_b")).cast("double")
+      val grand = (col("__na") + col("__nb")).cast("double")
+      val dd = o.cast("double") * grand - n.cast("double") * colT
+      (dd * dd) / (grand * n.cast("double") * colT)
     }
     counts.crossJoin(broadcast(tot))
       .select(col("bin"), col("o_a"), col("o_b"),

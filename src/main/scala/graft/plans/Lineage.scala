@@ -50,13 +50,19 @@ object Lineage {
 
   private type LMap = Map[ExprId, Set[(String, String)]]
 
+  /** Empty dependency sets normalize to `<const>` so every output
+    * column appears in the report — lineage must be TOTAL to be
+    * trustworthy as an audit surface (an absent column reads as "no
+    * such output"). */
+  private def orConst(refs: Set[(String, String)]): Set[(String, String)] =
+    if (refs.isEmpty) Set(("<const>", "<const>")) else refs
+
   private def resolve(in: LMap, ne: NamedExpression): (ExprId,
       Set[(String, String)]) = {
     val refs = ne.references.toSeq
       .flatMap(a => in.getOrElse(a.exprId, Set.empty[(String, String)]))
       .toSet
-    ne.toAttribute.exprId ->
-      (if (refs.isEmpty) Set(("<const>", "<const>")) else refs)
+    ne.toAttribute.exprId -> orConst(refs)
   }
 
   private def walk(plan: LogicalPlan): LMap = plan match {
@@ -66,10 +72,10 @@ object Lineage {
     case u: Union =>
       val childMaps = u.children.map(walk)
       val merged = u.output.zipWithIndex.map { case (out, i) =>
-        out.exprId -> u.children.zip(childMaps).flatMap {
+        out.exprId -> orConst(u.children.zip(childMaps).flatMap {
           case (c, m) =>
             m.getOrElse(c.output(i).exprId, Set.empty[(String, String)])
-        }.toSet
+        }.toSet)
       }.toMap
       childMaps.fold(Map.empty: LMap)(_ ++ _) ++ merged
     case p: Project =>
@@ -84,18 +90,18 @@ object Lineage {
     case g: Generate =>
       val in = walk(g.child)
       val gen = g.generatorOutput.map { out =>
-        out.exprId -> g.generator.references.toSeq
+        out.exprId -> orConst(g.generator.references.toSeq
           .flatMap(a => in.getOrElse(a.exprId, Set.empty[(String, String)]))
-          .toSet
+          .toSet)
       }.toMap
       in ++ gen
     case e: Expand =>
       val in = walk(e.child)
       val own = e.output.zipWithIndex.map { case (out, i) =>
-        out.exprId -> e.projections.flatMap { proj =>
+        out.exprId -> orConst(e.projections.flatMap { proj =>
           proj(i).references.toSeq.flatMap(a =>
             in.getOrElse(a.exprId, Set.empty[(String, String)]))
-        }.toSet
+        }.toSet)
       }.toMap
       in ++ own
     case other =>

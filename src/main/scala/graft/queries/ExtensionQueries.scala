@@ -4815,15 +4815,20 @@ object ExtensionQueries {
       |    count(*) FILTER (NOT a) AS o_b
       |  FROM b GROUP BY 1),
       |t AS (SELECT CAST(SUM(o_a) AS BIGINT) AS na,
-      |    CAST(SUM(o_b) AS BIGINT) AS nb FROM c)
+      |    CAST(SUM(o_b) AS BIGINT) AS nb FROM c),
+      |d AS (SELECT bin, o_a, o_b,
+      |    CAST(o_a + o_b AS DOUBLE) AS colt,
+      |    CAST(na + nb AS DOUBLE) AS grand,
+      |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+      |  FROM c, t)
       |SELECT bin, CAST(o_a AS BIGINT) AS o_a, CAST(o_b AS BIGINT) AS o_b,
-      |  (CAST(o_a * (na + nb) - na * (o_a + o_b) AS DOUBLE)
-      |     * CAST(o_a * (na + nb) - na * (o_a + o_b) AS DOUBLE))
-      |    / CAST((na + nb) * na * (o_a + o_b) AS DOUBLE) AS term_a,
-      |  (CAST(o_b * (na + nb) - nb * (o_a + o_b) AS DOUBLE)
-      |     * CAST(o_b * (na + nb) - nb * (o_a + o_b) AS DOUBLE))
-      |    / CAST((na + nb) * nb * (o_a + o_b) AS DOUBLE) AS term_b
-      |FROM c, t ORDER BY bin""".stripMargin
+      |  ((CAST(o_a AS DOUBLE) * grand - nad * colt)
+      |     * (CAST(o_a AS DOUBLE) * grand - nad * colt))
+      |    / (grand * nad * colt) AS term_a,
+      |  ((CAST(o_b AS DOUBLE) * grand - nbd * colt)
+      |     * (CAST(o_b AS DOUBLE) * grand - nbd * colt))
+      |    / (grand * nbd * colt) AS term_b
+      |FROM d ORDER BY bin""".stripMargin
 
   /** Audio activity segmentation ([[Multimodal.activeSegments]]): m4's
     * per-window PCM energies thresholded at 3·10¹⁰ (≈ the corpus median)

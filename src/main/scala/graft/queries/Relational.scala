@@ -2302,22 +2302,6 @@ object Relational {
       |    AS BIGINT) AS n_delta_both
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** SNAPSHOT CONTENT FINGERPRINT — the migration-validation primitive:
-    * an ORDER-INDEPENDENT content hash (bit_xor of two 32-bit md5 lanes
-    * over a canonical row string, plus the row count) that certifies two
-    * physical copies of a table hold identical logical content WITHOUT
-    * sorting either one — at 100 TB a fingerprint is one map-side pass +
-    * a 1-row combine per copy, vs the full-sort/full-shuffle a row diff
-    * (q25) needs. Three snapshots ride the gate: the source `orders`,
-    * its scratch-parquet ROUND-TRIP (the fingerprint must survive a
-    * write/read cycle — a codec or type-mapping regression lands here),
-    * and a 1-in-1000 MUTATED copy (the fingerprint must move — xor
-    * lanes that ignore a column would pass a corrupted migration). The
-    * canonical string fixes types cross-engine: money through
-    * DECIMAL(18,2), timestamps to DATE, concat_ws('|'). matches_source
-    * is COMPUTED against the source lanes, never pinned. Collision
-    * note: 2×32-bit xor lanes suffice for a gate; production uses the
-    * same shape with 2×64-bit lanes. */
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -2334,8 +2318,23 @@ object Relational {
     .agg(count(lit(1)).as("n_rows"), expr("bit_xor(ha)").as("fp_a"),
       expr("bit_xor(hb)").as("fp_b"))
 
+  /** SNAPSHOT CONTENT FINGERPRINT — the migration-validation primitive:
+    * an ORDER-INDEPENDENT content hash (bit_xor of two 32-bit md5 lanes
+    * over a canonical row string, plus the row count) that certifies two
+    * physical copies of a table hold identical logical content WITHOUT
+    * sorting either one — at 100 TB a fingerprint is one map-side pass +
+    * a 1-row combine per copy, vs the full-sort/full-shuffle a row diff
+    * (q25) needs. Three snapshots ride the gate: the source `orders`,
+    * its scratch-parquet ROUND-TRIP (the fingerprint must survive a
+    * write/read cycle — a codec or type-mapping regression lands here),
+    * and a 1-in-1000 MUTATED copy (the fingerprint must move — xor
+    * lanes that ignore a column would pass a corrupted migration). The
+    * canonical string fixes types cross-engine: money through
+    * DECIMAL(18,2), timestamps to DATE, concat_ws('|'). matches_source
+    * is COMPUTED against the source lanes, never pinned. Collision
+    * note: 2×32-bit xor lanes suffice for a gate; production uses the
+    * same shape with 2×64-bit lanes. */
   def q52SnapshotFingerprint(s: SparkSession, d: String): DataFrame = {
-    def fp(df: DataFrame): DataFrame = ordersFp(df)
     val o = orders(s, d)
     val rtDir = graft.Tables.scratchDir("graft-q52-rt")
     o.write.mode("overwrite").parquet(rtDir)
@@ -2344,7 +2343,7 @@ object Relational {
       when(col("o_orderkey") % 1000 === 7,
         concat(col("o_orderstatus"), lit("*")))
         .otherwise(col("o_orderstatus")))
-    val base = fp(o)
+    val base = ordersFp(o)
     val src = base.select(col("fp_a").as("__fa"), col("fp_b").as("__fb"))
     def row(tag: String, f: DataFrame) = f.crossJoin(broadcast(src))
       .select(lit(tag).as("snapshot"), col("n_rows"), col("fp_a"),
@@ -2352,8 +2351,8 @@ object Relational {
         (col("fp_a") === col("__fa") && col("fp_b") === col("__fb"))
           .as("matches_source"))
     row("orders", base)
-      .union(row("orders_roundtrip", fp(rt)))
-      .union(row("orders_mutated", fp(mut)))
+      .union(row("orders_roundtrip", ordersFp(rt)))
+      .union(row("orders_mutated", ordersFp(mut)))
       .orderBy("snapshot")
   }
 

@@ -574,6 +574,15 @@ class PlanSpec extends AnyFunSuite {
     val linG = Lineage.columnLineage(g.select(col("tok")))
     assert(linG == Seq(("tok", "documents", "text")))
 
+    // totality: a constant-only Generate output still appears (<const>),
+    // never silently vanishes from the audit report
+    val gc = docs.select(explode(array(lit(1), lit(2))).as("x"))
+    assert(Lineage.columnLineage(gc) == Seq(("x", "<const>", "<const>")))
+    // and Expand via cube: the grouping-id machinery must not drop rows
+    val cu = docs.cube(col("source")).count()
+    assert(Lineage.columnLineage(cu).map(_._1).toSet ==
+      Set("source", "count"))
+
     // join: keys don't taint, payloads trace to their own side
     val j = docs.select(col("doc_id"), col("text"))
       .join(e.select(col("vec_id"), col("embedding")),
