@@ -5883,6 +5883,66 @@ object ExtensionQueries {
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** TOKEN-BUDGET APPORTIONMENT by largest remainder (Hamilton's
+    * method) — the exact completion of proportional data mixing: floor
+    * shares `B·mᵢ div M` UNDER-allocate by up to |sources|−1 tokens,
+    * and a mixing pipeline that ships "proportional" shares which
+    * don't sum to the budget either over-trains or silently wastes
+    * quota. Largest-remainder hands the leftover out one token at a
+    * time by descending remainder (ties to the lexically-first
+    * source — a total order both engines replay), so Σ alloc = B
+    * EXACTLY — all integer arithmetic, every column oracle-replayed.
+    * Scale: one corpus-scan partial agg to the source domain; the
+    * remainder rank is a window over the DOMAIN table (|sources|
+    * rows), never the corpus; budget/leftover ride broadcast 1-row
+    * aggs. */
+  private val T50Budget = 1000000L
+
+  def t50BudgetApportion(sp: SparkSession, dir: String): DataFrame = {
+    val mass = documents(sp, dir)
+      .groupBy(col("source"))
+      .agg(sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val q = mass
+      .crossJoin(broadcast(mass.agg(sum(col("n_tokens")).as("__m"))))
+      .select(col("source"), col("n_tokens"),
+        expr(s"$T50Budget * n_tokens div __m").as("floor_quota"),
+        expr(s"($T50Budget * n_tokens) % __m").as("remainder"))
+    val left = q.agg((lit(T50Budget) - sum(col("floor_quota")))
+      .as("__left"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("remainder").desc, col("source"))
+    q.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(left))
+      .withColumn("extra",
+        when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("floor_quota"),
+        col("remainder"), col("extra"),
+        (col("floor_quota") + col("extra")).as("alloc"))
+      .orderBy("source")
+  }
+
+  val t50Sql: String =
+    s"""WITH m AS (SELECT source,
+       |    CAST(SUM(len($Toks)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS mm FROM m),
+       |q AS (SELECT source, n_tokens,
+       |    $T50Budget * n_tokens // mm AS floor_quota,
+       |    ($T50Budget * n_tokens) % mm AS remainder
+       |  FROM m, t),
+       |l AS (SELECT $T50Budget - CAST(SUM(floor_quota) AS BIGINT)
+       |    AS leftover FROM q),
+       |r AS (SELECT *, row_number()
+       |    OVER (ORDER BY remainder DESC, source) AS rk FROM q)
+       |SELECT source, n_tokens,
+       |  CAST(floor_quota AS BIGINT) AS floor_quota,
+       |  CAST(remainder AS BIGINT) AS remainder,
+       |  CAST(CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS extra,
+       |  CAST(floor_quota + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+       |    AS BIGINT) AS alloc
+       |FROM r, l ORDER BY source""".stripMargin
+
   /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
     * "user flow" diagram: consecutive event pairs per user (ordered by
     * event time, ties by id) reduce to (from_type, to_type) transition
@@ -9593,6 +9653,7 @@ object ExtensionQueries {
     "t47_gopher_rules" -> (t47GopherRules _),
     "t48_ngram_novelty" -> (t48NgramNovelty _),
     "t49_token_rank_fluency" -> (t49TokenRankFluency _),
+    "t50_budget_apportion" -> (t50BudgetApportion _),
     "t23_phrase_search" -> (t23PhraseSearch _),
     "t24_lexical_stats" -> (t24LexicalStats _),
     "t25_bpe_apply" -> (t25BpeApply _),
@@ -9777,6 +9838,7 @@ object ExtensionQueries {
     "t47_gopher_rules" -> t47Sql,
     "t48_ngram_novelty" -> t48Sql,
     "t49_token_rank_fluency" -> t49Sql,
+    "t50_budget_apportion" -> t50Sql,
     "t23_phrase_search" -> t23Sql,
     "t24_lexical_stats" -> t24Sql,
     "t25_bpe_apply" -> t25Sql,

@@ -210,6 +210,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(uncapped.count() == 190)
   }
 
+  test("t50 budget apportionment: allocations sum EXACTLY to the " +
+      "budget and extras land on the largest remainders") {
+    val rows = graft.queries.ExtensionQueries
+      .t50BudgetApportion(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(5)).sum == 1000000L,
+      "largest-remainder apportionment must hand out the whole budget")
+    // alloc - floor_quota is 0 or 1, and every source granted an extra
+    // has a remainder >= every source denied one
+    assert(rows.forall(r => (r.getLong(5) - r.getLong(2)) == r.getLong(4)
+      && (r.getLong(4) == 0L || r.getLong(4) == 1L)))
+    val granted = rows.filter(_.getLong(4) == 1L).map(_.getLong(3))
+    val denied = rows.filter(_.getLong(4) == 0L).map(_.getLong(3))
+    if (granted.nonEmpty && denied.nonEmpty)
+      assert(granted.min >= denied.max)
+  }
+
   test("q51 joinDelta: the three delta terms exactly complete the " +
       "materialized base join under inserts on both sides") {
     import spark.implicits._
