@@ -75,19 +75,35 @@ object Tables {
     f.delete(): Unit
   }
 
+  /** Newest mtime anywhere in the tree, never following symlinks: a
+    * parquet part write bumps the PART FILE's mtime, not the scratch
+    * root's, so staleness must be judged on the deep max — root-only
+    * mtime would let [[sweepStale]] delete a >2h-old dir another live
+    * run wrote into seconds ago. */
+  private def maxMtime(f: java.io.File): Long = {
+    var m = f.lastModified
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(k => m = math.max(m, maxMtime(k)))
+    }
+    m
+  }
+
   /** One-time-per-JVM sweep of STALE scratch dirs: shutdown hooks don't
     * run on SIGKILL/OOM, so non-clean exits strand `/tmp/graft-*` dirs
     * (1.1 GB of them observed after a build round). Any graft-prefixed
-    * dir untouched for 2+ hours cannot belong to a live run — every
-    * consumer reads its scratch back within the same query, seconds
-    * after the write — so sweeping at the next JVM start is safe even
-    * with concurrent harness invocations. */
+    * dir whose ENTIRE tree ([[maxMtime]] — subdirectory writes don't
+    * bump the root's mtime) is untouched for 2+ hours cannot belong to
+    * a live run — every consumer reads its scratch back within the same
+    * query, seconds after the write — so sweeping at the next JVM start
+    * is safe even with concurrent long-lived harness invocations. */
   private lazy val sweepStale: Unit = {
     val cutoff = System.currentTimeMillis - 2L * 3600 * 1000
     val tmp = new java.io.File("/tmp").listFiles()
     if (tmp != null)
       tmp.filter(f => f.isDirectory && f.getName.startsWith("graft-") &&
           f.lastModified < cutoff)
+        .filter(f => (try maxMtime(f) catch { case _: Exception => Long.MaxValue }) < cutoff)
         .foreach(f => try rmTree(f) catch { case _: Exception => () })
   }
 

@@ -196,8 +196,13 @@ object Dedup {
       // persist the sketch table (one long + band keys per row — never
       // corpus-scale): without it BOTH self-join probes re-run the whole
       // upstream hash pipeline (for m16 that is blob decode + resample
-      // per side; for d4/d7 the tokenize+md5 scan) — the t22/a15 lesson,
-      // same lifecycle note as minhashCandidates' persist
+      // per side; for d4/d7 the tokenize+md5 scan) — the t22/a15 lesson.
+      // Lifecycle is bounded by the caller's session, same contract as
+      // minhashCandidates': Bench and Verify call
+      // spark.catalog.clearCache() after EVERY gate, so a 272-gate JVM
+      // holds at most one gate's sketch at a time (an unpersist here
+      // can't work — the returned plan is lazy and still needs the
+      // cache when the caller materializes it).
       .persist()
     val l = capped.as("l")
     val r = capped.as("r")
@@ -501,7 +506,10 @@ object Dedup {
       // the sketch table is tiny (k longs + band keys per doc); persisting
       // it stops the self-join from re-running the md5 pipeline on both
       // sides — at 100 TB this is the difference between 2 corpus scans
-      // and 1 scan + a small-shuffle join
+      // and 1 scan + a small-shuffle join. Lifecycle bounded by the
+      // caller's session: Bench/Verify clearCache() after every gate
+      // (see hammingBandPairs' note — a local unpersist can't work on a
+      // lazily returned plan).
       .persist()
     val l = capped.as("l")
     val r = capped.as("r")

@@ -97,9 +97,16 @@ object Multimodal {
   /** Valid minimal AVI from EXPLICIT frame payloads — the rebuild half
     * of [[dropFramesAvi]] (container layout identical to [[buildAvi]],
     * which cycles a fill array instead of taking frames). Every frame
-    * must be exactly rowSize·height bytes. */
+    * must be exactly rowSize·height bytes. Playback rate is
+    * `rate / rateScale` fps (strh dwRate/dwScale; avih
+    * dwMicroSecPerFrame = 10⁶·rateScale/rate) — the defaults reproduce
+    * [[buildAvi]]'s 25 fps layout byte-for-byte, and [[dropFramesAvi]]
+    * multiplies rateScale by its stride so a temporal downsample slows
+    * the clock instead of speeding playback up. */
   def buildAviFrames(width: Int, height: Int,
-      frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
+      frames: IndexedSeq[Array[Byte]],
+      rateScale: Int = 1, rate: Int = 25): Array[Byte] = {
+    require(rateScale >= 1 && rate >= 1, "rate fields must be positive")
     val rowSize = ((3 * width + 3) / 4) * 4
     val fb = rowSize * height
     require(frames.forall(_.length == fb),
@@ -113,7 +120,8 @@ object Multimodal {
     fcc(b, "RIFF").putInt(total - 8); fcc(b, "AVI ")
     fcc(b, "LIST").putInt(192); fcc(b, "hdrl")
     fcc(b, "avih").putInt(56)
-      .putInt(40000).putInt(fb * 25).putInt(0).putInt(0)
+      .putInt((1000000L * rateScale / rate).toInt)
+      .putInt((fb.toLong * rate / rateScale).toInt).putInt(0).putInt(0)
       .putInt(nFrames).putInt(0).putInt(1).putInt(fb)
       .putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0)
@@ -121,7 +129,7 @@ object Multimodal {
     fcc(b, "strh").putInt(56)
     fcc(b, "vids"); fcc(b, "DIB ")
     b.putInt(0).putShort(0).putShort(0).putInt(0)
-      .putInt(1).putInt(25).putInt(0).putInt(nFrames)
+      .putInt(rateScale).putInt(rate).putInt(0).putInt(nFrames)
       .putInt(fb).putInt(-1).putInt(0)
       .putShort(0).putShort(0).putShort(width.toShort)
       .putShort(height.toShort)
@@ -142,7 +150,12 @@ object Multimodal {
     * out of the container; this emits a working container — the form a
     * training pipeline actually stores. Only uniform-frame DIB AVIs
     * (every frame rowSize·height bytes) are rebuilt; anything else
-    * returns None. */
+    * returns None. The rebuilt header's clock is SLOWED by the stride
+    * (source dwScale × stride, dwRate unchanged) so the output plays at
+    * the downsampled rate — 25 fps stride-2 → 12.5 fps — rather than
+    * replaying the surviving frames at the original rate; composition
+    * therefore holds on the full container bytes (stride a then b ==
+    * stride a·b). */
   def dropFramesAvi(m: Array[Byte], stride: Int): Option[Array[Byte]] = {
     require(stride >= 1, "stride must be >= 1")
     if (!isRiff(m, "AVI ")) return None
@@ -157,7 +170,9 @@ object Multimodal {
         java.util.Arrays.copyOfRange(m, slices(f)._1,
           slices(f)._1 + slices(f)._2)
     }
-    Some(buildAviFrames(w, h, kept))
+    val (scale, rate) = aviVideoScaleRate(m).getOrElse((1, 25))
+    Some(buildAviFrames(w, h, kept,
+      rateScale = math.max(1, scale) * stride, rate = math.max(1, rate)))
   }
 
   /** Attach real media blobs to the documents table (the corpus-building
@@ -265,6 +280,78 @@ object Multimodal {
       off += 8 + size + (size & 1)
     }
     (0, 0)
+  }
+
+  /** dwMicroSecPerFrame from the avih main header (same fourcc walk as
+    * [[aviMainHeaderDims]], payload offset 0); 0 when absent. The m18
+    * gate re-decodes it from the rebuilt container so the stride-scaled
+    * frame clock is oracle-pinned. */
+  def aviUsPerFrame(m: Array[Byte]): Int = {
+    if (!isRiff(m, "AVI ")) return 0
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int, s: String): Boolean =
+      m(off) == s(0) && m(off + 1) == s(1) && m(off + 2) == s(2) &&
+        m(off + 3) == s(3)
+    var off = 12
+    while (off + 12 <= m.length) {
+      val size = buf.getInt(off + 4)
+      if (size < 0 || size > m.length - off - 8) return 0
+      if (fourcc(off, "LIST") && size >= 4 && fourcc(off + 8, "hdrl")) {
+        val end = off + 8 + size
+        var p = off + 12
+        while (p + 8 <= end) {
+          val csz = buf.getInt(p + 4)
+          if (csz < 0 || csz > end - p - 8) return 0
+          if (fourcc(p, "avih") && csz >= 40) return buf.getInt(p + 8)
+          p += 8 + csz + (csz & 1)
+        }
+        return 0
+      }
+      off += 8 + size + (size & 1)
+    }
+    0
+  }
+
+  /** (dwScale, dwRate) of the first `vids` stream header, located by
+    * fourcc walk (LIST hdrl → LIST strl → strh, payload offsets 20/24) —
+    * the frame-clock fields [[dropFramesAvi]] must stride-scale when it
+    * rebuilds a downsampled container. None when the container carries
+    * no parseable video strh (callers fall back to the builder default
+    * 25 fps). */
+  def aviVideoScaleRate(m: Array[Byte]): Option[(Int, Int)] = {
+    if (!isRiff(m, "AVI ")) return None
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int, s: String): Boolean =
+      m(off) == s(0) && m(off + 1) == s(1) && m(off + 2) == s(2) &&
+        m(off + 3) == s(3)
+    var off = 12
+    while (off + 12 <= m.length) {
+      val size = buf.getInt(off + 4)
+      if (size < 0 || size > m.length - off - 8) return None
+      if (fourcc(off, "LIST") && size >= 4 && fourcc(off + 8, "hdrl")) {
+        val end = off + 8 + size
+        var p = off + 12
+        while (p + 8 <= end) {
+          val csz = buf.getInt(p + 4)
+          if (csz < 0 || csz > end - p - 8) return None
+          if (fourcc(p, "LIST") && csz >= 4 && fourcc(p + 8, "strl")) {
+            val send = p + 8 + csz
+            var q = p + 12
+            while (q + 8 <= send) {
+              val ssz = buf.getInt(q + 4)
+              if (ssz < 0 || ssz > send - q - 8) return None
+              if (fourcc(q, "strh") && ssz >= 28 && fourcc(q + 8, "vids"))
+                return Some((buf.getInt(q + 8 + 20), buf.getInt(q + 8 + 24)))
+              q += 8 + ssz + (ssz & 1)
+            }
+          }
+          p += 8 + csz + (csz & 1)
+        }
+        return None
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
   }
 
   /** REAL RIFF AVI container walk: locate every `LIST movi` among the

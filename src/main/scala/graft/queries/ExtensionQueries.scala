@@ -4392,8 +4392,11 @@ object ExtensionQueries {
     val media = Multimodal.attachBlobs(
       spread(documents(sp, dir).filter(col("doc_id") % 3 === 0)),
       frameSize = 100)
+    // flatMap, not getOrElse(0L): an undecodable blob must be DROPPED,
+    // not collapsed into a spurious hamming-0 cluster at hash 0 (the
+    // twins path below already flatMaps for the same reason)
     val base = media.as[Multimodal.MediaRow]
-      .map(r => (r.doc_id, Multimodal.bmpAverageHash(r.media).getOrElse(0L)))
+      .flatMap(r => Multimodal.bmpAverageHash(r.media).map(h => (r.doc_id, h)))
     val twins = media.filter(col("doc_id") < 300).as[Multimodal.MediaRow]
       .flatMap { r =>
         Multimodal.bumpFirstPixelByte(r.media, M16Delta)
@@ -4565,7 +4568,10 @@ object ExtensionQueries {
     * emits the working container a pipeline stores). The witness
     * re-decodes the REBUILT blob: header dims, re-walked frame count,
     * exact container byte length (224 + n·(8+fb) — header rebuild
-    * pinned to the byte), and the summed bytes of every kept frame.
+    * pinned to the byte), the rebuilt frame CLOCK (avih
+    * dwMicroSecPerFrame re-decoded — sources are 25 fps/40000 µs, so a
+    * stride-2 downsample must emit 80000 µs: the rate is slowed, not
+    * the playback sped up), and the summed bytes of every kept frame.
     * The oracle recomputes all of it from the blob-fill formula. */
   def m18AviDropFrames(sp: SparkSession, dir: String): DataFrame = {
     import sp.implicits._
@@ -4582,10 +4588,11 @@ object ExtensionQueries {
           var i = 0
           while (i < len) { sum += (out(from + i) & 0xff); i += 1 }
         }
-        (r.doc_id, w, h, nIn, slices.length, out.length, sum)
+        (r.doc_id, w, h, nIn, slices.length, out.length,
+          Multimodal.aviUsPerFrame(out), sum)
       }
     }.toDF("doc_id", "width", "height", "n_frames_in", "n_frames_out",
-        "out_bytes", "frames_checksum")
+        "out_bytes", "us_per_frame", "frames_checksum")
       .orderBy("doc_id")
   }
 
@@ -4609,6 +4616,7 @@ object ExtensionQueries {
        |  CAST(p.nf AS INT) AS n_frames_in,
        |  CAST((p.nf + 1) // 2 AS INT) AS n_frames_out,
        |  CAST(224 + ((p.nf + 1) // 2) * (8 + p.fb) AS INT) AS out_bytes,
+       |  CAST(80000 AS INT) AS us_per_frame,
        |  s.checksum AS frames_checksum
        |FROM p JOIN s USING (doc_id) ORDER BY p.doc_id""".stripMargin
   }

@@ -1820,10 +1820,20 @@ class OperatorSpec extends AnyFunSuite {
     // header rebuilt: dims preserved, byte length exact
     assert(Multimodal.aviMainHeaderDims(out) == ((1, 1)))
     assert(out.length == 224 + 3 * (8 + 4))
-    // composition: downsample twice == stride 4 on the original
+    // frame clock SLOWED by the stride (not playback sped up): the
+    // 25 fps / 40000 µs source rebuilds as dwScale 2 / dwRate 25 =
+    // 12.5 fps, dwMicroSecPerFrame 80000
+    assert(Multimodal.aviVideoScaleRate(avi).contains((1, 25)))
+    assert(Multimodal.aviUsPerFrame(avi) == 40000)
+    assert(Multimodal.aviVideoScaleRate(out).contains((2, 25)))
+    assert(Multimodal.aviUsPerFrame(out) == 80000)
+    // composition: downsample twice == stride 4 on the original —
+    // including the header bytes (scale 2 then 2 == scale 4)
     val twice = Multimodal.dropFramesAvi(out, 2).get
     val four = Multimodal.dropFramesAvi(avi, 4).get
     assert(java.util.Arrays.equals(twice, four))
+    assert(Multimodal.aviVideoScaleRate(four).contains((4, 25)))
+    assert(Multimodal.aviUsPerFrame(four) == 160000)
     // non-AVI refused
     assert(Multimodal.dropFramesAvi(Array[Byte](1, 2, 3), 2).isEmpty)
   }
