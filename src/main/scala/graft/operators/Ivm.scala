@@ -57,4 +57,38 @@ object Ivm {
     broadcast(deltaL).join(baseR, key)
       .unionByName(baseL.join(broadcast(deltaR), key))
       .unionByName(deltaL.join(broadcast(deltaR), key))
+
+  /** RETRACTION delta state — the delete half of incremental maintenance
+    * (a real CDC feed carries deletes, not just appends): an appended row
+    * contributes (+1, +v), a deleted row (−1, −v). count and sum form an
+    * abelian GROUP (inverses exist), so a mixed append+delete batch
+    * merges into the stored state with the same state-sized arithmetic
+    * as an append-only load — add the signed counts/sums, drop groups
+    * whose count reaches 0. min and max are only a SEMILATTICE (no
+    * inverse: a deleted row may have BEEN the min), so they are absent
+    * here; callers recompute them for the delete-AFFECTED groups only —
+    * a group-pruned scan, not a full recompute (gate q55 hash-proves
+    * the composite against the full recompute). */
+  def retractState(appends: DataFrame, deletes: DataFrame, grp: Column,
+      value: Column): DataFrame =
+    appends.select(grp.as("grp"), value.as("v"), lit(1L).as("sign"))
+      .unionByName(
+        deletes.select(grp.as("grp"), value.as("v"), lit(-1L).as("sign")))
+      .groupBy(col("grp"))
+      .agg(sum(col("sign")).as("cnt_d"),
+        sum(col("v") * col("sign")).as("sum_d"))
+
+  /** Apply delete TOMBSTONES to a materialized join view: view rows
+    * matching any tombstoned key vanish via a broadcast anti-join — the
+    * stored view is scanned once, the delete batch rides the broadcast,
+    * and nothing is recomputed. With appends handled by [[joinDelta]]
+    * over the tombstone-filtered bases, this is the full
+    * retractable-join maintenance step (gate q56): delete terms never
+    * double-count because they apply to the VIEW by key, not by
+    * re-deriving inclusion–exclusion join terms. */
+  def applyTombstones(view: DataFrame, tombstones: DataFrame,
+      keys: Seq[String]): DataFrame =
+    view.join(
+      broadcast(tombstones.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
 }

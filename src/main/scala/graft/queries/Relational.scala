@@ -2302,6 +2302,158 @@ object Relational {
       |    AS BIGINT) AS n_delta_both
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RETRACTABLE AGGREGATE MAINTENANCE
+    * ([[graft.operators.Ivm.retractState]]) — q27 under a REAL CDC
+    * batch: the stored state (aggregated base slice, materialized to
+    * scratch parquet exactly like q51's view) absorbs a mixed batch of
+    * APPENDS (l_orderkey % 4 = 0) and DELETES (tombstoned base rows:
+    * groups g < 10 with l_orderkey % 5 = 0, identified by the
+    * (l_orderkey, l_linenumber) PK — history is never re-filtered by
+    * predicate). count/sum merge by signed state-sized arithmetic
+    * (abelian group); min/max have no inverse, so the delete-AFFECTED
+    * groups — the delta batch names them, ≤10 of 50 — recompute min/max
+    * from the current rows of those groups ONLY (a group-pruned scan:
+    * at 100 TB the partition layout prunes the other 40 groups), while
+    * unaffected groups keep the cheap append-only semilattice merge.
+    * The oracle is the full recompute over the post-batch row set, so
+    * the hash match proves rows were actually REMOVED from the view (a
+    * dropped tombstone, a sign error, or a stale min all shift it). */
+  def q55IvmRetract(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select((col("l_partkey") % 50).as("g"),
+      dec(col("l_quantity")).as("q"), col("l_orderkey"),
+      col("l_linenumber"))
+    val base = li.filter(col("l_orderkey") % 4 =!= 0)
+    val appends = li.filter(col("l_orderkey") % 4 === 0)
+    val deletes = base.filter(col("g") < 10 && col("l_orderkey") % 5 === 0)
+    val stateDir = graft.Tables.scratchDir("graft-q55-state")
+    graft.operators.Ivm.aggState(base, col("g"), col("q"))
+      .write.mode("overwrite").parquet(stateDir)
+    val baseState = s.read.parquet(stateDir)
+    // one state-sized signed frame for the whole mixed batch
+    val delta = graft.operators.Ivm.retractState(appends, deletes,
+      col("g"), col("q"))
+    // append-side min/max still merge (the semilattice half stays cheap)
+    val appState = graft.operators.Ivm
+      .aggState(appends, col("g"), col("q"))
+      .select(col("grp"), col("min_v").as("a_min"), col("max_v").as("a_max"))
+    // delete-affected groups: recompute min/max from their CURRENT rows
+    // (base minus PK tombstones, plus their appends) — group-pruned
+    val affected = deletes.select(col("g")).distinct()
+    val curAffected = base
+      .join(broadcast(affected), Seq("g"), "left_semi")
+      .join(broadcast(deletes.select(col("l_orderkey"),
+        col("l_linenumber"))), Seq("l_orderkey", "l_linenumber"),
+        "left_anti")
+      .unionByName(appends.join(broadcast(affected), Seq("g"), "left_semi"))
+    val recomputed = graft.operators.Ivm
+      .aggState(curAffected, col("g"), col("q"))
+      .select(col("grp"), col("min_v").as("r_min"), col("max_v").as("r_max"))
+    baseState
+      .join(delta, Seq("grp"), "full_outer")
+      .join(appState, Seq("grp"), "left_outer")
+      .join(recomputed, Seq("grp"), "left_outer")
+      .join(broadcast(affected.select(col("g").as("grp"))
+        .withColumn("aff", lit(1))), Seq("grp"), "left_outer")
+      .select(col("grp").as("g"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sum_v"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("sum_d"), lit(0).cast("decimal(38,2)"))).as("sum_v"),
+        when(col("aff").isNotNull, col("r_min"))
+          .otherwise(least(col("min_v"), col("a_min"))).as("min_v"),
+        when(col("aff").isNotNull, col("r_max"))
+          .otherwise(greatest(col("max_v"), col("a_max"))).as("max_v"))
+      .filter(col("cnt") > 0)
+      .select(col("g"), col("cnt"), asDouble(col("sum_v")).as("sum_qty"),
+        asDouble(col("min_v")).as("min_qty"),
+        asDouble(col("max_v")).as("max_qty"))
+      .orderBy(col("g"))
+  }
+
+  val q55Sql: String =
+    """SELECT l_partkey % 50 AS g, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+      |FROM lineitem
+      |WHERE NOT (l_orderkey % 4 <> 0 AND l_orderkey % 5 = 0
+      |  AND l_partkey % 50 < 10)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RETRACTABLE JOIN-VIEW MAINTENANCE
+    * ([[graft.operators.Ivm.applyTombstones]] +
+    * [[graft.operators.Ivm.joinDelta]]) — q51 under a CDC batch carrying
+    * DELETES on both sides: order tombstones (base o_orderkey % 41 = 0)
+    * and customer tombstones (base c_custkey % 61 = 0) apply to the
+    * MATERIALIZED view by broadcast key anti-join (one stored-view scan,
+    * zero recompute, no inclusion–exclusion terms to double-count), then
+    * the append deltas (o_orderkey % 37 = 0 / c_custkey % 50 = 0) join
+    * against the post-delete bases with the q51 three-term delta. The
+    * oracle full-recomputes the join over the post-batch tables; the
+    * per-nation counters split survivors from each append-delta
+    * provenance, so a tombstone that failed to cascade (a deleted
+    * customer's surviving order rows) shifts the hash. */
+  def q56IvmJoinRetract(s: SparkSession, d: String): DataFrame = {
+    val L = orders(s, d).select(col("o_custkey").as("k"),
+      col("o_orderkey"), (dec(col("o_totalprice")) * 100).cast("long")
+        .as("cents"))
+    val R = customer(s, d).select(col("c_custkey").as("k"),
+      col("c_nationkey"))
+    val dlPlus = col("o_orderkey") % 37 === 0
+    val drPlus = col("k") % 50 === 0
+    val baseL = L.filter(!dlPlus)
+    val baseR = R.filter(!drPlus)
+    val delL = baseL.filter(col("o_orderkey") % 41 === 0)
+    val delR = baseR.filter(col("k") % 61 === 0)
+    val viewDir = graft.Tables.scratchDir("graft-q56-view")
+    baseL.join(baseR, "k").write.mode("overwrite").parquet(viewDir)
+    val view = s.read.parquet(viewDir)
+    // 1. tombstones hit the stored view by key — broadcast anti-joins
+    val survivors = graft.operators.Ivm.applyTombstones(
+      graft.operators.Ivm.applyTombstones(view,
+        delL.select(col("o_orderkey")), Seq("o_orderkey")),
+      delR.select(col("k")), Seq("k"))
+    // 2. appends join the POST-delete bases (one pruned scan per side)
+    val curL = baseL.join(broadcast(delL.select(col("o_orderkey"))),
+      Seq("o_orderkey"), "left_anti")
+    val curR = baseR.join(broadcast(delR.select(col("k"))), Seq("k"),
+      "left_anti")
+    val deltaJ = graft.operators.Ivm.joinDelta(curL, curR,
+      L.filter(dlPlus), R.filter(drPlus), "k")
+    survivors.unionByName(deltaJ)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents"),
+        count(when(!dlPlus && !drPlus, 1)).as("n_survivor"),
+        count(when(dlPlus && !drPlus, 1)).as("n_new_order"),
+        count(when(!dlPlus && drPlus, 1)).as("n_new_cust"),
+        count(when(dlPlus && drPlus, 1)).as("n_new_both"))
+      .orderBy("nationkey")
+  }
+
+  val q56Sql: String =
+    """WITH o2 AS (SELECT * FROM orders
+      |    WHERE o_orderkey % 37 = 0 OR o_orderkey % 41 <> 0),
+      |  c2 AS (SELECT * FROM customer
+      |    WHERE c_custkey % 50 = 0 OR c_custkey % 61 <> 0),
+      |  j AS (SELECT o.o_orderkey, o.o_custkey AS k,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    c.c_nationkey
+      |  FROM o2 o JOIN c2 c ON c.c_custkey = o.o_custkey)
+      |SELECT c_nationkey AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(count(*) FILTER (o_orderkey % 37 <> 0 AND k % 50 <> 0)
+      |    AS BIGINT) AS n_survivor,
+      |  CAST(count(*) FILTER (o_orderkey % 37 = 0 AND k % 50 <> 0)
+      |    AS BIGINT) AS n_new_order,
+      |  CAST(count(*) FILTER (o_orderkey % 37 <> 0 AND k % 50 = 0)
+      |    AS BIGINT) AS n_new_cust,
+      |  CAST(count(*) FILTER (o_orderkey % 37 = 0 AND k % 50 = 0)
+      |    AS BIGINT) AS n_new_both
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -2554,6 +2706,8 @@ object Relational {
     "p25_key_discovery" -> (p25KeyDiscovery _),
     "q50_fk_audit" -> (q50FkAudit _),
     "q51_ivm_join" -> (q51IvmJoin _),
+    "q55_ivm_retract" -> (q55IvmRetract _),
+    "q56_ivm_join_retract" -> (q56IvmJoinRetract _),
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _))
@@ -2621,6 +2775,8 @@ object Relational {
     "p25_key_discovery" -> p25Sql,
     "q50_fk_audit" -> q50Sql,
     "q51_ivm_join" -> q51Sql,
+    "q55_ivm_retract" -> q55Sql,
+    "q56_ivm_join_retract" -> q56Sql,
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql)

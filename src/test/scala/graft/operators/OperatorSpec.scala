@@ -1153,6 +1153,52 @@ class OperatorSpec extends AnyFunSuite {
       ("c", 1L, 9L, 9, 9)))
   }
 
+  test("Ivm retraction: signed count/sum absorb a mixed append+delete " +
+      "batch, a group vanishes at count 0, min/max need the recompute " +
+      "fallback, tombstones remove every matching join-view row") {
+    import spark.implicits._
+    val base = Seq(("a", 1), ("a", 5), ("b", 2), ("c", 9)).toDF("g", "v")
+    val baseState = Ivm.aggState(base, col("g"), col("v"))
+    // batch: append a=2 and d=4; delete a=5 (the CURRENT max) and c=9
+    // (empties group c entirely)
+    val appends = Seq(("a", 2), ("d", 4)).toDF("g", "v")
+    val deletes = Seq(("a", 5), ("c", 9)).toDF("g", "v")
+    val delta = Ivm.retractState(appends, deletes, col("g"), col("v"))
+    val merged = baseState.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("n"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("sum_d"), lit(0L)))
+          .as("s"))
+      .filter(col("n") > 0)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // a lost its 5 and gained a 2; b untouched; c REMOVED; d brand new
+    assert(merged == Map("a" -> ((2L, 3L)), "b" -> ((1L, 2L)),
+      "d" -> ((1L, 4L))))
+    // min/max are NOT retractable: the semilattice merge would keep the
+    // deleted 5 as a's max (stale), the true max after the batch is 2 —
+    // exactly why q55 recomputes affected groups from current rows
+    val staleMax = Ivm.mergeStates(Seq(baseState,
+      Ivm.aggState(appends, col("g"), col("v"))))
+      .filter(col("grp") === "a").select(col("max_v")).as[Int].head()
+    assert(staleMax == 5)
+    val trueMax = base.unionByName(appends)
+      .exceptAll(deletes).filter(col("g") === "a")
+      .agg(max(col("v"))).as[Int].head()
+    assert(trueMax == 2)
+    // tombstones: every view row under a deleted key vanishes (key 2
+    // matches TWO rows), survivors untouched, anti-join broadcasts
+    val view = Seq((1L, "x"), (2L, "y"), (2L, "z"), (3L, "w"))
+      .toDF("k", "p")
+    val kept = Ivm.applyTombstones(view, Seq(2L).toDF("k"), Seq("k"))
+    assert(kept.as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (3L, "w")))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "tombstones should apply as a broadcast anti-join")
+  }
+
   test("TopKPairsAgg: bounded state, reduce/merge associative, ties by id") {
     val agg = new graft.functions.TopKPairsAgg(3)
     // reduce 6 pairs in adversarial order; rank ties broken by id
