@@ -6981,6 +6981,66 @@ object ExtensionQueries {
       |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event, click_event""".stripMargin
 
+  /** STREAM-STREAM TIME-INTERVAL LEFT OUTER JOIN ([[graft.streaming
+    * .StreamOps.streamStreamIntervalJoin]]) — the attribution shape the
+    * s4/s12/s14/s16/s18 one-sided matrix doesn't cover: a TWO-SIDED
+    * event-time range (view v.ts ∈ [p.ts − 4 h, p.ts + 30 min]: the
+    * impression may precede the purchase by up to 4 h or trail it by 30
+    * min of clock skew) with ASYMMETRIC per-side watermark delays
+    * (purchases 30 min, views 2 h). Matches emit immediately; an
+    * unmatched purchase null-extends only once the GLOBAL watermark —
+    * LEAST(max purchase ts − 30 min, max view ts − 2 h), the min across
+    * both watermark operators — passes the end of its match window
+    * (p.ts + 30 min), at which point its state evicts; view state
+    * evicts once the watermark passes v.ts + 4 h. The oracle replays
+    * the horizon arithmetic exactly: inner matches UNION unmatched
+    * purchases with p.ts + 30 min < horizon (purchases still inside the
+    * horizon when the finite input ends stay pending, like s12's). */
+  def s36IntervalJoin(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s36_ivj_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val purchases = side("purchase")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("purchase_event"))
+    val views = side("view")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"),
+        col("event_id").as("view_event"))
+    val joined = graft.streaming.StreamOps.streamStreamIntervalJoin(
+      purchases, views, leftWatermark = "30 minutes",
+      rightWatermark = "2 hours", before = "4 hours",
+      after = "30 minutes")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(col("key").as("user_id"), col("purchase_event"),
+        col("view_event"))
+      .orderBy("user_id", "purchase_event", "view_event")
+  }
+
+  val s36Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |p AS (SELECT user_id, ts, event_id AS purchase_event FROM ev
+      |  WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev
+      |  WHERE event_type = 'view'),
+      |wm AS (SELECT LEAST(
+      |    (SELECT max(ts) FROM p) - INTERVAL 30 MINUTE,
+      |    (SELECT max(ts) FROM v) - INTERVAL 2 HOUR) AS horizon)
+      |SELECT p.user_id AS user_id, p.purchase_event, v.view_event
+      |FROM p JOIN v ON v.user_id = p.user_id
+      |  AND v.ts >= p.ts - INTERVAL 4 HOUR
+      |  AND v.ts <= p.ts + INTERVAL 30 MINUTE
+      |UNION ALL
+      |SELECT p.user_id, p.purchase_event, NULL
+      |FROM p CROSS JOIN wm
+      |WHERE p.ts + INTERVAL 30 MINUTE < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM v
+      |    WHERE v.user_id = p.user_id
+      |      AND v.ts >= p.ts - INTERVAL 4 HOUR
+      |      AND v.ts <= p.ts + INTERVAL 30 MINUTE)
+      |ORDER BY user_id, purchase_event, view_event""".stripMargin
+
   /** Stream-stream LEFT SEMI join gate ([[graft.streaming.StreamOps
     * .streamStreamSemiJoin]]): views that received at least one click of
     * the same user within [ts, ts + 6 h] — each such view emits exactly
@@ -9646,6 +9706,7 @@ object ExtensionQueries {
     "s10_stateful_counter" -> (s10StatefulCounter _),
     "s11_sliding_window" -> (s11SlidingWindow _),
     "s12_stream_outer_join" -> (s12StreamOuterJoin _),
+    "s36_interval_join" -> (s36IntervalJoin _),
     "s13_stream_dedup" -> (s13StreamDedup _),
     "s14_stream_semi_join" -> (s14StreamSemiJoin _),
     "s15_stream_xml_sink" -> (s15StreamXmlSink _),
@@ -9831,6 +9892,7 @@ object ExtensionQueries {
     "s10_stateful_counter" -> s10Sql,
     "s11_sliding_window" -> s11Sql,
     "s12_stream_outer_join" -> s12Sql,
+    "s36_interval_join" -> s36Sql,
     "s13_stream_dedup" -> s13Sql,
     "s14_stream_semi_join" -> s14Sql,
     "s15_stream_xml_sink" -> s15Sql,

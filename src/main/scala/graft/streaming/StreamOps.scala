@@ -169,6 +169,31 @@ object StreamOps {
           col("rts") <= col("ts") + expr(s"interval $maxDelay"),
         "full_outer")
 
+  /** Stream-stream LEFT OUTER join on a TWO-SIDED event-time interval —
+    * the ad-attribution shape the one-sided [ts, ts + maxDelay] family
+    * above doesn't cover: each left row (conversion) joins right rows
+    * (impressions) of the same key with rts ∈ [ts − before, ts + after]
+    * — the impression may PRECEDE the conversion by up to `before` or
+    * trail it (clock skew, late beacon) by up to `after`. Watermark
+    * delays are PER SIDE; Spark's global watermark is the min across
+    * both watermark operators, and the interval bounds tie each side's
+    * state to it: a left row is provably unmatchable once the global
+    * watermark passes ts + after (no in-window right row can still
+    * arrive) — at that instant an unmatched left row null-extends and
+    * its state evicts; a right row evicts once the watermark passes
+    * rts + before (no future left row's window can reach back to it).
+    * Memory therefore stays (delay + interval)-windowed on each side on
+    * an unbounded stream. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftWatermark: String, rightWatermark: String,
+      before: String, after: String): DataFrame =
+    left.withWatermark("ts", leftWatermark)
+      .join(right.withWatermark("rts", rightWatermark),
+        col("key") === col("rkey") &&
+          col("rts") >= col("ts") - expr(s"interval $before") &&
+          col("rts") <= col("ts") + expr(s"interval $after"),
+        "left_outer")
+
   /** Stream-stream LEFT ANTI join, same key + event-time bounds as
     * [[streamStreamJoin]]. Structured Streaming's join surface covers
     * inner/outer/semi but NOT anti, so the correct composition is the
