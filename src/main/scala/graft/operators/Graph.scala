@@ -317,6 +317,53 @@ object Graph {
     dist
   }
 
+  /** Bounded-horizon DIRECTED strongly-connected components: node w
+    * belongs to v's class iff BOTH directed distances d(v→w) and d(w→v)
+    * are ≤ `maxHops`; every node is labeled min(id) over its class. The
+    * one directed classic g3 (undirected CC) and g5 (directed seeded
+    * distance) leave open, with g5's bounded-round discipline instead of
+    * a convergence loop.
+    *
+    * Horizon contract (the g5 rule, sharpened): mutual reachability
+    * within h implies mutual reachability, so every class is a SUBSET of
+    * the node's true SCC — the label never crosses an SCC boundary, and
+    * per node it is monotone NON-INCREASING in h, reaching the true SCC
+    * min exactly when h covers the largest pairwise directed distance
+    * inside the SCC (a cycle of length L resolves fully at h = L−1).
+    * Spec plants a 3-cycle ∪ dag and checks the h-sweep.
+    *
+    * Shape: h rounds of frontier⋈edges expansion build the ≤h-hop
+    * forward-reachability PAIR table (bounded by n·outdeg^h — at 100 TB
+    * this is the term to budget: keep h small on high-fanout graphs, the
+    * same knob as g5's maxHops), each round materialized to scratch;
+    * backward pairs are the transpose, so ONE closure table self-joins
+    * (left_semi on the swapped key pair — never a second closure build)
+    * and a groupBy(id).min picks the label. */
+  def sccBounded(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = materialize(
+      edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v")).distinct(),
+      "graft-scc-e")
+    var reach = materialize(
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .distinct().select(col("id"), col("id").as("w")),
+      "graft-scc-0")
+    var i = 0
+    while (i < maxHops) {
+      val next = reach.join(e, reach("w") === e("u"))
+        .select(reach("id"), e("v").as("w"))
+        .union(reach).distinct()
+      reach = materialize(next, s"graft-scc-${i + 1}")
+      i += 1
+    }
+    reach.as("a")
+      .join(reach.as("b"),
+        col("b.id") === col("a.w") && col("b.w") === col("a.id"),
+        "left_semi")
+      .groupBy(col("id")).agg(min(col("w")).as("scc"))
+  }
+
   /** k-core peeling over an UNDIRECTED simple graph (symmetrized,
     * self-loops dropped), a FIXED number of rounds: each round recomputes
     * degrees on the surviving induced subgraph and drops every node with

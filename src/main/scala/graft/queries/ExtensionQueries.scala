@@ -7467,6 +7467,39 @@ object ExtensionQueries {
       |  SELECT und.v, reach.r FROM reach JOIN und ON und.u = reach.id)
       |SELECT id, MIN(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** DIRECTED strongly-connected components, bounded horizon
+    * ([[graft.operators.Graph.sccBounded]], h = 3): node w joins v's
+    * class iff both directed distances d(v→w) and d(w→v) are ≤ 3 —
+    * mutual reachability within h implies true mutual reachability, so
+    * labels never cross an SCC boundary and are monotone non-increasing
+    * in h (the g5 horizon contract; a directed cycle of length L
+    * resolves at h = L−1, so h = 3 resolves every cycle up to length
+    * 4). g3's undirected CC would merge a dag chain into one component;
+    * this keeps direction. The oracle unrolls the SAME 3-hop pair
+    * closure as g5-style UNION ALL stages and intersects it with its
+    * own transpose — an independent replay of both the expansion and
+    * the mutuality join. */
+  def g13Scc(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.sccBounded(linkEdges(sp, dir), maxHops = 3)
+      .orderBy("id")
+
+  val g13Sql: String = {
+    def hop(prev: String, cur: String): String =
+      s"""f$cur AS (SELECT DISTINCT id, w FROM (
+         |  SELECT f.id, e.v AS w FROM f$prev f JOIN e ON e.u = f.w
+         |  UNION ALL SELECT id, w FROM f$prev))""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |e AS (SELECT DISTINCT src AS u, dst AS v FROM edges),
+       |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |f0 AS (SELECT id, id AS w FROM nodes),
+       |${hop("0", "1")},
+       |${hop("1", "2")},
+       |${hop("2", "3")},
+       |m AS (SELECT a.id, a.w FROM f3 a
+       |  JOIN f3 b ON b.id = a.w AND b.w = a.id)
+       |SELECT id, MIN(w) AS scc FROM m GROUP BY id ORDER BY id""".stripMargin
+  }
+
   /** Synchronous label-propagation communities
     * ([[graft.operators.Graph.labelPropagation]]), 3 fixed rounds on the
     * derived link graph — the majority-vote aggregation shape (argmax by
@@ -9678,6 +9711,7 @@ object ExtensionQueries {
     "g1_pagerank" -> (g1Pagerank _),
     "g2_triangles" -> (g2Triangles _),
     "g3_components" -> (g3Components _),
+    "g13_scc" -> (g13Scc _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m10_bmp_crop" -> (m10Crop _),
@@ -9864,6 +9898,7 @@ object ExtensionQueries {
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
     "g3_components" -> g3Sql,
+    "g13_scc" -> g13Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m10_bmp_crop" -> m10Sql,

@@ -1153,6 +1153,36 @@ class OperatorSpec extends AnyFunSuite {
       ("c", 1L, 9L, 9, 9)))
   }
 
+  test("g13 sccBounded: planted 3-cycle ∪ dag resolves, direction kept " +
+      "(vs undirected CC), horizon sweep is monotone non-increasing") {
+    import spark.implicits._
+    // 1→2→3→1 (cycle), 3→4, 4→5→6 (dag tail), plus 10→11→12→13→10
+    // (4-cycle, needs h=3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+      .toDF("src", "dst")
+    def labels(h: Int): Map[Long, Long] =
+      Graph.sccBounded(edges, h).as[(Long, Long)].collect().toMap
+    val h3 = labels(3)
+    // cycle nodes share the min label; every dag node is a singleton
+    assert(h3(1L) == 1L && h3(2L) == 1L && h3(3L) == 1L)
+    assert(h3(4L) == 4L && h3(5L) == 5L && h3(6L) == 6L)
+    // the 4-cycle needs distances up to 3 in both directions
+    assert(Seq(10L, 11L, 12L, 13L).forall(h3(_) == 10L))
+    // undirected CC would merge EVERYTHING reachable: direction matters
+    val cc = Graph.connectedComponents(edges).as[(Long, Long)]
+      .collect().toMap
+    assert(cc(6L) == 1L && h3(6L) == 6L)
+    // horizon sweep: h=1 finds nothing (shortest back-path is 2); h=2
+    // resolves the 3-cycle but not the 4-cycle; labels only DECREASE
+    val h1 = labels(1)
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(id => h1(id) == id))
+    val h2 = labels(2)
+    assert(h2(1L) == 1L && h2(2L) == 1L && h2(3L) == 1L)
+    assert(h2(10L) == 10L && h2(11L) == 11L)
+    assert(h3.forall { case (id, l) => l <= h2(id) && h2(id) <= h1(id) })
+  }
+
   test("Ivm retraction: signed count/sum absorb a mixed append+delete " +
       "batch, a group vanishes at count 0, min/max need the recompute " +
       "fallback, tombstones remove every matching join-view row") {
