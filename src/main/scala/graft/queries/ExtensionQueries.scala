@@ -376,6 +376,105 @@ object ExtensionQueries {
 
   val t18Sql: String = graft.operators.Bpe.trainMergesSql(8)
 
+  /** UNIGRAM-LM tokenizer TRAINING ([[graft.operators.Unigram]]) — the
+    * EM-based SentencePiece-style alternative beside t18's BPE: seed a
+    * candidate vocab from substring statistics (all single chars + top
+    * 200 multi-char pieces), then 2 bounded Viterbi-EM rounds (E:
+    * max-probability segmentation of every histogram word, dp(j) =
+    * dp(j−l)·cnt/T in a fixed left-to-right IEEE tree; M: integer usage
+    * counts + 1 Laplace over the fixed vocab spine). Output: top-50
+    * pieces by final count plus a trailing `&lt;corpus&gt;` row carrying
+    * the total post-training token count. The oracle replays the WHOLE
+    * training — seeding, both DP rounds (unrolled 12-stage CTE chain
+    * with the same score DESC / len DESC / piece ASC argmax), usage,
+    * Laplace — so a hash match certifies identical piece boundaries on
+    * every word, not just similar counts. */
+  def t51UnigramTrain(sp: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val words = Unigram.wordHistogram(documents(sp, dir), col("text"))
+      .cache() // vocab-sized, reused by every round
+    val vocab = Unigram.seedPieces(words).cache() // config-sized
+    val p2 = Unigram.emRound(words, vocab, vocab)
+    val seg2 = Unigram.viterbiSeg(words, p2)
+    val u2 = Unigram.usageCounts(seg2).cache()
+    val p3 = vocab.select(col("piece"), col("len"))
+      .join(u2, Seq("piece"), "left")
+      .select(col("piece"), col("len"),
+        (coalesce(col("cnt"), lit(0L)) + 1L).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("piece"))
+    val top = p3.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("piece"), col("len"), col("cnt"))
+    val total = u2.agg(sum(col("cnt")).as("cnt"))
+      .select(lit(51).as("rank"), lit("<corpus>").as("piece"),
+        lit(0).as("len"), col("cnt"))
+    top.unionByName(total).orderBy("rank")
+  }
+
+  val t51Sql: String =
+    s"""${graft.operators.Unigram.oracleCtes(2)}
+       |SELECT * FROM (
+       |  SELECT CAST(rn AS INT) AS rank, piece, len,
+       |    CAST(cnt AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT piece, len, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM p3)
+       |  WHERE rn <= 50
+       |  UNION ALL
+       |  SELECT 51, '<corpus>', 0,
+       |    CAST((SELECT SUM(cnt) FROM u2) AS BIGINT))
+       |ORDER BY rank""".stripMargin
+
+  /** UNIGRAM-LM tokenizer APPLY (t25's composition for t51): one more
+    * Viterbi pass under the TRAINED counts segments the whole histogram;
+    * the gate emits the 100 most frequent words with their exact piece
+    * boundaries (`seg`, '|'-joined — byte-identical across engines) and
+    * piece counts, plus a `&lt;corpus&gt;` row with the corpus word and
+    * token totals (frequency-weighted). Scale: apply is per-WORD over
+    * the vocab-sized histogram; documents join back by word only if a
+    * per-doc view is needed — the corpus totals here weight by the
+    * histogram's freq instead of rescanning the corpus. */
+  def t52UnigramApply(sp: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val words = Unigram.wordHistogram(documents(sp, dir), col("text"))
+      .cache()
+    val vocab = Unigram.seedPieces(words).cache()
+    val p2 = Unigram.emRound(words, vocab, vocab)
+    val p3 = Unigram.emRound(words, vocab, p2)
+    val seg3 = Unigram.viterbiSeg(words, p3)
+      .withColumn("n_pieces", size(split(col("seg"), "\\|")).cast("long"))
+      .cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word"))
+    val top = seg3.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select(col("rank"), col("word"), col("freq"), col("seg"),
+        col("n_pieces"))
+    val total = seg3.agg(sum(col("freq")).as("freq"),
+        sum(col("freq") * col("n_pieces")).as("n_pieces"))
+      .select(lit(101).as("rank"), lit("<corpus>").as("word"),
+        col("freq"), lit("").as("seg"), col("n_pieces"))
+    top.unionByName(total).orderBy("rank")
+  }
+
+  val t52Sql: String =
+    s"""${graft.operators.Unigram.oracleCtes(3)}
+       |SELECT * FROM (
+       |  SELECT CAST(rn AS INT) AS rank, word, CAST(freq AS BIGINT) AS freq,
+       |    seg,
+       |    CAST(length(seg) - length(replace(seg, '|', '')) + 1 AS BIGINT)
+       |      AS n_pieces
+       |  FROM (SELECT word, freq, seg,
+       |      row_number() OVER (ORDER BY freq DESC, word) AS rn FROM seg3)
+       |  WHERE rn <= 100
+       |  UNION ALL
+       |  SELECT 101, '<corpus>',
+       |    CAST((SELECT SUM(freq) FROM words) AS BIGINT), '',
+       |    CAST((SELECT SUM(freq * (length(seg)
+       |      - length(replace(seg, '|', '')) + 1)) FROM seg3) AS BIGINT))
+       |ORDER BY rank""".stripMargin
+
   /** Benchmark decontamination ([[graft.operators.Dedup.contamination]]):
     * every 20th document plays the held-out set; for each, the fraction of
     * its distinct 5-gram shingles that appear anywhere in the remaining
@@ -9735,6 +9834,8 @@ object ExtensionQueries {
     "s7_stream_enrich" -> (s7StreamEnrich _),
     "s8_checkpoint_recovery" -> (s8CheckpointRecovery _),
     "t18_bpe_train" -> (t18BpeTrain _),
+    "t51_unigram_train" -> (t51UnigramTrain _),
+    "t52_unigram_apply" -> (t52UnigramApply _),
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
     "s9_bounded_backfill" -> (s9BoundedBackfill _),
     "s10_stateful_counter" -> (s10StatefulCounter _),
@@ -9922,6 +10023,8 @@ object ExtensionQueries {
     "s7_stream_enrich" -> s7Sql,
     "s8_checkpoint_recovery" -> s8Sql,
     "t18_bpe_train" -> t18Sql,
+    "t51_unigram_train" -> t51Sql,
+    "t52_unigram_apply" -> t52Sql,
     "t19_token_budget_mix" -> t19Sql,
     "s9_bounded_backfill" -> s9Sql,
     "s10_stateful_counter" -> s10Sql,

@@ -1153,6 +1153,41 @@ class OperatorSpec extends AnyFunSuite {
       ("c", 1L, 9L, 9, 9)))
   }
 
+  test("t51 unigram: Viterbi picks max-product boundaries, an exact " +
+      "double tie prefers the longer piece, EM keeps the vocab spine " +
+      "with Laplace floor, DataFrame seg byte-identical to the " +
+      "in-memory reference") {
+    import spark.implicits._
+    val sc = Map("l" -> 0.01, "o" -> 0.01, "w" -> 0.01, "e" -> 0.01,
+      "r" -> 0.01, "low" -> 0.2, "er" -> 0.1, "lo" -> 0.05)
+    // low|er (0.2*0.1) beats lo|w|er (0.05*0.01*0.1) and the char split
+    assert(Unigram.segment("lower", sc) == List("low", "er"))
+    // 0.5*0.5 == 0.25 is an EXACT double tie: the longer piece wins
+    assert(Unigram.segment("aa", Map("a" -> 0.5, "aa" -> 0.25)) ==
+      List("aa"))
+    // a strictly better split still beats the long piece
+    assert(Unigram.segment("aa", Map("a" -> 0.6, "aa" -> 0.25)) ==
+      List("a", "a"))
+    // EM round: vocab spine fixed, unused pieces floor at Laplace 1
+    val docs = Seq("spark spark scan", "spark scan scan span")
+      .toDF("text")
+    val words = Unigram.wordHistogram(docs, col("text"))
+    val vocab = Unigram.seedPieces(words)
+    val p2 = Unigram.emRound(words, vocab, vocab)
+    assert(p2.count() == vocab.count())
+    assert(p2.agg(min(col("cnt"))).as[Long].head() == 1L)
+    // every DataFrame-produced segmentation is byte-identical to the
+    // in-memory reference DP under the same scores
+    val rows = vocab.select("piece", "cnt").collect()
+    val t = rows.map(_.getLong(1)).sum.toDouble
+    val ref = rows.map(r =>
+      r.getString(0) -> (r.getLong(1).toDouble / t)).toMap
+    Unigram.viterbiSeg(words, vocab).as[(String, Long, String)].collect()
+      .foreach { case (w, _, seg) =>
+        assert(seg == Unigram.segment(w, ref).mkString("|"))
+      }
+  }
+
   test("g13 sccBounded: planted 3-cycle ∪ dag resolves, direction kept " +
       "(vs undirected CC), horizon sweep is monotone non-increasing") {
     import spark.implicits._
