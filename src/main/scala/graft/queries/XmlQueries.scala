@@ -906,7 +906,77 @@ object XmlQueries {
       |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS nested_last
       |FROM lineitem WHERE l_orderkey % 16 = 6 ORDER BY id""".stripMargin
 
+  /** NUMERIC ATTRIBUTE COMPARISONS — `step[@a>5]` (ops `> < >= <= =
+    * !=`) through the single-parse `xpath_multi`: the threshold-select
+    * idiom (`//item[@qty>25]`) that equality predicates cannot express.
+    * Semantics are XPath 1.0 number() + IEEE: the attribute's
+    * string-value converts to a double (whitespace-tolerant, decimals,
+    * negatives; anything else NaN), an ABSENT attribute never matches
+    * (empty node-set), and a present NON-numeric one is NaN — so `!=`
+    * is TRUE for it and every other op false (probe-pinned against the
+    * built-in evaluator in XPathMultiSpec). The layout gives each row a
+    * quantity-keyed item, a NaN-keyed item, a nested negative-keyed
+    * item, and an attribute-less element; pins: data-dependent
+    * threshold match both directions, the NaN `!=` asymmetry, the
+    * `>= 50` boundary hit exactly at the corpus max, descendant-axis +
+    * negative-literal composition, wildcard composition, and
+    * absent-attr emptiness. 1/16 sample disjoint from x13-x19's. */
+  def x20XpathNumPredicate(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 7)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it v='"), d2s(col("l_quantity")),
+      lit("'><q>"), d2s(col("l_extendedprice")),
+      lit("</q></it><it v='x'><q>"), d2s(col("l_tax")),
+      lit("</q></it><s><it v='-2'><q>"), d2s(col("l_discount")),
+      lit("</q></it></s><w><q>z</q></w></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[@v>25]/q",
+        "/r/it[@v<=25]/q",
+        "/r/it[@v!=25]/q",
+        "//it[@v<0]/q",
+        "/r/*[@v>=50]/q",
+        "/r/w[@v>0]/q")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        size(col("m.p1")).as("n_gt"),
+        get(col("m.p1"), lit(0)).cast("double").as("price_gt"),
+        get(col("m.p2"), lit(0)).cast("double").as("price_le"),
+        size(col("m.p3")).as("n_ne"),
+        get(col("m.p3"), lit(0)).cast("double").as("first_ne"),
+        get(col("m.p4"), lit(0)).cast("double").as("disc_neg"),
+        get(col("m.p5"), lit(0)).cast("double").as("price_b50"),
+        size(col("m.p6")).as("n_absent"))
+      .orderBy("id")
+  }
+
+  val x20Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN 1 ELSE 0 END AS INT) AS n_gt,
+      |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS price_gt,
+      |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) <= 25
+      |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS price_le,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) <> 25
+      |    THEN 2 ELSE 1 END AS INT) AS n_ne,
+      |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) <> 25
+      |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    ELSE CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS first_ne,
+      |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS disc_neg,
+      |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) >= 50
+      |    THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) END
+      |    AS price_b50,
+      |  CAST(0 AS INT) AS n_absent
+      |FROM lineitem WHERE l_orderkey % 16 = 7 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_xpath_num_pred" -> (x20XpathNumPredicate _),
     "x19_xpath_last_pred" -> (x19XpathLastPredicate _),
     "x18_xpath_child_pred" -> (x18XpathChildPredicate _),
     "x17_xpath_attr_pred" -> (x17XpathAttrPredicate _),
@@ -932,6 +1002,7 @@ object XmlQueries {
     "x17_xpath_attr_pred" -> x17Sql,
     "x18_xpath_child_pred" -> x18Sql,
     "x19_xpath_last_pred" -> x19Sql,
+    "x20_xpath_num_pred" -> x20Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

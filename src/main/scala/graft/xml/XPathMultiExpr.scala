@@ -32,7 +32,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps its per-parent sibling-position meaning), `*` name
   * wildcards, 1-based positional predicates `[k]` and `[last()]`,
   * attribute-equality
-  * `[@a='v']`, existential child-value predicates `[q='v']`
+  * `[@a='v']`, existential child-value predicates `[q='v']`,
+  * numeric attribute comparisons `[@a>5]` (`> < >= <= = !=`, unquoted
+  * numeric literal; XPath number() conversion with IEEE NaN semantics)
   * (one predicate per step, enforced by the grammar), and a trailing
   * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
@@ -76,7 +78,8 @@ object XPathMini {
     * is the 2nd `a` child of ITS parent), not "2nd in document order". */
   final case class Step(name: String, pos: Int, desc: Boolean,
       predAttr: String = null, predVal: String = null,
-      predChild: String = null)
+      predChild: String = null,
+      numOp: String = null, numVal: Double = 0.0)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -95,7 +98,8 @@ object XPathMini {
     ("""^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\]""" +
       """|\[(last)\(\)\]""" +
       """|\[@([A-Za-z_][\w.-]*)='([^']*)'\]""" +
-      """|\[([A-Za-z_][\w.-]*)='([^']*)'\])?$""").r
+      """|\[([A-Za-z_][\w.-]*)='([^']*)'\]""" +
+      """|\[@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
@@ -172,16 +176,22 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case (StepRe(name, pos, lastG, pa, pav, pc, pcv), desc) =>
+      case (StepRe(name, pos, lastG, pa, pav, pc, pcv, na, nop, nv),
+          desc) =>
         // the regex alternation guarantees at most ONE predicate per
         // step: positional [k] / [last()], attribute-equality
-        // [@a='v'], or child-value [q='v']
+        // [@a='v'], child-value [q='v'], or numeric attribute
+        // comparison [@a>5] (ops = < >= <= = !=, unquoted literal)
         val p = if (lastG != null) -1
           else if (pos == null) 0 else pos.toInt
-        Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
+        if (na != null)
+          Step(name, p, desc, predAttr = na, numOp = nop,
+            numVal = nv.toDouble)
+        else Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
           "(subset: name|*, //name, [k], [last()], [@a='v'], [q='v'], " +
+          "[@a>5] and the other numeric comparisons, " +
           "trailing text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
@@ -315,8 +325,13 @@ object XPathMini {
 
   private def matches(step: Step, e: Elem): Boolean =
     (step.name == "*" || step.name == e.tag) &&
-      (step.predAttr == null || attrEq(e, step.predAttr, step.predVal)) &&
-      (step.predChild == null || childEq(e, step.predChild, step.predVal))
+      (if (step.numOp != null) attrNumCmp(e, step.predAttr, step.numOp,
+        step.numVal)
+      else
+        (step.predAttr == null ||
+          attrEq(e, step.predAttr, step.predVal)) &&
+        (step.predChild == null ||
+          childEq(e, step.predChild, step.predVal)))
 
   /** XPath 1.0 `[q='v']` existential child-value test: true iff ANY
     * child element named `q` has string-value exactly `v` (node-set =
@@ -335,6 +350,55 @@ object XPathMini {
         case _ =>
       }
       i += 1
+    }
+    false
+  }
+
+  /** XPath 1.0 number() of a string: optional surrounding whitespace,
+    * optional '-', digits with at most one '.', at least one digit —
+    * anything else is NaN (no exponents, no '+', per the spec grammar;
+    * probe-pinned against the built-in: ' 5 ' parses, 'x' is NaN). */
+  private def xpathNumber(s: String): Double = {
+    val t = s.trim
+    val n = t.length
+    var i = if (n > 0 && t.charAt(0) == '-') 1 else 0
+    var digits = 0
+    var dots = 0
+    var ok = i < n
+    while (i < n && ok) {
+      val c = t.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      else if (c == '.') dots += 1
+      else ok = false
+      i += 1
+    }
+    if (!ok || digits == 0 || dots > 1) Double.NaN else t.toDouble
+  }
+
+  /** Numeric attribute comparison `[@a>5]` (ops < >= <= = !=): the
+    * attribute's string-value converts through [[xpathNumber]] and the
+    * comparison follows IEEE — so an ABSENT attribute is always false
+    * (empty node-set, nothing to compare), but a PRESENT non-numeric
+    * one is NaN, which makes `!=` TRUE and every other op false
+    * (probe-pinned against the built-in evaluator). First attribute
+    * occurrence wins, like [[attrEq]]. */
+  private def attrNumCmp(e: Elem, a: String, op: String,
+      v: Double): Boolean = {
+    if (e.attrs == null) return false
+    var k = 0
+    while (k < e.attrs.length) {
+      if (e.attrs(k)._1 == a) {
+        val x = xpathNumber(e.attrs(k)._2)
+        return op match {
+          case ">"  => x > v
+          case "<"  => x < v
+          case ">=" => x >= v
+          case "<=" => x <= v
+          case "="  => x == v
+          case "!=" => x != v
+        }
+      }
+      k += 1
     }
     false
   }

@@ -555,4 +555,47 @@ class XPathMultiSpec extends AnyFunSuite {
       .collect().map(_.getStruct(0).getSeq[String](0))
     assert(rr(0) == Seq("9") && rr(1) == Seq.empty)
   }
+
+  test("numeric attribute comparisons [@a>5]: built-in parity on every " +
+      "op, XPath number() whitespace/decimal/negative handling, NaN " +
+      "makes != true and everything else false, absent attr never " +
+      "matches") {
+    import spark.implicits._
+    // v values: numeric-with-decimals, non-numeric (NaN), negative,
+    // whitespace-padded, ABSENT
+    val doc = "<r><it v='17.00'><q>A</q></it><it v='x'><q>B</q></it>" +
+      "<it v='-2'><q>C</q></it><it v=' 5 '><q>D</q></it>" +
+      "<it><q>E</q></it></r>"
+    val paths = Seq("/r/it[@v>5]/q", "/r/it[@v<5]/q", "/r/it[@v!=5]/q",
+      "/r/it[@v=17]/q", "/r/it[@v>=17]/q", "/r/it[@v<=-2]/q",
+      "/r/it[@v=5]/q", "/r/it[@v>=0.5]/q")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("A"), "> on decimal text")
+    assert(got(1) == Seq("C"), "< catches only the negative")
+    assert(got(2) == Seq("A", "B", "C"),
+      "!=: NaN compares TRUE, exact 5 false, absent attr false")
+    assert(got(3) == Seq("A") && got(4) == Seq("A"),
+      "numeric = and >= treat '17.00' as 17")
+    assert(got(6) == Seq("D"), "whitespace-padded ' 5 ' parses as 5")
+    // grammar: numeric predicate composes with nothing else on the step
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@v>5][1]")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@v>'5']") // quoted literal is not numeric
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@v>1e3]") // exponents outside the subset
+    }
+  }
 }
