@@ -570,6 +570,69 @@ object Multimodal {
     Some(out)
   }
 
+  /** BILINEAR resize of a 24-bit uncompressed BMP — the production
+    * augmentation beside [[resizeBmp]]'s nearest-neighbor: each output
+    * pixel blends the 4 surrounding source pixels. ALL arithmetic is
+    * 8.8 FIXED-POINT INTEGER so the result is bit-exact and a SQL
+    * oracle replays every output byte: the source coordinate of output
+    * x is fx = x·(srcW−1)·256 ∕ (W−1) (endpoint-aligned; integer
+    * division, and a 1-wide source or 1-wide target collapses to 0
+    * naturally), x0 = fx≫8, dx = fx&255, x1 = min(x0+1, srcW−1), and
+    * the channel value is (p00·(256−dx)·(256−dy) + p10·dx·(256−dy) +
+    * p01·(256−dx)·dy + p11·dx·dy + 32768) ≫ 16 — weights sum to 2¹⁶,
+    * +2¹⁵ rounds half-up, everything stays far below 2³¹. Same header
+    * contract as [[resizeBmp]] (24bpp only, storage-order rows). */
+  def resizeBmpBilinear(m: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val srcW = src.getInt(18)
+    val srcH = src.getInt(22)
+    val bpp = src.getShort(28).toInt
+    if (bpp != 24 || srcW <= 0 || srcH <= 0 || dataOff < 54) return None
+    val srcRow = ((3 * srcW + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + srcRow.toLong * srcH) return None
+    val dstRow = ((3 * width + 3) / 4) * 4
+    val dataSize = dstRow * height
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val out = b.array()
+    def px(sy: Int, sx: Int, c: Int): Int =
+      m(dataOff + sy * srcRow + sx * 3 + c) & 0xff
+    var y = 0
+    while (y < height) {
+      val fy = if (height == 1) 0 else y * (srcH - 1) * 256 / (height - 1)
+      val y0 = fy >> 8
+      val dy = fy & 255
+      val y1 = math.min(y0 + 1, srcH - 1)
+      var x = 0
+      while (x < width) {
+        val fx = if (width == 1) 0 else x * (srcW - 1) * 256 / (width - 1)
+        val x0 = fx >> 8
+        val dx = fx & 255
+        val x1 = math.min(x0 + 1, srcW - 1)
+        val d = 54 + y * dstRow + x * 3
+        var c = 0
+        while (c < 3) {
+          val v = (px(y0, x0, c) * (256 - dx) * (256 - dy) +
+            px(y0, x1, c) * dx * (256 - dy) +
+            px(y1, x0, c) * (256 - dx) * dy +
+            px(y1, x1, c) * dx * dy + 32768) >> 16
+          out(d + c) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** REAL crop of a 24-bit uncompressed BMP: the output is a valid BMP
     * whose storage row j, column i is the source's storage pixel
     * (x0+i, y0+j) — coordinates are in STORAGE order (BMP rows are

@@ -4306,6 +4306,62 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** BILINEAR BMP resize ([[Multimodal.resizeBmpBilinear]]) — the
+    * production augmentation beside m2's nearest-neighbor: every 8×8
+    * output pixel blends its 4 source neighbors in 8.8 FIXED-POINT
+    * INTEGER arithmetic (endpoint-aligned source coordinate fx =
+    * x·(srcW−1)·256∕7, weights summing to 2¹⁶, +2¹⁵ half-up rounding),
+    * so the oracle recomputes EVERY output byte from the blob-fill
+    * formula — all four neighbor lookups, both fractional weights, and
+    * the rounding shift — and the checksum match certifies the full
+    * interpolation, not a resample of convenience. Per-doc map work,
+    * zero shuffle, like the rest of the m-family. */
+  def m19BilinearResize(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.resizeBmpBilinear(r.media, 8, 8).map { out =>
+          (r.doc_id, 8, 8, Multimodal.bmpPixelChecksum(out))
+        }
+      }
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m19Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(sy: String, sx: String): String =
+      s"('0x' || substr(hx, 2 * ((($sy) * src_row + ($sx) * 3 + c) " +
+        "% len) + 1, 2))::BIGINT"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |g AS (SELECT p.doc_id, p.hx, p.len, p.src_w, p.src_h, p.src_row,
+       |    tc.c AS c,
+       |    (ty.y * (p.src_h - 1) * 256) // 7 AS fy,
+       |    (tx.x * (p.src_w - 1) * 256) // 7 AS fx
+       |  FROM p, range(0, 8) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)),
+       |q AS (SELECT doc_id, hx, len, src_row, c,
+       |    fy // 256 AS y0, fy % 256 AS dy,
+       |    least(fy // 256 + 1, src_h - 1) AS y1,
+       |    fx // 256 AS x0, fx % 256 AS dx,
+       |    least(fx // 256 + 1, src_w - 1) AS x1
+       |  FROM g),
+       |v AS (SELECT doc_id,
+       |    (${byteAt("y0", "x0")} * (256 - dx) * (256 - dy)
+       |     + ${byteAt("y0", "x1")} * dx * (256 - dy)
+       |     + ${byteAt("y1", "x0")} * (256 - dx) * dy
+       |     + ${byteAt("y1", "x1")} * dx * dy + 32768) // 65536 AS v
+       |  FROM q)
+       |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       |  CAST(SUM(v) AS BIGINT) AS checksum
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** REAL BMP crop ([[Multimodal.cropBmp]]) — the augmentation pair to
     * m2's resize (random-crop + resize is the standard image-pretraining
     * transform): a 2×3 window anchored at (doc_id % w, doc_id % h),
@@ -9822,6 +9878,7 @@ object ExtensionQueries {
     "m16_image_near_dup" -> (m16ImageNearDup _),
     "m17_wav_decimate" -> (m17WavDecimate _),
     "m18_avi_drop_frames" -> (m18AviDropFrames _),
+    "m19_bilinear_resize" -> (m19BilinearResize _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -10011,6 +10068,7 @@ object ExtensionQueries {
     "m16_image_near_dup" -> m16Sql,
     "m17_wav_decimate" -> m17Sql,
     "m18_avi_drop_frames" -> m18Sql,
+    "m19_bilinear_resize" -> m19Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1153,6 +1153,46 @@ class OperatorSpec extends AnyFunSuite {
       ("c", 1L, 9L, 9, 9)))
   }
 
+  test("m19 resizeBmpBilinear: hand-computed midpoint blend, identity " +
+      "resize is byte-exact, 1-wide collapse, half-up rounding, " +
+      "refusal cases") {
+    import graft.operators.Multimodal
+    // 2x1 source, pixels A=(10,10,10) B=(30,30,30); 3x1 target:
+    // x=1 maps to fx=128 -> (10*128+30*128+128)/256 = 20 per channel
+    val bmp = Multimodal.buildBmp(2, 1,
+      Array[Byte](10, 10, 10, 30, 30, 30, 0, 0))
+    val r3 = Multimodal.resizeBmpBilinear(bmp, 3, 1).get
+    val px = (i: Int) => r3(54 + i) & 0xff
+    assert((px(0), px(1), px(2)) == ((10, 10, 10)), "endpoint left")
+    assert((px(3), px(4), px(5)) == ((20, 20, 20)), "midpoint blend")
+    // 3x1 target row stride pads to 12; x=2 starts at byte 6
+    assert((px(6), px(7), px(8)) == ((30, 30, 30)), "endpoint right")
+    // half-UP rounding: A=10, B=11 at fx=128 blend exactly to 10.5;
+    // +2^15 then >>16 rounds up: (10*128*256 + 11*128*256 + 32768)
+    // >> 16 = 720896 >> 16 = 11
+    val bmp2 = Multimodal.buildBmp(2, 1,
+      Array[Byte](10, 10, 10, 11, 11, 11, 0, 0))
+    val r32 = Multimodal.resizeBmpBilinear(bmp2, 3, 1).get
+    assert((r32(54 + 3) & 0xff) == 11, "exact .5 rounds UP via +2^15")
+    // identity resize reproduces every pixel byte (fx = 256x exactly)
+    val src = Multimodal.buildBmp(5, 3, Array.tabulate[Byte](17)(i =>
+      (i * 31 % 251).toByte))
+    val id = Multimodal.resizeBmpBilinear(src, 5, 3).get
+    assert(Multimodal.bmpPixelChecksum(id) ==
+      Multimodal.bmpPixelChecksum(src))
+    for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3) {
+      val row = ((3 * 5 + 3) / 4) * 4
+      assert(id(54 + y * row + x * 3 + c) == src(54 + y * row + x * 3 + c))
+    }
+    // 1-wide source and 1-wide target both collapse to column 0
+    val one = Multimodal.buildBmp(1, 2, Array[Byte](5, 6, 7, 0))
+    val up = Multimodal.resizeBmpBilinear(one, 4, 2).get
+    assert((0 until 4).forall { x =>
+      (up(54 + x * 3) & 0xff) == 5 && (up(54 + x * 3 + 1) & 0xff) == 6
+    })
+    assert(Multimodal.resizeBmpBilinear(Array[Byte](1, 2), 4, 4).isEmpty)
+  }
+
   test("t51 unigram: Viterbi picks max-product boundaries, an exact " +
       "double tie prefers the longer piece, EM keeps the vocab spine " +
       "with Laplace floor, DataFrame seg byte-identical to the " +
