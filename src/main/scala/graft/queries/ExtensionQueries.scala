@@ -1229,9 +1229,26 @@ object ExtensionQueries {
         expr("gylo + (gyhi - gylo) * 45 div 100").as("ly"),
         expr("gylo + (gyhi - gylo) * 55 div 100").as("hy"))
     def profile(name: String, keyed: DataFrame): DataFrame = {
-      keyed.withColumn("f",
-          expr("(row_number() OVER (ORDER BY k, l_orderkey, " +
-            "l_linenumber) - 1) div 512"))
+      // global file index WITHOUT the unpartitioned-window trap (a
+      // row_number() over a global ORDER BY drags every row into ONE
+      // partition — the sf1 scale probe showed z3 at 12.8x for 10x
+      // data): a range-partitioned distributed sort, then RDD
+      // zipWithIndex (per-partition counts + one offset pass) assigns
+      // the same contiguous global ordinal fully in parallel
+      val sorted = keyed
+        .select(col("k"), col("l_orderkey"), col("l_linenumber"),
+          col("x"), col("y"))
+        .orderBy("k", "l_orderkey", "l_linenumber")
+      val sp2 = keyed.sparkSession
+      val withF = sp2.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(3), r.get(4), i / 512L)
+        },
+        org.apache.spark.sql.types.StructType(Seq(
+          sorted.schema("x"), sorted.schema("y"),
+          org.apache.spark.sql.types.StructField("f",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      withF
         .groupBy("f")
         .agg(min(col("x")).as("xmn"), max(col("x")).as("xmx"),
           min(col("y")).as("ymn"), max(col("y")).as("ymx"))
@@ -7282,7 +7299,7 @@ object ExtensionQueries {
     val sch = graft.Tables.orders(sp, dir).schema
     val src = sp.readStream.schema(sch)
       .option("pathGlobFilter", "orders.parquet").parquet(dir)
-      .select(col("o_orderkey").cast("int").as("id"),
+      .select(col("o_orderkey").as("id"), // long: never narrow a key
         col("o_orderstatus").as("_status"),
         dec(col("o_totalprice")).as("total"))
     val outDir = graft.Tables.scratchDir("graft-s15")

@@ -1603,6 +1603,11 @@ object Relational {
     * operator remains the tuned path; this gates the SQL front door. */
   def q39RecursiveCte(s: SparkSession, d: String): DataFrame = {
     part(s, d).createOrReplaceTempView("part_q39")
+    // the closure trace is ~|part|·log7(maxkey) rows; Spark's default
+    // 1M-row recursion safety cap trips around sf1 (caught by the scale
+    // probe) — raise the knob the error message names, the same way a
+    // production hierarchy closure would size it
+    s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     s.sql("""
       WITH RECURSIVE r AS (
         SELECT p_partkey AS node, p_partkey AS anc, 0 AS lvl FROM part_q39

@@ -34,14 +34,20 @@ object XmlQueries {
       s(col("o_orderkey")), lit("</id><total>"), d2s(col("o_totalprice")),
       lit("</total><odate>"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
       lit("</odate><open>"), s(col("o_orderstatus") === "O"),
-      lit("</open><prio>"), col("o_orderpriority"), lit("</prio></order>"))
+      lit("</open><yr>"), year(col("o_orderdate")).cast("string"),
+      lit("</yr><prio>"), col("o_orderpriority"), lit("</prio></order>"))
     val parser = XmlParser.struct("order") { a =>
       struct(
-        a.int("id").as("id"),
+        // ids read str->long: the strict Int parser (Convert.ToInt32
+        // parity) overflows once orderkeys pass 2^31 (sf>~35, or a
+        // key-shifted scale probe); strict-Int coverage stays on the
+        // BOUNDED <yr> element below
+        a.str("id").cast("long").as("id"),
         a.attribute("status").as("status"),
         a.nullDecimal("total").cast("double").as("total"),
         a.nullDate("odate").cast("date").as("odate"),
         a.nullBool("open").as("open"),
+        a.int("yr").as("yr"),
         a.str("prio").as("prio"),
         a.nullInt("nope").as("missing_int"))
     }
@@ -56,10 +62,11 @@ object XmlQueries {
   }
 
   val x1Sql: String =
-    """SELECT CAST(o_orderkey AS INT) AS id, o_orderstatus AS status,
+    """SELECT CAST(o_orderkey AS BIGINT) AS id, o_orderstatus AS status,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
       |  CAST(o_orderdate AS DATE) AS odate,
       |  (o_orderstatus = 'O') AS open,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
       |  o_orderpriority AS prio,
       |  CAST(NULL AS INT) AS missing_int
       |FROM orders ORDER BY id""".stripMargin
@@ -114,7 +121,7 @@ object XmlQueries {
       lit("></vals></r>"))
     val parser = XmlParser.struct("r") { a =>
       struct(
-        a.int("id").as("id"),
+        a.str("id").cast("long").as("id"),
         a.array("vals") { c =>
           struct(c.tag.as("tag"),
             c.nullDecimal("q_*").cast("double").as("qty"))
@@ -130,7 +137,7 @@ object XmlQueries {
   }
 
   val x3Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  'q_' || l_returnflag AS tag,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
       |FROM lineitem ORDER BY id""".stripMargin
@@ -151,7 +158,7 @@ object XmlQueries {
       lit("</m>"))
     val parser = XmlParser.struct("m") { a =>
       struct(
-        a.int("id").as("id"),
+        a.str("id").cast("long").as("id"),
         a.nullDecimal("v").cast("double").as("first_v"),
         a.array("missing_arr")(c => c.nullInt("zz")).as("marr"))
     }
@@ -183,7 +190,7 @@ object XmlQueries {
       lit("</m>"))
     val parser = XmlParser.struct("m") { a =>
       struct(
-        a.int("id").as("id"),
+        a.str("id").cast("long").as("id"),
         a.nullDecimal("v").cast("double").as("first_v"),
         a.array("missing_arr")(c => c.nullInt("zz")).as("marr"))
     }
@@ -214,7 +221,7 @@ object XmlQueries {
   }
 
   val x4Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS first_v,
       |  CAST(NULL AS INT[]) AS marr,
       |  CAST(CASE WHEN l_linenumber % 2 = 0 THEN l_linenumber
@@ -237,7 +244,7 @@ object XmlQueries {
       lit("</nk></cust></order>"))
     val parser = XmlParser.struct("order") { a =>
       struct(
-        a.int("id").as("id"),
+        a.str("id").cast("long").as("id"),
         a.custom("cust")(custFragment.parse).as("c"))
     }
     spread(o.select(xml.as("__xml"))) // build once + spread (see x1)
@@ -248,7 +255,7 @@ object XmlQueries {
   }
 
   val x5Sql: String =
-    """SELECT CAST(o_orderkey AS INT) AS id,
+    """SELECT CAST(o_orderkey AS BIGINT) AS id,
       |  'C' || CAST(o_custkey AS VARCHAR) AS name,
       |  CAST(o_custkey % 25 AS INT) AS nk,
       |  'cust' AS tag
@@ -290,7 +297,7 @@ object XmlQueries {
     spread(o.select(xml.as("value"))).write.mode("overwrite").text(outDir)
     val parser = XmlParser.struct("rec") { a =>
       struct(
-        a.int("id").as("id"),
+        a.str("id").cast("long").as("id"),
         a.array("vals") { c =>
           struct(c.tag.as("tag"),
             c.nullDecimal("st_*").cast("double").as("tot"))
@@ -304,7 +311,7 @@ object XmlQueries {
   }
 
   val x7Sql: String =
-    """SELECT CAST(o_orderkey AS INT) AS id,
+    """SELECT CAST(o_orderkey AS BIGINT) AS id,
       |  'st_' || o_orderstatus AS tag,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS tot
       |FROM orders ORDER BY id""".stripMargin
@@ -330,7 +337,7 @@ object XmlQueries {
       .option("compression", "gzip").text(outDir)
     val parser = XmlParser.struct("rec") { a =>
       struct(
-        a.int("id").as("id"),
+        a.str("id").cast("long").as("id"),
         a.array("m") { cc =>
           struct(cc.tag.as("tag"),
             cc.nullDecimal("seg_*").cast("double").as("bal"))
@@ -344,7 +351,7 @@ object XmlQueries {
   }
 
   val x9Sql: String =
-    """SELECT CAST(c_custkey AS INT) AS id,
+    """SELECT CAST(c_custkey AS BIGINT) AS id,
       |  'seg_' || c_mktsegment AS tag,
       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
       |FROM customer ORDER BY id""".stripMargin
@@ -438,7 +445,7 @@ object XmlQueries {
       .agg(sort_array(collect_list(col("l_linenumber").cast("int"))).as("ln"))
     val toWrite = o.join(lns, col("o_orderkey") === col("l_orderkey"))
       .select(
-        col("o_orderkey").cast("int").as("id"),
+        col("o_orderkey").cast("long").as("id"),
         col("o_orderstatus").as("_status"), // -> status='..' attribute
         dec(col("o_totalprice")).as("total"),
         col("o_orderdate").cast("date").as("odate"),
@@ -451,7 +458,10 @@ object XmlQueries {
       .option("rowTag", "o").save(outDir)
     val parser = XmlParser.struct("o") { a =>
       struct(
-        a.int("id").as("id"),
+        // str->long, not a.int: the strict Int parser (reference parity,
+        // Convert.ToInt32) overflows once orderkeys pass 2^31 — at sf>~35
+        // (or the key-shifted sf1 scale probe) real ids do
+        a.str("id").cast("long").as("id"),
         a.attribute("status").as("status"),
         a.nullDecimal("total").cast("double").as("total"),
         a.nullDate("odate").cast("date").as("odate"),
@@ -468,7 +478,7 @@ object XmlQueries {
   }
 
   val x11Sql: String =
-    """SELECT CAST(o_orderkey AS INT) AS id, o_orderstatus AS status,
+    """SELECT CAST(o_orderkey AS BIGINT) AS id, o_orderstatus AS status,
       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
       |  CAST(o_orderdate AS DATE) AS odate,
       |  o_orderpriority || ' <&> ' || o_orderpriority AS comment,
@@ -575,7 +585,7 @@ object XmlQueries {
       .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"),
         Seq("/r/id", "/r/vals/*[1]", "/r/vals/*/text()")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         get(col("m.p1"), lit(0)).as("qty_s"),
         get(col("m.p1"), lit(0)).cast("double").as("qty"),
         size(col("m.p2")).as("n_vals"))
@@ -583,7 +593,7 @@ object XmlQueries {
   }
 
   val x13Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS qty_s,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
       |  CAST(1 AS INT) AS n_vals
@@ -613,7 +623,7 @@ object XmlQueries {
         Seq("/r/@id", "/r/v/@f", "/r/v/@q", "/r/v[2]/@t", "/r/v/@missing"))
         .as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         get(col("m.p1"), lit(0)).as("flag"),
         size(col("m.p1")).as("n_f"),
         get(col("m.p2"), lit(0)).cast("double").as("qty"),
@@ -623,7 +633,7 @@ object XmlQueries {
   }
 
   val x14Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  l_returnflag AS flag, CAST(1 AS INT) AS n_f,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
       |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax,
@@ -655,7 +665,7 @@ object XmlQueries {
       .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"),
         Seq("/r/id", "//v", "//v[2]", "/r/d//v", "//e/v")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         size(col("m.p1")).as("n_all"),
         get(col("m.p1"), lit(0)).cast("double").as("qty"),
         get(col("m.p2"), lit(0)).as("flag"),
@@ -667,7 +677,7 @@ object XmlQueries {
   }
 
   val x15Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(5 AS INT) AS n_all,
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
       |  l_returnflag AS flag,
@@ -706,7 +716,7 @@ object XmlQueries {
           "//h | /r/h",
           "/r/t | /r/h")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         get(col("m.p1"), lit(0)).as("flag"),
         get(col("m.p1"), lit(1)).as("status"),
         size(col("m.p1")).as("n_ht"),
@@ -718,7 +728,7 @@ object XmlQueries {
   }
 
   val x16Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  l_returnflag AS flag, l_linestatus AS status,
       |  CAST(2 AS INT) AS n_ht,
       |  CAST(3 AS INT) AS n_hm,
@@ -760,7 +770,7 @@ object XmlQueries {
         "/r/*[@t='X']/q",
         "/r/it[@t='X']/@t")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         get(col("m.p1"), lit(0)).cast("double").as("price"),
         size(col("m.p2")).as("n_r"),
         get(col("m.p2"), lit(0)).cast("double").as("q_r"),
@@ -772,7 +782,7 @@ object XmlQueries {
   }
 
   val x17Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
       |  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT)
       |    AS n_r,
@@ -824,7 +834,7 @@ object XmlQueries {
         "//it[k='AF']/q",
         "/r/*[k='ZZ']/q")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         get(col("m.p1"), lit(0)).cast("double").as("price"),
         size(col("m.p2")).as("n_r"),
         get(col("m.p2"), lit(0)).cast("double").as("q_r"),
@@ -836,7 +846,7 @@ object XmlQueries {
   }
 
   val x18Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
       |  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT)
       |    AS n_r,
@@ -888,7 +898,7 @@ object XmlQueries {
         "//v[last()]",
         "/r/s/v[last()]")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         get(col("m.p1"), lit(0)).cast("int").as("last_v"),
         get(col("m.p2"), lit(0)).cast("int").as("first_v"),
         get(col("m.p3"), lit(0)).as("last_q"),
@@ -898,7 +908,7 @@ object XmlQueries {
   }
 
   val x19Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(CAST(l_quantity AS INT) + l_linenumber AS INT) AS last_v,
       |  CAST(CAST(l_quantity AS INT) AS INT) AS first_v,
       |  'b' AS last_q,
@@ -940,7 +950,7 @@ object XmlQueries {
         "/r/*[@v>=50]/q",
         "/r/w[@v>0]/q")).as("m"))
       .select(
-        get(col("m.p0"), lit(0)).cast("int").as("id"),
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
         size(col("m.p1")).as("n_gt"),
         get(col("m.p1"), lit(0)).cast("double").as("price_gt"),
         get(col("m.p2"), lit(0)).cast("double").as("price_le"),
@@ -953,7 +963,7 @@ object XmlQueries {
   }
 
   val x20Sql: String =
-    """SELECT CAST(l_orderkey * 10 + l_linenumber AS INT) AS id,
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
       |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
       |    THEN 1 ELSE 0 END AS INT) AS n_gt,
       |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
