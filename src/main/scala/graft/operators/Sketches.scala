@@ -48,4 +48,42 @@ object Sketches {
       .groupBy(col("__g"))
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), true))
         .as("est_distinct"))
+
+  /** PORTABLE deterministic HLL register table — the sketch leg of the
+    * incremental-maintenance story ([[Ivm]]'s scaladoc points here):
+    * exact count-distinct has no delta algebra, but its HLL REGISTERS
+    * are a pure SEMILATTICE (register-wise max), so
+    * merge(state(base), state(delta)) is IDENTICAL — register for
+    * register — to state(base ∪ delta). Unlike the DataSketches binary
+    * sketches above, whose union path promotes the internal mode and
+    * shifts the estimate ~1% (probed), these registers are plain
+    * engine-portable integers a SQL oracle replays exactly:
+    * h = first 15 md5 hex chars (60 bits, always positive in a long),
+    * bucket = h & 1023 (m = 1024), rho = leading-zero rank of the
+    * remaining 50 bits computed as 51 − length(bin(w)) — bin() drops
+    * leading zeros in both engines and bin(0) = "0" makes the all-zero
+    * word land on the rho = 50 cap with no special case.
+    *
+    * Returns (grp, bucket, rho): at most m = 1024 rows per group
+    * REGARDLESS of corpus size — the state a 100 TB pipeline stores per
+    * day and folds by [[mergeHllStates]] without touching raw rows. */
+  def portableHllState(df: DataFrame, grp: Column,
+      value: Column): DataFrame = {
+    val h = conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+    df.select(grp.as("grp"), h.as("h"))
+      .select(col("grp"), col("h").bitwiseAND(lit(1023L)).as("bucket"),
+        (lit(51) - length(bin(shiftright(col("h"), 10)))).as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Register-wise max over any number of [[portableHllState]] tables —
+    * the lossless HLL merge (same shuffle shape as computing the state
+    * over the concatenated inputs, but over ≤1024-row frames). */
+  def mergeHllStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
 }

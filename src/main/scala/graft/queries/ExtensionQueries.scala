@@ -163,6 +163,68 @@ object ExtensionQueries {
        |SELECT lang, count(DISTINCT t) AS exact_distinct, TRUE AS est_ok
        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SKETCH-STATE IVM — the NON-mergeable-aggregate leg of the
+    * incremental-maintenance story (q27/q55 maintain abelian count/sum,
+    * q51/q56 join views; exact count-distinct has no delta algebra, so
+    * the maintained state is [[graft.operators.Sketches
+    * .portableHllState]] registers): the base slice's per-lang register
+    * tables (≤1024 rows per lang — the stored state) are materialized
+    * to scratch, the delta batch's registers fold in by register-wise
+    * MAX, and the merged state is proven IDENTICAL to the single-pass
+    * full-corpus state (n_mismatch = 0 from a register-level full-outer
+    * compare — a LOSSLESS-merge proof, not an estimate tolerance; the
+    * probed DataSketches union drifts ~1%, which is exactly why the
+    * portable register form exists). Every register value is pinned by
+    * the oracle's independent SQL replay of the hash, bucket, and
+    * leading-zero rank; the integer harmonic numerator Σ 2^(50−rho)
+    * (≤1024·2^49, BIGINT-safe) pins them again in aggregate. */
+  def q57IvmSketch(sp: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = documents(sp, dir).select(col("lang"), col("doc_id"),
+      explode(Text.tokens(col("text"))).as("t"))
+    val stateDir = graft.Tables.scratchDir("graft-q57-state")
+    Sketches.portableHllState(
+      toks.filter(col("doc_id") % 4 =!= 0), col("lang"), col("t"))
+      .write.mode("overwrite").parquet(stateDir)
+    val baseState = sp.read.parquet(stateDir)
+    val deltaState = Sketches.portableHllState(
+      toks.filter(col("doc_id") % 4 === 0), col("lang"), col("t"))
+    val merged = Sketches.mergeHllStates(Seq(baseState, deltaState))
+    val full = Sketches.portableHllState(toks, col("lang"), col("t"))
+    val cmp = merged.withColumnRenamed("rho", "rho_m")
+      .join(full.withColumnRenamed("rho", "rho_f"),
+        Seq("grp", "bucket"), "full_outer")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("rho_m")).cast("long").as("sum_rho"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - rho_m)"))
+          .cast("long").as("harm_num"),
+        count(when(!(col("rho_m") <=> col("rho_f")), 1)).as("n_mismatch"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("t")).as("exact_distinct"))
+    exact.join(cmp, col("lang") === col("grp"))
+      .select(col("lang"), col("n_buckets"), col("sum_rho"),
+        col("harm_num"), col("n_mismatch"), col("exact_distinct"))
+      .orderBy("lang")
+  }
+
+  val q57Sql: String =
+    s"""WITH toks AS (SELECT lang, unnest($Toks) AS t FROM documents),
+       |h AS (SELECT DISTINCT lang,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+       |r AS (SELECT lang, h % 1024 AS bucket,
+       |    MAX(51 - length(bin(h // 1024))) AS rho
+       |  FROM h GROUP BY 1, 2),
+       |e AS (SELECT lang, count(DISTINCT t) AS exact_distinct
+       |  FROM toks GROUP BY 1)
+       |SELECT r.lang, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(rho) AS BIGINT) AS sum_rho,
+       |  CAST(SUM(1::BIGINT << (50 - rho)) AS BIGINT) AS harm_num,
+       |  CAST(0 AS BIGINT) AS n_mismatch,
+       |  e.exact_distinct
+       |FROM r JOIN e ON e.lang = r.lang
+       |GROUP BY r.lang, e.exact_distinct ORDER BY r.lang""".stripMargin
+
   /** BM25 relevance scoring (k1=1.2, b=0.75) for a fixed 3-term query over
     * the documents corpus — the retrieval primitive of a training-data
     * curation stack (dedup-aware sampling, contamination checks).
@@ -9850,6 +9912,7 @@ object ExtensionQueries {
     "t10_quality_filter" -> (t10QualityFilter _),
     "t11_repetition" -> (t11Repetition _),
     "t12_hll_union" -> (t12HllUnion _),
+    "q57_ivm_sketch" -> (q57IvmSketch _),
     "t13_bm25" -> (t13Bm25 _),
     "t14_vocab_encode" -> (t14VocabEncode _),
     "t15_bigram_lm" -> (t15BigramLm _),
@@ -10045,6 +10108,7 @@ object ExtensionQueries {
     "t10_quality_filter" -> t10Sql,
     "t11_repetition" -> t11Sql,
     "t12_hll_union" -> t12Sql,
+    "q57_ivm_sketch" -> q57Sql,
     "t13_bm25" -> t13Sql,
     "t14_vocab_encode" -> t14Sql,
     "t15_bigram_lm" -> t15Sql,

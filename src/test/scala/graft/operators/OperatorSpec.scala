@@ -1153,6 +1153,39 @@ class OperatorSpec extends AnyFunSuite {
       ("c", 1L, 9L, 9, 9)))
   }
 
+  test("q57 portable HLL registers: state bounded by m=1024, " +
+      "register-wise max merge identical to single-pass, hash/bucket/" +
+      "rho rule matches a hand computation, duplicates are free") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val vals = (1 to 5000).map(i => ("g", s"tok$i")) ++
+      (1 to 100).map(i => ("h", s"x$i")) ++ Seq(("solo", "pinned"))
+    val df = vals.toDF("g", "v")
+    val full = Sketches.portableHllState(df, col("g"), col("v"))
+    // 5000 distinct values occupy at most m registers
+    assert(full.filter(col("grp") === "g").count() <= 1024)
+    // arbitrary split: merge(state(a), state(b)) == state(all), exactly
+    val a = Sketches.portableHllState(
+      df.filter(length(col("v")) % 2 === 0), col("g"), col("v"))
+    val b = Sketches.portableHllState(
+      df.filter(length(col("v")) % 2 =!= 0), col("g"), col("v"))
+    val merged = Sketches.mergeHllStates(Seq(a, b))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // duplicates never move a register (max is idempotent)
+    val dup = Sketches.portableHllState(df.unionByName(df), col("g"),
+      col("v"))
+    assert(dup.exceptAll(full).isEmpty && full.exceptAll(dup).isEmpty)
+    // hand replay of the oracle's rule on a singleton group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("pinned".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val expRho = 51 - java.lang.Long.toBinaryString(h >>> 10).length
+    val solo = full.filter(col("grp") === "solo")
+      .as[(String, Long, Int)].collect()
+    assert(solo.toSeq == Seq(("solo", h & 1023L, expRho)))
+  }
+
   test("m19 resizeBmpBilinear: hand-computed midpoint blend, identity " +
       "resize is byte-exact, 1-wide collapse, half-up rounding, " +
       "refusal cases") {
