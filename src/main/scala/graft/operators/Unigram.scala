@@ -176,32 +176,9 @@ object Unigram {
          |t$r AS MATERIALIZED (SELECT SUM(cnt) AS t FROM p$r),
          |s$r AS MATERIALIZED (SELECT p.piece, p.len,
          |    CAST(p.cnt AS DOUBLE) / CAST(t.t AS DOUBLE) AS score
-         |  FROM p$r p CROSS JOIN t$r t),
-         |d${r}_0 AS MATERIALIZED (SELECT word, freq, CAST(1.0 AS DOUBLE) AS score,
-         |    '' AS seg FROM words)""".stripMargin
-      for (j <- 1 to MaxWordLen) {
-        val arms = (1 to math.min(MaxPieceLen, j)).map { l =>
-          s"""    SELECT d.word, d.freq, d.score * p.score AS score,
-             |      d.seg || '|' || p.piece AS seg, $l AS pl, p.piece AS pc
-             |    FROM d${r}_${j - l} d JOIN s$r p
-             |      ON p.piece = substr(d.word, ${j - l + 1}, $l)
-             |    WHERE length(d.word) >= $j""".stripMargin
-        }.mkString("\n    UNION ALL\n")
-        sb ++= s""",
-           |d${r}_$j AS MATERIALIZED (SELECT word, freq, score, seg FROM (
-           |  SELECT word, freq, score, seg, row_number() OVER (
-           |    PARTITION BY word ORDER BY score DESC, pl DESC, pc) AS rn
-           |  FROM (
-           |$arms
-           |  )) WHERE rn = 1)""".stripMargin
-      }
-      val segArms = (1 to MaxWordLen).map { j =>
-        s"  SELECT word, freq, seg FROM d${r}_$j WHERE length(word) = $j"
-      }.mkString("\n  UNION ALL\n")
+         |  FROM p$r p CROSS JOIN t$r t)""".stripMargin
+      sb ++= dpStagesSql(r.toString, s"s$r")
       sb ++= s""",
-         |seg$r AS MATERIALIZED (SELECT word, freq, substr(seg, 2) AS seg FROM (
-         |$segArms
-         |)),
          |u$r AS MATERIALIZED (SELECT u.piece, SUM(s.freq) AS cnt
          |  FROM seg$r s, unnest(string_split(s.seg, '|')) u(piece)
          |  GROUP BY 1),
@@ -209,6 +186,43 @@ object Unigram {
          |    COALESCE(u.cnt, 0) + 1 AS cnt
          |  FROM vocab v LEFT JOIN u$r u ON u.piece = v.piece)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** One unrolled Viterbi DP pass as CTE text (leading comma included):
+    * stages d{tag}_0..d{tag}_${MaxWordLen} over a scores CTE named
+    * `scores` (columns piece/len/score), ending in seg{tag} — the
+    * per-word best segmentation. Used per EM round and by the t53
+    * pruned-vocab re-segmentation. */
+  def dpStagesSql(tag: String, scores: String): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+       |d${tag}_0 AS MATERIALIZED (SELECT word, freq,
+       |    CAST(1.0 AS DOUBLE) AS score, '' AS seg FROM words)""".stripMargin
+    for (j <- 1 to MaxWordLen) {
+      val arms = (1 to math.min(MaxPieceLen, j)).map { l =>
+        s"""    SELECT d.word, d.freq, d.score * p.score AS score,
+           |      d.seg || '|' || p.piece AS seg, $l AS pl, p.piece AS pc
+           |    FROM d${tag}_${j - l} d JOIN $scores p
+           |      ON p.piece = substr(d.word, ${j - l + 1}, $l)
+           |    WHERE length(d.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      sb ++= s""",
+         |d${tag}_$j AS MATERIALIZED (SELECT word, freq, score, seg FROM (
+         |  SELECT word, freq, score, seg, row_number() OVER (
+         |    PARTITION BY word ORDER BY score DESC, pl DESC, pc) AS rn
+         |  FROM (
+         |$arms
+         |  )) WHERE rn = 1)""".stripMargin
+    }
+    val segArms = (1 to MaxWordLen).map { j =>
+      s"  SELECT word, freq, seg FROM d${tag}_$j WHERE length(word) = $j"
+    }.mkString("\n  UNION ALL\n")
+    sb ++= s""",
+       |seg$tag AS MATERIALIZED (SELECT word, freq, substr(seg, 2) AS seg
+       |  FROM (
+       |$segArms
+       |))""".stripMargin
     sb.toString
   }
 }

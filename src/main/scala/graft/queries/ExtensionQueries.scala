@@ -537,6 +537,100 @@ object ExtensionQueries {
        |      - length(replace(seg, '|', '')) + 1)) FROM seg3) AS BIGINT))
        |ORDER BY rank""".stripMargin
 
+  /** UNIGRAM-LM VOCAB PRUNING (t51 train → t52 apply → t53 prune — the
+    * SentencePiece loop's third step): after the 2 EM rounds the vocab
+    * is cut to ALL single chars + only the top-10 multi-char pieces by
+    * trained count (ties piece ASC), scores renormalize over the pruned
+    * total, and the corpus re-segments. The gate emits the words whose
+    * boundaries CHANGED (full-vocab seg vs pruned-vocab seg,
+    * byte-for-byte, top 50 by frequency) plus a corpus row carrying the
+    * changed-word count and the frequency-weighted token totals under
+    * both vocabs — pruning must never LOWER the token count of any
+    * word, so the totals pin the re-segmentation direction too. The
+    * oracle replays training, the pruning rank, the renormalization,
+    * and the fourth DP pass. */
+  def t53UnigramPrune(sp: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Unigram
+    val words = Unigram.wordHistogram(documents(sp, dir), col("text"))
+      .cache()
+    val vocab = Unigram.seedPieces(words).cache()
+    val p2 = Unigram.emRound(words, vocab, vocab)
+    val p3 = Unigram.emRound(words, vocab, p2).cache()
+    val pruned = p3.filter(col("len") === 1).unionByName(
+      p3.filter(col("len") >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(10))
+    def segN(pieces: org.apache.spark.sql.DataFrame) =
+      Unigram.viterbiSeg(words, pieces)
+        .withColumn("n", size(split(col("seg"), "\\|")).cast("long"))
+    val fullSeg = segN(p3)
+    val prunedSeg = segN(pruned)
+      .select(col("word"), col("seg").as("seg_pruned"),
+        col("n").as("n_pruned"))
+    val both = fullSeg.join(prunedSeg, "word").cache()
+    val ch = both.filter(col("seg") =!= col("seg_pruned"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word"))
+    val top = ch.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("word"), col("freq"),
+        col("seg").as("seg_full"), col("seg_pruned"),
+        col("n").as("n_pieces_full"), col("n_pruned").as("n_pieces_pruned"))
+    val total = both.agg(
+        sum(when(col("seg") =!= col("seg_pruned"), 1L).otherwise(0L))
+          .as("freq"),
+        sum(col("freq") * col("n")).as("n_pieces_full"),
+        sum(col("freq") * col("n_pruned")).as("n_pieces_pruned"))
+      .select(lit(51).as("rank"), lit("<corpus>").as("word"), col("freq"),
+        lit("").as("seg_full"), lit("").as("seg_pruned"),
+        col("n_pieces_full"), col("n_pieces_pruned"))
+    top.unionByName(total).orderBy("rank")
+  }
+
+  val t53Sql: String = {
+    def np(c: String) =
+      s"length($c) - length(replace($c, '|', '')) + 1"
+    s"""${graft.operators.Unigram.oracleCtes(2)},
+       |pm AS MATERIALIZED (
+       |  SELECT piece, len, cnt FROM p3 WHERE len = 1
+       |  UNION ALL
+       |  SELECT piece, len, cnt FROM (
+       |    SELECT piece, len, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM p3 WHERE len >= 2) WHERE rn <= 10),
+       |tm AS MATERIALIZED (SELECT SUM(cnt) AS t FROM pm),
+       |sm AS MATERIALIZED (SELECT p.piece, p.len,
+       |    CAST(p.cnt AS DOUBLE) / CAST(t.t AS DOUBLE) AS score
+       |  FROM pm p CROSS JOIN tm t),
+       |tf AS MATERIALIZED (SELECT SUM(cnt) AS t FROM p3),
+       |sf AS MATERIALIZED (SELECT p.piece, p.len,
+       |    CAST(p.cnt AS DOUBLE) / CAST(t.t AS DOUBLE) AS score
+       |  FROM p3 p CROSS JOIN tf t)
+       |${graft.operators.Unigram.dpStagesSql("f", "sf")}
+       |${graft.operators.Unigram.dpStagesSql("m", "sm")},
+       |bth AS MATERIALIZED (SELECT f.word AS word, f.freq AS freq,
+       |    f.seg AS seg_full, m.seg AS seg_pruned
+       |  FROM segf f JOIN segm m ON m.word = f.word)
+       |SELECT * FROM (
+       |  SELECT CAST(rn AS INT) AS rank, word, CAST(freq AS BIGINT) AS freq,
+       |    seg_full, seg_pruned,
+       |    CAST(${np("seg_full")} AS BIGINT) AS n_pieces_full,
+       |    CAST(${np("seg_pruned")} AS BIGINT) AS n_pieces_pruned
+       |  FROM (SELECT word, freq, seg_full, seg_pruned,
+       |      row_number() OVER (ORDER BY freq DESC, word) AS rn
+       |    FROM bth WHERE seg_full <> seg_pruned)
+       |  WHERE rn <= 50
+       |  UNION ALL
+       |  SELECT 51, '<corpus>',
+       |    CAST((SELECT count(*) FROM bth WHERE seg_full <> seg_pruned)
+       |      AS BIGINT),
+       |    '', '',
+       |    CAST((SELECT SUM(freq * (${np("seg_full")})) FROM bth)
+       |      AS BIGINT),
+       |    CAST((SELECT SUM(freq * (${np("seg_pruned")})) FROM bth)
+       |      AS BIGINT))
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Benchmark decontamination ([[graft.operators.Dedup.contamination]]):
     * every 20th document plays the held-out set; for each, the fraction of
     * its distinct 5-gram shingles that appear anywhere in the remaining
@@ -9973,6 +10067,7 @@ object ExtensionQueries {
     "t18_bpe_train" -> (t18BpeTrain _),
     "t51_unigram_train" -> (t51UnigramTrain _),
     "t52_unigram_apply" -> (t52UnigramApply _),
+    "t53_unigram_prune" -> (t53UnigramPrune _),
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
     "s9_bounded_backfill" -> (s9BoundedBackfill _),
     "s10_stateful_counter" -> (s10StatefulCounter _),
@@ -10164,6 +10259,7 @@ object ExtensionQueries {
     "t18_bpe_train" -> t18Sql,
     "t51_unigram_train" -> t51Sql,
     "t52_unigram_apply" -> t52Sql,
+    "t53_unigram_prune" -> t53Sql,
     "t19_token_budget_mix" -> t19Sql,
     "s9_bounded_backfill" -> s9Sql,
     "s10_stateful_counter" -> s10Sql,

@@ -1153,6 +1153,23 @@ class OperatorSpec extends AnyFunSuite {
       ("c", 1L, 9L, 9, 9)))
   }
 
+  test("t53 unigram pruning: a smaller vocab can only LENGTHEN a " +
+      "word's segmentation, changed rows are real, corpus totals agree") {
+    val rows = graft.queries.ExtensionQueries
+      .t53UnigramPrune(spark, "/root/testdata/sf0.001").collect()
+    val (top, corpus) = rows.partition(_.getInt(0) <= 50)
+    top.foreach { r =>
+      assert(r.getString(3) != r.getString(4), "emitted rows must differ")
+      assert(r.getLong(6) >= r.getLong(5),
+        s"pruning lowered ${r.getString(1)}'s piece count")
+    }
+    assert(corpus.length == 1)
+    val c = corpus.head
+    assert(c.getLong(2) == top.length, "corpus row counts changed words")
+    assert(c.getLong(6) >= c.getLong(5),
+      "pruned corpus token total must not shrink")
+  }
+
   test("q57 portable HLL registers: state bounded by m=1024, " +
       "register-wise max merge identical to single-pass, hash/bucket/" +
       "rho rule matches a hand computation, duplicates are free") {
