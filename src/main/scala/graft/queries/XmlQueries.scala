@@ -985,7 +985,64 @@ object XmlQueries {
       |  CAST(0 AS INT) AS n_absent
       |FROM lineitem WHERE l_orderkey % 16 = 7 ORDER BY id""".stripMargin
 
+  /** `position()` RANGE PREDICATES — `step[position() OP k]`
+    * (`> < >= <=`) through the single-parse evaluator: the
+    * skip-the-first / take-a-prefix idioms (`/log/entry[position()>1]`)
+    * that exact `[k]` and `[last()]` cannot express. Rank is the
+    * per-CONTEXT sibling rank (same contract as `[k]`, pinned under
+    * `//` where each parent's run ranks independently — built-in
+    * parity in XPathMultiSpec). The layout reuses x19's data-length
+    * `<v>` run (1 + l_linenumber elements — the run length is data, so
+    * the tail/prefix sizes prove real rank arithmetic), plus the
+    * two-`<it>` pair and the nested single-`<v>` level that must
+    * contribute NOTHING to a `>=2` rank. Pins: tail-after-first,
+    * 2-prefix, per-parent `>=2` under `//`, second-of-pair via a
+    * following step, and the just-past-the-run empty boundary
+    * (`position()>7` is non-empty only for 8-long runs). 1/16 sample
+    * disjoint from x13-x20's. */
+  def x21XpathPosRange(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 8)
+    val run = concat_ws("",
+      transform(sequence(lit(0), col("l_linenumber")), i =>
+        concat(lit("<v>"), (col("l_quantity").cast("int") + i)
+          .cast("string"), lit("</v>"))))
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'>"), run,
+      lit("<it><q>a</q></it><it><q>b</q></it><s><v>"),
+      d2s(col("l_tax")), lit("</v></s></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/v[position()>1]",
+        "/r/v[position()<=2]",
+        "//v[position()>=2]",
+        "/r/it[position()>1]/q",
+        "/r/v[position()>7]")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        size(col("m.p1")).as("n_tail"),
+        get(col("m.p1"), lit(0)).cast("int").as("first_tail"),
+        get(col("m.p2"), lit(0)).cast("int").as("head_first"),
+        size(col("m.p3")).as("n_ge2"),
+        get(col("m.p4"), lit(0)).as("q2"),
+        size(col("m.p5")).as("n_gt7"))
+      .orderBy("id")
+  }
+
+  val x21Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(l_linenumber AS INT) AS n_tail,
+      |  CAST(CAST(l_quantity AS INT) + 1 AS INT) AS first_tail,
+      |  CAST(CAST(l_quantity AS INT) AS INT) AS head_first,
+      |  CAST(l_linenumber AS INT) AS n_ge2,
+      |  'b' AS q2,
+      |  CAST(CASE WHEN l_linenumber >= 7 THEN l_linenumber - 6
+      |    ELSE 0 END AS INT) AS n_gt7
+      |FROM lineitem WHERE l_orderkey % 16 = 8 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_xpath_pos_range" -> (x21XpathPosRange _),
     "x20_xpath_num_pred" -> (x20XpathNumPredicate _),
     "x19_xpath_last_pred" -> (x19XpathLastPredicate _),
     "x18_xpath_child_pred" -> (x18XpathChildPredicate _),
@@ -1013,6 +1070,7 @@ object XmlQueries {
     "x18_xpath_child_pred" -> x18Sql,
     "x19_xpath_last_pred" -> x19Sql,
     "x20_xpath_num_pred" -> x20Sql,
+    "x21_xpath_pos_range" -> x21Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

@@ -30,7 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (leading or between element steps — XPath's
   * `/descendant-or-self::node()/child::a` expansion, so `//a[k]`
   * keeps its per-parent sibling-position meaning), `*` name
-  * wildcards, 1-based positional predicates `[k]` and `[last()]`,
+  * wildcards, 1-based positional predicates `[k]`, `[last()]` and the
+  * range form `[position() OP k]` (`> < >= <=`, per-context sibling
+  * rank like `[k]`'s),
   * attribute-equality
   * `[@a='v']`, existential child-value predicates `[q='v']`,
   * numeric attribute comparisons `[@a>5]` (`> < >= <= = !=`, unquoted
@@ -79,7 +81,8 @@ object XPathMini {
   final case class Step(name: String, pos: Int, desc: Boolean,
       predAttr: String = null, predVal: String = null,
       predChild: String = null,
-      numOp: String = null, numVal: Double = 0.0)
+      numOp: String = null, numVal: Double = 0.0,
+      posOp: String = null)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -99,7 +102,8 @@ object XPathMini {
       """|\[(last)\(\)\]""" +
       """|\[@([A-Za-z_][\w.-]*)='([^']*)'\]""" +
       """|\[([A-Za-z_][\w.-]*)='([^']*)'\]""" +
-      """|\[@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\])?$""").r
+      """|\[@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\]""" +
+      """|\[position\(\)(>=|<=|>|<)(\d+)\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
@@ -176,17 +180,20 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case (StepRe(name, pos, lastG, pa, pav, pc, pcv, na, nop, nv),
-          desc) =>
+      case (StepRe(name, pos, lastG, pa, pav, pc, pcv, na, nop, nv,
+          pop, pk), desc) =>
         // the regex alternation guarantees at most ONE predicate per
-        // step: positional [k] / [last()], attribute-equality
-        // [@a='v'], child-value [q='v'], or numeric attribute
-        // comparison [@a>5] (ops = < >= <= = !=, unquoted literal)
+        // step: positional [k] / [last()] / [position()>k] (ops
+        // > < >= <=), attribute-equality [@a='v'], child-value
+        // [q='v'], or numeric attribute comparison [@a>5]
+        // (ops = < >= <= = !=, unquoted literal)
         val p = if (lastG != null) -1
           else if (pos == null) 0 else pos.toInt
         if (na != null)
           Step(name, p, desc, predAttr = na, numOp = nop,
             numVal = nv.toDouble)
+        else if (pop != null)
+          Step(name, pk.toInt, desc, posOp = pop)
         else Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
@@ -323,6 +330,19 @@ object XPathMini {
       out += sb.toString
     }
 
+  /** Does the 1-based sibling rank `seen` satisfy the step's positional
+    * predicate? `[k]` accepts exactly k (0 = no predicate, accept all);
+    * `[position() OP k]` compares the rank — the per-context sibling
+    * meaning, like `[k]`/`[last()]`. */
+  private def posAccept(step: Step, seen: Int): Boolean =
+    if (step.posOp == null) step.pos == 0 || step.pos == seen
+    else step.posOp match {
+      case ">"  => seen > step.pos
+      case "<"  => seen < step.pos
+      case ">=" => seen >= step.pos
+      case "<=" => seen <= step.pos
+    }
+
   private def matches(step: Step, e: Elem): Boolean =
     (step.name == "*" || step.name == e.tag) &&
       (if (step.numOp != null) attrNumCmp(e, step.predAttr, step.numOp,
@@ -449,18 +469,20 @@ object XPathMini {
           ctx.content(i) match {
             case c: Elem if matches(step, c) =>
               seen += 1
-              if (step.pos == 0 || step.pos == seen) {
+              if (posAccept(step, seen)) {
                 if (last) emitNode(p, c, out) else rec(stepIdx + 1, c)
-                if (step.pos != 0) return
+                if (step.posOp == null && step.pos != 0) return
               }
             case _ =>
           }
           i += 1
         }
       }
-      // the first step matches the document element itself
+      // the first step matches the document element itself (its sibling
+      // rank is necessarily 1)
       val s0 = p.steps(0)
-      if (root != null && matches(s0, root) && s0.pos <= 1) {
+      if (root != null && matches(s0, root) &&
+          (if (s0.posOp == null) s0.pos <= 1 else posAccept(s0, 1))) {
         if (p.steps.length == 1) emitNode(p, root, out) else rec(1, root)
       }
       out
@@ -488,9 +510,9 @@ object XPathMini {
       ctx.content(i) match {
         case c: Elem if matches(step, c) =>
           seen += 1
-          if (step.pos == 0 || step.pos == seen) {
+          if (posAccept(step, seen)) {
             out += c
-            if (step.pos != 0) return
+            if (step.posOp == null && step.pos != 0) return
           }
         case _ =>
       }

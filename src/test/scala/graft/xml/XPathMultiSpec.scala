@@ -196,13 +196,14 @@ class XPathMultiSpec extends AnyFunSuite {
   test("a bad path fails when the EXPRESSION is constructed (driver-" +
       "side), not per-task at eval") {
     intercept[IllegalArgumentException] {
-      XPathMultiExpr.xpath_multi(col("x"), Seq("/a/b[position()>1]"))
+      XPathMultiExpr.xpath_multi(col("x"), Seq("/a/b[position()=1]"))
     }
   }
 
   test("unsupported path syntax rejected at construction") {
+    // position() EQUALITY is spelled [k] in the subset
     intercept[IllegalArgumentException] {
-      XPathMini.compile("/a/b[position()>1]")
+      XPathMini.compile("/a/b[position()=1]")
     }
     // last() composes only as the whole predicate, not arithmetic
     intercept[IllegalArgumentException] {
@@ -596,6 +597,44 @@ class XPathMultiSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[@v>1e3]") // exponents outside the subset
+    }
+  }
+
+  test("position() range predicates: built-in parity on all four ops, " +
+      "per-parent rank under //, root rank is 1, empty tails, grammar " +
+      "rejections") {
+    import spark.implicits._
+    val doc = "<r><v>1</v><v>2</v><v>3</v><v>4</v>" +
+      "<s><v>9</v><v>8</v></s></r>"
+    val paths = Seq("/r/v[position()>1]", "/r/v[position()<=2]",
+      "/r/v[position()>=4]", "/r/v[position()<2]", "/r/v[position()>9]",
+      "//v[position()>1]", "/r/s/v[position()>1]",
+      "/r[position()<=1]/v[position()>3]")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("2", "3", "4"), "> drops the leading rank")
+    assert(got(1) == Seq("1", "2") && got(3) == Seq("1"))
+    assert(got(2) == Seq("4") && got(4) == Seq.empty)
+    // per-parent sibling rank under the descendant axis: the nested
+    // <s> run contributes ITS second element, not a global rank
+    assert(got(5) == Seq("2", "3", "4", "8"))
+    assert(got(6) == Seq("8"))
+    // the document element's rank is 1
+    assert(got(7) == Seq("4"))
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/v[position()=1]") // spelled [1] in the subset
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/v[position()>1][2]") // one predicate per step
     }
   }
 }
