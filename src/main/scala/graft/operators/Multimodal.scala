@@ -633,6 +633,63 @@ object Multimodal {
     Some(out)
   }
 
+  /** LETTERBOX resize of a 24-bit BMP — the aspect-PRESERVING form of
+    * [[resizeBmpBilinear]] (a vision model's canonical input transform:
+    * scale to fit, pad the rest): the integer scale
+    * min(W·256∕srcW, H·256∕srcH) (8.8 fixed point, floor) sizes the
+    * inner box (tw, th) ≥ 1×1, the box is bilinear-resized with the
+    * exact m19 kernel, centered at integer offsets
+    * ((W−tw)∕2, (H−th)∕2), and every canvas pixel outside the box is
+    * the mid-gray pad (128, 128, 128). All geometry is integer, so a
+    * SQL oracle replays every output byte — box dims, offsets,
+    * interpolation and pad alike. None on non-24bpp payloads or when
+    * the fit scale floors to 0. */
+  def letterboxBmp(m: Array[Byte], width: Int,
+      height: Int): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val srcW = src.getInt(18)
+    val srcH = src.getInt(22)
+    if (src.getShort(28).toInt != 24 || srcW <= 0 || srcH <= 0) return None
+    val scale = math.min(width * 256 / srcW, height * 256 / srcH)
+    if (scale <= 0) return None
+    val tw = math.max(srcW * scale / 256, 1)
+    val th = math.max(srcH * scale / 256, 1)
+    val ox = (width - tw) / 2
+    val oy = (height - th) / 2
+    resizeBmpBilinear(m, tw, th).map { inner =>
+      val innerRow = ((3 * tw + 3) / 4) * 4
+      val dstRow = ((3 * width + 3) / 4) * 4
+      val dataSize = dstRow * height
+      val b = ByteBuffer.allocate(54 + dataSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      val out = b.array()
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val d = 54 + y * dstRow + x * 3
+          if (x >= ox && x < ox + tw && y >= oy && y < oy + th) {
+            val s = 54 + (y - oy) * innerRow + (x - ox) * 3
+            out(d) = inner(s); out(d + 1) = inner(s + 1)
+            out(d + 2) = inner(s + 2)
+          } else {
+            out(d) = 128.toByte; out(d + 1) = 128.toByte
+            out(d + 2) = 128.toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** REAL crop of a 24-bit uncompressed BMP: the output is a valid BMP
     * whose storage row j, column i is the source's storage pixel
     * (x0+i, y0+j) — coordinates are in STORAGE order (BMP rows are

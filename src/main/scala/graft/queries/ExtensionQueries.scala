@@ -4535,6 +4535,83 @@ object ExtensionQueries {
        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** LETTERBOX RESIZE ([[Multimodal.letterboxBmp]]) — the
+    * aspect-PRESERVING canonical model-input transform composing m19's
+    * bilinear kernel: integer fit scale min(8·256∕srcW, 8·256∕srcH),
+    * inner box (tw, th) centered at integer offsets, mid-gray (128)
+    * pad. The witness re-decodes the output's header dims and
+    * checksums EVERY canvas pixel byte; the oracle recomputes the box
+    * geometry AND each byte — bilinear samples inside (the full m19
+    * fixed-point tree on the (tw, th) mapping), the 128 pad outside —
+    * from the blob-fill formula, so a hash match certifies geometry,
+    * interpolation and padding together. Per-doc map work, zero
+    * shuffle. */
+  def m20LetterboxResize(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.letterboxBmp(r.media, 8, 8).map { out =>
+          val hb = java.nio.ByteBuffer.wrap(out)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (r.doc_id, hb.getInt(18), hb.getInt(22),
+            Multimodal.bmpPixelChecksum(out))
+        }
+      }
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m20Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(sy: String, sx: String): String =
+      s"('0x' || substr(hx, 2 * ((($sy) * src_row + ($sx) * 3 + c) " +
+        "% len) + 1, 2))::BIGINT"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row,
+       |    least((8 * 256) // src_w, (8 * 256) // src_h) AS scl
+       |  FROM e),
+       |b AS (SELECT doc_id, hx, len, src_w, src_h, src_row,
+       |    greatest((src_w * scl) // 256, 1) AS tw,
+       |    greatest((src_h * scl) // 256, 1) AS th
+       |  FROM p),
+       |o AS (SELECT b.*, (8 - tw) // 2 AS ox, (8 - th) // 2 AS oy FROM b),
+       |g AS (SELECT o.doc_id, o.hx, o.len, o.src_row, o.src_w, o.src_h,
+       |    tc.c AS c,
+       |    tx.x >= o.ox AND tx.x < o.ox + o.tw
+       |      AND ty.y >= o.oy AND ty.y < o.oy + o.th AS inside,
+       |    CASE WHEN o.th = 1 OR ty.y < o.oy OR ty.y >= o.oy + o.th
+       |      THEN 0
+       |      ELSE ((ty.y - o.oy) * (o.src_h - 1) * 256) // (o.th - 1)
+       |      END AS fy,
+       |    CASE WHEN o.tw = 1 OR tx.x < o.ox OR tx.x >= o.ox + o.tw
+       |      THEN 0
+       |      ELSE ((tx.x - o.ox) * (o.src_w - 1) * 256) // (o.tw - 1)
+       |      END AS fx
+       |  FROM o, range(0, 8) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)),
+       |q AS (SELECT doc_id, hx, len, src_row, c, inside,
+       |    fy // 256 AS y0, fy % 256 AS dy,
+       |    least(fy // 256 + 1, src_h - 1) AS y1,
+       |    fx // 256 AS x0, fx % 256 AS dx,
+       |    least(fx // 256 + 1, src_w - 1) AS x1
+       |  FROM g),
+       |v AS (SELECT doc_id,
+       |    CASE WHEN NOT inside THEN 128 ELSE
+       |      (${byteAt("y0", "x0")} * (256 - dx) * (256 - dy)
+       |       + ${byteAt("y0", "x1")} * dx * (256 - dy)
+       |       + ${byteAt("y1", "x0")} * (256 - dx) * dy
+       |       + ${byteAt("y1", "x1")} * dx * dy + 32768) // 65536
+       |      END AS v
+       |  FROM q)
+       |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+       |  CAST(SUM(v) AS BIGINT) AS checksum
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** REAL BMP crop ([[Multimodal.cropBmp]]) — the augmentation pair to
     * m2's resize (random-crop + resize is the standard image-pretraining
     * transform): a 2×3 window anchored at (doc_id % w, doc_id % h),
@@ -10053,6 +10130,7 @@ object ExtensionQueries {
     "m17_wav_decimate" -> (m17WavDecimate _),
     "m18_avi_drop_frames" -> (m18AviDropFrames _),
     "m19_bilinear_resize" -> (m19BilinearResize _),
+    "m20_letterbox_resize" -> (m20LetterboxResize _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -10245,6 +10323,7 @@ object ExtensionQueries {
     "m17_wav_decimate" -> m17Sql,
     "m18_avi_drop_frames" -> m18Sql,
     "m19_bilinear_resize" -> m19Sql,
+    "m20_letterbox_resize" -> m20Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

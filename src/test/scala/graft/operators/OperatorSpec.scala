@@ -1243,6 +1243,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.resizeBmpBilinear(Array[Byte](1, 2), 4, 4).isEmpty)
   }
 
+  test("m20 letterboxBmp: wide source centers with gray pad, box bytes " +
+      "equal the inner bilinear resize, aspect-matching source fills " +
+      "the canvas exactly, refusal") {
+    import graft.operators.Multimodal
+    // 4x1 source into a 4x4 canvas: fit scale 256 -> box 4x1 at oy=1
+    val wide = Multimodal.buildBmp(4, 1,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val out = Multimodal.letterboxBmp(wide, 4, 4).get
+    val hb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(hb.getInt(18) == 4 && hb.getInt(22) == 4)
+    val row = 12 // 4px * 3B, already 4-aligned
+    // box row y=1 is the identity resize of the source row
+    for (i <- 0 until 12)
+      assert(out(54 + 1 * row + i) == wide(54 + i), s"box byte $i")
+    // every other row is the 128 pad
+    for (y <- Seq(0, 2, 3); i <- 0 until 12)
+      assert((out(54 + y * row + i) & 0xff) == 128, s"pad y=$y i=$i")
+    // aspect-matching source fills the canvas: letterbox == bilinear
+    val sq = Multimodal.buildBmp(2, 2, Array.tabulate[Byte](16)(i =>
+      (i * 17 % 251).toByte))
+    assert(java.util.Arrays.equals(
+      Multimodal.letterboxBmp(sq, 8, 8).get,
+      Multimodal.resizeBmpBilinear(sq, 8, 8).get))
+    assert(Multimodal.letterboxBmp(Array[Byte](1, 2), 8, 8).isEmpty)
+  }
+
   test("t51 unigram: Viterbi picks max-product boundaries, an exact " +
       "double tie prefers the longer piece, EM keeps the vocab spine " +
       "with Laplace floor, DataFrame seg byte-identical to the " +
