@@ -317,6 +317,43 @@ object Graph {
     dist
   }
 
+  /** Bounded-round WEIGHTED single-source-set shortest distance
+    * (Bellman–Ford relaxation) — g5's seeded hop distance with integer
+    * edge COSTS: after `rounds` relaxations every node holds the exact
+    * min-cost of any walk from the seed set using ≤ `rounds` edges
+    * (monotone non-increasing in rounds, the g5 horizon contract; with
+    * rounds ≥ |V|−1 and non-negative weights this is the true shortest
+    * path). All-integer costs, so the oracle unrolls the same rounds as
+    * UNION ALL + MIN stages with no float drift. Parallel edges keep
+    * their min weight. Shape per round: one edges⋈frontier equi-join on
+    * the node id (the edge side's partitioning reused every round) +
+    * one min-agg; distances materialize to scratch per round, so a lost
+    * executor replays one round. Returns (id, dist) for reached nodes
+    * only. */
+  def weightedSeededDistance(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = materialize(
+      edges.select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v"), col("w").cast("long").as("w"))
+        .groupBy(col("u"), col("v")).agg(min(col("w")).as("w")),
+      "graft-wdist-e")
+    var dist = materialize(
+      seeds.select(col("id").cast("long").as("id"), lit(0L).as("dist"))
+        .distinct(),
+      "graft-wdist-0")
+    var i = 0
+    while (i < rounds) {
+      val next = e.join(dist, e("u") === dist("id"))
+        .select(e("v").as("id"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy("id").agg(min("dist").as("dist"))
+      dist = materialize(next, s"graft-wdist-${i + 1}")
+      i += 1
+    }
+    dist
+  }
+
   /** Bounded-horizon DIRECTED strongly-connected components: node w
     * belongs to v's class iff BOTH directed distances d(v→w) and d(w→v)
     * are ≤ `maxHops`; every node is labeled min(id) over its class. The

@@ -7141,6 +7141,85 @@ object ExtensionQueries {
        |  round(sim, 4) AS sim, CAST(3 AS BIGINT) AS n_batches
        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** STREAMING SKETCH-STATE MAINTENANCE ([[graft.streaming.StreamOps
+    * .hllRegisterSink]]) — q57's portable HLL registers kept fresh BY A
+    * STREAM: the 1/16 events bus (event_id % 16 = 9) arrives in 3
+    * micro-batches (6 producer files, maxFilesPerTrigger = 2); each
+    * epoch writes its per-event-type register table into an idempotent
+    * batch_id partition, and the merged state — register-wise max over
+    * epochs, associative/commutative/IDEMPOTENT, so epoch slicing and
+    * replays cannot move it — is proven IDENTICAL to the batch
+    * recompute over the whole slice (n_mismatch = 0 at the register
+    * level; the streaming twin of q57's base⊕delta proof, and the
+    * distinct-user counter shape a year-running ingest can actually
+    * afford: batch-sized epoch work, ≤1024 rows of state per group per
+    * epoch, history never rescanned). n_batches pins the 3-epoch
+    * coverage. */
+  def s37HllStreamIngest(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    val ev = events(s2, dir).filter(col("event_id") % 16 === 9)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    require(ev.limit(6).count() >= 6,
+      "s37: the event_id % 16 = 9 bus slice has < 6 rows — fixture too " +
+        "small for the pinned 3-batch ingest")
+    val inDir = graft.Tables.scratchDir("graft-s37-in")
+    ev.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s37: producer wrote $nFiles non-empty part files, expected 6 — " +
+        "the pinned 3-epoch coverage would diverge")
+    val changes = s2.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val outDir = graft.Tables.scratchDir("graft-s37-regs")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try graft.streaming.StreamOps.hllRegisterSink(changes,
+      col("event_type"), col("u"), outDir)
+    finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    val epochs = s2.read.parquet(outDir)
+    val nb = epochs
+      .agg(countDistinct(col("batch_id")).as("n_batches"))
+    val merged = graft.operators.Sketches.mergeHllStates(Seq(
+      epochs.select(col("grp"), col("bucket"), col("rho"))))
+    val full = graft.operators.Sketches.portableHllState(ev,
+      col("event_type"), col("u"))
+    val cmp = merged.withColumnRenamed("rho", "rho_m")
+      .join(full.withColumnRenamed("rho", "rho_f"),
+        Seq("grp", "bucket"), "full_outer")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("rho_m")).cast("long").as("sum_rho"),
+        count(when(!(col("rho_m") <=> col("rho_f")), 1)).as("n_mismatch"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("u")).as("exact_distinct"))
+    exact.join(cmp, col("event_type") === col("grp"))
+      .crossJoin(broadcast(nb))
+      .select(col("event_type"), col("n_buckets"), col("sum_rho"),
+        col("n_mismatch"), col("n_batches"), col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val s37Sql: String =
+    """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
+      |  FROM events WHERE event_id % 16 = 9),
+      |h AS (SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(u), 1, 15))::BIGINT AS h FROM ev),
+      |r AS (SELECT event_type, h % 1024 AS bucket,
+      |    MAX(51 - length(bin(h // 1024))) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |e AS (SELECT event_type, count(DISTINCT u) AS exact_distinct
+      |  FROM ev GROUP BY 1)
+      |SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(rho) AS BIGINT) AS sum_rho,
+      |  CAST(0 AS BIGINT) AS n_mismatch,
+      |  CAST(3 AS BIGINT) AS n_batches,
+      |  e.exact_distinct
+      |FROM r JOIN e ON e.event_type = r.event_type
+      |GROUP BY r.event_type, e.exact_distinct
+      |ORDER BY r.event_type""".stripMargin
+
   /** dropDuplicatesWithinWatermark — Spark 4's BOUNDED-STATE streaming
     * dedup (the API leg s13's unbounded dropDuplicates doesn't cover):
     * key state lives only `delay` past its event time, so the store
@@ -8012,6 +8091,44 @@ object ExtensionQueries {
        |${relax("1", "2")},
        |${relax("2", "3")}
        |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
+  }
+
+  /** WEIGHTED shortest distance, Bellman–Ford bounded rounds
+    * ([[graft.operators.Graph.weightedSeededDistance]]) — g5's seeded
+    * hop distance upgraded with integer edge COSTS (the latency/toll
+    * propagation shape): cost of edge (u, v) is the deterministic
+    * (u + 2·v) mod 20 + 1, seeds are link-graph sources ≡ 0 (mod 37),
+    * and 4 relaxation rounds yield each node's exact min-cost ≤4-edge
+    * walk from the seed set — a CHEAP long detour must beat an
+    * expensive direct hop, which plain hop counting (g5) cannot
+    * express. All-integer; the oracle unrolls the identical 4 rounds
+    * as UNION ALL + MIN stages over the same weight formula. */
+  def g14WeightedDistance(sp: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(sp, dir).select(col("src"), col("dst")).distinct()
+      .select(col("src"), col("dst"),
+        ((col("src") + col("dst") * 2) % 20 + 1).as("w"))
+    val seeds = e.select(col("src").as("id")).distinct()
+      .filter(col("id") % 37 === 0)
+    graft.operators.Graph.weightedSeededDistance(e, seeds, rounds = 4)
+      .orderBy("id")
+  }
+
+  val g14Sql: String = {
+    def relax(prev: String, cur: String): String =
+      s"""d$cur AS (SELECT id, MIN(dist) AS dist FROM (
+         |  SELECT e.v AS id, d.dist + e.w AS dist
+         |  FROM e JOIN d$prev d ON e.u = d.id
+         |  UNION ALL SELECT id, dist FROM d$prev) GROUP BY id)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |e AS (SELECT u, v, (u + 2 * v) % 20 + 1 AS w FROM (
+       |  SELECT DISTINCT src AS u, dst AS v FROM edges)),
+       |seeds AS (SELECT DISTINCT u AS id FROM e WHERE u % 37 = 0),
+       |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |${relax("0", "1")},
+       |${relax("1", "2")},
+       |${relax("2", "3")},
+       |${relax("3", "4")}
+       |SELECT id, dist FROM d4 ORDER BY id""".stripMargin
   }
 
   /** Random-projection sketch ([[graft.operators.Ann.rpProject]]), 64→16
@@ -10118,6 +10235,7 @@ object ExtensionQueries {
     "g2_triangles" -> (g2Triangles _),
     "g3_components" -> (g3Components _),
     "g13_scc" -> (g13Scc _),
+    "g14_weighted_distance" -> (g14WeightedDistance _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m10_bmp_crop" -> (m10Crop _),
@@ -10238,6 +10356,7 @@ object ExtensionQueries {
     "s32_pt_timer_flush" -> (s32PtTimerFlush _),
     "s33_dual_sink" -> (s33DualSink _),
     "s34_ivf_stream_ingest" -> (s34IvfStreamIngest _),
+    "s37_hll_stream_ingest" -> (s37HllStreamIngest _),
     "s35_dedup_within_watermark" -> (s35DedupWithinWatermark _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
@@ -10311,6 +10430,7 @@ object ExtensionQueries {
     "g2_triangles" -> g2Sql,
     "g3_components" -> g3Sql,
     "g13_scc" -> g13Sql,
+    "g14_weighted_distance" -> g14Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m10_bmp_crop" -> m10Sql,
@@ -10436,6 +10556,7 @@ object ExtensionQueries {
     "s32_pt_timer_flush" -> s32Sql,
     "s33_dual_sink" -> s33Sql,
     "s34_ivf_stream_ingest" -> s34Sql,
+    "s37_hll_stream_ingest" -> s37Sql,
     "s35_dedup_within_watermark" -> s35Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,

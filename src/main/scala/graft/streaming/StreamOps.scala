@@ -1018,6 +1018,32 @@ object StreamOps {
     }
   }
 
+  /** foreachBatch sink maintaining a [[graft.operators.Sketches
+    * .portableHllState]] register table INCREMENTALLY: each epoch's
+    * registers land in their own `batch_id=<id>` partition with
+    * mode("overwrite") — the s33/s34 idempotent-replay recipe, a torn
+    * epoch overwrites instead of doubling — and the reader folds
+    * partitions by register-wise max ([[graft.operators.Sketches
+    * .mergeHllStates]]): associative, commutative AND idempotent, so
+    * neither epoch boundaries nor replays can change the merged state.
+    * This is count-distinct maintenance a year-running ingest can
+    * afford: per-epoch work is batch-sized, stored state is ≤1024 rows
+    * per group per epoch, and no raw history is ever rescanned. */
+  def hllRegisterSink(changes: DataFrame,
+      grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      outDir: String): Unit = {
+    val ckpt = graft.Tables.scratchDir("graft-hllingest-ckpt")
+    val q = changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Sketches.portableHllState(batch, grp, value)
+          .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive a streaming DataFrame into the `graft-xml` FILE sink
     * (append-mode micro-batch shards + the exactly-once `_spark_metadata`
     * commit log Spark's FileStreamSink keeps; a batch read of `outDir`

@@ -1305,6 +1305,31 @@ class OperatorSpec extends AnyFunSuite {
       }
   }
 
+  test("g14 weightedSeededDistance: cheap detour beats expensive direct " +
+      "hop, round-bounded monotonicity, parallel edges keep min weight, " +
+      "unreached nodes absent") {
+    import spark.implicits._
+    // 1→2 costs 5 direct; 1→3→2 costs 1+1; 2→4 costs 10; 5 unreachable
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 10L), (1L, 2L, 7L)) // parallel 1→2, worse weight
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    def d(r: Int): Map[Long, Long] =
+      Graph.weightedSeededDistance(edges, seeds, r)
+        .as[(Long, Long)].collect().toMap
+    val r1 = d(1)
+    assert(r1 == Map(1L -> 0L, 2L -> 5L, 3L -> 1L),
+      "one round: only direct hops, min of the parallel pair")
+    val r2 = d(2)
+    assert(r2(2L) == 2L, "two rounds: the cheap detour wins")
+    assert(r2(4L) == 15L)
+    val r3 = d(3)
+    assert(r3(4L) == 12L, "detour improvement propagates")
+    assert(!r3.contains(5L), "unreached nodes are absent")
+    assert(r3.forall { case (k, v) => v <= r2.getOrElse(k, Long.MaxValue) },
+      "distances are monotone non-increasing in rounds")
+  }
+
   test("g13 sccBounded: planted 3-cycle ∪ dag resolves, direction kept " +
       "(vs undirected CC), horizon sweep is monotone non-increasing") {
     import spark.implicits._
