@@ -119,4 +119,41 @@ object Profile {
         term(col("o_a"), col("__na")).as("term_a"),
         term(col("o_b"), col("__nb")).as("term_b"))
   }
+
+  /** Mann–Whitney U, INTEGER-EXACT: `isA` splits the rows into the two
+    * samples; midranks over the combined sample ride DOUBLED so ties
+    * stay integral (2·avgrank of a tied value = 2·preceding + count +
+    * 1), yielding exact 2·R₁/2·U₁/2·U₂; `shifted` is the z² ≥ 3.8416
+    * decision (α = 0.05 two-sided, plain normal approximation, NO tie
+    * correction) cross-multiplied to 3·(2U−n₁n₂)²·10⁴ ≥
+    * 38416·n₁n₂·(n₁+n₂+1) in DECIMAL(38) — exact for any n up to ~10⁸
+    * per side. Shape: one corpus→domain partial agg, then the
+    * cumulative window over the DISTINCT-VALUE domain only (the
+    * p17/p19 two-level discipline). Returns one row
+    * (n1, n2, r1_2, u1_2, u2_2, shifted). */
+  def mannWhitney(df: DataFrame, isA: Column, value: Column): DataFrame = {
+    val vals = df.select(isA.as("__a"), value.as("v"))
+      .groupBy(col("v")).agg(
+        count(when(col("__a"), 1)).as("c1"),
+        count(when(!col("__a"), 1)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    vals.withColumn("before",
+        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (col("before") * 2 + col("c1") + col("c2") + 1))
+          .as("r1_2"))
+      .select(col("n1"), col("n2"), col("r1_2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)).as("u1_2"))
+      .select(col("n1"), col("n2"), col("r1_2"), col("u1_2"),
+        (col("n1") * col("n2") * 2 - col("u1_2")).as("u2_2"),
+        expr("CAST(3 AS DECIMAL(38,0)) " +
+          "* CAST(u1_2 - n1 * n2 AS DECIMAL(38,0)) " +
+          "* CAST(u1_2 - n1 * n2 AS DECIMAL(38,0)) " +
+          "* CAST(10000 AS DECIMAL(38,0)) " +
+          ">= CAST(38416 AS DECIMAL(38,0)) " +
+          "* CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) " +
+          "* CAST(n1 + n2 + 1 AS DECIMAL(38,0))").as("shifted"))
+  }
 }

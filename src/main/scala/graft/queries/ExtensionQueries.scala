@@ -5205,6 +5205,48 @@ object ExtensionQueries {
       |  round(mn + ((CAST(bin AS DOUBLE) + 1.0) * (mx - mn)) / 20.0, 6) AS hi
       |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin
 
+  /** MANN–WHITNEY U DRIFT — the rank-based two-sample location test
+    * beside p9's KS (CDF gap) and p27's chi-square (binned shape):
+    * non-parametric, outlier-robust, and here INTEGER-EXACT end to end.
+    * view-values vs purchase-values; ranks are midranks over the
+    * combined sample carried DOUBLED so ties stay integral (2·avgrank
+    * of a tied value = 2·preceding + count + 1), giving exact 2·R₁ and
+    * 2·U₁; the z²-vs-3.8416 (α = 0.05 two-sided, plain normal approx,
+    * no tie correction — documented) decision cross-multiplies as
+    * 3·(2U−n₁n₂)²·10⁴ ≥ 38416·n₁n₂·(n₁+n₂+1) in DECIMAL(38)/HUGEINT
+    * (magnitudes ≤ ~3·10²⁴ at sf0.1 — far inside both). Scale shape:
+    * one corpus→domain partial agg (per-value group counts), then the
+    * cumulative window runs over the DISTINCT-VALUE domain only (~20k
+    * rows at sf0.1; the p17/p19 two-level discipline — never a
+    * corpus-sized global window). */
+  def p28MwuDrift(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.mannWhitney(
+      events(sp, dir)
+        .filter(col("event_type").isin("view", "purchase") &&
+          col("value").isNotNull),
+      col("event_type") === "view", col("value").cast("double"))
+
+  val p28Sql: String =
+    """WITH ev AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+      |vals AS (SELECT v,
+      |    count(*) FILTER (g = 'view') AS c1,
+      |    count(*) FILTER (g = 'purchase') AS c2
+      |  FROM ev GROUP BY v),
+      |rk AS (SELECT c1, c2, COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      |  FROM vals),
+      |s AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+      |    SUM(c1 * (before * 2 + c1 + c2 + 1)) AS r1_2 FROM rk),
+      |u AS (SELECT n1, n2, r1_2, r1_2 - n1 * (n1 + 1) AS u1_2 FROM s)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(r1_2 AS BIGINT) AS r1_2, CAST(u1_2 AS BIGINT) AS u1_2,
+      |  CAST(n1 * n2 * 2 - u1_2 AS BIGINT) AS u2_2,
+      |  (3::HUGEINT * (u1_2 - n1 * n2) * (u1_2 - n1 * n2) * 10000
+      |    >= 38416::HUGEINT * n1 * n2 * (n1 + n2 + 1)) AS shifted
+      |FROM u""".stripMargin
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -10385,7 +10427,8 @@ object ExtensionQueries {
     "p23_autocorr" -> (p23Autocorr _),
     "p24_benford" -> (p24Benford _),
     "p26_ab_test" -> (p26AbTest _),
-    "p27_chi2_drift" -> (p27Chi2Drift _))
+    "p27_chi2_drift" -> (p27Chi2Drift _),
+    "p28_mwu_drift" -> (p28MwuDrift _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -10585,5 +10628,6 @@ object ExtensionQueries {
     "p23_autocorr" -> p23Sql,
     "p24_benford" -> p24Sql,
     "p26_ab_test" -> p26Sql,
-    "p27_chi2_drift" -> p27Sql)
+    "p27_chi2_drift" -> p27Sql,
+    "p28_mwu_drift" -> p28Sql)
 }

@@ -1305,6 +1305,30 @@ class OperatorSpec extends AnyFunSuite {
       }
   }
 
+  test("p28 mannWhitney: textbook small samples, midrank tie handling, " +
+      "symmetry U1+U2 = 2·n1·n2, clear shift flags") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // g1 = {1,3,5}, g2 = {2,4}: ranks 1..5, R1 = 9, U1 = 3 (2U1 = 6)
+    val a = Seq((true, 1.0), (true, 3.0), (true, 5.0), (false, 2.0),
+      (false, 4.0)).toDF("a", "v")
+    val r = Profile.mannWhitney(a, col("a"), col("v")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 18L, 6L, 6L)))
+    assert(!r.getBoolean(5), "balanced tiny samples do not flag")
+    // tie: g1 = {1,2}, g2 = {2}: midranks 1, 2.5, 2.5 -> R1 = 3.5,
+    // U1 = 0.5 -> doubled 7 and 1
+    val t = Seq((true, 1.0), (true, 2.0), (false, 2.0)).toDF("a", "v")
+    val rt = Profile.mannWhitney(t, col("a"), col("v")).collect()(0)
+    assert((rt.getLong(2), rt.getLong(3), rt.getLong(4)) ==
+      ((7L, 1L, 3L)))
+    // complete separation at n = 60: z well past 1.96 -> shifted
+    val big = ((1 to 60).map(i => (true, i.toDouble)) ++
+      (1 to 60).map(i => (false, 1000.0 + i))).toDF("a", "v")
+    assert(Profile.mannWhitney(big, col("a"), col("v"))
+      .collect()(0).getBoolean(5))
+  }
+
   test("g14 weightedSeededDistance: cheap detour beats expensive direct " +
       "hop, round-bounded monotonicity, parallel edges keep min weight, " +
       "unreached nodes absent") {
