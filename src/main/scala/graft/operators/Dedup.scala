@@ -123,6 +123,54 @@ object Dedup {
       .filter(col("containment") >= minCont)
   }
 
+  /** Robust winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS plagiarism-detector kernel): hash every
+    * positional token k-gram, slide a window of `w` consecutive hashes,
+    * and in each window select the MINIMUM hash, rightmost position on
+    * ties. Guarantees: any shared substring of >= w+k-1 tokens yields at
+    * least one shared fingerprint (detection), and at most 2/(w+1) of
+    * k-grams are selected (density) — the principled sparsification that
+    * plain "mod p == 0" sampling lacks.
+    *
+    * Determinism trick: each window row is encoded as
+    * `h * 2^21 + (2^21-1 - pos)` so a single integer `min` aggregates
+    * both criteria (smallest hash, then LARGEST position) — pure integer
+    * arithmetic both engines replay. Positions are 1-based and < 2^21
+    * (docs are token-bounded far below that); h < 2^32 keeps the encode
+    * inside 2^53.
+    *
+    * Scale shape: the only shuffle is the per-document window
+    * (partitionBy doc — bounded by doc length, never a global sort);
+    * selection and dedup are map-side after it. Output: one row per
+    * distinct (id, fingerprint-hash) selection.
+    *
+    * Docs with fewer than `w` k-grams still emit their minimum (the
+    * standard at-least-one-fingerprint completion); docs with fewer than
+    * `k` tokens emit nothing. */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(id.as("__id"),
+        posexplode(Hashing.shingles(Text.tokens(text), k))
+          .as(Seq("__p0", "__g")))
+      .select(col("__id"), (col("__p0") + 1).cast("long").as("__pos"),
+        Hashing.portableHash32(col("__g")).as("__h"))
+    val winSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    val cntSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id")
+    grams
+      .withColumn("__sel",
+        min(col("__h") * lit(2097152L) + (lit(2097151L) - col("__pos")))
+          .over(winSpec))
+      .withColumn("__n", count(lit(1)).over(cntSpec))
+      // valid winnowing windows start at pos 1..n-w+1; short docs keep
+      // their single (partial) first window
+      .filter(col("__pos") <= greatest(col("__n") - (w - 1), lit(1L)))
+      .select(col("__id"), expr("__sel div 2097152").as("fph"))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns — the
     * one-pass codegen'd kernel (see graft.functions.JaccardExpr); values
     * bit-match size(array_intersect)/size(array_union). */

@@ -2612,6 +2612,81 @@ object ExtensionQueries {
        |ORDER BY band_rows""".stripMargin
   }
 
+  /** WINNOWING OVERLAP DETECTION — robust winnowing (the MOSS
+    * plagiarism-detector kernel, Schleimer/Wilkerson/Aiken SIGMOD 2003)
+    * run corpus-wide: every doc is reduced to its winnowed fingerprint
+    * set (token 4-grams, window 4 — see
+    * [[graft.operators.Dedup.winnowFingerprints]] for the guarantees:
+    * any shared >=7-token span yields a shared fingerprint, at most
+    * 2/(w+1) of grams selected), then docs sharing >=2 fingerprints are
+    * reported with both fingerprint-set sizes. This is the
+    * position-aware complement to d14's shingle containment: winnowing
+    * keeps ~2/(w+1) of the postings (guaranteed density), so the
+    * self-join runs over a provably sparsified table — the property that
+    * makes MOSS-style overlap detection viable corpus-wide.
+    *
+    * Scale shape: fingerprint selection is one per-doc window (bounded
+    * by doc length, no global sort); the fingerprint table materializes
+    * ONCE to scratch (three consumers: df-cap, sizes, both self-join
+    * probes — the t22 discipline); a document-frequency cap (<=50 docs)
+    * drops boilerplate fingerprints before the only self-join, which is
+    * a hash equi-join on the fingerprint hash. */
+  def d23Winnowing(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val fpDir = graft.Tables.scratchDir("graft-d23-fp")
+    graft.operators.Dedup
+      .winnowFingerprints(docs, col("doc_id"), col("text"), k = 4, w = 4)
+      .write.mode("overwrite").parquet(fpDir)
+    val fp = sp.read.parquet(fpDir)
+    val rare = fp.groupBy("fph").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") <= 50).select("fph")
+    val kept = fp.join(rare, Seq("fph"), "left_semi")
+    val sizes = fp.groupBy(col("__id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.fph") === col("b.fph") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc1"), col("b.__id").as("doc2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    pairs
+      .join(sizes.select(col("__id").as("doc1"), col("n_fp").as("fp1")),
+        "doc1")
+      .join(sizes.select(col("__id").as("doc2"), col("n_fp").as("fp2")),
+        "doc2")
+      .select(col("doc1"), col("doc2"), col("shared"), col("fp1"),
+        col("fp2"))
+      .orderBy("doc1", "doc2")
+  }
+
+  val d23Sql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |    ${h("array_to_string(t[i:i+3], ' ')")} AS h
+       |  FROM toks, unnest(range(1, len(t)-4+2)) AS r(i)
+       |  WHERE len(t) >= 4),
+       |enc AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS n,
+       |    min(h * 2097152 + (2097151 - pos))
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+       |  FROM g),
+       |fp AS (SELECT DISTINCT doc_id, sel // 2097152 AS fph
+       |  FROM enc WHERE pos <= greatest(n - 3, 1)),
+       |sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+       |df AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= 50),
+       |kept AS (SELECT fp.* FROM fp SEMI JOIN df USING (fph)),
+       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |    count(*) AS shared
+       |  FROM kept a JOIN kept b
+       |    ON a.fph = b.fph AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT p.doc1, p.doc2, CAST(p.shared AS BIGINT) AS shared,
+       |  CAST(s1.n_fp AS BIGINT) AS fp1, CAST(s2.n_fp AS BIGINT) AS fp2
+       |FROM pairs p
+       |JOIN sizes s1 ON s1.doc_id = p.doc1
+       |JOIN sizes s2 ON s2.doc_id = p.doc2
+       |ORDER BY doc1, doc2""".stripMargin
+
   /** The sf0.01 corpus has four (band, key) buckets of size 3 (measured);
     * maxBucket=2 drops them, so the skew cap is exercised LIVE by the gate
     * and the oracle replays the same drop. */
@@ -6397,6 +6472,58 @@ object ExtensionQueries {
        |  CAST(floor_quota + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
        |    AS BIGINT) AS alloc
        |FROM r, l ORDER BY source""".stripMargin
+
+  /** BLOCKLIST MULTI-PATTERN MATCHING — the curation blocklist run the
+    * way production filters run it: EVERY pattern counted in ONE pass
+    * over each document's token stream by an Aho–Corasick automaton
+    * ([[graft.functions.MultiMatchCountsExpr]] — a codegen'd Catalyst
+    * expression; naive matching re-walks the document once per pattern,
+    * the automaton's per-token cost is independent of blocklist size,
+    * which is what keeps a 10k-entry blocklist affordable at 100 TB).
+    * The fixed pattern set includes a token sequence that is a SUFFIX of
+    * another ("value table" inside "hash value table") so the automaton's
+    * output links are exercised live — both patterns count at the same
+    * position — and a pattern absent from the corpus (must report 0).
+    *
+    * Output: per-doc occurrence count per pattern (overlaps included —
+    * positional L-gram equality, which is exactly how the oracle replays
+    * it), total hits, and the >=3 curation flag. Scale shape: one
+    * map-side scan, no shuffle at all until the final orderBy. */
+  private val T54Patterns = Seq("slow fast", "row scan",
+    "hash value table", "value table", "data window", "zz never qq")
+
+  def t54Blocklist(sp: SparkSession, dir: String): DataFrame = {
+    val counts = graft.functions.MultiMatchCountsExpr.multi_match_counts(
+      Text.tokens(col("text")), T54Patterns.map(_.split(" ").toSeq))
+    val hitCols = T54Patterns.indices.map(i =>
+      col("__c").getItem(i).as(s"hits_$i"))
+    documents(sp, dir)
+      .select(col("doc_id"), counts.as("__c"))
+      .select(col("doc_id") +: hitCols: _*)
+      .withColumn("n_hits",
+        T54Patterns.indices.map(i => col(s"hits_$i")).reduce(_ + _))
+      .withColumn("flagged",
+        when(col("n_hits") >= 3, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val t54Sql: String = {
+    val hitExprs = T54Patterns.zipWithIndex.map { case (p, i) =>
+      val l = p.split(" ").length
+      s"CAST(len(list_filter(range(1, greatest(len(t)-$l+2, 1)), " +
+        s"i -> array_to_string(t[i:i+$l-1], ' ') = '$p')) AS BIGINT) " +
+        s"AS hits_$i"
+    }.mkString(",\n|  ")
+    val total = T54Patterns.indices.map(i => s"hits_$i").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+       |h AS (SELECT doc_id,
+       |  $hitExprs
+       |FROM toks)
+       |SELECT *, $total AS n_hits,
+       |  CAST(CASE WHEN $total >= 3 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS flagged
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   /** USER-JOURNEY TRANSITION MATRIX — the Markov profile behind every
     * "user flow" diagram: consecutive event pairs per user (ordered by
@@ -10306,6 +10433,7 @@ object ExtensionQueries {
     "t51_unigram_train" -> (t51UnigramTrain _),
     "t52_unigram_apply" -> (t52UnigramApply _),
     "t53_unigram_prune" -> (t53UnigramPrune _),
+    "t54_blocklist" -> (t54Blocklist _),
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
     "s9_bounded_backfill" -> (s9BoundedBackfill _),
     "s10_stateful_counter" -> (s10StatefulCounter _),
@@ -10359,6 +10487,7 @@ object ExtensionQueries {
     "d20_containment" -> (d20Containment _),
     "d21_quality_keeper" -> (d21QualityKeeper _),
     "d22_lsh_sweep" -> (d22LshSweep _),
+    "d23_winnowing" -> (d23Winnowing _),
     "a13_random_projection" -> (a13RandomProjection _),
     "m6_audio_segments" -> (m6AudioSegments _),
     "p8_histogram" -> (p8Histogram _),
@@ -10502,6 +10631,7 @@ object ExtensionQueries {
     "t51_unigram_train" -> t51Sql,
     "t52_unigram_apply" -> t52Sql,
     "t53_unigram_prune" -> t53Sql,
+    "t54_blocklist" -> t54Sql,
     "t19_token_budget_mix" -> t19Sql,
     "s9_bounded_backfill" -> s9Sql,
     "s10_stateful_counter" -> s10Sql,
@@ -10560,6 +10690,7 @@ object ExtensionQueries {
     "d20_containment" -> d20Sql,
     "d21_quality_keeper" -> d21Sql,
     "d22_lsh_sweep" -> d22Sql,
+    "d23_winnowing" -> d23Sql,
     "a13_random_projection" -> a13Sql,
     "m6_audio_segments" -> m6Sql,
     "p8_histogram" -> p8Sql,
