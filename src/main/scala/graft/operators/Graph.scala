@@ -437,6 +437,79 @@ object Graph {
     deg.filter(col("deg") >= k)
   }
 
+  /** k-truss peeling over an UNDIRECTED simple graph (symmetrized,
+    * self-loops dropped): repeatedly drop every edge whose SUPPORT — the
+    * number of triangles it participates in within the surviving
+    * subgraph — is below k−2, a fixed number of rounds. The k-truss is
+    * the edge-level cohesion screen k-core cannot express: a star hub
+    * has huge degree but zero support, so trusses isolate genuinely
+    * clique-ish communities while cores keep hubs. Fixed rounds keep the
+    * result exact and replayable; peeling is monotone, so a fixed
+    * horizon can only UNDER-peel (a superset of the true k-truss), never
+    * drop a truss edge.
+    *
+    * Shape per round: one [[triangleCounts]]-style degree-ordered wedge
+    * join on the surviving edges (arboricity-bounded fan-out — the
+    * orientation trick that keeps a power-law graph joinable), one
+    * explode of each triangle to its 3 canonical edges, one count-agg,
+    * one filter. Survivors materialize to scratch per round; work only
+    * shrinks. Returns surviving canonical edges (u < v) with the support
+    * that justified their survival in the final round. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1, "k must be >= 3 and rounds >= 1")
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var cur: DataFrame = materialize(
+      sym.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).distinct(),
+      "graft-ktruss-und")
+    var out: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      val sup = edgeSupport(cur, i)
+      out = materialize(sup.filter(col("sup") >= k - 2),
+        s"graft-ktruss-r${i + 1}")
+      cur = out.select("u", "v")
+      i += 1
+    }
+    out
+  }
+
+  /** Per-edge triangle support over canonical (u < v) simple edges, via
+    * the same degree-ordered wedge join as [[triangleCounts]]; edges in
+    * no triangle produce no row (support 0). */
+  private def edgeSupport(canon: DataFrame, round: Int): DataFrame = {
+    val und = canon.select(col("u").as("x"), col("v").as("y"))
+      .union(canon.select(col("v").as("x"), col("u").as("y")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
+    val oriented = materialize(
+      und.join(deg, "x")
+        .join(deg.select(col("x").as("y"), col("d").as("dy")), "y")
+        .filter(col("d") < col("dy") ||
+          (col("d") === col("dy") && col("x") < col("y")))
+        .select(col("x").as("a"), col("y").as("b"), col("dy").as("db")),
+      s"graft-ktruss-or$round")
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.a") === col("e2.a"))
+      .filter(col("e1.db") < col("e2.db") ||
+        (col("e1.db") === col("e2.db") && col("e1.b") < col("e2.b")))
+      .select(col("e1.a").as("w0"), col("e1.b").as("w1"),
+        col("e2.b").as("w2"))
+    val tris = wedges.join(oriented.as("c"),
+      col("w1") === col("c.a") && col("w2") === col("c.b"))
+      .select(col("w0"), col("w1"), col("w2"))
+    tris.select(explode(array(
+        struct(least(col("w0"), col("w1")).as("u"),
+          greatest(col("w0"), col("w1")).as("v")),
+        struct(least(col("w0"), col("w2")).as("u"),
+          greatest(col("w0"), col("w2")).as("v")),
+        struct(least(col("w1"), col("w2")).as("u"),
+          greatest(col("w1"), col("w2")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT per node — how close each node's
     * neighborhood is to a clique: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * reported in EXACT integer basis points (floor). The standard

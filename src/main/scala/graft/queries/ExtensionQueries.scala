@@ -8300,6 +8300,75 @@ object ExtensionQueries {
        |SELECT id, dist FROM d4 ORDER BY id""".stripMargin
   }
 
+  /** k-TRUSS EDGE PEELING ([[graft.operators.Graph.kTruss]], k=5, 3
+    * rounds) — the edge-level cohesion screen beside g7's k-core: every
+    * surviving edge must sit in >= 3 triangles of the surviving
+    * subgraph, so star hubs (huge degree, zero support) peel away while
+    * clique-ish communities stay. The corpus link graph is overlaid with
+    * two plants: twenty 6-cliques on doc ids < 120 (every clique edge
+    * has support 4 — these must ALL survive) and a K5-minus-one-edge on
+    * ids 1000000+ whose central triangle survives round 1 with support 3
+    * and then CASCADES out in round 2 when its supporting edges
+    * disappear — an engine that under-peels (stops after one round)
+    * keeps 3 extra edges and hash-fails. Random link-graph edges top out
+    * at support 2 (measured) and peel in round 1.
+    *
+    * Scale shape: each round is one degree-ordered wedge join
+    * (arboricity-bounded — the million-degree hub emits no wedges), one
+    * triangle→edges explode, one count-agg, one filter; survivors
+    * materialize per round and work only shrinks. The oracle replays
+    * support as the common-neighbor join — same values, oracle-scale
+    * plan. */
+  def g15Ktruss(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val cliqueBase = documents(sp, dir)
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+    val cliques = cliqueBase.as("a")
+      .join(cliqueBase.as("b"),
+        expr("a.doc_id div 6") === expr("b.doc_id div 6") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val nearClique = Seq((0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3),
+        (1, 4), (2, 3), (2, 4))
+      .map { case (a, b) => (1000000L + a, 1000000L + b) }
+      .toDF("src", "dst")
+    val edges = linkEdges(sp, dir).union(cliques).union(nearClique)
+    graft.operators.Graph.kTruss(edges, k = 5, rounds = 3)
+      .orderBy("u", "v")
+  }
+
+  val g15Sql: String = {
+    def round(r: Int): String =
+      s"""und$r AS (SELECT u AS x, v AS y FROM e$r
+         |  UNION ALL SELECT v, u FROM e$r),
+         |sup$r AS (SELECT e.u, e.v, count(*) AS sup
+         |  FROM e$r e JOIN und$r a ON a.x = e.u
+         |  JOIN und$r b ON b.x = e.v AND b.y = a.y
+         |  GROUP BY 1, 2),
+         |e${r + 1} AS (SELECT u, v, sup FROM sup$r WHERE sup >= 3)"""
+        .stripMargin
+    val nearCliqueVals = Seq((0, 1), (0, 2), (0, 3), (0, 4), (1, 2),
+        (1, 3), (1, 4), (2, 3), (2, 4))
+      .map { case (a, b) => s"(${1000000 + a}, ${1000000 + b})" }
+      .mkString(", ")
+    s"""WITH $linkEdgesSql,
+       |allE AS (SELECT src, dst FROM edges
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+       |    ON a.doc_id // 6 = b.doc_id // 6 AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id < 120 AND b.doc_id < 120
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $nearCliqueVals) AS nc(src, dst)),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS u,
+       |    greatest(src, dst) AS v
+       |  FROM allE WHERE src <> dst),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)}
+       |SELECT u, v, CAST(sup AS BIGINT) AS sup FROM e3
+       |ORDER BY u, v""".stripMargin
+  }
+
   /** Random-projection sketch ([[graft.operators.Ann.rpProject]]), 64→16
     * dims, with the JOHNSON-LINDENSTRAUSS DISTORTION GATE: for consecutive
     * vector pairs, ratio = ‖Pa−Pb‖² / (16·‖a−b‖²) must sit within ±0.5 of
@@ -10405,6 +10474,7 @@ object ExtensionQueries {
     "g3_components" -> (g3Components _),
     "g13_scc" -> (g13Scc _),
     "g14_weighted_distance" -> (g14WeightedDistance _),
+    "g15_ktruss" -> (g15Ktruss _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m10_bmp_crop" -> (m10Crop _),
@@ -10603,6 +10673,7 @@ object ExtensionQueries {
     "g3_components" -> g3Sql,
     "g13_scc" -> g13Sql,
     "g14_weighted_distance" -> g14Sql,
+    "g15_ktruss" -> g15Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m10_bmp_crop" -> m10Sql,

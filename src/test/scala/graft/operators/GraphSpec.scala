@@ -312,4 +312,35 @@ class GraphSpec extends AnyFunSuite {
     // common neighbors of (1,2) are 0 and 6; hub 0 excluded as center
     assert(capped((1L, 2L)) == 1L)
   }
+
+  test("kTruss: K4 survives 4-truss, pendant triangle peels") {
+    // K4 on 1..4 (every edge in 2 triangles) + triangle {4,5,6}
+    // (each edge in 1 triangle) + pendant edge 6-7 (no triangle)
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L,
+      3L -> 4L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 6L -> 7L)
+    val got = Graph.kTruss(e, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(got.keySet === k4.toSet)
+    assert(got.values.forall(_ == 2L))
+  }
+
+  test("kTruss cascade: K5 minus an edge — central triangle survives " +
+      "round 1 with support 3, then peels in round 2") {
+    // K5 on 0..4 without edge (3,4): edges among {0,1,2} have support 3,
+    // all others 2. One round of k=5 keeps the {0,1,2} triangle; the
+    // second round re-measures it at support 1 and peels it.
+    val pairs = for {
+      a <- 0L to 4L; b <- (a + 1) to 4L
+      if !(a == 3L && b == 4L)
+    } yield a -> b
+    val e = edges(pairs: _*)
+    val after1 = Graph.kTruss(e, k = 5, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after1 === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val after2 = Graph.kTruss(e, k = 5, rounds = 2).collect()
+    assert(after2.isEmpty)
+  }
 }
