@@ -777,6 +777,81 @@ object Multimodal {
     * close enough that [[bmpAverageHash]] moves by at most a few bits,
     * far enough that exact hashes/checksums diverge. None for non-BMP
     * payloads (same validation as [[flipBmp]]). */
+  /** HISTOGRAM EQUALIZATION of a 24bpp BMP — the classic contrast
+    * normalization a vision pipeline applies before feature extraction:
+    * per-pixel integer grayscale (b+g+r)/3 (the [[bmpAverageHash]]
+    * luma), the 256-bin histogram's cumulative distribution, and the
+    * standard remap
+    *   eq(v) = (cdf(v) − cdf_min) · 255 ∕ (N − cdf_min)   (floor),
+    * where cdf_min is the CDF at the darkest PRESENT gray level (its
+    * own count) and N the pixel count — so the darkest level maps to 0,
+    * the brightest to 255, and everything between stretches by its
+    * rank mass. A flat (single-level) image degenerates to N == cdf_min
+    * and maps to 0 by contract. All-integer arithmetic end to end, so a
+    * SQL oracle replays every output byte. The output is a valid
+    * grayscale 24bpp BMP (all three channels carry eq(gray)), same
+    * dimensions. None for non-BMP payloads. */
+  def equalizeBmp(m: Array[Byte]): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val row = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + row.toLong * h) return None
+    val n = w * h
+    val gray = new Array[Int](n)
+    val hist = new Array[Int](256)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val s = dataOff + y * row + x * 3
+        val g = ((m(s) & 0xff) + (m(s + 1) & 0xff) + (m(s + 2) & 0xff)) / 3
+        gray(y * w + x) = g
+        hist(g) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cdf = new Array[Int](256)
+    var acc = 0
+    var v = 0
+    var cdfMin = 0
+    var seenMin = false
+    while (v < 256) {
+      acc += hist(v)
+      cdf(v) = acc
+      if (!seenMin && hist(v) > 0) { cdfMin = hist(v); seenMin = true }
+      v += 1
+    }
+    val dataSize = row * h
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val out = b.array()
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = gray(y * w + x)
+        val eq = if (n > cdfMin)
+          ((cdf(g) - cdfMin).toLong * 255L / (n - cdfMin)).toInt
+        else 0
+        val d = 54 + y * row + x * 3
+        out(d) = eq.toByte; out(d + 1) = eq.toByte; out(d + 2) = eq.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   def bumpFirstPixelByte(m: Array[Byte], delta: Int): Option[Array[Byte]] = {
     if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
     val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)

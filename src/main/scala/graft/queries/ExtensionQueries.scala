@@ -4687,6 +4687,70 @@ object ExtensionQueries {
        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** HISTOGRAM EQUALIZATION ([[Multimodal.equalizeBmp]]) — the classic
+    * contrast normalization before feature extraction: per-pixel
+    * integer luma (b+g+r)/3, the 256-bin CDF, and the standard remap
+    * eq(v) = (cdf(v) − cdf_min)·255 ∕ (N − cdf_min) in floor integer
+    * arithmetic (darkest present level → 0, flat image → all 0 by
+    * contract), output rebuilt as a valid grayscale 24bpp BMP. The
+    * witness re-decodes the output dims and checksums every pixel byte;
+    * the oracle recomputes the full chain from the blob-fill formula —
+    * per-pixel luma over the SOURCE geometry, the per-doc histogram,
+    * the cumulative window over the ≤256-row luma domain, the remap,
+    * and checksum = 3·Σ count·eq (three identical channels). Per-doc
+    * map work, zero shuffle; the only window in the oracle runs on the
+    * value domain, never the pixel table. */
+  def m21HistEqualize(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.equalizeBmp(r.media).map { out =>
+          val hb = java.nio.ByteBuffer.wrap(out)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (r.doc_id, hb.getInt(18), hb.getInt(22),
+            Multimodal.bmpPixelChecksum(out))
+        }
+      }
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m21Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(c: String): String =
+      s"('0x' || substr(hx, 2 * ((ty.y * src_row + tx.x * 3 + $c) " +
+        "% len) + 1, 2))::BIGINT"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |g AS (SELECT p.doc_id, p.src_w, p.src_h,
+       |    (${byteAt("0")} + ${byteAt("1")} + ${byteAt("2")}) // 3
+       |      AS luma
+       |  FROM p, unnest(range(0, p.src_h)) ty(y),
+       |    unnest(range(0, p.src_w)) tx(x)),
+       |hist AS (SELECT doc_id, src_w, src_h, luma, count(*) AS c
+       |  FROM g GROUP BY 1, 2, 3, 4),
+       |cdf AS (SELECT doc_id, src_w, src_h, luma, c,
+       |    sum(c) OVER (PARTITION BY doc_id ORDER BY luma) AS cdf,
+       |    first_value(c) OVER (PARTITION BY doc_id ORDER BY luma
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |      AS cdf_min
+       |  FROM hist),
+       |eq AS (SELECT doc_id, src_w, src_h, c,
+       |    CASE WHEN src_w * src_h > cdf_min
+       |      THEN (cdf - cdf_min) * 255 // (src_w * src_h - cdf_min)
+       |      ELSE 0 END AS eq
+       |  FROM cdf)
+       |SELECT doc_id, CAST(src_w AS INT) AS width,
+       |  CAST(src_h AS INT) AS height,
+       |  CAST(3 * SUM(c * eq) AS BIGINT) AS checksum
+       |FROM eq GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+  }
+
   /** REAL BMP crop ([[Multimodal.cropBmp]]) — the augmentation pair to
     * m2's resize (random-crop + resize is the standard image-pretraining
     * transform): a 2×3 window anchored at (doc_id % w, doc_id % h),
@@ -10488,6 +10552,7 @@ object ExtensionQueries {
     "m18_avi_drop_frames" -> (m18AviDropFrames _),
     "m19_bilinear_resize" -> (m19BilinearResize _),
     "m20_letterbox_resize" -> (m20LetterboxResize _),
+    "m21_hist_equalize" -> (m21HistEqualize _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -10687,6 +10752,7 @@ object ExtensionQueries {
     "m18_avi_drop_frames" -> m18Sql,
     "m19_bilinear_resize" -> m19Sql,
     "m20_letterbox_resize" -> m20Sql,
+    "m21_hist_equalize" -> m21Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

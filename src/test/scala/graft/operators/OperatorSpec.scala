@@ -1270,6 +1270,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.letterboxBmp(Array[Byte](1, 2), 8, 8).isEmpty)
   }
 
+  test("m21 equalizeBmp: hand-computed remap stretches to 0..255, " +
+      "flat image maps to 0, already-equalized ramp is idempotent-ish, " +
+      "refusal") {
+    import graft.operators.Multimodal
+    // 3x1 source, grays 10, 10, 30 (all channels equal): N=3,
+    // cdf(10)=2=cdf_min, cdf(30)=3 -> eq(10)=0,
+    // eq(30)=(3-2)*255/(3-2)=255
+    val bmp = Multimodal.buildBmp(3, 1,
+      Array[Byte](10, 10, 10, 10, 10, 10, 30, 30, 30, 0, 0, 0))
+    val out = Multimodal.equalizeBmp(bmp).get
+    val px = (i: Int) => out(54 + i) & 0xff
+    assert((px(0), px(1), px(2)) == ((0, 0, 0)))
+    assert((px(3), px(4), px(5)) == ((0, 0, 0)))
+    assert((px(6), px(7), px(8)) == ((255, 255, 255)))
+    // mixed channels use the integer luma: (0+10+20)/3 = 10
+    val mixed = Multimodal.buildBmp(2, 1,
+      Array[Byte](0, 10, 20, 90, 90, 90, 0, 0))
+    val om = Multimodal.equalizeBmp(mixed).get
+    // lumas 10, 90: cdf_min=1, N=2 -> eq(10)=0, eq(90)=255; output is
+    // grayscale (all three channels equal)
+    assert((om(54) & 0xff) == 0 && (om(55) & 0xff) == 0 &&
+      (om(56) & 0xff) == 0)
+    assert((om(57) & 0xff) == 255 && (om(58) & 0xff) == 255)
+    // flat image: N == cdf_min -> all 0 by contract
+    val flat = Multimodal.buildBmp(2, 2, Array.fill[Byte](16)(77))
+    val of = Multimodal.equalizeBmp(flat).get
+    assert((0 until 4).forall { i =>
+      val row = 8; val y = i / 2; val x = i % 2
+      (of(54 + y * row + x * 3) & 0xff) == 0
+    })
+    // a full 0..255-ish uniform ramp keeps its spread: min stays 0,
+    // max stays 255 after the remap
+    val rampFill = Array.tabulate[Byte](3 * 4)(i => (i / 3 * 85).toByte)
+    val ramp = Multimodal.buildBmp(4, 1, rampFill)
+    val or = Multimodal.equalizeBmp(ramp).get
+    val vals = (0 until 4).map(x => or(54 + x * 3) & 0xff)
+    assert(vals.head == 0 && vals.last == 255 &&
+      vals == vals.sorted)
+    assert(Multimodal.equalizeBmp(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("t51 unigram: Viterbi picks max-product boundaries, an exact " +
       "double tie prefers the longer piece, EM keeps the vocab spine " +
       "with Laplace floor, DataFrame seg byte-identical to the " +
