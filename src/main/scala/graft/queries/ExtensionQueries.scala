@@ -1220,6 +1220,102 @@ object ExtensionQueries {
     * predicate, replayed verbatim by the oracle; the model is
     * vocabulary-sized and joins the eval side on the bigram key (plain
     * shuffle equi-join, nothing broadcast at 100 TB). */
+  /** STUPID-BACKOFF LM SCORING (Brants et al., EMNLP 2007 — the
+    * score Google's web-scale MT n-gram models actually shipped,
+    * chosen BECAUSE it needs no discounting mass bookkeeping at
+    * distributed scale): each held-out bigram (a b) scores
+    * c(ab)/c(a·) from the train-half bigram model when present, else
+    * backs off to α·c(b)/N with α = 0.4, else 0 (OOV). All scores in
+    * FIXED-POINT 10⁶ integer arithmetic — c(ab)·10⁶ div c(a·), and
+    * 2·c(b)·10⁶ div (5·N) for the backoff (α = 2/5 exactly) — so
+    * per-doc sums hash cross-engine where a float log-prob never
+    * would. Same contamination-free hash split as t43: the model fits
+    * on the TRAIN half only.
+    *
+    * Scale shape: both models are vocabulary-sized aggregates; the
+    * eval side is two shuffle equi-joins (bigram key, then unigram key
+    * for the backoff column) and N rides a broadcast 1-row agg. The
+    * per-doc outcome counts (hit / backoff / OOV) are the telemetry a
+    * curation screen thresholds. */
+  def t55StupidBackoff(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+      .select(col("doc_id"), col("text"),
+        (Hashing.portableHash32(col("doc_id").cast("string")) % 2 === 0)
+          .as("__train"))
+    val bi = docs.select(col("doc_id"), col("__train"),
+      explode(graft.functions.ShingleSetExpr.shingles(col("text"), 2))
+        .as("bigram"))
+    val counts = bi.filter(col("__train"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val tot = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+    val model = counts.join(tot, "w1")
+      .select(col("bigram"), col("cnt"), col("tot"))
+    val uni = docs.filter(col("__train"))
+      .select(explode(Text.tokens(col("text"))).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("ucnt"))
+    val nTot = uni.agg(sum(col("ucnt")).as("n_tot"))
+    bi.filter(!col("__train"))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(model, Seq("bigram"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("score",
+        when(col("cnt").isNotNull, expr("cnt * 1000000 div tot"))
+          .when(col("ucnt").isNotNull,
+            expr("2 * ucnt * 1000000 div (5 * n_tot)"))
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("cnt").isNull && col("ucnt").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("cnt").isNull && col("ucnt").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        sum(col("score")).as("score_sum"))
+      .orderBy("doc_id")
+  }
+
+  val t55Sql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    ${h("CAST(doc_id AS VARCHAR)")} % 2 = 0 AS train
+       |  FROM documents),
+       |bi AS (SELECT doc_id, train,
+       |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' ||
+       |           string_split(text, ' ')[i + 1])) AS bigram
+       |  FROM d),
+       |c AS (SELECT bigram, count(*) AS cnt FROM bi WHERE train
+       |  GROUP BY bigram),
+       |c2 AS (SELECT bigram, cnt, split_part(bigram, ' ', 1) AS w1
+       |  FROM c),
+       |tot AS (SELECT w1, SUM(cnt) AS tot FROM c2 GROUP BY w1),
+       |model AS (SELECT bigram, cnt, tot FROM c2 JOIN tot USING (w1)),
+       |uni AS (SELECT tt.tt AS w2, count(*) AS ucnt
+       |  FROM d, unnest(string_split(text, ' ')) tt(tt)
+       |  WHERE train GROUP BY 1),
+       |nt AS (SELECT SUM(ucnt) AS n_tot FROM uni),
+       |sc AS (SELECT b.doc_id,
+       |    m.cnt, u.ucnt,
+       |    CASE WHEN m.cnt IS NOT NULL THEN m.cnt * 1000000 // m.tot
+       |         WHEN u.ucnt IS NOT NULL
+       |           THEN 2 * u.ucnt * 1000000 // (5 * nt.n_tot)
+       |         ELSE 0 END AS score
+       |  FROM bi b
+       |  LEFT JOIN model m USING (bigram)
+       |  LEFT JOIN uni u ON u.w2 = split_part(b.bigram, ' ', 2)
+       |  CROSS JOIN nt
+       |  WHERE NOT b.train)
+       |SELECT doc_id, count(*) AS n_scored,
+       |  CAST(SUM(CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN cnt IS NULL AND ucnt IS NOT NULL THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(SUM(CASE WHEN cnt IS NULL AND ucnt IS NULL THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(score) AS BIGINT) AS score_sum
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def t43HeldoutScore(sp: SparkSession, dir: String): DataFrame = {
     val bi = documents(sp, dir)
       .select(col("doc_id"),
@@ -10569,6 +10665,7 @@ object ExtensionQueries {
     "t52_unigram_apply" -> (t52UnigramApply _),
     "t53_unigram_prune" -> (t53UnigramPrune _),
     "t54_blocklist" -> (t54Blocklist _),
+    "t55_stupid_backoff" -> (t55StupidBackoff _),
     "t19_token_budget_mix" -> (t19TokenBudgetMix _),
     "s9_bounded_backfill" -> (s9BoundedBackfill _),
     "s10_stateful_counter" -> (s10StatefulCounter _),
@@ -10769,6 +10866,7 @@ object ExtensionQueries {
     "t52_unigram_apply" -> t52Sql,
     "t53_unigram_prune" -> t53Sql,
     "t54_blocklist" -> t54Sql,
+    "t55_stupid_backoff" -> t55Sql,
     "t19_token_budget_mix" -> t19Sql,
     "s9_bounded_backfill" -> s9Sql,
     "s10_stateful_counter" -> s10Sql,

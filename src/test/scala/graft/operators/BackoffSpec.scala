@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent in-memory reference for the t55 stupid-backoff gate: the
+  * whole model (train-half bigram + unigram counts) and every eval
+  * doc's fixed-point score are recomputed in plain Scala from the
+  * parquet corpus and compared EXACTLY — a third implementation beside
+  * the Spark plan and the DuckDB oracle, so a shared SQL-shape mistake
+  * cannot self-confirm.
+  */
+class BackoffSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("gate equals a from-scratch in-memory stupid-backoff model on " +
+      "the sf0.001 corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val (train, eval) = docs.partition { case (id, _) => h32(id.toString) % 2 == 0 }
+    val biCnt = scala.collection.mutable.Map[(String, String), Long]()
+    val uniCnt = scala.collection.mutable.Map[String, Long]()
+    var nTot = 0L
+    train.foreach { case (_, text) =>
+      val t = text.split(" ")
+      t.foreach { w => uniCnt(w) = uniCnt.getOrElse(w, 0L) + 1; nTot += 1 }
+      t.sliding(2).filter(_.length == 2).foreach { p =>
+        biCnt((p(0), p(1))) = biCnt.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val ctxTot = biCnt.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val want = eval.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      val pairs = t.sliding(2).filter(_.length == 2).toSeq
+      if (pairs.isEmpty) None
+      else {
+        var hits = 0L; var back = 0L; var oov = 0L; var sum = 0L
+        pairs.foreach { p =>
+          biCnt.get((p(0), p(1))) match {
+            case Some(c) =>
+              hits += 1; sum += c * 1000000L / ctxTot(p(0))
+            case None => uniCnt.get(p(1)) match {
+              case Some(u) => back += 1; sum += 2 * u * 1000000L / (5 * nTot)
+              case None    => oov += 1
+            }
+          }
+        }
+        Some(id -> ((pairs.length.toLong, hits, back, oov, sum)))
+      }
+    }.toMap
+    val got = graft.queries.ExtensionQueries
+      .queries("t55_stupid_backoff")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) => assert(got(id) === w, s"doc $id") }
+    // the fixture must actually exercise all three outcomes somewhere
+    assert(want.values.exists(_._2 > 0), "no bigram hits in fixture")
+    assert(want.values.exists(_._3 > 0), "no backoffs in fixture")
+  }
+}
