@@ -5440,6 +5440,70 @@ object ExtensionQueries {
       |  round(mn + ((CAST(bin AS DOUBLE) + 1.0) * (mx - mn)) / 20.0, 6) AS hi
       |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin
 
+  /** KENDALL τ-b RANK CORRELATION — the concordance test beside p23's
+    * Pearson autocorrelation and p28's MWU: do daily revenue and daily
+    * order count move TOGETHER, measured by pair concordance, so one
+    * monster order on a slow day (which drags Pearson around) counts as
+    * exactly one discordant vote. All counts exact integers: over every
+    * day pair (2399·2398∕2 at any SF — the CALENDAR domain squared,
+    * never the corpus), concordant = (Δcnt·Δcents > 0), discordant < 0,
+    * tie counts per axis; τ_b = (C−D)∕√((n₀−t_x)(n₀−t_y)) is the ONE
+    * final float, both engines evaluating the identical expression on
+    * exactly-equal integer operands ((n₀)² ≈ 8·10¹² < 2⁵³, so the
+    * product is exact in the double and IEEE sqrt/division are
+    * correctly rounded in both). Scale shape: corpus → daily partial
+    * agg (one shuffle), then the pair join is a broadcast
+    * nested-loop over the 2.4k-row calendar table — domain-sized by
+    * construction; cents ride the exact DECIMAL(18,2) money tree. */
+  def p29KendallTau(sp: SparkSession, dir: String): DataFrame = {
+    val d = orders(sp, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val pairs = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+      .select(((col("a.cnt") - col("b.cnt"))
+          * (col("a.cents") - col("b.cents"))).as("prod"),
+        (col("a.cnt") === col("b.cnt")).cast("long").as("tx"),
+        (col("a.cents") === col("b.cents")).cast("long").as("ty"))
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    pairs
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("disc"),
+        sum(col("tx")).as("ties_x"),
+        sum(col("ty")).as("ties_y"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n0"), col("conc"), col("disc"),
+        col("ties_x"), col("ties_y"),
+        ((col("conc") - col("disc")).cast("double") /
+          sqrt(((col("n0") - col("ties_x"))
+            * (col("n0") - col("ties_y"))).cast("double"))).as("tau_b"))
+  }
+
+  val p29Sql: String =
+    """WITH d AS (SELECT o_orderdate AS day, count(*) AS cnt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT
+      |    (a.cnt - b.cnt) * (a.cents - b.cents) AS prod,
+      |    CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END AS ty
+      |  FROM d a JOIN d b ON a.day < b.day),
+      |s AS (SELECT count(*) AS n0,
+      |    CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS conc,
+      |    CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS disc,
+      |    CAST(SUM(tx) AS BIGINT) AS ties_x,
+      |    CAST(SUM(ty) AS BIGINT) AS ties_y
+      |  FROM p)
+      |SELECT (SELECT count(*) FROM d) AS n_days, n0, conc, disc,
+      |  ties_x, ties_y,
+      |  CAST(conc - disc AS DOUBLE) /
+      |    sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)) AS tau_b
+      |FROM s""".stripMargin
+
   /** MANN–WHITNEY U DRIFT — the rank-based two-sample location test
     * beside p9's KS (CDF gap) and p27's chi-square (binned shape):
     * non-parametric, outlier-robust, and here INTEGER-EXACT end to end.
@@ -10789,7 +10853,8 @@ object ExtensionQueries {
     "p24_benford" -> (p24Benford _),
     "p26_ab_test" -> (p26AbTest _),
     "p27_chi2_drift" -> (p27Chi2Drift _),
-    "p28_mwu_drift" -> (p28MwuDrift _))
+    "p28_mwu_drift" -> (p28MwuDrift _),
+    "p29_kendall_tau" -> (p29KendallTau _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -10995,5 +11060,6 @@ object ExtensionQueries {
     "p24_benford" -> p24Sql,
     "p26_ab_test" -> p26Sql,
     "p27_chi2_drift" -> p27Sql,
-    "p28_mwu_drift" -> p28Sql)
+    "p28_mwu_drift" -> p28Sql,
+    "p29_kendall_tau" -> p29Sql)
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent in-memory reference for the p29 Kendall τ-b gate: daily
+  * aggregates and all pair votes recomputed in plain Scala (BigDecimal
+  * money, brute-force O(n²) concordance) and compared EXACTLY,
+  * including the one final float.
+  */
+class KendallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("gate equals a brute-force pair count on sf0.001, and the " +
+      "identities n0 = n(n-1)/2, C + D <= n0 hold") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.Tables.orders(spark, sf)
+      .select("o_orderdate", "o_totalprice").collect()
+      .groupBy(_.get(0)).toSeq
+      .map { case (_, rows) =>
+        val cnt = rows.length.toLong
+        val cents = rows.map(r => BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+          .sum.toLongExact
+        (cnt, cents)
+      }.toArray
+    val n = daily.length
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val p = (daily(i)._1 - daily(j)._1) * (daily(i)._2 - daily(j)._2)
+      if (p > 0) conc += 1 else if (p < 0) disc += 1
+      if (daily(i)._1 == daily(j)._1) tx += 1
+      if (daily(i)._2 == daily(j)._2) ty += 1
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    val tau = (conc - disc).toDouble /
+      math.sqrt(((n0 - tx) * (n0 - ty)).toDouble)
+    val r = graft.queries.ExtensionQueries
+      .queries("p29_kendall_tau")(spark, sf).collect()(0)
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === n0)
+    assert(r.getLong(2) === conc)
+    assert(r.getLong(3) === disc)
+    assert(r.getLong(4) === tx)
+    assert(r.getLong(5) === ty)
+    assert(r.getDouble(6) === tau)
+    assert(conc + disc <= n0)
+    assert(tx > 0, "fixture has no count ties — tie handling unexercised")
+  }
+}
