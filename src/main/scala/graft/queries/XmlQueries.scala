@@ -1041,7 +1041,65 @@ object XmlQueries {
       |    ELSE 0 END AS INT) AS n_gt7
       |FROM lineitem WHERE l_orderkey % 16 = 8 ORDER BY id""".stripMargin
 
+  /** EXISTENCE PREDICATES — `step[@a]` / `step[q]` through the
+    * single-parse evaluator: XPath 1.0's truthy-node-set test, the
+    * "has the field at all" selector every schema-drift audit starts
+    * with, which no value-comparing predicate can express (`[@k='']`
+    * tests emptiness, not presence). Semantics pinned: a PRESENT but
+    * EMPTY attribute satisfies `[@k]` (the node-set is non-empty —
+    * and the `@k` terminal then extracts '' from it), an element with
+    * the child but no attribute fails `[@k]`, `[q]` is satisfied by
+    * any child element of that name regardless of value, and both
+    * compose with the descendant axis and attribute/element terminals.
+    * The layout gives each row an attributed+valued item, a bare item
+    * (child only), an EMPTY-attributed item with a different child,
+    * and a nested item — so every predicate discriminates. 1/16
+    * sample disjoint from x13-x21's. */
+  def x22XpathExists(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 9)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it k='"), d2s(col("l_quantity")),
+      lit("'><q>"), d2s(col("l_extendedprice")),
+      lit("</q></it><it><q>"), d2s(col("l_tax")),
+      lit("</q></it><it k=''><n>"), s(col("l_linenumber")),
+      lit("</n></it><s><it k='5'><q>"), d2s(col("l_discount")),
+      lit("</q></it></s></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[@k]/q",
+        "/r/it[q]/q",
+        "/r/it[n]/@k",
+        "//it[@k]/n",
+        "//it[q]/q",
+        "/r/s/it[@z]/q")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        get(col("m.p1"), lit(0)).cast("double").as("first_attr_q"),
+        size(col("m.p2")).as("n_child_q"),
+        get(col("m.p2"), lit(1)).cast("double").as("second_child_q"),
+        get(col("m.p3"), lit(0)).as("empty_attr"),
+        get(col("m.p4"), lit(0)).cast("int").as("note"),
+        size(col("m.p5")).as("n_desc_q"),
+        size(col("m.p6")).as("n_absent"))
+      .orderBy("id")
+  }
+
+  val x22Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS first_attr_q,
+      |  CAST(2 AS INT) AS n_child_q,
+      |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS second_child_q,
+      |  '' AS empty_attr,
+      |  CAST(l_linenumber AS INT) AS note,
+      |  CAST(3 AS INT) AS n_desc_q,
+      |  CAST(0 AS INT) AS n_absent
+      |FROM lineitem WHERE l_orderkey % 16 = 9 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_xpath_exists" -> (x22XpathExists _),
     "x21_xpath_pos_range" -> (x21XpathPosRange _),
     "x20_xpath_num_pred" -> (x20XpathNumPredicate _),
     "x19_xpath_last_pred" -> (x19XpathLastPredicate _),
@@ -1071,6 +1129,7 @@ object XmlQueries {
     "x19_xpath_last_pred" -> x19Sql,
     "x20_xpath_num_pred" -> x20Sql,
     "x21_xpath_pos_range" -> x21Sql,
+    "x22_xpath_exists" -> x22Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

@@ -36,7 +36,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * attribute-equality
   * `[@a='v']`, existential child-value predicates `[q='v']`,
   * numeric attribute comparisons `[@a>5]` (`> < >= <= = !=`, unquoted
-  * numeric literal; XPath number() conversion with IEEE NaN semantics)
+  * numeric literal; XPath number() conversion with IEEE NaN semantics),
+  * existence predicates `[@a]` / `[q]` (present attribute / at least
+  * one child element of that name — any value, including empty)
   * (one predicate per step, enforced by the grammar), and a trailing
   * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
@@ -82,7 +84,8 @@ object XPathMini {
       predAttr: String = null, predVal: String = null,
       predChild: String = null,
       numOp: String = null, numVal: Double = 0.0,
-      posOp: String = null)
+      posOp: String = null,
+      existsAttr: String = null, existsChild: String = null)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -103,7 +106,9 @@ object XPathMini {
       """|\[@([A-Za-z_][\w.-]*)='([^']*)'\]""" +
       """|\[([A-Za-z_][\w.-]*)='([^']*)'\]""" +
       """|\[@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\]""" +
-      """|\[position\(\)(>=|<=|>|<)(\d+)\])?$""").r
+      """|\[position\(\)(>=|<=|>|<)(\d+)\]""" +
+      """|\[@([A-Za-z_][\w.-]*)\]""" +
+      """|\[([A-Za-z_][\w.-]*)\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
@@ -181,7 +186,7 @@ object XPathMini {
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
       case (StepRe(name, pos, lastG, pa, pav, pc, pcv, na, nop, nv,
-          pop, pk), desc) =>
+          pop, pk, exA, exC), desc) =>
         // the regex alternation guarantees at most ONE predicate per
         // step: positional [k] / [last()] / [position()>k] (ops
         // > < >= <=), attribute-equality [@a='v'], child-value
@@ -194,11 +199,13 @@ object XPathMini {
             numVal = nv.toDouble)
         else if (pop != null)
           Step(name, pk.toInt, desc, posOp = pop)
+        else if (exA != null) Step(name, p, desc, existsAttr = exA)
+        else if (exC != null) Step(name, p, desc, existsChild = exC)
         else Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
           "(subset: name|*, //name, [k], [last()], [@a='v'], [q='v'], " +
-          "[@a>5] and the other numeric comparisons, " +
+          "[@a>5] and the other numeric comparisons, [@a], [q], " +
           "trailing text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
@@ -351,7 +358,36 @@ object XPathMini {
         (step.predAttr == null ||
           attrEq(e, step.predAttr, step.predVal)) &&
         (step.predChild == null ||
-          childEq(e, step.predChild, step.predVal)))
+          childEq(e, step.predChild, step.predVal)) &&
+        (step.existsAttr == null || hasAttr(e, step.existsAttr)) &&
+        (step.existsChild == null || hasChild(e, step.existsChild)))
+
+  /** XPath 1.0 `[@a]` existence test: true iff the attribute is present
+    * (with ANY value, including empty — a present node-set is truthy). */
+  private def hasAttr(e: Elem, a: String): Boolean = {
+    if (e.attrs == null) return false
+    var k = 0
+    while (k < e.attrs.length) {
+      if (e.attrs(k)._1 == a) return true
+      k += 1
+    }
+    false
+  }
+
+  /** XPath 1.0 `[q]` existence test: true iff ANY child element is
+    * named `q` (non-empty node-set is truthy, value irrelevant —
+    * `<it><q/></it>` satisfies [q] even though q is empty). */
+  private def hasChild(e: Elem, name: String): Boolean = {
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case c: Elem if c.tag == name => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
 
   /** XPath 1.0 `[q='v']` existential child-value test: true iff ANY
     * child element named `q` has string-value exactly `v` (node-set =

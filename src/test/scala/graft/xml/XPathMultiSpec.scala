@@ -637,4 +637,49 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("/r/v[position()>1][2]") // one predicate per step
     }
   }
+
+  test("existence predicates [@a] / [q]: built-in parity, present-but-" +
+      "EMPTY attribute satisfies [@a], child presence ignores value, " +
+      "descendant-axis composition, grammar rejections") {
+    import spark.implicits._
+    // items: attributed+valued, bare (child only), EMPTY-attributed
+    // with a different child, attributed with no children, nested
+    val doc = "<r><it k='1'><q>A</q></it><it><q>B</q></it>" +
+      "<it k=''><n>C</n></it><it k='9'/><s><it><q>D</q></it></s></r>"
+    val paths = Seq("/r/it[@k]/q", "/r/it[q]/q", "/r/it[n]/q",
+      "//it[q]/q", "/r/it[zz]/q")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("A"),
+      "[@k] keeps attributed items (the empty-k item has no q; the " +
+        "q-less attributed item contributes nothing)")
+    assert(got(1) == Seq("A", "B"), "[q] ignores the attribute")
+    assert(got(2) == Seq(), "[n] item has no q child")
+    assert(got(3) == Seq("A", "B", "D"), "// composes with [q]")
+    assert(got(4) == Seq(), "absent child name never matches")
+    // the present-but-empty attribute IS selected by [@k] and its
+    // value extracts as '' through the @k terminal
+    val m2 = XPathMultiExpr.xpath_multi(col("x"), Seq("/r/it[@k]/@k"))
+    val vals = Seq(doc).toDF("x").select(m2.as("m")).collect()(0)
+      .getStruct(0).getSeq[String](0)
+    assert(vals == Seq("1", "", "9"),
+      "empty attribute value is present, not skipped")
+    // grammar: one predicate per step; text() is a terminal, not a
+    // predicate name
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@k][q]")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[text()]")
+    }
+  }
 }
