@@ -586,6 +586,46 @@ object Graph {
           col("deg_sum") * col("deg_sum")).as("q_num"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman, PRL 2002) over the UNDIRECTED simple
+    * graph: the Pearson correlation of endpoint degrees across edges —
+    * positive = hubs link to hubs (social-network shape), negative =
+    * hubs link to leaves (web/biology shape, and the signature of a
+    * spam farm's star). Computed over the symmetrized half-edge list,
+    * where both marginals are identical by construction, so
+    * r = (M·Σxy − (Σx)²) ∕ (M·Σx² − (Σx)²) with x, y the endpoint
+    * degrees of each half-edge and M the half-edge count. All sums are
+    * exact BIGINT integers (magnitudes ~M·deg² — far inside int64 for
+    * any graph this suite bench-scales to; at true web scale the same
+    * sums ride DECIMAL(38)); r is the ONE final float, both engines
+    * dividing exactly-equal integers. Degenerate regular graphs
+    * (den = 0) report r = NULL.
+    *
+    * Scale shape: degree agg (one shuffle), two degree joins onto the
+    * half-edge list (hash equi-joins on node id), one global partial
+    * agg to a single row. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym0 = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = sym0.union(sym0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val xy = sym.join(deg, "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .select(col("d").as("x"), col("dv").as("y"))
+    xy.agg(count(lit(1)).as("m2"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .select(col("m2"), col("sum_x"), col("sum_x2"), col("sum_xy"),
+        (col("m2") * col("sum_xy") - col("sum_x") * col("sum_x"))
+          .as("num"),
+        (col("m2") * col("sum_x2") - col("sum_x") * col("sum_x"))
+          .as("den"))
+      .withColumn("r", when(col("den") =!= 0,
+        col("num").cast("double") / col("den").cast("double")))
+  }
+
   /** Triangle count per node over an UNDIRECTED simple graph (the input
     * edge list is symmetrized and de-duplicated; self-loops dropped).
     *

@@ -8593,6 +8593,39 @@ object ExtensionQueries {
        |ORDER BY u, v""".stripMargin
   }
 
+  /** DEGREE ASSORTATIVITY ([[graft.operators.Graph.assortativity]]) —
+    * Newman's r over the link graph: do hubs link to hubs (r > 0, the
+    * social shape) or to leaves (r < 0, the web/star shape — and a spam
+    * farm's signature)? All moment sums exact BIGINT over the
+    * symmetrized half-edge list (identical marginals by construction,
+    * so r = (M·Σxy − (Σx)²)∕(M·Σx² − (Σx)²)); r is the one final
+    * float on exactly-equal integers, p23/p29 discipline. One degree
+    * agg + two hash equi-joins + a 1-row partial agg. */
+  def g16Assortativity(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.assortativity(linkEdges(sp, dir))
+
+  val g16Sql: String =
+    s"""WITH $linkEdgesSql,
+       |c AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM edges WHERE src <> dst),
+       |sym AS (SELECT u, v FROM c UNION ALL SELECT v, u FROM c),
+       |deg AS (SELECT u, count(*) AS d FROM sym GROUP BY 1),
+       |xy AS (SELECT a.d AS x, b.d AS y
+       |  FROM sym JOIN deg a ON a.u = sym.u JOIN deg b ON b.u = sym.v),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+       |    CAST(SUM(x) AS BIGINT) AS sum_x,
+       |    CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       |    CAST(SUM(x * y) AS BIGINT) AS sum_xy
+       |  FROM xy)
+       |SELECT m2, sum_x, sum_x2, sum_xy,
+       |  m2 * sum_xy - sum_x * sum_x AS num,
+       |  m2 * sum_x2 - sum_x * sum_x AS den,
+       |  CASE WHEN m2 * sum_x2 - sum_x * sum_x <> 0
+       |    THEN CAST(m2 * sum_xy - sum_x * sum_x AS DOUBLE)
+       |         / CAST(m2 * sum_x2 - sum_x * sum_x AS DOUBLE)
+       |    END AS r
+       |FROM s""".stripMargin
+
   /** Random-projection sketch ([[graft.operators.Ann.rpProject]]), 64→16
     * dims, with the JOHNSON-LINDENSTRAUSS DISTORTION GATE: for consecutive
     * vector pairs, ratio = ‖Pa−Pb‖² / (16·‖a−b‖²) must sit within ±0.5 of
@@ -10699,6 +10732,7 @@ object ExtensionQueries {
     "g13_scc" -> (g13Scc _),
     "g14_weighted_distance" -> (g14WeightedDistance _),
     "g15_ktruss" -> (g15Ktruss _),
+    "g16_assortativity" -> (g16Assortativity _),
     "m1_multimodal_decode" -> (m1Multimodal _),
     "m2_multimodal_resize" -> (m2MultimodalResize _),
     "m10_bmp_crop" -> (m10Crop _),
@@ -10901,6 +10935,7 @@ object ExtensionQueries {
     "g13_scc" -> g13Sql,
     "g14_weighted_distance" -> g14Sql,
     "g15_ktruss" -> g15Sql,
+    "g16_assortativity" -> g16Sql,
     "m1_multimodal_decode" -> m1Sql,
     "m2_multimodal_resize" -> m2Sql,
     "m10_bmp_crop" -> m10Sql,

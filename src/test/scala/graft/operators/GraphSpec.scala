@@ -343,4 +343,23 @@ class GraphSpec extends AnyFunSuite {
     val after2 = Graph.kTruss(e, k = 5, rounds = 2).collect()
     assert(after2.isEmpty)
   }
+
+  test("assortativity: star is maximally disassortative, regular ring " +
+      "is degenerate (NULL), hand-checked path graph") {
+    // star 0-{1,2,3}: every edge pairs deg 3 with deg 1 -> r = -1
+    val star = edges(0L -> 1L, 0L -> 2L, 0L -> 3L)
+    val rs = Graph.assortativity(star).collect()(0)
+    assert(rs.getDouble(6) === -1.0)
+    // 4-ring: all degrees 2 -> den = 0 -> NULL
+    val ring = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val rr = Graph.assortativity(ring).collect()(0)
+    assert(rr.getLong(5) === 0L && rr.isNullAt(6))
+    // path 1-2-3: half-edges (x,y) = (1,2),(2,1),(2,1),(1,2);
+    // M=4, sum_x=6, sum_x2=10, sum_xy=8 -> r=(32-36)/(40-36)=-1
+    val path = edges(1L -> 2L, 2L -> 3L)
+    val rp = Graph.assortativity(path).collect()(0)
+    assert((rp.getLong(0), rp.getLong(1), rp.getLong(2), rp.getLong(3))
+      === ((4L, 6L, 10L, 8L)))
+    assert(rp.getDouble(6) === -1.0)
+  }
 }
