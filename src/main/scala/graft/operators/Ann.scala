@@ -149,6 +149,30 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** MULTI-ASSIGNMENT IVF index: every corpus vector is posted to its
+    * `na` nearest cells instead of one — the FAISS "spilled postings" /
+    * multiple-assignment trick: a vector near a Voronoi boundary is
+    * findable from EITHER side, so recall at a fixed nprobe rises
+    * strictly (the candidate set is a superset of single-assignment's
+    * by construction) at the cost of `na`× index storage and build
+    * cost. Same map-side shape as [[ivfIndex]] — scan, score the
+    * driver-held centroid seq, explode the top-na cells; no Exchange
+    * between the corpus scan and the postings. Search composes through
+    * [[ivfTopKOnIndex]] unchanged (cell equi-join on the probed cids;
+    * at nprobe = 1 a vector meets a query at most once, and at higher
+    * nprobe the rank window's (sim, id) order keeps duplicate
+    * candidate rows adjacent and deterministic). */
+  def ivfIndexMulti(corpus: DataFrame, centroids: DataFrame,
+      na: Int): DataFrame = {
+    require(na >= 1, "na must be >= 1")
+    val cents = centroidSeq(centroids)
+    corpus.withColumn("__nv", Vectors.norm2(col("vec")))
+      .withColumn("__cell", explode(slice(reverse(array_sort(
+        centScores(col("vec"), col("__nv"), cents))), 1, na)))
+      .select(col("id"), col("vec"), col("__nv"),
+        (-col("__cell.ncid")).as("cid"))
+  }
+
   /** [[ivfTopK]] over a PRE-BUILT postings table (id, vec, __nv, cid) —
     * the persisted-index form: the index is built once ([[ivfIndex]]
     * written to storage partitioned by cell) and EXTENDED per increment

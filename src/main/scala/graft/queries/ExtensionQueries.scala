@@ -4559,6 +4559,97 @@ object ExtensionQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** MULTI-ASSIGNMENT IVF ([[graft.operators.Ann.ivfIndexMulti]]) — the
+    * FAISS "spilled postings" trick measured head-to-head: the corpus
+    * indexed once normally and once with each vector posted to its TWO
+    * nearest cells, both searched at nprobe = 1, recall@3 vs the exact
+    * truth. A vector near a Voronoi boundary is findable from either
+    * side, so the na=2 candidate set is a SUPERSET of na=1's by
+    * construction (spec-pinned) — recall can only rise — and the gate
+    * reports the price alongside: n_postings doubles. Floors from the
+    * measured tri-SF band (na1 0.27-0.47, na2 0.40-0.60 on this
+    * near-orthogonal corpus at nprobe=1). Both indexes materialize to
+    * scratch once (count + search read them); probe selection stays
+    * map-side; the only shuffles are the cell equi-join and the
+    * qid-partitioned rank window. */
+  private val A28Methods = Seq(("ivf_na1", 1, 0.25), ("ivf_na2", 2, 0.35))
+
+  def a28IvfMultiAssign(sp: SparkSession, dir: String): DataFrame = {
+    val truthDir = graft.Tables.scratchDir("graft-a28-truth")
+    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val e = embeddings(sp, dir)
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    A28Methods.map { case (name, na, floor) =>
+      val postDir = graft.Tables.scratchDir(s"graft-a28-$name")
+      graft.operators.Ann.ivfIndexMulti(corpus, centroids, na)
+        .write.mode("overwrite").parquet(postDir)
+      val post = sp.read.parquet(postDir)
+      val res = graft.operators.Ann
+        .ivfTopKOnIndex(qs, post, centroids, k = 3, nprobe = 1)
+      truth.join(res.select(col("qid"), col("neighbor")),
+          Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .crossJoin(broadcast(post.agg(count(lit(1)).as("n_postings"))))
+        .select(lit(name).as("method"), lit(na).as("na"),
+          col("n_postings"), col("n_hits"), col("n_truth"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"),
+          lit(floor).as("floor"),
+          (col("n_hits").cast("double") / col("n_truth") >= floor)
+            .as("recall_ok"))
+    }.reduce(_ union _).orderBy("method")
+  }
+
+  val a28Sql: String = {
+    val methodRows = A28Methods
+      .map { case (m, na, f) => s"('$m', $na, CAST($f AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |truth AS (SELECT qid, neighbor FROM ($a1Sql) WHERE rank <= 3),
+       |probes AS (SELECT id AS qid, vec AS qvec, cid FROM asg
+       |  WHERE id < 5 AND rn = 1),
+       |methods(method, na, floor) AS (VALUES $methodRows),
+       |res AS (
+       |  SELECT m.method, p.qid, c.id
+       |  FROM methods m
+       |  JOIN asg c ON c.rn <= m.na
+       |  JOIN probes p ON c.cid = p.cid
+       |  WHERE c.id <> p.qid
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY m.method, p.qid
+       |    ORDER BY ${cosSql("p.qvec", "c.vec")} DESC, c.id) <= 3),
+       |h AS (SELECT method, count(*) AS n_hits FROM res
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = res.qid AND t.neighbor = res.id)
+       |  GROUP BY method),
+       |np AS (SELECT m.method, count(*) AS n_postings
+       |  FROM methods m JOIN asg a ON a.rn <= m.na GROUP BY 1),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT m.method, CAST(m.na AS INT) AS na, np.n_postings,
+       |  coalesce(h.n_hits, 0) AS n_hits, tt.n_truth,
+       |  round(coalesce(h.n_hits, 0)::DOUBLE / tt.n_truth, 4) AS recall,
+       |  m.floor,
+       |  (coalesce(h.n_hits, 0)::DOUBLE / tt.n_truth >= m.floor)
+       |    AS recall_ok
+       |FROM methods m JOIN np ON np.method = m.method
+       |LEFT JOIN h ON h.method = m.method CROSS JOIN tt
+       |ORDER BY 1""".stripMargin
+  }
+
   // ======================= multimodal =======================
 
   /** Real container decode round-trip: docs become actual BMPs
@@ -10808,6 +10899,7 @@ object ExtensionQueries {
     "a24_knn_probe" -> (a24KnnProbe _),
     "a26_nprobe_curve" -> (a26NprobeCurve _),
     "a27_ivf_delete" -> (a27IvfDelete _),
+    "a28_ivf_multi_assign" -> (a28IvfMultiAssign _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -11016,6 +11108,7 @@ object ExtensionQueries {
     "a24_knn_probe" -> a24Sql,
     "a26_nprobe_curve" -> a26Sql,
     "a27_ivf_delete" -> a27Sql,
+    "a28_ivf_multi_assign" -> a28Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,

@@ -328,6 +328,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ivfIndexMulti: na=1 equals ivfIndex, na=2 postings are a strict " +
+      "superset containing every vector's top-2 cells, zero-shuffle") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val one = Ann.ivfIndexMulti(corpus, centroids, 1)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = Ann.ivfIndex(corpus, centroids)
+      .select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSet === base.toSet, "na=1 degenerates to single-assignment")
+    val two = Ann.ivfIndexMulti(corpus, centroids, 2)
+    two.count()
+    assert(collectShuffles(two.queryExecution.executedPlan).isEmpty,
+      "multi-assignment must stay map-side")
+    val twoSet = two.select("id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.toSet.subsetOf(twoSet),
+      "na=2 postings must contain every na=1 posting")
+    assert(twoSet.size === 2 * base.length,
+      "every vector posts to exactly 2 distinct cells")
+  }
+
   test("minhashCandidates: maxBucket drops hot LSH buckets, plumbed E2E") {
     import spark.implicits._
     // 20 identical docs -> every band bucket holds all 20
