@@ -55,4 +55,19 @@ object CmsAgg {
   def estimate(bytes: Array[Byte], item: String): Long =
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
       .estimateCount(item)
+
+  /** Counter-wise sum of serialized sketches (same eps/delta/seed) —
+    * the epoch-merge used by [[graft.streaming.StreamOps.cmsEpochSink]].
+    * Associative and commutative but NOT idempotent: a replayed blob
+    * doubles its counts, which is why the streaming sink must make
+    * epochs idempotent by partition overwrite before this fold. */
+  def mergeBytes(blobs: Seq[Array[Byte]]): Array[Byte] = {
+    require(blobs.nonEmpty, "mergeBytes needs at least one sketch")
+    val merged = blobs.map(b =>
+        CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = new ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
 }

@@ -7704,6 +7704,76 @@ object ExtensionQueries {
       |GROUP BY r.event_type, e.exact_distinct
       |ORDER BY r.event_type""".stripMargin
 
+  /** STREAMING CMS MAINTENANCE ([[graft.streaming.StreamOps
+    * .cmsEpochSink]]) — the deliberate NON-IDEMPOTENT-merge contrast to
+    * s37's HLL registers: each epoch of the 1/16 events bus
+    * (event_id % 16 = 10, 3 micro-batches) writes ONE serialized
+    * count-min sketch into its idempotent batch_id partition, and the
+    * epoch fold is counter-wise ADD — associative, commutative, but a
+    * replayed epoch would DOUBLE its counts, so exactly-once rests
+    * ENTIRELY on the partition-overwrite recipe, which the gate
+    * exercises live with an injected torn epoch (crash after epoch 1's
+    * write, before its checkpoint commit; the restart replays the same
+    * id over its own partition). Because counter-add commutes and
+    * epochs partition the stream, the merged sketch must equal the
+    * single-pass batch sketch — `merged_eq_batch` pins estimate
+    * equality on every probe key (an append-mode sink fails it), and
+    * `bound_ok` pins the CMS contract est ∈ [exact, exact + eps·N].
+    * Per-epoch state is one d×w grid; history never rescanned. */
+  def s38CmsStreamIngest(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    val ev = events(s2, dir).filter(col("event_id") % 16 === 10)
+      .select(col("user_id").cast("string").as("u"))
+    require(ev.limit(6).count() >= 6,
+      "s38: the event_id % 16 = 10 bus slice has < 6 rows — fixture " +
+        "too small for the pinned 3-batch ingest")
+    val inDir = graft.Tables.scratchDir("graft-s38-in")
+    ev.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s38: producer wrote $nFiles non-empty part files, expected 6 — " +
+        "the pinned 3-epoch coverage would diverge")
+    val changes = s2.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val outDir = graft.Tables.scratchDir("graft-s38-cms")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try graft.streaming.StreamOps.cmsEpochSink(changes, col("u"), outDir,
+      eps = 1e-4, delta = 0.99, seed = 42, failAt = 1L)
+    finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    val epochs = s2.read.parquet(outDir)
+    val nB = epochs.agg(countDistinct(col("batch_id")).as("n_batches"))
+    val mergedBytes = graft.functions.CmsAgg.mergeBytes(
+      epochs.select(col("sk")).collect().map(_.getAs[Array[Byte]](0))
+        .toSeq)
+    val batchBytes = ev
+      .agg(graft.functions.CmsAgg.cmsSketch(1e-4, 0.99, 42)(col("u"))
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val totals = ev.agg(count(lit(1)).as("n_total"))
+    def est(bytes: Array[Byte]) =
+      graft.functions.CmsEstimateExpr.cms_estimate(col("u"), bytes)
+    ev.groupBy(col("u")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("u")).limit(5)
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nB))
+      .select(col("u"), col("exact_cnt"), col("n_batches"),
+        (est(mergedBytes) === est(batchBytes)).as("merged_eq_batch"),
+        est(mergedBytes).between(col("exact_cnt"),
+          col("exact_cnt") + ceil(col("n_total") * 1e-4)).as("bound_ok"))
+      .orderBy(col("exact_cnt").desc, col("u"))
+  }
+
+  val s38Sql: String =
+    """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
+      |  WHERE event_id % 16 = 10)
+      |SELECT u, count(*) AS exact_cnt, CAST(3 AS BIGINT) AS n_batches,
+      |  TRUE AS merged_eq_batch, TRUE AS bound_ok
+      |FROM ev GROUP BY u
+      |ORDER BY exact_cnt DESC, u LIMIT 5""".stripMargin
+
   /** dropDuplicatesWithinWatermark — Spark 4's BOUNDED-STATE streaming
     * dedup (the API leg s13's unbounded dropDuplicates doesn't cover):
     * key state lives only `delay` past its event time, so the store
@@ -10950,6 +11020,7 @@ object ExtensionQueries {
     "s33_dual_sink" -> (s33DualSink _),
     "s34_ivf_stream_ingest" -> (s34IvfStreamIngest _),
     "s37_hll_stream_ingest" -> (s37HllStreamIngest _),
+    "s38_cms_stream_ingest" -> (s38CmsStreamIngest _),
     "s35_dedup_within_watermark" -> (s35DedupWithinWatermark _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
@@ -11159,6 +11230,7 @@ object ExtensionQueries {
     "s33_dual_sink" -> s33Sql,
     "s34_ivf_stream_ingest" -> s34Sql,
     "s37_hll_stream_ingest" -> s37Sql,
+    "s38_cms_stream_ingest" -> s38Sql,
     "s35_dedup_within_watermark" -> s35Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,

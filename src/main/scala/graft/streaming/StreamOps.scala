@@ -1018,6 +1018,53 @@ object StreamOps {
     }
   }
 
+  /** foreachBatch sink maintaining a count-min sketch INCREMENTALLY:
+    * each epoch's events aggregate into ONE serialized CMS blob
+    * ([[graft.functions.CmsAgg]]) written under an idempotent
+    * `batch_id=<id>` partition with overwrite. The deliberate CONTRAST
+    * to [[hllRegisterSink]]: CMS epoch merge is counter-wise ADD —
+    * associative and commutative but NOT idempotent, so a replayed
+    * epoch would DOUBLE its counts if it appended; exactly-once must
+    * come from the partition-overwrite recipe alone, which is exactly
+    * what `failAt` exercises (crash after the epoch's write, before
+    * its checkpoint commit; the restart replays the same id over its
+    * own partition). Because counter-add commutes and epochs partition
+    * the stream, the merged sketch equals the single-pass batch sketch
+    * COUNTER-FOR-COUNTER — gate s38 pins estimate equality on every
+    * probe key. Per-epoch state is one d×w grid; history is never
+    * rescanned. */
+  def cmsEpochSink(changes: DataFrame,
+      value: org.apache.spark.sql.Column, outDir: String,
+      eps: Double, delta: Double, seed: Int, failAt: Long = -1L): Unit = {
+    val ckpt = graft.Tables.scratchDir("graft-cmsingest-ckpt")
+    var armed = failAt >= 0
+    def run(): Unit = {
+      val q = changes.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.agg(graft.functions.CmsAgg.cmsSketch(eps, delta, seed)(
+              value).as("sk"))
+            .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+          if (armed && id == failAt) {
+            armed = false
+            throw new RuntimeException(
+              s"injected post-write crash in epoch $id")
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try run() catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException
+        if failAt >= 0 && !armed => // the injected tear; others propagate
+    }
+    if (failAt >= 0) {
+      require(!armed, "the injected crash never fired — failAt epoch " +
+        "was not reached, the tear was not exercised")
+      run() // torn epoch replays under the same id; overwrite absorbs it
+    }
+  }
+
   /** foreachBatch sink maintaining a [[graft.operators.Sketches
     * .portableHllState]] register table INCREMENTALLY: each epoch's
     * registers land in their own `batch_id=<id>` partition with
