@@ -2459,6 +2459,67 @@ object Relational {
       |    AS BIGINT) AS n_new_both
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AGGREGATE-OVER-JOIN MAINTENANCE — the SPJA materialized-view
+    * composition q27 (agg over one table) and q51 (join rows) each
+    * cover half of: the summary table `revenue per nation over
+    * orders⋈customer` maintained STATE-SIZED. The stored artifact is
+    * ONLY the aggregate state ([[graft.operators.Ivm.aggState]] over
+    * the base join, |nations| rows on scratch parquet) — at 100 TB the
+    * joined rows are never stored and never rescanned; a delta batch
+    * on BOTH sides (orders % 43 = 0, customers % 59 = 0) flows through
+    * the three delta-sided joins ([[graft.operators.Ivm.joinDelta]] —
+    * every term |Δ|-sized with broadcast delta), aggregates to a
+    * Δ-state, and merges into the stored state by state-sized
+    * arithmetic ([[graft.operators.Ivm.mergeStates]]; count/sum are
+    * abelian, min/max mergeable under this insert-only batch). The
+    * oracle recomputes the aggregate from the COMPLETE tables, so the
+    * hash match proves the whole composition; cnt_from_delta reports
+    * the Δ-state's contribution per group — the number that sizes a
+    * maintenance run. */
+  def q58IvmJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val L = orders(s, d).select(col("o_custkey").as("k"),
+      col("o_orderkey"), (dec(col("o_totalprice")) * 100).cast("long")
+        .as("cents"))
+    val Rc = customer(s, d).select(col("c_custkey").as("k"),
+      col("c_nationkey"))
+    val dl = col("o_orderkey") % 43 === 0
+    val dr = col("k") % 59 === 0
+    val stateDir = graft.Tables.scratchDir("graft-q58-state")
+    graft.operators.Ivm.aggState(
+        L.filter(!dl).join(Rc.filter(!dr), "k"),
+        col("c_nationkey"), col("cents"))
+      .write.mode("overwrite").parquet(stateDir)
+    val stored = s.read.parquet(stateDir)
+    val deltaState = graft.operators.Ivm.aggState(
+      graft.operators.Ivm.joinDelta(
+        L.filter(!dl), Rc.filter(!dr), L.filter(dl), Rc.filter(dr), "k"),
+      col("c_nationkey"), col("cents"))
+    val merged = graft.operators.Ivm.mergeStates(Seq(stored, deltaState))
+    merged
+      .join(deltaState.select(col("grp"),
+        col("cnt").as("cnt_from_delta")), Seq("grp"), "left")
+      .select(col("grp").as("nationkey"), col("cnt"),
+        col("sum_v").as("cents"), col("min_v").as("min_cents"),
+        col("max_v").as("max_cents"),
+        coalesce(col("cnt_from_delta"), lit(0L)).as("cnt_from_delta"))
+      .orderBy("nationkey")
+  }
+
+  val q58Sql: String =
+    """WITH j AS (SELECT o.o_orderkey, o.o_custkey AS k,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    c.c_nationkey
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+      |SELECT c_nationkey AS nationkey,
+      |  CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS max_cents,
+      |  CAST(count(*) FILTER (o_orderkey % 43 = 0 OR k % 59 = 0)
+      |    AS BIGINT) AS cnt_from_delta
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -2713,6 +2774,7 @@ object Relational {
     "q51_ivm_join" -> (q51IvmJoin _),
     "q55_ivm_retract" -> (q55IvmRetract _),
     "q56_ivm_join_retract" -> (q56IvmJoinRetract _),
+    "q58_ivm_join_agg" -> (q58IvmJoinAgg _),
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _))
@@ -2782,6 +2844,7 @@ object Relational {
     "q51_ivm_join" -> q51Sql,
     "q55_ivm_retract" -> q55Sql,
     "q56_ivm_join_retract" -> q56Sql,
+    "q58_ivm_join_agg" -> q58Sql,
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql)

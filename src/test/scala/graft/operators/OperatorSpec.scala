@@ -252,6 +252,28 @@ class OperatorSpec extends AnyFunSuite {
       "delta terms should broadcast the delta side")
   }
 
+  test("q58 agg-over-join maintenance: stored state + delta-state merge " +
+      "equals the full recompute, and the stored artifact is " +
+      "group-sized") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val L0 = Seq((1L, 10L), (2L, 20L), (1L, 11L)).toDF("k", "v")
+    val R0 = Seq((1L, 7L), (2L, 7L), (3L, 9L)).toDF("k", "g")
+    val dL = Seq((3L, 30L), (1L, 12L)).toDF("k", "v")
+    val dR = Seq((4L, 9L)).toDF("k", "g")
+    val stored = Ivm.aggState(L0.join(R0, "k"), col("g"), col("v"))
+    val deltaState = Ivm.aggState(
+      Ivm.joinDelta(L0, R0, dL, dR, "k"), col("g"), col("v"))
+    val merged = Ivm.mergeStates(Seq(stored, deltaState))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val full = Ivm.aggState(
+        L0.union(dL).join(R0.union(dR), "k"), col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(merged === full)
+    // state-sized artifact: one row per group, not per joined row
+    assert(stored.count() <= 2)
+  }
+
   test("q52 fingerprint: order-independent (shuffled copy matches), " +
       "single-row sensitive, count-carrying") {
     val r = graft.queries.Relational
