@@ -852,6 +852,49 @@ object Multimodal {
     Some(out)
   }
 
+  /** SOBEL EDGE ENERGY of a 24bpp BMP — the classic first feature a
+    * vision pipeline extracts (blur/blank detection, quality screens):
+    * integer grayscale (b+g+r)/3 per pixel, the 3×3 Sobel kernels
+    * Gx = [[-1,0,1],[-2,0,2],[-1,0,1]] and its transpose over every
+    * INTERIOR pixel, energy = Σ(|gx|+|gy|). All-integer convolution,
+    * so a SQL oracle replays every tap. Images with no interior
+    * (width or height < 3) report 0 energy over 0 interior pixels.
+    * Returns (width, height, n_interior, energy); None for non-BMP. */
+  def sobelEnergyBmp(m: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val row = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + row.toLong * h) return None
+    def luma(y: Int, x: Int): Int = {
+      val s = dataOff + y * row + x * 3
+      ((m(s) & 0xff) + (m(s + 1) & 0xff) + (m(s + 2) & 0xff)) / 3
+    }
+    var energy = 0L
+    var n = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = luma(y - 1, x + 1) + 2 * luma(y, x + 1) +
+          luma(y + 1, x + 1) - luma(y - 1, x - 1) -
+          2 * luma(y, x - 1) - luma(y + 1, x - 1)
+        val gy = luma(y + 1, x - 1) + 2 * luma(y + 1, x) +
+          luma(y + 1, x + 1) - luma(y - 1, x - 1) -
+          2 * luma(y - 1, x) - luma(y - 1, x + 1)
+        energy += math.abs(gx) + math.abs(gy)
+        n += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, n, energy))
+  }
+
   def bumpFirstPixelByte(m: Array[Byte], delta: Int): Option[Array[Byte]] = {
     if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
     val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)

@@ -4938,6 +4938,60 @@ object ExtensionQueries {
        |FROM eq GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
   }
 
+  /** SOBEL EDGE ENERGY ([[Multimodal.sobelEnergyBmp]]) — the classic
+    * first vision feature (blur/blank screens threshold it): integer
+    * luma, both 3×3 Sobel kernels over every INTERIOR pixel, energy =
+    * Σ(|gx|+|gy|) — an all-integer convolution, so the oracle replays
+    * EVERY tap (9 luma lookups × 2 kernels per pixel) from the
+    * blob-fill formula; fixture heights run 1..7, so the no-interior
+    * degenerate (height < 3 → 0 energy over 0 pixels) is exercised
+    * live. Per-doc map work, zero shuffle; the oracle's only explode
+    * is the interior pixel grid. */
+  def m22SobelEnergy(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.sobelEnergyBmp(r.media).map { case (w, h, n, e) =>
+          (r.doc_id, w, h, n, e)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_interior", "edge_energy")
+      .orderBy("doc_id")
+  }
+
+  val m22Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def lum(dy: Int, dx: Int): String = {
+      def b(c: Int) =
+        s"('0x' || substr(hx, 2 * (((ty.y + ${dy}) * src_row + " +
+          s"(tx.x + ${dx}) * 3 + $c) % len) + 1, 2))::BIGINT"
+      s"((${b(0)} + ${b(1)} + ${b(2)}) // 3)"
+    }
+    val gx = s"(${lum(-1, 1)} + 2 * ${lum(0, 1)} + ${lum(1, 1)} " +
+      s"- ${lum(-1, -1)} - 2 * ${lum(0, -1)} - ${lum(1, -1)})"
+    val gy = s"(${lum(1, -1)} + 2 * ${lum(1, 0)} + ${lum(1, 1)} " +
+      s"- ${lum(-1, -1)} - 2 * ${lum(-1, 0)} - ${lum(-1, 1)})"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |g AS (SELECT p.doc_id,
+       |    abs($gx) + abs($gy) AS en
+       |  FROM p, unnest(range(1, p.src_h - 1)) ty(y),
+       |    unnest(range(1, p.src_w - 1)) tx(x)),
+       |s AS (SELECT doc_id, count(*) AS n_interior,
+       |    SUM(en) AS edge_energy
+       |  FROM g GROUP BY 1)
+       |SELECT p.doc_id, CAST(p.src_w AS INT) AS width,
+       |  CAST(p.src_h AS INT) AS height,
+       |  CAST(coalesce(s.n_interior, 0) AS BIGINT) AS n_interior,
+       |  CAST(coalesce(s.edge_energy, 0) AS BIGINT) AS edge_energy
+       |FROM p LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** REAL BMP crop ([[Multimodal.cropBmp]]) — the augmentation pair to
     * m2's resize (random-crop + resize is the standard image-pretraining
     * transform): a 2×3 window anchored at (doc_id % w, doc_id % h),
@@ -5530,6 +5584,71 @@ object ExtensionQueries {
       |  round(mn + (CAST(bin AS DOUBLE) * (mx - mn)) / 20.0, 6) AS lo,
       |  round(mn + ((CAST(bin AS DOUBLE) + 1.0) * (mx - mn)) / 20.0, 6) AS hi
       |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin
+
+  /** BURSTINESS INDEX (Goh & Barabási, EPL 2008) — B = (σ−μ)/(σ+μ) of
+    * per-user inter-event gaps, per event type: the bot/anomaly signal
+    * a rate threshold misses. B ≈ 0 for Poisson arrivals, → −1 for a
+    * metronome (bots, cron), → +1 for extreme burst-silence cycles
+    * (scrapers, incident storms). Identity used:
+    * B = (√D − Σg) ∕ (√D + Σg) with D = n·Σg² − (Σg)², so everything
+    * up to ONE final √/division is exact integer arithmetic. Gaps are
+    * HOUR-floored (µs div 3.6e9) deliberately: at second granularity
+    * D overflows int64 AND the double-exact range on this fixture
+    * (measured ~10¹⁹); hour floors keep D ≈ 10¹² — exact in both the
+    * BIGINT and the double it converts to, so the final float is
+    * bit-identical cross-engine. Scale shape: the lag window is
+    * per-(type, user) — bounded by one user's history, the p22
+    * discipline, never a global sort — then one partial agg to the
+    * |types| domain. */
+  def p30Burstiness(sp: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events(sp, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap",
+        expr("(us - lag(us) over (partition by event_type, user_id " +
+          "order by us, event_id)) div 3600000000"))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap_h"),
+        sum(col("gap") * col("gap")).as("sum_gap_h2"))
+      .withColumn("d",
+        col("n_gaps") * col("sum_gap_h2") -
+          col("sum_gap_h") * col("sum_gap_h"))
+      .withColumn("burstiness",
+        when(sqrt(col("d").cast("double")) +
+            col("sum_gap_h").cast("double") =!= 0.0,
+          (sqrt(col("d").cast("double")) -
+            col("sum_gap_h").cast("double")) /
+            (sqrt(col("d").cast("double")) +
+              col("sum_gap_h").cast("double"))))
+      .orderBy("event_type")
+  }
+
+  val p30Sql: String =
+    """WITH e AS (SELECT event_type, user_id, event_id,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |g AS (SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY event_type, user_id
+      |       ORDER BY us, event_id)) // 3600000000 AS gap
+      |  FROM e QUALIFY gap IS NOT NULL),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gap) AS BIGINT) AS sum_gap_h,
+      |    CAST(SUM(gap * gap) AS BIGINT) AS sum_gap_h2
+      |  FROM g GROUP BY 1)
+      |SELECT event_type, n_gaps, sum_gap_h, sum_gap_h2,
+      |  CAST(n_gaps * sum_gap_h2 - sum_gap_h * sum_gap_h AS BIGINT) AS d,
+      |  CASE WHEN sqrt(CAST(n_gaps * sum_gap_h2 - sum_gap_h * sum_gap_h
+      |      AS DOUBLE)) + CAST(sum_gap_h AS DOUBLE) <> 0
+      |    THEN (sqrt(CAST(n_gaps * sum_gap_h2 - sum_gap_h * sum_gap_h
+      |        AS DOUBLE)) - CAST(sum_gap_h AS DOUBLE))
+      |      / (sqrt(CAST(n_gaps * sum_gap_h2 - sum_gap_h * sum_gap_h
+      |        AS DOUBLE)) + CAST(sum_gap_h AS DOUBLE))
+      |    END AS burstiness
+      |FROM s ORDER BY event_type""".stripMargin
 
   /** KENDALL τ-b RANK CORRELATION — the concordance test beside p23's
     * Pearson autocorrelation and p28's MWU: do daily revenue and daily
@@ -10908,6 +11027,7 @@ object ExtensionQueries {
     "m19_bilinear_resize" -> (m19BilinearResize _),
     "m20_letterbox_resize" -> (m20LetterboxResize _),
     "m21_hist_equalize" -> (m21HistEqualize _),
+    "m22_sobel_energy" -> (m22SobelEnergy _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -11051,7 +11171,8 @@ object ExtensionQueries {
     "p26_ab_test" -> (p26AbTest _),
     "p27_chi2_drift" -> (p27Chi2Drift _),
     "p28_mwu_drift" -> (p28MwuDrift _),
-    "p29_kendall_tau" -> (p29KendallTau _))
+    "p29_kendall_tau" -> (p29KendallTau _),
+    "p30_burstiness" -> (p30Burstiness _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -11113,6 +11234,7 @@ object ExtensionQueries {
     "m19_bilinear_resize" -> m19Sql,
     "m20_letterbox_resize" -> m20Sql,
     "m21_hist_equalize" -> m21Sql,
+    "m22_sobel_energy" -> m22Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,
@@ -11261,5 +11383,6 @@ object ExtensionQueries {
     "p26_ab_test" -> p26Sql,
     "p27_chi2_drift" -> p27Sql,
     "p28_mwu_drift" -> p28Sql,
-    "p29_kendall_tau" -> p29Sql)
+    "p29_kendall_tau" -> p29Sql,
+    "p30_burstiness" -> p30Sql)
 }

@@ -1356,6 +1356,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.equalizeBmp(Array[Byte](1, 2)).isEmpty)
   }
 
+  test("m22 sobelEnergyBmp: vertical step edge hand-computed, flat " +
+      "image zero, no-interior degenerate, refusal") {
+    import graft.operators.Multimodal
+    // 4x3 image, step edge: columns 0-1 gray 0, columns 2-3 gray 90
+    // (all channels equal). Interior pixels: (1,1) and (1,2).
+    // luma row: 0 0 90 90
+    // (1,1): gx = [r(-1,+1)+2r(0,+1)+r(1,+1)] - [..x-1..] = 4*90 - 0 =
+    //   360; gy = 0 -> 360. (1,2): gx = 4*90 - 0 = 360; gy = 0.
+    val fill = Array.tabulate[Byte](3 * 12) { i =>
+      val x = (i % 12) / 3
+      if (x < 2) 0 else 90
+    }
+    val bmp = Multimodal.buildBmp(4, 3, fill)
+    val Some((w, h, n, e)) = Multimodal.sobelEnergyBmp(bmp)
+    assert((w, h, n) === ((4, 3, 2L)))
+    assert(e === 720L)
+    // flat image: zero energy
+    val flat = Multimodal.buildBmp(4, 3, Array.fill[Byte](36)(55))
+    assert(Multimodal.sobelEnergyBmp(flat).get._4 === 0L)
+    // 2-wide image: no interior
+    val thin = Multimodal.buildBmp(2, 5, Array.fill[Byte](40)(9))
+    assert(Multimodal.sobelEnergyBmp(thin).get === ((2, 5, 0L, 0L)))
+    assert(Multimodal.sobelEnergyBmp(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("p30 burstiness formula: metronome gaps give B = -1, gate " +
+      "matches an in-memory recompute on sf0.001") {
+    // metronome identity: equal gaps -> D = n*n*g^2 - (n*g)^2 = 0 ->
+    // B = (0 - Sg)/(0 + Sg) = -1 exactly
+    val g = 7L; val n = 5L
+    val sg = n * g; val sg2 = n * g * g
+    val d = n * sg2 - sg * sg
+    assert(d === 0L)
+    assert((math.sqrt(d.toDouble) - sg) / (math.sqrt(d.toDouble) + sg)
+      === -1.0)
+    // gate vs reference on the fixture
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy(_._1).map { case (tpe, es) =>
+      val gaps = es.groupBy(_._2).values.flatMap { ue =>
+        val o = ue.sortBy(e => (e._4, e._3)).map(_._4)
+        o.sliding(2).filter(_.length == 2)
+          .map(p => (p(1) - p(0)) / 3600000000L)
+      }.toSeq
+      val nn = gaps.length.toLong
+      val sgg = gaps.sum
+      val sg2g = gaps.map(x => x * x).sum
+      val dd = nn * sg2g - sgg * sgg
+      tpe -> ((nn, sgg, sg2g, dd,
+        (math.sqrt(dd.toDouble) - sgg) / (math.sqrt(dd.toDouble) + sgg)))
+    }
+    val got = graft.queries.ExtensionQueries
+      .queries("p30_burstiness")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (t, wv) => assert(got(t) === wv, t) }
+  }
+
   test("t51 unigram: Viterbi picks max-product boundaries, an exact " +
       "double tie prefers the longer piece, EM keeps the vocab spine " +
       "with Laplace floor, DataFrame seg byte-identical to the " +
