@@ -8198,6 +8198,73 @@ object ExtensionQueries {
       |      AND v.ts <= p.ts + INTERVAL 30 MINUTE)
       |ORDER BY user_id, purchase_event, view_event""".stripMargin
 
+  /** Stream-stream FULL OUTER time-interval join ([[graft.streaming
+    * .StreamOps.streamStreamIntervalJoin]] with joinType = full_outer) —
+    * the one interval-join leg s36 (left outer) leaves untested, and
+    * the shape reconciliation pipelines need: EVERY purchase and EVERY
+    * view surfaces exactly once, matched when the view falls in
+    * [purchase − 4 h, purchase + 30 min], null-extended otherwise —
+    * unmatched LEFT rows emit once both watermarks clear their match
+    * window's end (ts + 30 min), unmatched RIGHT rows once the horizon
+    * clears theirs (rts + 4 h — the inverse window's end), and rows
+    * still inside the horizon when a finite input ends stay pending
+    * (the oracle accounts for both tails explicitly, s36 discipline;
+    * per-side watermarks are asymmetric like s36's). State is bounded
+    * by watermark + interval on both sides exactly as in the
+    * inner/left forms. */
+  def s39IntervalFullOuter(sp: SparkSession, dir: String): DataFrame = {
+    val name = "s39_ivfo_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    def side(t: String) = graft.streaming.StreamOps.eventsStream(sp, dir)
+      .filter(col("event_type") === t)
+    val purchases = side("purchase")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("purchase_event"))
+    val views = side("view")
+      .select(col("user_id").as("rkey"), col("ts").as("rts"),
+        col("event_id").as("view_event"))
+    val joined = graft.streaming.StreamOps.streamStreamIntervalJoin(
+      purchases, views, leftWatermark = "30 minutes",
+      rightWatermark = "2 hours", before = "4 hours",
+      after = "30 minutes", joinType = "full_outer")
+    graft.streaming.StreamOps.runToMemory(sp, joined, name, "append")
+      .select(coalesce(col("key"), col("rkey")).as("user_id"),
+        col("purchase_event"), col("view_event"))
+      .orderBy("user_id", "purchase_event", "view_event")
+  }
+
+  val s39Sql: String =
+    """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+      |                   event_id, event_type FROM events),
+      |p AS (SELECT user_id, ts, event_id AS purchase_event FROM ev
+      |  WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, event_id AS view_event FROM ev
+      |  WHERE event_type = 'view'),
+      |wm AS (SELECT LEAST(
+      |    (SELECT max(ts) FROM p) - INTERVAL 30 MINUTE,
+      |    (SELECT max(ts) FROM v) - INTERVAL 2 HOUR) AS horizon)
+      |SELECT p.user_id AS user_id, p.purchase_event, v.view_event
+      |FROM p JOIN v ON v.user_id = p.user_id
+      |  AND v.ts >= p.ts - INTERVAL 4 HOUR
+      |  AND v.ts <= p.ts + INTERVAL 30 MINUTE
+      |UNION ALL
+      |SELECT p.user_id, p.purchase_event, NULL
+      |FROM p CROSS JOIN wm
+      |WHERE p.ts + INTERVAL 30 MINUTE < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM v
+      |    WHERE v.user_id = p.user_id
+      |      AND v.ts >= p.ts - INTERVAL 4 HOUR
+      |      AND v.ts <= p.ts + INTERVAL 30 MINUTE)
+      |UNION ALL
+      |SELECT v.user_id, NULL, v.view_event
+      |FROM v CROSS JOIN wm
+      |WHERE v.ts + INTERVAL 4 HOUR < wm.horizon
+      |  AND NOT EXISTS (SELECT 1 FROM p
+      |    WHERE p.user_id = v.user_id
+      |      AND v.ts >= p.ts - INTERVAL 4 HOUR
+      |      AND v.ts <= p.ts + INTERVAL 30 MINUTE)
+      |ORDER BY user_id, purchase_event, view_event""".stripMargin
+
   /** Stream-stream LEFT SEMI join gate ([[graft.streaming.StreamOps
     * .streamStreamSemiJoin]]): views that received at least one click of
     * the same user within [ts, ts + 6 h] — each such view emits exactly
@@ -11141,6 +11208,7 @@ object ExtensionQueries {
     "s34_ivf_stream_ingest" -> (s34IvfStreamIngest _),
     "s37_hll_stream_ingest" -> (s37HllStreamIngest _),
     "s38_cms_stream_ingest" -> (s38CmsStreamIngest _),
+    "s39_interval_full_outer" -> (s39IntervalFullOuter _),
     "s35_dedup_within_watermark" -> (s35DedupWithinWatermark _),
     "q48_attribution" -> (q48Attribution _),
     "a17_mips_ivf" -> (a17MipsIvf _),
@@ -11353,6 +11421,7 @@ object ExtensionQueries {
     "s34_ivf_stream_ingest" -> s34Sql,
     "s37_hll_stream_ingest" -> s37Sql,
     "s38_cms_stream_ingest" -> s38Sql,
+    "s39_interval_full_outer" -> s39Sql,
     "s35_dedup_within_watermark" -> s35Sql,
     "q48_attribution" -> q48Sql,
     "a17_mips_ivf" -> a17Sql,

@@ -186,13 +186,14 @@ object StreamOps {
     * an unbounded stream. */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
       leftWatermark: String, rightWatermark: String,
-      before: String, after: String): DataFrame =
+      before: String, after: String,
+      joinType: String = "left_outer"): DataFrame =
     left.withWatermark("ts", leftWatermark)
       .join(right.withWatermark("rts", rightWatermark),
         col("key") === col("rkey") &&
           col("rts") >= col("ts") - expr(s"interval $before") &&
           col("rts") <= col("ts") + expr(s"interval $after"),
-        "left_outer")
+        joinType)
 
   /** Stream-stream LEFT ANTI join, same key + event-time bounds as
     * [[streamStreamJoin]]. Structured Streaming's join surface covers
