@@ -1098,7 +1098,64 @@ object XmlQueries {
       |  CAST(0 AS INT) AS n_absent
       |FROM lineitem WHERE l_orderkey % 16 = 9 ORDER BY id""".stripMargin
 
+  /** NUMERIC CHILD-VALUE COMPARISONS — `step[q>5]` through the
+    * single-parse evaluator: the threshold-select over ELEMENT content
+    * (`/order[total>100]` — the most common real-world filter shape)
+    * that x18's string-equality `[q='v']` and x20's attribute form
+    * `[@a>5]` each cover only half of. Existential over the child
+    * node-set (ANY child q satisfying the comparison accepts the
+    * element), with the same number()/IEEE rules as x20: a non-numeric
+    * child is NaN — `!=` TRUE, every other op false — and an element
+    * with no `q` children never matches. The layout gives each row a
+    * quantity-valued item with a sibling label, a NaN item, a nested
+    * negative item, and a q-less element; the multi-q item pins the
+    * existential (one passing child accepts, despite a NaN sibling q).
+    * 1/16 sample disjoint from x13-x22's. */
+  def x23XpathChildNum(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 10)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it><q>"), d2s(col("l_quantity")),
+      lit("</q><q>zz</q><n>first</n></it><it><q>x</q><n>nan</n></it>"),
+      lit("<s><it><q>-2.5</q><n>neg</n></it></s><w><n>noq</n></w></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[q>25]/n",
+        "/r/it[q<=25]/n",
+        "/r/it[q!=25]/n",
+        "//it[q<0]/n",
+        "/r/*[q>=50]/n",
+        "/r/w[q>0]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        size(col("m.p1")).as("n_gt"),
+        get(col("m.p1"), lit(0)).as("first_gt"),
+        get(col("m.p2"), lit(0)).as("first_le"),
+        size(col("m.p3")).as("n_ne"),
+        get(col("m.p4"), lit(0)).as("neg_label"),
+        size(col("m.p5")).as("n_b50"),
+        size(col("m.p6")).as("n_noq"))
+      .orderBy("id")
+  }
+
+  val x23Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN 1 ELSE 0 END AS INT) AS n_gt,
+      |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN 'first' END AS first_gt,
+      |  CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) <= 25
+      |    THEN 'first' END AS first_le,
+      |  CAST(2 AS INT) AS n_ne,
+      |  'neg' AS neg_label,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) >= 50
+      |    THEN 1 ELSE 0 END AS INT) AS n_b50,
+      |  CAST(0 AS INT) AS n_noq
+      |FROM lineitem WHERE l_orderkey % 16 = 10 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x23_xpath_child_num" -> (x23XpathChildNum _),
     "x22_xpath_exists" -> (x22XpathExists _),
     "x21_xpath_pos_range" -> (x21XpathPosRange _),
     "x20_xpath_num_pred" -> (x20XpathNumPredicate _),
@@ -1130,6 +1187,7 @@ object XmlQueries {
     "x20_xpath_num_pred" -> x20Sql,
     "x21_xpath_pos_range" -> x21Sql,
     "x22_xpath_exists" -> x22Sql,
+    "x23_xpath_child_num" -> x23Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

@@ -38,7 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * numeric attribute comparisons `[@a>5]` (`> < >= <= = !=`, unquoted
   * numeric literal; XPath number() conversion with IEEE NaN semantics),
   * existence predicates `[@a]` / `[q]` (present attribute / at least
-  * one child element of that name — any value, including empty)
+  * one child element of that name — any value, including empty),
+  * numeric child-value comparisons `[q>5]` (existential over the
+  * child node-set, same number()/NaN rules as the attribute form)
   * (one predicate per step, enforced by the grammar), and a trailing
   * `text()` or `@attr` step. Each path
   * yields the matched nodes in document order as `array<string>` — the
@@ -108,7 +110,8 @@ object XPathMini {
       """|\[@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\]""" +
       """|\[position\(\)(>=|<=|>|<)(\d+)\]""" +
       """|\[@([A-Za-z_][\w.-]*)\]""" +
-      """|\[([A-Za-z_][\w.-]*)\])?$""").r
+      """|\[([A-Za-z_][\w.-]*)\]""" +
+      """|\[([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\])?$""").r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
@@ -186,7 +189,7 @@ object XPathMini {
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
       case (StepRe(name, pos, lastG, pa, pav, pc, pcv, na, nop, nv,
-          pop, pk, exA, exC), desc) =>
+          pop, pk, exA, exC, cn, cop, cv), desc) =>
         // the regex alternation guarantees at most ONE predicate per
         // step: positional [k] / [last()] / [position()>k] (ops
         // > < >= <=), attribute-equality [@a='v'], child-value
@@ -201,12 +204,15 @@ object XPathMini {
           Step(name, pk.toInt, desc, posOp = pop)
         else if (exA != null) Step(name, p, desc, existsAttr = exA)
         else if (exC != null) Step(name, p, desc, existsChild = exC)
+        else if (cn != null)
+          Step(name, p, desc, predChild = cn, numOp = cop,
+            numVal = cv.toDouble)
         else Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
           "(subset: name|*, //name, [k], [last()], [@a='v'], [q='v'], " +
-          "[@a>5] and the other numeric comparisons, [@a], [q], " +
-          "trailing text() or @attr)")
+          "[@a>5] / [q>5] and the other numeric comparisons, [@a], " +
+          "[q], trailing text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
@@ -352,8 +358,10 @@ object XPathMini {
 
   private def matches(step: Step, e: Elem): Boolean =
     (step.name == "*" || step.name == e.tag) &&
-      (if (step.numOp != null) attrNumCmp(e, step.predAttr, step.numOp,
-        step.numVal)
+      (if (step.numOp != null && step.predAttr != null)
+        attrNumCmp(e, step.predAttr, step.numOp, step.numVal)
+      else if (step.numOp != null)
+        childNumCmp(e, step.predChild, step.numOp, step.numVal)
       else
         (step.predAttr == null ||
           attrEq(e, step.predAttr, step.predVal)) &&
@@ -361,6 +369,38 @@ object XPathMini {
           childEq(e, step.predChild, step.predVal)) &&
         (step.existsAttr == null || hasAttr(e, step.existsAttr)) &&
         (step.existsChild == null || hasChild(e, step.existsChild)))
+
+  /** XPath 1.0 node-set-vs-number comparison `[q>5]` (ops < >= <= =
+    * !=): true iff ANY child element named `q` has number(string-value)
+    * satisfying the comparison — existential over the node set like
+    * [q='v'], with the same number()/IEEE semantics as the attribute
+    * form: a non-numeric child is NaN, making `!=` true for it and
+    * every other op false; an element with NO `q` children never
+    * matches (empty node-set). */
+  private def childNumCmp(e: Elem, name: String, op: String,
+      v: Double): Boolean = {
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case c: Elem if c.tag == name =>
+          val sb = new java.lang.StringBuilder
+          stringValue(c, sb)
+          val x = xpathNumber(sb.toString)
+          val hit = op match {
+            case ">"  => x > v
+            case "<"  => x < v
+            case ">=" => x >= v
+            case "<=" => x <= v
+            case "="  => x == v
+            case "!=" => x != v
+          }
+          if (hit) return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
 
   /** XPath 1.0 `[@a]` existence test: true iff the attribute is present
     * (with ANY value, including empty — a present node-set is truthy). */

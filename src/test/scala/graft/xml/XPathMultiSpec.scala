@@ -682,4 +682,42 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("/r/it[text()]")
     }
   }
+
+  test("numeric child-value comparisons [q>5]: built-in parity, " +
+      "existential over multiple q children, NaN != asymmetry, no-q " +
+      "element never matches, grammar rejections") {
+    import spark.implicits._
+    val doc = "<r><it><q>17.00</q><q>zz</q><n>A</n></it>" +
+      "<it><q>x</q><n>B</n></it><it><q>-2</q><n>C</n></it>" +
+      "<it><q> 5 </q><n>D</n></it><w><n>E</n></w></r>"
+    val paths = Seq("/r/it[q>5]/n", "/r/it[q<5]/n", "/r/it[q!=5]/n",
+      "/r/it[q=17]/n", "/r/it[q>=17]/n", "/r/it[q<=-2]/n",
+      "/r/it[q=5]/n", "/r/w[q>0]/n")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("A"),
+      "existential: the numeric q accepts despite the NaN sibling q")
+    assert(got(1) == Seq("C"), "< catches only the negative")
+    assert(got(2) == Seq("A", "B", "C"),
+      "!=: the NaN q makes items A and B match; exact 5 (item D) false")
+    assert(got(3) == Seq("A") && got(4) == Seq("A"),
+      "numeric = and >= treat '17.00' as 17")
+    assert(got(6) == Seq("D"), "whitespace-padded ' 5 ' parses as 5")
+    assert(got(7) == Seq(), "no q child never matches")
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[q>5][1]") // one predicate per step
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[q>1e3]") // exponents outside the subset
+    }
+  }
 }
