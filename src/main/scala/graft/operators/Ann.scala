@@ -149,6 +149,51 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** GONZALEZ FARTHEST-POINT k-center seeding (the classic 2-approx for
+    * k-center, and the principled IVF/k-means seed picker beside the
+    * stride sample: seeds end up spread across the data instead of
+    * wherever the ids landed): start from the minimum-id vector, then
+    * k−1 rounds of "pick the corpus vector FARTHEST (max-min squared
+    * L2) from the seeds chosen so far", ties to the smaller id. Every
+    * distance is the [[graft.functions.Vectors.l2sq]] left-fold double
+    * tree, so a SQL oracle replays each selection exactly.
+    *
+    * Scale shape: each round is ONE corpus scan — the chosen seeds ride
+    * as literal vectors inside the plan (config-sized, k·dim doubles),
+    * min-distance is a map-side expression, and the argmax is a 1-row
+    * `max(struct(dist, -id))` partial agg + driver collect (the t18
+    * argmax discipline: k collects of one row each, never a sort).
+    * Returns (rank, id, sel_dist) — sel_dist is the max-min distance at
+    * selection time (0.0 for the first seed), the monotone
+    * non-increasing sequence whose last value bounds the k-center
+    * radius. */
+  def kcenterSeeds(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val first = corpus.agg(min(col("id"))).head().getLong(0)
+    var seeds = Seq((1, first, 0.0,
+      corpus.filter(col("id") === first).select(col("vec"))
+        .head().getSeq[Float](0).toArray))
+    while (seeds.size < k) {
+      val dists = seeds.map { case (_, _, _, v) =>
+        Vectors.l2sq(col("vec"),
+          array(v.toSeq.map(x => lit(x.toDouble)): _*))
+      }
+      // least() rejects a single argument; one seed needs no min
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val pick = corpus
+        .agg(max(struct(mind.as("md"), (-col("id")).as("nid"))))
+        .head().getStruct(0)
+      val id = -pick.getLong(1)
+      seeds = seeds :+ ((seeds.size + 1, id, pick.getDouble(0),
+        corpus.filter(col("id") === id).select(col("vec"))
+          .head().getSeq[Float](0).toArray))
+    }
+    seeds.map { case (r, id, d0, _) => (r, id, d0) }
+      .toDF("rank", "vec_id", "sel_dist")
+  }
+
   /** MULTI-ASSIGNMENT IVF index: every corpus vector is posted to its
     * `na` nearest cells instead of one — the FAISS "spilled postings" /
     * multiple-assignment trick: a vector near a Voronoi boundary is

@@ -4650,6 +4650,66 @@ object ExtensionQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  /** GONZALEZ k-CENTER SEEDING ([[graft.operators.Ann.kcenterSeeds]],
+    * k = 6) — the principled IVF/k-means seed picker beside a3's stride
+    * sample: farthest-point traversal spreads seeds across the data
+    * (2-approx for the k-center objective) instead of wherever the ids
+    * landed. Every selection distance is the shared l2sq left-fold
+    * double tree, so the oracle replays all 5 argmax rounds exactly
+    * (min-over-seeds via a join against the picked-id set, argmax via
+    * ORDER BY md DESC, id LIMIT 1 = Spark's max(struct(md, −id))); the
+    * final coverage RADIUS (max over the corpus of min-dist to the 6
+    * seeds — the k-center objective value) rides every row, and
+    * sel_dist is pinned monotone non-increasing by construction. Scale:
+    * k single-scan rounds, seeds as plan literals, 1-row argmax
+    * collects — never a sort. */
+  def a29KcenterSeeds(sp: SparkSession, dir: String): DataFrame = {
+    val corpus = embeddings(sp, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val seeds = graft.operators.Ann.kcenterSeeds(corpus, 6)
+    val seedVecs = corpus
+      .join(seeds.select(col("vec_id").as("id")), "id")
+      .select(col("vec")).collect().map(_.getSeq[Float](0).toArray)
+    val mind = least(seedVecs.map(v =>
+      graft.functions.Vectors.l2sq(col("vec"),
+        array(v.toSeq.map(x => lit(x.toDouble)): _*))): _*)
+    val radius = corpus.agg(max(mind).as("radius"))
+    seeds.crossJoin(broadcast(radius)).orderBy("rank")
+  }
+
+  val a29Sql: String = {
+    def sqd(a: String, b: String) = foldSum(
+      s"list_transform(range(1, len($a)+1), i -> " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))")
+    def seedSet(r: Int) =
+      (0 until r).map(i => s"SELECT id FROM p$i").mkString(" UNION ALL ")
+    val rounds = (1 until 6).map { r =>
+      s"""m$r AS (SELECT e.vec_id AS id,
+         |    min(${sqd("e.embedding", "s.embedding")}) AS md
+         |  FROM embeddings e JOIN embeddings s
+         |    ON s.vec_id IN (${seedSet(r)})
+         |  GROUP BY e.vec_id),
+         |p$r AS (SELECT id, md FROM m$r ORDER BY md DESC, id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val selRows = (1 until 6).map { r =>
+      s"SELECT ${r + 1} AS rank, id AS vec_id, md AS sel_dist FROM p$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH p0 AS (SELECT min(vec_id) AS id FROM embeddings),
+       |$rounds,
+       |mAll AS (SELECT e.vec_id AS id,
+       |    min(${sqd("e.embedding", "s.embedding")}) AS md
+       |  FROM embeddings e JOIN embeddings s
+       |    ON s.vec_id IN (${seedSet(6)})
+       |  GROUP BY e.vec_id),
+       |rad AS (SELECT max(md) AS radius FROM mAll),
+       |sel AS (SELECT 1 AS rank, id AS vec_id, 0.0 AS sel_dist FROM p0
+       |  UNION ALL $selRows)
+       |SELECT CAST(rank AS INT) AS rank, vec_id, sel_dist, rad.radius
+       |FROM sel CROSS JOIN rad ORDER BY rank""".stripMargin
+  }
+
   // ======================= multimodal =======================
 
   /** Real container decode round-trip: docs become actual BMPs
@@ -11157,6 +11217,7 @@ object ExtensionQueries {
     "a26_nprobe_curve" -> (a26NprobeCurve _),
     "a27_ivf_delete" -> (a27IvfDelete _),
     "a28_ivf_multi_assign" -> (a28IvfMultiAssign _),
+    "a29_kcenter_seeds" -> (a29KcenterSeeds _),
     "a11_pq_trained_recall" -> (a11PqTrainedRecall _),
     "a12_ivf_incremental" -> (a12IvfIncremental _),
     "t27_hybrid_rrf" -> (t27HybridRrf _),
@@ -11370,6 +11431,7 @@ object ExtensionQueries {
     "a26_nprobe_curve" -> a26Sql,
     "a27_ivf_delete" -> a27Sql,
     "a28_ivf_multi_assign" -> a28Sql,
+    "a29_kcenter_seeds" -> a29Sql,
     "a11_pq_trained_recall" -> a11Sql,
     "a12_ivf_incremental" -> a12Sql,
     "t27_hybrid_rrf" -> t27Sql,

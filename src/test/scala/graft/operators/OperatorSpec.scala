@@ -373,6 +373,30 @@ class OperatorSpec extends AnyFunSuite {
       "every vector posts to exactly 2 distinct cells")
   }
 
+  test("kcenterSeeds: farthest-point order on a hand line, sel_dist " +
+      "monotone, fixture radius bounded by the last selection") {
+    import spark.implicits._
+    // points on a line at 0, 1, 2, 10, 20 (dim-2 with a zero pad):
+    // start at id 0, then 20 (d=400), 10 (maxmin 100), 2 (4), 1 (1)
+    val pts = Seq(0f, 1f, 2f, 10f, 20f).zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x, 0f)) }
+      .toDF("id", "vec")
+    val got = Ann.kcenterSeeds(pts, 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1, 0L, 0.0), (2, 4L, 400.0),
+      (3, 3L, 100.0), (4, 2L, 4.0), (5, 1L, 1.0)))
+    // fixture: sel_dist non-increasing after the first pick, and the
+    // 6-seed coverage radius is what the 7th pick would be — no larger
+    // than the 6th selection distance
+    val rows = graft.queries.ExtensionQueries
+      .queries("a29_kcenter_seeds")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val dists = rows.map(_._2).drop(1)
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b })
+    assert(rows.head._3 <= dists.last)
+  }
+
   test("minhashCandidates: maxBucket drops hot LSH buckets, plumbed E2E") {
     import spark.implicits._
     // 20 identical docs -> every band bucket holds all 20
