@@ -1156,6 +1156,53 @@ object Multimodal {
     * RIFF-walked data chunk — the cheap integrity summary gates hash
     * after a transform ([[decimateWav]]) instead of shipping payloads.
     * None for non-WAV payloads. */
+  /** PEAK NORMALIZATION of a 16-bit PCM WAV — the standard audio
+    * preprocessing gain pass: scale every sample so the loudest hits
+    * `target` (≈ −0.8 dBFS at the default 30000). Gain is 16.16
+    * FIXED-POINT integer — g = target·2¹⁶ div peak, sample' =
+    * clamp(s·g div 2¹⁶) — so the rewrite is bit-exact and a SQL oracle
+    * replays every output sample (both engines truncate integer
+    * division toward zero, including negative samples). A silent file
+    * (peak 0) passes through unchanged; the container is rebuilt
+    * byte-identical except the sample data, so downstream walks
+    * ([[wavEnergy]], [[wavStats]]) run on it unchanged. Floor gain can
+    * land the new peak at target−1 (g rounds down) — the oracle
+    * replays that too. None for non-WAV / non-16-bit payloads. */
+  def normalizeWavPeak(m: Array[Byte], target: Int = 30000)
+      : Option[Array[Byte]] = {
+    if (!isRiff(m, "WAVE") || m.length < 44) return None
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.getShort(34) != 16) return None
+    wavDataSlice(m).map { case (from, len) =>
+      val n = len / 2
+      var peak = 0L
+      var k = 0
+      while (k < n) {
+        val s = ((m(from + 2 * k) & 0xff) |
+          (m(from + 2 * k + 1) << 8)).toShort.toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        k += 1
+      }
+      val out = m.clone()
+      if (peak > 0L) {
+        val g = target.toLong * 65536L / peak
+        k = 0
+        while (k < n) {
+          val s = ((m(from + 2 * k) & 0xff) |
+            (m(from + 2 * k + 1) << 8)).toShort.toLong
+          var v = s * g / 65536L
+          if (v > 32767L) v = 32767L
+          if (v < -32768L) v = -32768L
+          out(from + 2 * k) = (v & 0xff).toByte
+          out(from + 2 * k + 1) = ((v >> 8) & 0xff).toByte
+          k += 1
+        }
+      }
+      out
+    }
+  }
+
   def wavStats(m: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
     if (!isRiff(m, "WAVE") || m.length < 44) return None
     val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)

@@ -5627,6 +5627,71 @@ object ExtensionQueries {
        |ORDER BY doc_id, window_idx""".stripMargin
   }
 
+  /** WAV PEAK NORMALIZATION ([[Multimodal.normalizeWavPeak]]) — the
+    * standard audio gain pass before feature extraction: every sample
+    * scaled in 16.16 fixed-point integer so the loudest hits 30000,
+    * container rebuilt valid (only sample data changes). The witness
+    * re-decodes the REWRITTEN bytes — per-doc sample count, signed
+    * sum, energy, and both peaks (before via [[Multimodal.pcmPeaks]]
+    * on the source, after on the rebuilt container) — and the oracle
+    * recomputes every output sample from the blob-fill formula:
+    * int16 LE decode, max-|s| peak, g = 30000·2¹⁶ div peak, clamp
+    * (s·g div 2¹⁶) — with both engines truncating division toward
+    * zero on negative samples. Floor gain lands peak_after at 30000
+    * or 29999 depending on divisibility; the oracle replays that
+    * exactly. Per-doc map work; the only shuffles are the doc_id
+    * witness joins. */
+  def m23WavNormalize(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 1), frameSize = 100)
+    val normed = media.as[Multimodal.MediaRow]
+      .map(r => r.copy(media = Multimodal.normalizeWavPeak(r.media)
+        .getOrElse(r.media)))
+    val before = Multimodal.pcmPeaks(sp, media).toDF()
+      .select(col("doc_id"), col("peak").as("peak_before"))
+    val after = Multimodal.pcmPeaks(sp, normed.toDF()).toDF()
+      .select(col("doc_id"), col("peak").as("peak_after"))
+    val st = normed
+      .flatMap(r => Multimodal.wavStats(r.media)
+        .map(s => (r.doc_id, s._3, s._4, s._5)))
+      .toDF("doc_id", "n_samples", "sum_after", "energy_after")
+    st.join(before, "doc_id").join(after, "doc_id")
+      .select(col("doc_id"), col("n_samples"), col("peak_before"),
+        col("peak_after"), col("sum_after"), col("energy_after"))
+      .orderBy("doc_id")
+  }
+
+  val m23Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx,
+       |    (len - len % ((len % 2 + 1) * 2)) // 2 AS n FROM e),
+       |s AS (SELECT p.doc_id, CAST(k.k AS BIGINT) AS k,
+       |    ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |      + 256 * ('0x' || substr(p.hx,
+       |          4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |  FROM p, range(0, 512) k(k) WHERE k.k < p.n),
+       |v AS (SELECT doc_id,
+       |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s16
+       |  FROM s),
+       |pk AS (SELECT doc_id, max(abs(s16)) AS peak FROM v GROUP BY 1),
+       |w AS (SELECT v.doc_id, v.s16,
+       |    CASE WHEN pk.peak = 0 THEN v.s16
+       |      ELSE least(greatest(
+       |        v.s16 * (30000 * 65536 // pk.peak) // 65536,
+       |        -32768), 32767) END AS s2
+       |  FROM v JOIN pk USING (doc_id))
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(pk.peak AS BIGINT) AS peak_before,
+       |  CAST(max(abs(w.s2)) AS BIGINT) AS peak_after,
+       |  CAST(SUM(w.s2) AS BIGINT) AS sum_after,
+       |  CAST(SUM(w.s2 * w.s2) AS BIGINT) AS energy_after
+       |FROM w JOIN pk ON pk.doc_id = w.doc_id
+       |GROUP BY w.doc_id, pk.peak ORDER BY w.doc_id""".stripMargin
+  }
+
   /** Equi-width histogram ([[graft.operators.Profile.histogram]]): 20
     * exact bins over events.value — two all-reduce passes (min/max, then
     * bin counts), bin edges computed from the same double tree the oracle
@@ -11218,6 +11283,7 @@ object ExtensionQueries {
     "m20_letterbox_resize" -> (m20LetterboxResize _),
     "m21_hist_equalize" -> (m21HistEqualize _),
     "m22_sobel_energy" -> (m22SobelEnergy _),
+    "m23_wav_normalize" -> (m23WavNormalize _),
     "m3_frame_sample" -> (m3FrameSample _),
     "s1_stream_window" -> (s1StreamWindow _),
     "s2_sessionize" -> (s2Sessionize _),
@@ -11428,6 +11494,7 @@ object ExtensionQueries {
     "m20_letterbox_resize" -> m20Sql,
     "m21_hist_equalize" -> m21Sql,
     "m22_sobel_energy" -> m22Sql,
+    "m23_wav_normalize" -> m23Sql,
     "m3_frame_sample" -> m3Sql,
     "s1_stream_window" -> s1Sql,
     "s2_sessionize" -> s2Sql,

@@ -1405,6 +1405,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.sobelEnergyBmp(Array[Byte](1, 2)).isEmpty)
   }
 
+  test("m23 normalizeWavPeak: hand gain math incl. negative samples " +
+      "and floor landing at target-1, silent passthrough, clamp, " +
+      "container still valid, refusal") {
+    import graft.operators.Multimodal
+    def s16le(vs: Seq[Int]): Array[Byte] = vs.flatMap { v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    }.toArray
+    def decode(m: Array[Byte], n: Int): Seq[Long] = {
+      val st = Multimodal.wavStats(m).get
+      assert(st._3 == n.toLong)
+      // wavStats gives sum/energy; decode bytes directly for values
+      val from = m.length - 2 * n
+      (0 until n).map(k => (((m(from + 2 * k) & 0xff) |
+        (m(from + 2 * k + 1) << 8)).toShort).toLong)
+    }
+    // peak 10000 -> g = 30000*65536/10000 = 196608 (exact 3x)
+    val wav = Multimodal.buildWav(8000, 1, s16le(Seq(10000, -5000, 1)))
+    val out = Multimodal.normalizeWavPeak(wav).get
+    assert(decode(out, 3) === Seq(30000L, -15000L, 3L))
+    // peak 7 -> g = 30000*65536/7 = 280878811 (floor);
+    // 7*g/65536 = 29999 (floor gain undershoots by 1)
+    val w2 = Multimodal.normalizeWavPeak(
+      Multimodal.buildWav(8000, 1, s16le(Seq(7, -3)))).get
+    assert(decode(w2, 2) === Seq(29999L, -12857L))
+    // -32768 peak: |s| = 32768, g = 60000, -32768*60000/65536 = -30000
+    val w3 = Multimodal.normalizeWavPeak(
+      Multimodal.buildWav(8000, 1, s16le(Seq(-32768, 16384)))).get
+    assert(decode(w3, 2) === Seq(-30000L, 15000L))
+    // silence passes through
+    val sil = Multimodal.buildWav(8000, 1, s16le(Seq(0, 0)))
+    assert(java.util.Arrays.equals(
+      Multimodal.normalizeWavPeak(sil).get, sil))
+    assert(Multimodal.normalizeWavPeak(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("p30 burstiness formula: metronome gaps give B = -1, gate " +
       "matches an in-memory recompute on sf0.001") {
     // metronome identity: equal gaps -> D = n*n*g^2 - (n*g)^2 = 0 ->
