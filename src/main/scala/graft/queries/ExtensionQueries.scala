@@ -5838,6 +5838,162 @@ object ExtensionQueries {
       |  CAST(n.n0 AS BIGINT) AS n_pairs, med.med_fp, imed.med_intercept
       |FROM n, med, imed""".stripMargin
 
+  /** WALD–WOLFOWITZ RUNS TEST — the sequence-randomness screen beside
+    * p28's MWU (location) and p9's KS (shape): is the day-over-day
+    * DIRECTION of revenue (up/down) a random coin sequence, or does it
+    * cluster (momentum/trend: too FEW runs) or alternate (mean
+    * reversion / oscillating load: too MANY runs)? Both tails matter
+    * and both are caught by the squared statistic. All-integer: signs
+    * from exact DECIMAL(18,2) cents diffs (zero diffs dropped — the
+    * classic two-category reduction; a tie is neither up nor down),
+    * runs counted as 1 + sign changes, and the z² ≥ 3.8416 (α = 0.05
+    * two-sided, normal approximation) decision cross-multiplied to
+    * 10⁴·A²·(N−1) ≥ 76832·n₊n₋·(2n₊n₋−N) with A = R·N − N − 2n₊n₋
+    * (= N·(R−μ), integer because μ = 1 + 2n₊n₋∕N) in
+    * DECIMAL(38)/HUGEINT — A ≤ N² ≈ 5.8·10⁶ puts the left side near
+    * 8·10²⁰, past int64 but far inside 38 digits. Scale shape: corpus →
+    * calendar-domain partial agg (one shuffle), then both lag windows
+    * run over the ~2.4k-row day domain only (the p22/p28 domain-window
+    * discipline — never a corpus-sized global sort). */
+  def p32RunsTest(sp: SparkSession, dir: String): DataFrame = {
+    val lagW = org.apache.spark.sql.expressions.Window.orderBy("d")
+    val daily = orders(sp, dir)
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val sg = daily
+      .withColumn("dx", col("cents") - lag(col("cents"), 1).over(lagW))
+      .filter(col("dx").isNotNull && col("dx") =!= 0)
+      .select(col("d"), when(col("dx") > 0, 1).otherwise(-1).as("s"))
+    val ch = sg.withColumn("prev", lag(col("s"), 1).over(lagW))
+      .select(col("s"),
+        when(col("prev").isNotNull && col("prev") =!= col("s"), 1L)
+          .otherwise(0L).as("chg"))
+    ch.agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_minus"),
+        (sum(col("chg")) + lit(1L)).as("n_runs"))
+      .select(col("n_plus"), col("n_minus"), col("n_runs"),
+        (col("n_runs") * (col("n_plus") + col("n_minus"))
+          - (col("n_plus") + col("n_minus"))
+          - lit(2L) * col("n_plus") * col("n_minus")).as("a_num"))
+      .select(col("n_plus"), col("n_minus"), col("n_runs"), col("a_num"),
+        expr("CAST(10000 AS DECIMAL(38,0)) " +
+          "* CAST(a_num AS DECIMAL(38,0)) " +
+          "* CAST(a_num AS DECIMAL(38,0)) " +
+          "* CAST(n_plus + n_minus - 1 AS DECIMAL(38,0)) " +
+          ">= CAST(76832 AS DECIMAL(38,0)) " +
+          "* CAST(n_plus AS DECIMAL(38,0)) " +
+          "* CAST(n_minus AS DECIMAL(38,0)) " +
+          "* CAST(2 * n_plus * n_minus - n_plus - n_minus " +
+          "AS DECIMAL(38,0))").as("non_random"))
+  }
+
+  val p32Sql: String =
+    """WITH daily AS (SELECT o_orderdate AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |df AS (SELECT d, cents - lag(cents) OVER (ORDER BY d) AS dx
+      |  FROM daily),
+      |sg AS (SELECT d, CASE WHEN dx > 0 THEN 1 ELSE -1 END AS s
+      |  FROM df WHERE dx IS NOT NULL AND dx <> 0),
+      |ch AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NOT NULL
+      |      AND lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
+      |  FROM sg),
+      |agg AS (SELECT
+      |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_plus,
+      |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_minus,
+      |    CAST(SUM(chg) + 1 AS BIGINT) AS n_runs
+      |  FROM ch),
+      |f AS (SELECT n_plus, n_minus, n_runs,
+      |    CAST(n_runs * (n_plus + n_minus) - (n_plus + n_minus)
+      |      - 2 * n_plus * n_minus AS BIGINT) AS a_num
+      |  FROM agg)
+      |SELECT n_plus, n_minus, n_runs, a_num,
+      |  (10000::HUGEINT * a_num * a_num * (n_plus + n_minus - 1)
+      |    >= 76832::HUGEINT * n_plus * n_minus
+      |       * (2 * n_plus * n_minus - n_plus - n_minus)) AS non_random
+      |FROM f""".stripMargin
+
+  /** SPEARMAN RANK CORRELATION (ρ) — the monotone-association measure
+    * completing the correlation triptych: p10/p23 Pearson (linear,
+    * moment-based), p29 Kendall τ-b (pair votes), and now Pearson ON
+    * MIDRANKS — robust to monotone transforms and outliers but cheaper
+    * than Kendall's pair join (rank domain + moments, no O(n²) votes).
+    * Daily order count vs daily revenue cents over the same calendar
+    * aggregate as p29. Midranks carried DOUBLED so ties stay integral
+    * (2·r(v) = 2·#{strictly below} + #{equal} + 1 — the p28 midrank
+    * identity), so every moment sum is an exact BIGINT. ρ = (M·Σxy −
+    * Σx·Σy)∕(√(M·Σx²−(Σx)²)·√(M·Σy²−(Σy)²)) is the ONE final float:
+    * numerator and both factors ≈ 10¹³⁻¹⁴ < 2⁵³ so their BIGINT→DOUBLE
+    * casts are exact, and IEEE sqrt/·/÷ on the pinned expression tree
+    * are correctly rounded in both engines (the factors multiply AFTER
+    * their square roots precisely because f_x·f_y ≈ 10²⁶ would NOT be
+    * exact in a double). Scale shape: corpus → calendar partial agg,
+    * midranks via count-histogram + cumulative window over each
+    * DISTINCT-VALUE domain (p17/p19 two-level discipline), joined back
+    * on the value key — domain-sized hash joins, no corpus window. */
+  def p33Spearman(sp: SparkSession, dir: String): DataFrame = {
+    val d = orders(sp, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    def ranks2(key: String, out: String): DataFrame = {
+      val cumW = org.apache.spark.sql.expressions.Window.orderBy(key)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      d.groupBy(col(key)).agg(count(lit(1)).as("cc"))
+        .withColumn("before", coalesce(sum(col("cc")).over(cumW), lit(0L)))
+        .select(col(key),
+          (col("before") * 2 + col("cc") + 1).as(out))
+    }
+    val j = d
+      .join(broadcast(ranks2("cnt", "x")), "cnt")
+      .join(broadcast(ranks2("cents", "y")), "cents")
+    j.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .select(col("m").as("n_days"),
+        (col("m") * col("sx2") - col("sx") * col("sx")).as("f_x"),
+        (col("m") * col("sy2") - col("sy") * col("sy")).as("f_y"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"))
+      .select(col("n_days"), col("f_x"), col("f_y"), col("num"),
+        (col("num").cast("double") /
+          (sqrt(col("f_x").cast("double"))
+            * sqrt(col("f_y").cast("double")))).as("rho"))
+  }
+
+  val p33Sql: String =
+    """WITH d AS (SELECT o_orderdate AS day, count(*) AS cnt,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |hx AS (SELECT cnt, count(*) AS cc FROM d GROUP BY 1),
+      |rx AS (SELECT cnt, COALESCE(SUM(cc) OVER (ORDER BY cnt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |    + cc + 1 AS x FROM hx),
+      |hy AS (SELECT cents, count(*) AS cc FROM d GROUP BY 1),
+      |ry AS (SELECT cents, COALESCE(SUM(cc) OVER (ORDER BY cents
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+      |    + cc + 1 AS y FROM hy),
+      |j AS (SELECT rx.x, ry.y FROM d
+      |  JOIN rx USING (cnt) JOIN ry USING (cents)),
+      |s AS (SELECT count(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      |  FROM j)
+      |SELECT CAST(m AS BIGINT) AS n_days,
+      |  CAST(m * sx2 - sx * sx AS BIGINT) AS f_x,
+      |  CAST(m * sy2 - sy * sy AS BIGINT) AS f_y,
+      |  CAST(m * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(m * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(m * sx2 - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(m * sy2 - sy * sy AS DOUBLE))) AS rho
+      |FROM s""".stripMargin
+
   /** KENDALL τ-b RANK CORRELATION — the concordance test beside p23's
     * Pearson autocorrelation and p28's MWU: do daily revenue and daily
     * order count move TOGETHER, measured by pair concordance, so one
@@ -11431,7 +11587,9 @@ object ExtensionQueries {
     "p28_mwu_drift" -> (p28MwuDrift _),
     "p29_kendall_tau" -> (p29KendallTau _),
     "p30_burstiness" -> (p30Burstiness _),
-    "p31_theil_sen" -> (p31TheilSen _))
+    "p31_theil_sen" -> (p31TheilSen _),
+    "p32_runs_test" -> (p32RunsTest _),
+    "p33_spearman" -> (p33Spearman _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -11647,5 +11805,7 @@ object ExtensionQueries {
     "p28_mwu_drift" -> p28Sql,
     "p29_kendall_tau" -> p29Sql,
     "p30_burstiness" -> p30Sql,
-    "p31_theil_sen" -> p31Sql)
+    "p31_theil_sen" -> p31Sql,
+    "p32_runs_test" -> p32Sql,
+    "p33_spearman" -> p33Sql)
 }

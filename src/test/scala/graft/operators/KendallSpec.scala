@@ -89,4 +89,104 @@ class KendallSpec extends AnyFunSuite {
     assert(r.getLong(2) === medFp)
     assert(r.getLong(3) === medB)
   }
+
+  test("p32 runs test: gate equals a brute-force sign/run recompute on " +
+      "sf0.001, and the cross-multiplied decision agrees with the " +
+      "textbook float z^2") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.Tables.orders(spark, sf)
+      .select("o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val ts = r.get(0) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }
+        val cents = (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        (ts.toLocalDate.toEpochDay, cents)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (d, rs) => (d, rs.map(_._2).sum) }
+      .sortBy(_._1)
+    val signs = daily.sliding(2).collect {
+      case Seq((_, a), (_, b)) if b != a => if (b > a) 1 else -1
+    }.toVector
+    val nPlus = signs.count(_ == 1).toLong
+    val nMinus = signs.count(_ == -1).toLong
+    val runs = 1L + signs.sliding(2).count {
+      case Seq(a, b) => a != b
+      case _ => false
+    }
+    val n = nPlus + nMinus
+    val a = runs * n - n - 2 * nPlus * nMinus
+    val lhs = BigInt(10000) * BigInt(a) * BigInt(a) * BigInt(n - 1)
+    val rhs = BigInt(76832) * BigInt(nPlus) * BigInt(nMinus) *
+      BigInt(2 * nPlus * nMinus - n)
+    val r = graft.queries.ExtensionQueries
+      .queries("p32_runs_test")(spark, sf).collect()(0)
+    assert(r.getLong(0) === nPlus)
+    assert(r.getLong(1) === nMinus)
+    assert(r.getLong(2) === runs)
+    assert(r.getLong(3) === a)
+    assert(r.getBoolean(4) === (lhs >= rhs))
+    assert(nPlus > 0 && nMinus > 0,
+      "fixture has one-directional revenue — runs test unexercised")
+    // the integer cross-multiplication IS the float z^2 >= 3.8416
+    // decision (the denominators multiplied through are positive here)
+    val mu = 1.0 + 2.0 * nPlus * nMinus / n
+    val s2 = 2.0 * nPlus * nMinus * (2.0 * nPlus * nMinus - n) /
+      (n.toDouble * n * (n - 1))
+    val z2 = (runs - mu) * (runs - mu) / s2
+    assert((z2 >= 3.8416) === (lhs >= rhs))
+  }
+
+  test("p33 Spearman: gate equals a brute-force midrank Pearson on " +
+      "sf0.001 including the final float; doubled midranks sum to " +
+      "m*(m+1) and ties are exercised") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.Tables.orders(spark, sf)
+      .select("o_orderdate", "o_totalprice").collect()
+      .groupBy(_.get(0)).toSeq
+      .map { case (_, rows) =>
+        val cnt = rows.length.toLong
+        val cents = rows.map(r => BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
+          .sum.toLongExact
+        (cnt, cents)
+      }.toArray
+    def ranks2(v: Seq[Long]): Map[Long, Long] =
+      v.distinct.map(x =>
+        x -> (2L * v.count(_ < x) + v.count(_ == x) + 1)).toMap
+    val xs = daily.toSeq.map(_._1)
+    val ys = daily.toSeq.map(_._2)
+    val rx = ranks2(xs)
+    val ry = ranks2(ys)
+    val x = xs.map(rx)
+    val y = ys.map(ry)
+    val m = x.length.toLong
+    assert(x.sum === m * (m + 1), "doubled-midrank sum identity")
+    assert(y.sum === m * (m + 1), "doubled-midrank sum identity")
+    assert(xs.distinct.length < xs.length,
+      "fixture has no daily-count ties — midrank handling unexercised")
+    val sx = x.sum; val sy = y.sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sx2 = x.map(a => a * a).sum
+    val sy2 = y.map(a => a * a).sum
+    val num = m * sxy - sx * sy
+    val fx = m * sx2 - sx * sx
+    val fy = m * sy2 - sy * sy
+    val rho = num.toDouble / (math.sqrt(fx.toDouble) *
+      math.sqrt(fy.toDouble))
+    val r = graft.queries.ExtensionQueries
+      .queries("p33_spearman")(spark, sf).collect()(0)
+    assert(r.getLong(0) === m)
+    assert(r.getLong(1) === fx)
+    assert(r.getLong(2) === fy)
+    assert(r.getLong(3) === num)
+    assert(r.getDouble(4) === rho)
+    // self-correlation degenerates to exactly 1 through the same tree
+    val selfNum = m * sx2 - sx * sx
+    assert(selfNum.toDouble / (math.sqrt(fx.toDouble) *
+      math.sqrt(fx.toDouble)) === fx.toDouble / fx.toDouble)
+  }
 }
