@@ -1316,6 +1316,74 @@ object ExtensionQueries {
        |  CAST(SUM(score) AS BIGINT) AS score_sum
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** GOOD–TURING COUNT-OF-COUNTS SMOOTHING (Good 1953 — the frequency
+    * re-estimator under Katz backoff and SRILM's discounting): how much
+    * probability mass do the UNSEEN words deserve, and what should a
+    * word seen r times really count as? Both answers come from the
+    * count-of-counts table N_r = #{words seen exactly r times}:
+    * smoothed count r* = (r+1)·N_{r+1}∕N_r and unseen mass p₀ = N₁∕N.
+    * Computed over TRIGRAM types — the n-gram LM table Katz actually
+    * discounts, and the right granularity here: this fixture's 31-word
+    * vocabulary has no low-count unigram region at all (min unigram
+    * count ≈ 900), while its trigram table has the full Zipf tail
+    * (thousands of hapax trigrams at every SF). Everything is
+    * fixed-point 10⁶ integers (Spark `div` and DuckDB
+    * `//` both truncate toward zero), so the model table hashes
+    * cross-engine where float ratios never would; r* is NULL where
+    * N_{r+1} = 0 (the estimator is undefined there — Katz falls back
+    * to the raw count, documented rather than faked). Report window
+    * r ≤ 10, the region Katz actually discounts (above k = 5–10 raw
+    * counts are trusted). Scale shape: corpus → trigram-count shuffle
+    * (the one big agg), trigram vocab → count-of-counts domain agg
+    * (~dozens of rows), then a self-join on r+1 over that tiny domain
+    * and two broadcast 1-row aggregates; nothing corpus-sized past the
+    * first groupBy. */
+  def t56GoodTuring(sp: SparkSession, dir: String): DataFrame = {
+    val toks = documents(sp, dir)
+      .select(explode(graft.functions.ShingleSetExpr
+        .shingles(col("text"), 3)).as("t"))
+    val wc = toks.groupBy(col("t")).agg(count(lit(1)).as("r"))
+    val coc = wc.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = toks.agg(count(lit(1)).as("n_tokens"))
+    val h1 = coc.agg(coalesce(sum(when(col("r") === 1, col("n_r"))),
+      lit(0L)).as("n_1"))
+    coc.as("a")
+      .join(coc.as("b"), col("b.r") === col("a.r") + 1, "left")
+      .filter(col("a.r") <= 10)
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(h1))
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        coalesce(col("b.n_r"), lit(0L)).as("n_r1"),
+        col("n_tokens"), col("n_1"))
+      .select(col("r"), col("n_r"), col("n_r1"),
+        expr("CASE WHEN n_r1 > 0 THEN (r + 1) * n_r1 * 1000000 div n_r " +
+          "END").as("r_star_fp"),
+        expr("n_1 * 1000000 div n_tokens").as("p0_fp"),
+        col("n_tokens"))
+      .orderBy("r")
+  }
+
+  val t56Sql: String =
+    s"""WITH toks AS (SELECT
+       |    unnest(list_transform(range(1, len($Toks) - 1),
+       |      i -> $Toks[i] || ' ' || $Toks[i + 1] || ' ' ||
+       |           $Toks[i + 2])) AS t
+       |  FROM documents),
+       |wc AS (SELECT t, count(*) AS r FROM toks GROUP BY 1),
+       |coc AS (SELECT r, count(*) AS n_r FROM wc GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_tokens FROM toks),
+       |h1 AS (SELECT COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0)
+       |  AS n_1 FROM coc)
+       |SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
+       |  CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+       |  CASE WHEN COALESCE(b.n_r, 0) > 0
+       |    THEN CAST((a.r + 1) * b.n_r * 1000000 // a.n_r AS BIGINT)
+       |    END AS r_star_fp,
+       |  CAST(n_1 * 1000000 // n_tokens AS BIGINT) AS p0_fp,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM coc a LEFT JOIN coc b ON b.r = a.r + 1, tot, h1
+       |WHERE a.r <= 10 ORDER BY r""".stripMargin
+
   def t43HeldoutScore(sp: SparkSession, dir: String): DataFrame = {
     val bi = documents(sp, dir)
       .select(col("doc_id"),
@@ -11589,7 +11657,8 @@ object ExtensionQueries {
     "p30_burstiness" -> (p30Burstiness _),
     "p31_theil_sen" -> (p31TheilSen _),
     "p32_runs_test" -> (p32RunsTest _),
-    "p33_spearman" -> (p33Spearman _))
+    "p33_spearman" -> (p33Spearman _),
+    "t56_good_turing" -> (t56GoodTuring _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -11807,5 +11876,6 @@ object ExtensionQueries {
     "p30_burstiness" -> p30Sql,
     "p31_theil_sen" -> p31Sql,
     "p32_runs_test" -> p32Sql,
-    "p33_spearman" -> p33Sql)
+    "p33_spearman" -> p33Sql,
+    "t56_good_turing" -> t56Sql)
 }

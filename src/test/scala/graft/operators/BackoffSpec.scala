@@ -75,4 +75,39 @@ class BackoffSpec extends AnyFunSuite {
     assert(want.values.exists(_._2 > 0), "no bigram hits in fixture")
     assert(want.values.exists(_._3 > 0), "no backoffs in fixture")
   }
+
+  test("t56 Good-Turing: gate equals a from-scratch count-of-counts " +
+      "model on sf0.001; sum r*N_r = N and the hand formula replays") {
+    val sf = "/root/testdata/sf0.001"
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")))
+    val wc = toks.groupBy(identity).map { case (_, v) => v.length.toLong }
+    val coc = wc.groupBy(identity).map { case (r, v) => r -> v.size.toLong }
+    val n = toks.length.toLong
+    // the count-of-counts identity the report window can't show alone
+    assert(coc.map { case (r, nr) => r * nr }.sum === n)
+    val n1 = coc.getOrElse(1L, 0L)
+    assert(n1 > 0, "fixture has no hapax legomena — GT unexercised")
+    val rows = graft.queries.ExtensionQueries
+      .queries("t56_good_turing")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length ===
+      coc.keys.count(_ <= 10L))
+    rows.foreach { row =>
+      val r = row.getLong(0)
+      assert(row.getLong(1) === coc(r))
+      val nr1 = coc.getOrElse(r + 1, 0L)
+      assert(row.getLong(2) === nr1)
+      if (nr1 > 0) assert(row.getLong(3) === (r + 1) * nr1 * 1000000L / coc(r))
+      else assert(row.isNullAt(3))
+      assert(row.getLong(4) === n1 * 1000000L / n)
+      assert(row.getLong(5) === n)
+    }
+    // hand corpus {a:1, b:1, c:2}: r*(1) = 2*N2/N1 = 1.0 — a word seen
+    // once behaves like one seen 1.0 times; N3 = 0 leaves r*(2) undefined
+    val hand = Map(1L -> 2L, 2L -> 1L)
+    assert((1 + 1) * hand(2L) * 1000000L / hand(1L) === 1000000L)
+    assert(hand.getOrElse(3L, 0L) === 0L)
+  }
 }
