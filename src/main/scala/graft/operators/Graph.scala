@@ -510,6 +510,60 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("sup"))
   }
 
+  /** TOPOLOGICAL LAYERING by Kahn in-degree peeling over the DIRECTED
+    * simple edge set (de-duplicated; self-loops KEPT — a self-loop is a
+    * 1-cycle and pins its node in the residue by definition): round k
+    * peels every node with no remaining incoming edge and assigns it
+    * `layer` k, then removes the peeled nodes' out-edges; after
+    * `rounds` rounds every unpeeled node reports layer −1 — the
+    * RESIDUE, which is exactly the nodes on or downstream of a
+    * directed cycle once the horizon covers the longest source-to-node
+    * chain. This is the dependency-graph scheduler primitive (build
+    * stages, DAG pipelines) and the cheap cycle DETECTOR beside g13's
+    * SCC: a non-empty residue at a saturated horizon proves a cycle
+    * without computing components. Peeling is monotone and a bounded
+    * horizon can only UNDER-layer (leave a layerable node in the
+    * residue) — never mis-number a peeled node, so layers 0..rounds−1
+    * are exact and the residue is a superset of the cyclic part
+    * (horizon-monotonicity spec-pinned, the g5/g13 contract).
+    *
+    * Shape per round: one distinct over the surviving edges' dst side,
+    * two left-anti hash joins on the node id, one left-anti join
+    * pruning peeled sources from the edge table; the peeled set and the
+    * surviving EDGES materialize to scratch per round (each is consumed
+    * twice downstream), while the alive-node set stays a lazy chain of
+    * anti-joins against the tiny materialized peel tables — one
+    * node-domain scan per round, no extra write. Total work only
+    * SHRINKS round over round; no driver-side state beyond the loop
+    * counter — the 100 TB posture of every peeling kernel here
+    * ([[kCore]], [[kTruss]]). */
+  def topoLayers(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var cur = materialize(
+      edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v")).distinct(),
+      "graft-topo-e")
+    var alive = materialize(
+      cur.select(col("u").as("id")).union(cur.select(col("v").as("id")))
+        .distinct(), "graft-topo-nodes")
+    var acc: DataFrame = null
+    var i = 0
+    while (i < rounds) {
+      val peel = materialize(
+        alive.join(cur.select(col("v").as("id")).distinct(),
+          Seq("id"), "left_anti"),
+        s"graft-topo-p$i")
+      val layer = peel.select(col("id"), lit(i).as("layer"))
+      acc = if (acc == null) layer else acc.union(layer)
+      alive = alive.join(peel, Seq("id"), "left_anti")
+      cur = materialize(
+        cur.join(peel.select(col("id").as("u")), Seq("u"), "left_anti"),
+        s"graft-topo-r$i")
+      i += 1
+    }
+    acc.union(alive.select(col("id"), lit(-1).as("layer")))
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT per node — how close each node's
     * neighborhood is to a clique: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * reported in EXACT integer basis points (floor). The standard

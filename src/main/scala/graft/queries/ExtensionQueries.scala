@@ -9385,6 +9385,42 @@ object ExtensionQueries {
        |    END AS r
        |FROM s""".stripMargin
 
+  /** TOPOLOGICAL LAYERING ([[graft.operators.Graph.topoLayers]]) by
+    * Kahn in-degree peeling over the DIRECTED link graph, 3 rounds:
+    * layer 0 = the sources (nobody links to them — on a crawl graph the
+    * frontier/orphan pages), layer k = peel-round k, layer −1 = the
+    * residue, which on a saturated horizon is exactly the nodes on or
+    * downstream of a directed CYCLE — the dependency-scheduler stages
+    * and the cheap cycle detector beside g13's SCC (this derived graph
+    * is overwhelmingly cyclic, so the gate's layer histogram pins both
+    * the peelable fringe and the big cyclic core). The oracle replays
+    * every peel round as staged NOT-IN CTEs; per-node output, so the
+    * whole layering hash-pins, not a summary. */
+  def g17TopoLayers(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.topoLayers(linkEdges(sp, dir), rounds = 3)
+      .orderBy("id")
+
+  val g17Sql: String = {
+    def round(r: Int): String =
+      s"""l$r AS (SELECT id FROM a$r WHERE id NOT IN (SELECT v FROM e$r)),
+         |a${r + 1} AS (SELECT id FROM a$r
+         |  WHERE id NOT IN (SELECT id FROM l$r)),
+         |e${r + 1} AS (SELECT u, v FROM e$r
+         |  WHERE u NOT IN (SELECT id FROM l$r))""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |e0 AS (SELECT DISTINCT src AS u, dst AS v FROM edges),
+       |a0 AS (SELECT DISTINCT u AS id FROM e0
+       |  UNION SELECT DISTINCT v FROM e0),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)}
+       |SELECT id, 0 AS layer FROM l0
+       |UNION ALL SELECT id, 1 FROM l1
+       |UNION ALL SELECT id, 2 FROM l2
+       |UNION ALL SELECT id, -1 FROM a3
+       |ORDER BY id""".stripMargin
+  }
+
   /** Random-projection sketch ([[graft.operators.Ann.rpProject]]), 64→16
     * dims, with the JOHNSON-LINDENSTRAUSS DISTORTION GATE: for consecutive
     * vector pairs, ratio = ‖Pa−Pb‖² / (16·‖a−b‖²) must sit within ±0.5 of
@@ -11658,7 +11694,8 @@ object ExtensionQueries {
     "p31_theil_sen" -> (p31TheilSen _),
     "p32_runs_test" -> (p32RunsTest _),
     "p33_spearman" -> (p33Spearman _),
-    "t56_good_turing" -> (t56GoodTuring _))
+    "t56_good_turing" -> (t56GoodTuring _),
+    "g17_topo_layers" -> (g17TopoLayers _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -11877,5 +11914,6 @@ object ExtensionQueries {
     "p31_theil_sen" -> p31Sql,
     "p32_runs_test" -> p32Sql,
     "p33_spearman" -> p33Sql,
-    "t56_good_turing" -> t56Sql)
+    "t56_good_turing" -> t56Sql,
+    "g17_topo_layers" -> g17Sql)
 }

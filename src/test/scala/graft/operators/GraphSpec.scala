@@ -362,4 +362,27 @@ class GraphSpec extends AnyFunSuite {
       === ((4L, 6L, 10L, 8L)))
     assert(rp.getDouble(6) === -1.0)
   }
+
+  test("topoLayers: chain layers in peel order; cycle, its downstream " +
+      "node and a self-loop land in the residue; a bounded horizon " +
+      "under-layers and a longer one is a strict extension") {
+    // chain 1->2->3->4, 3-cycle 10->11->12->10 with outlet 12->13,
+    // self-loop 20, isolated pair 30->31
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 12L -> 13L,
+      20L -> 20L, 30L -> 31L)
+    val r3 = Graph.topoLayers(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r3 === Map(1L -> 0, 30L -> 0, 2L -> 1, 31L -> 1, 3L -> 2,
+      4L -> -1, 10L -> -1, 11L -> -1, 12L -> -1, 13L -> -1, 20L -> -1))
+    val r4 = Graph.topoLayers(e, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // horizon monotonicity: layered nodes keep their layer, and the
+    // under-layered chain tail graduates out of the residue
+    r3.filter(_._2 >= 0).foreach { case (id, l) => assert(r4(id) === l) }
+    assert(r4(4L) === 3)
+    // the saturated residue is exactly the cyclic part + downstream
+    assert(r4.filter(_._2 == -1).keySet ===
+      Set(10L, 11L, 12L, 13L, 20L))
+  }
 }
