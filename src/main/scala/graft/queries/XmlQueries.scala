@@ -1154,7 +1154,122 @@ object XmlQueries {
       |  CAST(0 AS INT) AS n_noq
       |FROM lineitem WHERE l_orderkey % 16 = 10 ORDER BY id""".stripMargin
 
+  /** STRING-FUNCTION PREDICATES — `contains()` / `starts-with()`
+    * through the single-parse evaluator: the substring-match selectors
+    * (`/log/line[contains(@msg,'ERROR')]`) that no equality or numeric
+    * predicate expresses. Semantics pinned (built-in parity in
+    * XPathMultiSpec): arguments convert through XPath string(), so a
+    * CHILD argument means the FIRST child's string-value — NOT the
+    * existential reading `[q='v']` has (the multi-q items pin both
+    * directions), and an ABSENT attribute converts to '', making
+    * `contains(@t,'')` true on every element. The layout gives each
+    * row a prefixed-attribute item (prefix + line number, so one path
+    * is row-dependent), an empty-attributed item, an attribute-less
+    * item, and two two-q items in opposite orders. 1/16 sample
+    * disjoint from x13-x23's. */
+  def x24XpathStrFn(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 11)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it t='pre-"), s(col("l_linenumber")),
+      lit("'><n>first</n></it><it t=''><n>empty</n></it>"),
+      lit("<it><n>noattr</n></it><it><q>"), d2s(col("l_quantity")),
+      lit("</q><q>zz</q><n>multi</n></it>"),
+      lit("<it><q>zz</q><q>"), d2s(col("l_quantity")),
+      lit("</q><n>rev</n></it></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[contains(@t,'-')]/n",
+        "/r/it[starts-with(@t,'pre')]/n",
+        "/r/it[contains(@t,'')]/n",
+        "/r/it[contains(q,'.')]/n",
+        "/r/it[starts-with(q,'z')]/n",
+        "//it[contains(@t,'pre-')]/n",
+        "/r/it[contains(@t,'1')]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        get(col("m.p1"), lit(0)).as("dash_label"),
+        get(col("m.p2"), lit(0)).as("prefix_label"),
+        size(col("m.p3")).as("n_empty_needle"),
+        size(col("m.p4")).as("n_first_dot"),
+        get(col("m.p4"), lit(0)).as("dot_label"),
+        get(col("m.p5"), lit(0)).as("z_label"),
+        get(col("m.p6"), lit(0)).as("desc_label"),
+        size(col("m.p7")).as("n_has_1"))
+      .orderBy("id")
+  }
+
+  val x24Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  'first' AS dash_label,
+      |  'first' AS prefix_label,
+      |  CAST(5 AS INT) AS n_empty_needle,
+      |  CAST(1 AS INT) AS n_first_dot,
+      |  'multi' AS dot_label,
+      |  'rev' AS z_label,
+      |  'first' AS desc_label,
+      |  CAST(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END AS INT)
+      |    AS n_has_1
+      |FROM lineitem WHERE l_orderkey % 16 = 11 ORDER BY id""".stripMargin
+
+  /** BOOLEAN PREDICATE CONNECTIVES — `[p and q]` / `[p or q]` through
+    * the single-parse evaluator, with XPath 1.0 precedence (`or`
+    * binds loosest) and quote-aware tokenization (a literal `' and '`
+    * inside a quoted value is a value, not a connective — both
+    * spec-pinned against the built-in). Every atom form composes:
+    * existence, equality, numeric comparison, contains(). One path is
+    * row-dependent (`@k and q>25` — the conjunctive filter shape of
+    * every real audit query); the precedence path `[@z and @k or n]`
+    * matches everything under the correct parse and NOTHING under the
+    * wrong associativity, so a precedence regression is hash-fatal.
+    * 1/16 sample disjoint from x13-x24's. */
+  def x25XpathBoolOps(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 12)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it k='"), s(col("l_linenumber")),
+      lit("' v='9'><q>"), d2s(col("l_quantity")),
+      lit("</q><n>both</n></it><it k='2'><n>konly</n></it>"),
+      lit("<it v='3'><n>vonly</n></it><it><n>none</n></it>"),
+      lit("<it t='a and b'><n>quoted</n></it></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[@k and @v]/n",
+        "/r/it[@k or @v]/n",
+        "/r/it[@k and @v and n]/n",
+        "/r/it[@k and q>25]/n",
+        "/r/it[@z and @k or n]/n",
+        "/r/it[@t='a and b']/n",
+        "/r/it[contains(@t,' and ') or @v>2]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        get(col("m.p1"), lit(0)).as("and_label"),
+        size(col("m.p2")).as("n_or"),
+        get(col("m.p3"), lit(0)).as("chain_label"),
+        size(col("m.p4")).as("n_heavy"),
+        size(col("m.p5")).as("n_prec"),
+        get(col("m.p6"), lit(0)).as("quoted_label"),
+        size(col("m.p7")).as("n_mixed"))
+      .orderBy("id")
+  }
+
+  val x25Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  'both' AS and_label,
+      |  CAST(3 AS INT) AS n_or,
+      |  'both' AS chain_label,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN 1 ELSE 0 END AS INT) AS n_heavy,
+      |  CAST(5 AS INT) AS n_prec,
+      |  'quoted' AS quoted_label,
+      |  CAST(3 AS INT) AS n_mixed
+      |FROM lineitem WHERE l_orderkey % 16 = 12 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_xpath_str_fn" -> (x24XpathStrFn _),
+    "x25_xpath_bool_ops" -> (x25XpathBoolOps _),
     "x23_xpath_child_num" -> (x23XpathChildNum _),
     "x22_xpath_exists" -> (x22XpathExists _),
     "x21_xpath_pos_range" -> (x21XpathPosRange _),
@@ -1188,6 +1303,8 @@ object XmlQueries {
     "x21_xpath_pos_range" -> x21Sql,
     "x22_xpath_exists" -> x22Sql,
     "x23_xpath_child_num" -> x23Sql,
+    "x24_xpath_str_fn" -> x24Sql,
+    "x25_xpath_bool_ops" -> x25Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

@@ -74,6 +74,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object XPathMini {
 
+  /** VALUE predicate tree of one step — the boolean test applied to
+    * each candidate element. Atoms are the attribute/child forms the
+    * grammar admits; `And`/`Or` compose them with XPath 1.0 precedence
+    * (`or` binds loosest), no parentheses in the subset. POSITIONAL
+    * predicates (`[k]`, `[last()]`, `[position() OP k]`) are NOT atoms:
+    * they stay Step-level because they predicate on the sibling RANK
+    * the iteration produces, not on the element's own content (and
+    * XPath's mixed positional-boolean expressions like `[2 and @a]`
+    * coerce position through number(), outside this subset). */
+  sealed trait Pred
+  object Pred {
+    final case class AttrEq(a: String, v: String) extends Pred
+    final case class ChildEq(q: String, v: String) extends Pred
+    final case class AttrCmp(a: String, op: String, v: Double) extends Pred
+    final case class ChildCmp(q: String, op: String, v: Double) extends Pred
+    final case class AttrExists(a: String) extends Pred
+    final case class ChildExists(q: String) extends Pred
+    final case class AttrFn(fn: String, a: String, v: String) extends Pred
+    final case class ChildFn(fn: String, q: String, v: String) extends Pred
+    final case class And(ps: Array[Pred]) extends Pred
+    final case class Or(ps: Array[Pred]) extends Pred
+  }
+
   /** One location step: element name (or `*`) + optional 1-based position
     * among the matching siblings of the same context node (0 = all,
     * -1 = `last()` — the final matching sibling of its context).
@@ -81,13 +104,13 @@ object XPathMini {
     * child::name of the context node or of ANY of its descendants —
     * XPath's `/descendant-or-self::node()/child::name` expansion, so
     * `//a[2]` keeps the spec's sibling-position meaning (every `a` that
-    * is the 2nd `a` child of ITS parent), not "2nd in document order". */
+    * is the 2nd `a` child of ITS parent), not "2nd in document order".
+    * `pred` carries the step's value-predicate tree (null = none);
+    * positional predicates ride in `pos`/`posOp` — the grammar admits
+    * ONE `[...]` per step, which is either positional or a value
+    * expression. */
   final case class Step(name: String, pos: Int, desc: Boolean,
-      predAttr: String = null, predVal: String = null,
-      predChild: String = null,
-      numOp: String = null, numVal: Double = 0.0,
-      posOp: String = null,
-      existsAttr: String = null, existsChild: String = null)
+      pred: Pred = null, posOp: String = null)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -102,17 +125,82 @@ object XPathMini {
     val hasDesc: Boolean = steps.exists(_.desc)
   }
 
-  private val StepRe =
-    ("""^(\*|[A-Za-z_][\w.-]*)(?:\[(\d+)\]""" +
-      """|\[(last)\(\)\]""" +
-      """|\[@([A-Za-z_][\w.-]*)='([^']*)'\]""" +
-      """|\[([A-Za-z_][\w.-]*)='([^']*)'\]""" +
-      """|\[@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\]""" +
-      """|\[position\(\)(>=|<=|>|<)(\d+)\]""" +
-      """|\[@([A-Za-z_][\w.-]*)\]""" +
-      """|\[([A-Za-z_][\w.-]*)\]""" +
-      """|\[([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)\])?$""").r
+  private val StepHeadRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(.*)\])?$""".r
+  private val PosEqRe = """^(\d+)$""".r
+  private val PosLastRe = """^last\(\)$""".r
+  private val PosRangeRe = """^position\(\)(>=|<=|>|<)(\d+)$""".r
+  private val AttrEqRe = """^@([A-Za-z_][\w.-]*)='([^']*)'$""".r
+  private val ChildEqRe = """^([A-Za-z_][\w.-]*)='([^']*)'$""".r
+  private val AttrCmpRe =
+    """^@([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)$""".r
+  private val ChildCmpRe =
+    """^([A-Za-z_][\w.-]*)(>=|<=|!=|=|>|<)(-?\d+(?:\.\d+)?)$""".r
+  private val AttrExistsRe = """^@([A-Za-z_][\w.-]*)$""".r
+  private val ChildExistsRe = """^([A-Za-z_][\w.-]*)$""".r
+  private val FnRe =
+    """^(contains|starts-with)\((@?)([A-Za-z_][\w.-]*),'([^']*)'\)$""".r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
+
+  /** Split `s` on the connective token ``" sep "`` at quote depth 0
+    * only — a predicate value may contain ``' and '``/``' or '`` (or
+    * `[`/`]`) INSIDE its single-quoted literal, and XPath 1.0 string
+    * literals in this subset have no escaping, so a quote-state scan is
+    * exact (the [[splitUnion]] posture applied to connectives). */
+  private def splitTop(s: String, sep: String): Array[String] = {
+    val tok = " " + sep + " "
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') { inQ = !inQ; cur += ch; i += 1 }
+      else if (!inQ && s.startsWith(tok, i)) {
+        parts += cur.toString; cur.clear(); i += tok.length
+      } else { cur += ch; i += 1 }
+    }
+    parts += cur.toString
+    parts.toArray
+  }
+
+  /** One value-predicate ATOM — every non-positional single test the
+    * old one-alternation grammar admitted, plus the `contains()` /
+    * `starts-with()` string functions (XPath 1.0 §4.2: arguments
+    * convert through string(), so a node-set argument means the FIRST
+    * node's string-value — NOT the existential reading `[q='v']` has;
+    * an empty node-set converts to '', making `contains(@a,'')` TRUE
+    * even when the attribute is absent — both probe-pinned against the
+    * built-in evaluator in XPathMultiSpec). */
+  private def parseAtom(s: String, path: String): Pred = s match {
+    case AttrEqRe(a, v) => Pred.AttrEq(a, v)
+    case ChildEqRe(q, v) => Pred.ChildEq(q, v)
+    case AttrCmpRe(a, op, v) => Pred.AttrCmp(a, op, v.toDouble)
+    case ChildCmpRe(q, op, v) => Pred.ChildCmp(q, op, v.toDouble)
+    case FnRe(fn, at, n, v) =>
+      if (at == "@") Pred.AttrFn(fn, n, v) else Pred.ChildFn(fn, n, v)
+    case AttrExistsRe(a) => Pred.AttrExists(a)
+    case ChildExistsRe(q) => Pred.ChildExists(q)
+    case other => throw new IllegalArgumentException(
+      s"unsupported predicate '$other' in path: $path " +
+        "(atoms: [@a='v'], [q='v'], [@a>5] / [q>5] and the other " +
+        "numeric comparisons, [@a], [q], contains(...), " +
+        "starts-with(...))")
+  }
+
+  /** Value-predicate expression: `or` over `and` over atoms (XPath 1.0
+    * precedence — `or` binds loosest), both quote-aware; positional
+    * forms are NOT valid operands (they predicate on sibling rank, and
+    * [[parseAtom]] rejects them). */
+  private def parsePred(s: String, path: String): Pred = {
+    val ors = splitTop(s, "or")
+    def andOf(part: String): Pred = {
+      val ands = splitTop(part, "and")
+      if (ands.length > 1) Pred.And(ands.map(a => parseAtom(a.trim, path)))
+      else parseAtom(part.trim, path)
+    }
+    if (ors.length > 1) Pred.Or(ors.map(p => andOf(p.trim)))
+    else andOf(s)
+  }
 
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
     * 1.0's `|` operator — the node-set union in DOCUMENT ORDER with
@@ -188,31 +276,33 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty, s"path has no element steps: $path")
     val steps = stepParts.map {
-      case (StepRe(name, pos, lastG, pa, pav, pc, pcv, na, nop, nv,
-          pop, pk, exA, exC, cn, cop, cv), desc) =>
-        // the regex alternation guarantees at most ONE predicate per
-        // step: positional [k] / [last()] / [position()>k] (ops
-        // > < >= <=), attribute-equality [@a='v'], child-value
-        // [q='v'], or numeric attribute comparison [@a>5]
-        // (ops = < >= <= = !=, unquoted literal)
-        val p = if (lastG != null) -1
-          else if (pos == null) 0 else pos.toInt
-        if (na != null)
-          Step(name, p, desc, predAttr = na, numOp = nop,
-            numVal = nv.toDouble)
-        else if (pop != null)
-          Step(name, pk.toInt, desc, posOp = pop)
-        else if (exA != null) Step(name, p, desc, existsAttr = exA)
-        else if (exC != null) Step(name, p, desc, existsChild = exC)
-        else if (cn != null)
-          Step(name, p, desc, predChild = cn, numOp = cop,
-            numVal = cv.toDouble)
-        else Step(name, p, desc, pa, if (pa != null) pav else pcv, pc)
+      case (StepHeadRe(name, pred), desc) =>
+        if (pred == null) Step(name, 0, desc)
+        else {
+          // ONE [...] per step: a bracket outside a quoted literal in
+          // the captured body is a second predicate — reject
+          // (quote-aware, like the union/connective splits: brackets
+          // INSIDE a quoted value are part of the value)
+          var inQ = false
+          pred.foreach { ch =>
+            if (ch == '\'') inQ = !inQ
+            else if ((ch == '[' || ch == ']') && !inQ)
+              throw new IllegalArgumentException(
+                s"one predicate per step in path: $path")
+          }
+          pred match {
+            case PosEqRe(k) => Step(name, k.toInt, desc)
+            case PosLastRe() => Step(name, -1, desc)
+            case PosRangeRe(op, k) => Step(name, k.toInt, desc, posOp = op)
+            case _ => Step(name, 0, desc, pred = parsePred(pred, path))
+          }
+        }
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, //name, [k], [last()], [@a='v'], [q='v'], " +
-          "[@a>5] / [q>5] and the other numeric comparisons, [@a], " +
-          "[q], trailing text() or @attr)")
+          "(subset: name|*, //name, [k], [last()], [position() OP k], " +
+          "[@a='v'], [q='v'], [@a>5] / [q>5] and the other numeric " +
+          "comparisons, [@a], [q], contains()/starts-with() on @a or " +
+          "q, 'and'/'or' connectives, trailing text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
@@ -358,17 +448,64 @@ object XPathMini {
 
   private def matches(step: Step, e: Elem): Boolean =
     (step.name == "*" || step.name == e.tag) &&
-      (if (step.numOp != null && step.predAttr != null)
-        attrNumCmp(e, step.predAttr, step.numOp, step.numVal)
-      else if (step.numOp != null)
-        childNumCmp(e, step.predChild, step.numOp, step.numVal)
-      else
-        (step.predAttr == null ||
-          attrEq(e, step.predAttr, step.predVal)) &&
-        (step.predChild == null ||
-          childEq(e, step.predChild, step.predVal)) &&
-        (step.existsAttr == null || hasAttr(e, step.existsAttr)) &&
-        (step.existsChild == null || hasChild(e, step.existsChild)))
+      (step.pred == null || evalPred(step.pred, e))
+
+  /** Recursive value-predicate evaluation; `And`/`Or` short-circuit
+    * left to right (pure tests — order is unobservable). */
+  private def evalPred(p: Pred, e: Elem): Boolean = p match {
+    case Pred.AttrEq(a, v) => attrEq(e, a, v)
+    case Pred.ChildEq(q, v) => childEq(e, q, v)
+    case Pred.AttrCmp(a, op, v) => attrNumCmp(e, a, op, v)
+    case Pred.ChildCmp(q, op, v) => childNumCmp(e, q, op, v)
+    case Pred.AttrExists(a) => hasAttr(e, a)
+    case Pred.ChildExists(q) => hasChild(e, q)
+    case Pred.AttrFn(fn, a, v) => fnTest(fn, strOfAttr(e, a), v)
+    case Pred.ChildFn(fn, q, v) => fnTest(fn, strOfChild(e, q), v)
+    case Pred.And(ps) => ps.forall(evalPred(_, e))
+    case Pred.Or(ps) => ps.exists(evalPred(_, e))
+  }
+
+  /** XPath 1.0 string() of the attribute node-set `@a`: the value if
+    * present (first occurrence, like [[attrEq]]), '' if absent — an
+    * empty node-set converts to the empty string, so
+    * `contains(@a, '')` is TRUE even on elements without the
+    * attribute (probe-pinned against the built-in). */
+  private def strOfAttr(e: Elem, a: String): String = {
+    if (e.attrs == null) return ""
+    var k = 0
+    while (k < e.attrs.length) {
+      if (e.attrs(k)._1 == a) return e.attrs(k)._2
+      k += 1
+    }
+    ""
+  }
+
+  /** XPath 1.0 string() of the child node-set `q`: the string-value of
+    * the FIRST child element named `q` in document order, '' if none.
+    * NOT existential — `contains(q,'x')` tests only the first `q`,
+    * unlike `[q='x']` which tests every one (XPath §3.4 comparisons
+    * are existential over node-sets; §4.2 functions convert through
+    * string() first — the asymmetry is spec-pinned). */
+  private def strOfChild(e: Elem, q: String): String = {
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case c: Elem if c.tag == q =>
+          val sb = new java.lang.StringBuilder
+          stringValue(c, sb)
+          return sb.toString
+        case _ =>
+      }
+      i += 1
+    }
+    ""
+  }
+
+  private def fnTest(fn: String, s: String, v: String): Boolean =
+    fn match {
+      case "contains" => s.contains(v)
+      case "starts-with" => s.startsWith(v)
+    }
 
   /** XPath 1.0 node-set-vs-number comparison `[q>5]` (ops < >= <= =
     * !=): true iff ANY child element named `q` has number(string-value)

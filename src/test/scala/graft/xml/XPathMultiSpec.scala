@@ -720,4 +720,110 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("/r/it[q>1e3]") // exponents outside the subset
     }
   }
+
+  test("contains()/starts-with() predicates: built-in parity; string() " +
+      "takes the FIRST child node (not existential); an absent " +
+      "attribute converts to '' so contains(@a,'') is TRUE; " +
+      "descendant composition; grammar rejections") {
+    import spark.implicits._
+    val doc = "<r><it t='pre-7'><n>first</n></it>" +
+      "<it t=''><n>empty</n></it><it><n>noattr</n></it>" +
+      "<it><q>17.00</q><q>zz</q><n>multi</n></it>" +
+      "<it><q>zz</q><q>17.00</q><n>rev</n></it></r>"
+    val paths = Seq(
+      "/r/it[contains(@t,'-')]/n",
+      "/r/it[starts-with(@t,'pre')]/n",
+      "/r/it[contains(@t,'')]/n",
+      "/r/it[contains(q,'.')]/n",
+      "/r/it[starts-with(q,'z')]/n",
+      "//it[contains(@t,'pre-')]/n",
+      "/r/it[contains(q,'zz')]/n")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("first") && got(1) == Seq("first"))
+    assert(got(2).size == 5,
+      "string(absent @t) = '' and contains('','') is TRUE — every " +
+        "item matches, attributed or not")
+    assert(got(3) == Seq("multi"),
+      "string(q) is the FIRST q child: 'zz'-first item does NOT " +
+        "match despite a matching second q — function conversion, " +
+        "not the existential comparison [q='v'] uses")
+    assert(got(4) == Seq("rev") && got(6) == Seq("rev"))
+    assert(got(5) == Seq("first"), "descendant-axis composition")
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[contains(@t,x)]") // unquoted argument
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[contains(@t,'a')][1]") // one [...] only
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[ends-with(@t,'a')]") // not in XPath 1.0
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[contains(@t)]") // arity
+    }
+  }
+
+  test("'and'/'or' predicate connectives: built-in parity, XPath " +
+      "precedence (or binds loosest), quoted literals shield " +
+      "connective tokens, composition with every atom form, grammar " +
+      "rejections") {
+    import spark.implicits._
+    val doc = "<r><it k='1' v='9'><q>30</q><n>both</n></it>" +
+      "<it k='2'><n>konly</n></it><it v='3'><n>vonly</n></it>" +
+      "<it><n>none</n></it><it t='a and b'><n>quoted</n></it></r>"
+    val paths = Seq(
+      "/r/it[@k and @v]/n",
+      "/r/it[@k or @v]/n",
+      "/r/it[@k and @v and n]/n",
+      "/r/it[@z or n]/n",
+      "/r/it[@k and q>25]/n",
+      "/r/it[@z and @k or n]/n",
+      "/r/it[@t='a and b']/n",
+      "/r/it[contains(@t,' and ') or @k='1']/n")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("both"))
+    assert(got(1) == Seq("both", "konly", "vonly"))
+    assert(got(2) == Seq("both"), "three-way and chain")
+    assert(got(3).size == 5, "or with an absent-attr left operand")
+    assert(got(4) == Seq("both"), "and composes exists with numeric")
+    assert(got(5).size == 5,
+      "precedence is (z and k) or n, NOT z and (k or n) — the wrong " +
+        "associativity would match nothing")
+    assert(got(6) == Seq("quoted"),
+      "' and ' inside a quoted value is a value, not a connective")
+    assert(got(7) == Seq("both", "quoted"),
+      "connective token as a contains() argument stays quoted too")
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[2 and @k]") // positional is not a term
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@k and]") // dangling connective
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@k][@v]") // still one [...] per step
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[not(@k)]") // not() outside the subset
+    }
+  }
 }
