@@ -770,6 +770,109 @@ object Multimodal {
     Some(out)
   }
 
+  /** 90° ROTATION of a 24bpp BMP — the remaining rigid augmentation
+    * beside [[flipBmp]] (flip+rotate generate the full dihedral orbit
+    * augmentation pipelines sample from). Dimensions SWAP (W×H →
+    * H×W), so unlike flip the row stride, padding and header all
+    * change and the container is genuinely rebuilt. Contract in
+    * storage coordinates (row j = 0 is the BMP's bottom row):
+    *   dst(x', j') = src(x = W−1−j', j = x'),  dstW = H, dstH = W —
+    * one quarter-turn; applying it four times reproduces the source
+    * byte-for-byte (spec-pinned, along with a hand 2×3 pixel map and
+    * the W×1 row → 1×W column degenerate). Channel order within each
+    * pixel is preserved; integer geometry only, so the oracle replays
+    * every output byte from the blob-fill formula. None for non-BMP
+    * payloads. */
+  def rotateBmp(m: Array[Byte]): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val srcRow = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + srcRow.toLong * h) return None
+    val dstW = h
+    val dstH = w
+    val dstRow = ((3 * dstW + 3) / 4) * 4
+    val dataSize = dstRow * dstH
+    val b = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(dstW).putInt(dstH).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val out = b.array()
+    var j2 = 0
+    while (j2 < dstH) {
+      var x2 = 0
+      while (x2 < dstW) {
+        val s = dataOff + x2 * srcRow + 3 * (w - 1 - j2)
+        val d = 54 + j2 * dstRow + 3 * x2
+        out(d) = m(s); out(d + 1) = m(s + 1); out(d + 2) = m(s + 2)
+        x2 += 1
+      }
+      j2 += 1
+    }
+    Some(out)
+  }
+
+  /** PATCH-GRID STATISTICS of a 24bpp BMP — the ViT patch-embedding
+    * precursor: the image cut into a p×p grid (storage coordinates,
+    * row 0 = bottom; edge patches CLIP to the image bounds rather than
+    * pad, so their pixel count is smaller and reported), each patch
+    * reduced to integer luma statistics (count, sum, min, max) with
+    * the [[bmpAverageHash]] luma (b+g+r)/3, integer division. This is
+    * the typed-row form a patch tokenizer consumes — and the per-patch
+    * reduction is exactly the map-side shape that scales: one row per
+    * patch, no shuffle until the caller aggregates. Returns
+    * (py, px, n_px, luma_sum, luma_min, luma_max) per patch in
+    * row-major (py, px) order; None for non-BMP payloads. */
+  def patchStats(m: Array[Byte],
+      p: Int): Option[Seq[(Int, Int, Int, Long, Int, Int)]] = {
+    require(p >= 1, "patch size must be >= 1")
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + rowSize.toLong * h) return None
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Long, Int, Int)]
+    var py = 0
+    while (py * p < h) {
+      var px = 0
+      while (px * p < w) {
+        var n = 0
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var j = py * p
+        while (j < math.min((py + 1) * p, h)) {
+          var x = px * p
+          while (x < math.min((px + 1) * p, w)) {
+            val o = dataOff + j * rowSize + 3 * x
+            val luma = ((m(o) & 0xff) + (m(o + 1) & 0xff) +
+              (m(o + 2) & 0xff)) / 3
+            n += 1; sum += luma
+            if (luma < mn) mn = luma
+            if (luma > mx) mx = luma
+            x += 1
+          }
+          j += 1
+        }
+        out += ((py, px, n, sum, mn, mx))
+        px += 1
+      }
+      py += 1
+    }
+    Some(out.toSeq)
+  }
+
   /** One-pixel-off NEAR-DUP twin of a 24bpp BMP: the first pixel-data
     * byte (blue channel of the storage-order first pixel) bumped by
     * `delta` mod 256; header, dimensions, and every other byte are

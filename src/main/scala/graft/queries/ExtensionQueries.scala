@@ -5229,6 +5229,107 @@ object ExtensionQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** 90° rotation ([[Multimodal.rotateBmp]]): dimensions SWAP, so the
+    * container is genuinely rebuilt (new stride and padding) — unlike
+    * m13's flip, which edits in place. The witness re-decodes the
+    * REWRITTEN bytes (header dims + position-weighted checksum +
+    * plain pixel sum); the oracle replays every destination byte from
+    * the blob-fill formula through the quarter-turn map
+    * dst(x', j') = src(W−1−j', x'). The plain checksum is
+    * rotation-INVARIANT (same multiset of pixel bytes) while wsum is
+    * not — together they witness both content preservation and actual
+    * motion. */
+  def m24RotateBmp(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.rotateBmp(r.media).map { f =>
+          val fb = java.nio.ByteBuffer.wrap(f)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (r.doc_id, fb.getInt(18), fb.getInt(22),
+            Multimodal.bmpWeightedChecksum(f),
+            Multimodal.bmpPixelChecksum(f))
+        }
+      }
+      .toDF("doc_id", "width", "height", "wsum", "checksum")
+      .orderBy("doc_id")
+  }
+
+  val m24Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(idx: String) =
+      s"('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))::BIGINT"
+    val srcIdx = "ti.x * p.src_row + (p.src_w - 1 - tj.j) * 3 + tc.c"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row
+       |  FROM e),
+       |-- dst row j' in 0..src_w-1, dst col x' in 0..src_h-1: the
+       |-- quarter-turn swaps the loop bounds vs m13's replay
+       |s AS (SELECT p.doc_id, MAX(p.src_h) AS w, MAX(p.src_w) AS h,
+       |    CAST(SUM(${byteAt(srcIdx)}
+       |      * (tj.j * 3 * p.src_h + ti.x * 3 + tc.c + 1)) AS BIGINT)
+       |      AS wsum,
+       |    CAST(SUM(${byteAt(srcIdx)}) AS BIGINT) AS checksum
+       |  FROM p, range(0, 31) tj(j), range(0, 7) ti(x), range(0, 3) tc(c)
+       |  WHERE tj.j < p.src_w AND ti.x < p.src_h
+       |  GROUP BY p.doc_id)
+       |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  wsum, checksum
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Patch-grid statistics ([[Multimodal.patchStats]], p = 4): the ViT
+    * patch-embedding precursor as typed rows — every image cut into a
+    * 4×4 storage-order grid (edge patches CLIP, their smaller pixel
+    * count reported, exercised live by the 31-mod widths and ≤7
+    * heights), each patch reduced to integer luma count/sum/min/max.
+    * Map-side only: one row per patch, no shuffle before the final
+    * orderBy; the oracle replays every patch from the blob-fill
+    * formula with the luma and grid arithmetic inline. */
+  def m25PatchStats(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.patchStats(r.media, 4).toSeq.flatten.map { t =>
+          (r.doc_id, t._1, t._2, t._3, t._4, t._5, t._6)
+        }
+      }
+      .toDF("doc_id", "py", "px", "n_px", "luma_sum", "luma_min",
+        "luma_max")
+      .orderBy("doc_id", "py", "px")
+  }
+
+  val m25Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(idx: String) =
+      s"('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))::BIGINT"
+    val base = "tj.j * p.src_row + ti.x * 3"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row
+       |  FROM e),
+       |g AS (SELECT p.doc_id, tj.j // 4 AS py, ti.x // 4 AS px,
+       |    (${byteAt(s"$base + 0")} + ${byteAt(s"$base + 1")}
+       |      + ${byteAt(s"$base + 2")}) // 3 AS luma
+       |  FROM p, range(0, 7) tj(j), range(0, 31) ti(x)
+       |  WHERE tj.j < p.src_h AND ti.x < p.src_w)
+       |SELECT doc_id, CAST(py AS INT) AS py, CAST(px AS INT) AS px,
+       |  CAST(count(*) AS INT) AS n_px,
+       |  CAST(SUM(luma) AS BIGINT) AS luma_sum,
+       |  CAST(MIN(luma) AS INT) AS luma_min,
+       |  CAST(MAX(luma) AS INT) AS luma_max
+       |FROM g GROUP BY doc_id, py, px ORDER BY doc_id, py, px""".stripMargin
+  }
+
   /** Perceptual image dedup ([[Multimodal.bmpAverageHash]]): every image
     * doc's 64-bit aHash (REAL resize-to-8x8 + integer grayscale + bit per
     * pixel above the integer mean), grouped to surface perceptual
@@ -11695,7 +11796,9 @@ object ExtensionQueries {
     "p32_runs_test" -> (p32RunsTest _),
     "p33_spearman" -> (p33Spearman _),
     "t56_good_turing" -> (t56GoodTuring _),
-    "g17_topo_layers" -> (g17TopoLayers _))
+    "g17_topo_layers" -> (g17TopoLayers _),
+    "m24_rotate_bmp" -> (m24RotateBmp _),
+    "m25_patch_stats" -> (m25PatchStats _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -11915,5 +12018,7 @@ object ExtensionQueries {
     "p32_runs_test" -> p32Sql,
     "p33_spearman" -> p33Sql,
     "t56_good_turing" -> t56Sql,
-    "g17_topo_layers" -> g17Sql)
+    "g17_topo_layers" -> g17Sql,
+    "m24_rotate_bmp" -> m24Sql,
+    "m25_patch_stats" -> m25Sql)
 }

@@ -3481,4 +3481,76 @@ class OperatorSpec extends AnyFunSuite {
       assert(bp == caught * 10000L / planted)
     }
   }
+
+  test("m24 rotateBmp: hand 2x3 quarter-turn pixel map, four turns " +
+      "reproduce the source byte-for-byte, a Wx1 row becomes a 1xW " +
+      "column, refusal on non-BMP") {
+    import graft.operators.Multimodal
+    // 2 wide, 3 high (storage rows bottom-up); pixel (x, j) carries
+    // value 10*j + x on all three channels; stride 8 = 6 px + 2 pad
+    val bytes = Array.tabulate[Byte](24) { i =>
+      val j = i / 8; val k = i % 8
+      if (k >= 6) 0 else (10 * j + k / 3).toByte
+    }
+    val bmp = Multimodal.buildBmp(2, 3, bytes)
+    val r = Multimodal.rotateBmp(bmp).get
+    val rb = java.nio.ByteBuffer.wrap(r)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(rb.getInt(18) == 3 && rb.getInt(22) == 2, "dims swap")
+    // dst(x', j') = src(W-1-j', x'): value 10*x' + (1 - j')
+    val px = (x: Int, j: Int) => r(54 + j * 12 + 3 * x) & 0xff
+    assert(Seq(px(0, 0), px(1, 0), px(2, 0)) == Seq(1, 11, 21))
+    assert(Seq(px(0, 1), px(1, 1), px(2, 1)) == Seq(0, 10, 20))
+    // content invariant, position moved
+    assert(Multimodal.bmpPixelChecksum(r) ==
+      Multimodal.bmpPixelChecksum(bmp))
+    assert(Multimodal.bmpWeightedChecksum(r) !=
+      Multimodal.bmpWeightedChecksum(bmp))
+    // four quarter-turns are the identity, byte-for-byte
+    val r4 = (1 to 4).foldLeft(bmp)((b, _) => Multimodal.rotateBmp(b).get)
+    assert(java.util.Arrays.equals(r4, bmp))
+    // 4x1 row -> 1x4 column: bottom dst row holds the RIGHTMOST
+    // source pixel (dst(0, j') = src(3 - j', 0))
+    val row = Multimodal.buildBmp(4, 1,
+      Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4))
+    val col = Multimodal.rotateBmp(row).get
+    val cb = java.nio.ByteBuffer.wrap(col)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(cb.getInt(18) == 1 && cb.getInt(22) == 4)
+    assert((0 until 4).map(j => col(54 + j * 4) & 0xff) ==
+      Seq(4, 3, 2, 1))
+    assert(Multimodal.rotateBmp("not a bmp".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("m25 patchStats: hand 5x3 grid at p=2 with clipped edge " +
+      "patches in row-major order, flat-image stats, p=1 is the " +
+      "per-pixel identity, refusal on non-BMP") {
+    import graft.operators.Multimodal
+    // 5x3; pixel (x, j) luma = 10*j + x (all channels equal); stride
+    // 16 = 15 px bytes + 1 pad per row
+    val bytes = Array.tabulate[Byte](48) { i =>
+      val j = i / 16; val k = i % 16
+      if (k >= 15) 0 else (10 * j + k / 3).toByte
+    }
+    val bmp = Multimodal.buildBmp(5, 3, bytes)
+    val got = Multimodal.patchStats(bmp, 2).get
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)),
+      "row-major patch order")
+    val m = got.map(t => (t._1, t._2) -> ((t._3, t._4, t._5, t._6))).toMap
+    assert(m((0, 0)) == ((4, 22L, 0, 11)), "full interior patch")
+    assert(m((0, 2)) == ((2, 18L, 4, 14)), "x-clipped edge patch")
+    assert(m((1, 0)) == ((2, 41L, 20, 21)), "y-clipped edge patch")
+    assert(m((1, 2)) == ((1, 24L, 24, 24)), "corner patch, one pixel")
+    // flat image: every patch min == max == fill
+    val flat = Multimodal.buildBmp(2, 2, Array.fill[Byte](16)(77))
+    assert(Multimodal.patchStats(flat, 4).get ==
+      Seq((0, 0, 4, 308L, 77, 77)))
+    // p=1: one patch per pixel, sum == luma == min == max
+    val p1 = Multimodal.patchStats(bmp, 1).get
+    assert(p1.size == 15 &&
+      p1.forall(t => t._3 == 1 && t._4 == t._5 && t._5 == t._6))
+    assert(p1.find(t => t._1 == 2 && t._2 == 3).get._4 == 23L)
+    assert(Multimodal.patchStats("nope".getBytes("UTF-8"), 2).isEmpty)
+  }
 }
