@@ -8406,6 +8406,74 @@ object ExtensionQueries {
       |FROM ev GROUP BY u
       |ORDER BY exact_cnt DESC, u LIMIT 5""".stripMargin
 
+  /** PER-MICRO-BATCH DIMENSION REFRESH
+    * ([[graft.streaming.StreamOps.dimRefreshEnrichStart]]) — the
+    * enrichment leg s7's plan-time-bound staticEnrich cannot express:
+    * the dimension is re-read inside every foreachBatch body, so a
+    * mid-stream dimension PUBLISH takes effect at the next micro-batch
+    * without restarting the query. Harness: the 1/16
+    * `event_id % 16 = 11` bus in three event_id-ordered terciles
+    * (ntile(3), oracle-replayed); dimension v1 (tier 'T'‖dk%3, keys
+    * dk < 45 only — a deliberate coverage hole) is published before
+    * the run, v2 (tier 'U'‖dk%4, all 50 keys) after epoch 0 commits.
+    * Epoch-0 rows therefore carry v1 tiers with NULL above dk 44
+    * (the LEFT-join coverage contract), epochs 1-2 carry v2 tiers
+    * with full coverage — both the refresh timing and the coverage
+    * fix are hash-visible on every row. */
+  def s40DimRefresh(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    val rows = events(sp, dir).filter(col("event_id") % 16 === 11)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("b", ntile(3).over(w))
+      .orderBy("event_id").collect()
+    require(rows.length >= 9,
+      "s40: the 1/16 event_id sample has < 9 rows — fixture too small " +
+        "for a 3-tercile refresh bus")
+    def feed(b: Int) = rows.toIndexedSeq.filter(_.getInt(2) == b)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val s2 = sp.newSession()
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val dimDir = graft.Tables.scratchDir("graft-s40-dim")
+    val outDir = graft.Tables.scratchDir("graft-s40-out")
+    def publish(version: Int): Unit = {
+      val n = if (version == 1) 45 else 50
+      val tier = if (version == 1)
+        concat(lit("T"), (col("id") % 3).cast("string"))
+      else concat(lit("U"), (col("id") % 4).cast("string"))
+      s2.range(n).select(col("id").as("dim_dk"), tier.as("tier"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    }
+    publish(1)
+    val in = MemoryStream[(Long, Long)]
+    val ds = in.toDF().toDF("event_id", "user_id")
+      .withColumn("dk", col("user_id") % 50)
+    val q = graft.streaming.StreamOps.dimRefreshEnrichStart(
+      ds, dimDir, "dk", "dim_dk", outDir)
+    try {
+      in.addData(feed(1)); q.processAllAvailable()
+      publish(2)
+      in.addData(feed(2)); q.processAllAvailable()
+      in.addData(feed(3)); q.processAllAvailable()
+    } finally q.stop()
+    s2.read.parquet(outDir)
+      .select(col("event_id"), col("dk"),
+        col("batch_id").cast("int").as("batch_id"), col("tier"))
+      .orderBy("event_id")
+  }
+
+  val s40Sql: String =
+    """WITH ev AS (SELECT event_id, user_id,
+      |    ntile(3) OVER (ORDER BY event_id) AS b
+      |  FROM events WHERE event_id % 16 = 11)
+      |SELECT event_id, user_id % 50 AS dk, CAST(b - 1 AS INT) AS batch_id,
+      |  CASE WHEN b = 1 THEN
+      |      CASE WHEN user_id % 50 < 45
+      |        THEN 'T' || CAST(user_id % 50 % 3 AS VARCHAR) END
+      |    ELSE 'U' || CAST(user_id % 50 % 4 AS VARCHAR) END AS tier
+      |FROM ev ORDER BY event_id""".stripMargin
+
   /** dropDuplicatesWithinWatermark — Spark 4's BOUNDED-STATE streaming
     * dedup (the API leg s13's unbounded dropDuplicates doesn't cover):
     * key state lives only `delay` past its event time, so the store
@@ -11798,7 +11866,8 @@ object ExtensionQueries {
     "t56_good_turing" -> (t56GoodTuring _),
     "g17_topo_layers" -> (g17TopoLayers _),
     "m24_rotate_bmp" -> (m24RotateBmp _),
-    "m25_patch_stats" -> (m25PatchStats _))
+    "m25_patch_stats" -> (m25PatchStats _),
+    "s40_dim_refresh" -> (s40DimRefresh _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12020,5 +12089,6 @@ object ExtensionQueries {
     "t56_good_turing" -> t56Sql,
     "g17_topo_layers" -> g17Sql,
     "m24_rotate_bmp" -> m24Sql,
-    "m25_patch_stats" -> m25Sql)
+    "m25_patch_stats" -> m25Sql,
+    "s40_dim_refresh" -> s40Sql)
 }

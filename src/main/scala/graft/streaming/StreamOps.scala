@@ -1092,6 +1092,40 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** PER-MICRO-BATCH DIMENSION REFRESH enrichment — the production
+    * pattern for joining a long-running stream against a slowly
+    * PUBLISHED dimension: the dim is re-read from its path inside
+    * EVERY foreachBatch body, so a dimension publish lands at the next
+    * micro-batch boundary without restarting the query. The contrast
+    * is [[staticEnrich]] (s7), which binds the dimension ONCE at plan
+    * time — a mid-stream publish is invisible there for the query's
+    * lifetime. The join is a LEFT join (stream rows with no dim match
+    * survive with nulls — dimension-coverage drift must be observable,
+    * not silently dropped) with the dims-sized table broadcast per
+    * epoch; each epoch's enriched rows land in an idempotent
+    * `batch_id` partition (the s33/s34/s37/s38 exactly-once recipe, so
+    * a torn epoch overwrites instead of duplicating). Per-epoch work
+    * is batch-sized; no history is rescanned; at 100 TB/day the re-read
+    * dim stays a metadata-cheap parquet scan of a dims-sized table.
+    * Caller drives the query (addData / processAllAvailable /
+    * publish-v2 between epochs) and stops it. */
+  def dimRefreshEnrichStart(changes: DataFrame, dimDir: String,
+      key: String, dimKey: String, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckpt = graft.Tables.scratchDir("graft-dimref-ckpt")
+    changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimDir)
+        batch.join(broadcast(dim),
+            batch.col(key) === dim.col(dimKey), "left")
+          .drop(dimKey)
+          .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+        ()
+      }
+      .start()
+  }
+
   /** Drive a streaming DataFrame into the `graft-xml` FILE sink
     * (append-mode micro-batch shards + the exactly-once `_spark_metadata`
     * commit log Spark's FileStreamSink keeps; a batch read of `outDir`

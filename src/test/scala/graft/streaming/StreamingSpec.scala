@@ -1489,4 +1489,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(rebuilt).isEmpty &&
       rebuilt.except(streamed).isEmpty)
   }
+
+  test("dimRefreshEnrich: a dimension published between micro-batches " +
+      "takes effect at the next epoch; unmatched keys survive the " +
+      "left join as NULL until coverage arrives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val dimDir = graft.Tables.scratchDir("graft-s40spec-dim")
+    val outDir = graft.Tables.scratchDir("graft-s40spec-out")
+    Seq((1L, "A")).toDF("dim_dk", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val in = MemoryStream[(Long, Long)]
+    val ds = in.toDF().toDF("event_id", "dk")
+    val q = StreamOps.dimRefreshEnrichStart(ds, dimDir, "dk", "dim_dk",
+      outDir)
+    try {
+      in.addData((10L, 1L), (11L, 2L)); q.processAllAvailable()
+      // publish v2: key 1 changes tier, key 2 gains coverage
+      Seq((1L, "B"), (2L, "C")).toDF("dim_dk", "tier")
+        .write.mode("overwrite").parquet(dimDir)
+      in.addData((12L, 1L), (13L, 2L)); q.processAllAvailable()
+    } finally q.stop()
+    val got = s2.read.parquet(outDir)
+      .select(col("event_id"), col("batch_id").cast("int"), col("tier"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.getString(2))))).toMap
+    assert(got === Map(
+      10L -> ((0, Some("A"))), // v1 tier in epoch 0
+      11L -> ((0, None)),      // uncovered key: NULL, not dropped
+      12L -> ((1, Some("B"))), // the publish took effect next epoch
+      13L -> ((1, Some("C")))))
+  }
 }
