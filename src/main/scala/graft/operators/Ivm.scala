@@ -91,4 +91,34 @@ object Ivm {
     view.join(
       broadcast(tombstones.select(keys.map(col): _*).distinct()),
       keys, "left_anti")
+
+  /** SIGNED join-delta of an equi-join view under a MIXED batch:
+    * L-appends, L-deletes and R-deletes in one pass (R-appends compose
+    * via [[joinDelta]] against the post-delete bases — q56's recipe).
+    * Expansion over signed multisets (ΔL− ⊆ L, ΔR− ⊆ R,
+    * R′ = R − ΔR−):
+    *   (L − ΔL− + ΔL+) ⋈ (R − ΔR−)
+    *     = L⋈R  +  ΔL+⋈R′  −  ΔL−⋈R′  −  L⋈ΔR−
+    * — three delta-sided terms, each a broadcast Δ against ONE
+    * stored-base scan, tagged ±1 in `sign`. The ΔL−×ΔR− intersection
+    * is subtracted exactly once (through L⋈ΔR−; R′ already excludes
+    * the deleted R keys, so ΔL−⋈R′ cannot subtract it again), and an
+    * appended L row whose R key is deleted contributes nothing (it
+    * joins only R′). Aggregating sign / value·sign yields the Δ-state
+    * of any ABELIAN aggregate over the view — count and sum; min/max
+    * under deletes need [[retractState]]'s group-pruned recompute,
+    * which over a JOINED view would rescan the affected groups' join
+    * slices, so q59 keeps them out of the stored state (documented
+    * boundary). */
+  def joinRetractDelta(baseL: DataFrame, baseR: DataFrame,
+      apL: DataFrame, delL: DataFrame, delR: DataFrame,
+      key: String): DataFrame = {
+    val rPrime = baseR.join(
+      broadcast(delR.select(col(key)).distinct()), Seq(key), "left_anti")
+    broadcast(apL).join(rPrime, key).withColumn("sign", lit(1L))
+      .unionByName(
+        broadcast(delL).join(rPrime, key).withColumn("sign", lit(-1L)))
+      .unionByName(
+        baseL.join(broadcast(delR), key).withColumn("sign", lit(-1L)))
+  }
 }

@@ -2520,6 +2520,82 @@ object Relational {
       |    AS BIGINT) AS cnt_from_delta
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RETRACTABLE AGGREGATE-OVER-JOIN MAINTENANCE
+    * ([[graft.operators.Ivm.joinRetractDelta]]) — the last corner of
+    * the IVM matrix: q55 retracts a single-table aggregate, q56
+    * retracts join ROWS, q58 maintains the agg-over-join under
+    * appends; this maintains the SPJA summary (`count/sum of cents
+    * per nation over orders⋈customer`) under a mixed batch with
+    * DELETES on both sides, still state-sized. The stored artifact is
+    * only the |nations|-row count/sum state; the batch (order appends
+    * o%43=0, order deletes o%41=0 of the base, customer deletes
+    * c%61=0) flows through the three SIGNED delta joins — every term
+    * |Δ|-broadcast against one base scan, the joined view never
+    * stored or rescanned — aggregates to a signed Δ-state, and merges
+    * by addition (count/sum are an abelian group, so deletes are just
+    * negative contributions; min/max would need a group recompute
+    * that rescans the affected nations' join slices — kept out of
+    * this view's state, the documented q59 boundary). The oracle
+    * recomputes from the post-batch tables, so the hash proves the
+    * signed algebra including both delete×delete intersections;
+    * cnt_retracted sizes the delete half per group. */
+  def q59IvmJoinAggRetract(s: SparkSession, d: String): DataFrame = {
+    val L = orders(s, d).select(col("o_custkey").as("k"),
+      col("o_orderkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val Rc = customer(s, d).select(col("c_custkey").as("k"),
+      col("c_nationkey"))
+    val dlPlus = col("o_orderkey") % 43 === 0
+    val baseL = L.filter(!dlPlus)
+    val delL = baseL.filter(col("o_orderkey") % 41 === 0)
+    val delR = Rc.filter(col("k") % 61 === 0)
+    val stateDir = graft.Tables.scratchDir("graft-q59-state")
+    graft.operators.Ivm.aggState(baseL.join(Rc, "k"),
+        col("c_nationkey"), col("cents"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+      .write.mode("overwrite").parquet(stateDir)
+    val stored = s.read.parquet(stateDir)
+    val deltaState = graft.operators.Ivm
+      .joinRetractDelta(baseL, Rc, L.filter(dlPlus), delL, delR, "k")
+      .groupBy(col("c_nationkey").as("grp"))
+      .agg(sum(col("sign")).as("cnt_d"),
+        sum(col("cents") * col("sign")).as("sum_d"),
+        sum(when(col("sign") === -1L, 1L).otherwise(0L))
+          .as("n_retracted"))
+    stored.join(deltaState, Seq("grp"), "full_outer")
+      .select(col("grp").as("nationkey"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sum_v"), lit(0L)) +
+          coalesce(col("sum_d"), lit(0L))).as("cents"),
+        coalesce(col("n_retracted"), lit(0L)).as("cnt_retracted"))
+      .filter(col("cnt") > 0)
+      .orderBy("nationkey")
+  }
+
+  val q59Sql: String =
+    """WITH o2 AS (SELECT o_custkey AS k, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |c2 AS (SELECT c_custkey AS k, c_nationkey FROM customer),
+      |cur AS (SELECT c.c_nationkey, o.cents
+      |  FROM o2 o JOIN c2 c USING (k)
+      |  WHERE (o.o_orderkey % 43 = 0 OR o.o_orderkey % 41 <> 0)
+      |    AND c.k % 61 <> 0),
+      |agg AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM cur GROUP BY 1),
+      |ret AS (SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_ret
+      |  FROM o2 o JOIN c2 c USING (k)
+      |  WHERE o.o_orderkey % 43 <> 0 AND
+      |    ((o.o_orderkey % 41 = 0 AND c.k % 61 <> 0) OR c.k % 61 = 0)
+      |  GROUP BY 1)
+      |SELECT agg.c_nationkey AS nationkey, agg.cnt, agg.cents,
+      |  COALESCE(ret.n_ret, 0) AS cnt_retracted
+      |FROM agg LEFT JOIN ret ON ret.c_nationkey = agg.c_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -2775,6 +2851,7 @@ object Relational {
     "q55_ivm_retract" -> (q55IvmRetract _),
     "q56_ivm_join_retract" -> (q56IvmJoinRetract _),
     "q58_ivm_join_agg" -> (q58IvmJoinAgg _),
+    "q59_ivm_join_agg_retract" -> (q59IvmJoinAggRetract _),
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _))
@@ -2845,6 +2922,7 @@ object Relational {
     "q55_ivm_retract" -> q55Sql,
     "q56_ivm_join_retract" -> q56Sql,
     "q58_ivm_join_agg" -> q58Sql,
+    "q59_ivm_join_agg_retract" -> q59Sql,
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql)

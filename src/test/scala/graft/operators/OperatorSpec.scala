@@ -274,6 +274,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(stored.count() <= 2)
   }
 
+  test("q59 joinRetractDelta: signed delta equals full recompute under " +
+      "a mixed batch; each delete x delete intersection retracts " +
+      "exactly once and an append to a deleted key contributes " +
+      "nothing") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    // base: keys 1,2,5 on L; 1,2,5,9 on R (9 dangling)
+    val L0 = Seq((1L, 10L), (2L, 20L), (5L, 50L), (5L, 51L))
+      .toDF("k", "v")
+    val R0 = Seq((1L, 7L), (2L, 7L), (5L, 9L), (9L, 9L)).toDF("k", "g")
+    // batch: append L rows on keys 2 (live) and 5 (R-deleted);
+    // delete L rows (1,10) [live R key] and (5,50) [R key ALSO
+    // deleted — the intersection]; delete R keys 5 and 9
+    val apL = Seq((2L, 21L), (5L, 52L)).toDF("k", "v")
+    val delL = Seq((1L, 10L), (5L, 50L)).toDF("k", "v")
+    val delR = Seq((5L, 9L), (9L, 9L)).toDF("k", "g")
+    val stored = Ivm.aggState(L0.join(R0, "k"), col("g"), col("v"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+    val deltaState = Ivm.joinRetractDelta(L0, R0, apL, delL, delR, "k")
+      .groupBy(col("g").as("grp"))
+      .agg(sum(col("sign")).as("cnt_d"),
+        sum(col("v") * col("sign")).as("sum_d"))
+    val merged = stored.join(deltaState, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sum_v"), lit(0L)) +
+          coalesce(col("sum_d"), lit(0L))).as("s"))
+      .filter(col("cnt") > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    // full recompute over the post-batch tables
+    val lPost = L0.except(delL).union(apL)
+    val rPost = R0.except(delR)
+    val full = Ivm.aggState(lPost.join(rPost, "k"), col("g"), col("v"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+    // group 9 vanished entirely (cnt reached 0 -> dropped); group 7
+    // lost (1,10) and gained the key-2 append; key-5's append never
+    // appears and its delete retracts once, not twice
+    assert(merged === Set((7L, 2L, 41L)))
+    // every signed term is delta-broadcast
+    val plan = Ivm.joinRetractDelta(L0, R0, apL, delL, delR, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "signed delta terms should broadcast the delta side")
+  }
+
   test("q52 fingerprint: order-independent (shuffled copy matches), " +
       "single-row sensitive, count-carrying") {
     val r = graft.queries.Relational
