@@ -1316,6 +1316,111 @@ object ExtensionQueries {
        |  CAST(SUM(score) AS BIGINT) AS score_sum
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** INTERPOLATED KNESER–NEY BIGRAM SCORING (Kneser & Ney 1995; the
+    * smoothing that actually wins LM benchmarks, beside t55's stupid
+    * backoff and t56's Good–Turing table): held-out bigram (a b)
+    * scores
+    *   P(b|a) = max(c(ab)−D, 0)∕c(a·) + λ(a)·P_cont(b),
+    *   λ(a) = D·N₁₊(a·)∕c(a·),  P_cont(b) = N₁₊(·b)∕N₁₊(··),
+    * with absolute discount D = 3∕4 — the KN insight is P_cont: "how
+    * many DISTINCT contexts has b completed" (so 'Francisco', frequent
+    * but only ever after 'San', gets a tiny continuation probability
+    * where raw frequency would overrate it). ALL terms are fixed-point
+    * 10⁶ integers with the D = 3/4 fractions cleared by scaling:
+    * first = (4c(ab)−3)·10⁶ div (4c(a·)), λ_fp = 3·N₁₊(a·)·10⁶ div
+    * (4c(a·)), second = λ_fp·pcont_fp div 10⁶ — nested truncation is
+    * identical in Spark `div` and DuckDB `//`, so per-doc sums hash
+    * cross-engine where float log-probs never would. Unseen bigram
+    * with a KNOWN context scores the λ·P_cont leg alone (n_backoff);
+    * an unknown context scores 0 (n_oov). t43's contamination-free
+    * hash split; model tables are vocab-sized, the eval side is three
+    * hash equi-joins + one broadcast 1-row total. */
+  def t57KneserNey(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+      .select(col("doc_id"), col("text"),
+        (Hashing.portableHash32(col("doc_id").cast("string")) % 2 === 0)
+          .as("__train"))
+    val bi = docs.select(col("doc_id"), col("__train"),
+      explode(graft.functions.ShingleSetExpr.shingles(col("text"), 2))
+        .as("bigram"))
+    val counts = bi.filter(col("__train"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("cab")).as("ca"),
+        count(lit(1)).as("n1p_fwd"))
+    val cont = counts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_bwd"))
+    val nTypes = counts.agg(count(lit(1)).as("n_types"))
+    bi.filter(!col("__train"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(counts.select(col("bigram"), col("cab")), Seq("bigram"),
+        "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(nTypes))
+      .withColumn("pcont_fp", expr(
+        "coalesce(n1p_bwd, 0) * 1000000 div n_types"))
+      .withColumn("lam_fp",
+        expr("3 * n1p_fwd * 1000000 div (4 * ca)"))
+      .withColumn("score",
+        when(col("ca").isNull, 0L)
+          .otherwise(
+            coalesce(expr("(4 * cab - 3) * 1000000 div (4 * ca)"),
+              lit(0L)) +
+            expr("lam_fp * pcont_fp div 1000000")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("cab").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("cab").isNull && col("ca").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("score")).as("score_sum"))
+      .orderBy("doc_id")
+  }
+
+  val t57Sql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    ${h("CAST(doc_id AS VARCHAR)")} % 2 = 0 AS train
+       |  FROM documents),
+       |bi AS (SELECT doc_id, train,
+       |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+       |      i -> string_split(text, ' ')[i] || ' ' ||
+       |           string_split(text, ' ')[i + 1])) AS bigram
+       |  FROM d),
+       |c AS (SELECT bigram, count(*) AS cab,
+       |    split_part(bigram, ' ', 1) AS w1,
+       |    split_part(bigram, ' ', 2) AS w2
+       |  FROM bi WHERE train GROUP BY bigram),
+       |ctx AS (SELECT w1, SUM(cab) AS ca, count(*) AS n1p_fwd
+       |  FROM c GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS n1p_bwd FROM c GROUP BY w2),
+       |nt AS (SELECT count(*) AS n_types FROM c),
+       |sc AS (SELECT b.doc_id, m.cab, ctx.ca,
+       |    CASE WHEN ctx.ca IS NULL THEN 0
+       |      ELSE COALESCE((4 * m.cab - 3) * 1000000 // (4 * ctx.ca), 0)
+       |        + (3 * ctx.n1p_fwd * 1000000 // (4 * ctx.ca))
+       |          * (COALESCE(cont.n1p_bwd, 0) * 1000000 // nt.n_types)
+       |          // 1000000
+       |      END AS score
+       |  FROM bi b
+       |  LEFT JOIN c m USING (bigram)
+       |  LEFT JOIN ctx ON ctx.w1 = split_part(b.bigram, ' ', 1)
+       |  LEFT JOIN cont ON cont.w2 = split_part(b.bigram, ' ', 2)
+       |  CROSS JOIN nt
+       |  WHERE NOT b.train)
+       |SELECT doc_id, count(*) AS n_scored,
+       |  CAST(SUM(CASE WHEN cab IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_seen,
+       |  CAST(SUM(CASE WHEN cab IS NULL AND ca IS NOT NULL THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_backoff,
+       |  CAST(SUM(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(SUM(score) AS BIGINT) AS score_sum
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** GOOD–TURING COUNT-OF-COUNTS SMOOTHING (Good 1953 — the frequency
     * re-estimator under Katz backoff and SRILM's discounting): how much
     * probability mass do the UNSEEN words deserve, and what should a
@@ -11865,6 +11970,7 @@ object ExtensionQueries {
     "p33_spearman" -> (p33Spearman _),
     "t56_good_turing" -> (t56GoodTuring _),
     "g17_topo_layers" -> (g17TopoLayers _),
+    "t57_kneser_ney" -> (t57KneserNey _),
     "m24_rotate_bmp" -> (m24RotateBmp _),
     "m25_patch_stats" -> (m25PatchStats _),
     "s40_dim_refresh" -> (s40DimRefresh _))
@@ -12088,6 +12194,7 @@ object ExtensionQueries {
     "p33_spearman" -> p33Sql,
     "t56_good_turing" -> t56Sql,
     "g17_topo_layers" -> g17Sql,
+    "t57_kneser_ney" -> t57Sql,
     "m24_rotate_bmp" -> m24Sql,
     "m25_patch_stats" -> m25Sql,
     "s40_dim_refresh" -> s40Sql)

@@ -76,6 +76,65 @@ class BackoffSpec extends AnyFunSuite {
     assert(want.values.exists(_._3 > 0), "no backoffs in fixture")
   }
 
+  test("t57 Kneser-Ney: gate equals a from-scratch interpolated-KN " +
+      "model on sf0.001 (integer fixed-point, D = 3/4), and the " +
+      "continuation-count asymmetry is exercised") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val (train, eval) = docs.partition { case (id, _) =>
+      h32(id.toString) % 2 == 0
+    }
+    val biCnt = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, text) =>
+      text.split(" ").sliding(2).filter(_.length == 2).foreach { p =>
+        biCnt((p(0), p(1))) = biCnt.getOrElse((p(0), p(1)), 0L) + 1
+      }
+    }
+    val ca = biCnt.groupBy(_._1._1).map { case (a, m) =>
+      a -> m.values.sum }
+    val n1pFwd = biCnt.groupBy(_._1._1).map { case (a, m) =>
+      a -> m.size.toLong }
+    val n1pBwd = biCnt.groupBy(_._1._2).map { case (b, m) =>
+      b -> m.size.toLong }
+    val nTypes = biCnt.size.toLong
+    assert(n1pBwd.values.max > n1pBwd.values.min,
+      "flat continuation counts — the KN distinction is unexercised")
+    val want = eval.flatMap { case (id, text) =>
+      val pairs = text.split(" ").sliding(2).filter(_.length == 2).toSeq
+      if (pairs.isEmpty) None
+      else {
+        var seen = 0L; var back = 0L; var oov = 0L; var sum = 0L
+        pairs.foreach { p =>
+          val (a, b) = (p(0), p(1))
+          ca.get(a) match {
+            case None => oov += 1
+            case Some(caV) =>
+              val pcont = n1pBwd.getOrElse(b, 0L) * 1000000L / nTypes
+              val lam = 3L * n1pFwd(a) * 1000000L / (4L * caV)
+              val first = biCnt.get((a, b)) match {
+                case Some(cab) =>
+                  seen += 1
+                  (4L * cab - 3L) * 1000000L / (4L * caV)
+                case None => back += 1; 0L
+              }
+              sum += first + lam * pcont / 1000000L
+          }
+        }
+        Some(id -> ((pairs.length.toLong, seen, back, oov, sum)))
+      }
+    }.toMap
+    val got = graft.queries.ExtensionQueries
+      .queries("t57_kneser_ney")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, w) => assert(got(id) === w, s"doc $id") }
+    assert(want.values.exists(_._2 > 0), "no seen bigrams in fixture")
+  }
+
   test("t56 Good-Turing: gate equals a from-scratch count-of-counts " +
       "model on sf0.001; sum r*N_r = N and the hand formula replays") {
     val sf = "/root/testdata/sf0.001"
