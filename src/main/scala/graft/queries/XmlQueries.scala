@@ -1267,7 +1267,65 @@ object XmlQueries {
       |  CAST(3 AS INT) AS n_mixed
       |FROM lineitem WHERE l_orderkey % 16 = 12 ORDER BY id""".stripMargin
 
+  /** NEGATION PREDICATES — `not(atom)` through the single-parse
+    * evaluator: the complement selector every schema-drift audit needs
+    * (`[not(@k)]` = "rows MISSING the field" — x22's existence test
+    * cannot express absence). Semantics pinned against the built-in:
+    * an EMPTY-but-present attribute is present (fails `not(@k)`), an
+    * absent attribute makes the inner equality false so
+    * `not(@k='v')` is TRUE, `not(contains(@t,'x'))` sees the absent
+    * attribute as '' (true), double negation cancels, and not()
+    * composes inside `and` chains and under the descendant axis. One
+    * path is row-dependent (`not(@k='3')` against the line-number
+    * attribute). 1/16 sample disjoint from x13-x25's. */
+  def x26XpathNot(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 13)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it k='"), s(col("l_linenumber")),
+      lit("' t='ax'><q>"), d2s(col("l_quantity")),
+      lit("</q><n>full</n></it><it k='' t='b'><n>emptyk</n></it>"),
+      lit("<it t='x1'><q>"), d2s(col("l_tax")),
+      lit("</q><n>nok</n></it><it><n>bare</n></it>"),
+      lit("<s><it k='9'><n>nested</n></it></s></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[not(@k)]/n",
+        "/r/it[not(q)]/n",
+        "/r/it[not(@k='3')]/n",
+        "/r/it[not(contains(@t,'x'))]/n",
+        "/r/it[@k and not(q)]/n",
+        "/r/it[not(not(@k))]/n",
+        "//it[not(@k)]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        size(col("m.p1")).as("n_nok"),
+        get(col("m.p1"), lit(0)).as("first_nok"),
+        size(col("m.p2")).as("n_noq"),
+        size(col("m.p3")).as("n_ne3"),
+        size(col("m.p4")).as("n_nox"),
+        get(col("m.p5"), lit(0)).as("and_label"),
+        size(col("m.p6")).as("n_dneg"),
+        size(col("m.p7")).as("n_desc"))
+      .orderBy("id")
+  }
+
+  val x26Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(2 AS INT) AS n_nok,
+      |  'nok' AS first_nok,
+      |  CAST(2 AS INT) AS n_noq,
+      |  CAST(CASE WHEN l_linenumber = 3 THEN 3 ELSE 4 END AS INT)
+      |    AS n_ne3,
+      |  CAST(2 AS INT) AS n_nox,
+      |  'emptyk' AS and_label,
+      |  CAST(2 AS INT) AS n_dneg,
+      |  CAST(2 AS INT) AS n_desc
+      |FROM lineitem WHERE l_orderkey % 16 = 13 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_xpath_not" -> (x26XpathNot _),
     "x24_xpath_str_fn" -> (x24XpathStrFn _),
     "x25_xpath_bool_ops" -> (x25XpathBoolOps _),
     "x23_xpath_child_num" -> (x23XpathChildNum _),
@@ -1305,6 +1363,7 @@ object XmlQueries {
     "x23_xpath_child_num" -> x23Sql,
     "x24_xpath_str_fn" -> x24Sql,
     "x25_xpath_bool_ops" -> x25Sql,
+    "x26_xpath_not" -> x26Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

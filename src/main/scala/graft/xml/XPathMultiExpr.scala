@@ -93,6 +93,7 @@ object XPathMini {
     final case class ChildExists(q: String) extends Pred
     final case class AttrFn(fn: String, a: String, v: String) extends Pred
     final case class ChildFn(fn: String, q: String, v: String) extends Pred
+    final case class Not(p: Pred) extends Pred
     final case class And(ps: Array[Pred]) extends Pred
     final case class Or(ps: Array[Pred]) extends Pred
   }
@@ -170,8 +171,20 @@ object XPathMini {
     * node's string-value — NOT the existential reading `[q='v']` has;
     * an empty node-set converts to '', making `contains(@a,'')` TRUE
     * even when the attribute is absent — both probe-pinned against the
-    * built-in evaluator in XPathMultiSpec). */
-  private def parseAtom(s: String, path: String): Pred = s match {
+    * built-in evaluator in XPathMultiSpec). `not(atom)` wraps any
+    * single atom (including the function forms and itself,
+    * recursively) — the complement selector every schema audit needs
+    * (`[not(@k)]` = "missing the attribute"); a CONNECTIVE inside
+    * not() is outside the subset (no parenthesized boolean grouping —
+    * the inner parse rejects it). The quoted-value guard is free:
+    * values are matched by the anchored atom regexes before this
+    * prefix test could ever see them. */
+  private def parseAtom(s: String, path: String): Pred =
+    if (s.startsWith("not(") && s.endsWith(")"))
+      Pred.Not(parseAtom(s.substring(4, s.length - 1).trim, path))
+    else parseAtomInner(s, path)
+
+  private def parseAtomInner(s: String, path: String): Pred = s match {
     case AttrEqRe(a, v) => Pred.AttrEq(a, v)
     case ChildEqRe(q, v) => Pred.ChildEq(q, v)
     case AttrCmpRe(a, op, v) => Pred.AttrCmp(a, op, v.toDouble)
@@ -461,6 +474,7 @@ object XPathMini {
     case Pred.ChildExists(q) => hasChild(e, q)
     case Pred.AttrFn(fn, a, v) => fnTest(fn, strOfAttr(e, a), v)
     case Pred.ChildFn(fn, q, v) => fnTest(fn, strOfChild(e, q), v)
+    case Pred.Not(p) => !evalPred(p, e)
     case Pred.And(ps) => ps.forall(evalPred(_, e))
     case Pred.Or(ps) => ps.exists(evalPred(_, e))
   }

@@ -823,7 +823,58 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("/r/it[@k][@v]") // still one [...] per step
     }
     intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[not(@k)]") // not() outside the subset
+      XPathMini.compile("/r/it[true()]") // nullary fns outside subset
+    }
+  }
+
+  test("not() predicates: built-in parity; absent attribute makes " +
+      "not(@k='v') TRUE; empty-but-present attribute fails not(@k); " +
+      "double negation; composition with connectives and functions; " +
+      "grammar rejections") {
+    import spark.implicits._
+    val doc = "<r><it k='1' t='ax'><q>Q</q><n>full</n></it>" +
+      "<it k='' t='b'><n>emptyk</n></it>" +
+      "<it t='x1'><q>Q2</q><n>nok</n></it><it><n>bare</n></it>" +
+      "<s><it k='9'><n>nested</n></it></s></r>"
+    val paths = Seq(
+      "/r/it[not(@k)]/n",
+      "/r/it[not(q)]/n",
+      "/r/it[not(@k='1')]/n",
+      "/r/it[not(contains(@t,'x'))]/n",
+      "/r/it[@k and not(q)]/n",
+      "/r/it[not(not(@k))]/n",
+      "//it[not(@k)]/n")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x")
+      .select((m.as("m") +: refCols): _*).collect()(0)
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("nok", "bare"),
+      "EMPTY-but-present @k is present — not(@k) only matches the " +
+        "genuinely attribute-less items")
+    assert(got(1) == Seq("emptyk", "bare"))
+    assert(got(2) == Seq("emptyk", "nok", "bare"),
+      "absent/other @k makes the inner = false, so not() is TRUE")
+    assert(got(3) == Seq("emptyk", "bare"),
+      "absent @t converts to '' which does not contain 'x'")
+    assert(got(4) == Seq("emptyk"), "not() composes inside and")
+    assert(got(5) == Seq("full", "emptyk"), "not(not(p)) == p")
+    assert(got(6) == Seq("nok", "bare"),
+      "descendant axis: the nested attributed item stays excluded")
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[not(@a and @b)]") // no boolean grouping
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[not()]") // arity
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[not(2)]") // positional is not a term
     }
   }
 }
