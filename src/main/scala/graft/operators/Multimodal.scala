@@ -873,6 +873,84 @@ object Multimodal {
     Some(out.toSeq)
   }
 
+  /** OTSU BINARIZATION THRESHOLD (Otsu 1979 — the classic automatic
+    * foreground/background split a document-scan or blank-frame screen
+    * runs before any OCR/feature step): choose the luma threshold t
+    * maximizing the between-class variance
+    *   σ_B²(t) = w₀w₁(μ₀−μ₁)² ∝ (W₀·S − N·S₀)² ∕ (W₀·(N−W₀))
+    * over the 256-level histogram, where W₀/S₀ are the count/luma-sum
+    * at or below t and N/S the totals — numerator and denominator are
+    * EXACT integers (N ≤ 217 pixels here keeps (W₀S−NS₀)² ≈ 10¹⁴ well
+    * inside int64), and the ranking ratio is the one final float per
+    * candidate: both engines evaluate the identical num∕den double
+    * division on exactly-equal integers (p29 discipline), ties break
+    * to the SMALLEST t. Candidate thresholds are the PRESENT luma
+    * values below the per-image max — every other t yields identical
+    * classes to its largest present value below it, and cuts with an
+    * empty class are invalid, so a single-level (flat) image has no
+    * threshold and returns None (documented, not faked). Luma is the
+    * shared integer (b+g+r)/3. Returns
+    * (threshold, num, den, n_below, n_above). */
+  def otsuThreshold(m: Array[Byte])
+      : Option[(Int, Long, Long, Int, Int)] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + rowSize.toLong * h) return None
+    val hist = new Array[Int](256)
+    var j = 0
+    while (j < h) {
+      var x = 0
+      while (x < w) {
+        val o = dataOff + j * rowSize + 3 * x
+        val luma =
+          ((m(o) & 0xff) + (m(o + 1) & 0xff) + (m(o + 2) & 0xff)) / 3
+        hist(luma) += 1
+        x += 1
+      }
+      j += 1
+    }
+    val n = w * h
+    var s = 0L
+    var vmax = -1
+    var v = 0
+    while (v < 256) {
+      if (hist(v) > 0) { s += v.toLong * hist(v); vmax = v }
+      v += 1
+    }
+    var w0 = 0L
+    var s0 = 0L
+    var bestT = -1
+    var bestRatio = 0.0
+    var bestNum = 0L
+    var bestDen = 0L
+    var bestW0 = 0
+    v = 0
+    while (v < vmax) { // candidates: present values BELOW the max
+      if (hist(v) > 0) {
+        w0 += hist(v)
+        s0 += v.toLong * hist(v)
+        val d = w0 * s - n.toLong * s0
+        val num = d * d
+        val den = w0 * (n - w0)
+        val ratio = num.toDouble / den.toDouble
+        // ascending iteration + strict '>' keeps the SMALLEST t on ties
+        if (bestT < 0 || ratio > bestRatio) {
+          bestT = v; bestRatio = ratio; bestNum = num; bestDen = den
+          bestW0 = w0.toInt
+        }
+      }
+      v += 1
+    }
+    if (bestT < 0) None
+    else Some((bestT, bestNum, bestDen, bestW0, n - bestW0))
+  }
+
   /** One-pixel-off NEAR-DUP twin of a 24bpp BMP: the first pixel-data
     * byte (blue channel of the storage-order first pixel) bumped by
     * `delta` mod 256; header, dimensions, and every other byte are

@@ -5435,6 +5435,70 @@ object ExtensionQueries {
        |FROM g GROUP BY doc_id, py, px ORDER BY doc_id, py, px""".stripMargin
   }
 
+  /** Otsu binarization threshold ([[Multimodal.otsuThreshold]]): the
+    * automatic foreground/background split per image — exact integer
+    * between-class-variance numerators/denominators with the ranking
+    * ratio as the one final float per candidate (identical num∕den
+    * double division in both engines, ties to the smallest t). The
+    * oracle rebuilds the full 256-level histogram from the blob-fill
+    * formula, runs the cumulative scan over each image's PRESENT-value
+    * domain only (a per-doc window over ≤217 rows, never pixels), and
+    * replays the argmax with the same tie order. */
+  def m26OtsuThreshold(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.otsuThreshold(r.media).map { t =>
+          (r.doc_id, t._1, t._2, t._3, t._4, t._5)
+        }
+      }
+      .toDF("doc_id", "threshold", "num", "den", "n_below", "n_above")
+      .orderBy("doc_id")
+  }
+
+  val m26Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(idx: String) =
+      s"('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))::BIGINT"
+    val base = "tj.j * p.src_row + ti.x * 3"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row
+       |  FROM e),
+       |g AS (SELECT p.doc_id,
+       |    (${byteAt(s"$base + 0")} + ${byteAt(s"$base + 1")}
+       |      + ${byteAt(s"$base + 2")}) // 3 AS v
+       |  FROM p, range(0, 7) tj(j), range(0, 31) ti(x)
+       |  WHERE tj.j < p.src_h AND ti.x < p.src_w),
+       |hst AS (SELECT doc_id, v, count(*) AS c FROM g GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(v * c) AS BIGINT) AS s, MAX(v) AS vmax
+       |  FROM hst GROUP BY 1),
+       |cum AS (SELECT h.doc_id, h.v,
+       |    CAST(SUM(h.c) OVER (PARTITION BY h.doc_id ORDER BY h.v)
+       |      AS BIGINT) AS w0,
+       |    CAST(SUM(h.v * h.c) OVER (PARTITION BY h.doc_id ORDER BY h.v)
+       |      AS BIGINT) AS s0
+       |  FROM hst h),
+       |cand AS (SELECT c.doc_id, c.v,
+       |    (c.w0 * t.s - t.n * c.s0) * (c.w0 * t.s - t.n * c.s0) AS num,
+       |    c.w0 * (t.n - c.w0) AS den, c.w0, t.n
+       |  FROM cum c JOIN tot t USING (doc_id) WHERE c.v < t.vmax),
+       |r AS (SELECT doc_id, v, num, den, w0, n, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id
+       |    ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC, v)
+       |    AS rn
+       |  FROM cand)
+       |SELECT doc_id, CAST(v AS INT) AS threshold,
+       |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       |  CAST(w0 AS INT) AS n_below, CAST(n - w0 AS INT) AS n_above
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Perceptual image dedup ([[Multimodal.bmpAverageHash]]): every image
     * doc's 64-bit aHash (REAL resize-to-8x8 + integer grayscale + bit per
     * pixel above the integer mean), grouped to surface perceptual
@@ -11973,6 +12037,7 @@ object ExtensionQueries {
     "t57_kneser_ney" -> (t57KneserNey _),
     "m24_rotate_bmp" -> (m24RotateBmp _),
     "m25_patch_stats" -> (m25PatchStats _),
+    "m26_otsu_threshold" -> (m26OtsuThreshold _),
     "s40_dim_refresh" -> (s40DimRefresh _))
 
   val oracles: Map[String, String] = Map(
@@ -12197,5 +12262,6 @@ object ExtensionQueries {
     "t57_kneser_ney" -> t57Sql,
     "m24_rotate_bmp" -> m24Sql,
     "m25_patch_stats" -> m25Sql,
+    "m26_otsu_threshold" -> m26Sql,
     "s40_dim_refresh" -> s40Sql)
 }

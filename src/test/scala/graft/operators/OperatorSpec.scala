@@ -3570,6 +3570,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.rotateBmp("not a bmp".getBytes("UTF-8")).isEmpty)
   }
 
+  test("m26 otsuThreshold: hand bimodal split, exact-tie breaks to " +
+      "the smallest t, three-level argmax, flat image and non-BMP " +
+      "refuse") {
+    import graft.operators.Multimodal
+    def img(vals: Int*): Array[Byte] =
+      Multimodal.buildBmp(vals.length, 1,
+        vals.flatMap(v => Seq.fill(3)(v.toByte)).toArray)
+    // bimodal {10,10,200,200}: one candidate t=10; d = 2*420-4*20=760
+    assert(Multimodal.otsuThreshold(img(10, 10, 200, 200)).get ==
+      ((10, 760L * 760L, 4L, 2, 2)))
+    // {0,100,200,200}: t=0 ratio 250000/3, t=100 ratio 360000/4 wins
+    assert(Multimodal.otsuThreshold(img(0, 100, 200, 200)).get ==
+      ((100, 360000L, 4L, 2, 2)))
+    // {0,100,100,200}: t=0 and t=100 tie exactly (160000/3 both) ->
+    // smallest t wins
+    assert(Multimodal.otsuThreshold(img(0, 100, 100, 200)).get ==
+      ((0, 160000L, 3L, 1, 3)))
+    // flat image has no valid cut; garbage is refused
+    assert(Multimodal.otsuThreshold(img(7, 7, 7, 7)).isEmpty)
+    assert(Multimodal.otsuThreshold("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("m25 patchStats: hand 5x3 grid at p=2 with clipped edge " +
       "patches in row-major order, flat-image stats, p=1 is the " +
       "per-pixel identity, refusal on non-BMP") {
