@@ -121,4 +121,59 @@ object Ivm {
       .unionByName(
         baseL.join(broadcast(delR), key).withColumn("sign", lit(-1L)))
   }
+
+  /** MIN RESERVE — the production mitigation for the min/max-under-
+    * deletes recompute ([[retractState]]'s semilattice gap, q59's
+    * documented boundary): store, per group, the k smallest DISTINCT
+    * values with their multiplicities. The closure argument that makes
+    * the state sound: any base value NOT in the reserve is strictly
+    * greater than every reserve value, so (a) a delete can only touch
+    * the min story through a value that IS in the reserve (equality
+    * join, no scan), and (b) as long as one reserve value keeps a
+    * positive net count, it dominates every non-reserve survivor and
+    * the group's min is provable from state alone. Built with one
+    * (grp, value)-domain count agg + a per-group rank window over the
+    * DISTINCT-value domain — never a row-domain window. */
+  def minReserve(df: DataFrame, grp: Column, value: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "reserve depth must be >= 1")
+    val counts = df.groupBy(grp.as("grp"), value.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("v")
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Maintain each group's MIN from a [[minReserve]] state under a
+    * mixed append+delete batch WITHOUT rescanning history where the
+    * state allows: batch values net against the reserve in a
+    * (grp, value)-domain full-outer join; a group's min is provable
+    * iff some pooled value keeps a positive net count AND sits at or
+    * below the group's stored reserve ceiling (or the group is NEW —
+    * no stored reserve — in which case the appends themselves are the
+    * whole group). Returns (grp, fast_min) for every provable group;
+    * a group with batch activity but NO row here needs the
+    * group-pruned recompute (q55's fallback — the caller owns it,
+    * q60 exercises both paths live). Appends above the ceiling cannot
+    * prove a min (a non-pooled base value may sit between ceiling and
+    * append), which is exactly when this returns nothing. */
+  def reserveFastMin(reserve: DataFrame, appends: DataFrame,
+      deletes: DataFrame, grp: Column, value: Column): DataFrame = {
+    val net = appends.select(grp.as("grp"), value.as("v"),
+        lit(1L).as("n"))
+      .unionByName(
+        deletes.select(grp.as("grp"), value.as("v"), lit(-1L).as("n")))
+      .groupBy("grp", "v").agg(sum(col("n")).as("net"))
+    val rmax = reserve.groupBy("grp").agg(max(col("v")).as("__rmax"))
+    reserve.select(col("grp"), col("v"), col("c"))
+      .join(net, Seq("grp", "v"), "full_outer")
+      .select(col("grp"), col("v"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("net"), lit(0L)))
+          .as("cp"))
+      .join(rmax, Seq("grp"), "left")
+      .filter(col("cp") > 0 &&
+        (col("__rmax").isNull || col("v") <= col("__rmax")))
+      .groupBy("grp").agg(min(col("v")).as("fast_min"))
+  }
 }

@@ -2596,6 +2596,126 @@ object Relational {
       |FROM agg LEFT JOIN ret ON ret.c_nationkey = agg.c_nationkey
       |ORDER BY nationkey""".stripMargin
 
+  /** MIN MAINTENANCE WITH A k-DEEP RESERVE
+    * ([[graft.operators.Ivm.minReserve]] +
+    * [[graft.operators.Ivm.reserveFastMin]]) — closing q55/q59's
+    * documented min/max boundary with the production technique: the
+    * stored state carries, per group, the 3 smallest DISTINCT
+    * quantities with their multiplicities, so a delete only forces a
+    * rescan when it exhausts the whole reserve. The soundness
+    * argument: any non-reserve base value exceeds every reserve value,
+    * so deletes reach the min story only through reserve values
+    * (equality join) and a surviving reserve value dominates every
+    * unseen survivor. The batch deletes are engineered to exercise
+    * BOTH paths live: groups 0-24 lose a 1-in-7 slice (reserve
+    * survives — fast path, no history touched), groups 40-49 lose
+    * EVERY row with quantity ≤ 3 (their entire reserve — the
+    * group-pruned recompute path, q55's fallback, fires and the
+    * `recomputed` flag says so). count/sum ride the q55 signed state;
+    * the oracle recomputes cnt/sum/min independently from the
+    * post-batch table and replays only the DECISION rule for the
+    * flag, so a fast-path min that diverged from the true min is
+    * hash-fatal. */
+  def q60IvmMinReserve(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select((col("l_partkey") % 50).as("g"),
+      dec(col("l_quantity")).as("q"), col("l_orderkey"),
+      col("l_linenumber"))
+    val base = li.filter(col("l_orderkey") % 4 =!= 0)
+    // the append feed stops carrying quantity <= 3 for groups 40-49 —
+    // otherwise every exhausted reserve would be silently refilled by
+    // the same batch and the recompute path could never fire
+    val appends = li.filter(col("l_orderkey") % 4 === 0 &&
+      !(col("g") >= 40 && col("q") <= 3))
+    val deletes = base.filter(
+      (col("g") < 25 && col("l_orderkey") % 7 === 0) ||
+        (col("g") >= 40 && col("q") <= 3))
+    val stateDir = graft.Tables.scratchDir("graft-q60-state")
+    val reserveDir = graft.Tables.scratchDir("graft-q60-reserve")
+    val apDir = graft.Tables.scratchDir("graft-q60-ap")
+    val delDir = graft.Tables.scratchDir("graft-q60-del")
+    graft.operators.Ivm.aggState(base, col("g"), col("q"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+      .write.mode("overwrite").parquet(stateDir)
+    graft.operators.Ivm.minReserve(base, col("g"), col("q"), 3)
+      .write.mode("overwrite").parquet(reserveDir)
+    // the CDC batch arrives as files — landing it once also keeps the
+    // maintenance run from re-deriving the batch per consumer (delta
+    // state, value netting, the tombstone anti-join all read it back)
+    appends.write.mode("overwrite").parquet(apDir)
+    deletes.write.mode("overwrite").parquet(delDir)
+    val stored = s.read.parquet(stateDir)
+    val reserve = s.read.parquet(reserveDir)
+    val appendsB = s.read.parquet(apDir)
+    val deletesB = s.read.parquet(delDir)
+    val delta = graft.operators.Ivm.retractState(appendsB, deletesB,
+      col("g"), col("q"))
+    val fast = graft.operators.Ivm.reserveFastMin(reserve, appendsB,
+      deletesB, col("g"), col("q"))
+    val merged = stored.join(delta, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sum_v"), lit(0).cast("decimal(38,2)")) +
+          coalesce(col("sum_d"), lit(0).cast("decimal(38,2)")))
+          .as("sum_v"))
+      .filter(col("cnt") > 0)
+      .join(fast, Seq("grp"), "left")
+    val needs = merged.filter(col("fast_min").isNull)
+      .select(col("grp").as("g"))
+    val curAffected = base
+      .join(broadcast(needs), Seq("g"), "left_semi")
+      .join(broadcast(deletesB.select(col("l_orderkey"),
+        col("l_linenumber"))), Seq("l_orderkey", "l_linenumber"),
+        "left_anti")
+      .unionByName(
+        appendsB.join(broadcast(needs), Seq("g"), "left_semi"))
+    val recomputed = curAffected.groupBy(col("g").as("grp"))
+      .agg(min(col("q")).as("slow_min"))
+    merged.join(recomputed, Seq("grp"), "left")
+      .select(col("grp").as("g"), col("cnt"),
+        asDouble(col("sum_v")).as("sum_qty"),
+        asDouble(coalesce(col("fast_min"), col("slow_min")))
+          .as("min_qty"),
+        col("fast_min").isNull.as("recomputed"))
+      .orderBy("g")
+  }
+
+  val q60Sql: String =
+    """WITH li AS (SELECT l_partkey % 50 AS g,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS q, l_orderkey,
+      |    l_linenumber
+      |  FROM lineitem),
+      |base AS (SELECT * FROM li WHERE l_orderkey % 4 <> 0),
+      |ap AS (SELECT * FROM li WHERE l_orderkey % 4 = 0
+      |  AND NOT (g >= 40 AND q <= 3)),
+      |del AS (SELECT * FROM base WHERE (g < 25 AND l_orderkey % 7 = 0)
+      |  OR (g >= 40 AND q <= 3)),
+      |cur AS (SELECT * FROM base WHERE NOT ((g < 25 AND
+      |    l_orderkey % 7 = 0) OR (g >= 40 AND q <= 3))
+      |  UNION ALL SELECT * FROM ap),
+      |agg AS (SELECT g, count(*) AS cnt, SUM(q) AS sum_q,
+      |    MIN(q) AS min_q
+      |  FROM cur GROUP BY 1),
+      |bc AS (SELECT g, q AS v, count(*) AS c FROM base GROUP BY 1, 2),
+      |res AS (SELECT g, v, c FROM (SELECT g, v, c, ROW_NUMBER() OVER (
+      |    PARTITION BY g ORDER BY v) AS rn FROM bc) WHERE rn <= 3),
+      |rmax AS (SELECT g, MAX(v) AS rmax FROM res GROUP BY 1),
+      |net AS (SELECT g, v, SUM(n) AS net FROM (
+      |    SELECT g, q AS v, 1 AS n FROM ap
+      |    UNION ALL SELECT g, q, -1 FROM del) u GROUP BY 1, 2),
+      |pool AS (SELECT COALESCE(r.g, n.g) AS g, COALESCE(r.v, n.v) AS v,
+      |    COALESCE(r.c, 0) + COALESCE(n.net, 0) AS cp
+      |  FROM res r FULL OUTER JOIN net n ON n.g = r.g AND n.v = r.v),
+      |fast AS (SELECT p.g, MIN(p.v) AS fast_min
+      |  FROM pool p LEFT JOIN rmax ON rmax.g = p.g
+      |  WHERE p.cp > 0 AND (rmax.rmax IS NULL OR p.v <= rmax.rmax)
+      |  GROUP BY p.g)
+      |SELECT agg.g, agg.cnt, CAST(agg.sum_q AS DOUBLE) AS sum_qty,
+      |  CAST(agg.min_q AS DOUBLE) AS min_qty,
+      |  (fast.fast_min IS NULL) AS recomputed
+      |FROM agg LEFT JOIN fast ON fast.g = agg.g
+      |ORDER BY agg.g""".stripMargin
+
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -2852,6 +2972,7 @@ object Relational {
     "q56_ivm_join_retract" -> (q56IvmJoinRetract _),
     "q58_ivm_join_agg" -> (q58IvmJoinAgg _),
     "q59_ivm_join_agg_retract" -> (q59IvmJoinAggRetract _),
+    "q60_ivm_min_reserve" -> (q60IvmMinReserve _),
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _))
@@ -2923,6 +3044,7 @@ object Relational {
     "q56_ivm_join_retract" -> q56Sql,
     "q58_ivm_join_agg" -> q58Sql,
     "q59_ivm_join_agg_retract" -> q59Sql,
+    "q60_ivm_min_reserve" -> q60Sql,
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql)

@@ -322,6 +322,41 @@ class OperatorSpec extends AnyFunSuite {
       "signed delta terms should broadcast the delta side")
   }
 
+  test("q60 minReserve/reserveFastMin: a surviving reserve proves the " +
+      "min without rescanning; exhausting it (and only that) forces " +
+      "the recompute; new groups and below-ceiling appends stay fast") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    // group 1: [1,1,2,5]; group 2: [3,3,4,9,12] (4 distinct — one
+    // beyond the k=3 reserve); group 3: [10]
+    val base = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 5L),
+      (2L, 3L), (2L, 3L), (2L, 4L), (2L, 9L), (2L, 12L),
+      (3L, 10L)).toDF("g", "v")
+    val reserve = Ivm.minReserve(base, col("g"), col("v"), 3)
+    val rmap = reserve.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rmap === Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (1L, 5L) -> 1L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 1L, (2L, 9L) -> 1L, (3L, 10L) -> 1L),
+      "3 smallest DISTINCT values with multiplicities; 12 stays out")
+    // batch: delete ONE of group 1's 1s (reserve survives); delete
+    // group 2's entire reserve; append group 3 a below-ceiling 2;
+    // append NEW group 7 a 6
+    val appends = Seq((3L, 2L), (7L, 6L)).toDF("g", "v")
+    val deletes = Seq((1L, 1L), (2L, 3L), (2L, 3L), (2L, 4L), (2L, 9L))
+      .toDF("g", "v")
+    val fast = Ivm.reserveFastMin(reserve, appends, deletes,
+        col("g"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === Map(1L -> 1L, 3L -> 2L, 7L -> 6L),
+      "group 2 must be ABSENT (reserve exhausted -> recompute); " +
+        "group 1 keeps min 1 through its surviving copy, group 3 " +
+        "takes the below-ceiling append, new group 7 is provable " +
+        "from its appends alone")
+    // group 2's true post-batch min is the beyond-reserve 12 —
+    // exactly the value the fast path could never prove, which is
+    // why its absence (not a wrong answer) is the contract
+  }
+
   test("q52 fingerprint: order-independent (shuffled copy matches), " +
       "single-row sensitive, count-carrying") {
     val r = graft.queries.Relational
