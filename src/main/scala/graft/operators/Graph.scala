@@ -564,6 +564,57 @@ object Graph {
     acc.union(alive.select(col("id"), lit(-1).as("layer")))
   }
 
+  /** k-HOP NEIGHBOR FEATURE AGGREGATION — the GraphSAGE/GNN-precursor
+    * feature-engineering shape (Hamilton et al. NeurIPS 2017 reduced
+    * to its data-plane): each round every node folds the MEAN of its
+    * in-neighbors' current feature into its own,
+    *   h_k(v) = h_{k−1}(v) + (Σ_{u→v} h_{k−1}(u)) div indeg(v),
+    * so after k rounds a node's value summarizes its k-hop upstream
+    * neighborhood — the "what does the linking context look like"
+    * signal a page-quality model consumes beside the node's own
+    * features. Exact integer arithmetic (sum then one integer
+    * division per node per round — associative, partition-order-free,
+    * replayable), rounds returned as columns h0..hk so every
+    * intermediate is hash-pinned. Shape per round: one features⋈edges
+    * equi-join on src (the edge table re-read from its materialized
+    * scan each round), one dst aggregation computing sum AND indeg
+    * together, one left join back — [[pageRankCredits]]'s proven
+    * per-round plan with a feature payload; state materializes to
+    * scratch per round. Nodes with no in-edges keep their own value
+    * (coalesce 0 contribution). `feats`: (id, f) integer features;
+    * nodes absent from `feats` start at 0. */
+  def neighborAgg(edges: DataFrame, feats: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = materialize(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")),
+      "graft-nagg-e")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var h = materialize(
+      nodes.join(feats.select(col("id"), col("f")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("f"), lit(0L)).as("h0")),
+      "graft-nagg-0")
+    var k = 1
+    while (k <= rounds) {
+      val prev = s"h${k - 1}"
+      val contrib = e.join(h.select(col("id").as("src"),
+          col(prev).as("__c")), "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"), count(lit(1)).as("__d"))
+      h = materialize(
+        h.join(contrib, h("id") === contrib("dst"), "left")
+          .drop("dst")
+          .withColumn(s"h$k",
+            col(prev) + coalesce(expr("__in div __d"), lit(0L)))
+          .drop("__in", "__d"),
+        s"graft-nagg-$k")
+      k += 1
+    }
+    h
+  }
+
   /** LOCAL CLUSTERING COEFFICIENT per node — how close each node's
     * neighborhood is to a clique: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * reported in EXACT integer basis points (floor). The standard

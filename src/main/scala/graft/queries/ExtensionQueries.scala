@@ -3383,6 +3383,55 @@ object ExtensionQueries {
        |  ${(0 until K).map(i => s"min(s$i) AS u$i").mkString(", ")}
        |FROM sig GROUP BY 1 ORDER BY grp""".stripMargin
 
+  /** Sorted-neighborhood dedup
+    * ([[graft.operators.Dedup.sortedNeighborhoodPairs]]): the
+    * merge/purge blocking family beside hash blocking and LSH — sort
+    * by the first-24-chars key, pair each doc with its 3 successors,
+    * confirm with the exact 3-gram Jaccard kernel. EVERY candidate
+    * pair ships with its jaccard and the ≥ 0.5 verdict, so the gate
+    * hashes the whole n·(w−1) comparison surface (the sorted-
+    * neighborhood cost model made visible), not just the hits; the
+    * fixture's shared-prefix documents land adjacent and score high
+    * while unrelated neighbors score ~0. The oracle replays the
+    * global (key, id) ordinal with ROW_NUMBER (domain-sized there)
+    * and the same intersection arithmetic. */
+  def d24SortedNeighborhood(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val pairs = Dedup.sortedNeighborhoodPairs(docs,
+      substring(col("text"), 1, 24), col("doc_id"), w = 4)
+    val sh = documents(sp, dir).select(col("doc_id"),
+      Dedup.shingleSet(col("text"), 3).as("s"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("s").as("sa")),
+        "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("s").as("sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jac"),
+        (Dedup.jaccard(col("sa"), col("sb")) >= 0.5).as("near_dup"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val d24Sql: String =
+    s"""WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (
+       |    ORDER BY substr(text, 1, 24), doc_id) - 1 AS r
+       |  FROM documents),
+       |sh AS (SELECT doc_id, ${shingleSql(Toks)} AS s FROM documents),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM r a JOIN r b ON b.r > a.r AND b.r <= a.r + 3),
+       |j AS (SELECT pr.id_a, pr.id_b,
+       |    len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+       |    len(sa.s) + len(sb.s) AS tot
+       |  FROM pr JOIN sh sa ON sa.doc_id = pr.id_a
+       |  JOIN sh sb ON sb.doc_id = pr.id_b)
+       |SELECT id_a, id_b,
+       |  round(CASE WHEN tot = 0 THEN 0.0
+       |    ELSE inter::DOUBLE / (tot - inter)::DOUBLE END, 4) AS jac,
+       |  CASE WHEN tot = 0 THEN FALSE
+       |    ELSE inter::DOUBLE / (tot - inter)::DOUBLE >= 0.5 END
+       |    AS near_dup
+       |FROM j ORDER BY id_a, id_b""".stripMargin
+
   /** Symmetric int8 embedding quantization + reconstruction quality: the 4x
     * storage lever for embedding columns, verified bit-for-bit (quantized
     * values) and to 4 decimals (cosine between original and dequantized). */
@@ -9738,6 +9787,57 @@ object ExtensionQueries {
     graft.operators.Graph.topoLayers(linkEdges(sp, dir), rounds = 3)
       .orderBy("id")
 
+  /** k-HOP NEIGHBOR FEATURE AGGREGATION
+    * ([[graft.operators.Graph.neighborAgg]]) over the link graph, 2
+    * rounds: node features are the summed byte lengths of the docs
+    * hashing to each node (portable md5 arithmetic, so the oracle
+    * derives the identical feature table), and each round folds the
+    * integer MEAN of in-neighbor features into the node — the
+    * GraphSAGE-style "what does the linking context look like" signal
+    * a page-quality model consumes beside the node's own features.
+    * All intermediate rounds ride as columns, so h0, h1 AND h2 are
+    * hash-pinned per node; the oracle unrolls both rounds as
+    * aggregate+join CTEs with the same `//` integer mean. */
+  def g18NeighborAgg(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+      .select(col("doc_id"), octet_length(col("text")).as("len"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val feats = docs.crossJoin(broadcast(n))
+      .select(
+        pmod(Hashing.portableHash32(col("doc_id").cast("string")),
+          col("__n")).as("id"),
+        col("len").cast("long").as("len"))
+      .groupBy("id").agg(sum(col("len")).as("f"))
+    graft.operators.Graph.neighborAgg(linkEdges(sp, dir), feats,
+        rounds = 2)
+      .orderBy("id")
+  }
+
+  val g18Sql: String =
+    s"""WITH $linkEdgesSql,
+       |f AS (SELECT
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % (SELECT COUNT(*) FROM documents) AS id,
+       |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS f
+       |  FROM documents GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges),
+       |h0 AS (SELECT n.id, COALESCE(f.f, 0) AS h0
+       |  FROM nodes n LEFT JOIN f USING (id)),
+       |c1 AS (SELECT e.dst, SUM(h.h0) AS s, count(*) AS d
+       |  FROM edges e JOIN h0 h ON h.id = e.src GROUP BY 1),
+       |h1 AS (SELECT h0.id, h0.h0,
+       |    h0.h0 + COALESCE(c1.s // c1.d, 0) AS h1
+       |  FROM h0 LEFT JOIN c1 ON c1.dst = h0.id),
+       |c2 AS (SELECT e.dst, SUM(h.h1) AS s, count(*) AS d
+       |  FROM edges e JOIN h1 h ON h.id = e.src GROUP BY 1),
+       |h2 AS (SELECT h1.id, h1.h0, h1.h1,
+       |    h1.h1 + COALESCE(c2.s // c2.d, 0) AS h2
+       |  FROM h1 LEFT JOIN c2 ON c2.dst = h1.id)
+       |SELECT id, CAST(h0 AS BIGINT) AS h0, CAST(h1 AS BIGINT) AS h1,
+       |  CAST(h2 AS BIGINT) AS h2
+       |FROM h2 ORDER BY id""".stripMargin
+
   val g17Sql: String = {
     def round(r: Int): String =
       s"""l$r AS (SELECT id FROM a$r WHERE id NOT IN (SELECT v FROM e$r)),
@@ -12038,7 +12138,9 @@ object ExtensionQueries {
     "m24_rotate_bmp" -> (m24RotateBmp _),
     "m25_patch_stats" -> (m25PatchStats _),
     "m26_otsu_threshold" -> (m26OtsuThreshold _),
-    "s40_dim_refresh" -> (s40DimRefresh _))
+    "s40_dim_refresh" -> (s40DimRefresh _),
+    "g18_neighbor_agg" -> (g18NeighborAgg _),
+    "d24_sorted_neighborhood" -> (d24SortedNeighborhood _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12263,5 +12365,7 @@ object ExtensionQueries {
     "m24_rotate_bmp" -> m24Sql,
     "m25_patch_stats" -> m25Sql,
     "m26_otsu_threshold" -> m26Sql,
-    "s40_dim_refresh" -> s40Sql)
+    "s40_dim_refresh" -> s40Sql,
+    "g18_neighbor_agg" -> g18Sql,
+    "d24_sorted_neighborhood" -> d24Sql)
 }

@@ -385,4 +385,30 @@ class GraphSpec extends AnyFunSuite {
     assert(r4.filter(_._2 == -1).keySet ===
       Set(10L, 11L, 12L, 13L, 20L))
   }
+
+  test("neighborAgg: hand-computed two rounds of in-neighbor integer " +
+      "means; multi-edges weight the mean by multiplicity; " +
+      "feature-less and in-degree-0 nodes behave") {
+    import spark.implicits._
+    // 1->2, 3->2, 2->4; plus a DOUBLE edge 1->5 (multiplicity 2)
+    val e = edges(1L -> 2L, 3L -> 2L, 2L -> 4L, 1L -> 5L, 1L -> 5L)
+    val feats = Seq((1L, 10L), (3L, 30L), (2L, 100L))
+      .toDF("id", "f") // nodes 4 and 5 start at 0
+    val got = Graph.neighborAgg(e, feats, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // round 1: h1(2) = 100 + (10+30) div 2 = 120;
+    //          h1(4) = 0 + 100 div 1 = 100;
+    //          h1(5) = 0 + (10+10) div 2 = 10  (multi-edge mean);
+    //          sources 1 and 3 keep their own value (indeg 0)
+    // round 2: h2(2) = 120 + (10+30) div 2 = 140;
+    //          h2(4) = 100 + 120 div 1 = 220;
+    //          h2(5) = 10 + (10+10) div 2 = 20
+    assert(got === Map(
+      1L -> ((10L, 10L, 10L)),
+      3L -> ((30L, 30L, 30L)),
+      2L -> ((100L, 120L, 140L)),
+      4L -> ((0L, 100L, 220L)),
+      5L -> ((0L, 10L, 20L))))
+  }
 }

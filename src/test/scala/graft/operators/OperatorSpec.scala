@@ -3605,6 +3605,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.rotateBmp("not a bmp".getBytes("UTF-8")).isEmpty)
   }
 
+  test("d24 sortedNeighborhoodPairs: pairs are exactly the rank-window " +
+      "successors in (key, id) order, ties break by id, the tail has " +
+      "no wraparound, and adjacent near-keys pair without any shared " +
+      "block token") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // keys sort as: aaa(5), aab(1), aab(9), bbb(2), zzz(7)
+    val df = Seq((5L, "aaa"), (1L, "aab"), (9L, "aab"), (2L, "bbb"),
+      (7L, "zzz")).toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, col("k"), col("id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sorted order: 5, 1, 9, 2, 7 (tie aab -> id 1 before 9);
+    // w=3 pairs each record with its 2 successors; no wraparound
+    assert(got === Set((5L, 1L), (5L, 9L), (1L, 9L), (1L, 2L),
+      (9L, 2L), (9L, 7L), (2L, 7L)))
+    // the near-key pair (aaa, aab) formed although the keys are not
+    // EQUAL — the property hash blocking cannot provide
+    assert(got.contains((5L, 1L)))
+    // w=2 is the adjacent-only degenerate
+    assert(Dedup.sortedNeighborhoodPairs(df, col("k"), col("id"), 2)
+      .collect().length === 4)
+  }
+
   test("m26 otsuThreshold: hand bimodal split, exact-tie breaks to " +
       "the smallest t, three-level argmax, flat image and non-BMP " +
       "refuse") {
