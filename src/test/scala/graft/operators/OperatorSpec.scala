@@ -3628,6 +3628,28 @@ class OperatorSpec extends AnyFunSuite {
       .collect().length === 4)
   }
 
+  test("property: sortedNeighborhoodPairs equals the brute-force " +
+      "rank-window pairs on random keys with heavy duplication, " +
+      "w in {2, 4}") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    // small key pool -> many exact ties, the id tie-break carries them
+    val rows = (0 until 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(12)}"))
+    val df = rnd.shuffle(rows).toDF("id", "k")
+    val sortedIds = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    for (w <- Seq(2, 4)) {
+      val want = (for {
+        i <- sortedIds.indices
+        j <- (i + 1) until math.min(i + w, sortedIds.length)
+      } yield (sortedIds(i), sortedIds(j))).toSet
+      val got = Dedup.sortedNeighborhoodPairs(df, col("k"), col("id"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"w=$w")
+    }
+  }
+
   test("m26 otsuThreshold: hand bimodal split, exact-tie breaks to " +
       "the smallest t, three-level argmax, flat image and non-BMP " +
       "refuse") {

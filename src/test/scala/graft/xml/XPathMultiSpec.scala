@@ -492,6 +492,92 @@ class XPathMultiSpec extends AnyFunSuite {
     }
   }
 
+  test("property: value-predicate grammar == built-in xpath on random " +
+      "attributed trees x random predicates (equality, numeric, " +
+      "exists, contains/starts-with, not(), and/or)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val tags = Array("a", "b", "c")
+    val attrs = Array("k", "t")
+    val vals = Array("1", "5", "17.00", "x", "", " 5 ", "-2")
+    def genElem(depth: Int): String = {
+      val tag = tags(rnd.nextInt(tags.length))
+      val as = rnd.shuffle(attrs.toSeq).take(rnd.nextInt(3))
+        .map(a => s" $a='${vals(rnd.nextInt(vals.length))}'").mkString
+      val nKids = if (depth >= 3) 0 else rnd.nextInt(4)
+      val kids = (0 until nKids).map { _ =>
+        if (depth < 3 && rnd.nextBoolean()) genElem(depth + 1)
+        else vals(rnd.nextInt(vals.length))
+      }
+      s"<$tag$as>${kids.mkString}</$tag>"
+    }
+    val docs = (1 to 60).map(_ =>
+      s"<r>${(0 until 1 + rnd.nextInt(4)).map(_ => genElem(1)).mkString}</r>")
+    val ops = Array(">", "<", ">=", "<=", "=", "!=")
+    // no negative literals here: the BUILT-IN's compiler rejects the
+    // spaceless 'c<-2' ('<' + unary minus — a Xalan lexer quirk); the
+    // fixed x20/x23 parity cases pin negatives via the forms it does
+    // accept
+    val nums = Array("5", "17", "0.5", "0")
+    val needles = Array("", "1", "x", "7")
+    def atom(): String = rnd.nextInt(8) match {
+      case 0 => s"@${attrs(rnd.nextInt(2))}='${vals(rnd.nextInt(vals.length))}'"
+      case 1 => s"${tags(rnd.nextInt(3))}='${vals(rnd.nextInt(vals.length))}'"
+      case 2 => s"@${attrs(rnd.nextInt(2))}${ops(rnd.nextInt(6))}${nums(rnd.nextInt(4))}"
+      case 3 => s"${tags(rnd.nextInt(3))}${ops(rnd.nextInt(6))}${nums(rnd.nextInt(4))}"
+      case 4 => s"@${attrs(rnd.nextInt(2))}"
+      case 5 => tags(rnd.nextInt(3))
+      case 6 =>
+        val fn = if (rnd.nextBoolean()) "contains" else "starts-with"
+        val arg = if (rnd.nextBoolean()) s"@${attrs(rnd.nextInt(2))}"
+          else tags(rnd.nextInt(3))
+        s"$fn($arg,'${needles(rnd.nextInt(4))}')"
+      case _ => s"not(${atomNoNot()})"
+    }
+    def atomNoNot(): String = {
+      val a = atom()
+      if (a.startsWith("not(")) a.substring(4, a.length - 1) else a
+    }
+    def pred(): String = rnd.nextInt(3) match {
+      case 0 => s"[${atom()}]"
+      case 1 => s"[${atom()} and ${atom()}]"
+      case _ => s"[${atom()} or ${atom()}]"
+    }
+    def genPath(): String = {
+      val steps = (1 to 1 + rnd.nextInt(2)).map { _ =>
+        val nm = tags(rnd.nextInt(3))
+        val sep = if (rnd.nextInt(4) == 0) "//" else "/"
+        sep + nm + (if (rnd.nextInt(2) == 0) pred() else "")
+      }
+      "/r" + steps.mkString
+    }
+    val paths = (1 to 24).map(_ => genPath()).distinct
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val cols = col("x") +:
+      (paths.indices.map(i => col(s"m.p$i")) ++
+        paths.map(p => expr(s"""xpath(x, "$p")""")) ++
+        paths.map(p => expr(s"""xpath_string(x, "$p")""")))
+    val rows = docs.toDF("x").select(m.as("m"), col("x"))
+      .select(cols: _*).collect()
+    var nonEmpty = 0
+    rows.foreach { r =>
+      paths.indices.foreach { i =>
+        val mine = r.getSeq[String](1 + i)
+        val ref = r.getSeq[String](1 + paths.length + i)
+        val refS = r.getString(1 + 2 * paths.length + i)
+        val label = s"path ${paths(i)} on doc ${r.getString(0)}"
+        assert(mine.length == ref.length,
+          s"$label: match count ${mine.length} vs ${ref.length}")
+        assert(mine.headOption.getOrElse("") == refS,
+          s"$label: first value '${mine.headOption}' vs '$refS'")
+        if (mine.nonEmpty) nonEmpty += 1
+      }
+    }
+    assert(nonEmpty > 100,
+      s"only $nonEmpty non-empty matches — the generator collapsed " +
+        "into no-match paths and the parity sweep proves nothing")
+  }
+
   test("attribute-equality predicates [@a='v']: built-in parity, " +
       "data-dependent selection, wildcard/descendant composition, " +
       "first-attr-wins, grammar rejections") {
