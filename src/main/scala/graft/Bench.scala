@@ -16,6 +16,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
+    // Sampled BEFORE Spark spins up its own threads, so it measures the
+    // box, not this process. -1.0 (unsupported platform) never trips.
+    val startLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -86,12 +91,20 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"gates":${names.size},"n_errors":${errors.size},"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rs,"reps_n":$reps,"warmup":$warmup,"cpus":"$cpus","gates":${names.size},"n_errors":${errors.size},"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rs,"reps_n":$reps,"warmup":$warmup,"cpus":"$cpus","start_load":${r3(startLoad)},"gates":${names.size},"n_errors":${errors.size},"errors":$es,"sf":"$sfDir"}"""
     try {
       // A filtered local-iteration run must never clobber the committed
       // full-suite artifact (round 8's last subset run overwrote the
       // 147-gate BENCH_FULL.json with a 1-gate file).
-      val out = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
+      // Load-guard (judge items r12-r14, three recurrences): a run started
+      // on a loaded box (driver benches right after the verify pass) must
+      // not displace the quiet artifact either — if the 1-minute load
+      // average at SUITE START exceeded SPARK_GRAFT_MAX_LOAD (default 8.0),
+      // the result is written to BENCH_ATTEMPT.json for the ledger instead.
+      val out =
+        if (only.isDefined) "BENCH_SUBSET.json"
+        else if (startLoad > maxLoad) "BENCH_ATTEMPT.json"
+        else "BENCH_FULL.json"
       val p = java.nio.file.Paths.get(out)
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line is the contract

@@ -655,9 +655,15 @@ object Dedup {
     val dir = graft.Tables.scratchDir("graft-snm-rank")
     ranked.write.mode("overwrite").parquet(dir)
     val rk = sp2.read.parquet(dir)
-    rk.select(col("id").as("id_a"),
-        explode(sequence(lit(1), lit(w - 1))).as("__d"),
-        (col("r") + col("__d")).as("r"))
+    // Successor rank computed in a SECOND select (advisor, round 14):
+    // referencing the explode alias from the same projection leans on
+    // lateral column alias resolution, which is not a contractual Spark
+    // guarantee; two selects express the same plan dependency explicitly.
+    // The brute-force property test stays as the upgrade canary for the
+    // orderBy→zipWithIndex ordinal contract.
+    rk.select(col("id").as("id_a"), col("r").as("__r0"),
+        explode(sequence(lit(1), lit(w - 1))).as("__d"))
+      .select(col("id_a"), (col("__r0") + col("__d")).as("r"))
       .join(rk.select(col("id").as("id_b"), col("r")), "r")
       .select(col("id_a"), col("id_b"))
   }

@@ -582,7 +582,11 @@ object Graph {
     * per-round plan with a feature payload; state materializes to
     * scratch per round. Nodes with no in-edges keep their own value
     * (coalesce 0 contribution). `feats`: (id, f) integer features;
-    * nodes absent from `feats` start at 0. */
+    * nodes absent from `feats` start at 0. The node domain is derived
+    * from EDGE ENDPOINTS (advisor note, round 14): a row in `feats`
+    * whose id touches no edge is not a graph node here and is absent
+    * from the output — callers needing isolated-node passthrough union
+    * those ids in before calling. */
   def neighborAgg(edges: DataFrame, feats: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")

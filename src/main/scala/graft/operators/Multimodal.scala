@@ -880,8 +880,10 @@ object Multimodal {
     *   σ_B²(t) = w₀w₁(μ₀−μ₁)² ∝ (W₀·S − N·S₀)² ∕ (W₀·(N−W₀))
     * over the 256-level histogram, where W₀/S₀ are the count/luma-sum
     * at or below t and N/S the totals — numerator and denominator are
-    * EXACT integers (N ≤ 217 pixels here keeps (W₀S−NS₀)² ≈ 10¹⁴ well
-    * inside int64), and the ranking ratio is the one final float per
+    * EXACT integers (guarded: N ≤ 3451 px keeps every (W₀S−NS₀)²
+    * inside int64 — larger images return None rather than rank on a
+    * silently overflowed numerator; this repo's fixtures are N ≤ 217),
+    * and the ranking ratio is the one final float per
     * candidate: both engines evaluate the identical num∕den double
     * division on exactly-equal integers (p29 discipline), ties break
     * to the SMALLEST t. Candidate thresholds are the PRESENT luma
@@ -902,6 +904,14 @@ object Multimodal {
       return None
     val rowSize = ((3 * w + 3) / 4) * 4
     if (m.length.toLong < dataOff.toLong + rowSize.toLong * h) return None
+    // EXACT-int64 domain guard (advisor, round 14): |W₀S−NS₀| ≤ 255·N²,
+    // so past N = 3451 px the num = d² ranking can overflow int64 and
+    // would return a silently wrong threshold. The operator's contract
+    // is exact integers (the oracle replays num∕den bit-for-bit), so
+    // beyond the provable bound it REFUSES (None) rather than degrade:
+    // 255·3451² ≤ 3 037 000 499 = ⌊√Long.MaxValue⌋ keeps every
+    // candidate's d² exact.
+    if (w.toLong * h > 3451L) return None
     val hist = new Array[Int](256)
     var j = 0
     while (j < h) {

@@ -2636,7 +2636,16 @@ object Relational {
     graft.operators.Ivm.aggState(base, col("g"), col("q"))
       .select(col("grp"), col("cnt"), col("sum_v"))
       .write.mode("overwrite").parquet(stateDir)
-    graft.operators.Ivm.minReserve(base, col("g"), col("q"), 3)
+    // Reserve built WINDOW-FREE (round-15: [[Ivm.minReserveAgg]] over
+    // the fixed-point q·100 bigint encode, decoded back to
+    // decimal(18,2)) — hash-equal to the window form, which the spec
+    // keeps as the oracle; no per-group sort reaches the plan.
+    graft.operators.Ivm.minReserveAgg(base, col("g"),
+        (col("q") * 100).cast("long"), 3)
+      .select(col("grp"),
+        (col("v").cast("decimal(38,0)") / 100).cast("decimal(18,2)")
+          .as("v"),
+        col("c"))
       .write.mode("overwrite").parquet(reserveDir)
     // the CDC batch arrives as files — landing it once also keeps the
     // maintenance run from re-deriving the batch per consumer (delta

@@ -1117,9 +1117,12 @@ object StreamOps {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val dim = batch.sparkSession.read.parquet(dimDir)
+        // Drop via the DIM side's column REFERENCE (advisor, round 14):
+        // .drop(dimKey) by name would remove every column named dimKey,
+        // including the stream-side join key when key == dimKey.
         batch.join(broadcast(dim),
             batch.col(key) === dim.col(dimKey), "left")
-          .drop(dimKey)
+          .drop(dim.col(dimKey))
           .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
         ()
       }

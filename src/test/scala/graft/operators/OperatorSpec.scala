@@ -3670,6 +3670,69 @@ class OperatorSpec extends AnyFunSuite {
     // flat image has no valid cut; garbage is refused
     assert(Multimodal.otsuThreshold(img(7, 7, 7, 7)).isEmpty)
     assert(Multimodal.otsuThreshold("junk".getBytes("UTF-8")).isEmpty)
+    // int64 domain guard (advisor, round 14): past 3451 px the d²
+    // numerator can overflow — the operator REFUSES rather than rank
+    // on a silently wrapped value. 3451 px is in-domain; 3452 is out.
+    val big = Multimodal.buildBmp(3452, 1,
+      Array.tabulate(3 * 3452)(i => if (i < 3 * 1726) 10.toByte
+        else 200.toByte))
+    assert(Multimodal.otsuThreshold(big).isEmpty)
+    val edge = Multimodal.buildBmp(3451, 1,
+      Array.tabulate(3 * 3451)(i => if (i < 3 * 1725) 10.toByte
+        else 200.toByte))
+    assert(Multimodal.otsuThreshold(edge).get._1 == 10)
+  }
+
+  test("q59b joinRetractDelta: R-deletes are KEY-level — one witness " +
+      "row per deleted key retracts every stored R row of that key " +
+      "(advisor round-14 granularity fix)") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    // baseR holds TWO rows under key 5; the delete batch carries only
+    // ONE witness row for key 5 — the literal-row form diverged here.
+    val L0 = Seq((5L, 50L), (5L, 51L), (2L, 20L)).toDF("k", "v")
+    val R0 = Seq((5L, 9L), (5L, 8L), (2L, 7L)).toDF("k", "g")
+    val apL = Seq((2L, 21L)).toDF("k", "v")
+    val delL = Seq((5L, 50L)).toDF("k", "v")
+    val delR = Seq((5L, 9L)).toDF("k", "g") // one witness, key 5
+    val stored = Ivm.aggState(L0.join(R0, "k"), col("g"), col("v"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+    val deltaState = Ivm.joinRetractDelta(L0, R0, apL, delL, delR, "k")
+      .groupBy(col("g").as("grp"))
+      .agg(sum(col("sign")).as("cnt_d"),
+        sum(col("v") * col("sign")).as("sum_d"))
+    val merged = stored.join(deltaState, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sum_v"), lit(0L)) +
+          coalesce(col("sum_d"), lit(0L))).as("s"))
+      .filter(col("cnt") > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    // full recompute: key-level R delete removes BOTH key-5 R rows
+    val rPost = R0.filter(col("k") =!= 5L)
+    val lPost = L0.except(delL).union(apL)
+    val full = Ivm.aggState(lPost.join(rPost, "k"), col("g"), col("v"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+    assert(merged === Set((7L, 2L, 41L)))
+  }
+
+  test("q60b minReserveAgg: window-free reserve build matches the " +
+      "window form exactly and its physical plan carries no Window") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val base = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 5L),
+      (2L, 3L), (2L, 3L), (2L, 4L), (2L, 9L), (2L, 12L),
+      (3L, 10L)).toDF("g", "v")
+    val win = Ivm.minReserve(base, col("g"), col("v"), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val agg = Ivm.minReserveAgg(base, col("g"), col("v"), 3)
+    assert(agg.as[(Long, Long, Long)].collect().toSet === win)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "reserve build must not sort any per-group domain")
   }
 
   test("m25 patchStats: hand 5x3 grid at p=2 with clipped edge " +
