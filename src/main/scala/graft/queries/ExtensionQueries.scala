@@ -9469,6 +9469,118 @@ object ExtensionQueries {
        |ORDER BY community""".stripMargin
   }
 
+  /** Louvain-style modularity ASCENT ([[graft.operators.Graph
+    * .louvainAscent]], 6 guarded move-class rounds over the derived
+    * link graph) — the operator that OPTIMIZES the objective g11 only
+    * measures. Output: the g11 per-community decomposition of the FINAL
+    * labeling, with the per-round global modularity numerators, accept
+    * flags and move counts pinned as constant columns (q1..q6 monotone
+    * non-decreasing by the accept guard's construction — the oracle
+    * replays every round, every exact-integer gain score, the move-class
+    * restriction, the argmax tie order AND the guard's conditional
+    * adoption in SQL; base tables and per-round labels are MATERIALIZED
+    * CTEs so DuckDB scans the parquet once, not once per reference). */
+  def g19Louvain(sp: SparkSession, dir: String): DataFrame = {
+    val (labels, log) =
+      graft.operators.Graph.louvainAscent(linkEdges(sp, dir), rounds = 6)
+    var out = graft.operators.Graph.modularityParts(linkEdges(sp, dir),
+      labels)
+    log.foreach { r =>
+      out = out.withColumn(s"q${r.round}", lit(r.qNum))
+        .withColumn(s"acc${r.round}", lit(r.accepted))
+        .withColumn(s"mv${r.round}", lit(r.nMoved))
+    }
+    out.orderBy("community")
+  }
+
+  val g19Sql: String = {
+    def round(p: String, c: String, mc: Int): String =
+      s"""sg$c AS (SELECT l.lab AS cl, CAST(SUM(d.degree) AS BIGINT) AS sig
+         |  FROM deg d JOIN l$p l ON d.id = l.id GROUP BY 1),
+         |e2$c AS (SELECT e.u AS id, lv.lab AS cl,
+         |    CAST(COUNT(*) AS BIGINT) AS e2
+         |  FROM und e JOIN l$p lv ON e.v = lv.id GROUP BY 1, 2),
+         |cd$c AS (SELECT id, cl, e2 FROM e2$c
+         |  UNION ALL SELECT id, lab, 0 FROM l$p),
+         |sc$c AS (SELECT cn.id, cn.cl,
+         |    CAST(cn.e2 * ut.u_tot - d.degree * (s.sig -
+         |      CASE WHEN cn.cl = o.lab THEN d.degree ELSE 0 END)
+         |      AS BIGINT) AS sc
+         |  FROM cd$c cn
+         |  JOIN deg d ON d.id = cn.id
+         |  JOIN l$p o ON o.id = cn.id
+         |  JOIN sg$c s ON s.cl = cn.cl
+         |  CROSS JOIN ut
+         |  WHERE cn.id % 3 = $mc),
+         |p$c AS MATERIALIZED (SELECT id, cl AS lab FROM (
+         |  SELECT id, cl, row_number() OVER (
+         |    PARTITION BY id ORDER BY sc DESC, cl) AS rn FROM sc$c)
+         |  WHERE rn = 1
+         |  UNION ALL SELECT id, lab FROM l$p WHERE id % 3 <> $mc),
+         |qp$c AS (SELECT CAST(
+         |    (SELECT COUNT(*) FROM und e
+         |      JOIN p$c a ON e.u = a.id
+         |      JOIN p$c b ON e.v = b.id AND a.lab = b.lab) * ut.u_tot
+         |    - (SELECT CAST(coalesce(SUM(ds * ds), 0) AS BIGINT) FROM (
+         |        SELECT CAST(SUM(d.degree) AS BIGINT) AS ds FROM deg d
+         |        JOIN p$c l ON d.id = l.id GROUP BY l.lab))
+         |    AS BIGINT) AS qn FROM ut),
+         |mv$c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p$c p
+         |  JOIN l$p o ON p.id = o.id AND p.lab <> o.lab),
+         |ac$c AS (SELECT (SELECT qn FROM qp$c) >= (SELECT qn FROM q$p)
+         |  AS a),
+         |l$c AS MATERIALIZED (SELECT o.id,
+         |    CASE WHEN (SELECT a FROM ac$c) THEN p.lab ELSE o.lab END
+         |      AS lab
+         |  FROM l$p o JOIN p$c p ON p.id = o.id),
+         |q$c AS (SELECT CASE WHEN (SELECT a FROM ac$c)
+         |    THEN (SELECT qn FROM qp$c)
+         |    ELSE (SELECT qn FROM q$p) END AS qn)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |sym AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM edges
+       |         UNION SELECT dst, src FROM edges) WHERE u <> v),
+       |und AS MATERIALIZED (SELECT DISTINCT u, v FROM sym),
+       |ut AS (SELECT CAST(COUNT(*) AS BIGINT) AS u_tot FROM und),
+       |deg AS MATERIALIZED (SELECT u AS id,
+       |  CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY 1),
+       |l0 AS MATERIALIZED (SELECT id, id AS lab FROM deg),
+       |q0 AS (SELECT CAST(-(SELECT SUM(d.degree * d.degree) FROM deg d)
+       |  AS BIGINT) AS qn),
+       |${round("0", "1", 0)},
+       |${round("1", "2", 1)},
+       |${round("2", "3", 2)},
+       |${round("3", "4", 0)},
+       |${round("4", "5", 1)},
+       |${round("5", "6", 2)},
+       |dc AS (SELECT l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.degree) AS BIGINT) AS deg_sum
+       |  FROM deg d JOIN l6 l ON d.id = l.id GROUP BY 1),
+       |ia AS (SELECT lu.lab, CAST(count(*) AS BIGINT) AS intra2
+       |  FROM und e
+       |  JOIN l6 lu ON e.u = lu.id
+       |  JOIN l6 lv ON e.v = lv.id AND lu.lab = lv.lab
+       |  GROUP BY 1)
+       |SELECT dc.lab AS community, dc.n_nodes, dc.deg_sum,
+       |  CAST(coalesce(ia.intra2, 0) AS BIGINT) AS intra2,
+       |  ut.u_tot,
+       |  CAST(coalesce(ia.intra2, 0) * ut.u_tot
+       |    - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num,
+       |  (SELECT qn FROM q1) AS q1, (SELECT a FROM ac1) AS acc1,
+       |  (SELECT m FROM mv1) AS mv1,
+       |  (SELECT qn FROM q2) AS q2, (SELECT a FROM ac2) AS acc2,
+       |  (SELECT m FROM mv2) AS mv2,
+       |  (SELECT qn FROM q3) AS q3, (SELECT a FROM ac3) AS acc3,
+       |  (SELECT m FROM mv3) AS mv3,
+       |  (SELECT qn FROM q4) AS q4, (SELECT a FROM ac4) AS acc4,
+       |  (SELECT m FROM mv4) AS mv4,
+       |  (SELECT qn FROM q5) AS q5, (SELECT a FROM ac5) AS acc5,
+       |  (SELECT m FROM mv5) AS mv5,
+       |  (SELECT qn FROM q6) AS q6, (SELECT a FROM ac6) AS acc6,
+       |  (SELECT m FROM mv6) AS mv6
+       |FROM dc LEFT JOIN ia ON ia.lab = dc.lab CROSS JOIN ut
+       |ORDER BY community""".stripMargin
+  }
+
   /** Connected components ([[graft.operators.Graph.connectedComponents]],
     * hash-to-min + pointer doubling, O(log diameter) rounds) over the
     * derived link graph; every node labeled with its component's minimum
@@ -12140,7 +12252,8 @@ object ExtensionQueries {
     "m26_otsu_threshold" -> (m26OtsuThreshold _),
     "s40_dim_refresh" -> (s40DimRefresh _),
     "g18_neighbor_agg" -> (g18NeighborAgg _),
-    "d24_sorted_neighborhood" -> (d24SortedNeighborhood _))
+    "d24_sorted_neighborhood" -> (d24SortedNeighborhood _),
+    "g19_louvain" -> (g19Louvain _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12367,5 +12480,6 @@ object ExtensionQueries {
     "m26_otsu_threshold" -> m26Sql,
     "s40_dim_refresh" -> s40Sql,
     "g18_neighbor_agg" -> g18Sql,
-    "d24_sorted_neighborhood" -> d24Sql)
+    "d24_sorted_neighborhood" -> d24Sql,
+    "g19_louvain" -> g19Sql)
 }

@@ -411,4 +411,30 @@ class GraphSpec extends AnyFunSuite {
       4L -> ((0L, 100L, 220L)),
       5L -> ((0L, 10L, 20L))))
   }
+
+  test("g19 louvainAscent: planted two-clique graph recovered, Q " +
+      "monotone non-decreasing by the accept guard, rejected rounds " +
+      "keep the previous labels") {
+    // two 4-cliques {0..3} and {10..13} joined by one bridge 3-10
+    val cl = for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)
+    val e = edges((cl :+ (3L -> 10L)): _*)
+    val (labels, log) = Graph.louvainAscent(e, rounds = 6)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // exactly two communities, split on the bridge
+    val cA = Set(0L, 1L, 2L, 3L).map(got)
+    val cB = Set(10L, 11L, 12L, 13L).map(got)
+    assert(cA.size == 1 && cB.size == 1 && cA != cB,
+      s"planted communities not recovered: $got")
+    // Q monotone non-decreasing round over round (guard construction)
+    val qs = log.map(_.qNum)
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a }, s"qs=$qs")
+    // converged: the last round proposes no accepted improvement
+    assert(log.last.qNum == qs.max)
+    // modularityParts agrees with the logged final Q
+    val parts = Graph.modularityParts(e, labels).collect()
+    assert(parts.map(_.getAs[Long]("q_num")).sum == log.last.qNum)
+  }
 }
