@@ -86,4 +86,77 @@ object Sketches {
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("rho"))
   }
+
+  /** BOTTOM-K (KMV / theta-style) distinct sketch state — the sketch
+    * family HLL cannot provide: HLL registers UNION losslessly but
+    * cannot INTERSECT, so the train∩eval distinct-overlap estimate at
+    * 100 TB (contamination rate without [[Dedup.contamination]]'s exact
+    * semi-join) needs a SAMPLE sketch. The k smallest portable 32-bit
+    * hash values of a set are a uniform sample of its distinct hash
+    * domain below a data-dependent threshold θ — mergeable (bottom-k of
+    * a union = bottom-k over the concatenated bottom-ks, see
+    * [[mergeBottomKStates]]) and intersectable ([[thetaIntersect]]).
+    *
+    * Returns (grp, h) rows, at most k per group, h ascending-distinct —
+    * the state a pipeline persists per day/shard and folds later. The
+    * heavy lifting rides [[graft.functions.BottomKDistinctAgg]], whose
+    * state is capped at k values at every point of the partial-agg tree
+    * (map-side combine ships ≤ k values per partition per group; the
+    * raw distinct domain is never shuffled). Hashes are the portable
+    * md5-derived 32-bit family, so a SQL oracle replays the sketch —
+    * and therefore the whole estimate — bit-for-bit. */
+  def bottomKState(df: DataFrame, grp: Column, value: Column,
+      k: Int): DataFrame = {
+    val bk = graft.functions.BottomKDistinctAgg.bottomK(k)
+    df.select(grp.as("grp"), Hashing.portableHash32(value).as("__h"))
+      .groupBy("grp").agg(bk(col("__h")).as("__hs"))
+      .select(col("grp"), explode(col("__hs")).as("h"))
+  }
+
+  /** Fold any number of [[bottomKState]] tables into one: bottom-k of
+    * the union — the same bounded UDAF over the concatenated ≤k-row
+    * states (duplicate hashes shared by two partials collapse to one
+    * slot inside the aggregate's dedup merge, exactly the semantics the
+    * distinct-domain sample needs). */
+  def mergeBottomKStates(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    val bk = graft.functions.BottomKDistinctAgg.bottomK(k)
+    states.reduce(_.unionByName(_))
+      .groupBy("grp").agg(bk(col("h")).as("__hs"))
+      .select(col("grp"), explode(col("__hs")).as("h"))
+  }
+
+  /** THETA-STYLE DISTINCT INTERSECTION over two single-set
+    * [[bottomKState]] tables (columns (h); pass a filtered state's `h`
+    * projection). The standard theta-sketch argument: with
+    * θ_X = (the k-th smallest hash of X, exclusive) when the sketch is
+    * FULL and θ_X = 2³² (the whole space — the sketch is exact) when
+    * |X| < k, every distinct hash of X below θ = min(θ_A, θ_B) is
+    * present in X's state, so the common hashes below θ are a uniform
+    * θ∕2³²-rate sample of A∩B and
+    *   est = n_common · 2³² ∕ θ
+    * (exact — est = n_common — when both sketches are exact). Output is
+    * ONE row: (ka, kb, theta, n_common, est_intersection), everything
+    * integer except the single final float division, so both engines
+    * reproduce the estimate bit-for-bit. Shape: two 1-row aggs
+    * (broadcast), one ≤k×≤k hash equi-join. */
+  def thetaIntersect(stateA: DataFrame, stateB: DataFrame,
+      k: Int): DataFrame = {
+    val full = lit(4294967296L) // 2^32: hash-space bound, exact sketch
+    val aAgg = stateA.agg(count(lit(1)).as("ka"), max(col("h")).as("__ma"))
+    val bAgg = stateB.agg(count(lit(1)).as("kb"), max(col("h")).as("__mb"))
+    val th = aAgg.crossJoin(bAgg).select(col("ka"), col("kb"),
+      least(
+        when(col("ka") === k, col("__ma")).otherwise(full),
+        when(col("kb") === k, col("__mb")).otherwise(full)).as("theta"))
+    val common = stateA.select(col("h"))
+      .join(stateB.select(col("h")), "h")
+      .crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    broadcast(th).crossJoin(common.na.fill(0L, Seq("n_common")))
+      .select(col("ka"), col("kb"), col("theta"), col("n_common"),
+        (col("n_common").cast("double") * 4294967296.0 /
+          col("theta").cast("double")).as("est_intersection"))
+  }
 }

@@ -666,6 +666,84 @@ object ExtensionQueries {
        |FROM tot t LEFT JOIN hits USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Theta-style distinct-INTERSECTION estimate
+    * ([[graft.operators.Sketches.bottomKState]] +
+    * [[graft.operators.Sketches.thetaIntersect]]): the train∩eval
+    * distinct 5-gram-shingle overlap — d14's contamination universe —
+    * estimated from two mergeable bottom-k (KMV) sketches instead of
+    * the exact distinct semi-join, the sketch HLL (t12) cannot provide
+    * (registers union losslessly but cannot intersect). Everything up
+    * to the single final float division is portable integers (md5
+    * bottom-k is ORDER BY hash LIMIT k in any engine), so the oracle
+    * replays the sketch AND the estimate bit-for-bit; the t17-style
+    * statistical contract is the gated pass condition: |est − exact| ≤
+    * max(0.35·exact, 40) — RSE ≈ 1∕√n_common ≈ 0.22 at the k = 4096
+    * sample sizes this corpus yields, measured 0.06/0.06/0.14 across
+    * the three SFs. */
+  def t58ThetaIntersect(sp: SparkSession, dir: String): DataFrame = {
+    val k = 4096
+    val docs = documents(sp, dir)
+    def sh(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(explode(
+        graft.operators.Dedup.shingleSet(col("text"), 5)).as("s"))
+    val ev = sh(col("doc_id") % 20 === 0)
+    val tr = sh(col("doc_id") % 20 =!= 0)
+    val evState = graft.operators.Sketches
+      .bottomKState(ev, lit(1L), col("s"), k).select(col("h"))
+    val trState = graft.operators.Sketches
+      .bottomKState(tr, lit(1L), col("s"), k).select(col("h"))
+    val exact = ev.select(Hashing.portableHash32(col("s")).as("h"))
+      .distinct()
+      .join(tr.select(Hashing.portableHash32(col("s")).as("h"))
+        .distinct(), "h")
+      .agg(count(lit(1)).as("exact_intersection"))
+    graft.operators.Sketches.thetaIntersect(evState, trState, k)
+      .crossJoin(exact)
+      .select(lit(k).as("k"), col("ka"), col("kb"), col("theta"),
+        col("n_common"), col("est_intersection"),
+        col("exact_intersection"),
+        (abs(col("est_intersection") -
+          col("exact_intersection").cast("double")) <=
+          greatest(col("exact_intersection").cast("double") * 0.35,
+            lit(40.0))).as("within_bounds"))
+  }
+
+  val t58Sql: String = {
+    val est = "CAST(cm.n_common AS DOUBLE) * 4294967296.0 / " +
+      "CAST(th.theta AS DOUBLE)"
+    s"""WITH sh5 AS (SELECT doc_id,
+       |    CASE WHEN len($Toks) < 5 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len($Toks) - 3),
+       |           i -> array_to_string(($Toks)[i:i+4], ' '))) END AS s
+       |  FROM documents),
+       |evh AS MATERIALIZED (SELECT DISTINCT ${h("sh")} AS h FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 = 0)),
+       |trh AS MATERIALIZED (SELECT DISTINCT ${h("sh")} AS h FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 <> 0)),
+       |ska AS (SELECT h FROM evh ORDER BY h LIMIT 4096),
+       |skb AS (SELECT h FROM trh ORDER BY h LIMIT 4096),
+       |agga AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka, MAX(h) AS ma
+       |  FROM ska),
+       |aggb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb, MAX(h) AS mb
+       |  FROM skb),
+       |th AS (SELECT ka, kb, LEAST(
+       |    CASE WHEN ka = 4096 THEN ma ELSE 4294967296 END,
+       |    CASE WHEN kb = 4096 THEN mb ELSE 4294967296 END) AS theta
+       |  FROM agga CROSS JOIN aggb),
+       |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+       |  FROM ska JOIN skb USING (h) CROSS JOIN th
+       |  WHERE ska.h < th.theta),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+       |  FROM evh JOIN trh USING (h))
+       |SELECT 4096 AS k, th.ka, th.kb, th.theta, cm.n_common,
+       |  $est AS est_intersection,
+       |  ex.exact_intersection,
+       |  abs($est - CAST(ex.exact_intersection AS DOUBLE))
+       |    <= greatest(CAST(ex.exact_intersection AS DOUBLE) * 0.35,
+       |      40.0) AS within_bounds
+       |FROM th CROSS JOIN cm CROSS JOIN ex""".stripMargin
+  }
+
   /** Fuzzy entity matching ([[graft.operators.Fuzzy]]): part-name pairs
     * within Levenshtein 3, found via character-3-gram blocking over the
     * DISTINCT name vocabulary — the candidates-then-confirm discipline of
@@ -12253,7 +12331,8 @@ object ExtensionQueries {
     "s40_dim_refresh" -> (s40DimRefresh _),
     "g18_neighbor_agg" -> (g18NeighborAgg _),
     "d24_sorted_neighborhood" -> (d24SortedNeighborhood _),
-    "g19_louvain" -> (g19Louvain _))
+    "g19_louvain" -> (g19Louvain _),
+    "t58_theta_intersect" -> (t58ThetaIntersect _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12481,5 +12560,6 @@ object ExtensionQueries {
     "s40_dim_refresh" -> s40Sql,
     "g18_neighbor_agg" -> g18Sql,
     "d24_sorted_neighborhood" -> d24Sql,
-    "g19_louvain" -> g19Sql)
+    "g19_louvain" -> g19Sql,
+    "t58_theta_intersect" -> t58Sql)
 }

@@ -898,6 +898,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(satRow.isNullAt(0))
   }
 
+  test("t58 bottomKState: k smallest DISTINCT hashes, ascending; " +
+      "merge of split states equals the whole-corpus sketch; " +
+      "thetaIntersect is exact when both sketches are under k") {
+    import spark.implicits._
+    val df = spark.range(300)
+      .select(lit(1L).as("g"), (col("id") % 100).cast("string").as("v"))
+    val k = 16
+    val st = Sketches.bottomKState(df, col("g"), col("v"), k)
+      .collect().map(_.getLong(1)).toSeq
+    // reference: exact distinct hash domain, k smallest
+    val all = df.select(
+        graft.functions.Hashing.portableHash32(col("v")).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(st === all.take(k), "k smallest distinct, duplicates no-op")
+    // mergeability: sketch(A) ++ sketch(B) folded == sketch(A ∪ B),
+    // including hashes SHARED by both halves (collapse to one slot)
+    val a = df.filter(col("v").cast("int") < 60)
+    val b = df.filter(col("v").cast("int") >= 40) // overlap 40..59
+    val merged = Sketches.mergeBottomKStates(Seq(
+        Sketches.bottomKState(a, col("g"), col("v"), k),
+        Sketches.bottomKState(b, col("g"), col("v"), k)), k)
+      .collect().map(_.getLong(1)).toSeq
+    assert(merged === all.take(k))
+    // exact regime: both sides under k -> theta = 2^32, est == exact
+    val sa = Sketches.bottomKState(
+      df.filter(col("v").cast("int") < 10), col("g"), col("v"), k)
+    val sb = Sketches.bottomKState(
+      df.filter(col("v").cast("int").between(5, 12)), col("g"),
+      col("v"), k)
+    val r = Sketches.thetaIntersect(sa.select(col("h")),
+      sb.select(col("h")), k).head()
+    assert(r.getAs[Long]("theta") == 4294967296L)
+    assert(r.getAs[Long]("n_common") == 5L) // values 5..9
+    assert(r.getAs[Double]("est_intersection") == 5.0)
+  }
+
   test("RangeJoin.binned equals the theta join; plan is equi-join, " +
       "no nested loop") {
     import spark.implicits._
