@@ -827,6 +827,112 @@ object Graph {
           (col("du") + col("dv") - col("cn")).cast("double")).as("jac"))
   }
 
+  /** PIVOT-SAMPLED BETWEENNESS CENTRALITY (Brandes 2001, partial
+    * dependencies from a fixed pivot set; sampling per Brandes–Pich
+    * 2007) over the undirected simple graph, horizon-bounded like
+    * g5/g13/g14. For each pivot s: a forward frontier-join BFS computes
+    * EXACT INTEGER shortest-path counts σ_s(v) level by level
+    * (σ(w) = Σ_{pred v} σ(v) — one equi-join + one sum agg per level,
+    * never a global structure), then the Brandes backward accumulation
+    *   δ_s(v) = Σ_{w ∈ succ(v)} σ(v)·(1 + δ_s(w)) ∕ σ(w)
+    * runs level by level as EXACT RATIONALS: each successor contributes
+    * the fraction (σ_v·(d_w + n_w)) / (σ_w·d_w) and the per-node sum
+    * rides [[graft.functions.FractionSumExpr]] (BigInteger gcd-reduced
+    * fold — order-independent, so collect_list's partition order is
+    * sound; group size = out-degree, never the corpus). The returned
+    * bc = Σ_pivots δ_s(v) keeps (bc_num, bc_den) in lowest terms with
+    * the division into `bc` as the ONE final float.
+    *
+    * Horizon truncation (documented estimator, the g13 contract): pairs
+    * (s, t) with d(s,t) > maxHops contribute nothing — nodes AT the
+    * horizon carry δ = 0/1, so dependencies never flow from beyond it.
+    * Pivots absent from the graph contribute nothing. Scale shape: all
+    * joins are hash equi-joins on (s, node); per-level state
+    * materializes to scratch ([[pageRankCredits]] discipline); the
+    * driver holds only the literal pivot list. Overflow envelope: the
+    * LOWEST-TERMS numerators/denominators must fit int64 (the
+    * fraction-fold itself is BigInteger-exact and fails loudly past
+    * the envelope — σ products at this corpus's σ ≤ ~10³ reduce to
+    * single digits). */
+  def betweennessPivots(edges: DataFrame, pivots: Seq[Long],
+      maxHops: Int): DataFrame = {
+    require(pivots.nonEmpty, "need at least one pivot")
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val sp = edges.sparkSession
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-btw-und")
+    import sp.implicits._
+    val p0 = pivots.toDF("s")
+      .join(und.select(col("u").as("s")).distinct(), Seq("s"), "left_semi")
+    var visited = materialize(
+      p0.select(col("s"), col("s").as("v"), lit(0).as("dist"),
+        lit(1L).as("sigma")),
+      "graft-btw-v0")
+    var frontier = visited
+    var l = 1
+    while (l <= maxHops) {
+      val nxt = frontier.join(und, frontier("v") === und("u"))
+        .groupBy(frontier("s"), und("v").as("w"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited.select(col("s"), col("v").as("w")), Seq("s", "w"),
+          "left_anti")
+        .select(col("s"), col("w").as("v"), lit(l).as("dist"),
+          col("sigma"))
+      frontier = materialize(nxt, s"graft-btw-f$l")
+      visited = materialize(visited.unionByName(frontier),
+        s"graft-btw-v$l")
+      l += 1
+    }
+    val dag = materialize(
+      visited.join(und, visited("v") === und("u"))
+        .select(visited("s"), visited("v"), visited("dist"),
+          visited("sigma").as("sv"), und("v").as("w"))
+        .join(visited.select(col("s"), col("v").as("w"),
+          col("dist").as("__dw"), col("sigma").as("sw")), Seq("s", "w"))
+        .filter(col("__dw") === col("dist") + 1)
+        .select(col("s"), col("v"), col("dist"), col("sv"), col("w"),
+          col("sw")),
+      "graft-btw-dag")
+    var delta = materialize(
+      visited.filter(col("dist") === maxHops)
+        .select(col("s"), col("v"), lit(0L).as("n"), lit(1L).as("d")),
+      "graft-btw-dh")
+    l = maxHops - 1
+    while (l >= 1) {
+      val lvl = dag.filter(col("dist") === l)
+        .join(delta.select(col("s"), col("v").as("w"), col("n"),
+          col("d")), Seq("s", "w"))
+        .select(col("s"), col("v"),
+          (col("sv") * (col("d") + col("n"))).as("fn"),
+          (col("sw") * col("d")).as("fd"))
+        .groupBy(col("s"), col("v"))
+        .agg(collect_list(struct(col("fn").as("n"), col("fd").as("d")))
+          .as("__cs"))
+        .select(col("s"), col("v"),
+          graft.functions.FractionSumExpr.fracSum(col("__cs")).as("__f"))
+        .select(col("s"), col("v"), col("__f.n").as("n"),
+          col("__f.d").as("d"))
+      val zeros = visited.filter(col("dist") === l)
+        .join(lvl.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(0L).as("n"), lit(1L).as("d"))
+      delta = materialize(delta.unionByName(lvl).unionByName(zeros),
+        s"graft-btw-d$l")
+      l -= 1
+    }
+    delta.groupBy(col("v").as("id"))
+      .agg(collect_list(struct(col("n"), col("d"))).as("__cs"))
+      .select(col("id"),
+        graft.functions.FractionSumExpr.fracSum(col("__cs")).as("__f"))
+      .select(col("id"), col("__f.n").as("bc_num"),
+        col("__f.d").as("bc_den"),
+        (col("__f.n").cast("double") / col("__f.d").cast("double"))
+          .as("bc"))
+  }
+
   /** One round's log entry from [[louvainAscent]]: the exact integer
     * modularity numerator after the round (q_num, over u_tot² — the g11
     * rational), whether the proposed synchronous move set was ACCEPTED,

@@ -9742,6 +9742,96 @@ object ExtensionQueries {
        |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
   }
 
+  /** Pivot-sampled betweenness centrality ([[graft.operators.Graph
+    * .betweennessPivots]]): Brandes partial dependencies from the 4
+    * smallest node ids, horizon 3, over the derived link graph — exact
+    * integer σ path counts and exact-rational δ accumulation
+    * (bc_num/bc_den in lowest terms, bc the one final float). The
+    * oracle replays the level-unrolled BFS, the DAG, both backward
+    * levels and the rational folds in SQL (HUGEINT cross-multiplied
+    * adds with a gcd canonicalization — exact rational addition is
+    * order-independent, so the two engines' fold orders cannot
+    * diverge). */
+  def g20Betweenness(sp: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(sp, dir)
+    val sym = e.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val pivots = sym.select(col("u"))
+      .union(sym.select(col("v").as("u"))).distinct()
+      .orderBy("u").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    graft.operators.Graph.betweennessPivots(e, pivots, maxHops = 3)
+      .orderBy("id")
+  }
+
+  val g20Sql: String = {
+    // exact rational fold: UNREDUCED cross-multiplied adds in HUGEINT
+    // with ONE gcd canonicalization when each fold's result is
+    // projected — exact rational addition is order-independent, so
+    // this equals Spark's per-step-reduced BigInteger fold. Deliberate:
+    // DuckDB 1.0's list_reduce mis-evaluates a gcd subexpression shared
+    // by both struct fields once the accumulator recycles (probed:
+    // [1,1,1,1/2,1/2] folds to 4/2), and the unreduced envelope is tiny
+    // here (max Πq per fold ≈ 10^4.7 at sf0.1, measured — HUGEINT holds
+    // 10^38).
+    val step = "(a, x) -> struct_pack(" +
+      "n := a.n * x.d + x.n * a.d, d := a.d * x.d)"
+    def bfs(p: String, c: String): String =
+      s"""f$c AS (SELECT d.s, e.v AS w, CAST(SUM(d.sigma) AS BIGINT)
+         |    AS sigma
+         |  FROM v$p d JOIN und e ON e.u = d.v WHERE d.dist = $p
+         |  GROUP BY 1, 2),
+         |v$c AS MATERIALIZED (SELECT s, v, dist, sigma FROM v$p
+         |  UNION ALL
+         |  SELECT f.s, f.w AS v, $c AS dist, f.sigma FROM f$c f
+         |  ANTI JOIN v$p o ON o.s = f.s AND o.v = f.w)""".stripMargin
+    def back(dl: String, lev: Int, out: String): String =
+      s"""lv$lev AS (SELECT dag.s, dag.v,
+         |    list_reduce(list(struct_pack(
+         |        n := CAST(dag.sv * (dl.d + dl.n) AS HUGEINT),
+         |        d := CAST(dag.sw * dl.d AS HUGEINT))), $step) AS f
+         |  FROM dag JOIN $dl dl ON dl.s = dag.s AND dl.v = dag.w
+         |  WHERE dag.dist = $lev GROUP BY 1, 2),
+         |$out AS MATERIALIZED (SELECT s, v, n, d FROM $dl
+         |  UNION ALL SELECT s, v,
+         |    CAST(f.n // gcd(f.n, f.d) AS BIGINT),
+         |    CAST(f.d // gcd(f.n, f.d) AS BIGINT) FROM lv$lev
+         |  UNION ALL SELECT z.s, z.v, 0, 1 FROM
+         |    (SELECT s, v FROM vis WHERE dist = $lev) z
+         |  ANTI JOIN lv$lev l ON l.s = z.s AND l.v = z.v)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |sym AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM edges
+       |         UNION SELECT dst, src FROM edges) WHERE u <> v),
+       |und AS MATERIALIZED (SELECT DISTINCT u, v FROM sym),
+       |pv AS (SELECT id AS s FROM (SELECT DISTINCT u AS id FROM und)
+       |  ORDER BY id LIMIT 4),
+       |v0 AS (SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+       |  FROM pv),
+       |${bfs("0", "1")},
+       |${bfs("1", "2")},
+       |${bfs("2", "3")},
+       |vis AS MATERIALIZED (SELECT * FROM v3),
+       |dag AS MATERIALIZED (SELECT a.s, a.v, a.dist, a.sigma AS sv,
+       |    b.v AS w, b.sigma AS sw
+       |  FROM vis a JOIN und e ON e.u = a.v
+       |  JOIN vis b ON b.s = a.s AND b.v = e.v AND b.dist = a.dist + 1),
+       |d3 AS (SELECT s, v, CAST(0 AS BIGINT) AS n, CAST(1 AS BIGINT)
+       |    AS d FROM vis WHERE dist = 3),
+       |${back("d3", 2, "dl2")},
+       |${back("dl2", 1, "dl1")},
+       |bc AS (SELECT v AS id,
+       |    list_reduce(list(struct_pack(n := CAST(n AS HUGEINT),
+       |      d := CAST(d AS HUGEINT))), $step) AS f
+       |  FROM dl1 GROUP BY 1)
+       |SELECT id,
+       |  CAST(f.n // gcd(f.n, f.d) AS BIGINT) AS bc_num,
+       |  CAST(f.d // gcd(f.n, f.d) AS BIGINT) AS bc_den,
+       |  CAST(CAST(f.n // gcd(f.n, f.d) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(f.d // gcd(f.n, f.d) AS BIGINT) AS DOUBLE) AS bc
+       |FROM bc ORDER BY id""".stripMargin
+  }
+
   /** Per-document keyword extraction: top-3 TF-IDF terms (stopwords
     * dropped, rational idf n/df — no transcendentals, so the score is a
     * fixed double tree both engines share). Distributed shape: one
@@ -12332,7 +12422,8 @@ object ExtensionQueries {
     "g18_neighbor_agg" -> (g18NeighborAgg _),
     "d24_sorted_neighborhood" -> (d24SortedNeighborhood _),
     "g19_louvain" -> (g19Louvain _),
-    "t58_theta_intersect" -> (t58ThetaIntersect _))
+    "t58_theta_intersect" -> (t58ThetaIntersect _),
+    "g20_betweenness" -> (g20Betweenness _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12561,5 +12652,6 @@ object ExtensionQueries {
     "g18_neighbor_agg" -> g18Sql,
     "d24_sorted_neighborhood" -> d24Sql,
     "g19_louvain" -> g19Sql,
-    "t58_theta_intersect" -> t58Sql)
+    "t58_theta_intersect" -> t58Sql,
+    "g20_betweenness" -> g20Sql)
 }

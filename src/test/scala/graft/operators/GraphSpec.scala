@@ -437,4 +437,38 @@ class GraphSpec extends AnyFunSuite {
     val parts = Graph.modularityParts(e, labels).collect()
     assert(parts.map(_.getAs[Long]("q_num")).sum == log.last.qNum)
   }
+
+  test("g20 betweennessPivots: path interior maximal, star center = " +
+      "all pairs, diamond halves sum to exact rationals, horizon " +
+      "truncation zeroes everything") {
+    def bcMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // path 0-1-2-3-4, all nodes as pivots, full horizon: ordered pairs
+    // through v -> bc(1)=6, bc(2)=8 (maximal), bc(3)=6, ends 0
+    val path = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val p = bcMap(Graph.betweennessPivots(path, Seq(0L, 1L, 2L, 3L, 4L),
+      maxHops = 4))
+    assert(p === Map(
+      0L -> ((0L, 1L, 0.0)), 1L -> ((6L, 1L, 6.0)),
+      2L -> ((8L, 1L, 8.0)), 3L -> ((6L, 1L, 6.0)),
+      4L -> ((0L, 1L, 0.0))))
+    // star: center 0, leaves 1..4 -> center carries every ordered
+    // leaf pair (12), leaves 0
+    val star = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
+    val s = bcMap(Graph.betweennessPivots(star, Seq(0L, 1L, 2L, 3L, 4L),
+      maxHops = 2))
+    assert(s(0L) === ((12L, 1L, 12.0)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(s(_) === ((0L, 1L, 0.0))))
+    // diamond 0-1-3, 0-2-3: two shortest paths per opposite pair, so
+    // each node carries 2 x 1/2 = 1 exactly (num/den reduce to 1/1)
+    val dia = edges(0L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 3L)
+    val d = bcMap(Graph.betweennessPivots(dia, Seq(0L, 1L, 2L, 3L),
+      maxHops = 3))
+    assert(Seq(0L, 1L, 2L, 3L).forall(d(_) === ((1L, 1L, 1.0))))
+    // horizon 1: no interior node ever forms -> all dependencies 0
+    val t = bcMap(Graph.betweennessPivots(path, Seq(0L, 1L, 2L, 3L, 4L),
+      maxHops = 1))
+    assert(t.values.forall(_._1 == 0L))
+  }
 }
