@@ -2725,6 +2725,155 @@ object Relational {
       |FROM agg LEFT JOIN fast ON fast.g = agg.g
       |ORDER BY agg.g""".stripMargin
 
+  /** JOIN-VIEW MIN WITH A k-DEEP RESERVE — q60's reserve lifted onto
+    * the q58/q59 aggregate-over-JOIN view (min cents per nation over
+    * orders⋈customer), closing the boundary q59 documents at
+    * `Ivm.scala`'s joinRetractDelta scaladoc: min/max over a joined
+    * view under deletes. The stored state is the |nations|-row
+    * count/sum table plus a 3-deep [[graft.operators.Ivm
+    * .minReserveAgg]] reserve KEYED BY THE VIEW GROUP (nation), built
+    * window-free over the base view. The mixed batch (order appends
+    * o%43, order-row deletes o%41, key-level customer deletes k%61,
+    * plus an engineered slice that deletes EVERY view row under
+    * 100k·100 cents for nations ≥ 20 — their whole reserve) flows ONCE
+    * through [[graft.operators.Ivm.joinRetractDelta]]'s three signed
+    * delta-join terms, lands in scratch, and is consumed three ways:
+    * the signed count/sum Δ-state, the reserve NETTING (sign = +1 rows
+    * are the reserve's appends, −1 rows its deletes — the view's exact
+    * multiset delta, so netting needs no second join derivation), and
+    * the `recomputed` decision. Only an exhausted reserve triggers the
+    * GROUP-PRUNED JOIN-SLICE recompute: post-batch customer rows of
+    * the needy nations (broadcast semi on the ≤|nations| need list)
+    * joined against the post-batch order side — the fallback q59
+    * documents, scoped to the affected groups' join slices, never the
+    * whole view. Nations 0–19 stay on the fast path, nations 20–24
+    * recompute — both paths live, and the appends for nations ≥ 20
+    * deliberately stop carrying sub-threshold cents (q60's discipline)
+    * so the exhausted reserves cannot be silently refilled. The oracle
+    * recomputes cnt/sum/min from the post-batch view and replays only
+    * the DECISION rule (reserve, net-as-view-delta, ceiling test), so
+    * a fast-path min that diverged from the true min is a hash
+    * mismatch, not a hidden assumption. */
+  def q61IvmJoinMinReserve(s: SparkSession, d: String): DataFrame = {
+    val T = 10000000L // cents: every nation >= 20 has > 3 distinct below
+    val L = orders(s, d).select(col("o_custkey").as("k"),
+      col("o_orderkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val Rc = customer(s, d).select(col("c_custkey").as("k"),
+      col("c_nationkey"))
+    val dlPlus = col("o_orderkey") % 43 === 0
+    val baseL = L.filter(!dlPlus)
+    // batch construction (the CDC feed arrives as rows in production;
+    // the nation is joined here only to ENGINEER the exhaustion slice)
+    val delL = baseL.join(Rc, "k")
+      .filter(col("o_orderkey") % 41 === 0 ||
+        (col("c_nationkey") >= 20 && col("cents") < T))
+      .select(col("k"), col("o_orderkey"), col("cents"))
+    val delR = Rc.filter(col("k") % 61 === 0)
+    val apL = L.filter(dlPlus).join(Rc, "k")
+      .filter(!(col("c_nationkey") >= 20 && col("cents") < T))
+      .select(col("k"), col("o_orderkey"), col("cents"))
+    val stateDir = graft.Tables.scratchDir("graft-q61-state")
+    val reserveDir = graft.Tables.scratchDir("graft-q61-reserve")
+    val signedDir = graft.Tables.scratchDir("graft-q61-signed")
+    val baseView = baseL.join(Rc, "k")
+    graft.operators.Ivm.aggState(baseView, col("c_nationkey"),
+        col("cents"))
+      .select(col("grp"), col("cnt"), col("sum_v"))
+      .write.mode("overwrite").parquet(stateDir)
+    graft.operators.Ivm.minReserveAgg(baseView, col("c_nationkey"),
+        col("cents"), 3)
+      .write.mode("overwrite").parquet(reserveDir)
+    graft.operators.Ivm.joinRetractDelta(baseL, Rc, apL, delL, delR, "k")
+      .write.mode("overwrite").parquet(signedDir)
+    val stored = s.read.parquet(stateDir)
+    val reserve = s.read.parquet(reserveDir)
+    val signed = s.read.parquet(signedDir)
+    val deltaState = signed.groupBy(col("c_nationkey").as("grp"))
+      .agg(sum(col("sign")).as("cnt_d"),
+        sum(col("cents") * col("sign")).as("sum_d"))
+    val fast = graft.operators.Ivm.reserveFastMin(reserve,
+      signed.filter(col("sign") === 1L),
+      signed.filter(col("sign") === -1L),
+      col("c_nationkey"), col("cents"))
+    val merged = stored.join(deltaState, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt_d"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sum_v"), lit(0L)) +
+          coalesce(col("sum_d"), lit(0L))).as("cents"))
+      .filter(col("cnt") > 0)
+      .join(fast, Seq("grp"), "left")
+    val needs = merged.filter(col("fast_min").isNull)
+      .select(col("grp").as("c_nationkey"))
+    // lPost derives its delete list from the landed signed batch (the
+    // single scratch artifact): sign = -1 order keys cover the genuine
+    // L-deletes plus rows retracted because their CUSTOMER was deleted
+    // — dropping the latter from lPost is a no-op for the recompute
+    // join (their k has no surviving rPost row), so the slice is exact.
+    val lPost = baseL.join(broadcast(signed.filter(col("sign") === -1L)
+        .select(col("o_orderkey")).distinct()),
+        Seq("o_orderkey"), "left_anti")
+      .unionByName(apL)
+    val rPost = Rc
+      .join(broadcast(delR.select(col("k")).distinct()), Seq("k"),
+        "left_anti")
+      .join(broadcast(needs), Seq("c_nationkey"), "left_semi")
+    val recomputed = lPost.join(rPost, "k")
+      .groupBy(col("c_nationkey").as("grp"))
+      .agg(min(col("cents")).as("slow_min"))
+    merged.join(recomputed, Seq("grp"), "left")
+      .select(col("grp").as("nationkey"), col("cnt"), col("cents"),
+        coalesce(col("fast_min"), col("slow_min")).as("min_cents"),
+        col("fast_min").isNull.as("recomputed"))
+      .orderBy("nationkey")
+  }
+
+  val q61Sql: String =
+    """WITH o2 AS (SELECT o_custkey AS k, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |c2 AS (SELECT c_custkey AS k, c_nationkey FROM customer),
+      |bv AS (SELECT o.o_orderkey, o.k, o.cents, c.c_nationkey AS g
+      |  FROM o2 o JOIN c2 c USING (k) WHERE o.o_orderkey % 43 <> 0),
+      |delk AS (SELECT o_orderkey FROM bv
+      |  WHERE o_orderkey % 41 = 0 OR (g >= 20 AND cents < 10000000)),
+      |cur AS (SELECT b.g, b.cents FROM bv b
+      |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM delk)
+      |    AND b.k % 61 <> 0
+      |  UNION ALL
+      |  SELECT c.c_nationkey, o.cents FROM o2 o JOIN c2 c USING (k)
+      |  WHERE o.o_orderkey % 43 = 0 AND c.k % 61 <> 0
+      |    AND NOT (c.c_nationkey >= 20 AND o.cents < 10000000)),
+      |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(cents) AS BIGINT) AS cents,
+      |    CAST(MIN(cents) AS BIGINT) AS min_c
+      |  FROM cur GROUP BY 1),
+      |bc AS (SELECT g, cents AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM bv GROUP BY 1, 2),
+      |res AS (SELECT g, v, c FROM (SELECT g, v, c, ROW_NUMBER() OVER (
+      |    PARTITION BY g ORDER BY v) AS rn FROM bc) WHERE rn <= 3),
+      |rmax AS (SELECT g, MAX(v) AS rmax FROM res GROUP BY 1),
+      |curc AS (SELECT g, cents AS v, CAST(count(*) AS BIGINT) AS c
+      |  FROM cur GROUP BY 1, 2),
+      |net AS (SELECT COALESCE(a.g, b.g) AS g, COALESCE(a.v, b.v) AS v,
+      |    COALESCE(a.c, 0) - COALESCE(b.c, 0) AS net
+      |  FROM curc a FULL OUTER JOIN bc b ON b.g = a.g AND b.v = a.v
+      |  WHERE COALESCE(a.c, 0) <> COALESCE(b.c, 0)),
+      |pool AS (SELECT COALESCE(r.g, n.g) AS g, COALESCE(r.v, n.v) AS v,
+      |    COALESCE(r.c, 0) + COALESCE(n.net, 0) AS cp
+      |  FROM res r FULL OUTER JOIN net n ON n.g = r.g AND n.v = r.v),
+      |fast AS (SELECT p.g, MIN(p.v) AS fast_min
+      |  FROM pool p LEFT JOIN rmax ON rmax.g = p.g
+      |  WHERE p.cp > 0 AND (rmax.rmax IS NULL OR p.v <= rmax.rmax)
+      |  GROUP BY p.g)
+      |SELECT agg.g AS nationkey, agg.cnt, agg.cents,
+      |  agg.min_c AS min_cents,
+      |  (fast.fast_min IS NULL) AS recomputed
+      |FROM agg LEFT JOIN fast ON fast.g = agg.g
+      |ORDER BY nationkey""".stripMargin
+
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -2982,6 +3131,7 @@ object Relational {
     "q58_ivm_join_agg" -> (q58IvmJoinAgg _),
     "q59_ivm_join_agg_retract" -> (q59IvmJoinAggRetract _),
     "q60_ivm_min_reserve" -> (q60IvmMinReserve _),
+    "q61_ivm_join_min_reserve" -> (q61IvmJoinMinReserve _),
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _))
@@ -3054,6 +3204,7 @@ object Relational {
     "q58_ivm_join_agg" -> q58Sql,
     "q59_ivm_join_agg_retract" -> q59Sql,
     "q60_ivm_min_reserve" -> q60Sql,
+    "q61_ivm_join_min_reserve" -> q61Sql,
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql)
