@@ -1324,8 +1324,65 @@ object XmlQueries {
       |  CAST(2 AS INT) AS n_desc
       |FROM lineitem WHERE l_orderkey % 16 = 13 ORDER BY id""".stripMargin
 
+  /** Parenthesized boolean GROUPING in xpath value predicates (x27 —
+    * the round-14 subset edge at the Pred ADT): `(a or b) and c`,
+    * `not()` over connectives and nested groups, mixed with the
+    * function atoms. The fixture plants four `<it>` children whose
+    * attribute/child shapes make each grouped predicate's match set
+    * exactly predictable per row — one (`p3`) data-dependent through
+    * the quantity — and the oracle predicts every count and
+    * first-match symbolically, while the property sweep separately
+    * pins random grouped forms against the built-in evaluator. */
+  def x27XpathGrouping(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 9)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it k='1' t='ax'><q>"), d2s(col("l_quantity")),
+      lit("</q><n>one</n></it>"),
+      lit("<it k='2' t='b' f='y'><n>two</n></it>"),
+      lit("<it k='3' t='bx'><q>"), s(col("l_linenumber")),
+      lit("</q><n>three</n></it>"),
+      lit("<it t='c'><n>four</n></it></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[(@k='1' or @k='2') and @t='b']/n",
+        "/r/it[not(@k='1' or @k='3')]/n",
+        "/r/it[(q>25 and @k='1') or @f]/n",
+        "/r/it[not((@k='2' or @k='3') and not(q))]/n",
+        "/r/it[(contains(@t,'x') or @f) and not(@k='3')]/n",
+        "//it[not(@f) and (q>=1 or @t='c')]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        size(col("m.p1")).as("n_grp_and"),
+        get(col("m.p1"), lit(0)).as("first_grp_and"),
+        size(col("m.p2")).as("n_not_or"),
+        size(col("m.p3")).as("n_qty_grp"),
+        size(col("m.p4")).as("n_demorgan"),
+        get(col("m.p4"), lit(0)).as("first_demorgan"),
+        size(col("m.p5")).as("n_fn_grp"),
+        get(col("m.p5"), lit(0)).as("first_fn_grp"),
+        size(col("m.p6")).as("n_desc_grp"))
+      .orderBy("id")
+  }
+
+  val x27Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(1 AS INT) AS n_grp_and,
+      |  'two' AS first_grp_and,
+      |  CAST(2 AS INT) AS n_not_or,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN 2 ELSE 1 END AS INT) AS n_qty_grp,
+      |  CAST(3 AS INT) AS n_demorgan,
+      |  'one' AS first_demorgan,
+      |  CAST(2 AS INT) AS n_fn_grp,
+      |  'one' AS first_fn_grp,
+      |  CAST(3 AS INT) AS n_desc_grp
+      |FROM lineitem WHERE l_orderkey % 16 = 9 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x26_xpath_not" -> (x26XpathNot _),
+    "x27_xpath_grouping" -> (x27XpathGrouping _),
     "x24_xpath_str_fn" -> (x24XpathStrFn _),
     "x25_xpath_bool_ops" -> (x25XpathBoolOps _),
     "x23_xpath_child_num" -> (x23XpathChildNum _),
@@ -1364,6 +1421,7 @@ object XmlQueries {
     "x24_xpath_str_fn" -> x24Sql,
     "x25_xpath_bool_ops" -> x25Sql,
     "x26_xpath_not" -> x26Sql,
+    "x27_xpath_grouping" -> x27Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

@@ -77,7 +77,9 @@ object XPathMini {
   /** VALUE predicate tree of one step — the boolean test applied to
     * each candidate element. Atoms are the attribute/child forms the
     * grammar admits; `And`/`Or` compose them with XPath 1.0 precedence
-    * (`or` binds loosest), no parentheses in the subset. POSITIONAL
+    * (`or` binds loosest), parenthesized grouping `(a or b) and c` and
+    * `not()` over any sub-expression included (round 15 — the Pred ADT
+    * edge x25 documented). POSITIONAL
     * predicates (`[k]`, `[last()]`, `[position() OP k]`) are NOT atoms:
     * they stay Step-level because they predicate on the sibling RANK
     * the iteration produces, not on the element's own content (and
@@ -143,8 +145,10 @@ object XPathMini {
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Split `s` on the connective token ``" sep "`` at quote depth 0
-    * only — a predicate value may contain ``' and '``/``' or '`` (or
-    * `[`/`]`) INSIDE its single-quoted literal, and XPath 1.0 string
+    * AND paren depth 0 only — a predicate value may contain
+    * ``' and '``/``' or '`` (or `[`/`]`) INSIDE its single-quoted
+    * literal, and a connective inside `(...)`/`not(...)`/`contains(...)`
+    * belongs to the sub-expression, not this level. XPath 1.0 string
     * literals in this subset have no escaping, so a quote-state scan is
     * exact (the [[splitUnion]] posture applied to connectives). */
   private def splitTop(s: String, sep: String): Array[String] = {
@@ -152,17 +156,60 @@ object XPathMini {
     val parts = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
+    var depth = 0
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '\'') { inQ = !inQ; cur += ch; i += 1 }
-      else if (!inQ && s.startsWith(tok, i)) {
+      else if (!inQ && ch == '(') { depth += 1; cur += ch; i += 1 }
+      else if (!inQ && ch == ')') { depth -= 1; cur += ch; i += 1 }
+      else if (!inQ && depth == 0 && s.startsWith(tok, i)) {
         parts += cur.toString; cur.clear(); i += tok.length
       } else { cur += ch; i += 1 }
     }
     parts += cur.toString
     parts.toArray
   }
+
+  /** Does the `(` at index `open` close exactly at the final character
+    * of `s`? Quote-aware (parens inside single-quoted literals don't
+    * count) — the test that distinguishes a WHOLE-operand group
+    * `(a or b)` / `not(...)` from an operand that merely starts with
+    * one, like `contains(@a,'v')` (whose paren closes before the end
+    * only when arguments follow — it doesn't, so the atom regexes own
+    * it via the not-"("/"not(" prefix tests at the call site). */
+  private def closesAtEnd(s: String, open: Int): Boolean = {
+    var depth = 0
+    var inQ = false
+    var i = open
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inQ = !inQ
+      else if (!inQ && ch == '(') depth += 1
+      else if (!inQ && ch == ')') {
+        depth -= 1
+        if (depth == 0) return i == s.length - 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** One connective OPERAND: a parenthesized sub-expression
+    * `(a or b)`, a negation `not(expr)` over ANY sub-expression
+    * (atoms, connectives, nested groups — De Morgan audits like
+    * `not((@k='1' or @k='2') and not(@f))` parse, closing the subset
+    * edge x25 documented at the old not()-of-atoms-only grammar), or a
+    * single atom. The whole-operand test is [[closesAtEnd]] (quote-
+    * aware), so `contains(@a,'v')` — an atom that merely STARTS with a
+    * paren-bearing name — never routes here: it fails both prefix
+    * tests and the anchored atom regexes own it. */
+  private def parseUnary(s: String, path: String): Pred =
+    if (s.startsWith("(") && closesAtEnd(s, 0))
+      parsePred(s.substring(1, s.length - 1).trim, path)
+    else if (s.startsWith("not(") && closesAtEnd(s, 3))
+      Pred.Not(parsePred(s.substring(4, s.length - 1).trim, path))
+    else parseAtomInner(s, path)
 
   /** One value-predicate ATOM — every non-positional single test the
     * old one-alternation grammar admitted, plus the `contains()` /
@@ -171,19 +218,9 @@ object XPathMini {
     * node's string-value — NOT the existential reading `[q='v']` has;
     * an empty node-set converts to '', making `contains(@a,'')` TRUE
     * even when the attribute is absent — both probe-pinned against the
-    * built-in evaluator in XPathMultiSpec). `not(atom)` wraps any
-    * single atom (including the function forms and itself,
-    * recursively) — the complement selector every schema audit needs
-    * (`[not(@k)]` = "missing the attribute"); a CONNECTIVE inside
-    * not() is outside the subset (no parenthesized boolean grouping —
-    * the inner parse rejects it). The quoted-value guard is free:
-    * values are matched by the anchored atom regexes before this
-    * prefix test could ever see them. */
-  private def parseAtom(s: String, path: String): Pred =
-    if (s.startsWith("not(") && s.endsWith(")"))
-      Pred.Not(parseAtom(s.substring(4, s.length - 1).trim, path))
-    else parseAtomInner(s, path)
-
+    * built-in evaluator in XPathMultiSpec). The quoted-value guard is
+    * free: values are matched by the anchored atom regexes before any
+    * prefix test could see them. */
   private def parseAtomInner(s: String, path: String): Pred = s match {
     case AttrEqRe(a, v) => Pred.AttrEq(a, v)
     case ChildEqRe(q, v) => Pred.ChildEq(q, v)
@@ -200,16 +237,18 @@ object XPathMini {
         "starts-with(...))")
   }
 
-  /** Value-predicate expression: `or` over `and` over atoms (XPath 1.0
-    * precedence — `or` binds loosest), both quote-aware; positional
-    * forms are NOT valid operands (they predicate on sibling rank, and
-    * [[parseAtom]] rejects them). */
+  /** Value-predicate expression: `or` over `and` over unary operands
+    * (XPath 1.0 precedence — `or` binds loosest; parentheses and
+    * `not()` recurse through [[parseUnary]]), all splits quote- AND
+    * paren-aware; positional forms are NOT valid operands (they
+    * predicate on sibling rank, and the atom grammar rejects them). */
   private def parsePred(s: String, path: String): Pred = {
     val ors = splitTop(s, "or")
     def andOf(part: String): Pred = {
       val ands = splitTop(part, "and")
-      if (ands.length > 1) Pred.And(ands.map(a => parseAtom(a.trim, path)))
-      else parseAtom(part.trim, path)
+      if (ands.length > 1)
+        Pred.And(ands.map(a => parseUnary(a.trim, path)))
+      else parseUnary(part.trim, path)
     }
     if (ors.length > 1) Pred.Or(ors.map(p => andOf(p.trim)))
     else andOf(s)

@@ -538,10 +538,23 @@ class XPathMultiSpec extends AnyFunSuite {
       val a = atom()
       if (a.startsWith("not(")) a.substring(4, a.length - 1) else a
     }
-    def pred(): String = rnd.nextInt(3) match {
+    // grouped boolean expressions (round 15, x27): parentheses and
+    // not() over connectives, nested up to depth 2
+    def bexpr(depth: Int): String = rnd.nextInt(6) match {
+      case 0 | 1 => atom()
+      case 2 if depth < 2 =>
+        s"(${bexpr(depth + 1)} or ${bexpr(depth + 1)})"
+      case 3 if depth < 2 =>
+        s"(${bexpr(depth + 1)} and ${bexpr(depth + 1)})"
+      case 4 if depth < 2 => s"not(${bexpr(depth + 1)})"
+      case _ => atom()
+    }
+    def pred(): String = rnd.nextInt(5) match {
       case 0 => s"[${atom()}]"
       case 1 => s"[${atom()} and ${atom()}]"
-      case _ => s"[${atom()} or ${atom()}]"
+      case 2 => s"[${atom()} or ${atom()}]"
+      case 3 => s"[${bexpr(0)} and ${bexpr(0)}]"
+      case _ => s"[${bexpr(0)} or ${bexpr(0)}]"
     }
     def genPath(): String = {
       val steps = (1 to 1 + rnd.nextInt(2)).map { _ =>
@@ -913,6 +926,55 @@ class XPathMultiSpec extends AnyFunSuite {
     }
   }
 
+  test("x27 grouped predicates: parentheses override precedence, " +
+      "not() over connectives and nested groups, quoted parens stay " +
+      "literal; built-in parity; grammar rejections") {
+    import spark.implicits._
+    val doc = "<r><it k='1' t='ax'><q>30</q><n>one</n></it>" +
+      "<it k='2' t='b' f='y'><n>two</n></it>" +
+      "<it k='3' t='bx'><q>2</q><n>three</n></it>" +
+      "<it t='c'><n>four</n></it>" +
+      "<it t='(a or b)'><n>parens</n></it></r>"
+    val paths = Seq(
+      "/r/it[(@k='1' or @k='2') and @t='b']/n",
+      "/r/it[@k='1' or @k='2' and @t='b']/n", // ungrouped: or binds loosest
+      "/r/it[not(@k='1' or @k='3')]/n",
+      "/r/it[not((@k='2' or @k='3') and not(q))]/n",
+      "/r/it[(contains(@t,'x') or @f) and not(@k='3')]/n",
+      "/r/it[@t='(a or b)']/n", // parens inside a quoted value
+      "/r/it[((@k='1'))]/n") // redundant nesting
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/text()")""").as(s"ref$i")
+    }
+    val row = Seq(doc).toDF("x").select((m.as("m") +: refCols): _*).head()
+    val got = paths.indices.map(i => row.getStruct(0).getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == row.getSeq[String](i + 1),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("two"), "grouped (or) then and")
+    assert(got(1) == Seq("one", "two"),
+      "without parens the and binds tighter — different answer than " +
+        "got(0), which is the point of grouping")
+    assert(got(2) == Seq("two", "four", "parens"))
+    assert(got(3) == Seq("one", "three", "four", "parens"),
+      "De Morgan audit: not((k2 or k3) and not(q))")
+    assert(got(4) == Seq("one", "two"))
+    assert(got(5) == Seq("parens"),
+      "parens inside a quoted literal never group")
+    assert(got(6) == Seq("one"))
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[(@k='1' or @k='2']") // unbalanced group
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[(@k) (@t)]") // juxtaposed groups
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[not(2 and @k)]") // positional in a group
+    }
+  }
+
   test("not() predicates: built-in parity; absent attribute makes " +
       "not(@k='v') TRUE; empty-but-present attribute fails not(@k); " +
       "double negation; composition with connectives and functions; " +
@@ -953,9 +1015,9 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(got(5) == Seq("full", "emptyk"), "not(not(p)) == p")
     assert(got(6) == Seq("nok", "bare"),
       "descendant axis: the nested attributed item stays excluded")
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[not(@a and @b)]") // no boolean grouping
-    }
+    // not() over a connective is IN the subset since round 15 (x27) —
+    // the former rejection here is now the grouped-predicate feature
+    XPathMini.compile("/r/it[not(@a and @b)]")
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[not()]") // arity
     }
