@@ -1267,6 +1267,69 @@ object Multimodal {
     }
   }
 
+  /** Per-window GOERTZEL single-bin state row: the final two recurrence
+    * values (s1 = s_{N-1}, s2 = s_{N-2}) plus the bin power — state
+    * exposed so the oracle replays the recurrence itself, not just the
+    * final number. */
+  case class GoertzelRow(doc_id: Long, window_idx: Int, n_samples: Int,
+      s1: Long, s2: Long, bin_power: Long)
+
+  /** GOERTZEL TONE ENERGY (Goertzel 1958) — single-bin spectral energy
+    * per window over the m4 window grid: the first FREQUENCY-domain
+    * audio feature beside the time-domain VAD pair (m4 energy, m6
+    * segments); the classic tone-detect primitive (DTMF, beep/sine
+    * fixtures, hum screens) that answers "how much of THIS frequency"
+    * with two multiplies per sample instead of a full FFT.
+    *
+    * FIXED-POINT INTEGER recurrence (Q14): with c = round(2·cos(2πk/N)
+    * ·2¹⁴) pinned as a literal by the caller,
+    *   s_n = x_n + (c·s_{n−1})/2¹⁴ − s_{n−2}    (s_{−1} = s_{−2} = 0)
+    *   power = s²_{N−1} + s²_{N−2} − (c·s_{N−1}·s_{N−2})/2¹⁴,
+    * every division the TRUNCATING integer division both engines share
+    * (Java `/` and DuckDB `//` both truncate toward zero — floorDiv
+    * would NOT match). No float exists anywhere, so the oracle replays
+    * the recurrence verbatim as a recursive CTE. Overflow envelope:
+    * |s_n| ≤ n·max|x| ≤ 100·32767 ≈ 3.3·10⁶ (marginally-stable
+    * resonator, input-bounded), so c·s1·s2 ≤ 3.5·10¹⁷ < 2⁶³.
+    *
+    * Same per-partition flatMap shape as [[wavEnergy]] (byte-level
+    * codec work no Expression fits); same RIFF data-chunk walk, same
+    * window grid, short last window reported via n_samples. */
+  def goertzelEnergy(spark: SparkSession, media: DataFrame,
+      window: Int, coeff: Long, shift: Int = 14): Dataset[GoertzelRow] = {
+    require(window > 0, "window must be positive")
+    import spark.implicits._
+    val div = 1L << shift
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { b =>
+        val m = b.media
+        wavDataSlice(m) match {
+          case None => Iterator.empty
+          case Some((dataFrom, dataLen)) =>
+            val nSamples = dataLen / 2
+            val nWindows = (nSamples + window - 1) / window
+            (0 until nWindows).iterator.map { w =>
+              val from = w * window
+              val until = math.min(from + window, nSamples)
+              var s1 = 0L
+              var s2 = 0L
+              var k = from
+              while (k < until) {
+                val x = ((m(dataFrom + 2 * k) & 0xff) |
+                  (m(dataFrom + 2 * k + 1) << 8)).toShort.toLong
+                val s = x + coeff * s1 / div - s2
+                s2 = s1
+                s1 = s
+                k += 1
+              }
+              GoertzelRow(b.doc_id, w, until - from, s1, s2,
+                s1 * s1 + s2 * s2 - coeff * s1 * s2 / div)
+            }
+        }
+      }
+    }
+  }
+
   /** Locate the `data` chunk of a RIFF WAVE payload: (offset, length),
     * or None when the container is not WAVE / the chunk is absent /
     * a size field is corrupt. Shared by [[wavEnergy]] and [[pcmPeaks]]

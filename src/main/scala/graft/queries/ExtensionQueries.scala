@@ -6092,6 +6092,58 @@ object ExtensionQueries {
        |ORDER BY doc_id, window_idx""".stripMargin
   }
 
+  /** Goertzel single-bin tone energy ([[Multimodal.goertzelEnergy]])
+    * over the m4 window grid — the first frequency-domain audio
+    * feature: fixed-point Q14 recurrence with the bin-5/100 coefficient
+    * pinned as the literal 31164 = round(2·cos(2π·5∕100)·2¹⁴), final
+    * state (s1, s2) exposed so the oracle replays EVERY recurrence
+    * step as a recursive CTE (truncating integer division in both
+    * engines), not just the power formula. */
+  def m27Goertzel(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 1), frameSize = 100)
+    Multimodal.goertzelEnergy(sp, media, window = 100, coeff = 31164L)
+      .toDF()
+      .orderBy("doc_id", "window_idx")
+  }
+
+  val m27Sql: String = {
+    val ob = "octet_length(encode(text))"
+    s"""WITH RECURSIVE e AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |    $ob AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |p AS (SELECT doc_id, hx,
+       |    (len - len % ((len % 2 + 1) * 2)) // 2 AS n FROM e),
+       |s AS (SELECT p.doc_id, CAST(k.k AS BIGINT) AS k,
+       |    ('0x' || substr(p.hx, 4 * CAST(k.k AS BIGINT) + 1, 2))::BIGINT
+       |      + 256 * ('0x' || substr(p.hx,
+       |          4 * CAST(k.k AS BIGINT) + 3, 2))::BIGINT AS raw
+       |  FROM p, range(0, 512) k(k) WHERE k.k < p.n),
+       |v AS (SELECT doc_id, k // 100 AS w, CAST(k % 100 AS BIGINT) AS i,
+       |    CAST(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+       |      AS BIGINT) AS s16
+       |  FROM s),
+       |nsz AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM v GROUP BY 1, 2),
+       |rec AS (
+       |  SELECT doc_id, w, CAST(0 AS BIGINT) AS i,
+       |    CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2 FROM nsz
+       |  UNION ALL
+       |  SELECT r.doc_id, r.w, r.i + 1,
+       |    g.s16 + (31164 * r.s1) // 16384 - r.s2,
+       |    r.s1
+       |  FROM rec r JOIN v g ON g.doc_id = r.doc_id AND g.w = r.w
+       |    AND g.i = r.i)
+       |SELECT r.doc_id, CAST(r.w AS INT) AS window_idx,
+       |  CAST(nsz.n AS INT) AS n_samples, r.s1, r.s2,
+       |  CAST(r.s1 * r.s1 + r.s2 * r.s2
+       |    - (31164 * r.s1 * r.s2) // 16384 AS BIGINT) AS bin_power
+       |FROM rec r JOIN nsz ON nsz.doc_id = r.doc_id AND nsz.w = r.w
+       |  AND r.i = nsz.n
+       |ORDER BY r.doc_id, window_idx""".stripMargin
+  }
+
   /** WAV PEAK NORMALIZATION ([[Multimodal.normalizeWavPeak]]) — the
     * standard audio gain pass before feature extraction: every sample
     * scaled in 16.16 fixed-point integer so the loudest hits 30000,
@@ -12423,7 +12475,8 @@ object ExtensionQueries {
     "d24_sorted_neighborhood" -> (d24SortedNeighborhood _),
     "g19_louvain" -> (g19Louvain _),
     "t58_theta_intersect" -> (t58ThetaIntersect _),
-    "g20_betweenness" -> (g20Betweenness _))
+    "g20_betweenness" -> (g20Betweenness _),
+    "m27_goertzel" -> (m27Goertzel _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12653,5 +12706,6 @@ object ExtensionQueries {
     "d24_sorted_neighborhood" -> d24Sql,
     "g19_louvain" -> g19Sql,
     "t58_theta_intersect" -> t58Sql,
-    "g20_betweenness" -> g20Sql)
+    "g20_betweenness" -> g20Sql,
+    "m27_goertzel" -> m27Sql)
 }

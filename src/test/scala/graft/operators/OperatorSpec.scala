@@ -2514,6 +2514,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(Multimodal.pcmPeaks(spark, junk.toDF()).collect().isEmpty)
   }
 
+  test("m27 goertzelEnergy: matched tone dominates an off-bin tone by " +
+      "orders of magnitude; recurrence replayed by hand; short last " +
+      "window; silence is zero; non-WAV refused") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    def s16le(vs: Seq[Int]): Array[Byte] = vs.flatMap { v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    }.toArray
+    val coeff = 31164L // round(2*cos(2*pi*5/100) * 2^14) — bin 5 of 100
+    // 100 samples of the EXACT bin-5 tone vs bin-17 (off-bin)
+    def tone(cyclesPer100: Int): Seq[Int] = (0 until 100).map(i =>
+      math.round(10000 * math.sin(2 * math.Pi * cyclesPer100 * i / 100.0))
+        .toInt)
+    def run(id: Long, samples: Seq[Int]) = {
+      val wav = Multimodal.buildWav(8000, 1, s16le(samples))
+      val media = Seq(Multimodal.MediaRow(id, wav, "audio/wav", 100))
+        .toDS().toDF()
+      Multimodal.goertzelEnergy(spark, media, window = 100, coeff = coeff)
+        .collect()
+    }
+    val on = run(1L, tone(5))
+    val off = run(2L, tone(17))
+    assert(on.length == 1 && off.length == 1)
+    assert(on(0).bin_power > 100L * off(0).bin_power,
+      s"on=${on(0).bin_power} off=${off(0).bin_power}: the matched " +
+        "bin must dominate")
+    // hand replay of the recurrence on a tiny window
+    val xs = Seq(1000, -2000, 3000)
+    val got = run(3L, xs)(0)
+    var s1 = 0L; var s2 = 0L
+    xs.foreach { x =>
+      val s = x + coeff * s1 / 16384 - s2; s2 = s1; s1 = s
+    }
+    assert(got.n_samples == 3 && got.s1 == s1 && got.s2 == s2 &&
+      got.bin_power == s1 * s1 + s2 * s2 - coeff * s1 * s2 / 16384)
+    // 150 samples -> two windows, second short (50)
+    val two = run(4L, tone(5) ++ tone(5).take(50))
+    assert(two.map(r => (r.window_idx, r.n_samples)).toSeq ===
+      Seq((0, 100), (1, 50)))
+    // silence -> zero state, zero power
+    val sil = run(5L, Seq.fill(20)(0))(0)
+    assert(sil.s1 == 0L && sil.s2 == 0L && sil.bin_power == 0L)
+    // non-WAV refused
+    val junk = Seq(Multimodal.MediaRow(6L, Array[Byte](9, 9),
+      "audio/wav", 100)).toDS().toDF()
+    assert(Multimodal.goertzelEnergy(spark, junk, 100, coeff)
+      .collect().isEmpty)
+  }
+
   test("q43 EXISTS subquery: decorrelated to semi/anti joins — no " +
       "nested loop in the plan; equals the DataFrame form") {
     val df = graft.queries.Relational.q43ExistsSubquery(spark, sf)
