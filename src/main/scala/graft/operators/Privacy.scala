@@ -39,4 +39,65 @@ object Privacy {
       .select(lit(k).as("k"), col("n_groups"), col("min_group"),
         col("groups_at_risk"), col("rows_at_risk"), col("min_l"))
   }
+
+  /** ε for one unit of [[dpNoisedRelease]] noise: the two-sided
+    * geometric with α = 1∕2 is the discrete Laplace mechanism at
+    * ε = ln 2 per count (sensitivity 1); disjoint histogram cells
+    * compose in PARALLEL, so the whole release spends ln 2 total. */
+  val DpEpsilonLn2: Double = 0.6931471805599453
+
+  /** Trailing-zero count of a 32-bit hash lane, capped at 20 — a
+    * GEOMETRIC(1∕2) sample in pure integer arithmetic (P(tz = j) =
+    * 2^{−(j+1)}: each extra trailing zero bit halves the probability),
+    * built as a first-set-bit when-chain so the SQL oracle replays it
+    * with the identical CASE ladder. The cap truncates the
+    * 2^{−21}-probability tail (and the h = 0 corner) — documented
+    * truncation, noise stays inside [−20, 20]. */
+  def tz20(h: Column): Column = {
+    var e: Column = lit(20L)
+    var j = 19
+    while (j >= 0) {
+      e = when(h.bitwiseAND(lit(1L << j)) =!= 0L, lit(j.toLong))
+        .otherwise(e)
+      j -= 1
+    }
+    e
+  }
+
+  /** DP-NOISED HISTOGRAM RELEASE — the other half of the privacy-release
+    * story next to the k-anonymity SCREEN: after suppressing groups
+    * below the k floor (the p7 contract — small quasi-identifier cells
+    * never ship at all), each released count carries discrete-Laplace
+    * noise   X = G₁ − G₂,  G ~ Geometric(1∕2)
+    * (the difference of two iid geometrics IS the two-sided geometric
+    * with α = 1∕2 — Ghosh–Roughgarden–Sundararajan's universally
+    * optimal mechanism for counts, at ε = ln 2). The geometric lanes
+    * come from two PORTABLE md5 hash lanes of (seed | group key), so
+    * the noise is deterministic, seed-auditable, and bit-exactly
+    * replayable by the SQL oracle — the property a RELEASE GATE needs
+    * (the published artifact must be reproducible from the inputs; a
+    * nondeterministic RNG could never be hash-verified). A determinate
+    * seed means re-releasing with the same seed spends no extra ε;
+    * changing the seed is a new release and composes sequentially —
+    * the caller owns that ledger. Scale: one hash aggregation over the
+    * QI key; everything after is released-histogram-sized. */
+  def dpNoisedRelease(df: DataFrame, qis: Seq[Column], k: Int,
+      seed: String): DataFrame = {
+    require(qis.nonEmpty && k >= 1)
+    val groups = df.groupBy(qis: _*).agg(count(lit(1)).as("n"))
+    val qiNames = groups.columns.dropRight(1)
+    val key = concat_ws("|", lit(seed) +: qiNames.map(c =>
+      col(c).cast("string")): _*)
+    val g1 = tz20(graft.functions.Hashing.portableHash32(
+      concat(key, lit(":a"))))
+    val g2 = tz20(graft.functions.Hashing.portableHash32(
+      concat(key, lit(":b"))))
+    groups.filter(col("n") >= k)
+      .select(qiNames.map(col) ++ Seq(
+        col("n"),
+        (g1 - g2).as("noise"),
+        (col("n") + g1 - g2).as("noisy_n"),
+        lit(k).as("k"),
+        lit(DpEpsilonLn2).as("epsilon")): _*)
+  }
 }

@@ -742,6 +742,45 @@ object Relational {
       |  CAST(COALESCE(MIN(l), 0) AS BIGINT) AS min_l
       |FROM g""".stripMargin
 
+  /** DP-noised histogram release
+    * ([[graft.operators.Privacy.dpNoisedRelease]]) — the release gate
+    * on top of p7's k-anonymity screen: the (nation, segment) customer
+    * histogram with sub-k cells SUPPRESSED and every released count
+    * carrying discrete-Laplace noise G₁−G₂ (two-sided geometric,
+    * α = 1∕2, ε = ln 2 under parallel composition — the ε rides in the
+    * output row). Both geometric lanes are trailing-zero counts of
+    * portable md5 hash lanes of (seed | group key), so the oracle
+    * replays the NOISE bit-exactly with the same CASE ladder — a
+    * hash-verifiable release artifact, which a real RNG could never
+    * be. */
+  def p34DpRelease(s: SparkSession, d: String): DataFrame =
+    graft.operators.Privacy.dpNoisedRelease(
+      customer(s, d),
+      qis = Seq(col("c_nationkey"), col("c_mktsegment")),
+      k = 10, seed = "graft-r15")
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val p34Sql: String = {
+    def tz(lane: String): String = {
+      val h = "('0x' || substr(md5(key || '" + lane + "'), 1, 8))::BIGINT"
+      "(CASE " + (0 until 20).map(j =>
+        s"WHEN ($h & ${1L << j}) <> 0 THEN $j").mkString(" ") +
+        " ELSE 20 END)"
+    }
+    s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |r AS (SELECT c_nationkey, c_mktsegment, n,
+       |    'graft-r15|' || CAST(c_nationkey AS VARCHAR) || '|' ||
+       |      c_mktsegment AS key
+       |  FROM g WHERE n >= 10)
+       |SELECT c_nationkey, c_mktsegment, n,
+       |  CAST(${tz(":a")} - ${tz(":b")} AS BIGINT) AS noise,
+       |  CAST(n + ${tz(":a")} - ${tz(":b")} AS BIGINT) AS noisy_n,
+       |  10 AS k, 0.6931471805599453 AS epsilon
+       |FROM r ORDER BY 1, 2""".stripMargin
+  }
+
   /** Explicit GROUPING SETS — the irregular-lattice form rollup (q8) and
     * cube (q12) can't express: exactly {(status, priority), (status), ()}
     * with grouping_id disambiguating the null-vs-NULL ambiguity. Single
@@ -3110,6 +3149,7 @@ object Relational {
     "p5_daily_anomalies" -> (p5DailyAnomalies _),
     "p6_linreg" -> (p6Linreg _),
     "p7_k_anonymity" -> (p7KAnonymity _),
+    "p34_dp_release" -> (p34DpRelease _),
     "q37_grouping_sets" -> (q37GroupingSets _),
     "q38_window_nav" -> (q38WindowNav _),
     "q39_recursive_cte" -> (q39RecursiveCte _),
@@ -3183,6 +3223,7 @@ object Relational {
     "p5_daily_anomalies" -> p5Sql,
     "p6_linreg" -> p6Sql,
     "p7_k_anonymity" -> p7Sql,
+    "p34_dp_release" -> p34Sql,
     "q37_grouping_sets" -> q37Sql,
     "q38_window_nav" -> q38Sql,
     "q39_recursive_cte" -> q39Sql,
