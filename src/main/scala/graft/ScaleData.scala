@@ -46,8 +46,35 @@ object ScaleData {
       val src = spark.read.parquet(s"$sfDir/$table.parquet")
       val all = (0 until copies).map(t => copyOf(src, keys, t))
         .reduce(_.unionByName(_))
-      all.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-      println(s"[scale] $table x$copies -> $outDir")
+      if (table == "events" || table == "orders") {
+        // The driver fixtures ship each table as a single FILE, and the
+        // streaming sources read the sfDir with
+        // pathGlobFilter=<table>.parquet (events: the s-family bus;
+        // orders: s15's sink source) — a DIRECTORY-shaped <table>.parquet
+        // leaves part-files that match nothing, so those gates streamed
+        // an EMPTY bus at probe scale (round-14 ledger caveat). Write
+        // one shard and move the part file into place.
+        val tmp = s"$outDir/__${table}_tmp"
+        all.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val dst = new java.io.File(s"$outDir/$table.parquet")
+        def rmRf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmRf)
+          f.delete(); ()
+        }
+        if (dst.exists()) rmRf(dst)
+        val tmpDir = new java.io.File(tmp)
+        val part = tmpDir.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rmRf(tmpDir)
+        println(s"[scale] $table x$copies -> $outDir (single file)")
+      } else {
+        all.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+        println(s"[scale] $table x$copies -> $outDir")
+      }
     }
     for (dim <- Seq("region", "nation")) {
       spark.read.parquet(s"$sfDir/$dim.parquet")
