@@ -1003,25 +1003,13 @@ object Graph {
       und.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree")),
       "graft-louv-deg")
     val uTot = und.count() // 1 row — the global literal every score uses
-    def qNum(labels: DataFrame): Long = {
-      val degSum = deg.join(labels, Seq("id"))
-        .groupBy(col("lab")).agg(sum(col("degree")).as("ds"))
-        .agg(coalesce(sum(col("ds") * col("ds")), lit(0L)).as("__dd"))
-      val intra = und
-        .join(labels.select(col("id").as("u"), col("lab").as("__lu")),
-          Seq("u"))
-        .join(labels.select(col("id").as("v"), col("lab").as("__lv")),
-          Seq("v"))
-        .filter(col("__lu") === col("__lv"))
-        .agg(count(lit(1)).as("__i2"))
-      val r = intra.crossJoin(degSum)
-        .select((col("__i2") * lit(uTot) - col("__dd")).as("q"))
-        .collect()(0)
-      r.getLong(0)
-    }
     var labels = materialize(
       deg.select(col("id"), col("id").as("lab")), "graft-louv-0")
-    var q = qNum(labels)
+    // singleton start: intra2 = 0 (self-loops dropped), so
+    // q0 = 0·u_tot − Σ deg² — one deg-table agg, no join needed
+    var q = deg.agg((lit(0L) -
+        coalesce(sum(col("degree") * col("degree")), lit(0L))).as("q"))
+      .collect()(0).getLong(0)
     val log = scala.collection.mutable.ArrayBuffer.empty[LouvainRound]
     var i = 1
     while (i <= rounds) {
@@ -1058,9 +1046,28 @@ object Graph {
           .unionByName(
             labels.filter(col("id") % classes =!= moverCls)),
         s"graft-louv-p$i")
-      val nMoved = prop.join(labels.withColumnRenamed("lab", "__ol"),
-        Seq("id")).filter(col("lab") =!= col("__ol")).count()
-      val qProp = qNum(prop)
+      // ONE action per round: the guard's q_num subtrees and the move
+      // count cross-join to a single 1-row collect (round-15 perf —
+      // two separate driver actions doubled the per-round job count)
+      val degSum = deg.join(prop, Seq("id"))
+        .groupBy(col("lab")).agg(sum(col("degree")).as("ds"))
+        .agg(coalesce(sum(col("ds") * col("ds")), lit(0L)).as("__dd"))
+      val intra = und
+        .join(prop.select(col("id").as("u"), col("lab").as("__lu")),
+          Seq("u"))
+        .join(prop.select(col("id").as("v"), col("lab").as("__lv")),
+          Seq("v"))
+        .filter(col("__lu") === col("__lv"))
+        .agg(count(lit(1)).as("__i2"))
+      val moved = prop.join(labels.withColumnRenamed("lab", "__ol"),
+          Seq("id")).filter(col("lab") =!= col("__ol"))
+        .agg(count(lit(1)).as("__mv"))
+      val row = intra.crossJoin(degSum).crossJoin(moved)
+        .select((col("__i2") * lit(uTot) - col("__dd")).as("q"),
+          col("__mv"))
+        .collect()(0)
+      val qProp = row.getLong(0)
+      val nMoved = row.getLong(1)
       val accepted = qProp >= q
       if (accepted) { labels = prop; q = qProp }
       log += LouvainRound(i, q, accepted, nMoved)
