@@ -140,6 +140,58 @@ object Sketches {
     * integer except the single final float division, so both engines
     * reproduce the estimate bit-for-bit. Shape: two 1-row aggs
     * (broadcast), one ≤k×≤k hash equi-join. */
+  /** FULL THETA SET ALGEBRA over two single-set [[bottomKState]]s — the
+    * whole family of release-time corpus comparisons from ONE pair of
+    * persisted sketches: distinct sizes of each side, of the union,
+    * the intersection (t58's estimator), the difference A∖B, the
+    * Jaccard similarity, and the CONTAMINATION-RATE estimate
+    * |A∩B|∕|A| — at 100 TB the d14 question answered without the
+    * exact distinct semi-join. One sampling argument covers all of it:
+    * below θ = min(θ_A, θ_B) both states hold their COMPLETE distinct
+    * hash sets, so the θ-samples S_A, S_B are uniform θ∕2³²-rate
+    * samples of A and B and every set-algebra count scales by 2³²∕θ
+    * (the side estimates degenerate to the classic KMV (k−1)·2³²∕h_k
+    * when that side fixes θ, and to exact counts when both sketches
+    * are under k). Integers until the final float divisions; ratio
+    * estimates (jaccard, contamination rate) divide SAMPLE counts, so
+    * the θ scale cancels exactly. Output is ONE row. */
+  def thetaSetAlgebra(stateA: DataFrame, stateB: DataFrame,
+      k: Int): DataFrame = {
+    val full = lit(4294967296L)
+    val aAgg = stateA.agg(count(lit(1)).as("ka"), max(col("h")).as("__ma"))
+    val bAgg = stateB.agg(count(lit(1)).as("kb"), max(col("h")).as("__mb"))
+    val th = aAgg.crossJoin(bAgg).select(col("ka"), col("kb"),
+      least(
+        when(col("ka") === k, col("__ma")).otherwise(full),
+        when(col("kb") === k, col("__mb")).otherwise(full)).as("theta"))
+    val thB = broadcast(th)
+    val na = stateA.crossJoin(thB).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_a_sample"))
+    val nb = stateB.crossJoin(thB).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_b_sample"))
+    val nc = stateA.select(col("h")).join(stateB.select(col("h")), "h")
+      .crossJoin(thB).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    def est(c: Column): Column =
+      c.cast("double") * 4294967296.0 / col("theta").cast("double")
+    thB.crossJoin(na).crossJoin(nb).crossJoin(nc)
+      .select(col("ka"), col("kb"), col("theta"),
+        col("n_a_sample"), col("n_b_sample"), col("n_common"),
+        est(col("n_a_sample")).as("est_a"),
+        est(col("n_b_sample")).as("est_b"),
+        est(col("n_a_sample") + col("n_b_sample") - col("n_common"))
+          .as("est_union"),
+        est(col("n_common")).as("est_intersection"),
+        est(col("n_a_sample") - col("n_common")).as("est_diff_ab"),
+        when(col("n_a_sample") + col("n_b_sample") - col("n_common") > 0,
+          col("n_common").cast("double") /
+            (col("n_a_sample") + col("n_b_sample") - col("n_common"))
+              .cast("double")).as("jaccard_est"),
+        when(col("n_a_sample") > 0,
+          col("n_common").cast("double") /
+            col("n_a_sample").cast("double")).as("contamination_rate"))
+  }
+
   def thetaIntersect(stateA: DataFrame, stateB: DataFrame,
       k: Int): DataFrame = {
     val full = lit(4294967296L) // 2^32: hash-space bound, exact sketch

@@ -744,6 +744,134 @@ object ExtensionQueries {
        |FROM th CROSS JOIN cm CROSS JOIN ex""".stripMargin
   }
 
+  /** Full theta set algebra ([[graft.operators.Sketches
+    * .thetaSetAlgebra]]) over the same persisted bottom-k sketches as
+    * t58: side sizes, union, intersection, difference, Jaccard and the
+    * CONTAMINATION-RATE estimate |eval∩train|∕|eval| — the d14 release
+    * question answered from two mergeable sketches, no exact distinct
+    * semi-join. Everything replays bit-exactly (portable hashes, one
+    * final float per estimate; the ratio estimates divide sample
+    * counts so θ cancels); the pass contract pins every estimate
+    * against its exact counterpart: sizes/union/difference within
+    * max(20 %, 30), intersection within the t58 bound, the rate
+    * within 0.03 absolute (measured 0.05/0.01/0.02/0.06 and 0.005 at
+    * the widest SF). */
+  def t59ThetaAlgebra(sp: SparkSession, dir: String): DataFrame = {
+    val k = 4096
+    val docs = documents(sp, dir)
+    def sh(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(explode(
+        graft.operators.Dedup.shingleSet(col("text"), 5)).as("s"))
+    val ev = sh(col("doc_id") % 20 === 0)
+    val tr = sh(col("doc_id") % 20 =!= 0)
+    val evState = graft.operators.Sketches
+      .bottomKState(ev, lit(1L), col("s"), k).select(col("h"))
+    val trState = graft.operators.Sketches
+      .bottomKState(tr, lit(1L), col("s"), k).select(col("h"))
+    val evH = ev.select(Hashing.portableHash32(col("s")).as("h"))
+      .distinct()
+    val trH = tr.select(Hashing.portableHash32(col("s")).as("h"))
+      .distinct()
+    val exact = evH.agg(count(lit(1)).as("exact_a")).crossJoin(
+        trH.agg(count(lit(1)).as("exact_b"))).crossJoin(
+        evH.join(trH, "h").agg(count(lit(1)).as("exact_intersection")))
+      .select(col("exact_a"), col("exact_b"), col("exact_intersection"),
+        (col("exact_a") + col("exact_b") - col("exact_intersection"))
+          .as("exact_union"),
+        (col("exact_intersection").cast("double") /
+          col("exact_a").cast("double")).as("exact_rate"))
+    def near(e: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column,
+        rel: Double, abs0: Double) =
+      abs(e - x.cast("double")) <= greatest(x.cast("double") * rel,
+        lit(abs0))
+    graft.operators.Sketches.thetaSetAlgebra(evState, trState, k)
+      .crossJoin(exact)
+      .withColumn("k", lit(k))
+      .withColumn("within_bounds",
+        near(col("est_a"), col("exact_a"), 0.2, 30.0) &&
+        near(col("est_b"), col("exact_b"), 0.2, 30.0) &&
+        near(col("est_union"), col("exact_union"), 0.2, 30.0) &&
+        near(col("est_diff_ab"),
+          col("exact_a") - col("exact_intersection"), 0.2, 30.0) &&
+        near(col("est_intersection"), col("exact_intersection"),
+          0.35, 40.0) &&
+        abs(col("contamination_rate") - col("exact_rate")) <= lit(0.03))
+  }
+
+  val t59Sql: String = {
+    def est(c: String) =
+      s"CAST($c AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)"
+    def near(e: String, x: String, rel: String, abs0: String) =
+      s"abs($e - CAST($x AS DOUBLE)) <= " +
+        s"greatest(CAST($x AS DOUBLE) * $rel, $abs0)"
+    s"""WITH sh5 AS (SELECT doc_id,
+       |    CASE WHEN len($Toks) < 5 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len($Toks) - 3),
+       |           i -> array_to_string(($Toks)[i:i+4], ' '))) END AS s
+       |  FROM documents),
+       |evh AS MATERIALIZED (SELECT DISTINCT ${h("sh")} AS h FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 = 0)),
+       |trh AS MATERIALIZED (SELECT DISTINCT ${h("sh")} AS h FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 <> 0)),
+       |ska AS (SELECT h FROM evh ORDER BY h LIMIT 4096),
+       |skb AS (SELECT h FROM trh ORDER BY h LIMIT 4096),
+       |agga AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka, MAX(h) AS ma
+       |  FROM ska),
+       |aggb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb, MAX(h) AS mb
+       |  FROM skb),
+       |th AS (SELECT ka, kb, LEAST(
+       |    CASE WHEN ka = 4096 THEN ma ELSE 4294967296 END,
+       |    CASE WHEN kb = 4096 THEN mb ELSE 4294967296 END) AS theta
+       |  FROM agga CROSS JOIN aggb),
+       |sm AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ska CROSS JOIN th
+       |      WHERE ska.h < th.theta) AS n_a_sample,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM skb CROSS JOIN th
+       |      WHERE skb.h < th.theta) AS n_b_sample,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ska JOIN skb USING (h)
+       |      CROSS JOIN th WHERE ska.h < th.theta) AS n_common),
+       |ex AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM evh) AS exact_a,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM trh) AS exact_b,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM evh JOIN trh USING (h))
+       |      AS exact_intersection)
+       |SELECT th.ka, th.kb, th.theta,
+       |  sm.n_a_sample, sm.n_b_sample, sm.n_common,
+       |  ${est("sm.n_a_sample")} AS est_a,
+       |  ${est("sm.n_b_sample")} AS est_b,
+       |  ${est("sm.n_a_sample + sm.n_b_sample - sm.n_common")}
+       |    AS est_union,
+       |  ${est("sm.n_common")} AS est_intersection,
+       |  ${est("sm.n_a_sample - sm.n_common")} AS est_diff_ab,
+       |  CASE WHEN sm.n_a_sample + sm.n_b_sample - sm.n_common > 0 THEN
+       |    CAST(sm.n_common AS DOUBLE) /
+       |    CAST(sm.n_a_sample + sm.n_b_sample - sm.n_common AS DOUBLE)
+       |    END AS jaccard_est,
+       |  CASE WHEN sm.n_a_sample > 0 THEN
+       |    CAST(sm.n_common AS DOUBLE) / CAST(sm.n_a_sample AS DOUBLE)
+       |    END AS contamination_rate,
+       |  ex.exact_a, ex.exact_b, ex.exact_intersection,
+       |  ex.exact_a + ex.exact_b - ex.exact_intersection AS exact_union,
+       |  CAST(ex.exact_intersection AS DOUBLE) /
+       |    CAST(ex.exact_a AS DOUBLE) AS exact_rate,
+       |  4096 AS k,
+       |  (${near(est("sm.n_a_sample"), "ex.exact_a", "0.2", "30.0")}
+       |   AND ${near(est("sm.n_b_sample"), "ex.exact_b", "0.2", "30.0")}
+       |   AND ${near(
+            est("sm.n_a_sample + sm.n_b_sample - sm.n_common"),
+            "ex.exact_a + ex.exact_b - ex.exact_intersection",
+            "0.2", "30.0")}
+       |   AND ${near(est("sm.n_a_sample - sm.n_common"),
+            "ex.exact_a - ex.exact_intersection", "0.2", "30.0")}
+       |   AND ${near(est("sm.n_common"), "ex.exact_intersection",
+            "0.35", "40.0")}
+       |   AND abs(CAST(sm.n_common AS DOUBLE) /
+       |     CAST(sm.n_a_sample AS DOUBLE) -
+       |     CAST(ex.exact_intersection AS DOUBLE) /
+       |     CAST(ex.exact_a AS DOUBLE)) <= 0.03) AS within_bounds
+       |FROM th CROSS JOIN sm CROSS JOIN ex""".stripMargin
+  }
+
   /** Fuzzy entity matching ([[graft.operators.Fuzzy]]): part-name pairs
     * within Levenshtein 3, found via character-3-gram blocking over the
     * DISTINCT name vocabulary — the candidates-then-confirm discipline of
@@ -12476,7 +12604,8 @@ object ExtensionQueries {
     "g19_louvain" -> (g19Louvain _),
     "t58_theta_intersect" -> (t58ThetaIntersect _),
     "g20_betweenness" -> (g20Betweenness _),
-    "m27_goertzel" -> (m27Goertzel _))
+    "m27_goertzel" -> (m27Goertzel _),
+    "t59_theta_algebra" -> (t59ThetaAlgebra _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12707,5 +12836,6 @@ object ExtensionQueries {
     "g19_louvain" -> g19Sql,
     "t58_theta_intersect" -> t58Sql,
     "g20_betweenness" -> g20Sql,
-    "m27_goertzel" -> m27Sql)
+    "m27_goertzel" -> m27Sql,
+    "t59_theta_algebra" -> t59Sql)
 }

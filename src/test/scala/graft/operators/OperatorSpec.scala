@@ -932,6 +932,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.getAs[Long]("theta") == 4294967296L)
     assert(r.getAs[Long]("n_common") == 5L) // values 5..9
     assert(r.getAs[Double]("est_intersection") == 5.0)
+    // t59 set algebra, exact regime: A = {0..9}, B = {5..12} hashes —
+    // every estimate must equal its exact set-algebra count, and the
+    // ratio estimates the exact ratios
+    val alg = Sketches.thetaSetAlgebra(sa.select(col("h")),
+      sb.select(col("h")), k).head()
+    assert(alg.getAs[Double]("est_a") == 10.0)
+    assert(alg.getAs[Double]("est_b") == 8.0)
+    assert(alg.getAs[Double]("est_union") == 13.0)
+    assert(alg.getAs[Double]("est_intersection") == 5.0)
+    assert(alg.getAs[Double]("est_diff_ab") == 5.0)
+    assert(alg.getAs[Double]("jaccard_est") == 5.0 / 13.0)
+    assert(alg.getAs[Double]("contamination_rate") == 0.5)
   }
 
   test("RangeJoin.binned equals the theta join; plan is equi-join, " +
