@@ -8793,6 +8793,95 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming bottom-k sketch ingest ([[graft.streaming.StreamOps
+    * .bottomKSketchSink]], s41): the theta family's streaming leg —
+    * the 3-epoch file bus reduces each micro-batch to ≤ k = 64 hashes
+    * per event type in idempotent batch partitions, the epochs fold by
+    * the DEDUP merge, and the folded sketch must equal the
+    * whole-corpus sketch REGISTER-FOR-REGISTER (n_mismatch = 0 — the
+    * mergeability theorem exercised across real epochs), with the KMV
+    * estimate (k−1)·2³²∕h_k gated against the exact distinct count
+    * (exact when the sketch is under k — sf0.001's regime). */
+  def s41BottomKStreamIngest(sp: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val s2 = sp.newSession()
+    val ev = events(s2, dir).filter(col("event_id") % 16 === 9)
+      .select(col("event_type"), col("user_id").cast("string").as("u"))
+    require(ev.limit(6).count() >= 6,
+      "s41: the event_id % 16 = 9 bus slice has < 6 rows — fixture too " +
+        "small for the pinned 3-batch ingest")
+    val inDir = graft.Tables.scratchDir("graft-s41-in")
+    ev.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s41: producer wrote $nFiles non-empty part files, expected 6 — " +
+        "the pinned 3-epoch coverage would diverge")
+    val changes = s2.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val outDir = graft.Tables.scratchDir("graft-s41-sk")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try graft.streaming.StreamOps.bottomKSketchSink(changes,
+      col("event_type"), col("u"), k, outDir)
+    finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    val epochs = s2.read.parquet(outDir)
+    val nb = epochs.agg(countDistinct(col("batch_id")).as("n_batches"))
+    val merged = graft.operators.Sketches.mergeBottomKStates(Seq(
+      epochs.select(col("grp"), col("h"))), k)
+    val full = graft.operators.Sketches.bottomKState(ev,
+      col("event_type"), col("u"), k)
+    val cmp = merged.withColumn("__m", lit(1))
+      .join(full.withColumn("__f", lit(1)), Seq("grp", "h"),
+        "full_outer")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("__hmax"),
+        count(when(col("__m").isNull || col("__f").isNull, 1))
+          .as("n_mismatch"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("u")).as("exact_distinct"))
+    val est = when(col("n_sketch") === k,
+      lit((k - 1).toDouble) * 4294967296.0 /
+        col("__hmax").cast("double"))
+      .otherwise(col("n_sketch").cast("double"))
+    exact.join(cmp, col("event_type") === col("grp"))
+      .crossJoin(broadcast(nb))
+      .select(col("event_type"), col("n_sketch"), col("n_mismatch"),
+        col("n_batches"), est.as("est_distinct"), col("exact_distinct"),
+        (abs(est - col("exact_distinct").cast("double")) <=
+          greatest(col("exact_distinct").cast("double") * 0.4,
+            lit(20.0))).as("within_bounds"))
+      .orderBy("event_type")
+  }
+
+  val s41Sql: String =
+    """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
+      |  FROM events WHERE event_id % 16 = 9),
+      |h AS (SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(u), 1, 8))::BIGINT AS h FROM ev),
+      |sk AS (SELECT event_type, h FROM (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h) WHERE rn <= 64),
+      |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+      |    MAX(h) AS hmax FROM sk GROUP BY 1),
+      |e AS (SELECT event_type,
+      |    CAST(count(DISTINCT u) AS BIGINT) AS exact_distinct
+      |  FROM ev GROUP BY 1),
+      |r AS (SELECT a.event_type, a.n_sketch,
+      |    CAST(0 AS BIGINT) AS n_mismatch, CAST(3 AS BIGINT) AS n_batches,
+      |    CASE WHEN a.n_sketch = 64
+      |      THEN 63.0 * 4294967296.0 / CAST(a.hmax AS DOUBLE)
+      |      ELSE CAST(a.n_sketch AS DOUBLE) END AS est_distinct,
+      |    e.exact_distinct
+      |  FROM agg a JOIN e USING (event_type))
+      |SELECT event_type, n_sketch, n_mismatch, n_batches, est_distinct,
+      |  exact_distinct,
+      |  abs(est_distinct - CAST(exact_distinct AS DOUBLE)) <=
+      |    greatest(CAST(exact_distinct AS DOUBLE) * 0.4, 20.0)
+      |    AS within_bounds
+      |FROM r ORDER BY event_type""".stripMargin
+
   val s37Sql: String =
     """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
       |  FROM events WHERE event_id % 16 = 9),
@@ -12605,7 +12694,8 @@ object ExtensionQueries {
     "t58_theta_intersect" -> (t58ThetaIntersect _),
     "g20_betweenness" -> (g20Betweenness _),
     "m27_goertzel" -> (m27Goertzel _),
-    "t59_theta_algebra" -> (t59ThetaAlgebra _))
+    "t59_theta_algebra" -> (t59ThetaAlgebra _),
+    "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12837,5 +12927,6 @@ object ExtensionQueries {
     "t58_theta_intersect" -> t58Sql,
     "g20_betweenness" -> g20Sql,
     "m27_goertzel" -> m27Sql,
-    "t59_theta_algebra" -> t59Sql)
+    "t59_theta_algebra" -> t59Sql,
+    "s41_bottomk_stream_ingest" -> s41Sql)
 }

@@ -1092,6 +1092,35 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Per-micro-batch BOTTOM-K (KMV) sketch ingest — the streaming leg
+    * of the theta-sketch family ([[graft.operators.Sketches
+    * .bottomKState]]), beside s37's HLL registers and s38's CMS
+    * counters: each epoch reduces its batch to ≤ k distinct hash
+    * values per group and lands them in an idempotent `batch_id`
+    * partition (the s33/s34/s37/s38 exactly-once recipe — a torn epoch
+    * overwrites, never duplicates). The merge story is STRONGER than
+    * s38's: bottom-k partials fold by a DEDUP merge
+    * ([[graft.operators.Sketches.mergeBottomKStates]]), which is
+    * idempotent — re-folding a replayed epoch's values changes nothing
+    * — so exactly-once here is belt (partition overwrite) AND
+    * suspenders (idempotent merge), where CMS counter-adds rest on the
+    * overwrite alone. Per-epoch state is ≤ k·|groups| rows regardless
+    * of batch size. */
+  def bottomKSketchSink(changes: DataFrame,
+      grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      k: Int, outDir: String): Unit = {
+    val ckpt = graft.Tables.scratchDir("graft-bkingest-ckpt")
+    val q = changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Sketches.bottomKState(batch, grp, value, k)
+          .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** PER-MICRO-BATCH DIMENSION REFRESH enrichment — the production
     * pattern for joining a long-running stream against a slowly
     * PUBLISHED dimension: the dim is re-read from its path inside
