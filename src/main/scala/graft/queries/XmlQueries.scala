@@ -1324,6 +1324,61 @@ object XmlQueries {
       |  CAST(2 AS INT) AS n_desc
       |FROM lineitem WHERE l_orderkey % 16 = 13 ORDER BY id""".stripMargin
 
+  /** SUCCESSIVE xpath predicates per step (x28 — XPath 1.0 §2.4: each
+    * `[...]` filters the node-set the previous brackets produced, so
+    * `[@k][2]` is the 2nd SURVIVOR of the attribute test while
+    * `[2][@k]` tests the 2nd sibling — order-sensitive semantics the
+    * old one-bracket grammar rejected). The fixture's four root items
+    * plus a nested pair make every chain's survivor list predictable
+    * (one quantity-dependent), `][` inside a quoted value stays a
+    * value, and the spec separately pins built-in parity for every
+    * form including the three-stage chain. */
+  def x28XpathSuccessive(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 5)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it k='1' t='a'><q>"), d2s(col("l_quantity")),
+      lit("</q><n>one</n></it>"),
+      lit("<it t='b'><n>two</n></it>"),
+      lit("<it k='2' t='a'><q>"), s(col("l_linenumber")),
+      lit("</q><n>three</n></it>"),
+      lit("<it k='3'><n>four</n></it>"),
+      lit("<s><it k='9'><n>five</n></it><it k='8'><n>six</n></it></s>"),
+      lit("</r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[@k][2]/n",
+        "/r/it[2][@k]/n",
+        "/r/it[@k][last()]/n",
+        "/r/it[@k][q>25]/n",
+        "/r/it[position()>1][@k]/n",
+        "//it[@k][2]/n",
+        "/r/it[@k][2][n='three']/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        get(col("m.p1"), lit(0)).as("second_keyed"),
+        size(col("m.p2")).as("n_second_then_key"),
+        get(col("m.p3"), lit(0)).as("last_keyed"),
+        size(col("m.p4")).as("n_qty_chain"),
+        size(col("m.p5")).as("n_range_then_key"),
+        size(col("m.p6")).as("n_desc_chain"),
+        get(col("m.p7"), lit(0)).as("three_stage"))
+      .orderBy("id")
+  }
+
+  val x28Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  'three' AS second_keyed,
+      |  CAST(0 AS INT) AS n_second_then_key,
+      |  'four' AS last_keyed,
+      |  CAST(CASE WHEN CAST(l_quantity AS DECIMAL(18,2)) > 25
+      |    THEN 1 ELSE 0 END AS INT) AS n_qty_chain,
+      |  CAST(2 AS INT) AS n_range_then_key,
+      |  CAST(2 AS INT) AS n_desc_chain,
+      |  'three' AS three_stage
+      |FROM lineitem WHERE l_orderkey % 16 = 5 ORDER BY id""".stripMargin
+
   /** Parenthesized boolean GROUPING in xpath value predicates (x27 —
     * the round-14 subset edge at the Pred ADT): `(a or b) and c`,
     * `not()` over connectives and nested groups, mixed with the
@@ -1383,6 +1438,7 @@ object XmlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x26_xpath_not" -> (x26XpathNot _),
     "x27_xpath_grouping" -> (x27XpathGrouping _),
+    "x28_xpath_successive" -> (x28XpathSuccessive _),
     "x24_xpath_str_fn" -> (x24XpathStrFn _),
     "x25_xpath_bool_ops" -> (x25XpathBoolOps _),
     "x23_xpath_child_num" -> (x23XpathChildNum _),
@@ -1422,6 +1478,7 @@ object XmlQueries {
     "x25_xpath_bool_ops" -> x25Sql,
     "x26_xpath_not" -> x26Sql,
     "x27_xpath_grouping" -> x27Sql,
+    "x28_xpath_successive" -> x28Sql,
     "x15_xpath_descendant" -> x15Sql,
     "x13_xpath_family" -> x13Sql,
     "x14_xpath_attrs" -> x14Sql,

@@ -100,6 +100,20 @@ object XPathMini {
     final case class Or(ps: Array[Pred]) extends Pred
   }
 
+  /** One bracket of a MULTI-predicate step (x28): XPath 1.0 §2.4 —
+    * successive predicates each filter the node-set the previous ones
+    * produced, so `[pred][2]` is the 2nd SURVIVOR of pred while
+    * `[2][pred]` is the 2nd sibling kept only if pred holds. Value
+    * stages filter; positional stages re-rank among the current
+    * survivors. */
+  sealed trait Stage
+  object Stage {
+    final case class Value(p: Pred) extends Stage
+    final case class PosEq(k: Int) extends Stage
+    case object PosLast extends Stage
+    final case class PosRange(op: String, k: Int) extends Stage
+  }
+
   /** One location step: element name (or `*`) + optional 1-based position
     * among the matching siblings of the same context node (0 = all,
     * -1 = `last()` — the final matching sibling of its context).
@@ -109,11 +123,14 @@ object XPathMini {
     * `//a[2]` keeps the spec's sibling-position meaning (every `a` that
     * is the 2nd `a` child of ITS parent), not "2nd in document order".
     * `pred` carries the step's value-predicate tree (null = none);
-    * positional predicates ride in `pos`/`posOp` — the grammar admits
-    * ONE `[...]` per step, which is either positional or a value
-    * expression. */
+    * positional predicates ride in `pos`/`posOp` — a step with ONE
+    * `[...]` keeps this streaming-friendly encoding. Two or more
+    * predicates per step (`[@a][2]`, round 15 / x28) compile to
+    * `stages` instead (pos/pred unused): the ordered §2.4 filter
+    * chain, evaluated on the buffered name-match list. */
   final case class Step(name: String, pos: Int, desc: Boolean,
-      pred: Pred = null, posOp: String = null)
+      pred: Pred = null, posOp: String = null,
+      stages: Array[Stage] = null)
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -331,22 +348,39 @@ object XPathMini {
       case (StepHeadRe(name, pred), desc) =>
         if (pred == null) Step(name, 0, desc)
         else {
-          // ONE [...] per step: a bracket outside a quoted literal in
-          // the captured body is a second predicate — reject
-          // (quote-aware, like the union/connective splits: brackets
-          // INSIDE a quoted value are part of the value)
+          // Split the captured body on `][` boundaries at quote depth 0
+          // (x28: SUCCESSIVE predicates per step — brackets INSIDE a
+          // quoted value stay part of the value; any other unquoted
+          // bracket is unbalanced and rejected)
+          val bodies = mutable.ArrayBuffer.empty[String]
+          val cur = new StringBuilder
           var inQ = false
-          pred.foreach { ch =>
-            if (ch == '\'') inQ = !inQ
-            else if ((ch == '[' || ch == ']') && !inQ)
+          var bi = 0
+          while (bi < pred.length) {
+            val ch = pred.charAt(bi)
+            if (ch == '\'') { inQ = !inQ; cur += ch; bi += 1 }
+            else if (!inQ && ch == ']' && bi + 1 < pred.length &&
+                pred.charAt(bi + 1) == '[') {
+              bodies += cur.toString; cur.clear(); bi += 2
+            } else if (!inQ && (ch == '[' || ch == ']'))
               throw new IllegalArgumentException(
-                s"one predicate per step in path: $path")
+                s"unbalanced predicate brackets in path: $path")
+            else { cur += ch; bi += 1 }
           }
-          pred match {
+          bodies += cur.toString
+          if (bodies.length == 1) bodies(0) match {
             case PosEqRe(k) => Step(name, k.toInt, desc)
             case PosLastRe() => Step(name, -1, desc)
             case PosRangeRe(op, k) => Step(name, k.toInt, desc, posOp = op)
-            case _ => Step(name, 0, desc, pred = parsePred(pred, path))
+            case b => Step(name, 0, desc, pred = parsePred(b, path))
+          } else {
+            val stages: Array[Stage] = bodies.map {
+              case PosEqRe(k) => Stage.PosEq(k.toInt)
+              case PosLastRe() => Stage.PosLast
+              case PosRangeRe(op, k) => Stage.PosRange(op, k.toInt)
+              case b => Stage.Value(parsePred(b, path))
+            }.toArray
+            Step(name, 0, desc, stages = stages)
           }
         }
       case (other, _) => throw new IllegalArgumentException(
@@ -713,6 +747,17 @@ object XPathMini {
       def rec(stepIdx: Int, ctx: Elem): Unit = {
         val step = p.steps(stepIdx)
         val last = stepIdx == p.steps.length - 1
+        if (step.stages != null) { // x28 multi-predicate step: buffered
+          val buf = new mutable.ArrayBuffer[Elem](4)
+          stagedCollect(step, ctx, buf)
+          var bi = 0
+          while (bi < buf.length) {
+            if (last) emitNode(p, buf(bi), out)
+            else rec(stepIdx + 1, buf(bi))
+            bi += 1
+          }
+          return
+        }
         if (step.pos == -1) { // [last()]: the FINAL matching sibling
           var lastMatch: Elem = null
           var i = 0
@@ -747,16 +792,78 @@ object XPathMini {
       // the first step matches the document element itself (its sibling
       // rank is necessarily 1)
       val s0 = p.steps(0)
-      if (root != null && matches(s0, root) &&
-          (if (s0.posOp == null) s0.pos <= 1 else posAccept(s0, 1))) {
+      val rootOk =
+        if (s0.stages != null) {
+          val in0 = new mutable.ArrayBuffer[Elem](1)
+          if (root != null && (s0.name == "*" || s0.name == root.tag))
+            in0 += root
+          applyStages(s0.stages, in0).nonEmpty
+        } else root != null && matches(s0, root) &&
+          (if (s0.posOp == null) s0.pos <= 1 else posAccept(s0, 1))
+      if (rootOk) {
         if (p.steps.length == 1) emitNode(p, root, out) else rec(1, root)
       }
       out
     }
 
+  /** XPath 1.0 §2.4 successive-predicate chain (x28): name-matching
+    * children of one context, then each stage filters/re-ranks the
+    * SURVIVOR list of the stages before it. */
+  private def applyStages(stages: Array[Stage],
+      in0: mutable.ArrayBuffer[Elem]): mutable.ArrayBuffer[Elem] = {
+    var cur = in0
+    var s = 0
+    while (s < stages.length) {
+      stages(s) match {
+        case Stage.Value(p) => cur = cur.filter(evalPred(p, _))
+        case Stage.PosEq(k) =>
+          val n = new mutable.ArrayBuffer[Elem](1)
+          if (k >= 1 && k <= cur.length) n += cur(k - 1)
+          cur = n
+        case Stage.PosLast =>
+          val n = new mutable.ArrayBuffer[Elem](1)
+          if (cur.nonEmpty) n += cur.last
+          cur = n
+        case Stage.PosRange(op, k) =>
+          val n = new mutable.ArrayBuffer[Elem](cur.length)
+          var i = 0
+          while (i < cur.length) {
+            val rank = i + 1
+            val keep = op match {
+              case ">"  => rank > k
+              case "<"  => rank < k
+              case ">=" => rank >= k
+              case _    => rank <= k
+            }
+            if (keep) n += cur(i)
+            i += 1
+          }
+          cur = n
+      }
+      s += 1
+    }
+    cur
+  }
+
+  /** Multi-predicate child::step of one context node. */
+  private def stagedCollect(step: Step, ctx: Elem,
+      out: mutable.ArrayBuffer[Elem]): Unit = {
+    var cur = new mutable.ArrayBuffer[Elem](4)
+    var i = 0
+    while (i < ctx.content.length) {
+      ctx.content(i) match {
+        case c: Elem if step.name == "*" || step.name == c.tag => cur += c
+        case _ =>
+      }
+      i += 1
+    }
+    out ++= applyStages(step.stages, cur)
+  }
+
   /** child::step matches of one context node, sibling-counted. */
   private def childCollect(step: Step, ctx: Elem,
       out: mutable.ArrayBuffer[Elem]): Unit = {
+    if (step.stages != null) { stagedCollect(step, ctx, out); return }
     if (step.pos == -1) { // [last()]: the FINAL matching sibling
       var lastMatch: Elem = null
       var i = 0

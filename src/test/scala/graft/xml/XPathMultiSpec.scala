@@ -316,10 +316,8 @@ class XPathMultiSpec extends AnyFunSuite {
     val d4 = byDoc(pdocs(4))
     assert(d4._1 == Seq.empty, "child axis stays at depth 1")
     assert(d4._3 == Seq("6") && d4._3 == d4._6, "// reaches depth 2")
-    // grammar: still one predicate per step; '@' vs child distinguished
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[k='a'][2]/q")
-    }
+    // x28: successive predicates are in the subset since round 15; '@' vs child stays distinguished
+    XPathMini.compile("/r/it[k='a'][2]/q")
   }
 
   test("[last()] predicates: final sibling of the CONTEXT (per-parent " +
@@ -636,13 +634,9 @@ class XPathMultiSpec extends AnyFunSuite {
       "against the UNESCAPED comparison string")
     assert(d3._5 == Seq("7"), "empty-string value is a real match")
 
-    // grammar: one predicate per step, no double/combined predicates
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[1][@t='b']")
-    }
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[@t='b'][2]")
-    }
+    // x28: successive predicates are in the subset since round 15
+    XPathMini.compile("/r/it[1][@t='b']")
+    XPathMini.compile("/r/it[@t='b'][2]") // x28: now in the subset
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[@t=b]") // unquoted value
     }
@@ -688,9 +682,7 @@ class XPathMultiSpec extends AnyFunSuite {
       "numeric = and >= treat '17.00' as 17")
     assert(got(6) == Seq("D"), "whitespace-padded ' 5 ' parses as 5")
     // grammar: numeric predicate composes with nothing else on the step
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[@v>5][1]")
-    }
+    XPathMini.compile("/r/it[@v>5][1]") // x28: now in the subset
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[@v>'5']") // quoted literal is not numeric
     }
@@ -732,9 +724,7 @@ class XPathMultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/v[position()=1]") // spelled [1] in the subset
     }
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/v[position()>1][2]") // one predicate per step
-    }
+    XPathMini.compile("/r/v[position()>1][2]") // x28: now in the subset
   }
 
   test("existence predicates [@a] / [q]: built-in parity, present-but-" +
@@ -772,10 +762,11 @@ class XPathMultiSpec extends AnyFunSuite {
       .getStruct(0).getSeq[String](0)
     assert(vals == Seq("1", "", "9"),
       "empty attribute value is present, not skipped")
-    // grammar: one predicate per step; text() is a terminal, not a
+    // x28: successive predicates parse; text() stays a terminal, not a
     // predicate name
+    XPathMini.compile("/r/it[@k][q]")
     intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[@k][q]")
+      XPathMini.compile("/r/it[text()]")
     }
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[text()]")
@@ -812,9 +803,7 @@ class XPathMultiSpec extends AnyFunSuite {
       "numeric = and >= treat '17.00' as 17")
     assert(got(6) == Seq("D"), "whitespace-padded ' 5 ' parses as 5")
     assert(got(7) == Seq(), "no q child never matches")
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[q>5][1]") // one predicate per step
-    }
+    XPathMini.compile("/r/it[q>5][1]") // x28: now in the subset
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[q>1e3]") // exponents outside the subset
     }
@@ -861,9 +850,7 @@ class XPathMultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[contains(@t,x)]") // unquoted argument
     }
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[contains(@t,'a')][1]") // one [...] only
-    }
+    XPathMini.compile("/r/it[contains(@t,'a')][1]") // x28: in subset
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[ends-with(@t,'a')]") // not in XPath 1.0
     }
@@ -918,9 +905,7 @@ class XPathMultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[@k and]") // dangling connective
     }
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/r/it[@k][@v]") // still one [...] per step
-    }
+    XPathMini.compile("/r/it[@k][@v]") // x28: now in the subset
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[true()]") // nullary fns outside subset
     }
@@ -972,6 +957,55 @@ class XPathMultiSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       XPathMini.compile("/r/it[not(2 and @k)]") // positional in a group
+    }
+  }
+
+  test("x28 successive predicates: [pred][k] re-ranks among survivors " +
+      "while [k][pred] filters the k-th sibling — different answers; " +
+      "per-parent semantics under //; quoted ][ stays a value; " +
+      "built-in parity; rejections") {
+    import spark.implicits._
+    val doc = "<r><it k='1'><n>a</n></it><it><n>b</n></it>" +
+      "<it k='2'><q>9</q><n>c</n></it><it k='3'><n>d</n></it>" +
+      "<s><it k='9'><n>e1</n></it><it k='8'><n>e2</n></it></s>" +
+      "<it t='x][y'><n>f</n></it></r>"
+    val paths = Seq(
+      "/r/it[@k][2]", // 2nd AMONG @k-bearers -> c
+      "/r/it[2][@k]", // 2nd sibling (b) filtered by @k -> nothing
+      "/r/it[@k][last()]", // last @k-bearer -> d
+      "/r/it[@k][q>5]", // two value stages -> c
+      "/r/it[position()>1][@k]", // range then filter -> c, d
+      "//it[@k][2]", // per-parent: c (root level) + e2 (inside s)
+      "/r/it[@t='x][y']", // ][ inside a quoted value is NOT a boundary
+      "/r/it[@k][2][n='c']") // three stages
+    val refCols = paths.zipWithIndex.map { case (p, i) =>
+      expr(s"""xpath(x, "$p/n/text()")""").as(s"ref$i")
+    }
+    val both = Seq(doc).toDF("x")
+      .select((XPathMultiExpr.xpath_multi(col("x"),
+        paths.map(_ + "/n")).as("m") +: refCols): _*)
+      .select((paths.indices.map(i => col(s"m.p$i")) ++
+        paths.indices.map(i => col(s"ref$i"))): _*)
+      .head()
+    val got = paths.indices.map(i => both.getSeq[String](i))
+    paths.indices.foreach { i =>
+      assert(got(i) == both.getSeq[String](paths.length + i),
+        s"built-in parity on ${paths(i)}")
+    }
+    assert(got(0) == Seq("c"), "[.@k][2]: 2nd among the @k survivors")
+    assert(got(1) == Seq(), "[2][@k]: the 2nd sibling has no @k")
+    assert(got(2) == Seq("d"))
+    assert(got(3) == Seq("c"))
+    assert(got(4) == Seq("c", "d"))
+    assert(got(5) == Seq("c", "e2"),
+      "per-parent survivor re-rank under the descendant axis")
+    assert(got(6) == Seq("f"))
+    assert(got(7) == Seq("c"))
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[@k]2]") // unbalanced
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/it[[@k]]") // empty/nested bracket body
     }
   }
 
