@@ -991,20 +991,65 @@ object Graph {
     * log). Node ids must be ≥ 0 (the −lab tie-break negation). */
   def louvainAscent(edges: DataFrame, rounds: Int, classes: Int = 3)
       : (DataFrame, Seq[LouvainRound]) = {
-    require(rounds >= 1, "rounds must be >= 1")
-    require(classes >= 1, "classes must be >= 1")
     val sym = edges.select(col("src").cast("long").as("u"),
         col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val und = materialize(
-      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
-      "graft-louv-und")
+    // g19's published universe: symmetrize THEN dedup (multi-edges and
+    // both-direction duplicates collapse to one simple edge, weight 1)
+    val und = sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .withColumn("w", lit(1L))
+    louvainAscentImpl(und, rounds, classes, "graft-louv")
+  }
+
+  /** EDGE-WEIGHTED [[louvainAscent]] (the standard Blondel form — link
+    * strength, co-citation counts, interaction volume): `edges` carries
+    * (src, dst, weight ≥ 1, integer); parallel edges SUM their weights
+    * into one undirected simple edge (the natural weighted reading —
+    * the unweighted entry point above instead DEDUPS multi-edges,
+    * preserving g19's published semantics exactly). All masses
+    * generalize verbatim: deg → strength Σw, e2(u,C) → Σ of u→C edge
+    * weights, u_tot → total directed weight 2W, intra2 → directed
+    * intra-edge weight; the gain score, the move classes, the accept
+    * guard and the overflow envelope (now max_strength·w_tot < 2⁶³)
+    * carry over unchanged because every quantity was already an
+    * abstract integer mass. Weights can flip the argmax against the
+    * topology — the spec plants a node whose TWO light edges lose to
+    * ONE heavy edge. */
+  def louvainAscentWeighted(edges: DataFrame, rounds: Int,
+      classes: Int = 3): (DataFrame, Seq[LouvainRound]) = {
+    val e = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"),
+        col("weight").cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    // canonicalize to the undirected simple edge (min,max), SUMMING
+    // parallel and both-direction duplicates, then emit both directions
+    val canon = e.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val und = canon.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(canon.select(col("b").as("u"), col("a").as("v"), col("w")))
+    louvainAscentImpl(und, rounds, classes, "graft-louvw")
+  }
+
+  /** Shared ascent loop. `und0` is the DIRECTED SYMMETRIC weighted edge
+    * table (u, v, w) — each undirected edge present in both directions
+    * with the same integer weight ≥ 1, self-loops already dropped. All
+    * masses are Σw generalizations of the unweighted counts (w ≡ 1
+    * reproduces g19 verbatim). */
+  private def louvainAscentImpl(und0: DataFrame, rounds: Int,
+      classes: Int, tag: String): (DataFrame, Seq[LouvainRound]) = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(classes >= 1, "classes must be >= 1")
+    val und = materialize(und0, s"$tag-und")
     val deg = materialize(
-      und.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree")),
-      "graft-louv-deg")
-    val uTot = und.count() // 1 row — the global literal every score uses
+      und.groupBy(col("u").as("id")).agg(sum(col("w")).as("degree")),
+      s"$tag-deg")
+    // the global literal every score uses: total directed weight 2W
+    val uTot = und.agg(coalesce(sum(col("w")), lit(0L)).as("t"))
+      .collect()(0).getLong(0)
     var labels = materialize(
-      deg.select(col("id"), col("id").as("lab")), "graft-louv-0")
+      deg.select(col("id"), col("id").as("lab")), s"$tag-0")
     // singleton start: intra2 = 0 (self-loops dropped), so
     // q0 = 0·u_tot − Σ deg² — one deg-table agg, no join needed
     var q = deg.agg((lit(0L) -
@@ -1019,7 +1064,7 @@ object Graph {
         .join(labels.select(col("id").as("v"), col("lab").as("__cl")),
           Seq("v"))
         .groupBy(col("u").as("id"), col("__cl"))
-        .agg(count(lit(1)).as("__e2"))
+        .agg(sum(col("w")).as("__e2"))
       // the stay option: zero-edge candidacy for u's own community (a
       // duplicate when u already has intra-neighbors — harmless, the
       // argmax sees the dominated zero row). Only this round's move
@@ -1045,7 +1090,7 @@ object Graph {
           .select(col("id"), (-col("__m.__nl")).as("lab"))
           .unionByName(
             labels.filter(col("id") % classes =!= moverCls)),
-        s"graft-louv-p$i")
+        s"$tag-p$i")
       // ONE action per round: the guard's q_num subtrees and the move
       // count cross-join to a single 1-row collect (round-15 perf —
       // two separate driver actions doubled the per-round job count)
@@ -1058,7 +1103,7 @@ object Graph {
         .join(prop.select(col("id").as("v"), col("lab").as("__lv")),
           Seq("v"))
         .filter(col("__lu") === col("__lv"))
-        .agg(count(lit(1)).as("__i2"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("__i2"))
       val moved = prop.join(labels.withColumnRenamed("lab", "__ol"),
           Seq("id")).filter(col("lab") =!= col("__ol"))
         .agg(count(lit(1)).as("__mv"))

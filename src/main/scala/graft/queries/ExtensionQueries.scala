@@ -9928,6 +9928,179 @@ object ExtensionQueries {
        |ORDER BY community""".stripMargin
   }
 
+  /** The derived link graph with a deterministic integer EDGE WEIGHT in
+    * 1..7 (hashed from (doc_id, k), so DuckDB replays it exactly) — the
+    * input for the weighted community gate g21. */
+  private def linkEdgesW(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("__n"),
+        Hashing.portableHash32(col("doc_id").cast("string")).as("__h"),
+        explode(array(lit(0), lit(1), lit(2))).as("__k"),
+        col("doc_id"))
+      .select(
+        pmod(col("__h"), col("__n")).as("src"),
+        pmod(Hashing.portableHash32(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("__k").cast("string"))), col("__n")).as("dst"),
+        (pmod(Hashing.portableHash32(
+          concat(col("doc_id").cast("string"), lit(":w:"),
+            col("__k").cast("string"))), lit(7L)) + 1L).as("weight"))
+  }
+
+  private val linkEdgesWSql: String =
+    """wedges AS (
+      |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |           % (SELECT COUNT(*) FROM documents) AS src,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |           CAST(k AS VARCHAR)), 1, 8))::BIGINT
+      |           % (SELECT COUNT(*) FROM documents) AS dst,
+      |         1 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':w:' ||
+      |           CAST(k AS VARCHAR)), 1, 8))::BIGINT % 7 AS weight
+      |  FROM documents, (VALUES (0), (1), (2)) AS ks(k))""".stripMargin
+
+  /** WEIGHTED Louvain ascent ([[graft.operators.Graph
+    * .louvainAscentWeighted]], 6 guarded move-class rounds) over the
+    * link graph carrying hashed integer weights 1..7 — the standard
+    * Blondel form where every mass is Σw instead of a count (parallel
+    * and both-direction duplicate edges SUM into one undirected edge).
+    * Output: the weighted per-community decomposition of the final
+    * labeling (node count, strength mass, directed intra weight, total
+    * weight, exact q numerator) with every round's q/accept/moved
+    * pinned as constant columns. The oracle replays the weighted
+    * canonicalization, all 6 rounds' Σw gain scores, move classes,
+    * argmax tie order and the accept guard in SQL. */
+  def g21LouvainWeighted(sp: SparkSession, dir: String): DataFrame = {
+    val we = linkEdgesW(sp, dir)
+    val (labels, log) =
+      graft.operators.Graph.louvainAscentWeighted(we, rounds = 6)
+    val e = we.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"),
+        col("weight").cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+    val canon = e.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    val und = canon.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(canon.select(col("b").as("u"), col("a").as("v"), col("w")))
+    val deg = und.groupBy(col("u").as("id")).agg(sum(col("w")).as("str"))
+    val ut = und.agg(sum(col("w")).as("w_tot"))
+    val dc = deg.join(labels, Seq("id"))
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("str")).as("str_sum"))
+    val ia = und
+      .join(labels.select(col("id").as("u"), col("lab").as("__lu")),
+        Seq("u"))
+      .join(labels.select(col("id").as("v"), col("lab").as("__lv")),
+        Seq("v"))
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("community"))
+      .agg(sum(col("w")).as("__i2"))
+    var out = dc.join(ia, Seq("community"), "left").crossJoin(ut)
+      .select(col("community"), col("n_nodes"), col("str_sum"),
+        coalesce(col("__i2"), lit(0L)).as("intra2w"), col("w_tot"),
+        (coalesce(col("__i2"), lit(0L)) * col("w_tot") -
+          col("str_sum") * col("str_sum")).as("q_num"))
+    log.foreach { r =>
+      out = out.withColumn(s"q${r.round}", lit(r.qNum))
+        .withColumn(s"acc${r.round}", lit(r.accepted))
+        .withColumn(s"mv${r.round}", lit(r.nMoved))
+    }
+    out.orderBy("community")
+  }
+
+  val g21Sql: String = {
+    def round(p: String, c: String, mc: Int): String =
+      s"""sg$c AS (SELECT l.lab AS cl, CAST(SUM(d.degree) AS BIGINT) AS sig
+         |  FROM deg d JOIN l$p l ON d.id = l.id GROUP BY 1),
+         |e2$c AS (SELECT e.u AS id, lv.lab AS cl,
+         |    CAST(SUM(e.w) AS BIGINT) AS e2
+         |  FROM und e JOIN l$p lv ON e.v = lv.id GROUP BY 1, 2),
+         |cd$c AS (SELECT id, cl, e2 FROM e2$c
+         |  UNION ALL SELECT id, lab, 0 FROM l$p),
+         |sc$c AS (SELECT cn.id, cn.cl,
+         |    CAST(cn.e2 * ut.u_tot - d.degree * (s.sig -
+         |      CASE WHEN cn.cl = o.lab THEN d.degree ELSE 0 END)
+         |      AS BIGINT) AS sc
+         |  FROM cd$c cn
+         |  JOIN deg d ON d.id = cn.id
+         |  JOIN l$p o ON o.id = cn.id
+         |  JOIN sg$c s ON s.cl = cn.cl
+         |  CROSS JOIN ut
+         |  WHERE cn.id % 3 = $mc),
+         |p$c AS MATERIALIZED (SELECT id, cl AS lab FROM (
+         |  SELECT id, cl, row_number() OVER (
+         |    PARTITION BY id ORDER BY sc DESC, cl) AS rn FROM sc$c)
+         |  WHERE rn = 1
+         |  UNION ALL SELECT id, lab FROM l$p WHERE id % 3 <> $mc),
+         |qp$c AS (SELECT CAST(
+         |    (SELECT CAST(coalesce(SUM(e.w), 0) AS BIGINT) FROM und e
+         |      JOIN p$c a ON e.u = a.id
+         |      JOIN p$c b ON e.v = b.id AND a.lab = b.lab) * ut.u_tot
+         |    - (SELECT CAST(coalesce(SUM(ds * ds), 0) AS BIGINT) FROM (
+         |        SELECT CAST(SUM(d.degree) AS BIGINT) AS ds FROM deg d
+         |        JOIN p$c l ON d.id = l.id GROUP BY l.lab))
+         |    AS BIGINT) AS qn FROM ut),
+         |mv$c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p$c p
+         |  JOIN l$p o ON p.id = o.id AND p.lab <> o.lab),
+         |ac$c AS (SELECT (SELECT qn FROM qp$c) >= (SELECT qn FROM q$p)
+         |  AS a),
+         |l$c AS MATERIALIZED (SELECT o.id,
+         |    CASE WHEN (SELECT a FROM ac$c) THEN p.lab ELSE o.lab END
+         |      AS lab
+         |  FROM l$p o JOIN p$c p ON p.id = o.id),
+         |q$c AS (SELECT CASE WHEN (SELECT a FROM ac$c)
+         |    THEN (SELECT qn FROM qp$c)
+         |    ELSE (SELECT qn FROM q$p) END AS qn)""".stripMargin
+    s"""WITH $linkEdgesWSql,
+       |e AS (SELECT src AS u, dst AS v, CAST(weight AS BIGINT) AS w
+       |      FROM wedges WHERE src <> dst),
+       |canon AS MATERIALIZED (SELECT LEAST(u, v) AS a, GREATEST(u, v)
+       |  AS b, CAST(SUM(w) AS BIGINT) AS w FROM e GROUP BY 1, 2),
+       |und AS MATERIALIZED (SELECT a AS u, b AS v, w FROM canon
+       |  UNION ALL SELECT b, a, w FROM canon),
+       |ut AS (SELECT CAST(SUM(w) AS BIGINT) AS u_tot FROM und),
+       |deg AS MATERIALIZED (SELECT u AS id,
+       |  CAST(SUM(w) AS BIGINT) AS degree FROM und GROUP BY 1),
+       |l0 AS MATERIALIZED (SELECT id, id AS lab FROM deg),
+       |q0 AS (SELECT CAST(-(SELECT SUM(d.degree * d.degree) FROM deg d)
+       |  AS BIGINT) AS qn),
+       |${round("0", "1", 0)},
+       |${round("1", "2", 1)},
+       |${round("2", "3", 2)},
+       |${round("3", "4", 0)},
+       |${round("4", "5", 1)},
+       |${round("5", "6", 2)},
+       |dc AS (SELECT l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.degree) AS BIGINT) AS str_sum
+       |  FROM deg d JOIN l6 l ON d.id = l.id GROUP BY 1),
+       |ia AS (SELECT lu.lab, CAST(SUM(e.w) AS BIGINT) AS intra2w
+       |  FROM und e
+       |  JOIN l6 lu ON e.u = lu.id
+       |  JOIN l6 lv ON e.v = lv.id AND lu.lab = lv.lab
+       |  GROUP BY 1)
+       |SELECT dc.lab AS community, dc.n_nodes, dc.str_sum,
+       |  CAST(coalesce(ia.intra2w, 0) AS BIGINT) AS intra2w,
+       |  ut.u_tot AS w_tot,
+       |  CAST(coalesce(ia.intra2w, 0) * ut.u_tot
+       |    - dc.str_sum * dc.str_sum AS BIGINT) AS q_num,
+       |  (SELECT qn FROM q1) AS q1, (SELECT a FROM ac1) AS acc1,
+       |  (SELECT m FROM mv1) AS mv1,
+       |  (SELECT qn FROM q2) AS q2, (SELECT a FROM ac2) AS acc2,
+       |  (SELECT m FROM mv2) AS mv2,
+       |  (SELECT qn FROM q3) AS q3, (SELECT a FROM ac3) AS acc3,
+       |  (SELECT m FROM mv3) AS mv3,
+       |  (SELECT qn FROM q4) AS q4, (SELECT a FROM ac4) AS acc4,
+       |  (SELECT m FROM mv4) AS mv4,
+       |  (SELECT qn FROM q5) AS q5, (SELECT a FROM ac5) AS acc5,
+       |  (SELECT m FROM mv5) AS mv5,
+       |  (SELECT qn FROM q6) AS q6, (SELECT a FROM ac6) AS acc6,
+       |  (SELECT m FROM mv6) AS mv6
+       |FROM dc LEFT JOIN ia ON ia.lab = dc.lab CROSS JOIN ut
+       |ORDER BY community""".stripMargin
+  }
+
   /** Connected components ([[graft.operators.Graph.connectedComponents]],
     * hash-to-min + pointer doubling, O(log diameter) rounds) over the
     * derived link graph; every node labeled with its component's minimum
@@ -12695,7 +12868,8 @@ object ExtensionQueries {
     "g20_betweenness" -> (g20Betweenness _),
     "m27_goertzel" -> (m27Goertzel _),
     "t59_theta_algebra" -> (t59ThetaAlgebra _),
-    "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _))
+    "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
+    "g21_louvain_weighted" -> (g21LouvainWeighted _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -12928,5 +13102,6 @@ object ExtensionQueries {
     "g20_betweenness" -> g20Sql,
     "m27_goertzel" -> m27Sql,
     "t59_theta_algebra" -> t59Sql,
-    "s41_bottomk_stream_ingest" -> s41Sql)
+    "s41_bottomk_stream_ingest" -> s41Sql,
+    "g21_louvain_weighted" -> g21Sql)
 }

@@ -438,6 +438,57 @@ class GraphSpec extends AnyFunSuite {
     assert(parts.map(_.getAs[Long]("q_num")).sum == log.last.qNum)
   }
 
+  test("g21 louvainAscentWeighted: one heavy edge beats two light " +
+      "ones, w=1 reproduces g19 verbatim, parallel edges sum") {
+    import spark.implicits._
+    // two strong 4-cliques (intra weight 5) joined by a weight-1
+    // bridge; pivot node 5 has TWO weight-1 edges into clique A (0, 1)
+    // and ONE weight-3 edge into clique B (10). Topology says A
+    // (e2 = 2 vs 1); weight says B (2 vs 3) — and 3 is small next to
+    // 10's clique mass (15), so the heavy edge flips 5 without
+    // ripping 10 out of B.
+    val cl = for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j, 5L)
+    val wEdges = (cl ++ Seq((3L, 10L, 1L), (5L, 0L, 1L), (5L, 1L, 1L),
+      (5L, 10L, 3L))).toDF("src", "dst", "weight")
+    val (wLab, wLog) = Graph.louvainAscentWeighted(wEdges, rounds = 9)
+    val wGot = wLab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cA = Set(0L, 1L, 2L, 3L).map(wGot)
+    val cB = Set(10L, 11L, 12L, 13L).map(wGot)
+    assert(cA.size == 1 && cB.size == 1 && cA != cB,
+      s"planted communities not recovered: $wGot")
+    assert(wGot(5L) == cB.head, s"weight did not flip the argmax: $wGot")
+    val qs = wLog.map(_.qNum)
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a }, s"qs=$qs")
+    // the UNWEIGHTED ascent on the same topology sides with A
+    val (uLab, _) = Graph.louvainAscent(
+      wEdges.select($"src", $"dst"), rounds = 9)
+    val uGot = uLab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uGot(5L) == Set(0L, 1L, 2L, 3L).map(uGot).head,
+      s"unweighted should side with topology: $uGot")
+    // w = 1 on a duplicate-free edge list reproduces g19 verbatim:
+    // identical labels AND identical per-round q/accept/move log
+    val plain = (cl.map(t => (t._1, t._2)) :+ (3L -> 10L))
+    val e19 = plain.toDF("src", "dst")
+    val e21 = plain.map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "weight")
+    val (l19, log19) = Graph.louvainAscent(e19, rounds = 6)
+    val (l21, log21) = Graph.louvainAscentWeighted(e21, rounds = 6)
+    assert(log19 === log21)
+    assert(l19.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === l21.collect().map(r => (r.getLong(0), r.getLong(1))).sorted)
+    // parallel + reversed duplicates SUM: (0,1,3)+(1,0,2) == (0,1,5) —
+    // proven through the q-log, which is weight-dependent
+    val tri = Seq((0L, 1L, 3L), (1L, 0L, 2L), (1L, 2L, 4L), (0L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val triSummed = Seq((0L, 1L, 5L), (1L, 2L, 4L), (0L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val (_, logA) = Graph.louvainAscentWeighted(tri, rounds = 3)
+    val (_, logB) = Graph.louvainAscentWeighted(triSummed, rounds = 3)
+    assert(logA === logB)
+  }
+
   test("g20 betweennessPivots: path interior maximal, star center = " +
       "all pairs, diamond halves sum to exact rationals, horizon " +
       "truncation zeroes everything") {
