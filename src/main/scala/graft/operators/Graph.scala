@@ -1032,16 +1032,119 @@ object Graph {
     louvainAscentImpl(und, rounds, classes, "graft-louvw")
   }
 
+  /** Result of [[louvainTwoLevel]]: final labels (original node ids),
+    * both levels' round logs, whether the coarse pass was adopted by the
+    * OUTER guard, and the final exact modularity numerator on the
+    * ORIGINAL graph (over u_tot², the g11 rational). */
+  final case class LouvainTwoLevel(labels: DataFrame,
+      level1: Seq[LouvainRound], level2: Seq[LouvainRound],
+      coarseAccepted: Boolean, qNum: Long)
+
+  /** TWO-LEVEL (multi-level) LOUVAIN — the aggregation phase Blondel
+    * et al. stack on top of the local-move phase: run [[louvainAscent]]
+    * to a first labeling, CONTRACT each community to a super-node
+    * (inter-community edge weights SUM; intra mass becomes self-loops,
+    * which the move phase drops — see below), run the WEIGHTED ascent
+    * on the coarse graph, and map the coarse labels back through the
+    * level-1 assignment. Escapes the local optima a single move phase
+    * cannot: a merge of two whole communities is one coarse-node move
+    * but would need a coordinated multi-node migration at level 1.
+    *
+    * The contraction is the EXACT Blondel coarsening: community c
+    * becomes node c with a SELF-LOOP of weight intra2_c (its directed
+    * internal mass), so coarse strength = the community's full degree
+    * mass, coarse u_tot = the original u_tot, and every coarse-level
+    * q_num IS the original graph's exact modularity numerator of the
+    * induced fine partition — the level-2 round log continues level 1's
+    * on the same scale, with coarse q0 equal to level 1's final q by
+    * construction. The mapped-back labeling additionally passes an
+    * OUTER ACCEPT GUARD recomputed on the original graph (belt over
+    * the algebraic identity: level 2 is adopted only if true q_num did
+    * not decrease), so the composition is monotone end to end.
+    * Level-1 communities missing from the coarse result map back
+    * through a LEFT join that keeps their level-1 label.
+    *
+    * Scale shape: level 1 as [[louvainAscent]]; the contraction is one
+    * labels⋈und⋈labels double equi-join + a (community, community)
+    * agg; level 2 runs on the community-domain graph (≤ nodes, usually
+    * ≪); the outer guard is the same two aggs the inner guard runs.
+    * Driver state: the two logs + three 1-row collects. */
+  def louvainTwoLevel(edges: DataFrame, rounds: Int, classes: Int = 3)
+      : LouvainTwoLevel = {
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+        .distinct().withColumn("w", lit(1L)),
+      "graft-louv2-und")
+    val (lab1, log1) = louvainAscentImpl(und, rounds, classes,
+      "graft-louv2-l1")
+    val q1 = log1.last.qNum
+    // contract: one (cu, cv) edge per ordered community pair, weight =
+    // count of underlying directed edges (symmetric because und is);
+    // cu = cv rows land ONCE per community = the intra2_c self-loop
+    val coarse = materialize(
+      und.join(lab1.select(col("id").as("u"), col("lab").as("__cu")),
+          Seq("u"))
+        .join(lab1.select(col("id").as("v"), col("lab").as("__cv")),
+          Seq("v"))
+        .groupBy(col("__cu").as("u"), col("__cv").as("v"))
+        .agg(sum(col("w")).as("w")),
+      "graft-louv2-coarse")
+    if (coarse.limit(1).count() == 0L)
+      return LouvainTwoLevel(lab1, log1, Seq.empty,
+        coarseAccepted = false, q1)
+    val (lab2, log2) = louvainAscentImpl(coarse, rounds, classes,
+      "graft-louv2-l2")
+    // map back; isolated level-1 communities keep their own label
+    val l2m = lab2.select(col("id").as("__id2"), col("lab").as("__c2"))
+    val mapped = materialize(
+      lab1.join(l2m, lab1("lab") === l2m("__id2"), "left")
+        .select(lab1("id"),
+          coalesce(col("__c2"), lab1("lab")).as("lab")),
+      "graft-louv2-fin")
+    // outer guard: exact q_num of the mapped labeling on the ORIGINAL
+    // graph (one fused 1-row collect, the inner guard's computation)
+    val degSum = und.groupBy(col("u").as("id"))
+      .agg(sum(col("w")).as("degree"))
+      .join(mapped, Seq("id"))
+      .groupBy(col("lab")).agg(sum(col("degree")).as("ds"))
+      .agg(coalesce(sum(col("ds") * col("ds")), lit(0L)).as("__dd"))
+    val intra = und
+      .join(mapped.select(col("id").as("u"), col("lab").as("__lu")),
+        Seq("u"))
+      .join(mapped.select(col("id").as("v"), col("lab").as("__lv")),
+        Seq("v"))
+      .filter(col("__lu") === col("__lv"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("__i2"))
+    val uTot = und.agg(coalesce(sum(col("w")), lit(0L)).as("__t"))
+    val q2 = intra.crossJoin(degSum).crossJoin(uTot)
+      .select((col("__i2") * col("__t") - col("__dd")).as("q"))
+      .collect()(0).getLong(0)
+    if (q2 >= q1) LouvainTwoLevel(mapped, log1, log2,
+      coarseAccepted = true, q2)
+    else LouvainTwoLevel(lab1, log1, log2, coarseAccepted = false, q1)
+  }
+
   /** Shared ascent loop. `und0` is the DIRECTED SYMMETRIC weighted edge
     * table (u, v, w) — each undirected edge present in both directions
-    * with the same integer weight ≥ 1, self-loops already dropped. All
-    * masses are Σw generalizations of the unweighted counts (w ≡ 1
-    * reproduces g19 verbatim). */
+    * with the same integer weight ≥ 1. All masses are Σw
+    * generalizations of the unweighted counts (w ≡ 1 reproduces g19
+    * verbatim). SELF-LOOP rows (u = v, present ONCE, weight = the
+    * node's directed self mass) are the Blondel coarsening carrier:
+    * they count in strength, u_tot and the guard's intra mass, but are
+    * EXCLUDED from the e2 neighbor-label mass — a self-loop follows
+    * its node into any community, adding the same intra everywhere, so
+    * it cancels in the argmax; including it would spuriously favor
+    * staying. With self-loops the per-round q_num is the EXACT original
+    * -graph modularity numerator of the induced fine partition. */
   private def louvainAscentImpl(und0: DataFrame, rounds: Int,
       classes: Int, tag: String): (DataFrame, Seq[LouvainRound]) = {
     require(rounds >= 1, "rounds must be >= 1")
     require(classes >= 1, "classes must be >= 1")
     val und = materialize(und0, s"$tag-und")
+    val undExt = und.filter(col("u") =!= col("v")) // e2's edge universe
     val deg = materialize(
       und.groupBy(col("u").as("id")).agg(sum(col("w")).as("degree")),
       s"$tag-deg")
@@ -1050,17 +1153,20 @@ object Graph {
       .collect()(0).getLong(0)
     var labels = materialize(
       deg.select(col("id"), col("id").as("lab")), s"$tag-0")
-    // singleton start: intra2 = 0 (self-loops dropped), so
-    // q0 = 0·u_tot − Σ deg² — one deg-table agg, no join needed
-    var q = deg.agg((lit(0L) -
-        coalesce(sum(col("degree") * col("degree")), lit(0L))).as("q"))
+    // singleton start: intra2 = Σ self mass (0 without self-loops), so
+    // q0 = selfΣ·u_tot − Σ deg² — two 1-row aggs fused, no join needed
+    var q = deg.agg(coalesce(sum(col("degree") * col("degree")),
+          lit(0L)).as("__dd"))
+      .crossJoin(und.filter(col("u") === col("v"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("__sw")))
+      .select((col("__sw") * lit(uTot) - col("__dd")).as("q"))
       .collect()(0).getLong(0)
     val log = scala.collection.mutable.ArrayBuffer.empty[LouvainRound]
     var i = 1
     while (i <= rounds) {
       val sigma = deg.join(labels, Seq("id"))
         .groupBy(col("lab").as("__cl")).agg(sum(col("degree")).as("__sig"))
-      val e2 = und
+      val e2 = undExt
         .join(labels.select(col("id").as("v"), col("lab").as("__cl")),
           Seq("v"))
         .groupBy(col("u").as("id"), col("__cl"))

@@ -9928,6 +9928,169 @@ object ExtensionQueries {
        |ORDER BY community""".stripMargin
   }
 
+  /** TWO-LEVEL Louvain ([[graft.operators.Graph.louvainTwoLevel]], 6
+    * guarded move-class rounds per level) over the link graph: level 1
+    * is g19's ascent; the communities then CONTRACT to super-nodes
+    * carrying their intra mass as self-loops (exact Blondel
+    * coarsening, so every level-2 q_num is the original graph's exact
+    * modularity numerator and the level-2 log continues level 1's on
+    * one scale), level 2 re-runs the weighted ascent on the coarse
+    * graph, and the mapped-back labeling passes an outer accept guard
+    * recomputed on the original graph. Output: the g11 decomposition
+    * of the final labeling with BOTH levels' per-round q/accept/moved,
+    * the outer accept flag and the final q pinned as columns. The
+    * oracle replays all 12 rounds, the contraction, the map-back and
+    * the outer guard in SQL. */
+  def g22LouvainTwoLevel(sp: SparkSession, dir: String): DataFrame = {
+    val r = graft.operators.Graph.louvainTwoLevel(linkEdges(sp, dir),
+      rounds = 6)
+    var out = graft.operators.Graph.modularityParts(linkEdges(sp, dir),
+      r.labels)
+    r.level1.foreach { rd =>
+      out = out.withColumn(s"aq${rd.round}", lit(rd.qNum))
+        .withColumn(s"aacc${rd.round}", lit(rd.accepted))
+        .withColumn(s"amv${rd.round}", lit(rd.nMoved))
+    }
+    r.level2.foreach { rd =>
+      out = out.withColumn(s"bq${rd.round}", lit(rd.qNum))
+        .withColumn(s"bacc${rd.round}", lit(rd.accepted))
+        .withColumn(s"bmv${rd.round}", lit(rd.nMoved))
+    }
+    out.withColumn("acc2", lit(r.coarseAccepted))
+      .withColumn("q_fin", lit(r.qNum))
+      .orderBy("community")
+  }
+
+  val g22Sql: String = {
+    // one guarded move-class round, all CTE/table names prefixed so the
+    // same builder emits both levels; e2u = the self-loop-free edge
+    // universe (level 1: the und table itself), und = the full one
+    def round(pr: String, p: String, c: String, mc: Int): String =
+      s"""${pr}sg$c AS (SELECT l.lab AS cl,
+         |    CAST(SUM(d.degree) AS BIGINT) AS sig
+         |  FROM ${pr}deg d JOIN ${pr}l$p l ON d.id = l.id GROUP BY 1),
+         |${pr}e2$c AS (SELECT e.u AS id, lv.lab AS cl,
+         |    CAST(SUM(e.w) AS BIGINT) AS e2
+         |  FROM ${pr}e2u e JOIN ${pr}l$p lv ON e.v = lv.id GROUP BY 1, 2),
+         |${pr}cd$c AS (SELECT id, cl, e2 FROM ${pr}e2$c
+         |  UNION ALL SELECT id, lab, 0 FROM ${pr}l$p),
+         |${pr}sc$c AS (SELECT cn.id, cn.cl,
+         |    CAST(cn.e2 * ut.u_tot - d.degree * (s.sig -
+         |      CASE WHEN cn.cl = o.lab THEN d.degree ELSE 0 END)
+         |      AS BIGINT) AS sc
+         |  FROM ${pr}cd$c cn
+         |  JOIN ${pr}deg d ON d.id = cn.id
+         |  JOIN ${pr}l$p o ON o.id = cn.id
+         |  JOIN ${pr}sg$c s ON s.cl = cn.cl
+         |  CROSS JOIN ${pr}ut ut
+         |  WHERE cn.id % 3 = $mc),
+         |${pr}p$c AS MATERIALIZED (SELECT id, cl AS lab FROM (
+         |  SELECT id, cl, row_number() OVER (
+         |    PARTITION BY id ORDER BY sc DESC, cl) AS rn FROM ${pr}sc$c)
+         |  WHERE rn = 1
+         |  UNION ALL SELECT id, lab FROM ${pr}l$p WHERE id % 3 <> $mc),
+         |${pr}qp$c AS (SELECT CAST(
+         |    (SELECT CAST(coalesce(SUM(e.w), 0) AS BIGINT)
+         |      FROM ${pr}und e
+         |      JOIN ${pr}p$c a ON e.u = a.id
+         |      JOIN ${pr}p$c b ON e.v = b.id AND a.lab = b.lab)
+         |      * (SELECT u_tot FROM ${pr}ut)
+         |    - (SELECT CAST(coalesce(SUM(ds * ds), 0) AS BIGINT) FROM (
+         |        SELECT CAST(SUM(d.degree) AS BIGINT) AS ds
+         |        FROM ${pr}deg d
+         |        JOIN ${pr}p$c l ON d.id = l.id GROUP BY l.lab))
+         |    AS BIGINT) AS qn),
+         |${pr}mv$c AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM ${pr}p$c p
+         |  JOIN ${pr}l$p o ON p.id = o.id AND p.lab <> o.lab),
+         |${pr}ac$c AS (SELECT (SELECT qn FROM ${pr}qp$c) >=
+         |  (SELECT qn FROM ${pr}q$p) AS a),
+         |${pr}l$c AS MATERIALIZED (SELECT o.id,
+         |    CASE WHEN (SELECT a FROM ${pr}ac$c) THEN p.lab ELSE o.lab
+         |      END AS lab
+         |  FROM ${pr}l$p o JOIN ${pr}p$c p ON p.id = o.id),
+         |${pr}q$c AS (SELECT CASE WHEN (SELECT a FROM ${pr}ac$c)
+         |    THEN (SELECT qn FROM ${pr}qp$c)
+         |    ELSE (SELECT qn FROM ${pr}q$p) END AS qn)""".stripMargin
+    def rounds6(pr: String): String =
+      Seq(("0", "1", 0), ("1", "2", 1), ("2", "3", 2),
+        ("3", "4", 0), ("4", "5", 1), ("5", "6", 2))
+        .map { case (p, c, mc) => round(pr, p, c, mc) }.mkString(",\n")
+    def pins(pr: String, col: String): String =
+      (1 to 6).map { i =>
+        s"""(SELECT qn FROM ${pr}q$i) AS ${col}q$i,
+           |  (SELECT a FROM ${pr}ac$i) AS ${col}acc$i,
+           |  (SELECT m FROM ${pr}mv$i) AS ${col}mv$i""".stripMargin
+      }.mkString(",\n  ")
+    s"""WITH $linkEdgesSql,
+       |asym AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM edges
+       |         UNION SELECT dst, src FROM edges) WHERE u <> v),
+       |aund AS MATERIALIZED (SELECT DISTINCT u, v,
+       |  CAST(1 AS BIGINT) AS w FROM asym),
+       |ae2u AS (SELECT u, v, w FROM aund),
+       |aut AS (SELECT CAST(SUM(w) AS BIGINT) AS u_tot FROM aund),
+       |adeg AS MATERIALIZED (SELECT u AS id,
+       |  CAST(SUM(w) AS BIGINT) AS degree FROM aund GROUP BY 1),
+       |al0 AS MATERIALIZED (SELECT id, id AS lab FROM adeg),
+       |aq0 AS (SELECT CAST(-(SELECT SUM(d.degree * d.degree)
+       |  FROM adeg d) AS BIGINT) AS qn),
+       |${rounds6("a")},
+       |bund AS MATERIALIZED (SELECT cu.lab AS u, cv.lab AS v,
+       |    CAST(SUM(e.w) AS BIGINT) AS w
+       |  FROM aund e JOIN al6 cu ON e.u = cu.id
+       |  JOIN al6 cv ON e.v = cv.id GROUP BY 1, 2),
+       |be2u AS (SELECT u, v, w FROM bund WHERE u <> v),
+       |but AS (SELECT CAST(SUM(w) AS BIGINT) AS u_tot FROM bund),
+       |bdeg AS MATERIALIZED (SELECT u AS id,
+       |  CAST(SUM(w) AS BIGINT) AS degree FROM bund GROUP BY 1),
+       |bl0 AS MATERIALIZED (SELECT id, id AS lab FROM bdeg),
+       |bq0 AS (SELECT CAST(
+       |  (SELECT coalesce(SUM(w), 0) FROM bund WHERE u = v)
+       |    * (SELECT u_tot FROM but)
+       |  - (SELECT SUM(d.degree * d.degree) FROM bdeg d)
+       |  AS BIGINT) AS qn),
+       |${rounds6("b")},
+       |fin0 AS MATERIALIZED (SELECT a.id, coalesce(b.lab, a.lab) AS lab
+       |  FROM al6 a LEFT JOIN bl6 b ON a.lab = b.id),
+       |qfin AS (SELECT CAST(
+       |    (SELECT coalesce(SUM(e.w), 0) FROM aund e
+       |      JOIN fin0 x ON e.u = x.id
+       |      JOIN fin0 y ON e.v = y.id AND x.lab = y.lab)
+       |      * (SELECT u_tot FROM aut)
+       |    - (SELECT coalesce(SUM(ds * ds), 0) FROM (
+       |        SELECT CAST(SUM(d.degree) AS BIGINT) AS ds FROM adeg d
+       |        JOIN fin0 l ON d.id = l.id GROUP BY l.lab))
+       |    AS BIGINT) AS qn),
+       |oacc AS (SELECT (SELECT qn FROM qfin) >= (SELECT qn FROM aq6)
+       |  AS a),
+       |fl AS MATERIALIZED (SELECT a.id,
+       |    CASE WHEN (SELECT a FROM oacc) THEN f.lab ELSE a.lab END
+       |      AS lab
+       |  FROM al6 a JOIN fin0 f ON f.id = a.id),
+       |qres AS (SELECT CASE WHEN (SELECT a FROM oacc)
+       |  THEN (SELECT qn FROM qfin) ELSE (SELECT qn FROM aq6) END
+       |  AS qn),
+       |dc AS (SELECT l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.degree) AS BIGINT) AS deg_sum
+       |  FROM adeg d JOIN fl l ON d.id = l.id GROUP BY 1),
+       |ia AS (SELECT lu.lab, CAST(SUM(e.w) AS BIGINT) AS intra2
+       |  FROM aund e
+       |  JOIN fl lu ON e.u = lu.id
+       |  JOIN fl lv ON e.v = lv.id AND lu.lab = lv.lab
+       |  GROUP BY 1)
+       |SELECT dc.lab AS community, dc.n_nodes, dc.deg_sum,
+       |  CAST(coalesce(ia.intra2, 0) AS BIGINT) AS intra2,
+       |  ut.u_tot,
+       |  CAST(coalesce(ia.intra2, 0) * ut.u_tot
+       |    - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num,
+       |  ${pins("a", "a")},
+       |  ${pins("b", "b")},
+       |  (SELECT a FROM oacc) AS acc2,
+       |  (SELECT qn FROM qres) AS q_fin
+       |FROM dc LEFT JOIN ia ON ia.lab = dc.lab CROSS JOIN aut ut
+       |ORDER BY community""".stripMargin
+  }
+
   /** The derived link graph with a deterministic integer EDGE WEIGHT in
     * 1..7 (hashed from (doc_id, k), so DuckDB replays it exactly) — the
     * input for the weighted community gate g21. */
@@ -12869,7 +13032,8 @@ object ExtensionQueries {
     "m27_goertzel" -> (m27Goertzel _),
     "t59_theta_algebra" -> (t59ThetaAlgebra _),
     "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
-    "g21_louvain_weighted" -> (g21LouvainWeighted _))
+    "g21_louvain_weighted" -> (g21LouvainWeighted _),
+    "g22_louvain_two_level" -> (g22LouvainTwoLevel _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13103,5 +13267,6 @@ object ExtensionQueries {
     "m27_goertzel" -> m27Sql,
     "t59_theta_algebra" -> t59Sql,
     "s41_bottomk_stream_ingest" -> s41Sql,
-    "g21_louvain_weighted" -> g21Sql)
+    "g21_louvain_weighted" -> g21Sql,
+    "g22_louvain_two_level" -> g22Sql)
 }

@@ -489,6 +489,41 @@ class GraphSpec extends AnyFunSuite {
     assert(logA === logB)
   }
 
+  test("g22 louvainTwoLevel: coarse pass escapes the level-1 local " +
+      "optimum on a ring, outer guard pins true-graph monotonicity, " +
+      "isolated communities survive the map-back") {
+    // ring of 12 + a disconnected triangle {100,101,102}: level 1
+    // fragments the ring into small arcs; merging adjacent arcs is one
+    // coarse-node move. The triangle community has no external edge,
+    // so it never reaches the coarse graph (map-back LEFT join path).
+    val ring = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong))
+    val tri = Seq(100L -> 101L, 101L -> 102L, 100L -> 102L)
+    val e = edges((ring ++ tri): _*)
+    val r = Graph.louvainTwoLevel(e, rounds = 6)
+    val q1 = r.level1.last.qNum
+    // outer guard: never below level 1 (construction), and the final
+    // q_num is the true decomposition total
+    assert(r.qNum >= q1, s"outer guard violated: ${r.qNum} < $q1")
+    val parts = Graph.modularityParts(e, r.labels).collect()
+    assert(parts.map(_.getAs[Long]("q_num")).sum == r.qNum)
+    // the coarse pass genuinely fires and improves on this plant
+    assert(r.coarseAccepted && r.qNum > q1,
+      s"level 2 not exercised: acc=${r.coarseAccepted} q=${r.qNum} q1=$q1" +
+        s" log2=${r.level2}")
+    // exact-coarsening identity: level-2 q_nums continue level 1's on
+    // the SAME original-graph scale (coarse q0 = q1), stay monotone,
+    // and the adopted result equals the last level-2 q
+    val q2s = r.level2.map(_.qNum)
+    assert(q2s.forall(_ >= q1), s"coarse q below q1: $q2s vs $q1")
+    assert(q2s.zip(q2s.tail).forall { case (a, b) => b >= a })
+    assert(r.qNum == q2s.last)
+    // triangle stays one community, separate from every ring node
+    val got = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1))
+      .toMap
+    assert(Set(100L, 101L, 102L).map(got).size == 1)
+    assert(!(0 until 12).map(i => got(i.toLong)).contains(got(100L)))
+  }
+
   test("g20 betweennessPivots: path interior maximal, star center = " +
       "all pairs, diamond halves sum to exact rationals, horizon " +
       "truncation zeroes everything") {
