@@ -156,4 +156,23 @@ object Profile {
           "* CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)) " +
           "* CAST(n1 + n2 + 1 AS DECIMAL(38,0))").as("shifted"))
   }
+
+  /** ROC-AUC, INTEGER-EXACT — the threshold-free ranking quality of a
+    * score against a binary label, via the AUC = U₁/(n₊·n₋) identity on
+    * [[mannWhitney]]'s doubled rank sums: auc_num2 = 2·U₁ counts every
+    * (pos, neg) pair 2 if the positive outranks, 1 on a tie, 0
+    * otherwise, and auc_den2 = 2·n₊·n₋, so the one final float is the
+    * division of two exact BIGINTs (DECIMAL(38) beyond ~10⁹ per side).
+    * Same scale shape as the kernel: corpus → per-score-value counts,
+    * cumulative window over the score DOMAIN only. Degenerate
+    * single-class inputs report auc = NULL. */
+  def rocAuc(df: DataFrame, isPos: Column, score: Column): DataFrame =
+    mannWhitney(df, isPos, score)
+      .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+        col("u1_2").as("auc_num2"),
+        (col("n1") * col("n2") * 2).as("auc_den2"),
+        when(col("n1") === 0 || col("n2") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("u1_2").cast("double") /
+            (col("n1") * col("n2") * 2).cast("double")).as("auc"))
 }

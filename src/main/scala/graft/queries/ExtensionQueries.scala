@@ -6745,6 +6745,81 @@ object ExtensionQueries {
       |    >= 38416::HUGEINT * n1 * n2 * (n1 + n2 + 1)) AS shifted
       |FROM u""".stripMargin
 
+  /** QUALITY-FILTER BIAS AUDIT via exact ROC-AUC
+    * ([[graft.operators.Profile.rocAuc]]) — the standard check that a
+    * curation score does not systematically rank one language cohort
+    * above the rest (the documented failure mode of English-tuned
+    * quality filters on multilingual corpora): AUC of the t2 quality
+    * kernel against the label lang = 'en', beside a hashed-score
+    * CONTROL probe on the same cohort split whose AUC sits at the 0.5
+    * null by construction. Both AUCs are the division of two exact
+    * BIGINTs (2·U₁ with tie-halves / 2·n₊·n₋ — the p28 doubled-midrank
+    * kernel), so the oracle replays them hash-exactly. Three probes
+    * bracket the reading: `length_meter` validates the meter itself (a
+    * score perfectly ordered with its own label must read exactly 1.0),
+    * `hash_control` pins the 0.5 null, and `quality_vs_en` is the audit
+    * — ≈ 0.50 on this corpus, i.e. NO language bias detected (the
+    * synthetic text carries English stopwords at similar rates across
+    * lang labels), which is itself the audit's finding: the meter is
+    * proven live by the bracketing probes, so a clean reading means
+    * clean, not broken. Scale shape: per-probe corpus → score-domain
+    * counts, cumulative window over the score domain only. */
+  def p35AucBias(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+    val sig = graft.operators.Profile.rocAuc(
+      docs.select(col("lang"), Text.qualityScore(col("text")).as("q")),
+      col("lang") === "en", col("q"))
+      .withColumn("probe", lit("quality_vs_en"))
+    val ctl = graft.operators.Profile.rocAuc(
+      docs.select(col("lang"),
+        pmod(Hashing.portableHash32(col("doc_id").cast("string")),
+          lit(10000L)).cast("double").as("h")),
+      col("lang") === "en", col("h"))
+      .withColumn("probe", lit("hash_control"))
+    val meter = graft.operators.Profile.rocAuc(
+      docs.select(col("n_chars").cast("double").as("v"),
+        (col("n_chars") >= 500L).as("p")),
+      col("p"), col("v"))
+      .withColumn("probe", lit("length_meter"))
+    sig.unionByName(ctl).unionByName(meter)
+      .select(col("probe"), col("n_pos"), col("n_neg"),
+        col("auc_num2"), col("auc_den2"), col("auc"))
+      .orderBy("probe")
+  }
+
+  val p35Sql: String = {
+    def probe(tag: String, scoreExpr: String,
+        labelExpr: String = "(lang = 'en')"): String =
+      s"""SELECT '$tag' AS probe, n_pos, n_neg, auc_num2,
+         |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE CAST(auc_num2 AS DOUBLE)
+         |      / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+         |FROM (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |    CAST(SUM(np * (bfr * 2 + np + nn + 1))
+         |      - SUM(np) * (SUM(np) + 1) AS BIGINT) AS auc_num2
+         |  FROM (
+         |    SELECT np, nn, COALESCE(SUM(np + nn) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS bfr
+         |    FROM (
+         |      SELECT v, count(*) FILTER (p) AS np,
+         |        count(*) FILTER (NOT p) AS nn
+         |      FROM (SELECT $labelExpr AS p, $scoreExpr AS v
+         |            FROM documents) GROUP BY v)))""".stripMargin
+    s"""${probe("quality_vs_en", qualitySqlExpr)}
+       |UNION ALL
+       |${probe("hash_control",
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))" +
+          "::BIGINT % 10000 AS DOUBLE)")}
+       |UNION ALL
+       |${probe("length_meter", "CAST(n_chars AS DOUBLE)",
+        "(n_chars >= 500)")}
+       |ORDER BY probe""".stripMargin
+  }
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -13033,7 +13108,8 @@ object ExtensionQueries {
     "t59_theta_algebra" -> (t59ThetaAlgebra _),
     "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
-    "g22_louvain_two_level" -> (g22LouvainTwoLevel _))
+    "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
+    "p35_auc_bias" -> (p35AucBias _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13268,5 +13344,6 @@ object ExtensionQueries {
     "t59_theta_algebra" -> t59Sql,
     "s41_bottomk_stream_ingest" -> s41Sql,
     "g21_louvain_weighted" -> g21Sql,
-    "g22_louvain_two_level" -> g22Sql)
+    "g22_louvain_two_level" -> g22Sql,
+    "p35_auc_bias" -> p35Sql)
 }

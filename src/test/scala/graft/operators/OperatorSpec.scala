@@ -1667,6 +1667,33 @@ class OperatorSpec extends AnyFunSuite {
       .collect()(0).getBoolean(5))
   }
 
+  test("p35 rocAuc: perfect separation 1.0, reversed 0.0, all-tied 0.5, " +
+      "mixed hand case with a tie pair, single-class NULL") {
+    import spark.implicits._
+    import graft.operators.Profile
+    def auc(rows: Seq[(Boolean, Double)]) = {
+      val r = Profile.rocAuc(rows.toDF("p", "s"), col("p"), col("s"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    // every positive above every negative
+    assert(auc(Seq((true, 10.0), (true, 9.0), (false, 1.0),
+      (false, 2.0))) == ((2L, 2L, 8L, 8L, Some(1.0))))
+    // inverted ranking
+    assert(auc(Seq((true, 1.0), (false, 9.0))) ==
+      ((1L, 1L, 0L, 2L, Some(0.0))))
+    // one shared value: every pair a tie -> exactly 0.5
+    assert(auc(Seq((true, 5.0), (true, 5.0), (false, 5.0))) ==
+      ((2L, 1L, 2L, 4L, Some(0.5))))
+    // pos {3,1}, neg {2,1}: pairs 1+1+0+tie(.5) -> AUC = 2.5/4
+    assert(auc(Seq((true, 3.0), (true, 1.0), (false, 2.0),
+      (false, 1.0))) == ((2L, 2L, 5L, 8L, Some(0.625))))
+    // no negatives -> denominator 0 -> NULL auc
+    assert(auc(Seq((true, 1.0), (true, 2.0))) ==
+      ((2L, 0L, 0L, 0L, None)))
+  }
+
   test("g14 weightedSeededDistance: cheap detour beats expensive direct " +
       "hop, round-bounded monotonicity, parallel edges keep min weight, " +
       "unreached nodes absent") {
