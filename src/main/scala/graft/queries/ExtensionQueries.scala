@@ -872,6 +872,96 @@ object ExtensionQueries {
        |FROM th CROSS JOIN sm CROSS JOIN ex""".stripMargin
   }
 
+  /** Multinomial Naive Bayes source classifier
+    * ([[graft.operators.NaiveBayes]]) — the fastText-shaped linear text
+    * classifier of every curation stack, trained on the md5-parity
+    * TRAIN half (the t43 contamination-free split) with `source` as the
+    * label and applied to the EVAL half. Every score is an exact Q16
+    * integer: the fixed-point log2 square-and-extract recurrence runs
+    * over the distinct count domain and the oracle REPLAYS it as a
+    * 16-step recursive CTE in HUGEINT, then reassembles the Laplace
+    * scores, the tie ordering and the argmax — so the gate hash-pins
+    * the entire trained model, not just the predictions. (The synthetic
+    * corpus carries little real source signal — accuracy is reported
+    * per doc honestly via the `correct` column; the model SEMANTICS are
+    * pinned by the hand fixture in NaiveBayesSpec.) */
+  def t60NaiveBayes(sp: SparkSession, dir: String): DataFrame = {
+    val docs = documents(sp, dir)
+      .withColumn("__train",
+        Hashing.portableHash32(col("doc_id").cast("string")) % 2 === 0)
+    val model = graft.operators.NaiveBayes.train(
+      docs.filter(col("__train")), "source", "text", "graft-t60")
+    val evalD = docs.filter(!col("__train"))
+    graft.operators.NaiveBayes.classify(evalD, "doc_id", "text", model)
+      .join(evalD.select(col("doc_id").as("id"),
+        col("source").as("actual")), Seq("id"))
+      .select(col("id").as("doc_id"), col("actual"), col("pred"),
+        (col("pred") === col("actual")).as("correct"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val t60Sql: String =
+    s"""WITH RECURSIVE
+       |tr AS (SELECT * FROM documents
+       |  WHERE ${h("CAST(doc_id AS VARCHAR)")} % 2 = 0),
+       |ev AS (SELECT * FROM documents
+       |  WHERE NOT (${h("CAST(doc_id AS VARCHAR)")} % 2 = 0)),
+       |cnt AS (SELECT cls, tok, CAST(count(*) AS BIGINT) AS n FROM
+       |  (SELECT source AS cls, unnest($Toks) AS tok FROM tr)
+       |  GROUP BY 1, 2),
+       |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+       |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM tr),
+       |pri AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS dc
+       |  FROM tr GROUP BY 1),
+       |tot AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS nc FROM cnt
+       |  GROUP BY 1),
+       |need AS (SELECT DISTINCT x FROM (
+       |  SELECT n + 1 AS x FROM cnt
+       |  UNION SELECT nc + (SELECT v FROM vv) FROM tot
+       |  UNION SELECT dc FROM pri
+       |  UNION SELECT d FROM dd)),
+       |lg(x, m, i, frac) AS (
+       |  SELECT x, CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1)),
+       |    0, CAST(0 AS BIGINT)
+       |  FROM need
+       |  UNION ALL
+       |  SELECT x,
+       |    CAST(CASE WHEN m::HUGEINT * m >=
+       |        9223372036854775807::HUGEINT + 1
+       |      THEN (m::HUGEINT * m) // 4294967296
+       |      ELSE (m::HUGEINT * m) // 2147483648 END AS BIGINT),
+       |    i + 1,
+       |    frac * 2 + CASE WHEN m::HUGEINT * m >=
+       |      9223372036854775807::HUGEINT + 1 THEN 1 ELSE 0 END
+       |  FROM lg WHERE i < 16),
+       |ltab AS (SELECT x,
+       |  CAST(length(bin(x)) - 1 AS BIGINT) * 65536 + frac AS l
+       |  FROM lg WHERE i = 16),
+       |cond AS (SELECT c.cls, c.tok, lt.l AS lcond
+       |  FROM cnt c JOIN ltab lt ON lt.x = c.n + 1),
+       |clst AS (SELECT t.cls,
+       |    lp.l - (SELECT l FROM ltab WHERE x = (SELECT d FROM dd))
+       |      AS lprior,
+       |    lnn.l AS ldenom
+       |  FROM tot t JOIN pri p USING (cls)
+       |  JOIN ltab lnn ON lnn.x = t.nc + (SELECT v FROM vv)
+       |  JOIN ltab lp ON lp.x = p.dc),
+       |etok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM
+       |  (SELECT doc_id, unnest($Toks) AS tok FROM ev) GROUP BY 1, 2),
+       |sc AS (SELECT e.doc_id, cl.cls,
+       |    CAST(SUM(e.m * (COALESCE(cd.lcond, 0) - cl.ldenom))
+       |      + MAX(cl.lprior) AS BIGINT) AS score
+       |  FROM etok e CROSS JOIN clst cl
+       |  LEFT JOIN cond cd ON cd.cls = cl.cls AND cd.tok = e.tok
+       |  GROUP BY 1, 2),
+       |best AS (SELECT doc_id, cls AS pred, score FROM (
+       |  SELECT doc_id, cls, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT b.doc_id, d.source AS actual, b.pred,
+       |  b.pred = d.source AS correct, b.score
+       |FROM best b JOIN ev d USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Fuzzy entity matching ([[graft.operators.Fuzzy]]): part-name pairs
     * within Levenshtein 3, found via character-3-gram blocking over the
     * DISTINCT name vocabulary — the candidates-then-confirm discipline of
@@ -13109,7 +13199,8 @@ object ExtensionQueries {
     "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
-    "p35_auc_bias" -> (p35AucBias _))
+    "p35_auc_bias" -> (p35AucBias _),
+    "t60_naive_bayes" -> (t60NaiveBayes _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13345,5 +13436,6 @@ object ExtensionQueries {
     "s41_bottomk_stream_ingest" -> s41Sql,
     "g21_louvain_weighted" -> g21Sql,
     "g22_louvain_two_level" -> g22Sql,
-    "p35_auc_bias" -> p35Sql)
+    "p35_auc_bias" -> p35Sql,
+    "t60_naive_bayes" -> t60Sql)
 }
