@@ -9020,6 +9020,72 @@ object ExtensionQueries {
       .orderBy("event_type")
   }
 
+  /** STREAMING NB MODEL SCORING with a training/serving consistency
+    * proof ([[graft.streaming.StreamOps.nbClassifySink]]): the t60
+    * model trains offline on the md5-parity TRAIN half and PUBLISHES
+    * to parquet paths; the EVAL half streams as a 6-file bus consumed
+    * 2 files per trigger (3 epochs), each micro-batch re-reading the
+    * published model and scoring with the SAME classify plan the batch
+    * job runs, into idempotent batch_id partitions. The gate re-runs
+    * the OFFLINE classifier on the same rows and full-outer-joins the
+    * two outputs per doc: `matches` must be TRUE on every row (a doc
+    * scored differently online — or present on one side only — fails
+    * the hash), `n_batches` pins the 3-epoch consumption. Epoch
+    * MEMBERSHIP is file-listing-dependent, so per-epoch counts are
+    * deliberately NOT in the output — per-doc equality is epoch-
+    * assignment-free, which is exactly why it can be oracle-checked. */
+  def s42StreamNbScoring(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    val docs = documents(s2, dir)
+      .withColumn("__train",
+        Hashing.portableHash32(col("doc_id").cast("string")) % 2 === 0)
+    val model = graft.operators.NaiveBayes.train(
+      docs.filter(col("__train")), "source", "text", "graft-s42")
+    val condDir = graft.Tables.scratchDir("graft-s42-cond")
+    val clsDir = graft.Tables.scratchDir("graft-s42-cls")
+    model.cond.write.mode("overwrite").parquet(condDir)
+    model.cls.write.mode("overwrite").parquet(clsDir)
+    val evalD = docs.filter(!col("__train"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val inDir = graft.Tables.scratchDir("graft-s42-in")
+    evalD.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s42: producer wrote $nFiles non-empty part files, expected 6 — " +
+        "the pinned 3-epoch consumption would diverge")
+    val changes = s2.readStream.schema(evalD.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val outDir = graft.Tables.scratchDir("graft-s42-out")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try graft.streaming.StreamOps.nbClassifySink(changes, condDir,
+      clsDir, "doc_id", "text", outDir)
+    finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    val streamed = s2.read.parquet(outDir)
+    val nb = streamed.agg(countDistinct(col("batch_id")).as("n_batches"))
+    val offline = graft.operators.NaiveBayes.classify(evalD, "doc_id",
+      "text", model)
+    streamed.select(col("id"), col("pred").as("__sp"),
+        col("score").as("__ss"))
+      .join(offline, Seq("id"), "full_outer")
+      .join(evalD.select(col("doc_id").as("id"),
+        col("source").as("actual")), Seq("id"))
+      .crossJoin(broadcast(nb))
+      .select(col("id").as("doc_id"), col("actual"), col("pred"),
+        (col("pred") === col("actual")).as("correct"), col("score"),
+        (col("__sp") <=> col("pred") && col("__ss") <=> col("score"))
+          .as("matches"),
+        col("n_batches"))
+      .orderBy("doc_id")
+  }
+
+  val s42Sql: String = t60Sql
+    .replace("AS correct, b.score\nFROM best",
+      "AS correct, b.score,\n  TRUE AS matches, " +
+        "CAST(3 AS BIGINT) AS n_batches\nFROM best")
+
   val s41Sql: String =
     """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
       |  FROM events WHERE event_id % 16 = 9),
@@ -13200,7 +13266,8 @@ object ExtensionQueries {
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
     "p35_auc_bias" -> (p35AucBias _),
-    "t60_naive_bayes" -> (t60NaiveBayes _))
+    "t60_naive_bayes" -> (t60NaiveBayes _),
+    "s42_stream_nb_scoring" -> (s42StreamNbScoring _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13437,5 +13504,6 @@ object ExtensionQueries {
     "g21_louvain_weighted" -> g21Sql,
     "g22_louvain_two_level" -> g22Sql,
     "p35_auc_bias" -> p35Sql,
-    "t60_naive_bayes" -> t60Sql)
+    "t60_naive_bayes" -> t60Sql,
+    "s42_stream_nb_scoring" -> s42Sql)
 }

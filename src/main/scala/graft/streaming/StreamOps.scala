@@ -1121,6 +1121,37 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAMING MODEL SCORING — the online serving leg of the t60
+    * Naive Bayes classifier: the trained model lives as PUBLISHED
+    * parquet tables (cond/cls) and is re-read from its paths inside
+    * every foreachBatch body (the s40 refresh discipline — a model
+    * republish lands at the next micro-batch without a restart), each
+    * micro-batch scored by the SAME [[graft.operators.NaiveBayes
+    * .classify]] plan the offline job runs, landing in idempotent
+    * `batch_id` partitions (the s33/s38 exactly-once recipe). Because
+    * scoring is per-row pure given the model, streaming-vs-batch
+    * equality is provable row-for-row — the training/serving
+    * consistency check real feature pipelines need. Per-epoch work is
+    * batch-sized + one vocab×classes model scan; no state store. */
+  def nbClassifySink(changes: DataFrame, condDir: String,
+      clsDir: String, idCol: String, textCol: String, outDir: String)
+      : Unit = {
+    val ckpt = graft.Tables.scratchDir("graft-nbscore-ckpt")
+    val q = changes.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp2 = batch.sparkSession
+        val model = graft.operators.NaiveBayes.NbModel(
+          sp2.read.parquet(condDir), sp2.read.parquet(clsDir))
+        graft.operators.NaiveBayes.classify(batch, idCol, textCol,
+            model)
+          .write.mode("overwrite").parquet(f"$outDir/batch_id=$id%05d")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** PER-MICRO-BATCH DIMENSION REFRESH enrichment — the production
     * pattern for joining a long-running stream against a slowly
     * PUBLISHED dimension: the dim is re-read from its path inside
