@@ -2913,6 +2913,46 @@ object Relational {
       |FROM agg LEFT JOIN fast ON fast.g = agg.g
       |ORDER BY nationkey""".stripMargin
 
+  /** 2-D SKYLINE ([[graft.operators.Skyline.skyline2d]]) — the Pareto
+    * frontier "cheapest AND freshest" shortlist over orders: minimize
+    * total price (exact cents), maximize order date (day number). The
+    * operator grid-prunes cells a strictly cheaper-AND-fresher nonempty
+    * cell dominates (one window over the ≤ 64² CELL domain), then runs
+    * the exact sorted scan only over the surviving staircase band —
+    * never a corpus-sized global window (the z3 lesson). The oracle is
+    * the plain sorted-scan formulation over the full (price, day)
+    * domain, so it checks the prune was lossless, not just replayed;
+    * the spec's brute-force property sweep covers the pairwise
+    * definition. Output: one row per skyline point with multiplicity
+    * and a min-orderkey witness. */
+  def q62Skyline(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).as("day"))
+    graft.operators.Skyline.skyline2d(o, col("o_orderkey"),
+        col("cents"), col("day"), grid = 64)
+      .select(col("x").as("price_cents"), col("y").as("order_day"),
+        col("n_rows"), col("witness"))
+      .orderBy("price_cents")
+  }
+
+  val q62Sql: String =
+    """WITH pts AS (SELECT o_orderkey AS id,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    CAST(date_diff('day', DATE '1995-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+      |  FROM orders),
+      |g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_rows,
+      |    MIN(id) AS witness
+      |  FROM pts GROUP BY 1, 2),
+      |s AS (SELECT x, y, n_rows, witness,
+      |    MAX(y) OVER (ORDER BY x ASC, y DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      |  FROM g)
+      |SELECT x AS price_cents, y AS order_day, n_rows, witness
+      |FROM s WHERE m IS NULL OR m < y ORDER BY price_cents""".stripMargin
+
   /** The q52/q53 canonical orders fingerprint: (n_rows, fp_a, fp_b) —
     * two 32-bit md5 lanes xor'd over a type-fixed canonical row string.
     * Order-independent (xor commutes), so physical copies compare
@@ -3174,7 +3214,8 @@ object Relational {
     "q61_ivm_join_min_reserve" -> (q61IvmJoinMinReserve _),
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
-    "q54_column_lineage" -> (q54ColumnLineage _))
+    "q54_column_lineage" -> (q54ColumnLineage _),
+    "q62_skyline" -> (q62Skyline _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3248,5 +3289,6 @@ object Relational {
     "q61_ivm_join_min_reserve" -> q61Sql,
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
-    "q54_column_lineage" -> q54Sql)
+    "q54_column_lineage" -> q54Sql,
+    "q62_skyline" -> q62Sql)
 }
