@@ -6910,6 +6910,79 @@ object ExtensionQueries {
        |ORDER BY probe""".stripMargin
   }
 
+  /** BENFORD FIRST-DIGIT SCREEN — the classic fabricated-numbers
+    * detector (fraud audits, synthetic-data detection): the leading
+    * significant digit of naturally-grown multi-magnitude quantities
+    * follows P(d) = log10(1 + 1∕d); uniform or generated numbers do
+    * not. The 5-decimal Benford probabilities in basis-points-of-10⁵
+    * (30103 … 4576) sum to EXACTLY 10⁵, so expectations are exact
+    * rationals: per digit the chi-square term cross-multiplies as
+    * (O_d·10⁵ − N·p_d)² ∕ (10⁵·N·p_d) — every input an exact BIGINT,
+    * one shared IEEE tree (the p27 per-term contract; a 9-term double
+    * total has no portable fold order). The DECISION is Nigrini's MAD
+    * screen made integer-exact: mad_num = Σ_d |O_d·10⁵ − N·p_d| is a
+    * plain integer SUM (portable), and conformity (MAD ≤ 0.015) is the
+    * cross-multiplied comparison mad_num·1000 ≤ 15·9·N·10⁵ — no float
+    * in the verdict at all. First digit via the integer cents' leading
+    * character (no float log10). On this corpus the verdict is
+    * NONCONFORMING — synthetic uniform prices flunk Benford, which is
+    * exactly what the screen exists to catch. Scale: one digit-domain
+    * agg (9 cells); everything after is 9-row arithmetic. */
+  def p36Benford(sp: SparkSession, dir: String): DataFrame = {
+    val pBp = Map(1 -> 30103L, 2 -> 17609L, 3 -> 12494L, 4 -> 9691L,
+      5 -> 7918L, 6 -> 6695L, 7 -> 5799L, 8 -> 5115L, 9 -> 4576L)
+    val cents = orders(sp, dir)
+      .select((graft.Tables.dec(col("o_totalprice")) * 100)
+        .cast("long").as("c"))
+      .filter(col("c") > 0)
+    val obs = cents
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val pCol = pBp.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, p)) => when(col("digit") === d, p).otherwise(acc)
+    }
+    val withP = obs.withColumn("p_bp", pCol)
+    val n1 = withP.agg(sum(col("n_obs")).as("__n"))
+    withP.crossJoin(broadcast(n1))
+      .withColumn("__dev", col("n_obs") * lit(100000L) -
+        col("__n") * col("p_bp"))
+      .withColumn("chi2_term",
+        (col("__dev") * col("__dev")).cast("double") /
+          (lit(100000L) * col("__n") * col("p_bp")).cast("double"))
+      .withColumn("__madnum", sum(abs(col("__dev"))).over())
+      .select(col("digit"), col("n_obs"), col("p_bp"), col("chi2_term"),
+        col("__madnum").as("mad_num"),
+        (col("__madnum") * 1000L <=
+          lit(15L) * 9L * col("__n") * 100000L).as("benford_conform"))
+      .orderBy("digit")
+  }
+
+  val p36Sql: String =
+    """WITH pb(digit, p_bp) AS (VALUES (1, 30103), (2, 17609),
+      |  (3, 12494), (4, 9691), (5, 7918), (6, 6695), (7, 5799),
+      |  (8, 5115), (9, 4576)),
+      |c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS c
+      |  FROM orders
+      |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) > 0),
+      |obs AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+      |    AS digit, CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM c GROUP BY 1),
+      |j AS (SELECT o.digit, o.n_obs, CAST(p.p_bp AS BIGINT) AS p_bp,
+      |    (SELECT SUM(n_obs) FROM obs) AS n
+      |  FROM obs o JOIN pb p USING (digit)),
+      |d AS (SELECT digit, n_obs, p_bp,
+      |    n_obs * 100000 - n * p_bp AS dev, n FROM j),
+      |m AS (SELECT CAST(SUM(abs(dev)) AS BIGINT) AS mad_num FROM d)
+      |SELECT d.digit, d.n_obs, d.p_bp,
+      |  CAST(d.dev * d.dev AS DOUBLE) /
+      |    CAST(100000 * d.n * d.p_bp AS DOUBLE) AS chi2_term,
+      |  m.mad_num,
+      |  m.mad_num * 1000 <= 15 * 9 * d.n * 100000 AS benford_conform
+      |FROM d CROSS JOIN m ORDER BY digit""".stripMargin
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -13267,7 +13340,8 @@ object ExtensionQueries {
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
     "p35_auc_bias" -> (p35AucBias _),
     "t60_naive_bayes" -> (t60NaiveBayes _),
-    "s42_stream_nb_scoring" -> (s42StreamNbScoring _))
+    "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
+    "p36_benford" -> (p36Benford _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13505,5 +13579,6 @@ object ExtensionQueries {
     "g22_louvain_two_level" -> g22Sql,
     "p35_auc_bias" -> p35Sql,
     "t60_naive_bayes" -> t60Sql,
-    "s42_stream_nb_scoring" -> s42Sql)
+    "s42_stream_nb_scoring" -> s42Sql,
+    "p36_benford" -> p36Sql)
 }
