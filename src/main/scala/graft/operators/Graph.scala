@@ -933,6 +933,65 @@ object Graph {
           .as("bc"))
   }
 
+  /** PIVOT-SAMPLED HARMONIC CLOSENESS (the Eppstein–Wang estimator
+    * shape, bounded horizon) — the "how near is everything" centrality
+    * beside g20's "how often is it between": hc(v) = Σ over pivots p
+    * with 1 ≤ d(p, v) ≤ maxHops of 1∕d(p, v), on the undirected simple
+    * graph. EXACT-INTEGER: every reciprocal rides the common
+    * denominator L = lcm(1..maxHops), so the per-node sum is
+    * Σ L∕d — plain BIGINT addition (L∕d exact because d | L), one
+    * final float. Unreachable or all-pivot-distance-truncated nodes
+    * report 0 over L with n_reached = 0, not absence.
+    *
+    * Scale shape: the g20 multi-source BFS — frontier (pivot, node)
+    * rows through one edge equi-join + min-dedup anti-join per level,
+    * state ≤ |pivots|·n materialized per round — then ONE node-domain
+    * agg and a left join onto the node universe. Pivot count is the
+    * estimator's accuracy/cost knob, horizon its locality knob. */
+  def harmonicPivots(edges: DataFrame, pivots: Seq[Long], maxHops: Int)
+      : DataFrame = {
+    require(pivots.nonEmpty, "need at least one pivot")
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val sp = edges.sparkSession
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
+      "graft-harm-und")
+    import sp.implicits._
+    val p0 = pivots.toDF("s")
+      .join(und.select(col("u").as("s")).distinct(), Seq("s"), "left_semi")
+    var visited = materialize(
+      p0.select(col("s"), col("s").as("v"), lit(0).as("dist")),
+      "graft-harm-v0")
+    var frontier = visited
+    var l = 1
+    while (l <= maxHops) {
+      val nxt = frontier.join(und, frontier("v") === und("u"))
+        .select(frontier("s"), und("v").as("w")).distinct()
+        .join(visited.select(col("s"), col("v").as("w")), Seq("s", "w"),
+          "left_anti")
+        .select(col("s"), col("w").as("v"), lit(l).as("dist"))
+      frontier = materialize(nxt, s"graft-harm-f$l")
+      visited = materialize(visited.unionByName(frontier),
+        s"graft-harm-v$l")
+      l += 1
+    }
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmH = (1 to maxHops).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val contrib = visited.filter(col("dist") >= 1)
+      .groupBy(col("v").as("id"))
+      .agg(sum(expr(s"$lcmH DIV dist")).as("h_num"),
+        count(lit(1)).as("n_reached"))
+    und.select(col("u").as("id")).distinct()
+      .join(contrib, Seq("id"), "left")
+      .na.fill(0L, Seq("h_num", "n_reached"))
+      .select(col("id"), col("h_num"), lit(lcmH).as("h_den"),
+        col("n_reached"),
+        (col("h_num").cast("double") / lcmH.toDouble).as("hc"))
+  }
+
   /** One round's log entry from [[louvainAscent]]: the exact integer
     * modularity numerator after the round (q_num, over u_tot² — the g11
     * rational), whether the proposed synchronous move set was ACCEPTED,

@@ -10395,6 +10395,53 @@ object ExtensionQueries {
        |ORDER BY community""".stripMargin
   }
 
+  /** Pivot-sampled harmonic closeness
+    * ([[graft.operators.Graph.harmonicPivots]], the Eppstein–Wang
+    * estimator at horizon 3 from g20's deterministic 4-smallest-id
+    * pivot set) over the derived link graph — every reciprocal rides
+    * the common denominator lcm(1..3) = 6 so the per-node mass is one
+    * exact BIGINT sum; nodes no pivot reaches within the horizon
+    * report 0∕6 with n_reached = 0, not absence. The oracle is an
+    * independent per-pivot recursive-CTE BFS reduced by MIN — a
+    * different algorithm than the frontier loop, so agreement checks
+    * the distances themselves. */
+  def g23Harmonic(sp: SparkSession, dir: String): DataFrame = {
+    val e = linkEdges(sp, dir)
+    val sym = e.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val pivots = sym.select(col("u"))
+      .union(sym.select(col("v").as("u"))).distinct()
+      .orderBy("u").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    graft.operators.Graph.harmonicPivots(e, pivots, maxHops = 3)
+      .orderBy("id")
+  }
+
+  val g23Sql: String =
+    s"""WITH RECURSIVE $linkEdgesSql,
+       |sym AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM edges
+       |         UNION SELECT dst, src FROM edges) WHERE u <> v),
+       |und AS MATERIALIZED (SELECT DISTINCT u, v FROM sym),
+       |piv AS (SELECT u AS s FROM (SELECT DISTINCT u FROM und)
+       |  ORDER BY u LIMIT 4),
+       |reach(s, v, dist) AS (
+       |  SELECT s, s, 0 FROM piv
+       |  UNION
+       |  SELECT r.s, e.v, r.dist + 1 FROM reach r
+       |  JOIN und e ON e.u = r.v WHERE r.dist < 3),
+       |md AS (SELECT s, v, MIN(dist) AS dist FROM reach GROUP BY 1, 2),
+       |contrib AS (SELECT v AS id,
+       |    CAST(SUM(6 // dist) AS BIGINT) AS h_num,
+       |    CAST(COUNT(*) AS BIGINT) AS n_reached
+       |  FROM md WHERE dist >= 1 GROUP BY 1),
+       |nodes AS (SELECT DISTINCT u AS id FROM und)
+       |SELECT n.id, COALESCE(c.h_num, 0) AS h_num,
+       |  CAST(6 AS BIGINT) AS h_den,
+       |  COALESCE(c.n_reached, 0) AS n_reached,
+       |  CAST(COALESCE(c.h_num, 0) AS DOUBLE) / 6.0 AS hc
+       |FROM nodes n LEFT JOIN contrib c USING (id) ORDER BY id""".stripMargin
+
   /** The derived link graph with a deterministic integer EDGE WEIGHT in
     * 1..7 (hashed from (doc_id, k), so DuckDB replays it exactly) — the
     * input for the weighted community gate g21. */
@@ -13341,7 +13388,8 @@ object ExtensionQueries {
     "p35_auc_bias" -> (p35AucBias _),
     "t60_naive_bayes" -> (t60NaiveBayes _),
     "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
-    "p36_benford" -> (p36Benford _))
+    "p36_benford" -> (p36Benford _),
+    "g23_harmonic" -> (g23Harmonic _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13580,5 +13628,6 @@ object ExtensionQueries {
     "p35_auc_bias" -> p35Sql,
     "t60_naive_bayes" -> t60Sql,
     "s42_stream_nb_scoring" -> s42Sql,
-    "p36_benford" -> p36Sql)
+    "p36_benford" -> p36Sql,
+    "g23_harmonic" -> g23Sql)
 }

@@ -524,6 +524,40 @@ class GraphSpec extends AnyFunSuite {
     assert(!(0 until 12).map(i => got(i.toLong)).contains(got(100L)))
   }
 
+  test("g23 harmonicPivots: path endpoints vs interior, star center " +
+      "maximal, horizon truncation zeroes, pivot self-distance " +
+      "excluded, absent-pivot tolerance") {
+    def hm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    // path 0-1-2-3-4, pivots {0,4}, h=4, L=12:
+    // node0: 12/4=3 (pivot 0 self excluded); node1: 12/1+12/3=16;
+    // node2: 6+6=12; node3: 4+12=16; node4: 3
+    val path = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val p = hm(Graph.harmonicPivots(path, Seq(0L, 4L), maxHops = 4))
+    assert(p === Map(
+      0L -> ((3L, 12L, 1L, 0.25)), 1L -> ((16L, 12L, 2L, 16.0 / 12)),
+      2L -> ((12L, 12L, 2L, 1.0)), 3L -> ((16L, 12L, 2L, 16.0 / 12)),
+      4L -> ((3L, 12L, 1L, 0.25))))
+    // horizon 2: endpoints only see the near pivot at d=2 -> L=2,
+    // node0: pivot4 beyond horizon -> 2/2=1 from pivot 0? no — d(0,0)=0
+    // excluded, d(4,0)=4 > 2 -> ZERO row, n_reached 0
+    val t = hm(Graph.harmonicPivots(path, Seq(0L, 4L), maxHops = 2))
+    assert(t(0L) === ((0L, 2L, 0L, 0.0)))
+    assert(t(2L) === ((2L, 2L, 2L, 1.0))) // 2/2 + 2/2
+    // star center 0, leaves 1..4, pivots {1,2}, h=2, L=2: center
+    // 2/1+2/1=4; leaf 3: 1+1=2; pivot leaf 1: only pivot 2 at d=2 -> 1
+    val star = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
+    val s = hm(Graph.harmonicPivots(star, Seq(1L, 2L), maxHops = 2))
+    assert(s(0L) === ((4L, 2L, 2L, 2.0)))
+    assert(s(3L) === ((2L, 2L, 2L, 1.0)))
+    assert(s(1L) === ((1L, 2L, 1L, 0.5)))
+    // a pivot id absent from the graph contributes nothing, no error
+    val a = hm(Graph.harmonicPivots(path, Seq(0L, 99L), maxHops = 4))
+    assert(a(4L) === ((3L, 12L, 1L, 0.25)))
+  }
+
   test("g20 betweennessPivots: path interior maximal, star center = " +
       "all pairs, diamond halves sum to exact rationals, horizon " +
       "truncation zeroes everything") {
