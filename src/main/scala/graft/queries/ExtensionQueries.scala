@@ -6983,6 +6983,71 @@ object ExtensionQueries {
       |  m.mad_num * 1000 <= 15 * 9 * d.n * 100000 AS benford_conform
       |FROM d CROSS JOIN m ORDER BY digit""".stripMargin
 
+  /** GINI CONCENTRATION AUDIT — the corpus-dominance check a curation
+    * pipeline runs before committing a mix ("is the corpus a few
+    * sources wearing a trench coat?"): the Gini coefficient of token
+    * mass across sources and of spend across ordering customers, via
+    * the sorted formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) ∕ (n·Σx) —
+    * gini_num and gini_den exact BIGINTs, one final float. Tie order
+    * between equal masses is irrelevant to the sum (swapping equal
+    * values fixes Σ i·x₍ᵢ₎), so the row_number tie-break is cosmetic.
+    * Scale shape: the corpus reduces to the UNIT domain first (one
+    * partial agg per probe — 20 sources / customer count), and the
+    * rank window runs over that domain only, never corpus rows (the
+    * p9/p28 two-level discipline). Units are groups with mass > 0
+    * present in the data (customers without orders are not units). */
+  def p37Gini(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gini(units: DataFrame, probe: String): DataFrame = {
+      val w = Window.orderBy(col("x"), col("u"))
+      units.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_units"), sum(col("x")).as("total"),
+          sum(col("x") * col("i")).as("__ix"))
+        .select(lit(probe).as("probe"), col("n_units"), col("total"),
+          (lit(2L) * col("__ix") - (col("n_units") + 1) * col("total"))
+            .as("gini_num"),
+          (col("n_units") * col("total")).as("gini_den"),
+          ((lit(2L) * col("__ix") - (col("n_units") + 1) * col("total"))
+            .cast("double") /
+            (col("n_units") * col("total")).cast("double")).as("gini"))
+    }
+    val bySource = documents(sp, dir)
+      .groupBy(col("source").as("u"))
+      .agg(sum(Text.tokenCount(col("text")).cast("long")).as("x"))
+    val byCust = orders(sp, dir)
+      .groupBy(col("o_custkey").as("u"))
+      .agg(sum((graft.Tables.dec(col("o_totalprice")) * 100)
+        .cast("long")).as("x"))
+    gini(bySource, "tokens_by_source")
+      .unionByName(gini(byCust.select(col("u").cast("long").as("u"),
+        col("x")), "spend_by_customer"))
+      .orderBy("probe")
+  }
+
+  val p37Sql: String = {
+    def probe(tag: String, unitsSql: String): String =
+      s"""SELECT '$tag' AS probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_units,
+         |  CAST(SUM(x) AS BIGINT) AS total,
+         |  CAST(2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x) AS BIGINT)
+         |    AS gini_num,
+         |  CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini_den,
+         |  CAST(2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+         |    CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+         |FROM (SELECT x, row_number() OVER (ORDER BY x, u) AS i
+         |      FROM ($unitsSql))""".stripMargin
+    s"""${probe("spend_by_customer",
+        """SELECT o_custkey AS u,
+          |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+          |    AS BIGINT)) AS x
+          |FROM orders GROUP BY 1""".stripMargin)}
+       |UNION ALL
+       |${probe("tokens_by_source",
+        s"""SELECT source AS u, SUM(CAST(len($Toks) AS BIGINT)) AS x
+           |FROM documents GROUP BY 1""".stripMargin)}
+       |ORDER BY probe""".stripMargin
+  }
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -13389,7 +13454,8 @@ object ExtensionQueries {
     "t60_naive_bayes" -> (t60NaiveBayes _),
     "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
     "p36_benford" -> (p36Benford _),
-    "g23_harmonic" -> (g23Harmonic _))
+    "g23_harmonic" -> (g23Harmonic _),
+    "p37_gini" -> (p37Gini _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13629,5 +13695,6 @@ object ExtensionQueries {
     "t60_naive_bayes" -> t60Sql,
     "s42_stream_nb_scoring" -> s42Sql,
     "p36_benford" -> p36Sql,
-    "g23_harmonic" -> g23Sql)
+    "g23_harmonic" -> g23Sql,
+    "p37_gini" -> p37Sql)
 }
