@@ -6927,7 +6927,11 @@ object ExtensionQueries {
     * character (no float log10). On this corpus the verdict is
     * NONCONFORMING — synthetic uniform prices flunk Benford, which is
     * exactly what the screen exists to catch. Scale: one digit-domain
-    * agg (9 cells); everything after is 9-row arithmetic. */
+    * agg (9 cells); everything after is 9-row arithmetic. Overflow:
+    * dev² leaves int64 already near N ≈ 10⁶ (caught live by the sf1
+    * probe), so the square rides DECIMAL(38)/HUGEINT; every other
+    * term stays inside int64 through N ≈ 10⁹ and the float-free MAD
+    * verdict through N ≈ 6·10¹². */
   def p36Benford(sp: SparkSession, dir: String): DataFrame = {
     val pBp = Map(1 -> 30103L, 2 -> 17609L, 3 -> 12494L, 4 -> 9691L,
       5 -> 7918L, 6 -> 6695L, 7 -> 5799L, 8 -> 5115L, 9 -> 4576L)
@@ -6947,8 +6951,11 @@ object ExtensionQueries {
     withP.crossJoin(broadcast(n1))
       .withColumn("__dev", col("n_obs") * lit(100000L) -
         col("__n") * col("p_bp"))
+      // dev² leaves int64 near N ≈ 10⁶ (the sf1 probe caught it live):
+      // square in DECIMAL(38) / HUGEINT, one correctly-rounded final cast
       .withColumn("chi2_term",
-        (col("__dev") * col("__dev")).cast("double") /
+        (col("__dev").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("__dev")).cast("double") /
           (lit(100000L) * col("__n") * col("p_bp")).cast("double"))
       .withColumn("__madnum", sum(abs(col("__dev"))).over())
       .select(col("digit"), col("n_obs"), col("p_bp"), col("chi2_term"),
@@ -6977,7 +6984,7 @@ object ExtensionQueries {
       |    n_obs * 100000 - n * p_bp AS dev, n FROM j),
       |m AS (SELECT CAST(SUM(abs(dev)) AS BIGINT) AS mad_num FROM d)
       |SELECT d.digit, d.n_obs, d.p_bp,
-      |  CAST(d.dev * d.dev AS DOUBLE) /
+      |  CAST(CAST(d.dev AS HUGEINT) * d.dev AS DOUBLE) /
       |    CAST(100000 * d.n * d.p_bp AS DOUBLE) AS chi2_term,
       |  m.mad_num,
       |  m.mad_num * 1000 <= 15 * 9 * d.n * 100000 AS benford_conform
