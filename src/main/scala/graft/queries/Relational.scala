@@ -2937,6 +2937,43 @@ object Relational {
       .orderBy("price_cents")
   }
 
+  /** UNPIVOT — q13's missing twin (wide → long), through the
+    * first-class `Dataset.unpivot` API (Spark's UNPIVOT/MELT logical
+    * node, not a stack() expression): three lineitem measures melt to
+    * (returnflag, metric, value) and re-aggregate per (flag, metric) in
+    * exact DECIMAL — the long format every metrics store and plotting
+    * layer wants. Unpivot is a zero-shuffle row-local Expand (3× rows
+    * map-side, no exchange until the final agg — the same plan shape
+    * q8/q12's grouping sets ride). Oracle: a UNION ALL reconstruction,
+    * deliberately not DuckDB's UNPIVOT, so the two engines derive the
+    * long format independently. */
+  def q63Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("quantity"),
+        dec(col("l_extendedprice")).as("extendedprice"),
+        dec(col("l_discount")).as("discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "value")
+      .groupBy(col("l_returnflag").as("returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(col("value"))).as("total"))
+      .orderBy("returnflag", "metric")
+
+  val q63Sql: String =
+    """WITH longf AS (
+      |  SELECT l_returnflag, 'quantity' AS metric,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'extendedprice',
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount',
+      |    CAST(l_discount AS DECIMAL(18,2)) FROM lineitem)
+      |SELECT l_returnflag AS returnflag, metric,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(value) AS DOUBLE) AS total
+      |FROM longf GROUP BY 1, 2 ORDER BY returnflag, metric""".stripMargin
+
   val q62Sql: String =
     """WITH pts AS (SELECT o_orderkey AS id,
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
@@ -3215,7 +3252,8 @@ object Relational {
     "q52_snapshot_fingerprint" -> (q52SnapshotFingerprint _),
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _),
-    "q62_skyline" -> (q62Skyline _))
+    "q62_skyline" -> (q62Skyline _),
+    "q63_unpivot" -> (q63Unpivot _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3290,5 +3328,6 @@ object Relational {
     "q52_snapshot_fingerprint" -> q52Sql,
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql,
-    "q62_skyline" -> q62Sql)
+    "q62_skyline" -> q62Sql,
+    "q63_unpivot" -> q63Sql)
 }
