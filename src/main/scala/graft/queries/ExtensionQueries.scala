@@ -9231,6 +9231,75 @@ object ExtensionQueries {
       "AS correct, b.score,\n  TRUE AS matches, " +
         "CAST(3 AS BIGINT) AS n_batches\nFROM best")
 
+  /** STREAMING OBSERVED METRICS (`Dataset.observe` → `CollectMetrics`
+    * — the last untouched instrumentation API leg): production
+    * streams attach data-quality counters to the flowing query itself
+    * (row counts, business-rule counts, exact value mass, high-water
+    * marks) and read them from query progress WITHOUT a second scan or
+    * a separate aggregation sink. The gate streams a 6-file event bus
+    * 2 files per trigger through observe(count, purchase-count, exact
+    * cents mass, max event id) into a no-op foreachBatch sink, then
+    * folds the per-batch metric rows from `recentProgress` — integer
+    * sums and a max, so the fold is order-free and the totals are
+    * exactly the batch recount the oracle runs. Driver state is the
+    * metric rows themselves (one per epoch — config-sized; that is the
+    * API's point: metrics travel with the stream, data does not).
+    * n_batches counts non-empty epochs (pinned 3 by the producer). */
+  def s43ObserveMetrics(sp: SparkSession, dir: String): DataFrame = {
+    val s2 = sp.newSession()
+    val ev = events(s2, dir).filter(col("event_id") % 16 === 13)
+      .select(col("event_id"), col("event_type"), col("value"))
+    require(ev.limit(6).count() >= 6,
+      "s43: the event_id % 16 = 13 bus slice has < 6 rows")
+    val inDir = graft.Tables.scratchDir("graft-s43-in")
+    ev.repartition(6).write.mode("overwrite").parquet(inDir)
+    val nFiles = new java.io.File(inDir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length > 0)
+    require(nFiles == 6,
+      s"s43: producer wrote $nFiles non-empty part files, expected 6")
+    val changes = s2.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val observed = changes.observe("ingest_metrics",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purchase"),
+      sum((graft.Tables.dec(col("value")) * 100).cast("long"))
+        .as("value_cents"),
+      max(col("event_id")).as("max_event_id"))
+    val ckpt = graft.Tables.scratchDir("graft-s43-ckpt")
+    // a REAL sink: an empty foreachBatch body never executes the plan,
+    // so CollectMetrics would never fire — parquet append does
+    val q = observed.writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", graft.Tables.scratchDir("graft-s43-sink"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val metricRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest_metrics")))
+      .filter(r => r.getLong(r.fieldIndex("n_rows")) > 0)
+    require(metricRows.nonEmpty,
+      "s43: no observed metrics surfaced in recentProgress")
+    import s2.implicits._
+    Seq((metricRows.size.toLong,
+      metricRows.map(r => r.getLong(r.fieldIndex("n_rows"))).sum,
+      metricRows.map(r => r.getLong(r.fieldIndex("n_purchase"))).sum,
+      metricRows.map(r => r.getLong(r.fieldIndex("value_cents"))).sum,
+      metricRows.map(r => r.getLong(r.fieldIndex("max_event_id"))).max))
+      .toDF("n_batches", "n_rows", "n_purchase", "value_cents_sum",
+        "max_event_id")
+  }
+
+  val s43Sql: String =
+    """SELECT CAST(3 AS BIGINT) AS n_batches,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS value_cents_sum,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_event_id
+      |FROM events WHERE event_id % 16 = 13""".stripMargin
+
   val s41Sql: String =
     """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u
       |  FROM events WHERE event_id % 16 = 9),
@@ -13462,7 +13531,8 @@ object ExtensionQueries {
     "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
     "p36_benford" -> (p36Benford _),
     "g23_harmonic" -> (g23Harmonic _),
-    "p37_gini" -> (p37Gini _))
+    "p37_gini" -> (p37Gini _),
+    "s43_observe_metrics" -> (s43ObserveMetrics _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13703,5 +13773,6 @@ object ExtensionQueries {
     "s42_stream_nb_scoring" -> s42Sql,
     "p36_benford" -> p36Sql,
     "g23_harmonic" -> g23Sql,
-    "p37_gini" -> p37Sql)
+    "p37_gini" -> p37Sql,
+    "s43_observe_metrics" -> s43Sql)
 }
