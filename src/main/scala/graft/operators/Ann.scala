@@ -521,6 +521,65 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Per-dimension quantization bounds for [[sq8Code]] — one corpus
+    * pass through a posexplode partial agg to the DIM domain (64 rows):
+    * (d, lo, hi) = min/max of dimension d. */
+  def sq8Bounds(corpus: DataFrame, dim: Int): DataFrame =
+    corpus.select(posexplode(col("vec")).as(Seq("d", "__v")))
+      .filter(col("d") < dim)
+      .groupBy(col("d"))
+      .agg(min(col("__v").cast("double")).as("lo"),
+        max(col("__v").cast("double")).as("hi"))
+
+  /** SCALAR QUANTIZATION (SQ8) encode — the industry-standard int8
+    * middle tier of the compression ladder (fp32 → SQ8 → PQ → binary:
+    * 4× smaller than floats, 8× less aggressive than [[bqCode]]'s sign
+    * bits): dimension d maps to code = min(255, ⌊(v − lo_d)·256 ∕
+    * (hi_d − lo_d)⌋), a shared IEEE tree both engines evaluate
+    * identically, with degenerate dimensions (hi = lo) pinned to 0.
+    * Bounds ride as LITERALS (a 64-pair config-sized collect, the
+    * kmeans-centroid discipline), so encoding is one codegen'd
+    * projection — no join against the bounds table on the hot path. */
+  def sq8Code(vec: Column, lo: IndexedSeq[Double],
+      hi: IndexedSeq[Double]): Column =
+    array(lo.indices.map { i =>
+      if (hi(i) == lo(i)) lit(0)
+      else least(lit(255), floor(
+        (element_at(vec, i + 1).cast("double") - lit(lo(i))) * 256.0d /
+          lit(hi(i) - lo(i))).cast("int"))
+    }: _*)
+
+  /** SQ8 shortlist — brute integer scan over codes, the [[
+    * bqHammingShortlist]] shape one tier up the fidelity ladder:
+    * distance is CODE-SPACE squared L2 (Σ_d (qc_d − cc_d)², a pure
+    * integer per pair via one zip_with + aggregate fold — max value
+    * 64·255² ≈ 4.2 M, nowhere near overflow). Code-space L2 equals
+    * dequantized L2 only up to per-dimension scale, so it is a
+    * SHORTLIST metric (membership, never a reported score) — the a10
+    * two-stage contract; the exact re-rank ([[bqRerankTopK]], reused
+    * verbatim) fixes everything inside the shortlist. Queries
+    * broadcast; corpus side streams (id, codes) only; k-capped
+    * [[graft.functions.TopKPairsAgg]] — no corpus-sized window. */
+  def sq8Shortlist(queries: DataFrame, corpus: DataFrame,
+      lo: IndexedSeq[Double], hi: IndexedSeq[Double], shortlist: Int)
+      : DataFrame = {
+    val topk = graft.functions.TopKPairsAgg.topKPairs(shortlist)
+    val codes = corpus.select(col("id"),
+      sq8Code(col("vec"), lo, hi).as("cc"))
+    val qcodes = queries.select(col("qid"),
+      sq8Code(col("qvec"), lo, hi).as("qc"))
+    codes.crossJoin(broadcast(qcodes))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("qc"), col("cc"),
+            (a, b) => ((a - b) * (a - b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .groupBy(col("qid"))
+      .agg(topk(col("d2"), col("id")).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e._2").as("id"), col("__e._1").as("d2"))
+  }
+
   /** MAXIMAL-MARGINAL-RELEVANCE re-rank (Carbonell & Goldstein 1998) over
     * an ANN shortlist — the RAG answer-diversity pass: greedily pick the
     * candidate maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} cos(d,s),

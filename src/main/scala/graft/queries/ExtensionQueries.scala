@@ -11441,6 +11441,98 @@ object ExtensionQueries {
        |  (hh.n_hits::DOUBLE / tt.n_truth >= 0.6) AS recall_ok
        |FROM hs CROSS JOIN hh CROSS JOIN tt""".stripMargin
 
+  /** SQ8 SCALAR-QUANTIZED SEARCH ([[Ann.sq8Code]]) — the int8 middle
+    * tier completing the compression ladder (fp32 a1 → SQ8 here → PQ
+    * a10 → binary a23): per-dimension min/max bounds from one corpus
+    * pass (64-pair literal collect, the centroid discipline), codes in
+    * one codegen'd projection, candidates by brute integer CODE-SPACE
+    * L2 through the k-capped TopKPairsAgg, exact cosine re-rank reused
+    * verbatim from the BQ tier. Code-space L2 is a shortlist metric
+    * only (per-dim scales differ) — the a10 membership-not-score
+    * contract. Floor 0.7 sits above BQ's 0.6: 8 bits per dim must beat
+    * sign bits. Oracle recomputes bounds, every code, every integer
+    * distance, both ranks. */
+  def a30Sq8(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val truthDir = graft.Tables.scratchDir("graft-a30-truth")
+    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val b = Ann.sq8Bounds(corpus, 64).orderBy("d").collect()
+    val lo = b.map(_.getDouble(1)).toIndexedSeq
+    val hi = b.map(_.getDouble(2)).toIndexedSeq
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val shortDir = graft.Tables.scratchDir("graft-a30-short")
+    Ann.sq8Shortlist(qs, corpus, lo, hi, 128)
+      .write.mode("overwrite").parquet(shortDir)
+    val short = sp.read.parquet(shortDir)
+    val res = Ann.bqRerankTopK(short, qs, corpus, 3)
+    val floor = 0.7
+    val hitsShort = truth
+      .join(short.select(col("qid"), col("id").as("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_short"))
+    val hits = truth.join(res.select(col("qid"), col("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    hitsShort.crossJoin(hits)
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("sq8").as("method"), col("n_hits_short"),
+        col("n_hits"), col("n_truth"),
+        round(col("n_hits_short").cast("double") / col("n_truth"), 4)
+          .as("recall_short"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"),
+        lit(floor).as("floor"),
+        (col("n_hits").cast("double") / col("n_truth") >= floor)
+          .as("recall_ok"))
+  }
+
+  val a30Sql: String =
+    s"""WITH truth AS (SELECT qid, neighbor FROM ($a1Sql) WHERE rank <= 3),
+       |bounds AS (SELECT t.i AS d,
+       |    MIN(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS lo,
+       |    MAX(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS hi
+       |  FROM embeddings e, range(0, 64) t(i) GROUP BY 1),
+       |codes AS (SELECT e.vec_id AS id, b.d,
+       |    CASE WHEN b.hi = b.lo THEN 0 ELSE
+       |      LEAST(255, CAST(FLOOR(
+       |        (CAST(e.embedding[b.d + 1] AS DOUBLE) - b.lo) * 256.0
+       |          / (b.hi - b.lo)) AS INT)) END AS code
+       |  FROM embeddings e CROSS JOIN bounds b),
+       |qd AS (SELECT id AS qid, d, code FROM codes WHERE id < 5),
+       |dist AS (SELECT q.qid, c.id,
+       |    CAST(SUM(CAST(q.code - c.code AS BIGINT)
+       |      * (q.code - c.code)) AS BIGINT) AS d2
+       |  FROM codes c JOIN qd q USING (d) WHERE c.id <> q.qid
+       |  GROUP BY 1, 2),
+       |short AS (SELECT qid, id FROM (SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS r
+       |  FROM dist) WHERE r <= 128),
+       |rr AS (SELECT sh.qid, sh.id,
+       |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+       |  FROM short sh
+       |  JOIN embeddings qe ON qe.vec_id = sh.qid
+       |  JOIN embeddings ce ON ce.vec_id = sh.id),
+       |top3 AS (SELECT qid, id FROM (SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS r
+       |  FROM rr) WHERE r <= 3),
+       |hs AS (SELECT count(*) AS n_hits_short FROM short
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = short.qid AND t.neighbor = short.id)),
+       |hh AS (SELECT count(*) AS n_hits FROM top3
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = top3.qid AND t.neighbor = top3.id)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT 'sq8' AS method, hs.n_hits_short, hh.n_hits, tt.n_truth,
+       |  round(hs.n_hits_short::DOUBLE / tt.n_truth, 4) AS recall_short,
+       |  round(hh.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.7 AS DOUBLE) AS floor,
+       |  (hh.n_hits::DOUBLE / tt.n_truth >= 0.7) AS recall_ok
+       |FROM hs CROSS JOIN hh CROSS JOIN tt""".stripMargin
+
   /** k-NN LABEL PROBE — the embedding-quality eval that gates an
     * embedding version before anything expensive is built on it (the
     * standard linear/kNN probing protocol): a held-out query slice
@@ -13532,7 +13624,8 @@ object ExtensionQueries {
     "p36_benford" -> (p36Benford _),
     "g23_harmonic" -> (g23Harmonic _),
     "p37_gini" -> (p37Gini _),
-    "s43_observe_metrics" -> (s43ObserveMetrics _))
+    "s43_observe_metrics" -> (s43ObserveMetrics _),
+    "a30_sq8" -> (a30Sq8 _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13774,5 +13867,6 @@ object ExtensionQueries {
     "p36_benford" -> p36Sql,
     "g23_harmonic" -> g23Sql,
     "p37_gini" -> p37Sql,
-    "s43_observe_metrics" -> s43Sql)
+    "s43_observe_metrics" -> s43Sql,
+    "a30_sq8" -> a30Sql)
 }
