@@ -51,19 +51,23 @@ object NaiveBayes {
   }
 
   /** (x, l) for every distinct positive x in `xs` (single column `x`,
-    * 1 ≤ x < 2³¹): l = p·2¹⁶ + frac where p = floor(log2 x) comes from
+    * 1 ≤ x < 2⁶³): l = p·2¹⁶ + frac where p = floor(log2 x) comes from
     * the binary-string length (no float anywhere) and frac's 16 bits
-    * from the square-and-extract recurrence on the mantissa normalized
-    * via right-padding the binary string to 32 bits (= x << (31−p)).
-    * Each step is a NAMED projection column, so the plan stays linear —
-    * never a 6¹⁶-node inlined expression tree. */
+    * from the square-and-extract recurrence on the 32-bit mantissa —
+    * the binary string right-padded to 32 bits for small x
+    * (= x << (31−p)) and TRUNCATED to its top 32 bits for x ≥ 2³¹
+    * (= x >> (p−31); the dropped bits contribute < 2⁻³¹ relative,
+    * far below the 2⁻¹⁶ output quantum, and both engines truncate
+    * identically). Each step is a NAMED projection column, so the
+    * plan stays linear — never a 6¹⁶-node inlined expression tree. */
   def logTable(xs: DataFrame): DataFrame = {
     def fdiv(a: Column, b: Long): Column =
       ((a - pmod(a, lit(b).cast(D38))) / lit(b).cast(D38)).cast(D38)
     var d = xs.select(col("x").cast("long").as("x")).distinct()
       .withColumn("__p", (length(bin(col("x"))) - 1).cast("long"))
       .withColumn("__m",
-        conv(rpad(bin(col("x")), 32, "0"), 2, 10).cast("long").cast(D38))
+        conv(substring(rpad(bin(col("x")), 32, "0"), 1, 32), 2, 10)
+          .cast("long").cast(D38))
       .withColumn("__f", lit(0L))
     val two63 = lit(new java.math.BigDecimal("9223372036854775808"))
       .cast(D38)
@@ -81,9 +85,9 @@ object NaiveBayes {
   /** Reference scalar form of the same recurrence (spec parity + the
     * quantization-error contract |L(x)/2¹⁶ − log2 x| < 2⁻¹⁶ + ulp). */
   def log2Q16Ref(x: Long): Long = {
-    require(x >= 1 && x < (1L << 31), s"log2Q16 domain is [1, 2^31): $x")
+    require(x >= 1, s"log2Q16 domain is [1, 2^63): $x")
     val p = 63 - java.lang.Long.numberOfLeadingZeros(x)
-    var m = x << (31 - p) // [2^31, 2^32)
+    var m = if (p <= 31) x << (31 - p) else x >>> (p - 31) // [2^31, 2^32)
     var frac = 0L
     var i = 0
     while (i < 16) {

@@ -921,7 +921,9 @@ object ExtensionQueries {
        |  UNION SELECT dc FROM pri
        |  UNION SELECT d FROM dd)),
        |lg(x, m, i, frac) AS (
-       |  SELECT x, CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1)),
+       |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
+       |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
+       |      ELSE CAST(x AS BIGINT) >> ((length(bin(x)) - 1) - 31) END,
        |    0, CAST(0 AS BIGINT)
        |  FROM need
        |  UNION ALL
@@ -7054,6 +7056,128 @@ object ExtensionQueries {
            |FROM documents GROUP BY 1""".stripMargin)}
        |ORDER BY probe""".stripMargin
   }
+
+  /** POPULATION STABILITY INDEX (PSI) drift — THE production
+    * ML-monitoring metric beside p9's KS, p27's chi-square and p28's
+    * rank test, on the SAME first-half-of-January split and 20-bin
+    * grid as p27 so the families compare: PSI = Σ (pᵢ−qᵢ)·log(pᵢ∕qᵢ),
+    * computed here in LOG2 units (PSI₂ = PSI·log2 e — a monotone
+    * rescale with its own round thresholds, because ln is
+    * transcendental and IEEE ln differs across libms while the t60
+    * Q16 log2 kernel ([[graft.operators.NaiveBayes.logTable]], reused
+    * verbatim) is a pure integer function both engines replay). With
+    * add-one smoothing per observed bin (a' = o_a+1, A' = ΣA+bins —
+    * zero-side bins stay defined), each bin's mass is the EXACT
+    * integer psi2_num = (a'·B' − b'·A')·(L(a'·B') − L(b'·A')) over the
+    * shared den = A'·B'·2¹⁶ — nonneg by construction since truncated
+    * log2 is monotone, so the TOTAL is a portable integer sum (unlike
+    * p27's per-term-only contract!) and the verdict is float-free:
+    * stable iff 10·Σnum < den (PSI₂ < 0.1), shifted iff 4·Σnum ≥ den
+    * (PSI₂ ≥ 0.25), drifting between. Scale: corpus → 20 bin cells,
+    * then the log recurrence over ≤ 2·bins distinct masses; int64
+    * holds through ~10⁹ rows per side (then DECIMAL, documented). */
+  def p38Psi(sp: SparkSession, dir: String): DataFrame = {
+    val ev = events(sp, dir)
+    val v = col("value").cast("double")
+    val stats = ev.agg(min(v).as("__mn"), max(v).as("__mx"))
+    val counts = ev.filter(v.isNotNull)
+      .withColumn("__a", col("ts") < lit("2024-01-16").cast("timestamp"))
+      .crossJoin(broadcast(stats))
+      .select(least(floor((v - col("__mn")) * 20.0 /
+          (col("__mx") - col("__mn"))), lit(19.0)).cast("int").as("bin"),
+        col("__a"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("__a"), 1)).as("o_a"),
+        count(when(!col("__a"), 1)).as("o_b"))
+    val tot = counts.agg((sum(col("o_a")) + count(lit(1))).as("__ap"),
+      (sum(col("o_b")) + count(lit(1))).as("__bp"))
+    val masses = counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("o_a"), col("o_b"),
+        ((col("o_a") + 1) * col("__bp")).as("__xa"),
+        ((col("o_b") + 1) * col("__ap")).as("__xb"),
+        col("__ap"), col("__bp"))
+    val need = masses.select(col("__xa").as("x"))
+      .union(masses.select(col("__xb").as("x")))
+    val ltab = graft.operators.NaiveBayes.logTable(need)
+    val terms = masses
+      .join(ltab.select(col("x").as("__xa"), col("l").as("__la")),
+        Seq("__xa"))
+      .join(ltab.select(col("x").as("__xb"), col("l").as("__lb")),
+        Seq("__xb"))
+      .select(col("bin"), col("o_a"), col("o_b"),
+        ((col("__xa") - col("__xb")) * (col("__la") - col("__lb")))
+          .as("psi2_num"),
+        (col("__ap") * col("__bp") * lit(65536L)).as("psi2_den"))
+    val totals = terms.agg(sum(col("psi2_num")).as("__tn"),
+      max(col("psi2_den")).as("__td"))
+    terms.crossJoin(broadcast(totals))
+      .select(col("bin"), col("o_a"), col("o_b"), col("psi2_num"),
+        col("psi2_den"),
+        (col("psi2_num").cast("double") / col("psi2_den").cast("double"))
+          .as("term"),
+        (col("__tn").cast("double") / col("__td").cast("double"))
+          .as("psi2_total"),
+        when(col("__tn") * 10 < col("__td"), "stable")
+          .when(col("__tn") * 4 >= col("__td"), "shifted")
+          .otherwise("drifting").as("verdict"))
+      .orderBy("bin")
+  }
+
+  val p38Sql: String =
+    """WITH RECURSIVE st AS (SELECT min(CAST(value AS DOUBLE)) AS mn,
+      |    max(CAST(value AS DOUBLE)) AS mx FROM events),
+      |b AS (SELECT CAST(least(floor((CAST(value AS DOUBLE) - mn) * 20.0
+      |      / (mx - mn)), 19.0) AS INT) AS bin,
+      |    (make_timestamp(epoch_ns(ts) // 1000)
+      |      < TIMESTAMP '2024-01-16') AS a
+      |  FROM events, st WHERE value IS NOT NULL),
+      |c AS (SELECT bin, count(*) FILTER (a) AS o_a,
+      |    count(*) FILTER (NOT a) AS o_b
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(o_a) + COUNT(*) AS BIGINT) AS ap,
+      |    CAST(SUM(o_b) + COUNT(*) AS BIGINT) AS bp FROM c),
+      |ms AS (SELECT bin, o_a, o_b,
+      |    CAST((o_a + 1) * bp AS BIGINT) AS xa,
+      |    CAST((o_b + 1) * ap AS BIGINT) AS xb, ap, bp
+      |  FROM c, t),
+      |need AS (SELECT DISTINCT x FROM (
+      |  SELECT xa AS x FROM ms UNION SELECT xb FROM ms)),
+      |lg(x, m, i, frac) AS (
+      |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
+      |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
+      |      ELSE CAST(x AS BIGINT) >> ((length(bin(x)) - 1) - 31) END,
+      |    0, CAST(0 AS BIGINT)
+      |  FROM need
+      |  UNION ALL
+      |  SELECT x,
+      |    CAST(CASE WHEN m::HUGEINT * m >=
+      |        9223372036854775807::HUGEINT + 1
+      |      THEN (m::HUGEINT * m) // 4294967296
+      |      ELSE (m::HUGEINT * m) // 2147483648 END AS BIGINT),
+      |    i + 1,
+      |    frac * 2 + CASE WHEN m::HUGEINT * m >=
+      |      9223372036854775807::HUGEINT + 1 THEN 1 ELSE 0 END
+      |  FROM lg WHERE i < 16),
+      |ltab AS (SELECT x,
+      |  CAST(length(bin(x)) - 1 AS BIGINT) * 65536 + frac AS l
+      |  FROM lg WHERE i = 16),
+      |terms AS (SELECT ms.bin, ms.o_a, ms.o_b,
+      |    CAST((ms.xa - ms.xb) * (la.l - lb.l) AS BIGINT) AS psi2_num,
+      |    CAST(ms.ap * ms.bp * 65536 AS BIGINT) AS psi2_den
+      |  FROM ms JOIN ltab la ON la.x = ms.xa
+      |  JOIN ltab lb ON lb.x = ms.xb),
+      |tt AS (SELECT CAST(SUM(psi2_num) AS BIGINT) AS tn,
+      |    CAST(MAX(psi2_den) AS BIGINT) AS td FROM terms)
+      |SELECT terms.bin, CAST(terms.o_a AS BIGINT) AS o_a,
+      |  CAST(terms.o_b AS BIGINT) AS o_b,
+      |  terms.psi2_num, terms.psi2_den,
+      |  CAST(terms.psi2_num AS DOUBLE) / CAST(terms.psi2_den AS DOUBLE)
+      |    AS term,
+      |  CAST(tt.tn AS DOUBLE) / CAST(tt.td AS DOUBLE) AS psi2_total,
+      |  CASE WHEN tt.tn * 10 < tt.td THEN 'stable'
+      |       WHEN tt.tn * 4 >= tt.td THEN 'shifted'
+      |       ELSE 'drifting' END AS verdict
+      |FROM terms CROSS JOIN tt ORDER BY bin""".stripMargin
 
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
@@ -13625,7 +13749,8 @@ object ExtensionQueries {
     "g23_harmonic" -> (g23Harmonic _),
     "p37_gini" -> (p37Gini _),
     "s43_observe_metrics" -> (s43ObserveMetrics _),
-    "a30_sq8" -> (a30Sq8 _))
+    "a30_sq8" -> (a30Sq8 _),
+    "p38_psi" -> (p38Psi _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13868,5 +13993,6 @@ object ExtensionQueries {
     "g23_harmonic" -> g23Sql,
     "p37_gini" -> p37Sql,
     "s43_observe_metrics" -> s43Sql,
-    "a30_sq8" -> a30Sql)
+    "a30_sq8" -> a30Sql,
+    "p38_psi" -> p38Sql)
 }

@@ -18,8 +18,9 @@ class NaiveBayesSpec extends AnyFunSuite {
   test("logTable: column recurrence == scalar reference on 1..2048, " +
       "powers of two exact, top-of-domain, quantization bound") {
     import spark.implicits._
-    val xs = ((1L to 2048L) ++ (0 to 30).map(1L << _) ++
-      Seq((1L << 31) - 1, 1000003L, 123456789L)).distinct
+    val xs = ((1L to 2048L) ++ (0 to 62).map(1L << _) ++
+      Seq((1L << 31) - 1, 1000003L, 123456789L, 10000000001L,
+        (1L << 40) + 12345L, Long.MaxValue)).distinct
     val got = NaiveBayes.logTable(xs.toDF("x"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == xs.size)
@@ -28,8 +29,9 @@ class NaiveBayesSpec extends AnyFunSuite {
         s"column/ref mismatch at $x: ${got(x)} vs " +
           s"${NaiveBayes.log2Q16Ref(x)}")
     }
-    // exact at powers of two: L(2^k) = k·2^16, frac bits all zero
-    (0 to 30).foreach(k => assert(got(1L << k) == k.toLong * 65536L))
+    // exact at powers of two: L(2^k) = k·2^16, frac bits all zero —
+    // including the truncated-mantissa branch above 2^31
+    (0 to 62).foreach(k => assert(got(1L << k) == k.toLong * 65536L))
     // truncation quantization: 0 <= log2(x) - L(x)/2^16 < 2^-16 + eps
     xs.foreach { x =>
       val err = math.log(x.toDouble) / math.log(2.0) -
