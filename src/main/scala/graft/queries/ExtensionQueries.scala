@@ -964,6 +964,88 @@ object ExtensionQueries {
        |  b.pred = d.source AS correct, b.score
        |FROM best b JOIN ev d USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** ZIPF RANK-FREQUENCY FIT — the corpus-health power-law check
+    * (natural language has log-log slope ≈ −1; templated/generated
+    * text flattens or cliffs, so the slope is a cheap synthetic-text
+    * tripwire beside p36's Benford screen for numbers): token
+    * frequencies → (rank, freq) for the top 256 vocabulary entries
+    * (rank by freq desc, token asc — a VOCAB-domain window), both axes
+    * through the t60 Q16 log2 kernel (third reuse — exact integers, no
+    * IEEE ln), then the OLS slope from normal-equation moment sums:
+    * slope = (n·Σxy − Σx·Σy) ∕ (n·Σx² − (Σx)²), numerator and
+    * denominator exact BIGINTs (|x| ≤ 8·2¹⁶, 256 terms — nowhere near
+    * overflow), one final float. The corpus reads n = 31 (the whole
+    * synthetic vocabulary is 31 words) with slope ≈ −0.16:
+    * near-uniform token use, NOT Zipfian — reported, not hidden (the
+    * tripwire fires, like p36). One tokenize pass → vocab counts;
+    * everything after is ≤ 256-row arithmetic. */
+  def t61Zipf(sp: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = documents(sp, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("tok"))
+    val top = freq.withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 256)
+    val need = top.select(col("r").as("x"))
+      .union(top.select(col("f").as("x")))
+    val ltab = graft.operators.NaiveBayes.logTable(need)
+    val pts = top
+      .join(ltab.select(col("x").as("r"), col("l").as("lx")), Seq("r"))
+      .join(ltab.select(col("x").as("f"), col("l").as("ly")), Seq("f"))
+    pts.agg(count(lit(1)).as("n"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+  }
+
+  val t61Sql: String =
+    s"""WITH RECURSIVE fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($Toks) AS tok FROM documents) GROUP BY 1),
+       |top AS (SELECT f, CAST(r AS BIGINT) AS r FROM (
+       |  SELECT f, tok, row_number() OVER (ORDER BY f DESC, tok) AS r
+       |  FROM fr) WHERE r <= 256),
+       |need AS (SELECT DISTINCT x FROM (
+       |  SELECT r AS x FROM top UNION SELECT f FROM top)),
+       |lg(x, m, i, frac) AS (
+       |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
+       |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
+       |      ELSE CAST(x AS BIGINT) >> ((length(bin(x)) - 1) - 31) END,
+       |    0, CAST(0 AS BIGINT)
+       |  FROM need
+       |  UNION ALL
+       |  SELECT x,
+       |    CAST(CASE WHEN m::HUGEINT * m >=
+       |        9223372036854775807::HUGEINT + 1
+       |      THEN (m::HUGEINT * m) // 4294967296
+       |      ELSE (m::HUGEINT * m) // 2147483648 END AS BIGINT),
+       |    i + 1,
+       |    frac * 2 + CASE WHEN m::HUGEINT * m >=
+       |      9223372036854775807::HUGEINT + 1 THEN 1 ELSE 0 END
+       |  FROM lg WHERE i < 16),
+       |ltab AS (SELECT x,
+       |  CAST(length(bin(x)) - 1 AS BIGINT) * 65536 + frac AS l
+       |  FROM lg WHERE i = 16),
+       |pts AS (SELECT lr.l AS lx, lf.l AS ly FROM top
+       |  JOIN ltab lr ON lr.x = top.r
+       |  JOIN ltab lf ON lf.x = top.f),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+       |    CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+       |    CAST(SUM(lx * ly) AS BIGINT) AS sxy FROM pts)
+       |SELECT n, sx, sy, sxx, sxy,
+       |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       |FROM s""".stripMargin
+
   /** Fuzzy entity matching ([[graft.operators.Fuzzy]]): part-name pairs
     * within Levenshtein 3, found via character-3-gram blocking over the
     * DISTINCT name vocabulary — the candidates-then-confirm discipline of
@@ -13750,7 +13832,8 @@ object ExtensionQueries {
     "p37_gini" -> (p37Gini _),
     "s43_observe_metrics" -> (s43ObserveMetrics _),
     "a30_sq8" -> (a30Sq8 _),
-    "p38_psi" -> (p38Psi _))
+    "p38_psi" -> (p38Psi _),
+    "t61_zipf" -> (t61Zipf _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -13994,5 +14077,6 @@ object ExtensionQueries {
     "p37_gini" -> p37Sql,
     "s43_observe_metrics" -> s43Sql,
     "a30_sq8" -> a30Sql,
-    "p38_psi" -> p38Sql)
+    "p38_psi" -> p38Sql,
+    "t61_zipf" -> t61Sql)
 }
