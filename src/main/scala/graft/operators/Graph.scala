@@ -866,7 +866,9 @@ object Graph {
       sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
       "graft-btw-und")
     import sp.implicits._
-    val p0 = pivots.toDF("s")
+    // distinct BEFORE the semi join (a duplicated pivot would inflate
+    // every dependency through duplicate BFS roots)
+    val p0 = pivots.distinct.toDF("s")
       .join(und.select(col("u").as("s")).distinct(), Seq("s"), "left_semi")
     var visited = materialize(
       p0.select(col("s"), col("s").as("v"), lit(0).as("dist"),
@@ -960,7 +962,9 @@ object Graph {
       sym.union(sym.select(col("v").as("u"), col("u").as("v"))).distinct(),
       "graft-harm-und")
     import sp.implicits._
-    val p0 = pivots.toDF("s")
+    // distinct BEFORE the semi join: a duplicated pivot id would ride
+    // through left_semi twice and double-count every reciprocal
+    val p0 = pivots.distinct.toDF("s")
       .join(und.select(col("u").as("s")).distinct(), Seq("s"), "left_semi")
     var visited = materialize(
       p0.select(col("s"), col("s").as("v"), lit(0).as("dist")),

@@ -106,6 +106,9 @@ object NaiveBayes {
     * .Text.tokens]]). Empty-token docs contribute to priors only. */
   def train(docs: DataFrame, labelCol: String, textCol: String,
       tag: String = "graft-nb"): NbModel = {
+    require(docs.limit(1).count() > 0,
+      "NaiveBayes.train: empty training corpus (L(0) is undefined — " +
+        "every prior and denominator mass needs at least one doc)")
     val cnt = materialize(
       docs.select(col(labelCol).as("cls"),
           explode(graft.functions.Text.tokens(col(textCol))).as("tok"))

@@ -7098,9 +7098,12 @@ object ExtensionQueries {
           (lit(2L) * col("__ix") - (col("n_units") + 1) * col("total"))
             .as("gini_num"),
           (col("n_units") * col("total")).as("gini_den"),
-          ((lit(2L) * col("__ix") - (col("n_units") + 1) * col("total"))
-            .cast("double") /
-            (col("n_units") * col("total")).cast("double")).as("gini"))
+          when(col("n_units") * col("total") === 0,
+            lit(null).cast("double"))
+            .otherwise((lit(2L) * col("__ix") -
+              (col("n_units") + 1) * col("total")).cast("double") /
+              (col("n_units") * col("total")).cast("double"))
+            .as("gini"))
     }
     val bySource = documents(sp, dir)
       .groupBy(col("source").as("u"))
@@ -7123,8 +7126,9 @@ object ExtensionQueries {
          |  CAST(2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x) AS BIGINT)
          |    AS gini_num,
          |  CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini_den,
-         |  CAST(2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
-         |    CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+         |  CASE WHEN COUNT(*) * SUM(x) = 0 THEN NULL ELSE
+         |    CAST(2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+         |    CAST(COUNT(*) * SUM(x) AS DOUBLE) END AS gini
          |FROM (SELECT x, row_number() OVER (ORDER BY x, u) AS i
          |      FROM ($unitsSql))""".stripMargin
     s"""${probe("spend_by_customer",
