@@ -7265,6 +7265,71 @@ object ExtensionQueries {
       |       ELSE 'drifting' END AS verdict
       |FROM terms CROSS JOIN tt ORDER BY bin""".stripMargin
 
+  /** COHEN'S KAPPA LABEL AGREEMENT — the label-quality audit between
+    * the pipeline's INGEST language label and the t3 language-ID
+    * model's prediction: raw agreement p_o overstates quality when the
+    * marginals are skewed, so kappa subtracts chance agreement p_e
+    * from the confusion-matrix marginals. INTEGER-EXACT end to end:
+    * kappa = (N·Σdiag − Σᵢ rowᵢ·colᵢ) ∕ (N² − Σᵢ rowᵢ·colᵢ) — both
+    * sides exact BIGINTs, one final float (int64 holds through
+    * N ≈ 3·10⁹ docs). Output: one row per confusion cell (label,
+    * pred, n) with the global n_total/n_agree/kappa_num/kappa_den/
+    * kappa pinned as columns — the full matrix is the artifact, kappa
+    * the headline. On this corpus the model never predicts 'zh' (it
+    * has no zh stopword list) and the synthetic text is
+    * language-blind, so kappa reads ≈ 0 — the audit correctly says
+    * the ingest labels and the model share no signal (the honest
+    * companion of a24's embedding-label probe). Scale: corpus → the
+    * label×pred cell domain in one partial agg; everything after is
+    * cell-domain arithmetic. */
+  def p39Kappa(sp: SparkSession, dir: String): DataFrame = {
+    val cm = documents(sp, dir)
+      .select(col("lang"), Text.langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    val g = cm.agg(sum(col("n")).as("__N"),
+      sum(when(col("lang") === col("pred"), col("n")).otherwise(0L))
+        .as("__diag"))
+    val rows = cm.groupBy(col("lang")).agg(sum(col("n")).as("__r"))
+    val cols = cm.groupBy(col("pred")).agg(sum(col("n")).as("__c"))
+    val pe = rows.join(cols, rows("lang") === cols("pred"))
+      .agg(coalesce(sum(col("__r") * col("__c")), lit(0L)).as("__rc"))
+    cm.crossJoin(broadcast(g)).crossJoin(broadcast(pe))
+      .select(col("lang"), col("pred"), col("n"),
+        col("__N").as("n_total"), col("__diag").as("n_agree"),
+        (col("__N") * col("__diag") - col("__rc")).as("kappa_num"),
+        (col("__N") * col("__N") - col("__rc")).as("kappa_den"),
+        when(col("__N") * col("__N") - col("__rc") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("__N") * col("__diag") - col("__rc"))
+            .cast("double") /
+            (col("__N") * col("__N") - col("__rc")).cast("double"))
+          .as("kappa"))
+      .orderBy("lang", "pred")
+  }
+
+  val p39Sql: String =
+    s"""WITH cm AS (SELECT lang, ($langIdSqlExpr) AS pred,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT)
+       |      AS diag FROM cm),
+       |r AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rr FROM cm
+       |  GROUP BY 1),
+       |c AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS cc FROM cm
+       |  GROUP BY 1),
+       |pe AS (SELECT CAST(coalesce(SUM(r.rr * c.cc), 0) AS BIGINT) AS rc
+       |  FROM r JOIN c ON r.lang = c.pred)
+       |SELECT cm.lang, cm.pred, cm.n, g.nn AS n_total,
+       |  g.diag AS n_agree,
+       |  CAST(g.nn * g.diag - pe.rc AS BIGINT) AS kappa_num,
+       |  CAST(g.nn * g.nn - pe.rc AS BIGINT) AS kappa_den,
+       |  CASE WHEN g.nn * g.nn - pe.rc = 0 THEN NULL ELSE
+       |    CAST(g.nn * g.diag - pe.rc AS DOUBLE) /
+       |    CAST(g.nn * g.nn - pe.rc AS DOUBLE) END AS kappa
+       |FROM cm CROSS JOIN g CROSS JOIN pe
+       |ORDER BY lang, pred""".stripMargin
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -13837,7 +13902,8 @@ object ExtensionQueries {
     "s43_observe_metrics" -> (s43ObserveMetrics _),
     "a30_sq8" -> (a30Sq8 _),
     "p38_psi" -> (p38Psi _),
-    "t61_zipf" -> (t61Zipf _))
+    "t61_zipf" -> (t61Zipf _),
+    "p39_kappa" -> (p39Kappa _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -14082,5 +14148,6 @@ object ExtensionQueries {
     "s43_observe_metrics" -> s43Sql,
     "a30_sq8" -> a30Sql,
     "p38_psi" -> p38Sql,
-    "t61_zipf" -> t61Sql)
+    "t61_zipf" -> t61Sql,
+    "p39_kappa" -> p39Sql)
 }
