@@ -980,13 +980,20 @@ object ExtensionQueries {
     * tripwire fires, like p36). One tokenize pass → vocab counts;
     * everything after is ≤ 256-row arithmetic. */
   def t61Zipf(sp: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // top-256 via orderBy().limit() = TakeOrderedAndProject (a
+    // distributed k-capped top-k), NEVER a global rank window over the
+    // vocabulary (the z3 pattern — web-scale vocab is ~10⁸ rows);
+    // ranks attach driver-side to the 256 collected rows (config-sized,
+    // the centroid discipline)
     val freq = documents(sp, dir)
       .select(explode(Text.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val w = Window.orderBy(col("f").desc, col("tok"))
-    val top = freq.withColumn("r", row_number().over(w).cast("long"))
-      .filter(col("r") <= 256)
+    val topRows = freq.orderBy(col("f").desc, col("tok")).limit(256)
+      .collect()
+    import sp.implicits._
+    val top = topRows.zipWithIndex
+      .map { case (row, i) => (row.getLong(1), (i + 1).toLong) }
+      .toSeq.toDF("f", "r")
     val need = top.select(col("r").as("x"))
       .union(top.select(col("f").as("x")))
     val ltab = graft.operators.NaiveBayes.logTable(need)
