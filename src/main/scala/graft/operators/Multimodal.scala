@@ -873,6 +873,51 @@ object Multimodal {
     Some(out.toSeq)
   }
 
+  /** PER-CHANNEL NORMALIZATION STATISTICS of a 24bpp BMP — the dataset
+    * mean/std constants every image-training pipeline computes before
+    * anything else (the `transforms.Normalize(mean, std)` numbers):
+    * per channel (B, G, R in BMP storage order) the exact integer
+    * pixel count, value sum and sum of squares over the pixel data —
+    * padding bytes excluded. Sums are the MERGEABLE carrier: corpus
+    * constants are Σ over images of these per-image integers (one
+    * partial agg), with mean and the population std the caller's one
+    * final float each — so two engines, or two shards of 100 TB,
+    * agree bit-for-bit on the accumulated state. Sum of squares
+    * ≤ 255²·n stays inside int64 through ~1.4·10¹⁴ pixels per image.
+    * Returns (channel 0/1/2, n_px, v_sum, v_sumsq); None for non-BMP
+    * payloads. */
+  def channelStats(m: Array[Byte]): Option[Seq[(Int, Long, Long, Long)]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + rowSize.toLong * h) return None
+    val sum = new Array[Long](3)
+    val sq = new Array[Long](3)
+    var j = 0
+    while (j < h) {
+      var x = 0
+      while (x < w) {
+        val o = dataOff + j * rowSize + 3 * x
+        var c = 0
+        while (c < 3) {
+          val v = (m(o + c) & 0xff).toLong
+          sum(c) += v
+          sq(c) += v * v
+          c += 1
+        }
+        x += 1
+      }
+      j += 1
+    }
+    val n = w.toLong * h
+    Some((0 until 3).map(c => (c, n, sum(c), sq(c))))
+  }
+
   /** OTSU BINARIZATION THRESHOLD (Otsu 1979 — the classic automatic
     * foreground/background split a document-scan or blank-frame screen
     * runs before any OCR/feature step): choose the luma threshold t

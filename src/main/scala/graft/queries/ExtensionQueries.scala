@@ -5871,6 +5871,72 @@ object ExtensionQueries {
        |FROM g GROUP BY doc_id, py, px ORDER BY doc_id, py, px""".stripMargin
   }
 
+  /** Per-channel normalization constants
+    * ([[Multimodal.channelStats]]) — the dataset mean/std every image
+    * training pipeline computes first (the transforms.Normalize
+    * numbers), demonstrated in its SCALABLE form: each image reduces
+    * map-side to 3 rows of exact integer (n, Σv, Σv²) per B/G/R
+    * channel, the corpus folds them in ONE partial agg (the sums are
+    * the mergeable carrier — shards agree bit-for-bit), and mean/std
+    * are the only floats, computed from exact BIGINTs through one
+    * shared IEEE tree (population std via (n·Σv² − (Σv)²)∕n²). The
+    * oracle rebuilds every channel byte from the blob-fill formula and
+    * re-folds. */
+  def m28ChannelStats(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      documents(sp, dir).filter(col("doc_id") % 3 === 0), frameSize = 100)
+    media.as[Multimodal.MediaRow]
+      .flatMap { r =>
+        Multimodal.channelStats(r.media).toSeq.flatten.map { t =>
+          (r.doc_id, t._1, t._2, t._3, t._4)
+        }
+      }
+      .toDF("doc_id", "channel", "n_px", "v_sum", "v_sumsq")
+      .groupBy(col("channel"))
+      .agg(countDistinct(col("doc_id")).as("n_images"),
+        sum(col("n_px")).as("n_px"), sum(col("v_sum")).as("v_sum"),
+        sum(col("v_sumsq")).as("v_sumsq"))
+      .select(col("channel"), col("n_images"), col("n_px"),
+        col("v_sum"), col("v_sumsq"),
+        (col("v_sum").cast("double") / col("n_px").cast("double"))
+          .as("mean"),
+        sqrt((col("n_px") * col("v_sumsq") - col("v_sum") * col("v_sum"))
+          .cast("double") /
+          (col("n_px") * col("n_px")).cast("double")).as("std"))
+      .orderBy("channel")
+  }
+
+  val m28Sql: String = {
+    val ob = "octet_length(encode(text))"
+    def byteAt(idx: String) =
+      s"('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))::BIGINT"
+    val base = "tj.j * p.src_row + ti.x * 3"
+    s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row
+       |  FROM e),
+       |g AS (SELECT p.doc_id, tc.c AS channel,
+       |    ${byteAt(s"$base + tc.c")} AS v
+       |  FROM p, range(0, 7) tj(j), range(0, 31) ti(x),
+       |    range(0, 3) tc(c)
+       |  WHERE tj.j < p.src_h AND ti.x < p.src_w),
+       |s AS (SELECT channel,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images,
+       |    CAST(count(*) AS BIGINT) AS n_px,
+       |    CAST(SUM(v) AS BIGINT) AS v_sum,
+       |    CAST(SUM(v * v) AS BIGINT) AS v_sumsq
+       |  FROM g GROUP BY 1)
+       |SELECT CAST(channel AS INT) AS channel, n_images, n_px, v_sum,
+       |  v_sumsq,
+       |  CAST(v_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean,
+       |  sqrt(CAST(n_px * v_sumsq - v_sum * v_sum AS DOUBLE)
+       |    / CAST(n_px * n_px AS DOUBLE)) AS std
+       |FROM s ORDER BY channel""".stripMargin
+  }
+
   /** Otsu binarization threshold ([[Multimodal.otsuThreshold]]): the
     * automatic foreground/background split per image — exact integer
     * between-class-variance numerators/denominators with the ranking
@@ -13910,7 +13976,8 @@ object ExtensionQueries {
     "a30_sq8" -> (a30Sq8 _),
     "p38_psi" -> (p38Psi _),
     "t61_zipf" -> (t61Zipf _),
-    "p39_kappa" -> (p39Kappa _))
+    "p39_kappa" -> (p39Kappa _),
+    "m28_channel_stats" -> (m28ChannelStats _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -14156,5 +14223,6 @@ object ExtensionQueries {
     "a30_sq8" -> a30Sql,
     "p38_psi" -> p38Sql,
     "t61_zipf" -> t61Sql,
-    "p39_kappa" -> p39Sql)
+    "p39_kappa" -> p39Sql,
+    "m28_channel_stats" -> m28Sql)
 }

@@ -3859,6 +3859,29 @@ class OperatorSpec extends AnyFunSuite {
       "reserve build must not sort any per-group domain")
   }
 
+  test("m28 channelStats: hand 2x2 with distinct per-channel bytes, " +
+      "padding excluded, mergeability identity, refusal on non-BMP") {
+    import graft.operators.Multimodal
+    // 2x2; pixel (x, j) channels (B, G, R) = (j*20+x, j*20+x+1,
+    // j*20+x+2); stride 8 = 6 px bytes + 2 pad (pad bytes 99 — must
+    // NOT count)
+    val bytes = Array.tabulate[Byte](16) { i =>
+      val j = i / 8; val k = i % 8
+      if (k >= 6) 99 else (j * 20 + k / 3 + k % 3).toByte
+    }
+    val bmp = Multimodal.buildBmp(2, 2, bytes)
+    val got = Multimodal.channelStats(bmp).get
+    // B values: 0,1,20,21 -> sum 42, sq 0+1+400+441=842
+    // G: 1,2,21,22 -> 46, 1+4+441+484=930; R: 2,3,22,23 -> 50, 1026
+    assert(got == Seq((0, 4L, 42L, 842L), (1, 4L, 46L, 930L),
+      (2, 4L, 50L, 1026L)))
+    // mergeability: stats of two images fold by plain addition —
+    // the same image twice doubles every sum
+    val twice = got.map(t => (t._1, t._2 * 2, t._3 * 2, t._4 * 2))
+    assert(twice.map(_._3).sum == 2 * got.map(_._3).sum)
+    assert(Multimodal.channelStats("nope".getBytes("UTF-8")).isEmpty)
+  }
+
   test("m25 patchStats: hand 5x3 grid at p=2 with clipped edge " +
       "patches in row-major order, flat-image stats, p=1 is the " +
       "per-pixel identity, refusal on non-BMP") {
