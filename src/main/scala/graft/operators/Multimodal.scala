@@ -1333,9 +1333,19 @@ object Multimodal {
     * every division the TRUNCATING integer division both engines share
     * (Java `/` and DuckDB `//` both truncate toward zero — floorDiv
     * would NOT match). No float exists anywhere, so the oracle replays
-    * the recurrence verbatim as a recursive CTE. Overflow envelope:
-    * |s_n| ≤ n·max|x| ≤ 100·32767 ≈ 3.3·10⁶ (marginally-stable
-    * resonator, input-bounded), so c·s1·s2 ≤ 3.5·10¹⁷ < 2⁶³.
+    * the recurrence verbatim as a recursive CTE. Overflow envelope
+    * (r15 advisor fix — the naive n·max|x| bound ignored the resonator
+    * gain): the marginally-stable resonator amplifies by ~1∕sin ω, so
+    * |s_n| ≤ n·max|x|∕sin ω with cos ω = c∕2^{shift+1}. For a
+    * low-frequency bin that gain dominates (k = 1, N = 100 →
+    * sin ω ≈ 0.063, |s| up to ~5·10⁷, c·s1·s2 ≈ 9·10¹⁹ > 2⁶³). The
+    * method therefore (a) REQUIRES at call time that the worst-case
+    * product c·(window·32767∕sin ω)² fits a long, and (b) runs the
+    * recurrence and power formula through Math.multiplyExact ∕
+    * addExact (JIT-intrinsified, overflow-checked) so any payload that
+    * still escapes the envelope fails loudly instead of silently
+    * wrapping bin_power. The shipped m27 config (bin 5∕100,
+    * sin ω ≈ 0.309) sits ~2.6× under the limit.
     *
     * Same per-partition flatMap shape as [[wavEnergy]] (byte-level
     * codec work no Expression fits); same RIFF data-chunk walk, same
@@ -1343,6 +1353,16 @@ object Multimodal {
   def goertzelEnergy(spark: SparkSession, media: DataFrame,
       window: Int, coeff: Long, shift: Int = 14): Dataset[GoertzelRow] = {
     require(window > 0, "window must be positive")
+    // Gain-aware envelope (see scaladoc): |s| ≤ window·32767/sin ω.
+    val cosw = coeff.toDouble / (1L << (shift + 1)).toDouble
+    val sinw = math.sqrt(math.max(1e-12, 1.0 - cosw * cosw))
+    val sMax = window.toDouble * 32767.0 / sinw
+    require(coeff.toDouble * sMax * sMax <= Long.MaxValue.toDouble &&
+        2.0 * sMax * sMax <= Long.MaxValue.toDouble,
+      f"goertzel overflow envelope: window=$window coeff=$coeff " +
+        f"shift=$shift gives |s| up to $sMax%.3g (resonator gain " +
+        f"1/sin(omega)=${1.0 / sinw}%.3g); c*s1*s2 would exceed 2^63 — " +
+        "shrink the window or pick a bin farther from DC/Nyquist")
     import spark.implicits._
     val div = 1L << shift
     media.as[MediaRow].mapPartitions { it =>
@@ -1362,13 +1382,19 @@ object Multimodal {
               while (k < until) {
                 val x = ((m(dataFrom + 2 * k) & 0xff) |
                   (m(dataFrom + 2 * k + 1) << 8)).toShort.toLong
-                val s = x + coeff * s1 / div - s2
+                // overflow-checked: fail loudly, never wrap (r15 advisor)
+                val s = Math.subtractExact(
+                  Math.addExact(x, Math.multiplyExact(coeff, s1) / div), s2)
                 s2 = s1
                 s1 = s
                 k += 1
               }
               GoertzelRow(b.doc_id, w, until - from, s1, s2,
-                s1 * s1 + s2 * s2 - coeff * s1 * s2 / div)
+                Math.subtractExact(
+                  Math.addExact(Math.multiplyExact(s1, s1),
+                    Math.multiplyExact(s2, s2)),
+                  Math.multiplyExact(Math.multiplyExact(coeff, s1), s2)
+                    / div))
             }
         }
       }

@@ -119,19 +119,30 @@ object NaiveBayes {
     val pri = docs.groupBy(col(labelCol).as("cls"))
       .agg(count(lit(1)).as("dc"))
     val tot = cnt.groupBy(col("cls")).agg(sum(col("n")).as("nc"))
+    // L(V) rides the domain for the all-empty-class denominator (nc=0);
+    // the x>=1 screen only ever drops it in the degenerate v=0 corpus,
+    // where no class has tokens and classify scores nothing anyway.
     val need = cnt.select((col("n") + 1).as("x"))
       .union(tot.select((col("nc") + lit(v)).as("x")))
       .union(pri.select(col("dc").as("x")))
       .union(cnt.sparkSession.range(1).select(lit(dTot).as("x")))
+      .union(cnt.sparkSession.range(1).select(lit(v).as("x")))
+      .filter(col("x") >= 1)
     val ltab = materialize(logTable(need), s"$tag-ltab")
     val cond = cnt
       .join(ltab, cnt("n") + 1 === ltab("x"))
       .select(col("cls"), col("tok"), col("l").as("lcond"))
     val lD = ltab.filter(col("x") === dTot)
       .select(col("l").as("__ld")) // 1 row
-    val cls = tot.join(pri, Seq("cls"))
+    // LEFT join pri→tot (r15 advisor): a class whose training docs all
+    // tokenize to zero tokens has no cnt rows and so no tot row, but it
+    // still owns a prior — coalesce nc to 0 so its denominator is
+    // L(0+V) and it stays predictable, honouring the scaladoc's
+    // "empty-token docs contribute to priors only".
+    val cls = pri.join(tot, Seq("cls"), "left")
+      .withColumn("__nc", coalesce(col("nc"), lit(0L)))
       .join(ltab.select(col("x").as("__xn"), col("l").as("__ln")),
-        tot("nc") + lit(v) === col("__xn"))
+        col("__nc") + lit(v) === col("__xn"))
       .join(ltab.select(col("x").as("__xp"), col("l").as("__lp")),
         pri("dc") === col("__xp"))
       .crossJoin(broadcast(lD))

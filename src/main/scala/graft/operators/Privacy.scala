@@ -80,7 +80,18 @@ object Privacy {
     * seed means re-releasing with the same seed spends no extra ε;
     * changing the seed is a new release and composes sequentially —
     * the caller owns that ledger. Scale: one hash aggregation over the
-    * QI key; everything after is released-histogram-sized. */
+    * QI key; everything after is released-histogram-sized.
+    *
+    * THE ε COLUMN IS NOMINAL, NOT A GUARANTEE (r15 advisor): the
+    * noise is a deterministic public function of (seed | group key),
+    * so the ln 2 DP bound holds ONLY when the seed is secret and
+    * uniformly random — anyone who learns the seed (and deterministic
+    * replay requires publishing it to the verifier) can recompute and
+    * subtract the noise exactly. The ±20 tz-cap truncation further
+    * weakens pure-ε to (ε, δ) with δ ≈ 2·2⁻²¹ per cell. The column is
+    * therefore named `nominal_epsilon`: the mechanism's design-point ε
+    * under the secret-seed assumption, not a property of this
+    * seed-published artifact. */
   def dpNoisedRelease(df: DataFrame, qis: Seq[Column], k: Int,
       seed: String): DataFrame = {
     require(qis.nonEmpty && k >= 1)
@@ -98,6 +109,6 @@ object Privacy {
         (g1 - g2).as("noise"),
         (col("n") + g1 - g2).as("noisy_n"),
         lit(k).as("k"),
-        lit(DpEpsilonLn2).as("epsilon")): _*)
+        lit(DpEpsilonLn2).as("nominal_epsilon")): _*)
   }
 }

@@ -900,7 +900,12 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  val t60Sql: String =
+  /** Shared NB oracle template (r15 advisor: s42Sql was a literal
+    * string .replace on t60Sql's tail — silent no-op under any
+    * whitespace drift). Both gates now build from this one function,
+    * parameterized on the extra projected columns, so drift is
+    * impossible by construction. */
+  private def nbOracleSql(extraCols: String): String =
     s"""WITH RECURSIVE
        |tr AS (SELECT * FROM documents
        |  WHERE ${h("CAST(doc_id AS VARCHAR)")} % 2 = 0),
@@ -919,7 +924,8 @@ object ExtensionQueries {
        |  SELECT n + 1 AS x FROM cnt
        |  UNION SELECT nc + (SELECT v FROM vv) FROM tot
        |  UNION SELECT dc FROM pri
-       |  UNION SELECT d FROM dd)),
+       |  UNION SELECT d FROM dd
+       |  UNION SELECT v FROM vv) WHERE x >= 1),
        |lg(x, m, i, frac) AS (
        |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
        |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
@@ -941,12 +947,12 @@ object ExtensionQueries {
        |  FROM lg WHERE i = 16),
        |cond AS (SELECT c.cls, c.tok, lt.l AS lcond
        |  FROM cnt c JOIN ltab lt ON lt.x = c.n + 1),
-       |clst AS (SELECT t.cls,
+       |clst AS (SELECT p.cls,
        |    lp.l - (SELECT l FROM ltab WHERE x = (SELECT d FROM dd))
        |      AS lprior,
        |    lnn.l AS ldenom
-       |  FROM tot t JOIN pri p USING (cls)
-       |  JOIN ltab lnn ON lnn.x = t.nc + (SELECT v FROM vv)
+       |  FROM pri p LEFT JOIN tot t USING (cls)
+       |  JOIN ltab lnn ON lnn.x = COALESCE(t.nc, 0) + (SELECT v FROM vv)
        |  JOIN ltab lp ON lp.x = p.dc),
        |etok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m FROM
        |  (SELECT doc_id, unnest($Toks) AS tok FROM ev) GROUP BY 1, 2),
@@ -961,8 +967,10 @@ object ExtensionQueries {
        |    PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc)
        |  WHERE rn = 1)
        |SELECT b.doc_id, d.source AS actual, b.pred,
-       |  b.pred = d.source AS correct, b.score
+       |  b.pred = d.source AS correct, b.score$extraCols
        |FROM best b JOIN ev d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  val t60Sql: String = nbOracleSql("")
 
   /** ZIPF RANK-FREQUENCY FIT — the corpus-health power-law check
     * (natural language has log-log slope ≈ −1; templated/generated
@@ -9574,10 +9582,8 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  val s42Sql: String = t60Sql
-    .replace("AS correct, b.score\nFROM best",
-      "AS correct, b.score,\n  TRUE AS matches, " +
-        "CAST(3 AS BIGINT) AS n_batches\nFROM best")
+  val s42Sql: String = nbOracleSql(
+    ",\n  TRUE AS matches, CAST(3 AS BIGINT) AS n_batches")
 
   /** STREAMING OBSERVED METRICS (`Dataset.observe` → `CollectMetrics`
     * — the last untouched instrumentation API leg): production

@@ -777,7 +777,7 @@ object Relational {
        |SELECT c_nationkey, c_mktsegment, n,
        |  CAST(${tz(":a")} - ${tz(":b")} AS BIGINT) AS noise,
        |  CAST(n + ${tz(":a")} - ${tz(":b")} AS BIGINT) AS noisy_n,
-       |  10 AS k, 0.6931471805599453 AS epsilon
+       |  10 AS k, 0.6931471805599453 AS nominal_epsilon
        |FROM r ORDER BY 1, 2""".stripMargin
   }
 

@@ -83,4 +83,36 @@ class NaiveBayesSpec extends AnyFunSuite {
       "doc_id", "text", ms).collect()(0)
     assert(tie.getString(1) == "a")
   }
+
+  test("train: a class whose docs all tokenize to zero tokens keeps " +
+      "its prior (left-join fix, r15 advisor) — denominator L(0+V), " +
+      "and it wins a no-evidence doc when its prior dominates") {
+    import spark.implicits._
+    // class "empty" has 3 docs, all NULL text — split(NULL) is NULL and
+    // explode(NULL) emits no rows, so the class has zero cnt rows (the
+    // tokenizer's only zero-token path: split-on-space keeps empty
+    // strings as tokens, NULL does not). V = 2 (alpha, beta).
+    val nul: String = null
+    val train = Seq(
+      ("empty", nul), ("empty", nul), ("empty", nul),
+      ("tok", "alpha beta"))
+      .toDF("label", "text")
+    val m = NaiveBayes.train(train, "label", "text", "graft-nbspec3")
+    val cls = m.cls.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cls.keySet == Set("empty", "tok"),
+      "all-empty class must stay in the model")
+    val L = NaiveBayes.log2Q16Ref _
+    // priors: dc(empty)=3, dc(tok)=1, D=4; denominators: L(0+2), L(2+2)
+    assert(cls("empty") == ((L(3L) - L(4L), L(2L))))
+    assert(cls("tok") == ((L(1L) - L(4L), L(4L))))
+    // an unseen-token doc: empty's larger prior beats tok
+    // score(empty) = (L(3)-L(4)) + 1*(0 - L(2));
+    // score(tok)   = (L(1)-L(4)) + 1*(0 - L(4))
+    val got = NaiveBayes.classify(
+      Seq((7L, "zebra")).toDF("doc_id", "text"),
+      "doc_id", "text", m).collect()(0)
+    assert(got.getString(1) == "empty")
+    assert(got.getLong(2) == L(3L) - L(4L) - L(2L))
+  }
 }

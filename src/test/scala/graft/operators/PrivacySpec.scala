@@ -51,8 +51,8 @@ class PrivacySpec extends AnyFunSuite {
   }
 
   test("p34 dpNoisedRelease: sub-k cells suppressed, noise bounded and " +
-      "deterministic per (seed, group), noisy_n = n + noise, epsilon " +
-      "rides the row; a different seed moves some noise") {
+      "deterministic per (seed, group), noisy_n = n + noise, " +
+      "nominal_epsilon rides the row; a different seed moves some noise") {
     import spark.implicits._
     val rows = (1 to 30).map(i => ("A", s"s$i")) ++
       (1 to 12).map(i => ("B", s"s$i")) ++ Seq(("C", "x"))
