@@ -1435,7 +1435,65 @@ object XmlQueries {
       |  CAST(3 AS INT) AS n_desc_grp
       |FROM lineitem WHERE l_orderkey % 16 = 9 ORDER BY id""".stripMargin
 
+  /** DESCENDANT-AXIS TERMINALS (x29 — the last documented subset edge:
+    * `p//text()` and `p//@attr`, the composition of x15's descendant
+    * expansion with x14's terminals): `//text()` reads EVERY text node
+    * of the matched subtrees in true document order — the fixture's
+    * root has mixed content (text interleaved with elements) so a
+    * group-by-owner-element shortcut would misorder it — and `//@u`
+    * collects the attribute from the matched elements and all their
+    * descendants. `//d//@u` reaches the nested `<d>` through TWO
+    * overlapping contexts (the outer d and directly) and must emit its
+    * attribute once: node-set dedup, spec-pinned against the built-in
+    * with exact list parity. Two values are row-dependent (quantity
+    * text, linenumber attribute), so the oracle predicts the joined
+    * strings symbolically. 1/16 sample (mod 14) disjoint from
+    * x13-x28's. */
+  def x29XpathDescTerminals(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 14)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'>h<g u='a'>t1<d u='b'>x<d u='c'>y</d></d>t3</g>"),
+      lit("<g><d u='"), s(col("l_linenumber")), lit("'>"),
+      d2s(col("l_quantity")), lit("</d></g>z</r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "//text()",
+        "/r/g//text()",
+        "//@u",
+        "/r/g//@u",
+        "//d//@u",
+        "//d//text()",
+        "//nope//@u")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        array_join(col("m.p1"), "|").as("all_text"),
+        size(col("m.p2")).as("n_gtext"),
+        array_join(col("m.p3"), "|").as("u_all"),
+        size(col("m.p4")).as("n_gu"),
+        array_join(col("m.p5"), "|").as("d_u"),
+        array_join(col("m.p6"), "|").as("d_text"),
+        size(col("m.p7")).as("n_none"))
+      .orderBy("id")
+  }
+
+  val x29Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  'h|t1|x|y|t3|' ||
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|z'
+      |    AS all_text,
+      |  CAST(5 AS INT) AS n_gtext,
+      |  'a|b|c|' || CAST(l_linenumber AS VARCHAR) AS u_all,
+      |  CAST(4 AS INT) AS n_gu,
+      |  'b|c|' || CAST(l_linenumber AS VARCHAR) AS d_u,
+      |  'x|y|' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |    AS d_text,
+      |  CAST(0 AS INT) AS n_none
+      |FROM lineitem WHERE l_orderkey % 16 = 14 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x29_xpath_desc_terminals" -> (x29XpathDescTerminals _),
     "x26_xpath_not" -> (x26XpathNot _),
     "x27_xpath_grouping" -> (x27XpathGrouping _),
     "x28_xpath_successive" -> (x28XpathSuccessive _),
@@ -1466,6 +1524,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x29_xpath_desc_terminals" -> x29Sql,
     "x16_xpath_union" -> x16Sql,
     "x17_xpath_attr_pred" -> x17Sql,
     "x18_xpath_child_pred" -> x18Sql,

@@ -42,7 +42,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * numeric child-value comparisons `[q>5]` (existential over the
   * child node-set, same number()/NaN rules as the attribute form)
   * (one predicate per step, enforced by the grammar), and a trailing
-  * `text()` or `@attr` step. Each path
+  * `text()` or `@attr` step — either optionally on the DESCENDANT axis
+  * (x29: `p//text()` = every text node in the matched subtrees,
+  * `p//@a` = the attribute on the matched elements and all their
+  * descendants, both in document order with node-set dedup; the
+  * whole-document anchors `//text()` / `//@a` are valid paths with no
+  * element steps). Each path
   * yields the matched nodes in document order as `array<string>` — the
   * element string-value (concatenated descendant text, XPath `string()`)
   * for element results, the individual text-node segments for `text()`
@@ -135,14 +140,22 @@ object XPathMini {
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
     * final step's matches) or `attr` (select the named attribute of the
-    * final step's matches; null = element string-value). */
+    * final step's matches; null = element string-value). `descTerm`
+    * (x29) marks a DESCENDANT-AXIS terminal — `p//@a` ≡
+    * `p/descendant-or-self::node()/attribute::a` and `p//text()` ≡
+    * `p/descendant-or-self::node()/child::text()` — so the selector
+    * applies to each final context node AND its whole subtree, in
+    * document order with node-set dedup (overlapping contexts, e.g.
+    * from `//s//text()`, contribute each text/attribute node once).
+    * `steps` may be EMPTY only under descTerm (`//@a`, `//text()` —
+    * the whole-document selector anchored at the virtual doc node). */
   final case class Path(steps: Array[Step], textOnly: Boolean,
-      attr: String) {
-    /** Any descendant-axis step? Routes eval to the node-set evaluator
-      * (doc-order sort + dedup); pure child paths keep the recursive
-      * fast path, whose results are doc-ordered and duplicate-free by
-      * construction. */
-    val hasDesc: Boolean = steps.exists(_.desc)
+      attr: String, descTerm: Boolean = false) {
+    /** Any descendant-axis step (or terminal)? Routes eval to the
+      * node-set evaluator (doc-order sort + dedup); pure child paths
+      * keep the recursive fast path, whose results are doc-ordered and
+      * duplicate-free by construction. */
+    val hasDesc: Boolean = descTerm || steps.exists(_.desc)
   }
 
   private val StepHeadRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(.*)\])?$""".r
@@ -334,16 +347,16 @@ object XPathMini {
       case AttrRe(a) => a
       case _ => null
     }
-    require(attr == null || !marked.last._2,
-      s"'//@$attr' is outside the subset ('//' precedes element steps " +
-        s"only): $path")
+    // x29: '//' may precede the terminal itself — '//@a' / '//text()'
+    // select on the descendant-or-self axis of the final context set
+    val attrDesc = attr != null && marked.last._2
     val afterAttr = if (attr != null) marked.dropRight(1) else marked
     val textOnly = afterAttr.nonEmpty && afterAttr.last._1 == "text()"
-    require(!textOnly || !afterAttr.last._2,
-      s"'//text()' is outside the subset ('//' precedes element steps " +
-        s"only): $path")
+    val textDesc = textOnly && afterAttr.last._2
+    val descTerm = attrDesc || textDesc
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
-    require(stepParts.nonEmpty, s"path has no element steps: $path")
+    require(stepParts.nonEmpty || descTerm,
+      s"path has no element steps: $path")
     val steps = stepParts.map {
       case (StepHeadRe(name, pred), desc) =>
         if (pred == null) Step(name, 0, desc)
@@ -392,7 +405,7 @@ object XPathMini {
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
-    Path(steps, textOnly, attr)
+    Path(steps, textOnly, attr, descTerm)
   }
 
   /** Transient element-tree node: `content` holds text segments (String) and
@@ -956,12 +969,60 @@ object XPathMini {
   private def evalDesc(p: Path, root: Elem): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String](4)
     val ctxs = nodeSet(p, root)
-    var i = 0
-    while (i < ctxs.length) {
-      emitNode(p, ctxs(i), out)
-      i += 1
+    if (p.descTerm) {
+      // x29 descendant terminal: the selector applies to each context's
+      // whole descendant-or-self subtree. ctxs is docPos-sorted, so an
+      // ancestor context always precedes any context inside its subtree;
+      // a context already covered by an accepted ancestor's walk
+      // contributes a SUBSET of its nodes — skipping it IS the XPath
+      // node-set dedup (each attribute/text node surfaces once), and the
+      // single pre-order walk per maximal context emits text segments
+      // interleaved with child subtrees in true document order (the
+      // "group by owner element" shortcut would misorder mixed content:
+      // <a>t1<b>t2</b>t3</a> must read t1,t2,t3).
+      val covered = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
+      var i = 0
+      while (i < ctxs.length) {
+        if (!covered.contains(ctxs(i))) emitSubtree(p, ctxs(i), covered, out)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < ctxs.length) {
+        emitNode(p, ctxs(i), out)
+        i += 1
+      }
     }
     out
+  }
+
+  /** Pre-order walk of `e`'s subtree for a descendant terminal:
+    * attribute-of-self first (attributes precede content in document
+    * order), then content in order — text segments emitted directly
+    * (text terminal), child elements recursed. Every visited element
+    * lands in `covered` so later overlapping contexts are skipped. */
+  private def emitSubtree(p: Path, e: Elem,
+      covered: java.util.Set[Elem],
+      out: mutable.ArrayBuffer[String]): Unit = {
+    covered.add(e)
+    if (p.attr != null && e.attrs != null) {
+      var k = 0
+      while (k < e.attrs.length) {
+        if (e.attrs(k)._1 == p.attr) {
+          out += e.attrs(k)._2
+          k = e.attrs.length
+        } else k += 1
+      }
+    }
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case s: String => if (p.textOnly) out += s
+        case c: Elem => emitSubtree(p, c, covered, out)
+      }
+      i += 1
+    }
   }
 
   /** Evaluate a compiled spec ([[compileAll]]): single branch keeps its

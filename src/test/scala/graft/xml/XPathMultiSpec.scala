@@ -212,19 +212,18 @@ class XPathMultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       XPathMini.compile("relative/path")
     }
-    // '//' precedes element steps only in the subset
+    // '///': empty step between two descendant markers
     intercept[IllegalArgumentException] {
       XPathMini.compile("///a")
     }
     intercept[IllegalArgumentException] {
-      XPathMini.compile("/a//text()")
-    }
-    intercept[IllegalArgumentException] {
-      XPathMini.compile("/a//@b")
-    }
-    intercept[IllegalArgumentException] {
       XPathMini.compile("/a/b//")
     }
+    // x29 made descendant terminals VALID — compile must accept them
+    assert(XPathMini.compile("/a//text()").descTerm)
+    assert(XPathMini.compile("/a//@b").descTerm)
+    assert(XPathMini.compile("//@b").steps.isEmpty)
+    assert(XPathMini.compile("//text()").steps.isEmpty)
   }
 
   test("union |: document-order interleave regardless of branch order, " +
@@ -429,8 +428,49 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(ref4.getSeq[String](0) == Seq("1", "2", "3", "4", "5"))
   }
 
+  test("x29 descendant terminals //@attr and //text(): subtree " +
+      "selection in document order, mixed-content interleave, " +
+      "overlapping-context dedup, whole-document anchors — exact " +
+      "list parity with the built-in") {
+    import spark.implicits._
+    // mixed content: t1 <b>t2</b> t3 — //text() must read t1,t2,t3
+    // (the misorder a group-by-owner-element shortcut would produce);
+    // attributes at three depths; <a> nests inside <a> for the
+    // overlap-dedup case
+    val doc = "<r k='0'>t1<a k='1'>x1<a k='2'>x2</a>x3</a>" +
+      "<b><c k='3'>y</c></b>t4<a>x4</a></r>"
+    val paths = Seq("//text()", "/r//text()", "/r/a//text()",
+      "//a//text()", "//@k", "/r//@k", "/r/a//@k", "//a//@k",
+      "/r/b//@k", "//nope//text()", "//nope//@k")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val r = Seq(doc).toDF("x").select(m.as("m")).select("m.*").head()
+    assert(r.getSeq[String](0) ==
+      Seq("t1", "x1", "x2", "x3", "y", "t4", "x4"))
+    assert(r.getSeq[String](1) ==
+      Seq("t1", "x1", "x2", "x3", "y", "t4", "x4"))
+    assert(r.getSeq[String](2) == Seq("x1", "x2", "x3", "x4"))
+    // //a//a overlap: inner <a>'s texts surface ONCE (node-set dedup)
+    assert(r.getSeq[String](3) == Seq("x1", "x2", "x3", "x4"))
+    assert(r.getSeq[String](4) == Seq("0", "1", "2", "3"))
+    assert(r.getSeq[String](5) == Seq("0", "1", "2", "3"))
+    assert(r.getSeq[String](6) == Seq("1", "2"))
+    assert(r.getSeq[String](7) == Seq("1", "2"))
+    assert(r.getSeq[String](8) == Seq("3"))
+    assert(r.getSeq[String](9) == Seq.empty)
+    assert(r.getSeq[String](10) == Seq.empty)
+    // exact list parity: the built-in list form carries values for
+    // BOTH text and attribute nodes
+    val refCols = paths.map(p => expr(s"xpath(x, '$p')"))
+    val ref = Seq(doc).toDF("x").select(refCols: _*).head()
+    paths.indices.foreach { i =>
+      assert(r.getSeq[String](i) == ref.getSeq[String](i),
+        s"built-in parity on ${paths(i)}")
+    }
+  }
+
   test("property: xpath_multi == built-in xpath node-set form on random " +
-      "trees x random paths (names, *, [k], //, text(), no-match)") {
+      "trees x random paths (names, *, [k], //, text(), //text(), " +
+      "no-match)") {
     import spark.implicits._
     // seeded so a failure replays; one DataFrame pass over all cases
     val rnd = new scala.util.Random(42)
@@ -455,7 +495,12 @@ class XPathMultiSpec extends AnyFunSuite {
         val sep = if (rnd.nextInt(4) == 0) "//" else "/"
         sep + nm + pred
       }
-      val txt = if (rnd.nextInt(3) == 0) "/text()" else ""
+      // terminal: none, child text(), or the x29 descendant //text()
+      val txt = rnd.nextInt(6) match {
+        case 0 | 1 => "/text()"
+        case 2 => "//text()"
+        case _ => ""
+      }
       "/r" + steps.mkString + txt
     }
     val paths = (1 to 16).map(_ => genPath()).distinct
@@ -560,7 +605,13 @@ class XPathMultiSpec extends AnyFunSuite {
         val sep = if (rnd.nextInt(4) == 0) "//" else "/"
         sep + nm + (if (rnd.nextInt(2) == 0) pred() else "")
       }
-      "/r" + steps.mkString
+      // terminal: 1 in 4 paths ends in an attribute selector, half of
+      // those on the x29 descendant axis (//@a) — attribute-node lists
+      // carry values in the built-in, so the count+first contract holds
+      val term = if (rnd.nextInt(4) == 0)
+        (if (rnd.nextBoolean()) "//@" else "/@") + attrs(rnd.nextInt(2))
+      else ""
+      "/r" + steps.mkString + term
     }
     val paths = (1 to 24).map(_ => genPath()).distinct
     val m = XPathMultiExpr.xpath_multi(col("x"), paths)
