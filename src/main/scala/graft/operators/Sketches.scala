@@ -192,6 +192,96 @@ object Sketches {
             col("n_a_sample").cast("double")).as("contamination_rate"))
   }
 
+  /** WEIGHTED bottom-k (TUPLE sketch) state — [[bottomKState]] with an
+    * additive Σweight summary per retained hash
+    * ([[graft.functions.WeightedBottomKAgg]]): the state that makes
+    * token-MASS overlap between sources estimable, not just distinct
+    * membership — the budget currency of a curation pipeline is
+    * occurrences, and a shingle shared by 2 docs vs 2 million is the
+    * whole story at 100 TB. Returns (grp, h, w) rows, ≤k per group,
+    * h ascending-distinct, w = total weight of that hash's value.
+    * Mergeable exactly like the unweighted state (shared hashes sum
+    * their weights — see the weight-fidelity argument on the UDAF). */
+  def weightedBottomKState(df: DataFrame, grp: Column, value: Column,
+      weight: Column, k: Int): DataFrame = {
+    val wk = graft.functions.WeightedBottomKAgg.weightedBottomK(k)
+    df.select(grp.as("grp"), Hashing.portableHash32(value).as("__h"),
+        weight.cast("long").as("__w"))
+      .groupBy("grp").agg(wk(col("__h"), col("__w")).as("__hw"))
+      .select(col("grp"), explode(col("__hw")).as("__e"))
+      .select(col("grp"), col("__e._1").as("h"), col("__e._2").as("w"))
+  }
+
+  /** Fold any number of [[weightedBottomKState]] tables into one: the
+    * same bounded UDAF over the concatenated ≤k-row states — shared
+    * hashes sum their weights inside the aggregate's merge, which is
+    * exactly the tuple-sketch union (partial states computed per
+    * day/shard fold without touching raw rows). */
+  def mergeWeightedBottomKStates(states: Seq[DataFrame],
+      k: Int): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    val wk = graft.functions.WeightedBottomKAgg.weightedBottomK(k)
+    states.reduce(_.unionByName(_))
+      .groupBy("grp").agg(wk(col("h"), col("w")).as("__hw"))
+      .select(col("grp"), explode(col("__hw")).as("__e"))
+      .select(col("grp"), col("__e._1").as("h"), col("__e._2").as("w"))
+  }
+
+  /** WEIGHTED theta overlap over two single-set [[weightedBottomKState]]
+    * tables (columns (h, w)) — t58's sampling argument extended to
+    * masses: below θ = min(θ_A, θ_B) both states hold their complete
+    * distinct hash sets WITH exact total weights, so the θ-sample is a
+    * uniform θ∕2³²-rate sample of the distinct domain and any Σweight
+    * over it is a Horvitz–Thompson estimate of the full-domain mass at
+    * scale 2³²∕θ. Output ONE row: sample counts and masses (exact
+    * integers), the scaled mass estimates (one float division each),
+    * and the mass-contamination rates mass_common∕mass_sample where θ
+    * cancels exactly — "what fraction of A's token mass lands on values
+    * B also has", the release-time question the unweighted t59 rate
+    * cannot answer when weights are skewed. Shape: two 1-row aggs
+    * (broadcast), one ≤k×≤k hash equi-join. */
+  def thetaWeightedOverlap(stateA: DataFrame, stateB: DataFrame,
+      k: Int): DataFrame = {
+    val full = lit(4294967296L)
+    val aAgg = stateA.agg(count(lit(1)).as("ka"), max(col("h")).as("__ma"))
+    val bAgg = stateB.agg(count(lit(1)).as("kb"), max(col("h")).as("__mb"))
+    val th = aAgg.crossJoin(bAgg).select(col("ka"), col("kb"),
+      least(
+        when(col("ka") === k, col("__ma")).otherwise(full),
+        when(col("kb") === k, col("__mb")).otherwise(full)).as("theta"))
+    val thB = broadcast(th)
+    val sa = stateA.crossJoin(thB).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_a_sample"),
+        sum(col("w")).as("mass_a_sample"))
+    val sb = stateB.crossJoin(thB).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_b_sample"),
+        sum(col("w")).as("mass_b_sample"))
+    val cm = stateA.select(col("h"), col("w").as("__wa"))
+      .join(stateB.select(col("h"), col("w").as("__wb")), "h")
+      .crossJoin(thB).filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("__wa")).as("mass_common_a"),
+        sum(col("__wb")).as("mass_common_b"))
+    def est(c: Column): Column =
+      c.cast("double") * 4294967296.0 / col("theta").cast("double")
+    thB.crossJoin(sa).crossJoin(sb).crossJoin(cm)
+      .na.fill(0L, Seq("n_common", "mass_common_a", "mass_common_b"))
+      .select(col("ka"), col("kb"), col("theta"),
+        col("n_a_sample"), col("n_b_sample"), col("n_common"),
+        col("mass_a_sample"), col("mass_b_sample"),
+        col("mass_common_a"), col("mass_common_b"),
+        est(col("mass_a_sample")).as("est_mass_a"),
+        est(col("mass_b_sample")).as("est_mass_b"),
+        est(col("mass_common_a")).as("est_overlap_mass_a"),
+        est(col("mass_common_b")).as("est_overlap_mass_b"),
+        when(col("mass_a_sample") > 0,
+          col("mass_common_a").cast("double") /
+            col("mass_a_sample").cast("double")).as("mass_rate_a"),
+        when(col("mass_b_sample") > 0,
+          col("mass_common_b").cast("double") /
+            col("mass_b_sample").cast("double")).as("mass_rate_b"))
+  }
+
   def thetaIntersect(stateA: DataFrame, stateB: DataFrame,
       k: Int): DataFrame = {
     val full = lit(4294967296L) // 2^32: hash-space bound, exact sketch

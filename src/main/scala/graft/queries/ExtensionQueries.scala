@@ -872,6 +872,152 @@ object ExtensionQueries {
        |FROM th CROSS JOIN sm CROSS JOIN ex""".stripMargin
   }
 
+  /** WEIGHTED theta (TUPLE sketch) mass overlap
+    * ([[graft.operators.Sketches.weightedBottomKState]] +
+    * [[graft.operators.Sketches.thetaWeightedOverlap]]) — t58/t59's
+    * missing axis: those estimate how many distinct shingles the eval
+    * and train corpora SHARE, this estimates how much shingle MASS
+    * (occurrence weight — here document frequency, one unit per
+    * (doc, shingle) pair) sits on the shared values — the t19/t50
+    * budget currency, and the number that actually prices
+    * contamination when weights are skewed (a shingle in 2 docs vs
+    * 2 million is not the same leak). Same portable bottom-k hashes,
+    * each slot now carrying an exact Σweight (the additive tuple-sketch
+    * summary), so the oracle replays the state — hash AND weight — as
+    * GROUP BY h ORDER BY h LIMIT k and the whole estimate is bit-exact;
+    * the statistical contract gates each Horvitz–Thompson mass estimate
+    * against its exact counterpart (measured 0.05/0.01/0.03 at the
+    * three SFs) and the θ-cancelling mass rates within 0.05 absolute. */
+  def t62WeightedTheta(sp: SparkSession, dir: String): DataFrame = {
+    val k = 4096
+    val docs = documents(sp, dir)
+    def sh(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(explode(
+        graft.operators.Dedup.shingleSet(col("text"), 5)).as("s"))
+    val ev = sh(col("doc_id") % 20 === 0)
+    val tr = sh(col("doc_id") % 20 =!= 0)
+    val evState = graft.operators.Sketches
+      .weightedBottomKState(ev, lit(1L), col("s"), lit(1L), k)
+      .select(col("h"), col("w"))
+    val trState = graft.operators.Sketches
+      .weightedBottomKState(tr, lit(1L), col("s"), lit(1L), k)
+      .select(col("h"), col("w"))
+    val evH = ev.select(Hashing.portableHash32(col("s")).as("h"))
+    val trH = tr.select(Hashing.portableHash32(col("s")).as("h"))
+    val exact = evH.agg(count(lit(1)).as("exact_mass_a"))
+      .crossJoin(trH.agg(count(lit(1)).as("exact_mass_b")))
+      .crossJoin(evH.join(trH.distinct(), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("exact_overlap_mass_a")))
+      .crossJoin(trH.join(evH.distinct(), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("exact_overlap_mass_b")))
+    def near(e: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column, rel: Double, abs0: Double) =
+      abs(e - x.cast("double")) <= greatest(x.cast("double") * rel,
+        lit(abs0))
+    graft.operators.Sketches.thetaWeightedOverlap(evState, trState, k)
+      .crossJoin(exact)
+      .withColumn("k", lit(k))
+      .withColumn("exact_rate_a",
+        col("exact_overlap_mass_a").cast("double") /
+          col("exact_mass_a").cast("double"))
+      .withColumn("within_bounds",
+        near(col("est_mass_a"), col("exact_mass_a"), 0.2, 50.0) &&
+        near(col("est_mass_b"), col("exact_mass_b"), 0.2, 50.0) &&
+        near(col("est_overlap_mass_a"), col("exact_overlap_mass_a"),
+          0.4, 50.0) &&
+        near(col("est_overlap_mass_b"), col("exact_overlap_mass_b"),
+          0.4, 50.0) &&
+        abs(col("mass_rate_a") - col("exact_rate_a")) <= lit(0.05))
+  }
+
+  val t62Sql: String = {
+    def est(c: String) =
+      s"CAST($c AS DOUBLE) * 4294967296.0 / CAST(th.theta AS DOUBLE)"
+    def near(e: String, x: String, rel: String, abs0: String) =
+      s"abs($e - CAST($x AS DOUBLE)) <= " +
+        s"greatest(CAST($x AS DOUBLE) * $rel, $abs0)"
+    s"""WITH sh5 AS (SELECT doc_id,
+       |    CASE WHEN len($Toks) < 5 THEN []
+       |         ELSE list_distinct(list_transform(range(1, len($Toks) - 3),
+       |           i -> array_to_string(($Toks)[i:i+4], ' '))) END AS s
+       |  FROM documents),
+       |eva AS MATERIALIZED (SELECT ${h("sh")} AS h FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 = 0)),
+       |tra AS MATERIALIZED (SELECT ${h("sh")} AS h FROM
+       |  (SELECT unnest(s) AS sh FROM sh5 WHERE doc_id % 20 <> 0)),
+       |evw AS MATERIALIZED (SELECT h, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM eva GROUP BY h),
+       |trw AS MATERIALIZED (SELECT h, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM tra GROUP BY h),
+       |ska AS (SELECT h, w FROM evw ORDER BY h LIMIT 4096),
+       |skb AS (SELECT h, w FROM trw ORDER BY h LIMIT 4096),
+       |agga AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka, MAX(h) AS ma
+       |  FROM ska),
+       |aggb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb, MAX(h) AS mb
+       |  FROM skb),
+       |th AS (SELECT ka, kb, LEAST(
+       |    CASE WHEN ka = 4096 THEN ma ELSE 4294967296 END,
+       |    CASE WHEN kb = 4096 THEN mb ELSE 4294967296 END) AS theta
+       |  FROM agga CROSS JOIN aggb),
+       |sm AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ska CROSS JOIN th
+       |      WHERE ska.h < th.theta) AS n_a_sample,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM skb CROSS JOIN th
+       |      WHERE skb.h < th.theta) AS n_b_sample,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ska JOIN skb USING (h)
+       |      CROSS JOIN th WHERE ska.h < th.theta) AS n_common,
+       |    (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM ska
+       |      CROSS JOIN th WHERE ska.h < th.theta) AS mass_a_sample,
+       |    (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM skb
+       |      CROSS JOIN th WHERE skb.h < th.theta) AS mass_b_sample,
+       |    (SELECT CAST(COALESCE(SUM(ska.w), 0) AS BIGINT) FROM ska
+       |      JOIN skb USING (h) CROSS JOIN th WHERE ska.h < th.theta)
+       |      AS mass_common_a,
+       |    (SELECT CAST(COALESCE(SUM(skb.w), 0) AS BIGINT) FROM ska
+       |      JOIN skb USING (h) CROSS JOIN th WHERE ska.h < th.theta)
+       |      AS mass_common_b),
+       |ex AS (SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM eva) AS exact_mass_a,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tra) AS exact_mass_b,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM eva
+       |      WHERE h IN (SELECT h FROM trw)) AS exact_overlap_mass_a,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tra
+       |      WHERE h IN (SELECT h FROM evw)) AS exact_overlap_mass_b)
+       |SELECT th.ka, th.kb, th.theta,
+       |  sm.n_a_sample, sm.n_b_sample, sm.n_common,
+       |  sm.mass_a_sample, sm.mass_b_sample,
+       |  sm.mass_common_a, sm.mass_common_b,
+       |  ${est("sm.mass_a_sample")} AS est_mass_a,
+       |  ${est("sm.mass_b_sample")} AS est_mass_b,
+       |  ${est("sm.mass_common_a")} AS est_overlap_mass_a,
+       |  ${est("sm.mass_common_b")} AS est_overlap_mass_b,
+       |  CASE WHEN sm.mass_a_sample > 0 THEN
+       |    CAST(sm.mass_common_a AS DOUBLE) /
+       |    CAST(sm.mass_a_sample AS DOUBLE) END AS mass_rate_a,
+       |  CASE WHEN sm.mass_b_sample > 0 THEN
+       |    CAST(sm.mass_common_b AS DOUBLE) /
+       |    CAST(sm.mass_b_sample AS DOUBLE) END AS mass_rate_b,
+       |  ex.exact_mass_a, ex.exact_mass_b,
+       |  ex.exact_overlap_mass_a, ex.exact_overlap_mass_b,
+       |  4096 AS k,
+       |  CAST(ex.exact_overlap_mass_a AS DOUBLE) /
+       |    CAST(ex.exact_mass_a AS DOUBLE) AS exact_rate_a,
+       |  (${near(est("sm.mass_a_sample"), "ex.exact_mass_a",
+            "0.2", "50.0")}
+       |   AND ${near(est("sm.mass_b_sample"), "ex.exact_mass_b",
+            "0.2", "50.0")}
+       |   AND ${near(est("sm.mass_common_a"), "ex.exact_overlap_mass_a",
+            "0.4", "50.0")}
+       |   AND ${near(est("sm.mass_common_b"), "ex.exact_overlap_mass_b",
+            "0.4", "50.0")}
+       |   AND abs(CASE WHEN sm.mass_a_sample > 0 THEN
+       |     CAST(sm.mass_common_a AS DOUBLE) /
+       |     CAST(sm.mass_a_sample AS DOUBLE) END -
+       |     CAST(ex.exact_overlap_mass_a AS DOUBLE) /
+       |     CAST(ex.exact_mass_a AS DOUBLE)) <= 0.05) AS within_bounds
+       |FROM th CROSS JOIN sm CROSS JOIN ex""".stripMargin
+  }
+
   /** Multinomial Naive Bayes source classifier
     * ([[graft.operators.NaiveBayes]]) — the fastText-shaped linear text
     * classifier of every curation stack, trained on the md5-parity
@@ -13969,6 +14115,7 @@ object ExtensionQueries {
     "g20_betweenness" -> (g20Betweenness _),
     "m27_goertzel" -> (m27Goertzel _),
     "t59_theta_algebra" -> (t59ThetaAlgebra _),
+    "t62_weighted_theta" -> (t62WeightedTheta _),
     "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
@@ -14216,6 +14363,7 @@ object ExtensionQueries {
     "g20_betweenness" -> g20Sql,
     "m27_goertzel" -> m27Sql,
     "t59_theta_algebra" -> t59Sql,
+    "t62_weighted_theta" -> t62Sql,
     "s41_bottomk_stream_ingest" -> s41Sql,
     "g21_louvain_weighted" -> g21Sql,
     "g22_louvain_two_level" -> g22Sql,

@@ -946,6 +946,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(alg.getAs[Double]("contamination_rate") == 0.5)
   }
 
+  test("t62 weightedBottomKState: k smallest distinct hashes with EXACT " +
+      "total weights; merge of overlapping split states sums weights; " +
+      "thetaWeightedOverlap exact when both sketches are under k") {
+    import spark.implicits._
+    // 300 rows over 100 values -> value i arrives (3 or fewer) times;
+    // weight per row = id+1 so per-value masses are distinct and exact
+    val df = spark.range(300)
+      .select(lit(1L).as("g"), (col("id") % 100).cast("string").as("v"),
+        (col("id") + 1).as("w"))
+    val k = 16
+    val st = Sketches.weightedBottomKState(df, col("g"), col("v"),
+        col("w"), k)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSeq
+    // reference: exact per-value mass over the whole corpus
+    val exact = df.select(
+        graft.functions.Hashing.portableHash32(col("v")).as("h"),
+        col("w"))
+      .groupBy("h").agg(org.apache.spark.sql.functions.sum("w").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(st.map(_._1) === exact.take(k).map(_._1),
+      "k smallest distinct hashes, ascending")
+    assert(st === exact.take(k).toSeq,
+      "weights must be the EXACT full-corpus masses (never clipped " +
+        "by partial-buffer eviction)")
+    // mergeability: DISJOINT row halves whose VALUE sets overlap (value
+    // v sits at rows v, v+100, v+200 — split 2/1 across the halves), so
+    // each half carries part of the mass and the merge must sum
+    val a = df.filter(col("id") < 180)
+    val b = df.filter(col("id") >= 180)
+    val merged = Sketches.mergeWeightedBottomKStates(Seq(
+        Sketches.weightedBottomKState(a, col("g"), col("v"), col("w"), k),
+        Sketches.weightedBottomKState(b, col("g"), col("v"), col("w"), k)),
+        k)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toSeq
+    assert(merged === exact.take(k).toSeq)
+    // exact regime: both sides under k -> theta = 2^32, mass estimates
+    // equal the exact masses and the rates are exact ratios
+    val one = lit(1L)
+    val sa = Sketches.weightedBottomKState(
+      df.filter(col("v").cast("int") < 10), col("g"), col("v"), one, k)
+    val sb = Sketches.weightedBottomKState(
+      df.filter(col("v").cast("int").between(5, 12)), col("g"),
+      col("v"), one, k)
+    val r = Sketches.thetaWeightedOverlap(
+      sa.select(col("h"), col("w")), sb.select(col("h"), col("w")),
+      k).head()
+    assert(r.getAs[Long]("theta") == 4294967296L)
+    assert(r.getAs[Long]("n_common") == 5L) // values 5..9
+    // w=1 per arrival: each value 0..99 arrives 3x in range(300)
+    assert(r.getAs[Long]("mass_a_sample") == 30L)
+    assert(r.getAs[Long]("mass_b_sample") == 24L)
+    assert(r.getAs[Long]("mass_common_a") == 15L)
+    assert(r.getAs[Long]("mass_common_b") == 15L)
+    assert(r.getAs[Double]("est_mass_a") == 30.0)
+    assert(r.getAs[Double]("est_overlap_mass_a") == 15.0)
+    assert(r.getAs[Double]("mass_rate_a") == 0.5)
+    assert(r.getAs[Double]("mass_rate_b") == 15.0 / 24.0)
+  }
+
   test("RangeJoin.binned equals the theta join; plan is equi-join, " +
       "no nested loop") {
     import spark.implicits._
