@@ -1146,6 +1146,137 @@ object Multimodal {
     Some(out)
   }
 
+  /** BRIGHTNESS shift with SATURATION: every pixel-data byte (all three
+    * channels, padding untouched) moves by `delta`, clamped to [0, 255]
+    * — the nonlinear edit a re-encoded/brightened copy carries. The
+    * clamp is the point: an UNCLAMPED shift leaves both aHash (gray and
+    * mean shift together) and the DCT AC block (only the DC row/column
+    * moves) invariant, so it would plant trivial twins; clamping bends
+    * the gray map nonlinearly, which scatters aHash's gray-vs-mean bits
+    * while the DCT's low-frequency SIGN structure mostly survives — the
+    * exact gap the m29 gate measures. None for non-BMP payloads. */
+  def adjustBmpBrightness(m: Array[Byte], delta: Int): Option[Array[Byte]] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return None
+    val src = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = src.getInt(10)
+    val w = src.getInt(18)
+    val h = src.getInt(22)
+    if (src.getShort(28) != 24 || w <= 0 || h <= 0 || dataOff < 54)
+      return None
+    val row = ((3 * w + 3) / 4) * 4
+    if (m.length.toLong < dataOff.toLong + row.toLong * h) return None
+    val out = m.clone()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < 3 * w) {
+        val i = dataOff + y * row + x
+        val v = (m(i) & 0xff) + delta
+        out(i) = math.max(0, math.min(255, v)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Q14 integer DCT-II basis row k sampled at n: round(cos((2n+1)kπ∕16)
+    * ·2¹⁴), pinned as LITERALS (Math.cos tolerates 1 ulp of platform
+    * variance — a derived table could silently differ between JVMs,
+    * and the oracle inlines these exact values). Antisymmetry∕
+    * cancellation note: for every k ≥ 1 the eight entries sum to 0
+    * EXACTLY (odd k rows are antisymmetric, even k rows cancel
+    * pairwise), which is what makes an unclamped brightness shift
+    * provably touch only the k = 0 row. The spec re-derives the table
+    * from cos and asserts equality, so drift fails loudly. */
+  val DctQ14: Array[Array[Long]] = Array(
+    Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+    Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+    Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+    Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L),
+    Array(11585L, -11585L, -11585L, 11585L, 11585L, -11585L, -11585L,
+      11585L),
+    Array(9102L, -16069L, 3196L, 13623L, -13623L, -3196L, 16069L, -9102L),
+    Array(6270L, -15137L, 15137L, -6270L, -6270L, 15137L, -15137L, 6270L),
+    Array(3196L, -9102L, 13623L, -16069L, 16069L, -13623L, 9102L, -3196L))
+
+  /** 64-bit DCT PERCEPTUAL HASH (pHash) of a 24bpp BMP — the
+    * frequency-domain fingerprint beside m5's spatial aHash: same 8×8
+    * [[resizeBmp]] grid and integer gray (b+g+r)∕3, then the separable
+    * 2-D fixed-point DCT-II  F = ((T·G) ∕ 2¹⁴ · Tᵗ) ∕ 2¹⁴  (Q14
+    * constants [[DctQ14]], every division the truncating integer
+    * division both engines share — m27's kernel discipline), and one
+    * bit per coefficient set where F[k][l] > the LOWER MEDIAN of the 63
+    * AC coefficients (sorted ascending, index 31; DC is excluded from
+    * the median because it carries total brightness, but still gets its
+    * bit — 64 bits total for the m16 banding kernel). Why it catches
+    * what aHash misses: aHash thresholds each PIXEL against the global
+    * mean, so a saturating brightness shift drags pixels across the
+    * mean wholesale; the DCT concentrates the shift into the DC row
+    * and low-frequency magnitudes, and the SIGN-vs-median structure of
+    * the block survives — planted clamped-brightness twins land within
+    * a small Hamming radius (gate-measured) where their aHash distance
+    * blows past the band threshold. Bounds: |stage1| ≤ 8·255·2¹⁴∕2¹⁴ =
+    * 2040, |F| ≤ 8·2040 = 16320 — all far inside Long. None for
+    * non-BMP payloads. */
+  def bmpDctHash(m: Array[Byte]): Option[Long] =
+    resizeBmp(m, 8, 8).map { r =>
+      val buf = ByteBuffer.wrap(r).order(ByteOrder.LITTLE_ENDIAN)
+      val dataOff = buf.getInt(10)
+      val row = ((3 * 8 + 3) / 4) * 4
+      val g = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val i = dataOff + y * row + x * 3
+          g(y)(x) =
+            ((r(i) & 0xff) + (r(i + 1) & 0xff) + (r(i + 2) & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      // stage 1: vertical transform  s1[k][x] = (Σ_y T[k][y]·g[y][x])/2^14
+      val s1 = Array.ofDim[Long](8, 8)
+      var k = 0
+      while (k < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0L
+          var yy = 0
+          while (yy < 8) { acc += DctQ14(k)(yy) * g(yy)(x); yy += 1 }
+          s1(k)(x) = acc / 16384L
+          x += 1
+        }
+        k += 1
+      }
+      // stage 2: horizontal  F[k][l] = (Σ_x s1[k][x]·T[l][x])/2^14
+      val f = new Array[Long](64)
+      k = 0
+      while (k < 8) {
+        var l = 0
+        while (l < 8) {
+          var acc = 0L
+          var x = 0
+          while (x < 8) { acc += s1(k)(x) * DctQ14(l)(x); x += 1 }
+          f(k * 8 + l) = acc / 16384L
+          l += 1
+        }
+        k += 1
+      }
+      val ac = new Array[Long](63)
+      System.arraycopy(f, 1, ac, 0, 63)
+      java.util.Arrays.sort(ac)
+      val med = ac(31)
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (f(i) > med) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+
   /** Position-WEIGHTED pixel checksum of a 24bpp BMP: sum of
     * byte * (row-major pixel-byte index + 1), padding excluded. Unlike
     * the plain sum this witnesses WHERE every byte sits, so it

