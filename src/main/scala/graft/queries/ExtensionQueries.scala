@@ -10364,6 +10364,128 @@ object ExtensionQueries {
       |      AND c.ts <= v.ts + INTERVAL 6 HOUR)
       |ORDER BY user_id, view_event, click_event""".stripMargin
 
+  /** STREAM-STREAM AS-OF JOIN (s44) — the streaming point-in-time match
+    * batch s3/s3c provide: each purchase paired with the LATEST view by
+    * the same user at or before its own time (6 h tolerance), built
+    * Spark-first as two chained stateful operators in ONE append-mode
+    * query: a watermarked interval join (state bounded by the 2 h
+    * watermark + 6 h interval — the 100 TB requirement) feeding a
+    * streaming argmax grouped on the raw watermarked left event time
+    * (`max(struct(view_ts, view_event))` — no window needed, the ts IS
+    * the event-time key). Both sides ride mtime-ordered 3-file buses
+    * with the RIGHT bus deliberately OUT OF ORDER: mid-period views
+    * arrive first, recent views second, and the oldest views arrive
+    * LAST — after the watermark armed against them. The s17 one-batch
+    * lag is pinned twice: (1) batch 2's late filter uses the watermark
+    * batch 1 RAN with (W0 = min(max early-purchase ts, max mid-view
+    * ts) − 2 h), so the late file's [W0, D1) sliver is ADMITTED and
+    * matches — the oracle includes exactly `view_ts ≥ W0`, and the
+    * measured run contains such matches; everything older is dropped.
+    * (2) join-state eviction at the end of batch N also uses the
+    * ran-with watermark, so the mid-period purchases are still resident
+    * when the sliver arrives. Emission horizon: watermark propagation
+    * delays the aggregate's watermark by the join's 6 h interval (a
+    * state view at rts can still join a future left with lts ≤ rts+6h),
+    * so groups finalize below HZ = min(max purchase ts, max view ts)
+    * − 2 h − 6 h; later purchases stay pending on this finite bus and
+    * the oracle restricts to `pts < HZ`. Oracle = the s3c DuckDB ASOF
+    * join over the admitted view universe, tolerance-filtered,
+    * horizon-restricted ((user_id, ts) view ties verified absent at
+    * all three SFs, so ASOF's pick is deterministic). */
+  def s44StreamAsOf(sp: SparkSession, dir: String): DataFrame = {
+    val d1 = "2024-01-11 00:00:00"
+    val d2 = "2024-01-21 00:00:00"
+    val ev = events(sp, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event"), col("ts").as("rts"),
+        col("user_id").as("rkey"))
+    val lDir = graft.Tables.scratchDir("graft-s44-l")
+    val rDir = graft.Tables.scratchDir("graft-s44-r")
+    new java.io.File(lDir).mkdirs()
+    new java.io.File(rDir).mkdirs()
+    def writeOne(df: DataFrame, outDir: String, name: String,
+        mtime: Long): Unit = {
+      val tmp = graft.Tables.scratchDir(s"graft-s44-tmp-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(outDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      require(dst.setLastModified(mtime),
+        s"setLastModified failed for $dst — s44's micro-batch " +
+          "ordering would be undefined")
+    }
+    // every slice must be non-empty or the 3-batch alignment (and the
+    // watermark arithmetic the oracle replays) shifts
+    val slices = Seq(
+      ("l", p.filter(col("ts") < d1), "a-l1"),
+      ("l", p.filter(col("ts") >= d1 && col("ts") < d2), "b-l2"),
+      ("l", p.filter(col("ts") >= d2), "c-l3"),
+      ("r", v.filter(col("rts") >= d1 && col("rts") < d2), "a-r2"),
+      ("r", v.filter(col("rts") >= d2), "b-r3"),
+      ("r", v.filter(col("rts") < d1), "c-r1-late"))
+    val now = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case ((side, df, name), i) =>
+      require(df.limit(1).count() > 0, s"s44: empty slice $name")
+      writeOne(df, if (side == "l") lDir else rDir, name,
+        now - 120000 + (i % 3) * 60000)
+    }
+    val ls = sp.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(lDir)
+      .withWatermark("ts", "2 hours")
+    val rs = sp.readStream
+      .schema("view_event BIGINT, rts TIMESTAMP, rkey BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(rDir)
+      .withWatermark("rts", "2 hours")
+    val joined = ls.join(rs, col("user_id") === col("rkey") &&
+      col("rts") <= col("ts") &&
+      col("rts") >= col("ts") - expr("INTERVAL 6 HOURS"))
+    val agg = joined
+      .groupBy(col("ts"), col("event_id"), col("user_id"))
+      .agg(max(struct(col("rts"), col("view_event"))).as("__m"))
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+        col("__m.view_event").as("view_event"),
+        col("__m.rts").as("view_ts"))
+    val name = "s44_asof_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    graft.streaming.StreamOps.runToMemory(sp, agg, name, "append")
+      .orderBy("event_id")
+  }
+
+  val s44Sql: String =
+    """WITH ev AS (SELECT event_id,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id,
+      |    event_type FROM events),
+      |p AS (SELECT event_id, ts, user_id FROM ev
+      |  WHERE event_type = 'purchase'),
+      |v0 AS (SELECT event_id AS view_event, ts AS vts, user_id FROM ev
+      |  WHERE event_type = 'view'),
+      |w0 AS (SELECT LEAST(
+      |    (SELECT max(ts) FROM p
+      |      WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+      |    (SELECT max(vts) FROM v0
+      |      WHERE vts >= TIMESTAMP '2024-01-11 00:00:00'
+      |        AND vts < TIMESTAMP '2024-01-21 00:00:00'))
+      |    - INTERVAL 2 HOUR AS w0),
+      |hz AS (SELECT LEAST((SELECT max(ts) FROM p),
+      |    (SELECT max(vts) FROM v0)) - INTERVAL 8 HOUR AS hz),
+      |v AS (SELECT v0.* FROM v0 CROSS JOIN w0 WHERE v0.vts >= w0.w0),
+      |j AS MATERIALIZED (SELECT p.event_id, p.user_id, p.ts AS pts,
+      |    v.view_event, v.vts AS view_ts
+      |  FROM p ASOF JOIN v
+      |    ON p.user_id = v.user_id AND p.ts >= v.vts)
+      |SELECT event_id, user_id, pts, view_event, view_ts
+      |FROM j CROSS JOIN hz
+      |WHERE view_ts >= pts - INTERVAL 6 HOUR AND pts < hz.hz
+      |ORDER BY event_id""".stripMargin
+
   /** STREAM-STREAM TIME-INTERVAL LEFT OUTER JOIN ([[graft.streaming
     * .StreamOps.streamStreamIntervalJoin]]) — the attribution shape the
     * s4/s12/s14/s16/s18 one-sided matrix doesn't cover: a TWO-SIDED
@@ -14092,6 +14214,7 @@ object ExtensionQueries {
     "s3_asof_join" -> (s3AsOf _),
     "s3b_asof_exec" -> (s3bAsOfExec _),
     "s3c_asof_dir_tol" -> (s3cAsOfDirTol _),
+    "s44_stream_asof" -> (s44StreamAsOf _),
     "s4_stream_join" -> (s4StreamJoin _),
     "s5_stream_xml" -> (s5StreamXml _),
     "s6_stream_session" -> (s6StreamSession _),
@@ -14336,6 +14459,7 @@ object ExtensionQueries {
     "s3_asof_join" -> s3Sql,
     "s3b_asof_exec" -> s3Sql,
     "s3c_asof_dir_tol" -> s3cSql,
+    "s44_stream_asof" -> s44Sql,
     "s4_stream_join" -> s4Sql,
     "s5_stream_xml" -> s5Sql,
     "s6_stream_session" -> s6Sql,
