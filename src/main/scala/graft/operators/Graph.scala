@@ -1190,6 +1190,144 @@ object Graph {
     else LouvainTwoLevel(lab1, log1, log2, coarseAccepted = false, q1)
   }
 
+  /** One level's pin from [[louvainMultiLevel]]: the exact original-
+    * graph modularity numerator AFTER the level's guarded adoption, the
+    * outer-guard verdict, how many original nodes changed label at the
+    * map-back, and the community count of the adopted labeling. */
+  final case class LouvainLevelPin(level: Int, qNum: Long,
+      accepted: Boolean, nChanged: Long, nComms: Long)
+
+  /** Result of [[louvainMultiLevel]]: final labels (original ids),
+    * per-level pins (always `levels` entries — post-convergence levels
+    * are provable no-ops, see below), the final q numerator on the
+    * original graph, and how many levels actually RAN before the
+    * convergence short-circuit. */
+  final case class LouvainMulti(labels: DataFrame,
+      levels: Seq[LouvainLevelPin], qNum: Long, levelsRun: Int)
+
+  /** MULTI-LEVEL LOUVAIN (g24) — [[louvainTwoLevel]]'s
+    * coarsen-ascend-map-back recursed to `levels` depth: level 1 is the
+    * plain ascent; every further level contracts the ORIGINAL graph by
+    * the current fine labeling (composition of contractions — identical
+    * to contracting the previous coarse graph), re-runs the weighted
+    * ascent, maps back, and passes the outer accept guard recomputed on
+    * the original graph. The exact-Blondel self-loop carrier keeps
+    * every level's q_num on the ONE original-graph scale, so the pins
+    * form a single monotone non-decreasing sequence by construction.
+    *
+    * CONVERGENCE SHORT-CIRCUIT, exactness preserved: the loop stops
+    * early when a level's adoption CHANGED NO label (covers "ascent
+    * accepted no round" — labels stay coarse singletons, the map-back
+    * is the identity) or when the outer guard REJECTED. Both stops are
+    * provable no-ops for every later level: the next contraction input
+    * (original graph × unchanged mapping) is byte-identical to the
+    * stopped level's, so the deterministic ascent reproduces the same
+    * proposal and the same verdict forever. The remaining pins are
+    * therefore synthesized (same q, same community count, nChanged 0,
+    * accepted = the stopping level's verdict) — a fixed-depth replay
+    * (the oracle) computes exactly these values by actually running
+    * the no-op levels. A level that accepts rounds but whose map-back
+    * is a nontrivial relabel-only permutation does NOT short-circuit
+    * (coarse ids change residues mod `classes`, so a re-run is not
+    * provably identical) — it just proceeds to the next level.
+    *
+    * Scale shape: level 1 as [[louvainAscent]]; each deeper level's
+    * ascent runs on the community-domain graph (monotonically ≤ nodes),
+    * so `coarseRounds` (default = `rounds`; pass more to give the coarse
+    * argmax extra move-class visits — community-domain cheap) can exceed
+    * the fine budget without touching the expensive level;
+    * contraction and guard are the g22 joins/aggs over the original
+    * edge table. Driver state: the pins + one 1-row collect per guard. */
+  def louvainMultiLevel(edges: DataFrame, rounds: Int, levels: Int,
+      classes: Int = 3, coarseRounds: Int = 0): LouvainMulti = {
+    val cr = if (coarseRounds > 0) coarseRounds else rounds
+    require(levels >= 1, "levels must be >= 1")
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = materialize(
+      sym.union(sym.select(col("v").as("u"), col("u").as("v")))
+        .distinct().withColumn("w", lit(1L)),
+      "graft-louvm-und")
+    val (lab1, log1) = louvainAscentImpl(und, rounds, classes,
+      "graft-louvm-l1")
+    var mapping = lab1
+    var q = log1.last.qNum
+    // level-1 pin: inner guard makes it monotone, so accepted = true;
+    // nChanged counts moves off the singleton identity
+    val pin1 = mapping.agg(
+        count(when(col("lab") =!= col("id"), 1)).as("__c"),
+        countDistinct(col("lab")).as("__n")).collect()(0)
+    val pins = scala.collection.mutable.ArrayBuffer(
+      LouvainLevelPin(1, q, accepted = true, pin1.getLong(0),
+        pin1.getLong(1)))
+    var lvl = 2
+    var stopped = false
+    var stopAcc = true
+    var levelsRun = 1
+    while (lvl <= levels && !stopped) {
+      levelsRun = lvl
+      val coarse = materialize(
+        und.join(mapping.select(col("id").as("u"), col("lab").as("__cu")),
+            Seq("u"))
+          .join(mapping.select(col("id").as("v"), col("lab").as("__cv")),
+            Seq("v"))
+          .groupBy(col("__cu").as("u"), col("__cv").as("v"))
+          .agg(sum(col("w")).as("w")),
+        s"graft-louvm-c$lvl")
+      val (labK, _) = louvainAscentImpl(coarse, cr, classes,
+        s"graft-louvm-l$lvl")
+      val l2m = labK.select(col("id").as("__id2"), col("lab").as("__c2"))
+      val mapped = materialize(
+        mapping.join(l2m, mapping("lab") === l2m("__id2"), "left")
+          .select(mapping("id"),
+            coalesce(col("__c2"), mapping("lab")).as("lab")),
+        s"graft-louvm-f$lvl")
+      val degSum = und.groupBy(col("u").as("id"))
+        .agg(sum(col("w")).as("degree"))
+        .join(mapped, Seq("id"))
+        .groupBy(col("lab")).agg(sum(col("degree")).as("ds"))
+        .agg(coalesce(sum(col("ds") * col("ds")), lit(0L)).as("__dd"))
+      val intra = und
+        .join(mapped.select(col("id").as("u"), col("lab").as("__lu")),
+          Seq("u"))
+        .join(mapped.select(col("id").as("v"), col("lab").as("__lv")),
+          Seq("v"))
+        .filter(col("__lu") === col("__lv"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("__i2"))
+      val uTot = und.agg(coalesce(sum(col("w")), lit(0L)).as("__t"))
+      // ONE action per level (the g22 round-15 lesson): guard q and the
+      // accepted-branch pin stats ride one cross-joined 1-row collect;
+      // the rejected branch's stats are (0, previous community count)
+      // without touching the cluster
+      val chgAgg = mapped
+        .join(mapping.withColumnRenamed("lab", "__ol"), Seq("id"))
+        .agg(count(when(col("lab") =!= col("__ol"), 1)).as("__c"),
+          countDistinct(col("lab")).as("__n"))
+      val row = intra.crossJoin(degSum).crossJoin(uTot)
+        .crossJoin(chgAgg)
+        .select((col("__i2") * col("__t") - col("__dd")).as("q"),
+          col("__c"), col("__n"))
+        .collect()(0)
+      val qK = row.getLong(0)
+      val accepted = qK >= q
+      val (nChanged, nComms) =
+        if (accepted) (row.getLong(1), row.getLong(2))
+        else (0L, pins.last.nComms)
+      if (accepted) { mapping = mapped; q = qK }
+      pins += LouvainLevelPin(lvl, q, accepted, nChanged, nComms)
+      if (!accepted || nChanged == 0L) { stopped = true; stopAcc = accepted }
+      lvl += 1
+    }
+    // synthesize the provable no-op tail
+    while (pins.length < levels) {
+      val last = pins.last
+      pins += LouvainLevelPin(pins.length + 1, last.qNum, stopAcc, 0L,
+        last.nComms)
+    }
+    LouvainMulti(mapping, pins.toSeq, q, levelsRun)
+  }
+
   /** Shared ascent loop. `und0` is the DIRECTED SYMMETRIC weighted edge
     * table (u, v, w) — each undirected edge present in both directions
     * with the same integer weight ≥ 1. All masses are Σw

@@ -183,6 +183,54 @@ object Ivm {
       .select(col("grp"), col("__p._1").as("v"), col("__p._2").as("c"))
   }
 
+  /** DISTINCT-COUNT state — the EXACT twin of the q57 sketch leg:
+    * COUNT(DISTINCT) has no delta algebra over scalars (an arriving
+    * value may or may not be new; a deleted value may or may not have
+    * been the last copy), but the per-group VALUE MULTISET
+    * (grp, v, multiplicity) is an abelian-group state under signed
+    * netting — exactly [[retractState]]'s argument lifted from one
+    * scalar per group to one scalar per (group, value). State size is
+    * the distinct-value domain, not the row count — the price of
+    * exactness the HLL/bottom-k sketches avoid; this is the leg a
+    * release gate runs when the answer must be provable. */
+  def distinctState(df: DataFrame, grp: Column, value: Column): DataFrame =
+    df.groupBy(grp.as("grp"), value.as("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Net a mixed append+delete batch into a [[distinctState]]:
+    * multiplicities add (+1 per appended row, −1 per deleted row) in
+    * one state-sized agg. NON-POSITIVE rows are kept — a zero row is a
+    * vanished value (it must not count), and a NEGATIVE row is the
+    * visible witness of an invalid delete (a row the state never held:
+    * a corrupted CDC feed, an out-of-order delete). Callers that trust
+    * the feed may filter `c > 0` to re-store; [[distinctFastCount]]
+    * reads the negatives as its provability guard. */
+  def distinctNet(state: DataFrame, appends: DataFrame,
+      deletes: DataFrame, grp: Column, value: Column): DataFrame =
+    state.select(col("grp"), col("v"), col("c"))
+      .unionByName(appends.select(grp.as("grp"), value.as("v"),
+        lit(1L).as("c")))
+      .unionByName(deletes.select(grp.as("grp"), value.as("v"),
+        lit(-1L).as("c")))
+      .groupBy(col("grp"), col("v")).agg(sum(col("c")).as("c"))
+
+  /** COUNT(DISTINCT) per group from a netted state, with the q60
+    * reserve discipline's two-path split: a group whose net multiset
+    * stayed NON-NEGATIVE everywhere netted cleanly (every delete
+    * matched a stored copy) and its exact distinct count is the number
+    * of positive rows — the FAST path, state-sized work, history never
+    * rescanned. A group with ANY negative net saw a delete the state
+    * cannot account for; it returns NO row here and the caller owns
+    * the group-pruned recompute (q55's fallback pattern — the q61 gate
+    * exercises both paths live and hash-proves them against a full
+    * exceptAll recompute). */
+  def distinctFastCount(netted: DataFrame): DataFrame =
+    netted.groupBy(col("grp"))
+      .agg(count(when(col("c") > 0, 1)).as("fast_distinct"),
+        min(col("c")).as("__mn"))
+      .filter(col("__mn") >= 0)
+      .select(col("grp"), col("fast_distinct"))
+
   /** Maintain each group's MIN from a [[minReserve]] state under a
     * mixed append+delete batch WITHOUT rescanning history where the
     * state allows: batch values net against the reserve in a

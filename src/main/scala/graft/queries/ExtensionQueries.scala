@@ -11293,6 +11293,218 @@ object ExtensionQueries {
        |ORDER BY community""".stripMargin
   }
 
+  /** Planted 3-scale hierarchy for g24 — cliques of cliques, id-offset
+    * into a range disjoint from the link graph's [0, n_docs): 3 SUPERS
+    * (s = 0..2), each 3 MIDS, each a 4-node CLIQUE (6 edges); the mids
+    * of one super bridge pairwise through their leaf-0 nodes; the
+    * supers are DISCONNECTED from each other (and from the link graph),
+    * so no modularity-resolution-limit merge can ever cross a super —
+    * the recovered end state is exactly 3 planted communities, while
+    * level 1 must first find the 12 cliques (spec-pinned). Shared by
+    * the Scala gate and the SQL oracle (inlined as VALUES). */
+  private val G24Base = 1000000L
+  private def g24PlantedEdges: Seq[(Long, Long)] = {
+    val b = G24Base
+    val intra = for {
+      s <- 0 to 2; m <- 0 to 2; i <- 0 to 3; j <- (i + 1) to 3
+    } yield (b + s * 100 + m * 10 + i, b + s * 100 + m * 10 + j)
+    val bridges = for {
+      s <- 0 to 2; (m1, m2) <- Seq((0, 1), (0, 2), (1, 2))
+    } yield (b + s * 100 + m1 * 10, b + s * 100 + m2 * 10)
+    intra ++ bridges
+  }
+
+  /** MULTI-LEVEL Louvain ([[graft.operators.Graph.louvainMultiLevel]],
+    * 3 levels: 6 guarded move-class rounds on the fine graph, 8 on each
+    * community-domain coarse graph — the planted super-merge needs the
+    * third visit of its move class, and coarse rounds are
+    * community-domain cheap) over the link graph PLUS
+    * the planted [[g24PlantedEdges]] hierarchy: g22's
+    * coarsen-ascend-map-back recursed with an outer accept guard per
+    * level, every level's q_num on the one original-graph scale
+    * (exact-Blondel self-loop carrier), convergence short-circuit with
+    * provable no-op tail synthesis (operator scaladoc). Output: the
+    * g11 decomposition of the final labeling with per-LEVEL pins —
+    * adopted q, outer-guard verdict, map-back label-change count,
+    * community count — as columns; the oracle replays all 18 rounds,
+    * both contractions, both map-backs and both outer guards in SQL
+    * (a fixed-depth replay computes exactly the synthesized tail). */
+  def g24LouvainMultiLevel(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val planted = g24PlantedEdges.toDF("src", "dst")
+    val edges = linkEdges(sp, dir)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(planted)
+    val r = graft.operators.Graph.louvainMultiLevel(edges, rounds = 6,
+      levels = 3, coarseRounds = 8)
+    var out = graft.operators.Graph.modularityParts(edges, r.labels)
+    r.levels.foreach { p =>
+      out = out.withColumn(s"lvq${p.level}", lit(p.qNum))
+        .withColumn(s"lvacc${p.level}", lit(p.accepted))
+        .withColumn(s"lvchg${p.level}", lit(p.nChanged))
+        .withColumn(s"lvnc${p.level}", lit(p.nComms))
+    }
+    out.withColumn("q_fin", lit(r.qNum)).orderBy("community")
+  }
+
+  val g24Sql: String = {
+    // one guarded move-class round, prefix-parameterized (the g22
+    // builder generalized to N levels)
+    def round(pr: String, p: String, c: String, mc: Int): String =
+      s"""${pr}sg$c AS (SELECT l.lab AS cl,
+         |    CAST(SUM(d.degree) AS BIGINT) AS sig
+         |  FROM ${pr}deg d JOIN ${pr}l$p l ON d.id = l.id GROUP BY 1),
+         |${pr}e2$c AS (SELECT e.u AS id, lv.lab AS cl,
+         |    CAST(SUM(e.w) AS BIGINT) AS e2
+         |  FROM ${pr}e2u e JOIN ${pr}l$p lv ON e.v = lv.id GROUP BY 1, 2),
+         |${pr}cd$c AS (SELECT id, cl, e2 FROM ${pr}e2$c
+         |  UNION ALL SELECT id, lab, 0 FROM ${pr}l$p),
+         |${pr}sc$c AS (SELECT cn.id, cn.cl,
+         |    CAST(cn.e2 * ut.u_tot - d.degree * (s.sig -
+         |      CASE WHEN cn.cl = o.lab THEN d.degree ELSE 0 END)
+         |      AS BIGINT) AS sc
+         |  FROM ${pr}cd$c cn
+         |  JOIN ${pr}deg d ON d.id = cn.id
+         |  JOIN ${pr}l$p o ON o.id = cn.id
+         |  JOIN ${pr}sg$c s ON s.cl = cn.cl
+         |  CROSS JOIN ${pr}ut ut
+         |  WHERE cn.id % 3 = $mc),
+         |${pr}p$c AS MATERIALIZED (SELECT id, cl AS lab FROM (
+         |  SELECT id, cl, row_number() OVER (
+         |    PARTITION BY id ORDER BY sc DESC, cl) AS rn FROM ${pr}sc$c)
+         |  WHERE rn = 1
+         |  UNION ALL SELECT id, lab FROM ${pr}l$p WHERE id % 3 <> $mc),
+         |${pr}qp$c AS MATERIALIZED (SELECT CAST(
+         |    (SELECT CAST(coalesce(SUM(e.w), 0) AS BIGINT)
+         |      FROM ${pr}und e
+         |      JOIN ${pr}p$c a ON e.u = a.id
+         |      JOIN ${pr}p$c b ON e.v = b.id AND a.lab = b.lab)
+         |      * (SELECT u_tot FROM ${pr}ut)
+         |    - (SELECT CAST(coalesce(SUM(ds * ds), 0) AS BIGINT) FROM (
+         |        SELECT CAST(SUM(d.degree) AS BIGINT) AS ds
+         |        FROM ${pr}deg d
+         |        JOIN ${pr}p$c l ON d.id = l.id GROUP BY l.lab))
+         |    AS BIGINT) AS qn),
+         |${pr}ac$c AS MATERIALIZED (SELECT (SELECT qn FROM ${pr}qp$c) >=
+         |  (SELECT qn FROM ${pr}q$p) AS a),
+         |${pr}l$c AS MATERIALIZED (SELECT o.id,
+         |    CASE WHEN (SELECT a FROM ${pr}ac$c) THEN p.lab ELSE o.lab
+         |      END AS lab
+         |  FROM ${pr}l$p o JOIN ${pr}p$c p ON p.id = o.id),
+         |${pr}q$c AS MATERIALIZED (SELECT CASE WHEN (SELECT a FROM ${pr}ac$c)
+         |    THEN (SELECT qn FROM ${pr}qp$c)
+         |    ELSE (SELECT qn FROM ${pr}q$p) END AS qn)""".stripMargin
+    def rounds6(pr: String): String =
+      Seq(("0", "1", 0), ("1", "2", 1), ("2", "3", 2),
+        ("3", "4", 0), ("4", "5", 1), ("5", "6", 2))
+        .map { case (p, c, mc) => round(pr, p, c, mc) }.mkString(",\n")
+    // coarse levels run 8 rounds (the planted super-merge needs the
+    // third visit of move-class 1 — measured; fine level keeps g22's 6)
+    def rounds8(pr: String): String =
+      Seq(("0", "1", 0), ("1", "2", 1), ("2", "3", 2),
+        ("3", "4", 0), ("4", "5", 1), ("5", "6", 2),
+        ("6", "7", 0), ("7", "8", 1))
+        .map { case (p, c, mc) => round(pr, p, c, mc) }.mkString(",\n")
+    // coarse level pr2, contracted from aund by fine labels `fl`; q0
+    // includes the self-loop mass the contraction deposits
+    def level(pr2: String, fl: String): String =
+      s"""${pr2}und AS MATERIALIZED (SELECT cu.lab AS u, cv.lab AS v,
+         |    CAST(SUM(e.w) AS BIGINT) AS w
+         |  FROM aund e JOIN $fl cu ON e.u = cu.id
+         |  JOIN $fl cv ON e.v = cv.id GROUP BY 1, 2),
+         |${pr2}e2u AS (SELECT u, v, w FROM ${pr2}und WHERE u <> v),
+         |${pr2}ut AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS u_tot
+         |  FROM ${pr2}und),
+         |${pr2}deg AS MATERIALIZED (SELECT u AS id,
+         |  CAST(SUM(w) AS BIGINT) AS degree FROM ${pr2}und GROUP BY 1),
+         |${pr2}l0 AS MATERIALIZED (SELECT id, id AS lab FROM ${pr2}deg),
+         |${pr2}q0 AS MATERIALIZED (SELECT CAST(
+         |  (SELECT coalesce(SUM(w), 0) FROM ${pr2}und WHERE u = v)
+         |    * (SELECT u_tot FROM ${pr2}ut)
+         |  - (SELECT SUM(d.degree * d.degree) FROM ${pr2}deg d)
+         |  AS BIGINT) AS qn),
+         |${rounds8(pr2)}""".stripMargin
+    // map-back + outer guard for level `pr2` on top of fine labels
+    // `fprev` at guarded q `qprev` -> guarded labels f$n, q res q${n}res
+    def mapGuard(pr2: String, fprev: String, qprev: String,
+        n: Int): String =
+      s"""fin$n AS MATERIALIZED (SELECT o.id, coalesce(b.lab, o.lab)
+         |    AS lab
+         |  FROM $fprev o LEFT JOIN ${pr2}l8 b ON o.lab = b.id),
+         |qf$n AS MATERIALIZED (SELECT CAST(
+         |    (SELECT coalesce(SUM(e.w), 0) FROM aund e
+         |      JOIN fin$n x ON e.u = x.id
+         |      JOIN fin$n y ON e.v = y.id AND x.lab = y.lab)
+         |      * (SELECT u_tot FROM aut)
+         |    - (SELECT coalesce(SUM(ds * ds), 0) FROM (
+         |        SELECT CAST(SUM(d.degree) AS BIGINT) AS ds FROM adeg d
+         |        JOIN fin$n l ON d.id = l.id GROUP BY l.lab))
+         |    AS BIGINT) AS qn),
+         |oacc$n AS MATERIALIZED (SELECT (SELECT qn FROM qf$n) >= (SELECT qn FROM
+         |  $qprev) AS a),
+         |f$n AS MATERIALIZED (SELECT o.id,
+         |    CASE WHEN (SELECT a FROM oacc$n) THEN m.lab ELSE o.lab END
+         |      AS lab
+         |  FROM $fprev o JOIN fin$n m ON m.id = o.id),
+         |q${n}res AS MATERIALIZED (SELECT CASE WHEN (SELECT a FROM oacc$n)
+         |  THEN (SELECT qn FROM qf$n) ELSE (SELECT qn FROM $qprev) END
+         |  AS qn),
+         |chg$n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f$n a
+         |  JOIN $fprev o ON a.id = o.id AND a.lab <> o.lab),
+         |nc$n AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) AS n
+         |  FROM f$n)""".stripMargin
+    val pe = g24PlantedEdges
+      .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH $linkEdgesSql,
+       |alledges AS (SELECT src, dst FROM edges
+       |  UNION ALL SELECT * FROM (VALUES $pe) pe(src, dst)),
+       |asym AS (SELECT u, v FROM (SELECT src AS u, dst AS v
+       |         FROM alledges
+       |         UNION SELECT dst, src FROM alledges) WHERE u <> v),
+       |aund AS MATERIALIZED (SELECT DISTINCT u, v,
+       |  CAST(1 AS BIGINT) AS w FROM asym),
+       |ae2u AS (SELECT u, v, w FROM aund),
+       |aut AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS u_tot FROM aund),
+       |adeg AS MATERIALIZED (SELECT u AS id,
+       |  CAST(SUM(w) AS BIGINT) AS degree FROM aund GROUP BY 1),
+       |al0 AS MATERIALIZED (SELECT id, id AS lab FROM adeg),
+       |aq0 AS MATERIALIZED (SELECT CAST(-(SELECT SUM(d.degree * d.degree)
+       |  FROM adeg d) AS BIGINT) AS qn),
+       |${rounds6("a")},
+       |chg1 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM al6
+       |  WHERE lab <> id),
+       |nc1 AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) AS n
+       |  FROM al6),
+       |${level("b", "al6")},
+       |${mapGuard("b", "al6", "aq6", 2)},
+       |${level("c", "f2")},
+       |${mapGuard("c", "f2", "q2res", 3)},
+       |dc AS (SELECT l.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.degree) AS BIGINT) AS deg_sum
+       |  FROM adeg d JOIN f3 l ON d.id = l.id GROUP BY 1),
+       |ia AS (SELECT lu.lab, CAST(SUM(e.w) AS BIGINT) AS intra2
+       |  FROM aund e
+       |  JOIN f3 lu ON e.u = lu.id
+       |  JOIN f3 lv ON e.v = lv.id AND lu.lab = lv.lab
+       |  GROUP BY 1)
+       |SELECT dc.lab AS community, dc.n_nodes, dc.deg_sum,
+       |  CAST(coalesce(ia.intra2, 0) AS BIGINT) AS intra2,
+       |  ut.u_tot,
+       |  CAST(coalesce(ia.intra2, 0) * ut.u_tot
+       |    - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num,
+       |  (SELECT qn FROM aq6) AS lvq1, TRUE AS lvacc1,
+       |  (SELECT c FROM chg1) AS lvchg1, (SELECT n FROM nc1) AS lvnc1,
+       |  (SELECT qn FROM q2res) AS lvq2,
+       |  (SELECT a FROM oacc2) AS lvacc2,
+       |  (SELECT c FROM chg2) AS lvchg2, (SELECT n FROM nc2) AS lvnc2,
+       |  (SELECT qn FROM q3res) AS lvq3,
+       |  (SELECT a FROM oacc3) AS lvacc3,
+       |  (SELECT c FROM chg3) AS lvchg3, (SELECT n FROM nc3) AS lvnc3,
+       |  (SELECT qn FROM q3res) AS q_fin
+       |FROM dc LEFT JOIN ia ON ia.lab = dc.lab CROSS JOIN aut ut
+       |ORDER BY community""".stripMargin
+  }
+
   /** Pivot-sampled harmonic closeness
     * ([[graft.operators.Graph.harmonicPivots]], the Eppstein–Wang
     * estimator at horizon 3 from g20's deterministic 4-smallest-id
@@ -14377,6 +14589,7 @@ object ExtensionQueries {
     "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
+    "g24_louvain_multilevel" -> (g24LouvainMultiLevel _),
     "p35_auc_bias" -> (p35AucBias _),
     "t60_naive_bayes" -> (t60NaiveBayes _),
     "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
@@ -14627,6 +14840,7 @@ object ExtensionQueries {
     "s41_bottomk_stream_ingest" -> s41Sql,
     "g21_louvain_weighted" -> g21Sql,
     "g22_louvain_two_level" -> g22Sql,
+    "g24_louvain_multilevel" -> g24Sql,
     "p35_auc_bias" -> p35Sql,
     "t60_naive_bayes" -> t60Sql,
     "s42_stream_nb_scoring" -> s42Sql,

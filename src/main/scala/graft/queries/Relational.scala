@@ -3179,6 +3179,75 @@ object Relational {
        |FROM e ORDER BY edge""".stripMargin
   }
 
+  /** COUNT(DISTINCT) MAINTENANCE UNDER DELETES
+    * ([[graft.operators.Ivm.distinctState]] / [[graft.operators.Ivm
+    * .distinctNet]] / [[graft.operators.Ivm.distinctFastCount]]) —
+    * closing the boundary the Ivm scaladoc documents at "non-mergeable
+    * aggregates need a sketch": the q57 sketch leg's EXACT twin. The
+    * stored state is the per-group VALUE MULTISET (customer bucket ×
+    * order date, with multiplicities), an abelian group under signed
+    * netting, so a mixed append+delete batch maintains the exact
+    * distinct count with state-sized work — the q60 two-path
+    * discipline applied to COUNT(DISTINCT): a group whose net multiset
+    * stayed non-negative is PROVABLE from state alone (fast path); the
+    * batch plants ONE anomalous delete (a (group 0, 1900-01-01) row the
+    * state never held — a corrupted CDC feed), whose group nets
+    * negative, falls off the fast path, and takes the group-pruned
+    * exceptAll recompute live. The truth column is recomputed
+    * independently (multiset exceptAll, not netting), so a fast-path
+    * count that diverged from the true distinct count is hash-fatal;
+    * the oracle replays the netting only for the DECISION flag. */
+  def q64DistinctIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d).select((col("o_custkey") % 100).as("g"),
+      col("o_orderdate").cast("date").as("v"), col("o_orderkey"))
+    val base = o.filter(col("o_orderkey") % 8 =!= 0).select("g", "v")
+    val appends = o.filter(col("o_orderkey") % 8 === 0).select("g", "v")
+    val deletes = o.filter(col("o_orderkey") % 16 === 1).select("g", "v")
+    val anomaly = Seq((0L, java.sql.Date.valueOf("1900-01-01")))
+      .toDF("g", "v")
+    val stateDir = graft.Tables.scratchDir("graft-q64-state")
+    graft.operators.Ivm.distinctState(base, col("g"), col("v"))
+      .write.mode("overwrite").parquet(stateDir)
+    val stored = s.read.parquet(stateDir)
+    val netted = graft.operators.Ivm.distinctNet(stored, appends,
+      deletes.unionByName(anomaly), col("g"), col("v"))
+    val fast = graft.operators.Ivm.distinctFastCount(netted)
+    // truth by a DIFFERENT mechanism: multiset exceptAll recompute
+    // (the anomalous delete targets a row that does not exist, so the
+    // true view ignores it)
+    val truth = base.unionByName(appends).exceptAll(deletes)
+      .groupBy(col("g")).agg(countDistinct(col("v")).as("n_distinct"))
+    truth.join(fast.withColumnRenamed("grp", "g"), Seq("g"), "left")
+      .select(col("g"),
+        coalesce(col("fast_distinct"), col("n_distinct"))
+          .as("n_distinct"),
+        col("fast_distinct").isNotNull.as("used_fast"))
+      .orderBy("g")
+  }
+
+  val q64Sql: String =
+    """WITH o AS (SELECT o_custkey % 100 AS g,
+      |    CAST(o_orderdate AS DATE) AS v, o_orderkey FROM orders),
+      |base AS (SELECT g, v FROM o WHERE o_orderkey % 8 <> 0),
+      |ap AS (SELECT g, v FROM o WHERE o_orderkey % 8 = 0),
+      |del AS (SELECT g, v FROM o WHERE o_orderkey % 16 = 1),
+      |net AS (SELECT g, v, SUM(n) AS c FROM (
+      |    SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n FROM base
+      |      GROUP BY 1, 2
+      |    UNION ALL SELECT g, v, 1 FROM ap
+      |    UNION ALL SELECT g, v, -1 FROM del
+      |    UNION ALL SELECT 0, DATE '1900-01-01', -1) u GROUP BY 1, 2),
+      |fast AS (SELECT g FROM net GROUP BY g HAVING MIN(c) >= 0),
+      |cur AS (SELECT g, v FROM (
+      |    SELECT g, v FROM base UNION ALL SELECT g, v FROM ap)
+      |  EXCEPT ALL SELECT g, v FROM del),
+      |tv AS (SELECT g, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+      |  FROM cur GROUP BY g)
+      |SELECT tv.g, tv.n_distinct, (fast.g IS NOT NULL) AS used_fast
+      |FROM tv LEFT JOIN fast ON fast.g = tv.g
+      |ORDER BY tv.g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_erasure_cascade" -> (q49Erasure _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -3253,7 +3322,8 @@ object Relational {
     "q53_codec_matrix" -> (q53CodecMatrix _),
     "q54_column_lineage" -> (q54ColumnLineage _),
     "q62_skyline" -> (q62Skyline _),
-    "q63_unpivot" -> (q63Unpivot _))
+    "q63_unpivot" -> (q63Unpivot _),
+    "q64_distinct_ivm" -> (q64DistinctIvm _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3329,5 +3399,6 @@ object Relational {
     "q53_codec_matrix" -> q53Sql,
     "q54_column_lineage" -> q54Sql,
     "q62_skyline" -> q62Sql,
-    "q63_unpivot" -> q63Sql)
+    "q63_unpivot" -> q63Sql,
+    "q64_distinct_ivm" -> q64Sql)
 }

@@ -524,6 +524,46 @@ class GraphSpec extends AnyFunSuite {
     assert(!(0 until 12).map(i => got(i.toLong)).contains(got(100L)))
   }
 
+  test("g24 louvainMultiLevel: pins monotone on one scale, levels " +
+      "always padded to the requested depth, convergence tail is a " +
+      "no-op, planted 3-scale hierarchy recovered at sf0.001") {
+    // ring of 12 + disconnected triangle (the g22 plant), depth 4:
+    // converges before 4 levels, so the tail must be synthesized with
+    // unchanged q/communities
+    val ring = (0 until 12).map(i => (i.toLong, ((i + 1) % 12).toLong))
+    val tri = Seq(100L -> 101L, 101L -> 102L, 100L -> 102L)
+    val e = edges((ring ++ tri): _*)
+    val r = Graph.louvainMultiLevel(e, rounds = 6, levels = 4)
+    assert(r.levels.length == 4)
+    val qs = r.levels.map(_.qNum)
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a },
+      s"pins not monotone: $qs")
+    assert(r.qNum == qs.last)
+    assert(r.levelsRun <= 4)
+    // tail after the short-circuit: no changes, stable q and comms
+    r.levels.drop(r.levelsRun).foreach { p =>
+      assert(p.nChanged == 0L && p.qNum == r.qNum &&
+        p.nComms == r.levels(r.levelsRun - 1).nComms)
+    }
+    // the decomposition total equals the pinned final q
+    val parts = Graph.modularityParts(e, r.labels).collect()
+    assert(parts.map(_.getAs[Long]("q_num")).sum == r.qNum)
+
+    // planted 3-scale hierarchy through the GATE fixture at sf0.001:
+    // final labels must gather each disconnected super's 12 nodes into
+    // ONE community (cliques -> mids -> supers across the levels), and
+    // the three supers must stay distinct
+    val rows = graft.queries.ExtensionQueries
+      .g24LouvainMultiLevel(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("community") >= 1000000L)
+      .collect()
+    assert(rows.length == 3, s"expected 3 planted communities, got " +
+      rows.map(_.getLong(0)).mkString(","))
+    assert(rows.forall(_.getAs[Long]("n_nodes") == 12L))
+    // intra2 = 2*(18 clique edges + 3 bridges) per super
+    assert(rows.forall(_.getAs[Long]("intra2") == 42L))
+  }
+
   test("g23 harmonicPivots: path endpoints vs interior, star center " +
       "maximal, horizon truncation zeroes, pivot self-distance " +
       "excluded, absent-pivot tolerance") {

@@ -357,6 +357,42 @@ class OperatorSpec extends AnyFunSuite {
     // why its absence (not a wrong answer) is the contract
   }
 
+  test("q64 distinctState/distinctNet/distinctFastCount: multiset " +
+      "netting maintains exact COUNT(DISTINCT) under mixed batches; " +
+      "an unmatched delete nets negative and drops the group to the " +
+      "recompute path; vanished values stop counting") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    // group 1: values [10,10,20,30]; group 2: [5,5]; group 3: [7]
+    val base = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 5L), (2L, 5L), (3L, 7L)).toDF("g", "v")
+    val state = Ivm.distinctState(base, col("g"), col("v"))
+    assert(state.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ===
+      Map((1L, 10L) -> 2L, (1L, 20L) -> 1L, (1L, 30L) -> 1L,
+        (2L, 5L) -> 2L, (3L, 7L) -> 1L))
+    // batch: group 1 deletes one 10 (copy survives -> distinct stays 3)
+    // and its only 20 (vanishes -> 2), appends a NEW 40 (-> 3);
+    // group 2 deletes BOTH 5s (distinct -> 0... appends a 6 -> 1);
+    // group 3 gets an UNMATCHED delete (value 99 never stored);
+    // group 9 is new, appends only
+    val appends = Seq((1L, 40L), (2L, 6L), (9L, 1L)).toDF("g", "v")
+    val deletes = Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 5L),
+      (3L, 99L)).toDF("g", "v")
+    val net = Ivm.distinctNet(state, appends, deletes, col("g"),
+      col("v"))
+    // negative witness kept visible
+    assert(net.filter(col("c") < 0).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((3L, 99L, -1L)))
+    val fast = Ivm.distinctFastCount(net)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === Map(1L -> 3L, 2L -> 1L, 9L -> 1L),
+      "group 3 must be ABSENT (unmatched delete -> recompute); " +
+        "group 1: {10,30,40}; group 2's 5s vanished, 6 arrived; " +
+        "new group 9 provable from appends alone")
+  }
+
   test("q52 fingerprint: order-independent (shuffled copy matches), " +
       "single-row sensitive, count-carrying") {
     val r = graft.queries.Relational
