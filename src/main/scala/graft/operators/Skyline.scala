@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   * Returns one row per skyline (x, y): multiplicity + min-id witness. */
 object Skyline {
 
+  private def materialize(df: DataFrame, tag: String): DataFrame = {
+    val dir = graft.Tables.scratchDir(tag)
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** Skyline of `df` MINIMIZING `x` and MAXIMIZING `y` (both cast to
     * long): (x, y, n_rows, witness = min id). Empty input → empty. */
   def skyline2d(df: DataFrame, id: Column, x: Column, y: Column,
@@ -69,5 +75,86 @@ object Skyline {
     g.withColumn("__m", max(col("y")).over(ws))
       .filter(col("__m").isNull || col("__m") < col("y"))
       .select(col("x"), col("y"), col("n_rows"), col("witness"))
+  }
+
+  /** Result of [[skyline2dBounded]]: the skyline plus the residue
+    * trace — per-level candidate row counts, the grid each level used,
+    * and the residue the final exact-scan window actually saw. */
+  final case class SkylineBounded(result: DataFrame,
+      residues: Seq[Long], grids: Seq[Int], finalResidue: Long)
+
+  /** [[skyline2d]] with the documented RESIDUE RE-GRID made real: when
+    * the surviving staircase band exceeds `maxResidue` rows, the grid
+    * prune recurses on the residue with a 4× finer mesh — the same
+    * lossless primitive (a pruned cell's points are dominated by a
+    * point of its nonempty dominator cell, at every level), bounded by
+    * `maxDepth`, so the final sorted-scan window is PROVABLY bounded
+    * by the returned `finalResidue` (spec-asserted under the bound on
+    * a planted anti-correlated worst case). Finer mesh is what makes
+    * recursion converge: a dominated point whose dominator sat in the
+    * SAME coarse cell separates into a strictly-dominated cell once
+    * the cell width drops below their displacement. Two honest stops:
+    * depth exhaustion and NO PROGRESS (an anti-correlated residue that
+    * IS the skyline cannot shrink — rather than loop, the trace shows
+    * the plateau and the exact scan runs on what remains). Driver
+    * state: one 1-row bounds collect + one count per level, ≤
+    * maxDepth of each; every level's candidate set lands in scratch so
+    * the next prune scans residue-sized data, not the re-derived
+    * corpus. */
+  def skyline2dBounded(df: DataFrame, id: Column, x: Column, y: Column,
+      grid: Int = 64, maxResidue: Long = 100000L,
+      maxDepth: Int = 4): SkylineBounded = {
+    require(grid >= 1 && maxDepth >= 1 && maxResidue >= 1)
+    var pts = df.select(id.cast("long").as("id"), x.cast("long").as("x"),
+      y.cast("long").as("y"))
+    val residues = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val grids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var done = false
+    while (depth < maxDepth && !done) {
+      val g = grid * (1 << (2 * depth)) // 4x finer per level
+      val b = pts.agg(min(col("x")), max(col("x")), min(col("y")),
+        max(col("y"))).collect()(0)
+      if (b.isNullAt(0)) {
+        val empty = pts.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("n_rows"), min(col("id")).as("witness"))
+          .limit(0)
+        return SkylineBounded(empty, residues.toSeq, grids.toSeq, 0L)
+      }
+      val (xmin, xmax, ymin, ymax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val xw = Math.floorDiv(xmax - xmin, g.toLong) + 1L
+      val yw = Math.floorDiv(ymax - ymin, g.toLong) + 1L
+      val withCells = pts
+        .withColumn("cx", expr(s"(x - ${xmin}L) DIV ${xw}L"))
+        .withColumn("cy", expr(s"(y - ${ymin}L) DIV ${yw}L"))
+      val cells = withCells.groupBy(col("cx"), col("cy"))
+        .agg(count(lit(1)).as("__n"))
+      val wc = Window.orderBy(col("cx"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val live = cells.withColumn("__mp", max(col("cy")).over(wc))
+        .filter(col("__mp").isNull || col("__mp") <= col("cy"))
+        .select(col("cx"), col("cy"))
+      val cand = materialize(
+        withCells.join(broadcast(live), Seq("cx", "cy"))
+          .select(col("id"), col("x"), col("y")),
+        s"graft-skyb-$depth")
+      val n = cand.count()
+      grids += g
+      residues += n
+      val noProgress = residues.length >= 2 &&
+        residues(residues.length - 2) == n
+      done = n <= maxResidue || noProgress
+      pts = cand
+      depth += 1
+    }
+    val gd = pts.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("witness"))
+    val ws = Window.orderBy(col("x").asc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val res = gd.withColumn("__m", max(col("y")).over(ws))
+      .filter(col("__m").isNull || col("__m") < col("y"))
+      .select(col("x"), col("y"), col("n_rows"), col("witness"))
+    SkylineBounded(res, residues.toSeq, grids.toSeq, residues.last)
   }
 }

@@ -3179,6 +3179,62 @@ object Relational {
        |FROM e ORDER BY edge""".stripMargin
   }
 
+  /** BOUNDED-RESIDUE SKYLINE ([[graft.operators.Skyline
+    * .skyline2dBounded]]) — q62's documented "if still large, re-grid
+    * the residue recursively" made real, on a PLANTED ANTI-CORRELATED
+    * WORST CASE: 1000 true skyline points on the ASCENDING diagonal
+    * (x = 100i, y = 100i — mutually incomparable, every one is
+    * frontier) each shadowed by 49 dominated satellites displaced
+    * (+300+j, −300−j) INSIDE the staircase — the displacement is
+    * smaller than the 64-cell width (~1560), so the first prune can
+    * rarely separate a satellite from its dominator's cell (both
+    * coordinates must split strictly), while any mesh finer than ~300
+    * separates ALL of them (the gap exceeds two cell widths, so the
+    * floor split is guaranteed). The recursion runs 64 → 256 → 1024
+    * and lands the final sorted-scan window on the ~1000 true frontier
+    * rows, under the 5000-row bound the spec asserts via the residue
+    * trace. The
+    * oracle is the CURRENT form — the plain q62 staircase over the
+    * same planted points — so the recursion's losslessness is the
+    * hash contract. SF-invariant by design: the worst case is the
+    * plant, not the corpus. */
+  def q65SkylineRegrid(s: SparkSession, d: String): DataFrame = {
+    val pts = q65Planted(s)
+    val r = graft.operators.Skyline.skyline2dBounded(pts, col("id"),
+      col("x"), col("y"), grid = 64, maxResidue = 5000, maxDepth = 4)
+    r.result.select(col("x"), col("y"), col("n_rows"), col("witness"))
+      .orderBy("x")
+  }
+
+  /** The planted anti-correlated corpus (shared with the spec): id ∈
+    * [0, 50000), group i = id DIV 50, j = id % 50; j = 0 is the
+    * skyline point (100i, 100i), j ≥ 1 a satellite at
+    * (100i + 300 + j, 100i − 300 − j) — strictly dominated by its own
+    * group's skyline point (smaller x, larger y). */
+  def q65Planted(s: SparkSession): DataFrame =
+    s.range(50000).selectExpr("id",
+      "(id DIV 50) * 100 + (CASE WHEN id % 50 = 0 THEN 0 " +
+        "ELSE 300 + id % 50 END) AS x",
+      "(id DIV 50) * 100 - (CASE WHEN id % 50 = 0 THEN 0 " +
+        "ELSE 300 + id % 50 END) AS y")
+
+  val q65Sql: String =
+    """WITH pts AS (SELECT i AS id,
+      |    (i // 50) * 100 + (CASE WHEN i % 50 = 0 THEN 0
+      |      ELSE 300 + i % 50 END) AS x,
+      |    (i // 50) * 100 - (CASE WHEN i % 50 = 0 THEN 0
+      |      ELSE 300 + i % 50 END) AS y
+      |  FROM range(0, 50000) t(i)),
+      |g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_rows,
+      |    MIN(id) AS witness
+      |  FROM pts GROUP BY 1, 2),
+      |s AS (SELECT x, y, n_rows, witness,
+      |    MAX(y) OVER (ORDER BY x ASC, y DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+      |  FROM g)
+      |SELECT x, y, n_rows, witness
+      |FROM s WHERE m IS NULL OR m < y ORDER BY x""".stripMargin
+
   /** COUNT(DISTINCT) MAINTENANCE UNDER DELETES
     * ([[graft.operators.Ivm.distinctState]] / [[graft.operators.Ivm
     * .distinctNet]] / [[graft.operators.Ivm.distinctFastCount]]) —
@@ -3323,7 +3379,8 @@ object Relational {
     "q54_column_lineage" -> (q54ColumnLineage _),
     "q62_skyline" -> (q62Skyline _),
     "q63_unpivot" -> (q63Unpivot _),
-    "q64_distinct_ivm" -> (q64DistinctIvm _))
+    "q64_distinct_ivm" -> (q64DistinctIvm _),
+    "q65_skyline_regrid" -> (q65SkylineRegrid _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3400,5 +3457,6 @@ object Relational {
     "q54_column_lineage" -> q54Sql,
     "q62_skyline" -> q62Sql,
     "q63_unpivot" -> q63Sql,
-    "q64_distinct_ivm" -> q64Sql)
+    "q64_distinct_ivm" -> q64Sql,
+    "q65_skyline_regrid" -> q65Sql)
 }

@@ -65,4 +65,46 @@ class SkylineSpec extends AnyFunSuite {
     for (g <- Seq(1, 7, 64))
       assert(run(pts, g) === want, s"grid=$g diverges from brute force")
   }
+
+  test("q65 skyline2dBounded: residue re-grid lands the final window " +
+      "under the bound on the planted anti-correlated worst case, " +
+      "result equals the one-shot form; a residue that IS the skyline " +
+      "plateaus honestly instead of looping") {
+    import org.apache.spark.sql.functions.col
+    val pts = graft.queries.Relational.q65Planted(spark)
+    val r = Skyline.skyline2dBounded(pts, col("id"), col("x"),
+      col("y"), grid = 64, maxResidue = 5000, maxDepth = 4)
+    assert(r.finalResidue <= 5000L,
+      s"residual window not bounded: ${r.residues}")
+    assert(r.residues.length <= 4 && r.grids.head == 64)
+    // recursion genuinely fired: the first prune could not get under
+    // the bound (the displacement is inside one coarse cell for most
+    // satellites), the finer mesh did
+    assert(r.residues.head > 5000L, s"trace: ${r.residues}")
+    assert(r.residues.length >= 2 && r.residues.last < r.residues.head,
+      s"trace: ${r.residues}")
+    val got = r.result.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // one-shot oracle form on the same points
+    val want = Skyline.skyline2d(pts, col("id"), col("x"), col("y"), 64)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == 1000 && got === want)
+    // pure diagonal: every point IS skyline; the residue can never
+    // drop under the bound — the no-progress stop fires, depth stays
+    // short of maxDepth's worst case, and the answer is still exact
+    import spark.implicits._
+    val diag = (0 until 2000).map(i => (i.toLong, i.toLong, i.toLong))
+    val r2 = Skyline.skyline2dBounded(diag.toDF("id", "x", "y"),
+      col("id"), col("x"), col("y"), grid = 8, maxResidue = 500,
+      maxDepth = 6)
+    assert(r2.finalResidue == 2000L)
+    assert(r2.residues.length >= 2 &&
+      r2.residues.takeRight(2).distinct.length == 1,
+      s"no-progress plateau not detected: ${r2.residues}")
+    assert(r2.residues.length < 6, "plateau must stop the recursion")
+    assert(r2.result.count() == 2000L)
+  }
 }
