@@ -7692,6 +7692,63 @@ object ExtensionQueries {
        |FROM cm CROSS JOIN g CROSS JOIN pe
        |ORDER BY lang, pred""".stripMargin
 
+  /** ISOTONIC SCORE CALIBRATION ([[graft.operators.Isotonic]]) — the
+    * classifier-calibration step (Zadrozny–Elkan KDD'02) between t2's
+    * quality score and p39's label-agreement signal: per 1∕16-wide
+    * score bin, the fraction of docs whose ingest lang matches the t3
+    * prediction, fitted to the unique monotone non-decreasing curve by
+    * pool-adjacent-violators. Corpus reduces map-side to ≤16 (bin, n,
+    * n_pos) rows; PAV runs driver-side in EXACT Long cross-multiplied
+    * fractions (the centroid discipline — no float decides a pooling),
+    * and each emitted fit is one correctly-rounded IEEE division. The
+    * oracle computes the fit by a DIFFERENT algorithm — the max-min
+    * characterization fit_i = max_{j≤i} min_{k≥i} avg(j..k), a triple
+    * self-join over the bin domain — so the hash equality checks the
+    * PAV = max-min THEOREM on real data (the g23 two-algorithms
+    * discipline); distinct pool rates differ by ≥ 1∕(c·c′) ≫ double
+    * ulp, so the double comparisons can never misorder. Binning
+    * floors q·16 in both engines (DuckDB CAST(double AS INT) ROUNDS —
+    * floor() is the portable form). */
+  def p40Isotonic(sp: SparkSession, dir: String): DataFrame = {
+    val d = documents(sp, dir).select(
+      least(floor(Text.qualityScore(col("text")) * 16), lit(15.0))
+        .cast("long").as("bin"),
+      (col("lang") === Text.langId(col("text"))).as("pos"))
+    graft.operators.Isotonic
+      .isotonicCalibration(d, col("bin"), col("pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("fit"), 6).as("fit"))
+      .orderBy("bin")
+  }
+
+  val p40Sql: String =
+    s"""WITH d AS (SELECT
+       |    CAST(LEAST(FLOOR(($qualitySqlExpr) * 16), 15) AS BIGINT)
+       |      AS bin,
+       |    (lang = ($langIdSqlExpr)) AS pos
+       |  FROM documents),
+       |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM d GROUP BY 1),
+       |o AS (SELECT bin, n, n_pos,
+       |    ROW_NUMBER() OVER (ORDER BY bin) AS i,
+       |    SUM(n) OVER (ORDER BY bin) AS cn,
+       |    SUM(n_pos) OVER (ORDER BY bin) AS cs
+       |  FROM b),
+       |op AS (SELECT o.*, COALESCE(LAG(cn) OVER (ORDER BY i), 0) AS pn,
+       |    COALESCE(LAG(cs) OVER (ORDER BY i), 0) AS ps
+       |  FROM o),
+       |inner_min AS (SELECT jj.i AS j, ii.i AS i,
+       |    MIN(CAST(kk.cs - jj.ps AS DOUBLE) /
+       |        CAST(kk.cn - jj.pn AS DOUBLE)) AS mn
+       |  FROM op ii JOIN op jj ON jj.i <= ii.i
+       |  JOIN op kk ON kk.i >= ii.i
+       |  GROUP BY 1, 2),
+       |ft AS (SELECT i, MAX(mn) AS fit FROM inner_min GROUP BY i)
+       |SELECT op.bin, op.n, op.n_pos, round(ft.fit, 6) AS fit
+       |FROM op JOIN ft ON ft.i = op.i
+       |ORDER BY op.bin""".stripMargin
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -14601,6 +14658,7 @@ object ExtensionQueries {
     "p38_psi" -> (p38Psi _),
     "t61_zipf" -> (t61Zipf _),
     "p39_kappa" -> (p39Kappa _),
+    "p40_isotonic" -> (p40Isotonic _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _))
 
@@ -14852,6 +14910,7 @@ object ExtensionQueries {
     "p38_psi" -> p38Sql,
     "t61_zipf" -> t61Sql,
     "p39_kappa" -> p39Sql,
+    "p40_isotonic" -> p40Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql)
 }

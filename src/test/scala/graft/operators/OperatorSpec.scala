@@ -393,6 +393,45 @@ class OperatorSpec extends AnyFunSuite {
         "new group 9 provable from appends alone")
   }
 
+  test("p40 Isotonic.pavFit: violators pool exactly (Long cross-mult, " +
+      "no float decides), already-monotone input unchanged, all-equal " +
+      "rates collapse to one pool, fit equals the max-min form") {
+    import graft.operators.Isotonic
+    // bins with rates 0.0, 0.75, 0.25, 0.5 -> bins 2,3 violate after 1:
+    // PAV pools (3/4, 1/4, 1/2) -> (3+1+2)/(4+4+4)=6/12=1/2? stack:
+    // 0/2; 3/4; then 1/4 arrives: 3*4 >= 1*4 -> pool (4/8); 2/4 arrives:
+    // 4*4 >= 2*8 (16 >= 16, ties pool) -> (6/12)
+    val got = Isotonic.pavFit(Seq(
+      (0L, 2L, 0L), (1L, 4L, 3L), (2L, 4L, 1L), (3L, 4L, 2L)))
+    assert(got === Seq(
+      (0L, 2L, 0L, 0L, 2L), (1L, 4L, 3L, 6L, 12L),
+      (2L, 4L, 1L, 6L, 12L), (3L, 4L, 2L, 6L, 12L)))
+    // already monotone: identity pools
+    val mono = Isotonic.pavFit(Seq(
+      (0L, 3L, 0L), (1L, 3L, 1L), (2L, 3L, 2L)))
+    assert(mono === Seq((0L, 3L, 0L, 0L, 3L), (1L, 3L, 1L, 1L, 3L),
+      (2L, 3L, 2L, 2L, 3L)))
+    // max-min characterization on the first fixture: fit_i =
+    // max_{j<=i} min_{k>=i} avg(j..k) — the theorem the p40 oracle
+    // replays in SQL; checked here in exact rationals
+    val bins = Seq((2L, 0L), (4L, 3L), (4L, 1L), (4L, 2L))
+    val cn = bins.scanLeft(0L)(_ + _._1)
+    val cs = bins.scanLeft(0L)(_ + _._2)
+    def avg(j: Int, k: Int) = // rational (num, den), j..k inclusive
+      (cs(k + 1) - cs(j), cn(k + 1) - cn(j))
+    def le(a: (Long, Long), b: (Long, Long)) = a._1 * b._2 <= b._1 * a._2
+    val n = bins.length
+    val maxmin = (0 until n).map { i =>
+      (0 to i).map { j =>
+        (i until n).map(k => avg(j, k))
+          .reduce((a, b) => if (le(a, b)) a else b)
+      }.reduce((a, b) => if (le(a, b)) b else a)
+    }
+    got.zip(maxmin).foreach { case ((_, _, _, s, c), (ms, mc)) =>
+      assert(s * mc == ms * c, s"PAV $s/$c vs max-min $ms/$mc")
+    }
+  }
+
   test("q52 fingerprint: order-independent (shuffled copy matches), " +
       "single-row sensitive, count-carrying") {
     val r = graft.queries.Relational
