@@ -1532,6 +1532,41 @@ object Multimodal {
     }
   }
 
+  /** DTMF-style DUAL-TONE test signal (m30): a valid mono 16-bit WAV
+    * whose samples are the SUM of two ±3000 square waves, one row tone
+    * and one column tone, digit d ∈ 0..3 → (row bin 3+⌊d∕2⌋, col bin
+    * 6+2·(d mod 2)) of the window-96 Goertzel bank. Bin k's square
+    * wave has half-period 96∕(2k) samples (16∕12∕8∕6 — all integer),
+    * so every window of 96 holds a WHOLE number of periods of every
+    * bank tone: square-wave harmonics sit at odd multiples (9, 15, …
+    * ∕ 12, 20, … ∕ 18, 30, … ∕ 24, 40, …) and none collides with
+    * another bank bin — exact-DFT orthogonality makes the per-digit
+    * argmax decode clean, with only fixed-point truncation residue in
+    * the off bins. Pure integer formula, so a SQL oracle synthesizes
+    * every sample: s[n] = 3000·sq(n, h_r) + 3000·sq(n, h_c),
+    * sq(n, h) = +1 iff (n div h) even. */
+  def buildToneWav(digit: Int, nSamples: Int): Array[Byte] = {
+    require(digit >= 0 && digit <= 3, s"digit must be 0..3: $digit")
+    val hr = 96 / (2 * (3 + digit / 2))  // 16 or 12
+    val hc = 96 / (2 * (6 + 2 * (digit % 2))) // 8 or 6
+    val data = new Array[Byte](2 * nSamples)
+    var n = 0
+    while (n < nSamples) {
+      def sq(h: Int): Int = if ((n / h) % 2 == 0) 1 else -1
+      val s = 3000 * sq(hr) + 3000 * sq(hc)
+      data(2 * n) = (s & 0xff).toByte
+      data(2 * n + 1) = ((s >> 8) & 0xff).toByte
+      n += 1
+    }
+    buildWav(8000, 1, data)
+  }
+
+  /** The window-96 Goertzel bank m30 probes: (bin k, Q14 coeff
+    * round(2·cos(2πk∕96)·2¹⁴)) — pinned literals (the DctQ14
+    * discipline), spec re-derives them from cos. */
+  val DtmfBank: Seq[(Int, Long)] =
+    Seq(3 -> 32138L, 4 -> 31651L, 6 -> 30274L, 8 -> 28378L)
+
   /** Locate the `data` chunk of a RIFF WAVE payload: (offset, length),
     * or None when the container is not WAVE / the chunk is absent /
     * a size field is corrupt. Shared by [[wavEnergy]] and [[pcmPeaks]]

@@ -6808,6 +6808,100 @@ object ExtensionQueries {
        |ORDER BY r.doc_id, window_idx""".stripMargin
   }
 
+  /** GOERTZEL FILTER-BANK TONE DECODE (m30 — the DTMF shape, m27's
+    * single-bin kernel composed into a BANK): every WAV doc with
+    * id < 300 is replaced by a planted dual-tone signal
+    * ([[Multimodal.buildToneWav]] — digit id%4 → one row square wave
+    * ∈ bins {3,4} + one column wave ∈ {6,8} of the window-96 bank,
+    * half-periods all integer so each window holds whole periods of
+    * every bank tone and square-wave harmonics miss every other bank
+    * bin: exact-DFT orthogonality makes the argmax decode clean).
+    * Four goertzelEnergy passes (one per pinned Q14 coeff,
+    * [[Multimodal.DtmfBank]]) reduce per doc to four exact BIGINT
+    * total powers; row = argmax{3,4}, col = argmax{6,8} (ties to the
+    * smaller bin), decoded digit vs expected pinned per row. The
+    * oracle SYNTHESIZES every sample from the digit formula and
+    * replays all four recurrences in one bank-joined recursive CTE —
+    * signal synthesis, fixed-point state, powers, argmax, verdict all
+    * hash-pinned. Constant-size plant (100 docs × 960 samples at any
+    * SF); scale story is m27's: per-partition flatMap, two multiplies
+    * per sample per bin. */
+  def m30DtmfDecode(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val ids = documents(sp, dir)
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map(id => Multimodal.MediaRow(id,
+        Multimodal.buildToneWav((id % 4).toInt, 960), "audio/wav", 100))
+      .toDF()
+    val perBin = Multimodal.DtmfBank.map { case (k, c) =>
+      Multimodal.goertzelEnergy(sp, media, window = 96, coeff = c)
+        .toDF().groupBy(col("doc_id"))
+        .agg(sum(col("bin_power")).as(s"p$k"))
+    }
+    perBin.reduce((a, b) => a.join(b, "doc_id"))
+      .select(col("doc_id"), (col("doc_id") % 4).as("expected"),
+        col("p3"), col("p4"), col("p6"), col("p8"))
+      .withColumn("row_k",
+        when(col("p3") >= col("p4"), 3L).otherwise(4L))
+      .withColumn("col_k",
+        when(col("p6") >= col("p8"), 6L).otherwise(8L))
+      .withColumn("decoded",
+        (col("row_k") - 3) * 2 + when(col("col_k") === 8, 1L)
+          .otherwise(0L))
+      .withColumn("ok", col("decoded") === col("expected"))
+      .orderBy("doc_id")
+  }
+
+  val m30Sql: String = {
+    val bank = Multimodal.DtmfBank
+      .map { case (k, c) => s"($k, $c)" }.mkString(", ")
+    s"""WITH RECURSIVE par AS (SELECT doc_id,
+       |    CAST(doc_id % 4 AS BIGINT) AS d,
+       |    96 // (2 * (3 + (doc_id % 4) // 2)) AS hr,
+       |    96 // (2 * (6 + 2 * ((doc_id % 4) % 2))) AS hc
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 300),
+       |v AS (SELECT p.doc_id, t.n // 96 AS w,
+       |    CAST(t.n % 96 AS BIGINT) AS i,
+       |    CAST(3000 * (CASE WHEN ((t.n // p.hr) % 2) = 0
+       |        THEN 1 ELSE -1 END)
+       |      + 3000 * (CASE WHEN ((t.n // p.hc) % 2) = 0
+       |        THEN 1 ELSE -1 END) AS BIGINT) AS s16
+       |  FROM par p, range(0, 960) t(n)),
+       |bank(k, c) AS (SELECT * FROM (VALUES $bank) x(k, c)),
+       |rec AS (
+       |  SELECT v0.doc_id, b.k, CAST(b.c AS BIGINT) AS c, v0.w,
+       |    CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s1,
+       |    CAST(0 AS BIGINT) AS s2
+       |  FROM (SELECT DISTINCT doc_id, w FROM v) v0 CROSS JOIN bank b
+       |  UNION ALL
+       |  SELECT r.doc_id, r.k, r.c, r.w, r.i + 1,
+       |    g.s16 + (r.c * r.s1) // 16384 - r.s2,
+       |    r.s1
+       |  FROM rec r JOIN v g ON g.doc_id = r.doc_id AND g.w = r.w
+       |    AND g.i = r.i),
+       |pw AS (SELECT r.doc_id, r.k,
+       |    CAST(SUM(r.s1 * r.s1 + r.s2 * r.s2
+       |      - (r.c * r.s1 * r.s2) // 16384) AS BIGINT) AS p
+       |  FROM rec r WHERE r.i = 96 GROUP BY 1, 2),
+       |piv AS (SELECT doc_id,
+       |    MAX(CASE WHEN k = 3 THEN p END) AS p3,
+       |    MAX(CASE WHEN k = 4 THEN p END) AS p4,
+       |    MAX(CASE WHEN k = 6 THEN p END) AS p6,
+       |    MAX(CASE WHEN k = 8 THEN p END) AS p8
+       |  FROM pw GROUP BY 1)
+       |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS expected,
+       |  p3, p4, p6, p8,
+       |  CAST(CASE WHEN p3 >= p4 THEN 3 ELSE 4 END AS BIGINT) AS row_k,
+       |  CAST(CASE WHEN p6 >= p8 THEN 6 ELSE 8 END AS BIGINT) AS col_k,
+       |  CAST((CASE WHEN p3 >= p4 THEN 0 ELSE 2 END)
+       |    + (CASE WHEN p6 >= p8 THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS decoded,
+       |  ((CASE WHEN p3 >= p4 THEN 0 ELSE 2 END)
+       |    + (CASE WHEN p6 >= p8 THEN 0 ELSE 1 END)) = doc_id % 4 AS ok
+       |FROM piv ORDER BY doc_id""".stripMargin
+  }
+
   /** WAV PEAK NORMALIZATION ([[Multimodal.normalizeWavPeak]]) — the
     * standard audio gain pass before feature extraction: every sample
     * scaled in 16.16 fixed-point integer so the loudest hits 30000,
@@ -14660,7 +14754,8 @@ object ExtensionQueries {
     "p39_kappa" -> (p39Kappa _),
     "p40_isotonic" -> (p40Isotonic _),
     "m28_channel_stats" -> (m28ChannelStats _),
-    "m29_dct_phash" -> (m29DctPhash _))
+    "m29_dct_phash" -> (m29DctPhash _),
+    "m30_dtmf_decode" -> (m30DtmfDecode _))
 
   val oracles: Map[String, String] = Map(
     "t1_text_tokens" -> t1Sql,
@@ -14912,5 +15007,6 @@ object ExtensionQueries {
     "p39_kappa" -> p39Sql,
     "p40_isotonic" -> p40Sql,
     "m28_channel_stats" -> m28Sql,
-    "m29_dct_phash" -> m29Sql)
+    "m29_dct_phash" -> m29Sql,
+    "m30_dtmf_decode" -> m30Sql)
 }

@@ -393,6 +393,36 @@ class OperatorSpec extends AnyFunSuite {
         "new group 9 provable from appends alone")
   }
 
+  test("m30 DTMF bank: pinned Q14 coeffs match their cos derivation; " +
+      "buildToneWav is a valid mono WAV whose on-bin powers dominate " +
+      "the off bins for every digit") {
+    import graft.operators.Multimodal
+    Multimodal.DtmfBank.foreach { case (k, c) =>
+      assert(c == math.round(
+        math.cos(2 * math.Pi * k / 96.0) * 2 * 16384.0), s"bin $k")
+    }
+    for (d <- 0 to 3) {
+      val wav = Multimodal.buildToneWav(d, 960)
+      // header sanity via the shared decoder
+      val st = Multimodal.wavStats(wav).get
+      assert(st._1 == 8000 && st._2 == 1 && st._3 == 960)
+      // windowed bank powers: the digit's (row, col) bins must beat
+      // their siblings in EVERY window (exact-period orthogonality)
+      import spark.implicits._
+      val media = Seq(Multimodal.MediaRow(d.toLong, wav, "audio/wav",
+        100)).toDS().toDF()
+      val pows = Multimodal.DtmfBank.map { case (k, c) =>
+        k -> Multimodal.goertzelEnergy(spark, media, 96, c)
+          .collect().map(_.bin_power).sum
+      }.toMap
+      val (kr, kc) = (3 + d / 2, 6 + 2 * (d % 2))
+      assert(pows(kr) > pows(7 - kr) * 10,
+        s"digit $d row bin $kr not dominant: $pows")
+      assert(pows(kc) > pows(14 - kc) * 10,
+        s"digit $d col bin $kc not dominant: $pows")
+    }
+  }
+
   test("p40 Isotonic.pavFit: violators pool exactly (Long cross-mult, " +
       "no float decides), already-monotone input unchanged, all-equal " +
       "rates collapse to one pool, fit equals the max-min form") {
