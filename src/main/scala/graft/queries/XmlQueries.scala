@@ -1492,7 +1492,64 @@ object XmlQueries {
       |  CAST(0 AS INT) AS n_none
       |FROM lineitem WHERE l_orderkey % 16 = 14 ORDER BY id""".stripMargin
 
+  /** STRING-FUNCTION PREDICATES (x30 — `string-length(...) OP n` and
+    * `normalize-space(...)='v'`, the two §4.2 string functions the
+    * contains/starts-with atoms left out): both convert their node-set
+    * argument through string() (FIRST node's string-value, '' when
+    * absent — so `[string-length(@a)=0]` is the "attribute missing OR
+    * empty" test, probe-pinned against the built-in), normalize-space
+    * strips ends and collapses internal whitespace runs. Two
+    * predicates are row-dependent (the quantity string's LENGTH
+    * crosses 4 at qty 10; a padded child normalizes to 'L x' exactly
+    * on line 3), and the atoms compose with `and`/`not`. 1/16 sample
+    * (mod 15) — the last free modulus. */
+  def x30XpathStrFns(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 16 === 15)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><it a='abcd'><n>one</n></it><it a='ab'><q>  "),
+      s(col("l_linenumber")),
+      lit("  x </q><n>two</n></it><it><q>"), d2s(col("l_quantity")),
+      lit("</q><n>three</n></it><it a=' pad '><n>four</n></it></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/it[string-length(@a)>3]/n",
+        "/r/it[string-length(@a)=0]/n",
+        "/r/it[string-length(q)>4]/n",
+        "/r/it[normalize-space(q)='3 x']/n",
+        "/r/it[normalize-space(@a)='pad']/n",
+        "//it[string-length(n)=3 and normalize-space(@a)='ab']/n",
+        "/r/it[not(string-length(@a)>=1)]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        size(col("m.p1")).as("n_len_a"),
+        get(col("m.p1"), lit(0)).as("first_len_a"),
+        get(col("m.p2"), lit(0)).as("first_zero"),
+        size(col("m.p3")).as("n_qlen"),
+        size(col("m.p4")).as("n_norm3"),
+        get(col("m.p5"), lit(0)).as("first_pad"),
+        get(col("m.p6"), lit(0)).as("first_comp"),
+        get(col("m.p7"), lit(0)).as("first_notlen"))
+      .orderBy("id")
+  }
+
+  val x30Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(2 AS INT) AS n_len_a,
+      |  'one' AS first_len_a,
+      |  'three' AS first_zero,
+      |  CAST(CASE WHEN length(CAST(CAST(l_quantity AS DECIMAL(18,2))
+      |    AS VARCHAR)) > 4 THEN 2 ELSE 1 END AS INT) AS n_qlen,
+      |  CAST(CASE WHEN l_linenumber = 3 THEN 1 ELSE 0 END AS INT)
+      |    AS n_norm3,
+      |  'four' AS first_pad,
+      |  'two' AS first_comp,
+      |  'three' AS first_notlen
+      |FROM lineitem WHERE l_orderkey % 16 = 15 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_xpath_str_fns" -> (x30XpathStrFns _),
     "x29_xpath_desc_terminals" -> (x29XpathDescTerminals _),
     "x26_xpath_not" -> (x26XpathNot _),
     "x27_xpath_grouping" -> (x27XpathGrouping _),
@@ -1524,6 +1581,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x30_xpath_str_fns" -> x30Sql,
     "x29_xpath_desc_terminals" -> x29Sql,
     "x16_xpath_union" -> x16Sql,
     "x17_xpath_attr_pred" -> x17Sql,

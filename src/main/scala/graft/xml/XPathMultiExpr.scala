@@ -39,6 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * numeric literal; XPath number() conversion with IEEE NaN semantics),
   * existence predicates `[@a]` / `[q]` (present attribute / at least
   * one child element of that name — any value, including empty),
+  * string-length / normalize-space predicates (x30 —
+  * `[string-length(@a)>3]`, `[normalize-space(q)='v']`: §4.2 string()
+  * conversion, so the absent node-set reads '' with length 0),
   * numeric child-value comparisons `[q>5]` (existential over the
   * child node-set, same number()/NaN rules as the attribute form)
   * (one predicate per step, enforced by the grammar), and a trailing
@@ -100,6 +103,16 @@ object XPathMini {
     final case class ChildExists(q: String) extends Pred
     final case class AttrFn(fn: String, a: String, v: String) extends Pred
     final case class ChildFn(fn: String, q: String, v: String) extends Pred
+    /** x30: `string-length(@a) OP n` / `string-length(q) OP n` — the
+      * §4.2 string() conversion (first node's string-value, '' when
+      * the node-set is empty, so the absent case compares 0). */
+    final case class StrLen(isAttr: Boolean, name: String, op: String,
+      v: Long) extends Pred
+    /** x30: `normalize-space(@a)='v'` / `normalize-space(q)='v'` —
+      * XPath §4.2 whitespace normalization (strip ends, collapse runs
+      * of #x20∕#x9∕#xD∕#xA to one space) of the string() value. */
+    final case class NormSpaceEq(isAttr: Boolean, name: String,
+      v: String) extends Pred
     final case class Not(p: Pred) extends Pred
     final case class And(ps: Array[Pred]) extends Pred
     final case class Or(ps: Array[Pred]) extends Pred
@@ -172,6 +185,10 @@ object XPathMini {
   private val ChildExistsRe = """^([A-Za-z_][\w.-]*)$""".r
   private val FnRe =
     """^(contains|starts-with)\((@?)([A-Za-z_][\w.-]*),'([^']*)'\)$""".r
+  private val StrLenRe =
+    """^string-length\((@?)([A-Za-z_][\w.-]*)\)(>=|<=|!=|=|>|<)(\d+)$""".r
+  private val NormSpaceRe =
+    """^normalize-space\((@?)([A-Za-z_][\w.-]*)\)='([^']*)'$""".r
   private val AttrRe = """^@([A-Za-z_][\w.-]*)$""".r
 
   /** Split `s` on the connective token ``" sep "`` at quote depth 0
@@ -258,13 +275,17 @@ object XPathMini {
     case ChildCmpRe(q, op, v) => Pred.ChildCmp(q, op, v.toDouble)
     case FnRe(fn, at, n, v) =>
       if (at == "@") Pred.AttrFn(fn, n, v) else Pred.ChildFn(fn, n, v)
+    case StrLenRe(at, n, op, v) =>
+      Pred.StrLen(at == "@", n, op, v.toLong)
+    case NormSpaceRe(at, n, v) => Pred.NormSpaceEq(at == "@", n, v)
     case AttrExistsRe(a) => Pred.AttrExists(a)
     case ChildExistsRe(q) => Pred.ChildExists(q)
     case other => throw new IllegalArgumentException(
       s"unsupported predicate '$other' in path: $path " +
         "(atoms: [@a='v'], [q='v'], [@a>5] / [q>5] and the other " +
         "numeric comparisons, [@a], [q], contains(...), " +
-        "starts-with(...))")
+        "starts-with(...), string-length(...) OP n, " +
+        "normalize-space(...)='v')")
   }
 
   /** Value-predicate expression: `or` over `and` over unary operands
@@ -560,6 +581,19 @@ object XPathMini {
     case Pred.ChildExists(q) => hasChild(e, q)
     case Pred.AttrFn(fn, a, v) => fnTest(fn, strOfAttr(e, a), v)
     case Pred.ChildFn(fn, q, v) => fnTest(fn, strOfChild(e, q), v)
+    case Pred.StrLen(isAttr, n, op, v) =>
+      val len = (if (isAttr) strOfAttr(e, n) else strOfChild(e, n))
+        .length.toLong
+      op match {
+        case ">"  => len > v
+        case "<"  => len < v
+        case ">=" => len >= v
+        case "<=" => len <= v
+        case "="  => len == v
+        case "!=" => len != v
+      }
+    case Pred.NormSpaceEq(isAttr, n, v) =>
+      normSpace(if (isAttr) strOfAttr(e, n) else strOfChild(e, n)) == v
     case Pred.Not(p) => !evalPred(p, e)
     case Pred.And(ps) => ps.forall(evalPred(_, e))
     case Pred.Or(ps) => ps.exists(evalPred(_, e))
@@ -599,6 +633,25 @@ object XPathMini {
       i += 1
     }
     ""
+  }
+
+  /** XPath 1.0 §4.2 normalize-space: strip leading/trailing whitespace
+    * (#x20, #x9, #xD, #xA) and collapse internal runs to one space. */
+  private def normSpace(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    var pend = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n') {
+        if (sb.length > 0) pend = true
+      } else {
+        if (pend) { sb.append(' '); pend = false }
+        sb.append(ch)
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   private def fnTest(fn: String, s: String, v: String): Boolean =

@@ -428,6 +428,44 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(ref4.getSeq[String](0) == Seq("1", "2", "3", "4", "5"))
   }
 
+  test("x30 string-length/normalize-space predicates: built-in parity " +
+      "incl. the absent-node length-0 case; normalize collapses tabs " +
+      "and newlines; composition with and/not") {
+    import spark.implicits._
+    val doc = "<r><it a='abcd'><n>one</n></it>" +
+      "<it a='ab'><q>  x \t\n y </q><n>two</n></it>" +
+      "<it><q>xy</q><n>three</n></it>" +
+      "<it a=' x '><n>four</n></it></r>"
+    val paths = Seq(
+      "/r/it[string-length(@a)>3]/n",
+      "/r/it[string-length(@a)=0]/n",
+      "/r/it[string-length(q)>=2]/n",
+      "/r/it[normalize-space(q)='x y']/n",
+      "/r/it[normalize-space(@a)='x']/n",
+      "/r/it[string-length(@a)!=2]/n",
+      "/r/it[string-length(n)=3 and not(string-length(@a)>=1)]/n")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val r = Seq(doc).toDF("x").select(m.as("m")).select("m.*").head()
+    assert(r.getSeq[String](0) == Seq("one")) // ' x ' is len 3, not >3
+    assert(r.getSeq[String](1) == Seq("three")) // absent -> '' -> 0
+    assert(r.getSeq[String](2) == Seq("two", "three"))
+    assert(r.getSeq[String](3) == Seq("two")) // tabs+newline collapse
+    assert(r.getSeq[String](4) == Seq("four"))
+    assert(r.getSeq[String](5) == Seq("one", "three", "four"))
+    assert(r.getSeq[String](6) == Seq.empty) // 'three' has len 5
+    // built-in parity, match counts + first string-values
+    val cols = paths.map(p => expr(s"size(xpath(x, \"$p\"))")) ++
+      paths.map(p => expr(s"xpath_string(x, \"$p\")"))
+    val ref = Seq(doc).toDF("x").select(cols: _*).head()
+    paths.indices.foreach { i =>
+      assert(r.getSeq[String](i).size == ref.getInt(i),
+        s"count parity on ${paths(i)}")
+      assert(r.getSeq[String](i).headOption.getOrElse("") ==
+        ref.getString(paths.length + i),
+        s"first-value parity on ${paths(i)}")
+    }
+  }
+
   test("x29 descendant terminals //@attr and //text(): subtree " +
       "selection in document order, mixed-content interleave, " +
       "overlapping-context dedup, whole-document anchors — exact " +
@@ -563,7 +601,7 @@ class XPathMultiSpec extends AnyFunSuite {
     // accept
     val nums = Array("5", "17", "0.5", "0")
     val needles = Array("", "1", "x", "7")
-    def atom(): String = rnd.nextInt(8) match {
+    def atom(): String = rnd.nextInt(10) match {
       case 0 => s"@${attrs(rnd.nextInt(2))}='${vals(rnd.nextInt(vals.length))}'"
       case 1 => s"${tags(rnd.nextInt(3))}='${vals(rnd.nextInt(vals.length))}'"
       case 2 => s"@${attrs(rnd.nextInt(2))}${ops(rnd.nextInt(6))}${nums(rnd.nextInt(4))}"
@@ -575,6 +613,14 @@ class XPathMultiSpec extends AnyFunSuite {
         val arg = if (rnd.nextBoolean()) s"@${attrs(rnd.nextInt(2))}"
           else tags(rnd.nextInt(3))
         s"$fn($arg,'${needles(rnd.nextInt(4))}')"
+      case 7 => // x30 string-length
+        val arg = if (rnd.nextBoolean()) s"@${attrs(rnd.nextInt(2))}"
+          else tags(rnd.nextInt(3))
+        s"string-length($arg)${ops(rnd.nextInt(6))}${rnd.nextInt(6)}"
+      case 8 => // x30 normalize-space (vals include ' 5 ' -> '5')
+        val arg = if (rnd.nextBoolean()) s"@${attrs(rnd.nextInt(2))}"
+          else tags(rnd.nextInt(3))
+        s"normalize-space($arg)='${vals(rnd.nextInt(vals.length)).trim}'"
       case _ => s"not(${atomNoNot()})"
     }
     def atomNoNot(): String = {
