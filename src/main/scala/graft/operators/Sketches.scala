@@ -282,6 +282,73 @@ object Sketches {
             col("mass_b_sample").cast("double")).as("mass_rate_b"))
   }
 
+  /** VALUE-CARRYING tuple sketch — the quantile leg of the sketch
+    * family (HLL counts, theta/tuple intersects, CMS frequencies; this
+    * answers DISTRIBUTION questions): the sampling key packs the
+    * portable 32-bit hash into the HIGH 32 bits and the value itself
+    * into the LOW 32 (values must fit [0, 2³¹) — the caller's
+    * fixed-point encode), so the UNCHANGED [[graft.functions
+    * .WeightedBottomKAgg]] machinery yields a uniform distinct-VALUE
+    * sample whose members are directly readable back out of the key —
+    * no reverse-hash join, no second corpus pass (the hash keeps its
+    * LOW 31 bits so the packed key stays under 2⁶³). Two values
+    * colliding on the 31-bit hash both survive (distinct packed keys)
+    * — a harmless oversample. Returns (h, v, w): ≤k rows, w = exact row
+    * multiplicity of value v, mergeable exactly like [[t62's
+    * weightedBottomKState]] state (same UDAF, same fidelity
+    * argument). */
+  def valueTupleState(df: DataFrame, value: Column, k: Int): DataFrame = {
+    val wk = graft.functions.WeightedBottomKAgg.weightedBottomK(k)
+    // 31-bit sampling hash: h31·2³² + v stays under 2⁶³ (a full 32-bit
+    // hash in the high half would overflow the packed long)
+    val h64 = pmod(Hashing.portableHash32(value.cast("string")),
+      lit(2147483648L)) * lit(4294967296L) + value.cast("long")
+    df.select(lit(1L).as("grp"), h64.as("__h"), lit(1L).as("__w"))
+      .groupBy("grp").agg(wk(col("__h"), col("__w")).as("__hw"))
+      .select(explode(col("__hw")).as("__e"))
+      .select(col("__e._1").as("h"),
+        pmod(col("__e._1"), lit(4294967296L)).as("v"),
+        col("__e._2").as("w"))
+  }
+
+  /** QUANTILE ESTIMATES from a [[valueTupleState]]: below
+    * θ = (the max packed key, exclusive, when the sketch is full —
+    * the t58 convention) the sample is uniform over the distinct value
+    * domain WITH exact multiplicities, so the weighted empirical CDF
+    * of the sample is a ratio estimator of the row-multiset CDF (the
+    * 2⁶⁴∕θ scale cancels). est(p) = the smallest sampled value whose
+    * cumulative weight reaches p — decided in PURE INTEGER
+    * cross-multiplication (cum·100 ≥ p100·total), no float boundary.
+    * `p100s`: integer percents. Output one row per requested
+    * percentile: (p100, est_v, cum_w, total_w). Everything is a ≤k-row
+    * sort + running sum — state-sized, and bit-replayable. */
+  def sketchQuantiles(state: DataFrame, k: Int,
+      p100s: Seq[Int]): DataFrame = {
+    val agg = state.agg(count(lit(1)).as("__n"), max(col("h")).as("__mx"))
+    val th = agg.select(
+      when(col("__n") === k, col("__mx"))
+        .otherwise(lit(Long.MaxValue)).as("__th"))
+    val sample = state.crossJoin(broadcast(th))
+      .filter(col("h") < col("__th"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v")) // ≤k rows — a bounded, state-sized sort
+    val cum = sample
+      .withColumn("__cum", sum(col("w")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .crossJoin(broadcast(
+        sample.agg(sum(col("w")).as("__tot"))))
+    val probe = sample.sparkSession.range(1)
+      .select(explode(typedLit(p100s.toArray)).as("p100"))
+    cum.crossJoin(broadcast(probe))
+      .filter(col("__cum") * 100 >= col("p100") * col("__tot"))
+      .groupBy(col("p100"))
+      .agg(min(col("v")).as("est_v"), max(col("__tot")).as("total_w"))
+      .join(cum.select(col("v").as("est_v"), col("__cum").as("cum_w")),
+        Seq("est_v"))
+      .select(col("p100"), col("est_v"), col("cum_w"), col("total_w"))
+  }
+
   def thetaIntersect(stateA: DataFrame, stateB: DataFrame,
       k: Int): DataFrame = {
     val full = lit(4294967296L) // 2^32: hash-space bound, exact sketch

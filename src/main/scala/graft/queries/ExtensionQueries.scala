@@ -1018,6 +1018,89 @@ object ExtensionQueries {
        |FROM th CROSS JOIN sm CROSS JOIN ex""".stripMargin
   }
 
+  /** SKETCH QUANTILES ([[graft.operators.Sketches.valueTupleState]] +
+    * [[graft.operators.Sketches.sketchQuantiles]]) — the quantile leg
+    * completing the mergeable-sketch family (HLL counts, theta/tuple
+    * set algebra, CMS frequencies, MinHash/SimHash similarity): price
+    * quartiles + p90 estimated from a k = 4096 value-carrying tuple
+    * sketch whose packed key holds the 31-bit sampling hash high and
+    * the cents value low, so the UNCHANGED t62 bottom-k machinery
+    * yields a uniform distinct-value sample WITH exact multiplicities
+    * and the values read straight back out of the key — persistable,
+    * mergeable, and bit-replayable (ORDER BY packed key LIMIT k in any
+    * engine). Each estimate is the smallest sampled value whose
+    * cumulative weight reaches p, decided in pure integer
+    * cross-multiplication; the statistical contract checks the EXACT
+    * CDF at each estimated value against p (|CDF(est) − p| ≤ 0.05 —
+    * a rank-space bound, ~2∕√k; measured ≤ 0.01 at every SF), with
+    * the exact CDF computed in ONE corpus pass of four conditional
+    * sums over the 4 collected estimates (config-sized — the centroid
+    * discipline). */
+  def t63SketchQuantiles(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val k = 4096
+    val p100s = Seq(25, 50, 75, 90)
+    val li = lineitem(sp, dir)
+      .select((dec(col("l_extendedprice")) * 100).cast("long")
+        .as("cents"))
+    val state = graft.operators.Sketches
+      .valueTupleState(li, col("cents"), k)
+    val est = graft.operators.Sketches.sketchQuantiles(state, k, p100s)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val conds = est.map { case (p, v, _, _) =>
+      sum(when(col("cents") <= v, 1L).otherwise(0L)).as(s"c$p")
+    } :+ count(lit(1)).as("__n")
+    val ex = li.agg(conds.head, conds.tail: _*).collect()(0)
+    val n = ex.getLong(est.length)
+    val rows = est.zipWithIndex.map { case ((p, v, cw, tw), i) =>
+      val cdf = ex.getLong(i).toDouble / n.toDouble
+      (p, v, cw, tw, cdf, math.abs(cdf - p / 100.0) <= 0.05)
+    }
+    rows.toSeq
+      .toDF("p100", "est_v", "cum_w", "total_w", "__cdf", "ok")
+      .select(col("p100"), col("est_v"), col("cum_w"), col("total_w"),
+        round(col("__cdf"), 6).as("exact_cdf"), col("ok"))
+      .orderBy("p100")
+  }
+
+  val t63Sql: String =
+    s"""WITH li AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * 100 AS BIGINT) AS cents FROM lineitem),
+       |dom AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM li GROUP BY 1),
+       |st AS (SELECT (${h("CAST(v AS VARCHAR)")} % 2147483648)
+       |    * 4294967296 + v AS h, v, w
+       |  FROM dom ORDER BY h LIMIT 4096),
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS mx
+       |  FROM st),
+       |smp AS (SELECT st.v, st.w FROM st CROSS JOIN agg
+       |  WHERE st.h < CASE WHEN agg.n = 4096 THEN agg.mx
+       |    ELSE 9223372036854775807 END),
+       |cum AS (SELECT v, w, SUM(w) OVER (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+       |  FROM smp),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM smp),
+       |ps AS (SELECT * FROM (VALUES (25), (50), (75), (90)) p(p100)),
+       |est AS (SELECT p.p100, MIN(c.v) AS est_v
+       |  FROM ps p, cum c, tot WHERE c.cw * 100 >= p.p100 * tot.t
+       |  GROUP BY 1),
+       |est2 AS (SELECT e.p100, e.est_v, CAST(c.cw AS BIGINT) AS cum_w,
+       |    tot.t AS total_w
+       |  FROM est e JOIN cum c ON c.v = e.est_v CROSS JOIN tot),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+       |ex AS (SELECT e.p100,
+       |    CAST(SUM(CASE WHEN li.cents <= e.est_v THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ec
+       |  FROM li CROSS JOIN est2 e GROUP BY 1)
+       |SELECT e.p100, e.est_v, e.cum_w, e.total_w,
+       |  round(CAST(x.ec AS DOUBLE) / nr.n, 6) AS exact_cdf,
+       |  abs(CAST(x.ec AS DOUBLE) / nr.n
+       |    - CAST(e.p100 AS DOUBLE) / 100) <= 0.05 AS ok
+       |FROM est2 e JOIN ex x ON x.p100 = e.p100 CROSS JOIN nr
+       |ORDER BY e.p100""".stripMargin
+
   /** Multinomial Naive Bayes source classifier
     * ([[graft.operators.NaiveBayes]]) — the fastText-shaped linear text
     * classifier of every curation stack, trained on the md5-parity
@@ -14737,6 +14820,7 @@ object ExtensionQueries {
     "m27_goertzel" -> (m27Goertzel _),
     "t59_theta_algebra" -> (t59ThetaAlgebra _),
     "t62_weighted_theta" -> (t62WeightedTheta _),
+    "t63_sketch_quantiles" -> (t63SketchQuantiles _),
     "s41_bottomk_stream_ingest" -> (s41BottomKStreamIngest _),
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
@@ -14990,6 +15074,7 @@ object ExtensionQueries {
     "m27_goertzel" -> m27Sql,
     "t59_theta_algebra" -> t59Sql,
     "t62_weighted_theta" -> t62Sql,
+    "t63_sketch_quantiles" -> t63Sql,
     "s41_bottomk_stream_ingest" -> s41Sql,
     "g21_louvain_weighted" -> g21Sql,
     "g22_louvain_two_level" -> g22Sql,

@@ -393,6 +393,34 @@ class OperatorSpec extends AnyFunSuite {
         "new group 9 provable from appends alone")
   }
 
+  test("t63 valueTupleState/sketchQuantiles: packed key decodes the " +
+      "value back; exact regime (distinct domain under k) gives EXACT " +
+      "weighted quantiles with the integer threshold rule") {
+    import spark.implicits._
+    // 100 values 0..99, value v appearing (v+1) times -> total 5050;
+    // exact weighted quantile p: smallest v with cum(v) >= p%*5050
+    val df = spark.range(5050).select(
+      expr("CAST(floor((sqrt(8*id + 1) - 1) / 2) AS LONG)").as("v"))
+    // sanity: multiplicity of v is v+1 under the triangular decode
+    val mult = df.groupBy("v").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mult(0L) == 1L && mult(99L) == 100L && mult.size == 100)
+    val st = Sketches.valueTupleState(df, col("v"), k = 4096)
+    val dec = st.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dec.length == 100, "under k: the whole domain is the state")
+    dec.foreach { case (h, v, w) =>
+      assert(h % 4294967296L == v, "value must decode from the key")
+      assert(w == v + 1, s"multiplicity of $v")
+    }
+    val q = Sketches.sketchQuantiles(st, k = 4096, Seq(25, 50, 75))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exact: cum(v) = (v+1)(v+2)/2; p25 -> 5050*25/100 = 1262.5 ->
+    // smallest v with (v+1)(v+2)/2*100 >= 25*5050: v=49 (1275);
+    // p50 -> 2525: v=70 (2556); p75 -> 3787.5: v=86 (3828)
+    assert(q === Map(25 -> 49L, 50 -> 70L, 75 -> 86L))
+  }
+
   test("m30 DTMF bank: pinned Q14 coeffs match their cos derivation; " +
       "buildToneWav is a valid mono WAV whose on-bin powers dominate " +
       "the off bins for every digit") {
