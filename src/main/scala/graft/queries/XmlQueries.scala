@@ -1548,7 +1548,51 @@ object XmlQueries {
       |  'three' AS first_notlen
       |FROM lineitem WHERE l_orderkey % 16 = 15 ORDER BY id""".stripMargin
 
+  /** ATTRIBUTE-TERMINAL UNIONS (x31 — the half of x16's element-only
+    * union rule that IS closable: branches all ending in the SAME
+    * `@attr`, descendant terminals included; one attribute per element
+    * makes the merged node-set's document order the owner elements'
+    * order, exact-list-parity-pinned against the built-in; `text()`
+    * unions and mixed attr names stay out — documented, position-less
+    * text nodes and implementation-defined same-element attr order).
+    * Overlap dedup is live in every path (a branch pair reaching the
+    * same element emits its attribute once); two values are
+    * row-dependent. 1/17 sample — the 16 sixteenths are all taken. */
+  def x31XpathAttrUnion(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 17 === 5)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><a x='1'><c x='9'/></a><b x='"), s(col("l_linenumber")),
+      lit("'/><a x='3'/><c x='"), d2s(col("l_quantity")),
+      lit("'/></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/a/@x | /r/b/@x",
+        "//c/@x | /r/a/@x",
+        "//@x | /r/b/@x",
+        "/r/nope/@x | /r/c/@x")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        array_join(col("m.p1"), "|").as("u_ab"),
+        array_join(col("m.p2"), "|").as("u_desc"),
+        array_join(col("m.p3"), "|").as("u_all"),
+        array_join(col("m.p4"), "|").as("u_nope"))
+      .orderBy("id")
+  }
+
+  val x31Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  '1|' || CAST(l_linenumber AS VARCHAR) || '|3' AS u_ab,
+      |  '1|9|3|' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |    AS u_desc,
+      |  '1|9|' || CAST(l_linenumber AS VARCHAR) || '|3|' ||
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS u_all,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS u_nope
+      |FROM lineitem WHERE l_orderkey % 17 = 5 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_xpath_attr_union" -> (x31XpathAttrUnion _),
     "x30_xpath_str_fns" -> (x30XpathStrFns _),
     "x29_xpath_desc_terminals" -> (x29XpathDescTerminals _),
     "x26_xpath_not" -> (x26XpathNot _),
@@ -1581,6 +1625,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x31_xpath_attr_union" -> x31Sql,
     "x30_xpath_str_fns" -> x30Sql,
     "x29_xpath_desc_terminals" -> x29Sql,
     "x16_xpath_union" -> x16Sql,

@@ -308,11 +308,14 @@ object XPathMini {
   /** Compile a path spec that may be a UNION (`p1 | p2 | ...`): XPath
     * 1.0's `|` operator — the node-set union in DOCUMENT ORDER with
     * duplicates removed (a node reached by several branches surfaces
-    * once). Subset rule: union branches must be ELEMENT-terminal
-    * (no trailing `text()` / `@attr`), because a cross-branch union of
-    * text or attribute NODES needs an inter-sibling document-order
-    * relation the element tree doesn't track; single paths keep the
-    * full selector surface. The top-level split on `|` is QUOTE-AWARE:
+    * once). Subset rule (x31 relaxed the original element-only form):
+    * branches must all be ELEMENT-terminal, or all end in the SAME
+    * `@attr` (descendant terminals included) — one attribute per
+    * element makes document order the owner elements' order, which the
+    * tree tracks; `text()` branches and MIXED attr names stay out
+    * (text nodes carry no position; two attributes of one element have
+    * implementation-defined order). The top-level split on `|` is
+    * QUOTE-AWARE:
     * attribute-equality predicate values (`[@t='a|b']`) may contain
     * `|`, so the scanner only splits outside single-quoted spans. */
   def compileAll(spec: String): Array[Path] = {
@@ -321,9 +324,19 @@ object XPathMini {
     else {
       require(parts.forall(_.nonEmpty), s"empty union branch in: $spec")
       val ps = parts.map(compile)
-      ps.foreach(p => require(p.attr == null && !p.textOnly,
-        "union branches must be element-terminal (trailing text()/@attr " +
-          s"is single-path only): $spec"))
+      // x31: branches may all be element-terminal, or may all end in
+      // the SAME `@attr` (each element owns at most one attr of that
+      // name, so document order of the merged node-set is the owner
+      // elements' order — built-in-parity-pinned). text() branches and
+      // MIXED attr names stay out: text nodes carry no document
+      // position, and the relative order of two attributes of ONE
+      // element is implementation-defined in XPath.
+      ps.foreach(p => require(!p.textOnly,
+        "union branches must not end in text() (no inter-sibling " +
+          s"document-order for text nodes): $spec"))
+      require(ps.map(_.attr).distinct.length == 1,
+        "union branches must share one terminal — all element-terminal " +
+          s"or all the same @attr: $spec")
       ps
     }
   }
@@ -1089,17 +1102,51 @@ object XPathMini {
     val all = new mutable.ArrayBuffer[Elem](8)
     var b = 0
     while (b < branches.length) {
-      all ++= nodeSet(branches(b), root)
+      val p = branches(b)
+      if (!p.descTerm) all ++= nodeSet(p, root)
+      else {
+        // x31: a descendant-terminal branch (`p//@a`) contributes the
+        // descendant-or-self ELEMENT set of its contexts; the covered
+        // set keeps overlapping contexts from double-walking
+        val ctxs = nodeSet(p, root)
+        val covered = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
+        var i = 0
+        while (i < ctxs.length) {
+          if (!covered.contains(ctxs(i)))
+            collectSubtree(ctxs(i), covered, all)
+          i += 1
+        }
+      }
       b += 1
     }
     val merged = sortDedup(all)
     val out = new mutable.ArrayBuffer[String](merged.length)
     var i = 0
     while (i < merged.length) {
-      emitNode(branches(0), merged(i), out) // element-terminal: plain
-      i += 1                                // string-value emission
+      // element-terminal: string-value; @attr-terminal (the shared
+      // name rides branches(0).attr): the attribute's value, elements
+      // lacking it contribute nothing — both are emitNode's contract
+      emitNode(branches(0), merged(i), out)
+      i += 1
     }
     out
+  }
+
+  /** Pre-order element collection of `e`'s subtree (the x31 union leg
+    * of a descendant-terminal branch). */
+  private def collectSubtree(e: Elem, covered: java.util.Set[Elem],
+      out: mutable.ArrayBuffer[Elem]): Unit = {
+    covered.add(e)
+    out += e
+    var i = 0
+    while (i < e.content.length) {
+      e.content(i) match {
+        case c: Elem => collectSubtree(c, covered, out)
+        case _ =>
+      }
+      i += 1
+    }
   }
 }
 

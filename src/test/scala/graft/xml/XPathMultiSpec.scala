@@ -258,13 +258,17 @@ class XPathMultiSpec extends AnyFunSuite {
     assert(ref.getInt(0) == 2 && ref.getInt(1) == 2 && ref.getInt(2) == 3)
   }
 
-  test("union subset rule: text()/@attr branches rejected at " +
-      "construction; empty branch rejected") {
+  test("union subset rule: text() and mixed-terminal branches rejected " +
+      "at construction; same-@attr unions accepted (x31); empty branch " +
+      "rejected") {
     intercept[IllegalArgumentException] {
       XPathMini.compileAll("/a/b | /a/c/text()")
     }
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // mixed element + attr
       XPathMini.compileAll("/a/@x | /a/b")
+    }
+    intercept[IllegalArgumentException] { // mixed attr names
+      XPathMini.compileAll("/a/@x | /a/b/@y")
     }
     intercept[IllegalArgumentException] {
       XPathMini.compileAll("/a/b | | /a/c")
@@ -272,8 +276,38 @@ class XPathMultiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       XPathMini.compileAll("/a/b |")
     }
+    // x31: same-attr branches compile, descendant terminals included
+    assert(XPathMini.compileAll("/a/@x | /a/b/@x").length == 2)
+    assert(XPathMini.compileAll("//c/@id | /r/a/@id").length == 2)
     // single path with selector stays fully supported through compileAll
     assert(XPathMini.compileAll("/a/b/text()").length == 1)
+  }
+
+  test("x31 attribute-terminal unions: owner-element document order, " +
+      "cross-branch dedup, descendant-terminal branches expand their " +
+      "subtrees, missing attributes contribute nothing — exact " +
+      "built-in list parity") {
+    import spark.implicits._
+    val doc = "<r><a id='1'><c id='9'/></a><b id='2'/><a id='3'/>" +
+      "<c id='4'/><b/></r>"
+    val paths = Seq(
+      "/r/a/@id | /r/b/@id",
+      "/r/*/@id | /r/a/@id",
+      "//c/@id | /r/a/@id",
+      "//@id | /r/a/@id",
+      "/r/nope/@id | /r/b/@id")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val r = Seq(doc).toDF("x").select(m.as("m")).select("m.*").head()
+    assert(r.getSeq[String](0) == Seq("1", "2", "3"))
+    assert(r.getSeq[String](1) == Seq("1", "2", "3", "4"))
+    assert(r.getSeq[String](2) == Seq("1", "9", "3", "4"))
+    assert(r.getSeq[String](3) == Seq("1", "9", "2", "3", "4"))
+    assert(r.getSeq[String](4) == Seq("2"))
+    val ref = Seq(doc).toDF("x")
+      .select(paths.map(p => expr(s"xpath(x, '$p')")): _*).head()
+    paths.indices.foreach(i => assert(
+      r.getSeq[String](i) == ref.getSeq[String](i),
+      s"built-in parity on ${paths(i)}"))
   }
 
   test("child-value predicates [q='v']: existential over multiple " +
