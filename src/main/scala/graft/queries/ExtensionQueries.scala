@@ -7926,6 +7926,57 @@ object ExtensionQueries {
        |FROM op JOIN ft ON ft.i = op.i
        |ORDER BY op.bin""".stripMargin
 
+  /** ROLLING 7-DAY DISTINCT ACTIVES (p41 — the WAU/DAU board metric,
+    * and the exact sliding COUNT(DISTINCT) Spark's window frames cannot
+    * express scalably: distinct has no partial state over a sliding
+    * range, and a per-day set union serializes). The scalable form is
+    * OFFSET EXPANSION: the corpus reduces to the DISTINCT (day, user)
+    * domain, each pair map-side explodes to the 7 target days it makes
+    * active, and one hash countDistinct per target day finishes —
+    * shuffle carries (domain × 7), never raw events, never a user-set
+    * state. Target days restricted to OBSERVED days (a trailing window
+    * over phantom future days would report partial weeks as data).
+    * actives_1d rides the same domain for the DAU/WAU ratio. */
+  def p41RollingActives(sp: SparkSession, dir: String): DataFrame = {
+    val du = events(sp, dir)
+      .select(col("ts").cast("date").as("d"), col("user_id"))
+      .distinct()
+    val days = du.select(col("d")).distinct()
+    val r7 = du
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("d"),
+        col("user_id"))
+      .select(date_add(col("d"), col("k")).as("d"), col("user_id"))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("actives_7d"))
+    val r1 = du.groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("actives_1d"))
+    r1.join(r7, Seq("d"))
+      .select(col("d"), col("actives_1d"), col("actives_7d"),
+        round(col("actives_1d").cast("double") /
+          col("actives_7d").cast("double"), 6).as("stickiness"))
+      .orderBy("d")
+  }
+
+  val p41Sql: String =
+    """WITH ev AS (SELECT
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d,
+      |    user_id FROM events),
+      |du AS (SELECT DISTINCT d, user_id FROM ev),
+      |days AS (SELECT DISTINCT d FROM du),
+      |exp AS (SELECT du.d + CAST(k.k AS INT) AS d, du.user_id
+      |  FROM du, range(0, 7) k(k)),
+      |r7 AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |    AS actives_7d
+      |  FROM exp WHERE d IN (SELECT d FROM days) GROUP BY 1),
+      |r1 AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+      |    AS actives_1d
+      |  FROM du GROUP BY 1)
+      |SELECT r1.d, r1.actives_1d, r7.actives_7d,
+      |  round(CAST(r1.actives_1d AS DOUBLE) /
+      |    CAST(r7.actives_7d AS DOUBLE), 6) AS stickiness
+      |FROM r1 JOIN r7 USING (d) ORDER BY d""".stripMargin
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -14837,6 +14888,7 @@ object ExtensionQueries {
     "t61_zipf" -> (t61Zipf _),
     "p39_kappa" -> (p39Kappa _),
     "p40_isotonic" -> (p40Isotonic _),
+    "p41_rolling_actives" -> (p41RollingActives _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -15091,6 +15143,7 @@ object ExtensionQueries {
     "t61_zipf" -> t61Sql,
     "p39_kappa" -> p39Sql,
     "p40_isotonic" -> p40Sql,
+    "p41_rolling_actives" -> p41Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)
