@@ -175,4 +175,90 @@ object Profile {
           lit(null).cast("double"))
           .otherwise(col("u1_2").cast("double") /
             (col("n1") * col("n2") * 2).cast("double")).as("auc"))
+
+  /** MUTUAL INFORMATION between two categorical columns, Q16-exact —
+    * the feature↔label LEAKAGE audit (does a metadata column predict
+    * the label?) that p39's kappa cannot give when the two columns
+    * range over different alphabets. MI(X;Y) = Σ_xy (n_xy/N)·
+    * log2(N·n_xy/(n_x·n_y)) in BITS; every log2 rides the t60 Q16
+    * integer kernel ([[graft.operators.NaiveBayes.logTable]]) so each
+    * cell's numerator mi_num = n_xy·(L(N·n_xy) − L(n_x·n_y)) is an
+    * exact BIGINT both engines reproduce, over the shared den =
+    * N·2¹⁶. Entropies ride the same kernel on the marginal domains:
+    * h_num(X) = Σ_x n_x·(L(N) − L(n_x)), same den, so the normalized
+    * MI = mi_tot/min(hx, hy) is a ratio of exact integers and the
+    * verdict is float-free cross-multiplication: `independent` iff
+    * 20·mi_tot < min_h (NMI < 0.05), `leaking` iff 2·mi_tot ≥ min_h
+    * (NMI ≥ 0.5), `correlated` between. Degenerate single-valued
+    * axes (min_h = 0) report NULL nmi and `degenerate`.
+    *
+    * Scale: the corpus reduces to the |X|·|Y| cell domain in one
+    * hash agg; marginals and the log recurrence run over that domain
+    * only. Overflow envelope: N·n_xy ≤ N² and n_xy·ΔL ≤ N·63·2¹⁶,
+    * both inside int64 through N ≈ 10⁹ (then DECIMAL(38), as p38).
+    * Individual cell terms may be negative (cells rarer than
+    * independence predicts) — only the total is sign-guaranteed
+    * (≥ −|cells| quantization ulps); portability needs no sign,
+    * both engines compute identical integers. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def mat(d: DataFrame, tag: String): DataFrame = {
+      val dir = graft.Tables.scratchDir(tag)
+      d.write.mode("overwrite").parquet(dir)
+      d.sparkSession.read.parquet(dir)
+    }
+    val cells = mat(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x_val"), col(yCol).as("y_val"))
+      .agg(count(lit(1)).as("n_xy")), "mi-cells")
+    val mx = cells.groupBy(col("x_val")).agg(sum(col("n_xy")).as("n_x"))
+    val my = cells.groupBy(col("y_val")).agg(sum(col("n_xy")).as("n_y"))
+    val nn = cells.agg(sum(col("n_xy")).as("__n"))
+    val m = cells.join(mx, Seq("x_val")).join(my, Seq("y_val"))
+      .crossJoin(broadcast(nn))
+      .select(col("x_val"), col("y_val"), col("n_xy"), col("n_x"),
+        col("n_y"), col("__n"),
+        (col("__n") * col("n_xy")).as("__pa"),
+        (col("n_x") * col("n_y")).as("__pb"))
+    val need = m.select(col("__pa").as("x"))
+      .union(m.select(col("__pb").as("x")))
+      .union(m.select(col("n_x").as("x")))
+      .union(m.select(col("n_y").as("x")))
+      .union(m.select(col("__n").as("x")))
+    val ltab = mat(NaiveBayes.logTable(need), "mi-ltab")
+    def l(of: String, as: String) =
+      ltab.select(col("x").as(of), col("l").as(as))
+    val terms = m
+      .join(l("__pa", "__la"), Seq("__pa"))
+      .join(l("__pb", "__lb"), Seq("__pb"))
+      .select(col("x_val"), col("y_val"), col("n_xy"), col("n_x"),
+        col("n_y"), col("__n"),
+        (col("n_xy") * (col("__la") - col("__lb"))).as("mi_num"))
+    val hx = mx.join(l("n_x", "__lx"), Seq("n_x"))
+      .crossJoin(broadcast(nn.join(l("__n", "__ln"), Seq("__n"))))
+      .agg(sum(col("n_x") * (col("__ln") - col("__lx"))).as("hx_num"))
+    val hy = my.join(l("n_y", "__ly"), Seq("n_y"))
+      .crossJoin(broadcast(nn.join(l("__n", "__ln"), Seq("__n"))))
+      .agg(sum(col("n_y") * (col("__ln") - col("__ly"))).as("hy_num"))
+    val tot = terms.agg(sum(col("mi_num")).as("__mt"))
+      .crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("__mt"), col("hx_num"), col("hy_num"),
+        least(col("hx_num"), col("hy_num")).as("__minh"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("x_val"), col("y_val"), col("n_xy"), col("n_x"),
+        col("n_y"), col("mi_num"),
+        (col("__n") * lit(65536L)).as("mi_den"),
+        (col("__mt").cast("double") /
+          (col("__n") * lit(65536L)).cast("double")).as("mi_bits"),
+        (col("hx_num").cast("double") /
+          (col("__n") * lit(65536L)).cast("double")).as("h_x_bits"),
+        (col("hy_num").cast("double") /
+          (col("__n") * lit(65536L)).cast("double")).as("h_y_bits"),
+        when(col("__minh") <= 0, lit(null).cast("double"))
+          .otherwise(col("__mt").cast("double") /
+            col("__minh").cast("double")).as("nmi"),
+        when(col("__minh") <= 0, "degenerate")
+          .when(col("__mt") * 20 < col("__minh"), "independent")
+          .when(col("__mt") * 2 >= col("__minh"), "leaking")
+          .otherwise("correlated").as("verdict"))
+  }
 }

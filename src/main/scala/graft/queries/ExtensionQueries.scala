@@ -7977,6 +7977,88 @@ object ExtensionQueries {
       |    CAST(r7.actives_7d AS DOUBLE), 6) AS stickiness
       |FROM r1 JOIN r7 USING (d) ORDER BY d""".stripMargin
 
+  /** MUTUAL-INFORMATION LEAKAGE AUDIT
+    * ([[graft.operators.Profile.mutualInfo]]): MI(lang; source) over
+    * documents — the "does a metadata column predict the label?"
+    * screen beside p39's same-alphabet kappa, every log2 through the
+    * t60 Q16 integer kernel so cell terms, entropies, the normalized
+    * MI ratio and the verdict are all exact-integer-derived and
+    * engine-portable. The synthetic corpus draws lang and source
+    * (close to) independently — the audit should read `independent`
+    * with NMI ≈ 0, and a leak would be the tripwire firing. */
+  def p42MutualInfo(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.mutualInfo(
+        documents(sp, dir), "lang", "source")
+      .orderBy("x_val", "y_val")
+
+  val p42Sql: String =
+    """WITH RECURSIVE cells AS (
+      |  SELECT lang AS x_val, source AS y_val,
+      |    CAST(count(*) AS BIGINT) AS n_xy
+      |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT x_val, CAST(SUM(n_xy) AS BIGINT) AS n_x
+      |  FROM cells GROUP BY 1),
+      |my AS (SELECT y_val, CAST(SUM(n_xy) AS BIGINT) AS n_y
+      |  FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+      |m AS (SELECT c.x_val, c.y_val, c.n_xy, mx.n_x, my.n_y, nn.n,
+      |    CAST(nn.n * c.n_xy AS BIGINT) AS pa,
+      |    CAST(mx.n_x * my.n_y AS BIGINT) AS pb
+      |  FROM cells c JOIN mx USING (x_val) JOIN my USING (y_val), nn),
+      |need AS (SELECT DISTINCT x FROM (
+      |  SELECT pa AS x FROM m UNION SELECT pb FROM m
+      |  UNION SELECT n_x FROM m UNION SELECT n_y FROM m
+      |  UNION SELECT n FROM m)),
+      |lg(x, m, i, frac) AS (
+      |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
+      |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
+      |      ELSE CAST(x AS BIGINT) >> ((length(bin(x)) - 1) - 31) END,
+      |    0, CAST(0 AS BIGINT)
+      |  FROM need
+      |  UNION ALL
+      |  SELECT x,
+      |    CAST(CASE WHEN m::HUGEINT * m >=
+      |        9223372036854775807::HUGEINT + 1
+      |      THEN (m::HUGEINT * m) // 4294967296
+      |      ELSE (m::HUGEINT * m) // 2147483648 END AS BIGINT),
+      |    i + 1,
+      |    frac * 2 + CASE WHEN m::HUGEINT * m >=
+      |      9223372036854775807::HUGEINT + 1 THEN 1 ELSE 0 END
+      |  FROM lg WHERE i < 16),
+      |ltab AS (SELECT x,
+      |  CAST(length(bin(x)) - 1 AS BIGINT) * 65536 + frac AS l
+      |  FROM lg WHERE i = 16),
+      |terms AS (SELECT m.x_val, m.y_val, m.n_xy, m.n_x, m.n_y, m.n,
+      |    CAST(m.n_xy * (la.l - lb.l) AS BIGINT) AS mi_num
+      |  FROM m JOIN ltab la ON la.x = m.pa
+      |  JOIN ltab lb ON lb.x = m.pb),
+      |hx AS (SELECT CAST(SUM(mx.n_x * (ln.l - lx.l)) AS BIGINT)
+      |    AS hx_num
+      |  FROM mx, nn, ltab lx, ltab ln
+      |  WHERE lx.x = mx.n_x AND ln.x = nn.n),
+      |hy AS (SELECT CAST(SUM(my.n_y * (ln.l - ly.l)) AS BIGINT)
+      |    AS hy_num
+      |  FROM my, nn, ltab ly, ltab ln
+      |  WHERE ly.x = my.n_y AND ln.x = nn.n),
+      |tt AS (SELECT CAST(SUM(mi_num) AS BIGINT) AS mt FROM terms)
+      |SELECT t.x_val, t.y_val, t.n_xy, t.n_x, t.n_y, t.mi_num,
+      |  CAST(t.n * 65536 AS BIGINT) AS mi_den,
+      |  CAST(tt.mt AS DOUBLE) / CAST(t.n * 65536 AS DOUBLE) AS mi_bits,
+      |  CAST(hx.hx_num AS DOUBLE) / CAST(t.n * 65536 AS DOUBLE)
+      |    AS h_x_bits,
+      |  CAST(hy.hy_num AS DOUBLE) / CAST(t.n * 65536 AS DOUBLE)
+      |    AS h_y_bits,
+      |  CASE WHEN least(hx.hx_num, hy.hy_num) <= 0 THEN NULL
+      |    ELSE CAST(tt.mt AS DOUBLE) /
+      |      CAST(least(hx.hx_num, hy.hy_num) AS DOUBLE) END AS nmi,
+      |  CASE WHEN least(hx.hx_num, hy.hy_num) <= 0 THEN 'degenerate'
+      |    WHEN tt.mt * 20 < least(hx.hx_num, hy.hy_num)
+      |      THEN 'independent'
+      |    WHEN tt.mt * 2 >= least(hx.hx_num, hy.hy_num) THEN 'leaking'
+      |    ELSE 'correlated' END AS verdict
+      |FROM terms t, tt, hx, hy ORDER BY x_val, y_val""".stripMargin
+
   /** TWO-SAMPLE CHI-SQUARE DRIFT ([[graft.operators.Profile.chi2Drift]]):
     * events.value's distribution in the first half of January vs the
     * rest, on p8's shared 20-bin grid — the shape-drift monitor beside
@@ -14889,6 +14971,7 @@ object ExtensionQueries {
     "p39_kappa" -> (p39Kappa _),
     "p40_isotonic" -> (p40Isotonic _),
     "p41_rolling_actives" -> (p41RollingActives _),
+    "p42_mutual_info" -> (p42MutualInfo _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -15144,6 +15227,7 @@ object ExtensionQueries {
     "p39_kappa" -> p39Sql,
     "p40_isotonic" -> p40Sql,
     "p41_rolling_actives" -> p41Sql,
+    "p42_mutual_info" -> p42Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)

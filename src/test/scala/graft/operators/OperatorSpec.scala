@@ -1929,6 +1929,44 @@ class OperatorSpec extends AnyFunSuite {
       ((2L, 0L, 0L, 0L, None)))
   }
 
+  test("p42 mutualInfo: identity copy NMI exactly 1.0 on power-of-two " +
+      "counts, uniform independence MI 0, constant axis degenerate, " +
+      "negative cell term, ref-kernel parity") {
+    import spark.implicits._
+    import graft.operators.{NaiveBayes, Profile}
+    def mi(rows: Seq[(String, String)]) =
+      Profile.mutualInfo(rows.toDF("x", "y"), "x", "y")
+        .orderBy("x_val", "y_val").collect()
+    // X == Y, counts powers of two: every log exact, NMI exactly 1.0
+    val idr = mi(Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")))
+    assert(idr.length == 2)
+    assert(idr.forall(_.getDouble(10) == 1.0)) // nmi
+    assert(idr.forall(_.getString(11) == "leaking"))
+    assert(idr.forall(_.getDouble(7) == 1.0)) // MI = 1 bit exactly
+    // uniform 2x2 independence: every cell term exactly 0
+    val ind = mi(Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")))
+    assert(ind.forall(_.getLong(5) == 0L))
+    assert(ind.forall(_.getString(11) == "independent"))
+    // constant X axis: H(X) = 0 -> degenerate, NULL nmi
+    val deg = mi(Seq(("a", "u"), ("a", "v")))
+    assert(deg.forall(r => r.isNullAt(10) &&
+      r.getString(11) == "degenerate"))
+    // skewed 2x2: off-diagonal cells rarer than independence -> negative
+    // cell terms, positive total; pin every mi_num via the ref kernel
+    val sk = mi(Seq.fill(3)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")) ++
+      Seq.fill(3)(("b", "b")))
+    val l = NaiveBayes.log2Q16Ref _
+    def cell(nxy: Long, nx: Long, ny: Long): Long =
+      nxy * (l(8 * nxy) - l(nx * ny))
+    assert(sk.map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+      .toSeq == Seq(("a", "a", cell(3, 4, 4)), ("a", "b", cell(1, 4, 4)),
+        ("b", "a", cell(1, 4, 4)), ("b", "b", cell(3, 4, 4))))
+    assert(cell(1, 4, 4) < 0L)
+    val tot = sk.map(_.getLong(5)).sum
+    assert(tot > 0L)
+    assert(sk.forall(_.getDouble(7) == tot.toDouble / (8.0 * 65536.0)))
+  }
+
   test("g14 weightedSeededDistance: cheap detour beats expensive direct " +
       "hop, round-bounded monotonicity, parallel edges keep min weight, " +
       "unreached nodes absent") {
