@@ -3235,6 +3235,43 @@ object Relational {
       |SELECT x, y, n_rows, witness
       |FROM s WHERE m IS NULL OR m < y ORDER BY x""".stripMargin
 
+  /** INTERVAL SWEEP-LINE PEAK CONCURRENCY
+    * ([[graft.operators.Sweep.peakConcurrency]]): each event opens a
+    * 30-minute half-open session [ts, ts+30m); per day, the peak
+    * number of simultaneously open sessions, the earliest instant
+    * attaining it, and the overnight carry — the capacity-planning
+    * metric that is an ordered prefix sum, not a groupBy. The engine
+    * runs the two-level SEGMENTED SCAN (hour-partitioned running sums
+    * + bucket-domain carry offsets, no corpus-sized window); the
+    * oracle is the textbook single global cumulative window, so the
+    * hash contract checks the decomposition's exactness. */
+  def q66IntervalSweep(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sweep.peakConcurrency(events(s, d), col("ts"),
+        col("ts") + expr("INTERVAL 30 MINUTES"))
+      .orderBy("d")
+
+  val q66Sql: String =
+    """WITH ev AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS s,
+      |    make_timestamp(epoch_ns(ts) // 1000) + INTERVAL 30 MINUTE
+      |      AS e FROM events),
+      |b AS (SELECT t, CAST(SUM(delta) AS BIGINT) AS net FROM (
+      |    SELECT s AS t, 1 AS delta FROM ev
+      |    UNION ALL SELECT e, -1 FROM ev) GROUP BY 1),
+      |c AS (SELECT t, net, CAST(SUM(net) OVER (ORDER BY t) AS BIGINT)
+      |    AS conc FROM b),
+      |dd AS (SELECT CAST(t AS DATE) AS d, t, net, conc FROM c),
+      |agg AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+      |    CAST(arg_min(conc - net, t) AS BIGINT) AS bod_open,
+      |    CAST(MAX(conc) AS BIGINT) AS peak_conc,
+      |    CAST(arg_max(conc, t) AS BIGINT) AS eod_open
+      |  FROM dd GROUP BY 1),
+      |pk AS (SELECT dd.d, MIN(dd.t) AS peak_at
+      |  FROM dd JOIN agg USING (d) WHERE dd.conc = agg.peak_conc
+      |  GROUP BY 1)
+      |SELECT agg.d, agg.n_boundaries, agg.bod_open, agg.peak_conc,
+      |  pk.peak_at, agg.eod_open
+      |FROM agg JOIN pk USING (d) ORDER BY agg.d""".stripMargin
+
   /** COUNT(DISTINCT) MAINTENANCE UNDER DELETES
     * ([[graft.operators.Ivm.distinctState]] / [[graft.operators.Ivm
     * .distinctNet]] / [[graft.operators.Ivm.distinctFastCount]]) —
@@ -3380,7 +3417,8 @@ object Relational {
     "q62_skyline" -> (q62Skyline _),
     "q63_unpivot" -> (q63Unpivot _),
     "q64_distinct_ivm" -> (q64DistinctIvm _),
-    "q65_skyline_regrid" -> (q65SkylineRegrid _))
+    "q65_skyline_regrid" -> (q65SkylineRegrid _),
+    "q66_interval_sweep" -> (q66IntervalSweep _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3458,5 +3496,6 @@ object Relational {
     "q62_skyline" -> q62Sql,
     "q63_unpivot" -> q63Sql,
     "q64_distinct_ivm" -> q64Sql,
-    "q65_skyline_regrid" -> q65Sql)
+    "q65_skyline_regrid" -> q65Sql,
+    "q66_interval_sweep" -> q66Sql)
 }

@@ -1967,6 +1967,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(sk.forall(_.getDouble(7) == tot.toDouble / (8.0 * 65536.0)))
   }
 
+  test("q66 peakConcurrency: staircase peak + argmin instant, hour- and " +
+      "day-crossing carry, close-only day peaks at bod_open, coincident " +
+      "boundaries net to 0, back-to-back half-open no double-count") {
+    import spark.implicits._
+    import graft.operators.Sweep
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def run(iv: Seq[(String, String)]) =
+      Sweep.peakConcurrency(
+          iv.map { case (a, b) => (ts(a), ts(b)) }.toDF("s", "e"),
+          col("s"), col("e"))
+        .orderBy("d").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getTimestamp(4).toString, r.getLong(5)))
+    // nested triple: peak 3 at the third open; crosses hour buckets
+    val r1 = run(Seq(
+      ("2024-03-01 00:10:00", "2024-03-01 00:40:00"),
+      ("2024-03-01 00:20:00", "2024-03-01 01:50:00"),
+      ("2024-03-01 00:30:00", "2024-03-01 02:00:00")))
+    assert(r1.toSeq == Seq(("2024-03-01", 6L, 0L, 3L,
+      "2024-03-01 00:30:00.0", 0L)))
+    // day-crossing: opens 23:50 day1, closes 00:20 day2 -> day2 only
+    // CLOSES carried intervals: boundary max 0, bod_open carries the 1
+    val r2 = run(Seq(
+      ("2024-03-01 23:50:00", "2024-03-02 00:20:00"),
+      ("2024-03-01 10:00:00", "2024-03-01 10:30:00")))
+    assert(r2.toSeq == Seq(
+      ("2024-03-01", 3L, 0L, 1L, "2024-03-01 10:00:00.0", 1L),
+      ("2024-03-02", 1L, 1L, 0L, "2024-03-02 00:20:00.0", 0L)))
+    // back-to-back [a,b) + [b,c): at b the close nets against the open
+    // -> boundary stays with net 0, concurrency never reads 2
+    val r3 = run(Seq(
+      ("2024-03-01 09:00:00", "2024-03-01 09:30:00"),
+      ("2024-03-01 09:30:00", "2024-03-01 10:00:00")))
+    assert(r3.toSeq == Seq(("2024-03-01", 3L, 0L, 1L,
+      "2024-03-01 09:00:00.0", 0L)))
+    // earliest-instant tie-break: two disjoint singles both reach 1
+    val r4 = run(Seq(
+      ("2024-03-01 12:00:00", "2024-03-01 12:10:00"),
+      ("2024-03-01 14:00:00", "2024-03-01 14:10:00")))
+    assert(r4.head._5 == "2024-03-01 12:00:00.0")
+  }
+
   test("g14 weightedSeededDistance: cheap detour beats expensive direct " +
       "hop, round-bounded monotonicity, parallel edges keep min weight, " +
       "unreached nodes absent") {
