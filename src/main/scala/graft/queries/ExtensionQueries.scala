@@ -1101,6 +1101,112 @@ object ExtensionQueries {
        |FROM est2 e JOIN ex x ON x.p100 = e.p100 CROSS JOIN nr
        |ORDER BY e.p100""".stripMargin
 
+  /** SLIDING-WINDOW HLL ROLLING ACTIVES — p41's exact rolling 7-day
+    * COUNT(DISTINCT) at the scale where even the distinct (day, user)
+    * domain is too big to re-shuffle nightly: per-day PORTABLE HLL
+    * register states ([[graft.operators.Sketches.portableHllState]],
+    * ≤1024 integer rows per day, persisted to parquet — the state a
+    * 100 TB pipeline stores once per day) slide by the p41 offset
+    * expansion on the STATE rows (day state × 7 target days,
+    * register-wise MAX per target day — the semilattice merge, so the
+    * merged registers are IDENTICAL to a from-scratch 7-day pass and
+    * yesterday's raw events are never touched again). The gate pins
+    * the merged registers by integers (n_buckets, sum_rho, the
+    * harmonic numerator Σ2^(50−rho)) and carries the standard HLL
+    * estimate — raw harmonic with the linear-counting small-range
+    * branch, one shared IEEE tree both engines replay (the t5 ln
+    * precedent) — against p41's exact actives with a 15 % bound
+    * column (`within_15pct`; m = 1024 → se ≈ 3.3 %, the bound is
+    * ~4.5σ), hash-pinned TRUE per day by both engines. */
+  def t64SlidingHll(sp: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val ev = events(sp, dir)
+      .select(col("ts").cast("date").as("d"),
+        col("user_id").cast("string").as("u"))
+    val stateDir = graft.Tables.scratchDir("graft-t64-state")
+    Sketches.portableHllState(ev, col("d"), col("u"))
+      .write.mode("overwrite").parquet(stateDir)
+    val state = sp.read.parquet(stateDir)
+    val days = ev.select(col("d")).distinct()
+    val merged = state
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("grp"),
+        col("bucket"), col("rho"))
+      .select(date_add(col("grp"), col("k")).as("d"), col("bucket"),
+        col("rho"))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy(col("d"), col("bucket")).agg(max(col("rho")).as("rho"))
+    val regs = merged.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("rho")).cast("long").as("sum_rho"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - rho)"))
+          .cast("long").as("harm_num"))
+    val exact = ev.distinct()
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("d"),
+        col("u"))
+      .select(date_add(col("d"), col("k")).as("d"), col("u"))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy(col("d")).agg(countDistinct(col("u")).as("exact_7d"))
+    val est = regs
+      .withColumn("__e", lit(1024L) - col("n_buckets"))
+      .withColumn("__raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
+          lit(1048576.0) * lit(1125899906842624.0) /
+          (col("harm_num") + col("__e") * lit(1125899906842624L))
+            .cast("double"))
+      .withColumn("est_7d",
+        when(col("__raw") <= 2560.0 && col("__e") > 0,
+          round(lit(1024.0) * log(lit(1024.0) / col("__e")
+            .cast("double")), 2))
+          .otherwise(round(col("__raw"), 2)))
+    est.join(exact, Seq("d"))
+      .select(col("d"), col("n_buckets"), col("sum_rho"),
+        col("harm_num"), col("est_7d"), col("exact_7d"),
+        (abs(col("est_7d") - col("exact_7d").cast("double")) <=
+          lit(0.15) * col("exact_7d").cast("double"))
+          .as("within_15pct"))
+      .orderBy("d")
+  }
+
+  val t64Sql: String =
+    """WITH ev AS (SELECT DISTINCT
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d,
+      |    CAST(user_id AS VARCHAR) AS u FROM events),
+      |days AS (SELECT DISTINCT d FROM ev),
+      |h AS (SELECT DISTINCT d,
+      |    ('0x' || substr(md5(u), 1, 15))::BIGINT AS h FROM ev),
+      |r AS (SELECT d, h % 1024 AS bucket,
+      |    MAX(51 - length(bin(h // 1024))) AS rho
+      |  FROM h GROUP BY 1, 2),
+      |exp AS (SELECT r.d + CAST(k.k AS INT) AS d, bucket, rho
+      |  FROM r, range(0, 7) k(k)),
+      |mr AS (SELECT d, bucket, MAX(rho) AS rho FROM exp
+      |  WHERE d IN (SELECT d FROM days) GROUP BY 1, 2),
+      |regs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(rho) AS BIGINT) AS sum_rho,
+      |    CAST(SUM(1::BIGINT << (50 - rho)) AS BIGINT) AS harm_num
+      |  FROM mr GROUP BY 1),
+      |ue AS (SELECT ev.d + CAST(k.k AS INT) AS d, ev.u
+      |  FROM ev, range(0, 7) k(k)),
+      |ex7 AS (SELECT d, CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_7d
+      |  FROM ue WHERE d IN (SELECT d FROM days) GROUP BY 1),
+      |es AS (SELECT d, n_buckets, sum_rho, harm_num,
+      |    1024 - n_buckets AS empty,
+      |    0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0
+      |      * 1125899906842624.0
+      |      / CAST(harm_num + (1024 - n_buckets) * 1125899906842624
+      |        AS DOUBLE) AS raw
+      |  FROM regs),
+      |fin AS (SELECT d, n_buckets, sum_rho, harm_num,
+      |    CASE WHEN raw <= 2560.0 AND empty > 0
+      |      THEN round(1024.0 * ln(1024.0 / CAST(empty AS DOUBLE)), 2)
+      |      ELSE round(raw, 2) END AS est_7d
+      |  FROM es)
+      |SELECT fin.d, fin.n_buckets, fin.sum_rho, fin.harm_num,
+      |  fin.est_7d, ex7.exact_7d,
+      |  (abs(fin.est_7d - CAST(ex7.exact_7d AS DOUBLE))
+      |    <= 0.15 * CAST(ex7.exact_7d AS DOUBLE)) AS within_15pct
+      |FROM fin JOIN ex7 USING (d) ORDER BY fin.d""".stripMargin
+
   /** Multinomial Naive Bayes source classifier
     * ([[graft.operators.NaiveBayes]]) — the fastText-shaped linear text
     * classifier of every curation stack, trained on the md5-parity
@@ -14972,6 +15078,7 @@ object ExtensionQueries {
     "p40_isotonic" -> (p40Isotonic _),
     "p41_rolling_actives" -> (p41RollingActives _),
     "p42_mutual_info" -> (p42MutualInfo _),
+    "t64_sliding_hll" -> (t64SlidingHll _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -15228,6 +15335,7 @@ object ExtensionQueries {
     "p40_isotonic" -> p40Sql,
     "p41_rolling_actives" -> p41Sql,
     "p42_mutual_info" -> p42Sql,
+    "t64_sliding_hll" -> t64Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)

@@ -1967,6 +1967,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(sk.forall(_.getDouble(7) == tot.toDouble / (8.0 * 65536.0)))
   }
 
+  test("t64 sliding HLL: offset-expanded register merge identical to a " +
+      "from-scratch pass over the window's raw union (semilattice proof " +
+      "on a planted 3-day corpus)") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val rows = (1 to 40).map(i => ("2024-03-01", s"u$i")) ++
+      (25 to 70).map(i => ("2024-03-02", s"u$i")) ++
+      (60 to 90).map(i => ("2024-03-03", s"u$i"))
+    val ev = rows.toDF("ds", "u").select(to_date(col("ds")).as("d"),
+      col("u"))
+    val state = Sketches.portableHllState(ev, col("d"), col("u"))
+    // window = 3 days ending 03-03: expansion merge of the 3 states
+    val merged = state.groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val scratch = Sketches.portableHllState(
+      ev.withColumn("g", lit(1)), col("g"), col("u"))
+      .select(col("bucket"), col("rho"))
+    val diff = merged.join(scratch.withColumnRenamed("rho", "rho2"),
+        Seq("bucket"), "full_outer")
+      .filter(!(col("rho") <=> col("rho2"))).count()
+    assert(diff == 0L)
+  }
+
   test("q66 peakConcurrency: staircase peak + argmin instant, hour- and " +
       "day-crossing carry, close-only day peaks at bod_open, coincident " +
       "boundaries net to 0, back-to-back half-open no double-count") {
