@@ -517,6 +517,41 @@ object Multimodal {
       hist(0), hist(1), hist(2), hist(3)))
   }
 
+  /** Full 256-level grayscale histogram of a 24bpp BMP — the per-image
+    * reduction behind the m31 entropy screen: same header validation,
+    * pixel walk and exact BT.601 integer luma as [[bmpLuminance]], but
+    * returning every occupied (level, count) pair (≤ 256 rows per image
+    * REGARDLESS of pixel count — the map-side carrier; the corpus never
+    * shuffles pixels). Empty for non-BMP payloads. */
+  def bmpGrayLevels(m: Array[Byte]): Seq[(Int, Long)] = {
+    if (m.length < 54 || m(0) != 'B' || m(1) != 'M') return Nil
+    val buf = ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    if (buf.getShort(28) != 24 || width <= 0 || height <= 0) return Nil
+    val rowSize = ((3 * width + 3) / 4) * 4
+    if (off < 0 || off > m.length ||
+      rowSize.toLong * height > m.length - off) return Nil
+    val hist = new Array[Long](256)
+    var y = 0
+    while (y < height) {
+      val row = off + y * rowSize
+      var x = 0
+      while (x < width) {
+        val b = m(row + x * 3) & 0xff
+        val g = m(row + x * 3 + 1) & 0xff
+        val r = m(row + x * 3 + 2) & 0xff
+        hist((299 * r + 587 * g + 114 * b) / 1000) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 256).collect {
+      case l if hist(l) > 0 => (l, hist(l))
+    }
+  }
+
   /** Batch decode over partitions (codec init once per partition). */
   def decode(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._

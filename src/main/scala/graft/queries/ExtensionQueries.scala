@@ -14826,6 +14826,115 @@ object ExtensionQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** IMAGE ENTROPY SCREEN ([[Multimodal.bmpGrayLevels]]): per-BMP
+    * Shannon entropy of the 256-level grayscale histogram, Q16-exact —
+    * the flat/synthetic-image tripwire an image-curation pipeline runs
+    * beside m14's exposure screen (a solid-color or near-constant frame
+    * carries no training signal however well-exposed it is). Each image
+    * reduces MAP-SIDE to ≤ 256 (level, count) rows; entropy rides the
+    * t60 Q16 log kernel over the distinct COUNT domain only:
+    * h_num = n·L(n) − Σ c·L(c) over h_den = n·2¹⁶ (the standard
+    * H = log2 n − (1/n)Σc·log2 c identity), both exact BIGINTs, one
+    * final float. Docs with id % 30 = 0 are PLANTED flat (constant
+    * text → constant fill bytes → single gray level): their h_num is
+    * exactly 0 and the `flat` verdict (H < 0.1 bit, float-free
+    * cross-multiplication) fires live at every SF while real blobs
+    * read 3–6 bits. The oracle recomputes every pixel's luma from the
+    * blob-fill formula, rebuilds every histogram and replays the log
+    * recurrence — a swapped channel or an off-by-one stride fails the
+    * hash. */
+  def m31ImageEntropy(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val base = documents(sp, dir).filter(col("doc_id") % 3 === 0)
+      .withColumn("text", when(col("doc_id") % 30 === 0,
+        expr("repeat('a', 40)")).otherwise(col("text")))
+    val media = Multimodal.attachBlobs(base, frameSize = 100)
+    val hist = media.as[Multimodal.MediaRow]
+      .flatMap(r => Multimodal.bmpGrayLevels(r.media)
+        .map(p => (r.doc_id, p._1, p._2)))
+      .toDF("doc_id", "lv", "c")
+    val n = hist.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_levels"))
+    val need = hist.select(col("c").as("x"))
+      .union(n.select(col("n").as("x")))
+    val ltabDir = graft.Tables.scratchDir("graft-m31-ltab")
+    graft.operators.NaiveBayes.logTable(need)
+      .write.mode("overwrite").parquet(ltabDir)
+    val ltab = sp.read.parquet(ltabDir)
+    val hs = hist
+      .join(ltab.select(col("x").as("c"), col("l").as("__lc")),
+        Seq("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("__lc")).as("__scl"))
+    n.join(hs, Seq("doc_id"))
+      .join(ltab.select(col("x").as("n"), col("l").as("__ln")),
+        Seq("n"))
+      .select(col("doc_id"), col("n").as("n_pixels"), col("n_levels"),
+        (col("n") * col("__ln") - col("__scl")).as("h_num"),
+        (col("n") * lit(65536L)).as("h_den"),
+        ((col("n") * col("__ln") - col("__scl")).cast("double") /
+          (col("n") * lit(65536L)).cast("double")).as("entropy_bits"),
+        when((col("n") * col("__ln") - col("__scl")) * 10 <
+          col("n") * lit(65536L), "flat").otherwise("ok").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val m31Sql: String = {
+    val txt = "CASE WHEN doc_id % 30 = 0 THEN repeat('a', 40) " +
+      "ELSE text END"
+    val ob = s"octet_length(encode($txt))"
+    def byte(c: Int) =
+      s"('0x' || substr(p.hx, 2 * ((ty.y * p.src_row + tx.x * 3 + $c) " +
+        s"% p.len) + 1, 2))::BIGINT"
+    s"""WITH RECURSIVE e AS (SELECT doc_id, hex(encode($txt)) AS hx,
+       |    $ob AS len, $ob % 31 + 1 AS src_w, doc_id % 7 + 1 AS src_h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, hx, len, src_w, src_h,
+       |    ((3 * src_w + 3) // 4) * 4 AS src_row FROM e),
+       |lum AS (SELECT p.doc_id,
+       |    (299 * ${byte(2)} + 587 * ${byte(1)} + 114 * ${byte(0)})
+       |      // 1000 AS lv
+       |  FROM p, range(0, 7) ty(y), range(0, 31) tx(x)
+       |  WHERE ty.y < p.src_h AND tx.x < p.src_w),
+       |hist AS (SELECT doc_id, lv, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lum GROUP BY 1, 2),
+       |nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS n_levels FROM hist GROUP BY 1),
+       |need AS (SELECT DISTINCT x FROM (
+       |  SELECT c AS x FROM hist UNION SELECT n FROM nn)),
+       |lg(x, m, i, frac) AS (
+       |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
+       |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
+       |      ELSE CAST(x AS BIGINT) >> ((length(bin(x)) - 1) - 31) END,
+       |    0, CAST(0 AS BIGINT)
+       |  FROM need
+       |  UNION ALL
+       |  SELECT x,
+       |    CAST(CASE WHEN m::HUGEINT * m >=
+       |        9223372036854775807::HUGEINT + 1
+       |      THEN (m::HUGEINT * m) // 4294967296
+       |      ELSE (m::HUGEINT * m) // 2147483648 END AS BIGINT),
+       |    i + 1,
+       |    frac * 2 + CASE WHEN m::HUGEINT * m >=
+       |      9223372036854775807::HUGEINT + 1 THEN 1 ELSE 0 END
+       |  FROM lg WHERE i < 16),
+       |ltab AS (SELECT x,
+       |  CAST(length(bin(x)) - 1 AS BIGINT) * 65536 + frac AS l
+       |  FROM lg WHERE i = 16),
+       |hs AS (SELECT h.doc_id,
+       |    CAST(SUM(h.c * lc.l) AS BIGINT) AS scl
+       |  FROM hist h JOIN ltab lc ON lc.x = h.c GROUP BY 1)
+       |SELECT nn.doc_id, nn.n AS n_pixels, nn.n_levels,
+       |  CAST(nn.n * lt2.l - hs.scl AS BIGINT) AS h_num,
+       |  CAST(nn.n * 65536 AS BIGINT) AS h_den,
+       |  CAST(nn.n * lt2.l - hs.scl AS DOUBLE)
+       |    / CAST(nn.n * 65536 AS DOUBLE) AS entropy_bits,
+       |  CASE WHEN (nn.n * lt2.l - hs.scl) * 10 < nn.n * 65536
+       |    THEN 'flat' ELSE 'ok' END AS verdict
+       |FROM nn JOIN hs USING (doc_id) JOIN ltab lt2 ON lt2.x = nn.n
+       |ORDER BY nn.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_tokens" -> (t1Tokens _),
     "t2_text_quality" -> (t2Quality _),
@@ -15079,6 +15188,7 @@ object ExtensionQueries {
     "p41_rolling_actives" -> (p41RollingActives _),
     "p42_mutual_info" -> (p42MutualInfo _),
     "t64_sliding_hll" -> (t64SlidingHll _),
+    "m31_image_entropy" -> (m31ImageEntropy _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -15336,6 +15446,7 @@ object ExtensionQueries {
     "p41_rolling_actives" -> p41Sql,
     "p42_mutual_info" -> p42Sql,
     "t64_sliding_hll" -> t64Sql,
+    "m31_image_entropy" -> m31Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)

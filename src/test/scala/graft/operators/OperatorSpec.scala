@@ -1967,6 +1967,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(sk.forall(_.getDouble(7) == tot.toDouble / (8.0 * 65536.0)))
   }
 
+  test("m31 bmpGrayLevels: two-level hand image reads exactly 1 bit, " +
+      "constant image exactly 0, histogram counts exact, non-BMP empty") {
+    import graft.operators.{Multimodal, NaiveBayes}
+    // 2x1 BMP: pixel0 black (lum 0), pixel1 white (lum 255)
+    val twoTone = Multimodal.buildBmp(2, 1,
+      Array[Byte](0, 0, 0, -1, -1, -1, 0, 0)) // row padded to 8 bytes
+    val lv = Multimodal.bmpGrayLevels(twoTone)
+    assert(lv == Seq((0, 1L), (255, 1L)))
+    // entropy assembly: n=2, counts {1,1}: h_num = 2*L(2) - 2*(1*L(1))
+    val hNum = 2 * NaiveBayes.log2Q16Ref(2) - 2 * NaiveBayes.log2Q16Ref(1)
+    assert(hNum.toDouble / (2 * 65536).toDouble == 1.0)
+    // constant fill -> single level, entropy numerator exactly 0
+    val flat = Multimodal.buildBmp(3, 2, Array[Byte](77, 77, 77))
+    val lvf = Multimodal.bmpGrayLevels(flat)
+    assert(lvf == Seq((77, 6L)))
+    assert(6 * NaiveBayes.log2Q16Ref(6) - 6 * NaiveBayes.log2Q16Ref(6) == 0L)
+    // non-BMP payload refuses with an empty histogram
+    assert(Multimodal.bmpGrayLevels("RIFFxxxx".getBytes).isEmpty)
+  }
+
   test("t64 sliding HLL: offset-expanded register merge identical to a " +
       "from-scratch pass over the window's raw union (semilattice proof " +
       "on a planted 3-day corpus)") {
