@@ -1427,4 +1427,66 @@ object Graph {
     }
     (labels, log.toSeq)
   }
+
+  /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec(p=q=1) corpus
+    * generator (Perozzi et al., KDD 2014): `walksPerNode` truncated
+    * random walks of ≤ `steps` hops from every node, emitted as
+    * (root, wk, step, node) rows — the "sentences" a skip-gram
+    * embedding trains on. Randomness is the portable md5 hash of
+    * (root, wk, step), NOT an RNG: every hop is a pure function of the
+    * walk's identity, so the corpus is reproducible across engines and
+    * cluster sizes, a SQL oracle replays it hop for hop, and an
+    * INCREMENTAL run over a grown graph regenerates only the walks
+    * whose neighborhoods changed — properties java.util.Random cannot
+    * give at 100 TB.
+    *
+    * Mechanics: the (deduped) adjacency gets a per-source neighbor
+    * rank r ∈ [0, deg) under a window PARTITIONED by src ordered by
+    * dst (degree-bounded partitions, unique order — never a global
+    * window); hop i from node v follows rank H32(root:wk:i) mod
+    * deg(v). A node with no out-edges ends the walk (truncation, live
+    * in the synthetic link graph's sink nodes). Per-step state is one
+    * equi-join on the current node + one on (node, rank) — shuffles on
+    * the node key only; state is |nodes|·walksPerNode rows per step,
+    * materialized to scratch each hop so the step chain never
+    * re-executes (the g19 per-round discipline). */
+  def deepWalks(edges: DataFrame, walksPerNode: Int, steps: Int)
+      : DataFrame = {
+    import graft.functions.Hashing
+    val adj0 = materialize(
+      edges.select(col("src"), col("dst")).distinct(), "dw-adj")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = adj0.withColumn("r",
+      (row_number().over(w) - 1).cast("long"))
+    val deg = adj0.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = adj0.select(col("src").as("id"))
+      .union(adj0.select(col("dst").as("id"))).distinct()
+    var state = nodes
+      .select(col("id").as("root"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("wk"),
+        col("id").as("node"))
+      .select(col("root"), col("wk").cast("long").as("wk"),
+        col("node"))
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame](
+      state.select(col("root"), col("wk"), lit(0L).as("step"),
+        col("node")))
+    for (i <- 1 to steps) {
+      state = materialize(state
+        .join(deg.select(col("src").as("__ds"), col("deg")),
+          col("node") === col("__ds"))
+        .withColumn("__r", pmod(Hashing.portableHash32(
+          concat_ws(":", col("root"), col("wk"), lit(i))),
+          col("deg")))
+        .join(adj.select(col("src").as("__as"), col("r").as("__ar"),
+          col("dst").as("__ad")),
+          col("node") === col("__as") && col("__r") === col("__ar"))
+        .select(col("root"), col("wk"), col("__ad").as("node")),
+        s"dw-s$i")
+      out += state.select(col("root"), col("wk"),
+        lit(i.toLong).as("step"), col("node"))
+    }
+    out.reduce(_.unionByName(_))
+  }
 }

@@ -11802,6 +11802,51 @@ object ExtensionQueries {
     * community count — as columns; the oracle replays all 18 rounds,
     * both contractions, both map-backs and both outer guards in SQL
     * (a fixed-depth replay computes exactly the synthesized tail). */
+  /** DETERMINISTIC DEEPWALK CORPUS ([[graft.operators.Graph
+    * .deepWalks]]): 2 hash-driven truncated walks of ≤ 4 hops from
+    * every node of the derived link graph — the skip-gram sentence
+    * corpus of DeepWalk/node2vec(1,1), with every hop a pure function
+    * of (root, wk, step) through the portable md5 family so the
+    * oracle replays the ENTIRE corpus hop for hop (an RNG-driven walk
+    * could only be rows-checked). Sink nodes truncate their walks
+    * live (the link graph's hash range misses some ids). */
+  def g25DeepWalks(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.deepWalks(linkEdges(sp, dir),
+        walksPerNode = 2, steps = 4)
+      .orderBy("root", "wk", "step")
+
+  val g25Sql: String = {
+    def hop(i: Int, prev: String): String =
+      s"""w$i AS (SELECT w.root, w.wk, a.dst AS node
+         |  FROM $prev w JOIN deg d ON d.src = w.node
+         |  JOIN adj a ON a.src = w.node AND a.r =
+         |    ('0x' || substr(md5(CAST(w.root AS VARCHAR) || ':' ||
+         |      CAST(w.wk AS VARCHAR) || ':$i'), 1, 8))::BIGINT
+         |      % d.deg)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |adj0 AS (SELECT DISTINCT src, dst FROM edges),
+       |adj AS (SELECT src, dst, CAST(row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS r
+       |  FROM adj0),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM adj0 GROUP BY 1),
+       |nodes AS (SELECT src AS id FROM adj0
+       |  UNION SELECT dst FROM adj0),
+       |w0 AS (SELECT id AS root, CAST(k.wk AS BIGINT) AS wk, id AS node
+       |  FROM nodes, (VALUES (0), (1)) k(wk)),
+       |${hop(1, "w0")},
+       |${hop(2, "w1")},
+       |${hop(3, "w2")},
+       |${hop(4, "w3")}
+       |SELECT root, wk, step, node FROM (
+       |  SELECT root, wk, CAST(0 AS BIGINT) AS step, node FROM w0
+       |  UNION ALL SELECT root, wk, 1, node FROM w1
+       |  UNION ALL SELECT root, wk, 2, node FROM w2
+       |  UNION ALL SELECT root, wk, 3, node FROM w3
+       |  UNION ALL SELECT root, wk, 4, node FROM w4)
+       |ORDER BY root, wk, step""".stripMargin
+  }
+
   def g24LouvainMultiLevel(sp: SparkSession, dir: String): DataFrame = {
     import sp.implicits._
     val planted = g24PlantedEdges.toDF("src", "dst")
@@ -15173,6 +15218,7 @@ object ExtensionQueries {
     "g21_louvain_weighted" -> (g21LouvainWeighted _),
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
     "g24_louvain_multilevel" -> (g24LouvainMultiLevel _),
+    "g25_deepwalk" -> (g25DeepWalks _),
     "p35_auc_bias" -> (p35AucBias _),
     "t60_naive_bayes" -> (t60NaiveBayes _),
     "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
@@ -15431,6 +15477,7 @@ object ExtensionQueries {
     "g21_louvain_weighted" -> g21Sql,
     "g22_louvain_two_level" -> g22Sql,
     "g24_louvain_multilevel" -> g24Sql,
+    "g25_deepwalk" -> g25Sql,
     "p35_auc_bias" -> p35Sql,
     "t60_naive_bayes" -> t60Sql,
     "s42_stream_nb_scoring" -> s42Sql,

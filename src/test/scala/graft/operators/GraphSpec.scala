@@ -631,4 +631,43 @@ class GraphSpec extends AnyFunSuite {
       maxHops = 1))
     assert(t.values.forall(_._1 == 0L))
   }
+
+  test("g25 deepWalks: hop-for-hop parity with a driver-side reference " +
+      "walker (md5 rank selection, sink truncation, duplicate-edge " +
+      "dedup), deterministic across runs") {
+    // 1->{2,3} (plus a duplicate 1->2 that must dedup), 2->{3}, 3 sink,
+    // 4 isolated-as-source via 4->1
+    val e = edges(1L -> 2L, 1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 1L)
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 4L -> Seq(1L))
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long,
+      Long)]()
+    for (root <- Seq(1L, 2L, 3L, 4L); wk <- 0L to 1L) {
+      var node = root
+      expect += ((root, wk, 0L, node))
+      var i = 1
+      var alive = true
+      while (i <= 3 && alive) {
+        adj.get(node) match {
+          case Some(ns) =>
+            node = ns((h32(s"$root:$wk:$i") % ns.length).toInt)
+            expect += ((root, wk, i.toLong, node))
+          case None => alive = false
+        }
+        i += 1
+      }
+    }
+    def runOnce() = Graph.deepWalks(e, walksPerNode = 2, steps = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity)
+    val got = runOnce()
+    assert(got.toSeq == expect.sortBy(identity).toSeq)
+    assert(runOnce().toSeq == got.toSeq) // deterministic
+  }
 }
