@@ -10668,6 +10668,81 @@ object ExtensionQueries {
       |UNION ALL SELECT event_id, ts FROM rep
       |ORDER BY event_id, ts""".stripMargin
 
+  /** STREAMING ROLLING 7-DAY DISTINCT ACTIVES — p41's sliding
+    * COUNT(DISTINCT) as a LIVE streaming query, the board metric
+    * maintained as events arrive instead of recomputed nightly. The
+    * same offset expansion makes it streamable: each event explodes
+    * STATELESSLY to its 7 target days (target_ts = day(ts)+k, the new
+    * event-time column), then `dropDuplicates(user, target_ts)` under
+    * a 10-day watermark keeps exactly one row per (user, target day)
+    * with state EVICTED past the horizon — the canonical guide
+    * pattern, and the exactness argument is the offset bound: a
+    * duplicate (user, target day) arrival lags the first by at most
+    * 6 days + bus disorder, under the 10-day delay, so no survivor is
+    * ever re-admitted — then a per-day windowed count in UPDATE mode.
+    * Counts are monotone, so max-per-window over the update log (the
+    * s10 idiom) is the final answer. Three time-ordered tercile
+    * epochs prove the dedup state carries across batches; unlike
+    * p41, target days are NOT restricted to observed days (a
+    * stream cannot semi-join the future) — the oracle expands
+    * identically. */
+  def s45StreamRollingActives(sp: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("event_id"))
+    val rows = events(sp, dir).filter(col("event_id") % 17 === 7)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("b", ntile(3).over(w))
+      .collect()
+    def feed(b: Int): Seq[(Long, java.sql.Timestamp)] = rows.toIndexedSeq
+      .filter(_.getInt(3) == b)
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val s2 = sp.newSession()
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = in.toDS().toDF("user_id", "ts")
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("ts"))
+      .select(col("user_id"),
+        date_add(col("ts").cast("date"), col("k"))
+          .cast("timestamp").as("target_ts"))
+      .withWatermark("target_ts", "10 days")
+      .dropDuplicates("user_id", "target_ts")
+      .groupBy(window(col("target_ts"), "1 day"))
+      .agg(count(lit(1)).as("actives_7d"))
+    val name = "s45_ra_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prev = s2.conf.get("spark.sql.shuffle.partitions")
+    s2.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.StreamOps.StatePartitions)
+    try {
+      val q = agg.writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        in.addData(feed(1)); q.processAllAvailable()
+        in.addData(feed(2)); q.processAllAvailable()
+        in.addData(feed(3)); q.processAllAvailable()
+      } finally q.stop()
+    } finally s2.conf.set("spark.sql.shuffle.partitions", prev)
+    s2.table(name)
+      .select(col("window.start").cast("date").as("d"),
+        col("actives_7d"))
+      .groupBy(col("d")).agg(max(col("actives_7d")).as("actives_7d"))
+      .orderBy("d")
+  }
+
+  val s45Sql: String =
+    """WITH s AS (SELECT user_id,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
+      |  FROM events WHERE event_id % 17 = 7),
+      |du AS (SELECT DISTINCT d, user_id FROM s),
+      |exp AS (SELECT du.d + CAST(k.k AS INT) AS d, du.user_id
+      |  FROM du, range(0, 7) k(k))
+      |SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS actives_7d
+      |FROM exp GROUP BY 1 ORDER BY d""".stripMargin
+
   /** As-of join: attribute each purchase to the user's latest signup at or
     * before it (point-in-time correctness — the training-data labeling
     * primitive). Oracle: DuckDB's native ASOF LEFT JOIN. */
@@ -15235,6 +15310,7 @@ object ExtensionQueries {
     "p42_mutual_info" -> (p42MutualInfo _),
     "t64_sliding_hll" -> (t64SlidingHll _),
     "m31_image_entropy" -> (m31ImageEntropy _),
+    "s45_stream_rolling_actives" -> (s45StreamRollingActives _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -15494,6 +15570,7 @@ object ExtensionQueries {
     "p42_mutual_info" -> p42Sql,
     "t64_sliding_hll" -> t64Sql,
     "m31_image_entropy" -> m31Sql,
+    "s45_stream_rolling_actives" -> s45Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)
