@@ -1591,7 +1591,60 @@ object XmlQueries {
       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS u_nope
       |FROM lineitem WHERE l_orderkey % 17 = 5 ORDER BY id""".stripMargin
 
+  /** PARENT AXIS (x32 — `..` through the node-set evaluator: a parent
+    * is unique per context, so siblings stepping up CONVERGE and the
+    * node-set dedup is the semantics; parse-time parent pointers make
+    * the walk O(1) per step). The subset is compile-time-guarded to
+    * paths whose minimum depth keeps `..` below the document element
+    * (`/r/..`, rootless `//n/..` and `//..` are rejected — the
+    * document node's string-value belongs to the builtin's DTM);
+    * anchored descendant forms like `/r//n/..` stay in. Gate exercises
+    * convergence dedup (two `it`s → one `g`), a double step-up through
+    * a wildcard, attribute terminals after `..`, and the
+    * descendant-then-parent "owner element" idiom, with two values
+    * row-dependent; exact-parity pinned against the built-in in
+    * XPathMultiSpec. 1/17 sample (the sixteenths are all taken). */
+  def x32XpathParent(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 17 === 7)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><g><it k='1'><n>alpha</n></it><it><n>"),
+      s(col("l_linenumber")),
+      lit("</n></it></g><h><it k='"), d2s(col("l_quantity")),
+      lit("'><n>gamma</n></it></h><d q='"), s(col("l_linenumber")),
+      lit("'><x/></d></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/g/it/../it[2]/n",
+        "/r/*/it/../../h/it/n",
+        "/r/d/x/../@q",
+        "/r//n/../@k",
+        "/r/g/it[1]/../it[1]/n")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        get(col("m.p1"), lit(0)).as("conv_second"),
+        size(col("m.p1")).as("n_conv"),
+        get(col("m.p2"), lit(0)).as("up2"),
+        get(col("m.p3"), lit(0)).as("q_attr"),
+        array_join(col("m.p4"), "|").as("owner_ks"),
+        get(col("m.p5"), lit(0)).as("round_trip"))
+      .orderBy("id")
+  }
+
+  val x32Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(l_linenumber AS VARCHAR) AS conv_second,
+      |  CAST(1 AS INT) AS n_conv,
+      |  'gamma' AS up2,
+      |  CAST(l_linenumber AS VARCHAR) AS q_attr,
+      |  '1|' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |    AS owner_ks,
+      |  'alpha' AS round_trip
+      |FROM lineitem WHERE l_orderkey % 17 = 7 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_xpath_parent" -> (x32XpathParent _),
     "x31_xpath_attr_union" -> (x31XpathAttrUnion _),
     "x30_xpath_str_fns" -> (x30XpathStrFns _),
     "x29_xpath_desc_terminals" -> (x29XpathDescTerminals _),
@@ -1625,6 +1678,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x32_xpath_parent" -> x32Sql,
     "x31_xpath_attr_union" -> x31Sql,
     "x30_xpath_str_fns" -> x30Sql,
     "x29_xpath_desc_terminals" -> x29Sql,

@@ -169,6 +169,11 @@ object XPathMini {
       * keep the recursive fast path, whose results are doc-ordered and
       * duplicate-free by construction. */
     val hasDesc: Boolean = descTerm || steps.exists(_.desc)
+    /** Any parent-axis (`..`) step (x32)? Also routes to the node-set
+      * evaluator — the recursive fast path only walks down, and two
+      * siblings stepping up converge on ONE parent, which is exactly
+      * the node-set dedup. */
+    val hasParent: Boolean = steps.exists(_.name == "..")
   }
 
   private val StepHeadRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(.*)\])?$""".r
@@ -392,6 +397,11 @@ object XPathMini {
     require(stepParts.nonEmpty || descTerm,
       s"path has no element steps: $path")
     val steps = stepParts.map {
+      // x32 parent axis: bare `..` only (no predicates — a parent is
+      // unique per context, positions are meaningless; `//..` is out)
+      case ("..", desc) =>
+        require(!desc, s"'//..' is outside the subset in: $path")
+        Step("..", 0, desc = false)
       case (StepHeadRe(name, pred), desc) =>
         if (pred == null) Step(name, 0, desc)
         else {
@@ -432,13 +442,30 @@ object XPathMini {
         }
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, //name, [k], [last()], [position() OP k], " +
+          "(subset: name|*, //name, '..', [k], [last()], [position() OP k], " +
           "[@a='v'], [q='v'], [@a>5] / [q>5] and the other numeric " +
           "comparisons, [@a], [q], contains()/starts-with() on @a or " +
           "q, 'and'/'or' connectives, trailing text() or @attr)")
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
+    // x32 static depth guard: `..` must provably stay within the
+    // document element. Walking the steps with every non-parent step
+    // counted +1 (a descendant step descends AT LEAST one level), a
+    // parent step whose minimum depth would reach 0 could select the
+    // DOCUMENT node (`/r/..`, `//a/..` with a = the root) — whose
+    // string-value semantics belong to the builtin's DTM, not this
+    // element-tree subset — so it is rejected at compile time.
+    var minDepth = 0
+    steps.foreach { st =>
+      if (st.name == "..") {
+        minDepth -= 1
+        require(minDepth >= 1,
+          s"'..' could reach the document node in: $path " +
+            "(subset: the parent axis must provably stay below the " +
+            "document element)")
+      } else minDepth += 1
+    }
     Path(steps, textOnly, attr, descTerm)
   }
 
@@ -452,6 +479,9 @@ object XPathMini {
       * key that restores node-set document order after descendant-axis
       * steps mix depths. */
     var docPos: Int = 0
+    /** Parent element, set at parse (null for the document element) —
+      * the x32 parent-axis (`..`) walk. */
+    var parent: Elem = null
   }
 
   // Same config stance as XmlStax: coalescing text, internal entities
@@ -505,7 +535,7 @@ object XPathMini {
               }
               e.attrs = as
             }
-            if (top != null) top.content += e
+            if (top != null) { top.content += e; e.parent = top }
             else if (root == null) root = e
             stack += e
             top = e
@@ -817,7 +847,7 @@ object XPathMini {
   /** Evaluate one compiled path against a parsed document, results in
     * document order. */
   def eval(p: Path, root: Elem): mutable.ArrayBuffer[String] =
-    if (p.hasDesc) evalDesc(p, root)
+    if (p.hasDesc || p.hasParent) evalDesc(p, root)
     else {
       // pure child-step fast path: single recursion, results are
       // doc-ordered and duplicate-free by construction (each node has
@@ -1009,7 +1039,15 @@ object XPathMini {
       val next = new mutable.ArrayBuffer[Elem](8)
       var i = 0
       while (i < ctxs.length) {
-        if (step.desc) descCollect(step, ctxs(i), next)
+        if (step.name == "..") {
+          // x32 parent axis: unique per context; siblings stepping up
+          // CONVERGE on one parent — sortDedup below IS the node-set
+          // semantics. The compile-time depth guard proves the parent
+          // is an element (never the virtual doc node), and parse sets
+          // parent = null only on the document element.
+          val par = ctxs(i).parent
+          if (par != null) next += par
+        } else if (step.desc) descCollect(step, ctxs(i), next)
         else childCollect(step, ctxs(i), next)
         i += 1
       }

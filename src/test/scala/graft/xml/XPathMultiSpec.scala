@@ -1190,4 +1190,55 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("/r/it[not(2)]") // positional is not a term
     }
   }
+
+  test("x32 parent axis: sibling convergence dedups to one parent, " +
+      "double step-up, attribute after '..', descendant+parent, " +
+      "built-in parity, document-node reachability rejected") {
+    import spark.implicits._
+    val doc = "<r><g><it k='1'><n>alpha</n></it><it><n>beta</n></it>" +
+      "</g><h><it k='7'><n>gamma</n></it></h><d q='9'><x/></d></r>"
+    val paths = Seq(
+      "/r/g/it/../it[2]/n", // two its converge on ONE g -> beta once
+      "/r/g/it[1]/../it[1]/n", // round trip identity
+      "/r/*/it/../../h/it/n", // double step-up converges on r
+      "/r/d/x/../@q", // attribute terminal after '..'
+      "/r//n/../@k", // descendant then parent: its OWNING each n
+      "/r/g/it/../../d/@q")
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val r = Seq(doc).toDF("x").select(m.as("m")).select("m.*").head()
+    assert(r.getSeq[String](0) == Seq("beta"),
+      "convergence dedup: beta must appear ONCE")
+    assert(r.getSeq[String](1) == Seq("alpha"))
+    assert(r.getSeq[String](2) == Seq("gamma"))
+    assert(r.getSeq[String](3) == Seq("9"))
+    assert(r.getSeq[String](4) == Seq("1", "7"),
+      "k-less it contributes nothing on the attribute axis")
+    assert(r.getSeq[String](5) == Seq("9"))
+    // built-in parity: match counts + first string-values on every
+    // path; exact lists on the @attr ones (the built-in list form
+    // carries attribute values)
+    val cols = paths.map(p => expr(s"size(xpath(x, '$p'))")) ++
+      paths.map(p => expr(s"xpath_string(x, '$p')")) ++
+      Seq("/r/d/x/../@q", "/r//n/../@k").map(p =>
+        expr(s"xpath(x, '$p')"))
+    val ref = Seq(doc).toDF("x").select(cols: _*).head()
+    paths.indices.foreach { i =>
+      assert(r.getSeq[String](i).size == ref.getInt(i),
+        s"count parity on ${paths(i)}")
+      assert(r.getSeq[String](i).headOption.getOrElse("") ==
+        ref.getString(paths.length + i),
+        s"first-value parity on ${paths(i)}")
+    }
+    assert(r.getSeq[String](3) == ref.getSeq[String](2 * paths.length))
+    assert(r.getSeq[String](4) ==
+      ref.getSeq[String](2 * paths.length + 1))
+    // document-node reachability is a compile-time rejection
+    for (bad <- Seq("/r/..", "//n/..", "/r/g/../..", "/r//..", "/..")) {
+      intercept[IllegalArgumentException] { XPathMini.compile(bad) }
+    }
+    // '..' with a predicate stays out of the grammar
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/g/it/..[@q]/n")
+    }
+  }
 }
