@@ -1428,6 +1428,62 @@ object Graph {
     (labels, log.toSeq)
   }
 
+  /** FULL CORENESS DECOMPOSITION via iterated h-index (Lü, Chen,
+    * Zhou, Stanley, PNAS 2016) — [[kCore]] answers one membership
+    * question ("is v in the k-core?"); this computes EVERY node's
+    * coreness number in one bounded iteration, no per-k re-peeling:
+    * h₀(v) = deg(v), h_{t+1}(v) = H-index of {h_t(u) : u ∈ N(v)}, and
+    * the (monotone non-increasing) sequence converges exactly to the
+    * k-core number. Distributed shape per round: one edge join
+    * against the current h table (shuffles on the node key), the
+    * h-index under a window PARTITIONED by node (degree-bounded — the
+    * h-index depends only on the sorted multiset, so the tie order
+    * inside the window is unobservable), one agg; h materialized to
+    * scratch per round with a fused 1-row changed-count collect (the
+    * g19 discipline). Early-stop on changed = 0 is provably a no-op
+    * tail (the iteration is a deterministic fixed point), so a
+    * fixed-round oracle replay computes the identical table.
+    *
+    * Edges are symmetrized+deduped. Isolated targets (in-edges only
+    * in the directed input) participate through the symmetric form.
+    * Returns (id, degree, coreness, converged) — `converged` TRUE iff
+    * some round changed nothing (global, same value on every row). */
+  def coreness(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = materialize(
+      edges.select(col("src"), col("dst"))
+        .unionByName(edges.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct(), "cor-und")
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("h"))
+    var h = materialize(deg, "cor-h0")
+    var converged = false
+    var r = 1
+    while (r <= rounds && !converged) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("nh").desc, col("u"))
+      val next = und
+        .select(col("src").as("v"), col("dst").as("u"))
+        .join(h.select(col("id").as("u"), col("h").as("nh")), Seq("u"))
+        .withColumn("__rk", row_number().over(w).cast("long"))
+        .groupBy(col("v"))
+        .agg(coalesce(max(when(col("nh") >= col("__rk"), col("__rk"))),
+          lit(0L)).as("h"))
+        .select(col("v").as("id"), col("h"))
+      val nh = materialize(next, s"cor-h$r")
+      val changed = nh.join(h.withColumnRenamed("h", "__ph"), Seq("id"))
+        .filter(col("h") =!= col("__ph"))
+        .agg(count(lit(1)).as("c")).collect()(0).getLong(0)
+      h = nh
+      converged = changed == 0
+      r += 1
+    }
+    deg.withColumnRenamed("h", "degree")
+      .join(h, Seq("id"))
+      .select(col("id"), col("degree"), col("h").as("coreness"),
+        lit(converged).as("converged"))
+  }
+
   /** DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec(p=q=1) corpus
     * generator (Perozzi et al., KDD 2014): `walksPerNode` truncated
     * random walks of ≤ `steps` hops from every node, emitted as

@@ -1596,6 +1596,27 @@ object Multimodal {
     buildWav(8000, 1, data)
   }
 
+  /** Deterministic broadband "noise" WAV for m32's spectral-flatness
+    * contrast class: s16(i) = (H32(id:i) mod 4001) − 2000 with H32 the
+    * portable first-8-md5-hex hash — a pure function of (doc, sample)
+    * both engines replay, spectrally flat across the m30 bank bins
+    * (unlike the tone class, which concentrates on 2 of 4). */
+  def buildNoiseWav(id: Long, nSamples: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val data = new Array[Byte](2 * nSamples)
+    var n = 0
+    while (n < nSamples) {
+      val d = md.digest(s"$id:$n".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val s = (h % 4001L).toInt - 2000
+      data(2 * n) = (s & 0xff).toByte
+      data(2 * n + 1) = ((s >> 8) & 0xff).toByte
+      n += 1
+    }
+    buildWav(8000, 1, data)
+  }
+
   /** The window-96 Goertzel bank m30 probes: (bin k, Q14 coeff
     * round(2·cos(2πk∕96)·2¹⁴)) — pinned literals (the DctQ14
     * discipline), spec re-derives them from cos. */

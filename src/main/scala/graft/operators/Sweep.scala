@@ -86,4 +86,52 @@ object Sweep {
         col("__pk.pt").as("peak_at"),
         col("__eod.ec").as("eod_open"))
   }
+
+  /** INTERVAL COALESCING + COVERED TIME — the MEASURE leg of the
+    * interval-algebra family ([[peakConcurrency]] asks "how many at
+    * once", this asks "how much wall-clock was covered at all"): per
+    * key, overlapping/touching half-open intervals [start, end) merge
+    * into maximal ISLANDS (the classic running-max-end sweep: an
+    * interval starts a new island iff its start exceeds the max end of
+    * every earlier interval of the key), and the output is one row per
+    * key — n_intervals, n_islands, covered_us (Σ island lengths — the
+    * union measure, overlap counted once), span_us (last end − first
+    * start) and the busiest island's length. Billed-time /
+    * true-utilization / SLA-coverage arithmetic is exactly this
+    * primitive, and it is NOT [[graft.streaming.Sessionize]]'s
+    * gap-threshold clustering of point events — intervals carry their
+    * own extent, and two long intervals may merge even when their
+    * STARTS are far apart.
+    *
+    * Scale: one window per key ordered by start (partition = one key's
+    * intervals — the s2 per-user posture; skewed keys are the caveat,
+    * salt-split a pathological key by day first), then a plain
+    * two-level groupBy. No global window anywhere. */
+  def coalesceIntervals(df: DataFrame, key: Column, start: Column,
+      end: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = df.select(key.as("k"), start.as("s"), end.as("e"))
+      .withColumn("__pmax", max(col("e")).over(w))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax"), 1L)
+          .otherwise(0L))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = flagged
+      .withColumn("__isl", sum(col("__new")).over(w2))
+      .groupBy(col("k"), col("__isl"))
+      .agg(count(lit(1)).as("__n"), min(col("s")).as("__s"),
+        max(col("e")).as("__e"))
+    islands.groupBy(col("k"))
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(unix_micros(col("__e")) - unix_micros(col("__s")))
+          .as("covered_us"),
+        (max(unix_micros(col("__e"))) - min(unix_micros(col("__s"))))
+          .as("span_us"),
+        max(unix_micros(col("__e")) - unix_micros(col("__s")))
+          .as("max_island_us"))
+      .withColumnRenamed("k", "key")
+  }
 }

@@ -7091,6 +7091,163 @@ object ExtensionQueries {
        |FROM piv ORDER BY doc_id""".stripMargin
   }
 
+  /** SPECTRAL FLATNESS over the Goertzel bank ([[Multimodal
+    * .buildNoiseWav]] + [[Multimodal.DtmfBank]]): the tone-vs-noise
+    * discriminator — Wiener entropy = geometric∕arithmetic mean of
+    * the band energies — composed from m30's bank and the t60 Q16 log
+    * kernel so the verdict is float-free: with add-one smoothing
+    * E'ₖ = Eₖ + 1 (a tone's off-bins are EXACTLY 0 under the
+    * integer-period orthogonality), log2 SF = (1∕B)ΣL(E'ₖ) −
+    * L(ΣE'ₖ) + L(B) with B = 4 a power of two, so fl_num =
+    * ΣL(E'ₖ) − 4·L(ΣE'ₖ) + 8·2¹⁶ over den 4·2¹⁶ is an exact BIGINT
+    * and `tonal` iff fl_num < −4·den (SF < 2⁻⁴). Two planted classes
+    * prove both sides LIVE at every SF: doc_id < 300 carries m30's
+    * dual-square tones (energy on 2 of 4 bins → strongly negative),
+    * 300 ≤ doc_id < 600 the deterministic hash-noise WAVs (flat bank
+    * → near 0); the oracle synthesizes every sample of both classes,
+    * replays all four recurrences and the log recurrence. Constant-
+    * size plant at any SF. */
+  def m32SpectralFlatness(sp: SparkSession, dir: String): DataFrame = {
+    import sp.implicits._
+    val ids = documents(sp, dir)
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") < 600)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map(id => Multimodal.MediaRow(id,
+        if (id < 300) Multimodal.buildToneWav((id % 4).toInt, 960)
+        else Multimodal.buildNoiseWav(id, 960), "audio/wav", 100))
+      .toDF()
+    val perBin = Multimodal.DtmfBank.map { case (k, c) =>
+      Multimodal.goertzelEnergy(sp, media, window = 96, coeff = c)
+        .toDF().groupBy(col("doc_id"))
+        .agg(sum(col("bin_power")).as(s"p$k"))
+    }
+    val piv = perBin.reduce((a, b) => a.join(b, "doc_id"))
+      .select(col("doc_id"), col("p3"), col("p4"), col("p6"),
+        col("p8"),
+        (col("p3") + 1).as("__e3"), (col("p4") + 1).as("__e4"),
+        (col("p6") + 1).as("__e6"), (col("p8") + 1).as("__e8"))
+      .withColumn("__s",
+        col("__e3") + col("__e4") + col("__e6") + col("__e8"))
+    val need = Seq("__e3", "__e4", "__e6", "__e8", "__s")
+      .map(c => piv.select(col(c).as("x"))).reduce(_.union(_))
+    val ltabDir = graft.Tables.scratchDir("graft-m32-ltab")
+    graft.operators.NaiveBayes.logTable(need)
+      .write.mode("overwrite").parquet(ltabDir)
+    val ltab = sp.read.parquet(ltabDir)
+    def l(of: String, as: String) =
+      ltab.select(col("x").as(of), col("l").as(as))
+    piv.join(l("__e3", "__l3"), Seq("__e3"))
+      .join(l("__e4", "__l4"), Seq("__e4"))
+      .join(l("__e6", "__l6"), Seq("__e6"))
+      .join(l("__e8", "__l8"), Seq("__e8"))
+      .join(l("__s", "__ls"), Seq("__s"))
+      .select(col("doc_id"),
+        when(col("doc_id") < 300, "tone").otherwise("noise")
+          .as("kind"),
+        col("p3"), col("p4"), col("p6"), col("p8"),
+        (col("__l3") + col("__l4") + col("__l6") + col("__l8") -
+          lit(4L) * col("__ls") + lit(8L * 65536L)).as("fl_num"),
+        lit(4L * 65536L).as("fl_den"))
+      .withColumn("flatness_log2",
+        col("fl_num").cast("double") / col("fl_den").cast("double"))
+      .withColumn("verdict",
+        when(col("fl_num") < lit(-4L) * col("fl_den"), "tonal")
+          .otherwise("broadband"))
+      .withColumn("ok",
+        (col("kind") === "tone") === (col("verdict") === "tonal"))
+      .orderBy("doc_id")
+  }
+
+  val m32Sql: String = {
+    val bank = Multimodal.DtmfBank
+      .map { case (k, c) => s"($k, $c)" }.mkString(", ")
+    s"""WITH RECURSIVE par AS (SELECT doc_id,
+       |    96 // (2 * (3 + (doc_id % 4) // 2)) AS hr,
+       |    96 // (2 * (6 + 2 * ((doc_id % 4) % 2))) AS hc,
+       |    doc_id < 300 AS tone
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 600),
+       |v AS MATERIALIZED (SELECT p.doc_id, t.n // 96 AS w,
+       |    CAST(t.n % 96 AS BIGINT) AS i,
+       |    CAST(CASE WHEN p.tone THEN
+       |        3000 * (CASE WHEN ((t.n // p.hr) % 2) = 0
+       |          THEN 1 ELSE -1 END)
+       |        + 3000 * (CASE WHEN ((t.n // p.hc) % 2) = 0
+       |          THEN 1 ELSE -1 END)
+       |      ELSE ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR) || ':'
+       |          || CAST(t.n AS VARCHAR)), 1, 8))::BIGINT % 4001
+       |        - 2000 END AS BIGINT) AS s16
+       |  FROM par p, range(0, 960) t(n)),
+       |bank(k, c) AS (SELECT * FROM (VALUES $bank) x(k, c)),
+       |rec AS (
+       |  SELECT v0.doc_id, b.k, CAST(b.c AS BIGINT) AS c, v0.w,
+       |    CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s1,
+       |    CAST(0 AS BIGINT) AS s2
+       |  FROM (SELECT DISTINCT doc_id, w FROM v) v0 CROSS JOIN bank b
+       |  UNION ALL
+       |  SELECT r.doc_id, r.k, r.c, r.w, r.i + 1,
+       |    g.s16 + (r.c * r.s1) // 16384 - r.s2,
+       |    r.s1
+       |  FROM rec r JOIN v g ON g.doc_id = r.doc_id AND g.w = r.w
+       |    AND g.i = r.i),
+       |pw AS MATERIALIZED (SELECT r.doc_id, r.k,
+       |    CAST(SUM(r.s1 * r.s1 + r.s2 * r.s2
+       |      - (r.c * r.s1 * r.s2) // 16384) AS BIGINT) AS p
+       |  FROM rec r WHERE r.i = 96 GROUP BY 1, 2),
+       |piv AS MATERIALIZED (SELECT doc_id,
+       |    MAX(CASE WHEN k = 3 THEN p END) AS p3,
+       |    MAX(CASE WHEN k = 4 THEN p END) AS p4,
+       |    MAX(CASE WHEN k = 6 THEN p END) AS p6,
+       |    MAX(CASE WHEN k = 8 THEN p END) AS p8
+       |  FROM pw GROUP BY 1),
+       |ee AS MATERIALIZED (SELECT doc_id, p3, p4, p6, p8,
+       |    p3 + 1 AS e3, p4 + 1 AS e4, p6 + 1 AS e6, p8 + 1 AS e8,
+       |    p3 + p4 + p6 + p8 + 4 AS s
+       |  FROM piv),
+       |need AS (SELECT DISTINCT x FROM (
+       |  SELECT e3 AS x FROM ee UNION SELECT e4 FROM ee
+       |  UNION SELECT e6 FROM ee UNION SELECT e8 FROM ee
+       |  UNION SELECT s FROM ee)),
+       |lg(x, m, i, frac) AS (
+       |  SELECT x, CASE WHEN length(bin(x)) - 1 <= 31
+       |      THEN CAST(x AS BIGINT) << (31 - (length(bin(x)) - 1))
+       |      ELSE CAST(x AS BIGINT) >> ((length(bin(x)) - 1) - 31) END,
+       |    0, CAST(0 AS BIGINT)
+       |  FROM need
+       |  UNION ALL
+       |  SELECT x,
+       |    CAST(CASE WHEN m::HUGEINT * m >=
+       |        9223372036854775807::HUGEINT + 1
+       |      THEN (m::HUGEINT * m) // 4294967296
+       |      ELSE (m::HUGEINT * m) // 2147483648 END AS BIGINT),
+       |    i + 1,
+       |    frac * 2 + CASE WHEN m::HUGEINT * m >=
+       |      9223372036854775807::HUGEINT + 1 THEN 1 ELSE 0 END
+       |  FROM lg WHERE i < 16),
+       |ltab AS (SELECT x,
+       |  CAST(length(bin(x)) - 1 AS BIGINT) * 65536 + frac AS l
+       |  FROM lg WHERE i = 16),
+       |fin AS (SELECT ee.doc_id,
+       |    CASE WHEN ee.doc_id < 300 THEN 'tone' ELSE 'noise' END
+       |      AS kind,
+       |    ee.p3, ee.p4, ee.p6, ee.p8,
+       |    CAST(l3.l + l4.l + l6.l + l8.l - 4 * ls.l + 8 * 65536
+       |      AS BIGINT) AS fl_num,
+       |    CAST(4 * 65536 AS BIGINT) AS fl_den
+       |  FROM ee JOIN ltab l3 ON l3.x = ee.e3
+       |  JOIN ltab l4 ON l4.x = ee.e4
+       |  JOIN ltab l6 ON l6.x = ee.e6
+       |  JOIN ltab l8 ON l8.x = ee.e8
+       |  JOIN ltab ls ON ls.x = ee.s)
+       |SELECT doc_id, kind, p3, p4, p6, p8, fl_num, fl_den,
+       |  CAST(fl_num AS DOUBLE) / CAST(fl_den AS DOUBLE)
+       |    AS flatness_log2,
+       |  CASE WHEN fl_num < -4 * fl_den THEN 'tonal'
+       |    ELSE 'broadband' END AS verdict,
+       |  (kind = 'tone') = (CASE WHEN fl_num < -4 * fl_den
+       |    THEN 'tonal' ELSE 'broadband' END = 'tonal') AS ok
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** WAV PEAK NORMALIZATION ([[Multimodal.normalizeWavPeak]]) — the
     * standard audio gain pass before feature extraction: every sample
     * scaled in 16.16 fixed-point integer so the loudest hits 30000,
@@ -8031,6 +8188,83 @@ object ExtensionQueries {
        |SELECT op.bin, op.n, op.n_pos, round(ft.fit, 6) AS fit
        |FROM op JOIN ft ON ft.i = op.i
        |ORDER BY op.bin""".stripMargin
+
+  /** CALIBRATION AUDIT — ECE + binned Brier, EXACT (the
+    * calibration-triple closer beside p40's isotonic fit and p35's
+    * AUC: isotonic asks "what monotone curve fits", AUC asks "does it
+    * rank", this asks "can the raw score be READ as a probability").
+    * On p40's exact 1/16 bins with bin-midpoint forecasts
+    * f_b = (2b+1)/32, both headline metrics are SINGLE exact
+    * integers: ECE·32N = Σ_b |(2b+1)·n_b − 32·s_b| (each bin's
+    * n_b·|f_b − ȳ_b| times 32N is that absolute integer) and
+    * Brier·1024N = Σ_b [(2b+1)²·n_b − 64·(2b+1)·s_b + 1024·s_b]
+    * (y² = y collapses the square), with uncertainty S(N−S)/N²
+    * exact — so the `calibrated` verdict (ECE < 0.1) is float-free
+    * cross-multiplication and every float is one division of two
+    * pinned BIGINTs. Corpus reduces map-side to ≤ 16 bin rows; the
+    * per-bin signed gap_num localizes WHERE the score lies about
+    * its probability. */
+  def p43Calibration(sp: SparkSession, dir: String): DataFrame = {
+    val d = documents(sp, dir).select(
+      least(floor(Text.qualityScore(col("text")) * 16), lit(15.0))
+        .cast("long").as("bin"),
+      (col("lang") === Text.langId(col("text"))).as("pos"))
+    val m = lit(2) * col("bin") + 1
+    val b = d.groupBy(col("bin")).agg(count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = b.agg(sum(col("n")).as("__N"), sum(col("n_pos")).as("__S"),
+      sum(abs(m * col("n") - lit(32) * col("n_pos"))).as("__ece"),
+      sum(m * m * col("n") - lit(64) * m * col("n_pos") +
+        lit(1024) * col("n_pos")).as("__bn"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (m.cast("double") / 32.0).as("forecast_mid"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("observed"),
+        (m * col("n") - lit(32) * col("n_pos")).as("gap_num"),
+        col("__ece").as("ece_num"),
+        (lit(32L) * col("__N")).as("ece_den"),
+        (col("__ece").cast("double") /
+          (lit(32L) * col("__N")).cast("double")).as("ece"),
+        col("__bn").as("brier_num"),
+        (lit(1024L) * col("__N")).as("brier_den"),
+        (col("__bn").cast("double") /
+          (lit(1024L) * col("__N")).cast("double")).as("brier"),
+        (col("__S") * (col("__N") - col("__S"))).as("unc_num"),
+        (col("__N") * col("__N")).as("unc_den"),
+        when(col("__ece") * 10 < lit(32L) * col("__N"), "calibrated")
+          .otherwise("miscalibrated").as("verdict"))
+      .orderBy("bin")
+  }
+
+  val p43Sql: String =
+    s"""WITH d AS (SELECT
+       |    CAST(LEAST(FLOOR(($qualitySqlExpr) * 16), 15) AS BIGINT)
+       |      AS bin,
+       |    (lang = ($langIdSqlExpr)) AS pos
+       |  FROM documents),
+       |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(s) AS BIGINT) AS ss,
+       |    CAST(SUM(abs((2 * bin + 1) * n - 32 * s)) AS BIGINT) AS ece,
+       |    CAST(SUM((2 * bin + 1) * (2 * bin + 1) * n
+       |      - 64 * (2 * bin + 1) * s + 1024 * s) AS BIGINT) AS bn
+       |  FROM b)
+       |SELECT b.bin, b.n, b.s AS n_pos,
+       |  CAST(2 * b.bin + 1 AS DOUBLE) / 32.0 AS forecast_mid,
+       |  CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS observed,
+       |  CAST((2 * b.bin + 1) * b.n - 32 * b.s AS BIGINT) AS gap_num,
+       |  t.ece AS ece_num, CAST(32 * t.nn AS BIGINT) AS ece_den,
+       |  CAST(t.ece AS DOUBLE) / CAST(32 * t.nn AS DOUBLE) AS ece,
+       |  t.bn AS brier_num, CAST(1024 * t.nn AS BIGINT) AS brier_den,
+       |  CAST(t.bn AS DOUBLE) / CAST(1024 * t.nn AS DOUBLE) AS brier,
+       |  CAST(t.ss * (t.nn - t.ss) AS BIGINT) AS unc_num,
+       |  CAST(t.nn * t.nn AS BIGINT) AS unc_den,
+       |  CASE WHEN t.ece * 10 < 32 * t.nn THEN 'calibrated'
+       |    ELSE 'miscalibrated' END AS verdict
+       |FROM b, t ORDER BY b.bin""".stripMargin
 
   /** ROLLING 7-DAY DISTINCT ACTIVES (p41 — the WAU/DAU board metric,
     * and the exact sliding COUNT(DISTINCT) Spark's window frames cannot
@@ -11922,6 +12156,47 @@ object ExtensionQueries {
        |ORDER BY root, wk, step""".stripMargin
   }
 
+  /** FULL CORENESS DECOMPOSITION ([[graft.operators.Graph.coreness]],
+    * 30 h-index rounds, early-stopped at the fixed point): every
+    * node's k-core number in ONE bounded
+    * iteration — g7's kCore answers a single k, this labels the whole
+    * graph (the degeneracy ordering every graph-ML sampler and
+    * community seed wants). The h-index depends only on the sorted
+    * neighbor multiset, so the degree-bounded window's tie order is
+    * unobservable and the oracle's fixed-30-round replay equals the
+    * engine's early-stopped run exactly (a converged round is a
+    * provable no-op tail). `converged` reports the fixed point
+    * honestly. */
+  def g26Coreness(sp: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.coreness(linkEdges(sp, dir), rounds = 30)
+      .orderBy("id")
+
+  val g26Sql: String = {
+    def hr(r: Int): String =
+      s"""h$r AS MATERIALIZED (SELECT v AS id,
+         |    CAST(coalesce(MAX(CASE WHEN nh >= rk THEN rk END), 0)
+         |      AS BIGINT) AS h
+         |  FROM (SELECT u.src AS v, hp.h AS nh,
+         |      row_number() OVER (PARTITION BY u.src
+         |        ORDER BY hp.h DESC) AS rk
+         |    FROM und u JOIN h${r - 1} hp ON hp.id = u.dst)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $linkEdgesSql,
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |h0 AS MATERIALIZED (SELECT src AS id,
+       |  CAST(COUNT(*) AS BIGINT) AS h FROM und GROUP BY 1),
+       |${(1 to 30).map(hr).mkString(",\n")},
+       |chg AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM h30 a JOIN h29 b ON a.id = b.id WHERE a.h <> b.h)
+       |SELECT h0.id, h0.h AS degree, h30.h AS coreness,
+       |  (chg.c = 0) AS converged
+       |FROM h0 JOIN h30 ON h30.id = h0.id, chg
+       |ORDER BY h0.id""".stripMargin
+  }
+
   def g24LouvainMultiLevel(sp: SparkSession, dir: String): DataFrame = {
     import sp.implicits._
     val planted = g24PlantedEdges.toDF("src", "dst")
@@ -15430,6 +15705,9 @@ object ExtensionQueries {
     "g22_louvain_two_level" -> (g22LouvainTwoLevel _),
     "g24_louvain_multilevel" -> (g24LouvainMultiLevel _),
     "g25_deepwalk" -> (g25DeepWalks _),
+    "g26_coreness" -> (g26Coreness _),
+    "m32_spectral_flatness" -> (m32SpectralFlatness _),
+    "p43_calibration" -> (p43Calibration _),
     "p35_auc_bias" -> (p35AucBias _),
     "t60_naive_bayes" -> (t60NaiveBayes _),
     "s42_stream_nb_scoring" -> (s42StreamNbScoring _),
@@ -15691,6 +15969,9 @@ object ExtensionQueries {
     "g22_louvain_two_level" -> g22Sql,
     "g24_louvain_multilevel" -> g24Sql,
     "g25_deepwalk" -> g25Sql,
+    "g26_coreness" -> g26Sql,
+    "m32_spectral_flatness" -> m32Sql,
+    "p43_calibration" -> p43Sql,
     "p35_auc_bias" -> p35Sql,
     "t60_naive_bayes" -> t60Sql,
     "s42_stream_nb_scoring" -> s42Sql,

@@ -3272,6 +3272,45 @@ object Relational {
       |  pk.peak_at, agg.eod_open
       |FROM agg JOIN pk USING (d) ORDER BY agg.d""".stripMargin
 
+  /** INTERVAL COALESCING / COVERED TIME
+    * ([[graft.operators.Sweep.coalesceIntervals]]): per user, the
+    * 30-minute sessions [ts, ts+30m) merge into maximal islands and
+    * report n_islands, the union measure covered_us (overlap counted
+    * once — billed-time arithmetic), span and busiest island. The
+    * measure leg beside q66's concurrency leg; NOT s2's gap-threshold
+    * sessionization — intervals carry extent, so two sessions merge
+    * whenever they OVERLAP, regardless of start gap. */
+  def q67IntervalCoalesce(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sweep.coalesceIntervals(events(s, d),
+        col("user_id"), col("ts"),
+        col("ts") + expr("INTERVAL 30 MINUTES"))
+      .orderBy("key")
+
+  val q67Sql: String =
+    """WITH ev AS (SELECT user_id AS k,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS s,
+      |    make_timestamp(epoch_ns(ts) // 1000) + INTERVAL 30 MINUTE
+      |      AS e FROM events),
+      |f AS (SELECT k, s, e,
+      |    MAX(e) OVER (PARTITION BY k ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM ev),
+      |g AS (SELECT k, s, e,
+      |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nw
+      |  FROM f),
+      |h AS (SELECT k, s, e, SUM(nw) OVER (PARTITION BY k
+      |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS isl FROM g),
+      |i AS (SELECT k, isl, COUNT(*) AS n, MIN(s) AS s, MAX(e) AS e
+      |  FROM h GROUP BY 1, 2)
+      |SELECT k AS key, CAST(SUM(n) AS BIGINT) AS n_intervals,
+      |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(epoch_us(e) - epoch_us(s)) AS BIGINT) AS covered_us,
+      |  CAST(MAX(epoch_us(e)) - MIN(epoch_us(s)) AS BIGINT) AS span_us,
+      |  CAST(MAX(epoch_us(e) - epoch_us(s)) AS BIGINT)
+      |    AS max_island_us
+      |FROM i GROUP BY 1 ORDER BY key""".stripMargin
+
   /** COUNT(DISTINCT) MAINTENANCE UNDER DELETES
     * ([[graft.operators.Ivm.distinctState]] / [[graft.operators.Ivm
     * .distinctNet]] / [[graft.operators.Ivm.distinctFastCount]]) —
@@ -3418,7 +3457,8 @@ object Relational {
     "q63_unpivot" -> (q63Unpivot _),
     "q64_distinct_ivm" -> (q64DistinctIvm _),
     "q65_skyline_regrid" -> (q65SkylineRegrid _),
-    "q66_interval_sweep" -> (q66IntervalSweep _))
+    "q66_interval_sweep" -> (q66IntervalSweep _),
+    "q67_interval_coalesce" -> (q67IntervalCoalesce _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3497,5 +3537,6 @@ object Relational {
     "q63_unpivot" -> q63Sql,
     "q64_distinct_ivm" -> q64Sql,
     "q65_skyline_regrid" -> q65Sql,
-    "q66_interval_sweep" -> q66Sql)
+    "q66_interval_sweep" -> q66Sql,
+    "q67_interval_coalesce" -> q67Sql)
 }

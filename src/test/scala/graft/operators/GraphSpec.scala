@@ -632,6 +632,31 @@ class GraphSpec extends AnyFunSuite {
     assert(t.values.forall(_._1 == 0L))
   }
 
+  test("g26 coreness: clique 3, pendant path 1, attached triangle 2, " +
+      "degree vs coreness divergence on the bridge node, convergence " +
+      "flag, direction-insensitive") {
+    // 4-clique {0,1,2,3}; path 3-4-5; triangle {6,7,8} bridged 6-0
+    val e = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L,
+      2L -> 3L, 3L -> 4L, 4L -> 5L, 6L -> 7L, 7L -> 8L, 8L -> 6L,
+      6L -> 0L)
+    val got = Graph.coreness(e, rounds = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    val expect = Map(
+      0L -> (4L, 3L), 1L -> (3L, 3L), 2L -> (3L, 3L), 3L -> (4L, 3L),
+      4L -> (2L, 1L), 5L -> (1L, 1L),
+      6L -> (3L, 2L), 7L -> (2L, 2L), 8L -> (2L, 2L))
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == expect)
+    assert(got.values.forall(_._3), "8 rounds must converge here")
+    // direction-insensitive: reversing every edge changes nothing
+    val rev = edges(1L -> 0L, 2L -> 0L, 3L -> 0L, 2L -> 1L, 3L -> 1L,
+      3L -> 2L, 4L -> 3L, 5L -> 4L, 7L -> 6L, 8L -> 7L, 6L -> 8L,
+      0L -> 6L)
+    val got2 = Graph.coreness(rev, rounds = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == expect)
+  }
+
   test("g25 deepWalks: hop-for-hop parity with a driver-side reference " +
       "walker (md5 rank selection, sink truncation, duplicate-edge " +
       "dedup), deterministic across runs") {

@@ -1967,6 +1967,75 @@ class OperatorSpec extends AnyFunSuite {
     assert(sk.forall(_.getDouble(7) == tot.toDouble / (8.0 * 65536.0)))
   }
 
+  test("q67 coalesceIntervals: overlap merge, half-open touch merges, " +
+      "gap splits, covered counts overlap once, per-key isolation") {
+    import spark.implicits._
+    import graft.operators.Sweep
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      ("A", "2024-03-01 00:00:00", "2024-03-01 01:00:00"),
+      ("A", "2024-03-01 00:30:00", "2024-03-01 02:00:00"), // overlap
+      ("A", "2024-03-01 03:00:00", "2024-03-01 03:30:00"), // gap
+      ("A", "2024-03-01 03:30:00", "2024-03-01 04:00:00"), // touch
+      ("B", "2024-03-01 10:00:00", "2024-03-01 10:10:00"))
+      .map { case (k, a, b) => (k, ts(a), ts(b)) }.toDF("k", "s", "e")
+    val got = Sweep.coalesceIntervals(iv, col("k"), col("s"), col("e"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // A: island1 [0:00,2:00) 2h; island2 [3:00,4:00) 1h (touch merged)
+    val h = 3600L * 1000000L
+    assert(got("A") == ((4L, 2L, 3 * h, 4 * h, 2 * h)))
+    assert(got("B") == ((1L, 1L, h / 6, h / 6, h / 6)))
+  }
+
+  test("p43 calibration integer formulas: collapsed Brier (y^2 = y) " +
+      "and ECE numerators equal the brute per-item sums on a hand " +
+      "distribution") {
+    // bins: (b=0, n=4, s=1), (b=15, n=4, s=3); f_b = (2b+1)/32
+    val bins = Seq((0L, 4L, 1L), (15L, 4L, 3L))
+    val items = bins.flatMap { case (b, n, s) =>
+      Seq.fill(s.toInt)((b, 1.0)) ++ Seq.fill((n - s).toInt)((b, 0.0))
+    }
+    val brute = items.map { case (b, y) =>
+      val f = (2 * b + 1).toDouble / 32.0; (f - y) * (f - y)
+    }.sum
+    val bn = bins.map { case (b, n, s) =>
+      (2 * b + 1) * (2 * b + 1) * n - 64 * (2 * b + 1) * s + 1024 * s
+    }.sum
+    assert(math.abs(bn.toDouble / (1024.0 * 8) - brute / 8) < 1e-12)
+    val bruteEce = bins.map { case (b, n, s) =>
+      n * math.abs((2 * b + 1).toDouble / 32.0 - s.toDouble / n)
+    }.sum
+    val eceNum = bins.map { case (b, n, s) =>
+      math.abs((2 * b + 1) * n - 32 * s)
+    }.sum
+    assert(math.abs(eceNum.toDouble / 32.0 - bruteEce) < 1e-12)
+  }
+
+  test("m32 flatness assembly: equal smoothed bins read exactly 0, a " +
+      "dominant bin reads strongly negative; buildNoiseWav replays the " +
+      "md5 sample formula and is spectrally balanced") {
+    import graft.operators.{Multimodal, NaiveBayes}
+    def fl(e: Seq[Long]): Double = {
+      val s = e.sum + 4
+      val num = e.map(x => NaiveBayes.log2Q16Ref(x + 1)).sum -
+        4 * NaiveBayes.log2Q16Ref(s) + 8 * 65536L
+      num.toDouble / (4.0 * 65536.0)
+    }
+    assert(fl(Seq(1L, 1L, 1L, 1L)) == 0.0)
+    assert(fl(Seq(1000000L, 0L, 0L, 0L)) < -4.0)
+    // buildNoiseWav: sample 0 of id 7 replays the md5 formula
+    val w = Multimodal.buildNoiseWav(7L, 4)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("7:0".getBytes("UTF-8"))
+    val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+      ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+    val want = (h % 4001L).toInt - 2000
+    val got = ((w(44) & 0xff) | (w(45) << 8)).toShort.toInt
+    assert(got == want)
+  }
+
   test("a31 nnDescent: clustered corpus reaches >= 0.9 recall vs brute " +
       "truth (local-optimum convergence — exactness is not guaranteed " +
       "even here), deterministic across runs, non-contiguous ids " +
