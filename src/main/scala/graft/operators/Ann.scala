@@ -703,11 +703,19 @@ object Ann {
     * Rescoring the current list every round makes improvement
     * monotone.
     *
-    * Initialization is hash-RING seeding, not an RNG: node v's j-th
-    * seed is H32(v:j) mod n — a pure function of the node identity, so
-    * the whole construction is REPLAYABLE (the a31 oracle re-runs every
-    * round in SQL) and stable across cluster sizes; requires ids
-    * contiguous in [0, n) (checked). Scale: per round, one self-join
+    * Initialization is hash-DART seeding, not an RNG: every node gets
+    * a position H32(r:id) mod n in a virtual cell space, and throws 2k
+    * darts H32(id:j) mod n; each dart's seed partners are the nodes
+    * positioned in the cell it lands in (~1 expected at B = n) — per-
+    * node INDEPENDENT near-uniform seeds, like sampling k random
+    * peers, but a pure function of the node ids: NO id-contiguity
+    * assumption (the sf1 probe's shifted-id copies seed fine), fully
+    * REPLAYABLE (the a31 oracle re-runs every round in SQL) and
+    * stable across cluster sizes. ~1∕e of darts land in empty cells
+    * (wasted, by design); a node all of whose darts miss AND whose
+    * own cell no dart hits starts isolated and stays absent —
+    * vanishingly rare, documented rather than patched.
+    * Scale: per round, one self-join
     * on the edge list (shuffles on the node key), two vector joins
     * against the norm-carrying corpus, one bounded top-k agg; edges
     * materialize to scratch per round so the chain never re-executes.
@@ -725,12 +733,7 @@ object Ann {
     val topk = graft.functions.TopKPairsAgg.topKPairs(k)
     val cn = mat(corpus.select(col("id"), col("vec"),
       Vectors.norm2(col("vec")).as("__n")), "nnd-cn")
-    val bounds = cn.agg(count(lit(1)).as("n"), max(col("id")).as("mx"),
-      min(col("id")).as("mn")).collect()(0)
-    val n = bounds.getLong(0)
-    require(bounds.getLong(2) == 0L && bounds.getLong(1) == n - 1,
-      s"nnDescent hash-ring seeding needs contiguous ids [0, n): " +
-        s"got min=${bounds.getLong(2)} max=${bounds.getLong(1)} n=$n")
+    val n = cn.count()
     def score(cand: DataFrame): DataFrame = cand
       .join(cn.select(col("id").as("v"), col("vec").as("__va"),
         col("__n").as("__na")), Seq("v"))
@@ -745,11 +748,15 @@ object Ann {
       .select(col("v"), (col("__pos") + 1).cast("int").as("rank"),
         col("__e._2").as("u"),
         doubleFromDescKey(col("__e._1")).as("__sim"))
-    val seed = corpus
-      .select(col("id").as("v"),
-        explode(array((1 to k).map(j => pmod(Hashing.portableHash32(
-          concat_ws(":", col("id"), lit(j))), lit(n))): _*)).as("u"))
-      .filter(col("v") =!= col("u")).distinct()
+    val pos = corpus.select(col("id").as("u"),
+      pmod(Hashing.portableHash32(
+        concat(lit("r:"), col("id").cast("string"))), lit(n)).as("__c"))
+    val darts = corpus.select(col("id").as("v"),
+      explode(array((1 to 2 * k).map(j => pmod(Hashing.portableHash32(
+        concat_ws(":", col("id"), lit(j))), lit(n))): _*)).as("__c"))
+    val seed = darts.join(pos, Seq("__c"))
+      .filter(col("v") =!= col("u"))
+      .select(col("v"), col("u")).distinct()
     var edges = mat(score(seed).select(col("v"), col("u")), "nnd-e0")
     var last: DataFrame = null
     for (r <- 1 to rounds) {

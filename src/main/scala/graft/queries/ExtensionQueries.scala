@@ -13404,7 +13404,7 @@ object ExtensionQueries {
     * cosine ≈ 0.0016 vs 0.0003 global — near-random 64-dim vectors),
     * the KNOWN hard regime for NN-descent's neighbor-of-neighbor
     * premise (Dong et al. §5: recall tracks intrinsic dimensionality);
-    * 5 local-join rounds read ≈ 0.86 at sf0.01 and ≈ 0.61 at sf0.1,
+    * 5 local-join rounds read ≈ 0.87 at sf0.01 and ≈ 0.62 at sf0.1,
     * reported honestly — convergence on random data needs O(log n)
     * rounds, and a real clustered corpus is the easy case. Emitted
     * rows are the same sample (the full graph at sf1 is corpus-sized
@@ -13464,15 +13464,28 @@ object ExtensionQueries {
          |      ORDER BY sim DESC, u) AS rk FROM s$r)
          |  WHERE rk <= 10)""".stripMargin
     s"""WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
-       |seed AS MATERIALIZED (SELECT DISTINCT v, u FROM (
-       |    SELECT e.vec_id AS v,
-       |      ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
-       |        CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % n.n AS u
-       |    FROM embeddings e, n,
-       |      (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9),
-       |        (10)) j(j))
-       |  WHERE v <> u),
-       |${round1(1, "seed", "e1")},
+       |pos AS MATERIALIZED (SELECT e.vec_id AS u,
+       |    ('0x' || substr(md5('r:' || CAST(e.vec_id AS VARCHAR)),
+       |      1, 8))::BIGINT % n.n AS c
+       |  FROM embeddings e, n),
+       |darts AS MATERIALIZED (SELECT e.vec_id AS v,
+       |    ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':' ||
+       |      CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % n.n AS c
+       |  FROM embeddings e, n,
+       |    (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10),
+       |      (11), (12), (13), (14), (15), (16), (17), (18), (19),
+       |      (20)) j(j)),
+       |seed AS MATERIALIZED (SELECT DISTINCT d.v, p.u
+       |  FROM darts d JOIN pos p ON p.c = d.c WHERE d.v <> p.u),
+       |s0 AS MATERIALIZED (SELECT c.v, c.u,
+       |    ${cos64Sql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM seed c JOIN embeddings ea ON ea.vec_id = c.v
+       |  JOIN embeddings eb ON eb.vec_id = c.u),
+       |e0 AS MATERIALIZED (SELECT v, u, sim FROM (
+       |    SELECT v, u, sim, row_number() OVER (PARTITION BY v
+       |      ORDER BY sim DESC, u) AS rk FROM s0)
+       |  WHERE rk <= 10),
+       |${round1(1, "e0", "e1")},
        |${round1(2, "e1", "e2")},
        |${round1(3, "e2", "e3")},
        |${round1(4, "e3", "e4")},
