@@ -1643,7 +1643,58 @@ object XmlQueries {
       |  'alpha' AS round_trip
       |FROM lineitem WHERE l_orderkey % 17 = 7 ORDER BY id""".stripMargin
 
+  /** SIBLING AXES (x33 — `following-sibling::` / `preceding-sibling::`
+    * through the node-set evaluator on x32's parent pointers: the
+    * axis-ordered element siblings of each context, with positional
+    * predicates counting IN AXIS ORDER per XPath §2.2 — so
+    * `preceding-sibling::a[1]` is the NEAREST preceding `a` and
+    * `[last()]` the axis far end — name tests, value predicates and
+    * x28 stage chains all applied over that ordered list; chained
+    * sibling steps and `..` compose, contexts converging on one
+    * sibling dedup through the node-set semantics. `//` before a
+    * sibling axis is rejected (the shorthand has no meaning there).
+    * Exact built-in parity spec-pinned incl. both axis-order
+    * positional cases. 1/17 sample. */
+  def x33XpathSiblings(sp: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(sp, dir).filter(col("l_orderkey") % 17 === 9)
+    val xml = concat(
+      lit("<r id='"), s(col("l_orderkey") * 10 + col("l_linenumber")),
+      lit("'><a k='1'>p</a><b>"), s(col("l_linenumber")),
+      lit("</b><a k='"), d2s(col("l_quantity")),
+      lit("'>q</a><c>end</c></r>"))
+    spread(li.select(xml.as("__xml")))
+      .select(graft.xml.XPathMultiExpr.xpath_multi(col("__xml"), Seq(
+        "/r/@id",
+        "/r/b/following-sibling::a/@k",
+        "/r/c/preceding-sibling::a[1]/@k",
+        "/r/c/preceding-sibling::a[last()]/@k",
+        "/r/a[1]/following-sibling::*[1]",
+        "/r/b/preceding-sibling::a/@k",
+        "/r/b/following-sibling::c/preceding-sibling::b")).as("m"))
+      .select(
+        get(col("m.p0"), lit(0)).cast("long").as("id"),
+        array_join(col("m.p1"), "|").as("fsib_k"),
+        get(col("m.p2"), lit(0)).as("nearest_prec"),
+        get(col("m.p3"), lit(0)).as("farthest_prec"),
+        get(col("m.p4"), lit(0)).as("next_any"),
+        array_join(col("m.p5"), "|").as("psib_k"),
+        get(col("m.p6"), lit(0)).as("chained"))
+      .orderBy("id")
+  }
+
+  val x33Sql: String =
+    """SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS fsib_k,
+      |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+      |    AS nearest_prec,
+      |  '1' AS farthest_prec,
+      |  CAST(l_linenumber AS VARCHAR) AS next_any,
+      |  '1' AS psib_k,
+      |  CAST(l_linenumber AS VARCHAR) AS chained
+      |FROM lineitem WHERE l_orderkey % 17 = 9 ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_xpath_siblings" -> (x33XpathSiblings _),
     "x32_xpath_parent" -> (x32XpathParent _),
     "x31_xpath_attr_union" -> (x31XpathAttrUnion _),
     "x30_xpath_str_fns" -> (x30XpathStrFns _),
@@ -1678,6 +1729,7 @@ object XmlQueries {
     "x9_xml_gzip" -> (x9GzipWildcard _))
 
   val oracles: Map[String, String] = Map(
+    "x33_xpath_siblings" -> x33Sql,
     "x32_xpath_parent" -> x32Sql,
     "x31_xpath_attr_union" -> x31Sql,
     "x30_xpath_str_fns" -> x30Sql,

@@ -148,7 +148,7 @@ object XPathMini {
     * chain, evaluated on the buffered name-match list. */
   final case class Step(name: String, pos: Int, desc: Boolean,
       pred: Pred = null, posOp: String = null,
-      stages: Array[Stage] = null)
+      stages: Array[Stage] = null, axis: String = "child")
 
   /** A compiled path: steps from the document element down, plus the
     * terminal selector — `textOnly` (select text-node children of the
@@ -169,11 +169,13 @@ object XPathMini {
       * keep the recursive fast path, whose results are doc-ordered and
       * duplicate-free by construction. */
     val hasDesc: Boolean = descTerm || steps.exists(_.desc)
-    /** Any parent-axis (`..`) step (x32)? Also routes to the node-set
-      * evaluator — the recursive fast path only walks down, and two
-      * siblings stepping up converge on ONE parent, which is exactly
-      * the node-set dedup. */
-    val hasParent: Boolean = steps.exists(_.name == "..")
+    /** Any parent-axis (`..`, x32) or sibling-axis (x33) step? Routes
+      * to the node-set evaluator — the recursive fast path only walks
+      * down, and two siblings stepping up (or two cousins stepping
+      * sideways onto the same element) converge, which is exactly the
+      * node-set dedup. */
+    val hasParent: Boolean =
+      steps.exists(st => st.name == ".." || st.axis != "child")
   }
 
   private val StepHeadRe = """^(\*|[A-Za-z_][\w.-]*)(?:\[(.*)\])?$""".r
@@ -396,14 +398,27 @@ object XPathMini {
     val stepParts = if (textOnly) afterAttr.dropRight(1) else afterAttr
     require(stepParts.nonEmpty || descTerm,
       s"path has no element steps: $path")
-    val steps = stepParts.map {
+    val steps = stepParts.map { case (part0, desc0) =>
+      // x33 sibling axes: explicit following-sibling:: /
+      // preceding-sibling:: prefixes (the descendant shorthand has no
+      // meaning on a sibling axis — rejected)
+      val (axis, part) =
+        if (part0.startsWith("following-sibling::"))
+          ("fsib", part0.substring(19))
+        else if (part0.startsWith("preceding-sibling::"))
+          ("psib", part0.substring(19))
+        else ("child", part0)
+      require(axis == "child" || !desc0,
+        s"'//' before a sibling axis is outside the subset in: $path")
+      val desc = desc0 && axis == "child"
+      (part, axis) match {
       // x32 parent axis: bare `..` only (no predicates — a parent is
       // unique per context, positions are meaningless; `//..` is out)
-      case ("..", desc) =>
+      case ("..", "child") =>
         require(!desc, s"'//..' is outside the subset in: $path")
         Step("..", 0, desc = false)
-      case (StepHeadRe(name, pred), desc) =>
-        if (pred == null) Step(name, 0, desc)
+      case (StepHeadRe(name, pred), _) =>
+        if (pred == null) Step(name, 0, desc, axis = axis)
         else {
           // Split the captured body on `][` boundaries at quote depth 0
           // (x28: SUCCESSIVE predicates per step — brackets INSIDE a
@@ -426,10 +441,12 @@ object XPathMini {
           }
           bodies += cur.toString
           if (bodies.length == 1) bodies(0) match {
-            case PosEqRe(k) => Step(name, k.toInt, desc)
-            case PosLastRe() => Step(name, -1, desc)
-            case PosRangeRe(op, k) => Step(name, k.toInt, desc, posOp = op)
-            case b => Step(name, 0, desc, pred = parsePred(b, path))
+            case PosEqRe(k) => Step(name, k.toInt, desc, axis = axis)
+            case PosLastRe() => Step(name, -1, desc, axis = axis)
+            case PosRangeRe(op, k) =>
+              Step(name, k.toInt, desc, posOp = op, axis = axis)
+            case b =>
+              Step(name, 0, desc, pred = parsePred(b, path), axis = axis)
           } else {
             val stages: Array[Stage] = bodies.map {
               case PosEqRe(k) => Stage.PosEq(k.toInt)
@@ -437,15 +454,17 @@ object XPathMini {
               case PosRangeRe(op, k) => Stage.PosRange(op, k.toInt)
               case b => Stage.Value(parsePred(b, path))
             }.toArray
-            Step(name, 0, desc, stages = stages)
+            Step(name, 0, desc, stages = stages, axis = axis)
           }
         }
       case (other, _) => throw new IllegalArgumentException(
         s"unsupported step '$other' in path: $path " +
-          "(subset: name|*, //name, '..', [k], [last()], [position() OP k], " +
+          "(subset: name|*, //name, '..', following-/preceding-" +
+          "sibling::name, [k], [last()], [position() OP k], " +
           "[@a='v'], [q='v'], [@a>5] / [q>5] and the other numeric " +
           "comparisons, [@a], [q], contains()/starts-with() on @a or " +
           "q, 'and'/'or' connectives, trailing text() or @attr)")
+      }
     }.toArray
     require(!(textOnly && attr != null),
       s"text() cannot be followed by an attribute step: $path")
@@ -464,7 +483,8 @@ object XPathMini {
           s"'..' could reach the document node in: $path " +
             "(subset: the parent axis must provably stay below the " +
             "document element)")
-      } else minDepth += 1
+      } else if (st.axis != "child") ()  // siblings stay at depth
+      else minDepth += 1
     }
     Path(steps, textOnly, attr, descTerm)
   }
@@ -1002,6 +1022,69 @@ object XPathMini {
     }
   }
 
+  /** x33 sibling-axis collection: the AXIS-ORDERED element siblings of
+    * `ctx` (forward for following-sibling, REVERSED document order for
+    * preceding-sibling — XPath §2.2: position() counts in axis order,
+    * so preceding-sibling::a[1] is the NEAREST preceding `a`), with
+    * the step's name test, value predicates, positional predicates and
+    * x28 stage chains applied over that ordered candidate list. The
+    * document element has no parent → empty set. */
+  private def siblingCollect(step: Step, ctx: Elem,
+      out: mutable.ArrayBuffer[Elem]): Unit = {
+    val par = ctx.parent
+    if (par == null) return
+    // locate ctx among its parent's element children (identity)
+    val sibs = new mutable.ArrayBuffer[Elem](par.content.length)
+    var self = -1
+    var i = 0
+    while (i < par.content.length) {
+      par.content(i) match {
+        case c: Elem =>
+          if (c eq ctx) self = sibs.length
+          sibs += c
+        case _ =>
+      }
+      i += 1
+    }
+    val axisOrdered = new mutable.ArrayBuffer[Elem](sibs.length)
+    if (step.axis == "fsib") {
+      var j = self + 1
+      while (j < sibs.length) { axisOrdered += sibs(j); j += 1 }
+    } else {
+      var j = self - 1
+      while (j >= 0) { axisOrdered += sibs(j); j -= 1 }
+    }
+    if (step.stages != null) {
+      val nameMatch = axisOrdered.filter(c =>
+        step.name == "*" || step.name == c.tag)
+      out ++= applyStages(step.stages, nameMatch)
+      return
+    }
+    if (step.pos == -1) { // [last()] in AXIS order
+      var lastMatch: Elem = null
+      var j = 0
+      while (j < axisOrdered.length) {
+        if (matches(step, axisOrdered(j))) lastMatch = axisOrdered(j)
+        j += 1
+      }
+      if (lastMatch != null) out += lastMatch
+      return
+    }
+    var seen = 0
+    var j = 0
+    while (j < axisOrdered.length) {
+      val c = axisOrdered(j)
+      if (matches(step, c)) {
+        seen += 1
+        if (posAccept(step, seen)) {
+          out += c
+          if (step.posOp == null && step.pos != 0) return
+        }
+      }
+      j += 1
+    }
+  }
+
   /** descendant-or-self::node()/child::step of one context node —
     * child matching applied at the context AND every descendant, so
     * positional predicates keep their per-parent sibling meaning. */
@@ -1047,6 +1130,8 @@ object XPathMini {
           // parent = null only on the document element.
           val par = ctxs(i).parent
           if (par != null) next += par
+        } else if (step.axis != "child") {
+          siblingCollect(step, ctxs(i), next)
         } else if (step.desc) descCollect(step, ctxs(i), next)
         else childCollect(step, ctxs(i), next)
         i += 1

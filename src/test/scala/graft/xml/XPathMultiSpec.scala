@@ -1241,4 +1241,57 @@ class XPathMultiSpec extends AnyFunSuite {
       XPathMini.compile("/r/g/it/..[@q]/n")
     }
   }
+
+  test("x33 sibling axes: axis-order positions (preceding-sibling[1] " +
+      "is the NEAREST), last() at the axis far end, chained axes, " +
+      "wildcard + predicates, convergence dedup, built-in parity") {
+    import spark.implicits._
+    val doc = "<r><a k='1'>x1</a><b>bb</b><a k='2'>x2</a><c>cc</c>" +
+      "<a k='3'>x3</a></r>"
+    val paths = Seq(
+      "/r/b/following-sibling::a/@k", // 2, 3
+      "/r/c/preceding-sibling::a[1]/@k", // NEAREST preceding -> 2
+      "/r/c/preceding-sibling::a[last()]/@k", // axis far end -> 1
+      "/r/a[1]/following-sibling::*[2]", // 2nd following any -> x2
+      "/r/b/following-sibling::c/preceding-sibling::b", // chain -> bb
+      "/r/*/following-sibling::c", // 3 contexts converge -> one cc
+      "/r/c/following-sibling::a[@k='3']", // predicate on the axis
+      "/r/following-sibling::a") // root has no parent -> empty
+    val m = XPathMultiExpr.xpath_multi(col("x"), paths)
+    val r = Seq(doc).toDF("x").select(m.as("m")).select("m.*").head()
+    assert(r.getSeq[String](0) == Seq("2", "3"))
+    assert(r.getSeq[String](1) == Seq("2"))
+    assert(r.getSeq[String](2) == Seq("1"))
+    assert(r.getSeq[String](3) == Seq("x2"))
+    assert(r.getSeq[String](4) == Seq("bb"))
+    assert(r.getSeq[String](5) == Seq("cc"), "convergence dedup")
+    assert(r.getSeq[String](6) == Seq("x3"))
+    assert(r.getSeq[String](7) == Seq.empty)
+    // built-in parity on every path (count + first string-value), and
+    // exact lists on the @k paths
+    val cols = paths.map(p => expr(s"""size(xpath(x, "$p"))""")) ++
+      paths.map(p => expr(s"""xpath_string(x, "$p")""")) ++
+      Seq(paths(0), paths(1), paths(2)).map(p =>
+        expr(s"""xpath(x, "$p")"""))
+    val ref = Seq(doc).toDF("x").select(cols: _*).head()
+    paths.indices.foreach { i =>
+      assert(r.getSeq[String](i).size == ref.getInt(i),
+        s"count parity on ${paths(i)}")
+      assert(r.getSeq[String](i).headOption.getOrElse("") ==
+        ref.getString(paths.length + i),
+        s"first-value parity on ${paths(i)}")
+    }
+    assert(r.getSeq[String](0) == ref.getSeq[String](2 * paths.length))
+    assert(r.getSeq[String](1) ==
+      ref.getSeq[String](2 * paths.length + 1))
+    assert(r.getSeq[String](2) ==
+      ref.getSeq[String](2 * paths.length + 2))
+    // the descendant shorthand has no meaning on a sibling axis
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r//following-sibling::a")
+    }
+    intercept[IllegalArgumentException] {
+      XPathMini.compile("/r/following-sibling::..")
+    }
+  }
 }
