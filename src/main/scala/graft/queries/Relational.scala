@@ -671,6 +671,90 @@ object Relational {
       |WHERE q*dd - s*s > 0 AND (n*dd - s)*(n*dd - s) >= 4*(q*dd - s*s)
       |ORDER BY day""".stripMargin
 
+  /** SEASONALITY-ADJUSTED ANOMALY SCREEN (p44 — p5's z-flag AFTER
+    * removing the day-of-week profile: a quiet Sunday is normal and a
+    * quiet Tuesday is not, and a raw daily screen cannot tell them
+    * apart). Exact-integer residuals with MIXED dow denominators made
+    * common WITHOUT lcm machinery: residual of day t (dow d) scaled by
+    * Π_{e≠d} c_e gives R_t = (n_t·c_d − S_d)·pe_d, an exact BIGINT
+    * (pe_d = Π of the OTHER dows' day counts — the 7-row dow table
+    * collects driver-side, the centroid discipline, and pe rides back
+    * as a broadcast literal join). By construction Σ_t R_t = 0 EXACTLY
+    * (each dow's residuals cancel — spec-pinned), so the z-screen on R
+    * needs only the quadratic moment; squares ride DECIMAL(38) because
+    * R² ·days crosses int64 near sf1 (the p36 lesson applied
+    * preemptively). `anomalous` is float-free cross-multiplication
+    * (|z| ≥ 2); z itself is the one reported float. */
+  def p44SeasonalAnomalies(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val dowRows = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("sd"))
+      .collect()
+    val prod = dowRows.map(r => BigInt(r.getLong(1))).product
+    require(prod.isValidLong, s"dow day-count product overflows: $prod")
+    import s.implicits._
+    val pe = dowRows.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), (prod / r.getLong(1)).toLong))
+      .toSeq.toDF("dow", "c_dow", "s_dow", "pe")
+    val res = daily.join(broadcast(pe), Seq("dow"))
+      .withColumn("r_scaled",
+        (col("n") * col("c_dow") - col("s_dow")) * col("pe"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = res.agg(count(lit(1)).as("__dd"),
+      sum(col("r_scaled")).as("__s"),
+      sum(col("r_scaled").cast(d38) * col("r_scaled").cast(d38))
+        .as("__q"))
+    val num = (col("r_scaled") * col("__dd") - col("__s")).cast(d38)
+    val den = (col("__q") * col("__dd")).cast(d38) -
+      (col("__s").cast(d38) * col("__s").cast(d38))
+    res.crossJoin(broadcast(st))
+      .select(col("day"), col("dow"), col("n"), col("c_dow"),
+        round(col("s_dow").cast("double") / col("c_dow").cast("double"),
+          4).as("dow_mean"),
+        col("r_scaled"),
+        when(den > 0, round(num.cast("double") /
+          sqrt(den.cast("double")), 4)).as("z_res"),
+        (den > 0 && num * num >= lit(4).cast(d38) * den)
+          .as("anomalous"))
+      .orderBy("day")
+  }
+
+  val p44Sql: String =
+    """WITH daily AS (SELECT
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT day, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, n
+      |  FROM daily),
+      |dw AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(n) AS BIGINT) AS sd
+      |  FROM d2 GROUP BY 1),
+      |pe AS (SELECT dow, c, sd,
+      |    CAST((SELECT product(c) FROM dw) AS BIGINT) // c AS pe
+      |  FROM dw),
+      |res AS (SELECT d2.day, d2.dow, d2.n, pe.c AS c_dow, pe.sd,
+      |    CAST((d2.n * pe.c - pe.sd) * pe.pe AS BIGINT) AS r_scaled
+      |  FROM d2 JOIN pe USING (dow)),
+      |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS dd,
+      |    CAST(SUM(r_scaled) AS HUGEINT) AS s,
+      |    CAST(SUM(CAST(r_scaled AS HUGEINT) * r_scaled) AS HUGEINT)
+      |      AS q
+      |  FROM res)
+      |SELECT res.day, res.dow, res.n, res.c_dow,
+      |  round(CAST(res.sd AS DOUBLE) / CAST(res.c_dow AS DOUBLE), 4)
+      |    AS dow_mean,
+      |  res.r_scaled,
+      |  CASE WHEN q * dd - s * s > 0 THEN
+      |    round(CAST(res.r_scaled * dd - s AS DOUBLE) /
+      |      sqrt(CAST(q * dd - s * s AS DOUBLE)), 4) END AS z_res,
+      |  (q * dd - s * s > 0 AND
+      |   (res.r_scaled * dd - s) * (res.r_scaled * dd - s)
+      |     >= 4 * (q * dd - s * s)) AS anomalous
+      |FROM res, st ORDER BY res.day""".stripMargin
+
   /** Distributed OLS fit ([[graft.operators.Linreg.fitOLS2]]): price in
     * cents regressed on quantity and discount percent points over
     * lineitem. One partial-aggregating scan computes nine exact integer
@@ -3458,7 +3542,8 @@ object Relational {
     "q64_distinct_ivm" -> (q64DistinctIvm _),
     "q65_skyline_regrid" -> (q65SkylineRegrid _),
     "q66_interval_sweep" -> (q66IntervalSweep _),
-    "q67_interval_coalesce" -> (q67IntervalCoalesce _))
+    "q67_interval_coalesce" -> (q67IntervalCoalesce _),
+    "p44_seasonal_anomalies" -> (p44SeasonalAnomalies _))
 
   val oracles: Map[String, String] = Map(
     "q49_erasure_cascade" -> q49Sql,
@@ -3538,5 +3623,6 @@ object Relational {
     "q64_distinct_ivm" -> q64Sql,
     "q65_skyline_regrid" -> q65Sql,
     "q66_interval_sweep" -> q66Sql,
-    "q67_interval_coalesce" -> q67Sql)
+    "q67_interval_coalesce" -> q67Sql,
+    "p44_seasonal_anomalies" -> p44Sql)
 }

@@ -2013,6 +2013,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(eceNum.toDouble / 32.0 - bruteEce) < 1e-12)
   }
 
+  test("p44 seasonal residuals: scaled residuals cancel to EXACTLY 0 " +
+      "for any dow profile (pe = product of other dows' counts makes " +
+      "mixed denominators common), planted spike flags at |z| >= 2") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val nDows = 1 + rnd.nextInt(7)
+      val days = (0 until nDows).flatMap { d =>
+        (0 to rnd.nextInt(5)).map(_ => (d.toLong, 1L + rnd.nextInt(40)))
+      }
+      val c = days.groupBy(_._1).map { case (d, xs) => d -> xs.size.toLong }
+      val sd = days.groupBy(_._1)
+        .map { case (d, xs) => d -> xs.map(_._2).sum }
+      val p = c.values.map(BigInt(_)).product
+      val r = days.map { case (d, n) =>
+        BigInt(n * c(d) - sd(d)) * (p / c(d))
+      }
+      assert(r.sum == BigInt(0), s"residuals must cancel: ${r.sum}")
+    }
+    // single-dow planted spike: counts 10x5 + 40 -> only the spike flags
+    val counts = Seq.fill(5)(10L) :+ 40L
+    val s6 = counts.sum; val c6 = counts.size.toLong
+    val rs = counts.map(n => n * c6 - s6) // pe = 1
+    val dd = rs.size.toLong; val s = rs.sum; val q = rs.map(x => x * x).sum
+    assert(s == 0L)
+    val flags = rs.map(x =>
+      BigInt(x * dd - s).pow(2) >= 4 * (BigInt(q) * dd - BigInt(s).pow(2)))
+    assert(flags == Seq(false, false, false, false, false, true))
+  }
+
   test("m32 flatness assembly: equal smoothed bins read exactly 0, a " +
       "dominant bin reads strongly negative; buildNoiseWav replays the " +
       "md5 sample formula and is spectrally balanced") {
