@@ -13519,6 +13519,151 @@ object ExtensionQueries {
        |ORDER BY fin.qid, fin.rank""".stripMargin
   }
 
+  /** IVF + SQ8 COMPOSED INDEX (a32 — the remaining cell of the
+    * index × compression matrix: a9 composed IVF with PQ codes, this
+    * composes it with the SQ8 int8 tier, the configuration most
+    * production stores actually ship (FAISS IVF,SQ8): the STORED
+    * index is (id, cid, 64 int8 codes) — 4× smaller than floats —
+    * probe selection is the config-sized centroid ranking (nprobe 2),
+    * the shortlist is code-space L2 over ONLY the probed cells'
+    * postings through the k-capped TopKPairsAgg (membership metric,
+    * the a10 contract), and the exact cosine re-rank reads full
+    * vectors for the ≤32-row shortlist alone. Recall is bounded by
+    * IVF cell coverage exactly like a3 — measured recall_short equals
+    * a5's full-precision ivf recall TO THE DIGIT at every SF
+    * (0.67∕0.73∕0.27: the int8 tier loses NOTHING, coverage is the
+    * whole bound), with the family's documented sf0.1 caveat (nprobe
+    * 2 of 20 cells on near-random data; the 0.6 floor is calibrated
+    * at the driver's sf0.01 gate scale, the same posture as a5's ivf
+    * 0.8). Oracle replays assignment, probes, bounds, every code,
+    * every integer distance and both ranks. */
+  def a32IvfSq8(sp: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(sp, dir)
+    val truthDir = graft.Tables.scratchDir("graft-a32-truth")
+    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+      .select(col("qid"), col("neighbor"))
+      .write.mode("overwrite").parquet(truthDir)
+    val truth = sp.read.parquet(truthDir)
+    val cents = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val corpus = e.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val b = Ann.sq8Bounds(corpus, 64).orderBy("d").collect()
+    val lo = b.map(_.getDouble(1)).toIndexedSeq
+    val hi = b.map(_.getDouble(2)).toIndexedSeq
+    val postDir = graft.Tables.scratchDir("graft-a32-post")
+    Ann.ivfIndex(corpus, cents)
+      .select(col("id"), col("cid"),
+        Ann.sq8Code(col("vec"), lo, hi).as("cc"))
+      .write.mode("overwrite").parquet(postDir)
+    val postings = sp.read.parquet(postDir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("__cs").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("__cs",
+        graft.functions.Vectors.dot(col("qvec"), col("cvec")) /
+          (graft.functions.Vectors.norm2(col("qvec")) *
+            graft.functions.Vectors.norm2(col("cvec"))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .select(col("qid"), col("cid"),
+        Ann.sq8Code(col("qvec"), lo, hi).as("qc"))
+    val topk = graft.functions.TopKPairsAgg.topKPairs(32)
+    val shortDir = graft.Tables.scratchDir("graft-a32-short")
+    postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("qc"), col("cc"),
+            (a, bb) => ((a - bb) * (a - bb)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .groupBy(col("qid"))
+      .agg(topk(col("d2"), col("id")).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e._2").as("id"))
+      .write.mode("overwrite").parquet(shortDir)
+    val short = sp.read.parquet(shortDir)
+    val res = Ann.bqRerankTopK(short, qs, corpus, 3)
+    val floor = 0.6
+    val hitsShort = truth
+      .join(short.select(col("qid"), col("id").as("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits_short"))
+    val hits = truth.join(res.select(col("qid"), col("neighbor")),
+        Seq("qid", "neighbor"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    hitsShort.crossJoin(hits)
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .select(lit("ivf_sq8").as("method"), col("n_hits_short"),
+        col("n_hits"), col("n_truth"),
+        round(col("n_hits_short").cast("double") / col("n_truth"), 4)
+          .as("recall_short"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"),
+        lit(floor).as("floor"),
+        (col("n_hits").cast("double") / col("n_truth") >= floor)
+          .as("recall_ok"))
+  }
+
+  val a32Sql: String =
+    s"""WITH truth AS (SELECT qid, neighbor FROM ($a1Sql) WHERE rank <= 3),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (SELECT id, cid FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS qid, cid FROM asg
+       |  WHERE id < 5 AND rn <= 2),
+       |bounds AS (SELECT t.i AS d,
+       |    MIN(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS lo,
+       |    MAX(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS hi
+       |  FROM embeddings e, range(0, 64) t(i) GROUP BY 1),
+       |codes AS (SELECT e.vec_id AS id, b.d,
+       |    CASE WHEN b.hi = b.lo THEN 0 ELSE
+       |      LEAST(255, CAST(FLOOR(
+       |        (CAST(e.embedding[b.d + 1] AS DOUBLE) - b.lo) * 256.0
+       |          / (b.hi - b.lo)) AS INT)) END AS code
+       |  FROM embeddings e CROSS JOIN bounds b),
+       |qd AS (SELECT id AS qid, d, code FROM codes WHERE id < 5),
+       |dist AS (SELECT p.qid, cl.id,
+       |    CAST(SUM(CAST(q.code - c.code AS BIGINT)
+       |      * (q.code - c.code)) AS BIGINT) AS d2
+       |  FROM probes p JOIN cells cl ON cl.cid = p.cid
+       |  JOIN codes c ON c.id = cl.id
+       |  JOIN qd q ON q.qid = p.qid AND q.d = c.d
+       |  WHERE cl.id <> p.qid GROUP BY 1, 2),
+       |short AS (SELECT qid, id FROM (SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS r
+       |  FROM dist) WHERE r <= 32),
+       |rr AS (SELECT sh.qid, sh.id,
+       |    ${cosSql("qe.embedding", "ce.embedding")} AS sim
+       |  FROM short sh
+       |  JOIN embeddings qe ON qe.vec_id = sh.qid
+       |  JOIN embeddings ce ON ce.vec_id = sh.id),
+       |top3 AS (SELECT qid, id FROM (SELECT qid, id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id)
+       |      AS r FROM rr) WHERE r <= 3),
+       |hs AS (SELECT count(*) AS n_hits_short FROM short
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = short.qid AND t.neighbor = short.id)),
+       |hh AS (SELECT count(*) AS n_hits FROM top3
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.qid = top3.qid AND t.neighbor = top3.id)),
+       |tt AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT 'ivf_sq8' AS method, hs.n_hits_short, hh.n_hits,
+       |  tt.n_truth,
+       |  round(hs.n_hits_short::DOUBLE / tt.n_truth, 4)
+       |    AS recall_short,
+       |  round(hh.n_hits::DOUBLE / tt.n_truth, 4) AS recall,
+       |  CAST(0.6 AS DOUBLE) AS floor,
+       |  (hh.n_hits::DOUBLE / tt.n_truth >= 0.6) AS recall_ok
+       |FROM hs CROSS JOIN hh CROSS JOIN tt""".stripMargin
+
   /** k-NN LABEL PROBE — the embedding-quality eval that gates an
     * embedding version before anything expensive is built on it (the
     * standard linear/kNN probing protocol): a held-out query slice
@@ -15739,6 +15884,7 @@ object ExtensionQueries {
     "m31_image_entropy" -> (m31ImageEntropy _),
     "s45_stream_rolling_actives" -> (s45StreamRollingActives _),
     "a31_nn_descent" -> (a31NnDescent _),
+    "a32_ivf_sq8" -> (a32IvfSq8 _),
     "m28_channel_stats" -> (m28ChannelStats _),
     "m29_dct_phash" -> (m29DctPhash _),
     "m30_dtmf_decode" -> (m30DtmfDecode _))
@@ -16003,6 +16149,7 @@ object ExtensionQueries {
     "m31_image_entropy" -> m31Sql,
     "s45_stream_rolling_actives" -> s45Sql,
     "a31_nn_descent" -> a31Sql,
+    "a32_ivf_sq8" -> a32Sql,
     "m28_channel_stats" -> m28Sql,
     "m29_dct_phash" -> m29Sql,
     "m30_dtmf_decode" -> m30Sql)
