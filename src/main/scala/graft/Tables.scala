@@ -121,6 +121,54 @@ object Tables {
     dir
   }
 
+  /** Materialize an intermediate so downstream consumers and iterative
+    * rounds never re-execute its lineage — the shared primitive behind
+    * every operator's per-round scratch (`Graph`, `Ann.nnDescent`,
+    * pipeline stages, ...). Two modes, switchable without code changes
+    * (spark conf `spark.graft.scratch.mode`, env `SPARK_GRAFT_SCRATCH`):
+    *
+    *  - `local` (default): eager `persist(MEMORY_AND_DISK)` — one
+    *    cache-building job, rows stored as executor blocks, every
+    *    downstream consumer reads the InMemoryRelation. No filesystem
+    *    round-trip, no commit protocol, no parquet encode/decode/footer
+    *    work, so an iterative operator's per-round floor drops to the
+    *    actual shuffle work. The InMemoryRelation carries ACCURATE
+    *    post-materialization size stats, so downstream auto-broadcast
+    *    decisions keep firing (a `localCheckpoint` LogicalRDD does NOT —
+    *    its default sizeInBytes disables broadcasts; measured 2x+ slower
+    *    on the Louvain family, hence persist). Trade-off (guide §5):
+    *    blocks are not durable — a lost executor recomputes the lineage
+    *    instead of replaying one round.
+    *  - `parquet`: the original durable scratch write+read. The right
+    *    production setting for multi-hour 100 TB runs on preemptible
+    *    clusters, where "a lost executor replays one round" is worth a
+    *    filesystem round-trip per round.
+    *
+    * Both modes compute the identical rows — the mode changes WHERE the
+    * materialized bytes live, never their values. Harnesses call
+    * `spark.catalog.clearCache()` between queries, bounding the cache
+    * lifetime to one gate. */
+  def stage(df: DataFrame, tag: String): DataFrame = {
+    val mode = df.sparkSession.conf.getOption("spark.graft.scratch.mode")
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH")).getOrElse("local")
+    if (mode == "parquet") {
+      val dir = scratchDir(tag)
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    } else {
+      // localCheckpoint TRUNCATES the logical plan (iterative operators
+      // reference a round's output 2-3x — without a cut the plan tree
+      // doubles per round and analysis/plan-string work explodes), and
+      // the persist+count on top gives the truncated relation ACCURATE
+      // materialized size stats so downstream auto-broadcasts keep
+      // firing (a bare LogicalRDD's estimate disables them).
+      val cp = df.localCheckpoint(true)
+      cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cp.count(): Unit // build the cache NOW: one cheap pass over blocks
+      cp
+    }
+  }
+
   /** Exact money arithmetic: the source columns are doubles; both Spark and
     * DuckDB round-trip them through DECIMAL(18,2) to the same exact value, so
     * aggregates hash-match bit-for-bit once cast back to double.

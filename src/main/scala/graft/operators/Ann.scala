@@ -725,11 +725,8 @@ object Ann {
   def nnDescent(corpus: DataFrame, k: Int, rounds: Int): DataFrame = {
     import graft.functions.DoubleKeyExprs.{doubleDescKey, doubleFromDescKey}
     import graft.functions.Hashing
-    def mat(d: DataFrame, tag: String): DataFrame = {
-      val dir = graft.Tables.scratchDir(tag)
-      d.write.mode("overwrite").parquet(dir)
-      d.sparkSession.read.parquet(dir)
-    }
+    def mat(d: DataFrame, tag: String): DataFrame =
+      graft.Tables.stage(d, tag)
     val topk = graft.functions.TopKPairsAgg.topKPairs(k)
     val cn = mat(corpus.select(col("id"), col("vec"),
       Vectors.norm2(col("vec")).as("__n")), "nnd-cn")

@@ -108,13 +108,12 @@ object Chunk {
       n: Int): DataFrame = {
     require(n >= 2, s"span gram width must be >= 2, got $n")
     import org.apache.spark.sql.expressions.Window
-    val occDir = graft.Tables.scratchDir("graft-spandedup-occ")
-    df.select(id.as("doc_id"),
-        posexplode(Text.wordGrams(text, n)).as(Seq("pos", "__g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        graft.functions.Hashing.portableHash32(col("__g")).as("__gh"))
-      .write.mode("overwrite").parquet(occDir)
-    val occ = df.sparkSession.read.parquet(occDir)
+    val occ = graft.Tables.stage(
+      df.select(id.as("doc_id"),
+          posexplode(Text.wordGrams(text, n)).as(Seq("pos", "__g")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          graft.functions.Hashing.portableHash32(col("__g")).as("__gh")),
+      "graft-spandedup-occ")
     val keeper = occ.groupBy(col("__gh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__k"))
     val dup = occ.join(keeper, "__gh")

@@ -105,10 +105,8 @@ object Dedup {
     // tokenize+shingle+md5 explode — the t22 lesson. At scale this is
     // also the production shape: postings persist, probes read a narrow
     // (id, hash32) columnar table.
-    val keepDir = graft.Tables.scratchDir("graft-containment-posts")
-    posts.join(rare, Seq("__h"), "left_semi")
-      .write.mode("overwrite").parquet(keepDir)
-    val keep = docs.sparkSession.read.parquet(keepDir)
+    val keep = graft.Tables.stage(posts.join(rare, Seq("__h"), "left_semi"),
+      "graft-containment-posts")
     val sizes = keep.groupBy(col("__id").as("a_id"))
       .agg(count(lit(1)).as("size_a"))
     val shared = keep.as("a")
@@ -270,10 +268,14 @@ object Dedup {
     * threshold confirms. One shuffle on the int bucket key. */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
-    val bucketed = df.select(id.as("__id"), vec.as("__v"))
-      .withColumn("bucket",
-        graft.functions.Vectors.lshBucket(col("__v"), planes))
-      .withColumn("__n", graft.functions.Vectors.norm2(col("__v")))
+    // staged: the self-join consumes it twice — one LSH-bucket pass,
+    // not one per side
+    val bucketed = graft.Tables.stage(
+      df.select(id.as("__id"), vec.as("__v"))
+        .withColumn("bucket",
+          graft.functions.Vectors.lshBucket(col("__v"), planes))
+        .withColumn("__n", graft.functions.Vectors.norm2(col("__v"))),
+      "graft-emblsh")
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") &&
@@ -320,19 +322,17 @@ object Dedup {
     * for graphs whose diameter is unknown. Components of any width
     * collapse fully.
     *
-    * Each round is written to RELIABLE storage (same discipline as
-    * [[Hierarchy]] and the Vocab builder), not executor-pinned cache: on a
-    * real cluster a lost executor past round 1 must not kill the lineage,
-    * which rules out `localCheckpoint`. The round's write doubles as the
-    * single materialization; the convergence probe reads the parquet back,
-    * so no round is ever computed twice. */
+    * Each round is cut through [[graft.Tables.stage]]: `local` mode
+    * (default) is one localCheckpoint job per round; `parquet` mode is the
+    * RELIABLE-storage form for clusters where a lost executor past round 1
+    * must not kill the lineage (set `spark.graft.scratch.mode=parquet`).
+    * Either way the round's cut doubles as the single materialization; the
+    * convergence probe reads the staged rows back, so no round is ever
+    * computed twice. */
   def dedupClustersConverged(ids: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    def materialize(df: DataFrame, tag: String): DataFrame = {
-      val dir = graft.Tables.scratchDir(tag)
-      df.write.mode("overwrite").parquet(dir)
-      df.sparkSession.read.parquet(dir)
-    }
+    def materialize(df: DataFrame, tag: String): DataFrame =
+      graft.Tables.stage(df, tag)
     val edges = materialize(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
@@ -375,10 +375,9 @@ object Dedup {
     // runs once PER SIDE on top of the candidate pipeline's own pass. At
     // scale this is also the right shape: sketches persist to scratch
     // storage, join probes read a narrow columnar table.
-    val shDir = graft.Tables.scratchDir("graft-nds-sh")
-    docs.select(col("__id"), shingleSet(col("__text"), n).as("__sh"))
-      .write.mode("overwrite").parquet(shDir)
-    val sh = df.sparkSession.read.parquet(shDir)
+    val sh = graft.Tables.stage(
+      docs.select(col("__id"), shingleSet(col("__text"), n).as("__sh")),
+      "graft-nds-sh")
     cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("sa")), "id_a")
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("sb")), "id_b")
@@ -411,11 +410,8 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    def materialize(df: DataFrame, tag: String): DataFrame = {
-      val dir = graft.Tables.scratchDir(tag)
-      df.write.mode("overwrite").parquet(dir)
-      df.sparkSession.read.parquet(dir)
-    }
+    def materialize(df: DataFrame, tag: String): DataFrame =
+      graft.Tables.stage(df, tag)
     // each round reads `labels` TWICE (neighbor-min build + the update
     // join), so without a cut the label lineage doubles per round — after
     // r rounds the plan holds 2^r copies of the ids subtree and its
@@ -603,13 +599,15 @@ object Dedup {
     // semi-join on the (≤ |centroids|)-row count table — NOT a
     // count-over-window, which would buffer the pathological cell in one
     // WindowExec task before dropping it (the very skew being guarded).
-    val cells =
+    // staged: the self-join consumes the cell table twice (and the cap
+    // path a third time) — one assignment pass, not one per consumer
+    val cells = graft.Tables.stage(
       if (maxCell == Long.MaxValue) cells0
       else {
         val keep = cells0.groupBy("cid").count()
           .filter(col("count") <= maxCell).select("cid")
         cells0.join(broadcast(keep), Seq("cid"), "left_semi")
-      }
+      }, "graft-semcells")
     val l = cells.as("l")
     val r = cells.as("r")
     l.join(r, col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
@@ -652,9 +650,7 @@ object Dedup {
         sorted.schema("__id").copy(name = "id"),
         org.apache.spark.sql.types.StructField("r",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val dir = graft.Tables.scratchDir("graft-snm-rank")
-    ranked.write.mode("overwrite").parquet(dir)
-    val rk = sp2.read.parquet(dir)
+    val rk = graft.Tables.stage(ranked, "graft-snm-rank")
     // Successor rank computed in a SECOND select (advisor, round 14):
     // referencing the explode alias from the same projection leans on
     // lateral column alias resolution, which is not a contractual Spark

@@ -51,10 +51,13 @@ object Fuzzy {
       .select(col("name"), explode(qgrams(col("name"), q)).as("gram"))
       .distinct() // one (name, gram) membership row per pair
     val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val capped =
+    // staged: the self-join consumes it twice — one qgram explode pass,
+    // not one per side
+    val capped = graft.Tables.stage(
       if (maxGramBucket == Long.MaxValue) grams
       else grams.withColumn("__gc", count(lit(1)).over(w))
-        .filter(col("__gc") <= maxGramBucket).drop("__gc")
+        .filter(col("__gc") <= maxGramBucket).drop("__gc"),
+      "graft-fuzzy-grams")
     val cands = capped.as("a")
       .join(capped.as("b"), col("a.gram") === col("b.gram") &&
         col("a.name") < col("b.name"))

@@ -23,11 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val dir = graft.Tables.scratchDir(tag)
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Tables.stage(df, tag)
 
   /** PageRank with integer credits. `edges`: (src: long, dst: long),
     * multi-edges and self-loops allowed. Every node starts with

@@ -22,11 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Hierarchy {
 
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val dir = graft.Tables.scratchDir(tag)
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Tables.stage(df, tag)
 
   /** `edges`: (node, parent) — one row per non-root node; roots have no
     * row. Returns (node, root, depth) for EVERY node appearing in `nodes`

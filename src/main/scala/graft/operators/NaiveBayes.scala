@@ -44,11 +44,8 @@ object NaiveBayes {
     * — class-domain sized, broadcastable. */
   final case class NbModel(cond: DataFrame, cls: DataFrame)
 
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val dir = graft.Tables.scratchDir(tag)
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Tables.stage(df, tag)
 
   /** (x, l) for every distinct positive x in `xs` (single column `x`,
     * 1 ≤ x < 2⁶³): l = p·2¹⁶ + frac where p = floor(log2 x) comes from

@@ -201,11 +201,8 @@ object Profile {
     * (≥ −|cells| quantization ulps); portability needs no sign,
     * both engines compute identical integers. */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    def mat(d: DataFrame, tag: String): DataFrame = {
-      val dir = graft.Tables.scratchDir(tag)
-      d.write.mode("overwrite").parquet(dir)
-      d.sparkSession.read.parquet(dir)
-    }
+    def mat(d: DataFrame, tag: String): DataFrame =
+      graft.Tables.stage(d, tag)
     val cells = mat(df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("x_val"), col(yCol).as("y_val"))

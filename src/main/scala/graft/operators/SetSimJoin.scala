@@ -38,12 +38,14 @@ object SetSimJoin {
       .filter(size(col("__s")) > 0)
     val elems = recs.select(col("__id"), explode(col("__s")).as("__e"))
     val freq = elems.groupBy(col("__e")).agg(count(lit(1)).as("__df"))
-    val ordered = elems.join(freq, "__e")
+    // staged: THREE consumers below (prefix explode + both verify join
+    // sides) would each re-run the tokenize+shingle+df-sort pipeline
+    val ordered = graft.Tables.stage(elems.join(freq, "__e")
       .groupBy(col("__id"))
       .agg(transform(
         array_sort(collect_list(struct(col("__df"), col("__e")))),
         s => s.getField("__e")).as("__toks"),
-        count(lit(1)).as("__n"))
+        count(lit(1)).as("__n")), "graft-ppjoin-ordered")
     val plen = (col("__n") - ceil(lit(tau) * col("__n")) + 1).cast("int")
     val pfx = ordered.select(col("__id"),
       explode(slice(col("__toks"), lit(1), plen)).as("__p"))

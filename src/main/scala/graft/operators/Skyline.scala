@@ -33,11 +33,8 @@ import org.apache.spark.sql.functions._
   * Returns one row per skyline (x, y): multiplicity + min-id witness. */
 object Skyline {
 
-  private def materialize(df: DataFrame, tag: String): DataFrame = {
-    val dir = graft.Tables.scratchDir(tag)
-    df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-  }
+  private def materialize(df: DataFrame, tag: String): DataFrame =
+    graft.Tables.stage(df, tag)
 
   /** Skyline of `df` MINIMIZING `x` and MAXIMIZING `y` (both cast to
     * long): (x, y, n_rows, witness = min id). Empty input → empty. */

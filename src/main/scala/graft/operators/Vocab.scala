@@ -32,16 +32,17 @@ object Vocab {
   /** (token, id) with ids dense in [0, V), ordered by token. */
   def contiguousIds(tokens: DataFrame, tokenCol: Column,
       numPartitions: Int): DataFrame = {
-    val scratch = graft.Tables.scratchDir("graft-vocab") // deleted on exit
-    tokens.select(tokenCol.as("token"))
-      .na.drop(Seq("token")).distinct()
-      .repartitionByRange(numPartitions, col("token"))
-      .sortWithinPartitions(col("token"))
-      .withColumn("__pid", spark_partition_id())
-      // one materialization: the counts job and the numbering job must see
-      // the SAME range boundaries (RangePartitioner samples its input)
-      .write.mode("overwrite").parquet(scratch)
-    val sorted = tokens.sparkSession.read.parquet(scratch)
+    // one materialization: the counts job and the numbering job must see
+    // the SAME range boundaries (RangePartitioner samples its input) —
+    // __pid is stamped as a COLUMN before the cut, so the two downstream
+    // jobs agree regardless of how the staged bytes re-split
+    val sorted = graft.Tables.stage(
+      tokens.select(tokenCol.as("token"))
+        .na.drop(Seq("token")).distinct()
+        .repartitionByRange(numPartitions, col("token"))
+        .sortWithinPartitions(col("token"))
+        .withColumn("__pid", spark_partition_id()),
+      "graft-vocab")
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     val offsets = (0 until numPartitions)

@@ -1437,12 +1437,9 @@ object ExtensionQueries {
     // materialize the fuzzy-match pairs once: both the edge list and the
     // member-name universe consume them, and the q-gram blocking +
     // Levenshtein confirm is the expensive part of this gate
-    val pairsDir = graft.Tables.scratchDir("graft-d17-pairs")
-    graft.operators.Fuzzy
+    val pairs = graft.Tables.stage(graft.operators.Fuzzy
       .fuzzyPairs(part(sp, dir), "p_name", q = 3, maxDist = 3,
-        maxGramBucket = 12L)
-      .write.mode("overwrite").parquet(pairsDir)
-    val pairs = sp.read.parquet(pairsDir)
+        maxGramBucket = 12L), "graft-d17-pairs")
     val edges = pairs.select(
       Hashing.portableHash32(col("name1")).as("src"),
       Hashing.portableHash32(col("name2")).as("dst"))
@@ -2750,12 +2747,10 @@ object ExtensionQueries {
     // int32) write and two cheap columnar scans — the Graph.materialize
     // pattern; at 100 TB this also decouples the two consumers' stage
     // boundaries for AQE.
-    val occDir = graft.Tables.scratchDir("graft-t22-occ")
-    documents(sp, dir)
+    val occ = graft.Tables.stage(documents(sp, dir)
       .select(col("doc_id"), explode(Text.wordGrams(col("text"), 8)).as("__g"))
-      .select(col("doc_id"), Hashing.portableHash32(col("__g")).as("__gh"))
-      .write.mode("overwrite").parquet(occDir)
-    val occ = sp.read.parquet(occDir)
+      .select(col("doc_id"), Hashing.portableHash32(col("__g")).as("__gh")),
+      "graft-t22-occ")
     val counts = occ.groupBy("__gh").agg(count(lit(1)).as("__c"))
     occ.join(counts, "__gh")
       .groupBy("doc_id")
@@ -3265,11 +3260,8 @@ object ExtensionQueries {
     * oracle hash pins not just the final packed set but how many rows
     * every stage let through. */
   def t41CorpusPipeline(sp: SparkSession, dir: String): DataFrame = {
-    def mat(df: DataFrame, tag: String): DataFrame = {
-      val d = graft.Tables.scratchDir(tag)
-      df.write.mode("overwrite").parquet(d)
-      sp.read.parquet(d)
-    }
+    def mat(df: DataFrame, tag: String): DataFrame =
+      graft.Tables.stage(df, tag)
     val base = documents(sp, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
     val corpus = base.union(base.select((col("doc_id") + 1000000L)
@@ -3551,10 +3543,9 @@ object ExtensionQueries {
         concat_ws(" ", slice(toks, lit(1), (size(toks) / 2)))
           .as("text"))
     val corpus = docs.union(twins)
-    val sigDir = graft.Tables.scratchDir("graft-d22-sig")
-    Dedup.withMinhashSig(spread(corpus), col("text"), 3, K)
-      .drop("text").write.mode("overwrite").parquet(sigDir)
-    val sig = sp.read.parquet(sigDir)
+    val sig = graft.Tables.stage(
+      Dedup.withMinhashSig(spread(corpus), col("text"), 3, K)
+        .drop("text"), "graft-d22-sig")
     Seq(1, 2, 4).map { r =>
       Dedup.bandCandidates(sig, col("doc_id"), K, r, maxBucket = D22Cap)
         .agg(count(lit(1)).as("n_candidates"),
@@ -3632,11 +3623,9 @@ object ExtensionQueries {
     * a hash equi-join on the fingerprint hash. */
   def d23Winnowing(sp: SparkSession, dir: String): DataFrame = {
     val docs = documents(sp, dir)
-    val fpDir = graft.Tables.scratchDir("graft-d23-fp")
-    graft.operators.Dedup
-      .winnowFingerprints(docs, col("doc_id"), col("text"), k = 4, w = 4)
-      .write.mode("overwrite").parquet(fpDir)
-    val fp = sp.read.parquet(fpDir)
+    val fp = graft.Tables.stage(graft.operators.Dedup
+      .winnowFingerprints(docs, col("doc_id"), col("text"), k = 4, w = 4),
+      "graft-d23-fp")
     val rare = fp.groupBy("fph").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") <= 50).select("fph")
     val kept = fp.join(rare, Seq("fph"), "left_semi")
@@ -4721,8 +4710,11 @@ object ExtensionQueries {
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val truth = graft.operators.Pq.bruteL2TopK(qs, corpus, 3)
-      .select(col("qid"), col("neighbor"))
+    // staged: truth is consumed FOUR times below (semi-join probe +
+    // denominator count, per method) — one brute pass, not four
+    val truth = graft.Tables.stage(
+      graft.operators.Pq.bruteL2TopK(qs, corpus, 3)
+        .select(col("qid"), col("neighbor")), "graft-a21-truth")
     val base = graft.operators.Pq
       .adcRerankTopK(qs, corpus, codebooks, subDim = 16, shortlist = 12,
         k = 3)
@@ -5226,13 +5218,11 @@ object ExtensionQueries {
     import sp.implicits._
     // stage 1 — chunk the corpus once, materialized (three consumers:
     // lexical explode, dense join, shortlist vector reattach)
-    val chDir = graft.Tables.scratchDir("graft-a20-ch")
-    graft.operators.Chunk
+    val ch = graft.Tables.stage(graft.operators.Chunk
       .overlapping(documents(sp, dir), col("text"), col("doc_id"), 16, 8)
       .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
-        col("doc_id"), col("n_tokens").as("dl"), col("chunk"))
-      .write.mode("overwrite").parquet(chDir)
-    val ch = sp.read.parquet(chDir)
+        col("doc_id"), col("n_tokens").as("dl"), col("chunk")),
+      "graft-a20-ch")
     // stage 2a — lexical: per-query BM25 (qid x tidx keyed, so the
     // 3-term sum recombines in fixed (s0+s1)+s2 order — IEEE parity)
     val termsDf = Seq(
@@ -5463,11 +5453,9 @@ object ExtensionQueries {
     // materialize the exact truth set once: it is referenced twice per
     // method (semi-join probe + denominator count) and would otherwise
     // re-run the whole brute-force pipeline ~6x
-    val truthDir = graft.Tables.scratchDir("graft-a5-truth")
-    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor")), "graft-a5-truth")
     val methods = Seq(
       ("ivf", a3AnnIvf(sp, dir)),
       ("ivf_kmeans", a4AnnIvfKmeans(sp, dir)),
@@ -5527,11 +5515,9 @@ object ExtensionQueries {
   private val A28Methods = Seq(("ivf_na1", 1, 0.25), ("ivf_na2", 2, 0.35))
 
   def a28IvfMultiAssign(sp: SparkSession, dir: String): DataFrame = {
-    val truthDir = graft.Tables.scratchDir("graft-a28-truth")
-    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor")), "graft-a28-truth")
     val e = embeddings(sp, dir)
     val centroids = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -5540,10 +5526,9 @@ object ExtensionQueries {
     val corpus = e.select(col("vec_id").as("id"),
       col("embedding").as("vec"))
     A28Methods.map { case (name, na, floor) =>
-      val postDir = graft.Tables.scratchDir(s"graft-a28-$name")
-      graft.operators.Ann.ivfIndexMulti(corpus, centroids, na)
-        .write.mode("overwrite").parquet(postDir)
-      val post = sp.read.parquet(postDir)
+      val post = graft.Tables.stage(
+        graft.operators.Ann.ivfIndexMulti(corpus, centroids, na),
+        s"graft-a28-$name")
       val res = graft.operators.Ann
         .ivfTopKOnIndex(qs, post, centroids, k = 3, nprobe = 1)
       truth.join(res.select(col("qid"), col("neighbor")),
@@ -7130,10 +7115,8 @@ object ExtensionQueries {
         col("__e3") + col("__e4") + col("__e6") + col("__e8"))
     val need = Seq("__e3", "__e4", "__e6", "__e8", "__s")
       .map(c => piv.select(col(c).as("x"))).reduce(_.union(_))
-    val ltabDir = graft.Tables.scratchDir("graft-m32-ltab")
-    graft.operators.NaiveBayes.logTable(need)
-      .write.mode("overwrite").parquet(ltabDir)
-    val ltab = sp.read.parquet(ltabDir)
+    val ltab = graft.Tables.stage(
+      graft.operators.NaiveBayes.logTable(need), "graft-m32-ltab")
     def l(of: String, as: String) =
       ltab.select(col("x").as(of), col("l").as(as))
     piv.join(l("__e3", "__l3"), Seq("__e3"))
@@ -7979,14 +7962,20 @@ object ExtensionQueries {
         count(when(!col("__a"), 1)).as("o_b"))
     val tot = counts.agg((sum(col("o_a")) + count(lit(1))).as("__ap"),
       (sum(col("o_b")) + count(lit(1))).as("__bp"))
-    val masses = counts.crossJoin(broadcast(tot))
+    // staged: `masses` feeds FOUR subtrees below (need x2, terms, and
+    // through ltab both join sides) — without a cut each replays the
+    // full events scan + bin agg; ltab staged so the 16-step decimal
+    // recurrence runs once, not once per join side (both bin-domain
+    // sized: <=20 and <=40 rows)
+    val masses = graft.Tables.stage(counts.crossJoin(broadcast(tot))
       .select(col("bin"), col("o_a"), col("o_b"),
         ((col("o_a") + 1) * col("__bp")).as("__xa"),
         ((col("o_b") + 1) * col("__ap")).as("__xb"),
-        col("__ap"), col("__bp"))
+        col("__ap"), col("__bp")), "graft-p38-masses")
     val need = masses.select(col("__xa").as("x"))
       .union(masses.select(col("__xb").as("x")))
-    val ltab = graft.operators.NaiveBayes.logTable(need)
+    val ltab = graft.Tables.stage(
+      graft.operators.NaiveBayes.logTable(need), "graft-p38-ltab")
     val terms = masses
       .join(ltab.select(col("x").as("__xa"), col("l").as("__la")),
         Seq("__xa"))
@@ -9450,11 +9439,9 @@ object ExtensionQueries {
     * the corpus; the probe is one shuffle equi-join on token. */
   def t49TokenRankFluency(sp: SparkSession, dir: String): DataFrame = {
     val docs = documents(sp, dir)
-    val postsDir = graft.Tables.scratchDir("graft-t49-posts")
-    docs.select(col("doc_id"), explode(Text.tokens(col("text")))
-        .as("token"))
-      .write.mode("overwrite").parquet(postsDir)
-    val posts = sp.read.parquet(postsDir)
+    val posts = graft.Tables.stage(
+      docs.select(col("doc_id"), explode(Text.tokens(col("text")))
+        .as("token")), "graft-t49-posts")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
     val vocab = posts.groupBy(col("token"))
@@ -13139,11 +13126,9 @@ object ExtensionQueries {
     * replayable tree. */
   def a14QuantizedRecall(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
-    val truthDir = graft.Tables.scratchDir("graft-a14-truth")
-    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor")), "graft-a14-truth")
     val corpus = e
       .select(col("vec_id").as("id"), Vectors.maxAbs(col("embedding")).as("m"),
         Vectors.quantize(col("embedding"), Vectors.maxAbs(col("embedding")))
@@ -13207,18 +13192,14 @@ object ExtensionQueries {
     * replays Hamming, shortlist, and re-rank. */
   def a23BqHamming(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
-    val truthDir = graft.Tables.scratchDir("graft-a23-truth")
-    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor")), "graft-a23-truth")
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val shortDir = graft.Tables.scratchDir("graft-a23-short")
-    Ann.bqHammingShortlist(qs, corpus, 64, 128)
-      .write.mode("overwrite").parquet(shortDir)
-    val short = sp.read.parquet(shortDir)
+    val short = graft.Tables.stage(
+      Ann.bqHammingShortlist(qs, corpus, 64, 128), "graft-a23-short")
     val res = Ann.bqRerankTopK(short, qs, corpus, 3)
     val floor = 0.6
     val hitsShort = truth
@@ -13291,21 +13272,17 @@ object ExtensionQueries {
     * distance, both ranks. */
   def a30Sq8(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
-    val truthDir = graft.Tables.scratchDir("graft-a30-truth")
-    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor")), "graft-a30-truth")
     val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val b = Ann.sq8Bounds(corpus, 64).orderBy("d").collect()
     val lo = b.map(_.getDouble(1)).toIndexedSeq
     val hi = b.map(_.getDouble(2)).toIndexedSeq
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val shortDir = graft.Tables.scratchDir("graft-a30-short")
-    Ann.sq8Shortlist(qs, corpus, lo, hi, 128)
-      .write.mode("overwrite").parquet(shortDir)
-    val short = sp.read.parquet(shortDir)
+    val short = graft.Tables.stage(
+      Ann.sq8Shortlist(qs, corpus, lo, hi, 128), "graft-a30-short")
     val res = Ann.bqRerankTopK(short, qs, corpus, 3)
     val floor = 0.7
     val hitsShort = truth
@@ -13413,18 +13390,14 @@ object ExtensionQueries {
     val e = embeddings(sp, dir)
     val corpus = e.select(col("vec_id").as("id"),
       col("embedding").as("vec"))
-    val knnDir = graft.Tables.scratchDir("graft-a31-knn")
-    graft.operators.Ann.nnDescent(corpus, k = 10, rounds = 5)
-      .filter(col("qid") < 100)
-      .write.mode("overwrite").parquet(knnDir)
-    val sample = sp.read.parquet(knnDir)
+    val sample = graft.Tables.stage(
+      graft.operators.Ann.nnDescent(corpus, k = 10, rounds = 5)
+        .filter(col("qid") < 100), "graft-a31-knn")
     val qs = e.filter(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val truthDir = graft.Tables.scratchDir("graft-a31-truth")
-    graft.operators.Ann.bruteForceTopK(qs, corpus, 5)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      graft.operators.Ann.bruteForceTopK(qs, corpus, 5)
+        .select(col("qid"), col("neighbor")), "graft-a31-truth")
     val hits = sample.select(col("qid"), col("neighbor"))
       .join(truth, Seq("qid", "neighbor"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
@@ -13539,11 +13512,9 @@ object ExtensionQueries {
     * every integer distance and both ranks. */
   def a32IvfSq8(sp: SparkSession, dir: String): DataFrame = {
     val e = embeddings(sp, dir)
-    val truthDir = graft.Tables.scratchDir("graft-a32-truth")
-    a1AnnBrute(sp, dir).filter(col("rank") <= 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a1AnnBrute(sp, dir).filter(col("rank") <= 3)
+        .select(col("qid"), col("neighbor")), "graft-a32-truth")
     val cents = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val corpus = e.select(col("vec_id").as("id"),
@@ -13551,12 +13522,10 @@ object ExtensionQueries {
     val b = Ann.sq8Bounds(corpus, 64).orderBy("d").collect()
     val lo = b.map(_.getDouble(1)).toIndexedSeq
     val hi = b.map(_.getDouble(2)).toIndexedSeq
-    val postDir = graft.Tables.scratchDir("graft-a32-post")
-    Ann.ivfIndex(corpus, cents)
-      .select(col("id"), col("cid"),
-        Ann.sq8Code(col("vec"), lo, hi).as("cc"))
-      .write.mode("overwrite").parquet(postDir)
-    val postings = sp.read.parquet(postDir)
+    val postings = graft.Tables.stage(
+      Ann.ivfIndex(corpus, cents)
+        .select(col("id"), col("cid"),
+          Ann.sq8Code(col("vec"), lo, hi).as("cc")), "graft-a32-post")
     val qs = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val w = org.apache.spark.sql.expressions.Window
@@ -13572,8 +13541,8 @@ object ExtensionQueries {
       .select(col("qid"), col("cid"),
         Ann.sq8Code(col("qvec"), lo, hi).as("qc"))
     val topk = graft.functions.TopKPairsAgg.topKPairs(32)
-    val shortDir = graft.Tables.scratchDir("graft-a32-short")
-    postings.join(broadcast(probes), Seq("cid"))
+    val short = graft.Tables.stage(
+      postings.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         aggregate(zip_with(col("qc"), col("cc"),
@@ -13582,9 +13551,7 @@ object ExtensionQueries {
       .groupBy(col("qid"))
       .agg(topk(col("d2"), col("id")).as("__top"))
       .select(col("qid"), explode(col("__top")).as("__e"))
-      .select(col("qid"), col("__e._2").as("id"))
-      .write.mode("overwrite").parquet(shortDir)
-    val short = sp.read.parquet(shortDir)
+      .select(col("qid"), col("__e._2").as("id")), "graft-a32-short")
     val res = Ann.bqRerankTopK(short, qs, corpus, 3)
     val floor = 0.6
     val hitsShort = truth
@@ -13750,11 +13717,9 @@ object ExtensionQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = e.select(col("vec_id").as("id"),
       col("embedding").as("vec"))
-    val truthDir = graft.Tables.scratchDir("graft-a26-truth")
-    Ann.bruteForceTopK(qs, corpus, 3)
-      .select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      Ann.bruteForceTopK(qs, corpus, 3)
+        .select(col("qid"), col("neighbor")), "graft-a26-truth")
     val idxDir = graft.Tables.scratchDir("graft-a26-idx")
     Ann.ivfIndex(corpus, centroids)
       .write.partitionBy("cid").mode("overwrite").parquet(idxDir)
@@ -14313,11 +14278,10 @@ object ExtensionQueries {
   def a15HammingTopK(sp: SparkSession, dir: String): DataFrame = {
     // materialize the sketch once: corpus side and query side both read
     // it (otherwise each branch re-runs the tokenize+md5 sketch scan)
-    val shDir = graft.Tables.scratchDir("graft-a15-sh")
-    documents(sp, dir).select(col("doc_id"),
-        Hashing.simhash64(Text.tokens(col("text"))).as("sh"))
-      .write.mode("overwrite").parquet(shDir)
-    val sh = sp.read.parquet(shDir)
+    val sh = graft.Tables.stage(
+      documents(sp, dir).select(col("doc_id"),
+        Hashing.simhash64(Text.tokens(col("text"))).as("sh")),
+      "graft-a15-sh")
     val q = sh.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("qid"), col("sh").as("qsh"))
     val topk = graft.functions.TopKPairsAgg.topKPairs(5)
@@ -14841,10 +14805,9 @@ object ExtensionQueries {
       .select(col("id").as("cid"), col("vec").as("cvec"))
     val found = Ann.ivfTopK(aQueries, aCorpus, cents, k = 5, nprobe = 3)
       .select(col("qid"), col("neighbor"))
-    val truthDir = graft.Tables.scratchDir("graft-a17-truth")
-    a16Mips(sp, dir).select(col("qid"), col("neighbor"))
-      .write.mode("overwrite").parquet(truthDir)
-    val truth = sp.read.parquet(truthDir)
+    val truth = graft.Tables.stage(
+      a16Mips(sp, dir).select(col("qid"), col("neighbor")),
+      "graft-a17-truth")
     truth.join(found, Seq("qid", "neighbor"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
@@ -15546,10 +15509,8 @@ object ExtensionQueries {
       .agg(sum(col("c")).as("n"), count(lit(1)).as("n_levels"))
     val need = hist.select(col("c").as("x"))
       .union(n.select(col("n").as("x")))
-    val ltabDir = graft.Tables.scratchDir("graft-m31-ltab")
-    graft.operators.NaiveBayes.logTable(need)
-      .write.mode("overwrite").parquet(ltabDir)
-    val ltab = sp.read.parquet(ltabDir)
+    val ltab = graft.Tables.stage(
+      graft.operators.NaiveBayes.logTable(need), "graft-m31-ltab")
     val hs = hist
       .join(ltab.select(col("x").as("c"), col("l").as("__lc")),
         Seq("c"))

@@ -876,6 +876,11 @@ class OperatorSpec extends AnyFunSuite {
     val abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // this test pins the PARQUET scratch mode's contract (durable
+    // rounds, exact job count); the default `local` mode trades that
+    // durability for speed — its row-identity is pinned separately in
+    // "Tables.stage: local and parquet modes compute identical rows"
+    spark.conf.set("spark.graft.scratch.mode", "parquet")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -917,7 +922,34 @@ class OperatorSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+      spark.conf.unset("spark.graft.scratch.mode")
     }
+  }
+
+  test("Tables.stage: local and parquet modes compute identical rows, " +
+      "and local mode truncates lineage (iterative plans stay flat)") {
+    import spark.implicits._
+    def run(): Array[(Long, Long)] = {
+      val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+      Dedup.dedupClustersConverged((0L until 12L).toDF("id"), pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    spark.conf.set("spark.graft.scratch.mode", "parquet")
+    val viaParquet =
+      try run() finally spark.conf.unset("spark.graft.scratch.mode")
+    spark.catalog.clearCache()
+    val viaLocal = run() // default mode
+    assert(viaLocal.toSeq == viaParquet.toSeq)
+    // lineage truncation: a staged frame's logical plan is a leaf-ish
+    // cache scan, not the full upstream pipeline (the property that
+    // keeps round N's plan from containing rounds 1..N-1)
+    val staged = graft.Tables.stage(
+      Seq(1L, 2L).toDF("x").groupBy().sum("x"), "stage-spec")
+    val planNodes = staged.queryExecution.optimizedPlan.collect {
+      case p => p
+    }.size
+    assert(planNodes <= 3, s"staged plan should be flat, got $planNodes nodes")
+    spark.catalog.clearCache()
   }
 
   test("RepetitionExpr kernel: bit-parity with the declarative " +
