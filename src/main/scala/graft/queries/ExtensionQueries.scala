@@ -9103,9 +9103,13 @@ object ExtensionQueries {
     * count — the per-(key, phase) readout is a plain batch recount the
     * DuckDB oracle replays with one row_number split. A carried (un-
     * expired) state would inflate every phase-2 count of a key seen in
-    * phase 1 and fail the hash. TTL 4 s >> micro-batch latency (~1 s
-    * paced), sleep 6.5 s >> TTL; both margins follow the spec's worked
-    * example. RocksDB provider on a child session as TWS requires;
+    * phase 1 and fail the hash. TTL 2.5 s >> the 200 ms re-trigger pace
+    * (each phase is one producer batch, so that is the only intra-phase
+    * gap TTL must dominate), sleep = TTL + 2.5 s > TTL with the phase-1
+    * state provably written BEFORE the sleep starts (the await saw every
+    * phase-1 key in the sink); margins follow the spec's worked
+    * example, trimmed in r16 to stop paying 2 s of unused wall-clock
+    * per rep. RocksDB provider on a child session as TWS requires;
     * state partitions pinned. */
   def s26TwsTtl(sp: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -9126,7 +9130,13 @@ object ExtensionQueries {
     import s2.implicits._
     implicit val sqlCtx = s2.sqlContext
     val in = MemoryStream[(Long, Long)]
-    val ttl = java.time.Duration.ofSeconds(4)
+    // 2.5 s: the value only needs TTL >> intra-phase re-trigger gap
+    // (~0.2-0.4 s at the 200 ms pace; each phase is ONE producer batch)
+    // on the low side and sleep > TTL on the high side — r16 trimmed the
+    // old 4 s, which bought margin the phase structure does not use,
+    // straight off the gate's wall-clock floor (the result is the
+    // per-(key, phase) recount and is TTL-invariant by construction)
+    val ttl = java.time.Duration.ofMillis(2500)
     val out = graft.streaming.StreamOps
       .countsWithTtlPhased(in.toDS(), ttl)
       .toDF("user_id", "phase", "n")
@@ -11164,9 +11174,11 @@ object ExtensionQueries {
   def s44StreamAsOf(sp: SparkSession, dir: String): DataFrame = {
     val d1 = "2024-01-11 00:00:00"
     val d2 = "2024-01-21 00:00:00"
-    val ev = events(sp, dir)
+    // staged: SIX slice writers + six non-empty guards below each
+    // filter this projection — one events scan, not twelve
+    val ev = graft.Tables.stage(events(sp, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"))
+        col("event_type")), "graft-s44-ev")
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("ts"), col("user_id"))
     val v = ev.filter(col("event_type") === "view")
